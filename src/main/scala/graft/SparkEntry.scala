@@ -1,13 +1,355 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.conf._
+import graft.core.{Fixtures, IndexerCore}
+import graft.expr.hfunctions._
+import graft.mapping.Mapping
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry (+ DuckDB oracle) per implemented
+  * operator from SURVEY.md §2, plus the relational surface and the
+  * training-data-pipeline operators.
+  *
+  * Conventions that keep the DuckDB hash-compare stable:
+  *  - every query ends in a full deterministic ORDER BY;
+  *  - double aggregations go through decimal casts (order-independent,
+  *    bit-identical across engines) or a final round();
+  *  - column names are aliased identically on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** decimal cast used to make double sums order-independent + engine-portable */
+  private def dec(c: Column): Column = c.cast("decimal(18,6)")
+  /** final decimal outputs normalized to one precision/scale on both sides */
+  private def decOut(c: Column): Column = c.cast("decimal(38,6)")
+
+  // ---------------------------------------------------------------
+  // flagship
+  // ---------------------------------------------------------------
+
+  /** Flagship: the minimum end-to-end slice of SURVEY §7.2 step 4 — the
+    * user_indexer.xml mapping over customer-derived cells. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("x01_mapping_row")(spark, "/root/testdata/sf0.001")
+
+  // indexer conf fixtures ------------------------------------------------
+
+  /** The user_indexer.xml shape (reference hbase-indexer-mr
+    * src/test/resources/.../user_indexer.xml:19-23) adapted to the
+    * customer-derived cell fixture. */
+  private val customerIndexerXml =
+    """<indexer table="customer" read-row="never">
+      |  <field name="name_s" value="info:name" type="string"/>
+      |  <field name="nationkey_i" value="info:nationkey" type="int"/>
+      |  <field name="acctbal_d" value="info:acctbal" type="double"/>
+      |  <field name="mktsegment_s" value="info:mktsegment" type="string"/>
+      |</indexer>""".stripMargin
+  private lazy val customerConf = IndexerConf.fromXml(customerIndexerXml)
+
+  /** Event-log indexer: prefix extractor over the evt family; value and
+    * qualifier sources. */
+  private lazy val eventConf = IndexerConf(
+    table = "events",
+    rowReadMode = RowReadMode.Never,
+    fields = Seq(
+      FieldDef("val_s", "evt:*", ValueSource.Value, "string"),
+      FieldDef("etype_s", "evt:*", ValueSource.Qualifier, "string")))
+
+  // ---------------------------------------------------------------
+  // queries
+  // ---------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- relational surface (Catalyst-native; SURVEY §2.4 note) ----
+
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") <= lit("1998-09-01").cast("date"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          decOut(sum(dec(col("l_quantity")))).as("sum_qty"),
+          decOut(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+          decOut(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("sum_disc_price"),
+          decOut(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))))).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q02_filter_pushdown" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") >= lit("1995-01-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1996-01-01").cast("date") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .select(decOut(sum(dec(col("l_extendedprice") * col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    "q03_join_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(decOut(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q04_multijoin" -> ((s, dir) => {
+      val r = t(s, dir, "region"); val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), decOut(sum(dec(col("c_acctbal")))).as("sum_bal"))
+        .join(broadcast(
+          su.join(broadcast(n.select(col("n_nationkey").as("sn_nationkey"), col("n_name").as("sn_name"))),
+              su("s_nationkey") === col("sn_nationkey"))
+            .groupBy(col("sn_name")).agg(count(lit(1)).as("n_supp"))),
+          col("n_name") === col("sn_name"), "left")
+        .select(col("r_name"), col("n_name"), col("n_cust"), col("sum_bal"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    "q05_window_topn" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), decOut(col("o_totalprice")).as("price"), col("rk").cast("long").as("rk"))
+        .orderBy(col("o_custkey"), col("rk"), col("o_orderkey"))
+    }),
+
+    "q06_topk" -> ((s, dir) => {
+      t(s, dir, "part")
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+        .limit(10)
+        .select(col("p_partkey"), col("p_name"), decOut(col("p_retailprice")).as("price"))
+    }),
+
+    "q07_setops" -> ((s, dir) => {
+      val withOrders = t(s, dir, "orders").select(col("o_custkey").as("custkey")).distinct()
+      val all = t(s, dir, "customer").select(col("c_custkey").as("custkey")).distinct()
+      all.exceptAll(withOrders).orderBy(col("custkey"))
+    }),
+
+    "q08_semi_anti" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val highParts = t(s, dir, "part").filter(col("p_retailprice") > 1500)
+      val semi = li.join(highParts, li("l_partkey") === highParts("p_partkey"), "left_semi")
+      semi.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q09_rollup" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
+
+    "q10_scalar_funcs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          upper(substring(col("o_orderpriority"), 1, 6)).as("prio_u"),
+          length(col("o_orderstatus")).cast("long").as("st_len"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+          decOut(abs(col("o_totalprice"))).as("abs_price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- indexer surface: mapping + extraction (P1-P8, P12) ----
+
+    "x01_mapping_row" -> ((s, dir) => {
+      val docs = IndexerCore.rowPath(customerConf)(Fixtures.customerCells(s, dir))
+      docs.select(
+          col("id"),
+          element_at(col("doc")("name_s"), 1).as("name_s"),
+          element_at(col("doc")("nationkey_i"), 1).cast("int").as("nationkey_i"),
+          element_at(col("doc")("acctbal_d"), 1).cast("double").as("acctbal_d"),
+          element_at(col("doc")("mktsegment_s"), 1).as("mktsegment_s"))
+        .orderBy(col("id"))
+    }),
+
+    "x02_dedup_lastwins" -> ((s, dir) => {
+      // A1 row-path last-wins dedup + F5 delete detection over the event
+      // mutation log: latest event per user wins; error ⇒ deleted row
+      val ops = IndexerCore.rowPath(eventConf)(Fixtures.eventMutations(s, dir))
+      ops.select(
+          col("id"),
+          col("kind"),
+          element_at(col("doc")("etype_s"), 1).as("etype_s"),
+          element_at(col("doc")("val_s"), 1).cast("double").as("val_d"))
+        .orderBy(col("id"))
+    }),
+
+    "x03_codec_roundtrip" -> ((s, dir) => {
+      // P5 HBase Bytes codecs: encode→decode must be the identity (the
+      // oracle sees the original values)
+      t(s, dir, "supplier")
+        .select(
+          col("s_suppkey"),
+          hbase_to_long(hbase_from_long(col("s_suppkey"))).as("rt_long"),
+          hbase_to_int(hbase_from_int(col("s_nationkey"))).as("rt_int"),
+          hbase_to_double(hbase_from_double(col("s_acctbal"))).as("rt_double"),
+          hbase_to_string(hbase_from_string(col("s_name"))).as("rt_string"),
+          hbase_to_boolean(hbase_from_boolean(col("s_acctbal") > 0)).as("rt_bool"),
+          hbase_to_short(hbase_from_short(col("s_nationkey").cast("short"))).as("rt_short"),
+          hbase_to_float(hbase_from_float(col("s_acctbal").cast("float"))).as("rt_float"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    "x04_key_format" -> ((s, dir) => {
+      // P12/P14 string key formatter: hyphen-escaped join + its inverse
+      val df = t(s, dir, "part")
+        .select(col("p_partkey"), concat(lit("r-"), col("p_partkey")).as("rowk"))
+      df.select(
+          col("p_partkey"),
+          format_key(col("rowk"), lit("fam"), col("rowk")).as("cell_id"),
+          element_at(unformat_key(format_key(col("rowk"), lit("fam"), col("rowk"))), 1).as("rt_row"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "x05_sharder" -> ((s, dir) => {
+      // A5 MD5 sharder — bit-for-bit the reference routing
+      t(s, dir, "customer")
+        .select(md5_shard(col("c_custkey").cast("string"), 8).cast("long").as("shard"))
+        .groupBy(col("shard")).agg(count(lit(1)).as("n"))
+        .orderBy(col("shard"))
+    })
+  )
+
+  // ---------------------------------------------------------------
+  // oracle SQL (DuckDB dialect, same tables, same column names)
+  // ---------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_pushdown" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue, count(*) AS n
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01' AND CAST(l_shipdate AS DATE) < DATE '1996-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q03_join_agg" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q04_multijoin" ->
+      """WITH cust AS (
+        |  SELECT r_name, n_name, count(*) AS n_cust, CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_bal
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name),
+        |supp AS (
+        |  SELECT n_name AS sn_name, count(*) AS n_supp
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name)
+        |SELECT r_name, n_name, n_cust, sum_bal, coalesce(n_supp, 0) AS n_supp
+        |FROM cust LEFT JOIN supp ON n_name = sn_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q05_window_topn" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(38,6)) AS price, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) WHERE rk <= 3
+        |ORDER BY o_custkey, rk, o_orderkey""".stripMargin,
+
+    "q06_topk" ->
+      """SELECT p_partkey, p_name, CAST(p_retailprice AS DECIMAL(38,6)) AS price
+        |FROM part ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10""".stripMargin,
+
+    "q07_setops" ->
+      """SELECT custkey FROM (
+        |  SELECT DISTINCT c_custkey AS custkey FROM customer
+        |  EXCEPT ALL
+        |  SELECT DISTINCT o_custkey AS custkey FROM orders)
+        |ORDER BY custkey""".stripMargin,
+
+    "q08_semi_anti" ->
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey AND p_retailprice > 1500)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q09_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "q10_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  upper(substr(o_orderpriority, 1, 6)) AS prio_u,
+        |  length(o_orderstatus) AS st_len,
+        |  year(o_orderdate) AS yr,
+        |  month(o_orderdate) AS mo,
+        |  concat_ws('|', o_orderstatus, o_orderpriority) AS tag,
+        |  CAST(abs(o_totalprice) AS DECIMAL(38,6)) AS abs_price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "x01_mapping_row" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS id, c_name AS name_s,
+        |  c_nationkey AS nationkey_i, c_acctbal AS acctbal_d, c_mktsegment AS mktsegment_s
+        |FROM customer ORDER BY id""".stripMargin,
+
+    "x02_dedup_lastwins" ->
+      """WITH latest AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS id,
+        |    arg_max(event_type, event_id) AS et,
+        |    arg_max(value, event_id) AS v
+        |  FROM events GROUP BY user_id)
+        |SELECT id,
+        |  CASE WHEN et = 'error' THEN 'deleteById' ELSE 'add' END AS kind,
+        |  CASE WHEN et = 'error' THEN NULL ELSE et END AS etype_s,
+        |  CASE WHEN et = 'error' THEN NULL ELSE v END AS val_d
+        |FROM latest ORDER BY id""".stripMargin,
+
+    "x03_codec_roundtrip" ->
+      """SELECT s_suppkey, s_suppkey AS rt_long, s_nationkey AS rt_int,
+        |  s_acctbal AS rt_double, s_name AS rt_string, s_acctbal > 0 AS rt_bool,
+        |  CAST(s_nationkey AS SMALLINT) AS rt_short, CAST(s_acctbal AS FLOAT) AS rt_float
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "x04_key_format" ->
+      """SELECT p_partkey,
+        |  replace(rowk, '-', '\-') || '-fam-' || replace(rowk, '-', '\-') AS cell_id,
+        |  rowk AS rt_row
+        |FROM (SELECT p_partkey, 'r-' || CAST(p_partkey AS VARCHAR) AS rowk FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "x05_sharder" ->
+      """SELECT CAST(CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4) AS INT) % 8 AS BIGINT) AS shard,
+        |  count(*) AS n
+        |FROM customer GROUP BY 1 ORDER BY shard""".stripMargin
+  )
 }

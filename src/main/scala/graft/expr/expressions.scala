@@ -1,0 +1,219 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.GraftInterop
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Decodes an HBase `Bytes.toBytes`-encoded binary value into `typeName`
+  * (one of int/long/short/float/double/boolean/string/bigdecimal).
+  * Malformed input yields NULL — mirroring the reference's drop-not-fail
+  * decode semantics (/root/reference .../ByteArrayValueMappers.java:154-164).
+  *
+  * Codegen emits a single static call into [[HBaseCodecs]], so the decode
+  * stays inside whole-stage codegen.
+  */
+case class HBaseDecode(child: Expression, typeName: String) extends UnaryExpression {
+
+  override def dataType: DataType = typeName match {
+    case "int"        => IntegerType
+    case "long"       => LongType
+    case "short"      => ShortType
+    case "float"      => FloatType
+    case "double"     => DoubleType
+    case "boolean"    => BooleanType
+    case "string"     => StringType
+    case "bigdecimal" => DecimalType(38, 18)
+    case other => throw new IllegalArgumentException(s"unknown hbase type: $other")
+  }
+
+  // decode can return null for malformed input even when the input is non-null
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    typeName match {
+      case "int"     => HBaseCodecs.bytesToInt(b)
+      case "long"    => HBaseCodecs.bytesToLong(b)
+      case "short"   => HBaseCodecs.bytesToShort(b)
+      case "float"   => HBaseCodecs.bytesToFloat(b)
+      case "double"  => HBaseCodecs.bytesToDouble(b)
+      case "boolean" => HBaseCodecs.bytesToBoolean(b)
+      case "string"  => UTF8String.fromBytes(b)
+      case "bigdecimal" =>
+        val jbd = HBaseCodecs.bytesToBigDecimal(b)
+        if (jbd == null) null
+        else {
+          val d = Decimal(jbd)
+          if (d.changePrecision(38, 18)) d else null
+        }
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = "graft.expr.HBaseCodecs"
+    val (boxed, unbox) = typeName match {
+      case "int"     => (s"$helper.bytesToInt",     ".intValue()")
+      case "long"    => (s"$helper.bytesToLong",    ".longValue()")
+      case "short"   => (s"$helper.bytesToShort",   ".shortValue()")
+      case "float"   => (s"$helper.bytesToFloat",   ".floatValue()")
+      case "double"  => (s"$helper.bytesToDouble",  ".doubleValue()")
+      case "boolean" => (s"$helper.bytesToBoolean", ".booleanValue()")
+      case "string"  => ("org.apache.spark.unsafe.types.UTF8String.fromBytes", "")
+      case "bigdecimal" => ("", "")
+    }
+    val tmp = ctx.freshName("decoded")
+    nullSafeCodeGen(ctx, ev, c => typeName match {
+      case "string" =>
+        s"${ev.value} = $boxed($c);"
+      case "bigdecimal" =>
+        s"""
+        java.math.BigDecimal $tmp = $helper.bytesToBigDecimal($c);
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else {
+          org.apache.spark.sql.types.Decimal ${tmp}d = org.apache.spark.sql.types.Decimal.apply($tmp);
+          if (${tmp}d.changePrecision(38, 18)) { ${ev.value} = ${tmp}d; } else { ${ev.isNull} = true; }
+        }
+        """
+      case t =>
+        s"""
+        ${boxedJavaType(t)} $tmp = (${boxedJavaType(t)}) $boxed($c);
+        if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp$unbox; }
+        """
+    })
+  }
+
+  private def boxedJavaType(t: String): String = t match {
+    case "int"    => "java.lang.Integer"
+    case "long"   => "java.lang.Long"
+    case "short"  => "java.lang.Short"
+    case "float"   => "java.lang.Float"
+    case "double"  => "java.lang.Double"
+    case "boolean" => "java.lang.Boolean"
+    case _         => "java.lang.Object"
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HBaseDecode =
+    copy(child = newChild)
+
+  override def prettyName: String = s"hbase_to_$typeName"
+}
+
+/** Encodes a typed value into HBase `Bytes.toBytes` binary form — the
+  * inverse of [[HBaseDecode]], used for round-trip tests and for writing
+  * cell fixtures. */
+case class HBaseEncode(child: Expression, typeName: String) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val expected: DataType = typeName match {
+      case "int" => IntegerType
+      case "long" => LongType
+      case "short" => ShortType
+      case "float" => FloatType
+      case "double" => DoubleType
+      case "boolean" => BooleanType
+      case "string" => StringType
+      case "bigdecimal" => DecimalType(38, 18)
+      case _ => NullType
+    }
+    if (child.dataType == expected)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hbase_from_$typeName expects $expected, got ${child.dataType}")
+  }
+
+  override def nullSafeEval(input: Any): Any = typeName match {
+    case "int"     => HBaseCodecs.intToBytes(input.asInstanceOf[Int])
+    case "long"    => HBaseCodecs.longToBytes(input.asInstanceOf[Long])
+    case "short"   => HBaseCodecs.shortToBytes(input.asInstanceOf[Short])
+    case "float"   => HBaseCodecs.floatToBytes(input.asInstanceOf[Float])
+    case "double"  => HBaseCodecs.doubleToBytes(input.asInstanceOf[Double])
+    case "boolean" => HBaseCodecs.booleanToBytes(input.asInstanceOf[Boolean])
+    case "string"  => input.asInstanceOf[UTF8String].getBytes
+    case "bigdecimal" =>
+      HBaseCodecs.bigDecimalToBytes(input.asInstanceOf[Decimal].toJavaBigDecimal)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = "graft.expr.HBaseCodecs"
+    val call = typeName match {
+      case "int"     => (c: String) => s"$helper.intToBytes($c)"
+      case "long"    => (c: String) => s"$helper.longToBytes($c)"
+      case "short"   => (c: String) => s"$helper.shortToBytes($c)"
+      case "float"   => (c: String) => s"$helper.floatToBytes($c)"
+      case "double"  => (c: String) => s"$helper.doubleToBytes($c)"
+      case "boolean" => (c: String) => s"$helper.booleanToBytes($c)"
+      case "string"  => (c: String) => s"$c.getBytes()"
+      case "bigdecimal" => (c: String) => s"$helper.bigDecimalToBytes($c.toJavaBigDecimal())"
+    }
+    defineCodeGen(ctx, ev, call)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HBaseEncode =
+    copy(child = newChild)
+
+  override def prettyName: String = s"hbase_from_$typeName"
+}
+
+/** Column-level API for the codec expressions plus the key-formatter and
+  * sharding helpers (built from codegen'd built-ins where possible). */
+object hfunctions {
+  import org.apache.spark.sql.functions._
+
+  private def col2expr(c: Column): Expression = GraftInterop.expression(c)
+  private def expr2col(e: Expression): Column = GraftInterop.column(e)
+
+  def hbase_decode(c: Column, typ: String): Column = expr2col(HBaseDecode(col2expr(c), typ))
+  def hbase_encode(c: Column, typ: String): Column = expr2col(HBaseEncode(col2expr(c), typ))
+
+  def hbase_to_int(c: Column): Column = hbase_decode(c, "int")
+  def hbase_to_long(c: Column): Column = hbase_decode(c, "long")
+  def hbase_to_short(c: Column): Column = hbase_decode(c, "short")
+  def hbase_to_float(c: Column): Column = hbase_decode(c, "float")
+  def hbase_to_double(c: Column): Column = hbase_decode(c, "double")
+  def hbase_to_boolean(c: Column): Column = hbase_decode(c, "boolean")
+  def hbase_to_string(c: Column): Column = hbase_decode(c, "string")
+  def hbase_to_bigdecimal(c: Column): Column = hbase_decode(c, "bigdecimal")
+
+  def hbase_from_int(c: Column): Column = hbase_encode(c, "int")
+  def hbase_from_long(c: Column): Column = hbase_encode(c, "long")
+  def hbase_from_short(c: Column): Column = hbase_encode(c, "short")
+  def hbase_from_float(c: Column): Column = hbase_encode(c, "float")
+  def hbase_from_double(c: Column): Column = hbase_encode(c, "double")
+  def hbase_from_boolean(c: Column): Column = hbase_encode(c, "boolean")
+  def hbase_from_string(c: Column): Column = hbase_encode(c, "string")
+  def hbase_from_bigdecimal(c: Column): Column = hbase_encode(c, "bigdecimal")
+
+  // ---- unique-key formatting (reference StringUniqueKeyFormatter.java:24-67,
+  //      BaseUniqueKeyFormatter.java:51-90, HexUniqueKeyFormatter.java:21-35) ----
+
+  /** Escape one id component: a literal '-' becomes "\-" so the joined id
+    * can be split again on unescaped hyphens. */
+  def key_escape(c: Column): Column = regexp_replace(c, "-", "\\\\-")
+
+  def key_unescape(c: Column): Column = regexp_replace(c, "\\\\-", "-")
+
+  /** `string` formatter: join non-null components with '-' after escaping. */
+  def format_key(components: Column*): Column =
+    concat_ws("-", components.map(key_escape): _*)
+
+  /** Inverse of [[format_key]]: split on unescaped '-' then unescape. */
+  def unformat_key(id: Column): Column =
+    transform(split(id, "(?<!\\\\)-"), key_unescape(_))
+
+  /** `hex` formatter: lowercase hex of the raw bytes (binary-safe). */
+  def format_key_hex(c: Column): Column = lower(hex(c))
+
+  def unformat_key_hex(c: Column): Column = unhex(c)
+
+  /** MD5 sharder: first 2 bytes of md5(id) mod numShards — bit-for-bit the
+    * reference routing (/root/reference .../HashSharder.java:38-48). Built
+    * from codegen'd built-ins: md5 → first 4 hex chars → int → mod. */
+  def md5_shard(id: Column, numShards: Int): Column =
+    pmod(conv(substring(md5(id.cast("binary")), 1, 4), 16, 10).cast("int"), lit(numShards))
+}
