@@ -63,7 +63,8 @@ object SparkEntry {
   // queries
   // ---------------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
 
     // ---- relational surface (Catalyst-native; SURVEY §2.4 note) ----
 
@@ -231,8 +232,23 @@ object SparkEntry {
         .select(md5_shard(col("c_custkey").cast("string"), 8).cast("long").as("shard"))
         .groupBy(col("shard")).agg(count(lit(1)).as("n"))
         .orderBy(col("shard"))
+    }),
+
+    // S1/T1-T6: the full streaming path — file-backed mutation log →
+    // Structured Streaming → IndexerCore → idempotent parquet index state
+    "s01_stream_state" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_stream").toString
+      val logDir = s"$work/log"
+      Fixtures.eventMutations(s, dir).write.mode("overwrite").parquet(logDir)
+      val state = graft.streaming.MutationStream.runToCompletion(
+        s, eventConf, logDir, s"$work/run")
+      state.select(
+          col("id"),
+          element_at(col("doc")("etype_s"), 1).as("etype_s"),
+          element_at(col("doc")("val_s"), 1).cast("double").as("val_d"))
+        .orderBy(col("id"))
     })
-  )
+  ) ++ graft.queries.IndexerQueries.queries ++ graft.queries.PipelineQueries.queries
 
   // ---------------------------------------------------------------
   // oracle SQL (DuckDB dialect, same tables, same column names)
@@ -350,6 +366,14 @@ object SparkEntry {
     "x05_sharder" ->
       """SELECT CAST(CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4) AS INT) % 8 AS BIGINT) AS shard,
         |  count(*) AS n
-        |FROM customer GROUP BY 1 ORDER BY shard""".stripMargin
-  )
+        |FROM customer GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "s01_stream_state" ->
+      """WITH latest AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS id,
+        |    arg_max(event_type, event_id) AS et, arg_max(value, event_id) AS v
+        |  FROM events GROUP BY user_id)
+        |SELECT id, et AS etype_s, v AS val_d FROM latest
+        |WHERE et <> 'error' ORDER BY id""".stripMargin
+  ) ++ graft.queries.IndexerQueries.oracles ++ graft.queries.PipelineQueries.oracles
 }

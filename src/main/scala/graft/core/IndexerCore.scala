@@ -31,7 +31,9 @@ object IndexerCore {
   /** F1: table-name predicate — literal or regex per the conf
     * (reference IndexingEventListener.java:60-87). */
   def tableFilter(conf: IndexerConf)(df: DataFrame): DataFrame =
-    if (conf.tableIsRegex) df.filter(col("table").rlike(conf.table))
+    // full-match semantics (the reference uses Pattern.matches); rlike is
+    // unanchored, so anchor explicitly
+    if (conf.tableIsRegex) df.filter(col("table").rlike(s"^(?:${conf.table})$$"))
     else df.filter(col("table") === lit(conf.table))
 
   /** T4: subscription-timestamp filter — drop events from before the

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media (image/audio/video) ride through the
+  * engine as opaque `binary` columns with a typed metadata struct; decode /
+  * feature-extraction runs as an imperative per-partition stage.
+  *
+  * The actual codec is STUBBED (this container has no image/audio libs) —
+  * [[StubDecoder]] is a deterministic fake, clearly marked; the Spark-side
+  * contract (schema, batching, partitioning) is real and tested:
+  *  - payloads stay `BinaryType` end-to-end (never stringified);
+  *  - decode happens in `mapPartitions`, one decoder instance per
+  *    partition (the expensive init amortizes across the partition — the
+  *    same shape a JNI/FFmpeg decoder needs);
+  *  - upstream `repartition` spreads decode cost; downstream columns are
+  *    ordinary typed columns, so Catalyst prunes/pushes around them.
+  */
+object Multimodal {
+
+  case class MediaRecord(doc_id: Long, mime: String, payload: Array[Byte])
+  case class MediaFeatures(
+      doc_id: Long,
+      byte_len: Long,
+      head_hex: String,
+      byte_sum: Long,
+      width: Int,
+      height: Int)
+
+  /** The decode seam. A real deployment implements this with an image/
+    * audio library; the engine only relies on the interface. */
+  trait MediaDecoder extends Serializable {
+    def decode(mime: String, payload: Array[Byte]): (Int, Int) // (width, height)
+  }
+
+  /** STUB: a real decoder is not available in this environment (no
+    * image/audio libraries). Deterministic fake dimensions derived from
+    * the payload so tests are stable. */
+  object StubDecoder extends MediaDecoder {
+    override def decode(mime: String, payload: Array[Byte]): (Int, Int) = {
+      // real implementation would be e.g. ImageIO.read(...): ???
+      val n = payload.length
+      (n % 640, n % 480)
+    }
+  }
+
+  /** documents text → opaque binary payloads (the test stand-in for real
+    * media bytes). */
+  def toMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").cast("long").as("doc_id"),
+      lit("text/plain").as("mime"),
+      col("text").cast("binary").as("payload"))
+
+  /** Per-partition imperative decode + feature extraction. */
+  def extractFeatures(media: DataFrame, decoder: MediaDecoder = StubDecoder): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      // one decoder per partition — init cost amortized
+      it.map { r =>
+        val head = r.payload.take(16)
+        val (w, h) = decoder.decode(r.mime, r.payload)
+        var sum = 0L
+        var i = 0
+        val upTo = math.min(64, r.payload.length)
+        while (i < upTo) { sum += r.payload(i) & 0xff; i += 1 }
+        MediaFeatures(
+          doc_id = r.doc_id,
+          byte_len = r.payload.length.toLong,
+          head_hex = head.map("%02x".format(_)).mkString,
+          byte_sum = sum,
+          width = w,
+          height = h)
+      }
+    }.toDF()
+  }
+}

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and a sign-random-
+  * projection (SRP) LSH variant as the scale path.
+  *
+  * Embeddings are quantized to integers (`round(x*1000)`) before any
+  * arithmetic:
+  *  - at scale this is what you do anyway (int8/int16 quantization cuts
+  *    memory bandwidth 4-8×, the usual ANN bottleneck);
+  *  - integer dot products are EXACT, so scores are deterministic and
+  *    bit-identical across engines (float accumulation order stops
+  *    mattering).
+  *
+  * The SRP hyperplanes are derived from md5 (not RNG state), so bucketing
+  * is reproducible across runs, engines, and cluster sizes.
+  *
+  * Scale notes: brute-force is a broadcast of the (small) query set
+  * against the (huge) corpus — one scan, no shuffle of the corpus. The
+  * SRP path buckets the corpus once (narrow), then joins query buckets to
+  * corpus buckets — the candidate join is the only shuffle and it is keyed
+  * on the 8-bit bucket, so AQE can handle bucket skew.
+  */
+object Similarity {
+
+  /** array<float> → array<long>, x → round(x*1000) (exact in both engines:
+    * float→double is exact, ×1000 exact, round is half-away-from-zero). */
+  def quantize(v: Column): Column =
+    transform(v, x => round(x.cast("double") * 1000).cast("long"))
+
+  /** exact integer dot product of two quantized vectors */
+  def dotq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, p) => acc + p)
+
+  def normq(a: Column): Column = dotq(a, a)
+
+  /** cosine similarity from exact integer dot/norms — one double division,
+    * deterministic */
+  def cosineq(a: Column, b: Column, na: Column, nb: Column): Column =
+    when(na === 0 || nb === 0, 0.0)
+      .otherwise(dotq(a, b).cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))))
+
+  /** Corpus prepared once: quantized vector + its norm. */
+  def prep(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
+    embeddings.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("q"))
+      .withColumn("nq", normq(col("q")))
+
+  /** Brute-force cosine top-k for each query vector. `queries` and corpus
+    * in prep() shape. Query side is broadcast — the corpus is scanned
+    * once, never shuffled. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("q_id"), col("q").as("q_vec"), col("nq").as("q_nq"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", cosineq(col("q"), col("q_vec"), col("nq"), col("q_nq")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("sim"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Deterministic integer hyperplane coefficient for (plane, dim):
+    * md5-derived value in [-1000, 1000]. */
+  def planeCoef(plane: Column, dim: Column): Column =
+    pmod(Dedup.hash60(concat(plane.cast("string"), lit("_"), dim.cast("string"))), lit(2001L)) - 1000L
+
+  /** SRP bucket id: `planes` sign bits of integer dot products with the
+    * deterministic hyperplanes. Exact integer math → portable. */
+  def srpBucket(q: Column, planes: Int = 8): Column = {
+    val bits = (0 until planes).map { p =>
+      val dot = aggregate(
+        zip_with(q, sequence(lit(0), size(q) - 1), (x, d) => x * planeCoef(lit(p), d)),
+        lit(0L), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << p)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN via SRP-LSH: candidates share the query's bucket; exact re-rank
+    * inside the bucket; top-k per query (may return fewer than k — the
+    * recall/cost tradeoff is the point of the operator). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bc = corpus.withColumn("bucket", srpBucket(col("q"), planes))
+    val bq = queries.withColumn("bucket", srpBucket(col("q"), planes))
+      .select(col("vec_id").as("q_id"), col("q").as("q_vec"), col("nq").as("q_nq"), col("bucket"))
+    val scored = bc.join(broadcast(bq), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", cosineq(col("q"), col("q_vec"), col("nq"), col("q_nq")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("sim"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold.
+    * Brute force (exact); the LSH path bounds it at scale. */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("a_id"), col("q").as("a_q"), col("nq").as("a_nq"))
+    val b = corpus.select(col("vec_id").as("b_id"), col("q").as("b_q"), col("nq").as("b_nq"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("sim", cosineq(col("a_q"), col("b_q"), col("a_nq"), col("b_nq")))
+      .filter(col("sim") >= threshold)
+      .select("a_id", "b_id", "sim")
+  }
+}

@@ -1,0 +1,324 @@
+package graft.queries
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries for the training-data-pipeline operators:
+  * dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding),
+  * similarity search (brute-force + SRP-LSH ANN), text analysis, and
+  * multimodal plumbing. Several DuckDB oracles are program-generated
+  * (simhash bit sums, SRP plane dots) — the SQL is long but exactly the
+  * same deterministic md5-derived arithmetic the Spark operators use.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  // shared oracle fragments ------------------------------------------------
+
+  /** word-3gram distinct shingles per doc (documents table) */
+  private val shingleCte =
+    """tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+      |  FROM tok WHERE len(tk) >= 3)""".stripMargin
+
+  private def h60sql(arg: String) =
+    s"CAST('0x' || substr(md5($arg), 1, 15) AS BIGINT)"
+
+  /** minhash signature m0..m7 as SQL select-list items */
+  private val minhashCols = (0 until 8).map { i =>
+    s"min(${h60sql(s"'$i|' || s")}) AS m$i"
+  }.mkString(", ")
+
+  /** quantized embeddings + exact integer norms */
+  private val quantCte =
+    """e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, q, list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS nn FROM e)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- dedup ----
+
+    "d01_dedup_exact" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      // add formatting-noise copies so exact dedup has work to do
+      val noisy = d.select((col("doc_id") + 100000).as("doc_id"),
+        concat(lit("  "), col("text"), lit("   ")).as("text"))
+      Dedup.exactGroups(d.unionByName(noisy), "doc_id", "text")
+        .orderBy(col("fp"))
+    }),
+
+    "d02_jaccard_pairs" -> ((s, dir) => {
+      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    "d03_minhash_sig" -> ((s, dir) => {
+      val sig = Dedup.minhashSignature(col("text"), k = 8, n = 3)
+      docs(s, dir).select(col("doc_id"), sig.as("sig"))
+        .filter(element_at(col("sig"), 1).isNotNull)
+        .select(col("doc_id") +:
+          (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    "d04_lsh_pairs" -> ((s, dir) => {
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+          bands = 4, rowsPerBand = 2, n = 3, threshold = 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    "d05_simhash" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), Dedup.simhash(col("text"), bits = 32).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "d06_embed_neardup" -> ((s, dir) => {
+      Similarity.cosineNearDupPairs(
+          Similarity.prep(embs(s, dir), "vec_id", "embedding"), threshold = 0.4)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // ---- similarity search ----
+
+    "a01_ann_brute" -> ((s, dir) => {
+      val corpus = Similarity.prep(embs(s, dir), "vec_id", "embedding")
+      Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") < 5), k = 5)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
+    "a02_ann_lsh" -> ((s, dir) => {
+      val corpus = Similarity.prep(embs(s, dir), "vec_id", "embedding")
+      Similarity.lshTopK(corpus, corpus.filter(col("vec_id") < 5), k = 3, planes = 8)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
+    // ---- text analysis ----
+
+    "t01_token_stats" -> ((s, dir) => {
+      docs(s, dir).select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "t02_quality" -> ((s, dir) => {
+      val feats = TextAnalysis.qualityFeatures(col("text"))
+      docs(s, dir).select(
+          (col("doc_id") +: feats.map { case (n, c) => c.as(n) }) :+
+            TextAnalysis.qualityScore(col("text")).as("quality"): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    "t03_langid" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      docs(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang_pred"),
+          TextAnalysis.profileHits(toks, TextAnalysis.defaultProfiles.head._2).as("s_en"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "t04_fingerprint" -> ((s, dir) => {
+      docs(s, dir).select(
+          col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- multimodal plumbing ----
+
+    "m01_media_features" -> ((s, dir) => {
+      Multimodal.extractFeatures(Multimodal.toMedia(docs(s, dir)))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "d01_dedup_exact" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, '  ' || text || '   ' FROM documents),
+        |fp AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM all_docs)
+        |SELECT fp, min(doc_id) AS keeper, count(*) AS group_size
+        |FROM fp GROUP BY fp ORDER BY fp""".stripMargin,
+
+    "d02_jaccard_pairs" ->
+      s"""WITH $shingleCte,
+         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |p AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id, inter, ca.c + cb.c - inter AS uni,
+         |  CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) AS jaccard
+         |FROM p JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "d03_minhash_sig" ->
+      s"""WITH $shingleCte
+         |SELECT doc_id, $minhashCols
+         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d04_lsh_pairs" -> {
+      val bandKeys = (0 until 4).map { b =>
+        s"md5('${b}_' || CAST(m${2 * b} AS VARCHAR) || '_' || CAST(m${2 * b + 1} AS VARCHAR))"
+      }.mkString(", ")
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, unnest([$bandKeys]) AS band_key FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |p AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT p.a_id, p.b_id, inter, ca.c + cb.c - inter AS uni,
+         |  CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) AS jaccard
+         |FROM p JOIN cand ON p.a_id = cand.a_id AND p.b_id = cand.b_id
+         |  JOIN cnt ca ON p.a_id = ca.doc_id JOIN cnt cb ON p.b_id = cb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.5
+         |ORDER BY p.a_id, p.b_id""".stripMargin
+    },
+
+    "d05_simhash" -> {
+      val bitSum = (0 until 32).map { j =>
+        s"(CASE WHEN sum(((hv >> $j) & 1) * 2 - 1) > 0 THEN CAST(1 AS BIGINT) << $j ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |h AS (SELECT doc_id, ${h60sql("w")} AS hv FROM t)
+         |SELECT doc_id, $bitSum AS simhash
+         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "d06_embed_neardup" ->
+      s"""WITH $quantCte
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  list_dot_product(a.q::DOUBLE[], b.q::DOUBLE[]) / (sqrt(a.nn) * sqrt(b.nn)) AS sim
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.q::DOUBLE[], b.q::DOUBLE[]) / (sqrt(a.nn) * sqrt(b.nn)) >= 0.4
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "a01_ann_brute" ->
+      s"""WITH $quantCte
+         |SELECT q_id, n_id, sim, rk FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |    CASE WHEN c.nn = 0 OR q.nn = 0 THEN 0.0
+         |         ELSE list_dot_product(c.q::DOUBLE[], q.q::DOUBLE[]) / (sqrt(c.nn) * sqrt(q.nn)) END AS sim,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY CASE WHEN c.nn = 0 OR q.nn = 0 THEN 0.0
+         |        ELSE list_dot_product(c.q::DOUBLE[], q.q::DOUBLE[]) / (sqrt(c.nn) * sqrt(q.nn)) END DESC,
+         |        c.vec_id ASC) AS rk
+         |  FROM n c CROSS JOIN (SELECT * FROM n WHERE vec_id < 5) q
+         |  WHERE c.vec_id <> q.vec_id)
+         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    "a02_ann_lsh" -> {
+      // deterministic SRP bucket: 8 planes, integer coefficients
+      val bucketExpr = (0 until 8).map { p =>
+        s"""(CASE WHEN list_sum(list_transform(generate_series(0, len(q) - 1),
+           |  d -> q[d + 1] * ((${h60sql(s"'${p}_' || CAST(d AS VARCHAR)")}) % 2001 - 1000))) > 0
+           |  THEN CAST(1 AS BIGINT) << $p ELSE 0 END)""".stripMargin
+      }.mkString(" + ")
+      s"""WITH $quantCte,
+         |b AS (SELECT vec_id, q, nn, $bucketExpr AS bucket FROM n)
+         |SELECT q_id, n_id, sim, rk FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |    CASE WHEN c.nn = 0 OR q.nn = 0 THEN 0.0
+         |         ELSE list_dot_product(c.q::DOUBLE[], q.q::DOUBLE[]) / (sqrt(c.nn) * sqrt(q.nn)) END AS sim,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY CASE WHEN c.nn = 0 OR q.nn = 0 THEN 0.0
+         |        ELSE list_dot_product(c.q::DOUBLE[], q.q::DOUBLE[]) / (sqrt(c.nn) * sqrt(q.nn)) END DESC,
+         |        c.vec_id ASC) AS rk
+         |  FROM b c JOIN (SELECT * FROM b WHERE vec_id < 5) q ON c.bucket = q.bucket
+         |  WHERE c.vec_id <> q.vec_id)
+         |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+    },
+
+    "t01_token_stats" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t02_quality" -> {
+      val en = TextAnalysis.defaultProfiles.head._2.map(w => s"'$w'").mkString(", ")
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      w -> w IN ($en))) AS BIGINT) AS n_stop
+         |  FROM documents)
+         |SELECT doc_id, n_chars, n_tokens, n_punct,
+         |  CASE WHEN n_tokens > 0 THEN CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_token_len,
+         |  CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+         |  CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END AS alpha_ratio,
+         |  CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stopword_ratio,
+         |  least(1.0, greatest(0.0,
+         |    0.4 * (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 1.0 ELSE 0.0 END)
+         |    + 0.3 * (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END)
+         |    + 0.3 * (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END))) AS quality
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    "t03_langid" -> {
+      val hits = TextAnalysis.defaultProfiles.map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(tk, w -> w IN ($lst))) AS BIGINT) AS s_$lang"
+      }.mkString(",\n    ")
+      // argmax with smallest-lang tie-break = first matching in lang order
+      val langsSorted = TextAnalysis.defaultProfiles.map(_._1).sorted
+      val m = "greatest(" + TextAnalysis.defaultProfiles.map(p => s"s_${p._1}").mkString(", ") + ")"
+      val pred = "CASE " + langsSorted.map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ") + " END"
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+         |sc AS (
+         |  SELECT doc_id,
+         |    $hits
+         |  FROM t)
+         |SELECT doc_id, $pred AS lang_pred, s_en
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "t04_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m01_media_features" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS byte_len,
+        |  lower(hex(CAST(substr(text, 1, 16) AS BLOB))) AS head_hex,
+        |  CAST(list_sum(list_transform(generate_series(1, least(64, length(text))),
+        |    i -> ascii(substr(text, i, 1)))) AS BIGINT) AS byte_sum,
+        |  CAST(length(text) % 640 AS INT) AS width,
+        |  CAST(length(text) % 480 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
