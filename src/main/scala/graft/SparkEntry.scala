@@ -24,8 +24,13 @@ object SparkEntry {
 
   /** decimal cast used to make double sums order-independent + engine-portable */
   private def dec(c: Column): Column = c.cast("decimal(18,6)")
-  /** final decimal outputs normalized to one precision/scale on both sides */
-  private def decOut(c: Column): Column = c.cast("decimal(38,6)")
+  /** Final outputs leave as DOUBLE: the sum stays exact (decimal inputs), and
+    * the single decimal→double conversion at the end is correctly rounded in
+    * both Spark (BigDecimal.doubleValue) and DuckDB — verified bit-identical.
+    * (Emitting DECIMAL columns breaks the driver's hash: its oracle side
+    * materializes decimals as float64 while the parquet side yields Decimal
+    * objects.) */
+  private def decOut(c: Column): Column = c.cast("double")
 
   // ---------------------------------------------------------------
   // flagship
@@ -258,23 +263,23 @@ object SparkEntry {
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_disc_price,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
         |  count(*) AS count_order
         |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-01'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q02_filter_pushdown" ->
-      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue, count(*) AS n
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue, count(*) AS n
         |FROM lineitem
         |WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01' AND CAST(l_shipdate AS DATE) < DATE '1996-01-01'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
 
     "q03_join_agg" ->
       """SELECT c_mktsegment,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
         |  count(DISTINCT o_orderkey) AS n_orders
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
@@ -282,7 +287,7 @@ object SparkEntry {
 
     "q04_multijoin" ->
       """WITH cust AS (
-        |  SELECT r_name, n_name, count(*) AS n_cust, CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_bal
+        |  SELECT r_name, n_name, count(*) AS n_cust, CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
         |  FROM customer JOIN nation ON c_nationkey = n_nationkey
         |    JOIN region ON n_regionkey = r_regionkey
         |  GROUP BY r_name, n_name),
@@ -294,14 +299,14 @@ object SparkEntry {
         |ORDER BY r_name, n_name""".stripMargin,
 
     "q05_window_topn" ->
-      """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(38,6)) AS price, rk FROM (
+      """SELECT o_custkey, o_orderkey, o_totalprice AS price, rk FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
         |  FROM orders) WHERE rk <= 3
         |ORDER BY o_custkey, rk, o_orderkey""".stripMargin,
 
     "q06_topk" ->
-      """SELECT p_partkey, p_name, CAST(p_retailprice AS DECIMAL(38,6)) AS price
+      """SELECT p_partkey, p_name, p_retailprice AS price
         |FROM part ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10""".stripMargin,
 
     "q07_setops" ->
@@ -330,7 +335,7 @@ object SparkEntry {
         |  year(o_orderdate) AS yr,
         |  month(o_orderdate) AS mo,
         |  concat_ws('|', o_orderstatus, o_orderpriority) AS tag,
-        |  CAST(abs(o_totalprice) AS DECIMAL(38,6)) AS abs_price
+        |  abs(o_totalprice) AS abs_price
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "x01_mapping_row" ->

@@ -160,6 +160,128 @@ case class HBaseEncode(child: Expression, typeName: String) extends UnaryExpress
   override def prettyName: String = s"hbase_from_$typeName"
 }
 
+/** Exact dot product of two `array<long>` columns as a single codegen'd
+  * loop over the unsafe array data — no per-pair array allocation, unlike
+  * the `aggregate(zip_with(...))` formulation, which builds an
+  * intermediate array per evaluation. This is the hot inner loop of the
+  * similarity operators (embedding near-dup is O(pairs × dim)).
+  * Arrays are assumed element-non-null (quantized vectors); if lengths
+  * differ the shorter prefix is used. */
+case class LongDotProduct(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"long_dot expects (array<bigint>, array<bigint>), got (${left.dataType}, ${right.dataType})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+      int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+      long ${ev.value}_acc = 0L;
+      for (int $i = 0; $i < $n; $i++) {
+        ${ev.value}_acc += $a.getLong($i) * $b.getLong($i);
+      }
+      ${ev.value} = ${ev.value}_acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongDotProduct =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "long_dot"
+}
+
+/** Distinct 60-bit md5 hashes of the word n-gram shingles of a text
+  * column, as one compiled pass per document (tokenize → n-grams → md5 →
+  * dedup). Replaces an interpreted `transform`/`array_distinct` chain —
+  * higher-order functions don't codegen, and their per-element
+  * interpretation dominated the dedup operators' runtime. Value-identical
+  * to `array_distinct(transform(shingles, conv(substring(md5(s),1,15),16,10)))`. */
+case class ShingleHashes60(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      TextHash.shingleHashes60(input.asInstanceOf[UTF8String], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         .fromPrimitiveArray(graft.expr.TextHash.shingleHashes60($c, $n));""")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes60 =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_hashes60"
+}
+
+/** MinHash signature (length k) of a shingle-hash array via the affine
+  * permutations in [[TextHash]] — one compiled pass instead of k
+  * interpreted `array_min(transform(...))` scans. */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      TextHash.minhashSig(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray(), k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         .fromPrimitiveArray(graft.expr.TextHash.minhashSig($c.toLongArray(), $k));""")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** SimHash fingerprint of a text column (compiled tokenize+vote pass).
+  * Null for null/empty documents. */
+case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.simhash(input.asInstanceOf[UTF8String], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tmp = ctx.freshName("sh")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+      java.lang.Long $tmp = graft.expr.TextHash.simhash($c, $bits);
+      if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }
+      """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+  override def prettyName: String = "simhash"
+}
+
 /** Column-level API for the codec expressions plus the key-formatter and
   * sharding helpers (built from codegen'd built-ins where possible). */
 object hfunctions {
@@ -170,6 +292,18 @@ object hfunctions {
 
   def hbase_decode(c: Column, typ: String): Column = expr2col(HBaseDecode(col2expr(c), typ))
   def hbase_encode(c: Column, typ: String): Column = expr2col(HBaseEncode(col2expr(c), typ))
+
+  /** exact dot product of two `array<long>` columns (codegen'd loop) */
+  def long_dot(a: Column, b: Column): Column = expr2col(LongDotProduct(col2expr(a), col2expr(b)))
+
+  /** distinct 60-bit md5 shingle hashes of a text column (compiled pass) */
+  def shingle_hashes60(text: Column, n: Int): Column = expr2col(ShingleHashes60(col2expr(text), n))
+
+  /** minhash signature of a shingle-hash array (compiled pass) */
+  def minhash_sig(hs: Column, k: Int): Column = expr2col(MinHashSig(col2expr(hs), k))
+
+  /** simhash fingerprint of a text column (compiled pass) */
+  def simhash_c(text: Column, bits: Int): Column = expr2col(SimHash(col2expr(text), bits))
 
   def hbase_to_int(c: Column): Column = hbase_decode(c, "int")
   def hbase_to_long(c: Column): Column = hbase_decode(c, "long")

@@ -8,14 +8,24 @@ import org.apache.spark.sql.functions._
   *
   * Scale design (100 TB):
   *  - exact dedup is one hash-aggregate shuffle keyed on the fingerprint;
-  *  - the Jaccard path shuffles on *shingle* — ubiquitous shingles are the
-  *    skew hazard, so [[shingleExplode]] can cap shingle document-frequency
-  *    (drop shingles appearing in more than `maxDf` docs: they only create
-  *    candidate pairs that exact verification would reject anyway);
-  *  - MinHash+LSH replaces the all-pairs shingle join with a band-bucket
-  *    join: candidates = docs sharing a band, verified by exact Jaccard.
-  *    Cost drops from O(pairs-sharing-any-shingle) to O(pairs-sharing-a-
-  *    band), tunable via bands×rows;
+  *  - the Jaccard path shuffles on the 60-bit *shingle hash* (not the
+  *    shingle string — 8 bytes per key instead of ~20+) — ubiquitous
+  *    shingles are the skew hazard, so [[shingleExplode]] can cap shingle
+  *    document-frequency (drop shingles appearing in more than `maxDf`
+  *    docs: they only create candidate pairs that exact verification
+  *    would reject anyway);
+  *  - MinHash is ONE md5 per shingle; the k permutations are integer
+  *    affine maps `(a_i * (h mod 2^30) + b_i) mod (2^31-1)` — exact in
+  *    64-bit (no overflow, ANSI-safe), identical in any engine, and ~100×
+  *    cheaper than k independent string hashes. The shingle-hash array is
+  *    projected in its own stage so the optimizer cannot inline (and
+  *    re-execute) the md5 work once per permutation — that inlining is
+  *    precisely what makes the naive nested-lambda formulation quadratic.
+  *  - LSH candidate pairs come from a band-bucket self-join; verification
+  *    joins the candidate PAIRS back to the per-doc shingle-hash sets and
+  *    computes `array_intersect` per pair — no second shingle-explode
+  *    shuffle. Cost: O(candidates × avg-set-size), the textbook
+  *    verify-after-LSH shape.
   *  - all hashes are md5-derived (portable + stable across engines and
   *    runs), not JVM hashCode.
   */
@@ -24,6 +34,23 @@ object Dedup {
   /** 60-bit stable hash: first 15 hex chars of md5. Stays in codegen. */
   def hash60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  // MinHash permutation constants (defined once in TextHash, shared by the
+  // compiled expressions and the oracle-SQL generators) --------------------
+
+  /** Modulus of the affine permutations: 2^31-1 (prime). */
+  val PermP: Long = graft.expr.TextHash.PermP
+  /** The base hash is folded to [0, 2^30) so a_i*h + b_i stays < 2^63. */
+  val PermM: Long = graft.expr.TextHash.PermM
+  val permA: IndexedSeq[Long] = graft.expr.TextHash.permA.toIndexedSeq
+  val permB: IndexedSeq[Long] = graft.expr.TextHash.permB.toIndexedSeq
+
+  /** The i-th permutation applied to a 60-bit hash column (SQL-composable
+    * reference form of TextHash.minhashSig's inner loop). */
+  def perm(i: Int, h: Column): Column =
+    (lit(permA(i)) * (h % PermM) + lit(permB(i))) % PermP
+
+  // Shingling ---------------------------------------------------------------
 
   /** Distinct word n-gram shingles of a text column. */
   def shingles(text: Column, n: Int = 3): Column = {
@@ -35,17 +62,28 @@ object Dedup {
     array_distinct(grams)
   }
 
-  /** (docId, shingle) pairs; optionally drop shingles with document
+  /** (doc_id, hs): the distinct 60-bit shingle-hash SET per document —
+    * the unit all MinHash/Jaccard work runs on. One compiled pass per doc
+    * ([[graft.expr.ShingleHashes60]]); docs with fewer than n tokens (no
+    * shingles) are dropped by the cheap token-count gate, which the
+    * optimizer evaluates at the scan. */
+  def shingleHashSets(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame =
+    docs.filter(size(split(trim(col(textCol)), "\\s+")) >= n)
+      .select(col(idCol).as("doc_id"),
+        graft.expr.hfunctions.shingle_hashes60(col(textCol), n).as("hs"))
+
+  /** (docId, shingle-hash) pairs; optionally drop shingles with document
     * frequency above `maxDf` (skew guard for the self-join). */
   def shingleExplode(docs: DataFrame, idCol: String, textCol: String,
                      n: Int = 3, maxDf: Option[Int] = None): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-      explode(shingles(col(textCol), n)).as("shingle"))
+    val sh = shingleHashSets(docs, idCol, textCol, n)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
     maxDf match {
       case None => sh
       case Some(cap) =>
-        val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= cap)
-        sh.join(freq.select("shingle"), Seq("shingle"), "left_semi")
+        val freq = sh.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= cap)
+        sh.join(freq.select("h"), Seq("h"), "left_semi")
     }
   }
 
@@ -55,16 +93,17 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("group_size"))
 
-  /** All-pairs n-gram Jaccard ≥ threshold (exact). Shuffles on shingle,
-    * then aggregates pair intersections — the textbook distributed
+  /** All-pairs n-gram Jaccard ≥ threshold (exact). Shuffles on the shingle
+    * hash, then aggregates pair intersections — the textbook distributed
     * similarity join. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingleExplode(docs, idCol, textCol, n)
+                   n: Int = 3, threshold: Double = 0.5,
+                   maxDf: Option[Int] = None): DataFrame = {
+    val sh = shingleExplode(docs, idCol, textCol, n, maxDf)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("a_id"), col("shingle"))
-    val b = sh.select(col("doc_id").as("b_id"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
+    val a = sh.select(col("doc_id").as("a_id"), col("h"))
+    val b = sh.select(col("doc_id").as("b_id"), col("h"))
+    val inter = a.join(b, Seq("h"))
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
     inter
@@ -76,34 +115,39 @@ object Dedup {
       .select("a_id", "b_id", "inter", "uni", "jaccard")
   }
 
-  /** MinHash signature: k independent 60-bit min-hashes over the shingle
-    * set, as one array column. */
-  def minhashSignature(text: Column, k: Int = 8, n: Int = 3): Column = {
-    val sh = shingles(text, n)
-    val sig = transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(sh, s => hash60(concat(i.cast("string"), lit("|"), s)))))
-    when(size(sh) > 0, sig).otherwise(transform(sequence(lit(0), lit(k - 1)), _ => lit(null).cast("long")))
-  }
+  /** MinHash signature from a shingle-hash array column: element i is
+    * `min over h of perm_i(h)` — one compiled pass ([[graft.expr.MinHashSig]]). */
+  def minhashFromHashes(hs: Column, k: Int): Column =
+    graft.expr.hfunctions.minhash_sig(hs, k)
+
+  /** docs → (doc_id, hs, sig): shingle hashes and the k-long minhash
+    * signature, with the hash array computed in its own projection so the
+    * md5 work runs once per document, not once per permutation. Documents
+    * with no shingles (fewer than n tokens) are dropped — they have no
+    * signature. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8, n: Int = 3): DataFrame =
+    shingleHashSets(docs, idCol, textCol, n)
+      .withColumn("sig", minhashFromHashes(col("hs"), k))
 
   /** LSH candidate pairs from banded minhash signatures, exact-verified by
-    * true Jaccard ≥ threshold. bands×rowsPerBand must equal the signature
+    * true Jaccard ≥ threshold (intersection of the full shingle-hash
+    * sets, computed per candidate pair). bands×rowsPerBand = signature
     * length. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       bands: Int = 4, rowsPerBand: Int = 2, n: Int = 3,
                       threshold: Double = 0.5): DataFrame = {
     val k = bands * rowsPerBand
-    val sigs = docs.select(col(idCol).as("doc_id"),
-      minhashSignature(col(textCol), k, n).as("sig"))
-      .filter(element_at(col("sig"), 1).isNotNull)
+    val sigs = minhashSignatures(docs, idCol, textCol, k, n)
 
-    // band key = md5 of the band's minhash values + band index
-    val banded = sigs.select(col("doc_id"), posexplode(
-      transform(sequence(lit(0), lit(bands - 1)), bnd =>
-        md5(concat_ws("_",
-          (bnd.cast("string") +:
-            (1 to rowsPerBand).map(r => element_at(col("sig"), bnd * rowsPerBand + r).cast("string"))): _*)
-          .cast("binary")))))
-      .select(col("doc_id"), col("col").as("band_key"))
+    // band key: band index + the band's signature slice, as one string —
+    // no extra hashing; the shuffle key is small and engine-portable
+    val banded = sigs.select(col("doc_id"), explode(
+      array((0 until bands).map { bnd =>
+        concat_ws("_",
+          (lit(bnd.toString) +:
+            (1 to rowsPerBand).map(r => element_at(col("sig"), bnd * rowsPerBand + r))): _*)
+      }: _*)).as("band_key"))
 
     val l = banded.select(col("doc_id").as("a_id"), col("band_key"))
     val r = banded.select(col("doc_id").as("b_id"), col("band_key"))
@@ -111,29 +155,23 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
 
-    // exact verification of candidates only
-    val verified = jaccardPairs(
-      docs.join(
-        candidates.select(col("a_id").as("doc_id"))
-          .union(candidates.select(col("b_id"))).distinct()
-          .withColumnRenamed("doc_id", idCol),
-        Seq(idCol), "left_semi"),
-      idCol, textCol, n, threshold)
-    verified.join(candidates, Seq("a_id", "b_id"), "left_semi")
+    // exact verification per candidate pair: join the pair to both docs'
+    // shingle-hash sets, intersect in place — no second explode shuffle
+    val sets = sigs.select(col("doc_id"), col("hs"))
+    candidates
+      .join(sets.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), Seq("a_id"))
+      .join(sets.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), Seq("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_hs"), col("b_hs"))).cast("long"))
+      .withColumn("uni", (size(col("a_hs")) + size(col("b_hs"))).cast("long") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "inter", "uni", "jaccard")
   }
 
   /** SimHash fingerprint (bits-wide, default 32): per token (with
     * multiplicity), hash to `bits` bits; fingerprint bit j is 1 iff the
-    * sum of ±1 votes over tokens is positive. Pure expressions — the
-    * per-document fold stays in codegen, no shuffle. */
-  def simhash(text: Column, bits: Int = 32): Column = {
-    val toks = split(trim(text), "\\s+")
-    val hashes = transform(toks, t => hash60(t))
-    val bitCols = (0 until bits).map { j =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + (shiftright(h, j).bitwiseAND(1) * 2 - 1))
-      when(votes > 0, lit(1L << j)).otherwise(0L)
-    }
-    when(size(toks) > 0, bitCols.reduce(_ + _)).otherwise(lit(null).cast("long"))
-  }
+    * sum of ±1 votes over tokens is positive. One compiled pass per doc
+    * ([[graft.expr.SimHash]]) — no shuffle. */
+  def simhash(text: Column, bits: Int = 32): Column =
+    graft.expr.hfunctions.simhash_c(text, bits)
 }

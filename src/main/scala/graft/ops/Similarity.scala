@@ -31,9 +31,10 @@ object Similarity {
   def quantize(v: Column): Column =
     transform(v, x => round(x.cast("double") * 1000).cast("long"))
 
-  /** exact integer dot product of two quantized vectors */
-  def dotq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, p) => acc + p)
+  /** exact integer dot product of two quantized vectors — a custom
+    * codegen'd Catalyst expression (single loop, no intermediate array;
+    * see [[graft.expr.LongDotProduct]]) */
+  def dotq(a: Column, b: Column): Column = graft.expr.hfunctions.long_dot(a, b)
 
   def normq(a: Column): Column = dotq(a, a)
 

@@ -31,9 +31,10 @@ object PipelineQueries {
   private def h60sql(arg: String) =
     s"CAST('0x' || substr(md5($arg), 1, 15) AS BIGINT)"
 
-  /** minhash signature m0..m7 as SQL select-list items */
+  /** minhash signature m0..m7 as SQL select-list items: one base h60 per
+    * shingle, k affine permutations mod 2^31-1 (mirrors Dedup.perm). */
   private val minhashCols = (0 until 8).map { i =>
-    s"min(${h60sql(s"'$i|' || s")}) AS m$i"
+    s"min((${Dedup.permA(i)} * (${h60sql("s")} % ${Dedup.PermM}) + ${Dedup.permB(i)}) % ${Dedup.PermP}) AS m$i"
   }.mkString(", ")
 
   /** quantized embeddings + exact integer norms */
@@ -63,9 +64,7 @@ object PipelineQueries {
     }),
 
     "d03_minhash_sig" -> ((s, dir) => {
-      val sig = Dedup.minhashSignature(col("text"), k = 8, n = 3)
-      docs(s, dir).select(col("doc_id"), sig.as("sig"))
-        .filter(element_at(col("sig"), 1).isNotNull)
+      Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", k = 8, n = 3)
         .select(col("doc_id") +:
           (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
         .orderBy(col("doc_id"))
@@ -178,7 +177,7 @@ object PipelineQueries {
 
     "d04_lsh_pairs" -> {
       val bandKeys = (0 until 4).map { b =>
-        s"md5('${b}_' || CAST(m${2 * b} AS VARCHAR) || '_' || CAST(m${2 * b + 1} AS VARCHAR))"
+        s"'${b}_' || CAST(m${2 * b} AS VARCHAR) || '_' || CAST(m${2 * b + 1} AS VARCHAR)"
       }.mkString(", ")
       s"""WITH $shingleCte,
          |sig AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),

@@ -41,7 +41,7 @@ class HBaseCodecsSpec extends AnyFunSuite {
     samples(2000)(rnd.nextFloat()).foreach { v =>
       assert(HBaseCodecs.bytesToFloat(HBaseCodecs.floatToBytes(v)) == v)
     }
-    assert(HBaseCodecs.bytesToDouble(HBaseCodecs.doubleToBytes(Double.PositiveInfinity)).isPosInfinity)
+    assert(HBaseCodecs.bytesToDouble(HBaseCodecs.doubleToBytes(Double.PositiveInfinity)).doubleValue.isPosInfinity)
     assert(HBaseCodecs.bytesToDouble(HBaseCodecs.doubleToBytes(Double.NaN)).isNaN)
   }
 

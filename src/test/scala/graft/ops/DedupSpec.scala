@@ -1,0 +1,81 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.expr.TextHash
+import org.apache.spark.sql.functions._
+
+/** The compiled text-hash expressions (ShingleHashes60 / MinHashSig /
+  * SimHash) must be value-identical to their SQL-composable reference
+  * forms (the md5/conv/transform pipelines) — the DuckDB oracles are
+  * generated from the reference forms. */
+class DedupSpec extends SparkSpec {
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the lazy dog", // duplicate
+    "a b c",
+    "a b",              // too short for 3-grams
+    "",                 // empty
+    "  padded   with   spaces  ",
+    "repeat repeat repeat repeat repeat",          // duplicate shingles collapse
+    "tabs\tand\nnewlines mixed  in text here",
+    "unicode héllo wörld 日本語 テキスト mixed ascii")
+
+  private def docsDf = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  test("compiled shingle hashes == SQL-composable md5/conv form") {
+    val expected = docsDf.select(col("doc_id"),
+      transform(Dedup.shingles(col("text"), 3), s => Dedup.hash60(s)).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val got = Dedup.shingleHashSets(docsDf, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // compiled path drops docs with no shingles; every kept doc must match
+    assert(got.nonEmpty)
+    got.foreach { case (id, hs) => assert(hs == expected(id), s"doc $id") }
+    expected.filterNot { case (id, hs) => got.contains(id) }
+      .foreach { case (id, hs) => assert(hs.isEmpty, s"doc $id dropped but had shingles") }
+  }
+
+  test("compiled minhash signature == perm-expression form") {
+    val sigs = Dedup.minhashSignatures(docsDf, "doc_id", "text", k = 8, n = 3)
+    val viaExpr = sigs.select(col("doc_id"),
+      array((0 until 8).map(i => array_min(transform(col("hs"), h => Dedup.perm(i, h)))): _*).as("ref"),
+      col("sig"))
+    viaExpr.collect().foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("minhash signature values match a direct scala computation") {
+    val hs = TextHash.shingleHashes60(
+      org.apache.spark.unsafe.types.UTF8String.fromString(texts.head), 3)
+    val sig = TextHash.minhashSig(hs, 8)
+    (0 until 8).foreach { i =>
+      val exp = hs.map(h => (TextHash.permA(i) * (h % TextHash.PermM) + TextHash.permB(i)) % TextHash.PermP).min
+      assert(sig(i) == exp)
+    }
+  }
+
+  test("hash60 matches the conv(substring(md5)) definition") {
+    import spark.implicits._
+    val df = texts.filter(_.nonEmpty).toDF("s")
+    df.select(col("s"), Dedup.hash60(col("s")).as("sql_h")).collect().foreach { r =>
+      assert(TextHash.hash60(r.getString(0)) == r.getLong(1), r.getString(0))
+    }
+  }
+
+  test("lsh pairs are a subset of exact jaccard pairs and find exact dups") {
+    import spark.implicits._
+    val df = (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      Seq((100L, "the quick brown fox jumps over the lazy dog and more"))).toDF("doc_id", "text")
+    val exact = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(df, "doc_id", "text", 4, 2, 3, 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((0L, 1L))) // identical docs always share all bands
+  }
+}
