@@ -253,7 +253,8 @@ object SparkEntry {
           element_at(col("doc")("val_s"), 1).cast("double").as("val_d"))
         .orderBy(col("id"))
     })
-  ) ++ graft.queries.IndexerQueries.queries ++ graft.queries.PipelineQueries.queries
+  ) ++ graft.queries.IndexerQueries.queries ++ graft.queries.PipelineQueries.queries ++
+    graft.queries.ExtendedQueries.queries
 
   // ---------------------------------------------------------------
   // oracle SQL (DuckDB dialect, same tables, same column names)
@@ -380,5 +381,6 @@ object SparkEntry {
         |  FROM events GROUP BY user_id)
         |SELECT id, et AS etype_s, v AS val_d FROM latest
         |WHERE et <> 'error' ORDER BY id""".stripMargin
-  ) ++ graft.queries.IndexerQueries.oracles ++ graft.queries.PipelineQueries.oracles
+  ) ++ graft.queries.IndexerQueries.oracles ++ graft.queries.PipelineQueries.oracles ++
+    graft.queries.ExtendedQueries.oracles
 }

@@ -114,6 +114,44 @@ object TextHash {
     out
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken document
+    * fingerprinting): hash every char k-gram, slide a window of w
+    * consecutive k-gram hashes, keep the minimum of each window; return
+    * the distinct selected hashes in first-occurrence order. Guarantees a
+    * match for any shared substring of length ≥ k+w-1 while storing only
+    * ~1/w of the hashes. Texts shorter than k yield nothing; with fewer
+    * than w k-grams the single window spans them all. */
+  def winnow(text: UTF8String, k: Int, w: Int): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
+    val s = text.toString
+    if (s.length < k) return Array.emptyLongArray
+    val m = s.length - k + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) { hs(i) = hash60(s.substring(i, i + k)); i += 1 }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (m < w) {
+      var best = Long.MaxValue
+      var j = 0
+      while (j < m) { if (hs(j) < best) best = hs(j); j += 1 }
+      seen.add(best)
+    } else {
+      var j = 0
+      while (j <= m - w) {
+        var best = Long.MaxValue
+        var t = j
+        while (t < j + w) { if (hs(t) < best) best = hs(t); t += 1 }
+        seen.add(best)
+        j += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next().longValue(); p += 1 }
+    out
+  }
+
   /** SimHash fingerprint over whitespace tokens (with multiplicity):
     * bit j of the result is set iff the ±1 votes of token-hash bit j sum
     * positive. Null/empty token list → null (boxed). */

@@ -282,6 +282,25 @@ case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
   override def prettyName: String = "simhash"
 }
 
+/** Winnowing fingerprint selection (distinct window-min k-gram hashes,
+  * compiled pass — see [[TextHash.winnow]]). */
+case class WinnowHashes(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      TextHash.winnow(input.asInstanceOf[UTF8String], k, w))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         .fromPrimitiveArray(graft.expr.TextHash.winnow($c, $k, $w));""")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowHashes =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_hashes"
+}
+
 /** Column-level API for the codec expressions plus the key-formatter and
   * sharding helpers (built from codegen'd built-ins where possible). */
 object hfunctions {
@@ -304,6 +323,9 @@ object hfunctions {
 
   /** simhash fingerprint of a text column (compiled pass) */
   def simhash_c(text: Column, bits: Int): Column = expr2col(SimHash(col2expr(text), bits))
+
+  /** winnowing fingerprint hashes of a text column (compiled pass) */
+  def winnow_hashes(text: Column, k: Int, w: Int): Column = expr2col(WinnowHashes(col2expr(text), k, w))
 
   def hbase_to_int(c: Column): Column = hbase_decode(c, "int")
   def hbase_to_long(c: Column): Column = hbase_decode(c, "long")

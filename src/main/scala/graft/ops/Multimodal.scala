@@ -28,6 +28,20 @@ object Multimodal {
       width: Int,
       height: Int)
 
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  /** lowercase hex of a byte slice (no per-byte Formatter allocation) */
+  private[ops] def toHex(b: Array[Byte], from: Int, until: Int): String = {
+    val sb = new java.lang.StringBuilder((until - from) * 2)
+    var i = from
+    while (i < until) {
+      val v = b(i) & 0xff
+      sb.append(hexChars(v >>> 4)).append(hexChars(v & 0xf))
+      i += 1
+    }
+    sb.toString
+  }
+
   /** The decode seam. A real deployment implements this with an image/
     * audio library; the engine only relies on the interface. */
   trait MediaDecoder extends Serializable {
@@ -53,6 +67,42 @@ object Multimodal {
       lit("text/plain").as("mime"),
       col("text").cast("binary").as("payload"))
 
+  case class MediaFrame(
+      doc_id: Long,
+      frame_idx: Long,
+      frame_len: Long,
+      frame_sum: Long,
+      head_hex: String)
+
+  /** Frame sampling / chunking: split each payload into fixed-size frames
+    * (the video-frame / audio-window shape), one output row per frame with
+    * its index and cheap per-frame features. Runs as a typed `flatMap` —
+    * the engine's UDTF-equivalent escape hatch (SURVEY §2.3 P17): one row
+    * in, N typed rows out, with ordinary columns downstream so Catalyst
+    * prunes/pushes around them. A real pipeline would decode each frame
+    * here; the feature extraction is the deterministic stand-in. */
+  def chunkFrames(media: DataFrame, frameBytes: Int = 32): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].flatMap { r =>
+      val n = r.payload.length
+      val frames = (n + frameBytes - 1) / frameBytes
+      (0 until frames).iterator.map { f =>
+        val from = f * frameBytes
+        val until = math.min(from + frameBytes, n)
+        var sum = 0L
+        var i = from
+        while (i < until) { sum += r.payload(i) & 0xff; i += 1 }
+        MediaFrame(
+          doc_id = r.doc_id,
+          frame_idx = (f + 1).toLong, // 1-based, matches SQL generate_series
+          frame_len = (until - from).toLong,
+          frame_sum = sum,
+          head_hex = toHex(r.payload, from, math.min(from + 8, until)))
+      }
+    }
+  }
+
   /** Per-partition imperative decode + feature extraction. */
   def extractFeatures(media: DataFrame, decoder: MediaDecoder = StubDecoder): DataFrame = {
     val spark = media.sparkSession
@@ -60,7 +110,6 @@ object Multimodal {
     media.as[MediaRecord].mapPartitions { it =>
       // one decoder per partition — init cost amortized
       it.map { r =>
-        val head = r.payload.take(16)
         val (w, h) = decoder.decode(r.mime, r.payload)
         var sum = 0L
         var i = 0
@@ -69,7 +118,7 @@ object Multimodal {
         MediaFeatures(
           doc_id = r.doc_id,
           byte_len = r.payload.length.toLong,
-          head_hex = head.map("%02x".format(_)).mkString,
+          head_hex = toHex(r.payload, 0, math.min(16, r.payload.length)),
           byte_sum = sum,
           width = w,
           height = h)

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators Spark lacks as built-ins, composed scale-first
+  * from existing primitives (SURVEY §2.4 note: the reference has no
+  * relational layer at all — these extend the engine's own surface).
+  */
+object Relational {
+
+  /** As-of join (point-in-time lookup): for every left row, the single
+    * latest right row with the same key whose time is ≤ the left row's
+    * time; ties on time resolved by the largest `rightTieBreak`.
+    *
+    * Implemented with the union+window technique: tag both sides, union,
+    * sort within key by (time, tieBreak) and carry the last non-null
+    * right payload forward. ONE shuffle on the key — no range-join blowup
+    * (a naive `ON key = key AND rt <= lt` equi+range join explodes to
+    * O(|left| × matching |right|) intermediate rows; this stays
+    * O(|left| + |right|) and survives 100 TB).
+    *
+    * Right rows at the same key+time as a left row DO match (≤ semantics):
+    * the left row sorts after them via tieBreak = +∞.
+    *
+    * Returns all `left` columns plus `rightVals` (null when no right row
+    * precedes the left row).
+    */
+  def asofJoin(
+      left: DataFrame, leftKey: String, leftTime: String,
+      right: DataFrame, rightKey: String, rightTime: String,
+      rightTieBreak: String, rightVals: Seq[String]): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val l = left.select(
+      col(leftKey).cast("long").as("_k"),
+      col(leftTime).cast("long").as("_t"),
+      lit(Long.MaxValue).as("_tb"),
+      lit(null).cast(right.select(rightVals.map(col): _*).schema).as("_vals"),
+      struct(leftCols.map(col): _*).as("_row"))
+    val r = right.select(
+      col(rightKey).cast("long").as("_k"),
+      col(rightTime).cast("long").as("_t"),
+      col(rightTieBreak).cast("long").as("_tb"),
+      struct(rightVals.map(col): _*).as("_vals"),
+      lit(null).cast(left.schema).as("_row"))
+
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t"), col("_tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.unionByName(r)
+      .withColumn("_m", last(col("_vals"), ignoreNulls = true).over(w))
+      .filter(col("_row").isNotNull)
+      .select(leftCols.map(c => col(s"_row.$c").as(c)) ++
+        rightVals.map(v => col(s"_m.$v").as(v)): _*)
+  }
+
+  /** Skew-safe equi-join: the left side gets a deterministic salt in
+    * [0, salts), the (smaller) right side is replicated once per salt
+    * value, and the join runs on (key, salt). A hot key's rows spread
+    * over `salts` reducers instead of melting one — the standard fix when
+    * AQE's skew-join splitting isn't available (e.g. sort-merge join
+    * feeding an aggregation on the same key). Result is exactly the plain
+    * equi-join. */
+  def saltedJoin(left: DataFrame, leftKey: Column, right: DataFrame,
+                 rightKey: Column, saltSource: Column, salts: Int): DataFrame = {
+    val salted = left.withColumn("_salt", pmod(saltSource.cast("long"), lit(salts.toLong)))
+    val replicated = right.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    salted.join(replicated,
+        salted("_salt") === replicated("_salt") && leftKey === rightKey)
+      .drop("_salt")
+  }
+
+  /** Connected components over an undirected edge list (a_id, b_id):
+    * iterative minimum-label propagation to a fixpoint — each node's
+    * label becomes the smallest node id reachable from it. The driver
+    * loop runs O(graph diameter) joins; `localCheckpoint` truncates the
+    * lineage every iteration so plans stay flat no matter how many rounds
+    * run (the classic iterative-Spark failure mode is an exponentially
+    * deepening plan). Output: (node, cluster, cluster_size).
+    *
+    * This is the canonical "assign one keeper per near-dup cluster" step
+    * after pairwise dedup at scale. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("a_id").cast("long").as("src"), col("b_id").cast("long").as("dst"))
+      .union(edges.select(col("b_id").cast("long").as("src"), col("a_id").cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = sym.join(labels, col("src") === col("node"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("nbr"))
+      val next = labels.join(prop, col("node") === col("dst"), "left")
+        .select(col("node"), least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      converged = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
+      labels = next
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("lbl").as("_l")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, col("lbl") === col("_l"))
+      .select(col("node"), col("lbl").as("cluster"), col("cluster_size"))
+  }
+}

@@ -98,6 +98,49 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("n_id"), col("sim"), col("rk").cast("long").as("rk"))
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer assigns every corpus
+    * vector to its nearest centroid; a query probes only the `nProbe`
+    * nearest centroid lists and re-ranks exactly inside them. The classic
+    * memory-bandwidth win at scale: the corpus is scanned once to build
+    * the (persistable) assignment, and each query touches ~nProbe/nCentroids
+    * of the data.
+    *
+    * Centroids are the `nCentroids` lowest-id corpus vectors — a
+    * deterministic stand-in for a k-means codebook (the assignment
+    * machinery, which is the Spark-side operator, is identical; a real
+    * deployment would train centroids offline). Ties in centroid distance
+    * break toward the smaller centroid id. Queries whose probed lists
+    * lack k neighbors return fewer than k — the recall/cost tradeoff is
+    * the point.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = corpus.orderBy(col("vec_id")).limit(nCentroids)
+      .select(col("vec_id").as("c_id"), col("q").as("c_vec"), col("nq").as("c_nq"))
+
+    def assign(side: DataFrame, keep: Int): DataFrame = {
+      val scored = side.crossJoin(broadcast(cents))
+        .withColumn("c_sim", cosineq(col("q"), col("c_vec"), col("nq"), col("c_nq")))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("c_id").asc)
+      scored.withColumn("c_rk", row_number().over(w))
+        .filter(col("c_rk") <= keep)
+        .drop("c_vec", "c_nq", "c_sim", "c_rk")
+    }
+
+    val corpusAssigned = assign(corpus, 1)
+    val queryProbes = assign(queries, nProbe)
+      .select(col("vec_id").as("q_id"), col("q").as("q_vec"), col("nq").as("q_nq"), col("c_id"))
+
+    val scored = corpusAssigned.join(broadcast(queryProbes), Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", cosineq(col("q"), col("q_vec"), col("nq"), col("q_nq")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("sim"), col("rk").cast("long").as("rk"))
+  }
+
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold.
     * Brute force (exact); the LSH path bounds it at scale. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {

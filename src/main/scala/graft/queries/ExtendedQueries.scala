@@ -1,0 +1,327 @@
+package graft.queries
+
+import graft.expr.hfunctions._
+import graft.ops.{Dedup, Multimodal, Relational, Similarity}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Round-2 surface extensions, each oracle-checked:
+  *  - relational: cube, as-of join, skew-salted join;
+  *  - streaming: windowed aggregation with watermark, stream-static join;
+  *  - indexer: bigdecimal codec, table-aware unique keys;
+  *  - pipeline ops: dedup connected components, IVF ANN, media frame
+  *    chunking, winnowing fingerprints.
+  */
+object ExtendedQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+  private def dec(c: Column): Column = c.cast("decimal(18,6)")
+  private def dbl(c: Column): Column = c.cast("double")
+
+  /** events → (user_id, event_id, event_type, value, ts_s): `ts` arrives
+    * as raw INT64 nanos (nanosAsLong); seconds = nanos div 1e9 — the only
+    * granularity at which Spark (full nanos) and the DuckDB oracle
+    * (micros-truncated nanos) agree. */
+  private def eventsSec(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("user_id").cast("long").as("user_id"),
+      col("event_id").cast("long").as("event_id"),
+      col("event_type"), col("value"),
+      expr("ts div 1000000000").as("ts_s"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- relational surface ----
+
+    "q11_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dbl(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // as-of join: for each purchase event, the latest prior (≤ same
+    // second) non-purchase event of the same user — union+window, one
+    // shuffle, no range-join blowup
+    "q12_asof_join" -> ((s, dir) => {
+      val ev = eventsSec(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_event_id"), col("ts_s"))
+      val others = ev.filter(col("event_type") =!= "purchase")
+      Relational.asofJoin(
+          purchases, "user_id", "ts_s",
+          others, "user_id", "ts_s", "event_id", Seq("event_type", "event_id"))
+        .select(col("p_event_id"), col("user_id"),
+          col("event_type").as("asof_etype"), col("event_id").as("asof_event_id"))
+        .orderBy(col("p_event_id"))
+    }),
+
+    // skew-salted join: salt lineitem on l_linenumber, replicate orders
+    // 8× — result identical to the plain equi-join (the oracle)
+    "q13_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      Relational.saltedJoin(li, col("l_orderkey"), o, col("o_orderkey"),
+          col("l_linenumber"), salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          dbl(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- streaming (T3/T4/T7: windowed agg with watermark) ----
+
+    "s02_stream_window" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_s02").toString
+      t(s, dir, "events").coalesce(4).write.mode("overwrite").parquet(s"$work/log")
+      val src = s.readStream
+        .schema(t(s, dir, "events").schema)
+        .parquet(s"$work/log")
+      val q = src
+        .withColumn("tsc", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("tsc", "1 hour")
+        .groupBy(window(col("tsc"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dbl(sum(dec(col("value")))).as("sum_v"))
+        .writeStream
+        .format("memory").queryName("s02_win")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ckpt")
+        .start()
+      q.awaitTermination()
+      s.table("s02_win")
+        .select(unix_timestamp(col("window.start")).as("hour_start"),
+          col("event_type"), col("n"), col("sum_v"))
+        .orderBy(col("hour_start"), col("event_type"))
+    }),
+
+    // stream-static join: streaming events against the static customer
+    // dim (broadcast — the stream never shuffles), then a batch rollup
+    "s03_stream_static_join" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_s03").toString
+      t(s, dir, "events").coalesce(4).write.mode("overwrite").parquet(s"$work/log")
+      val dim = broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val q = s.readStream
+        .schema(t(s, dir, "events").schema)
+        .parquet(s"$work/log")
+        .join(dim, col("user_id") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("value"))
+        .writeStream
+        .format("memory").queryName("s03_join")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ckpt")
+        .start()
+      q.awaitTermination()
+      s.table("s03_join")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dbl(sum(dec(col("value")))).as("sum_v"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ---- indexer surface ----
+
+    // P5 completion: the scale-prefixed bigdecimal codec round-trip
+    "x17_bigdecimal_codec" -> ((s, dir) => {
+      t(s, dir, "supplier").select(
+          col("s_suppkey"),
+          hbase_to_bigdecimal(hbase_from_bigdecimal(
+              col("s_acctbal").cast("decimal(12,2)").cast("decimal(38,18)")))
+            .cast("decimal(12,2)").cast("string").as("rt_dec"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // P15: table-aware unique keys (table embedded in the id, hyphens in
+    // every component escaped) + unformat recovering the components
+    "x18_table_key" -> ((s, dir) => {
+      val df = t(s, dir, "part")
+        .select(col("p_partkey"), concat(lit("k-"), col("p_partkey")).as("rowk"))
+      val id = format_key(lit("my-table"), col("rowk"), lit("fam"), lit("qual-x"))
+      df.select(
+          col("p_partkey"),
+          id.as("cell_id"),
+          element_at(unformat_key(id), 1).as("rt_table"),
+          element_at(unformat_key(id), 2).as("rt_row"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ---- pipeline ops ----
+
+    // near-dup clusters: connected components over the verified LSH pairs
+    // (iterative min-label propagation, lineage-checkpointed)
+    "d07_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(
+        t(s, dir, "documents"), "doc_id", "text", 4, 2, 3, 0.5)
+      Relational.connectedComponents(pairs.select("a_id", "b_id"))
+        .orderBy(col("node"))
+    }),
+
+    // IVF ANN: coarse-quantizer assignment + nProbe-list exact re-rank
+    "a03_ann_ivf" -> ((s, dir) => {
+      val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
+      Similarity.ivfTopK(corpus, corpus.filter(col("vec_id") < 5),
+          k = 5, nCentroids = 8, nProbe = 2)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
+    // frame chunking: typed flatMap (one row in → N frame rows out)
+    "m02_media_chunks" -> ((s, dir) => {
+      Multimodal.chunkFrames(Multimodal.toMedia(t(s, dir, "documents")), 32)
+        .toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // winnowing fingerprints (window-min k-gram hashes, compiled pass)
+    "t05_winnowing" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(winnow_hashes(col("text"), 5, 4)).as("fp"))
+        .orderBy(col("doc_id"), col("fp"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "q11_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q12_asof_join" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000000000 AS ts_s FROM events),
+        |p AS (SELECT user_id, event_id AS p_event_id, ts_s AS p_ts
+        |      FROM ev WHERE event_type = 'purchase'),
+        |o AS (SELECT user_id, event_id, event_type, ts_s
+        |      FROM ev WHERE event_type <> 'purchase'),
+        |m AS (SELECT p.p_event_id, max(o.ts_s * 100000000 + o.event_id) AS mk
+        |      FROM p JOIN o ON p.user_id = o.user_id AND o.ts_s <= p.p_ts
+        |      GROUP BY 1)
+        |SELECT p.p_event_id, p.user_id,
+        |  o.event_type AS asof_etype, o.event_id AS asof_event_id
+        |FROM p LEFT JOIN m ON p.p_event_id = m.p_event_id
+        |  LEFT JOIN o ON m.mk = o.ts_s * 100000000 + o.event_id
+        |    AND o.user_id = p.user_id
+        |ORDER BY 1""".stripMargin,
+
+    "q13_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "s02_stream_window" ->
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start, event_type,
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "s03_stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+    "x17_bigdecimal_codec" ->
+      """SELECT s_suppkey,
+        |  CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS rt_dec
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "x18_table_key" ->
+      """SELECT p_partkey,
+        |  'my\-table-' || replace(rowk, '-', '\-') || '-fam-' || 'qual\-x' AS cell_id,
+        |  'my-table' AS rt_table,
+        |  rowk AS rt_row
+        |FROM (SELECT p_partkey, 'k-' || CAST(p_partkey AS VARCHAR) AS rowk FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "d07_dedup_clusters" -> {
+      val bandKeys = (0 until 4).map { b =>
+        s"'${b}_' || CAST(m${2 * b} AS VARCHAR) || '_' || CAST(m${2 * b + 1} AS VARCHAR)"
+      }.mkString(", ")
+      s"""WITH RECURSIVE ${PipelineQueries.shingleCte},
+         |sig AS (SELECT doc_id, ${PipelineQueries.minhashCols} FROM sh GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, unnest([$bandKeys]) AS band_key FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |p AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT p.a_id, p.b_id
+         |  FROM p JOIN cand ON p.a_id = cand.a_id AND p.b_id = cand.b_id
+         |    JOIN cnt ca ON p.a_id = ca.doc_id JOIN cnt cb ON p.b_id = cb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.5),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lbl AS (SELECT src AS node, least(src, min(dst)) AS cluster
+         |        FROM reach GROUP BY src)
+         |SELECT node, cluster,
+         |  CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
+         |FROM lbl ORDER BY node""".stripMargin
+    },
+
+    "a03_ann_ivf" ->
+      s"""WITH ${PipelineQueries.quantCte},
+         |c AS (SELECT vec_id AS c_id, q AS c_q, nn AS c_nn FROM n WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT vec_id, q, nn, c_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) AS crk
+         |  FROM (
+         |    SELECT n.vec_id, n.q, n.nn, c.c_id,
+         |      CASE WHEN n.nn = 0 OR c.c_nn = 0 THEN 0.0
+         |           ELSE list_dot_product(n.q::DOUBLE[], c.c_q::DOUBLE[]) / (sqrt(n.nn) * sqrt(c.c_nn)) END AS sim
+         |    FROM n CROSS JOIN c)),
+         |corpus_a AS (SELECT vec_id, q, nn, c_id FROM assign WHERE crk = 1),
+         |probes AS (SELECT vec_id AS q_id, q AS q_q, nn AS q_nn, c_id
+         |           FROM assign WHERE crk <= 2 AND vec_id < 5),
+         |scored AS (
+         |  SELECT p.q_id, a.vec_id AS n_id,
+         |    CASE WHEN a.nn = 0 OR p.q_nn = 0 THEN 0.0
+         |         ELSE list_dot_product(a.q::DOUBLE[], p.q_q::DOUBLE[]) / (sqrt(a.nn) * sqrt(p.q_nn)) END AS sim
+         |  FROM corpus_a a JOIN probes p ON a.c_id = p.c_id AND a.vec_id <> p.q_id)
+         |SELECT q_id, n_id, sim, rk FROM (
+         |  SELECT q_id, n_id, sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
+         |  FROM scored)
+         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    "m02_media_chunks" ->
+      """WITH g AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(1, CAST(ceil(length(text) / 32.0) AS BIGINT))) AS frame_idx
+        |  FROM documents WHERE length(text) > 0),
+        |f AS (SELECT doc_id, frame_idx,
+        |        substr(text, CAST((frame_idx - 1) * 32 + 1 AS BIGINT), 32) AS frame
+        |      FROM g)
+        |SELECT doc_id, frame_idx,
+        |  CAST(length(frame) AS BIGINT) AS frame_len,
+        |  CAST(list_sum(list_transform(generate_series(1, length(frame)),
+        |    i -> ascii(substr(frame, i, 1)))) AS BIGINT) AS frame_sum,
+        |  lower(hex(CAST(substr(frame, 1, 8) AS BLOB))) AS head_hex
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "t05_winnowing" -> {
+      val h60 = (arg: String) => s"CAST('0x' || substr(md5($arg), 1, 15) AS BIGINT)"
+      s"""WITH h AS (
+         |  SELECT doc_id, list_transform(generate_series(1, length(text) - 4),
+         |    i -> ${h60("substr(text, i, 5)")}) AS hl
+         |  FROM documents WHERE length(text) >= 5),
+         |w AS (SELECT doc_id, CASE WHEN len(hl) >= 4
+         |        THEN list_transform(generate_series(1, len(hl) - 3), j -> list_min(hl[j:j+3]))
+         |        ELSE [list_min(hl)] END AS mins FROM h)
+         |SELECT doc_id, unnest(list_distinct(mins)) AS fp
+         |FROM w ORDER BY doc_id, fp""".stripMargin
+    }
+  )
+}

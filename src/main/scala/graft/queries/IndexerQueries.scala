@@ -93,13 +93,16 @@ object IndexerQueries {
         .orderBy(col("id"))
     }),
 
-    // T4: subscription-timestamp ingress filter
+    // T4: subscription-timestamp ingress filter. The cutoff sits
+    // mid-stream so the filter actually bites; outputs are in seconds —
+    // the only granularity where Spark (full nanos) and DuckDB
+    // (micros-truncated nanos) agree.
     "x09_subscription_filter" -> ((s, dir) => {
-      val subscriptionNs = 1709251200000000000L // 2024-03-01T00:00:00Z
+      val subscriptionNs = 1705276800000000000L // 2024-01-15T00:00:00Z
       IndexerCore.subscriptionFilter(subscriptionNs)(Fixtures.eventMutations(s, dir))
         .select(explode(col("cells")).as("cell"), col("writeTime"))
         .groupBy(col("cell.qualifier").as("etype"))
-        .agg(count(lit(1)).as("n"), min(col("writeTime")).as("min_ns"))
+        .agg(count(lit(1)).as("n"), min(expr("writeTime div 1000000000")).as("min_s"))
         .orderBy(col("etype"))
     }),
 
@@ -236,8 +239,8 @@ object IndexerQueries {
 
     "x09_subscription_filter" ->
       """SELECT CASE WHEN event_type = 'error' THEN '' ELSE event_type END AS etype,
-        |  count(*) AS n, min(epoch_ns(ts)) AS min_ns
-        |FROM events WHERE epoch_ns(ts) >= 1709251200000000000
+        |  count(*) AS n, min(epoch_ns(ts) // 1000000000) AS min_s
+        |FROM events WHERE epoch_ns(ts) >= 1705276800000000000
         |GROUP BY 1 ORDER BY etype""".stripMargin,
 
     "x10_table_regex" ->

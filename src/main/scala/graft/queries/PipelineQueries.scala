@@ -21,24 +21,24 @@ object PipelineQueries {
   // shared oracle fragments ------------------------------------------------
 
   /** word-3gram distinct shingles per doc (documents table) */
-  private val shingleCte =
+  private[queries] val shingleCte =
     """tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
       |sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
       |  FROM tok WHERE len(tk) >= 3)""".stripMargin
 
-  private def h60sql(arg: String) =
+  private[queries] def h60sql(arg: String) =
     s"CAST('0x' || substr(md5($arg), 1, 15) AS BIGINT)"
 
   /** minhash signature m0..m7 as SQL select-list items: one base h60 per
     * shingle, k affine permutations mod 2^31-1 (mirrors Dedup.perm). */
-  private val minhashCols = (0 until 8).map { i =>
+  private[queries] val minhashCols = (0 until 8).map { i =>
     s"min((${Dedup.permA(i)} * (${h60sql("s")} % ${Dedup.PermM}) + ${Dedup.permB(i)}) % ${Dedup.PermP}) AS m$i"
   }.mkString(", ")
 
   /** quantized embeddings + exact integer norms */
-  private val quantCte =
+  private[queries] val quantCte =
     """e AS (
       |  SELECT vec_id,
       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
