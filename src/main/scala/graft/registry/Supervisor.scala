@@ -1,0 +1,150 @@
+package graft.registry
+
+import graft.conf.IndexerConf
+import graft.streaming.MutationStream
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQuery
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** C3/C4/C7: the master/supervisor collapsed into one driver-side
+  * scheduler (the reference splits them only because it is multi-node —
+  * IndexerMaster.java:239-412 assigns subscriptions and launches batch
+  * builds, IndexerSupervisor.java:179-278 wires and runs the indexers; in
+  * one Spark driver there is no leader election to do).
+  *
+  * `sync()` reconciles running streams with the registry's desired state:
+  *
+  *  - SUBSCRIBE_AND_CONSUME → a named StreamingQuery is running;
+  *  - SUBSCRIBE_DO_NOT_CONSUME → stopped, checkpoint retained (pause:
+  *    events keep queueing in the log; resume picks up where it left off);
+  *  - DO_NOT_SUBSCRIBE → stopped, checkpoint AND subscription dropped
+  *    (re-subscribing later rewinds to "now": a fresh subscription
+  *    timestamp skips history — reference T5 semantics);
+  *  - DELETE_REQUESTED → stop, drop state, remove the definition
+  *    (lifecycle DELETING → gone; IndexerMaster.java:363-412).
+  *
+  * The process registry (C7) is the `running` map — name → live query —
+  * queryable like the reference's ephemeral ZK process nodes.
+  */
+class IndexerSupervisor(
+    spark: SparkSession,
+    val registry: IndexerRegistry,
+    workRoot: String,
+    logDirFor: String => String,
+    nowNanos: () => Long = () => System.currentTimeMillis() * 1000000L) {
+
+  private val running = new java.util.concurrent.ConcurrentHashMap[String, StreamingQuery]()
+
+  private def dirs(name: String): (String, String) =
+    (s"$workRoot/$name/index", s"$workRoot/$name/ckpt")
+
+  def runningIndexers: Set[String] = running.keySet().asScala.toSet
+
+  def indexState(name: String): Option[org.apache.spark.sql.DataFrame] =
+    new graft.streaming.IndexState(dirs(name)._1, spark).read()
+
+  /** Reconcile every definition's desired state. Blocking: streams run
+    * with Trigger.AvailableNow and are awaited (drain semantics — the
+    * reference's ReplicationWaitCli wait-until-drained, T6). */
+  def sync(): Unit = {
+    registry.list().foreach { d =>
+      d.lifecycleState match {
+        case LifecycleState.DeleteRequested => executeDelete(d)
+        case LifecycleState.Active => reconcile(d)
+        case _ => ()
+      }
+    }
+  }
+
+  private def reconcile(d: IndexerDefinition): Unit = {
+    val (indexDir, ckptDir) = dirs(d.name)
+    d.incrementalState match {
+      case IncrementalIndexingState.SubscribeAndConsume =>
+        val conf = IndexerConf.fromXml(d.configXml)
+        val q = MutationStream.start(
+          spark, conf, logDirFor(d.name), indexDir, ckptDir,
+          subscriptionTs = d.subscriptionTimestamp)
+        running.put(d.name, q)
+        q.awaitTermination()
+        running.remove(d.name)
+
+      case IncrementalIndexingState.SubscribeDoNotConsume =>
+        // pause: nothing to run; checkpoint + index state retained
+        Option(running.remove(d.name)).foreach(_.stop())
+
+      case IncrementalIndexingState.DoNotSubscribe =>
+        // unsubscribe: drop checkpoint (the subscription position); a
+        // later re-subscribe gets a fresh subscriptionTimestamp = now and
+        // will skip history before it (rewind-to-now)
+        Option(running.remove(d.name)).foreach(_.stop())
+        deleteRecursively(Paths.get(ckptDir))
+    }
+  }
+
+  /** Re-subscribe after DO_NOT_SUBSCRIBE: stamps subscriptionTimestamp =
+    * now, so pre-existing log history is skipped (SepModelImpl records the
+    * subscription timestamp at peer creation the same way). */
+  def resubscribeNow(name: String): IndexerDefinition = {
+    val d = registry.get(name).getOrElse(throw new IllegalStateException(s"no such indexer: $name"))
+    registry.update(d.copy(
+      incrementalState = IncrementalIndexingState.SubscribeAndConsume,
+      subscriptionTimestamp = nowNanos()))
+  }
+
+  private def executeDelete(d: IndexerDefinition): Unit = {
+    registry.update(d.copy(lifecycleState = LifecycleState.Deleting))
+    Option(running.remove(d.name)).foreach(_.stop())
+    deleteRecursively(Paths.get(s"$workRoot/${d.name}"))
+    registry.remove(d.name)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+}
+
+/** C6: CLI verbs over the registry — add/update/delete/list, mirroring
+  * hbase-indexer-cli (AddIndexerCli.java etc.). */
+object IndexerCli {
+  def main(args: Array[String]): Unit = {
+    val usage = "usage: IndexerCli <registry-dir> " +
+      "(list | add <name> <conf.xml> | update <name> <conf.xml> | delete <name> | get <name>)"
+    if (args.length < 2) { System.err.println(usage); sys.exit(2) }
+    val registry = new IndexerRegistry(args(0))
+    args(1) match {
+      case "list" =>
+        registry.list().foreach { d =>
+          println(s"${d.name}\t${d.lifecycleState.name}\t${d.incrementalState.name}\t" +
+            s"${d.batchState.name}\tocc=${d.occVersion}")
+        }
+      case "add" =>
+        val xml = Files.readString(Paths.get(args(3)))
+        IndexerConf.fromXml(xml) // validate before storing
+        registry.add(IndexerDefinition(name = args(2), configXml = xml))
+        println(s"added ${args(2)}")
+      case "update" =>
+        val xml = Files.readString(Paths.get(args(3)))
+        IndexerConf.fromXml(xml)
+        val cur = registry.get(args(2)).getOrElse {
+          System.err.println(s"no such indexer: ${args(2)}"); sys.exit(1)
+        }
+        registry.update(cur.copy(configXml = xml))
+        println(s"updated ${args(2)}")
+      case "delete" =>
+        registry.requestDelete(args(2))
+        println(s"delete requested: ${args(2)}")
+      case "get" =>
+        registry.get(args(2)) match {
+          case Some(d) => println(registry.toJson(d))
+          case None => System.err.println(s"no such indexer: ${args(2)}"); sys.exit(1)
+        }
+      case other =>
+        System.err.println(s"unknown verb: $other\n$usage"); sys.exit(2)
+    }
+  }
+}

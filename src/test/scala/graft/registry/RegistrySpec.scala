@@ -1,0 +1,100 @@
+package graft.registry
+
+import graft.SparkSpec
+import graft.model.{Cell, MutationEvent}
+import org.apache.spark.sql.functions._
+
+/** C1/C2 catalog + OCC semantics, and the T5 lifecycle
+  * (pause / resume / rewind) driven end-to-end through the supervisor and
+  * the real streaming path — mirroring the reference's incremental-state
+  * IT scenarios (IndexerIT.java:414-489, :547-603). */
+class RegistrySpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val confXml =
+    """<indexer table="events" read-row="never">
+      |  <field name="val_s" value="evt:*" type="string"/>
+      |  <field name="etype_s" value="evt:*" source="qualifier" type="string"/>
+      |</indexer>""".stripMargin
+
+  test("registry CRUD + OCC: stale update rejected, versions advance") {
+    val reg = new IndexerRegistry(tmp("graft_reg"))
+    val d0 = reg.add(IndexerDefinition("idx1", confXml))
+    assert(d0.occVersion == 0L)
+    assert(reg.list().map(_.name) == Seq("idx1"))
+
+    val d1 = reg.update(d0.copy(subscriptionTimestamp = 42L))
+    assert(d1.occVersion == 1L)
+    assert(reg.get("idx1").get.subscriptionTimestamp == 42L)
+
+    // stale writer (still holding occVersion 0) must fail
+    intercept[ConcurrentModificationError] {
+      reg.update(d0.copy(subscriptionTimestamp = 99L))
+    }
+    // json round-trip
+    assert(reg.fromJson(reg.toJson(d1)) == d1)
+    // duplicate add rejected
+    intercept[IllegalStateException] { reg.add(IndexerDefinition("idx1", confXml)) }
+  }
+
+  private def writeLog(logDir: String, batch: Int, events: Seq[MutationEvent]): Unit = {
+    import spark.implicits._
+    spark.createDataset(events).toDF()
+      .coalesce(1).write.mode("append").parquet(logDir)
+  }
+
+  private def ev(user: String, seq: Long, writeTime: Long, etype: String, v: String) =
+    MutationEvent("events", user, seq, writeTime,
+      Seq(Cell("evt", etype, seq, "put", v)), None)
+
+  test("supervisor lifecycle: consume → pause → resume → rewind-to-now (T5)") {
+    val regDir = tmp("graft_reg2"); val work = tmp("graft_work"); val logs = tmp("graft_logs")
+    val reg = new IndexerRegistry(regDir)
+    val sup = new IndexerSupervisor(spark, reg, work, name => s"$logs/$name",
+      nowNanos = () => 1000L)
+    val log = s"$logs/idx"
+
+    reg.add(IndexerDefinition("idx", confXml))
+    writeLog(log, 1, Seq(ev("u1", 1, 10, "click", "1.0"), ev("u2", 2, 10, "view", "2.0")))
+    sup.sync()
+    def stateMap(): Map[String, String] =
+      sup.indexState("idx").get
+        .select(col("id"), element_at(col("doc")("val_s"), 1).as("v"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(stateMap() == Map("u1" -> "1.0", "u2" -> "2.0"))
+
+    // pause: new events arrive but are not consumed
+    val d1 = reg.get("idx").get
+    reg.update(d1.copy(incrementalState = IncrementalIndexingState.SubscribeDoNotConsume))
+    writeLog(log, 2, Seq(ev("u1", 3, 20, "click", "1.1")))
+    sup.sync()
+    assert(stateMap() == Map("u1" -> "1.0", "u2" -> "2.0"), "paused indexer must not consume")
+
+    // resume: the checkpoint position is retained — the queued event lands
+    val d2 = reg.get("idx").get
+    reg.update(d2.copy(incrementalState = IncrementalIndexingState.SubscribeAndConsume))
+    sup.sync()
+    assert(stateMap() == Map("u1" -> "1.1", "u2" -> "2.0"), "resume continues from checkpoint")
+
+    // unsubscribe, then re-subscribe "now": checkpoint dropped, and the
+    // new subscription timestamp (1000) skips all history below it
+    val d3 = reg.get("idx").get
+    reg.update(d3.copy(incrementalState = IncrementalIndexingState.DoNotSubscribe))
+    sup.sync()
+    sup.resubscribeNow("idx")
+    writeLog(log, 3, Seq(ev("u3", 4, 500, "click", "old"), ev("u4", 5, 2000, "view", "new")))
+    sup.sync()
+    assert(reg.get("idx").get.subscriptionTimestamp == 1000L)
+    val m = stateMap()
+    assert(m.get("u4").contains("new"), "post-subscription event must index")
+    assert(!m.contains("u3"), "pre-subscription history must be skipped after rewind")
+
+    // delete lifecycle: flag-flip, supervisor executes, state removed
+    reg.requestDelete("idx")
+    sup.sync()
+    assert(reg.list().isEmpty)
+    assert(sup.indexState("idx").isEmpty)
+  }
+}
