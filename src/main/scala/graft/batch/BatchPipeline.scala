@@ -1,0 +1,73 @@
+package graft.batch
+
+import graft.conf.IndexerConf
+import graft.core.IndexerCore
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The batch path (reference hbase-indexer-mr, SURVEY §3.2): a pushed-down
+  * snapshot scan through the same IndexerCore mapping calculus, then an
+  * optional sharded index build.
+  *
+  * Scan options mirror the reference CLI (HBaseIndexingOptions.java:194-266):
+  * row range (`--hbase-start-row/--hbase-end-row` → Scan.setStartRow/
+  * setStopRow), time range (`--hbase-start-time/--hbase-end-time` →
+  * Scan.setTimeRange). In Spark they are plain filters — Catalyst pushes
+  * them into the parquet scan (`PushedFilters` in the physical plan; the
+  * BatchPipelineSpec asserts this), and column projection prunes the read
+  * schema the way the reference's familyMap trims the HBase scan.
+  *
+  * Row-read mode is forced to NEVER on this path, exactly as the reference
+  * forces it in mappers (HBaseIndexerMapper.java:216-220): a scanned
+  * snapshot row is already complete.
+  */
+case class ScanOptions(
+    startRow: Option[String] = None, // inclusive
+    stopRow: Option[String] = None, // exclusive (HBase Scan semantics)
+    startTime: Option[Long] = None, // inclusive, cell/WAL time
+    endTime: Option[Long] = None) // exclusive
+
+object BatchPipeline {
+
+  /** Apply the scan predicates — these reach the source as pushed filters. */
+  def scan(snapshot: DataFrame, opts: ScanOptions): DataFrame = {
+    val preds: Seq[Column] =
+      opts.startRow.map(col("rowKey") >= _).toSeq ++
+        opts.stopRow.map(col("rowKey") < _).toSeq ++
+        opts.startTime.map(col("writeTime") >= _).toSeq ++
+        opts.endTime.map(col("writeTime") < _).toSeq
+    preds.foldLeft(snapshot)(_ filter _)
+  }
+
+  /** Scan → mapping core → doc ops. `snapshot` rows follow the engine's
+    * mutation shape. Multi-table (regex) confs just see a unioned
+    * snapshot — the table filter inside the core selects per conf. */
+  def run(conf: IndexerConf, snapshot: DataFrame,
+          opts: ScanOptions = ScanOptions()): DataFrame =
+    IndexerCore.rowPath(conf.copy(rowReadMode = graft.conf.RowReadMode.Never))(
+      scan(snapshot, opts))
+
+  /** Dry run (reference IndexerDryRun): same plan, first `n` docs to the
+    * driver instead of a sink. */
+  def dryRun(conf: IndexerConf, snapshot: DataFrame,
+             opts: ScanOptions = ScanOptions(), n: Int = 20): Seq[String] =
+    run(conf, snapshot, opts).limit(n).collect().map(_.toString).toSeq
+
+  /** S9/S10/S11 collapsed to their Spark shape: one shuffle on the shard
+    * route (the reference's MR shuffle + SolrCloudPartitioner), then a
+    * partitioned write — each `shard=N/` directory is an index segment
+    * set. The reference's merge-tree (log_F(R/S) extra MR passes,
+    * HBaseMapReduceIndexerTool.java:462-520) is unnecessary: the shuffle
+    * already produces exactly `numShards` partitions, and AQE handles
+    * within-shard file sizing. */
+  def buildShards(ops: DataFrame, numShards: Int, outDir: String): Unit =
+    ops.filter(col("kind") === "add")
+      .withColumn("shard", graft.expr.hfunctions.md5_shard(col("id"), numShards))
+      .repartition(numShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
+  /** Read a built shard set back (go-live's MergeIndexes becomes "point
+    * the serving layer at the new directory"). */
+  def readShards(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+}

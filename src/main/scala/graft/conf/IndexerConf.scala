@@ -100,7 +100,11 @@ case class IndexerConf(
     tableNameField: Option[String] = None,
     keyFormat: KeyFormat = KeyFormat.StringFormat,
     fields: Seq[FieldDef] = Seq.empty,
-    params: Map[String, String] = Map.empty)
+    params: Map[String, String] = Map.empty,
+    /** P17: fully-qualified class name of a [[graft.core.RecordMapper]]
+      * plug-in replacing the declarative mapping stage (reference
+      * `mapper=` attribute). */
+    mapperClass: Option[String] = None)
 
 object IndexerConf {
 
@@ -169,6 +173,7 @@ object IndexerConf {
       tableNameField = attr(root, "table-name-field"),
       keyFormat = attr(root, "unique-key-formatter").map(KeyFormat.parse).getOrElse(KeyFormat.StringFormat),
       fields = fields.result(),
-      params = params.result())
+      params = params.result(),
+      mapperClass = attr(root, "mapper"))
   }
 }

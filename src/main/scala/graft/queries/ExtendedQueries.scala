@@ -179,6 +179,58 @@ object ExtendedQueries {
       t(s, dir, "documents")
         .select(col("doc_id"), explode(winnow_hashes(col("text"), 5, 4)).as("fp"))
         .orderBy(col("doc_id"), col("fp"))
+    }),
+
+    // sessionization: gap-based sessions via lag + running sum — the
+    // batch form of the stateful-streaming session operator (one window
+    // shuffle on the user key)
+    "s04_sessionization" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      eventsSec(s, dir)
+        .withColumn("prev", lag(col("ts_s"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("ts_s") - col("prev") > 3600, 1L).otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(run))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_s")).as("start_s"), max(col("ts_s")).as("end_s"))
+        .withColumn("dur_s", col("end_s") - col("start_s"))
+        .orderBy(col("user_id"), col("sess_id"))
+    }),
+
+    // S10/S11: sharded index build — one shuffle on the md5 route, a
+    // partitioned write, and a read-back (go-live = repointing the
+    // serving layer); verified via the per-shard histogram
+    "x19_shard_build" -> ((s, dir) => {
+      val conf = graft.conf.IndexerConf(
+        table = "customer", rowReadMode = graft.conf.RowReadMode.Never,
+        fields = Seq(graft.conf.FieldDef("name_s", "info:name",
+          graft.conf.ValueSource.Value, "string")))
+      val ops = graft.core.IndexerCore.rowPath(conf)(
+        graft.core.Fixtures.customerCells(s, dir))
+      val out = java.nio.file.Files.createTempDirectory("graft_x19").toString + "/shards"
+      graft.batch.BatchPipeline.buildShards(ops.select("kind", "id", "doc"), 8, out)
+      graft.batch.BatchPipeline.readShards(s, out)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"))
+        .orderBy(col("shard"))
+    }),
+
+    // P17: custom-mapper plug-in (reflective load + configure + typed
+    // flatMap), replacing the declarative mapping stage
+    "x20_custom_mapper" -> ((s, dir) => {
+      val conf = graft.conf.IndexerConf(
+        table = "customer", rowReadMode = graft.conf.RowReadMode.Never,
+        mapperClass = Some("graft.core.UppercaseMapper"),
+        params = Map("suffix" -> "_u"))
+      graft.core.CustomMapper.run(conf)(graft.core.Fixtures.customerCells(s, dir))
+        .toDF()
+        .select(col("id"),
+          element_at(col("doc")("name_u"), 1).as("name_u"),
+          element_at(col("doc")("mktsegment_u"), 1).as("mkt_u"))
+        .orderBy(col("id"))
     })
   )
 
@@ -322,6 +374,35 @@ object ExtendedQueries {
          |        ELSE [list_min(hl)] END AS mins FROM h)
          |SELECT doc_id, unnest(list_distinct(mins)) AS fp
          |FROM w ORDER BY doc_id, fp""".stripMargin
-    }
+    },
+
+    "s04_sessionization" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_ns(ts) // 1000000000 AS ts_s FROM events),
+        |x AS (SELECT user_id, event_id, ts_s,
+        |        lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev
+        |      FROM e),
+        |y AS (SELECT user_id, event_id, ts_s,
+        |        CASE WHEN prev IS NULL OR ts_s - prev > 3600 THEN 1 ELSE 0 END AS new_sess
+        |      FROM x),
+        |z AS (SELECT user_id, ts_s,
+        |        CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        |      FROM y)
+        |SELECT user_id, sess_id, count(*) AS n_events,
+        |  min(ts_s) AS start_s, max(ts_s) AS end_s, max(ts_s) - min(ts_s) AS dur_s
+        |FROM z GROUP BY 1, 2 ORDER BY user_id, sess_id""".stripMargin,
+
+    "x19_shard_build" ->
+      """WITH ids AS (SELECT CAST(c_custkey AS VARCHAR) AS id FROM customer),
+        |sh AS (SELECT id,
+        |  CAST(CAST('0x' || substr(md5(id), 1, 4) AS INT) % 8 AS BIGINT) AS shard FROM ids)
+        |SELECT shard, count(*) AS n, min(id) AS min_id
+        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "x20_custom_mapper" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS id,
+        |  upper(c_name) AS name_u, upper(c_mktsegment) AS mkt_u
+        |FROM customer ORDER BY id""".stripMargin
   )
 }

@@ -57,9 +57,30 @@ class IndexerSupervisor(
     }
   }
 
+  /** C2/C3 batch arm: clients flip BUILD_REQUESTED; sync() executes the
+    * batch pipeline (scan → mapping → sharded build) and returns the
+    * state to INACTIVE (IndexerMaster.java:288-361). */
+  def requestBatchBuild(name: String): IndexerDefinition = {
+    val d = registry.get(name).getOrElse(throw new IllegalStateException(s"no such indexer: $name"))
+    registry.update(d.copy(batchState = BatchIndexingState.BuildRequested))
+  }
+
+  private def executeBatchBuild(d: IndexerDefinition): Unit = {
+    val building = registry.update(d.copy(batchState = BatchIndexingState.Building))
+    val conf = IndexerConf.fromXml(d.configXml)
+    val snapshot = spark.read
+      .schema(graft.model.Schemas.mutationEvent)
+      .parquet(logDirFor(d.name))
+    val ops = graft.batch.BatchPipeline.run(conf, snapshot)
+    graft.batch.BatchPipeline.buildShards(
+      ops.select("kind", "id", "doc"), numShards = 8, s"$workRoot/${d.name}/shards")
+    registry.update(building.copy(batchState = BatchIndexingState.Inactive))
+  }
+
   private def reconcile(d: IndexerDefinition): Unit = {
+    if (d.batchState == BatchIndexingState.BuildRequested) executeBatchBuild(d)
     val (indexDir, ckptDir) = dirs(d.name)
-    d.incrementalState match {
+    registry.get(d.name).getOrElse(d).incrementalState match {
       case IncrementalIndexingState.SubscribeAndConsume =>
         val conf = IndexerConf.fromXml(d.configXml)
         val q = MutationStream.start(

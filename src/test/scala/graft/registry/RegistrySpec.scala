@@ -91,6 +91,12 @@ class RegistrySpec extends SparkSpec {
     assert(m.get("u4").contains("new"), "post-subscription event must index")
     assert(!m.contains("u3"), "pre-subscription history must be skipped after rewind")
 
+    // batch build: BUILD_REQUESTED → BUILDING → INACTIVE, shards on disk
+    sup.requestBatchBuild("idx")
+    sup.sync()
+    assert(reg.get("idx").get.batchState == BatchIndexingState.Inactive)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$work/idx/shards")))
+
     // delete lifecycle: flag-flip, supervisor executes, state removed
     reg.requestDelete("idx")
     sup.sync()
