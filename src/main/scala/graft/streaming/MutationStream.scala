@@ -81,6 +81,11 @@ object MutationStream {
     val state = new IndexState(indexDir, spark)
 
     source(spark, logDir)
+      // A7: engine-native meters (reference IndexingEventListener.java:62-67)
+      // — per-batch ingress counts surface in StreamingQueryProgress
+      // .observedMetrics under "graft.ingress"
+      .observe("graft.ingress", count(lit(1)).as("events"),
+        count(when(col("writeTime") >= lit(subscriptionTs), 1)).as("applicable"))
       .transform(IndexerCore.subscriptionFilter(subscriptionTs))
       .writeStream
       .option("checkpointLocation", checkpointDir)

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** T7 taken past reference parity: gap-based sessionization as a custom
+  * stateful streaming operator (`flatMapGroupsWithState`) — the
+  * Spark-native shape for per-key state the built-in windows can't
+  * express. State is one open session per user; a batch's events close
+  * and emit any session whose gap exceeds `gapSec` and leave the last
+  * session open in state. The batch form of the same operator is the
+  * lag+running-sum window (ExtendedQueries s04) — `SessionsSpec` pins
+  * stream ≡ batch on the same input.
+  *
+  * Scale notes: state is O(active users), partitioned by the group key
+  * (one shuffle); with event-time timeouts
+  * (`GroupStateTimeout.EventTimeTimeout` + a watermark) idle sessions
+  * flush and state stays bounded on an unbounded stream. The drain path
+  * here emits the final open session when the input is finite.
+  */
+object StatefulSessions {
+
+  case class Ev(user_id: Long, event_id: Long, ts_s: Long)
+  case class OpenSession(start_s: Long, end_s: Long, n_events: Long, sess_id: Long)
+  case class Session(user_id: Long, sess_id: Long, n_events: Long,
+                     start_s: Long, end_s: Long, dur_s: Long)
+
+  /** Per-user state transition: sort the batch's events, fold them into
+    * the open session, emit every session that closes; keep the last one
+    * open (emitted only on `flushOpen`). */
+  private def update(gapSec: Long, flushOpen: Boolean)(
+      user: Long, events: Iterator[Ev], state: GroupState[OpenSession]): Iterator[Session] = {
+    val sorted = events.toSeq.sortBy(e => (e.ts_s, e.event_id))
+    if (sorted.isEmpty) return Iterator.empty
+    var open = state.getOption
+    val out = Seq.newBuilder[Session]
+    sorted.foreach { e =>
+      open = open match {
+        case None => Some(OpenSession(e.ts_s, e.ts_s, 1, 1))
+        case Some(s) if e.ts_s - s.end_s <= gapSec =>
+          Some(s.copy(end_s = e.ts_s, n_events = s.n_events + 1))
+        case Some(s) =>
+          out += Session(user, s.sess_id, s.n_events, s.start_s, s.end_s, s.end_s - s.start_s)
+          Some(OpenSession(e.ts_s, e.ts_s, 1, s.sess_id + 1))
+      }
+    }
+    if (flushOpen) {
+      open.foreach(s =>
+        out += Session(user, s.sess_id, s.n_events, s.start_s, s.end_s, s.end_s - s.start_s))
+      state.remove()
+    } else {
+      open.foreach(state.update)
+    }
+    out.result().iterator
+  }
+
+  /** Drain a finite event log into its complete session set. `events`
+    * needs columns (user_id, event_id, ts_s). */
+  def sessionizeToCompletion(spark: SparkSession, events: DataFrame,
+                             workDir: String, gapSec: Long = 3600L): DataFrame = {
+    import spark.implicits._
+    val logDir = s"$workDir/log"
+    events.select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts_s").cast("long"))
+      .coalesce(4).write.mode("overwrite").parquet(logDir)
+    val src: Dataset[Ev] = spark.readStream
+      .schema("user_id long, event_id long, ts_s long")
+      .parquet(logDir).as[Ev]
+    val q = src
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(update(gapSec, flushOpen = true))
+      .writeStream
+      .format("memory").queryName("graft_sessions")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .start()
+    q.awaitTermination()
+    spark.table("graft_sessions")
+  }
+}
