@@ -73,12 +73,17 @@ object Dedup {
       .select(col(idCol).as("doc_id"),
         graft.expr.hfunctions.shingle_hashes60(col(textCol), n).as("hs"))
 
-  /** (docId, shingle-hash) pairs; optionally drop shingles with document
-    * frequency above `maxDf` (skew guard for the self-join). */
+  /** (docId, n_sh, shingle-hash) rows — the set size rides along with
+    * every exploded row so downstream pair aggregation never has to join
+    * back for it (at pair-row volume that join is a whole extra shuffle).
+    * Optionally drop shingles with document frequency above `maxDf` (skew
+    * guard for the self-join); `n_sh` stays the FULL set size either way
+    * (the true Jaccard denominator). */
   def shingleExplode(docs: DataFrame, idCol: String, textCol: String,
                      n: Int = 3, maxDf: Option[Int] = None): DataFrame = {
     val sh = shingleHashSets(docs, idCol, textCol, n)
-      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
+        explode(col("hs")).as("h"))
     maxDf match {
       case None => sh
       case Some(cap) =>
@@ -95,20 +100,18 @@ object Dedup {
 
   /** All-pairs n-gram Jaccard ≥ threshold (exact). Shuffles on the shingle
     * hash, then aggregates pair intersections — the textbook distributed
-    * similarity join. */
+    * similarity join. Set sizes ride through the explode, so the whole
+    * operator is exactly two shuffles (the self-join and the pair
+    * aggregation) — no join-back for denominators. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxDf: Option[Int] = None): DataFrame = {
     val sh = shingleExplode(docs, idCol, textCol, n, maxDf)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("a_id"), col("h"))
-    val b = sh.select(col("doc_id").as("b_id"), col("h"))
-    val inter = a.join(b, Seq("h"))
+    val a = sh.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"), col("h"))
+    val b = sh.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"), col("h"))
+    a.join(b, Seq("h"))
       .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_n")), Seq("a_id"))
-      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_n")), Seq("b_id"))
+      .groupBy("a_id", "b_id", "a_n", "b_n").agg(count(lit(1)).as("inter"))
       .withColumn("uni", col("a_n") + col("b_n") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
