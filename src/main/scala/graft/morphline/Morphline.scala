@@ -1,0 +1,121 @@
+package graft.morphline
+
+import graft.conf.{FieldDef, IndexerConf, ValueSource}
+import graft.mapping.Mapping
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The morphline-equivalent ETL layer (SURVEY §2.3 P10/P11): a
+  * config-driven command chain compiled to one `Column` document
+  * expression. Scope matches what the reference's tests exercise
+  * (hbase-indexer-morphlines `ExtractHBaseCellsBuilder.java:101-240` and
+  * the test-morphlines configs): `extractHBaseCells` with its three
+  * output modes — single field, positional `outputFields` (empty name ⇒
+  * skip position), dynamic `outputField: "prefix*"` — plus
+  * `sanitizeUnknownSolrFields` (schema projection) and `logDebug`
+  * (no-op). Config is JSON — the reference's HOCON documents for these
+  * commands are structurally identical.
+  *
+  * Like the reference (which compiles the morphline once per task and
+  * streams records through it), the chain is compiled once into the
+  * plan; unlike the reference the "records" never materialize — the
+  * commands fuse into whole-stage codegen with everything around them.
+  */
+object Morphline {
+
+  case class CellMapping(
+      inputColumn: String,
+      outputField: Option[String],
+      outputFields: Seq[String],
+      typeName: String,
+      source: ValueSource) {
+    def toFieldDef(name: String): FieldDef =
+      FieldDef(name, inputColumn, source, typeName)
+  }
+
+  sealed trait Command
+  case class ExtractHBaseCells(mappings: Seq[CellMapping]) extends Command
+  case class SanitizeUnknownFields(knownFields: Seq[String]) extends Command
+  case object LogDebug extends Command
+
+  /** Parse a JSON command chain:
+    * {{{
+    * {"commands": [
+    *   {"extractHBaseCells": {"mappings": [
+    *     {"inputColumn": "info:name", "outputField": "name_s",
+    *      "type": "string", "source": "value"}, ...]}},
+    *   {"sanitizeUnknownSolrFields": {"knownFields": ["name_s"]}},
+    *   {"logDebug": {"format": "..."}}]}
+    * }}} */
+  def parse(json: String): Seq[Command] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmt: Formats = DefaultFormats
+    val root = JsonMethods.parse(json)
+    (root \ "commands") match {
+      case JArray(cmds) => cmds.map {
+        case JObject(List(("extractHBaseCells", body))) =>
+          val mappings = (body \ "mappings") match {
+            case JArray(ms) => ms.map { m =>
+              CellMapping(
+                inputColumn = (m \ "inputColumn").extract[String],
+                outputField = (m \ "outputField").extractOpt[String],
+                outputFields = (m \ "outputFields").extractOpt[Seq[String]].getOrElse(Nil),
+                typeName = (m \ "type").extractOpt[String].getOrElse("string"),
+                source = (m \ "source").extractOpt[String]
+                  .map(ValueSource.parse).getOrElse(ValueSource.Value))
+            }
+            case _ => throw new IllegalArgumentException("extractHBaseCells needs mappings[]")
+          }
+          ExtractHBaseCells(mappings)
+        case JObject(List(("sanitizeUnknownSolrFields", body))) =>
+          SanitizeUnknownFields((body \ "knownFields").extract[Seq[String]])
+        case JObject(List(("logDebug", _))) => LogDebug
+        case other =>
+          throw new IllegalArgumentException(s"unknown morphline command: $other")
+      }
+      case _ => throw new IllegalArgumentException("morphline config needs commands[]")
+    }
+  }
+
+  /** Compile the chain into a document expression over a `cells` column →
+    * map<string, array<string>>. */
+  def compile(commands: Seq[Command])(cells: Column): Column = {
+    val doc = commands.collectFirst { case e: ExtractHBaseCells => e } match {
+      case None => map_from_arrays(array(), array()).cast("map<string,array<string>>")
+      case Some(e) =>
+        // single + dynamic modes ride the standard mapping compiler
+        val fieldDefs = e.mappings.flatMap { m =>
+          m.outputField.map(name => m.toFieldDef(name))
+        }
+        val base = Mapping.docMap(IndexerConf(table = "*", fields = fieldDefs))(cells)
+
+        // positional mode: i-th matched value (qualifier order) → the i-th
+        // named output field; empty names skip their position
+        // (ExtractHBaseCellsBuilder.java:210-221)
+        val positional: Seq[(String, Column)] = e.mappings
+          .filter(m => m.outputField.isEmpty && m.outputFields.nonEmpty)
+          .flatMap { m =>
+            val raw = Mapping.extractRaw(cells, m.toFieldDef("_pos*"))
+            m.outputFields.zipWithIndex.collect {
+              case (name, i) if name.nonEmpty => name -> element_at(raw, i + 1)
+            }
+          }
+        if (positional.isEmpty) base
+        else map_concat(base,
+          map_filter(
+            map_from_arrays(
+              array(positional.map(p => lit(p._1)): _*),
+              array(positional.map(p => when(p._2.isNotNull, array(p._2))): _*)),
+            (_, v) => v.isNotNull))
+    }
+    commands.foldLeft(doc) {
+      case (d, SanitizeUnknownFields(known)) =>
+        map_filter(d, (k, _) => k.isInCollection(known.map(lit(_))))
+      case (d, _) => d
+    }
+  }
+
+  /** Parse + compile in one step. */
+  def apply(json: String)(cells: Column): Column = compile(parse(json))(cells)
+}

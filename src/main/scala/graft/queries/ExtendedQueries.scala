@@ -218,6 +218,32 @@ object ExtendedQueries {
         .orderBy(col("shard"))
     }),
 
+    // P10/P11: morphline-equivalent command chain — extractHBaseCells in
+    // all three output modes + sanitizeUnknownSolrFields + logDebug,
+    // compiled to one document expression
+    "x21_morphline" -> ((s, dir) => {
+      val chain =
+        """{"commands": [
+          |  {"extractHBaseCells": {"mappings": [
+          |    {"inputColumn": "info:name", "outputField": "name_s"},
+          |    {"inputColumn": "info:*", "outputField": "dyn_*"},
+          |    {"inputColumn": "info:*", "outputFields": ["p_acctbal", "", "p_name"]}
+          |  ]}},
+          |  {"sanitizeUnknownSolrFields":
+          |    {"knownFields": ["name_s", "dyn_mktsegment", "p_acctbal", "p_name"]}},
+          |  {"logDebug": {"format": "output record: {}"}}
+          |]}""".stripMargin
+      val doc = graft.morphline.Morphline(chain)(col("cells"))
+      graft.core.Fixtures.customerCells(s, dir)
+        .select(col("rowKey").as("id"), doc.as("doc"))
+        .select(col("id"),
+          element_at(col("doc")("name_s"), 1).as("name_s"),
+          element_at(col("doc")("dyn_mktsegment"), 1).as("dyn_mktsegment"),
+          element_at(col("doc")("p_acctbal"), 1).as("p_acctbal"),
+          element_at(col("doc")("p_name"), 1).as("p_name"))
+        .orderBy(col("id"))
+    }),
+
     // P17: custom-mapper plug-in (reflective load + configure + typed
     // flatMap), replacing the declarative mapping stage
     "x20_custom_mapper" -> ((s, dir) => {
@@ -403,6 +429,16 @@ object ExtendedQueries {
     "x20_custom_mapper" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS id,
         |  upper(c_name) AS name_u, upper(c_mktsegment) AS mkt_u
+        |FROM customer ORDER BY id""".stripMargin,
+
+    // qualifier sort order of the info family is
+    // acctbal < mktsegment < name < nationkey
+    "x21_morphline" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS id,
+        |  c_name AS name_s,
+        |  c_mktsegment AS dyn_mktsegment,
+        |  CAST(c_acctbal AS VARCHAR) AS p_acctbal,
+        |  c_name AS p_name
         |FROM customer ORDER BY id""".stripMargin
   )
 }
