@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression guards: the properties that keep these operators
+  * viable at 100 TB are structural (shuffle count, broadcast choice,
+  * agg-before-join order) — assert them on the optimized/physical plans
+  * so a refactor can't silently reintroduce an exchange. */
+class PlanQualitySpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf0001)
+
+  test("d02 jaccard: exactly one join, no denominator join-backs") {
+    val joins = q("d02_jaccard_pairs").queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.length == 1, s"expected 1 join, got ${joins.length}")
+  }
+
+  test("q03: dimension joins are broadcast, never sort-merge") {
+    val plan = q("q03_join_agg").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+  }
+
+  test("q01: filter is pushed to the parquet scan and columns are pruned") {
+    val plan = q("q01_pricing_summary").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"))
+    assert(!plan.contains("l_orderkey"), "unused columns must not be read")
+  }
+
+  test("x08 lookup join: dedup aggregate runs BELOW the snapshot join (reference dedup-before-re-read)") {
+    val root = q("x08_lookup_join").queryExecution.optimizedPlan
+    val join = root.collect { case j: Join => j }.head
+    // the deduping Aggregate must sit inside the join's left subtree —
+    // at most one snapshot lookup per doc id per batch
+    val aggBelowJoin = join.left.collect { case a: Aggregate => a }
+    assert(aggBelowJoin.nonEmpty, "dedup aggregate must be below the lookup join")
+  }
+
+  test("a01 brute-force ANN: query side broadcast, corpus never shuffled before scoring") {
+    val plan = q("a01_ann_brute").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(800))
+  }
+
+  test("map-only text analysis has zero exchanges before the final sort") {
+    val plan = q("t02_quality").queryExecution.optimizedPlan
+    val joins = plan.collect { case j: Join => j }
+    val aggs = plan.collect { case a: Aggregate => a }
+    assert(joins.isEmpty && aggs.isEmpty, "per-document features must not shuffle")
+  }
+}
