@@ -174,6 +174,30 @@ object ExtendedQueries {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // flagship curation pipeline: language gate → quality gate → exact
+    // dedup keepers → greedy near-dup drop (LSH-verified pairs) →
+    // deterministic hash sample. Every stage is one of the engine's
+    // operators; the whole thing is 4 shuffles end-to-end.
+    "p01_curation" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val base = d.select(col("doc_id"), col("text"),
+          graft.ops.TextAnalysis.langId(col("text")).as("lang"),
+          graft.ops.TextAnalysis.qualityScore(col("text")).as("q"))
+        .filter(col("lang") === "en" && col("q") >= 0.4)
+      // exact dedup: keep the lowest doc_id per canonical fingerprint
+      val keepers = Dedup.exactGroups(base, "doc_id", "text")
+        .select(col("keeper").as("doc_id"))
+      val s1 = base.join(keepers, Seq("doc_id"), "left_semi")
+      // greedy near-dup drop: b goes when a verified pair (a,b), a<b exists
+      val dropB = Dedup.minhashLshPairs(s1, "doc_id", "text", 4, 2, 3, 0.5)
+        .select(col("b_id").as("doc_id")).distinct()
+      val s2 = s1.join(dropB, Seq("doc_id"), "left_anti")
+      // deterministic 50% sample on the stable 60-bit hash
+      s2.filter(Dedup.hash60(col("doc_id").cast("string")) % 100 < 50)
+        .select(col("doc_id"), col("lang"), col("q"))
+        .orderBy(col("doc_id"))
+    }),
+
     // winnowing fingerprints (window-min k-gram hashes, compiled pass)
     "t05_winnowing" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -400,6 +424,69 @@ object ExtendedQueries {
          |        ELSE [list_min(hl)] END AS mins FROM h)
          |SELECT doc_id, unnest(list_distinct(mins)) AS fp
          |FROM w ORDER BY doc_id, fp""".stripMargin
+    },
+
+    "p01_curation" -> {
+      val profiles = graft.ops.TextAnalysis.defaultProfiles
+      val hits = profiles.map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(tk, w -> w IN ($lst))) AS BIGINT) AS s_$lang"
+      }.mkString(",\n    ")
+      val langsSorted = profiles.map(_._1).sorted
+      val m = "greatest(" + profiles.map(p => s"s_${p._1}").mkString(", ") + ")"
+      val pred = "CASE " + langsSorted.map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ") + " END"
+      val en = profiles.head._2.map(w => s"'$w'").mkString(", ")
+      val h60 = (a: String) => s"CAST('0x' || substr(md5($a), 1, 15) AS BIGINT)"
+      val bandKeys = (0 until 4).map { b =>
+        s"'${b}_' || CAST(m${2 * b} AS VARCHAR) || '_' || CAST(m${2 * b + 1} AS VARCHAR)"
+      }.mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS tk
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, text, tk,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(tk) END AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_filter(tk, w -> w IN ($en))) AS BIGINT) AS n_stop,
+         |    $hits
+         |  FROM t),
+         |scored AS (
+         |  SELECT doc_id, text, tk, $pred AS lang,
+         |    least(1.0, greatest(0.0,
+         |      0.4 * (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 1.0 ELSE 0.0 END)
+         |      + 0.3 * (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END)
+         |      + 0.3 * (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END))) AS q
+         |  FROM f),
+         |base AS (SELECT * FROM scored WHERE lang = 'en' AND q >= 0.4),
+         |fp AS (
+         |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fpv
+         |  FROM base),
+         |keep1 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fpv),
+         |s1 AS (SELECT base.* FROM base JOIN keep1 USING (doc_id)),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+         |  FROM s1 WHERE len(tk) >= 3),
+         |sig AS (SELECT doc_id, ${PipelineQueries.minhashCols} FROM sh GROUP BY doc_id),
+         |banded AS (SELECT doc_id, unnest([$bandKeys]) AS band_key FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |p AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |dropb AS (
+         |  SELECT DISTINCT p.b_id AS doc_id
+         |  FROM p JOIN cand ON p.a_id = cand.a_id AND p.b_id = cand.b_id
+         |    JOIN cnt ca ON p.a_id = ca.doc_id JOIN cnt cb ON p.b_id = cb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.5)
+         |SELECT doc_id, lang, q
+         |FROM s1 ANTI JOIN dropb USING (doc_id)
+         |WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 100 < 50
+         |ORDER BY doc_id""".stripMargin
     },
 
     "s04_sessionization" ->
