@@ -57,6 +57,35 @@ object Relational {
         rightVals.map(v => col(s"_m.$v").as(v)): _*)
   }
 
+  /** Interval (range) join via time-bucket decomposition: match every
+    * left row with the right rows of the same key whose time lies in
+    * `(leftTime + loExcl, leftTime + hiIncl]`. A naive
+    * `ON key AND rt > lt+lo AND rt <= lt+hi` plans as an equi-join whose
+    * range residual explodes per key (or worse, a nested-loop join); the
+    * bucket decomposition replicates each LEFT row into the ~(hi-lo)/bucket
+    * time buckets its window spans, joins on `(key, bucket)` — an ordinary
+    * hash join — and applies the exact range predicate as a residual
+    * filter. Each qualifying pair matches exactly once (the right row's
+    * bucket is unique). Right columns come back `rightPrefix`-renamed. */
+  def bucketedRangeJoin(
+      left: DataFrame, leftKey: String, leftTime: String,
+      right: DataFrame, rightKey: String, rightTime: String,
+      loExcl: Long, hiIncl: Long, bucket: Long,
+      rightPrefix: String = "r_"): DataFrame = {
+    require(bucket > 0 && hiIncl > loExcl)
+    val lb = left.withColumn("_bkt", explode(sequence(
+      expr(s"($leftTime + $loExcl) div $bucket"),
+      expr(s"($leftTime + $hiIncl) div $bucket"))))
+    val rb = right.columns.foldLeft(right)((df, c) => df.withColumnRenamed(c, rightPrefix + c))
+      .withColumn("_bkt", expr(s"$rightPrefix$rightTime div $bucket"))
+    lb.join(rb,
+        lb("_bkt") === rb("_bkt") &&
+          col(leftKey) === col(rightPrefix + rightKey) &&
+          col(rightPrefix + rightTime) > col(leftTime) + loExcl &&
+          col(rightPrefix + rightTime) <= col(leftTime) + hiIncl)
+      .drop("_bkt")
+  }
+
   /** Skew-safe equi-join: the left side gets a deterministic salt in
     * [0, salts), the (smaller) right side is replicated once per salt
     * value, and the join runs on (key, salt). A hot key's rows spread

@@ -71,6 +71,25 @@ object ExtendedQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // interval join via time-bucket decomposition: follow-up events
+    // (click/view) within 1h after each signup — an ordinary hash join on
+    // (user, hour-bucket) + residual range filter, never a nested loop
+    "q14_range_join" -> ((s, dir) => {
+      val ev = eventsSec(s, dir)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("s_id"), col("ts_s"))
+      val follows = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("ts_s"))
+      val joined = Relational.bucketedRangeJoin(
+        signups, "user_id", "ts_s", follows, "user_id", "ts_s",
+        loExcl = 0L, hiIncl = 3600L, bucket = 3600L)
+      val counts = joined.groupBy(col("s_id")).agg(count(lit(1)).as("n_follow"))
+      signups.join(counts, Seq("s_id"), "left")
+        .select(col("s_id"), col("user_id"),
+          coalesce(col("n_follow"), lit(0L)).as("n_follow"))
+        .orderBy(col("s_id"))
+    }),
+
     // ---- streaming (T3/T4/T7: windowed agg with watermark) ----
 
     "s02_stream_window" -> ((s, dir) => {
@@ -314,6 +333,18 @@ object ExtendedQueries {
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q14_range_join" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000000000 AS ts_s FROM events),
+        |s AS (SELECT user_id, event_id AS s_id, ts_s FROM ev WHERE event_type = 'signup'),
+        |fo AS (SELECT user_id, ts_s AS f_ts FROM ev WHERE event_type IN ('click', 'view')),
+        |c AS (SELECT s_id, count(*) AS n_follow
+        |      FROM s JOIN fo ON s.user_id = fo.user_id
+        |        AND fo.f_ts > s.ts_s AND fo.f_ts <= s.ts_s + 3600
+        |      GROUP BY 1)
+        |SELECT s.s_id, s.user_id, coalesce(c.n_follow, 0) AS n_follow
+        |FROM s LEFT JOIN c USING (s_id) ORDER BY s_id""".stripMargin,
 
     "s02_stream_window" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start, event_type,
