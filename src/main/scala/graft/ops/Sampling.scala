@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus-selection operators for training-data pipelines. */
+object Sampling {
+
+  /** Token-budget selection: keep the greedy prefix of documents ordered
+    * by (quality desc, id asc) whose cumulative token count stays within
+    * `budget` — i.e. "the best docs that fit the training budget".
+    *
+    * The semantics are a global ordered prefix, but the implementation
+    * never globally sorts the corpus (a single-partition window is the
+    * classic scale trap):
+    *
+    *  1. quantize quality into `buckets` coarse tiers and aggregate token
+    *     totals per tier — a tiny histogram (≤ buckets rows) collected to
+    *     the driver;
+    *  2. every tier strictly above the boundary tier (where the running
+    *     total crosses the budget) is kept outright — no ordering needed;
+    *  3. only the boundary tier — a ~1/buckets fraction of the corpus —
+    *     is sorted (by quality desc, id) to fill the remainder exactly.
+    *
+    * Tiers are strictly ordered by quality (floor quantization), so the
+    * result is exactly the global greedy prefix. Output: idCol, tokCol,
+    * qCol of the selected documents.
+    */
+  def tokenBudget(docs: DataFrame, idCol: String, qCol: String, tokCol: String,
+                  budget: Long, buckets: Int = 1000): DataFrame = {
+    val bucketed = docs.withColumn("_tier",
+      least(lit(buckets - 1), floor(col(qCol) * buckets)).cast("int"))
+
+    val hist = bucketed.groupBy("_tier").agg(sum(col(tokCol)).as("toks"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(-_._1)
+
+    var running = 0L
+    var boundary = Int.MinValue
+    var aboveTotal = 0L
+    hist.foreach { case (tier, toks) =>
+      if (boundary == Int.MinValue) {
+        if (running + toks > budget) { boundary = tier; aboveTotal = running }
+        else running += toks
+      }
+    }
+    if (boundary == Int.MinValue)
+      return docs.select(idCol, tokCol, qCol) // whole corpus fits
+
+    val above = bucketed.filter(col("_tier") > boundary)
+      .select(idCol, tokCol, qCol)
+    // only the boundary tier is sorted; `aboveTotal` offsets its cumsum
+    val w = Window.partitionBy().orderBy(col(qCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundaryKept = bucketed.filter(col("_tier") === boundary)
+      .withColumn("_cum", sum(col(tokCol)).over(w) + lit(aboveTotal))
+      .filter(col("_cum") <= budget)
+      .select(idCol, tokCol, qCol)
+
+    above.unionByName(boundaryKept)
+  }
+}

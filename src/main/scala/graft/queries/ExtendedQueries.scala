@@ -217,6 +217,19 @@ object ExtendedQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // token-budget selection: the greedy best-quality prefix that fits a
+    // token budget — computed WITHOUT a global sort (tier histogram +
+    // boundary-tier-only ordering); the oracle states the semantics as
+    // the plain global-window prefix
+    "p02_token_budget" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        graft.ops.TextAnalysis.qualityScore(col("text")).as("q"))
+      graft.ops.Sampling.tokenBudget(d, "doc_id", "q", "n_tokens", budget = 12000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // winnowing fingerprints (window-min k-gram hashes, compiled pass)
     "t05_winnowing" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -518,6 +531,32 @@ object ExtendedQueries {
          |FROM s1 ANTI JOIN dropb USING (doc_id)
          |WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 100 < 50
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "p02_token_budget" -> {
+      val en = graft.ops.TextAnalysis.defaultProfiles.head._2.map(w => s"'$w'").mkString(", ")
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      w -> w IN ($en))) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, n_tokens,
+         |    least(1.0, greatest(0.0,
+         |      0.4 * (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 1.0 ELSE 0.0 END)
+         |      + 0.3 * (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END)
+         |      + 0.3 * (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END))) AS q
+         |  FROM f),
+         |o AS (
+         |  SELECT doc_id, n_tokens, q,
+         |    sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d)
+         |SELECT doc_id, n_tokens, q FROM o WHERE cum <= 12000 ORDER BY doc_id""".stripMargin
     },
 
     "s04_sessionization" ->
