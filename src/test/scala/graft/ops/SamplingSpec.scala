@@ -1,0 +1,35 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** tokenBudget must equal the brute-force global greedy prefix for any
+  * budget — including budgets that land exactly on a document boundary,
+  * inside a tier, and beyond the corpus total. */
+class SamplingSpec extends SparkSpec {
+
+  test("tier-histogram selection == global-window greedy prefix across budgets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 400L).map { id =>
+      (id, math.floor(rnd.nextDouble() * 1000) / 1000.0, 10L + rnd.nextInt(90))
+    }.toDF("doc_id", "q", "n_tokens")
+
+    val w = Window.partitionBy().orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = docs.withColumn("cum", sum(col("n_tokens")).over(w))
+    val total = withCum.agg(max("cum")).collect()(0).getLong(0)
+    val exactBoundary = withCum.filter(col("cum") <= total / 3)
+      .agg(max("cum")).collect()(0).getLong(0)
+
+    for (budget <- Seq(0L, 500L, exactBoundary, total / 2, total, total + 1000L)) {
+      val expected = withCum.filter(col("cum") <= budget)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val got = Sampling.tokenBudget(docs, "doc_id", "q", "n_tokens", budget)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == expected,
+        s"budget=$budget: missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    }
+  }
+}
