@@ -141,14 +141,76 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("n_id"), col("sim"), col("rk").cast("long").as("rk"))
   }
 
-  /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold.
-    * Brute force (exact); the LSH path bounds it at scale. */
-  def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+  /** Embedding near-duplicate pairs, brute force: all pairs with cosine ≥
+    * threshold via an explicit cross join. O(n²) — kept ONLY as the
+    * small-n oracle reference; the operator users reach for is the
+    * SRP-bucketed [[cosineNearDupPairs]]. */
+  def cosineNearDupPairsExact(corpus: DataFrame, threshold: Double): DataFrame = {
     val a = corpus.select(col("vec_id").as("a_id"), col("q").as("a_q"), col("nq").as("a_nq"))
     val b = corpus.select(col("vec_id").as("b_id"), col("q").as("b_q"), col("nq").as("b_nq"))
     a.crossJoin(b).filter(col("a_id") < col("b_id"))
       .withColumn("sim", cosineq(col("a_q"), col("b_q"), col("a_nq"), col("b_nq")))
       .filter(col("sim") >= threshold)
       .select("a_id", "b_id", "sim")
+  }
+
+  /** Integer hyperplane coefficients for plane `p` over dims 0..dim-1,
+    * computed driver-side — value-identical to [[planeCoef]] (md5-derived,
+    * in [-1000, 1000]) but materialized as a literal array so the per-row
+    * work is ONE compiled `long_dot` instead of `dim` md5 calls. */
+  private[graft] def planeCoefs(p: Int, dim: Int): Seq[Long] =
+    (0 until dim).map(d => graft.expr.TextHash.hash60(s"${p}_${d}") % 2001L - 1000L)
+
+  /** SRP band codes: an array of `bands` bucket ids, band `b` built from
+    * the sign bits of `planesPerBand` hyperplane dot products (global
+    * plane index = b*planesPerBand + j). All compiled arithmetic. */
+  def srpBandCodes(q: Column, bands: Int, planesPerBand: Int, dim: Int): Column =
+    array((0 until bands).map { b =>
+      (0 until planesPerBand).map { j =>
+        val p = b * planesPerBand + j
+        when(dotq(q, typedLit(planeCoefs(p, dim))) > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+
+  /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold,
+    * found via multi-band SRP-LSH candidates + exact verification — the
+    * same candidates→verify shape as [[Dedup.minhashLshPairs]], and the
+    * scale path that replaces the all-pairs cross join.
+    *
+    * Mechanics: every vector gets `bands` bucket codes (each from
+    * `planesPerBand` deterministic hyperplane sign bits); candidates are
+    * pairs sharing a (band, bucket); each candidate is verified with the
+    * exact integer cosine BEFORE the final distinct, so the only large
+    * shuffle is the band-bucket self-join (n×bands rows, vector payload
+    * carried once per side) — never a quadratic pair set.
+    *
+    * Recall: a pair at similarity s agrees with one plane w.p.
+    * 1 − arccos(s)/π, with one band w.p. that^planesPerBand, and is missed
+    * only if ALL bands miss. Defaults (32 bands × 2 planes) give expected
+    * misses < 1e-4 across ~1000 true pairs at the fixture's hard
+    * threshold 0.4 (plane-agree ≈ 0.63); verified exhaustively against
+    * [[cosineNearDupPairsExact]] in SimilaritySpec. At realistic near-dup
+    * thresholds (≥ 0.8, plane-agree ≥ 0.9) fewer bands of MORE planes
+    * (e.g. 8×12) make the candidate volume genuinely subquadratic — that
+    * is the 100 TB configuration; the bands/planes knobs are the
+    * recall/cost dial.
+    *
+    * `dim` is the (fixed, known) embedding dimension — it sizes the
+    * literal hyperplane arrays at plan time. */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double, dim: Int,
+                         bands: Int = 32, planesPerBand: Int = 2): DataFrame = {
+    val coded = corpus.select(col("vec_id"), col("q"), col("nq"),
+        posexplode(srpBandCodes(col("q"), bands, planesPerBand, dim)).as(Seq("band", "bucket")))
+    val l = coded.select(col("band"), col("bucket"),
+      col("vec_id").as("a_id"), col("q").as("a_q"), col("nq").as("a_nq"))
+    val r = coded.select(col("band"), col("bucket"),
+      col("vec_id").as("b_id"), col("q").as("b_q"), col("nq").as("b_nq"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim", cosineq(col("a_q"), col("b_q"), col("a_nq"), col("b_nq")))
+      .filter(col("sim") >= threshold)
+      // a true pair colliding in several bands yields identical rows —
+      // dedup AFTER the threshold filter, when almost nothing is left
+      .select("a_id", "b_id", "sim").distinct()
   }
 }

@@ -83,8 +83,17 @@ object PipelineQueries {
     }),
 
     "d06_embed_neardup" -> ((s, dir) => {
-      Similarity.cosineNearDupPairs(
+      Similarity.cosineNearDupPairsExact(
           Similarity.prep(embs(s, dir), "vec_id", "embedding"), threshold = 0.4)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // the scale-path operator, against the SAME exact-pairs oracle: the
+    // SRP bands must recover every pair ≥ threshold at fixture scale
+    "d08_embed_neardup_lsh" -> ((s, dir) => {
+      Similarity.cosineNearDupPairs(
+          Similarity.prep(embs(s, dir), "vec_id", "embedding"),
+          threshold = 0.4, dim = 64)
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -212,6 +221,16 @@ object PipelineQueries {
     },
 
     "d06_embed_neardup" ->
+      s"""WITH $quantCte
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  list_dot_product(a.q::DOUBLE[], b.q::DOUBLE[]) / (sqrt(a.nn) * sqrt(b.nn)) AS sim
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.q::DOUBLE[], b.q::DOUBLE[]) / (sqrt(a.nn) * sqrt(b.nn)) >= 0.4
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // identical oracle to d06: the bucketed operator must be exact-recall
+    // on the fixture
+    "d08_embed_neardup_lsh" ->
       s"""WITH $quantCte
          |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |  list_dot_product(a.q::DOUBLE[], b.q::DOUBLE[]) / (sqrt(a.nn) * sqrt(b.nn)) AS sim

@@ -1,0 +1,38 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The SRP-bucketed near-dup operator must be a drop-in for the exact
+  * cross join on the fixture: every pair ≥ threshold recovered (recall
+  * 1.0 — precision is structural, candidates are exact-verified), with no
+  * cartesian product anywhere in the plan. */
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val corpus =
+    Similarity.prep(spark.read.parquet(s"$sf0001/embeddings.parquet"), "vec_id", "embedding")
+
+  test("bucketed near-dup pairs == exact cross-join pairs at threshold 0.4") {
+    val exact = Similarity.cosineNearDupPairsExact(corpus, 0.4)
+      .orderBy("a_id", "b_id").collect().toSeq
+    val bucketed = Similarity.cosineNearDupPairs(corpus, 0.4, dim = 64)
+      .orderBy("a_id", "b_id").collect().toSeq
+    assert(exact.nonEmpty, "fixture must contain near-dup pairs")
+    assert(bucketed == exact)
+  }
+
+  test("bucketed near-dup plan has no cartesian product") {
+    val plan = Similarity.cosineNearDupPairs(corpus, 0.4, dim = 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
+  test("plane coefficients match the md5-derived planeCoef expression") {
+    val viaExpr = spark.range(1).select(
+      (0 until 4).flatMap(p => (0 until 3).map(d =>
+        Similarity.planeCoef(lit(p), lit(d)).as(s"c_${p}_$d"))): _*).collect().head
+    val viaScala = for (p <- 0 until 4; d <- 0 until 3) yield Similarity.planeCoefs(p, 3)(d)
+    assert(viaScala == (0 until 12).map(i => viaExpr.getLong(i)))
+  }
+}
