@@ -35,11 +35,30 @@ class IndexerSupervisor(
     nowNanos: () => Long = () => System.currentTimeMillis() * 1000000L) {
 
   private val running = new java.util.concurrent.ConcurrentHashMap[String, StreamingQuery]()
+  private val lastReport =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.streaming.IndexerProgress]()
 
   private def dirs(name: String): (String, String) =
     (s"$workRoot/$name/index", s"$workRoot/$name/ckpt")
 
   def runningIndexers: Set[String] = running.keySet().asScala.toSet
+
+  /** T6 monitoring: the drain report of the indexer's most recent run
+    * (events/sec, batch durations, processed vs backlog files, last
+    * committed state version) — the reference's replication-status
+    * surface (ReplicationStatus.java:81-95). */
+  def progressReport(name: String): Option[graft.streaming.IndexerProgress] =
+    Option(lastReport.get(name))
+
+  /** Drain one indexer now and return its progress report (the
+    * reference's ReplicationWaitCli wait-until-drained + status). */
+  def waitUntilDrained(name: String): graft.streaming.IndexerProgress = {
+    val d = registry.get(name)
+      .getOrElse(throw new IllegalStateException(s"no such indexer: $name"))
+    reconcile(d)
+    progressReport(name)
+      .getOrElse(throw new IllegalStateException(s"indexer $name is not consuming"))
+  }
 
   def indexState(name: String): Option[org.apache.spark.sql.DataFrame] =
     new graft.streaming.IndexState(dirs(name)._1, spark).read()
@@ -88,6 +107,8 @@ class IndexerSupervisor(
           subscriptionTs = d.subscriptionTimestamp)
         running.put(d.name, q)
         q.awaitTermination()
+        lastReport.put(d.name, MutationStream.progressOf(
+          q, new graft.streaming.IndexState(indexDir, spark), logDirFor(d.name), ckptDir))
         running.remove(d.name)
 
       case IncrementalIndexingState.SubscribeDoNotConsume =>

@@ -7,6 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
 
 /** The incremental path (reference SEP stream → Indexer → Solr) as
   * Structured Streaming (SURVEY §2.6):
@@ -22,28 +23,99 @@ import java.nio.file.{Files, Path, Paths}
   *    out-of-order delivery safe — strictly stronger than the reference's
   *    thread-pinning, and it survives Spark's task retries.
   *
-  * The index state lives as parquet under `indexDir/current`; each batch
-  * writes a new versioned snapshot directory and flips a pointer file —
-  * the same copy-on-write move that table formats make at scale (at 100 TB
-  * you'd swap this sink for Delta/Iceberg MERGE; the op algebra is
-  * identical).
+  * The index state is BUCKETED: documents live in `B` hash buckets keyed
+  * by `md5_shard(id, B)` (the reference's own shard routing, A5), each
+  * bucket a parquet directory, with a manifest file mapping bucket →
+  * directory and a CURRENT pointer naming the live manifest. A micro
+  * batch rewrites ONLY the buckets its ops hash into — O(batch ∩ state),
+  * not O(state) — and commits by writing the new bucket dirs, then the
+  * new manifest, then flipping CURRENT (atomic: readers see old or new,
+  * never a mix). This is the same copy-on-write + manifest move that
+  * Delta/Iceberg MERGE makes at 100 TB; the op algebra is identical and
+  * the bucket count is the `spark.sql.shuffle.partitions`-style dial.
   */
-class IndexState(val indexDir: String, spark: SparkSession) extends Serializable {
+class IndexState(val indexDir: String, spark: SparkSession, val buckets: Int = 16)
+    extends Serializable {
+  import IndexState.BucketCol
   private val ptr: Path = Paths.get(indexDir, "CURRENT")
   Files.createDirectories(Paths.get(indexDir))
 
   def currentVersion: Option[String] =
     if (Files.exists(ptr)) Some(Files.readString(ptr).trim) else None
 
-  def read(): Option[DataFrame] =
-    currentVersion.map(v => spark.read.parquet(s"$indexDir/$v"))
+  /** bucket → directory (relative to indexDir), from the live manifest.
+    * Self-describing: readers never need the writer's bucket count. */
+  def currentManifest: Map[Int, String] = currentVersion match {
+    case None => Map.empty
+    case Some(m) =>
+      Files.readAllLines(Paths.get(indexDir, m)).toArray(Array.empty[String]).toSeq
+        .filter(_.nonEmpty)
+        .map { line =>
+          val Array(b, dir) = line.split("\t", 2)
+          b.toInt -> dir
+        }.toMap
+  }
 
-  /** copy-on-write commit: write a full new snapshot, then flip CURRENT */
-  def commit(newState: DataFrame, version: String): Unit = {
-    newState.write.mode("overwrite").parquet(s"$indexDir/$version")
-    Files.writeString(ptr, version)
+  private def readDirs(dirs: Seq[String]): Option[DataFrame] =
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs.map(d => s"$indexDir/$d"): _*))
+
+  /** The full index state (union of all live buckets). */
+  def read(): Option[DataFrame] = readDirs(currentManifest.values.toSeq)
+
+  /** Only the named buckets' state (absent buckets are empty). */
+  def readBuckets(ks: Seq[Int]): Option[DataFrame] = {
+    val m = currentManifest
+    readDirs(ks.flatMap(m.get))
+  }
+
+  /** Commit: `updated` holds the NEW contents of exactly the `touched`
+    * buckets; untouched buckets keep their current directories. The new
+    * bucket dirs land under one versioned directory via a single
+    * partitioned write; the manifest then repoints touched buckets (a
+    * touched bucket that ends empty is dropped — partitioned writes emit
+    * no dir for it). Retries write to a fresh suffixed dir (never
+    * read-while-overwrite); the CURRENT flip is the commit point either
+    * way, and re-applying a DocOp batch is idempotent by algebra. */
+  def commit(updated: DataFrame, version: String, touched: Seq[Int]): Unit = {
+    val base = Paths.get(indexDir, version)
+    val dir = if (!Files.exists(base)) version else s"$version-r${System.nanoTime()}"
+    updated
+      .withColumn(BucketCol, graft.expr.hfunctions.md5_shard(col("id"), buckets))
+      .write.partitionBy(BucketCol).parquet(s"$indexDir/$dir")
+    val written = touched.filter(k => Files.exists(Paths.get(indexDir, dir, s"$BucketCol=$k")))
+    val manifest = (currentManifest -- touched) ++
+      written.map(k => k -> s"$dir/$BucketCol=$k")
+    val mName = s"MANIFEST-$dir"
+    Files.writeString(Paths.get(indexDir, mName),
+      manifest.toSeq.sorted.map { case (k, d) => s"$k\t$d" }.mkString("\n"))
+    Files.writeString(ptr, mName)
   }
 }
+
+object IndexState {
+  /** Partition-column name for the bucket id in versioned write dirs. */
+  val BucketCol = "_bucket"
+}
+
+/** T6 monitoring: one indexer's drain/progress report — the engine's
+  * answer to the reference's replication-lag surface
+  * (hbase-sep-tools ReplicationStatus.java:81-95: ageOfLastShippedOp +
+  * queue sizes per peer). Sourced from StreamingQueryProgress (batch
+  * durations, input rates), the `graft.ingress` observe() counters (A7),
+  * the checkpoint's source log (processed files) vs the log directory
+  * (backlog = the reference's queue size), and the state's CURRENT
+  * pointer (last committed version). */
+case class IndexerProgress(
+    batches: Long,
+    inputRows: Long,
+    events: Long,
+    applicable: Long,
+    avgEventsPerSec: Double,
+    lastBatchDurationMs: Long,
+    processedFiles: Long,
+    backlogFiles: Long,
+    lastCommittedVersion: Option[String])
 
 object MutationStream {
 
@@ -92,18 +164,94 @@ object MutationStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ops = opsWithSinkMeta(conf, IndexerCore.rowPath(conf, snapshot)(batch))
-        val prev = state.read().getOrElse {
-          val empty = spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ops.schema)
-          empty.select(col("id"), col("doc"), col("rowValue"), col("familyValue"))
-        }
-        val next = IndexerCore.applyOps(
-          prev.select("id", "doc", "rowValue", "familyValue"), ops)
-        // batchId in the version makes the commit idempotent under retry
-        state.commit(next, f"v$batchId%09d")
+        applyBatch(spark, state, ops, batchId)
         ()
       }
       .start()
+  }
+
+  /** One micro-batch upsert against the bucketed state: resolve the ops'
+    * touched buckets (a ≤`buckets`-row driver collect), read ONLY those
+    * buckets' previous state, apply the DocOp algebra, and commit just the
+    * rewritten buckets. deleteByQuery ops address docs by row value, not
+    * id, so they cannot be bucket-localized — any present (the row path
+    * never emits them) widens to a full rewrite. Returns the touched
+    * bucket set. */
+  def applyBatch(spark: SparkSession, state: IndexState, ops: DataFrame,
+                 batchId: Long): Seq[Int] = {
+    val cached = ops.persist()
+    try {
+      val idBuckets = cached
+        .select(graft.expr.hfunctions.md5_shard(col("id"), state.buckets).as("b"))
+        .filter(col("b").isNotNull).distinct().collect().map(_.getInt(0)).toSeq
+      val hasQueryDelete = !cached.filter(col("kind") === "deleteByQuery").isEmpty
+      val touched =
+        if (hasQueryDelete) (idBuckets ++ state.currentManifest.keys).distinct
+        else idBuckets
+      val prev = state.readBuckets(touched).getOrElse {
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cached.schema)
+        empty.select(col("id"), col("doc"), col("rowValue"), col("familyValue"))
+      }
+      val next = IndexerCore.applyOps(
+        prev.select("id", "doc", "rowValue", "familyValue"), cached)
+      // batchId in the version makes the commit idempotent under retry
+      state.commit(next, f"v$batchId%09d", touched)
+      touched
+    } finally { cached.unpersist(); () }
+  }
+
+  private val pathRe = """"path":"([^"]+)"""".r
+
+  /** Distinct source files the checkpoint has committed (the stream's
+    * consumed-queue position). */
+  private def processedFiles(ckptDir: String): Set[String] = {
+    val srcLog = Paths.get(ckptDir, "sources", "0")
+    if (!Files.exists(srcLog)) Set.empty
+    else {
+      val fs = Files.list(srcLog)
+      try fs.iterator().asScala
+        .filter(f => Files.isRegularFile(f) && !f.getFileName.toString.startsWith("."))
+        .flatMap(f => pathRe.findAllMatchIn(Files.readString(f)).map(_.group(1)))
+        .toSet
+      finally fs.close()
+    }
+  }
+
+  private def logFiles(logDir: String): Set[String] = {
+    val p = Paths.get(logDir)
+    if (!Files.exists(p)) Set.empty
+    else {
+      val fs = Files.walk(p)
+      try fs.iterator().asScala
+        .filter(f => Files.isRegularFile(f) && f.getFileName.toString.endsWith(".parquet") &&
+          !f.getFileName.toString.startsWith("_") && !f.getFileName.toString.startsWith("."))
+        .map(_.getFileName.toString).toSet
+      finally fs.close()
+    }
+  }
+
+  /** Assemble the T6 report for a (possibly drained) query. */
+  def progressOf(q: StreamingQuery, state: IndexState, logDir: String,
+                 ckptDir: String): IndexerProgress = {
+    val ps = q.recentProgress.toSeq
+    def observed(i: Int): Long = ps.flatMap { p =>
+      Option(p.observedMetrics.get("graft.ingress")).map(_.getLong(i))
+    }.sum
+    val durs = ps.map(p => p.durationMs.getOrDefault("triggerExecution", 0L).longValue())
+    val inputRows = ps.map(_.numInputRows).sum
+    val totalMs = durs.sum
+    val processed = processedFiles(ckptDir)
+    IndexerProgress(
+      batches = ps.size.toLong,
+      inputRows = inputRows,
+      events = observed(0),
+      applicable = observed(1),
+      avgEventsPerSec = if (totalMs > 0) inputRows * 1000.0 / totalMs else 0.0,
+      lastBatchDurationMs = durs.lastOption.getOrElse(0L),
+      processedFiles = processed.size.toLong,
+      backlogFiles = (logFiles(logDir) -- processed.map(p => p.substring(p.lastIndexOf('/') + 1))).size.toLong,
+      lastCommittedVersion = state.currentVersion)
   }
 
   /** Drain the log and return the final index state (wait-until-drained —

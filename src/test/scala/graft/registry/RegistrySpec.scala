@@ -103,4 +103,30 @@ class RegistrySpec extends SparkSpec {
     assert(reg.list().isEmpty)
     assert(sup.indexState("idx").isEmpty)
   }
+
+  test("T6 drain report: ingress counters, durations, backlog, committed version") {
+    val regDir = tmp("graft_reg3"); val work = tmp("graft_work3"); val logs = tmp("graft_logs3")
+    val reg = new IndexerRegistry(regDir)
+    val sup = new IndexerSupervisor(spark, reg, work, name => s"$logs/$name")
+    val log = s"$logs/idx"
+
+    reg.add(IndexerDefinition("idx", confXml, subscriptionTimestamp = 15L))
+    writeLog(log, 1, Seq(ev("u1", 1, 10, "click", "old"), ev("u2", 2, 20, "view", "new")))
+    val rep = sup.waitUntilDrained("idx")
+
+    assert(rep.batches >= 1L)
+    assert(rep.events == 2L, s"observe() must count both ingress events: $rep")
+    assert(rep.applicable == 1L, "only the post-subscription event is applicable")
+    assert(rep.inputRows == 2L)
+    assert(rep.lastBatchDurationMs > 0L)
+    assert(rep.processedFiles == 1L && rep.backlogFiles == 0L, s"drained: $rep")
+    assert(rep.lastCommittedVersion.exists(_.startsWith("MANIFEST-")))
+
+    // new un-consumed log file shows up as backlog on the stored report? —
+    // the report is a snapshot; a fresh drain consumes it and re-zeroes
+    writeLog(log, 2, Seq(ev("u3", 3, 30, "click", "x")))
+    val rep2 = sup.waitUntilDrained("idx")
+    assert(rep2.processedFiles == 2L && rep2.backlogFiles == 0L)
+    assert(sup.progressReport("idx").contains(rep2))
+  }
 }

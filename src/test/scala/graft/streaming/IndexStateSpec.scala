@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.core.IndexerCore
+import graft.sink.Sharding
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** The bucketed index state must (a) rewrite ONLY the buckets a batch's
+  * ops hash into, (b) keep untouched buckets on their old directories via
+  * the manifest, and (c) produce exactly the state the unbucketed DocOp
+  * algebra would. */
+class IndexStateSpec extends SparkSpec {
+
+  private val B = 8
+
+  private def ops(rows: (String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("kind", "id")
+      .withColumn("doc", when(col("kind") === "add",
+        map(lit("v"), array(col("id")))))
+      .withColumn("rowValue", col("id"))
+      .withColumn("familyValue", lit(null).cast("string"))
+      .withColumn("queryRow", lit(null).cast("string"))
+      .withColumn("queryFamily", lit(null).cast("string"))
+  }
+
+  private def stateIds(st: IndexState): Set[String] =
+    st.read().map(_.select("id").collect().map(_.getString(0)).toSet).getOrElse(Set.empty)
+
+  test("a batch touching k buckets rewrites exactly k bucket directories") {
+    val dir = Files.createTempDirectory("graft_state").toString
+    val st = new IndexState(dir, spark, B)
+
+    // batch 0: ids spread over several buckets
+    val ids0 = Seq("a", "b", "c", "d", "e", "f", "g", "h")
+    val touched0 = MutationStream.applyBatch(spark, st, ops(ids0.map(("add", _)): _*), 0L)
+    assert(touched0.toSet == ids0.map(Sharding.md5Shard(_, B)).toSet)
+    val manifest0 = st.currentManifest
+
+    // batch 1: one id → exactly one bucket rewritten
+    val touched1 = MutationStream.applyBatch(spark, st, ops(("add", "a")), 1L)
+    assert(touched1 == Seq(Sharding.md5Shard("a", B)))
+    val v1Buckets = Paths.get(dir, "v000000001").toFile.listFiles()
+      .filter(_.getName.startsWith(s"${IndexState.BucketCol}=")).map(_.getName).toSeq
+    assert(v1Buckets == Seq(s"${IndexState.BucketCol}=${Sharding.md5Shard("a", B)}"))
+
+    // untouched buckets still point at their batch-0 directories
+    val manifest1 = st.currentManifest
+    (manifest0 - Sharding.md5Shard("a", B)).foreach { case (k, d) =>
+      assert(manifest1(k) == d, s"bucket $k must keep its old dir")
+    }
+    assert(manifest1(Sharding.md5Shard("a", B)).startsWith("v000000001/"))
+    assert(stateIds(st) == ids0.toSet)
+  }
+
+  test("bucketed state == unbucketed applyOps, and emptied buckets leave the manifest") {
+    val dir = Files.createTempDirectory("graft_state").toString
+    val st = new IndexState(dir, spark, B)
+    val b0 = ops(("add", "a"), ("add", "b"), ("add", "c"))
+    val b1 = ops(("deleteById", "a"), ("add", "d"), ("add", "b"))
+    MutationStream.applyBatch(spark, st, b0, 0L)
+    MutationStream.applyBatch(spark, st, b1, 1L)
+
+    val expected = IndexerCore.applyOps(
+      IndexerCore.applyOps(
+        b0.filter(lit(false)).select("id", "doc", "rowValue", "familyValue"), b0),
+      b1).select("id").collect().map(_.getString(0)).toSet
+    assert(stateIds(st) == expected && expected == Set("b", "c", "d"))
+
+    // delete the last doc of a bucket: the bucket must drop out entirely
+    val onlyC = Sharding.md5Shard("c", B)
+    assert(st.currentManifest.contains(onlyC))
+    MutationStream.applyBatch(spark, st, ops(("deleteById", "c")), 2L)
+    if (Set("b", "d").map(Sharding.md5Shard(_, B)).contains(onlyC))
+      assert(st.currentManifest.contains(onlyC)) // shared bucket survives
+    else
+      assert(!st.currentManifest.contains(onlyC))
+    assert(stateIds(st) == Set("b", "d"))
+  }
+}
