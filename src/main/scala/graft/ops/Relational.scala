@@ -135,6 +135,14 @@ object Relational {
       labels = next
       iter += 1
     }
+    // silent wrong labels are worse than a loud stop: a non-converged run
+    // means a component wider than maxIter hops (e.g. a long near-dup
+    // chain) would get SPLIT keeper assignments
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations — " +
+          "graph diameter exceeds maxIter; raise maxIter (label propagation " +
+          "needs O(diameter) rounds)")
     val sizes = labels.groupBy(col("lbl").as("_l")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, col("lbl") === col("_l"))
       .select(col("node"), col("lbl").as("cluster"), col("cluster_size"))

@@ -24,36 +24,44 @@ object Sampling {
     *     is sorted (by quality desc, id) to fill the remainder exactly.
     *
     * Tiers are strictly ordered by quality (floor quantization), so the
-    * result is exactly the global greedy prefix. Output: idCol, tokCol,
-    * qCol of the selected documents.
+    * result is exactly the global greedy prefix. Null quality sorts LAST
+    * (the `orderBy q desc` nulls-last convention) — null-q docs get the
+    * bottom tier, selected only after every scored doc. Output: idCol,
+    * tokCol, qCol of the selected documents.
     */
   def tokenBudget(docs: DataFrame, idCol: String, qCol: String, tokCol: String,
                   budget: Long, buckets: Int = 1000): DataFrame = {
+    // null → bottom tier (below any finite floor(q*buckets), which is
+    // clamped to NullTier+1)
+    val NullTier = Int.MinValue
+    val scoredTier = least(lit(buckets - 1),
+      greatest(lit(NullTier + 1L), floor(col(qCol) * buckets))).cast("int")
     val bucketed = docs.withColumn("_tier",
-      least(lit(buckets - 1), floor(col(qCol) * buckets)).cast("int"))
+      when(col(qCol).isNotNull, scoredTier).otherwise(lit(NullTier)))
 
     val hist = bucketed.groupBy("_tier").agg(sum(col(tokCol)).as("toks"))
       .collect().map(r => r.getInt(0) -> r.getLong(1))
-      .sortBy(-_._1)
+      .sortBy(_._1)(Ordering[Int].reverse) // NOT -x: -Int.MinValue overflows
 
     var running = 0L
-    var boundary = Int.MinValue
+    var boundary: Option[Int] = None
     var aboveTotal = 0L
     hist.foreach { case (tier, toks) =>
-      if (boundary == Int.MinValue) {
-        if (running + toks > budget) { boundary = tier; aboveTotal = running }
+      if (boundary.isEmpty) {
+        if (running + toks > budget) { boundary = Some(tier); aboveTotal = running }
         else running += toks
       }
     }
-    if (boundary == Int.MinValue)
-      return docs.select(idCol, tokCol, qCol) // whole corpus fits
+    val b = boundary.getOrElse(
+      return docs.select(idCol, tokCol, qCol)) // whole corpus fits
 
-    val above = bucketed.filter(col("_tier") > boundary)
+    val above = bucketed.filter(col("_tier") > b)
       .select(idCol, tokCol, qCol)
-    // only the boundary tier is sorted; `aboveTotal` offsets its cumsum
+    // only the boundary tier is sorted; `aboveTotal` offsets its cumsum.
+    // desc = nulls-last, matching the global ordering when b == NullTier
     val w = Window.partitionBy().orderBy(col(qCol).desc, col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val boundaryKept = bucketed.filter(col("_tier") === boundary)
+    val boundaryKept = bucketed.filter(col("_tier") === b)
       .withColumn("_cum", sum(col(tokCol)).over(w) + lit(aboveTotal))
       .filter(col("_cum") <= budget)
       .select(idCol, tokCol, qCol)

@@ -79,13 +79,16 @@ class ErrorIsolatingWriter(delegate: DocWriter, metrics: SinkMetrics) extends Do
 }
 
 /** S8: per-shard buffering decorator; flushes at `bufferSize` and on
-  * close. Deletes flush the add-buffer first so in-buffer ordering is
-  * preserved per shard. */
+  * close. Buffering either kind flushes the shard's OTHER buffer first,
+  * so per-shard add/delete ordering is always preserved (at most one
+  * buffer is ever non-empty per shard): delete(X) then add(X) must leave
+  * X present, and add(X) then delete(X) must leave it absent. */
 class BufferedDocWriter(delegate: DocWriter, bufferSize: Int = 100) extends DocWriter {
   private val addBuf = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.ArrayBuffer[Doc]]
   private val delBuf = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.ArrayBuffer[String]]
 
   override def add(shard: Int, docs: Seq[Doc]): Unit = {
+    flushDeletes(shard)
     val b = addBuf.getOrElseUpdate(shard, scala.collection.mutable.ArrayBuffer.empty)
     b ++= docs
     if (b.size >= bufferSize) flushShard(shard)
@@ -101,9 +104,12 @@ class BufferedDocWriter(delegate: DocWriter, bufferSize: Int = 100) extends DocW
   private def flushAdds(shard: Int): Unit =
     addBuf.remove(shard).filter(_.nonEmpty).foreach(b => delegate.add(shard, b.toSeq))
 
+  private def flushDeletes(shard: Int): Unit =
+    delBuf.remove(shard).filter(_.nonEmpty).foreach(b => delegate.deleteById(shard, b.toSeq))
+
   private def flushShard(shard: Int): Unit = {
     flushAdds(shard)
-    delBuf.remove(shard).filter(_.nonEmpty).foreach(b => delegate.deleteById(shard, b.toSeq))
+    flushDeletes(shard)
   }
 
   def flush(): Unit = (addBuf.keySet ++ delBuf.keySet).toSeq.foreach(flushShard)

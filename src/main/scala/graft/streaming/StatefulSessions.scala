@@ -26,13 +26,19 @@ object StatefulSessions {
   case class Session(user_id: Long, sess_id: Long, n_events: Long,
                      start_s: Long, end_s: Long, dur_s: Long)
 
-  /** Per-user state transition: sort the batch's events, fold them into
-    * the open session, emit every session that closes; keep the last one
-    * open (emitted only on `flushOpen`). */
-  private def update(gapSec: Long, flushOpen: Boolean)(
+  /** Sentinel event id marking end-of-stream for a user: flushes the open
+    * session out of state without contributing an event itself. */
+  val SentinelId: Long = Long.MinValue
+
+  /** Per-user state transition: sort the batch's real events, fold them
+    * into the open session, emit every session that closes; the last one
+    * stays open IN STATE across micro-batches (never per-batch flushed —
+    * sessions spanning batches must not split). A sentinel event flushes
+    * and clears the state. */
+  private def update(gapSec: Long)(
       user: Long, events: Iterator[Ev], state: GroupState[OpenSession]): Iterator[Session] = {
-    val sorted = events.toSeq.sortBy(e => (e.ts_s, e.event_id))
-    if (sorted.isEmpty) return Iterator.empty
+    val (sentinels, real) = events.toSeq.partition(_.event_id == SentinelId)
+    val sorted = real.sortBy(e => (e.ts_s, e.event_id))
     var open = state.getOption
     val out = Seq.newBuilder[Session]
     sorted.foreach { e =>
@@ -45,7 +51,7 @@ object StatefulSessions {
           Some(OpenSession(e.ts_s, e.ts_s, 1, s.sess_id + 1))
       }
     }
-    if (flushOpen) {
+    if (sentinels.nonEmpty) {
       open.foreach(s =>
         out += Session(user, s.sess_id, s.n_events, s.start_s, s.end_s, s.end_s - s.start_s))
       state.remove()
@@ -56,28 +62,51 @@ object StatefulSessions {
   }
 
   /** Drain a finite event log into its complete session set. `events`
-    * needs columns (user_id, event_id, ts_s). */
+    * needs columns (user_id, event_id, ts_s).
+    *
+    * Two-phase drain, safe under ANY micro-batch split of the log (the
+    * stream runs with maxFilesPerTrigger=1, so multi-batch is exercised,
+    * not assumed away): phase 1 folds all real events, carrying open
+    * sessions in state across batches; phase 2 appends one sentinel event
+    * per user and resumes from the checkpoint, flushing the final open
+    * sessions. On an unbounded stream the same flush comes from an
+    * event-time timeout instead of a sentinel. */
   def sessionizeToCompletion(spark: SparkSession, events: DataFrame,
                              workDir: String, gapSec: Long = 3600L): DataFrame = {
     import spark.implicits._
     val logDir = s"$workDir/log"
-    events.select(col("user_id").cast("long"), col("event_id").cast("long"),
-        col("ts_s").cast("long"))
-      .coalesce(4).write.mode("overwrite").parquet(logDir)
-    val src: Dataset[Ev] = spark.readStream
-      .schema("user_id long, event_id long, ts_s long")
-      .parquet(logDir).as[Ev]
-    val q = src
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.NoTimeout())(update(gapSec, flushOpen = true))
-      .writeStream
-      .format("memory").queryName("graft_sessions")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", s"$workDir/ckpt")
-      .start()
-    q.awaitTermination()
-    spark.table("graft_sessions")
+    val typed = events.select(col("user_id").cast("long"), col("event_id").cast("long"),
+      col("ts_s").cast("long"))
+    typed.coalesce(4).write.mode("overwrite").parquet(logDir)
+
+    // parquet sink (not memory): the phase-2 query RESUMES from phase 1's
+    // checkpoint, and only durable sinks support checkpoint recovery
+    val outDir = s"$workDir/sessions"
+    def drain(): Unit = {
+      val src: Dataset[Ev] = spark.readStream
+        .schema("user_id long, event_id long, ts_s long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(logDir).as[Ev]
+      val q = src
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(
+          OutputMode.Append(), GroupStateTimeout.NoTimeout())(update(gapSec))
+        .writeStream
+        .format("parquet").option("path", outDir)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .start()
+      q.awaitTermination()
+    }
+
+    drain()
+    typed.select(col("user_id")).distinct()
+      .withColumn("event_id", lit(SentinelId)).withColumn("ts_s", lit(Long.MaxValue))
+      .coalesce(1).write.mode("append").parquet(logDir)
+    drain()
+    spark.read
+      .schema("user_id long, sess_id long, n_events long, start_s long, end_s long, dur_s long")
+      .parquet(outDir)
   }
 }

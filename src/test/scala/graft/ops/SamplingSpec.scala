@@ -12,8 +12,13 @@ class SamplingSpec extends SparkSpec {
   test("tier-histogram selection == global-window greedy prefix across budgets") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
+    // ~5% null quality: must sort LAST (selected only once every scored
+    // doc is in), matching orderBy(q desc) nulls-last
     val docs = (1L to 400L).map { id =>
-      (id, math.floor(rnd.nextDouble() * 1000) / 1000.0, 10L + rnd.nextInt(90))
+      val q: Option[Double] =
+        if (rnd.nextInt(20) == 0) None
+        else Some(math.floor(rnd.nextDouble() * 1000) / 1000.0)
+      (id, q, 10L + rnd.nextInt(90))
     }.toDF("doc_id", "q", "n_tokens")
 
     val w = Window.partitionBy().orderBy(col("q").desc, col("doc_id"))

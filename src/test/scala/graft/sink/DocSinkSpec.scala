@@ -46,6 +46,16 @@ class DocSinkSpec extends SparkSpec {
     assert(!store.store.containsKey((0, "c")))
   }
 
+  test("S8: delete-then-add of the same id leaves the doc present") {
+    val store = new InMemoryDocStore()
+    val w = new BufferedDocWriter(new ErrorIsolatingWriter(store, new SinkMetrics), bufferSize = 10)
+    w.add(0, Seq(doc("x")))
+    w.deleteById(0, Seq("x"))
+    w.add(0, Seq(doc("x"))) // must flush the pending delete BEFORE buffering
+    w.close()
+    assert(store.store.containsKey((0, "x")), "delete→add inverted at flush")
+  }
+
   test("A5: JVM md5Shard is bit-identical to the md5_shard SQL expression") {
     import spark.implicits._
     val ids = (1 to 200).map(_.toString)
