@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,22 +14,38 @@ object Bench {
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: session/codegen/parquet-footer costs land here, not on the
-    // first measured query
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // noop sink: forces full evaluation of every output column — count()
+    // would let the optimizer prune projection-only work and under-report
+    def run(name: String): Option[String] =
+      try {
+        SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        None
+      } catch {
+        case t: Throwable => Some(t.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(200))
+      }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // one full untimed pass first: JIT/codegen-cache/parquet-footer costs
+    // land here, so ~1s run-order noise can't masquerade as a regression
+    // on the sub-second shuffle-free queries
+    if (warmup) names.foreach(run)
+
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      // noop sink: forces full evaluation of every output column — count()
-      // would let the optimizer prune projection-only work and under-report
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = run(name)
+      val secs = (System.nanoTime() - t0) / 1e9
+      // a failed query must be distinguishable from a fast one: -1 marker
+      err.foreach(errors.put(name, _))
+      name -> (if (err.isEmpty) secs else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
