@@ -1,0 +1,109 @@
+package graft.registry
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+/** C5: the REST operation layer — the reference's remote management
+  * surface (/root/reference hbase-indexer-server
+  * .../rest/IndexerResource.java:60-196):
+  *
+  *   GET  /indexer                          → list definitions
+  *   GET  /indexer/{name}                   → one definition
+  *   GET  /indexer/{name}/config            → the mapping config XML
+  *   PUT  /indexer/{name}                   → update with OCC (409 on a
+  *                                            stale occVersion)
+  *   POST /indexer/{name}?action=index&id=… → one-row reindex (S5)
+  *   POST /indexer?action=index&indexes=a,b → batch rebuild of the named
+  *                                            indexers
+  *
+  * The operation set is the parity target; dispatch is transport-
+  * independent ([[IndexerResource.handle]]) so it is testable in-process,
+  * with a thin JDK HttpServer binding ([[RestServer]]) for actual remote
+  * management — no extra dependencies. */
+case class ApiResponse(status: Int, body: String, contentType: String = "application/json")
+
+class IndexerResource(registry: IndexerRegistry, supervisor: IndexerSupervisor) {
+
+  private def ok(body: String) = ApiResponse(200, body)
+  private def err(status: Int, msg: String) =
+    ApiResponse(status, s"""{"error": "${msg.replaceAll("[\"\\\\\n\r\t]", " ")}"}""")
+  private def notFound(name: String) = err(404, s"no such indexer: $name")
+
+  def handle(method: String, path: String, params: Map[String, String],
+             body: String): ApiResponse = {
+    val segs = path.split("/").toList.filter(_.nonEmpty)
+    (method.toUpperCase, segs) match {
+      case ("GET", List("indexer")) =>
+        ok(registry.list().map(registry.toJson).mkString("[", ",\n", "]"))
+
+      case ("GET", List("indexer", name)) =>
+        registry.get(name).map(d => ok(registry.toJson(d))).getOrElse(notFound(name))
+
+      case ("GET", List("indexer", name, "config")) =>
+        registry.get(name).map(d => ApiResponse(200, d.configXml, "text/xml"))
+          .getOrElse(notFound(name))
+
+      case ("PUT", List("indexer", name)) =>
+        try {
+          val d = registry.fromJson(body)
+          if (d.name != name) err(400, s"definition name '${d.name}' does not match path '$name'")
+          else ok(registry.toJson(registry.update(d)))
+        } catch {
+          case e: ConcurrentModificationError => err(409, e.getMessage)
+          case e: IllegalStateException => err(404, e.getMessage)
+          case e: Exception => err(400, s"bad definition: ${e.getMessage}")
+        }
+
+      case ("POST", List("indexer", name)) if params.get("action").contains("index") =>
+        params.get("id") match {
+          case None => err(400, "missing id parameter")
+          case Some(id) =>
+            if (registry.get(name).isEmpty) notFound(name)
+            else ok(s"""{"indexer": "$name", "id": "$id", "ops": ${supervisor.reindexRow(name, id)}}""")
+        }
+
+      case ("POST", List("indexer")) if params.get("action").contains("index") =>
+        val names = params.getOrElse("indexes", "").split(",").map(_.trim).filter(_.nonEmpty)
+        val missing = names.filterNot(n => registry.get(n).isDefined)
+        if (names.isEmpty) err(400, "missing indexes parameter")
+        else if (missing.nonEmpty) notFound(missing.mkString(","))
+        else {
+          names.foreach(supervisor.requestBatchBuild)
+          supervisor.sync()
+          ok(names.map(n => s""""$n"""").mkString("{\"rebuilt\": [", ",", "]}"))
+        }
+
+      case _ => err(404, s"no such operation: $method $path")
+    }
+  }
+}
+
+/** Minimal HTTP binding over the JDK's built-in server. Bind with port=0
+  * for an ephemeral port (see [[boundPort]]). */
+class RestServer(resource: IndexerResource, port: Int = 0) {
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.createContext("/", (ex: HttpExchange) => {
+    val resp =
+      try {
+        val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+        val params = q.split("&").toSeq.filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        resource.handle(ex.getRequestMethod, ex.getRequestURI.getPath, params, body)
+      } catch {
+        case e: Exception => ApiResponse(500, s"""{"error": "internal: ${e.getClass.getSimpleName}"}""")
+      }
+    val bytes = resp.body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", resp.contentType)
+    ex.sendResponseHeaders(resp.status, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  })
+  server.start()
+
+  def boundPort: Int = server.getAddress.getPort
+  def stop(): Unit = server.stop(0)
+}

@@ -124,6 +124,27 @@ class IndexerSupervisor(
     }
   }
 
+  /** S5 one-row reindex (REST `POST /indexer/{name}?action=index&id=…`,
+    * reference IndexerResource.java:141-182): re-run the mapping pipeline
+    * for a single row key from the indexer's log and upsert the result
+    * into its bucketed state — a point repair without a full rebuild.
+    * Returns the number of ops applied. */
+  def reindexRow(name: String, rowKey: String): Long = {
+    val d = registry.get(name)
+      .getOrElse(throw new IllegalStateException(s"no such indexer: $name"))
+    val conf = IndexerConf.fromXml(d.configXml)
+    val events = spark.read
+      .schema(graft.model.Schemas.mutationEvent)
+      .parquet(logDirFor(name))
+      .filter(org.apache.spark.sql.functions.col("rowKey") === rowKey)
+    val ops = MutationStream.opsWithSinkMeta(
+      conf, graft.core.IndexerCore.rowPath(conf, None)(events))
+    val n = ops.count()
+    val state = new graft.streaming.IndexState(dirs(name)._1, spark)
+    MutationStream.applyBatch(spark, state, ops, System.currentTimeMillis())
+    n
+  }
+
   /** Re-subscribe after DO_NOT_SUBSCRIBE: stamps subscriptionTimestamp =
     * now, so pre-existing log history is skipped (SepModelImpl records the
     * subscription timestamp at peer creation the same way). */

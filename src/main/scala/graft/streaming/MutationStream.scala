@@ -129,7 +129,7 @@ object MutationStream {
   /** Document fields the sink needs for deleteByQuery — the reference
     * injects row/family fields into each doc for exactly this reason
     * (SURVEY §7.4 hard-part 2). */
-  private def opsWithSinkMeta(conf: IndexerConf, ops: DataFrame): DataFrame =
+  private[graft] def opsWithSinkMeta(conf: IndexerConf, ops: DataFrame): DataFrame =
     ops.select(
       col("kind"), col("id"), col("doc"),
       col("rowKey").as("rowValue"),

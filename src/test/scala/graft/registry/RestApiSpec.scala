@@ -1,0 +1,80 @@
+package graft.registry
+
+import graft.SparkSpec
+import graft.model.{Cell, MutationEvent}
+import org.apache.spark.sql.functions._
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+/** C5: the full reference REST operation set
+  * (IndexerResource.java:60-196) driven over actual HTTP — list, get,
+  * get-config, update-with-OCC (409 on stale), one-row reindex, batch
+  * rebuild — against a live registry + supervisor. */
+class RestApiSpec extends SparkSpec {
+
+  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+
+  private val confXml =
+    """<indexer table="events" read-row="never">
+      |  <field name="val_s" value="evt:*" type="string"/>
+      |</indexer>""".stripMargin
+
+  private def ev(user: String, seq: Long, v: String) =
+    MutationEvent("events", user, seq, 10L, Seq(Cell("evt", "click", seq, "put", v)), None)
+
+  private val http = HttpClient.newHttpClient()
+  private def send(req: HttpRequest.Builder): HttpResponse[String] =
+    http.send(req.build(), HttpResponse.BodyHandlers.ofString())
+  private def get(url: String) = send(HttpRequest.newBuilder(URI.create(url)))
+  private def put(url: String, body: String) =
+    send(HttpRequest.newBuilder(URI.create(url)).PUT(HttpRequest.BodyPublishers.ofString(body)))
+  private def post(url: String) =
+    send(HttpRequest.newBuilder(URI.create(url)).POST(HttpRequest.BodyPublishers.noBody()))
+
+  test("REST operation parity: list / get / config / OCC update / reindex-row / rebuild") {
+    val reg = new IndexerRegistry(tmp("graft_rest_reg"))
+    val logs = tmp("graft_rest_logs")
+    val sup = new IndexerSupervisor(spark, reg, tmp("graft_rest_work"), n => s"$logs/$n")
+    val srv = new RestServer(new IndexerResource(reg, sup))
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      reg.add(IndexerDefinition("idx", confXml,
+        incrementalState = IncrementalIndexingState.SubscribeDoNotConsume))
+      import spark.implicits._
+      spark.createDataset(Seq(ev("u1", 1, "1.0"), ev("u2", 2, "2.0"))).toDF()
+        .coalesce(1).write.mode("append").parquet(s"$logs/idx")
+
+      // list + get + config
+      assert(get(s"$base/indexer").body().contains("\"idx\""))
+      val one = get(s"$base/indexer/idx")
+      assert(one.statusCode() == 200 && one.body().contains("SUBSCRIBE_DO_NOT_CONSUME"))
+      assert(get(s"$base/indexer/nope").statusCode() == 404)
+      val cfg = get(s"$base/indexer/idx/config")
+      assert(cfg.statusCode() == 200 && cfg.body() == confXml)
+
+      // update with OCC: good version passes, stale version → 409
+      val d0 = reg.get("idx").get
+      val upd = put(s"$base/indexer/idx",
+        reg.toJson(d0.copy(subscriptionTimestamp = 7L)))
+      assert(upd.statusCode() == 200 && reg.get("idx").get.subscriptionTimestamp == 7L)
+      val stale = put(s"$base/indexer/idx", reg.toJson(d0.copy(subscriptionTimestamp = 9L)))
+      assert(stale.statusCode() == 409, stale.body())
+      assert(reg.get("idx").get.subscriptionTimestamp == 7L)
+      assert(put(s"$base/indexer/other", reg.toJson(d0)).statusCode() == 400)
+
+      // one-row reindex: only u1 lands in the state
+      val rx = post(s"$base/indexer/idx?action=index&id=u1")
+      assert(rx.statusCode() == 200 && rx.body().contains("\"ops\": 1"), rx.body())
+      val ids = sup.indexState("idx").get.select("id").collect().map(_.getString(0)).toSet
+      assert(ids == Set("u1"))
+      assert(post(s"$base/indexer/idx?action=index").statusCode() == 400)
+      assert(post(s"$base/indexer/nope?action=index&id=x").statusCode() == 404)
+
+      // batch rebuild of named indexers
+      val rb = post(s"$base/indexer?action=index&indexes=idx")
+      assert(rb.statusCode() == 200 && rb.body().contains("idx"), rb.body())
+      assert(reg.get("idx").get.batchState == BatchIndexingState.Inactive)
+      assert(post(s"$base/indexer?action=index&indexes=nope").statusCode() == 404)
+    } finally srv.stop()
+  }
+}
