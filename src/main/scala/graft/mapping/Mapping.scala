@@ -83,29 +83,52 @@ object Mapping {
     }
   }
 
-  /** Spark type for a reference type name (§1.2 of SURVEY.md). */
-  def sparkCast(typeName: String): Option[String] = typeName match {
-    case "string"     => None
-    case "int"        => Some("int")
-    case "long"       => Some("long")
-    case "short"      => Some("short")
-    case "float"      => Some("float")
-    case "double"     => Some("double")
-    case "boolean"    => Some("boolean")
-    case "bigdecimal" => Some("decimal(38,18)")
-    case other        => throw new IllegalArgumentException(s"unknown type: $other")
+  /** Built-in type names → Spark cast target (§1.2 of SURVEY.md). `None`
+    * = string identity. `byte[]` is the morphline pass-through type
+    * (ExtractHBaseCellsBuilder.java:148-154): the raw bytes untouched. */
+  private val builtinCasts: Map[String, Option[String]] = Map(
+    "string"     -> None,
+    "int"        -> Some("int"),
+    "long"       -> Some("long"),
+    "short"      -> Some("short"),
+    "float"      -> Some("float"),
+    "double"     -> Some("double"),
+    "boolean"    -> Some("boolean"),
+    "bigdecimal" -> Some("decimal(38,18)"),
+    "byte[]"     -> Some("binary"))
+
+  def isBuiltinType(typeName: String): Boolean = builtinCasts.contains(typeName)
+
+  /** Spark type for a built-in reference type name. */
+  def sparkCast(typeName: String): Option[String] =
+    builtinCasts.getOrElse(typeName,
+      throw new IllegalArgumentException(s"unknown built-in type: $typeName"))
+
+  /** Custom-mapped multi-valued extraction (P5): one UDF call per row
+    * applies the plug-in to every raw value; malformed values yield
+    * nothing (ValueMapper.safeMap). The class loads at plan-compile time
+    * so an unknown name fails fast. */
+  private def extractMapped(raw: Column, className: String): Column = {
+    val mapper = ValueMapper.load(className)
+    val fn = udf((vs: Seq[String]) =>
+      if (vs == null) Seq.empty[String] else vs.flatMap(ValueMapper.safeMap(mapper, _)))
+    fn(raw)
   }
 
   /** Typed multi-valued extraction (array of the field's Spark type).
     * Malformed values become NULLs inside the array, then are dropped —
     * the reference's decode-failure-drops-value semantics
-    * (ByteArrayValueMappers.java:154-164). */
+    * (ByteArrayValueMappers.java:154-164). A non-built-in type name is a
+    * [[ValueMapper]] class (P5), reflectively loaded like the reference's
+    * ByteArrayValueMappers.java:128-142. */
   def extractTyped(cells: Column, f: FieldDef): Column = {
     val raw = extractRaw(cells, f)
-    sparkCast(f.typeName) match {
-      case None      => raw
-      case Some(typ) => filter(transform(raw, _.cast(typ)), _.isNotNull)
-    }
+    if (isBuiltinType(f.typeName))
+      sparkCast(f.typeName) match {
+        case None      => raw
+        case Some(typ) => filter(transform(raw, _.cast(typ)), _.isNotNull)
+      }
+    else extractMapped(raw, f.typeName)
   }
 
   /** The whole static-field document as a map<string, array<string>> —
@@ -117,11 +140,19 @@ object Mapping {
     val staticFields = conf.fields.filterNot(_.dynamicName)
     val dynFields = conf.fields.filter(_.dynamicName)
 
+    // built-in types keep the raw stored string in the doc; a custom
+    // ValueMapper type's doc values are the MAPPER's outputs (the
+    // reference stringifies mapper outputs into the Solr doc); a
+    // mapper-emptied field is then absent like any other empty field
+    def docValues(f: FieldDef): Column =
+      if (isBuiltinType(f.typeName)) extractRaw(cells, f)
+      else extractMapped(extractRaw(cells, f), f.typeName)
+
     val staticMap: Option[Column] = if (staticFields.isEmpty) None else Some(
       map_filter(
         map_from_arrays(
           array(staticFields.map(f => lit(f.name)): _*),
-          array(staticFields.map(f => extractRaw(cells, f)): _*)),
+          array(staticFields.map(f => docValues(f)): _*)),
         (_, v) => size(v) > 0))
 
     val dynMaps: Seq[Column] = dynFields.map { f =>
