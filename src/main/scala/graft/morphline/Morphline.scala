@@ -78,9 +78,38 @@ object Morphline {
     }
   }
 
+  private val varRe = """\$\{([A-Za-z0-9_.-]+)\}""".r
+
+  /** P11 `morphlineVariable.*` substitution: `${name}` placeholders in
+    * the config text resolve from the variables map BEFORE parsing — the
+    * reference substitutes indexer params into the HOCON config the same
+    * way (LocalMorphlineResultToSolrMapper.java:96-127); an unresolved
+    * variable fails at compile time, like HOCON resolution. */
+  def substitute(json: String, vars: Map[String, String]): String =
+    varRe.replaceAllIn(json, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        vars.getOrElse(m.group(1), throw new IllegalArgumentException(
+          s"unresolved morphline variable: $${${m.group(1)}}"))))
+
+  /** The reference's full param contract (LocalMorphlineResultToSolrMapper
+    * .java:96-160): `morphlineVariable.NAME=v` substitutes `${NAME}` in
+    * the config; `morphlineField.FIELD=v` force-adds FIELD to every
+    * record (before the chain runs, so sanitize sees it too). */
+  def withParams(json: String, params: Map[String, String])(cells: Column): Column = {
+    val vars = params.collect {
+      case (k, v) if k.startsWith("morphlineVariable.") =>
+        k.stripPrefix("morphlineVariable.") -> v
+    }
+    val forced = params.toSeq.collect {
+      case (k, v) if k.startsWith("morphlineField.") => k.stripPrefix("morphlineField.") -> v
+    }.sortBy(_._1)
+    compile(parse(substitute(json, vars)), forced)(cells)
+  }
+
   /** Compile the chain into a document expression over a `cells` column →
-    * map<string, array<string>>. */
-  def compile(commands: Seq[Command])(cells: Column): Column = {
+    * map<string, array<string>>. `forced` fields are present on every
+    * record ahead of the sanitize/log commands. */
+  def compile(commands: Seq[Command], forced: Seq[(String, String)] = Nil)(cells: Column): Column = {
     val doc = commands.collectFirst { case e: ExtractHBaseCells => e } match {
       case None => map_from_arrays(array(), array()).cast("map<string,array<string>>")
       case Some(e) =>
@@ -109,7 +138,12 @@ object Morphline {
               array(positional.map(p => when(p._2.isNotNull, array(p._2))): _*)),
             (_, v) => v.isNotNull))
     }
-    commands.foldLeft(doc) {
+    val withForced =
+      if (forced.isEmpty) doc
+      else map_concat(doc, map_from_arrays(
+        array(forced.map(f => lit(f._1)): _*),
+        array(forced.map(f => array(lit(f._2))): _*)))
+    commands.foldLeft(withForced) {
       case (d, SanitizeUnknownFields(known)) =>
         map_filter(d, (k, _) => k.isInCollection(known.map(lit(_))))
       case (d, _) => d

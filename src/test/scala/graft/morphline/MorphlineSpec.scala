@@ -1,0 +1,56 @@
+package graft.morphline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** P11: morphline variable substitution + forced fields (reference
+  * LocalMorphlineResultToSolrMapper.java:96-160 and the
+  * extractHBaseCellsWithVariables.conf fixture). */
+class MorphlineSpec extends SparkSpec {
+
+  private def cellsDf = {
+    import spark.implicits._
+    Seq(("r1", "alice")).toDF("rowKey", "v")
+      .select(col("rowKey"), array(struct(
+        lit("info").as("family"), lit("name").as("qualifier"),
+        lit(0L).as("ts"), lit("put").as("cellType"), col("v").as("value"))).as("cells"))
+  }
+
+  private val chain =
+    """{"commands": [
+      |  {"extractHBaseCells": {"mappings": [
+      |    {"inputColumn": "${cf}:name", "outputField": "name_s", "type": "string"}]}}
+      |]}""".stripMargin
+
+  private def docOf(params: Map[String, String], json: String = chain) =
+    cellsDf.select(Morphline.withParams(json, params)(col("cells")).as("doc"))
+      .collect().head.getMap[String, scala.collection.Seq[String]](0)
+
+  test("morphlineVariable.* substitutes ${var} in the chain config") {
+    val doc = docOf(Map("morphlineVariable.cf" -> "info"))
+    assert(doc.get("name_s").map(_.toList).contains(List("alice")))
+  }
+
+  test("unresolved variables fail at compile time") {
+    val e = intercept[IllegalArgumentException] { docOf(Map.empty) }
+    assert(e.getMessage.contains("${cf}"))
+  }
+
+  test("morphlineField.* force-adds fields to every record") {
+    val doc = docOf(Map(
+      "morphlineVariable.cf" -> "info", "morphlineField.source_s" -> "hbase"))
+    assert(doc.get("source_s").map(_.toList).contains(List("hbase")))
+  }
+
+  test("forced fields pass through sanitizeUnknownSolrFields like any record field") {
+    val sanitized =
+      """{"commands": [
+        |  {"extractHBaseCells": {"mappings": [
+        |    {"inputColumn": "info:name", "outputField": "name_s", "type": "string"}]}},
+        |  {"sanitizeUnknownSolrFields": {"knownFields": ["name_s"]}}
+        |]}""".stripMargin
+    val doc = docOf(Map("morphlineField.junk_s" -> "x"), sanitized)
+    assert(doc.contains("name_s") && !doc.contains("junk_s"),
+      "sanitize must filter a forced field that is not in the schema")
+  }
+}
