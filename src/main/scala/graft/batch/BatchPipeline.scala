@@ -4,6 +4,7 @@ import graft.conf.IndexerConf
 import graft.core.IndexerCore
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** The batch path (reference hbase-indexer-mr, SURVEY §3.2): a pushed-down
   * snapshot scan through the same IndexerCore mapping calculus, then an
@@ -70,4 +71,53 @@ object BatchPipeline {
     * the serving layer at the new directory"). */
   def readShards(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
+
+  /** S12 go-live with validation: atomically repoint the serving layer at
+    * a freshly built shard set, mirroring the reference's all-or-nothing
+    * contract (GoLive.java:52-140 fails the WHOLE go-live if any shard
+    * merge fails — a half-deployed index never serves). Pre-flip checks:
+    * the build completed (`_SUCCESS`), at least one shard directory
+    * exists, all shard ids are < `numShards`, and the total row count
+    * matches `expectedRows` when given (the reference's analogue is the
+    * per-shard merge RPC succeeding). Only after every check passes is
+    * `serveDir/CURRENT` rewritten — the same pointer-flip commit as the
+    * streaming IndexState; a failed validation throws and leaves the old
+    * pointer (and thus the old live index) untouched. Returns the total
+    * row count gone live. */
+  def goLive(spark: SparkSession, shardsDir: String, serveDir: String,
+             numShards: Int, expectedRows: Option[Long] = None): Long = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(shardsDir)
+    require(Files.isDirectory(root), s"go-live: no shard build at $shardsDir")
+    require(Files.exists(root.resolve("_SUCCESS")),
+      s"go-live: build at $shardsDir is incomplete (no _SUCCESS marker)")
+    val shardDirs = {
+      val s = Files.list(root)
+      try s.iterator().asScala.filter(p => p.getFileName.toString.startsWith("shard=")).toSeq
+      finally s.close()
+    }
+    require(shardDirs.nonEmpty, s"go-live: no shard directories under $shardsDir")
+    val ids = shardDirs.map(_.getFileName.toString.stripPrefix("shard=").toInt)
+    require(ids.forall(k => k >= 0 && k < numShards),
+      s"go-live: unexpected shard ids ${ids.filterNot(k => k >= 0 && k < numShards)} (numShards=$numShards)")
+    shardDirs.foreach { d =>
+      val s = Files.list(d)
+      val hasData = try s.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+      require(hasData, s"go-live: shard directory $d has no data files")
+    }
+    val rows = spark.read.parquet(shardsDir).count()
+    expectedRows.foreach(e => require(rows == e,
+      s"go-live: shard build holds $rows rows, expected $e"))
+    Files.createDirectories(Paths.get(serveDir))
+    Files.writeString(Paths.get(serveDir, "CURRENT"), root.toAbsolutePath.toString)
+    rows
+  }
+
+  /** The currently served index (whatever go-live last validated). */
+  def currentServing(spark: SparkSession, serveDir: String): Option[DataFrame] = {
+    import java.nio.file.{Files, Paths}
+    val ptr = Paths.get(serveDir, "CURRENT")
+    if (Files.exists(ptr)) Some(spark.read.parquet(Files.readString(ptr).trim)) else None
+  }
 }

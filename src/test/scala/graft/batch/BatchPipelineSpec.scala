@@ -49,4 +49,34 @@ class BatchPipelineSpec extends SparkSpec {
       .filter(col("shard") =!= col("expect")).count()
     assert(mismatch == 0)
   }
+
+  test("go-live validates before the pointer flip; failure leaves the old pointer") {
+    import java.nio.file.{Files, Paths}
+    val work = java.nio.file.Files.createTempDirectory("graft_golive").toString
+    val ops = BatchPipeline.run(conf, Fixtures.customerCells(spark, sf0001))
+    val nAdds = ops.filter(col("kind") === "add").count()
+    BatchPipeline.buildShards(ops.select("kind", "id", "doc"), 4, s"$work/v1")
+    val serve = s"$work/serve"
+
+    // happy path: validation passes, CURRENT points at v1
+    assert(BatchPipeline.goLive(spark, s"$work/v1", serve, 4, Some(nAdds)) == nAdds)
+    assert(BatchPipeline.currentServing(spark, serve).get.count() == nAdds)
+    val livePtr = Files.readString(Paths.get(serve, "CURRENT"))
+
+    // row-count mismatch → throws, pointer untouched
+    BatchPipeline.buildShards(ops.select("kind", "id", "doc").limit(3), 4, s"$work/v2")
+    intercept[IllegalArgumentException] {
+      BatchPipeline.goLive(spark, s"$work/v2", serve, 4, Some(nAdds))
+    }
+    assert(Files.readString(Paths.get(serve, "CURRENT")) == livePtr)
+
+    // incomplete build (no _SUCCESS) → throws, pointer untouched
+    Files.delete(Paths.get(s"$work/v2", "_SUCCESS"))
+    intercept[IllegalArgumentException] {
+      BatchPipeline.goLive(spark, s"$work/v2", serve, 4)
+    }
+    assert(Files.readString(Paths.get(serve, "CURRENT")) == livePtr)
+    assert(BatchPipeline.currentServing(spark, serve).get.count() == nAdds,
+      "old index still serves after failed go-lives")
+  }
 }
