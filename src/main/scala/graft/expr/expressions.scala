@@ -327,6 +327,12 @@ object hfunctions {
   /** winnowing fingerprint hashes of a text column (compiled pass) */
   def winnow_hashes(text: Column, k: Int, w: Int): Column = expr2col(WinnowHashes(col2expr(text), k, w))
 
+  /** bounded-heap top-k aggregate: array<struct<n_id,sim,rk>> of the k
+    * highest-scoring (score,id) pairs per group, partial-aggregated
+    * map-side so the shuffle carries ≤ groups×k rows */
+  def topk_by(score: Column, id: Column, k: Int): Column =
+    expr2col(TopKByScore(col2expr(score), col2expr(id), k).toAggregateExpression())
+
   def hbase_to_int(c: Column): Column = hbase_decode(c, "int")
   def hbase_to_long(c: Column): Column = hbase_decode(c, "long")
   def hbase_to_short(c: Column): Column = hbase_decode(c, "short")

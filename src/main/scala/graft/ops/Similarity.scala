@@ -51,17 +51,20 @@ object Similarity {
 
   /** Brute-force cosine top-k for each query vector. `queries` and corpus
     * in prep() shape. Query side is broadcast — the corpus is scanned
-    * once, never shuffled. */
+    * once, never shuffled — and the per-query top-k is a bounded-heap
+    * PARTIAL aggregate ([[graft.expr.TopKByScore]]): each task keeps ≤ k
+    * candidates per query, so the exchange carries ≤ queries×k×tasks rows
+    * instead of the full |corpus|×|queries| scored set that a
+    * `row_number over (partition by q_id)` window would shuffle. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = queries.select(col("vec_id").as("q_id"), col("q").as("q_vec"), col("nq").as("q_nq"))
     val scored = corpus.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", cosineq(col("q"), col("q_vec"), col("nq"), col("q_nq")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("vec_id").as("n_id"), col("sim"), col("rk").cast("long").as("rk"))
+    scored.groupBy(col("q_id"))
+      .agg(graft.expr.hfunctions.topk_by(col("sim"), col("vec_id"), k).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.n_id").as("n_id"), col("t.sim").as("sim"), col("t.rk").as("rk"))
   }
 
   /** Deterministic integer hyperplane coefficient for (plane, dim):

@@ -28,6 +28,29 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
+  test("bruteForceTopK: bounded-heap aggregate == window row_number, no Window in plan") {
+    import org.apache.spark.sql.expressions.Window
+    val queries = corpus.filter(col("vec_id") < 7)
+    val got = Similarity.bruteForceTopK(corpus, queries, 5)
+      .orderBy("q_id", "rk").collect().toSeq
+
+    val q = queries.select(col("vec_id").as("q_id"), col("q").as("q_vec"), col("nq").as("q_nq"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", Similarity.cosineq(col("q"), col("q_vec"), col("nq"), col("q_nq")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    val expected = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("sim"), col("rk").cast("long").as("rk"))
+      .orderBy("q_id", "rk").collect().toSeq
+    assert(got == expected)
+
+    val plan = Similarity.bruteForceTopK(corpus, queries, 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "top-k must not shuffle all scored pairs into a window")
+    assert(plan.contains("partial_topk_by"), "map-side partial aggregation expected:\n" + plan.take(900))
+  }
+
   test("plane coefficients match the md5-derived planeCoef expression") {
     val viaExpr = spark.range(1).select(
       (0 until 4).flatMap(p => (0 until 3).map(d =>
