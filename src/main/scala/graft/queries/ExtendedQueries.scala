@@ -313,6 +313,50 @@ object ExtendedQueries {
           element_at(col("doc")("name_u"), 1).as("name_u"),
           element_at(col("doc")("mktsegment_u"), 1).as("mkt_u"))
         .orderBy(col("id"))
+    }),
+
+    // P11: morphlineVariable.* substitution into the chain config +
+    // morphlineField.* forced fields on every record (reference
+    // LocalMorphlineResultToSolrMapper.java:96-160; fixture
+    // extractHBaseCellsWithVariables.conf)
+    "x22_morphline_vars" -> ((s, dir) => {
+      val chain =
+        """{"commands": [
+          |  {"extractHBaseCells": {"mappings": [
+          |    {"inputColumn": "${cf}:name", "outputField": "name_s", "type": "string"}]}},
+          |  {"sanitizeUnknownSolrFields": {"knownFields": ["name_s", "source_s"]}}
+          |]}""".stripMargin
+      val doc = graft.morphline.Morphline.withParams(chain, Map(
+        "morphlineVariable.cf" -> "info",
+        "morphlineField.source_s" -> "hbase"))(col("cells"))
+      graft.core.Fixtures.customerCells(s, dir)
+        .select(col("rowKey").as("id"), doc.as("doc"))
+        .select(col("id"),
+          element_at(col("doc")("name_s"), 1).as("name_s"),
+          element_at(col("doc")("source_s"), 1).as("source_s"))
+        .orderBy(col("id"))
+    }),
+
+    // P5: custom VALUE-mapper plug-in as a field type (reflective load —
+    // reference ByteArrayValueMappers.java:128-142): multi-valued emit
+    // ('Customer#000000042' → two values) and malformed-drops-value
+    // (mktsegment has no '#' → field absent → null column)
+    "x23_value_mapper" -> ((s, dir) => {
+      val conf = graft.conf.IndexerConf(
+        table = "customer", rowReadMode = graft.conf.RowReadMode.Never,
+        fields = Seq(
+          graft.conf.FieldDef("parts", "info:name",
+            graft.conf.ValueSource.Value, "graft.mapping.SplitHashMapper"),
+          graft.conf.FieldDef("seg_p", "info:mktsegment",
+            graft.conf.ValueSource.Value, "graft.mapping.SplitHashMapper")))
+      graft.core.Fixtures.customerCells(s, dir)
+        .select(col("rowKey").as("id"),
+          graft.mapping.Mapping.docMap(conf)(col("cells")).as("doc"))
+        .select(col("id"),
+          element_at(col("doc")("parts"), 1).as("p1"),
+          element_at(col("doc")("parts"), 2).as("p2"),
+          element_at(col("doc")("seg_p"), 1).as("seg_p"))
+        .orderBy(col("id"))
     })
   )
 
@@ -586,6 +630,18 @@ object ExtendedQueries {
     "x20_custom_mapper" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS id,
         |  upper(c_name) AS name_u, upper(c_mktsegment) AS mkt_u
+        |FROM customer ORDER BY id""".stripMargin,
+
+    "x22_morphline_vars" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS id,
+        |  c_name AS name_s, 'hbase' AS source_s
+        |FROM customer ORDER BY id""".stripMargin,
+
+    "x23_value_mapper" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS id,
+        |  string_split(c_name, '#')[1] AS p1,
+        |  string_split(c_name, '#')[2] AS p2,
+        |  CAST(NULL AS VARCHAR) AS seg_p
         |FROM customer ORDER BY id""".stripMargin,
 
     // qualifier sort order of the info family is

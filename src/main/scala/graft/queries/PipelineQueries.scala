@@ -97,6 +97,18 @@ object PipelineQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // maxDf skew guard under oracle: every doc gets the same boilerplate
+    // tail (shingle df = corpus size ≫ cap), the cap drops those
+    // ubiquitous shingles from pair intersections while n_sh stays the
+    // FULL set size — exactly the capped-semantics the 100 TB skew story
+    // relies on
+    "d09_jaccard_maxdf" -> ((s, dir) => {
+      val noisy = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" the quick brown fox jumps over the lazy dog")).as("text"))
+      Dedup.jaccardPairs(noisy, "doc_id", "text", n = 3, threshold = 0.5, maxDf = Some(100))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // ---- similarity search ----
 
     "a01_ann_brute" -> ((s, dir) => {
@@ -207,6 +219,28 @@ object PipelineQueries {
          |WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.5
          |ORDER BY p.a_id, p.b_id""".stripMargin
     },
+
+    "d09_jaccard_maxdf" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, text || ' the quick brown fox jumps over the lazy dog' AS text
+        |  FROM documents),
+        |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM docs2),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |  FROM tok WHERE len(tk) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+        |df AS (SELECT s, count(*) AS d FROM sh GROUP BY s),
+        |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN df ON sh.s = df.s WHERE df.d <= 100),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, inter, ca.c + cb.c - inter AS uni,
+        |  CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) AS jaccard
+        |FROM p JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "d05_simhash" -> {
       val bitSum = (0 until 32).map { j =>
