@@ -82,6 +82,12 @@ class IndexState(val indexDir: String, spark: SparkSession, val buckets: Int = 1
     val dir = if (!Files.exists(base)) version else s"$version-r${System.nanoTime()}"
     updated
       .withColumn(BucketCol, graft.expr.hfunctions.md5_shard(col("id"), buckets))
+      // co-locate each bucket in one task: a dynamic-partition write from
+      // P tasks × B buckets opens P×B writers (512 tiny files and ~5× the
+      // commit time at 32×16); after the repartition it is one file per
+      // bucket. At cluster scale widen with a salt column (bucket, hash
+      // (id) % filesPerBucket) to keep per-file size bounded.
+      .repartition(col(BucketCol))
       .write.partitionBy(BucketCol).parquet(s"$indexDir/$dir")
     val written = touched.filter(k => Files.exists(Paths.get(indexDir, dir, s"$BucketCol=$k")))
     val manifest = (currentManifest -- touched) ++
@@ -181,10 +187,15 @@ object MutationStream {
                  batchId: Long): Seq[Int] = {
     val cached = ops.persist()
     try {
-      val idBuckets = cached
-        .select(graft.expr.hfunctions.md5_shard(col("id"), state.buckets).as("b"))
-        .filter(col("b").isNotNull).distinct().collect().map(_.getInt(0)).toSeq
-      val hasQueryDelete = !cached.filter(col("kind") === "deleteByQuery").isEmpty
+      // ONE ≤buckets-row aggregation answers both "which buckets" and
+      // "any deleteByQuery": per-batch driver jobs are sink overhead that
+      // multiplies by the trigger rate
+      val stats = cached
+        .groupBy(graft.expr.hfunctions.md5_shard(col("id"), state.buckets).as("b"))
+        .agg(count(when(col("kind") === "deleteByQuery", 1)).as("qdel"))
+        .collect()
+      val idBuckets = stats.collect { case r if !r.isNullAt(0) => r.getInt(0) }.toSeq
+      val hasQueryDelete = stats.exists(_.getLong(1) > 0)
       val touched =
         if (hasQueryDelete) (idBuckets ++ state.currentManifest.keys).distinct
         else idBuckets
