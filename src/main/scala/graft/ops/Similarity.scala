@@ -61,10 +61,7 @@ object Similarity {
     val scored = corpus.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", cosineq(col("q"), col("q_vec"), col("nq"), col("q_nq")))
-    scored.groupBy(col("q_id"))
-      .agg(graft.expr.hfunctions.topk_by(col("sim"), col("vec_id"), k).as("top"))
-      .select(col("q_id"), explode(col("top")).as("t"))
-      .select(col("q_id"), col("t.n_id").as("n_id"), col("t.sim").as("sim"), col("t.rk").as("rk"))
+    topK(scored, k)
   }
 
   /** Deterministic integer hyperplane coefficient for (plane, dim):
@@ -73,7 +70,11 @@ object Similarity {
     pmod(Dedup.hash60(concat(plane.cast("string"), lit("_"), dim.cast("string"))), lit(2001L)) - 1000L
 
   /** SRP bucket id: `planes` sign bits of integer dot products with the
-    * deterministic hyperplanes. Exact integer math → portable. */
+    * deterministic hyperplanes. Exact integer math → portable. The
+    * higher-order-function formulation (kept as the `dim`-agnostic
+    * fallback) evaluates one md5 per (plane, dim) PER ROW; when `dim` is
+    * known, [[srpBucketFast]] folds the coefficients into literal arrays
+    * at plan time — one compiled `long_dot` per plane. */
   def srpBucket(q: Column, planes: Int = 8): Column = {
     val bits = (0 until planes).map { p =>
       val dot = aggregate(
@@ -84,21 +85,34 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Value-identical to [[srpBucket]] with driver-side coefficients. */
+  def srpBucketFast(q: Column, planes: Int, dim: Int): Column =
+    (0 until planes).map { p =>
+      when(dotq(q, typedLit(planeCoefs(p, dim))) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Shared re-rank: exact top-k per query via the bounded-heap partial
+    * aggregate ([[graft.expr.TopKByScore]]) — map-side partials, no
+    * window exchange of the full scored set. Ordering: sim desc, id asc. */
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("q_id"))
+      .agg(graft.expr.hfunctions.topk_by(col("sim"), col("vec_id"), k).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.n_id").as("n_id"), col("t.sim").as("sim"), col("t.rk").as("rk"))
+
   /** ANN via SRP-LSH: candidates share the query's bucket; exact re-rank
     * inside the bucket; top-k per query (may return fewer than k — the
-    * recall/cost tradeoff is the point of the operator). */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val bc = corpus.withColumn("bucket", srpBucket(col("q"), planes))
-    val bq = queries.withColumn("bucket", srpBucket(col("q"), planes))
+    * recall/cost tradeoff is the point of the operator). `dim` sizes the
+    * compiled hyperplane arrays at plan time. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
+              dim: Int = 64): DataFrame = {
+    val bc = corpus.withColumn("bucket", srpBucketFast(col("q"), planes, dim))
+    val bq = queries.withColumn("bucket", srpBucketFast(col("q"), planes, dim))
       .select(col("vec_id").as("q_id"), col("q").as("q_vec"), col("nq").as("q_nq"), col("bucket"))
     val scored = bc.join(broadcast(bq), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", cosineq(col("q"), col("q_vec"), col("nq"), col("q_nq")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("vec_id").as("n_id"), col("sim"), col("rk").cast("long").as("rk"))
+    topK(scored, k)
   }
 
   /** IVF (inverted-file) ANN: a coarse quantizer assigns every corpus
@@ -135,13 +149,12 @@ object Similarity {
     val queryProbes = assign(queries, nProbe)
       .select(col("vec_id").as("q_id"), col("q").as("q_vec"), col("nq").as("q_nq"), col("c_id"))
 
+    // each corpus vector lives in exactly one list and a query probes
+    // distinct lists, so every (corpus, query) pair scores at most once
     val scored = corpusAssigned.join(broadcast(queryProbes), Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", cosineq(col("q"), col("q_vec"), col("nq"), col("q_nq")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("vec_id").as("n_id"), col("sim"), col("rk").cast("long").as("rk"))
+    topK(scored, k)
   }
 
   /** Embedding near-duplicate pairs, brute force: all pairs with cosine ≥
