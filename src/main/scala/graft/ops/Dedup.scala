@@ -171,6 +171,38 @@ object Dedup {
       .select("a_id", "b_id", "inter", "uni", "jaccard")
   }
 
+  /** Benchmark decontamination: count, per corpus document, the distinct
+    * n-gram shingle hashes it shares with ANY benchmark document — the
+    * standard test-set-contamination gate for training corpora (drop a
+    * doc when `hits ≥ minHits`). Output: (doc_id, n_sh, hits,
+    * contaminated).
+    *
+    * Scale shape: the benchmark side collapses to its DISTINCT shingle-
+    * hash set (benchmarks are tiny next to a 100 TB corpus), so the probe
+    * is a semi-join of corpus shingles against a set AQE will broadcast;
+    * the corpus is scanned once and the only aggregation is the per-doc
+    * hit count. Docs with fewer than n tokens have no shingles and are
+    * trivially clean (hits = 0). */
+  def contaminationHits(corpus: DataFrame, benchmark: DataFrame,
+                        idCol: String, textCol: String,
+                        n: Int = 3, minHits: Int = 5): DataFrame = {
+    val corpusSets = shingleHashSets(corpus, idCol, textCol, n)
+    val benchSh = shingleHashSets(benchmark, idCol, textCol, n)
+      .select(explode(col("hs")).as("h")).distinct()
+    val hits = corpusSets
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(benchSh, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(corpusSets.select(col("doc_id"), size(col("hs")).cast("long").as("n_sh")),
+        Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("contaminated", (col("hits") >= minHits).cast("boolean"))
+  }
+
   /** SimHash fingerprint (bits-wide, default 32): per token (with
     * multiplicity), hash to `bits` bits; fingerprint bit j is 1 iff the
     * sum of ±1 votes over tokens is positive. One compiled pass per doc

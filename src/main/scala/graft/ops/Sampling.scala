@@ -1,11 +1,44 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic corpus-selection operators for training-data pipelines. */
 object Sampling {
+
+  /** md5-derived uniform bucket in [0, buckets) for any key — the
+    * determinism primitive behind splits and sampling (never Spark's
+    * `rand()`: reshuffles, retries, and engine changes must not move a
+    * document between splits). */
+  def hashBucket(key: Column, buckets: Int): Column =
+    pmod(Dedup.hash60(key.cast("string")), lit(buckets.toLong))
+
+  /** Deterministic train/val/test assignment by id hash: thresholds are
+    * cumulative percentages (e.g. 90/95 → 90% train, 5% val, 5% test).
+    * Pure projection — no shuffle, stable across any recomputation. */
+  def hashSplit(docs: DataFrame, idCol: String,
+                trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val b = hashBucket(col(idCol), 100)
+    docs.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Stratified deterministic sampling: keep a row iff its id hash falls
+    * under its stratum's rate (per-mille). Strata absent from `rates`
+    * fall back to `defaultPerMille`. The canonical "down-sample the
+    * dominant language/domain" step — one projection + filter, no
+    * shuffle, reproducible on any engine. */
+  def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Int],
+                       defaultPerMille: Int = 1000): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultPerMille)) { case (acc, (s, r)) =>
+      when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    docs.filter(hashBucket(col(idCol), 1000) < rate)
+  }
 
   /** Token-budget selection: keep the greedy prefix of documents ordered
     * by (quality desc, id asc) whose cumulative token count stays within

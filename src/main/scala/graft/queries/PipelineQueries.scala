@@ -37,6 +37,19 @@ object PipelineQueries {
     s"min((${Dedup.permA(i)} * (${h60sql("s")} % ${Dedup.PermM}) + ${Dedup.permB(i)}) % ${Dedup.PermP}) AS m$i"
   }.mkString(", ")
 
+  /** per-language profile hit counts as SQL select-list items (t03/p05) */
+  private[queries] val langHitsSql = TextAnalysis.defaultProfiles.map { case (lang, words) =>
+    val lst = words.map(w => s"'$w'").mkString(", ")
+    s"CAST(len(list_filter(tk, w -> w IN ($lst))) AS BIGINT) AS s_$lang"
+  }.mkString(",\n    ")
+
+  /** argmax lang with smallest-lang tie-break (t03/p05) */
+  private[queries] val langPredSql = {
+    val langsSorted = TextAnalysis.defaultProfiles.map(_._1).sorted
+    val m = "greatest(" + TextAnalysis.defaultProfiles.map(p => s"s_${p._1}").mkString(", ") + ")"
+    "CASE " + langsSorted.map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ") + " END"
+  }
+
   /** quantized embeddings + exact integer norms */
   private[queries] val quantCte =
     """e AS (
@@ -107,6 +120,34 @@ object PipelineQueries {
         concat(col("text"), lit(" the quick brown fox jumps over the lazy dog")).as("text"))
       Dedup.jaccardPairs(noisy, "doc_id", "text", n = 3, threshold = 0.5, maxDf = Some(100))
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // benchmark decontamination: docs sharing ≥5 distinct 3-gram shingles
+    // with the benchmark set (doc_id < 50 as the benchmark stand-in) are
+    // flagged — the test-set-contamination gate
+    "p03_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.Dedup.contaminationHits(
+          d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50),
+          "doc_id", "text", n = 3, minHits = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic md5-hash train/val/test split — stable under
+    // reshuffles, retries, and engine changes (never rand())
+    "p04_hash_split" -> ((s, dir) => {
+      graft.ops.Sampling.hashSplit(docs(s, dir).select(col("doc_id")), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // stratified deterministic sampling: down-sample the dominant
+    // language (en → 30%) with per-stratum hash rates
+    "p05_stratified_sample" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("lang", TextAnalysis.langId(col("text")))
+      graft.ops.Sampling.stratifiedSample(d, "doc_id", "lang", Map("en" -> 300))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
     }),
 
     // ---- similarity search ----
@@ -272,6 +313,55 @@ object PipelineQueries {
          |WHERE list_dot_product(a.q::DOUBLE[], b.q::DOUBLE[]) / (sqrt(a.nn) * sqrt(b.nn)) >= 0.4
          |ORDER BY a_id, b_id""".stripMargin,
 
+    "p03_decontaminate" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 50),
+        |bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+        |ctok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM corpus),
+        |csh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |  FROM ctok WHERE len(tk) >= 3),
+        |btok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM bench),
+        |bsh AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |  FROM btok WHERE len(tk) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM csh GROUP BY doc_id),
+        |h AS (
+        |  SELECT doc_id, count(*) AS hits FROM csh
+        |  WHERE s IN (SELECT s FROM bsh) GROUP BY doc_id)
+        |SELECT corpus.doc_id,
+        |  coalesce(cnt.n_sh, 0) AS n_sh,
+        |  coalesce(h.hits, 0) AS hits,
+        |  coalesce(h.hits, 0) >= 5 AS contaminated
+        |FROM corpus
+        |LEFT JOIN cnt ON corpus.doc_id = cnt.doc_id
+        |LEFT JOIN h ON corpus.doc_id = h.doc_id
+        |ORDER BY corpus.doc_id""".stripMargin,
+
+    "p04_hash_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bkt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN bkt < 90 THEN 'train' WHEN bkt < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "p05_stratified_sample" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+         |sc AS (
+         |  SELECT doc_id,
+         |    $langHitsSql
+         |  FROM t),
+         |lang AS (SELECT doc_id, $langPredSql AS lang FROM sc)
+         |SELECT doc_id, lang
+         |FROM lang
+         |WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000)
+         |  < (CASE WHEN lang = 'en' THEN 300 ELSE 1000 END)
+         |ORDER BY doc_id""".stripMargin,
+
     "a01_ann_brute" ->
       s"""WITH $quantCte
          |SELECT q_id, n_id, sim, rk FROM (
@@ -339,24 +429,15 @@ object PipelineQueries {
          |FROM f ORDER BY doc_id""".stripMargin
     },
 
-    "t03_langid" -> {
-      val hits = TextAnalysis.defaultProfiles.map { case (lang, words) =>
-        val lst = words.map(w => s"'$w'").mkString(", ")
-        s"CAST(len(list_filter(tk, w -> w IN ($lst))) AS BIGINT) AS s_$lang"
-      }.mkString(",\n    ")
-      // argmax with smallest-lang tie-break = first matching in lang order
-      val langsSorted = TextAnalysis.defaultProfiles.map(_._1).sorted
-      val m = "greatest(" + TextAnalysis.defaultProfiles.map(p => s"s_${p._1}").mkString(", ") + ")"
-      val pred = "CASE " + langsSorted.map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ") + " END"
+    "t03_langid" ->
       s"""WITH t AS (
          |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
          |sc AS (
          |  SELECT doc_id,
-         |    $hits
+         |    $langHitsSql
          |  FROM t)
-         |SELECT doc_id, $pred AS lang_pred, s_en
-         |FROM sc ORDER BY doc_id""".stripMargin
-    },
+         |SELECT doc_id, $langPredSql AS lang_pred, s_en
+         |FROM sc ORDER BY doc_id""".stripMargin,
 
     "t04_fingerprint" ->
       """SELECT doc_id,
