@@ -160,6 +160,128 @@ case class HBaseEncode(child: Expression, typeName: String) extends UnaryExpress
   override def prettyName: String = s"hbase_from_$typeName"
 }
 
+/** All SRP band codes of a quantized vector in ONE compiled pass: band b
+  * is `planesPerBand` sign bits of integer dot products with rows
+  * b*planesPerBand+j of the coefficient matrix. One expression node means
+  * the (possibly expensive) child — e.g. the quantize `transform` — is
+  * evaluated ONCE per row; the naive per-plane formulation re-inlines the
+  * child into every dot product after projection collapse (the d08 plan
+  * showed 64 copies of the quantize lambda). */
+case class SrpCodes(child: Expression, coefs: Array[Array[Long]], planesPerBand: Int)
+    extends UnaryExpression {
+
+  require(coefs.nonEmpty && coefs.length % planesPerBand == 0,
+    s"coefs rows (${coefs.length}) must be a multiple of planesPerBand ($planesPerBand)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"srp_codes expects array<bigint>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    SrpCodes.compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      coefs, planesPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("coefs", coefs, "long[][]")
+    nullSafeCodeGen(ctx, ev, q =>
+      s"${ev.value} = graft.expr.SrpCodes.compute($q, $ref, $planesPerBand);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SrpCodes =
+    copy(child = newChild)
+
+  override def prettyName: String = "srp_codes"
+}
+
+object SrpCodes {
+  def compute(q: org.apache.spark.sql.catalyst.util.ArrayData,
+              coefs: Array[Array[Long]], planesPerBand: Int):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bands = coefs.length / planesPerBand
+    val out = new Array[Long](bands)
+    val dim = q.numElements()
+    var b = 0
+    while (b < bands) {
+      var code = 0L
+      var j = 0
+      while (j < planesPerBand) {
+        val c = coefs(b * planesPerBand + j)
+        val n = math.min(dim, c.length)
+        var dot = 0L
+        var d = 0
+        while (d < n) { dot += q.getLong(d) * c(d); d += 1 }
+        if (dot > 0) code |= (1L << j)
+        j += 1
+      }
+      out(b) = code
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+/** Index of the first position where two `array<long>` columns hold the
+  * same value, -1 if none — a codegen'd early-exit loop. Used to score an
+  * LSH candidate pair ONLY in its first colliding band: with B bands a
+  * near-dup pair collides in many, and without this guard every duplicate
+  * collision pays the full similarity computation (and forces a distinct
+  * afterwards). Compares min(len) positions. */
+case class LongArrayFirstEq(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"first_eq expects (array<bigint>, array<bigint>), got (${left.dataType}, ${right.dataType})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) return i
+      i += 1
+    }
+    -1
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+      int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+      ${ev.value} = -1;
+      for (int $i = 0; $i < $n; $i++) {
+        if ($a.getLong($i) == $b.getLong($i)) { ${ev.value} = $i; break; }
+      }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongArrayFirstEq =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "first_eq"
+}
+
 /** Exact dot product of two `array<long>` columns as a single codegen'd
   * loop over the unsafe array data — no per-pair array allocation, unlike
   * the `aggregate(zip_with(...))` formulation, which builds an
@@ -314,6 +436,13 @@ object hfunctions {
 
   /** exact dot product of two `array<long>` columns (codegen'd loop) */
   def long_dot(a: Column, b: Column): Column = expr2col(LongDotProduct(col2expr(a), col2expr(b)))
+
+  /** first index where two `array<long>` columns agree, -1 if none */
+  def first_eq(a: Column, b: Column): Column = expr2col(LongArrayFirstEq(col2expr(a), col2expr(b)))
+
+  /** all SRP band codes of a quantized vector in one compiled pass */
+  def srp_codes(q: Column, coefs: Array[Array[Long]], planesPerBand: Int): Column =
+    expr2col(SrpCodes(col2expr(q), coefs, planesPerBand))
 
   /** distinct 60-bit md5 shingle hashes of a text column (compiled pass) */
   def shingle_hashes60(text: Column, n: Int): Column = expr2col(ShingleHashes60(col2expr(text), n))

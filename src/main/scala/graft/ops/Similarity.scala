@@ -85,11 +85,12 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** Value-identical to [[srpBucket]] with driver-side coefficients. */
+  /** Value-identical to [[srpBucket]] with driver-side coefficients: one
+    * band of `planes` sign bits through the compiled [[graft.expr.SrpCodes]]
+    * kernel (one pass; the child — quantize — evaluates once). */
   def srpBucketFast(q: Column, planes: Int, dim: Int): Column =
-    (0 until planes).map { p =>
-      when(dotq(q, typedLit(planeCoefs(p, dim))) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    element_at(graft.expr.hfunctions.srp_codes(q,
+      Array.tabulate(planes)(p => planeCoefs(p, dim).toArray), planes), 1)
 
   /** Shared re-rank: exact top-k per query via the bounded-heap partial
     * aggregate ([[graft.expr.TopKByScore]]) — map-side partials, no
@@ -179,14 +180,13 @@ object Similarity {
 
   /** SRP band codes: an array of `bands` bucket ids, band `b` built from
     * the sign bits of `planesPerBand` hyperplane dot products (global
-    * plane index = b*planesPerBand + j). All compiled arithmetic. */
+    * plane index = b*planesPerBand + j). ONE compiled pass over the
+    * vector ([[graft.expr.SrpCodes]]) — the per-plane `when(long_dot…)`
+    * formulation re-inlines the quantize lambda into every plane after
+    * projection collapse (bands×planes interpreted transforms per row). */
   def srpBandCodes(q: Column, bands: Int, planesPerBand: Int, dim: Int): Column =
-    array((0 until bands).map { b =>
-      (0 until planesPerBand).map { j =>
-        val p = b * planesPerBand + j
-        when(dotq(q, typedLit(planeCoefs(p, dim))) > 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }: _*)
+    graft.expr.hfunctions.srp_codes(q,
+      Array.tabulate(bands * planesPerBand)(p => planeCoefs(p, dim).toArray), planesPerBand)
 
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold,
     * found via multi-band SRP-LSH candidates + exact verification — the
@@ -215,18 +215,23 @@ object Similarity {
     * literal hyperplane arrays at plan time. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double, dim: Int,
                          bands: Int = 32, planesPerBand: Int = 2): DataFrame = {
-    val coded = corpus.select(col("vec_id"), col("q"), col("nq"),
-        posexplode(srpBandCodes(col("q"), bands, planesPerBand, dim)).as(Seq("band", "bucket")))
+    val withCodes = corpus.select(col("vec_id"), col("q"), col("nq"),
+      srpBandCodes(col("q"), bands, planesPerBand, dim).as("codes"))
+    val coded = withCodes.select(col("vec_id"), col("q"), col("nq"), col("codes"),
+      posexplode(col("codes")).as(Seq("band", "bucket")))
     val l = coded.select(col("band"), col("bucket"),
-      col("vec_id").as("a_id"), col("q").as("a_q"), col("nq").as("a_nq"))
+      col("vec_id").as("a_id"), col("q").as("a_q"), col("nq").as("a_nq"), col("codes").as("a_c"))
     val r = coded.select(col("band"), col("bucket"),
-      col("vec_id").as("b_id"), col("q").as("b_q"), col("nq").as("b_nq"))
+      col("vec_id").as("b_id"), col("q").as("b_q"), col("nq").as("b_nq"), col("codes").as("b_c"))
     l.join(r, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
+      // score a pair ONLY in its first colliding band (compiled early-exit
+      // scan of the code arrays): each unique pair pays exactly one
+      // similarity computation and appears exactly once — no distinct, no
+      // duplicate dot products for pairs colliding in many bands
+      .filter(graft.expr.hfunctions.first_eq(col("a_c"), col("b_c")) === col("band"))
       .withColumn("sim", cosineq(col("a_q"), col("b_q"), col("a_nq"), col("b_nq")))
       .filter(col("sim") >= threshold)
-      // a true pair colliding in several bands yields identical rows —
-      // dedup AFTER the threshold filter, when almost nothing is left
-      .select("a_id", "b_id", "sim").distinct()
+      .select("a_id", "b_id", "sim")
   }
 }
