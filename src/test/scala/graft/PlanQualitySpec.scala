@@ -49,4 +49,26 @@ class PlanQualitySpec extends SparkSpec {
     val aggs = plan.collect { case a: Aggregate => a }
     assert(joins.isEmpty && aggs.isEmpty, "per-document features must not shuffle")
   }
+
+  test("p03 decontamination: benchmark probe is broadcast, corpus never broadcast") {
+    val plan = q("p03_decontaminate").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("p04/p05 splits and sampling are pure projection+filter — no joins or aggregates") {
+    for (name <- Seq("p04_hash_split", "p05_stratified_sample")) {
+      val plan = q(name).queryExecution.optimizedPlan
+      assert(plan.collect { case j: Join => j }.isEmpty, s"$name must not join")
+      assert(plan.collect { case a: Aggregate => a }.isEmpty, s"$name must not aggregate")
+    }
+  }
+
+  test("a01/a02/a03 top-k re-rank: partial aggregation, never a window over scored pairs") {
+    for (name <- Seq("a01_ann_brute", "a02_ann_lsh")) {
+      val plan = SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+      assert(plan.contains("partial_topk_by"), s"$name: map-side partial top-k expected")
+      assert(!plan.contains("Window"), s"$name: no window over the scored set")
+    }
+  }
 }

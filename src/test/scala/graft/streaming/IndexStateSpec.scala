@@ -55,6 +55,21 @@ class IndexStateSpec extends SparkSpec {
     assert(stateIds(st) == ids0.toSet)
   }
 
+  test("re-applying a batch (at-least-once retry) leaves the state unchanged") {
+    val dir = Files.createTempDirectory("graft_state").toString
+    val st = new IndexState(dir, spark, B)
+    MutationStream.applyBatch(spark, st, ops(("add", "a"), ("add", "b")), 0L)
+    val b1 = ops(("add", "c"), ("deleteById", "a"))
+    MutationStream.applyBatch(spark, st, b1, 1L)
+    val afterFirst = stateIds(st)
+    // redelivery of the same batch id: DocOp algebra is idempotent and the
+    // retry must not read-while-overwriting its own version dirs
+    MutationStream.applyBatch(spark, st, b1, 1L)
+    assert(stateIds(st) == afterFirst && afterFirst == Set("b", "c"))
+    MutationStream.applyBatch(spark, st, b1, 1L)
+    assert(stateIds(st) == Set("b", "c"))
+  }
+
   test("bucketed state == unbucketed applyOps, and emptied buckets leave the manifest") {
     val dir = Files.createTempDirectory("graft_state").toString
     val st = new IndexState(dir, spark, B)
