@@ -87,4 +87,29 @@ object TextAnalysis {
     * text — the exact-dedup key that survives formatting noise. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+
+  /** Overlapping token-window chunking — the standard "document →
+    * training sequences" step: chunk i covers tokens
+    * [i·stride, i·stride + size) with start positions 0, stride, 2·stride
+    * … < n_tokens; tail chunks may be shorter; empty docs yield none.
+    * Pure generate-then-project: one row per chunk, no shuffle — the
+    * chunk explosion parallelizes with the scan. Output: idCol, chunk_id,
+    * n_chunk_tokens, chunk_text. */
+  def chunk(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+            size: Int = 100, stride: Int = 80): org.apache.spark.sql.DataFrame = {
+    require(size > 0 && stride > 0, "size and stride must be positive")
+    val toks = tokens(col(textCol))
+    val n = tokenCount(col(textCol))
+    docs
+      .select(col(idCol), toks.as("_tk"), n.as("_n"))
+      .filter(col("_n") > 0)
+      .select(col(idCol),
+        explode(sequence(lit(0L), floor((col("_n") - 1) / stride).cast("long"))).as("chunk_id"),
+        col("_tk"))
+      .select(col(idCol), col("chunk_id"),
+        slice(col("_tk"), (col("chunk_id") * stride + 1).cast("int"), lit(size)).as("_chunk"))
+      .select(col(idCol), col("chunk_id"),
+        org.apache.spark.sql.functions.size(col("_chunk")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("_chunk")).as("chunk_text"))
+  }
 }

@@ -198,6 +198,13 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // overlapping token-window chunking (document → training sequences):
+    // size 100, stride 80
+    "t06_chunking" -> ((s, dir) => {
+      TextAnalysis.chunk(docs(s, dir), "doc_id", "text", size = 100, stride = 80)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // ---- multimodal plumbing ----
 
     "m01_media_features" -> ((s, dir) => {
@@ -443,6 +450,18 @@ object PipelineQueries {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t06_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |c AS (
+        |  SELECT doc_id, tk, unnest(generate_series(0, (len(tk) - 1) // 80)) AS chunk_id
+        |  FROM t)
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(tk[chunk_id * 80 + 1 : chunk_id * 80 + 100]) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(tk[chunk_id * 80 + 1 : chunk_id * 80 + 100], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "m01_media_features" ->
       """SELECT doc_id,
