@@ -227,59 +227,94 @@ object SrpCodes {
   }
 }
 
-/** Index of the first position where two `array<long>` columns hold the
-  * same value, -1 if none — a codegen'd early-exit loop. Used to score an
-  * LSH candidate pair ONLY in its first colliding band: with B bands a
-  * near-dup pair collides in many, and without this guard every duplicate
-  * collision pays the full similarity computation (and forces a distinct
-  * afterwards). Compares min(len) positions. */
-case class LongArrayFirstEq(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+/** Pack an `array<long>` of small codes into one long, `bitsPerElem`
+  * bits per element (element i at bits [i·b, (i+1)·b)). With 32 SRP
+  * bands × 2 planes the whole band-code vector is 64 bits — one word
+  * carried through a join instead of a ~270-byte array. */
+case class LongArrayPack(child: Expression, bitsPerElem: Int) extends UnaryExpression {
+  require(bitsPerElem > 0 && bitsPerElem <= 63)
 
-  override def dataType: DataType = IntegerType
+  override def dataType: DataType = LongType
 
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    def ok(dt: DataType) = dt match {
-      case ArrayType(LongType, _) => true
-      case _ => false
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pack expects array<bigint>, got $other")
     }
-    if (ok(left.dataType) && ok(right.dataType))
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"first_eq expects (array<bigint>, array<bigint>), got (${left.dataType}, ${right.dataType})")
-  }
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var out = 0L
     var i = 0
-    while (i < n) {
-      if (x.getLong(i) == y.getLong(i)) return i
-      i += 1
-    }
-    -1
+    val n = a.numElements()
+    while (i < n) { out |= a.getLong(i) << (i * bitsPerElem); i += 1 }
+    out
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
+    nullSafeCodeGen(ctx, ev, a => {
       val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
       s"""
-      int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-      ${ev.value} = -1;
-      for (int $i = 0; $i < $n; $i++) {
-        if ($a.getLong($i) == $b.getLong($i)) { ${ev.value} = $i; break; }
+      ${ev.value} = 0L;
+      for (int $i = 0; $i < $a.numElements(); $i++) {
+        ${ev.value} |= $a.getLong($i) << ($i * $bitsPerElem);
       }
       """
     })
 
+  override protected def withNewChildInternal(newChild: Expression): LongArrayPack =
+    copy(child = newChild)
+
+  override def prettyName: String = "pack_codes"
+}
+
+/** Index of the first `bitsPerElem`-bit group where two packed code
+  * words agree — an early-exit scan over bit groups. Groups
+  * beyond the real band count are zero in both words and thus "equal",
+  * but a joined candidate always agrees at its real join band first, so
+  * the spurious tail can never be the minimum. */
+case class PackedFirstEq(left: Expression, right: Expression, bitsPerElem: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(bitsPerElem > 0 && bitsPerElem <= 63)
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"packed_first_eq expects (bigint, bigint), got (${left.dataType}, ${right.dataType})")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PackedFirstEq.firstEq(a.asInstanceOf[Long], b.asInstanceOf[Long], bitsPerElem)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.PackedFirstEq.firstEq($a, $b, $bitsPerElem);")
+
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): LongArrayFirstEq =
+      newLeft: Expression, newRight: Expression): PackedFirstEq =
     copy(left = newLeft, right = newRight)
 
-  override def prettyName: String = "first_eq"
+  override def prettyName: String = "packed_first_eq"
+}
+
+object PackedFirstEq {
+  def firstEq(a: Long, b: Long, bits: Int): Int = {
+    val mask = (1L << bits) - 1
+    val groups = 64 / bits
+    var g = 0
+    var diff = a ^ b
+    while (g < groups) {
+      if ((diff & mask) == 0L) return g
+      diff >>>= bits
+      g += 1
+    }
+    -1
+  }
 }
 
 /** Exact dot product of two `array<long>` columns as a single codegen'd
@@ -437,8 +472,12 @@ object hfunctions {
   /** exact dot product of two `array<long>` columns (codegen'd loop) */
   def long_dot(a: Column, b: Column): Column = expr2col(LongDotProduct(col2expr(a), col2expr(b)))
 
-  /** first index where two `array<long>` columns agree, -1 if none */
-  def first_eq(a: Column, b: Column): Column = expr2col(LongArrayFirstEq(col2expr(a), col2expr(b)))
+  /** pack an array of small codes into one long, `bits` bits each */
+  def pack_codes(a: Column, bits: Int): Column = expr2col(LongArrayPack(col2expr(a), bits))
+
+  /** first `bits`-bit group where two packed words agree */
+  def packed_first_eq(a: Column, b: Column, bits: Int): Column =
+    expr2col(PackedFirstEq(col2expr(a), col2expr(b), bits))
 
   /** all SRP band codes of a quantized vector in one compiled pass */
   def srp_codes(q: Column, coefs: Array[Array[Long]], planesPerBand: Int): Column =

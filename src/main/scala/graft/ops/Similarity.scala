@@ -215,21 +215,35 @@ object Similarity {
     * literal hyperplane arrays at plan time. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double, dim: Int,
                          bands: Int = 32, planesPerBand: Int = 2): DataFrame = {
+    require(bands * planesPerBand <= 64,
+      s"bands*planesPerBand must fit one packed word, got ${bands * planesPerBand} bits")
+    // The band self-join is the volume hazard (≈ bands/2^planesPerBand ×
+    // n² rows for near-uniform buckets), so its rows stay SLIM: id plus
+    // the full band-code vector PACKED into one 64-bit word (default 32
+    // bands × 2 planes = exactly 64 bits). Carrying the raw code arrays
+    // (~270 B/side) or the vectors themselves through that join measurably
+    // doubled the operator's cost; vectors join back only for surviving
+    // candidates — the same candidates→verify shape as minhashLshPairs.
     val withCodes = corpus.select(col("vec_id"), col("q"), col("nq"),
-      srpBandCodes(col("q"), bands, planesPerBand, dim).as("codes"))
-    val coded = withCodes.select(col("vec_id"), col("q"), col("nq"), col("codes"),
+        srpBandCodes(col("q"), bands, planesPerBand, dim).as("codes"))
+      .withColumn("packed", graft.expr.hfunctions.pack_codes(col("codes"), planesPerBand))
+    val coded = withCodes.select(col("vec_id"), col("packed"),
       posexplode(col("codes")).as(Seq("band", "bucket")))
     val l = coded.select(col("band"), col("bucket"),
-      col("vec_id").as("a_id"), col("q").as("a_q"), col("nq").as("a_nq"), col("codes").as("a_c"))
+      col("vec_id").as("a_id"), col("packed").as("a_p"))
     val r = coded.select(col("band"), col("bucket"),
-      col("vec_id").as("b_id"), col("q").as("b_q"), col("nq").as("b_nq"), col("codes").as("b_c"))
-    l.join(r, Seq("band", "bucket"))
+      col("vec_id").as("b_id"), col("packed").as("b_p"))
+    val candidates = l.join(r, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      // score a pair ONLY in its first colliding band (compiled early-exit
-      // scan of the code arrays): each unique pair pays exactly one
-      // similarity computation and appears exactly once — no distinct, no
-      // duplicate dot products for pairs colliding in many bands
-      .filter(graft.expr.hfunctions.first_eq(col("a_c"), col("b_c")) === col("band"))
+      // keep a pair ONLY in its first colliding band (a few ALU ops on
+      // the packed words): each unique pair survives exactly once — no
+      // distinct, no duplicate verification for pairs sharing many bands
+      .filter(graft.expr.hfunctions.packed_first_eq(col("a_p"), col("b_p"), planesPerBand) === col("band"))
+      .select("a_id", "b_id")
+    val vecs = withCodes.select(col("vec_id"), col("q"), col("nq"))
+    candidates
+      .join(vecs.select(col("vec_id").as("a_id"), col("q").as("a_q"), col("nq").as("a_nq")), Seq("a_id"))
+      .join(vecs.select(col("vec_id").as("b_id"), col("q").as("b_q"), col("nq").as("b_nq")), Seq("b_id"))
       .withColumn("sim", cosineq(col("a_q"), col("b_q"), col("a_nq"), col("b_nq")))
       .filter(col("sim") >= threshold)
       .select("a_id", "b_id", "sim")
