@@ -483,6 +483,10 @@ object hfunctions {
   def srp_codes(q: Column, coefs: Array[Array[Long]], planesPerBand: Int): Column =
     expr2col(SrpCodes(col2expr(q), coefs, planesPerBand))
 
+  /** all per-document text statistics in one compiled pass */
+  def text_stats(text: Column, wordLists: Seq[Seq[String]]): Column =
+    expr2col(TextStats(col2expr(text), wordLists))
+
   /** distinct 60-bit md5 shingle hashes of a text column (compiled pass) */
   def shingle_hashes60(text: Column, n: Int): Column = expr2col(ShingleHashes60(col2expr(text), n))
 

@@ -20,14 +20,21 @@ object TextAnalysis {
   /** whitespace tokens of trimmed text */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, 0).otherwise(size(tokens(text))).cast("long")
+  /** One compiled pass computing every per-document statistic
+    * ([[graft.expr.TextStats]]): counts + profile hit counts for
+    * [[defaultProfiles]] (hits(i) = i-th profile, in order). All
+    * stats-derived columns below build the IDENTICAL expression, so
+    * codegen subexpression elimination runs the kernel once per row no
+    * matter how many features a projection asks for. */
+  def stats(text: Column): Column =
+    graft.expr.hfunctions.text_stats(text, defaultProfiles.map(_._2))
+
+  def tokenCount(text: Column): Column = stats(text).getField("n_tokens")
 
   /** BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation */
   val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
-  def bpeishTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(bpeishPattern), lit(0))).cast("long")
+  def bpeishTokenCount(text: Column): Column = stats(text).getField("n_bpeish")
 
   /** Language profiles: characteristic high-frequency words per language.
     * Real deployments plug in real stopword lists; the scoring machinery
@@ -38,33 +45,45 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "des", "est", "pas", "une", "scan", "query"),
     "es" -> Seq("el", "la", "y", "los", "es", "no", "con", "una", "slow", "agg"))
 
-  /** hits of a word list among the tokens */
+  /** hits of an arbitrary word list among the tokens (generic HOF form;
+    * the [[defaultProfiles]] hot path reads the compiled stats instead) */
   def profileHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words.map(lit(_))))).cast("long")
 
   /** n-gram-heuristic language id: argmax of profile hit counts, ties
-    * broken by language code (deterministic). */
+    * broken by language code (deterministic). Hit counts come from the
+    * one-pass stats kernel. */
   def langId(text: Column, profiles: Seq[(String, Seq[String])] = defaultProfiles): Column = {
-    val toks = tokens(text)
-    val scored = profiles.map { case (lang, words) =>
-      struct(profileHits(toks, words).as("score"), lit(lang).as("lang"))
+    val hits: Int => Column =
+      if (profiles == defaultProfiles) {
+        val h = stats(text).getField("hits")
+        i => element_at(h, i + 1)
+      } else {
+        val toks = tokens(text)
+        i => profileHits(toks, profiles(i)._2)
+      }
+    // argmax as ONE array_max over (score, rank, lang) structs — struct
+    // ordering is lexicographic, and rank = position in DESCENDING lang
+    // order, so a score tie resolves to the smallest lang code. A nested
+    // when()-reduce here builds an exponentially-sized tree (each level
+    // copies its operands into condition and both branches), which blows
+    // up planning and can fall out of codegen when re-inlined downstream.
+    val langsDesc = profiles.map(_._1).sorted.reverse
+    val entries = profiles.zipWithIndex.map { case ((lang, _), i) =>
+      struct(hits(i).as("score"), lit(langsDesc.indexOf(lang)).as("rk"), lit(lang).as("lang"))
     }
-    // max by (score, reversed-lang) — i.e. highest score, then smallest lang code
-    val best = scored.reduce { (a, b) =>
-      when(b.getField("score") > a.getField("score") ||
-        (b.getField("score") === a.getField("score") && b.getField("lang") < a.getField("lang")), b)
-        .otherwise(a)
-    }
-    best.getField("lang")
+    array_max(array(entries: _*)).getField("lang")
   }
 
-  /** Quality features (counts + bit-identical ratios). */
+  /** Quality features (counts + bit-identical ratios) from the one-pass
+    * stats kernel. */
   def qualityFeatures(text: Column): Seq[(String, Column)] = {
-    val nChars = length(text).cast("long")
-    val nToks = tokenCount(text)
-    val nPunct = size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0))).cast("long")
-    val nAlpha = size(regexp_extract_all(text, lit("[A-Za-z]"), lit(0))).cast("long")
-    val nStop = profileHits(tokens(text), defaultProfiles.head._2)
+    val st = stats(text)
+    val nChars = st.getField("n_chars")
+    val nToks = st.getField("n_tokens")
+    val nPunct = st.getField("n_punct")
+    val nAlpha = st.getField("n_alpha")
+    val nStop = element_at(st.getField("hits"), 1)
     Seq(
       "n_chars" -> nChars,
       "n_tokens" -> nToks,

@@ -184,11 +184,10 @@ object PipelineQueries {
     }),
 
     "t03_langid" -> ((s, dir) => {
-      val toks = TextAnalysis.tokens(col("text"))
       docs(s, dir).select(
           col("doc_id"),
           TextAnalysis.langId(col("text")).as("lang_pred"),
-          TextAnalysis.profileHits(toks, TextAnalysis.defaultProfiles.head._2).as("s_en"))
+          element_at(TextAnalysis.stats(col("text")).getField("hits"), 1).as("s_en"))
         .orderBy(col("doc_id"))
     }),
 
