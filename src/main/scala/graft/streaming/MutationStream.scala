@@ -77,6 +77,33 @@ class IndexState(val indexDir: String, spark: SparkSession, val buckets: Int = 1
     * no dir for it). Retries write to a fresh suffixed dir (never
     * read-while-overwrite); the CURRENT flip is the commit point either
     * way, and re-applying a DocOp batch is idempotent by algebra. */
+  /** Drop version directories and manifests no longer reachable from
+    * CURRENT — the vacuum step of any copy-on-write layout (Delta/Iceberg
+    * VACUUM). A version dir survives if ANY live bucket points into it.
+    * Readers racing a vacuum see either the old or new manifest, both of
+    * which only reference surviving dirs. Returns the deleted dir names. */
+  def vacuum(): Seq[String] = {
+    val liveDirs = currentManifest.values.map(_.split("/", 2)(0)).toSet
+    val liveManifest = currentVersion.toSet
+    val root = Paths.get(indexDir)
+    val fs = Files.list(root)
+    val doomed =
+      try fs.iterator().asScala.map(_.getFileName.toString).filter { name =>
+        name != "CURRENT" && !liveDirs.contains(name) && !liveManifest.contains(name)
+      }.toSeq
+      finally fs.close()
+    doomed.foreach { name =>
+      val p = root.resolve(name)
+      if (Files.isDirectory(p)) {
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+        finally walk.close()
+      } else Files.deleteIfExists(p)
+    }
+    doomed.sorted
+  }
+
   def commit(updated: DataFrame, version: String, touched: Seq[Int]): Unit = {
     val base = Paths.get(indexDir, version)
     val dir = if (!Files.exists(base)) version else s"$version-r${System.nanoTime()}"

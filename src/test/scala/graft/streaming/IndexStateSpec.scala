@@ -70,6 +70,28 @@ class IndexStateSpec extends SparkSpec {
     assert(stateIds(st) == Set("b", "c"))
   }
 
+  test("vacuum removes only unreachable versions; the live state is untouched") {
+    val dir = Files.createTempDirectory("graft_state").toString
+    val st = new IndexState(dir, spark, B)
+    // two ids in DIFFERENT buckets, so b's bucket stays in v0 throughout
+    val idB = Iterator.from(0).map("b" + _)
+      .find(i => Sharding.md5Shard(i, B) != Sharding.md5Shard("a", B)).get
+    MutationStream.applyBatch(spark, st, ops(("add", "a"), ("add", idB)), 0L)
+    MutationStream.applyBatch(spark, st, ops(("add", "a")), 1L) // a's bucket moves to v1
+    MutationStream.applyBatch(spark, st, ops(("add", "a")), 2L) // ...and then to v2
+    val before = stateIds(st)
+
+    val deleted = st.vacuum()
+    // v1 is fully unreachable (only a's bucket lived there, superseded by
+    // v2); v0 still holds b's bucket and must survive, as must MANIFEST-v2
+    assert(deleted.contains("v000000001"), s"deleted=$deleted")
+    assert(!deleted.contains("v000000000") && !deleted.exists(_.startsWith("MANIFEST-v000000002")))
+    assert(Files.exists(Paths.get(dir, "v000000000")))
+    assert(!Files.exists(Paths.get(dir, "v000000001")))
+    assert(stateIds(st) == before && before == Set("a", idB))
+    assert(st.vacuum().isEmpty, "second vacuum finds nothing")
+  }
+
   test("bucketed state == unbucketed applyOps, and emptied buckets leave the manifest") {
     val dir = Files.createTempDirectory("graft_state").toString
     val st = new IndexState(dir, spark, B)
