@@ -51,6 +51,15 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("partial_topk_by"), "map-side partial aggregation expected:\n" + plan.take(900))
   }
 
+  test("compiled srpBucketFast == higher-order-function srpBucket (a02's oracle contract)") {
+    val rows = corpus.limit(50)
+      .select(Similarity.srpBucket(col("q"), 8).as("hof"),
+        Similarity.srpBucketFast(col("q"), 8, 64).as("fast"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("plane coefficients match the md5-derived planeCoef expression") {
     val viaExpr = spark.range(1).select(
       (0 until 4).flatMap(p => (0 until 3).map(d =>
