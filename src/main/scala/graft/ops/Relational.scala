@@ -109,27 +109,37 @@ object Relational {
     * loop runs O(graph diameter) joins; `localCheckpoint` truncates the
     * lineage every iteration so plans stay flat no matter how many rounds
     * run (the classic iterative-Spark failure mode is an exponentially
-    * deepening plan). Output: (node, cluster, cluster_size).
+    * deepening plan). Every intermediate checkpoint is UNPERSISTED before
+    * returning (only the eagerly-materialized result stays cached) —
+    * otherwise each call pins O(iterations) RDD copies in executor memory
+    * for the session, a real leak in a long-running driver. Output:
+    * (node, cluster, cluster_size).
     *
     * This is the canonical "assign one keeper per near-dup cluster" step
     * after pairwise dedup at scale. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col("a_id").cast("long").as("src"), col("b_id").cast("long").as("dst"))
-      .union(edges.select(col("b_id").cast("long").as("src"), col("a_id").cast("long").as("dst")))
-      .distinct()
-      .localCheckpoint()
+    val sc = edges.sparkSession.sparkContext
+    val tracked = scala.collection.mutable.Buffer.empty[Int]
+    def cp(df: DataFrame): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet
+      val r = df.localCheckpoint()
+      tracked ++= (sc.getPersistentRDDs.keySet -- before)
+      r
+    }
 
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint()
+    val sym = cp(edges.select(col("a_id").cast("long").as("src"), col("b_id").cast("long").as("dst"))
+      .union(edges.select(col("b_id").cast("long").as("src"), col("a_id").cast("long").as("dst")))
+      .distinct())
+
+    var labels = cp(sym.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val prop = sym.join(labels, col("src") === col("node"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nbr"))
-      val next = labels.join(prop, col("node") === col("dst"), "left")
-        .select(col("node"), least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+      val next = cp(labels.join(prop, col("node") === col("dst"), "left")
+        .select(col("node"), least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl")))
       converged = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
       labels = next
@@ -144,7 +154,11 @@ object Relational {
           "graph diameter exceeds maxIter; raise maxIter (label propagation " +
           "needs O(diameter) rounds)")
     val sizes = labels.groupBy(col("lbl").as("_l")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, col("lbl") === col("_l"))
-      .select(col("node"), col("lbl").as("cluster"), col("cluster_size"))
+    // materialize the result, then release every intermediate checkpoint
+    val intermediates = tracked.toSet
+    val result = cp(labels.join(sizes, col("lbl") === col("_l"))
+      .select(col("node"), col("lbl").as("cluster"), col("cluster_size")))
+    intermediates.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    result
   }
 }
