@@ -26,6 +26,8 @@ case class TextStats(child: Expression, wordLists: Seq[Seq[String]])
     StructField("n_bpeish", LongType, nullable = false),
     StructField("n_punct", LongType, nullable = false),
     StructField("n_alpha", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("max_token_count", LongType, nullable = false),
     StructField("hits", ArrayType(LongType, containsNull = false), nullable = false)))
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -99,18 +101,27 @@ object TextStats {
       if (toks.length == 1 && toks(0).isEmpty) 0L else toks.length.toLong
 
     val hits = new Array[Long](sets.length)
+    var nDistinct = 0L
+    var maxCount = 0L
     if (nTokens > 0L) {
+      // repetition stats (Gopher-style filters): distinct tokens and the
+      // most frequent token's count, from one pass over the token array
+      val counts = new java.util.HashMap[String, Long](toks.length * 2)
       var t = 0
       while (t < toks.length) {
+        val tok = toks(t)
         var k = 0
         while (k < sets.length) {
-          if (sets(k).contains(toks(t))) hits(k) += 1L
+          if (sets(k).contains(tok)) hits(k) += 1L
           k += 1
         }
+        val c = counts.merge(tok, 1L, (a, b) => a + b)
+        if (c > maxCount) maxCount = c
         t += 1
       }
+      nDistinct = counts.size.toLong
     }
     InternalRow(text.numChars().toLong, nTokens, nBpe, nPunct, nAlpha,
-      new GenericArrayData(hits))
+      nDistinct, maxCount, new GenericArrayData(hits))
   }
 }

@@ -75,6 +75,22 @@ object TextAnalysis {
     array_max(array(entries: _*)).getField("lang")
   }
 
+  /** Repetition features (Gopher-style corpus filters): distinct-token
+    * and top-token-frequency ratios, from the one-pass stats kernel. A
+    * boilerplate-heavy or degenerate (repeated-token) document shows a
+    * low distinct_ratio / high top_ratio. */
+  def repetitionFeatures(text: Column): Seq[(String, Column)] = {
+    val st = stats(text)
+    val nToks = st.getField("n_tokens")
+    Seq(
+      "n_tokens" -> nToks,
+      "n_distinct" -> st.getField("n_distinct"),
+      "distinct_ratio" -> when(nToks > 0,
+        st.getField("n_distinct").cast("double") / nToks).otherwise(0.0),
+      "top_ratio" -> when(nToks > 0,
+        st.getField("max_token_count").cast("double") / nToks).otherwise(0.0))
+  }
+
   /** Quality features (counts + bit-identical ratios) from the one-pass
     * stats kernel. */
   def qualityFeatures(text: Column): Seq[(String, Column)] = {

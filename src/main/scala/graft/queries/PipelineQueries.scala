@@ -197,6 +197,16 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style repetition filters: distinct-token and top-token
+    // frequency ratios per document
+    "t07_repetition" -> ((s, dir) => {
+      val feats = TextAnalysis.repetitionFeatures(col("text"))
+      docs(s, dir)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
+
     // overlapping token-window chunking (document → training sequences):
     // size 100, stride 80
     "t06_chunking" -> ((s, dir) => {
@@ -449,6 +459,18 @@ object PipelineQueries {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t07_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tok AS (SELECT doc_id, unnest(tk) AS w FROM t),
+        |c AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+        |agg AS (SELECT doc_id, sum(c) AS n, count(*) AS d, max(c) AS m FROM c GROUP BY doc_id)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(d AS BIGINT) AS n_distinct,
+        |  CAST(d AS DOUBLE) / n AS distinct_ratio,
+        |  CAST(m AS DOUBLE) / n AS top_ratio
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "t06_chunking" ->
       """WITH t AS (
