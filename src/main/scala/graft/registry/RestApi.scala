@@ -44,6 +44,21 @@ class IndexerResource(registry: IndexerRegistry, supervisor: IndexerSupervisor) 
         registry.get(name).map(d => ApiResponse(200, d.configXml, "text/xml"))
           .getOrElse(notFound(name))
 
+      // T6 over the wire: the reference's replication-status surface is a
+      // separate JMX/CLI tool; here the drain report is one GET away
+      case ("GET", List("indexer", name, "progress")) =>
+        if (registry.get(name).isEmpty) notFound(name)
+        else supervisor.progressReport(name) match {
+          case None => err(404, s"indexer $name has not consumed yet")
+          case Some(p) => ok(
+            s"""{"batches": ${p.batches}, "inputRows": ${p.inputRows},
+               | "events": ${p.events}, "applicable": ${p.applicable},
+               | "avgEventsPerSec": ${p.avgEventsPerSec},
+               | "lastBatchDurationMs": ${p.lastBatchDurationMs},
+               | "processedFiles": ${p.processedFiles}, "backlogFiles": ${p.backlogFiles},
+               | "lastCommittedVersion": ${p.lastCommittedVersion.map(v => s""""$v"""").getOrElse("null")}}""".stripMargin)
+        }
+
       case ("PUT", List("indexer", name)) =>
         try {
           val d = registry.fromJson(body)

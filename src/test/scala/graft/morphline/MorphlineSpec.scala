@@ -42,6 +42,24 @@ class MorphlineSpec extends SparkSpec {
     assert(doc.get("source_s").map(_.toList).contains(List("hbase")))
   }
 
+  test("a ValueMapper class name works as a morphline mapping type (P10 × P5)") {
+    val chain =
+      """{"commands": [
+        |  {"extractHBaseCells": {"mappings": [
+        |    {"inputColumn": "info:name", "outputField": "parts",
+        |     "type": "graft.mapping.SplitHashMapper"}]}}
+        |]}""".stripMargin
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val doc = Seq(("r1", "x#y")).toDF("rowKey", "v")
+      .select(col("rowKey"), array(struct(
+        lit("info").as("family"), lit("name").as("qualifier"),
+        lit(0L).as("ts"), lit("put").as("cellType"), col("v").as("value"))).as("cells"))
+      .select(Morphline(chain)(col("cells")).as("doc"))
+      .collect().head.getMap[String, scala.collection.Seq[String]](0)
+    assert(doc.get("parts").map(_.toList).contains(List("x", "y")))
+  }
+
   test("forced fields pass through sanitizeUnknownSolrFields like any record field") {
     val sanitized =
       """{"commands": [

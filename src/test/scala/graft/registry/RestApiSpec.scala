@@ -75,6 +75,16 @@ class RestApiSpec extends SparkSpec {
       assert(rb.statusCode() == 200 && rb.body().contains("idx"), rb.body())
       assert(reg.get("idx").get.batchState == BatchIndexingState.Inactive)
       assert(post(s"$base/indexer?action=index&indexes=nope").statusCode() == 404)
+
+      // T6 progress report over the wire (404 until a drain has run)
+      assert(get(s"$base/indexer/idx/progress").statusCode() == 404)
+      val d1 = reg.get("idx").get
+      reg.update(d1.copy(incrementalState = IncrementalIndexingState.SubscribeAndConsume))
+      sup.waitUntilDrained("idx")
+      val prog = get(s"$base/indexer/idx/progress")
+      assert(prog.statusCode() == 200, prog.body())
+      assert(prog.body().contains("\"backlogFiles\": 0") &&
+        prog.body().contains("MANIFEST-"), prog.body())
     } finally srv.stop()
   }
 }
