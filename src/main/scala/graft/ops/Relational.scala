@@ -104,16 +104,21 @@ object Relational {
   }
 
   /** Connected components over an undirected edge list (a_id, b_id):
-    * iterative minimum-label propagation to a fixpoint — each node's
-    * label becomes the smallest node id reachable from it. The driver
-    * loop runs O(graph diameter) joins; `localCheckpoint` truncates the
-    * lineage every iteration so plans stay flat no matter how many rounds
-    * run (the classic iterative-Spark failure mode is an exponentially
-    * deepening plan). Every intermediate checkpoint is UNPERSISTED before
-    * returning (only the eagerly-materialized result stays cached) —
-    * otherwise each call pins O(iterations) RDD copies in executor memory
-    * for the session, a real leak in a long-running driver. Output:
-    * (node, cluster, cluster_size).
+    * iterative minimum-label propagation WITH POINTER JUMPING to a
+    * fixpoint — each node's label becomes the smallest node id reachable
+    * from it. Per round a node takes the min of its own label, its
+    * neighbors' labels, and its label's label (the label-of-label
+    * shortcut doubles the propagation distance every round — path
+    * doubling), so the loop runs O(log diameter) joins instead of
+    * O(diameter): a 10-million-hop near-dup chain converges in ~24
+    * rounds, not 10 million. `localCheckpoint` truncates the lineage
+    * every iteration so plans stay flat no matter how many rounds run
+    * (the classic iterative-Spark failure mode is an exponentially
+    * deepening plan). Every intermediate checkpoint is UNPERSISTED
+    * before returning (only the eagerly-materialized result stays
+    * cached) — otherwise each call pins O(iterations) RDD copies in
+    * executor memory for the session, a real leak in a long-running
+    * driver. Output: (node, cluster, cluster_size).
     *
     * This is the canonical "assign one keeper per near-dup cluster" step
     * after pairwise dedup at scale. */
@@ -138,21 +143,26 @@ object Relational {
     while (!converged && iter < maxIter) {
       val prop = sym.join(labels, col("src") === col("node"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nbr"))
-      val next = cp(labels.join(prop, col("node") === col("dst"), "left")
-        .select(col("node"), least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl")))
+      // pointer jump: lbl(lbl(node)) — labels only ever decrease toward
+      // the component minimum, so the shortcut preserves the fixpoint
+      val jump = labels.select(col("node").as("_j_node"), col("lbl").as("_j_lbl"))
+      val next = cp(labels
+        .join(prop, col("node") === col("dst"), "left")
+        .join(jump, col("lbl") === col("_j_node"), "left")
+        .select(col("node"), least(
+          col("lbl"),
+          least(coalesce(col("nbr"), col("lbl")), coalesce(col("_j_lbl"), col("lbl")))).as("lbl")))
       converged = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
       labels = next
       iter += 1
     }
     // silent wrong labels are worse than a loud stop: a non-converged run
-    // means a component wider than maxIter hops (e.g. a long near-dup
-    // chain) would get SPLIT keeper assignments
+    // would get SPLIT keeper assignments
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter iterations — " +
-          "graph diameter exceeds maxIter; raise maxIter (label propagation " +
-          "needs O(diameter) rounds)")
+          "with pointer jumping this needs O(log diameter) rounds; raise maxIter")
     val sizes = labels.groupBy(col("lbl").as("_l")).agg(count(lit(1)).as("cluster_size"))
     // materialize the result, then release every intermediate checkpoint
     val intermediates = tracked.toSet
