@@ -126,7 +126,10 @@ object Mapping {
     if (isBuiltinType(f.typeName))
       sparkCast(f.typeName) match {
         case None      => raw
-        case Some(typ) => filter(transform(raw, _.cast(typ)), _.isNotNull)
+        // try_cast, NOT cast: under ANSI mode (Spark 4 default) a plain
+        // cast THROWS on malformed input, which would fail the row — the
+        // reference's contract is drop-the-value, keep-the-row
+        case Some(typ) => filter(transform(raw, _.try_cast(typ)), _.isNotNull)
       }
     else extractMapped(raw, f.typeName)
   }

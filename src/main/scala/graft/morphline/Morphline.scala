@@ -127,7 +127,11 @@ object Morphline {
           .flatMap { m =>
             val raw = Mapping.extractRaw(cells, m.toFieldDef("_pos*"))
             m.outputFields.zipWithIndex.collect {
-              case (name, i) if name.nonEmpty => name -> element_at(raw, i + 1)
+              // try_element_at, NOT element_at: a row with fewer matched
+              // cells than positional output fields must skip the missing
+              // positions (reference ExtractHBaseCellsBuilder.java:210-221);
+              // under ANSI mode (Spark 4 default) element_at would throw
+              case (name, i) if name.nonEmpty => name -> try_element_at(raw, lit(i + 1))
             }
           }
         if (positional.isEmpty) base

@@ -43,6 +43,21 @@ class ValueMapperSpec extends SparkSpec {
     assert(!docs("r2").contains("parts"))
   }
 
+  test("built-in typed extraction drops malformed values under ANSI mode (never throws)") {
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true", "precondition: ANSI default on")
+    import spark.implicits._
+    val f = FieldDef("v", "info:q", ValueSource.Value, "int")
+    val out = Seq(("r1", "notanint"), ("r2", "7")).toDF("rowKey", "v")
+      .select(col("rowKey"), array(struct(
+        lit("info").as("family"), lit("q").as("qualifier"),
+        lit(0L).as("ts"), lit("put").as("cellType"), col("v").as("value"))).as("cells"))
+      .select(col("rowKey"), Mapping.extractTyped(col("cells"), f).as("t"))
+      .orderBy("rowKey")
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1).toList).toMap
+    assert(out("r1") == Nil, "malformed value dropped, row kept")
+    assert(out("r2") == List(7))
+  }
+
   test("byte[] type is a binary pass-through of the stored value") {
     val f = FieldDef("blob", "info:name", ValueSource.Value, "byte[]")
     val out = cellsDf.filter(col("rowKey") === "r1")

@@ -60,6 +60,26 @@ class MorphlineSpec extends SparkSpec {
     assert(doc.get("parts").map(_.toList).contains(List("x", "y")))
   }
 
+  test("positional mode skips missing positions under ANSI mode (never throws)") {
+    val chain =
+      """{"commands": [
+        |  {"extractHBaseCells": {"mappings": [
+        |    {"inputColumn": "info:q*", "outputFields": ["f1", "f2", "f3"], "type": "string"}]}}
+        |]}""".stripMargin
+    // only ONE matching cell — positions 2 and 3 are absent, not errors
+    val doc = cellsDf
+      .select(Morphline(chain)(col("cells")).as("doc"))
+      .collect().head.getMap[String, scala.collection.Seq[String]](0)
+    assert(doc.isEmpty, "info:q* matches nothing here — no fields, no throw")
+
+    val chain2 = chain.replace("info:q*", "info:n*")
+    val doc2 = cellsDf
+      .select(Morphline(chain2)(col("cells")).as("doc"))
+      .collect().head.getMap[String, scala.collection.Seq[String]](0)
+    assert(doc2.get("f1").map(_.toList).contains(List("alice")))
+    assert(!doc2.contains("f2") && !doc2.contains("f3"))
+  }
+
   test("forced fields pass through sanitizeUnknownSolrFields like any record field") {
     val sanitized =
       """{"commands": [
