@@ -150,6 +150,34 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the FULL modern curation pipeline, every stage a library operator:
+    // quality gate → benchmark decontamination → exact dedup → stratified
+    // sample → token-budget selection → training-sequence chunking
+    "p06_full_pipeline" -> ((s, dir) => {
+      import graft.ops.{Sampling, TextAnalysis}
+      val d = docs(s, dir)
+      val corpus = d.filter(col("doc_id") >= 50)
+      val bench = d.filter(col("doc_id") < 50)
+      val scored = corpus.select(col("doc_id"), col("text"),
+          TextAnalysis.qualityScore(col("text")).as("q"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.langId(col("text")).as("lang"))
+        .filter(col("q") >= 0.2)
+      val clean = scored.join(
+        Dedup.contaminationHits(scored, bench, "doc_id", "text", n = 3, minHits = 5)
+          .filter(!col("contaminated")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val keepers = clean.join(
+        Dedup.exactGroups(clean, "doc_id", "text").select(col("keeper").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val sampled = Sampling.stratifiedSample(keepers, "doc_id", "lang", Map("en" -> 500))
+      val selected = Sampling.tokenBudget(sampled, "doc_id", "q", "n_tokens", budget = 20000L)
+      TextAnalysis.chunk(
+          selected.join(d.select("doc_id", "text"), Seq("doc_id")),
+          "doc_id", "text", size = 100, stride = 80)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // ---- similarity search ----
 
     "a01_ann_brute" -> ((s, dir) => {
@@ -328,6 +356,76 @@ object PipelineQueries {
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE list_dot_product(a.q::DOUBLE[], b.q::DOUBLE[]) / (sqrt(a.nn) * sqrt(b.nn)) >= 0.4
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "p06_full_pipeline" -> {
+      val en = TextAnalysis.defaultProfiles.head._2.map(w => s"'$w'").mkString(", ")
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 50),
+         |bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+         |f AS (
+         |  SELECT doc_id, text,
+         |    regexp_split_to_array(trim(text), '\\s+') AS tk,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      w -> w IN ($en))) AS BIGINT) AS n_stop
+         |  FROM corpus),
+         |sc AS (
+         |  SELECT doc_id,
+         |    $langHitsSql
+         |  FROM f),
+         |scored AS (
+         |  SELECT f.doc_id, f.text, f.tk, f.n_tokens,
+         |    least(1.0, greatest(0.0,
+         |      0.4 * (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 1.0 ELSE 0.0 END)
+         |      + 0.3 * (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END)
+         |      + 0.3 * (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END))) AS q,
+         |    $langPredSql AS lang
+         |  FROM f JOIN sc ON f.doc_id = sc.doc_id),
+         |gated AS (SELECT * FROM scored WHERE q >= 0.2),
+         |gsh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+         |  FROM gated WHERE len(tk) >= 3),
+         |btok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM bench),
+         |bsh AS (
+         |  SELECT DISTINCT unnest(list_distinct(list_transform(
+         |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+         |  FROM btok WHERE len(tk) >= 3),
+         |cont AS (
+         |  SELECT doc_id, count(*) AS hits FROM gsh
+         |  WHERE s IN (SELECT s FROM bsh) GROUP BY doc_id),
+         |clean AS (
+         |  SELECT g.* FROM gated g LEFT JOIN cont ON g.doc_id = cont.doc_id
+         |  WHERE coalesce(cont.hits, 0) < 5),
+         |fp AS (
+         |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM clean),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+         |dedup AS (SELECT c.* FROM clean c JOIN keep ON c.doc_id = keep.doc_id),
+         |strat AS (
+         |  SELECT * FROM dedup
+         |  WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000)
+         |    < (CASE WHEN lang = 'en' THEN 500 ELSE 1000 END)),
+         |bud AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |    FROM strat)
+         |  WHERE cum <= 20000),
+         |ct AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk2
+         |  FROM bud WHERE length(trim(text)) > 0),
+         |ch AS (
+         |  SELECT doc_id, tk2, unnest(generate_series(0, (len(tk2) - 1) // 80)) AS chunk_id
+         |  FROM ct)
+         |SELECT doc_id, chunk_id,
+         |  CAST(len(tk2[chunk_id * 80 + 1 : chunk_id * 80 + 100]) AS BIGINT) AS n_chunk_tokens,
+         |  array_to_string(tk2[chunk_id * 80 + 1 : chunk_id * 80 + 100], ' ') AS chunk_text
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+    },
 
     "p03_decontaminate" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 50),
