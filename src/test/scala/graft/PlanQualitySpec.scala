@@ -64,6 +64,11 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("p06 full pipeline composes without a cartesian product") {
+    val plan = q("p06_full_pipeline").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
   test("a01/a02/a03 top-k re-rank: partial aggregation, never a window over scored pairs") {
     for (name <- Seq("a01_ann_brute", "a02_ann_lsh")) {
       val plan = SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
