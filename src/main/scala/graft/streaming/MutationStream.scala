@@ -34,11 +34,28 @@ import scala.jdk.CollectionConverters._
   * Delta/Iceberg MERGE makes at 100 TB; the op algebra is identical and
   * the bucket count is the `spark.sql.shuffle.partitions`-style dial.
   */
-class IndexState(val indexDir: String, spark: SparkSession, val buckets: Int = 16)
+class IndexState(val indexDir: String, spark: SparkSession, requestedBuckets: Int = 16)
     extends Serializable {
   import IndexState.BucketCol
   private val ptr: Path = Paths.get(indexDir, "CURRENT")
   Files.createDirectories(Paths.get(indexDir))
+
+  /** The bucket count is a PROPERTY OF THE STATE, not of the session: an
+    * id's bucket decides which directories a batch reads and rewrites, so
+    * reopening an existing state with a different count would silently
+    * read the wrong buckets (missed docs, phantom duplicates). The count
+    * is pinned in a BUCKETS file on first use; later opens use the pinned
+    * value regardless of what the caller passes. Re-bucketing is a full
+    * rewrite by design — exactly like changing a table's bucketing. */
+  val buckets: Int = {
+    val f = Paths.get(indexDir, "BUCKETS")
+    if (Files.exists(f)) Files.readString(f).trim.toInt
+    else {
+      require(requestedBuckets > 0, s"buckets must be positive: $requestedBuckets")
+      Files.writeString(f, requestedBuckets.toString)
+      requestedBuckets
+    }
+  }
 
   def currentVersion: Option[String] =
     if (Files.exists(ptr)) Some(Files.readString(ptr).trim) else None
@@ -89,7 +106,8 @@ class IndexState(val indexDir: String, spark: SparkSession, val buckets: Int = 1
     val fs = Files.list(root)
     val doomed =
       try fs.iterator().asScala.map(_.getFileName.toString).filter { name =>
-        name != "CURRENT" && !liveDirs.contains(name) && !liveManifest.contains(name)
+        name != "CURRENT" && name != "BUCKETS" &&
+          !liveDirs.contains(name) && !liveManifest.contains(name)
       }.toSeq
       finally fs.close()
     doomed.foreach { name =>

@@ -92,6 +92,20 @@ class IndexStateSpec extends SparkSpec {
     assert(st.vacuum().isEmpty, "second vacuum finds nothing")
   }
 
+  test("the bucket count is pinned to the state, not the session") {
+    val dir = Files.createTempDirectory("graft_state").toString
+    val st = new IndexState(dir, spark, B)
+    MutationStream.applyBatch(spark, st, ops(("add", "a"), ("add", "b")), 0L)
+    // a later open with a DIFFERENT requested count must use the pinned
+    // one — otherwise reads resolve to the wrong bucket directories
+    val reopened = new IndexState(dir, spark, B * 4)
+    assert(reopened.buckets == B)
+    MutationStream.applyBatch(spark, reopened, ops(("deleteById", "a")), 1L)
+    assert(stateIds(reopened) == Set("b"))
+    reopened.vacuum()
+    assert(new IndexState(dir, spark).buckets == B, "BUCKETS survives vacuum")
+  }
+
   test("bucketed state == unbucketed applyOps, and emptied buckets leave the manifest") {
     val dir = Files.createTempDirectory("graft_state").toString
     val st = new IndexState(dir, spark, B)
