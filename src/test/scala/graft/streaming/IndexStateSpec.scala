@@ -92,6 +92,27 @@ class IndexStateSpec extends SparkSpec {
     assert(st.vacuum().isEmpty, "second vacuum finds nothing")
   }
 
+  test("deleteByQuery widens to every live bucket (row-value addressing cannot be bucket-localized)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_state").toString
+    val st = new IndexState(dir, spark, B)
+    val ids = Seq("a", "b", "c", "d", "e", "f")
+    MutationStream.applyBatch(spark, st, ops(ids.map(("add", _)): _*), 0L)
+    val liveBuckets = st.currentManifest.keySet
+
+    // query-delete by rowValue: kills "c" wherever its bucket is
+    val qdel = Seq(("deleteByQuery", null.asInstanceOf[String])).toDF("kind", "id")
+      .withColumn("doc", lit(null).cast("map<string,array<string>>"))
+      .withColumn("rowValue", lit(null).cast("string"))
+      .withColumn("familyValue", lit(null).cast("string"))
+      .withColumn("queryRow", lit("c"))
+      .withColumn("queryFamily", lit(null).cast("string"))
+    val touched = MutationStream.applyBatch(spark, st, qdel, 1L)
+    assert(liveBuckets.subsetOf(touched.toSet),
+      s"query-delete must touch every live bucket: live=$liveBuckets touched=$touched")
+    assert(stateIds(st) == ids.toSet - "c")
+  }
+
   test("the bucket count is pinned to the state, not the session") {
     val dir = Files.createTempDirectory("graft_state").toString
     val st = new IndexState(dir, spark, B)
