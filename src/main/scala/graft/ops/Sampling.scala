@@ -56,6 +56,14 @@ object Sampling {
     *  3. only the boundary tier — a ~1/buckets fraction of the corpus —
     *     is sorted (by quality desc, id) to fill the remainder exactly.
     *
+    * The boundary-tier sort runs as a single-partition window — that is
+    * the deliberate tradeoff: with `buckets` = 1000 the tier holds
+    * ~0.1% of the corpus (100 GB of a 100 TB corpus's metadata rows ≈
+    * well within one task at a few dozen bytes per row); if a quality
+    * distribution is so spiky that one tier stays large, raising
+    * `buckets` shrinks the tier proportionally. The alternative — a
+    * global sort — shuffles the WHOLE corpus.
+    *
     * Tiers are strictly ordered by quality (floor quantization), so the
     * result is exactly the global greedy prefix. Null quality sorts LAST
     * (the `orderBy q desc` nulls-last convention) — null-q docs get the
