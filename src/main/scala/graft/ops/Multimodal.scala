@@ -103,6 +103,34 @@ object Multimodal {
     }
   }
 
+  /** Frame SAMPLING: keep every `stride`-th frame (1, 1+stride, …) — the
+    * video keyframe / audio-window subsampling shape. Skipped frames are
+    * never generated (the iterator steps by `stride`), so cost scales
+    * with frames KEPT, not frames present — at video scale that is the
+    * whole point of sampling. */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 32, stride: Int = 4): Dataset[MediaFrame] = {
+    require(stride > 0, s"stride must be positive: $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].flatMap { r =>
+      val n = r.payload.length
+      val frames = (n + frameBytes - 1) / frameBytes
+      (0 until frames by stride).iterator.map { f =>
+        val from = f * frameBytes
+        val until = math.min(from + frameBytes, n)
+        var sum = 0L
+        var i = from
+        while (i < until) { sum += r.payload(i) & 0xff; i += 1 }
+        MediaFrame(
+          doc_id = r.doc_id,
+          frame_idx = (f + 1).toLong,
+          frame_len = (until - from).toLong,
+          frame_sum = sum,
+          head_hex = toHex(r.payload, from, math.min(from + 8, until)))
+      }
+    }
+  }
+
   /** Per-partition imperative decode + feature extraction. */
   def extractFeatures(media: DataFrame, decoder: MediaDecoder = StubDecoder): DataFrame = {
     val spark = media.sparkSession

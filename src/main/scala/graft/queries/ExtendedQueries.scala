@@ -193,6 +193,14 @@ object ExtendedQueries {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // keyframe-style sampling: every 4th frame, skipped frames never
+    // generated
+    "m03_frame_sample" -> ((s, dir) => {
+      Multimodal.sampleFrames(Multimodal.toMedia(t(s, dir, "documents")), 32, stride = 4)
+        .toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // flagship curation pipeline: language gate → quality gate → exact
     // dedup keepers → greedy near-dup drop (LSH-verified pairs) →
     // deterministic hash sample. Every stage is one of the engine's
@@ -494,6 +502,21 @@ object ExtendedQueries {
         |f AS (SELECT doc_id, frame_idx,
         |        substr(text, CAST((frame_idx - 1) * 32 + 1 AS BIGINT), 32) AS frame
         |      FROM g)
+        |SELECT doc_id, frame_idx,
+        |  CAST(length(frame) AS BIGINT) AS frame_len,
+        |  CAST(list_sum(list_transform(generate_series(1, length(frame)),
+        |    i -> ascii(substr(frame, i, 1)))) AS BIGINT) AS frame_sum,
+        |  lower(hex(CAST(substr(frame, 1, 8) AS BLOB))) AS head_hex
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "m03_frame_sample" ->
+      """WITH g AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(1, CAST(ceil(length(text) / 32.0) AS BIGINT))) AS frame_idx
+        |  FROM documents WHERE length(text) > 0),
+        |f AS (SELECT doc_id, frame_idx,
+        |        substr(text, CAST((frame_idx - 1) * 32 + 1 AS BIGINT), 32) AS frame
+        |      FROM g WHERE (frame_idx - 1) % 4 = 0)
         |SELECT doc_id, frame_idx,
         |  CAST(length(frame) AS BIGINT) AS frame_len,
         |  CAST(list_sum(list_transform(generate_series(1, length(frame)),
