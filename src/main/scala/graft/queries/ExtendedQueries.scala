@@ -246,6 +246,21 @@ object ExtendedQueries {
     }),
 
     // sessionization: gap-based sessions via lag + running sum — the
+    // stream-stream interval inner join: purchases attributed to a click
+    // by the same user within the preceding hour, through watermarked
+    // two-sided streaming state
+    "s05_stream_stream_join" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+      val ev = eventsSec(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("l_event"), col("ts_s").as("l_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("r_event"), col("ts_s").as("r_ts"))
+      graft.streaming.StreamStreamJoin
+        .intervalJoinToCompletion(s, clicks, purchases, work, windowSec = 3600L)
+        .orderBy(col("user_id"), col("l_event"), col("r_event"))
+    }),
+
     // batch form of the stateful-streaming session operator (one window
     // shuffle on the user key)
     "s04_sessionization" -> ((s, dir) => {
@@ -625,6 +640,16 @@ object ExtendedQueries {
          |  FROM d)
          |SELECT doc_id, n_tokens, q FROM o WHERE cum <= 12000 ORDER BY doc_id""".stripMargin
     },
+
+    "s05_stream_stream_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000000000 AS ts_s FROM events),
+        |c AS (SELECT user_id, event_id AS l_event, ts_s AS l_ts FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS r_event, ts_s AS r_ts FROM e WHERE event_type = 'purchase')
+        |SELECT c.user_id, l_event, l_ts, r_event, r_ts
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND r_ts >= l_ts AND r_ts <= l_ts + 3600
+        |ORDER BY c.user_id, l_event, r_event""".stripMargin,
 
     "s04_sessionization" ->
       """WITH e AS (SELECT user_id, event_id,

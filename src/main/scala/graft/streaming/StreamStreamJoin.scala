@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Stream-stream interval inner join — the two-sided streaming shape the
+  * reference's one-directional CDC pipeline never needed, but any
+  * event-correlation workload does (click ↔ view attribution, request ↔
+  * response pairing).
+  *
+  * Mechanics: both sides get an event-time column and a watermark; the
+  * join condition is equality on the key PLUS a time interval, which is
+  * what lets Spark bound each side's state to the watermark horizon —
+  * without the interval the state would grow unboundedly. Inner-join
+  * results emit as soon as both sides arrive (no watermark wait; only
+  * outer joins hold rows back), so a finite drain yields exactly the
+  * batch join's rows.
+  *
+  * State scale: O(events inside the watermark window per side), keyed by
+  * the join key — the same partitioning story as any keyed stream state.
+  */
+object StreamStreamJoin {
+
+  /** Drain two finite logs through the watermarked interval join:
+    * pairs (left, right) with the same `user_id` and
+    * `l_ts ≤ r_ts ≤ l_ts + windowSec`. `left` needs (user_id, l_event,
+    * l_ts); `right` needs (user_id, r_event, r_ts) — epoch seconds. */
+  def intervalJoinToCompletion(spark: SparkSession, left: DataFrame, right: DataFrame,
+                               workDir: String, windowSec: Long = 3600L,
+                               watermark: String = "2 hours"): DataFrame = {
+    left.coalesce(2).write.mode("overwrite").parquet(s"$workDir/left")
+    right.coalesce(2).write.mode("overwrite").parquet(s"$workDir/right")
+
+    val ls = spark.readStream
+      .schema("user_id long, l_event long, l_ts long")
+      .parquet(s"$workDir/left")
+      .withColumn("l_t", timestamp_seconds(col("l_ts")))
+      .withWatermark("l_t", watermark)
+    val rs = spark.readStream
+      .schema("user_id long, r_event long, r_ts long")
+      .parquet(s"$workDir/right")
+      .select(col("user_id").as("r_user"), col("r_event"), col("r_ts"))
+      .withColumn("r_t", timestamp_seconds(col("r_ts")))
+      .withWatermark("r_t", watermark)
+
+    val q = ls.join(rs,
+        col("user_id") === col("r_user") &&
+          col("r_t") >= col("l_t") &&
+          col("r_t") <= col("l_t") + expr(s"INTERVAL $windowSec SECONDS"))
+      .select(col("user_id"), col("l_event"), col("l_ts"), col("r_event"), col("r_ts"))
+      .writeStream
+      .format("parquet").option("path", s"$workDir/joined")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .start()
+    q.awaitTermination()
+    spark.read
+      .schema("user_id long, l_event long, l_ts long, r_event long, r_ts long")
+      .parquet(s"$workDir/joined")
+  }
+}
