@@ -28,9 +28,26 @@ object StreamStreamJoin {
     * l_ts); `right` needs (user_id, r_event, r_ts) — epoch seconds. */
   def intervalJoinToCompletion(spark: SparkSession, left: DataFrame, right: DataFrame,
                                workDir: String, windowSec: Long = 3600L,
-                               watermark: String = "2 hours"): DataFrame = {
+                               watermark: String = "2 hours",
+                               statePartitions: Int = 8): DataFrame = {
     left.coalesce(2).write.mode("overwrite").parquet(s"$workDir/left")
     right.coalesce(2).write.mode("overwrite").parquet(s"$workDir/right")
+
+    // the symmetric join keeps FOUR state stores per partition, and store
+    // open/commit dominates a small drain (measured: 32 partitions → 12s
+    // addBatch for 40k rows); stateful-op parallelism is pinned at first
+    // checkpoint from spark.sql.shuffle.partitions, so scope it down for
+    // this query and restore after. At cluster scale raise
+    // statePartitions with the event rate — state rows per partition,
+    // not store count, should be the limiting factor.
+    val prevPartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try intervalJoinDrain(spark, workDir, windowSec, watermark)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevPartitions)
+  }
+
+  private def intervalJoinDrain(spark: SparkSession, workDir: String,
+                                windowSec: Long, watermark: String): DataFrame = {
 
     val ls = spark.readStream
       .schema("user_id long, l_event long, l_ts long")
