@@ -95,21 +95,23 @@ object ExtendedQueries {
     "s02_stream_window" -> ((s, dir) => {
       val work = java.nio.file.Files.createTempDirectory("graft_s02").toString
       t(s, dir, "events").coalesce(4).write.mode("overwrite").parquet(s"$work/log")
-      val src = s.readStream
-        .schema(t(s, dir, "events").schema)
-        .parquet(s"$work/log")
-      val q = src
-        .withColumn("tsc", timestamp_micros(expr("ts div 1000")))
-        .withWatermark("tsc", "1 hour")
-        .groupBy(window(col("tsc"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), dbl(sum(dec(col("value")))).as("sum_v"))
-        .writeStream
-        .format("memory").queryName("s02_win")
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", s"$work/ckpt")
-        .start()
-      q.awaitTermination()
+      graft.streaming.StatefulScope.withStatePartitions(s, 4) {
+        val src = s.readStream
+          .schema(t(s, dir, "events").schema)
+          .parquet(s"$work/log")
+        val q = src
+          .withColumn("tsc", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("tsc", "1 hour")
+          .groupBy(window(col("tsc"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dbl(sum(dec(col("value")))).as("sum_v"))
+          .writeStream
+          .format("memory").queryName("s02_win")
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$work/ckpt")
+          .start()
+        q.awaitTermination()
+      }
       s.table("s02_win")
         .select(unix_timestamp(col("window.start")).as("hour_start"),
           col("event_type"), col("n"), col("sum_v"))

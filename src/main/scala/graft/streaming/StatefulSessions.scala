@@ -72,7 +72,16 @@ object StatefulSessions {
     * sessions. On an unbounded stream the same flush comes from an
     * event-time timeout instead of a sentinel. */
   def sessionizeToCompletion(spark: SparkSession, events: DataFrame,
-                             workDir: String, gapSec: Long = 3600L): DataFrame = {
+                             workDir: String, gapSec: Long = 3600L,
+                             statePartitions: Int = 8): DataFrame =
+    // both phases share one checkpoint, so the scoped partition count
+    // must cover the whole drain (see StatefulScope)
+    StatefulScope.withStatePartitions(spark, statePartitions) {
+      sessionizeDrain(spark, events, workDir, gapSec)
+    }
+
+  private def sessionizeDrain(spark: SparkSession, events: DataFrame,
+                              workDir: String, gapSec: Long): DataFrame = {
     import spark.implicits._
     val logDir = s"$workDir/log"
     val typed = events.select(col("user_id").cast("long"), col("event_id").cast("long"),

