@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -25,27 +26,58 @@ object Bench {
         case t: Throwable => Some(t.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(200))
       }
 
+    def timed(name: String): (Double, Option[String]) = {
+      val t0 = System.nanoTime()
+      val err = run(name)
+      ((System.nanoTime() - t0) / 1e9, err)
+    }
+
+    // Stateful streaming drains carry ~1-2s of state-store open/commit +
+    // JIT machinery noise per run; a single sample can't distinguish that
+    // from a real regression, so these report the median of 3 runs.
+    val medianOf3 = Set(
+      "s01_stream_state", "s03_stream_static_join",
+      "s05_stream_stream_join", "x08_lookup_join")
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     // one full untimed pass first: JIT/codegen-cache/parquet-footer costs
     // land here, so ~1s run-order noise can't masquerade as a regression
     // on the sub-second shuffle-free queries
     if (warmup) names.foreach(run)
 
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      val err = run(name)
-      val secs = (System.nanoTime() - t0) / 1e9
+      val reps = if (medianOf3(name)) 3 else 1
+      val runs = (1 to reps).map(_ => timed(name))
+      runs.flatMap(_._2).headOption.foreach(errors.put(name, _))
       // a failed query must be distinguishable from a fast one: -1 marker
-      err.foreach(errors.put(name, _))
-      name -> (if (err.isEmpty) secs else -1.0)
+      val secs =
+        if (runs.exists(_._2.isDefined)) -1.0
+        else {
+          val ts = runs.map(_._1).sorted
+          if (reps > 1) spreads.put(name, r3(ts.last - ts.head))
+          ts(ts.length / 2) // median (== the value itself for reps=1)
+        }
+      name -> (if (secs < 0) secs else r3(secs))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    val sp = spreads.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = r3(results.collect { case (_, v) if v >= 0 => v }.sum)
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"spread":$sp,"sf":"$sfDir"}"""
+    // Persist a copy on disk so the artifact survives any stdout capture
+    // limits, then emit the summary as the FINAL line of output (a driver
+    // tail-capture window must always contain the complete JSON object).
+    try java.nio.file.Files.writeString(java.nio.file.Path.of("/root/repo/bench.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
+    println(line)
   }
 }

@@ -26,21 +26,30 @@ object Relational {
     *
     * Returns all `left` columns plus `rightVals` (null when no right row
     * precedes the left row).
+    *
+    * Keys keep their NATIVE type (string entity ids are the common as-of
+    * case — an unconditional cast-to-long would silently null them out);
+    * only equality/hashability is needed of the key, so any atomic type
+    * works. A right key of a different but castable type is cast to the
+    * left key's type; an incompatible key pair fails loudly at plan time.
     */
   def asofJoin(
       left: DataFrame, leftKey: String, leftTime: String,
       right: DataFrame, rightKey: String, rightTime: String,
       rightTieBreak: String, rightVals: Seq[String]): DataFrame = {
 
+    val lkType = left.schema(leftKey).dataType
+    val rkType = right.schema(rightKey).dataType
+    val rKey = if (rkType == lkType) col(rightKey) else col(rightKey).cast(lkType)
     val leftCols = left.columns.toSeq
     val l = left.select(
-      col(leftKey).cast("long").as("_k"),
+      col(leftKey).as("_k"),
       col(leftTime).cast("long").as("_t"),
       lit(Long.MaxValue).as("_tb"),
       lit(null).cast(right.select(rightVals.map(col): _*).schema).as("_vals"),
       struct(leftCols.map(col): _*).as("_row"))
     val r = right.select(
-      col(rightKey).cast("long").as("_k"),
+      rKey.as("_k"),
       col(rightTime).cast("long").as("_t"),
       col(rightTieBreak).cast("long").as("_tb"),
       struct(rightVals.map(col): _*).as("_vals"),

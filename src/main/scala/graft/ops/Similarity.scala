@@ -188,6 +188,35 @@ object Similarity {
     graft.expr.hfunctions.srp_codes(q,
       Array.tabulate(bands * planesPerBand)(p => planeCoefs(p, dim).toArray), planesPerBand)
 
+  /** Derive an SRP (bands, planesPerBand) config from the verification
+    * threshold. A pair at similarity s agrees with one hyperplane w.p.
+    * p = 1 − arccos(s)/π, collides on a band of r planes w.p. p^r, and is
+    * missed only if all b bands miss: miss = (1 − p^r)^b. For each r this
+    * solves the smallest b meeting `targetMissProb` at s = threshold, keeps
+    * the configs that fit the packed-word budget (b·r ≤ maxBits), and picks
+    * the one minimizing the candidate-volume constant b/2^r (random pairs
+    * collide on a band w.p. ≈ 2^-r, so near-uniform buckets yield
+    * ≈ b/2^r · n² candidates) — ties break toward more planes per band.
+    * Higher thresholds buy sharper bands: 0.4 → (19, 2) (c ≈ 4.75, the
+    * best the bit budget allows at so permissive a threshold), 0.8 →
+    * (14, 3) (c ≈ 1.75), 0.9 → more planes still. This is the guard rail
+    * that keeps a defaults-at-scale user off the quadratic cliff the old
+    * fixed 32×2 default (c = 8) baked in. */
+  def srpConfigFor(threshold: Double, targetMissProb: Double = 1e-4,
+                   maxBits: Int = 64): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0, s"threshold in (0,1), got $threshold")
+    require(targetMissProb > 0.0 && targetMissProb < 1.0, s"targetMissProb in (0,1)")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val feasible = (1 to maxBits).flatMap { r =>
+      val pr = math.pow(p, r)
+      val b = math.max(1, math.ceil(math.log(targetMissProb) / math.log1p(-pr)).toInt)
+      if (b.toLong * r <= maxBits) Some((b, r)) else None
+    }
+    require(feasible.nonEmpty,
+      s"no (bands, planes) config within $maxBits bits meets miss<$targetMissProb at threshold $threshold")
+    feasible.minBy { case (b, r) => (b / math.pow(2.0, r), -r) }
+  }
+
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold,
     * found via multi-band SRP-LSH candidates + exact verification — the
     * same candidates→verify shape as [[Dedup.minhashLshPairs]], and the
@@ -200,23 +229,32 @@ object Similarity {
     * shuffle is the band-bucket self-join (n×bands rows, vector payload
     * carried once per side) — never a quadratic pair set.
     *
-    * Recall: a pair at similarity s agrees with one plane w.p.
-    * 1 − arccos(s)/π, with one band w.p. that^planesPerBand, and is missed
-    * only if ALL bands miss. Defaults (32 bands × 2 planes) give expected
-    * misses < 1e-4 across ~1000 true pairs at the fixture's hard
-    * threshold 0.4 (plane-agree ≈ 0.63); verified exhaustively against
-    * [[cosineNearDupPairsExact]] in SimilaritySpec. At realistic near-dup
-    * thresholds (≥ 0.8, plane-agree ≥ 0.9) fewer bands of MORE planes
-    * (e.g. 8×12) make the candidate volume genuinely subquadratic — that
-    * is the 100 TB configuration; the bands/planes knobs are the
-    * recall/cost dial.
+    * The band config defaults to [[srpConfigFor]] — derived from the
+    * threshold so recall at the threshold boundary meets the 1e-4 miss
+    * target with the smallest candidate-volume constant the 64-bit packed
+    * word allows. Passing explicit (bands, planesPerBand) overrides the
+    * derivation (the recall/cost dial); a config whose candidate constant
+    * is worse than the derived one gets a loud stderr warning, because at
+    * 100 TB that constant multiplies an n² term.
     *
     * `dim` is the (fixed, known) embedding dimension — it sizes the
     * literal hyperplane arrays at plan time. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double, dim: Int,
-                         bands: Int = 32, planesPerBand: Int = 2): DataFrame = {
-    require(bands * planesPerBand <= 64,
-      s"bands*planesPerBand must fit one packed word, got ${bands * planesPerBand} bits")
+                         bands: Int = 0, planesPerBand: Int = 0): DataFrame = {
+    require((bands > 0) == (planesPerBand > 0),
+      "pass both bands and planesPerBand, or neither (auto-derive from threshold)")
+    val (derivedB, derivedR) = srpConfigFor(threshold)
+    val (nBands, nPlanes) = if (bands > 0) (bands, planesPerBand) else (derivedB, derivedR)
+    require(nBands * nPlanes <= 64,
+      s"bands*planesPerBand must fit one packed word, got ${nBands * nPlanes} bits")
+    val cFactor = nBands / math.pow(2.0, nPlanes)
+    val derivedC = derivedB / math.pow(2.0, derivedR)
+    if (cFactor > derivedC * 1.5)
+      System.err.println(
+        f"[graft] WARN cosineNearDupPairs: explicit SRP config ${nBands}x$nPlanes implies ~$cFactor%.2f*n^2 " +
+          f"candidate pairs on near-uniform buckets; the threshold-derived config " +
+          f"${derivedB}x$derivedR achieves the same recall target at ~$derivedC%.2f*n^2 — " +
+          "prefer srpConfigFor (fewer bands of more planes) at scale")
     // The band self-join is the volume hazard (≈ bands/2^planesPerBand ×
     // n² rows for near-uniform buckets), so its rows stay SLIM: id plus
     // the full band-code vector PACKED into one 64-bit word (default 32
@@ -225,8 +263,8 @@ object Similarity {
     // doubled the operator's cost; vectors join back only for surviving
     // candidates — the same candidates→verify shape as minhashLshPairs.
     val withCodes = corpus.select(col("vec_id"), col("q"), col("nq"),
-        srpBandCodes(col("q"), bands, planesPerBand, dim).as("codes"))
-      .withColumn("packed", graft.expr.hfunctions.pack_codes(col("codes"), planesPerBand))
+        srpBandCodes(col("q"), nBands, nPlanes, dim).as("codes"))
+      .withColumn("packed", graft.expr.hfunctions.pack_codes(col("codes"), nPlanes))
     val coded = withCodes.select(col("vec_id"), col("packed"),
       posexplode(col("codes")).as(Seq("band", "bucket")))
     val l = coded.select(col("band"), col("bucket"),
@@ -238,7 +276,7 @@ object Similarity {
       // keep a pair ONLY in its first colliding band (a few ALU ops on
       // the packed words): each unique pair survives exactly once — no
       // distinct, no duplicate verification for pairs sharing many bands
-      .filter(graft.expr.hfunctions.packed_first_eq(col("a_p"), col("b_p"), planesPerBand) === col("band"))
+      .filter(graft.expr.hfunctions.packed_first_eq(col("a_p"), col("b_p"), nPlanes) === col("band"))
       .select("a_id", "b_id")
     val vecs = withCodes.select(col("vec_id"), col("q"), col("nq"))
     candidates

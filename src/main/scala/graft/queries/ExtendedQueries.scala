@@ -58,6 +58,24 @@ object ExtendedQueries {
         .orderBy(col("p_event_id"))
     }),
 
+    // as-of join keyed on a STRING entity id — exercises the native-key
+    // path (the old implementation cast keys to long, silently nulling
+    // string keys); same semantics as q12, key = 'u' || user_id
+    "q15_asof_string" -> ((s, dir) => {
+      val ev = eventsSec(s, dir)
+        .withColumn("ukey", concat(lit("u"), col("user_id")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("ukey"), col("event_id").as("p_event_id"), col("ts_s"))
+      val others = ev.filter(col("event_type") =!= "purchase")
+        .select(col("ukey"), col("event_id"), col("event_type"), col("ts_s"))
+      Relational.asofJoin(
+          purchases, "ukey", "ts_s",
+          others, "ukey", "ts_s", "event_id", Seq("event_type", "event_id"))
+        .select(col("p_event_id"), col("ukey"),
+          col("event_type").as("asof_etype"), col("event_id").as("asof_event_id"))
+        .orderBy(col("p_event_id"))
+    }),
+
     // skew-salted join: salt lineitem on l_linenumber, replicate orders
     // 8× — result identical to the plain equi-join (the oracle)
     "q13_salted_join" -> ((s, dir) => {
@@ -412,6 +430,23 @@ object ExtendedQueries {
         |FROM p LEFT JOIN m ON p.p_event_id = m.p_event_id
         |  LEFT JOIN o ON m.mk = o.ts_s * 100000000 + o.event_id
         |    AND o.user_id = p.user_id
+        |ORDER BY 1""".stripMargin,
+
+    "q15_asof_string" ->
+      """WITH ev AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS ukey, event_id, event_type,
+        |    epoch_ns(ts) // 1000000000 AS ts_s FROM events),
+        |p AS (SELECT ukey, event_id AS p_event_id, ts_s AS p_ts
+        |      FROM ev WHERE event_type = 'purchase'),
+        |o AS (SELECT ukey, event_id, event_type, ts_s
+        |      FROM ev WHERE event_type <> 'purchase'),
+        |m AS (SELECT p.p_event_id, max(o.ts_s * 100000000 + o.event_id) AS mk
+        |      FROM p JOIN o ON p.ukey = o.ukey AND o.ts_s <= p.p_ts
+        |      GROUP BY 1)
+        |SELECT p.p_event_id, p.ukey,
+        |  o.event_type AS asof_etype, o.event_id AS asof_event_id
+        |FROM p LEFT JOIN m ON p.p_event_id = m.p_event_id
+        |  LEFT JOIN o ON m.mk = o.ts_s * 100000000 + o.event_id
+        |    AND o.ukey = p.ukey
         |ORDER BY 1""".stripMargin,
 
     "q13_salted_join" ->

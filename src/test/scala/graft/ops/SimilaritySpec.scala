@@ -28,6 +28,36 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
+  test("srpConfigFor: threshold-derived configs meet the miss target and shrink candidates") {
+    def c(br: (Int, Int)) = br._1 / math.pow(2.0, br._2)
+    def miss(t: Double, br: (Int, Int)) = {
+      val p = 1 - math.acos(t) / math.Pi
+      math.pow(1 - math.pow(p, br._2), br._1)
+    }
+    val at04 = Similarity.srpConfigFor(0.4)
+    val at08 = Similarity.srpConfigFor(0.8)
+    val at09 = Similarity.srpConfigFor(0.9)
+    for ((t, br) <- Seq(0.4 -> at04, 0.8 -> at08, 0.9 -> at09)) {
+      assert(br._1 * br._2 <= 64, s"$br must fit the packed word")
+      assert(miss(t, br) <= 1e-4, s"recall target violated at $t by $br")
+    }
+    // the old fixed default (32x2) put EVERY threshold at c = 8; derived
+    // configs spend the bit budget on more planes as the threshold rises
+    assert(c(at04) < 8.0, s"derived 0.4 config $at04 must beat the fixed 32x2")
+    assert(at08._2 >= 3 && c(at08) <= 2.0,
+      s"a 0.8-threshold corpus should get fewer bands of more planes, got $at08")
+    assert(at09._2 > at08._2 && c(at09) < c(at08),
+      s"sharper threshold must buy sharper bands: $at09 vs $at08")
+  }
+
+  test("auto-derived config keeps recall 1.0 vs exact at a realistic threshold (0.8)") {
+    val exact = Similarity.cosineNearDupPairsExact(corpus, 0.8)
+      .orderBy("a_id", "b_id").collect().toSeq
+    val bucketed = Similarity.cosineNearDupPairs(corpus, 0.8, dim = 64)
+      .orderBy("a_id", "b_id").collect().toSeq
+    assert(bucketed == exact)
+  }
+
   test("bruteForceTopK: bounded-heap aggregate == window row_number, no Window in plan") {
     import org.apache.spark.sql.expressions.Window
     val queries = corpus.filter(col("vec_id") < 7)
