@@ -110,7 +110,11 @@ object BatchPipeline {
     expectedRows.foreach(e => require(rows == e,
       s"go-live: shard build holds $rows rows, expected $e"))
     Files.createDirectories(Paths.get(serveDir))
-    Files.writeString(Paths.get(serveDir, "CURRENT"), root.toAbsolutePath.toString)
+    // temp-file + rename, not truncate-in-place: a reader resolving the
+    // pointer mid-flip must see the old index or the new one, never an
+    // empty path
+    graft.streaming.IndexState.atomicWriteString(
+      Paths.get(serveDir, "CURRENT"), root.toAbsolutePath.toString)
     rows
   }
 

@@ -37,6 +37,21 @@ object Morphline {
   case class ExtractHBaseCells(mappings: Seq[CellMapping]) extends Command
   case class SanitizeUnknownFields(knownFields: Seq[String]) extends Command
   case object LogDebug extends Command
+  /** Kite `grok`: regex named-capture extraction, scoped to numbered
+    * groups — group i+1 lands in `outputFields(i)` (empty name skips the
+    * group). A non-matching record gains no fields, like Kite grok with
+    * `extract: true` on a miss. */
+  case class Grok(inputField: String, pattern: String, outputFields: Seq[String]) extends Command
+  /** Kite `split`: separator-split of a field into a MULTI-VALUED output
+    * field (the document's array<string> values are the natural target). */
+  case class Split(inputField: String, outputField: String, separator: String,
+                   isRegex: Boolean) extends Command
+  /** Kite `convertTimestamp`: re-render a time field in place; input
+    * formats are tried in order, `outputFormat` is a pattern or the
+    * `unixTimeInMillis` keyword. An unparseable value clears the field
+    * (Kite's record-drop analogue at field granularity). */
+  case class ConvertTimestamp(field: String, inputFormats: Seq[String],
+                              outputFormat: String) extends Command
 
   /** Parse a JSON command chain:
     * {{{
@@ -71,6 +86,23 @@ object Morphline {
         case JObject(List(("sanitizeUnknownSolrFields", body))) =>
           SanitizeUnknownFields((body \ "knownFields").extract[Seq[String]])
         case JObject(List(("logDebug", _))) => LogDebug
+        case JObject(List(("grok", body))) =>
+          Grok(
+            inputField = (body \ "inputField").extract[String],
+            pattern = (body \ "pattern").extract[String],
+            outputFields = (body \ "outputFields").extract[Seq[String]])
+        case JObject(List(("split", body))) =>
+          Split(
+            inputField = (body \ "inputField").extract[String],
+            outputField = (body \ "outputField").extract[String],
+            separator = (body \ "separator").extract[String],
+            isRegex = (body \ "isRegex").extractOpt[Boolean].getOrElse(false))
+        case JObject(List(("convertTimestamp", body))) =>
+          ConvertTimestamp(
+            field = (body \ "field").extract[String],
+            inputFormats = (body \ "inputFormats").extract[Seq[String]],
+            outputFormat = (body \ "outputFormat").extractOpt[String]
+              .getOrElse("unixTimeInMillis"))
         case other =>
           throw new IllegalArgumentException(s"unknown morphline command: $other")
       }
@@ -144,14 +176,61 @@ object Morphline {
     }
     val withForced =
       if (forced.isEmpty) doc
-      else map_concat(doc, map_from_arrays(
+      else mergeDocs(doc, map_from_arrays(
         array(forced.map(f => lit(f._1)): _*),
         array(forced.map(f => array(lit(f._2))): _*)))
     commands.foldLeft(withForced) {
       case (d, SanitizeUnknownFields(known)) =>
         map_filter(d, (k, _) => k.isInCollection(known.map(lit(_))))
+      case (d, Grok(in, pattern, outs)) =>
+        val v = firstValue(d, in)
+        val matched = v.isNotNull && v.rlike(pattern)
+        outs.zipWithIndex.collect { case (name, i) if name.nonEmpty =>
+          name -> when(matched, array(regexp_extract(v, pattern, i + 1)))
+        }.foldLeft(d) { case (dd, (name, value)) => putField(dd, name, value) }
+      case (d, Split(in, out, sep, isRegex)) =>
+        val v = firstValue(d, in)
+        val pat = if (isRegex) sep else java.util.regex.Pattern.quote(sep)
+        putField(d, out, when(v.isNotNull, split(v, pat)))
+      case (d, ConvertTimestamp(field, inFmts, outFmt)) =>
+        val v = firstValue(d, field)
+        val ts = coalesce(inFmts.map(f => try_to_timestamp(v, lit(f))): _*)
+        val rendered = outFmt match {
+          case "unixTimeInMillis" => unix_millis(ts).cast("string")
+          case pattern => date_format(ts, pattern)
+        }
+        putField(d, field, when(rendered.isNotNull, array(rendered)))
       case (d, _) => d
     }
+  }
+
+  /** First value of a document field (commands consume scalars; the
+    * document's fields are multi-valued). try_element_at on both hops:
+    * a missing field or empty value list is null, never an ANSI error. */
+  private def firstValue(doc: Column, field: String): Column =
+    try_element_at(try_element_at(doc, lit(field)), lit(1))
+
+  /** Set `field` to `value` (array<string>): any existing entry is
+    * replaced, a null value removes/omits the field. Built from
+    * map_filter + map_concat over DISJOINT keys — never a duplicate-key
+    * map, so the semantics hold under any `mapKeyDedupPolicy`. */
+  private def putField(doc: Column, field: String, value: Column): Column =
+    map_concat(
+      map_filter(doc, (k, _) => k =!= field),
+      map_filter(map_from_arrays(array(lit(field)), array(value)), (_, v) => v.isNotNull))
+
+  /** Merge two documents by CONCATENATING the value lists of colliding
+    * keys — the reference adds a forced `morphlineField.*` value alongside
+    * the extracted values of the same field
+    * (LocalMorphlineResultToSolrMapper.java:152-160), and relying on the
+    * session's `mapKeyDedupPolicy=LAST_WIN` would instead replace them
+    * (and THROW under Spark's default EXCEPTION policy). */
+  private[morphline] def mergeDocs(a: Column, b: Column): Column = {
+    val keys = array_union(map_keys(a), map_keys(b))
+    map_from_arrays(keys, transform(keys, k =>
+      concat(
+        coalesce(try_element_at(a, k), array().cast("array<string>")),
+        coalesce(try_element_at(b, k), array().cast("array<string>")))))
   }
 
   /** Parse + compile in one step. */

@@ -347,6 +347,34 @@ object ExtendedQueries {
         .orderBy(col("id"))
     }),
 
+    // morphline breadth past the reference's own test corpus: grok
+    // (regex group extraction), split (multi-valued fan-out) and
+    // convertTimestamp (format re-render via a forced field), chained
+    // after extractHBaseCells in one compiled document expression
+    "x24_morphline_grok" -> ((s, dir) => {
+      val chain =
+        """{"commands": [
+          |  {"extractHBaseCells": {"mappings": [
+          |    {"inputColumn": "info:name", "outputField": "name_s"}]}},
+          |  {"grok": {"inputField": "name_s", "pattern": "^([A-Za-z]+)#(\\d+)$",
+          |            "outputFields": ["word", "num"]}},
+          |  {"split": {"inputField": "name_s", "outputField": "parts", "separator": "#"}},
+          |  {"convertTimestamp": {"field": "when_s",
+          |     "inputFormats": ["yyyy-MM-dd HH:mm:ss"], "outputFormat": "unixTimeInMillis"}}
+          |]}""".stripMargin
+      val doc = graft.morphline.Morphline.withParams(chain,
+        Map("morphlineField.when_s" -> "2024-03-01 10:15:00"))(col("cells"))
+      graft.core.Fixtures.customerCells(s, dir)
+        .select(col("rowKey").as("id"), doc.as("doc"))
+        .select(col("id"),
+          element_at(col("doc")("word"), 1).as("grok_word"),
+          element_at(col("doc")("num"), 1).as("grok_num"),
+          element_at(col("doc")("parts"), 1).as("p1"),
+          element_at(col("doc")("parts"), 2).as("p2"),
+          element_at(col("doc")("when_s"), 1).as("when_ms"))
+        .orderBy(col("id"))
+    }),
+
     // P17: custom-mapper plug-in (reflective load + configure + typed
     // flatMap), replacing the declarative mapping stage
     "x20_custom_mapper" -> ((s, dir) => {
@@ -731,6 +759,15 @@ object ExtendedQueries {
         |  string_split(c_name, '#')[1] AS p1,
         |  string_split(c_name, '#')[2] AS p2,
         |  CAST(NULL AS VARCHAR) AS seg_p
+        |FROM customer ORDER BY id""".stripMargin,
+
+    "x24_morphline_grok" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS id,
+        |  regexp_extract(c_name, '^([A-Za-z]+)#(\d+)$', 1) AS grok_word,
+        |  regexp_extract(c_name, '^([A-Za-z]+)#(\d+)$', 2) AS grok_num,
+        |  string_split(c_name, '#')[1] AS p1,
+        |  string_split(c_name, '#')[2] AS p2,
+        |  '1709288100000' AS when_ms
         |FROM customer ORDER BY id""".stripMargin,
 
     // qualifier sort order of the info family is

@@ -38,7 +38,30 @@ class IndexState(val indexDir: String, spark: SparkSession, requestedBuckets: In
     extends Serializable {
   import IndexState.BucketCol
   private val ptr: Path = Paths.get(indexDir, "CURRENT")
+  private val lockPath: Path = Paths.get(indexDir, "LOCK")
   Files.createDirectories(Paths.get(indexDir))
+
+  /** The last CURRENT value this writer observed — its fencing token. A
+    * commit whose token no longer matches CURRENT means another writer
+    * advanced the state since; committing anyway would silently drop that
+    * writer's buckets (last-writer-wins), so it throws instead. */
+  @volatile private var fenceToken: Option[String] = currentVersion
+
+  /** Run `body` holding the state dir's LOCK file (create-exclusive). A
+    * held lock means a commit/vacuum is mid-flight in ANOTHER process —
+    * fail loudly rather than interleave. The lock scopes only the
+    * manifest+pointer critical section (milliseconds), never the bucket
+    * data write. */
+  private def withLock[A](body: => A): A = {
+    try Files.createFile(lockPath)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"index state $indexDir is locked by a concurrent committer " +
+            "(stale crash? remove LOCK after verifying no writer is alive)")
+    }
+    try body finally Files.deleteIfExists(lockPath)
+  }
 
   /** The bucket count is a PROPERTY OF THE STATE, not of the session: an
     * id's bucket decides which directories a batch reads and rewrites, so
@@ -96,19 +119,28 @@ class IndexState(val indexDir: String, spark: SparkSession, requestedBuckets: In
     * way, and re-applying a DocOp batch is idempotent by algebra. */
   /** Drop version directories and manifests no longer reachable from
     * CURRENT — the vacuum step of any copy-on-write layout (Delta/Iceberg
-    * VACUUM). A version dir survives if ANY live bucket points into it.
-    * Readers racing a vacuum see either the old or new manifest, both of
-    * which only reference surviving dirs. Returns the deleted dir names. */
-  def vacuum(): Seq[String] = {
+    * VACUUM). A version dir survives if ANY live bucket points into it,
+    * or if it was modified within the last `graceMs` (the retention
+    * window: a reader that resolved the previous manifest — or holds a
+    * lazily-evaluated DataFrame from an earlier `read()` — may still be
+    * scanning recently superseded dirs; Delta's VACUUM retention makes the
+    * same trade). The LOCK is held for the scan+delete so no commit can
+    * flip CURRENT mid-vacuum. graceMs = 0 reclaims everything stale
+    * immediately — only safe when the caller knows no reader is live.
+    * Returns the deleted dir names. */
+  def vacuum(graceMs: Long = 10 * 60 * 1000L): Seq[String] = withLock {
     val liveDirs = currentManifest.values.map(_.split("/", 2)(0)).toSet
     val liveManifest = currentVersion.toSet
+    val cutoff = System.currentTimeMillis() - graceMs
     val root = Paths.get(indexDir)
     val fs = Files.list(root)
     val doomed =
-      try fs.iterator().asScala.map(_.getFileName.toString).filter { name =>
-        name != "CURRENT" && name != "BUCKETS" &&
-          !liveDirs.contains(name) && !liveManifest.contains(name)
-      }.toSeq
+      try fs.iterator().asScala.filter { p =>
+        val name = p.getFileName.toString
+        name != "CURRENT" && name != "BUCKETS" && name != "LOCK" &&
+          !liveDirs.contains(name) && !liveManifest.contains(name) &&
+          Files.getLastModifiedTime(p).toMillis <= cutoff
+      }.map(_.getFileName.toString).toSeq
       finally fs.close()
     doomed.foreach { name =>
       val p = root.resolve(name)
@@ -135,18 +167,44 @@ class IndexState(val indexDir: String, spark: SparkSession, requestedBuckets: In
       .repartition(col(BucketCol))
       .write.partitionBy(BucketCol).parquet(s"$indexDir/$dir")
     val written = touched.filter(k => Files.exists(Paths.get(indexDir, dir, s"$BucketCol=$k")))
-    val manifest = (currentManifest -- touched) ++
-      written.map(k => k -> s"$dir/$BucketCol=$k")
-    val mName = s"MANIFEST-$dir"
-    Files.writeString(Paths.get(indexDir, mName),
-      manifest.toSeq.sorted.map { case (k, d) => s"$k\t$d" }.mkString("\n"))
-    Files.writeString(ptr, mName)
+    // manifest + pointer flip under the LOCK, fenced on CURRENT: if another
+    // writer advanced CURRENT since this writer last committed (or opened
+    // the state), merging `currentManifest -- touched` would resurrect
+    // buckets that writer replaced — throw instead of corrupting.
+    withLock {
+      val cur = currentVersion
+      if (cur != fenceToken)
+        throw new java.util.ConcurrentModificationException(
+          s"index state $indexDir advanced from $fenceToken to $cur under this writer — " +
+            "two drivers are committing to one state dir; this writer is fenced off")
+      val manifest = (currentManifest -- touched) ++
+        written.map(k => k -> s"$dir/$BucketCol=$k")
+      val mName = s"MANIFEST-$dir"
+      // the manifest file is never read until CURRENT names it, so its own
+      // write need not be atomic; the POINTER flip must be — an in-place
+      // truncate+write would let a racing reader observe an empty pointer
+      Files.writeString(Paths.get(indexDir, mName),
+        manifest.toSeq.sorted.map { case (k, d) => s"$k\t$d" }.mkString("\n"))
+      IndexState.atomicWriteString(ptr, mName)
+      fenceToken = Some(mName)
+    }
   }
 }
 
 object IndexState {
   /** Partition-column name for the bucket id in versioned write dirs. */
   val BucketCol = "_bucket"
+
+  /** Write `content` to a temp sibling and rename over `target`
+    * (ATOMIC_MOVE): readers see the old value or the new value, never a
+    * truncated in-between — the property every CURRENT-pointer flip in
+    * this engine relies on. */
+  def atomicWriteString(target: Path, content: String): Unit = {
+    val tmp = target.resolveSibling(
+      s".${target.getFileName}.tmp-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, content)
+    Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 }
 
 /** T6 monitoring: one indexer's drain/progress report — the engine's

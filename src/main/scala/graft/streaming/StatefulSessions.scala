@@ -61,6 +61,67 @@ object StatefulSessions {
     out.result().iterator
   }
 
+  /** Ev plus the event-time column the watermark is declared on. */
+  case class EvT(user_id: Long, event_id: Long, ts_s: Long, ts: java.sql.Timestamp)
+
+  /** Per-user transition for the UNBOUNDED path: same fold as [[update]],
+    * but the open session flushes via EVENT-TIME TIMEOUT — once the
+    * watermark passes `end_s + gapSec`, no event for this user can extend
+    * the session any more (anything older is beyond the watermark), so the
+    * state is provably closeable without any sentinel. This is what keeps
+    * state O(active users) on a stream that never ends. */
+  private def updateEt(gapSec: Long)(
+      user: Long, events: Iterator[EvT], state: GroupState[OpenSession]): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(s =>
+        Session(user, s.sess_id, s.n_events, s.start_s, s.end_s, s.end_s - s.start_s)).iterator
+      state.remove()
+      out
+    } else {
+      val sorted = events.toSeq.sortBy(e => (e.ts_s, e.event_id))
+      var open = state.getOption
+      val out = Seq.newBuilder[Session]
+      sorted.foreach { e =>
+        open = open match {
+          case None => Some(OpenSession(e.ts_s, e.ts_s, 1, 1))
+          case Some(s) if e.ts_s - s.end_s <= gapSec =>
+            Some(s.copy(end_s = e.ts_s, n_events = s.n_events + 1))
+          case Some(s) =>
+            out += Session(user, s.sess_id, s.n_events, s.start_s, s.end_s, s.end_s - s.start_s)
+            Some(OpenSession(e.ts_s, e.ts_s, 1, s.sess_id + 1))
+        }
+      }
+      open.foreach { s =>
+        state.update(s)
+        // timeout must sit strictly past the current watermark or Spark
+        // rejects it (a late-arriving batch can otherwise set a timeout
+        // in the already-passed past)
+        state.setTimeoutTimestamp(
+          math.max((s.end_s + gapSec) * 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Sessionize an UNBOUNDED stream: `src` is a STREAMING DataFrame with
+    * (user_id, event_id, ts_s). Sessions close either by gap (a later
+    * event arrives past the gap) or by event-time timeout (the watermark
+    * passes `end + gap` — the idle-user flush; no sentinel events
+    * anywhere). Returns the streaming Dataset of closed sessions for the
+    * caller to sink; `watermarkDelaySec` is the out-of-orderness budget. */
+  def sessionizeUnbounded(spark: SparkSession, src: DataFrame, gapSec: Long = 3600L,
+                          watermarkDelaySec: Long = 0L): Dataset[Session] = {
+    import spark.implicits._
+    src.select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts_s").cast("long"))
+      .withColumn("ts", timestamp_seconds(col("ts_s")))
+      .withWatermark("ts", s"$watermarkDelaySec seconds")
+      .as[EvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(updateEt(gapSec))
+  }
+
   /** Drain a finite event log into its complete session set. `events`
     * needs columns (user_id, event_id, ts_s).
     *

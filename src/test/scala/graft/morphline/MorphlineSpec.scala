@@ -80,6 +80,72 @@ class MorphlineSpec extends SparkSpec {
     assert(!doc2.contains("f2") && !doc2.contains("f3"))
   }
 
+  test("a forced field colliding with an extracted field ADDS alongside, not replaces") {
+    // reference semantics: morphlineField.name_s lands NEXT TO the
+    // extracted values in the multi-valued field — and the merge must not
+    // depend on the session's mapKeyDedupPolicy
+    val doc = docOf(Map(
+      "morphlineVariable.cf" -> "info", "morphlineField.name_s" -> "forced"))
+    assert(doc.get("name_s").map(_.toList).contains(List("alice", "forced")), doc)
+  }
+
+  test("grok extracts numbered groups; a non-matching record gains nothing") {
+    val chain =
+      """{"commands": [
+        |  {"extractHBaseCells": {"mappings": [
+        |    {"inputColumn": "info:name", "outputField": "raw", "type": "string"}]}},
+        |  {"grok": {"inputField": "raw", "pattern": "^([a-z]+)(ce)$",
+        |            "outputFields": ["stem", "suffix"]}}
+        |]}""".stripMargin
+    val doc = cellsDf.select(Morphline(chain)(col("cells")).as("doc"))
+      .collect().head.getMap[String, scala.collection.Seq[String]](0)
+    assert(doc.get("stem").map(_.toList).contains(List("ali")), doc)
+    assert(doc.get("suffix").map(_.toList).contains(List("ce")), doc)
+
+    val miss = chain.replace("^([a-z]+)(ce)$", "^(\\\\d+)(x)$")
+    val doc2 = cellsDf.select(Morphline(miss)(col("cells")).as("doc"))
+      .collect().head.getMap[String, scala.collection.Seq[String]](0)
+    assert(!doc2.contains("stem") && !doc2.contains("suffix"), doc2)
+  }
+
+  test("split fans a field into a multi-valued output; convertTimestamp re-renders in place") {
+    import spark.implicits._
+    val cells = Seq(("r1", "a,b,c", "2024-03-01 10:15:00")).toDF("rowKey", "csv", "when")
+      .select(col("rowKey"), array(
+        struct(lit("info").as("family"), lit("csv").as("qualifier"),
+          lit(0L).as("ts"), lit("put").as("cellType"), col("csv").as("value")),
+        struct(lit("info").as("family"), lit("when").as("qualifier"),
+          lit(0L).as("ts"), lit("put").as("cellType"), col("when").as("value"))).as("cells"))
+    val chain =
+      """{"commands": [
+        |  {"extractHBaseCells": {"mappings": [
+        |    {"inputColumn": "info:csv", "outputField": "csv", "type": "string"},
+        |    {"inputColumn": "info:when", "outputField": "when", "type": "string"}]}},
+        |  {"split": {"inputField": "csv", "outputField": "parts", "separator": ","}},
+        |  {"convertTimestamp": {"field": "when",
+        |     "inputFormats": ["yyyy-MM-dd HH:mm:ss", "yyyy/MM/dd"],
+        |     "outputFormat": "unixTimeInMillis"}}
+        |]}""".stripMargin
+    val doc = cells.select(Morphline(chain)(col("cells")).as("doc"))
+      .collect().head.getMap[String, scala.collection.Seq[String]](0)
+    assert(doc.get("parts").map(_.toList).contains(List("a", "b", "c")), doc)
+    assert(doc.get("when").map(_.toList).contains(List("1709288100000")), doc)
+    // a literal separator is NOT a regex: '.' must split on dots only
+    val dot = Seq(("r1", "a.b")).toDF("rowKey", "v")
+      .select(col("rowKey"), array(struct(
+        lit("info").as("family"), lit("x").as("qualifier"),
+        lit(0L).as("ts"), lit("put").as("cellType"), col("v").as("value"))).as("cells"))
+    val dotChain =
+      """{"commands": [
+        |  {"extractHBaseCells": {"mappings": [
+        |    {"inputColumn": "info:x", "outputField": "x", "type": "string"}]}},
+        |  {"split": {"inputField": "x", "outputField": "px", "separator": "."}}
+        |]}""".stripMargin
+    val dotDoc = dot.select(Morphline(dotChain)(col("cells")).as("doc"))
+      .collect().head.getMap[String, scala.collection.Seq[String]](0)
+    assert(dotDoc.get("px").map(_.toList).contains(List("a", "b")), dotDoc)
+  }
+
   test("forced fields pass through sanitizeUnknownSolrFields like any record field") {
     val sanitized =
       """{"commands": [

@@ -81,7 +81,12 @@ class IndexStateSpec extends SparkSpec {
     MutationStream.applyBatch(spark, st, ops(("add", "a")), 2L) // ...and then to v2
     val before = stateIds(st)
 
-    val deleted = st.vacuum()
+    // within the retention window nothing is reclaimed: a reader that
+    // resolved the previous manifest may still be scanning those dirs
+    assert(st.vacuum().isEmpty, "default grace must keep recently superseded dirs")
+    assert(Files.exists(Paths.get(dir, "v000000001")))
+
+    val deleted = st.vacuum(graceMs = 0)
     // v1 is fully unreachable (only a's bucket lived there, superseded by
     // v2); v0 still holds b's bucket and must survive, as must MANIFEST-v2
     assert(deleted.contains("v000000001"), s"deleted=$deleted")
@@ -89,7 +94,35 @@ class IndexStateSpec extends SparkSpec {
     assert(Files.exists(Paths.get(dir, "v000000000")))
     assert(!Files.exists(Paths.get(dir, "v000000001")))
     assert(stateIds(st) == before && before == Set("a", idB))
-    assert(st.vacuum().isEmpty, "second vacuum finds nothing")
+    assert(st.vacuum(graceMs = 0).isEmpty, "second vacuum finds nothing")
+  }
+
+  test("a second writer advancing CURRENT fences the first writer off") {
+    val dir = Files.createTempDirectory("graft_state").toString
+    val w1 = new IndexState(dir, spark, B)
+    MutationStream.applyBatch(spark, w1, ops(("add", "a")), 0L)
+    // a second driver opens the same state dir and commits — legal so far
+    val w2 = new IndexState(dir, spark, B)
+    MutationStream.applyBatch(spark, w2, ops(("add", "b")), 1L)
+    // w1's view of CURRENT is now stale: committing would silently drop
+    // w2's buckets, so the commit must throw instead
+    intercept[java.util.ConcurrentModificationException] {
+      MutationStream.applyBatch(spark, w1, ops(("add", "c")), 2L)
+    }
+    assert(stateIds(w2) == Set("a", "b"), "the fenced commit must change nothing")
+  }
+
+  test("a held LOCK file makes a committer fail loudly, and release unblocks it") {
+    val dir = Files.createTempDirectory("graft_state").toString
+    val st = new IndexState(dir, spark, B)
+    MutationStream.applyBatch(spark, st, ops(("add", "a")), 0L)
+    Files.createFile(Paths.get(dir, "LOCK"))
+    intercept[java.util.ConcurrentModificationException] {
+      MutationStream.applyBatch(spark, st, ops(("add", "b")), 1L)
+    }
+    Files.delete(Paths.get(dir, "LOCK"))
+    MutationStream.applyBatch(spark, st, ops(("add", "b")), 2L)
+    assert(stateIds(st) == Set("a", "b"))
   }
 
   test("deleteByQuery widens to every live bucket (row-value addressing cannot be bucket-localized)") {
@@ -123,7 +156,7 @@ class IndexStateSpec extends SparkSpec {
     assert(reopened.buckets == B)
     MutationStream.applyBatch(spark, reopened, ops(("deleteById", "a")), 1L)
     assert(stateIds(reopened) == Set("b"))
-    reopened.vacuum()
+    reopened.vacuum(graceMs = 0)
     assert(new IndexState(dir, spark).buckets == B, "BUCKETS survives vacuum")
   }
 
