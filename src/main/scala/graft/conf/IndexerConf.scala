@@ -176,4 +176,54 @@ object IndexerConf {
       params = params.result(),
       mapperClass = attr(root, "mapper"))
   }
+
+  /** Render a conf back to the `<indexer>` XML dialect — the inverse of
+    * [[fromXml]] (reference XmlIndexerConfWriter; its test round-trips
+    * conf → XML → conf, mirrored in ConfSpec). Defaults are omitted, so
+    * the output is the minimal document that parses back equal; DOM +
+    * Transformer handle attribute escaping, never string concatenation. */
+  def toXml(conf: IndexerConf): String = {
+    import javax.xml.parsers.DocumentBuilderFactory
+    val doc = DocumentBuilderFactory.newInstance().newDocumentBuilder().newDocument()
+    val root = doc.createElement("indexer")
+    doc.appendChild(root)
+    // a literal table that itself starts with a spec prefix must be
+    // explicitly prefixed or it would re-parse as that spec
+    val tableSpec =
+      if (conf.tableIsRegex) s"regex:${conf.table}"
+      else if (conf.table.startsWith("regex:") || conf.table.startsWith("literal:"))
+        s"literal:${conf.table}"
+      else conf.table
+    root.setAttribute("table", tableSpec)
+    if (conf.mappingType != MappingType.Row) root.setAttribute("mapping-type", "column")
+    if (conf.rowReadMode != RowReadMode.Dynamic) root.setAttribute("read-row", "never")
+    if (conf.uniqueKeyField != "id") root.setAttribute("unique-key-field", conf.uniqueKeyField)
+    conf.rowField.foreach(root.setAttribute("row-field", _))
+    conf.columnFamilyField.foreach(root.setAttribute("column-family-field", _))
+    conf.tableNameField.foreach(root.setAttribute("table-name-field", _))
+    if (conf.keyFormat != KeyFormat.StringFormat) root.setAttribute("unique-key-formatter", "hex")
+    conf.mapperClass.foreach(root.setAttribute("mapper", _))
+    conf.fields.foreach { f =>
+      val e = doc.createElement("field")
+      e.setAttribute("name", f.name)
+      e.setAttribute("value",
+        s"${f.family}:${f.qualifier}${if (f.prefixMatch) "*" else ""}")
+      if (f.source != ValueSource.Value) e.setAttribute("source", "qualifier")
+      if (f.typeName != "string") e.setAttribute("type", f.typeName)
+      root.appendChild(e)
+    }
+    conf.params.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      val e = doc.createElement("param")
+      e.setAttribute("name", k)
+      e.setAttribute("value", v)
+      root.appendChild(e)
+    }
+    val tf = javax.xml.transform.TransformerFactory.newInstance().newTransformer()
+    tf.setOutputProperty(javax.xml.transform.OutputKeys.OMIT_XML_DECLARATION, "yes")
+    tf.setOutputProperty(javax.xml.transform.OutputKeys.INDENT, "yes")
+    val sw = new java.io.StringWriter()
+    tf.transform(new javax.xml.transform.dom.DOMSource(doc),
+      new javax.xml.transform.stream.StreamResult(sw))
+    sw.toString
+  }
 }

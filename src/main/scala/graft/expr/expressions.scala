@@ -207,13 +207,21 @@ object SrpCodes {
     val bands = coefs.length / planesPerBand
     val out = new Array[Long](bands)
     val dim = q.numElements()
+    // the hyperplane rows were materialized for a declared dimension at
+    // plan time; a vector of any other length would silently truncate or
+    // zero-pad the dot products — buckets would diverge from the
+    // dim-agnostic srpBucket with recall quietly degrading, so fail loudly
+    if (dim != coefs(0).length)
+      throw new IllegalArgumentException(
+        s"srp_codes: vector has $dim dims but hyperplanes were built for " +
+          s"${coefs(0).length} — pass the actual embedding dimension as `dim`")
     var b = 0
     while (b < bands) {
       var code = 0L
       var j = 0
       while (j < planesPerBand) {
         val c = coefs(b * planesPerBand + j)
-        val n = math.min(dim, c.length)
+        val n = c.length
         var dot = 0L
         var d = 0
         while (d < n) { dot += q.getLong(d) * c(d); d += 1 }

@@ -553,9 +553,41 @@ object ExtendedQueries {
          |FROM lbl ORDER BY node""".stripMargin
     },
 
-    "a03_ann_ivf" ->
+    // the k-means training loop is unrolled into CTEs: every step is the
+    // same exact integer arithmetic the Spark operator uses (md5-seeded
+    // init, integer-cosine assignment, floor-mean update), so the
+    // codebook — and therefore the probe lists — match bit-for-bit
+    "a03_ann_ivf" -> {
+      def lloydIter(i: Int) =
+        s"""a$i AS (
+           |  SELECT vec_id, q, c_id FROM (
+           |    SELECT n.vec_id, n.q, c.c_id,
+           |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+           |        CASE WHEN n.nn = 0 OR c.c_nn = 0 THEN 0.0
+           |             ELSE list_dot_product(n.q::DOUBLE[], c.c_q::DOUBLE[]) / (sqrt(n.nn) * sqrt(c.c_nn)) END DESC,
+           |        c.c_id ASC) AS crk
+           |    FROM n CROSS JOIN cent${i - 1} c)
+           |  WHERE crk = 1),
+           |s$i AS (
+           |  SELECT c_id, d, sum(v) AS s, count(*) AS cnt FROM (
+           |    SELECT c_id, unnest(q) AS v, unnest(range(len(q))) AS d FROM a$i)
+           |  GROUP BY 1, 2),
+           |v$i AS (SELECT c_id,
+           |          list(CAST((s - ((s % cnt) + cnt) % cnt) / cnt AS BIGINT) ORDER BY d) AS c_q
+           |        FROM s$i GROUP BY c_id),
+           |cent$i AS (
+           |  SELECT p.c_id, coalesce(v.c_q, p.c_q) AS c_q,
+           |    list_dot_product(coalesce(v.c_q, p.c_q)::DOUBLE[], coalesce(v.c_q, p.c_q)::DOUBLE[]) AS c_nn
+           |  FROM cent${i - 1} p LEFT JOIN v$i v USING (c_id))""".stripMargin
       s"""WITH ${PipelineQueries.quantCte},
-         |c AS (SELECT vec_id AS c_id, q AS c_q, nn AS c_nn FROM n WHERE vec_id < 8),
+         |seeds AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS c_id, q
+         |  FROM (SELECT vec_id, q, ${PipelineQueries.h60sql("CAST(vec_id AS VARCHAR)")} AS h FROM n)
+         |  ORDER BY h, vec_id LIMIT 8),
+         |cent0 AS (SELECT c_id, q AS c_q, list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS c_nn FROM seeds),
+         |${lloydIter(1)},
+         |${lloydIter(2)},
+         |c AS (SELECT c_id, c_q, c_nn FROM cent2),
          |assign AS (
          |  SELECT vec_id, q, nn, c_id,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) AS crk
@@ -576,7 +608,8 @@ object ExtendedQueries {
          |  SELECT q_id, n_id, sim,
          |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
          |  FROM scored)
-         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+    },
 
     "m02_media_chunks" ->
       """WITH g AS (

@@ -50,12 +50,17 @@ class IndexerResource(registry: IndexerRegistry, supervisor: IndexerSupervisor) 
         if (registry.get(name).isEmpty) notFound(name)
         else supervisor.progressReport(name) match {
           case None => err(404, s"indexer $name has not consumed yet")
-          case Some(p) => ok(
+          case Some(p) =>
+            val bySource = p.bySource.toSeq.sortBy(_._1).map { case (s, l) =>
+              s""""$s": {"processed": ${l.processed}, "backlog": ${l.backlog}}"""
+            }.mkString("{", ", ", "}")
+            ok(
             s"""{"batches": ${p.batches}, "inputRows": ${p.inputRows},
                | "events": ${p.events}, "applicable": ${p.applicable},
                | "avgEventsPerSec": ${p.avgEventsPerSec},
                | "lastBatchDurationMs": ${p.lastBatchDurationMs},
                | "processedFiles": ${p.processedFiles}, "backlogFiles": ${p.backlogFiles},
+               | "bySource": $bySource,
                | "lastCommittedVersion": ${p.lastCommittedVersion.map(v => s""""$v"""").getOrElse("null")}}""".stripMargin)
         }
 

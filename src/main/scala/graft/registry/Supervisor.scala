@@ -37,6 +37,9 @@ class IndexerSupervisor(
   private val running = new java.util.concurrent.ConcurrentHashMap[String, StreamingQuery]()
   private val lastReport =
     new java.util.concurrent.ConcurrentHashMap[String, graft.streaming.IndexerProgress]()
+  // listener-backed so drains longer than the recentProgress retention
+  // (default 100 batches) still report complete totals
+  private val progressAcc = new graft.streaming.ProgressAccumulator(spark)
 
   private def dirs(name: String): (String, String) =
     (s"$workRoot/$name/index", s"$workRoot/$name/ckpt")
@@ -62,6 +65,11 @@ class IndexerSupervisor(
 
   def indexState(name: String): Option[org.apache.spark.sql.DataFrame] =
     new graft.streaming.IndexState(dirs(name)._1, spark).read()
+
+  /** Live per-source consumed/pending census (no drain needed) — the
+    * reference's per-regionserver replication-lag breakdown. */
+  def sourceLag(name: String): Map[String, graft.streaming.SourceLag] =
+    graft.streaming.MutationStream.sourceLag(logDirFor(name), dirs(name)._2)
 
   /** Reconcile every definition's desired state. Blocking: streams run
     * with Trigger.AvailableNow and are awaited (drain semantics — the
@@ -108,7 +116,8 @@ class IndexerSupervisor(
         running.put(d.name, q)
         q.awaitTermination()
         lastReport.put(d.name, MutationStream.progressOf(
-          q, new graft.streaming.IndexState(indexDir, spark), logDirFor(d.name), ckptDir))
+          q, new graft.streaming.IndexState(indexDir, spark), logDirFor(d.name), ckptDir,
+          Some(progressAcc)))
         running.remove(d.name)
 
       case IncrementalIndexingState.SubscribeDoNotConsume =>

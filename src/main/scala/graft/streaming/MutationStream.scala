@@ -215,6 +215,14 @@ object IndexState {
   * the checkpoint's source log (processed files) vs the log directory
   * (backlog = the reference's queue size), and the state's CURRENT
   * pointer (last committed version). */
+/** Per-source consumed/pending file counts — the reference's
+  * per-regionserver lag breakdown (ReplicationStatus.java:31-95 reports
+  * lag per peer AND per server; here a "source" is a subdirectory of the
+  * mutation log, `(root)` for files at the top level). A skewed or stuck
+  * source is visible as one entry's backlog growing while the others
+  * drain. */
+case class SourceLag(processed: Long, backlog: Long)
+
 case class IndexerProgress(
     batches: Long,
     inputRows: Long,
@@ -224,7 +232,70 @@ case class IndexerProgress(
     lastBatchDurationMs: Long,
     processedFiles: Long,
     backlogFiles: Long,
-    lastCommittedVersion: Option[String])
+    lastCommittedVersion: Option[String],
+    bySource: Map[String, SourceLag] = Map.empty)
+
+/** Accumulates streaming progress via a listener instead of
+  * `query.recentProgress`, which Spark caps at
+  * `spark.sql.streaming.numRecentProgressUpdates` (default 100): a drain
+  * with more micro-batches (maxFilesPerTrigger=1 over a long log) would
+  * silently under-report batches/rows/rates from the capped buffer.
+  * Keyed by runId, so each start() of the same checkpoint reports its own
+  * run. Register once per session; `close()` detaches. */
+class ProgressAccumulator(spark: SparkSession)
+    extends org.apache.spark.sql.streaming.StreamingQueryListener with AutoCloseable {
+  import org.apache.spark.sql.streaming.StreamingQueryListener._
+  import ProgressAccumulator.Totals
+
+  private val totals = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, Totals]()
+  spark.streams.addListener(this)
+
+  override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+  override def onQueryProgress(e: QueryProgressEvent): Unit = {
+    val p = e.progress
+    val obs = Option(p.observedMetrics.get("graft.ingress"))
+    val dur = p.durationMs.getOrDefault("triggerExecution", 0L).longValue()
+    totals.compute(p.runId, (_, old0) => {
+      val old = if (old0 == null) Totals(0, 0, 0, 0, 0, 0) else old0
+      Totals(old.batches + 1, old.inputRows + p.numInputRows,
+        old.events + obs.map(_.getLong(0)).getOrElse(0L),
+        old.applicable + obs.map(_.getLong(1)).getOrElse(0L),
+        old.totalMs + dur, dur)
+    })
+    ()
+  }
+
+  def of(runId: java.util.UUID): Option[Totals] = Option(totals.get(runId))
+
+  /** Listener delivery is async — after `awaitTermination` the tail of the
+    * event bus may still be draining. Poll until the run's totals are
+    * stable (two consecutive identical reads), bounded by `maxWaitMs`. */
+  def settled(runId: java.util.UUID, maxWaitMs: Long = 2000L): Option[Totals] = {
+    val deadline = System.currentTimeMillis() + maxWaitMs
+    var prev = of(runId)
+    while (System.currentTimeMillis() < deadline) {
+      Thread.sleep(25)
+      val cur = of(runId)
+      if (cur == prev && cur.isDefined) return cur
+      prev = cur
+    }
+    prev
+  }
+
+  override def close(): Unit = spark.streams.removeListener(this)
+}
+
+object ProgressAccumulator {
+  case class Totals(batches: Long, inputRows: Long, events: Long,
+                    applicable: Long, totalMs: Long, lastMs: Long)
+
+  /** Totals assembled from a `recentProgress` snapshot — the capped
+    * fallback when no listener was attached. */
+  def synthetic(batches: Long, inputRows: Long, events: Long,
+                applicable: Long, totalMs: Long, lastMs: Long): Totals =
+    Totals(batches, inputRows, events, applicable, totalMs, lastMs)
+}
 
 object MutationStream {
 
@@ -332,40 +403,68 @@ object MutationStream {
     }
   }
 
-  private def logFiles(logDir: String): Set[String] = {
-    val p = Paths.get(logDir)
-    if (!Files.exists(p)) Set.empty
+  /** Log files as (sourceKey, fileName): sourceKey is the file's
+    * directory relative to the log root, `(root)` for top-level files —
+    * the per-server analogue of the reference's replication breakdown. */
+  private def logFilesBySource(logDir: String): Seq[(String, String)] = {
+    val root = Paths.get(logDir)
+    if (!Files.exists(root)) Seq.empty
     else {
-      val fs = Files.walk(p)
+      val fs = Files.walk(root)
       try fs.iterator().asScala
         .filter(f => Files.isRegularFile(f) && f.getFileName.toString.endsWith(".parquet") &&
           !f.getFileName.toString.startsWith("_") && !f.getFileName.toString.startsWith("."))
-        .map(_.getFileName.toString).toSet
+        .map { f =>
+          val rel = root.relativize(f)
+          val src = Option(rel.getParent).map(_.toString).getOrElse("(root)")
+          src -> f.getFileName.toString
+        }.toSeq
       finally fs.close()
     }
   }
 
-  /** Assemble the T6 report for a (possibly drained) query. */
+  /** Per-source consumed/pending census of the mutation log vs the
+    * checkpoint — callable at any time, no query needed (the reference's
+    * ReplicationStatus is likewise a side-channel census of the queues). */
+  def sourceLag(logDir: String, ckptDir: String): Map[String, SourceLag] = {
+    val processedNames = processedFiles(ckptDir).map(p => p.substring(p.lastIndexOf('/') + 1))
+    logFilesBySource(logDir).groupBy(_._1).map { case (src, files) =>
+      val done = files.count(f => processedNames.contains(f._2))
+      src -> SourceLag(processed = done.toLong, backlog = (files.size - done).toLong)
+    }
+  }
+
+  /** Assemble the T6 report for a (possibly drained) query. With an
+    * accumulator the counters cover EVERY batch of the query's current
+    * run; without one they fall back to `recentProgress`, which is capped
+    * at spark.sql.streaming.numRecentProgressUpdates (default 100)
+    * batches. */
   def progressOf(q: StreamingQuery, state: IndexState, logDir: String,
-                 ckptDir: String): IndexerProgress = {
+                 ckptDir: String, acc: Option[ProgressAccumulator] = None): IndexerProgress = {
     val ps = q.recentProgress.toSeq
     def observed(i: Int): Long = ps.flatMap { p =>
       Option(p.observedMetrics.get("graft.ingress")).map(_.getLong(i))
     }.sum
     val durs = ps.map(p => p.durationMs.getOrDefault("triggerExecution", 0L).longValue())
-    val inputRows = ps.map(_.numInputRows).sum
-    val totalMs = durs.sum
+    val totals = acc.flatMap(_.settled(q.runId)).getOrElse(
+      ProgressAccumulator.synthetic(
+        batches = ps.size.toLong, inputRows = ps.map(_.numInputRows).sum,
+        events = observed(0), applicable = observed(1),
+        totalMs = durs.sum, lastMs = durs.lastOption.getOrElse(0L)))
     val processed = processedFiles(ckptDir)
+    val lag = sourceLag(logDir, ckptDir)
     IndexerProgress(
-      batches = ps.size.toLong,
-      inputRows = inputRows,
-      events = observed(0),
-      applicable = observed(1),
-      avgEventsPerSec = if (totalMs > 0) inputRows * 1000.0 / totalMs else 0.0,
-      lastBatchDurationMs = durs.lastOption.getOrElse(0L),
+      batches = totals.batches,
+      inputRows = totals.inputRows,
+      events = totals.events,
+      applicable = totals.applicable,
+      avgEventsPerSec =
+        if (totals.totalMs > 0) totals.inputRows * 1000.0 / totals.totalMs else 0.0,
+      lastBatchDurationMs = totals.lastMs,
       processedFiles = processed.size.toLong,
-      backlogFiles = (logFiles(logDir) -- processed.map(p => p.substring(p.lastIndexOf('/') + 1))).size.toLong,
-      lastCommittedVersion = state.currentVersion)
+      backlogFiles = lag.values.map(_.backlog).sum,
+      lastCommittedVersion = state.currentVersion,
+      bySource = lag)
   }
 
   /** Drain the log and return the final index state (wait-until-drained —

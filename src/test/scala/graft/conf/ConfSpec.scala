@@ -63,4 +63,28 @@ class ConfSpec extends AnyFunSuite {
     assert(c.keyFormat == KeyFormat.HexFormat)
     assert(c.params == Map("morphlineVariable.cf" -> "info"))
   }
+
+  test("toXml round-trips: fromXml(toXml(conf)) == conf (XmlIndexerConfWriterTest parity)") {
+    val confs = Seq(
+      IndexerConf(table = "t"),
+      IndexerConf(table = "t.*", tableIsRegex = true,
+        mappingType = MappingType.Column, rowReadMode = RowReadMode.Never,
+        uniqueKeyField = "docid", rowField = Some("row_s"),
+        columnFamilyField = Some("fam_s"), tableNameField = Some("tbl_s"),
+        keyFormat = KeyFormat.HexFormat,
+        fields = Seq(
+          FieldDef("name_s", "info:name", ValueSource.Value, "string"),
+          FieldDef("q_*", "info:pre*", ValueSource.Qualifier, "string"),
+          FieldDef("bal_d", "info:acctbal", ValueSource.Value, "double")),
+        params = Map("morphlineVariable.cf" -> "info", "morphlineField.src" -> "hbase"),
+        mapperClass = Some("com.example.M")),
+      // a literal table that LOOKS like a spec prefix must survive
+      IndexerConf(table = "regex:ish"),
+      IndexerConf(table = "esc", fields = Seq(
+        FieldDef("odd\"name", "f", "q<&>", false, ValueSource.Value, "string"))))
+    confs.foreach { c =>
+      val xml = IndexerConf.toXml(c)
+      assert(IndexerConf.fromXml(xml) == c, s"round-trip broke for:\n$xml")
+    }
+  }
 }

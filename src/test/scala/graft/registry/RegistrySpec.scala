@@ -128,5 +128,19 @@ class RegistrySpec extends SparkSpec {
     val rep2 = sup.waitUntilDrained("idx")
     assert(rep2.processedFiles == 2L && rep2.backlogFiles == 0L)
     assert(sup.progressReport("idx").contains(rep2))
+    assert(rep2.bySource.get("(root)").contains(graft.streaming.SourceLag(2L, 0L)),
+      s"drained log must show per-source processed=2/backlog=0: ${rep2.bySource}")
+
+    // uneven backlog across SOURCES (subdirectories of the log): source
+    // 'src-a' gets two pending files, 'src-b' one — the census must show
+    // the skew per source, not one merged number
+    writeLog(s"$log/src-a", 3, Seq(ev("u4", 4, 40, "click", "x")))
+    writeLog(s"$log/src-a", 4, Seq(ev("u5", 5, 50, "view", "x")))
+    writeLog(s"$log/src-b", 5, Seq(ev("u6", 6, 60, "click", "x")))
+    val lag = sup.sourceLag("idx")
+    assert(lag.get("(root)").contains(graft.streaming.SourceLag(2L, 0L)), lag)
+    assert(lag.get("src-a").contains(graft.streaming.SourceLag(0L, 2L)),
+      s"skewed source must be visible: $lag")
+    assert(lag.get("src-b").contains(graft.streaming.SourceLag(0L, 1L)), lag)
   }
 }
