@@ -176,33 +176,48 @@ object Morphline {
     }
     val withForced =
       if (forced.isEmpty) doc
-      else mergeDocs(doc, map_from_arrays(
+      else let(doc)(d => mergeDocs(d, map_from_arrays(
         array(forced.map(f => lit(f._1)): _*),
-        array(forced.map(f => array(lit(f._2))): _*)))
+        array(forced.map(f => array(lit(f._2))): _*))))
     commands.foldLeft(withForced) {
       case (d, SanitizeUnknownFields(known)) =>
         map_filter(d, (k, _) => k.isInCollection(known.map(lit(_))))
-      case (d, Grok(in, pattern, outs)) =>
-        val v = firstValue(d, in)
+      case (d, Grok(in, pattern, outs)) => let(d) { doc =>
+        val v = firstValue(doc, in)
         val matched = v.isNotNull && v.rlike(pattern)
         outs.zipWithIndex.collect { case (name, i) if name.nonEmpty =>
           name -> when(matched, array(regexp_extract(v, pattern, i + 1)))
-        }.foldLeft(d) { case (dd, (name, value)) => putField(dd, name, value) }
-      case (d, Split(in, out, sep, isRegex)) =>
-        val v = firstValue(d, in)
+        }.foldLeft(doc) { case (dd, (name, value)) => putField(dd, name, value) }
+      }
+      case (d, Split(in, out, sep, isRegex)) => let(d) { doc =>
+        val v = firstValue(doc, in)
         val pat = if (isRegex) sep else java.util.regex.Pattern.quote(sep)
-        putField(d, out, when(v.isNotNull, split(v, pat)))
-      case (d, ConvertTimestamp(field, inFmts, outFmt)) =>
-        val v = firstValue(d, field)
+        putField(doc, out, when(v.isNotNull, split(v, pat)))
+      }
+      case (d, ConvertTimestamp(field, inFmts, outFmt)) => let(d) { doc =>
+        val v = firstValue(doc, field)
         val ts = coalesce(inFmts.map(f => try_to_timestamp(v, lit(f))): _*)
         val rendered = outFmt match {
           case "unixTimeInMillis" => unix_millis(ts).cast("string")
           case pattern => date_format(ts, pattern)
         }
-        putField(d, field, when(rendered.isNotNull, array(rendered)))
+        putField(doc, field, when(rendered.isNotNull, array(rendered)))
+      }
       case (d, _) => d
     }
   }
+
+  /** Let-binding for a document expression: each command stage references
+    * its input doc several times (map_filter + lookups + merge), and a
+    * naive fold would re-embed the full upstream expression at every
+    * reference — multiplicities COMPOUND down a chain (an
+    * extract→grok→split→convert chain re-evaluated the extract ~100× per
+    * row; 28s at sf0.1 vs <1s let-bound). Binding the stage input as a
+    * one-element `transform` lambda variable makes every in-stage
+    * reference a cheap variable read, so chain cost is linear in its
+    * length. */
+  private def let(d: Column)(f: Column => Column): Column =
+    element_at(transform(array(d), f), 1)
 
   /** First value of a document field (commands consume scalars; the
     * document's fields are multi-valued). try_element_at on both hops:

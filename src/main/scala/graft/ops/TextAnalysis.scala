@@ -123,6 +123,40 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
 
+  /** PII redaction patterns, applied IN ORDER (email → IPv4 → phone; the
+    * order matters — phone-ish digit runs inside an IP must already be
+    * gone). The regex subset is common to Java (Spark) and RE2 (the
+    * DuckDB oracle applies the identical patterns), and replacement
+    * tokens contain no digits so later patterns never re-match earlier
+    * redactions. Real deployments extend the list; the fold is the
+    * operator. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\+?\\d[\\d -]{7,}\\d" -> "<PHONE>")
+
+  /** Scrub emails / IPv4s / phone-like runs from free text — the standard
+    * pre-training privacy gate. Pure per-row projection (codegen'd
+    * regexp_replace chain): no shuffle, scales with the scan. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
+  /** Canonicalize a URL for dedup — the crawl-side twin of text
+    * fingerprinting. Steps (each a codegen'd regex, no UDF):
+    * drop the #fragment; drop utm_* / fbclid / gclid tracking params
+    * (repairing a leading '&' that loses its '?'); drop a trailing '?',
+    * '&' or '/'; lowercase the scheme://host (paths stay case-sensitive).
+    * Two URLs that differ only by tracking noise map to one key. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noTrack = regexp_replace(noFrag, "[?&](utm_[A-Za-z]+|fbclid|gclid)=[^&#]*", "")
+    val fixedQ = regexp_replace(noTrack, "^([^?]*)&", "$1?")
+    val trimmed = regexp_replace(regexp_replace(fixedQ, "[?&]+$", ""), "/+$", "")
+    concat(
+      lower(regexp_extract(trimmed, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)),
+      regexp_replace(trimmed, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""))
+  }
+
   /** Overlapping token-window chunking — the standard "document →
     * training sequences" step: chunk i covers tokens
     * [i·stride, i·stride + size) with start positions 0, stride, 2·stride

@@ -161,6 +161,37 @@ object ExtendedQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // exactly-once ingestion dedup over at-least-once delivery: the whole
+    // log is delivered TWICE; dropDuplicatesWithinWatermark keys state on
+    // event_id and evicts it past the horizon, so state is O(horizon),
+    // not O(history) — the aggregate must equal the single-delivery one
+    "s06_stream_dedup" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_s06").toString
+      val ev = t(s, dir, "events")
+      ev.coalesce(4).write.mode("overwrite").parquet(s"$work/log")
+      ev.coalesce(4).write.mode("append").parquet(s"$work/log")
+      graft.streaming.StatefulScope.withStatePartitions(s, 4) {
+        val src = s.readStream
+          .schema(ev.schema)
+          .parquet(s"$work/log")
+          .withColumn("tsc", timestamp_micros(expr("ts div 1000")))
+        val q = graft.streaming.StreamDedup
+          .dedupWithinHorizon(src, Seq("event_id"), "tsc", "365 days")
+          .select(col("event_type"), col("value"))
+          .writeStream
+          .format("parquet").option("path", s"$work/out")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$work/ckpt")
+          .start()
+        q.awaitTermination()
+      }
+      s.read.schema("event_type string, value double").parquet(s"$work/out")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dbl(sum(dec(col("value")))).as("sum_v"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- indexer surface ----
 
     // P5 completion: the scale-prefixed bigdecimal codec round-trip
@@ -505,6 +536,12 @@ object ExtendedQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+    // double delivery deduplicated exactly ⇒ the plain single-copy rollup
+    "s06_stream_dedup" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "x17_bigdecimal_codec" ->
       """SELECT s_suppkey,

@@ -225,6 +225,36 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // PII scrub gate: the fixture text is synthetic word soup, so
+    // deterministic fake PII (email/phone/IP derived from doc_id) is
+    // grafted on in-query — the redaction chain is the operator
+    "t08_pii_redact" -> ((s, dir) => {
+      val dirty = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact u"), col("doc_id"), lit("@corp.example.com"),
+          lit(" at +1 555 "), col("doc_id") % 10000, lit(" 0199"),
+          lit(" from 10.2."), col("doc_id") % 256, lit(".7")).as("text"))
+      dirty.select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // URL canonicalization dedup: tracking params, fragments and
+    // scheme/host case collapse to one canonical key per logical page —
+    // the crawl-side twin of the text fingerprint
+    "d10_url_dedup" -> ((s, dir) => {
+      val urls = docs(s, dir).select(col("doc_id"),
+        concat(lit("HTTPS://"), upper(col("source")), lit(".Example.com/p/"),
+          col("doc_id") % 50,
+          when(col("doc_id") % 2 === 0,
+            concat(lit("?utm_source=feed&id="), col("doc_id") % 7))
+            .otherwise(concat(lit("?id="), col("doc_id") % 7)),
+          when(col("doc_id") % 4 === 0, lit("#frag")).otherwise(lit(""))).as("url"))
+      urls.select(col("doc_id"), TextAnalysis.canonicalizeUrl(col("url")).as("canon"))
+        .groupBy(col("canon"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper"))
+        .orderBy(col("canon"))
+    }),
+
     // Gopher-style repetition filters: distinct-token and top-token
     // frequency ratios per document
     "t07_repetition" -> ((s, dir) => {
@@ -557,6 +587,40 @@ object PipelineQueries {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the SQL applies literally the same patterns in the same order (the
+    // pattern list is the shared source of truth)
+    "t08_pii_redact" -> {
+      val redacted = TextAnalysis.piiPatterns.foldLeft("text") { case (e, (p, r)) =>
+        s"regexp_replace($e, '$p', '$r', 'g')"
+      }
+      s"""WITH dirty AS (SELECT doc_id,
+         |  text || ' contact u' || CAST(doc_id AS VARCHAR) || '@corp.example.com at +1 555 ' ||
+         |  CAST(doc_id % 10000 AS VARCHAR) || ' 0199 from 10.2.' ||
+         |  CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+         |  FROM documents)
+         |SELECT doc_id, $redacted AS clean
+         |FROM dirty ORDER BY doc_id""".stripMargin
+    },
+
+    "d10_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |  'HTTPS://' || upper(source) || '.Example.com/p/' || CAST(doc_id % 50 AS VARCHAR) ||
+        |  CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR)
+        |       ELSE '?id=' || CAST(doc_id % 7 AS VARCHAR) END ||
+        |  CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS u FROM u),
+        |s2 AS (SELECT doc_id,
+        |         regexp_replace(u, '[?&](utm_[A-Za-z]+|fbclid|gclid)=[^&#]*', '', 'g') AS u FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(u, '^([^?]*)&', '\1?') AS u FROM s2),
+        |s4 AS (SELECT doc_id,
+        |         regexp_replace(regexp_replace(u, '[?&]+$', ''), '/+$', '') AS u FROM s3),
+        |c AS (SELECT doc_id,
+        |        lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
+        |        regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS canon
+        |      FROM s4)
+        |SELECT canon, count(*) AS n_dups, min(doc_id) AS keeper
+        |FROM c GROUP BY canon ORDER BY canon""".stripMargin,
 
     "t07_repetition" ->
       """WITH t AS (
