@@ -116,19 +116,35 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** Nearest-centroid assignment: each `side` row keeps its `keep`
-    * closest centroids by exact integer cosine (ties toward the smaller
-    * centroid id). Centroids broadcast — the big side is scanned once,
-    * never shuffled. */
-  private def nearestCentroids(side: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val scored = side.crossJoin(broadcast(cents))
-      .withColumn("c_sim", cosineq(col("q"), col("c_vec"), col("nq"), col("c_nq")))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("c_id").asc)
-    scored.withColumn("c_rk", row_number().over(w))
-      .filter(col("c_rk") <= keep)
-      .drop("c_vec", "c_nq", "c_sim", "c_rk")
+  /** A trained codebook small enough to live in the plan: centroid id,
+    * quantized vector, integer norm. */
+  case class Centroid(cId: Long, vec: Seq[Long], nq: Long)
+
+  /** Nearest-centroid assignment as a SHUFFLE-FREE projection: the
+    * codebook is driver-small by definition (k × dim longs), so each
+    * centroid's dot product compiles against a LITERAL coefficient array
+    * (the [[planeCoefs]] pattern) and the per-row argmax is one
+    * `array_sort` over k structs — no cross join, no window exchange of
+    * n×k rows, ties toward the smaller centroid id. The corpus scan is
+    * the whole cost, which is what survives 100 TB. */
+  private def nearestCentroids(side: DataFrame, cents: Seq[Centroid], keep: Int): DataFrame = {
+    val entries = cents.map { c =>
+      val sim =
+        if (c.nq == 0L) lit(0.0)
+        else when(col("nq") === 0, 0.0).otherwise(
+          graft.expr.hfunctions.long_dot(col("q"), typedLit(c.vec)).cast("double") /
+            (sqrt(col("nq").cast("double")) * math.sqrt(c.nq.toDouble)))
+      // struct order (sim, -c_id): max = best sim, then smallest id
+      struct(sim.as("s"), lit(-c.cId).as("nc"), lit(c.cId).as("c_id"))
+    }
+    val ranked = reverse(array_sort(array(entries: _*)))
+    side.withColumn("c_id", explode(slice(ranked, 1, keep).getField("c_id")))
   }
+
+  private def collectCentroids(df: DataFrame): Seq[Centroid] =
+    df.select(col("c_id"), col("c_vec"), col("c_nq")).collect().toSeq
+      .map(r => Centroid(r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_.cId)
 
   /** Deterministic k-means codebook (Lloyd with fixed `iters`, md5-seeded
     * init) over a corpus in [[prep]] shape → (c_id, c_vec, c_nq).
@@ -149,30 +165,31 @@ object Similarity {
     * aggregation — no quadratic term; at 100 TB you train on a sample
     * (training cost is O(|sample|·k·iters)) and run only the single
     * assignment sweep over the full corpus. */
-  def trainCentroids(corpus: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+  def trainCentroids(corpus: DataFrame, k: Int, iters: Int = 2): Seq[Centroid] = {
     import org.apache.spark.sql.expressions.Window
     val seedW = Window.orderBy(col("_h"), col("vec_id"))
-    val init = corpus
+    val init = collectCentroids(corpus
       .withColumn("_h", Dedup.hash60(col("vec_id").cast("string")))
       .orderBy(col("_h"), col("vec_id")).limit(k)
       .select((row_number().over(seedW) - 1).cast("long").as("c_id"), col("q").as("c_vec"))
-      .withColumn("c_nq", normq(col("c_vec")))
+      .withColumn("c_nq", normq(col("c_vec"))))
     (1 to iters).foldLeft(init) { (cents, _) =>
       val members = nearestCentroids(corpus, cents, keep = 1)
-      val dims = members
+      val updated = members
         .select(col("c_id"), posexplode(col("q")).as(Seq("d", "v")))
         .groupBy(col("c_id"), col("d"))
         .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
         // exact floor(s / cnt): subtract the positive remainder, then the
         // division is exact — identical in Spark and the SQL oracle
         .withColumn("m", ((col("s") - pmod(col("s"), col("cnt"))) / col("cnt")).cast("long"))
-      val updated = dims.groupBy(col("c_id"))
+        .groupBy(col("c_id"))
         .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
-          x => x("m")).as("c_vec_new"))
-      cents.select(col("c_id"), col("c_vec"))
-        .join(updated, Seq("c_id"), "left")
-        .select(col("c_id"), coalesce(col("c_vec_new"), col("c_vec")).as("c_vec"))
-        .withColumn("c_nq", normq(col("c_vec")))
+          x => x("m")).as("c_vec"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      cents.map { c =>
+        val vec = updated.getOrElse(c.cId, c.vec) // an emptied centroid keeps its vector
+        Centroid(c.cId, vec, vec.map(v => v * v).sum)
+      }
     }
   }
 
@@ -198,8 +215,8 @@ object Similarity {
               trainIters: Int = 2): DataFrame = {
     val cents = trainCentroids(corpus, nCentroids, trainIters)
 
-    val corpusAssigned = nearestCentroids(corpus, cents, 1)
-    val queryProbes = nearestCentroids(queries, cents, nProbe)
+    val corpusAssigned = nearestCentroids(corpus, cents, keep = 1)
+    val queryProbes = nearestCentroids(queries, cents, keep = nProbe)
       .select(col("vec_id").as("q_id"), col("q").as("q_vec"), col("nq").as("q_nq"), col("c_id"))
 
     // each corpus vector lives in exactly one list and a query probes

@@ -238,6 +238,25 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // grouped heavy hitters: top-5 terms per language via the bounded-heap
+    // partial top-k aggregate — the shuffle after the count carries ≤
+    // groups×k rows, never the vocabulary; terms ride as 60-bit hash ids
+    // through the heap and join back only for the k winners
+    "t09_top_terms" -> ((s, dir) => {
+      val toks = docs(s, dir).filter(length(trim(col("text"))) > 0)
+        .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      val counts = toks.groupBy(col("lang"), col("w"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("h", Dedup.hash60(col("w")))
+      val top = counts.groupBy(col("lang"))
+        .agg(graft.expr.hfunctions.topk_by(col("n").cast("double"), col("h"), 5).as("top"))
+        .select(col("lang"), explode(col("top")).as("t"))
+        .select(col("lang"), col("t.n_id").as("h"), col("t.rk").as("rk"))
+      counts.join(broadcast(top), Seq("lang", "h"))
+        .select(col("lang"), col("w").as("term"), col("n"), col("rk"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
     // URL canonicalization dedup: tracking params, fragments and
     // scheme/host case collapse to one canonical key per logical page —
     // the crawl-side twin of the text fingerprint
@@ -602,6 +621,17 @@ object PipelineQueries {
          |SELECT doc_id, $redacted AS clean
          |FROM dirty ORDER BY doc_id""".stripMargin
     },
+
+    "t09_top_terms" ->
+      s"""WITH tok AS (
+         |  SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |c AS (SELECT lang, w, count(*) AS n FROM tok GROUP BY 1, 2),
+         |r AS (SELECT lang, w, n, row_number() OVER (
+         |        PARTITION BY lang ORDER BY n DESC, ${h60sql("w")} ASC) AS rk
+         |      FROM c)
+         |SELECT lang, w AS term, n, rk FROM r WHERE rk <= 5
+         |ORDER BY lang, rk""".stripMargin,
 
     "d10_url_dedup" ->
       """WITH u AS (SELECT doc_id,

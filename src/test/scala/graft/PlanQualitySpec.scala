@@ -76,4 +76,23 @@ class PlanQualitySpec extends SparkSpec {
       assert(!plan.contains("Window"), s"$name: no window over the scored set")
     }
   }
+
+  test("a03 IVF: centroid assignment is a literal-codebook projection — no window, no cross join") {
+    val plan = q("a03_ann_ivf").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "assignment must not shuffle n×k scored rows into a window")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(800))
+  }
+
+  test("t08 PII redaction is a pure projection — no shuffle at all") {
+    val plan = q("t08_pii_redact").queryExecution.optimizedPlan
+    assert(plan.collect { case j: Join => j }.isEmpty)
+    assert(plan.collect { case a: Aggregate => a }.isEmpty)
+  }
+
+  test("d10 URL dedup: canonicalization in the map side, exactly one aggregate, no join") {
+    val plan = q("d10_url_dedup").queryExecution.optimizedPlan
+    assert(plan.collect { case j: Join => j }.isEmpty, "dedup by key needs no join")
+    assert(plan.collect { case a: Aggregate => a }.nonEmpty)
+  }
 }

@@ -82,10 +82,9 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("deterministic k-means: codebook is stable and IVF recall vs brute force is useful") {
-    val cents = Similarity.trainCentroids(corpus, 8).collect()
-    val again = Similarity.trainCentroids(corpus, 8).collect()
-    assert(cents.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq,
-      "training must be bit-deterministic across runs")
+    val cents = Similarity.trainCentroids(corpus, 8)
+    val again = Similarity.trainCentroids(corpus, 8)
+    assert(cents == again, "training must be bit-deterministic across runs")
     assert(cents.length == 8)
 
     val queries = corpus.filter(col("vec_id") < 7)
