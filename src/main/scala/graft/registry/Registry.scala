@@ -107,7 +107,20 @@ class IndexerRegistry(dirPath: String) {
 
   // -- CRUD with OCC ------------------------------------------------------
 
+  /** Name rules are the reference's IndexerNameValidator.java:38-45
+    * verbatim: non-empty, `^\w+$` (word characters only — stricter than
+    * the path-safety check, since names travel into subscription ids and
+    * metric names). */
+  def validateName(name: String): Unit = {
+    if (name == null || name.isEmpty)
+      throw new IllegalArgumentException("Indexer name may not be empty")
+    if (!name.matches("^\\w+$"))
+      throw new IllegalArgumentException(
+        s"Invalid indexer name '$name', must be alpha-numeric")
+  }
+
   def add(d: IndexerDefinition): IndexerDefinition = synchronized {
+    validateName(d.name)
     val f = file(d.name)
     if (Files.exists(f))
       throw new IllegalStateException(s"indexer exists: ${d.name}")

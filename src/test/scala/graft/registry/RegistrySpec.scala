@@ -49,6 +49,44 @@ class RegistrySpec extends SparkSpec {
     MutationEvent("events", user, seq, writeTime,
       Seq(Cell("evt", etype, seq, "put", v)), None)
 
+  test("indexer names validate like the reference (IndexerNameValidatorTest parity)") {
+    val reg = new IndexerRegistry(tmp("graft_regn"))
+    for (bad <- Seq("", "with space", "with-dash", "with.dot", "bad/slash"))
+      intercept[IllegalArgumentException] {
+        reg.add(IndexerDefinition(bad, confXml))
+      }
+    reg.add(IndexerDefinition("ok_Name_42", confXml))
+    assert(reg.get("ok_Name_42").isDefined)
+  }
+
+  test("batch rebuild ≡ streamed drain over the same mutation log (IndexerIT-style)") {
+    val logs = tmp("graft_logs_eq"); val work = tmp("graft_work_eq")
+    val log = s"$logs/idx"
+    // adds, a same-row update with a later seq, and interleaved rows — the
+    // two paths must agree on last-wins semantics
+    writeLog(log, 1, Seq(ev("u1", 1, 10, "click", "a"), ev("u2", 2, 10, "view", "b")))
+    writeLog(log, 2, Seq(ev("u1", 3, 20, "click", "a2"), ev("u3", 4, 20, "buy", "c")))
+    val conf = graft.conf.IndexerConf.fromXml(confXml)
+
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), explode(col("doc")).as(Seq("f", "vs")))
+        .select(col("id"), col("f"), concat_ws(",", col("vs")).as("v"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+    val streamed = graft.streaming.MutationStream.runToCompletion(spark, conf, log, work)
+
+    val snapshot = spark.read.schema(graft.model.Schemas.mutationEvent).parquet(log)
+    val batchOps = graft.streaming.MutationStream.opsWithSinkMeta(
+      conf, graft.batch.BatchPipeline.run(conf, snapshot))
+    val bState = new graft.streaming.IndexState(tmp("graft_state_eq"), spark)
+    graft.streaming.MutationStream.applyBatch(spark, bState, batchOps, 0L)
+
+    val s = flat(streamed)
+    val b = flat(bState.read().get)
+    assert(s.nonEmpty && s == b,
+      s"batch and streamed index state must be identical; stream=$s batch=$b")
+  }
+
   test("supervisor lifecycle: consume → pause → resume → rewind-to-now (T5)") {
     val regDir = tmp("graft_reg2"); val work = tmp("graft_work"); val logs = tmp("graft_logs")
     val reg = new IndexerRegistry(regDir)
