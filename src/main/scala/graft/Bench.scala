@@ -75,7 +75,8 @@ object Bench {
     // Persist a copy on disk so the artifact survives any stdout capture
     // limits, then emit the summary as the FINAL line of output (a driver
     // tail-capture window must always contain the complete JSON object).
-    try java.nio.file.Files.writeString(java.nio.file.Path.of("/root/repo/bench.json"), line + "\n")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench.json")
+    try java.nio.file.Files.writeString(java.nio.file.Path.of(outPath), line + "\n")
     catch { case _: Throwable => () }
     spark.stop()
     println(line)

@@ -67,6 +67,17 @@ object Multimodal {
       lit("text/plain").as("mime"),
       col("text").cast("binary").as("payload"))
 
+  /** Exact media dedup: group identical payload BYTES by content hash —
+    * the multimodal twin of [[TextAnalysis.fingerprint]] (no
+    * canonicalization: media bytes either match or they don't). One
+    * uniform-key shuffle on the 16-byte digest; near-dup media would go
+    * through the embedding path (d06/d08) instead. Output:
+    * (content_md5, n_copies, keeper = min doc_id). */
+  def dedupExact(media: DataFrame): DataFrame =
+    media.select(col("doc_id"), md5(col("payload")).as("content_md5"))
+      .groupBy(col("content_md5"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+
   case class MediaFrame(
       doc_id: Long,
       frame_idx: Long,

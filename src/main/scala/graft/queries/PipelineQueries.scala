@@ -238,6 +238,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // exact media dedup: identical payload bytes collapse on the content
+    // hash — duplicate delivery (every 3rd payload re-ingested under a new
+    // id) must fold into the originals' groups
+    "m04_media_dedup" -> ((s, dir) => {
+      val media = Multimodal.toMedia(docs(s, dir))
+      val redelivered = media.filter(col("doc_id") % 3 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+      Multimodal.dedupExact(media.unionByName(redelivered))
+        .orderBy(col("content_md5"))
+    }),
+
     // grouped heavy hitters: top-5 terms per language via the bounded-heap
     // partial top-k aggregate — the shuffle after the count carries ≤
     // groups×k rows, never the vocabulary; terms ride as 60-bit hash ids
@@ -621,6 +632,14 @@ object PipelineQueries {
          |SELECT doc_id, $redacted AS clean
          |FROM dirty ORDER BY doc_id""".stripMargin
     },
+
+    "m04_media_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id, md5(text) AS content_md5 FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, md5(text) FROM documents WHERE doc_id % 3 = 0)
+        |SELECT content_md5, count(*) AS n_copies, min(doc_id) AS keeper
+        |FROM m GROUP BY 1 ORDER BY content_md5""".stripMargin,
 
     "t09_top_terms" ->
       s"""WITH tok AS (
