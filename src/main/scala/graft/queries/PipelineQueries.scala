@@ -252,18 +252,25 @@ object PipelineQueries {
     // grouped heavy hitters: top-5 terms per language via the bounded-heap
     // partial top-k aggregate — the shuffle after the count carries ≤
     // groups×k rows, never the vocabulary; terms ride as 60-bit hash ids
-    // through the heap and join back only for the k winners
+    // through the heap. The vocabulary aggregate runs ONCE (feeding only
+    // the heap); winning terms are then recovered by a broadcast
+    // semi-filter of the raw tokens + a recount of just those rows — a
+    // map-side join and a groups×k-sized aggregate, instead of a second
+    // vocabulary-wide aggregation for the join-back
     "t09_top_terms" -> ((s, dir) => {
-      val toks = docs(s, dir).filter(length(trim(col("text"))) > 0)
+      def toks = docs(s, dir).filter(length(trim(col("text"))) > 0)
         .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("w"))
-      val counts = toks.groupBy(col("lang"), col("w"))
+      val top = toks.groupBy(col("lang"), col("w"))
         .agg(count(lit(1)).as("n"))
-        .withColumn("h", Dedup.hash60(col("w")))
-      val top = counts.groupBy(col("lang"))
+        .select(col("lang"), col("n"), Dedup.hash60(col("w")).as("h"))
+        .groupBy(col("lang"))
         .agg(graft.expr.hfunctions.topk_by(col("n").cast("double"), col("h"), 5).as("top"))
         .select(col("lang"), explode(col("top")).as("t"))
         .select(col("lang"), col("t.n_id").as("h"), col("t.rk").as("rk"))
-      counts.join(broadcast(top), Seq("lang", "h"))
+      toks.withColumn("h", Dedup.hash60(col("w")))
+        .join(broadcast(top), Seq("lang", "h"))
+        .groupBy(col("lang"), col("w"), col("rk"))
+        .agg(count(lit(1)).as("n"))
         .select(col("lang"), col("w").as("term"), col("n"), col("rk"))
         .orderBy(col("lang"), col("rk"))
     }),

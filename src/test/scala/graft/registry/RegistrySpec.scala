@@ -170,6 +170,7 @@ class RegistrySpec extends SparkSpec {
       s"drained log must show per-source processed=2/backlog=0: ${rep2.bySource}")
 
     // uneven backlog across SOURCES (subdirectories of the log): source
+    // (see also the retention-cap test below)
     // 'src-a' gets two pending files, 'src-b' one — the census must show
     // the skew per source, not one merged number
     writeLog(s"$log/src-a", 3, Seq(ev("u4", 4, 40, "click", "x")))
@@ -180,5 +181,26 @@ class RegistrySpec extends SparkSpec {
     assert(lag.get("src-a").contains(graft.streaming.SourceLag(0L, 2L)),
       s"skewed source must be visible: $lag")
     assert(lag.get("src-b").contains(graft.streaming.SourceLag(0L, 1L)), lag)
+  }
+
+  test("progress totals survive past the recentProgress retention cap (listener path)") {
+    val regDir = tmp("graft_reg4"); val work = tmp("graft_work4"); val logs = tmp("graft_logs4")
+    val reg = new IndexerRegistry(regDir)
+    val sup = new IndexerSupervisor(spark, reg, work, name => s"$logs/$name")
+    val log = s"$logs/idx"
+    reg.add(IndexerDefinition("idx", confXml))
+    // 6 log files × maxFilesPerTrigger=1 = at least 6 micro-batches, but
+    // Spark only RETAINS the last `numRecentProgressUpdates` progress
+    // objects — with retention 3, a recentProgress-summing report would
+    // silently claim 3 batches / 3 events
+    (1 to 6).foreach(i => writeLog(log, i, Seq(ev(s"u$i", i.toLong, 10L * i, "click", "v"))))
+    val prev = spark.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "3")
+    try {
+      val rep = sup.waitUntilDrained("idx")
+      assert(rep.batches >= 6L, s"listener must count every batch, got $rep")
+      assert(rep.events == 6L && rep.inputRows == 6L,
+        s"counters must cover the whole drain, not the retained tail: $rep")
+    } finally spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", prev)
   }
 }
