@@ -227,6 +227,57 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Build a PERSISTENT IVF index: the codebook as a tiny text artifact
+    * plus the corpus assignment as parquet PARTITIONED BY centroid id —
+    * the embedding-side twin of the sharded index build (S10). Serving
+    * then reads only the probed centroids' directories via partition
+    * pruning: a query touches ~nProbe/nCentroids of the files on disk,
+    * which is the point of IVF at 100 TB (the index is built once,
+    * queried many times). */
+  def buildIvfIndex(corpus: DataFrame, dir: String, nCentroids: Int = 8,
+                    trainIters: Int = 2): Seq[Centroid] = {
+    val cents = trainCentroids(corpus, nCentroids, trainIters)
+    nearestCentroids(corpus, cents, keep = 1)
+      // one task per centroid partition: a dynamic-partition write from P
+      // tasks × C centroids opens P×C files (see IndexState.commit)
+      .repartition(col("c_id"))
+      .write.mode("overwrite").partitionBy("c_id").parquet(s"$dir/assignment")
+    val lines = cents.map(c => s"${c.cId}\t${c.nq}\t${c.vec.mkString(",")}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "CODEBOOK"), lines.mkString("\n"))
+    cents
+  }
+
+  /** Read a persisted codebook (driver-small by construction). */
+  def openIvfCodebook(dir: String): Seq[Centroid] =
+    java.nio.file.Files.readString(java.nio.file.Paths.get(dir, "CODEBOOK"))
+      .split("\n").toSeq.filter(_.nonEmpty).map { line =>
+        val Array(id, nq, vec) = line.split("\t", 3)
+        Centroid(id.toLong, vec.split(",").toSeq.map(_.toLong), nq.toLong)
+      }.sortBy(_.cId)
+
+  /** Serve ANN top-k from a persisted index: probe assignment via the
+    * codebook, scan ONLY the probed centroids' partitions (the distinct
+    * probe set is ≤ nCentroids ids — a bounded driver collect that turns
+    * into a partition-pruning IN filter on the parquet scan), exact
+    * re-rank inside them. Results are identical to [[ivfTopK]] with the
+    * same build parameters — the index is just the precomputed half. */
+  def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+    val cents = openIvfCodebook(dir)
+    val queryProbes = nearestCentroids(queries, cents, keep = nProbe)
+      .select(col("vec_id").as("q_id"), col("q").as("q_vec"), col("nq").as("q_nq"), col("c_id"))
+    val probedIds = queryProbes.select(col("c_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val assigned = spark.read.parquet(s"$dir/assignment")
+      .filter(col("c_id").isin(probedIds: _*))
+      .select(col("vec_id"), col("q"), col("nq"), col("c_id").cast("long").as("c_id"))
+    val scored = assigned.join(broadcast(queryProbes), Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", cosineq(col("q"), col("q_vec"), col("nq"), col("q_nq")))
+    topK(scored, k)
+  }
+
   /** Embedding near-duplicate pairs, brute force: all pairs with cosine ≥
     * threshold via an explicit cross join. O(n²) — kept ONLY as the
     * small-n oracle reference; the operator users reach for is the

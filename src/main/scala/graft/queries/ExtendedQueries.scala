@@ -237,6 +237,18 @@ object ExtendedQueries {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // IVF as a PERSISTED index: build (codebook + assignment partitioned
+    // by centroid) into a work dir, then serve top-k reading only the
+    // probed centroids' partitions — results identical to a03's live path,
+    // so it shares a03's oracle
+    "a04_ann_ivf_index" -> ((s, dir) => {
+      val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
+      val work = java.nio.file.Files.createTempDirectory("graft_a04").toString
+      Similarity.buildIvfIndex(corpus, work, nCentroids = 8)
+      Similarity.ivfIndexTopK(s, work, corpus.filter(col("vec_id") < 5), k = 5, nProbe = 2)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // frame chunking: typed flatMap (one row in → N frame rows out)
     "m02_media_chunks" -> ((s, dir) => {
       Multimodal.chunkFrames(Multimodal.toMedia(t(s, dir, "documents")), 32)
@@ -466,6 +478,65 @@ object ExtendedQueries {
     })
   )
 
+  // the k-means training loop is unrolled into CTEs: every step is the
+  // same exact integer arithmetic the Spark operator uses (md5-seeded
+  // init, integer-cosine assignment, floor-mean update), so the codebook
+  // — and therefore the probe lists — match bit-for-bit; a04 (persisted
+  // index, identical parameters) shares this oracle
+  private val a03Oracle: String = {
+        def lloydIter(i: Int) =
+          s"""a$i AS (
+             |  SELECT vec_id, q, c_id FROM (
+             |    SELECT n.vec_id, n.q, c.c_id,
+             |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+             |        CASE WHEN n.nn = 0 OR c.c_nn = 0 THEN 0.0
+             |             ELSE list_dot_product(n.q::DOUBLE[], c.c_q::DOUBLE[]) / (sqrt(n.nn) * sqrt(c.c_nn)) END DESC,
+             |        c.c_id ASC) AS crk
+             |    FROM n CROSS JOIN cent${i - 1} c)
+             |  WHERE crk = 1),
+             |s$i AS (
+             |  SELECT c_id, d, sum(v) AS s, count(*) AS cnt FROM (
+             |    SELECT c_id, unnest(q) AS v, unnest(range(len(q))) AS d FROM a$i)
+             |  GROUP BY 1, 2),
+             |v$i AS (SELECT c_id,
+             |          list(CAST((s - ((s % cnt) + cnt) % cnt) / cnt AS BIGINT) ORDER BY d) AS c_q
+             |        FROM s$i GROUP BY c_id),
+             |cent$i AS (
+             |  SELECT p.c_id, coalesce(v.c_q, p.c_q) AS c_q,
+             |    list_dot_product(coalesce(v.c_q, p.c_q)::DOUBLE[], coalesce(v.c_q, p.c_q)::DOUBLE[]) AS c_nn
+             |  FROM cent${i - 1} p LEFT JOIN v$i v USING (c_id))""".stripMargin
+        s"""WITH ${PipelineQueries.quantCte},
+           |seeds AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS c_id, q
+           |  FROM (SELECT vec_id, q, ${PipelineQueries.h60sql("CAST(vec_id AS VARCHAR)")} AS h FROM n)
+           |  ORDER BY h, vec_id LIMIT 8),
+           |cent0 AS (SELECT c_id, q AS c_q, list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS c_nn FROM seeds),
+           |${lloydIter(1)},
+           |${lloydIter(2)},
+           |c AS (SELECT c_id, c_q, c_nn FROM cent2),
+           |assign AS (
+           |  SELECT vec_id, q, nn, c_id,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) AS crk
+           |  FROM (
+           |    SELECT n.vec_id, n.q, n.nn, c.c_id,
+           |      CASE WHEN n.nn = 0 OR c.c_nn = 0 THEN 0.0
+           |           ELSE list_dot_product(n.q::DOUBLE[], c.c_q::DOUBLE[]) / (sqrt(n.nn) * sqrt(c.c_nn)) END AS sim
+           |    FROM n CROSS JOIN c)),
+           |corpus_a AS (SELECT vec_id, q, nn, c_id FROM assign WHERE crk = 1),
+           |probes AS (SELECT vec_id AS q_id, q AS q_q, nn AS q_nn, c_id
+           |           FROM assign WHERE crk <= 2 AND vec_id < 5),
+           |scored AS (
+           |  SELECT p.q_id, a.vec_id AS n_id,
+           |    CASE WHEN a.nn = 0 OR p.q_nn = 0 THEN 0.0
+           |         ELSE list_dot_product(a.q::DOUBLE[], p.q_q::DOUBLE[]) / (sqrt(a.nn) * sqrt(p.q_nn)) END AS sim
+           |  FROM corpus_a a JOIN probes p ON a.c_id = p.c_id AND a.vec_id <> p.q_id)
+           |SELECT q_id, n_id, sim, rk FROM (
+           |  SELECT q_id, n_id, sim,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
+           |  FROM scored)
+           |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
 
     "q11_cube" ->
@@ -590,63 +661,11 @@ object ExtendedQueries {
          |FROM lbl ORDER BY node""".stripMargin
     },
 
-    // the k-means training loop is unrolled into CTEs: every step is the
-    // same exact integer arithmetic the Spark operator uses (md5-seeded
-    // init, integer-cosine assignment, floor-mean update), so the
-    // codebook — and therefore the probe lists — match bit-for-bit
-    "a03_ann_ivf" -> {
-      def lloydIter(i: Int) =
-        s"""a$i AS (
-           |  SELECT vec_id, q, c_id FROM (
-           |    SELECT n.vec_id, n.q, c.c_id,
-           |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
-           |        CASE WHEN n.nn = 0 OR c.c_nn = 0 THEN 0.0
-           |             ELSE list_dot_product(n.q::DOUBLE[], c.c_q::DOUBLE[]) / (sqrt(n.nn) * sqrt(c.c_nn)) END DESC,
-           |        c.c_id ASC) AS crk
-           |    FROM n CROSS JOIN cent${i - 1} c)
-           |  WHERE crk = 1),
-           |s$i AS (
-           |  SELECT c_id, d, sum(v) AS s, count(*) AS cnt FROM (
-           |    SELECT c_id, unnest(q) AS v, unnest(range(len(q))) AS d FROM a$i)
-           |  GROUP BY 1, 2),
-           |v$i AS (SELECT c_id,
-           |          list(CAST((s - ((s % cnt) + cnt) % cnt) / cnt AS BIGINT) ORDER BY d) AS c_q
-           |        FROM s$i GROUP BY c_id),
-           |cent$i AS (
-           |  SELECT p.c_id, coalesce(v.c_q, p.c_q) AS c_q,
-           |    list_dot_product(coalesce(v.c_q, p.c_q)::DOUBLE[], coalesce(v.c_q, p.c_q)::DOUBLE[]) AS c_nn
-           |  FROM cent${i - 1} p LEFT JOIN v$i v USING (c_id))""".stripMargin
-      s"""WITH ${PipelineQueries.quantCte},
-         |seeds AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS c_id, q
-         |  FROM (SELECT vec_id, q, ${PipelineQueries.h60sql("CAST(vec_id AS VARCHAR)")} AS h FROM n)
-         |  ORDER BY h, vec_id LIMIT 8),
-         |cent0 AS (SELECT c_id, q AS c_q, list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS c_nn FROM seeds),
-         |${lloydIter(1)},
-         |${lloydIter(2)},
-         |c AS (SELECT c_id, c_q, c_nn FROM cent2),
-         |assign AS (
-         |  SELECT vec_id, q, nn, c_id,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) AS crk
-         |  FROM (
-         |    SELECT n.vec_id, n.q, n.nn, c.c_id,
-         |      CASE WHEN n.nn = 0 OR c.c_nn = 0 THEN 0.0
-         |           ELSE list_dot_product(n.q::DOUBLE[], c.c_q::DOUBLE[]) / (sqrt(n.nn) * sqrt(c.c_nn)) END AS sim
-         |    FROM n CROSS JOIN c)),
-         |corpus_a AS (SELECT vec_id, q, nn, c_id FROM assign WHERE crk = 1),
-         |probes AS (SELECT vec_id AS q_id, q AS q_q, nn AS q_nn, c_id
-         |           FROM assign WHERE crk <= 2 AND vec_id < 5),
-         |scored AS (
-         |  SELECT p.q_id, a.vec_id AS n_id,
-         |    CASE WHEN a.nn = 0 OR p.q_nn = 0 THEN 0.0
-         |         ELSE list_dot_product(a.q::DOUBLE[], p.q_q::DOUBLE[]) / (sqrt(a.nn) * sqrt(p.q_nn)) END AS sim
-         |  FROM corpus_a a JOIN probes p ON a.c_id = p.c_id AND a.vec_id <> p.q_id)
-         |SELECT q_id, n_id, sim, rk FROM (
-         |  SELECT q_id, n_id, sim,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
-         |  FROM scored)
-         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
-    },
+    // a04 serves from the persisted index built with the same parameters —
+    // its results (and therefore its oracle) are exactly a03's
+    "a04_ann_ivf_index" -> a03Oracle,
+
+    "a03_ann_ivf" -> a03Oracle,
 
     "m02_media_chunks" ->
       """WITH g AS (

@@ -114,6 +114,26 @@ class SimilaritySpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("persisted IVF index: identical results to the live path, partition-pruned scans") {
+    val work = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    val cents = Similarity.buildIvfIndex(corpus, work)
+    assert(Similarity.openIvfCodebook(work) == cents, "codebook must round-trip")
+
+    val queries = corpus.filter(col("vec_id") < 7)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rk").collect().toSeq
+    val live = rows(Similarity.ivfTopK(corpus, queries, 5))
+    val served = rows(Similarity.ivfIndexTopK(spark, work, queries, 5))
+    assert(served == live, "index must be just the precomputed half of the live path")
+
+    // the probed-centroid filter must reach the scan as PARTITION pruning
+    // — serving reads ~nProbe/nCentroids of the files, the point of IVF
+    val plan = Similarity.ivfIndexTopK(spark, work, queries, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("c_id"),
+      "probed centroids must prune partitions:\n" + plan.take(1200))
+  }
+
   test("a dim mismatch between vectors and hyperplanes fails loudly, never silently buckets") {
     val e = intercept[Exception] {
       corpus.limit(3).select(Similarity.srpBucketFast(col("q"), 8, 32)).collect()
