@@ -179,6 +179,48 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // explicit GROUPING SETS (the general form rollup/cube specialize),
+    // with grouping_id disambiguating which set produced each row — the
+    // standard-SQL bit encoding matches DuckDB's GROUPING()
+    "q16_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid"), col("n"), col("sum_qty"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // pivot with an explicit value list (deterministic column set): per
+    // user cohort, one column per event type
+    "q17_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select((col("user_id") % 10).cast("long").as("cohort"),
+          col("event_type"), col("value"))
+        .groupBy(col("cohort"))
+        .pivot(col("event_type"), Seq("click", "purchase", "signup", "view"))
+        .agg(sum(dec(col("value"))).cast("double"))
+        .orderBy(col("cohort"))
+    }),
+
+    // EXACT percentiles (sort-based, linear interpolation — the same
+    // standard definition DuckDB's quantile_cont implements, so results
+    // are bit-identical); the approximate sketch variant is the scale
+    // path when a single sorted pass per group is too expensive
+    "q18_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25D)").as("p25"),
+          expr("percentile(l_quantity, 0.5D)").as("p50"),
+          expr("percentile(l_quantity, 0.75D)").as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- indexer surface: mapping + extraction (P1-P8, P12) ----
 
     "x01_mapping_row" -> ((s, dir) => {
@@ -338,6 +380,31 @@ object SparkEntry {
         |  concat_ws('|', o_orderstatus, o_orderpriority) AS tag,
         |  abs(o_totalprice) AS abs_price
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q16_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q17_pivot" ->
+      """SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS view
+        |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin,
+
+    "q18_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.50) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     "x01_mapping_row" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS id, c_name AS name_s,
