@@ -133,23 +133,55 @@ object Dedup {
     shingleHashSets(docs, idCol, textCol, n)
       .withColumn("sig", minhashFromHashes(col("hs"), k))
 
+  /** Derive a MinHash-LSH (bands, rowsPerBand) config from the
+    * verification threshold — the Jaccard twin of
+    * [[Similarity.srpConfigFor]]. A pair at Jaccard s agrees on one
+    * minhash w.p. s, on a band of r hashes w.p. s^r, and is missed only
+    * if all b bands miss: miss = (1 − s^r)^b. For each r this solves the
+    * smallest b meeting `targetMissProb` at the threshold, keeps configs
+    * within the signature budget (b·r ≤ maxHashes), and picks the one
+    * minimizing expected background band collisions b·s0^r at
+    * `backgroundSim` (the typical similarity of NON-duplicate pairs —
+    * what actually drives candidate volume on a real corpus); ties break
+    * toward the smaller signature. Sharper thresholds buy more rows per
+    * band: 0.5 → (14, 1), 0.8 → (13, 3), 0.9 → (11, 5). */
+  def minhashConfigFor(threshold: Double, targetMissProb: Double = 1e-4,
+                       maxHashes: Int = 64, backgroundSim: Double = 0.2): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0, s"threshold in (0,1), got $threshold")
+    require(backgroundSim > 0.0 && backgroundSim < threshold,
+      s"backgroundSim must sit below the threshold, got $backgroundSim vs $threshold")
+    val feasible = (1 to maxHashes).flatMap { r =>
+      val pr = math.pow(threshold, r)
+      val b = math.max(1, math.ceil(math.log(targetMissProb) / math.log1p(-pr)).toInt)
+      if (b.toLong * r <= maxHashes) Some((b, r)) else None
+    }
+    require(feasible.nonEmpty,
+      s"no (bands, rows) config within $maxHashes hashes meets miss<$targetMissProb at threshold $threshold")
+    feasible.minBy { case (b, r) => (b * math.pow(backgroundSim, r), b * r) }
+  }
+
   /** LSH candidate pairs from banded minhash signatures, exact-verified by
     * true Jaccard ≥ threshold (intersection of the full shingle-hash
     * sets, computed per candidate pair). bands×rowsPerBand = signature
-    * length. */
+    * length; pass (0, 0) — the default — to derive the band layout from
+    * the threshold via [[minhashConfigFor]]. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      bands: Int = 4, rowsPerBand: Int = 2, n: Int = 3,
+                      bands: Int = 0, rowsPerBand: Int = 0, n: Int = 3,
                       threshold: Double = 0.5): DataFrame = {
-    val k = bands * rowsPerBand
+    require((bands > 0) == (rowsPerBand > 0),
+      "pass both bands and rowsPerBand, or neither (auto-derive from threshold)")
+    val (nBands, nRows) =
+      if (bands > 0) (bands, rowsPerBand) else minhashConfigFor(threshold)
+    val k = nBands * nRows
     val sigs = minhashSignatures(docs, idCol, textCol, k, n)
 
     // band key: band index + the band's signature slice, as one string —
     // no extra hashing; the shuffle key is small and engine-portable
     val banded = sigs.select(col("doc_id"), explode(
-      array((0 until bands).map { bnd =>
+      array((0 until nBands).map { bnd =>
         concat_ws("_",
           (lit(bnd.toString) +:
-            (1 to rowsPerBand).map(r => element_at(col("sig"), bnd * rowsPerBand + r))): _*)
+            (1 to nRows).map(r => element_at(col("sig"), bnd * nRows + r))): _*)
       }: _*)).as("band_key"))
 
     val l = banded.select(col("doc_id").as("a_id"), col("band_key"))

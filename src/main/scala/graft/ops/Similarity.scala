@@ -243,7 +243,10 @@ object Similarity {
       .repartition(col("c_id"))
       .write.mode("overwrite").partitionBy("c_id").parquet(s"$dir/assignment")
     val lines = cents.map(c => s"${c.cId}\t${c.nq}\t${c.vec.mkString(",")}")
-    java.nio.file.Files.writeString(
+    // temp + atomic rename: a reader resolving the codebook mid-build sees
+    // the old one or the new one, never a truncated file (same contract as
+    // every CURRENT-pointer flip in this engine)
+    graft.streaming.IndexState.atomicWriteString(
       java.nio.file.Paths.get(dir, "CODEBOOK"), lines.mkString("\n"))
     cents
   }

@@ -78,4 +78,23 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
     assert(lsh.contains((0L, 1L))) // identical docs always share all bands
   }
+
+  test("minhashConfigFor: threshold-derived band layout meets the miss target") {
+    def miss(t: Double, br: (Int, Int)) =
+      math.pow(1 - math.pow(t, br._2), br._1)
+    val at05 = Dedup.minhashConfigFor(0.5)
+    val at08 = Dedup.minhashConfigFor(0.8)
+    val at09 = Dedup.minhashConfigFor(0.9)
+    for ((t, br) <- Seq(0.5 -> at05, 0.8 -> at08, 0.9 -> at09)) {
+      assert(br._1 * br._2 <= 64, s"$br must fit the signature budget")
+      assert(miss(t, br) <= 1e-4, s"recall target violated at $t by $br")
+    }
+    // sharper thresholds buy more rows per band → fewer background
+    // band collisions (candidate volume on non-duplicate pairs)
+    assert(at08._2 >= 3, s"0.8 should get multi-row bands, got $at08")
+    assert(at09._2 > at08._2, s"0.9 must out-sharpen 0.8: $at09 vs $at08")
+    def bg(br: (Int, Int)) = br._1 * math.pow(0.2, br._2)
+    assert(bg(at09) < bg(at08) && bg(at08) < bg(at05),
+      s"background collisions must fall as the threshold rises")
+  }
 }
