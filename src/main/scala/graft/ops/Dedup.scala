@@ -241,4 +241,43 @@ object Dedup {
     * ([[graft.expr.SimHash]]) — no shuffle. */
   def simhash(text: Column, bits: Int = 32): Column =
     graft.expr.hfunctions.simhash_c(text, bits)
+
+  /** SimHash near-duplicate pairs: candidates share one of `bands` bit
+    * slices of the fingerprint; verification is the exact Hamming
+    * distance. With `maxHamming < bands` the PIGEONHOLE principle makes
+    * recall exactly 1.0 — a pair within the Hamming ball cannot differ in
+    * every band — so unlike the MinHash/SRP paths this one has no recall
+    * probability at all; the bands are purely a candidate filter.
+    * Each surviving pair is kept only in its FIRST matching band (a flat
+    * when-chain over the XOR's band slices — no distinct), and the only
+    * shuffle is the (band, key) self-join on 8-byte keys. Output:
+    * (a_id, b_id, hamming). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   bits: Int = 32, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(bits % bands == 0, s"bands ($bands) must divide bits ($bits)")
+    require(maxHamming < bands,
+      s"pigeonhole recall guarantee needs maxHamming ($maxHamming) < bands ($bands)")
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    def slice(c: Column, b: Int): Column = shiftright(c, b * w).bitwiseAND(lit(mask))
+
+    val fp = docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), simhash(col(textCol), bits).as("sh"))
+    val banded = fp.select(col("doc_id"), col("sh"), explode(array(
+        (0 until bands).map(b =>
+          struct(lit(b).as("band"), slice(col("sh"), b).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val l = banded.select(col("band"), col("key"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val r = banded.select(col("band"), col("key"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    val x = col("a_sh").bitwiseXOR(col("b_sh"))
+    val firstEqBand = (0 until bands).foldRight(lit(-1).cast("int")) { (b, rest) =>
+      when(slice(x, b) === 0, lit(b)).otherwise(rest)
+    }
+    l.join(r, Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(col("band") === firstEqBand)
+      .withColumn("hamming", expr("bit_count(a_sh ^ b_sh)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
 }

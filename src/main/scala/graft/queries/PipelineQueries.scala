@@ -95,6 +95,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // simhash near-dup pairs: whitespace-noise copies (identical token
+    // multiset → identical fingerprint, hamming 0) must pair with their
+    // originals; recall is pigeonhole-exact, not probabilistic
+    "d11_simhash_pairs" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val noisy = d.select((col("doc_id") + 200000).as("doc_id"),
+        concat(lit("  "), col("text"), lit("   ")).as("text"))
+      Dedup.simhashPairs(d.unionByName(noisy), "doc_id", "text")
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     "d06_embed_neardup" -> ((s, dir) => {
       Similarity.cosineNearDupPairsExact(
           Similarity.prep(embs(s, dir), "vec_id", "embedding"), threshold = 0.4)
@@ -404,6 +415,35 @@ object PipelineQueries {
          |h AS (SELECT doc_id, ${h60sql("w")} AS hv FROM t)
          |SELECT doc_id, $bitSum AS simhash
          |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "d11_simhash_pairs" -> {
+      val bitSum = (0 until 32).map { j =>
+        s"(CASE WHEN sum(((hv >> $j) & 1) * 2 - 1) > 0 THEN CAST(1 AS BIGINT) << $j ELSE 0 END)"
+      }.mkString(" + ")
+      val firstEq = (0 until 4).map { b =>
+        s"WHEN ((xor(a_sh, b_sh) >> ${b * 8}) & 255) = 0 THEN $b"
+      }.mkString("CASE ", " ", " END")
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000, '  ' || text || '   ' FROM documents),
+         |t AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |  FROM base WHERE length(trim(text)) > 0),
+         |h AS (SELECT doc_id, ${h60sql("w")} AS hv FROM t),
+         |s AS (SELECT doc_id, $bitSum AS sh FROM h GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, sh, unnest([0, 1, 2, 3]) AS band FROM s),
+         |keyed AS (SELECT doc_id, sh, band, (sh >> (band * 8)) & 255 AS key FROM banded),
+         |p AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS a_sh, b.sh AS b_sh, a.band
+         |  FROM keyed a JOIN keyed b ON a.band = b.band AND a.key = b.key
+         |    AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, CAST(bit_count(xor(a_sh, b_sh)) AS BIGINT) AS hamming
+         |FROM p
+         |WHERE band = ($firstEq) AND bit_count(xor(a_sh, b_sh)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin
     },
 
     "d06_embed_neardup" ->

@@ -79,6 +79,26 @@ class DedupSpec extends SparkSpec {
     assert(lsh.contains((0L, 1L))) // identical docs always share all bands
   }
 
+  test("simhashPairs: pigeonhole recall — every pair inside the Hamming ball is found") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet").select(col("doc_id"), col("text"))
+    val noisy = d.select((col("doc_id") + 200000).as("doc_id"),
+      concat(lit("  "), col("text"), lit("   ")).as("text"))
+    val all = d.unionByName(noisy)
+    val fp = all.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), Dedup.simhash(col("text"), 32).as("sh"))
+    val a = fp.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = fp.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    val brute = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("hamming", expr("bit_count(a_sh ^ b_sh)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("a_id", "b_id", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = Dedup.simhashPairs(all, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.nonEmpty, "noisy copies guarantee hamming-0 pairs")
+    assert(banded == brute, "pigeonhole makes banded == brute, no probability involved")
+  }
+
   test("minhashConfigFor: threshold-derived band layout meets the miss target") {
     def miss(t: Double, br: (Int, Int)) =
       math.pow(1 - math.pow(t, br._2), br._1)
