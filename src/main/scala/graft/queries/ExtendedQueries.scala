@@ -108,6 +108,20 @@ object ExtendedQueries {
         .orderBy(col("s_id"))
     }),
 
+    // RANGE window frame (event-time sliding sum): per user, revenue in
+    // the trailing hour of each event — the frame is defined by the VALUE
+    // distance on ts_s, not a row count, so ties (same-second events) are
+    // peers and share the frame
+    "q19_range_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+        .rangeBetween(-3600L, 0L)
+      eventsSec(s, dir)
+        .withColumn("w_sum", dbl(sum(dec(col("value"))).over(w)))
+        .select(col("user_id"), col("event_id"), col("ts_s"), col("w_sum"))
+        .orderBy(col("user_id"), col("ts_s"), col("event_id"))
+    }),
+
     // ---- streaming (T3/T4/T7: windowed agg with watermark) ----
 
     "s02_stream_window" -> ((s, dir) => {
@@ -596,6 +610,15 @@ object ExtendedQueries {
         |      GROUP BY 1)
         |SELECT s.s_id, s.user_id, coalesce(c.n_follow, 0) AS n_follow
         |FROM s LEFT JOIN c USING (s_id) ORDER BY s_id""".stripMargin,
+
+    "q19_range_frame" ->
+      """WITH ev AS (SELECT user_id, event_id, value,
+        |    epoch_ns(ts) // 1000000000 AS ts_s FROM events)
+        |SELECT user_id, event_id, ts_s,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY user_id ORDER BY ts_s
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS w_sum
+        |FROM ev ORDER BY user_id, ts_s, event_id""".stripMargin,
 
     "s02_stream_window" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start, event_type,
