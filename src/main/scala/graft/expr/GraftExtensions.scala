@@ -63,7 +63,8 @@ object GraftExtensions {
   }
 
   private def mkInfo(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo("graft.expr.hfunctions", name)
+    new ExpressionInfo("graft.expr.hfunctions", null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   /** (name, info, builder) for every SQL-expressible kernel. `srp_codes`
     * and `text_stats` stay Scala-only: their coefficient-matrix /

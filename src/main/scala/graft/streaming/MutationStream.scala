@@ -248,6 +248,12 @@ class ProgressAccumulator(spark: SparkSession)
   import ProgressAccumulator.Totals
 
   private val totals = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, Totals]()
+  // insertion order of runIds, for eviction: a long-lived supervisor
+  // drains indefinitely and one Totals per run would otherwise accumulate
+  // forever — keep the most recent `MaxRuns` runs (reports are read right
+  // after each drain; ancient runs have no reader)
+  private val runOrder = new java.util.concurrent.ConcurrentLinkedQueue[java.util.UUID]()
+  private val MaxRuns = 64
   spark.streams.addListener(this)
 
   override def onQueryStarted(e: QueryStartedEvent): Unit = ()
@@ -257,12 +263,13 @@ class ProgressAccumulator(spark: SparkSession)
     val obs = Option(p.observedMetrics.get("graft.ingress"))
     val dur = p.durationMs.getOrDefault("triggerExecution", 0L).longValue()
     totals.compute(p.runId, (_, old0) => {
-      val old = if (old0 == null) Totals(0, 0, 0, 0, 0, 0) else old0
+      val old = if (old0 == null) { runOrder.add(p.runId); Totals(0, 0, 0, 0, 0, 0) } else old0
       Totals(old.batches + 1, old.inputRows + p.numInputRows,
         old.events + obs.map(_.getLong(0)).getOrElse(0L),
         old.applicable + obs.map(_.getLong(1)).getOrElse(0L),
         old.totalMs + dur, dur)
     })
+    while (runOrder.size > MaxRuns) Option(runOrder.poll()).foreach(totals.remove)
     ()
   }
 
@@ -446,7 +453,9 @@ object MutationStream {
       Option(p.observedMetrics.get("graft.ingress")).map(_.getLong(i))
     }.sum
     val durs = ps.map(p => p.durationMs.getOrDefault("triggerExecution", 0L).longValue())
-    val totals = acc.flatMap(_.settled(q.runId)).getOrElse(
+    // nothing ran → nothing to settle (avoids the full stabilization wait
+    // on an empty drain, where no listener event will ever arrive)
+    val totals = acc.filter(_ => ps.nonEmpty).flatMap(_.settled(q.runId)).getOrElse(
       ProgressAccumulator.synthetic(
         batches = ps.size.toLong, inputRows = ps.map(_.numInputRows).sum,
         events = observed(0), applicable = observed(1),
