@@ -235,8 +235,9 @@ object Similarity {
     * which is the point of IVF at 100 TB (the index is built once,
     * queried many times). */
   def buildIvfIndex(corpus: DataFrame, dir: String, nCentroids: Int = 8,
-                    trainIters: Int = 2): Seq[Centroid] = {
-    val cents = trainCentroids(corpus, nCentroids, trainIters)
+                    trainIters: Int = 2,
+                    codebook: Option[Seq[Centroid]] = None): Seq[Centroid] = {
+    val cents = codebook.getOrElse(trainCentroids(corpus, nCentroids, trainIters))
     nearestCentroids(corpus, cents, keep = 1)
       // one task per centroid partition: a dynamic-partition write from P
       // tasks × C centroids opens P×C files (see IndexState.commit)
@@ -250,6 +251,18 @@ object Similarity {
       java.nio.file.Paths.get(dir, "CODEBOOK"), lines.mkString("\n"))
     cents
   }
+
+  /** Incrementally add vectors to a persisted index: assign them with
+    * the EXISTING codebook — never retrain, or old and new entries would
+    * live in incompatible coordinate systems — and append to the same
+    * centroid partitions. This is how a served ANN index tracks a growing
+    * corpus without a rebuild; the codebook drifts from the data over
+    * time, so periodic rebuilds (fresh training) are the compaction
+    * analogue, as is coalescing the small files appends accumulate. */
+  def appendToIvfIndex(newVectors: DataFrame, dir: String): Unit =
+    nearestCentroids(newVectors, openIvfCodebook(dir), keep = 1)
+      .repartition(col("c_id"))
+      .write.mode("append").partitionBy("c_id").parquet(s"$dir/assignment")
 
   /** Read a persisted codebook (driver-small by construction). */
   def openIvfCodebook(dir: String): Seq[Centroid] =

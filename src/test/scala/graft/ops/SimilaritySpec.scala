@@ -134,6 +134,24 @@ class SimilaritySpec extends SparkSpec {
       "probed centroids must prune partitions:\n" + plan.take(1200))
   }
 
+  test("IVF append: incremental adds ≡ a from-scratch build with the same codebook") {
+    val half1 = corpus.filter(col("vec_id") % 2 === 0)
+    val half2 = corpus.filter(col("vec_id") % 2 === 1)
+    val queries = corpus.filter(col("vec_id") < 7)
+
+    val incDir = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
+    val cents = Similarity.buildIvfIndex(half1, incDir)
+    Similarity.appendToIvfIndex(half2, incDir)
+
+    val fullDir = java.nio.file.Files.createTempDirectory("graft_ivf_full").toString
+    Similarity.buildIvfIndex(corpus, fullDir, codebook = Some(cents))
+
+    def rows(dir: String) = Similarity.ivfIndexTopK(spark, dir, queries, 5)
+      .orderBy("q_id", "rk").collect().toSeq
+    assert(rows(incDir) == rows(fullDir),
+      "append must be indistinguishable from rebuilding with the same codebook")
+  }
+
   test("a dim mismatch between vectors and hyperplanes fails loudly, never silently buckets") {
     val e = intercept[Exception] {
       corpus.limit(3).select(Similarity.srpBucketFast(col("q"), 8, 32)).collect()
