@@ -206,6 +206,19 @@ object ExtendedQueries {
         .orderBy(col("event_type"))
     }),
 
+    // the SQL surface end-to-end under the oracle gate: a pure-SQL query
+    // over the REGISTERED kernels (md5_shard routing + key formatting) —
+    // what a SQL-only user of the library runs
+    "x25_sql_surface" -> ((s, dir) => {
+      graft.expr.GraftExtensions.register(s)
+      t(s, dir, "customer").createOrReplaceTempView("x25_customer")
+      s.sql(
+        """SELECT CAST(md5_shard(CAST(c_custkey AS STRING), 8) AS BIGINT) AS shard,
+          |       count(*) AS n,
+          |       min(format_key('t', CAST(c_custkey AS STRING))) AS min_key
+          |FROM x25_customer GROUP BY 1 ORDER BY shard""".stripMargin)
+    }),
+
     // ---- indexer surface ----
 
     // P5 completion: the scale-prefixed bigdecimal codec round-trip
@@ -636,6 +649,13 @@ object ExtendedQueries {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "x25_sql_surface" ->
+      """WITH k AS (SELECT CAST(c_custkey AS VARCHAR) AS id FROM customer)
+        |SELECT CAST(CAST('0x' || substr(md5(id), 1, 4) AS INT) % 8 AS BIGINT) AS shard,
+        |  count(*) AS n,
+        |  min('t-' || id) AS min_key
+        |FROM k GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "x17_bigdecimal_codec" ->
       """SELECT s_suppkey,
