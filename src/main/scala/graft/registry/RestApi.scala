@@ -44,6 +44,18 @@ class IndexerResource(registry: IndexerRegistry, supervisor: IndexerSupervisor) 
         registry.get(name).map(d => ApiResponse(200, d.configXml, "text/xml"))
           .getOrElse(notFound(name))
 
+      // live per-source consumed/pending census — unlike /progress (a
+      // snapshot from the last drain) this reads the log and checkpoint
+      // NOW, so a growing backlog is visible between drains
+      case ("GET", List("indexer", name, "lag")) =>
+        if (registry.get(name).isEmpty) notFound(name)
+        else {
+          val lag = supervisor.sourceLag(name).toSeq.sortBy(_._1).map { case (s, l) =>
+            s""""$s": {"processed": ${l.processed}, "backlog": ${l.backlog}}"""
+          }.mkString("{", ", ", "}")
+          ok(lag)
+        }
+
       // T6 over the wire: the reference's replication-status surface is a
       // separate JMX/CLI tool; here the drain report is one GET away
       case ("GET", List("indexer", name, "progress")) =>

@@ -85,6 +85,13 @@ class RestApiSpec extends SparkSpec {
       assert(prog.statusCode() == 200, prog.body())
       assert(prog.body().contains("\"backlogFiles\": 0") &&
         prog.body().contains("MANIFEST-"), prog.body())
+
+      // live lag census: reads log + checkpoint NOW (no drain needed)
+      val lag = get(s"$base/indexer/idx/lag")
+      assert(lag.statusCode() == 200, lag.body())
+      assert(lag.body().contains("\"(root)\"") && lag.body().contains("\"backlog\": 0"),
+        lag.body())
+      assert(get(s"$base/indexer/nope/lag").statusCode() == 404)
     } finally srv.stop()
   }
 }
