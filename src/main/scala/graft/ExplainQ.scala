@@ -31,6 +31,10 @@ object ExplainQ {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       println(f"[time] $name ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      // the FINAL adaptive plan — runtime stage/exchange reuse only shows
+      // here, never in the static explain above
+      println("=== physical (final adaptive) ===")
+      println(df.queryExecution.executedPlan.toString)
     }
     spark.stop()
   }

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level statistical scoring: operators whose per-document output
+  * depends on *global* corpus statistics (n-gram counts, document
+  * frequencies) — the "train a tiny model on the corpus, score every doc
+  * with it" family that sits between the pure projections in
+  * [[TextAnalysis]] and the pair-finding operators in [[Dedup]].
+  *
+  * Scale design (100 TB):
+  *  - everything derives from ONE per-(doc, key) pre-aggregation, so the
+  *    wide explode output is collapsed map-side before any data crosses
+  *    the network;
+  *  - global count tables (the "model") are plain shuffle aggregations on
+  *    uniform-ish keys; Zipf skew on common words collapses map-side in
+  *    the partial aggregate, so the reduce-side key width is bounded by
+  *    the distinct vocabulary per partition;
+  *  - score join-backs are shuffle joins keyed on the n-gram / term — at
+  *    100 TB the model table is itself large (no broadcast), and the join
+  *    is exactly the "probe the LM" step; vocabulary pruning (min-count)
+  *    shrinks it when the tail is irrelevant;
+  *  - no floating-point value ever drives a RANKING directly: TF-IDF
+  *    ranks on a quantized integer score, so two engines whose `ln`
+  *    differs in the last ulp still produce the identical top-k.
+  */
+object CorpusStats {
+
+  /** Per-document bigram counts (doc_id, w1, w2, m): the shared base of
+    * the LM operators. One explode, then an immediate per-(doc, bigram)
+    * aggregation — the only stage that ever sees one row per token
+    * occurrence, and it collapses map-side. Documents with fewer than two
+    * tokens have no bigrams and drop out at the scan. */
+  private[ops] def docBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), toks.as("_tk"))
+      .filter(size(col("_tk")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("_tk")) - 1),
+          i => struct(element_at(col("_tk"), i).as("w1"),
+            element_at(col("_tk"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+  }
+
+  /** Corpus bigram language-model score per document — the CCNet-style
+    * "LM quality filter": train a bigram LM on the corpus itself, score
+    * each document by its mean token-transition log-probability
+    * `avg over bigram occurrences of ln( c(w1 w2) / c(w1 ·) )`, where
+    * `c(w1 ·)` counts w1 as a bigram PREFIX (so probabilities condition
+    * on "a next token exists" and sum to 1 per prefix). Boilerplate and
+    * in-distribution text scores high (near 0); token soup scores low
+    * (large negative). No smoothing is needed: every scored bigram came
+    * from the corpus, so its count is ≥ 1.
+    *
+    * Output: (doc_id, n_bigrams, avg_logp), one row per document with ≥ 2
+    * tokens.
+    *
+    * Plan shape: docBigrams (1 shuffle) → two count aggregations over it
+    * (the "model"; 2 shuffles) → two probe joins keyed on the bigram /
+    * prefix → per-doc weighted average (1 shuffle). The per-doc rows
+    * carry multiplicity `m`, so the probe traffic is distinct-bigrams-
+    * per-doc, not tokens. */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val db = docBigrams(docs, idCol, textCol)
+    val bgc = db.groupBy("w1", "w2").agg(sum("m").as("c_bg"))
+    val ugc = db.groupBy("w1").agg(sum("m").as("c_ug"))
+    db.join(bgc, Seq("w1", "w2"))
+      .join(ugc, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(sum("m").as("n_bigrams"),
+        (sum(col("m") * log(col("c_bg").cast("double") / col("c_ug"))) /
+          sum("m")).as("avg_logp"))
+  }
+
+  /** Per-document top-k TF-IDF terms — keyword extraction over the whole
+    * corpus. score = tf · ln(N / df) with tf the in-doc term count, df
+    * the number of documents containing the term, N the corpus size.
+    *
+    * The ranking key is `round(score · 10⁶)` as an INTEGER: `ln` is not
+    * exactly rounded and two mathematically equal scores computed
+    * differently (e.g. 2·ln(10) vs ln(100)) can differ in the last ulp —
+    * per-engine — so ranking raw doubles is not portable; the quantized
+    * key + term-string tie-break is. Output: (doc_id, term, tf, df, rk),
+    * floats never surface.
+    *
+    * Plan shape: explode → per-(doc, term) count (1 shuffle; map-side
+    * collapse bounds Zipf skew) → df aggregation over it (1 shuffle) →
+    * probe join on the term → per-doc top-k window. N rides in as a
+    * broadcast 1-row cross join, never a driver collect. The final
+    * window partitions by doc_id (millions of small groups — no skew);
+    * swapping it for the bounded-heap `topk_by` aggregate (t09's shape)
+    * drops the per-group sort if k·groups ever dominates. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5): DataFrame = {
+    val nonEmpty = docs.filter(length(trim(col(textCol))) > 0)
+    val tf = nonEmpty
+      .select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = nonEmpty.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("w"))
+      .crossJoin(broadcast(n))
+      .withColumn("score_q",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")) * 1e6)
+          .cast("long"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score_q").desc, col("w"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("w").as("term"), col("tf"), col("df"), col("rk"))
+  }
+}

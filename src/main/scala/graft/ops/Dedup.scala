@@ -203,6 +203,40 @@ object Dedup {
       .select("a_id", "b_id", "inter", "uni", "jaccard")
   }
 
+  /** Directed n-gram containment pairs: `(a_id, b_id)` means a_id's
+    * shingle set is (nearly) contained in b_id's —
+    * `containment = |A ∩ B| / |A| ≥ threshold`. The asymmetric twin of
+    * [[jaccardPairs]]: Jaccard misses a short document quoted inside a
+    * long one (the union is dominated by the long side), containment is
+    * exactly that quote/boilerplate-inclusion detector.
+    *
+    * Same two-shuffle plan as [[jaccardPairs]] (shingle-hash self-join +
+    * pair aggregation, set sizes riding through the explode); each
+    * unordered pair then fans out to its two directed candidates in a
+    * pure projection — no third shuffle — and only directions meeting the
+    * threshold survive. Both directions pass only for near-equal sets.
+    * Output: (a_id, b_id, inter, n_a, containment) with n_a = |A|. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.8,
+                       maxDf: Option[Int] = None): DataFrame = {
+    val sh = shingleExplode(docs, idCol, textCol, n, maxDf)
+    val a = sh.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"), col("h"))
+    val b = sh.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"), col("h"))
+    val pairs = a.join(b, Seq("h"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "a_n", "b_n").agg(count(lit(1)).as("inter"))
+    pairs.select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst"),
+          col("inter"), col("a_n").as("n_src")),
+        struct(col("b_id").as("src"), col("a_id").as("dst"),
+          col("inter"), col("b_n").as("n_src")))).as("d"))
+      .select(col("d.src").as("a_id"), col("d.dst").as("b_id"),
+        col("d.inter").as("inter"), col("d.n_src").as("n_a"))
+      .withColumn("containment", col("inter").cast("double") / col("n_a"))
+      .filter(col("containment") >= threshold)
+      .select("a_id", "b_id", "inter", "n_a", "containment")
+  }
+
   /** Benchmark decontamination: count, per corpus document, the distinct
     * n-gram shingle hashes it shares with ANY benchmark document — the
     * standard test-set-contamination gate for training corpora (drop a

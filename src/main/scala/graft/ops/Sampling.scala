@@ -40,6 +40,35 @@ object Sampling {
     docs.filter(hashBucket(col(idCol), 1000) < rate)
   }
 
+  /** Exact-count quota sampling: keep exactly `min(quota, stratum size)`
+    * documents per stratum, chosen deterministically by id-hash rank
+    * (smallest md5 ranks win; ties — astronomically rare — break by id).
+    * Where [[stratifiedSample]] keeps a binomially-distributed *fraction*,
+    * this hits the target *count* exactly — the "rebalance the corpus to
+    * a target language/domain mixture" step where the mixture is a hard
+    * budget, not a rate. Strata absent from `quotas` fall back to
+    * `defaultQuota` (default: keep all).
+    *
+    * Scale shape: one shuffle — the per-stratum rank window. Each stratum
+    * sorts within its own partition, so a stratum too large to sort in
+    * one task is the skew hazard; the mitigation is composition, not a
+    * new operator: pre-thin the giant stratum with [[stratifiedSample]]
+    * (rate ≈ a few × quota/size, still deterministic) and quota-exact the
+    * survivors — the same two-phase move as [[Sampling.tokenBudget]]'s
+    * boundary tier. */
+  def quotaSample(docs: DataFrame, idCol: String, stratumCol: String,
+                  quotas: Map[String, Long],
+                  defaultQuota: Long = Long.MaxValue): DataFrame = {
+    val quota = quotas.foldLeft(lit(defaultQuota)) { case (acc, (s, q)) =>
+      when(col(stratumCol) === s, lit(q)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(Dedup.hash60(col(idCol).cast("string")), col(idCol))
+    docs.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= quota)
+      .drop("_rk")
+  }
+
   /** Token-budget selection: keep the greedy prefix of documents ordered
     * by (quality desc, id asc) whose cumulative token count stays within
     * `budget` — i.e. "the best docs that fit the training budget".

@@ -189,6 +189,46 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // directed containment: every doc gains an extended copy (text + an
+    // 8-token tail), so original ⊂ copy while the copy→original direction
+    // is diluted below threshold — the quote/boilerplate-inclusion case
+    // Jaccard structurally misses. The shared tail makes its shingles
+    // ubiquitous (df = corpus size), so the maxDf skew cap is load-bearing
+    // here: without it the self-join would carry Θ(n²) tail-pair rows
+    "d12_containment" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val extended = d.select((col("doc_id") + 300000).as("doc_id"),
+        concat(col("text"), lit(" xx yy zz qq ww ee rr tt")).as("text"))
+      Dedup.containmentPairs(d.unionByName(extended), "doc_id", "text",
+          n = 3, threshold = 0.8, maxDf = Some(100))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // exact-count quota sampling: rebalance the corpus to a hard
+    // per-language budget (counts, not rates — p05's binomial twin)
+    "p07_quota_sample" -> ((s, dir) => {
+      graft.ops.Sampling.quotaSample(
+          docs(s, dir).select(col("doc_id"), col("lang")),
+          "doc_id", "lang",
+          Map("en" -> 60L, "de" -> 25L, "fr" -> 20L, "es" -> 25L, "zh" -> 30L))
+        .orderBy(col("doc_id"))
+    }),
+
+    // corpus bigram LM scoring (CCNet-style LM quality filter): the model
+    // is trained on the corpus itself, every doc scored by mean bigram
+    // log-probability
+    "t10_lm_score" -> ((s, dir) => {
+      graft.ops.CorpusStats.bigramLmScore(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // per-doc top-5 TF-IDF keywords; rank key is the quantized integer
+    // score so the top-k is engine-portable
+    "t11_tfidf_terms" -> ((s, dir) => {
+      graft.ops.CorpusStats.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 5)
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
     // ---- similarity search ----
 
     "a01_ann_brute" -> ((s, dir) => {
@@ -445,6 +485,81 @@ object PipelineQueries {
          |WHERE band = ($firstEq) AND bit_count(xor(a_sh, b_sh)) <= 3
          |ORDER BY a_id, b_id""".stripMargin
     },
+
+    "d12_containment" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000, text || ' xx yy zz qq ww ee rr tt' FROM documents),
+        |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM base),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |  FROM tok WHERE len(tk) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+        |dfq AS (SELECT s, count(*) AS d FROM sh GROUP BY s),
+        |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfq ON sh.s = dfq.s WHERE dfq.d <= 100),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |d AS (
+        |  SELECT a_id AS src, b_id AS dst, inter FROM p
+        |  UNION ALL SELECT b_id, a_id, inter FROM p)
+        |SELECT d.src AS a_id, d.dst AS b_id, inter, c AS n_a,
+        |  CAST(inter AS DOUBLE) / c AS containment
+        |FROM d JOIN cnt ON d.src = cnt.doc_id
+        |WHERE CAST(inter AS DOUBLE) / c >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "p07_quota_sample" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${h60sql("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS rk
+         |  FROM documents)
+         |SELECT doc_id, lang FROM r
+         |WHERE rk <= CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 25
+         |  WHEN 'fr' THEN 20 WHEN 'es' THEN 25 WHEN 'zh' THEN 30
+         |  ELSE 9223372036854775807 END
+         |ORDER BY doc_id""".stripMargin,
+
+    "t10_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1])) AS b
+        |  FROM tok WHERE len(tk) >= 2),
+        |db AS (SELECT doc_id, b, split_part(b, ' ', 1) AS w1, count(*) AS m
+        |       FROM bg GROUP BY 1, 2, 3),
+        |bgc AS (SELECT b, sum(m) AS c_bg FROM db GROUP BY b),
+        |ugc AS (SELECT w1, sum(m) AS c_ug FROM db GROUP BY w1)
+        |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+        |  sum(m * ln(CAST(c_bg AS DOUBLE) / c_ug)) / CAST(sum(m) AS DOUBLE) AS avg_logp
+        |FROM db JOIN bgc USING (b) JOIN ugc USING (w1)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t11_tfidf_terms" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tok AS (SELECT doc_id, unnest(tk) AS w FROM d),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |n AS (SELECT count(*) AS n_docs FROM d),
+        |q AS (
+        |  SELECT doc_id, w, tf, df,
+        |    CAST(round(tf * ln(CAST(n_docs AS DOUBLE) / df) * 1000000) AS BIGINT) AS sq
+        |  FROM tf JOIN df USING (w) CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, w, tf, df,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY sq DESC, w ASC) AS rk
+        |  FROM q)
+        |SELECT doc_id, w AS term, tf, df, rk FROM r WHERE rk <= 5
+        |ORDER BY doc_id, rk""".stripMargin,
 
     "d06_embed_neardup" ->
       s"""WITH $quantCte

@@ -95,4 +95,60 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.collect { case j: Join => j }.isEmpty, "dedup by key needs no join")
     assert(plan.collect { case a: Aggregate => a }.nonEmpty)
   }
+
+  test("d12 containment: jaccard's join shape + the df cap, directed fan-out is projection-only") {
+    val root = q("d12_containment").queryExecution.optimizedPlan
+    // the shingle self-join plus one df semi-join per side (the DataFrame
+    // self-join duplicates the capped-shingle subtree; column pruning
+    // gives the branches different schemas, so exchange reuse cannot fold
+    // them — the duplicated work is the cheap map-side scan+kernel, never
+    // the pair volume). The two directed rows per pair must come from a
+    // generate, not a fourth join.
+    val joins = root.collect { case j: Join => j }
+    assert(joins.length == 3, s"self-join + 2 df semi-joins expected, got ${joins.length}")
+    val generates = root.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }
+    assert(generates.nonEmpty, "directed fan-out must be a Generate")
+    val physical = q("d12_containment").queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"), physical.take(800))
+  }
+
+  test("t10 LM scoring: probe joins run over pre-aggregated bigrams, never token occurrences") {
+    val root = q("t10_lm_score").queryExecution.optimizedPlan
+    val joins = root.collect { case j: Join => j }
+    assert(joins.length == 2, s"bigram + prefix probe joins only, got ${joins.length}")
+    // every join input must sit above the per-(doc,bigram) aggregate —
+    // i.e. each join subtree contains an Aggregate (the model tables and
+    // the probe side are all post-collapse)
+    joins.foreach { j =>
+      assert(j.left.collect { case a: Aggregate => a }.nonEmpty &&
+        j.right.collect { case a: Aggregate => a }.nonEmpty,
+        "join inputs must be aggregated bigram counts, not raw token rows")
+    }
+  }
+
+  test("t11 tf-idf: corpus size rides as a broadcast, ranking is per-doc only") {
+    val physical = q("t11_tfidf_terms").queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastNestedLoopJoin") || physical.contains("BroadcastHashJoin"),
+      "the 1-row corpus count must broadcast")
+    val root = q("t11_tfidf_terms").queryExecution.optimizedPlan
+    // tf is referenced twice (probe side + df aggregation), so its explode
+    // appears twice — but both collapse to per-(doc,term) counts before
+    // anything shuffles; what must NEVER appear is a third explode or a
+    // corpus-wide window (the rank window partitions by doc_id)
+    val generates = root.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }
+    assert(generates.length <= 2, s"tf + df branches only; got ${generates.length}")
+    val windows = root.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.forall(_.partitionSpec.nonEmpty), "no global (unpartitioned) window")
+  }
+
+  test("p07 quota sampling: one rank window, no joins or driver-side plans") {
+    val root = q("p07_quota_sample").queryExecution.optimizedPlan
+    assert(root.collect { case j: Join => j }.isEmpty, "quota filter must not join")
+    val windows = root.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.length == 1, s"exactly the per-stratum rank window, got ${windows.length}")
+  }
 }

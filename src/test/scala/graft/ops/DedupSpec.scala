@@ -99,6 +99,25 @@ class DedupSpec extends SparkSpec {
     assert(banded == brute, "pigeonhole makes banded == brute, no probability involved")
   }
 
+  test("containmentPairs: extended copies contained at 1.0; asymmetric by construction") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "an entirely different document about spark shuffles and joins"))
+      .toDF("doc_id", "text")
+    // doc+100 = doc's text plus a long tail → original ⊂ extension
+    val ext = base.select((col("doc_id") + 100).as("doc_id"),
+      concat(col("text"), lit(" plus twelve extra tail tokens q w e r t y u i")).as("text"))
+    val got = Dedup.containmentPairs(base.unionByName(ext), "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+    // each original is fully contained in its extension, never vice versa
+    // (the tail dilutes the reverse direction below 0.8), and the two
+    // unrelated docs never pair
+    assert(got.map(t => (t._1, t._2)) == Set((1L, 101L), (2L, 102L)), s"got $got")
+    assert(got.forall(_._3 == 1.0), s"full containment must score exactly 1.0: $got")
+  }
+
   test("minhashConfigFor: threshold-derived band layout meets the miss target") {
     def miss(t: Double, br: (Int, Int)) =
       math.pow(1 - math.pow(t, br._2), br._1)

@@ -37,4 +37,24 @@ class SamplingSpec extends SparkSpec {
         s"budget=$budget: missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
     }
   }
+
+  test("quotaSample: exact per-stratum counts, deterministic, quota-monotone") {
+    import spark.implicits._
+    val docs = (1L to 300L).map(id => (id, s"g${id % 3}")).toDF("doc_id", "g")
+    // g0/g1/g2 have 100 docs each
+    val quotas = Map("g0" -> 40L, "g1" -> 150L) // g1 quota exceeds size; g2 unlisted
+    def run(q: Map[String, Long]) =
+      Sampling.quotaSample(docs, "doc_id", "g", q)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val got = run(quotas)
+    val byG = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byG == Map("g0" -> 40, "g1" -> 100, "g2" -> 100),
+      s"exact min(quota, size) per stratum, got $byG")
+    assert(run(quotas) == got, "hash-rank selection is deterministic")
+    // smaller quota selects a strict prefix of the larger quota's picks
+    val smaller = run(Map("g0" -> 10L, "g1" -> 150L))
+    assert(smaller.filter(_._2 == "g0").subsetOf(got.filter(_._2 == "g0")),
+      "rank-based quotas are monotone: quota 10 ⊂ quota 40")
+  }
 }
