@@ -206,6 +206,41 @@ object ExtendedQueries {
         .orderBy(col("event_type"))
     }),
 
+    // streaming curation gate: the SAME library operators (quality score,
+    // lang-ID, benchmark decontamination) applied per micro-batch on an
+    // ingestion stream. Entirely map-side: the benchmark collapses to a
+    // 1-row shingle-hash array broadcast against the stream, so the gate
+    // never shuffles and never holds state — curation at ingestion speed
+    "s07_stream_curation" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      val work = java.nio.file.Files.createTempDirectory("graft_s07").toString
+      val d = t(s, dir, "documents")
+      d.filter(col("doc_id") >= 50).coalesce(4)
+        .write.mode("overwrite").parquet(s"$work/log")
+      val benchSet = broadcast(
+        Dedup.shingleHashSets(d.filter(col("doc_id") < 50), "doc_id", "text", n = 3)
+          .agg(array_distinct(flatten(collect_list(col("hs")))).as("bench_hs")))
+      val q = s.readStream.schema(d.schema).parquet(s"$work/log")
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("q"),
+          TextAnalysis.langId(col("text")).as("lang"),
+          shingle_hashes60(col("text"), 3).as("hs"))
+        .crossJoin(benchSet)
+        .withColumn("hits",
+          when(col("hs").isNull, lit(0L))
+            .otherwise(size(array_intersect(col("hs"), col("bench_hs"))).cast("long")))
+        .filter(col("q") >= 0.2 && col("hits") < 5)
+        .select("doc_id", "lang", "q", "hits")
+        .writeStream
+        .format("memory").queryName("s07_gate")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ckpt")
+        .start()
+      q.awaitTermination()
+      s.table("s07_gate").orderBy(col("doc_id"))
+    }),
+
     // the SQL surface end-to-end under the oracle gate: a pure-SQL query
     // over the REGISTERED kernels (md5_shard routing + key formatting) —
     // what a SQL-only user of the library runs

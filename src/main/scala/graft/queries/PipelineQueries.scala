@@ -214,6 +214,24 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // dynamic quality threshold: keep documents at or above the corpus
+    // P75 of the quality score — the cutoff adapts to the corpus instead
+    // of a hand-tuned constant. The exact percentile is a 1-row aggregate
+    // riding back as a broadcast; the corpus is scanned, never sorted.
+    // Inclusion can't flip on float rounding: an exact-interpolated
+    // percentile either equals a tied sample value exactly (both engines)
+    // or falls strictly between adjacent order statistics, where no
+    // sample sits
+    "p08_quality_cut" -> ((s, dir) => {
+      val scored = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      val thr = scored.agg(expr("percentile(q, 0.75D)").as("thr"))
+      scored.crossJoin(broadcast(thr))
+        .filter(col("q") >= col("thr"))
+        .select(col("doc_id"), col("q"), col("thr"))
+        .orderBy(col("doc_id"))
+    }),
+
     // corpus bigram LM scoring (CCNet-style LM quality filter): the model
     // is trained on the corpus itself, every doc scored by mean bigram
     // log-probability
@@ -523,6 +541,29 @@ object PipelineQueries {
          |  WHEN 'fr' THEN 20 WHEN 'es' THEN 25 WHEN 'zh' THEN 30
          |  ELSE 9223372036854775807 END
          |ORDER BY doc_id""".stripMargin,
+
+    "p08_quality_cut" -> {
+      val en = TextAnalysis.defaultProfiles.head._2.map(w => s"'$w'").mkString(", ")
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      w -> w IN ($en))) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id,
+         |    least(1.0, greatest(0.0,
+         |      0.4 * (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 1.0 ELSE 0.0 END)
+         |      + 0.3 * (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END)
+         |      + 0.3 * (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END))) AS q
+         |  FROM f),
+         |t AS (SELECT quantile_cont(q, 0.75) AS thr FROM q)
+         |SELECT doc_id, q, thr FROM q CROSS JOIN t
+         |WHERE q >= thr ORDER BY doc_id""".stripMargin
+    },
 
     "t10_lm_score" ->
       """WITH tok AS (
