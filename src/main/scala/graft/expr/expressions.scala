@@ -513,6 +513,11 @@ object hfunctions {
   def topk_by(score: Column, id: Column, k: Int): Column =
     expr2col(TopKByScore(col2expr(score), col2expr(id), k).toAggregateExpression())
 
+  /** bounded (id, n) collection with an exact group count: the memory-safe
+    * aggregate behind df-capped pair generation ([[CollectCapped]]) */
+  def collect_capped(id: Column, n: Column, limit: Int): Column =
+    expr2col(CollectCapped(col2expr(id), col2expr(n), limit).toAggregateExpression())
+
   def hbase_to_int(c: Column): Column = hbase_decode(c, "int")
   def hbase_to_long(c: Column): Column = hbase_decode(c, "long")
   def hbase_to_short(c: Column): Column = hbase_decode(c, "short")

@@ -78,7 +78,14 @@ object Dedup {
     * back for it (at pair-row volume that join is a whole extra shuffle).
     * Optionally drop shingles with document frequency above `maxDf` (skew
     * guard for the self-join); `n_sh` stays the FULL set size either way
-    * (the true Jaccard denominator). */
+    * (the true Jaccard denominator).
+    *
+    * The capped path is a single scan: one groupBy(h) with the bounded
+    * [[graft.expr.CollectCapped]] collector (exact df count, ≤ cap+1
+    * stored members), then re-explode of the surviving groups — NOT a
+    * df-table semi-join, which would evaluate the shingle explode twice
+    * (the round-4 d09 regression). Requires a bigint id column (all
+    * pipeline ids are); non-long ids fall back to the semi-join shape. */
   def shingleExplode(docs: DataFrame, idCol: String, textCol: String,
                      n: Int = 3, maxDf: Option[Int] = None): DataFrame = {
     val sh = shingleHashSets(docs, idCol, textCol, n)
@@ -86,10 +93,66 @@ object Dedup {
         explode(col("hs")).as("h"))
     maxDf match {
       case None => sh
+      case Some(cap) if idIsLong(docs, idCol) =>
+        cappedGroups(sh, cap)
+          .select(col("h"), explode(col("ds")).as("d"))
+          .select(col("d.id").as("doc_id"), col("d.n").as("n_sh"), col("h"))
       case Some(cap) =>
         val freq = sh.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= cap)
         sh.join(freq.select("h"), Seq("h"), "left_semi")
     }
+  }
+
+  private def idIsLong(docs: DataFrame, idCol: String): Boolean =
+    docs.schema(idCol).dataType == org.apache.spark.sql.types.LongType
+
+  /** groupBy(h) with the bounded collector, keeping only groups at or
+    * under the df cap: (h, ds: array<struct<id, n>> sorted by id). One
+    * shuffle, memory bounded at cap+1 members per key no matter how
+    * boilerplate-hot the shingle is. */
+  private def cappedGroups(sh: DataFrame, cap: Int): DataFrame =
+    sh.groupBy(col("h"))
+      .agg(graft.expr.hfunctions.collect_capped(col("doc_id"), col("n_sh"), cap + 1).as("g"))
+      .filter(col("g.df") <= cap)
+      .select(col("h"), col("g.docs").as("ds"))
+
+  /** Pair intersection counts (a_id, b_id, a_n, b_n, inter) over the
+    * df-capped shingles, in ONE documents scan: group shingle rows by
+    * hash, drop over-cap groups, emit every ordered in-group pair as a
+    * pure projection (the `ds` array is id-sorted, so nested
+    * slice-transforms yield a_id < b_id directly), then one pair
+    * aggregation. Two shuffles total (h-group + pair agg) — the
+    * self-join formulation re-executes the scan per side AND per df
+    * probe, 4 scans for the same answer. */
+  private def cappedPairCounts(docs: DataFrame, idCol: String, textCol: String,
+                               n: Int, cap: Int): DataFrame = {
+    val sh = shingleHashSets(docs, idCol, textCol, n)
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
+        explode(col("hs")).as("h"))
+    cappedGroups(sh, cap)
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))), y =>
+          struct(x.getField("id").as("a_id"), x.getField("n").as("a_n"),
+            y.getField("id").as("b_id"), y.getField("n").as("b_n")))))).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+        col("p.a_n").as("a_n"), col("p.b_n").as("b_n"))
+      .groupBy("a_id", "b_id", "a_n", "b_n").agg(count(lit(1)).as("inter"))
+  }
+
+  /** Shared pair-count source: single-scan capped path when a df cap is
+    * set (and the id is bigint), classic shingle-hash self-join otherwise
+    * — the exact all-pairs baseline. */
+  private def pairCounts(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int, maxDf: Option[Int]): DataFrame = maxDf match {
+    case Some(cap) if idIsLong(docs, idCol) =>
+      cappedPairCounts(docs, idCol, textCol, n, cap)
+    case _ =>
+      val sh = shingleExplode(docs, idCol, textCol, n, maxDf)
+      val a = sh.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"), col("h"))
+      val b = sh.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"), col("h"))
+      a.join(b, Seq("h"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id", "a_n", "b_n").agg(count(lit(1)).as("inter"))
   }
 
   /** Exact dedup groups: fingerprint → (keeper = min id, group size). */
@@ -106,12 +169,7 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxDf: Option[Int] = None): DataFrame = {
-    val sh = shingleExplode(docs, idCol, textCol, n, maxDf)
-    val a = sh.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"), col("h"))
-    val b = sh.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"), col("h"))
-    a.join(b, Seq("h"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id", "a_n", "b_n").agg(count(lit(1)).as("inter"))
+    pairCounts(docs, idCol, textCol, n, maxDf)
       .withColumn("uni", col("a_n") + col("b_n") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
@@ -210,21 +268,26 @@ object Dedup {
     * long one (the union is dominated by the long side), containment is
     * exactly that quote/boilerplate-inclusion detector.
     *
-    * Same two-shuffle plan as [[jaccardPairs]] (shingle-hash self-join +
-    * pair aggregation, set sizes riding through the explode); each
+    * Same two-shuffle plan as [[jaccardPairs]] (shingle-hash pair counts,
+    * set sizes riding through the explode); each
     * unordered pair then fans out to its two directed candidates in a
     * pure projection — no third shuffle — and only directions meeting the
     * threshold survive. Both directions pass only for near-equal sets.
-    * Output: (a_id, b_id, inter, n_a, containment) with n_a = |A|. */
+    * Output: (a_id, b_id, inter, n_a, containment) with n_a = |A|.
+    *
+    * Recall bias under `maxDf`: `inter` counts only shingles at or under
+    * the df cap, while `n_a` stays the FULL set size — so a document
+    * whose shingles are mostly corpus-wide boilerplate (df > cap) can
+    * never reach the threshold, even though boilerplate inclusion is one
+    * of this operator's use cases. That is a deliberate trade: the cap is
+    * what keeps the pair volume from going Θ(n²) on exactly those
+    * shingles. To FIND shared boilerplate rather than guard against it,
+    * raise `maxDf` (bounded candidate volume ≈ df²·#shingles) or run
+    * uncapped on a pre-filtered slice. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, threshold: Double = 0.8,
                        maxDf: Option[Int] = None): DataFrame = {
-    val sh = shingleExplode(docs, idCol, textCol, n, maxDf)
-    val a = sh.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"), col("h"))
-    val b = sh.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"), col("h"))
-    val pairs = a.join(b, Seq("h"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id", "a_n", "b_n").agg(count(lit(1)).as("inter"))
+    val pairs = pairCounts(docs, idCol, textCol, n, maxDf)
     pairs.select(explode(array(
         struct(col("a_id").as("src"), col("b_id").as("dst"),
           col("inter"), col("a_n").as("n_src")),

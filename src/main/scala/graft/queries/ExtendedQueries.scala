@@ -17,6 +17,20 @@ object ExtendedQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** Scratch dir for stream logs / checkpoints / index builds, removed by
+    * a JVM shutdown hook — repeated Verify/Bench invocations must not
+    * leak disk. */
+  private[queries] def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
   private def dec(c: Column): Column = c.cast("decimal(18,6)")
   private def dbl(c: Column): Column = c.cast("double")
 
@@ -125,7 +139,7 @@ object ExtendedQueries {
     // ---- streaming (T3/T4/T7: windowed agg with watermark) ----
 
     "s02_stream_window" -> ((s, dir) => {
-      val work = java.nio.file.Files.createTempDirectory("graft_s02").toString
+      val work = scratchDir("graft_s02")
       t(s, dir, "events").coalesce(4).write.mode("overwrite").parquet(s"$work/log")
       graft.streaming.StatefulScope.withStatePartitions(s, 4) {
         val src = s.readStream
@@ -153,7 +167,7 @@ object ExtendedQueries {
     // stream-static join: streaming events against the static customer
     // dim (broadcast — the stream never shuffles), then a batch rollup
     "s03_stream_static_join" -> ((s, dir) => {
-      val work = java.nio.file.Files.createTempDirectory("graft_s03").toString
+      val work = scratchDir("graft_s03")
       t(s, dir, "events").coalesce(4).write.mode("overwrite").parquet(s"$work/log")
       val dim = broadcast(t(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment")))
@@ -180,7 +194,7 @@ object ExtendedQueries {
     // event_id and evicts it past the horizon, so state is O(horizon),
     // not O(history) — the aggregate must equal the single-delivery one
     "s06_stream_dedup" -> ((s, dir) => {
-      val work = java.nio.file.Files.createTempDirectory("graft_s06").toString
+      val work = scratchDir("graft_s06")
       val ev = t(s, dir, "events")
       ev.coalesce(4).write.mode("overwrite").parquet(s"$work/log")
       ev.coalesce(4).write.mode("append").parquet(s"$work/log")
@@ -213,7 +227,7 @@ object ExtendedQueries {
     // never shuffles and never holds state — curation at ingestion speed
     "s07_stream_curation" -> ((s, dir) => {
       import graft.ops.TextAnalysis
-      val work = java.nio.file.Files.createTempDirectory("graft_s07").toString
+      val work = scratchDir("graft_s07")
       val d = t(s, dir, "documents")
       d.filter(col("doc_id") >= 50).coalesce(4)
         .write.mode("overwrite").parquet(s"$work/log")
@@ -305,7 +319,7 @@ object ExtendedQueries {
     // so it shares a03's oracle
     "a04_ann_ivf_index" -> ((s, dir) => {
       val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
-      val work = java.nio.file.Files.createTempDirectory("graft_a04").toString
+      val work = scratchDir("graft_a04")
       Similarity.buildIvfIndex(corpus, work, nCentroids = 8)
       Similarity.ivfIndexTopK(s, work, corpus.filter(col("vec_id") < 5), k = 5, nProbe = 2)
         .orderBy(col("q_id"), col("rk"))
@@ -375,7 +389,7 @@ object ExtendedQueries {
     // by the same user within the preceding hour, through watermarked
     // two-sided streaming state
     "s05_stream_stream_join" -> ((s, dir) => {
-      val work = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+      val work = scratchDir("graft_ssj")
       val ev = eventsSec(s, dir)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id").as("l_event"), col("ts_s").as("l_ts"))
@@ -418,7 +432,7 @@ object ExtendedQueries {
           graft.conf.ValueSource.Value, "string")))
       val ops = graft.core.IndexerCore.rowPath(conf)(
         graft.core.Fixtures.customerCells(s, dir))
-      val out = java.nio.file.Files.createTempDirectory("graft_x19").toString + "/shards"
+      val out = scratchDir("graft_x19") + "/shards"
       graft.batch.BatchPipeline.buildShards(ops.select("kind", "id", "doc"), 8, out)
       graft.batch.BatchPipeline.readShards(s, out)
         .groupBy(col("shard").cast("long").as("shard"))
@@ -684,6 +698,57 @@ object ExtendedQueries {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // the stream gate is a deterministic per-doc map (quality + lang-ID +
+    // broadcast decontamination probe), so its batch equivalent composes
+    // the t02 quality formula, the t03 lang argmax, and the p03
+    // contamination-hit count over the doc_id >= 50 slice
+    "s07_stream_curation" -> {
+      val en = graft.ops.TextAnalysis.defaultProfiles.head._2
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 50),
+         |bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      w -> w IN ($en))) AS BIGINT) AS n_stop
+         |  FROM corpus),
+         |qual AS (
+         |  SELECT doc_id, least(1.0, greatest(0.0,
+         |    0.4 * (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 1.0 ELSE 0.0 END)
+         |    + 0.3 * (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END)
+         |    + 0.3 * (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END))) AS q
+         |  FROM f),
+         |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM corpus),
+         |sc AS (
+         |  SELECT doc_id,
+         |    ${PipelineQueries.langHitsSql}
+         |  FROM t),
+         |lang AS (SELECT doc_id, ${PipelineQueries.langPredSql} AS lang FROM sc),
+         |csh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+         |  FROM t WHERE len(tk) >= 3),
+         |btok AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS tk FROM bench),
+         |bsh AS (
+         |  SELECT DISTINCT unnest(list_distinct(list_transform(
+         |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+         |  FROM btok WHERE len(tk) >= 3),
+         |h AS (
+         |  SELECT doc_id, count(*) AS hits FROM csh
+         |  WHERE s IN (SELECT s FROM bsh) GROUP BY doc_id)
+         |SELECT c.doc_id, lang.lang, qual.q, coalesce(h.hits, 0) AS hits
+         |FROM corpus c
+         |JOIN qual ON c.doc_id = qual.doc_id
+         |JOIN lang ON c.doc_id = lang.doc_id
+         |LEFT JOIN h ON c.doc_id = h.doc_id
+         |WHERE qual.q >= 0.2 AND coalesce(h.hits, 0) < 5
+         |ORDER BY c.doc_id""".stripMargin
+    },
 
     "x25_sql_surface" ->
       """WITH k AS (SELECT CAST(c_custkey AS VARCHAR) AS id FROM customer)

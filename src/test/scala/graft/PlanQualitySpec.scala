@@ -96,22 +96,34 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.collect { case a: Aggregate => a }.nonEmpty)
   }
 
-  test("d12 containment: jaccard's join shape + the df cap, directed fan-out is projection-only") {
+  test("d12 containment: df-capped pairs are join-free, directed fan-out is projection-only") {
     val root = q("d12_containment").queryExecution.optimizedPlan
-    // the shingle self-join plus one df semi-join per side (the DataFrame
-    // self-join duplicates the capped-shingle subtree; column pruning
-    // gives the branches different schemas, so exchange reuse cannot fold
-    // them — the duplicated work is the cheap map-side scan+kernel, never
-    // the pair volume). The two directed rows per pair must come from a
-    // generate, not a fourth join.
+    // the capped path is group-pairs: ONE h-group aggregate (bounded
+    // collector) + in-group pair generation + the pair aggregate — no
+    // self-join, no df semi-joins, and exactly one scan of the corpus
     val joins = root.collect { case j: Join => j }
-    assert(joins.length == 3, s"self-join + 2 df semi-joins expected, got ${joins.length}")
+    assert(joins.isEmpty, s"capped pair counting must be join-free, got ${joins.length} joins")
     val generates = root.collect {
       case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }
-    assert(generates.nonEmpty, "directed fan-out must be a Generate")
+    assert(generates.nonEmpty, "pair + directed fan-out must be Generates")
     val physical = q("d12_containment").queryExecution.executedPlan.toString
     assert(!physical.contains("CartesianProduct"), physical.take(800))
+    // the query INPUT is a 2-branch union (docs ∪ extended copies), so 2
+    // scans; the round-4 shape re-ran the whole union per join side (4+)
+    assert(scanCount(physical) == 2, s"one scan per union branch expected:\n${physical.take(800)}")
   }
+
+  test("d09 jaccard maxDf: single corpus scan, no joins (round-4 double-scan regression pin)") {
+    val root = q("d09_jaccard_maxdf").queryExecution.optimizedPlan
+    assert(root.collect { case j: Join => j }.isEmpty, "df cap must not add joins")
+    val aggs = root.collect { case a: Aggregate => a }
+    assert(aggs.length == 2, s"h-group + pair aggregate only, got ${aggs.length}")
+    val physical = q("d09_jaccard_maxdf").queryExecution.executedPlan.toString
+    assert(scanCount(physical) == 1, s"one corpus scan expected:\n${physical.take(800)}")
+  }
+
+  private def scanCount(physicalPlan: String): Int =
+    "Scan parquet".r.findAllIn(physicalPlan).length
 
   test("t10 LM scoring: probe joins run over pre-aggregated bigrams, never token occurrences") {
     val root = q("t10_lm_score").queryExecution.optimizedPlan
