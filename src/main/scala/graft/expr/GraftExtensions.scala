@@ -94,6 +94,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => PackedFirstEq(es(0), es(1), intLit(es(2), "packed_first_eq"))),
     ("topk_by", mkInfo("topk_by", "bounded-heap top-k (score, id) aggregate"),
       (es: Seq[Expression]) => TopKByScore(es(0), es(1), intLit(es(2), "topk_by"))),
+    ("topk_by_str", mkInfo("topk_by_str",
+      "string-keyed bounded-heap top-k aggregate with long payload columns"),
+      (es: Seq[Expression]) => TopKByScoreStr(es(0), es(1), es.drop(2).dropRight(1),
+        intLit(es.last, "topk_by_str"))),
     ("format_key", mkInfo("format_key", "reference string unique-key formatter (hyphen escaping)"),
       (es: Seq[Expression]) => formatKeyExpr(es)),
     ("unformat_key", mkInfo("unformat_key", "split a formatted unique key into components"),

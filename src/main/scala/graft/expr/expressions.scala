@@ -513,6 +513,14 @@ object hfunctions {
   def topk_by(score: Column, id: Column, k: Int): Column =
     expr2col(TopKByScore(col2expr(score), col2expr(id), k).toAggregateExpression())
 
+  /** string-keyed bounded-heap top-k aggregate: array<struct<id,vals,rk>>
+    * of the k best (long score desc, string key asc) entries per group
+    * with `payload` long columns riding along — the no-join-back variant
+    * for rankings whose key is a string that must surface in the output */
+  def topk_by_str(score: Column, key: Column, payload: Seq[Column], k: Int): Column =
+    expr2col(TopKByScoreStr(col2expr(score), col2expr(key),
+      payload.map(col2expr), k).toAggregateExpression())
+
   /** bounded (id, n) collection with an exact group count: the memory-safe
     * aggregate behind df-capped pair generation ([[CollectCapped]]) */
   def collect_capped(id: Column, n: Column, limit: Int): Column =

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level statistical scoring: operators whose per-document output
@@ -89,11 +88,15 @@ object CorpusStats {
     *
     * Plan shape: explode → per-(doc, term) count (1 shuffle; map-side
     * collapse bounds Zipf skew) → df aggregation over it (1 shuffle) →
-    * probe join on the term → per-doc top-k window. N rides in as a
-    * broadcast 1-row cross join, never a driver collect. The final
-    * window partitions by doc_id (millions of small groups — no skew);
-    * swapping it for the bounded-heap `topk_by` aggregate (t09's shape)
-    * drops the per-group sort if k·groups ever dominates. */
+    * probe join on the term → per-doc top-k via the string-keyed
+    * bounded-heap aggregate ([[graft.expr.TopKByScoreStr]]): partial
+    * heaps collapse map-side, so the final exchange carries ≤ docs×k
+    * entries and no per-group sort ever runs — the `row_number` window
+    * this replaces shuffled and sorted the FULL (doc, term) score table.
+    * The heap key is the term itself (tie-break `score desc, term asc`,
+    * identical to the window's ordering) and (tf, df) ride as payload,
+    * so no hash indirection and no join-back. N rides in as a broadcast
+    * 1-row cross join, never a driver collect. */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 5): DataFrame = {
     val nonEmpty = docs.filter(length(trim(col(textCol))) > 0)
@@ -103,14 +106,18 @@ object CorpusStats {
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val n = nonEmpty.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(df, Seq("w"))
+    tf.join(df, Seq("w"))
       .crossJoin(broadcast(n))
       .withColumn("score_q",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")) * 1e6)
           .cast("long"))
-    val w = Window.partitionBy("doc_id").orderBy(col("score_q").desc, col("w"))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("doc_id"), col("w").as("term"), col("tf"), col("df"), col("rk"))
+      .groupBy("doc_id")
+      .agg(graft.expr.hfunctions.topk_by_str(
+        col("score_q"), col("w"), Seq(col("tf"), col("df")), k).as("top"))
+      .select(col("doc_id"), explode(col("top")).as("t"))
+      .select(col("doc_id"), col("t.id").as("term"),
+        element_at(col("t.vals"), 1).as("tf"),
+        element_at(col("t.vals"), 2).as("df"),
+        col("t.rk").as("rk"))
   }
 }

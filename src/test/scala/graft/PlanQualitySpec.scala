@@ -139,21 +139,23 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
-  test("t11 tf-idf: corpus size rides as a broadcast, ranking is per-doc only") {
+  test("t11 tf-idf: corpus size rides as a broadcast, top-k is a partial aggregate, no window") {
     val physical = q("t11_tfidf_terms").queryExecution.executedPlan.toString
     assert(physical.contains("BroadcastNestedLoopJoin") || physical.contains("BroadcastHashJoin"),
       "the 1-row corpus count must broadcast")
+    // round-6 pin: the per-doc ranking is the string-keyed bounded-heap
+    // aggregate (map-side partials, shuffle ≤ docs×k), NEVER a row_number
+    // window (shuffle+sort of the full (doc, term) score table)
+    assert(physical.contains("partial_topk_by_str"), "map-side partial top-k expected")
+    assert(!physical.contains("Window"), "no window over the scored set")
     val root = q("t11_tfidf_terms").queryExecution.optimizedPlan
     // tf is referenced twice (probe side + df aggregation), so its explode
     // appears twice — but both collapse to per-(doc,term) counts before
-    // anything shuffles; what must NEVER appear is a third explode or a
-    // corpus-wide window (the rank window partitions by doc_id)
+    // anything shuffles; the third Generate is the top-k array explode
+    // (≤ docs×k rows), never a token-level one
     val generates = root.collect {
       case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }
-    assert(generates.length <= 2, s"tf + df branches only; got ${generates.length}")
-    val windows = root.collect {
-      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
-    assert(windows.forall(_.partitionSpec.nonEmpty), "no global (unpartitioned) window")
+    assert(generates.length <= 3, s"tf + df + heap-drain explodes only; got ${generates.length}")
   }
 
   test("p07 quota sampling: one rank window, no joins or driver-side plans") {
