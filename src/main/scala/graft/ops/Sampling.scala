@@ -30,13 +30,16 @@ object Sampling {
     * under its stratum's rate (per-mille). Strata absent from `rates`
     * fall back to `defaultPerMille`. The canonical "down-sample the
     * dominant language/domain" step — one projection + filter, no
-    * shuffle, reproducible on any engine. */
+    * shuffle, reproducible on any engine. The rate lookup is a single
+    * map-literal `element_at`, not a `when()` chain, so the Catalyst
+    * tree stays flat however many strata the map names. */
   def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
                        rates: Map[String, Int],
                        defaultPerMille: Int = 1000): DataFrame = {
-    val rate = rates.foldLeft(lit(defaultPerMille)) { case (acc, (s, r)) =>
-      when(col(stratumCol) === s, lit(r)).otherwise(acc)
-    }
+    val rate =
+      if (rates.isEmpty) lit(defaultPerMille)
+      else coalesce(
+        element_at(typedLit(rates), col(stratumCol)), lit(defaultPerMille))
     docs.filter(hashBucket(col(idCol), 1000) < rate)
   }
 
@@ -49,24 +52,75 @@ object Sampling {
     * budget, not a rate. Strata absent from `quotas` fall back to
     * `defaultQuota` (default: keep all).
     *
-    * Scale shape: one shuffle — the per-stratum rank window. Each stratum
-    * sorts within its own partition, so a stratum too large to sort in
-    * one task is the skew hazard; the mitigation is composition, not a
-    * new operator: pre-thin the giant stratum with [[stratifiedSample]]
-    * (rate ≈ a few × quota/size, still deterministic) and quota-exact the
-    * survivors — the same two-phase move as [[Sampling.tokenBudget]]'s
-    * boundary tier. */
+    * Scale shape — no per-stratum sort ever runs, so a giant stratum
+    * (the SCALE.md skew hazard: one stratum = one sort task) cannot
+    * exist. The rank hash is range-bucketed into `tiers` tiers (tier =
+    * top bits of the hash, so tier order == hash order and the buckets
+    * are uniform):
+    *
+    *  1. a per-(stratum, tier) histogram — map-side-collapsing count,
+    *     ≤ strata×tiers rows, never collected to the driver;
+    *  2. quotas broadcast-join the histogram (a (stratum, quota) frame,
+    *     not a `when()` chain — Catalyst depth stays O(1) for thousands
+    *     of strata), and a prefix-sum window over the TINY histogram
+    *     (≤ `tiers` rows per stratum) finds each stratum's boundary
+    *     tier: the first tier the quota lands inside, plus how many of
+    *     its rows still fit — ONE row per stratum, broadcast back;
+    *  3. docs rank within (stratum, tier) groups — each sort task sees
+    *     ≤ 1/tiers of a stratum — and keep: any tier below the
+    *     boundary, the boundary tier up to the remainder, nothing
+    *     above.
+    *
+    * Selection is exactly the per-stratum (hash, id)-rank prefix: tier
+    * is the hash's high bits, so (tier, hash, id) ordering == (hash, id)
+    * ordering. Internal columns are uniquified against the input schema
+    * (no silent clobbering). */
   def quotaSample(docs: DataFrame, idCol: String, stratumCol: String,
                   quotas: Map[String, Long],
-                  defaultQuota: Long = Long.MaxValue): DataFrame = {
-    val quota = quotas.foldLeft(lit(defaultQuota)) { case (acc, (s, q)) =>
-      when(col(stratumCol) === s, lit(q)).otherwise(acc)
+                  defaultQuota: Long = Long.MaxValue,
+                  tiers: Int = 1024): DataFrame = {
+    require(tiers > 0 && (tiers & (tiers - 1)) == 0,
+      s"tiers must be a power of two, got $tiers")
+    val shift = 60 - java.lang.Integer.numberOfTrailingZeros(tiers)
+    def fresh(base: String): String = {
+      var n = base
+      while (docs.columns.contains(n)) n += "_"
+      n
     }
-    val w = Window.partitionBy(col(stratumCol))
-      .orderBy(Dedup.hash60(col(idCol).cast("string")), col(idCol))
-    docs.withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") <= quota)
-      .drop("_rk")
+    val hC = fresh("_q_hash"); val tC = fresh("_q_tier")
+    val nC = fresh("_q_n"); val qC = fresh("_q_quota")
+    val bC = fresh("_q_below"); val btC = fresh("_q_btier")
+    val remC = fresh("_q_rem"); val rkC = fresh("_q_rk")
+
+    val tiered = docs
+      .withColumn(hC, Dedup.hash60(col(idCol).cast("string")))
+      .withColumn(tC, shiftright(col(hC), shift))
+
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val quotaDf = quotas.toSeq.toDF(stratumCol, qC)
+
+    val wCum = Window.partitionBy(col(stratumCol)).orderBy(col(tC))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = tiered.groupBy(col(stratumCol), col(tC))
+      .agg(count(lit(1)).as(nC))
+      .join(broadcast(quotaDf), Seq(stratumCol), "left")
+      .withColumn(qC, coalesce(col(qC), lit(defaultQuota)))
+      .withColumn(bC, coalesce(sum(col(nC)).over(wCum), lit(0L)))
+    // the unique per-stratum crossing tier: quota not yet exhausted
+    // before it (below ≤ quota) but exhausted inside it (quota − below
+    // < count). Strata whose total fits the quota have no row → keep all.
+    val boundary = hist
+      .filter(col(bC) <= col(qC) && col(qC) - col(bC) < col(nC))
+      .select(col(stratumCol), col(tC).as(btC), (col(qC) - col(bC)).as(remC))
+
+    val wRk = Window.partitionBy(col(stratumCol), col(tC))
+      .orderBy(col(hC), col(idCol))
+    tiered.withColumn(rkC, row_number().over(wRk))
+      .join(broadcast(boundary), Seq(stratumCol), "left")
+      .filter(col(btC).isNull || col(tC) < col(btC) ||
+        (col(tC) === col(btC) && col(rkC) <= col(remC)))
+      .select(docs.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Token-budget selection: keep the greedy prefix of documents ordered

@@ -158,11 +158,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(generates.length <= 3, s"tf + df + heap-drain explodes only; got ${generates.length}")
   }
 
-  test("p07 quota sampling: one rank window, no joins or driver-side plans") {
+  test("p07 quota sampling: rank window is tier-partitioned, quota/boundary ride as broadcasts") {
+    // round-6 pin: the corpus-side row_number window partitions by
+    // (stratum, tier) — a giant stratum can never become one sort task;
+    // the only stratum-partitioned window runs over the per-(stratum,
+    // tier) histogram (≤ strata×tiers rows). Quotas and the per-stratum
+    // boundary join in as broadcasts, never a when()-chain or sort-merge.
     val root = q("p07_quota_sample").queryExecution.optimizedPlan
-    assert(root.collect { case j: Join => j }.isEmpty, "quota filter must not join")
     val windows = root.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
-    assert(windows.length == 1, s"exactly the per-stratum rank window, got ${windows.length}")
+    val rankWs = windows.filter(_.windowExpressions.exists(_.toString.contains("row_number")))
+    assert(rankWs.nonEmpty && rankWs.forall(_.partitionSpec.length == 2),
+      s"corpus rank window must partition by (stratum, tier): ${rankWs.map(_.partitionSpec)}")
+    val physical = q("p07_quota_sample").queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"), "quota + boundary joins must broadcast")
+    assert(!physical.contains("SortMergeJoin"), physical.take(800))
   }
 }

@@ -57,4 +57,44 @@ class SamplingSpec extends SparkSpec {
     assert(smaller.filter(_._2 == "g0").subsetOf(got.filter(_._2 == "g0")),
       "rank-based quotas are monotone: quota 10 ⊂ quota 40")
   }
+
+  test("quotaSample giant stratum: tier-bucketed selection == brute-force hash-rank prefix") {
+    import spark.implicits._
+    // one stratum dominates (5000 of 5300 rows) — the skew shape the tier
+    // bucketing exists for; quotas land inside tiers, exactly on a
+    // stratum size, at 0, and unlisted (keep-all) in one run
+    val docs = ((1L to 5000L).map(id => (id, "giant")) ++
+        (100001L to 100200L).map(id => (id, "mid")) ++
+        (200001L to 200100L).map(id => (id, "tiny")))
+      .toDF("doc_id", "g")
+    val quotas = Map("giant" -> 137L, "mid" -> 200L, "tiny" -> 0L)
+
+    val ref = docs
+      .withColumn("_h", Dedup.hash60(col("doc_id").cast("string")))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("_h"), col("doc_id"))))
+      .filter(col("_r") <= coalesce(
+        element_at(typedLit(quotas), col("g")), lit(Long.MaxValue)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // small tier count forces multi-row tiers and a mid-tier boundary
+    for (tiers <- Seq(8, 1024)) {
+      val got = Sampling.quotaSample(docs, "doc_id", "g", quotas, tiers = tiers)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == ref,
+        s"tiers=$tiers: missing=${(ref -- got).take(5)} extra=${(got -- ref).take(5)}")
+    }
+  }
+
+  test("quotaSample does not clobber or require user columns named like its internals") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(id => (id, s"g${id % 2}", s"keep-$id"))
+      .toDF("doc_id", "g", "_q_rk") // collides with an internal name
+    val out = Sampling.quotaSample(docs, "doc_id", "g", Map("g0" -> 5L))
+    assert(out.columns.toSeq == Seq("doc_id", "g", "_q_rk"))
+    val kept = out.collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(kept.forall { case (id, v) => v == s"keep-$id" },
+      "user column named like an internal must pass through untouched")
+    assert(out.filter(col("g") === "g0").count() == 5)
+  }
 }
