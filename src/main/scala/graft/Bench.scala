@@ -33,11 +33,17 @@ object Bench {
     }
 
     // Stateful streaming drains carry ~1-2s of state-store open/commit +
-    // JIT machinery noise per run; a single sample can't distinguish that
-    // from a real regression, so these report the median of 3 runs.
-    val medianOf3 = Set(
+    // JIT machinery noise per run; these ALWAYS report the median of 3.
+    val alwaysMedian = Set(
       "s01_stream_state", "s03_stream_static_join",
       "s05_stream_stream_join", "x08_lookup_join")
+    // Every other query gets median-of-3 adaptively: if its first timed
+    // run exceeds this threshold, two more runs decide the median — a
+    // single sample on a loaded machine produced phantom 3-5x
+    // "regressions" (rounds 4-5) that cost whole review cycles. Queries
+    // whose first run is trivially fast keep the single sample (noise
+    // there can't be mistaken for a scale problem).
+    val medianThresholdSec = 0.5
 
     // optional comma-separated subset for local iteration, e.g.
     // SPARK_GRAFT_ONLY=d09_jaccard_maxdf,d12_containment
@@ -54,16 +60,20 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = names.map { name =>
-      val reps = if (medianOf3(name)) 3 else 1
-      val runs = (1 to reps).map(_ => timed(name))
+      val first = timed(name)
+      val runs =
+        if (first._2.isDefined) Seq(first)
+        else if (alwaysMedian(name) || first._1 >= medianThresholdSec)
+          Seq(first, timed(name), timed(name))
+        else Seq(first)
       runs.flatMap(_._2).headOption.foreach(errors.put(name, _))
       // a failed query must be distinguishable from a fast one: -1 marker
       val secs =
         if (runs.exists(_._2.isDefined)) -1.0
         else {
           val ts = runs.map(_._1).sorted
-          if (reps > 1) spreads.put(name, r3(ts.last - ts.head))
-          ts(ts.length / 2) // median (== the value itself for reps=1)
+          if (runs.length > 1) spreads.put(name, r3(ts.last - ts.head))
+          ts(ts.length / 2) // median (== the value itself for one rep)
         }
       name -> (if (secs < 0) secs else r3(secs))
     }
