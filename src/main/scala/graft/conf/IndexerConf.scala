@@ -47,10 +47,17 @@ object KeyFormat {
   case object StringFormat extends KeyFormat
   /** lowercase hex of the raw bytes. */
   case object HexFormat extends KeyFormat
+  /** Any other name is a [[graft.mapping.KeyFormatter]] class, loaded
+    * reflectively like the reference's `loadClass(name,
+    * UniqueKeyFormatter.class)` (DefaultIndexerComponentFactory.java:
+    * 100-104); loading here means a typo fails at conf-parse time. */
+  final case class CustomFormat(className: String) extends KeyFormat
   def parse(s: String): KeyFormat = s.toLowerCase match {
     case "string" | "stringuniquekeyformatter" => StringFormat
     case "hex" | "hexuniquekeyformatter"       => HexFormat
-    case other => throw new IllegalArgumentException(s"unique-key-formatter: $other")
+    case _ =>
+      graft.mapping.KeyFormatter.load(s) // fail fast; instance discarded
+      CustomFormat(s)
   }
 }
 
@@ -201,7 +208,11 @@ object IndexerConf {
     conf.rowField.foreach(root.setAttribute("row-field", _))
     conf.columnFamilyField.foreach(root.setAttribute("column-family-field", _))
     conf.tableNameField.foreach(root.setAttribute("table-name-field", _))
-    if (conf.keyFormat != KeyFormat.StringFormat) root.setAttribute("unique-key-formatter", "hex")
+    conf.keyFormat match {
+      case KeyFormat.StringFormat => // default, omitted
+      case KeyFormat.HexFormat => root.setAttribute("unique-key-formatter", "hex")
+      case KeyFormat.CustomFormat(cls) => root.setAttribute("unique-key-formatter", cls)
+    }
     conf.mapperClass.foreach(root.setAttribute("mapper", _))
     conf.fields.foreach { f =>
       val e = doc.createElement("field")

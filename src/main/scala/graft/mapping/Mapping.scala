@@ -178,35 +178,58 @@ object Mapping {
 
   // ---- unique-key formatting per conf (P12-P15) ----
 
+  /** Custom-formatter row id as a UDF (same plug-in trade-off as
+    * [[extractMapped]]: user classes can't run inside a compiled
+    * expression). The class loads at plan-compile time — an unknown
+    * name fails fast, and executors deserialize the loaded instance. */
+  private def customRowKey(className: String)(rowKey: Column): Column = {
+    val fmt = KeyFormatter.load(className)
+    val fn = udf((r: Array[Byte]) => fmt.formatRow(r))
+    fn(rowKey.cast("binary"))
+  }
+
+  private def customCellKey(className: String)(rowKey: Column, family: Column, qualifier: Column): Column = {
+    val fmt = KeyFormatter.load(className)
+    val fn = udf((r: Array[Byte], f: Array[Byte], q: Array[Byte]) =>
+      fmt.formatKeyValue(r, f, q))
+    fn(rowKey.cast("binary"), family.cast("binary"), qualifier.cast("binary"))
+  }
+
   /** Row-path document id. A single component is NOT escaped (reference
     * BaseUniqueKeyFormatter.formatRow just encodes); only multi-component
     * ids escape hyphens before joining. Multi-table (regex) indexers
-    * prepend the table (reference UniqueTableKeyFormatter.java:24-61). */
+    * prepend the table (reference UniqueTableKeyFormatter.java:24-61; for
+    * non-string formatters the table name joins the formatted key with
+    * '-', the hex treatment). */
   def formatRowKey(conf: IndexerConf)(rowKey: Column, table: Column): Column = {
     val base = conf.keyFormat match {
-      case KeyFormat.StringFormat => rowKey
-      case KeyFormat.HexFormat    => format_key_hex(rowKey.cast("binary"))
+      case KeyFormat.StringFormat      => rowKey
+      case KeyFormat.HexFormat         => format_key_hex(rowKey.cast("binary"))
+      case KeyFormat.CustomFormat(cls) => customRowKey(cls)(rowKey)
     }
     if (!conf.tableIsRegex) base
     else conf.keyFormat match {
       case KeyFormat.StringFormat => format_key(table, rowKey)
-      case KeyFormat.HexFormat    => concat_ws("-", table, base)
+      case _                      => concat_ws("-", table, base)
     }
   }
 
   /** Column-path id: row-family-qualifier (reference
-    * BaseUniqueKeyFormatter.formatKeyValue). */
+    * BaseUniqueKeyFormatter.formatKeyValue); a custom formatter owns the
+    * whole cell id (its formatKeyValue), built-ins compose per part. */
   def formatCellKey(conf: IndexerConf)(rowKey: Column, family: Column, qualifier: Column, table: Column): Column = {
     val comps = conf.keyFormat match {
       case KeyFormat.StringFormat => Seq(rowKey, family, qualifier)
       case KeyFormat.HexFormat =>
         Seq(format_key_hex(rowKey.cast("binary")), format_key_hex(family.cast("binary")),
           format_key_hex(qualifier.cast("binary")))
+      case KeyFormat.CustomFormat(cls) =>
+        Seq(customCellKey(cls)(rowKey, family, qualifier))
     }
     val parts = if (conf.tableIsRegex) table +: comps else comps
     conf.keyFormat match {
       case KeyFormat.StringFormat => format_key(parts: _*)
-      case KeyFormat.HexFormat    => concat_ws("-", parts: _*)
+      case _                      => concat_ws("-", parts: _*)
     }
   }
 }

@@ -183,6 +183,17 @@ object IndexerQueries {
         .orderBy(col("id"))
     }),
 
+    // P12 plug-in: custom unique-key-formatter loaded by class name
+    // (reference IndexerIT.java:605 testCustomKeyFormatter) — ids come
+    // from the user class, the rest of the mapping is untouched
+    "x26_custom_formatter" -> ((s, dir) => {
+      val conf = customerConf.copy(
+        keyFormat = KeyFormat.parse("graft.mapping.PrefixedHexKeyFormatter"))
+      IndexerCore.rowPath(conf)(Fixtures.customerCells(s, dir))
+        .select(col("id"), docField("name_s").as("name_s"))
+        .orderBy(col("id"))
+    }),
+
     // P10 positional outputFields: prefix match in qualifier order,
     // positions become separate fields
     "x16_positional" -> ((s, dir) => {
@@ -262,6 +273,11 @@ object IndexerQueries {
 
     "x13_hex_formatter" ->
       """SELECT lower(hex(CAST(CAST(c_custkey AS VARCHAR) AS BLOB))) AS id, c_name AS name_s
+        |FROM customer ORDER BY id""".stripMargin,
+
+    "x26_custom_formatter" ->
+      """SELECT 'k' || upper(hex(CAST(CAST(c_custkey AS VARCHAR) AS BLOB))) AS id,
+        |  c_name AS name_s
         |FROM customer ORDER BY id""".stripMargin,
 
     "x14_one_row_reindex" ->

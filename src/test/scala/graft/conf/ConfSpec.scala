@@ -64,9 +64,26 @@ class ConfSpec extends AnyFunSuite {
     assert(c.params == Map("morphlineVariable.cf" -> "info"))
   }
 
+  test("custom key-formatter class loads at parse time; junk names fail fast (IndexerIT.java:605)") {
+    val c = IndexerConf.fromXml(
+      """<indexer table="t" unique-key-formatter="graft.mapping.PrefixedHexKeyFormatter"/>""")
+    assert(c.keyFormat == KeyFormat.CustomFormat("graft.mapping.PrefixedHexKeyFormatter"))
+    // loadClass semantics: a class that doesn't exist — or isn't a
+    // KeyFormatter — is a conf-parse error, never a runtime one
+    intercept[IllegalArgumentException] {
+      IndexerConf.fromXml("""<indexer table="t" unique-key-formatter="no.such.Formatter"/>""")
+    }
+    intercept[IllegalArgumentException] {
+      IndexerConf.fromXml(
+        """<indexer table="t" unique-key-formatter="graft.mapping.SplitHashMapper"/>""")
+    }
+  }
+
   test("toXml round-trips: fromXml(toXml(conf)) == conf (XmlIndexerConfWriterTest parity)") {
     val confs = Seq(
       IndexerConf(table = "t"),
+      IndexerConf(table = "t",
+        keyFormat = KeyFormat.CustomFormat("graft.mapping.PrefixedHexKeyFormatter")),
       IndexerConf(table = "t.*", tableIsRegex = true,
         mappingType = MappingType.Column, rowReadMode = RowReadMode.Never,
         uniqueKeyField = "docid", rowField = Some("row_s"),

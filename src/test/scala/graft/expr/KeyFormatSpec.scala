@@ -47,4 +47,28 @@ class KeyFormatSpec extends SparkSpec {
       .withColumn("back", unformat_key_hex(col("id")).cast("string"))
     assert(df.filter(col("back") =!= col("r")).isEmpty)
   }
+
+  test("custom key-formatter plug-in drives row AND cell ids end-to-end (IndexerIT testCustomKeyFormatter)") {
+    import graft.conf.{IndexerConf, KeyFormat}
+    import graft.mapping.{Mapping, PrefixedHexKeyFormatter}
+    import spark.implicits._
+    val conf = IndexerConf(table = "t",
+      keyFormat = KeyFormat.parse("graft.mapping.PrefixedHexKeyFormatter"))
+    val df = Seq(("row1", "fam", "qual"), ("r-2", "f", "q\u00e9"))
+      .toDF("r", "f", "q")
+      .withColumn("rowId", Mapping.formatRowKey(conf)(col("r"), lit("t")))
+      .withColumn("cellId",
+        Mapping.formatCellKey(conf)(col("r"), col("f"), col("q"), lit("t")))
+    val got = df.select("rowId", "cellId").as[(String, String)].collect().toSeq
+    val fmt = new PrefixedHexKeyFormatter
+    def b(s: String) = s.getBytes("UTF-8")
+    val expected = Seq(("row1", "fam", "qual"), ("r-2", "f", "q\u00e9")).map {
+      case (r, f, q) => (fmt.formatRow(b(r)), fmt.formatKeyValue(b(r), b(f), b(q)))
+    }
+    assert(got == expected)
+    // unformat inverts formatRow exactly, bytes included
+    expected.foreach { case (rowId, _) =>
+      assert(fmt.formatRow(fmt.unformatRow(rowId)) == rowId)
+    }
+  }
 }
