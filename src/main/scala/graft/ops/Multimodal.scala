@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
   * engine as opaque `binary` columns with a typed metadata struct; decode /
   * feature-extraction runs as an imperative per-partition stage.
   *
-  * The actual codec is STUBBED (this container has no image/audio libs) —
-  * [[StubDecoder]] is a deterministic fake, clearly marked; the Spark-side
-  * contract (schema, batching, partitioning) is real and tested:
+  * Decoding: [[ImageIODecoder]] is a REAL image decoder built on the
+  * JDK's own `javax.imageio` (PNG/JPEG/GIF/BMP — no external libs
+  * needed); audio/video and exotic codecs stay behind [[StubDecoder]],
+  * the clearly-marked deterministic fake for environments without codec
+  * libraries. The Spark-side contract (schema, batching, partitioning)
+  * is real and tested either way:
   *  - payloads stay `BinaryType` end-to-end (never stringified);
   *  - decode happens in `mapPartitions`, one decoder instance per
   *    partition (the expensive init amortizes across the partition — the
@@ -48,14 +51,41 @@ object Multimodal {
     def decode(mime: String, payload: Array[Byte]): (Int, Int) // (width, height)
   }
 
-  /** STUB: a real decoder is not available in this environment (no
-    * image/audio libraries). Deterministic fake dimensions derived from
-    * the payload so tests are stable. */
+  /** STUB for modalities without a decoder in this environment (audio/
+    * video; also the m-query fixtures, whose payloads are text bytes, not
+    * images). Deterministic fake dimensions derived from the payload so
+    * tests are stable. Real image payloads go through [[ImageIODecoder]]. */
   object StubDecoder extends MediaDecoder {
     override def decode(mime: String, payload: Array[Byte]): (Int, Int) = {
-      // real implementation would be e.g. ImageIO.read(...): ???
       val n = payload.length
       (n % 640, n % 480)
+    }
+  }
+
+  /** REAL image decode via the JDK's built-in `javax.imageio` (part of
+    * Java SE — present wherever the engine runs): true (width, height)
+    * for PNG/JPEG/GIF/BMP payloads. Only the HEADER is read — dimensions
+    * come from `ImageReader.getWidth/getHeight(0)`, the pixel raster is
+    * never materialized (at media scale this pass decodes sizes, not
+    * pixels). Undecodable / non-image payloads yield (-1, -1) instead of
+    * failing the row — the engine's decode-failure-drops-value
+    * convention ([[graft.mapping.ValueMapper.safeMap]]). */
+  object ImageIODecoder extends MediaDecoder {
+    override def decode(mime: String, payload: Array[Byte]): (Int, Int) = {
+      import javax.imageio.ImageIO
+      try {
+        val iis = ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) (-1, -1)
+          else {
+            val r = readers.next()
+            try { r.setInput(iis); (r.getWidth(0), r.getHeight(0)) }
+            finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: Exception => (-1, -1) }
     }
   }
 

@@ -1,0 +1,73 @@
+package graft.ops
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The image decode seam with a REAL codec: ImageIODecoder must recover
+  * true dimensions from genuine PNG/JPEG/GIF bytes (encoded in-test with
+  * the same JDK ImageIO), degrade to (-1,-1) on junk instead of failing
+  * the row, and run distributed through extractFeatures' per-partition
+  * decoder plumbing. */
+class MultimodalSpec extends SparkSpec {
+
+  private def encode(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)))
+    val out = new ByteArrayOutputStream()
+    require(ImageIO.write(img, format, out), s"JDK can't encode $format")
+    out.toByteArray
+  }
+
+  test("ImageIODecoder reads true dimensions from real PNG/JPEG/GIF headers") {
+    assert(Multimodal.ImageIODecoder.decode("image/png", encode(3, 2, "png")) == (3, 2))
+    assert(Multimodal.ImageIODecoder.decode("image/jpeg", encode(7, 5, "jpg")) == (7, 5))
+    assert(Multimodal.ImageIODecoder.decode("image/gif", encode(11, 4, "gif")) == (11, 4))
+    // PNG magic: 8 header bytes — the decoder must read dimensions from
+    // the header without needing a full raster decode of a large image
+    val big = encode(640, 480, "png")
+    assert(Multimodal.ImageIODecoder.decode("image/png", big) == (640, 480))
+  }
+
+  test("undecodable payloads degrade to (-1,-1), never throw (drop-value convention)") {
+    assert(Multimodal.ImageIODecoder.decode("image/png", Array[Byte](1, 2, 3)) == (-1, -1))
+    assert(Multimodal.ImageIODecoder.decode("text/plain",
+      "not an image".getBytes("UTF-8")) == (-1, -1))
+    assert(Multimodal.ImageIODecoder.decode("image/png", Array.empty[Byte]) == (-1, -1))
+    // a PNG magic prefix with a truncated/corrupt body must not throw
+    val corrupt = encode(3, 2, "png").take(12)
+    val (w, _) = Multimodal.ImageIODecoder.decode("image/png", corrupt)
+    assert(w == -1 || w == 3) // header may or may not survive truncation
+  }
+
+  test("extractFeatures runs the real decoder per-partition over binary payloads") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "image/png", encode(3, 2, "png")),
+      (2L, "image/jpeg", encode(7, 5, "jpg")),
+      (3L, "text/plain", "junk".getBytes("UTF-8")))
+    val media = rows.toDF("doc_id", "mime", "payload").repartition(2)
+    val got = Multimodal.extractFeatures(media, Multimodal.ImageIODecoder)
+      .select("doc_id", "width", "height")
+      .as[(Long, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 3, 2), (2L, 7, 5), (3L, -1, -1)))
+  }
+
+  test("chunk/sample frame shapes agree with a brute-force reference") {
+    import spark.implicits._
+    val payload = (0 until 100).map(_.toByte).toArray
+    val media = Seq((9L, "application/octet-stream", payload))
+      .toDF("doc_id", "mime", "payload")
+    val all = Multimodal.chunkFrames(media, frameBytes = 32).collect()
+    assert(all.map(_.frame_idx).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(all.map(_.frame_len).sum == 100)
+    val sampled = Multimodal.sampleFrames(media, frameBytes = 32, stride = 2).collect()
+    assert(sampled.map(_.frame_idx).sorted.toSeq == Seq(1L, 3L),
+      "stride-2 keeps frames 1 and 3 only")
+  }
+}
