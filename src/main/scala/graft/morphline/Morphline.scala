@@ -52,6 +52,15 @@ object Morphline {
     * (Kite's record-drop analogue at field granularity). */
   case class ConvertTimestamp(field: String, inputFormats: Seq[String],
                               outputFormat: String) extends Command
+  /** Kite `findReplace`: rewrite EVERY value of a multi-valued field in
+    * place — literal substring replacement by default, regex when
+    * `isRegex`; all occurrences are replaced. A missing field stays
+    * missing. */
+  case class FindReplace(field: String, pattern: String, replacement: String,
+                         isRegex: Boolean) extends Command
+  /** Kite `removeFields` (blacklist form): drop the named fields from
+    * every record — the complement of sanitize's whitelist. */
+  case class RemoveFields(blacklist: Seq[String]) extends Command
 
   /** Parse a JSON command chain:
     * {{{
@@ -103,6 +112,14 @@ object Morphline {
             inputFormats = (body \ "inputFormats").extract[Seq[String]],
             outputFormat = (body \ "outputFormat").extractOpt[String]
               .getOrElse("unixTimeInMillis"))
+        case JObject(List(("findReplace", body))) =>
+          FindReplace(
+            field = (body \ "field").extract[String],
+            pattern = (body \ "pattern").extract[String],
+            replacement = (body \ "replacement").extract[String],
+            isRegex = (body \ "isRegex").extractOpt[Boolean].getOrElse(false))
+        case JObject(List(("removeFields", body))) =>
+          RemoveFields((body \ "blacklist").extract[Seq[String]])
         case other =>
           throw new IllegalArgumentException(s"unknown morphline command: $other")
       }
@@ -203,6 +220,15 @@ object Morphline {
         }
         putField(doc, field, when(rendered.isNotNull, array(rendered)))
       }
+      case (d, FindReplace(f, pat, rep, isRegex)) => let(d) { doc =>
+        val vs = try_element_at(doc, lit(f))
+        val rewrite: Column => Column =
+          if (isRegex) v => regexp_replace(v, pat, rep)
+          else v => replace(v, lit(pat), lit(rep)) // literal, codegen'd
+        putField(doc, f, when(vs.isNotNull, transform(vs, rewrite)))
+      }
+      case (d, RemoveFields(black)) =>
+        map_filter(d, (k, _) => !k.isInCollection(black.map(lit(_))))
       case (d, _) => d
     }
   }

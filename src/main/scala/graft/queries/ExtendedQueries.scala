@@ -494,6 +494,31 @@ object ExtendedQueries {
         .orderBy(col("id"))
     }),
 
+    // morphline breadth: findReplace (literal + regex, every value of a
+    // multi-valued field) and removeFields (blacklist — sanitize's
+    // complement), chained after extract in one compiled expression
+    "x27_morphline_replace" -> ((s, dir) => {
+      val chain =
+        """{"commands": [
+          |  {"extractHBaseCells": {"mappings": [
+          |    {"inputColumn": "info:name", "outputField": "name_s"},
+          |    {"inputColumn": "info:mktsegment", "outputField": "seg_s"}]}},
+          |  {"findReplace": {"field": "name_s",
+          |     "pattern": "Customer#", "replacement": "cust-"}},
+          |  {"findReplace": {"field": "name_s", "isRegex": true,
+          |     "pattern": "^cust-0+", "replacement": "cust-"}},
+          |  {"removeFields": {"blacklist": ["seg_s"]}}
+          |]}""".stripMargin
+      val doc = graft.morphline.Morphline(chain)(col("cells"))
+      graft.core.Fixtures.customerCells(s, dir)
+        .select(col("rowKey").as("id"), doc.as("doc"))
+        .select(col("id"),
+          element_at(col("doc")("name_s"), 1).as("name_s"),
+          // removed field: must be null on EVERY row (pins removeFields)
+          try_element_at(try_element_at(col("doc"), lit("seg_s")), lit(1)).as("seg_gone"))
+        .orderBy(col("id"))
+    }),
+
     // P17: custom-mapper plug-in (reflective load + configure + typed
     // flatMap), replacing the declarative mapping stage
     "x20_custom_mapper" -> ((s, dir) => {
@@ -991,6 +1016,13 @@ object ExtendedQueries {
         |  string_split(c_name, '#')[1] AS p1,
         |  string_split(c_name, '#')[2] AS p2,
         |  CAST(NULL AS VARCHAR) AS seg_p
+        |FROM customer ORDER BY id""".stripMargin,
+
+    "x27_morphline_replace" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS id,
+        |  regexp_replace(replace(c_name, 'Customer#', 'cust-'),
+        |    '^cust-0+', 'cust-') AS name_s,
+        |  CAST(NULL AS VARCHAR) AS seg_gone
         |FROM customer ORDER BY id""".stripMargin,
 
     "x24_morphline_grok" ->

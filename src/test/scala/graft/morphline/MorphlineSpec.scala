@@ -146,6 +146,32 @@ class MorphlineSpec extends SparkSpec {
     assert(dotDoc.get("px").map(_.toList).contains(List("a", "b")), dotDoc)
   }
 
+  test("findReplace rewrites every value (literal and regex); removeFields drops by blacklist") {
+    import spark.implicits._
+    val cells = Seq(("r1", "a.b,c.d")).toDF("rowKey", "v")
+      .select(col("rowKey"), array(struct(
+        lit("info").as("family"), lit("x").as("qualifier"),
+        lit(0L).as("ts"), lit("put").as("cellType"), col("v").as("value"))).as("cells"))
+    val chain =
+      """{"commands": [
+        |  {"extractHBaseCells": {"mappings": [
+        |    {"inputColumn": "info:x", "outputField": "x", "type": "string"}]}},
+        |  {"split": {"inputField": "x", "outputField": "parts", "separator": ","}},
+        |  {"findReplace": {"field": "parts", "pattern": ".", "replacement": "_"}},
+        |  {"findReplace": {"field": "parts", "isRegex": true,
+        |     "pattern": "^[a-z]", "replacement": "Z"}},
+        |  {"findReplace": {"field": "absent", "pattern": "a", "replacement": "b"}},
+        |  {"removeFields": {"blacklist": ["x"]}}
+        |]}""".stripMargin
+    val doc = cells.select(Morphline(chain)(col("cells")).as("doc"))
+      .collect().head.getMap[String, scala.collection.Seq[String]](0)
+    // literal '.' is NOT a regex (a_b, c_d); regex pass then hits the
+    // first letter of EACH value — multi-valued rewrite, not just head
+    assert(doc.get("parts").map(_.toList).contains(List("Z_b", "Z_d")), doc)
+    assert(!doc.contains("x"), "removeFields must drop the blacklisted field")
+    assert(!doc.contains("absent"), "findReplace on a missing field must not create it")
+  }
+
   test("forced fields pass through sanitizeUnknownSolrFields like any record field") {
     val sanitized =
       """{"commands": [
