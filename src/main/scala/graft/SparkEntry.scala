@@ -284,7 +284,7 @@ object SparkEntry {
     // S1/T1-T6: the full streaming path — file-backed mutation log →
     // Structured Streaming → IndexerCore → idempotent parquet index state
     "s01_stream_state" -> ((s, dir) => {
-      val work = java.nio.file.Files.createTempDirectory("graft_stream").toString
+      val work = graft.queries.ExtendedQueries.scratchDir("graft_stream")
       val logDir = s"$work/log"
       Fixtures.eventMutations(s, dir).write.mode("overwrite").parquet(logDir)
       val state = graft.streaming.MutationStream.runToCompletion(

@@ -275,26 +275,49 @@ object Dedup {
     * threshold survive. Both directions pass only for near-equal sets.
     * Output: (a_id, b_id, inter, n_a, containment) with n_a = |A|.
     *
-    * Recall bias under `maxDf`: `inter` counts only shingles at or under
-    * the df cap, while `n_a` stays the FULL set size — so a document
-    * whose shingles are mostly corpus-wide boilerplate (df > cap) can
-    * never reach the threshold, even though boilerplate inclusion is one
-    * of this operator's use cases. That is a deliberate trade: the cap is
-    * what keeps the pair volume from going Θ(n²) on exactly those
-    * shingles. To FIND shared boilerplate rather than guard against it,
-    * raise `maxDf` (bounded candidate volume ≈ df²·#shingles) or run
-    * uncapped on a pre-filtered slice. */
+    * Recall bias under `maxDf`: by default `inter` counts only shingles
+    * at or under the df cap, while `n_a` stays the FULL set size — so a
+    * document whose shingles are mostly corpus-wide boilerplate
+    * (df > cap) can never reach the threshold, even though boilerplate
+    * inclusion is one of this operator's use cases. That is a deliberate
+    * trade: the cap is what keeps the pair volume from going Θ(n²) on
+    * exactly those shingles. To FIND shared boilerplate rather than
+    * guard against it, pass `capAdjusted = true`: `n_a` then counts only
+    * the POST-cap (surviving) shingles, so the ratio is consistent with
+    * what `inter` can see and boilerplate-heavy documents pair on their
+    * distinctive remainder — still without the Θ(n²) hazard. (Raising
+    * `maxDf` or running uncapped on a pre-filtered slice remain the
+    * exact-recall options.)
+    *
+    * Plan cost of `capAdjusted`: the post-cap sizes are a second
+    * aggregation over the SAME capped-group shuffle — Catalyst's
+    * ReuseExchange serves both branches from one scan + one shuffle
+    * write — plus one join of the (small) directed-pair set against the
+    * per-doc size table. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, threshold: Double = 0.8,
-                       maxDf: Option[Int] = None): DataFrame = {
+                       maxDf: Option[Int] = None,
+                       capAdjusted: Boolean = false): DataFrame = {
+    require(!capAdjusted || maxDf.isDefined,
+      "capAdjusted rescales the denominator to post-cap shingles; it needs maxDf")
     val pairs = pairCounts(docs, idCol, textCol, n, maxDf)
-    pairs.select(explode(array(
+    val directed = pairs.select(explode(array(
         struct(col("a_id").as("src"), col("b_id").as("dst"),
           col("inter"), col("a_n").as("n_src")),
         struct(col("b_id").as("src"), col("a_id").as("dst"),
           col("inter"), col("b_n").as("n_src")))).as("d"))
       .select(col("d.src").as("a_id"), col("d.dst").as("b_id"),
         col("d.inter").as("inter"), col("d.n_src").as("n_a"))
+    val sized =
+      if (!capAdjusted) directed
+      else {
+        val nPost = shingleExplode(docs, idCol, textCol, n, maxDf)
+          .groupBy(col("doc_id").as("a_id"))
+          .agg(count(lit(1)).as("n_post"))
+        directed.drop("n_a").join(nPost, Seq("a_id"))
+          .withColumnRenamed("n_post", "n_a")
+      }
+    sized
       .withColumn("containment", col("inter").cast("double") / col("n_a"))
       .filter(col("containment") >= threshold)
       .select("a_id", "b_id", "inter", "n_a", "containment")

@@ -21,7 +21,7 @@ object ExtendedQueries {
   /** Scratch dir for stream logs / checkpoints / index builds, removed by
     * a JVM shutdown hook — repeated Verify/Bench invocations must not
     * leak disk. */
-  private[queries] def scratchDir(prefix: String): String = {
+  private[graft] def scratchDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {

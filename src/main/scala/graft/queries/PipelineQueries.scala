@@ -204,6 +204,21 @@ object PipelineQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // boilerplate-recall containment: same extended-copy corpus as d12 but
+    // capAdjusted — n_a counts only post-cap (surviving) shingles, so the
+    // ratio stays consistent with what inter can see and documents
+    // dominated by df-capped boilerplate pair on their distinctive
+    // remainder (the use case the d12 cap suppresses, found without the
+    // Θ(n²) hazard of raising the cap)
+    "d13_containment_boiler" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val extended = d.select((col("doc_id") + 300000).as("doc_id"),
+        concat(col("text"), lit(" xx yy zz qq ww ee rr tt")).as("text"))
+      Dedup.containmentPairs(d.unionByName(extended), "doc_id", "text",
+          n = 3, threshold = 0.8, maxDf = Some(100), capAdjusted = true)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // exact-count quota sampling: rebalance the corpus to a hard
     // per-language budget (counts, not rates — p05's binomial twin)
     "p07_quota_sample" -> ((s, dir) => {
@@ -517,6 +532,34 @@ object PipelineQueries {
         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
         |dfq AS (SELECT s, count(*) AS d FROM sh GROUP BY s),
         |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfq ON sh.s = dfq.s WHERE dfq.d <= 100),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |d AS (
+        |  SELECT a_id AS src, b_id AS dst, inter FROM p
+        |  UNION ALL SELECT b_id, a_id, inter FROM p)
+        |SELECT d.src AS a_id, d.dst AS b_id, inter, c AS n_a,
+        |  CAST(inter AS DOUBLE) / c AS containment
+        |FROM d JOIN cnt ON d.src = cnt.doc_id
+        |WHERE CAST(inter AS DOUBLE) / c >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // identical to d12 except cnt counts POST-cap shingles (from shf, not
+    // sh) — the capAdjusted denominator
+    "d13_containment_boiler" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000, text || ' xx yy zz qq ww ee rr tt' FROM documents),
+        |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM base),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |  FROM tok WHERE len(tk) >= 3),
+        |dfq AS (SELECT s, count(*) AS d FROM sh GROUP BY s),
+        |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfq ON sh.s = dfq.s WHERE dfq.d <= 100),
+        |cnt AS (SELECT doc_id, count(*) AS c FROM shf GROUP BY doc_id),
         |p AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
         |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id

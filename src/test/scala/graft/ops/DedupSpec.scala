@@ -118,6 +118,30 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(_._3 == 1.0), s"full containment must score exactly 1.0: $got")
   }
 
+  test("containmentPairs capAdjusted: boilerplate-heavy near-copies pair on the distinctive remainder") {
+    import spark.implicits._
+    // every doc ends in the same 8-token boilerplate (shingle df = 10 > cap);
+    // docs 1 and 2 share a 6-token distinctive head, docs 3..10 are unique
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val dup = "shared distinct phrase tokens one two"
+    val corpus = (Seq((1L, s"$dup $boiler"), (2L, s"$dup $boiler")) ++
+      (3 to 10).map(i => (i.toLong, s"u$i f$i w$i o$i x$i y$i $boiler")))
+      .toDF("doc_id", "text")
+    // default mode: inter sees only post-cap shingles but n_a is the full
+    // set — 6/12 = 0.5 < 0.8, the duplicate pair is invisible
+    val strict = Dedup.containmentPairs(corpus, "doc_id", "text",
+      n = 3, threshold = 0.8, maxDf = Some(5))
+    assert(strict.count() == 0, "full-denominator mode suppresses boilerplate-heavy docs")
+    // capAdjusted: n_a counts survivors only — the pair scores exactly 1.0
+    // in both directions; the unrelated docs still never pair
+    val adj = Dedup.containmentPairs(corpus, "doc_id", "text",
+        n = 3, threshold = 0.8, maxDf = Some(5), capAdjusted = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4))).toSet
+    assert(adj.map(t => (t._1, t._2)) == Set((1L, 2L), (2L, 1L)), s"got $adj")
+    assert(adj.forall(_._4 == 1.0), s"post-cap denominator must equal inter here: $adj")
+    assert(adj.forall(_._3 == 6L), s"6 surviving shingles per side: $adj")
+  }
+
   test("minhashConfigFor: threshold-derived band layout meets the miss target") {
     def miss(t: Double, br: (Int, Int)) =
       math.pow(1 - math.pow(t, br._2), br._1)
