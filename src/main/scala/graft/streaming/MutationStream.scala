@@ -35,7 +35,7 @@ import scala.jdk.CollectionConverters._
   * the bucket count is the `spark.sql.shuffle.partitions`-style dial.
   */
 class IndexState(val indexDir: String, spark: SparkSession, requestedBuckets: Int = 16)
-    extends Serializable {
+    extends DocStateStore {
   import IndexState.BucketCol
   private val ptr: Path = Paths.get(indexDir, "CURRENT")
   private val lockPath: Path = Paths.get(indexDir, "LOCK")
@@ -83,6 +83,8 @@ class IndexState(val indexDir: String, spark: SparkSession, requestedBuckets: In
   def currentVersion: Option[String] =
     if (Files.exists(ptr)) Some(Files.readString(ptr).trim) else None
 
+  def liveBuckets: Set[Int] = currentManifest.keySet
+
   /** bucket → directory (relative to indexDir), from the live manifest.
     * Self-describing: readers never need the writer's bucket count. */
   def currentManifest: Map[Int, String] = currentVersion match {
@@ -128,7 +130,7 @@ class IndexState(val indexDir: String, spark: SparkSession, requestedBuckets: In
     * flip CURRENT mid-vacuum. graceMs = 0 reclaims everything stale
     * immediately — only safe when the caller knows no reader is live.
     * Returns the deleted dir names. */
-  def vacuum(graceMs: Long = 10 * 60 * 1000L): Seq[String] = withLock {
+  def vacuum(graceMs: Long): Seq[String] = withLock {
     val liveDirs = currentManifest.values.map(_.split("/", 2)(0)).toSet
     val liveManifest = currentVersion.toSet
     val cutoff = System.currentTimeMillis() - graceMs
@@ -335,9 +337,11 @@ object MutationStream {
       indexDir: String,
       checkpointDir: String,
       subscriptionTs: Long = 0L,
-      snapshot: Option[DataFrame] = None): StreamingQuery = {
+      snapshot: Option[DataFrame] = None,
+      stateFactory: (String, SparkSession) => DocStateStore =
+        new IndexState(_, _)): StreamingQuery = {
 
-    val state = new IndexState(indexDir, spark)
+    val state = stateFactory(indexDir, spark)
 
     source(spark, logDir)
       // A7: engine-native meters (reference IndexingEventListener.java:62-67)
@@ -364,7 +368,7 @@ object MutationStream {
     * id, so they cannot be bucket-localized — any present (the row path
     * never emits them) widens to a full rewrite. Returns the touched
     * bucket set. */
-  def applyBatch(spark: SparkSession, state: IndexState, ops: DataFrame,
+  def applyBatch(spark: SparkSession, state: DocStateStore, ops: DataFrame,
                  batchId: Long): Seq[Int] = {
     val cached = ops.persist()
     try {
@@ -378,7 +382,7 @@ object MutationStream {
       val idBuckets = stats.collect { case r if !r.isNullAt(0) => r.getInt(0) }.toSeq
       val hasQueryDelete = stats.exists(_.getLong(1) > 0)
       val touched =
-        if (hasQueryDelete) (idBuckets ++ state.currentManifest.keys).distinct
+        if (hasQueryDelete) (idBuckets ++ state.liveBuckets).distinct
         else idBuckets
       val prev = state.readBuckets(touched).getOrElse {
         val empty = spark.createDataFrame(
@@ -446,7 +450,7 @@ object MutationStream {
     * run; without one they fall back to `recentProgress`, which is capped
     * at spark.sql.streaming.numRecentProgressUpdates (default 100)
     * batches. */
-  def progressOf(q: StreamingQuery, state: IndexState, logDir: String,
+  def progressOf(q: StreamingQuery, state: DocStateStore, logDir: String,
                  ckptDir: String, acc: Option[ProgressAccumulator] = None): IndexerProgress = {
     val ps = q.recentProgress.toSeq
     def observed(i: Int): Long = ps.flatMap { p =>
@@ -484,11 +488,13 @@ object MutationStream {
       logDir: String,
       workDir: String,
       subscriptionTs: Long = 0L,
-      snapshot: Option[DataFrame] = None): DataFrame = {
+      snapshot: Option[DataFrame] = None,
+      stateFactory: (String, SparkSession) => DocStateStore =
+        new IndexState(_, _)): DataFrame = {
     val q = start(spark, conf, logDir, s"$workDir/index", s"$workDir/ckpt",
-      subscriptionTs, snapshot)
+      subscriptionTs, snapshot, stateFactory)
     q.awaitTermination()
-    new IndexState(s"$workDir/index", spark).read().getOrElse(
+    stateFactory(s"$workDir/index", spark).read().getOrElse(
       spark.emptyDataFrame)
   }
 }

@@ -1,0 +1,200 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** The surface [[MutationStream.applyBatch]] needs from a document state
+  * sink: bucketed reads, a copy-on-write commit of the touched buckets,
+  * and retention-windowed garbage collection. Two implementations ship:
+  *
+  *  - [[IndexState]] — manifest file + CURRENT pointer (the engine's own
+  *    layout, HBase-indexer go-live semantics);
+  *  - [[TxnLogState]] — a Delta-protocol-shaped append-only transaction
+  *    log of add/remove file actions.
+  *
+  * The DocOp algebra, bucket routing (md5_shard), and partitioned parquet
+  * data layout are IDENTICAL across implementations — swapping the store
+  * is a metadata-protocol change only, which is exactly the claim SCALE.md
+  * makes about deploying the sink on a real table format (Delta/Iceberg
+  * MERGE) at cluster scale.
+  */
+trait DocStateStore extends Serializable {
+  /** Bucket count pinned to the state (never the session). */
+  def buckets: Int
+
+  /** Opaque identifier of the live committed version, None when empty. */
+  def currentVersion: Option[String]
+
+  /** Bucket ids that currently hold any documents. */
+  def liveBuckets: Set[Int]
+
+  /** The full index state (union of all live buckets). */
+  def read(): Option[DataFrame]
+
+  /** Only the named buckets' state (absent buckets are empty). */
+  def readBuckets(ks: Seq[Int]): Option[DataFrame]
+
+  /** Commit: `updated` holds the NEW contents of exactly the `touched`
+    * buckets; untouched buckets keep their current files. Must be atomic
+    * (readers see the old or the new version, never a mix) and must fail
+    * loudly when a concurrent writer advanced the state in between. */
+  def commit(updated: DataFrame, version: String, touched: Seq[Int]): Unit
+
+  /** Reclaim data unreachable from the current version and older than
+    * `graceMs` (readers may still scan recently superseded files).
+    * Returns the deleted entry names. */
+  def vacuum(graceMs: Long = 10 * 60 * 1000L): Seq[String]
+}
+
+/** Delta-protocol-shaped state store: the commit metadata is an
+  * append-only transaction log under `_txnlog/`, one numbered entry per
+  * commit holding `add`/`remove` file actions (TSV lines — structurally
+  * Delta's JSON actions, kept dependency-free). The live snapshot is the
+  * left fold of the log; a commit is the atomic put-if-absent creation of
+  * entry N+1 (hard-link trick), so two racing writers cannot both win —
+  * the loser observes the occupied slot and aborts, which is Delta's
+  * optimistic-concurrency conflict, surfaced here as
+  * `ConcurrentModificationException` (this subsumes [[IndexState]]'s
+  * fence token; no LOCK file is needed).
+  *
+  * Data files are the same bucket-partitioned parquet directories
+  * [[IndexState]] writes; only commit/read/vacuum metadata differs.
+  * Like Delta, superseded log entries are retained (they are bytes, not
+  * data; checkpoint compaction is out of scope) and `vacuum` deletes only
+  * data directories unreferenced by the CURRENT snapshot and older than
+  * the grace window — `graceMs = 0` is safe only with no live readers or
+  * in-flight commits, same contract as [[IndexState.vacuum]].
+  */
+class TxnLogState(val stateDir: String, spark: SparkSession,
+                  requestedBuckets: Int = 16) extends DocStateStore {
+  import IndexState.BucketCol
+
+  private val logDir: Path = Paths.get(stateDir, "_txnlog")
+  Files.createDirectories(logDir)
+
+  private def entryId(p: Path): Long =
+    p.getFileName.toString.stripSuffix(".txn").toLong
+
+  private def logEntries(): Seq[Path] = {
+    val fs = Files.list(logDir)
+    try fs.iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".txn"))
+      .toSeq.sortBy(entryId)
+    finally fs.close()
+  }
+
+  /** Left fold of the log: (last entry id or -1, bucket → data dir,
+    * pinned bucket count). A `remove` only clears a bucket when it names
+    * the dir currently mapped — a re-applied retry entry removing an
+    * already-superseded dir is a no-op, same as Delta's remove-by-path. */
+  private def fold(): (Long, Map[Int, String], Option[Int]) = {
+    val entries = logEntries()
+    var live = Map.empty[Int, String]
+    var pinned: Option[Int] = None
+    entries.foreach { e =>
+      Files.readAllLines(e).asScala.filter(_.nonEmpty).foreach { line =>
+        line.split("\t", -1) match {
+          case Array("add", b, d)            => live += b.toInt -> d
+          case Array("remove", b, d)         =>
+            if (live.get(b.toInt).contains(d)) live -= b.toInt
+          case Array("meta", "buckets", n)   => pinned = Some(n.toInt)
+          case other => throw new IllegalStateException(
+            s"unparseable txn action in $e: '${other.mkString("\t")}'")
+        }
+      }
+    }
+    (entries.lastOption.map(entryId).getOrElse(-1L), live, pinned)
+  }
+
+  // The writer's view for optimistic concurrency: commits target slot
+  // lastSeen+1 and rebuild removes from `view`; both advance only on a
+  // successful commit, so a stale writer aborts at the occupied slot.
+  @volatile private var lastSeen: Long = -1L
+  @volatile private var view: Map[Int, String] = Map.empty
+
+  val buckets: Int = {
+    val (last, live, pinned) = fold()
+    lastSeen = last; view = live
+    pinned.getOrElse {
+      require(requestedBuckets > 0, s"buckets must be positive: $requestedBuckets")
+      requestedBuckets
+    }
+  }
+
+  def currentVersion: Option[String] = {
+    val last = fold()._1
+    if (last < 0) None else Some(f"$last%020d")
+  }
+
+  def liveBuckets: Set[Int] = fold()._2.keySet
+
+  private def readDirs(dirs: Seq[String]): Option[DataFrame] =
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs.map(d => s"$stateDir/$d"): _*))
+
+  def read(): Option[DataFrame] = readDirs(fold()._2.values.toSeq)
+
+  def readBuckets(ks: Seq[Int]): Option[DataFrame] = {
+    val m = fold()._2
+    readDirs(ks.flatMap(m.get))
+  }
+
+  /** Atomic put-if-absent of `content` at `target`: write a temp sibling,
+    * hard-link it into place (link creation is atomic and fails on an
+    * existing target — the POSIX reservation primitive), drop the temp. */
+  private def putIfAbsent(target: Path, content: String): Boolean = {
+    val tmp = target.resolveSibling(
+      s".${target.getFileName}.tmp-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, content)
+    try { Files.createLink(target, tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  def commit(updated: DataFrame, version: String, touched: Seq[Int]): Unit = {
+    val base = Paths.get(stateDir, version)
+    val dir = if (!Files.exists(base)) version else s"$version-r${System.nanoTime()}"
+    updated
+      .withColumn(BucketCol, graft.expr.hfunctions.md5_shard(col("id"), buckets))
+      .repartition(col(BucketCol))
+      .write.partitionBy(BucketCol).parquet(s"$stateDir/$dir")
+    val written = touched.filter(k => Files.exists(Paths.get(stateDir, dir, s"$BucketCol=$k")))
+
+    val actions =
+      (if (lastSeen < 0) Seq(s"meta\tbuckets\t$buckets") else Seq.empty) ++
+        touched.sorted.flatMap(k => view.get(k).map(d => s"remove\t$k\t$d")) ++
+        written.sorted.map(k => s"add\t$k\t$dir/$BucketCol=$k")
+    val slot = logDir.resolve(f"${lastSeen + 1}%020d.txn")
+    if (!putIfAbsent(slot, actions.mkString("\n")))
+      throw new java.util.ConcurrentModificationException(
+        s"txn slot ${slot.getFileName} already committed by another writer — " +
+          s"state $stateDir advanced under this writer; it is fenced off")
+    view = (view -- touched) ++ written.map(k => k -> s"$dir/$BucketCol=$k")
+    lastSeen += 1
+  }
+
+  def vacuum(graceMs: Long): Seq[String] = {
+    val liveDirs = fold()._2.values.map(_.split("/", 2)(0)).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    val root = Paths.get(stateDir)
+    val fs = Files.list(root)
+    val doomed =
+      try fs.iterator().asScala.filter { p =>
+        val name = p.getFileName.toString
+        name != "_txnlog" && Files.isDirectory(p) &&
+          !liveDirs.contains(name) &&
+          Files.getLastModifiedTime(p).toMillis <= cutoff
+      }.map(_.getFileName.toString).toSeq
+      finally fs.close()
+    doomed.foreach { name =>
+      val p = root.resolve(name)
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+    doomed.sorted
+  }
+}

@@ -26,7 +26,7 @@ class IndexStateSpec extends SparkSpec {
       .withColumn("queryFamily", lit(null).cast("string"))
   }
 
-  private def stateIds(st: IndexState): Set[String] =
+  private def stateIds(st: DocStateStore): Set[String] =
     st.read().map(_.select("id").collect().map(_.getString(0)).toSet).getOrElse(Set.empty)
 
   test("a batch touching k buckets rewrites exactly k bucket directories") {
@@ -183,5 +183,146 @@ class IndexStateSpec extends SparkSpec {
     else
       assert(!st.currentManifest.contains(onlyC))
     assert(stateIds(st) == Set("b", "d"))
+  }
+
+  // ---- the same DocOp algebra through the Delta-protocol-shaped adapter:
+  // applyBatch is written against DocStateStore, so swapping the metadata
+  // protocol (manifest+CURRENT → append-only txn log) must change nothing
+  // about the computed state — the SCALE.md claim, pinned here.
+
+  test("TxnLogState: identical final state to IndexState for the same batches") {
+    val d1 = Files.createTempDirectory("graft_txn").toString
+    val d2 = Files.createTempDirectory("graft_state").toString
+    val a = new TxnLogState(d1, spark, B)
+    val b = new IndexState(d2, spark, B)
+    val batches = Seq(
+      ops(("add", "a"), ("add", "b"), ("add", "c")),
+      ops(("deleteById", "a"), ("add", "d"), ("add", "b")),
+      ops(("add", "e"), ("deleteById", "c")))
+    batches.zipWithIndex.foreach { case (ba, i) =>
+      val ta = MutationStream.applyBatch(spark, a, ba, i.toLong)
+      val tb = MutationStream.applyBatch(spark, b, ba, i.toLong)
+      assert(ta.toSet == tb.toSet, s"batch $i must touch the same buckets")
+    }
+    assert(stateIds(a) == stateIds(b) && stateIds(a) == Set("b", "d", "e"))
+    assert(a.liveBuckets == b.liveBuckets)
+  }
+
+  test("TxnLogState: a one-id batch adds exactly one bucket dir; untouched buckets keep their files") {
+    val dir = Files.createTempDirectory("graft_txn").toString
+    val st = new TxnLogState(dir, spark, B)
+    val ids0 = Seq("a", "b", "c", "d", "e", "f", "g", "h")
+    MutationStream.applyBatch(spark, st, ops(ids0.map(("add", _)): _*), 0L)
+    val live0 = st.liveBuckets
+    MutationStream.applyBatch(spark, st, ops(("add", "a")), 1L)
+    val v1Buckets = Paths.get(dir, "v000000001").toFile.listFiles()
+      .filter(_.getName.startsWith(s"${IndexState.BucketCol}=")).map(_.getName).toSeq
+    assert(v1Buckets == Seq(s"${IndexState.BucketCol}=${Sharding.md5Shard("a", B)}"))
+    assert(st.liveBuckets == live0)
+    assert(stateIds(st) == ids0.toSet)
+  }
+
+  test("TxnLogState: redelivery is idempotent and never reads-while-overwriting") {
+    val dir = Files.createTempDirectory("graft_txn").toString
+    val st = new TxnLogState(dir, spark, B)
+    MutationStream.applyBatch(spark, st, ops(("add", "a"), ("add", "b")), 0L)
+    val b1 = ops(("add", "c"), ("deleteById", "a"))
+    MutationStream.applyBatch(spark, st, b1, 1L)
+    val afterFirst = stateIds(st)
+    MutationStream.applyBatch(spark, st, b1, 1L)
+    assert(stateIds(st) == afterFirst && afterFirst == Set("b", "c"))
+  }
+
+  test("TxnLogState: a racing writer loses the slot race and is fenced off (optimistic concurrency)") {
+    val dir = Files.createTempDirectory("graft_txn").toString
+    val w1 = new TxnLogState(dir, spark, B)
+    MutationStream.applyBatch(spark, w1, ops(("add", "a")), 0L)
+    val w2 = new TxnLogState(dir, spark, B)
+    MutationStream.applyBatch(spark, w2, ops(("add", "b")), 1L)
+    // w1 still believes the log ends at its own entry; its next commit
+    // targets the slot w2 already created — put-if-absent fails, commit
+    // aborts, and the state (re-read by a fresh reader) is untouched
+    intercept[java.util.ConcurrentModificationException] {
+      MutationStream.applyBatch(spark, w1, ops(("add", "c")), 2L)
+    }
+    assert(stateIds(new TxnLogState(dir, spark, B)) == Set("a", "b"))
+  }
+
+  test("TxnLogState: deleteByQuery widens to every live bucket through the trait") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_txn").toString
+    val st = new TxnLogState(dir, spark, B)
+    val ids = Seq("a", "b", "c", "d", "e", "f")
+    MutationStream.applyBatch(spark, st, ops(ids.map(("add", _)): _*), 0L)
+    val live = st.liveBuckets
+    val qdel = Seq(("deleteByQuery", null.asInstanceOf[String])).toDF("kind", "id")
+      .withColumn("doc", lit(null).cast("map<string,array<string>>"))
+      .withColumn("rowValue", lit(null).cast("string"))
+      .withColumn("familyValue", lit(null).cast("string"))
+      .withColumn("queryRow", lit("c"))
+      .withColumn("queryFamily", lit(null).cast("string"))
+    val touched = MutationStream.applyBatch(spark, st, qdel, 1L)
+    assert(live.subsetOf(touched.toSet))
+    assert(stateIds(st) == ids.toSet - "c")
+  }
+
+  test("TxnLogState: vacuum reclaims only unreachable version dirs; the log itself survives") {
+    val dir = Files.createTempDirectory("graft_txn").toString
+    val st = new TxnLogState(dir, spark, B)
+    val idB = Iterator.from(0).map("b" + _)
+      .find(i => Sharding.md5Shard(i, B) != Sharding.md5Shard("a", B)).get
+    MutationStream.applyBatch(spark, st, ops(("add", "a"), ("add", idB)), 0L)
+    MutationStream.applyBatch(spark, st, ops(("add", "a")), 1L)
+    MutationStream.applyBatch(spark, st, ops(("add", "a")), 2L)
+    val before = stateIds(st)
+    assert(st.vacuum().isEmpty, "default grace keeps recently superseded dirs")
+    val deleted = st.vacuum(graceMs = 0)
+    assert(deleted.contains("v000000001") && !deleted.contains("v000000000"), s"deleted=$deleted")
+    assert(Files.exists(Paths.get(dir, "_txnlog")))
+    assert(stateIds(st) == before && before == Set("a", idB))
+    assert(st.vacuum(graceMs = 0).isEmpty)
+  }
+
+  test("TxnLogState: the bucket count is pinned in the log's meta action, not the session") {
+    val dir = Files.createTempDirectory("graft_txn").toString
+    val st = new TxnLogState(dir, spark, B)
+    MutationStream.applyBatch(spark, st, ops(("add", "a"), ("add", "b")), 0L)
+    val reopened = new TxnLogState(dir, spark, B * 4)
+    assert(reopened.buckets == B)
+    MutationStream.applyBatch(spark, reopened, ops(("deleteById", "a")), 1L)
+    assert(stateIds(reopened) == Set("b"))
+  }
+
+  test("the full streaming drain runs unchanged through the TxnLogState factory") {
+    import spark.implicits._
+    import graft.conf.{FieldDef, IndexerConf, ValueSource}
+    val work = Files.createTempDirectory("graft_txn_stream").toString
+    val logDir = s"$work/log"
+    Seq(("k1", 1L), ("k2", 2L), ("k1", 3L))
+      .toDF("rowKey", "seq")
+      .select(lit("events").as("table"), col("rowKey"), col("seq"),
+        col("seq").as("writeTime"),
+        lit(null).cast("string").as("payload"))
+      .withColumn("cells", when(col("seq") === 3L,
+          array(struct(lit("evt").as("family"), lit("").as("qualifier"),
+            lit(0L).as("ts"), lit("delete-row").as("cellType"),
+            lit(null).cast("string").as("value"))))
+        .otherwise(array(struct(lit("evt").as("family"), lit("v").as("qualifier"),
+          lit(0L).as("ts"), lit("put").as("cellType"),
+          concat(lit("val-"), col("rowKey")).as("value")))))
+      .select("table", "rowKey", "seq", "writeTime", "cells", "payload")
+      // one log file ⇒ one micro-batch: the in-batch max_by(seq) decides
+      // k1's fate (cross-batch ordering is the log's append order, which a
+      // 3-way toDF split would scramble)
+      .coalesce(1)
+      .write.parquet(logDir)
+    val conf = IndexerConf(table = "events",
+      fields = Seq(FieldDef("v", "evt:v", ValueSource.Value, "string")))
+    val out = MutationStream.runToCompletion(spark, conf, logDir, work,
+      stateFactory = new TxnLogState(_, _))
+    assert(out.select("id").collect().map(_.getString(0)).toSet == Set("k2"))
+    // and the state on disk really is the txn-log layout, not a manifest
+    assert(Files.exists(Paths.get(s"$work/index", "_txnlog")))
+    assert(!Files.exists(Paths.get(s"$work/index", "CURRENT")))
   }
 }
