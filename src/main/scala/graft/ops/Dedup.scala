@@ -355,6 +355,44 @@ object Dedup {
       .withColumn("contaminated", (col("hits") >= minHits).cast("boolean"))
   }
 
+  /** Near-duplicate PRUNING — the end-to-end "drop the duplicates, keep
+    * the best" curation step, composing the engine's own primitives:
+    * LSH-verified Jaccard pairs ([[minhashLshPairs]]) → connected
+    * components ([[Relational.connectedComponents]], pointer-jumping
+    * min-label propagation) → ONE representative per near-dup cluster.
+    * The representative is the cluster's longest document (ties break
+    * toward the smaller id — deterministic on any engine); documents in
+    * no cluster keep themselves. Output: the KEPT documents as
+    * (doc_id, grp, cluster_size), grp = the cluster label (the
+    * component's smallest member id) or the doc's own id for singletons.
+    *
+    * Scale shape: the corpus is scanned once for pairs (the LSH path's
+    * banded self-join is the only corpus-sized shuffle); components run
+    * over the PAIR set (duplicates only — a small fraction of a real
+    * corpus); the label join back to the corpus is a broadcast-sized
+    * right side, and representative selection is a per-cluster `max_by`
+    * hash aggregate, never a window sort. */
+  def nearDupPrune(docs: DataFrame, idCol: String, textCol: String,
+                   bands: Int = 0, rowsPerBand: Int = 0, n: Int = 3,
+                   threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashLshPairs(docs, idCol, textCol, bands, rowsPerBand, n, threshold)
+    val clusters = Relational.connectedComponents(pairs.select("a_id", "b_id"))
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      length(col(textCol)).cast("long").as("_len"))
+    val labeled = base.join(
+      clusters.select(col("node").as("doc_id"), col("cluster"), col("cluster_size")),
+      Seq("doc_id"), "left")
+    val reps = labeled.filter(col("cluster").isNotNull)
+      .groupBy(col("cluster").as("grp"))
+      .agg(max_by(struct(col("doc_id"), col("cluster_size")),
+        struct(col("_len"), -col("doc_id"))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("grp"),
+        col("r.cluster_size").as("cluster_size"))
+    val singles = labeled.filter(col("cluster").isNull)
+      .select(col("doc_id"), col("doc_id").as("grp"), lit(1L).as("cluster_size"))
+    singles.unionByName(reps)
+  }
+
   /** SimHash fingerprint (bits-wide, default 32): per token (with
     * multiplicity), hash to `bits` bits; fingerprint bit j is 1 iff the
     * sum of ±1 votes over tokens is positive. One compiled pass per doc

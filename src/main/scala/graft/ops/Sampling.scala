@@ -123,6 +123,36 @@ object Sampling {
       .select(docs.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Rebalance the corpus to a TARGET stratum mixture given as integer
+    * weights (parts) — the DoReMi/data-mixture step where the mixture is
+    * the spec and the data decides how much total volume that mixture
+    * supports. Water-filling: with W = Σ weights, the largest total T
+    * such that every target stratum can fill its share is
+    * `T = min_s floor(size_s · W / w_s)` (the scarcest stratum binds);
+    * each stratum then keeps exactly `floor(w_s · T / W)` documents,
+    * chosen deterministically by id-hash rank via [[quotaSample]].
+    * Strata outside the mixture are dropped (the mixture is the whole
+    * spec). All arithmetic is exact 64-bit integer — quotas are
+    * bit-identical on any engine, no float shares.
+    *
+    * Scale shape: the census is one map-side-collapsing `groupBy.count`
+    * whose result is ≤ #strata rows (a bounded driver collect, same
+    * contract as the token-budget histogram); selection inherits
+    * [[quotaSample]]'s tier-bucketed plan — no giant-stratum sort. */
+  def rebalanceToMixture(docs: DataFrame, idCol: String, stratumCol: String,
+                         weights: Map[String, Long],
+                         tiers: Int = 1024): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be a non-empty map of positive parts")
+    val W = weights.values.sum
+    val target = docs.filter(col(stratumCol).isin(weights.keys.toSeq: _*))
+    val sizes = target.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = weights.map { case (s, w) => sizes.getOrElse(s, 0L) * W / w }.min
+    val quotas = weights.map { case (s, w) => s -> w * t / W }
+    quotaSample(target, idCol, stratumCol, quotas, defaultQuota = 0L, tiers)
+  }
+
   /** Token-budget selection: keep the greedy prefix of documents ordered
     * by (quality desc, id asc) whose cumulative token count stays within
     * `budget` — i.e. "the best docs that fit the training budget".

@@ -294,6 +294,37 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** SemDeDup-style cluster-scoped embedding dedup: k-means the corpus
+    * with the deterministic codebook ([[trainCentroids]]), then WITHIN
+    * each cluster drop every vector that has a near-duplicate (cosine ≥
+    * threshold) with a smaller id; survivors keep their cluster id.
+    * Output: the kept vectors as (vec_id, c_id).
+    *
+    * This is the semantic-dedup shape from the SemDeDup line of work:
+    * pairwise comparison is confined to clusters, so the quadratic term
+    * is Σ|cluster|² — at scale you size `nCentroids` ∝ n / (target
+    * cluster size) and the per-cluster work stays bounded while the
+    * corpus is scanned once for assignment (a shuffle keyed on c_id
+    * that AQE can split on skewed clusters). The drop rule ("a smaller
+    * id exists within cosine ≥ τ") is deterministic and engine-portable
+    * — no float accumulation order, no RNG. */
+  def semDedup(corpus: DataFrame, threshold: Double, nCentroids: Int = 8,
+               trainIters: Int = 2): DataFrame = {
+    val cents = trainCentroids(corpus, nCentroids, trainIters)
+    val assigned = nearestCentroids(corpus, cents, keep = 1)
+      .select(col("vec_id"), col("q"), col("nq"), col("c_id"))
+    val a = assigned.select(col("c_id"), col("vec_id").as("a_id"),
+      col("q").as("a_q"), col("nq").as("a_nq"))
+    val b = assigned.select(col("c_id"), col("vec_id").as("b_id"),
+      col("q").as("b_q"), col("nq").as("b_nq"))
+    val drops = a.join(b, Seq("c_id"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(cosineq(col("a_q"), col("b_q"), col("a_nq"), col("b_nq")) >= threshold)
+      .select(col("b_id").as("vec_id")).distinct()
+    assigned.join(drops, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("c_id"))
+  }
+
   /** Embedding near-duplicate pairs, brute force: all pairs with cosine ≥
     * threshold via an explicit cross join. O(n²) — kept ONLY as the
     * small-n oracle reference; the operator users reach for is the

@@ -305,6 +305,24 @@ object ExtendedQueries {
         .orderBy(col("node"))
     }),
 
+    // near-dup PRUNING: pairs → components → one representative per
+    // cluster (longest doc, ties to the smaller id) + all singletons —
+    // the "drop the duplicates, keep the best" step, end-to-end
+    "d14_neardup_prune" -> ((s, dir) => {
+      Dedup.nearDupPrune(t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", 4, 2, 3, 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // SemDeDup: k-means the embedding corpus (deterministic codebook),
+    // then within-cluster cosine near-dup drop — the quadratic term is
+    // confined to clusters, never n²
+    "a05_semdedup" -> ((s, dir) => {
+      val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
+      Similarity.semDedup(corpus, threshold = 0.4, nCentroids = 8)
+        .orderBy(col("vec_id"))
+    }),
+
     // IVF ANN: coarse-quantizer assignment + nProbe-list exact re-rank
     "a03_ann_ivf" -> ((s, dir) => {
       val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
@@ -584,7 +602,12 @@ object ExtendedQueries {
   // init, integer-cosine assignment, floor-mean update), so the codebook
   // — and therefore the probe lists — match bit-for-bit; a04 (persisted
   // index, identical parameters) shares this oracle
-  private val a03Oracle: String = {
+  /** Shared DuckDB replica of the deterministic k-means codebook + the
+    * crk-ranked centroid assignment (`assign`, with `corpus_a` = the
+    * crk=1 hard assignment) — the common prefix of every oracle that
+    * consumes [[graft.ops.Similarity.trainCentroids]] output (a03/a04
+    * IVF, a05 SemDeDup). */
+  private val kmeansAssignCtes: String = {
         def lloydIter(i: Int) =
           s"""a$i AS (
              |  SELECT vec_id, q, c_id FROM (
@@ -623,20 +646,34 @@ object ExtendedQueries {
            |      CASE WHEN n.nn = 0 OR c.c_nn = 0 THEN 0.0
            |           ELSE list_dot_product(n.q::DOUBLE[], c.c_q::DOUBLE[]) / (sqrt(n.nn) * sqrt(c.c_nn)) END AS sim
            |    FROM n CROSS JOIN c)),
-           |corpus_a AS (SELECT vec_id, q, nn, c_id FROM assign WHERE crk = 1),
-           |probes AS (SELECT vec_id AS q_id, q AS q_q, nn AS q_nn, c_id
-           |           FROM assign WHERE crk <= 2 AND vec_id < 5),
-           |scored AS (
-           |  SELECT p.q_id, a.vec_id AS n_id,
-           |    CASE WHEN a.nn = 0 OR p.q_nn = 0 THEN 0.0
-           |         ELSE list_dot_product(a.q::DOUBLE[], p.q_q::DOUBLE[]) / (sqrt(a.nn) * sqrt(p.q_nn)) END AS sim
-           |  FROM corpus_a a JOIN probes p ON a.c_id = p.c_id AND a.vec_id <> p.q_id)
-           |SELECT q_id, n_id, sim, rk FROM (
-           |  SELECT q_id, n_id, sim,
-           |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
-           |  FROM scored)
-           |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+           |corpus_a AS (SELECT vec_id, q, nn, c_id FROM assign WHERE crk = 1)""".stripMargin
   }
+
+  private val a03Oracle: String =
+    s"""$kmeansAssignCtes,
+       |probes AS (SELECT vec_id AS q_id, q AS q_q, nn AS q_nn, c_id
+       |           FROM assign WHERE crk <= 2 AND vec_id < 5),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id AS n_id,
+       |    CASE WHEN a.nn = 0 OR p.q_nn = 0 THEN 0.0
+       |         ELSE list_dot_product(a.q::DOUBLE[], p.q_q::DOUBLE[]) / (sqrt(a.nn) * sqrt(p.q_nn)) END AS sim
+       |  FROM corpus_a a JOIN probes p ON a.c_id = p.c_id AND a.vec_id <> p.q_id)
+       |SELECT q_id, n_id, sim, rk FROM (
+       |  SELECT q_id, n_id, sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
+       |  FROM scored)
+       |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+  private val a05Oracle: String =
+    s"""$kmeansAssignCtes,
+       |drops AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM corpus_a a JOIN corpus_a b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+       |  WHERE CASE WHEN a.nn = 0 OR b.nn = 0 THEN 0.0
+       |        ELSE list_dot_product(a.q::DOUBLE[], b.q::DOUBLE[]) / (sqrt(a.nn) * sqrt(b.nn)) END >= 0.4)
+       |SELECT vec_id, c_id FROM corpus_a
+       |WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+       |ORDER BY vec_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
 
@@ -829,11 +866,64 @@ object ExtendedQueries {
          |FROM lbl ORDER BY node""".stripMargin
     },
 
+    // d14 = d07's components + representative selection (longest text,
+    // ties to the smaller id) + all singleton docs keeping themselves
+    "d14_neardup_prune" -> {
+      val bandKeys = (0 until 4).map { b =>
+        s"'${b}_' || CAST(m${2 * b} AS VARCHAR) || '_' || CAST(m${2 * b + 1} AS VARCHAR)"
+      }.mkString(", ")
+      s"""WITH RECURSIVE ${PipelineQueries.shingleCte},
+         |sig AS (SELECT doc_id, ${PipelineQueries.minhashCols} FROM sh GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, unnest([$bandKeys]) AS band_key FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |p AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT p.a_id, p.b_id
+         |  FROM p JOIN cand ON p.a_id = cand.a_id AND p.b_id = cand.b_id
+         |    JOIN cnt ca ON p.a_id = ca.doc_id JOIN cnt cb ON p.b_id = cb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.5),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lbl AS (SELECT src AS node, least(src, min(dst)) AS cluster
+         |        FROM reach GROUP BY src),
+         |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM lbl GROUP BY cluster),
+         |labeled AS (
+         |  SELECT d.doc_id, l.cluster, s.cluster_size,
+         |    CAST(length(d.text) AS BIGINT) AS len
+         |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.node
+         |    LEFT JOIN sz s ON l.cluster = s.cluster),
+         |reps AS (
+         |  SELECT doc_id, cluster AS grp, cluster_size FROM (
+         |    SELECT doc_id, cluster, cluster_size,
+         |      row_number() OVER (PARTITION BY cluster ORDER BY len DESC, doc_id ASC) AS rk
+         |    FROM labeled WHERE cluster IS NOT NULL)
+         |  WHERE rk = 1),
+         |singles AS (SELECT doc_id, doc_id AS grp, CAST(1 AS BIGINT) AS cluster_size
+         |            FROM labeled WHERE cluster IS NULL)
+         |SELECT doc_id, grp, cluster_size
+         |FROM (SELECT * FROM singles UNION ALL SELECT * FROM reps)
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // a04 serves from the persisted index built with the same parameters —
     // its results (and therefore its oracle) are exactly a03's
     "a04_ann_ivf_index" -> a03Oracle,
 
     "a03_ann_ivf" -> a03Oracle,
+
+    "a05_semdedup" -> a05Oracle,
 
     "m02_media_chunks" ->
       """WITH g AS (

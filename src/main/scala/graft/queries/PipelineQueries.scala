@@ -229,6 +229,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // target-mixture rebalance: integer water-filling over (en:4, de:2,
+    // fr:1, es:1) parts — zh is outside the mixture and dropped; the
+    // scarcest stratum binds the total, every quota is exact integer math
+    "p09_mixture_rebalance" -> ((s, dir) => {
+      graft.ops.Sampling.rebalanceToMixture(
+          docs(s, dir).select(col("doc_id"), col("lang")),
+          "doc_id", "lang",
+          Map("en" -> 4L, "de" -> 2L, "fr" -> 1L, "es" -> 1L))
+        .orderBy(col("doc_id"))
+    }),
+
     // dynamic quality threshold: keep documents at or above the corpus
     // P75 of the quality score — the cutoff adapts to the corpus instead
     // of a hand-tuned constant. The exact percentile is a 1-row aggregate
@@ -584,6 +595,23 @@ object PipelineQueries {
          |  WHEN 'fr' THEN 20 WHEN 'es' THEN 25 WHEN 'zh' THEN 30
          |  ELSE 9223372036854775807 END
          |ORDER BY doc_id""".stripMargin,
+
+    // exact-integer water-filling replica: T = min_s floor(n_s*W/w_s),
+    // quota_s = floor(w_s*T/W), then the same id-hash rank prefix as p07
+    "p09_mixture_rebalance" ->
+      s"""WITH w(lang, wt) AS (VALUES ('en', 4), ('de', 2), ('fr', 1), ('es', 1)),
+         |sz AS (SELECT lang, count(*) AS n FROM documents
+         |       WHERE lang IN (SELECT lang FROM w) GROUP BY lang),
+         |t AS (SELECT min(coalesce(sz.n, 0) * 8 // w.wt) AS tt
+         |      FROM w LEFT JOIN sz USING (lang)),
+         |q AS (SELECT w.lang, w.wt * t.tt // 8 AS quota FROM w CROSS JOIN t),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${h60sql("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS rk
+         |  FROM documents WHERE lang IN (SELECT lang FROM w))
+         |SELECT doc_id, lang FROM r JOIN q USING (lang)
+         |WHERE rk <= quota ORDER BY doc_id""".stripMargin,
 
     "p08_quality_cut" -> {
       val en = TextAnalysis.defaultProfiles.head._2.map(w => s"'$w'").mkString(", ")

@@ -160,4 +160,24 @@ class DedupSpec extends SparkSpec {
     assert(bg(at09) < bg(at08) && bg(at08) < bg(at05),
       s"background collisions must fall as the threshold rises")
   }
+
+  test("nearDupPrune keeps the longest doc per cluster and every singleton") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      10L -> base,                        // cluster with 11, 12
+      11L -> (base + " extra"),           // longer → the representative
+      12L -> base,
+      20L -> "one two three four five six seven eight nine ten",
+      30L -> "completely different words entirely unrelated content here now today yes")
+      .toDF("doc_id", "text")
+    val kept = Dedup.nearDupPrune(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 11 is the longest member of cluster {10,11,12} (label = min id = 10)
+    assert(kept.contains((11L, 10L, 3L)), s"got $kept")
+    assert(!kept.exists(_._1 == 10L) && !kept.exists(_._1 == 12L),
+      s"non-representative members must be dropped: $kept")
+    assert(kept.contains((20L, 20L, 1L)) && kept.contains((30L, 30L, 1L)),
+      s"singletons keep themselves: $kept")
+  }
 }

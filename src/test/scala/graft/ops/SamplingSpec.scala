@@ -97,4 +97,26 @@ class SamplingSpec extends SparkSpec {
       "user column named like an internal must pass through untouched")
     assert(out.filter(col("g") === "g0").count() == 5)
   }
+
+  test("rebalanceToMixture: water-filled counts hit the exact integer shares") {
+    import spark.implicits._
+    // sizes: a=100, b=30, c=9; weights a:3, b:2, c:1 (W=6).
+    // T = min(100*6/3, 30*6/2, 9*6/1) = min(200, 90, 54) = 54
+    // quotas: a = 3*54/6 = 27, b = 2*54/6 = 18, c = 1*54/6 = 9 (binds)
+    val docs = ((1L to 100L).map(i => (i, "a")) ++
+      (101L to 130L).map(i => (i, "b")) ++
+      (131L to 139L).map(i => (i, "c")) ++
+      (140L to 160L).map(i => (i, "zz"))) // outside the mixture → dropped
+      .toDF("doc_id", "g")
+    val out = Sampling.rebalanceToMixture(docs, "doc_id", "g",
+      Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+    val counts = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 27L, "b" -> 18L, "c" -> 9L), counts.toString)
+
+    // an empty target stratum binds T to 0: nothing survives
+    val none = Sampling.rebalanceToMixture(docs, "doc_id", "g",
+      Map("a" -> 1L, "missing" -> 1L))
+    assert(none.count() == 0L)
+  }
 }

@@ -162,6 +162,28 @@ class SimilaritySpec extends SparkSpec {
       s"expected the srp_codes dim guard, got: $e")
   }
 
+  test("semDedup: dropped ⇔ a smaller-id near-dup shares the cluster; kept ∪ dropped = corpus") {
+    val total = corpus.count()
+    val kept = Similarity.semDedup(corpus, threshold = 0.4, nCentroids = 8)
+    val keptIds = kept.collect().map(_.getLong(0)).toSet
+    assert(keptIds.nonEmpty && keptIds.size < total,
+      s"fixture has near-dup pairs, some must drop (kept ${keptIds.size}/$total)")
+
+    // reference: exact pairs ≥ τ restricted to same-cluster membership.
+    // τ>1 semDedup drops nothing, so its output IS the cluster assignment
+    val allIds = corpus.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val clusterOf = Similarity.semDedup(corpus, threshold = 1.1, nCentroids = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusterOf.keySet == allIds, "τ>1 semDedup must keep everything")
+    val exactPairs = Similarity.cosineNearDupPairsExact(corpus, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expectedDrops = exactPairs.collect {
+      case (a, b) if clusterOf(a) == clusterOf(b) => b
+    }
+    assert(allIds -- keptIds == expectedDrops,
+      s"drop set mismatch: ${(allIds -- keptIds) -- expectedDrops} vs ${expectedDrops -- (allIds -- keptIds)}")
+  }
+
   test("plane coefficients match the md5-derived planeCoef expression") {
     val viaExpr = spark.range(1).select(
       (0 until 4).flatMap(p => (0 until 3).map(d =>
