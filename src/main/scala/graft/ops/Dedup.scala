@@ -355,6 +355,47 @@ object Dedup {
       .withColumn("contaminated", (col("hits") >= minHits).cast("boolean"))
   }
 
+  /** Paragraph-level exact dedup ACROSS the corpus (the C4 line-dedup
+    * step): split every document on `sep`, fingerprint each non-blank
+    * paragraph (lowercased, whitespace-collapsed md5 — formatting noise
+    * doesn't defeat the match), keep only the globally FIRST occurrence
+    * of each paragraph (smallest (doc_id, position)), and rebuild every
+    * document from its surviving paragraphs in original order. Output:
+    * (doc_id, n_paras, n_kept, clean_text) for every input document —
+    * n_kept = 0 and clean_text = '' when every paragraph was a repeat.
+    *
+    * Scale shape: the winner per fingerprint is a min-struct hash
+    * aggregate (map-side partials collapse repeats BEFORE the shuffle,
+    * so a boilerplate paragraph repeated 10⁹ times crosses the wire
+    * once per task, and the winning (doc_id, idx, para) rides the
+    * aggregate — no join back to recover text); the rebuild is a second
+    * hash aggregate keyed on doc_id; the final left join restores
+    * all-duplicate docs and is doc_id-keyed (uniform — AQE-friendly).
+    * No window, no sort except the per-doc in-memory `array_sort` over
+    * that doc's own surviving paragraphs. */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
+                      sep: String = "\n"): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val paras = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), sepRe)).as(Seq("idx", "para")))
+      .filter(length(trim(col("para"))) > 0)
+    val winners = paras
+      .groupBy(TextAnalysis.fingerprint(col("para")).as("fp"))
+      .agg(min(struct(col("doc_id"), col("idx"), col("para"))).as("w"))
+    val rebuilt = winners.groupBy(col("w.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("w.idx").as("idx"), col("w.para").as("para")))),
+          x => x.getField("para"))).as("clean_text"))
+    docs.select(col(idCol).as("doc_id"),
+        size(filter(split(col(textCol), sepRe),
+          p => length(trim(p)) > 0)).cast("long").as("n_paras"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Near-duplicate PRUNING — the end-to-end "drop the duplicates, keep
     * the best" curation step, composing the engine's own primitives:
     * LSH-verified Jaccard pairs ([[minhashLshPairs]]) → connected

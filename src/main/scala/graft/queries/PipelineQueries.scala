@@ -240,6 +240,20 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // C4-style cross-corpus paragraph dedup: synthetic 3-paragraph docs
+    // (own text + a corpus-wide boilerplate line + the successor's text)
+    // force every paragraph to repeat somewhere; only globally-first
+    // occurrences survive and documents are rebuilt from the survivors
+    "p10_paragraph_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val succ = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("next_text"))
+      val synth = d.join(succ, Seq("doc_id"))
+        .select(col("doc_id"), concat_ws("\n", col("text"),
+          lit("subscribe to our newsletter for updates"), col("next_text")).as("text"))
+      Dedup.dedupParagraphs(synth, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // dynamic quality threshold: keep documents at or above the corpus
     // P75 of the quality score — the cutoff adapts to the corpus instead
     // of a hand-tuned constant. The exact percentile is a 1-row aggregate
@@ -595,6 +609,43 @@ object PipelineQueries {
          |  WHEN 'fr' THEN 20 WHEN 'es' THEN 25 WHEN 'zh' THEN 30
          |  ELSE 9223372036854775807 END
          |ORDER BY doc_id""".stripMargin,
+
+    // keep-first replica: row_number over the canonical fingerprint
+    // ordered by (doc_id, position), rebuild via ordered string_agg
+    "p10_paragraph_dedup" ->
+      """WITH sd AS (
+        |  SELECT a.doc_id,
+        |    a.text || chr(10) || 'subscribe to our newsletter for updates'
+        |      || chr(10) || b.text AS text
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+        |pr AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(string_split(text, chr(10)))),
+        |      i -> {'idx': i, 'para': string_split(text, chr(10))[i]})) AS u
+        |  FROM sd),
+        |paras AS (
+        |  SELECT doc_id, u.idx AS idx, u.para AS para FROM pr
+        |  WHERE length(trim(u.para)) > 0),
+        |w AS (
+        |  SELECT doc_id, idx, para FROM (
+        |    SELECT doc_id, idx, para, row_number() OVER (
+        |      PARTITION BY md5(regexp_replace(lower(trim(para)), '\s+', ' ', 'g'))
+        |      ORDER BY doc_id, idx) AS rk
+        |    FROM paras)
+        |  WHERE rk = 1),
+        |rebuilt AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(para, chr(10) ORDER BY idx) AS clean_text
+        |  FROM w GROUP BY doc_id),
+        |np AS (
+        |  SELECT doc_id, CAST(len(list_filter(string_split(text, chr(10)),
+        |    p -> length(trim(p)) > 0)) AS BIGINT) AS n_paras
+        |  FROM sd)
+        |SELECT np.doc_id, np.n_paras,
+        |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(r.clean_text, '') AS clean_text
+        |FROM np LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // exact-integer water-filling replica: T = min_s floor(n_s*W/w_s),
     // quota_s = floor(w_s*T/W), then the same id-hash rank prefix as p07

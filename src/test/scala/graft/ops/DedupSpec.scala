@@ -161,6 +161,23 @@ class DedupSpec extends SparkSpec {
       s"background collisions must fall as the threshold rises")
   }
 
+  test("dedupParagraphs: globally-first occurrence wins, repeats vanish, docs rebuild in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha one\nshared boilerplate\nbeta two"),
+      (2L, "SHARED   Boilerplate\ngamma three"), // formatting noise ≡ same paragraph
+      (3L, "shared boilerplate"),                // all-dup doc → empty rebuild
+      (4L, "  \n\ndelta four\n"))                // blank paragraphs don't count
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3L, 3L, "alpha one\nshared boilerplate\nbeta two")))
+    // doc 2 loses the boilerplate (doc 1 got there first) but keeps the rest
+    assert(out(2L) == ((2L, 1L, "gamma three")))
+    assert(out(3L) == ((1L, 0L, "")), "an all-duplicate doc must survive with empty text")
+    assert(out(4L) == ((1L, 1L, "delta four")))
+  }
+
   test("nearDupPrune keeps the longest doc per cluster and every singleton") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
