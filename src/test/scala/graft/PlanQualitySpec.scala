@@ -174,4 +174,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(physical.contains("BroadcastHashJoin"), "quota + boundary joins must broadcast")
     assert(!physical.contains("SortMergeJoin"), physical.take(800))
   }
+
+  test("p10 paragraph dedup: winner + rebuild are hash aggregates, no window, no cartesian") {
+    val root = q("p10_paragraph_dedup").queryExecution.optimizedPlan
+    val windows = root.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.isEmpty,
+      "keep-first must be the min-struct aggregate, never a row_number window")
+    val physical = q("p10_paragraph_dedup").queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"), physical.take(800))
+  }
+
+  test("a05 semdedup: pairwise search is cluster-keyed — no cartesian, assignment is a projection") {
+    // the only join over vectors is the c_id-keyed self-join (plus the
+    // anti-join dropping near-dups); centroid assignment must stay the
+    // literal-codebook projection (no cross join against a centroid table)
+    val physical = q("a05_semdedup").queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"), physical.take(800))
+    assert(!physical.contains("BroadcastNestedLoopJoin"), physical.take(800))
+  }
+
+  test("d14 near-dup prune: representative choice is a max_by aggregate, never a window") {
+    val root = q("d14_neardup_prune").queryExecution.optimizedPlan
+    val windows = root.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.isEmpty,
+      "per-cluster representative must be a hash aggregate, never a window sort")
+    val physical = q("d14_neardup_prune").queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"), physical.take(800))
+  }
 }
