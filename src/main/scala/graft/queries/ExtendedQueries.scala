@@ -343,6 +343,37 @@ object ExtendedQueries {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // streaming ANN ingest: the persisted IVF index tracks a GROWING
+    // corpus — seed with half the vectors, stream the rest in file-backed
+    // micro-batches through foreachBatch → appendToIvfIndex (the frozen
+    // codebook keeps old and new entries in one coordinate system), then
+    // serve. Because append-with-frozen-codebook ≡ rebuild (pinned in
+    // SimilaritySpec) and the codebook is trained on the full corpus,
+    // serving results are identical to a03's live path — same oracle.
+    "s08_stream_ivf_ingest" -> ((s, dir) => {
+      val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
+      val work = scratchDir("graft_s08")
+      val cents = Similarity.trainCentroids(corpus, 8, 2)
+      Similarity.buildIvfIndex(corpus.filter(col("vec_id") % 2 === 0), work,
+        codebook = Some(cents))
+      corpus.filter(col("vec_id") % 2 === 1)
+        .coalesce(2).write.mode("overwrite").parquet(s"$work/incoming")
+      val q = s.readStream
+        .schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1) // several genuine micro-batches
+        .parquet(s"$work/incoming")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          Similarity.appendToIvfIndex(batch, work)
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ckpt")
+        .start()
+      q.awaitTermination()
+      Similarity.ivfIndexTopK(s, work, corpus.filter(col("vec_id") < 5), k = 5, nProbe = 2)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // frame chunking: typed flatMap (one row in → N frame rows out)
     "m02_media_chunks" -> ((s, dir) => {
       Multimodal.chunkFrames(Multimodal.toMedia(t(s, dir, "documents")), 32)
@@ -924,6 +955,10 @@ object ExtendedQueries {
     "a03_ann_ivf" -> a03Oracle,
 
     "a05_semdedup" -> a05Oracle,
+
+    // the streamed appends land in the same frozen-codebook coordinate
+    // system as a from-scratch build, so serving ≡ a03's live path
+    "s08_stream_ivf_ingest" -> a03Oracle,
 
     "m02_media_chunks" ->
       """WITH g AS (
