@@ -61,6 +61,14 @@ object Morphline {
   /** Kite `removeFields` (blacklist form): drop the named fields from
     * every record — the complement of sanitize's whitelist. */
   case class RemoveFields(blacklist: Seq[String]) extends Command
+  /** Kite `tryRules`: each rule is a child command chain; rules are tried
+    * in order and the FIRST one that succeeds processes the record, the
+    * rest are skipped. In this compiled model the only failing command is
+    * `grok` (a non-match fails its rule, like Kite grok's default
+    * `numRequiredMatches`); every other command always succeeds, so a
+    * grok-free final rule is the catch-all, and a record no rule accepts
+    * passes through unchanged. */
+  case class TryRules(rules: Seq[Seq[Command]]) extends Command
 
   /** Parse a JSON command chain:
     * {{{
@@ -69,61 +77,77 @@ object Morphline {
     *     {"inputColumn": "info:name", "outputField": "name_s",
     *      "type": "string", "source": "value"}, ...]}},
     *   {"sanitizeUnknownSolrFields": {"knownFields": ["name_s"]}},
+    *   {"tryRules": {"rules": [{"commands": [...]}, {"commands": [...]}]}},
     *   {"logDebug": {"format": "..."}}]}
     * }}} */
   def parse(json: String): Seq[Command] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    implicit val fmt: Formats = DefaultFormats
     val root = JsonMethods.parse(json)
-    (root \ "commands") match {
-      case JArray(cmds) => cmds.map {
-        case JObject(List(("extractHBaseCells", body))) =>
-          val mappings = (body \ "mappings") match {
-            case JArray(ms) => ms.map { m =>
-              CellMapping(
-                inputColumn = (m \ "inputColumn").extract[String],
-                outputField = (m \ "outputField").extractOpt[String],
-                outputFields = (m \ "outputFields").extractOpt[Seq[String]].getOrElse(Nil),
-                typeName = (m \ "type").extractOpt[String].getOrElse("string"),
-                source = (m \ "source").extractOpt[String]
-                  .map(ValueSource.parse).getOrElse(ValueSource.Value))
-            }
-            case _ => throw new IllegalArgumentException("extractHBaseCells needs mappings[]")
+    parseCommandList(root \ "commands", "morphline config")
+  }
+
+  private def parseCommandList(v: org.json4s.JValue, where: String): Seq[Command] = {
+    import org.json4s._
+    v match {
+      case JArray(cmds) => cmds.map(parseCommand)
+      case _ => throw new IllegalArgumentException(s"$where needs commands[]")
+    }
+  }
+
+  private def parseCommand(cmd: org.json4s.JValue): Command = {
+    import org.json4s._
+    implicit val fmt: Formats = DefaultFormats
+    cmd match {
+      case JObject(List(("extractHBaseCells", body))) =>
+        val mappings = (body \ "mappings") match {
+          case JArray(ms) => ms.map { m =>
+            CellMapping(
+              inputColumn = (m \ "inputColumn").extract[String],
+              outputField = (m \ "outputField").extractOpt[String],
+              outputFields = (m \ "outputFields").extractOpt[Seq[String]].getOrElse(Nil),
+              typeName = (m \ "type").extractOpt[String].getOrElse("string"),
+              source = (m \ "source").extractOpt[String]
+                .map(ValueSource.parse).getOrElse(ValueSource.Value))
           }
-          ExtractHBaseCells(mappings)
-        case JObject(List(("sanitizeUnknownSolrFields", body))) =>
-          SanitizeUnknownFields((body \ "knownFields").extract[Seq[String]])
-        case JObject(List(("logDebug", _))) => LogDebug
-        case JObject(List(("grok", body))) =>
-          Grok(
-            inputField = (body \ "inputField").extract[String],
-            pattern = (body \ "pattern").extract[String],
-            outputFields = (body \ "outputFields").extract[Seq[String]])
-        case JObject(List(("split", body))) =>
-          Split(
-            inputField = (body \ "inputField").extract[String],
-            outputField = (body \ "outputField").extract[String],
-            separator = (body \ "separator").extract[String],
-            isRegex = (body \ "isRegex").extractOpt[Boolean].getOrElse(false))
-        case JObject(List(("convertTimestamp", body))) =>
-          ConvertTimestamp(
-            field = (body \ "field").extract[String],
-            inputFormats = (body \ "inputFormats").extract[Seq[String]],
-            outputFormat = (body \ "outputFormat").extractOpt[String]
-              .getOrElse("unixTimeInMillis"))
-        case JObject(List(("findReplace", body))) =>
-          FindReplace(
-            field = (body \ "field").extract[String],
-            pattern = (body \ "pattern").extract[String],
-            replacement = (body \ "replacement").extract[String],
-            isRegex = (body \ "isRegex").extractOpt[Boolean].getOrElse(false))
-        case JObject(List(("removeFields", body))) =>
-          RemoveFields((body \ "blacklist").extract[Seq[String]])
-        case other =>
-          throw new IllegalArgumentException(s"unknown morphline command: $other")
-      }
-      case _ => throw new IllegalArgumentException("morphline config needs commands[]")
+          case _ => throw new IllegalArgumentException("extractHBaseCells needs mappings[]")
+        }
+        ExtractHBaseCells(mappings)
+      case JObject(List(("sanitizeUnknownSolrFields", body))) =>
+        SanitizeUnknownFields((body \ "knownFields").extract[Seq[String]])
+      case JObject(List(("logDebug", _))) => LogDebug
+      case JObject(List(("grok", body))) =>
+        Grok(
+          inputField = (body \ "inputField").extract[String],
+          pattern = (body \ "pattern").extract[String],
+          outputFields = (body \ "outputFields").extract[Seq[String]])
+      case JObject(List(("split", body))) =>
+        Split(
+          inputField = (body \ "inputField").extract[String],
+          outputField = (body \ "outputField").extract[String],
+          separator = (body \ "separator").extract[String],
+          isRegex = (body \ "isRegex").extractOpt[Boolean].getOrElse(false))
+      case JObject(List(("convertTimestamp", body))) =>
+        ConvertTimestamp(
+          field = (body \ "field").extract[String],
+          inputFormats = (body \ "inputFormats").extract[Seq[String]],
+          outputFormat = (body \ "outputFormat").extractOpt[String]
+            .getOrElse("unixTimeInMillis"))
+      case JObject(List(("findReplace", body))) =>
+        FindReplace(
+          field = (body \ "field").extract[String],
+          pattern = (body \ "pattern").extract[String],
+          replacement = (body \ "replacement").extract[String],
+          isRegex = (body \ "isRegex").extractOpt[Boolean].getOrElse(false))
+      case JObject(List(("removeFields", body))) =>
+        RemoveFields((body \ "blacklist").extract[Seq[String]])
+      case JObject(List(("tryRules", body))) =>
+        TryRules((body \ "rules") match {
+          case JArray(rs) => rs.map(r => parseCommandList(r \ "commands", "tryRules rule"))
+          case _ => throw new IllegalArgumentException("tryRules needs rules[]")
+        })
+      case other =>
+        throw new IllegalArgumentException(s"unknown morphline command: $other")
     }
   }
 
@@ -196,42 +220,64 @@ object Morphline {
       else let(doc)(d => mergeDocs(d, map_from_arrays(
         array(forced.map(f => lit(f._1)): _*),
         array(forced.map(f => array(lit(f._2))): _*))))
-    commands.foldLeft(withForced) {
-      case (d, SanitizeUnknownFields(known)) =>
-        map_filter(d, (k, _) => k.isInCollection(known.map(lit(_))))
-      case (d, Grok(in, pattern, outs)) => let(d) { doc =>
-        val v = firstValue(doc, in)
-        val matched = v.isNotNull && v.rlike(pattern)
-        outs.zipWithIndex.collect { case (name, i) if name.nonEmpty =>
-          name -> when(matched, array(regexp_extract(v, pattern, i + 1)))
-        }.foldLeft(doc) { case (dd, (name, value)) => putField(dd, name, value) }
-      }
-      case (d, Split(in, out, sep, isRegex)) => let(d) { doc =>
-        val v = firstValue(doc, in)
-        val pat = if (isRegex) sep else java.util.regex.Pattern.quote(sep)
-        putField(doc, out, when(v.isNotNull, split(v, pat)))
-      }
-      case (d, ConvertTimestamp(field, inFmts, outFmt)) => let(d) { doc =>
-        val v = firstValue(doc, field)
-        val ts = coalesce(inFmts.map(f => try_to_timestamp(v, lit(f))): _*)
-        val rendered = outFmt match {
-          case "unixTimeInMillis" => unix_millis(ts).cast("string")
-          case pattern => date_format(ts, pattern)
-        }
-        putField(doc, field, when(rendered.isNotNull, array(rendered)))
-      }
-      case (d, FindReplace(f, pat, rep, isRegex)) => let(d) { doc =>
-        val vs = try_element_at(doc, lit(f))
-        val rewrite: Column => Column =
-          if (isRegex) v => regexp_replace(v, pat, rep)
-          else v => replace(v, lit(pat), lit(rep)) // literal, codegen'd
-        putField(doc, f, when(vs.isNotNull, transform(vs, rewrite)))
-      }
-      case (d, RemoveFields(black)) =>
-        map_filter(d, (k, _) => !k.isInCollection(black.map(lit(_))))
-      case (d, _) => d
-    }
+    commands.foldLeft(withForced)(applyCommand)
   }
+
+  /** One post-extract command applied to a document expression — the
+    * unit [[compile]]'s chain fold and [[TryRules]]' rule chains share. */
+  private def applyCommand(d: Column, cmd: Command): Column = cmd match {
+    case SanitizeUnknownFields(known) =>
+      map_filter(d, (k, _) => k.isInCollection(known.map(lit(_))))
+    case Grok(in, pattern, outs) => let(d) { doc =>
+      val v = firstValue(doc, in)
+      val matched = v.isNotNull && v.rlike(pattern)
+      outs.zipWithIndex.collect { case (name, i) if name.nonEmpty =>
+        name -> when(matched, array(regexp_extract(v, pattern, i + 1)))
+      }.foldLeft(doc) { case (dd, (name, value)) => putField(dd, name, value) }
+    }
+    case Split(in, out, sep, isRegex) => let(d) { doc =>
+      val v = firstValue(doc, in)
+      val pat = if (isRegex) sep else java.util.regex.Pattern.quote(sep)
+      putField(doc, out, when(v.isNotNull, split(v, pat)))
+    }
+    case ConvertTimestamp(field, inFmts, outFmt) => let(d) { doc =>
+      val v = firstValue(doc, field)
+      val ts = coalesce(inFmts.map(f => try_to_timestamp(v, lit(f))): _*)
+      val rendered = outFmt match {
+        case "unixTimeInMillis" => unix_millis(ts).cast("string")
+        case pattern => date_format(ts, pattern)
+      }
+      putField(doc, field, when(rendered.isNotNull, array(rendered)))
+    }
+    case FindReplace(f, pat, rep, isRegex) => let(d) { doc =>
+      val vs = try_element_at(doc, lit(f))
+      val rewrite: Column => Column =
+        if (isRegex) v => regexp_replace(v, pat, rep)
+        else v => replace(v, lit(pat), lit(rep)) // literal, codegen'd
+      putField(doc, f, when(vs.isNotNull, transform(vs, rewrite)))
+    }
+    case RemoveFields(black) =>
+      map_filter(d, (k, _) => !k.isInCollection(black.map(lit(_))))
+    case TryRules(rules) => let(d) { doc =>
+      // first-match-wins: a when-chain over the rules' acceptance
+      // predicates; the accepted rule's chain runs against the SHARED
+      // let-bound input doc, so N rules cost one upstream evaluation
+      rules.foldRight(doc) { (rule, fallback) =>
+        when(ruleAccepts(rule, doc), rule.foldLeft(doc)(applyCommand))
+          .otherwise(fallback)
+      }
+    }
+    case _ => d
+  }
+
+  /** A rule accepts a record iff every `grok` in it matches (grok is the
+    * only failing command in this compiled subset — Kite fails the rule
+    * on the first failing child and falls through to the next). */
+  private def ruleAccepts(rule: Seq[Command], doc: Column): Column =
+    rule.collect { case g: Grok =>
+      val v = firstValue(doc, g.inputField)
+      v.isNotNull && v.rlike(g.pattern)
+    }.foldLeft(lit(true))(_ && _)
 
   /** Let-binding for a document expression: each command stage references
     * its input doc several times (map_filter + lookups + merge), and a

@@ -568,6 +568,40 @@ object ExtendedQueries {
         .orderBy(col("id"))
     }),
 
+    // morphline breadth: tryRules — first-match-wins conditional dispatch
+    // (Kite's rule construct). Rule 1 accepts AUTOMOBILE rows (grok) and
+    // ALSO rewrites their name (pins that a rule's extra commands run
+    // only on accepted records); rule 2 accepts BUILDING; the grok-free
+    // rule 3 is the catch-all. Accepted records must skip later rules.
+    "x28_morphline_tryrules" -> ((s, dir) => {
+      val chain =
+        """{"commands": [
+          |  {"extractHBaseCells": {"mappings": [
+          |    {"inputColumn": "info:name", "outputField": "name_s"},
+          |    {"inputColumn": "info:mktsegment", "outputField": "seg_s"}]}},
+          |  {"tryRules": {"rules": [
+          |    {"commands": [
+          |      {"grok": {"inputField": "seg_s", "pattern": "^(AUTO)MOBILE$",
+          |                "outputFields": ["cls"]}},
+          |      {"findReplace": {"field": "name_s",
+          |         "pattern": "Customer#", "replacement": "car-"}}]},
+          |    {"commands": [
+          |      {"grok": {"inputField": "seg_s", "pattern": "^(BUILDING)$",
+          |                "outputFields": ["cls"]}}]},
+          |    {"commands": [
+          |      {"split": {"inputField": "seg_s", "outputField": "cls",
+          |                 "separator": "#"}}]}
+          |  ]}}
+          |]}""".stripMargin
+      val doc = graft.morphline.Morphline(chain)(col("cells"))
+      graft.core.Fixtures.customerCells(s, dir)
+        .select(col("rowKey").as("id"), doc.as("doc"))
+        .select(col("id"),
+          element_at(col("doc")("cls"), 1).as("cls"),
+          element_at(col("doc")("name_s"), 1).as("name_s"))
+        .orderBy(col("id"))
+    }),
+
     // P17: custom-mapper plug-in (reflective load + configure + typed
     // flatMap), replacing the declarative mapping stage
     "x20_custom_mapper" -> ((s, dir) => {
@@ -1148,6 +1182,18 @@ object ExtendedQueries {
         |  regexp_replace(replace(c_name, 'Customer#', 'cust-'),
         |    '^cust-0+', 'cust-') AS name_s,
         |  CAST(NULL AS VARCHAR) AS seg_gone
+        |FROM customer ORDER BY id""".stripMargin,
+
+    // first-match-wins: AUTOMOBILE → rule 1 (cls=AUTO + name rewrite),
+    // BUILDING → rule 2 (cls only), everything else → catch-all split
+    "x28_morphline_tryrules" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS id,
+        |  CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'AUTO'
+        |       WHEN c_mktsegment = 'BUILDING' THEN 'BUILDING'
+        |       ELSE c_mktsegment END AS cls,
+        |  CASE WHEN c_mktsegment = 'AUTOMOBILE'
+        |       THEN replace(c_name, 'Customer#', 'car-')
+        |       ELSE c_name END AS name_s
         |FROM customer ORDER BY id""".stripMargin,
 
     "x24_morphline_grok" ->

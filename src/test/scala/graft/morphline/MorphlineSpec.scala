@@ -172,6 +172,28 @@ class MorphlineSpec extends SparkSpec {
     assert(!doc.contains("absent"), "findReplace on a missing field must not create it")
   }
 
+  test("tryRules: no accepting rule leaves the record unchanged; rules see pre-tryRules state") {
+    val chain =
+      """{"commands": [
+        |  {"extractHBaseCells": {"mappings": [
+        |    {"inputColumn": "info:name", "outputField": "name_s", "type": "string"}]}},
+        |  {"tryRules": {"rules": [
+        |    {"commands": [
+        |      {"grok": {"inputField": "name_s", "pattern": "^nomatch$",
+        |                "outputFields": ["g"]}},
+        |      {"findReplace": {"field": "name_s", "pattern": "alice", "replacement": "X"}}]},
+        |    {"commands": [
+        |      {"grok": {"inputField": "name_s", "pattern": "^zz$",
+        |                "outputFields": ["g"]}}]}
+        |  ]}}
+        |]}""".stripMargin
+    val doc = cellsDf.select(Morphline(chain)(col("cells")).as("doc"))
+      .collect().head.getMap[String, scala.collection.Seq[String]](0)
+    assert(doc.get("name_s").map(_.toList).contains(List("alice")),
+      s"no rule accepted 'alice' — the record must pass through untouched: $doc")
+    assert(!doc.contains("g"), s"rejected rules must not leave fields behind: $doc")
+  }
+
   test("forced fields pass through sanitizeUnknownSolrFields like any record field") {
     val sanitized =
       """{"commands": [
