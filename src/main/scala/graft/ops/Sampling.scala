@@ -153,6 +153,55 @@ object Sampling {
     quotaSample(target, idCol, stratumCol, quotas, defaultQuota = 0L, tiers)
   }
 
+  /** Deterministic sequence packing (the GPT-style concat-then-chunk
+    * step): lay every document out on ONE global token tape in
+    * (id-hash, id) order — a deterministic corpus shuffle, stable under
+    * retries and engines — and cut the tape into fixed `seqLen`-token
+    * training sequences. Output per document: its token count, its
+    * global start offset on the tape, and the first/last sequence index
+    * it lands in (a document crossing a boundary spans both). Documents
+    * with no tokens are dropped (they occupy no tape).
+    *
+    * The semantics are a global running sum, but nothing global ever
+    * sorts: the hash's top bits bucket the tape (bucket order == hash
+    * order — the [[quotaSample]] tiering trick), a per-bucket token
+    * histogram (≤ `buckets` rows, the bounded-driver-collect contract)
+    * yields each bucket's exclusive base offset, and the within-bucket
+    * running sum is a window over ~1/buckets of the corpus per
+    * partition. Offsets are exact 64-bit integers — identical on any
+    * engine. */
+  def packSequences(docs: DataFrame, idCol: String, tokCol: String,
+                    seqLen: Long, buckets: Int = 1024): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    val shift = 60 - java.lang.Integer.numberOfTrailingZeros(buckets)
+    def fresh(base: String): String = {
+      var n = base
+      while (docs.columns.contains(n)) n += "_"
+      n
+    }
+    val hC = fresh("_p_hash"); val bC = fresh("_p_bkt")
+    val tape = docs
+      .filter(col(tokCol) > 0)
+      .withColumn(hC, Dedup.hash60(col(idCol).cast("string")))
+      .withColumn(bC, shiftright(col(hC), shift))
+    val hist = tape.groupBy(col(bC)).agg(sum(col(tokCol)).as("_t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = hist.scanLeft(0L -> 0L) { case ((_, acc), (b, t)) => b -> (acc + t) }
+      .init.zip(hist).map { case ((_, acc), (b, _)) => b -> acc }.toMap
+    val w = Window.partitionBy(col(bC)).orderBy(col(hC), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val start = coalesce(sum(col(tokCol)).over(w), lit(0L)) +
+      coalesce(element_at(typedLit(bases), col(bC)), lit(0L))
+    tape.select(col(idCol).as("doc_id"), col(tokCol).cast("long").as("n_tokens"),
+        start.as("start_off"))
+      // integer `div`, not `/`: long / long is a double in Spark, and a
+      // 100 TB tape's offsets live past float53 exactness
+      .withColumn("seq_first", expr(s"start_off div ${seqLen}L"))
+      .withColumn("seq_last", expr(s"(start_off + n_tokens - 1) div ${seqLen}L"))
+  }
+
   /** Token-budget selection: keep the greedy prefix of documents ordered
     * by (quality desc, id asc) whose cumulative token count stays within
     * `budget` — i.e. "the best docs that fit the training budget".

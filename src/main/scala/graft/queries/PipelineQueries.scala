@@ -254,6 +254,16 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // GPT-style sequence packing: the corpus on one deterministic token
+    // tape (id-hash order), cut into 512-token training sequences; each
+    // doc reports its tape offset and the sequences it spans
+    "p11_sequence_pack" -> ((s, dir) => {
+      val counted = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      graft.ops.Sampling.packSequences(counted, "doc_id", "n_tokens", seqLen = 512L)
+        .orderBy(col("doc_id"))
+    }),
+
     // dynamic quality threshold: keep documents at or above the corpus
     // P75 of the quality score — the cutoff adapts to the corpus instead
     // of a hand-tuned constant. The exact percentile is a 1-row aggregate
@@ -609,6 +619,26 @@ object PipelineQueries {
          |  WHEN 'fr' THEN 20 WHEN 'es' THEN 25 WHEN 'zh' THEN 30
          |  ELSE 9223372036854775807 END
          |ORDER BY doc_id""".stripMargin,
+
+    // tape replica: one window cumsum in (hash, id) order — the oracle
+    // CAN afford the global sort the Spark side avoids via bucketing
+    "p11_sequence_pack" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+         |    ${h60sql("CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |t AS (SELECT * FROM d WHERE n_tokens > 0),
+         |o AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+         |  FROM t)
+         |SELECT doc_id, n_tokens, start_off,
+         |  start_off // 512 AS seq_first,
+         |  (start_off + n_tokens - 1) // 512 AS seq_last
+         |FROM o ORDER BY doc_id""".stripMargin,
 
     // keep-first replica: row_number over the canonical fingerprint
     // ordered by (doc_id, position), rebuild via ordered string_agg

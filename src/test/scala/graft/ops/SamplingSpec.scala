@@ -98,6 +98,40 @@ class SamplingSpec extends SparkSpec {
     assert(out.filter(col("g") === "g0").count() == 5)
   }
 
+  test("packSequences == global-window tape layout; offsets tile the tape exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 300L).map(id => (id, 1L + rnd.nextInt(200).toLong))
+      .toDF("doc_id", "n_tokens")
+
+    // reference: one global window in (hash, id) order
+    val ref = docs
+      .withColumn("_h", Dedup.hash60(col("doc_id").cast("string")))
+      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(
+        Window.partitionBy().orderBy(col("_h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("start_off"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // small bucket count forces real multi-bucket base-offset stitching
+    for (buckets <- Seq(8, 1024)) {
+      val got = Sampling.packSequences(docs, "doc_id", "n_tokens", seqLen = 64L,
+          buckets = buckets)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(got.map(g => g._1 -> g._3).toMap == ref, s"buckets=$buckets")
+      // the docs tile the tape: sorted by offset, each starts where the
+      // previous ended, and the sequence span is the offset arithmetic
+      val sorted = got.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._2 == b._3, s"gap after doc ${a._1}")
+        case _ =>
+      }
+      got.foreach { case (id, n, off, f, l) =>
+        assert(f == off / 64 && l == (off + n - 1) / 64, s"doc $id span")
+      }
+    }
+  }
+
   test("rebalanceToMixture: water-filled counts hit the exact integer shares") {
     import spark.implicits._
     // sizes: a=100, b=30, c=9; weights a:3, b:2, c:1 (W=6).
