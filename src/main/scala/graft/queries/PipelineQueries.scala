@@ -433,6 +433,33 @@ object PipelineQueries {
     "m01_media_features" -> ((s, dir) => {
       Multimodal.extractFeatures(Multimodal.toMedia(docs(s, dir)))
         .orderBy(col("doc_id"))
+    }),
+
+    // REAL image decode under the oracle gate: payloads are genuine PNGs
+    // generated deterministically in-query (JDK BufferedImage + ImageIO,
+    // no external libs) with dimensions (1 + id%64, 1 + id%48);
+    // ImageIODecoder reads the true header dims back through the same
+    // per-partition decoder seam the stub uses, and the oracle predicts
+    // them from the id arithmetic — the decode path itself is what's
+    // under test
+    "m05_real_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 1 + (id % 64).toInt
+            val h = 1 + (id % 48).toInt
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (id, "image/png", bos.toByteArray)
+          }
+        }.toDF("doc_id", "mime", "payload")
+      Multimodal.extractFeatures(media, Multimodal.ImageIODecoder)
+        .select(col("doc_id"), col("width"), col("height"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1049,6 +1076,14 @@ object PipelineQueries {
         |  CAST(len(tk[chunk_id * 80 + 1 : chunk_id * 80 + 100]) AS BIGINT) AS n_chunk_tokens,
         |  array_to_string(tk[chunk_id * 80 + 1 : chunk_id * 80 + 100], ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // the PNG dims are pure id arithmetic — if the real decoder misreads
+    // a header, width/height diverge and the hash comparison fails
+    "m05_real_decode" ->
+      """SELECT doc_id,
+        |  CAST(1 + doc_id % 64 AS INT) AS width,
+        |  CAST(1 + doc_id % 48 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "m01_media_features" ->
       """SELECT doc_id,

@@ -185,6 +185,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!physical.contains("CartesianProduct"), physical.take(800))
   }
 
+  test("p11 sequence packing: the tape cumsum window is bucket-partitioned, never global") {
+    val root = q("p11_sequence_pack").queryExecution.optimizedPlan
+    val windows = root.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"a global (unpartitioned) window would serialize the corpus through one task: " +
+        windows.map(_.partitionSpec))
+  }
+
   test("a05 semdedup: pairwise search is cluster-keyed — no cartesian, assignment is a projection") {
     // the only join over vectors is the c_id-keyed self-join (plus the
     // anti-join dropping near-dups); centroid assignment must stay the
