@@ -75,37 +75,56 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
   Files.createDirectories(logDir)
 
   private def entryId(p: Path): Long =
-    p.getFileName.toString.stripSuffix(".txn").toLong
+    p.getFileName.toString.takeWhile(_ != '.').toLong
 
-  private def logEntries(): Seq[Path] = {
+  private def listLog(suffix: String): Seq[Path] = {
     val fs = Files.list(logDir)
     try fs.iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".txn"))
+      .filter(p => p.getFileName.toString.endsWith(suffix))
       .toSeq.sortBy(entryId)
     finally fs.close()
   }
 
-  /** Left fold of the log: (last entry id or -1, bucket → data dir,
-    * pinned bucket count). A `remove` only clears a bucket when it names
-    * the dir currently mapped — a re-applied retry entry removing an
-    * already-superseded dir is a no-op, same as Delta's remove-by-path. */
-  private def fold(): (Long, Map[Int, String], Option[Int]) = {
-    val entries = logEntries()
-    var live = Map.empty[Int, String]
-    var pinned: Option[Int] = None
-    entries.foreach { e =>
-      Files.readAllLines(e).asScala.filter(_.nonEmpty).foreach { line =>
-        line.split("\t", -1) match {
-          case Array("add", b, d)            => live += b.toInt -> d
-          case Array("remove", b, d)         =>
-            if (live.get(b.toInt).contains(d)) live -= b.toInt
-          case Array("meta", "buckets", n)   => pinned = Some(n.toInt)
-          case other => throw new IllegalStateException(
-            s"unparseable txn action in $e: '${other.mkString("\t")}'")
-        }
+  private def applyLines(e: Path, live0: Map[Int, String],
+                         pinned0: Option[Int]): (Map[Int, String], Option[Int]) = {
+    var live = live0
+    var pinned = pinned0
+    Files.readAllLines(e).asScala.filter(_.nonEmpty).foreach { line =>
+      line.split("\t", -1) match {
+        case Array("add", b, d)            => live += b.toInt -> d
+        case Array("remove", b, d)         =>
+          if (live.get(b.toInt).contains(d)) live -= b.toInt
+        case Array("meta", "buckets", n)   => pinned = Some(n.toInt)
+        case other => throw new IllegalStateException(
+          s"unparseable txn action in $e: '${other.mkString("\t")}'")
       }
     }
-    (entries.lastOption.map(entryId).getOrElse(-1L), live, pinned)
+    (live, pinned)
+  }
+
+  /** Left fold of the log: (last entry id or -1, bucket → data dir,
+    * pinned bucket count). Replay starts from the newest CHECKPOINT (a
+    * compacted snapshot of the fold at some entry id) and applies only
+    * the txn entries past it — Delta's checkpoint read path; without
+    * one, from the log head. A `remove` only clears a bucket when it
+    * names the dir currently mapped — a re-applied retry entry removing
+    * an already-superseded dir is a no-op, same as Delta's
+    * remove-by-path. */
+  private def fold(): (Long, Map[Int, String], Option[Int]) = {
+    val (startId, live0, pinned0) = listLog(".ckpt").lastOption match {
+      case Some(cp) =>
+        val (l, p) = applyLines(cp, Map.empty, None)
+        (entryId(cp), l, p)
+      case None => (-1L, Map.empty[Int, String], Option.empty[Int])
+    }
+    val entries = listLog(".txn").filter(entryId(_) > startId)
+    var live = live0
+    var pinned = pinned0
+    entries.foreach { e =>
+      val (l, p) = applyLines(e, live, pinned)
+      live = l; pinned = p
+    }
+    (entries.lastOption.map(entryId).getOrElse(startId), live, pinned)
   }
 
   // The writer's view for optimistic concurrency: commits target slot
@@ -173,6 +192,47 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
           s"state $stateDir advanced under this writer; it is fenced off")
     view = (view -- touched) ++ written.map(k => k -> s"$dir/$BucketCol=$k")
     lastSeen += 1
+  }
+
+  /** Compact the log: write the CURRENT fold as a checkpoint entry at
+    * the last committed id (atomic temp+rename — readers see the old or
+    * the new checkpoint, never a torn one). Readers thereafter replay
+    * checkpoint + suffix instead of the whole log; txn entries the
+    * checkpoint covers become dead weight reclaimable by
+    * [[vacuumLog]]. Safe concurrently with writers: the checkpoint only
+    * summarizes entries ≤ its id, and commit slots are claimed by
+    * put-if-absent on `.txn` names the checkpoint never touches.
+    * Returns the checkpointed entry id, or None on an empty log. */
+  def compact(): Option[Long] = {
+    val (last, live, pinned) = fold()
+    if (last < 0) None
+    else {
+      val lines =
+        Seq(s"meta\tbuckets\t${pinned.getOrElse(buckets)}") ++
+          live.toSeq.sortBy(_._1).map { case (k, d) => s"add\t$k\t$d" }
+      IndexState.atomicWriteString(
+        logDir.resolve(f"$last%020d.ckpt"), lines.mkString("\n"))
+      Some(last)
+    }
+  }
+
+  /** Drop txn entries a checkpoint already covers (and superseded older
+    * checkpoints), subject to the same grace window as data vacuum —
+    * a reader mid-fold may still be consuming a just-covered entry.
+    * Returns the deleted file names. */
+  def vacuumLog(graceMs: Long = 10 * 60 * 1000L): Seq[String] = {
+    val cps = listLog(".ckpt")
+    cps.lastOption match {
+      case None => Seq.empty
+      case Some(latest) =>
+        val cover = entryId(latest)
+        val cutoff = System.currentTimeMillis() - graceMs
+        val doomed =
+          (listLog(".txn").filter(entryId(_) <= cover) ++ cps.init)
+            .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+        doomed.foreach(Files.deleteIfExists(_))
+        doomed.map(_.getFileName.toString).sorted
+    }
   }
 
   def vacuum(graceMs: Long): Seq[String] = {

@@ -283,6 +283,32 @@ class IndexStateSpec extends SparkSpec {
     assert(st.vacuum(graceMs = 0).isEmpty)
   }
 
+  test("TxnLogState: checkpoint compaction preserves the fold and survives log vacuum") {
+    val dir = Files.createTempDirectory("graft_txn").toString
+    val st = new TxnLogState(dir, spark, B)
+    MutationStream.applyBatch(spark, st, ops(("add", "a"), ("add", "b"), ("add", "c")), 0L)
+    MutationStream.applyBatch(spark, st, ops(("deleteById", "a"), ("add", "d")), 1L)
+    assert(st.compact().contains(1L))
+    // post-checkpoint commits continue the same slot sequence
+    MutationStream.applyBatch(spark, st, ops(("add", "e")), 2L)
+    // default grace keeps the covered entries; grace 0 reclaims them
+    assert(st.vacuumLog().isEmpty)
+    val dropped = st.vacuumLog(graceMs = 0L)
+    assert(dropped.count(_.endsWith(".txn")) == 2, dropped.toString)
+    // a FRESH reader rebuilds the identical state from checkpoint + suffix
+    val fresh = new TxnLogState(dir, spark, B)
+    assert(stateIds(fresh) == Set("b", "c", "d", "e"))
+    assert(fresh.currentVersion == st.currentVersion)
+    assert(fresh.buckets == B, "bucket pin must ride the checkpoint's meta action")
+    // optimistic fencing still holds across the compacted boundary
+    val stale = new TxnLogState(dir, spark, B)
+    MutationStream.applyBatch(spark, fresh, ops(("add", "f")), 3L)
+    intercept[java.util.ConcurrentModificationException] {
+      MutationStream.applyBatch(spark, stale, ops(("add", "g")), 3L)
+    }
+    assert(stateIds(new TxnLogState(dir, spark, B)) == Set("b", "c", "d", "e", "f"))
+  }
+
   test("TxnLogState: the bucket count is pinned in the log's meta action, not the session") {
     val dir = Files.createTempDirectory("graft_txn").toString
     val st = new TxnLogState(dir, spark, B)
