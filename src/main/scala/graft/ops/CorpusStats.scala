@@ -58,6 +58,15 @@ object CorpusStats {
     * Output: (doc_id, n_bigrams, avg_logp), one row per document with ≥ 2
     * tokens.
     *
+    * Each bigram's log-prob is QUANTIZED to the 10⁻⁶ grid before the
+    * per-doc sum: a float sum's value depends on accumulation order, so
+    * two engines (or two partitionings) can disagree in the last ulp —
+    * at sf0.1 that flipped the sort order of two equal-scored documents.
+    * Summing the quantized values as exact integers is order-free, and
+    * the single final division of two exact integers is correctly
+    * rounded, hence bit-identical everywhere (the t11 rank-key
+    * convention applied to a mean).
+    *
     * Plan shape: docBigrams (1 shuffle) → two count aggregations over it
     * (the "model"; 2 shuffles) → two probe joins keyed on the bigram /
     * prefix → per-doc weighted average (1 shuffle). The per-doc rows
@@ -67,12 +76,14 @@ object CorpusStats {
     val db = docBigrams(docs, idCol, textCol)
     val bgc = db.groupBy("w1", "w2").agg(sum("m").as("c_bg"))
     val ugc = db.groupBy("w1").agg(sum("m").as("c_ug"))
+    val qLogP = round(log(col("c_bg").cast("double") / col("c_ug")) * 1e6)
+      .cast("long")
     db.join(bgc, Seq("w1", "w2"))
       .join(ugc, Seq("w1"))
       .groupBy("doc_id")
       .agg(sum("m").as("n_bigrams"),
-        (sum(col("m") * log(col("c_bg").cast("double") / col("c_ug"))) /
-          sum("m")).as("avg_logp"))
+        (sum(col("m") * qLogP).cast("double") / (sum("m") * lit(1e6)))
+          .as("avg_logp"))
   }
 
   /** Per-document top-k TF-IDF terms — keyword extraction over the whole

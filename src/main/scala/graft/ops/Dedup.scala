@@ -396,6 +396,35 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** WITHIN-document repeated-paragraph removal — the intra-document half
+    * of [[dedupParagraphs]] (C4 drops a doc's own repeated lines before
+    * any cross-corpus work): drop a paragraph iff an EARLIER paragraph of
+    * the SAME document has the same canonical fingerprint, rebuild the
+    * doc from the survivors in order. Output: (doc_id, n_paras, n_kept,
+    * clean_text).
+    *
+    * Scale shape: pure projection — zero shuffles; all work is per-doc
+    * local array lambdas (keep-first = `array_position` of each
+    * paragraph's fingerprint against the doc's own fingerprint list).
+    * The per-doc cost is O(paragraphs²) fingerprint comparisons — fine
+    * at realistic paragraph counts and embarrassingly parallel; the
+    * CROSS-corpus variant is where the shuffles (and the min-struct
+    * aggregate machinery) live. */
+  def dedupParagraphsWithinDoc(docs: DataFrame, idCol: String, textCol: String,
+                               sep: String = "\n"): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val parts = filter(split(col(textCol), sepRe), p => length(trim(p)) > 0)
+    val out = docs
+      .withColumn("_parts", parts)
+      .withColumn("_fps", transform(col("_parts"), p => TextAnalysis.fingerprint(p)))
+      .withColumn("_kept", filter(col("_parts"), (_, i) =>
+        array_position(col("_fps"), element_at(col("_fps"), i + 1)) === (i + 1).cast("long")))
+    out.select(col(idCol).as("doc_id"),
+      size(col("_parts")).cast("long").as("n_paras"),
+      size(col("_kept")).cast("long").as("n_kept"),
+      concat_ws(sep, col("_kept")).as("clean_text"))
+  }
+
   /** Near-duplicate PRUNING — the end-to-end "drop the duplicates, keep
     * the best" curation step, composing the engine's own primitives:
     * LSH-verified Jaccard pairs ([[minhashLshPairs]]) → connected

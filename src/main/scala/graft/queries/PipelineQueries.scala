@@ -240,6 +240,20 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // intra-doc repeated-paragraph removal: each synthetic doc repeats
+    // its own first paragraph (and carries the successor's text), so the
+    // second copy must drop while the cross-doc repeat survives — the
+    // zero-shuffle complement of p10's global keep-first
+    "t12_line_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val succ = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("next_text"))
+      val synth = d.join(succ, Seq("doc_id"))
+        .select(col("doc_id"), concat_ws("\n", col("text"), col("text"),
+          col("next_text")).as("text"))
+      Dedup.dedupParagraphsWithinDoc(synth, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // C4-style cross-corpus paragraph dedup: synthetic 3-paragraph docs
     // (own text + a corpus-wide boilerplate line + the successor's text)
     // force every paragraph to repeat somewhere; only globally-first
@@ -667,6 +681,27 @@ object PipelineQueries {
          |  (start_off + n_tokens - 1) // 512 AS seq_last
          |FROM o ORDER BY doc_id""".stripMargin,
 
+    // per-doc keep-first replica via DuckDB's indexed list lambdas
+    "t12_line_dedup" ->
+      """WITH sd AS (
+        |  SELECT a.doc_id,
+        |    a.text || chr(10) || a.text || chr(10) || b.text AS text
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+        |p AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)), x -> length(trim(x)) > 0) AS paras
+        |  FROM sd),
+        |f AS (
+        |  SELECT doc_id, paras,
+        |    list_transform(paras,
+        |      x -> md5(regexp_replace(lower(trim(x)), '\s+', ' ', 'g'))) AS fps
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(len(paras) AS BIGINT) AS n_paras,
+        |  CAST(len(list_filter(paras, (x, i) -> list_position(fps, fps[i]) = i)) AS BIGINT) AS n_kept,
+        |  array_to_string(list_filter(paras, (x, i) -> list_position(fps, fps[i]) = i), chr(10)) AS clean_text
+        |FROM f ORDER BY doc_id""".stripMargin,
+
     // keep-first replica: row_number over the canonical fingerprint
     // ordered by (doc_id, position), rebuild via ordered string_agg
     "p10_paragraph_dedup" ->
@@ -758,7 +793,8 @@ object PipelineQueries {
         |bgc AS (SELECT b, sum(m) AS c_bg FROM db GROUP BY b),
         |ugc AS (SELECT w1, sum(m) AS c_ug FROM db GROUP BY w1)
         |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
-        |  sum(m * ln(CAST(c_bg AS DOUBLE) / c_ug)) / CAST(sum(m) AS DOUBLE) AS avg_logp
+        |  CAST(sum(m * CAST(round(ln(CAST(c_bg AS DOUBLE) / c_ug) * 1000000) AS BIGINT)) AS DOUBLE)
+        |    / (sum(m) * 1000000.0) AS avg_logp
         |FROM db JOIN bgc USING (b) JOIN ugc USING (w1)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
