@@ -27,9 +27,13 @@ class CorpusStatsSpec extends SparkSpec {
     }
     val cBg = allBigrams.groupBy(_._2).view.mapValues(_.size).toMap
     val cUg = allBigrams.groupBy(_._2._1).view.mapValues(_.size).toMap
+    // the operator contract: each log-prob quantized to the 1e-6 grid,
+    // summed exactly, one final division (order-free across engines)
     val expected = allBigrams.groupBy(_._1).view.mapValues { bgs =>
-      val lps = bgs.map { case (_, bg) => math.log(cBg(bg).toDouble / cUg(bg._1)) }
-      (bgs.size.toLong, lps.sum / lps.size)
+      val q = bgs.map { case (_, bg) =>
+        math.round(math.log(cBg(bg).toDouble / cUg(bg._1)) * 1e6)
+      }
+      (bgs.size.toLong, q.sum.toDouble / (q.size * 1e6))
     }.toMap
 
     val got = CorpusStats.bigramLmScore(df, "doc_id", "text")
