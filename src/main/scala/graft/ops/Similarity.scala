@@ -249,7 +249,21 @@ object Similarity {
     // every CURRENT-pointer flip in this engine)
     graft.streaming.IndexState.atomicWriteString(
       java.nio.file.Paths.get(dir, "CODEBOOK"), lines.mkString("\n"))
+    // a rebuild supersedes any compacted generation the pointer names
+    graft.streaming.IndexState.atomicWriteString(
+      java.nio.file.Paths.get(dir, "ASSIGNMENT"), "assignment")
     cents
+  }
+
+  /** The live assignment directory: named by the `ASSIGNMENT` pointer
+    * when present (a [[compactIvfIndex]] generation), the original
+    * `assignment` directory otherwise. */
+  private[graft] def assignmentDir(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir, "ASSIGNMENT")
+    val name =
+      if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p).trim
+      else "assignment"
+    s"$dir/$name"
   }
 
   /** Incrementally add vectors to a persisted index: assign them with
@@ -257,12 +271,59 @@ object Similarity {
     * live in incompatible coordinate systems — and append to the same
     * centroid partitions. This is how a served ANN index tracks a growing
     * corpus without a rebuild; the codebook drifts from the data over
-    * time, so periodic rebuilds (fresh training) are the compaction
-    * analogue, as is coalescing the small files appends accumulate. */
+    * time, so periodic rebuilds (fresh training) remain the model-quality
+    * maintenance, while [[compactIvfIndex]] is the small-files
+    * maintenance. */
   def appendToIvfIndex(newVectors: DataFrame, dir: String): Unit =
     nearestCentroids(newVectors, openIvfCodebook(dir), keep = 1)
       .repartition(col("c_id"))
-      .write.mode("append").partitionBy("c_id").parquet(s"$dir/assignment")
+      .write.mode("append").partitionBy("c_id").parquet(assignmentDir(dir))
+
+  /** Compact the assignment: rewrite the live generation with ONE file
+    * per centroid partition (streamed appends leave a file per append
+    * per touched centroid — at serving scale the scan cost becomes
+    * file-open bound) into a fresh generation directory, then flip the
+    * `ASSIGNMENT` pointer atomically. Readers resolve the pointer per
+    * query, so a query in flight finishes on the old generation and the
+    * next one reads the compacted data — identical rows either way. The
+    * superseded generation stays on disk for in-flight readers until
+    * [[vacuumIvfIndex]] reclaims it past a grace window. Returns the new
+    * generation's name. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val target = s"assignment-${System.currentTimeMillis()}"
+    spark.read.parquet(assignmentDir(dir))
+      .repartition(col("c_id"))
+      .write.partitionBy("c_id").parquet(s"$dir/$target")
+    graft.streaming.IndexState.atomicWriteString(
+      java.nio.file.Paths.get(dir, "ASSIGNMENT"), target)
+    target
+  }
+
+  /** Reclaim assignment generations the pointer no longer names, older
+    * than `graceMs` (in-flight readers may still scan a just-superseded
+    * generation — the engine's universal vacuum contract). */
+  def vacuumIvfIndex(dir: String, graceMs: Long = 10 * 60 * 1000L): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val live = java.nio.file.Paths.get(assignmentDir(dir)).getFileName.toString
+    val cutoff = System.currentTimeMillis() - graceMs
+    val root = java.nio.file.Paths.get(dir)
+    val fs = java.nio.file.Files.list(root)
+    val doomed =
+      try fs.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("assignment") && n != live &&
+          java.nio.file.Files.isDirectory(p) &&
+          java.nio.file.Files.getLastModifiedTime(p).toMillis <= cutoff
+      }.map(_.getFileName.toString).toSeq
+      finally fs.close()
+    doomed.foreach { name =>
+      val walk = java.nio.file.Files.walk(root.resolve(name))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+    doomed.sorted
+  }
 
   /** Read a persisted codebook (driver-small by construction). */
   def openIvfCodebook(dir: String): Seq[Centroid] =
@@ -285,7 +346,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("q").as("q_vec"), col("nq").as("q_nq"), col("c_id"))
     val probedIds = queryProbes.select(col("c_id")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
-    val assigned = spark.read.parquet(s"$dir/assignment")
+    val assigned = spark.read.parquet(assignmentDir(dir))
       .filter(col("c_id").isin(probedIds: _*))
       .select(col("vec_id"), col("q"), col("nq"), col("c_id").cast("long").as("c_id"))
     val scored = assigned.join(broadcast(queryProbes), Seq("c_id"))

@@ -162,6 +162,45 @@ class SimilaritySpec extends SparkSpec {
       s"expected the srp_codes dim guard, got: $e")
   }
 
+  test("IVF compaction: pointer flip preserves results, collapses append files, vacuums old gen") {
+    import scala.jdk.CollectionConverters._
+    def parquetFiles(d: String): Int = {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      try walk.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+      finally walk.close()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_cmp").toString
+    val queries = corpus.filter(col("vec_id") < 7)
+    Similarity.buildIvfIndex(corpus.filter(col("vec_id") % 3 === 0), dir)
+    Similarity.appendToIvfIndex(corpus.filter(col("vec_id") % 3 === 1), dir)
+    Similarity.appendToIvfIndex(corpus.filter(col("vec_id") % 3 === 2), dir)
+
+    def rows() = Similarity.ivfIndexTopK(spark, dir, queries, 5)
+      .orderBy("q_id", "rk").collect().toSeq
+    val before = rows()
+    val filesBefore = parquetFiles(Similarity.assignmentDir(dir))
+
+    val gen = Similarity.compactIvfIndex(spark, dir)
+    assert(Similarity.assignmentDir(dir).endsWith(gen))
+    assert(rows() == before, "compaction must not change serving results")
+    assert(parquetFiles(Similarity.assignmentDir(dir)) < filesBefore,
+      s"appends left $filesBefore files; compaction must collapse them")
+
+    // appends after compaction land in the live generation (a NEW vector
+    // id — identical payload to vec 0 — must now show up in serving)
+    Similarity.appendToIvfIndex(
+      corpus.filter(col("vec_id") === 0).withColumn("vec_id", lit(100000L)), dir)
+    val afterAppend = rows()
+    assert(afterAppend != before && afterAppend.exists(_.getLong(1) == 100000L),
+      "a post-compaction append must be served")
+
+    // the superseded original survives the grace window, then vacuums
+    assert(Similarity.vacuumIvfIndex(dir).isEmpty)
+    val dropped = Similarity.vacuumIvfIndex(dir, graceMs = 0L)
+    assert(dropped == Seq("assignment"), dropped.toString)
+    assert(rows() == afterAppend, "serving unaffected by vacuum")
+  }
+
   test("semDedup: dropped ⇔ a smaller-id near-dup shares the cluster; kept ∪ dropped = corpus") {
     val total = corpus.count()
     val kept = Similarity.semDedup(corpus, threshold = 0.4, nCentroids = 8)
