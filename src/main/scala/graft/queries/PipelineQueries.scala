@@ -268,6 +268,31 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the round-6 curation pipeline end-to-end: cross-corpus paragraph
+    // dedup → target-mixture rebalance (water-filled integer quotas) →
+    // deterministic sequence packing — each stage a library operator,
+    // the whole chain under one oracle
+    "p12_curation_pack" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"), col("lang"))
+      val succ = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("next_text"))
+      val synth = d.select(col("doc_id"), col("text")).join(succ, Seq("doc_id"))
+        .select(col("doc_id"), concat_ws("\n", col("text"),
+          lit("subscribe to our newsletter for updates"), col("next_text")).as("text"))
+      val cleaned = Dedup.dedupParagraphs(synth, "doc_id", "text")
+        .filter(col("n_kept") > 0)
+        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val balanced = graft.ops.Sampling.rebalanceToMixture(
+        cleaned.select(col("doc_id"), col("lang"), col("clean_text")),
+        "doc_id", "lang", Map("en" -> 4L, "de" -> 2L, "fr" -> 1L, "es" -> 1L))
+      val counted = balanced.select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("clean_text")).as("n_tokens"))
+      graft.ops.Sampling.packSequences(counted, "doc_id", "n_tokens", seqLen = 256L)
+        .join(counted.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("start_off"), col("seq_first"), col("seq_last"))
+        .orderBy(col("doc_id"))
+    }),
+
     // GPT-style sequence packing: the corpus on one deterministic token
     // tape (id-hash order), cut into 512-token training sequences; each
     // doc reports its tape offset and the sequences it spans
@@ -660,6 +685,65 @@ object PipelineQueries {
          |  WHEN 'fr' THEN 20 WHEN 'es' THEN 25 WHEN 'zh' THEN 30
          |  ELSE 9223372036854775807 END
          |ORDER BY doc_id""".stripMargin,
+
+    // the whole chain replayed: p10's keep-first CTEs → p09's
+    // water-filling → p11's tape window, one SQL statement
+    "p12_curation_pack" ->
+      s"""WITH sd AS (
+         |  SELECT a.doc_id,
+         |    a.text || chr(10) || 'subscribe to our newsletter for updates'
+         |      || chr(10) || b.text AS text
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+         |pr AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, len(string_split(text, chr(10)))),
+         |      i -> {'idx': i, 'para': string_split(text, chr(10))[i]})) AS u
+         |  FROM sd),
+         |paras AS (
+         |  SELECT doc_id, u.idx AS idx, u.para AS para FROM pr
+         |  WHERE length(trim(u.para)) > 0),
+         |wn AS (
+         |  SELECT doc_id, idx, para FROM (
+         |    SELECT doc_id, idx, para, row_number() OVER (
+         |      PARTITION BY md5(regexp_replace(lower(trim(para)), '\\s+', ' ', 'g'))
+         |      ORDER BY doc_id, idx) AS krk
+         |    FROM paras)
+         |  WHERE krk = 1),
+         |rebuilt AS (
+         |  SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS clean_text
+         |  FROM wn GROUP BY doc_id),
+         |cleaned AS (
+         |  SELECT r.doc_id, d.lang, r.clean_text
+         |  FROM rebuilt r JOIN documents d USING (doc_id)),
+         |w2(lang, wt) AS (VALUES ('en', 4), ('de', 2), ('fr', 1), ('es', 1)),
+         |sz AS (SELECT lang, count(*) AS n FROM cleaned
+         |       WHERE lang IN (SELECT lang FROM w2) GROUP BY lang),
+         |t AS (SELECT min(coalesce(sz.n, 0) * 8 // w2.wt) AS tt
+         |      FROM w2 LEFT JOIN sz USING (lang)),
+         |q AS (SELECT w2.lang, w2.wt * t.tt // 8 AS quota FROM w2 CROSS JOIN t),
+         |rnk AS (
+         |  SELECT doc_id, lang, clean_text,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${h60sql("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS rk
+         |  FROM cleaned WHERE lang IN (SELECT lang FROM w2)),
+         |bal AS (SELECT doc_id, lang, clean_text FROM rnk JOIN q USING (lang)
+         |        WHERE rk <= quota),
+         |cnt AS (
+         |  SELECT doc_id, lang,
+         |    CAST(CASE WHEN length(trim(clean_text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(clean_text), '\\s+')) END AS BIGINT) AS n_tokens,
+         |    ${h60sql("CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM bal),
+         |tp AS (SELECT * FROM cnt WHERE n_tokens > 0),
+         |o AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+         |  FROM tp)
+         |SELECT doc_id, lang, n_tokens, start_off,
+         |  start_off // 256 AS seq_first,
+         |  (start_off + n_tokens - 1) // 256 AS seq_last
+         |FROM o ORDER BY doc_id""".stripMargin,
 
     // tape replica: one window cumsum in (hash, id) order — the oracle
     // CAN afford the global sort the Spark side avoids via bucketing
