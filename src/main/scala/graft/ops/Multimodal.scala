@@ -71,6 +71,11 @@ object Multimodal {
     * failing the row — the engine's decode-failure-drops-value
     * convention ([[graft.mapping.ValueMapper.safeMap]]). */
   object ImageIODecoder extends MediaDecoder {
+    // ImageIO defaults to a DISK-backed stream cache: without this, every
+    // decode writes its input stream to a temp file first — at corpus
+    // scale that turns a header read into a disk round-trip per payload
+    javax.imageio.ImageIO.setUseCache(false)
+
     override def decode(mime: String, payload: Array[Byte]): (Int, Int) = {
       import javax.imageio.ImageIO
       try {

@@ -486,6 +486,7 @@ object PipelineQueries {
       val media = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"))
         .as[Long]
         .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false) // encode in memory, not via the disk stream cache
           it.map { id =>
             val w = 1 + (id % 64).toInt
             val h = 1 + (id % 48).toInt
