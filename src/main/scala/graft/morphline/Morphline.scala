@@ -61,6 +61,14 @@ object Morphline {
   /** Kite `removeFields` (blacklist form): drop the named fields from
     * every record — the complement of sanitize's whitelist. */
   case class RemoveFields(blacklist: Seq[String]) extends Command
+  /** Kite `setValues`: replace each named field's values with the given
+    * literals (a missing field is created). Config form is Kite's —
+    * an object of field → value or [values]. */
+  case class SetValues(fields: Seq[(String, Seq[String])]) extends Command
+  /** Kite `addValues`: append the given literal values to each named
+    * field (existing values stay — the add-alongside merge the forced
+    * `morphlineField.*` params use). */
+  case class AddValues(fields: Seq[(String, Seq[String])]) extends Command
   /** Kite `tryRules`: each rule is a child command chain; rules are tried
     * in order and the FIRST one that succeeds processes the record, the
     * rest are skipped. In this compiled model the only failing command is
@@ -141,6 +149,10 @@ object Morphline {
           isRegex = (body \ "isRegex").extractOpt[Boolean].getOrElse(false))
       case JObject(List(("removeFields", body))) =>
         RemoveFields((body \ "blacklist").extract[Seq[String]])
+      case JObject(List(("setValues", JObject(fs)))) =>
+        SetValues(fs.map { case (k, v) => k -> literalValues("setValues", k, v) })
+      case JObject(List(("addValues", JObject(fs)))) =>
+        AddValues(fs.map { case (k, v) => k -> literalValues("addValues", k, v) })
       case JObject(List(("tryRules", body))) =>
         TryRules((body \ "rules") match {
           case JArray(rs) => rs.map(r => parseCommandList(r \ "commands", "tryRules rule"))
@@ -148,6 +160,22 @@ object Morphline {
         })
       case other =>
         throw new IllegalArgumentException(s"unknown morphline command: $other")
+    }
+  }
+
+  /** A Kite field literal: one string or an array of strings. */
+  private def literalValues(cmd: String, field: String,
+                            v: org.json4s.JValue): Seq[String] = {
+    import org.json4s._
+    v match {
+      case JString(s) => Seq(s)
+      case JArray(xs) => xs.map {
+        case JString(s) => s
+        case other => throw new IllegalArgumentException(
+          s"$cmd.$field values must be strings, got $other")
+      }
+      case other => throw new IllegalArgumentException(
+        s"$cmd.$field needs a string or [strings], got $other")
     }
   }
 
@@ -258,6 +286,14 @@ object Morphline {
     }
     case RemoveFields(black) =>
       map_filter(d, (k, _) => !k.isInCollection(black.map(lit(_))))
+    case SetValues(fields) =>
+      fields.foldLeft(d) { case (doc, (f, vs)) =>
+        putField(doc, f, array(vs.map(lit(_)): _*))
+      }
+    case AddValues(fields) =>
+      mergeDocs(d, map_from_arrays(
+        array(fields.map(f => lit(f._1)): _*),
+        array(fields.map(f => array(f._2.map(lit(_)): _*)): _*)))
     case TryRules(rules) => let(d) { doc =>
       // first-match-wins: a when-chain over the rules' acceptance
       // predicates; the accepted rule's chain runs against the SHARED

@@ -602,6 +602,38 @@ object ExtendedQueries {
         .orderBy(col("id"))
     }),
 
+    // morphline breadth: setValues (replace) + addValues (append
+    // alongside) — standalone and as a tryRules routing action (Kite's
+    // record-routing idiom: the accepted rule stamps the route field)
+    "x29_morphline_values" -> ((s, dir) => {
+      val chain =
+        """{"commands": [
+          |  {"extractHBaseCells": {"mappings": [
+          |    {"inputColumn": "info:name", "outputField": "name_s"},
+          |    {"inputColumn": "info:mktsegment", "outputField": "seg_s"}]}},
+          |  {"setValues": {"src_s": ["hbase", "graft"]}},
+          |  {"addValues": {"name_s": "suffix"}},
+          |  {"tryRules": {"rules": [
+          |    {"commands": [
+          |      {"grok": {"inputField": "seg_s", "pattern": "^(AUTO)MOBILE$",
+          |                "outputFields": ["cls"]}},
+          |      {"setValues": {"route_s": "cars"}}]},
+          |    {"commands": [
+          |      {"setValues": {"route_s": "rest"}}]}
+          |  ]}}
+          |]}""".stripMargin
+      val doc = graft.morphline.Morphline(chain)(col("cells"))
+      graft.core.Fixtures.customerCells(s, dir)
+        .select(col("rowKey").as("id"), doc.as("doc"))
+        .select(col("id"),
+          element_at(col("doc")("src_s"), 1).as("src1"),
+          element_at(col("doc")("src_s"), 2).as("src2"),
+          element_at(col("doc")("name_s"), 1).as("name_s"),
+          element_at(col("doc")("name_s"), 2).as("name_tag"),
+          element_at(col("doc")("route_s"), 1).as("route_s"))
+        .orderBy(col("id"))
+    }),
+
     // P17: custom-mapper plug-in (reflective load + configure + typed
     // flatMap), replacing the declarative mapping stage
     "x20_custom_mapper" -> ((s, dir) => {
@@ -1182,6 +1214,13 @@ object ExtendedQueries {
         |  regexp_replace(replace(c_name, 'Customer#', 'cust-'),
         |    '^cust-0+', 'cust-') AS name_s,
         |  CAST(NULL AS VARCHAR) AS seg_gone
+        |FROM customer ORDER BY id""".stripMargin,
+
+    "x29_morphline_values" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS id,
+        |  'hbase' AS src1, 'graft' AS src2,
+        |  c_name AS name_s, 'suffix' AS name_tag,
+        |  CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'cars' ELSE 'rest' END AS route_s
         |FROM customer ORDER BY id""".stripMargin,
 
     // first-match-wins: AUTOMOBILE → rule 1 (cls=AUTO + name rewrite),

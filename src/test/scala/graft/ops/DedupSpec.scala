@@ -161,6 +161,50 @@ class DedupSpec extends SparkSpec {
       s"background collisions must fall as the threshold rises")
   }
 
+  test("jaccardPairs == brute-force set Jaccard on a random corpus, with and without maxDf") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val base = (1L to 30L).map { id =>
+      val n = 5 + rnd.nextInt(6)
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // near-copies (one appended token) guarantee pairs above threshold
+    val corpus = base ++ base.take(15).map { case (id, t) =>
+      (id + 100, t + " " + vocab(rnd.nextInt(vocab.size)))
+    }
+    val df = corpus.toDF("doc_id", "text")
+    def shingleSet(t: String): Set[String] =
+      t.split("\\s+").toSeq.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    val sets = corpus.map { case (id, t) => id -> shingleSet(t) }.filter(_._2.nonEmpty)
+
+    val expected = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size if inter > 0
+      uni = sa.size + sb.size - inter
+      if inter.toDouble / uni >= 0.5
+    } yield (a, b, inter.toLong, uni.toLong)).toSet
+    val got = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(expected.nonEmpty && got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+
+    // capped: inter counts only shingles with corpus df <= cap, the
+    // denominators stay the FULL set sizes (the documented semantics)
+    val cap = 3
+    val dfCount = sets.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val expectedCapped = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).count(dfCount(_) <= cap) if inter > 0
+      uni = sa.size + sb.size - inter
+      if inter.toDouble / uni >= 0.2
+    } yield (a, b, inter.toLong, uni.toLong)).toSet
+    val gotCapped = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.2, maxDf = Some(cap))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(gotCapped == expectedCapped,
+      s"missing=${(expectedCapped -- gotCapped).take(5)} extra=${(gotCapped -- expectedCapped).take(5)}")
+  }
+
   test("dedupParagraphs: globally-first occurrence wins, repeats vanish, docs rebuild in order") {
     import spark.implicits._
     val docs = Seq(
