@@ -295,25 +295,25 @@ object Morphline {
         array(fields.map(f => lit(f._1)): _*),
         array(fields.map(f => array(f._2.map(lit(_)): _*)): _*)))
     case TryRules(rules) => let(d) { doc =>
-      // first-match-wins: a when-chain over the rules' acceptance
-      // predicates; the accepted rule's chain runs against the SHARED
-      // let-bound input doc, so N rules cost one upstream evaluation
+      // first-match-wins over the SHARED let-bound input doc (N rules
+      // cost one upstream evaluation). Acceptance is SEQUENTIAL, like
+      // Kite running the rule on a record copy: each grok gates on the
+      // doc state produced by the commands BEFORE it in the rule, so a
+      // grok matching against a findReplace'd value sees the rewrite.
+      // A rejected rule's partial effects are discarded (the `when`
+      // takes the fallback branch), which is Kite's copy-rollback.
       rules.foldRight(doc) { (rule, fallback) =>
-        when(ruleAccepts(rule, doc), rule.foldLeft(doc)(applyCommand))
-          .otherwise(fallback)
+        val (endDoc, accepts) = rule.foldLeft((doc, lit(true))) {
+          case ((cur, cond), g: Grok) =>
+            val v = firstValue(cur, g.inputField)
+            (applyCommand(cur, g), cond && v.isNotNull && v.rlike(g.pattern))
+          case ((cur, cond), c) => (applyCommand(cur, c), cond)
+        }
+        when(accepts, endDoc).otherwise(fallback)
       }
     }
     case _ => d
   }
-
-  /** A rule accepts a record iff every `grok` in it matches (grok is the
-    * only failing command in this compiled subset — Kite fails the rule
-    * on the first failing child and falls through to the next). */
-  private def ruleAccepts(rule: Seq[Command], doc: Column): Column =
-    rule.collect { case g: Grok =>
-      val v = firstValue(doc, g.inputField)
-      v.isNotNull && v.rlike(g.pattern)
-    }.foldLeft(lit(true))(_ && _)
 
   /** Let-binding for a document expression: each command stage references
     * its input doc several times (map_filter + lookups + merge), and a

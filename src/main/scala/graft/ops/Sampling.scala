@@ -110,14 +110,19 @@ object Sampling {
     // the unique per-stratum crossing tier: quota not yet exhausted
     // before it (below ≤ quota) but exhausted inside it (quota − below
     // < count). Strata whose total fits the quota have no row → keep all.
+    // boundary join is NULL-SAFE on the stratum: a null stratum is a
+    // stratum like any other (it gets defaultQuota via the hist quota
+    // coalesce); a null-rejecting equi-join here would silently keep
+    // the whole null group
+    val bsC = fresh("_q_bstratum")
     val boundary = hist
       .filter(col(bC) <= col(qC) && col(qC) - col(bC) < col(nC))
-      .select(col(stratumCol), col(tC).as(btC), (col(qC) - col(bC)).as(remC))
+      .select(col(stratumCol).as(bsC), col(tC).as(btC), (col(qC) - col(bC)).as(remC))
 
     val wRk = Window.partitionBy(col(stratumCol), col(tC))
       .orderBy(col(hC), col(idCol))
     tiered.withColumn(rkC, row_number().over(wRk))
-      .join(broadcast(boundary), Seq(stratumCol), "left")
+      .join(broadcast(boundary), col(stratumCol) <=> col(bsC), "left")
       .filter(col(btC).isNull || col(tC) < col(btC) ||
         (col(tC) === col(btC) && col(rkC) <= col(remC)))
       .select(docs.columns.map(col).toIndexedSeq: _*)
@@ -192,8 +197,16 @@ object Sampling {
       .init.zip(hist).map { case ((_, acc), (b, _)) => b -> acc }.toMap
     val w = Window.partitionBy(col(bC)).orderBy(col(hC), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val start = coalesce(sum(col(tokCol)).over(w), lit(0L)) +
-      coalesce(element_at(typedLit(bases), col(bC)), lit(0L))
+    // every bucket present at select time MUST be in the driver-collected
+    // histogram — a defaulted base of 0 would silently overlap bucket 0's
+    // tape range. A miss means the input's lineage re-evaluated
+    // differently (rand-derived ids, mutated source): fail loudly.
+    val base = coalesce(element_at(typedLit(bases), col(bC)),
+      raise_error(concat(
+        lit("packSequences: bucket absent from the driver histogram "),
+        lit("(nondeterministic input lineage?): "), col(bC).cast("string")))
+        .cast("long"))
+    val start = coalesce(sum(col(tokCol)).over(w), lit(0L)) + base
     tape.select(col(idCol).as("doc_id"), col(tokCol).cast("long").as("n_tokens"),
         start.as("start_off"))
       // integer `div`, not `/`: long / long is a double in Spark, and a

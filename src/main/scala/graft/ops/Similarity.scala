@@ -288,7 +288,17 @@ object Similarity {
     * next one reads the compacted data — identical rows either way. The
     * superseded generation stays on disk for in-flight readers until
     * [[vacuumIvfIndex]] reclaims it past a grace window. Returns the new
-    * generation's name. */
+    * generation's name.
+    *
+    * WRITER CONTRACT — one maintainer at a time: compaction and
+    * [[appendToIvfIndex]] must be serialized by the index's (single)
+    * owner. An append racing a compaction can resolve the pointer to the
+    * old generation after compaction already scanned it — its rows would
+    * exist only in the superseded directory and vanish at vacuum. This
+    * is the same single-owner assumption as the reference's GoLive; a
+    * multi-writer deployment should route both operations through one
+    * maintenance process (or put the assignment behind [[DocStateStore]]
+    * -style put-if-absent commits). Readers need no coordination. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
     val target = s"assignment-${System.currentTimeMillis()}"
     spark.read.parquet(assignmentDir(dir))

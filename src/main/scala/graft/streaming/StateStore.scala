@@ -127,9 +127,12 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
     (entries.lastOption.map(entryId).getOrElse(startId), live, pinned)
   }
 
-  // The writer's view for optimistic concurrency: commits target slot
-  // lastSeen+1 and rebuild removes from `view`; both advance only on a
-  // successful commit, so a stale writer aborts at the occupied slot.
+  // The cached fold: commits target slot lastSeen+1 and rebuild removes
+  // from `view`. Reads advance both incrementally ([[refresh]]), so a
+  // writer that re-reads before committing builds on the latest state;
+  // only a commit racing inside its own read→commit window finds its
+  // slot occupied and aborts — the optimistic-concurrency window is the
+  // batch, not the process lifetime.
   @volatile private var lastSeen: Long = -1L
   @volatile private var view: Map[Int, String] = Map.empty
 
@@ -142,22 +145,37 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
     }
   }
 
-  def currentVersion: Option[String] = {
-    val last = fold()._1
-    if (last < 0) None else Some(f"$last%020d")
+  /** Bring the cached view up to date by applying only the txn entries
+    * PAST `lastSeen` — O(new entries) per call, not O(log). The full
+    * [[fold]] runs once at construction (and from checkpoints); every
+    * read since is incremental. Correct for concurrent writers too: a
+    * foreign commit appears as a newer entry and is simply applied (the
+    * next local commit then loses its slot race and is fenced — the
+    * optimistic-concurrency contract is unchanged). */
+  private def refresh(): Unit = synchronized {
+    listLog(".txn").filter(entryId(_) > lastSeen).foreach { e =>
+      val (l, _) = applyLines(e, view, None)
+      view = l
+      lastSeen = entryId(e)
+    }
   }
 
-  def liveBuckets: Set[Int] = fold()._2.keySet
+  def currentVersion: Option[String] = {
+    refresh()
+    if (lastSeen < 0) None else Some(f"$lastSeen%020d")
+  }
+
+  def liveBuckets: Set[Int] = { refresh(); view.keySet }
 
   private def readDirs(dirs: Seq[String]): Option[DataFrame] =
     if (dirs.isEmpty) None
     else Some(spark.read.parquet(dirs.map(d => s"$stateDir/$d"): _*))
 
-  def read(): Option[DataFrame] = readDirs(fold()._2.values.toSeq)
+  def read(): Option[DataFrame] = { refresh(); readDirs(view.values.toSeq) }
 
   def readBuckets(ks: Seq[Int]): Option[DataFrame] = {
-    val m = fold()._2
-    readDirs(ks.flatMap(m.get))
+    refresh()
+    readDirs(ks.flatMap(view.get))
   }
 
   /** Atomic put-if-absent of `content` at `target`: write a temp sibling,

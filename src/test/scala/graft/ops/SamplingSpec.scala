@@ -132,6 +132,19 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("quotaSample: a NULL stratum is quota-capped like any other (null-safe boundary join)") {
+    import spark.implicits._
+    val docs = ((1L to 40L).map(id => (id, Option("g0"))) ++
+      (41L to 80L).map(id => (id, Option.empty[String])))
+      .toDF("doc_id", "g")
+    val out = Sampling.quotaSample(docs, "doc_id", "g",
+      Map("g0" -> 7L), defaultQuota = 5L, tiers = 8)
+    val counts = out.groupBy("g").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(counts == Map(Option("g0") -> 7L, None -> 5L),
+      s"null stratum must be capped at defaultQuota, got $counts")
+  }
+
   test("rebalanceToMixture: water-filled counts hit the exact integer shares") {
     import spark.implicits._
     // sizes: a=100, b=30, c=9; weights a:3, b:2, c:1 (W=6).

@@ -234,18 +234,27 @@ class IndexStateSpec extends SparkSpec {
   }
 
   test("TxnLogState: a racing writer loses the slot race and is fenced off (optimistic concurrency)") {
+    import spark.implicits._
     val dir = Files.createTempDirectory("graft_txn").toString
     val w1 = new TxnLogState(dir, spark, B)
     MutationStream.applyBatch(spark, w1, ops(("add", "a")), 0L)
     val w2 = new TxnLogState(dir, spark, B)
     MutationStream.applyBatch(spark, w2, ops(("add", "b")), 1L)
-    // w1 still believes the log ends at its own entry; its next commit
-    // targets the slot w2 already created — put-if-absent fails, commit
-    // aborts, and the state (re-read by a fresh reader) is untouched
+    // a writer that RE-READS before committing is not stale: w1's next
+    // batch refreshes onto w2's commit and lands on the following slot
+    // with the MERGED state — optimistic concurrency only aborts a
+    // commit raced inside its own read→commit window
+    MutationStream.applyBatch(spark, w1, ops(("add", "c")), 2L)
+    assert(stateIds(new TxnLogState(dir, spark, B)) == Set("a", "b", "c"))
+    // the true race: w3's last read predates w2's next commit and w3
+    // commits WITHOUT re-reading — its slot is occupied, it is fenced,
+    // and the state is untouched by the aborted commit
+    val w3 = new TxnLogState(dir, spark, B)
+    MutationStream.applyBatch(spark, w2, ops(("add", "d")), 3L)
     intercept[java.util.ConcurrentModificationException] {
-      MutationStream.applyBatch(spark, w1, ops(("add", "c")), 2L)
+      w3.commit(Seq("zz").toDF("id"), "vZZ", Seq(Sharding.md5Shard("zz", B)))
     }
-    assert(stateIds(new TxnLogState(dir, spark, B)) == Set("a", "b"))
+    assert(stateIds(new TxnLogState(dir, spark, B)) == Set("a", "b", "c", "d"))
   }
 
   test("TxnLogState: deleteByQuery widens to every live bucket through the trait") {
@@ -300,13 +309,14 @@ class IndexStateSpec extends SparkSpec {
     assert(stateIds(fresh) == Set("b", "c", "d", "e"))
     assert(fresh.currentVersion == st.currentVersion)
     assert(fresh.buckets == B, "bucket pin must ride the checkpoint's meta action")
-    // optimistic fencing still holds across the compacted boundary
-    val stale = new TxnLogState(dir, spark, B)
+    // a second writer opened before `fresh`'s next commit re-reads and
+    // lands on the following slot across the compacted boundary (the
+    // true mid-batch race is pinned in the racing-writer test)
+    val second = new TxnLogState(dir, spark, B)
     MutationStream.applyBatch(spark, fresh, ops(("add", "f")), 3L)
-    intercept[java.util.ConcurrentModificationException] {
-      MutationStream.applyBatch(spark, stale, ops(("add", "g")), 3L)
-    }
-    assert(stateIds(new TxnLogState(dir, spark, B)) == Set("b", "c", "d", "e", "f"))
+    MutationStream.applyBatch(spark, second, ops(("add", "g")), 4L)
+    assert(stateIds(new TxnLogState(dir, spark, B)) ==
+      Set("b", "c", "d", "e", "f", "g"))
   }
 
   test("TxnLogState: the bucket count is pinned in the log's meta action, not the session") {
