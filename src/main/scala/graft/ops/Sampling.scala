@@ -149,12 +149,17 @@ object Sampling {
                          tiers: Int = 1024): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "weights must be a non-empty map of positive parts")
-    val W = weights.values.sum
+    val W = weights.values.foldLeft(0L)(Math.addExact) // overflow fails loudly
     val target = docs.filter(col(stratumCol).isin(weights.keys.toSeq: _*))
     val sizes = target.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val t = weights.map { case (s, w) => sizes.getOrElse(s, 0L) * W / w }.min
-    val quotas = weights.map { case (s, w) => s -> w * t / W }
+    // multiplyExact: weight×size products at corpus scale can exceed 2^63;
+    // the "exact 64-bit integer" claim requires failing loudly, not wrapping
+    // into negative quotas
+    val t = weights.map { case (s, w) =>
+      Math.multiplyExact(sizes.getOrElse(s, 0L), W) / w
+    }.min
+    val quotas = weights.map { case (s, w) => s -> Math.multiplyExact(w, t) / W }
     quotaSample(target, idCol, stratumCol, quotas, defaultQuota = 0L, tiers)
   }
 

@@ -238,33 +238,62 @@ object Similarity {
                     trainIters: Int = 2,
                     codebook: Option[Seq[Centroid]] = None): Seq[Centroid] = {
     val cents = codebook.getOrElse(trainCentroids(corpus, nCentroids, trainIters))
+    // a rebuild writes a FRESH generation, never in place: readers keep
+    // scanning the old generation until the manifest flip, and the
+    // superseded directory stays for in-flight scans until vacuum
+    val gen = s"assignment-b${System.nanoTime()}"
     nearestCentroids(corpus, cents, keep = 1)
       // one task per centroid partition: a dynamic-partition write from P
       // tasks × C centroids opens P×C files (see IndexState.commit)
       .repartition(col("c_id"))
-      .write.mode("overwrite").partitionBy("c_id").parquet(s"$dir/assignment")
-    val lines = cents.map(c => s"${c.cId}\t${c.nq}\t${c.vec.mkString(",")}")
-    // temp + atomic rename: a reader resolving the codebook mid-build sees
-    // the old one or the new one, never a truncated file (same contract as
-    // every CURRENT-pointer flip in this engine)
-    graft.streaming.IndexState.atomicWriteString(
-      java.nio.file.Paths.get(dir, "CODEBOOK"), lines.mkString("\n"))
-    // a rebuild supersedes any compacted generation the pointer names
-    graft.streaming.IndexState.atomicWriteString(
-      java.nio.file.Paths.get(dir, "ASSIGNMENT"), "assignment")
+      .write.partitionBy("c_id").parquet(s"$dir/$gen")
+    writeManifest(dir, cents, gen)
     cents
   }
 
-  /** The live assignment directory: named by the `ASSIGNMENT` pointer
-    * when present (a [[compactIvfIndex]] generation), the original
-    * `assignment` directory otherwise. */
-  private[graft] def assignmentDir(dir: String): String = {
-    val p = java.nio.file.Paths.get(dir, "ASSIGNMENT")
-    val name =
-      if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p).trim
-      else "assignment"
-    s"$dir/$name"
+  /** Publish (codebook, assignment generation) as ONE file flipped by ONE
+    * atomic rename: the `CODEBOOK` manifest's first line names the live
+    * assignment directory, the rest is the codebook. A reader that parses
+    * the manifest once ([[resolveIndex]]) can never pair a new codebook
+    * with an old generation's assignment (incompatible c_id coordinate
+    * systems) — the failure mode of flipping two pointers separately. */
+  private def writeManifest(dir: String, cents: Seq[Centroid], gen: String): Unit = {
+    val lines = s"meta\tdir\t$gen" +:
+      cents.map(c => s"${c.cId}\t${c.nq}\t${c.vec.mkString(",")}")
+    graft.streaming.IndexState.atomicWriteString(
+      java.nio.file.Paths.get(dir, "CODEBOOK"), lines.mkString("\n"))
   }
+
+  /** Parse the manifest ONCE → (codebook, live assignment dir). This is
+    * the only consistent read path: callers that need both MUST take them
+    * from a single call, not from [[openIvfCodebook]] + [[assignmentDir]]
+    * separately (two reads can straddle a rebuild's flip). Pre-manifest
+    * layouts (no `meta` line; optional separate `ASSIGNMENT` pointer)
+    * still resolve, defaulting to the original `assignment` directory. */
+  private[graft] def resolveIndex(dir: String): (Seq[Centroid], String) = {
+    val lines = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(dir, "CODEBOOK"))
+      .split("\n").toSeq.filter(_.nonEmpty)
+    val (gen, centLines) = lines match {
+      case meta +: rest if meta.startsWith("meta\tdir\t") =>
+        (meta.split("\t", 3)(2), rest)
+      case _ =>
+        val p = java.nio.file.Paths.get(dir, "ASSIGNMENT")
+        val legacy =
+          if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p).trim
+          else "assignment"
+        (legacy, lines)
+    }
+    val cents = centLines.map { line =>
+      val Array(id, nq, vec) = line.split("\t", 3)
+      Centroid(id.toLong, vec.split(",").toSeq.map(_.toLong), nq.toLong)
+    }.sortBy(_.cId)
+    (cents, s"$dir/$gen")
+  }
+
+  /** The live assignment directory (manifest-resolved). For consistency
+    * with the codebook use [[resolveIndex]] — see its scaladoc. */
+  private[graft] def assignmentDir(dir: String): String = resolveIndex(dir)._2
 
   /** Incrementally add vectors to a persisted index: assign them with
     * the EXISTING codebook — never retrain, or old and new entries would
@@ -274,10 +303,12 @@ object Similarity {
     * time, so periodic rebuilds (fresh training) remain the model-quality
     * maintenance, while [[compactIvfIndex]] is the small-files
     * maintenance. */
-  def appendToIvfIndex(newVectors: DataFrame, dir: String): Unit =
-    nearestCentroids(newVectors, openIvfCodebook(dir), keep = 1)
+  def appendToIvfIndex(newVectors: DataFrame, dir: String): Unit = {
+    val (cents, liveDir) = resolveIndex(dir) // one read: codebook + its generation
+    nearestCentroids(newVectors, cents, keep = 1)
       .repartition(col("c_id"))
-      .write.mode("append").partitionBy("c_id").parquet(assignmentDir(dir))
+      .write.mode("append").partitionBy("c_id").parquet(liveDir)
+  }
 
   /** Compact the assignment: rewrite the live generation with ONE file
     * per centroid partition (streamed appends leave a file per append
@@ -300,12 +331,13 @@ object Similarity {
     * maintenance process (or put the assignment behind [[DocStateStore]]
     * -style put-if-absent commits). Readers need no coordination. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val (cents, liveDir) = resolveIndex(dir)
     val target = s"assignment-${System.currentTimeMillis()}"
-    spark.read.parquet(assignmentDir(dir))
+    spark.read.parquet(liveDir)
       .repartition(col("c_id"))
       .write.partitionBy("c_id").parquet(s"$dir/$target")
-    graft.streaming.IndexState.atomicWriteString(
-      java.nio.file.Paths.get(dir, "ASSIGNMENT"), target)
+    // same codebook, new generation — still one atomic manifest flip
+    writeManifest(dir, cents, target)
     target
   }
 
@@ -336,12 +368,7 @@ object Similarity {
   }
 
   /** Read a persisted codebook (driver-small by construction). */
-  def openIvfCodebook(dir: String): Seq[Centroid] =
-    java.nio.file.Files.readString(java.nio.file.Paths.get(dir, "CODEBOOK"))
-      .split("\n").toSeq.filter(_.nonEmpty).map { line =>
-        val Array(id, nq, vec) = line.split("\t", 3)
-        Centroid(id.toLong, vec.split(",").toSeq.map(_.toLong), nq.toLong)
-      }.sortBy(_.cId)
+  def openIvfCodebook(dir: String): Seq[Centroid] = resolveIndex(dir)._1
 
   /** Serve ANN top-k from a persisted index: probe assignment via the
     * codebook, scan ONLY the probed centroids' partitions (the distinct
@@ -351,12 +378,12 @@ object Similarity {
     * same build parameters — the index is just the precomputed half. */
   def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
                    queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
-    val cents = openIvfCodebook(dir)
+    val (cents, liveDir) = resolveIndex(dir) // one read: codebook + its generation
     val queryProbes = nearestCentroids(queries, cents, keep = nProbe)
       .select(col("vec_id").as("q_id"), col("q").as("q_vec"), col("nq").as("q_nq"), col("c_id"))
     val probedIds = queryProbes.select(col("c_id")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
-    val assigned = spark.read.parquet(assignmentDir(dir))
+    val assigned = spark.read.parquet(liveDir)
       .filter(col("c_id").isin(probedIds: _*))
       .select(col("vec_id"), col("q"), col("nq"), col("c_id").cast("long").as("c_id"))
     val scored = assigned.join(broadcast(queryProbes), Seq("c_id"))

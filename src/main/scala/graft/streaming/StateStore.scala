@@ -151,9 +151,24 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
     * read since is incremental. Correct for concurrent writers too: a
     * foreign commit appears as a newer entry and is simply applied (the
     * next local commit then loses its slot race and is fenced — the
-    * optimistic-concurrency contract is unchanged). */
+    * optimistic-concurrency contract is unchanged).
+    *
+    * Incremental apply is only sound when the suffix is CONTIGUOUS with
+    * the cache: slot ids are claimed put-if-absent at lastSeen+1, so a
+    * first-new-entry id ≠ lastSeen+1 — or a checkpoint newer than
+    * lastSeen — means a foreign compact()+vacuumLog reclaimed entries
+    * this cache never saw. Applying only the surviving suffix onto the
+    * stale base would silently drop the vacuumed commits; instead the
+    * cache reseeds with a full [[fold]] (checkpoint + suffix). */
   private def refresh(): Unit = synchronized {
-    listLog(".txn").filter(entryId(_) > lastSeen).foreach { e =>
+    val entries = listLog(".txn").filter(entryId(_) > lastSeen)
+    val gapped = entries.headOption.exists(entryId(_) != lastSeen + 1) ||
+      listLog(".ckpt").lastOption.exists(entryId(_) > lastSeen)
+    if (gapped) {
+      val (last, live, _) = fold()
+      view = live
+      lastSeen = last
+    } else entries.foreach { e =>
       val (l, _) = applyLines(e, view, None)
       view = l
       lastSeen = entryId(e)
@@ -199,17 +214,26 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
       .write.partitionBy(BucketCol).parquet(s"$stateDir/$dir")
     val written = touched.filter(k => Files.exists(Paths.get(stateDir, dir, s"$BucketCol=$k")))
 
+    // snapshot the cache under the refresh() lock: the claimed slot and the
+    // remove actions must come from ONE consistent (lastSeen, view) pair
+    val (slotId, baseView) = synchronized { (lastSeen + 1, view) }
     val actions =
-      (if (lastSeen < 0) Seq(s"meta\tbuckets\t$buckets") else Seq.empty) ++
-        touched.sorted.flatMap(k => view.get(k).map(d => s"remove\t$k\t$d")) ++
+      (if (slotId == 0) Seq(s"meta\tbuckets\t$buckets") else Seq.empty) ++
+        touched.sorted.flatMap(k => baseView.get(k).map(d => s"remove\t$k\t$d")) ++
         written.sorted.map(k => s"add\t$k\t$dir/$BucketCol=$k")
-    val slot = logDir.resolve(f"${lastSeen + 1}%020d.txn")
+    val slot = logDir.resolve(f"$slotId%020d.txn")
     if (!putIfAbsent(slot, actions.mkString("\n")))
       throw new java.util.ConcurrentModificationException(
         s"txn slot ${slot.getFileName} already committed by another writer — " +
           s"state $stateDir advanced under this writer; it is fenced off")
-    view = (view -- touched) ++ written.map(k => k -> s"$dir/$BucketCol=$k")
-    lastSeen += 1
+    // under the same lock, and set-to-claimed-slot rather than increment: a
+    // concurrent refresh() may already have applied the entry this commit
+    // just won (bumping lastSeen to slotId); both updates are idempotent,
+    // while an unlocked `lastSeen += 1` would claim a slot never written
+    synchronized {
+      view = (view -- touched) ++ written.map(k => k -> s"$dir/$BucketCol=$k")
+      if (slotId > lastSeen) lastSeen = slotId
+    }
   }
 
   /** Compact the log: write the CURRENT fold as a checkpoint entry at

@@ -165,5 +165,18 @@ class SamplingSpec extends SparkSpec {
     val none = Sampling.rebalanceToMixture(docs, "doc_id", "g",
       Map("a" -> 1L, "missing" -> 1L))
     assert(none.count() == 0L)
+
+    // weight×size products past 2^63 must fail loudly (multiplyExact), not
+    // wrap into negative quotas that silently empty or corrupt the output;
+    // these weights sum fine but size_a·W overflows
+    intercept[ArithmeticException] {
+      Sampling.rebalanceToMixture(docs, "doc_id", "g",
+        Map("a" -> Long.MaxValue / 2, "b" -> Long.MaxValue / 2)).count()
+    }
+    // and an overflowing weight SUM fails at the same loudness bar
+    intercept[ArithmeticException] {
+      Sampling.rebalanceToMixture(docs, "doc_id", "g",
+        Map("a" -> Long.MaxValue, "b" -> Long.MaxValue)).count()
+    }
   }
 }

@@ -178,6 +178,8 @@ class SimilaritySpec extends SparkSpec {
     def rows() = Similarity.ivfIndexTopK(spark, dir, queries, 5)
       .orderBy("q_id", "rk").collect().toSeq
     val before = rows()
+    val genBefore = java.nio.file.Paths.get(Similarity.assignmentDir(dir))
+      .getFileName.toString
     val filesBefore = parquetFiles(Similarity.assignmentDir(dir))
 
     val gen = Similarity.compactIvfIndex(spark, dir)
@@ -197,8 +199,35 @@ class SimilaritySpec extends SparkSpec {
     // the superseded original survives the grace window, then vacuums
     assert(Similarity.vacuumIvfIndex(dir).isEmpty)
     val dropped = Similarity.vacuumIvfIndex(dir, graceMs = 0L)
-    assert(dropped == Seq("assignment"), dropped.toString)
+    assert(dropped == Seq(genBefore), dropped.toString)
     assert(rows() == afterAppend, "serving unaffected by vacuum")
+  }
+
+  test("IVF rebuild: fresh generation behind ONE manifest flip; superseded gen vacuums") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rb").toString
+    val queries = corpus.filter(col("vec_id") < 7)
+    def served() = Similarity.ivfIndexTopK(spark, dir, queries, 5)
+      .orderBy("q_id", "rk").collect().toSeq
+    Similarity.buildIvfIndex(corpus.filter(col("vec_id") % 2 === 0), dir)
+    val gen1 = java.nio.file.Paths.get(Similarity.assignmentDir(dir))
+      .getFileName.toString
+    val halfServed = served()
+    // rebuild over the FULL corpus: a new codebook (different training
+    // set) paired with a new assignment generation by a single atomic
+    // manifest write — resolveIndex can never see the new codebook with
+    // the old generation's (incompatible) c_id space
+    Similarity.buildIvfIndex(corpus, dir)
+    val (cents2, live2) = Similarity.resolveIndex(dir)
+    assert(!live2.endsWith(gen1), "a rebuild must land in a fresh generation")
+    assert(cents2 == Similarity.openIvfCodebook(dir))
+    val fullServed = served()
+    assert(fullServed != halfServed,
+      "serving must reflect the rebuilt (full-corpus) index")
+    // the superseded generation survives the grace window for in-flight
+    // readers, then vacuums without disturbing serving
+    assert(Similarity.vacuumIvfIndex(dir).isEmpty)
+    assert(Similarity.vacuumIvfIndex(dir, graceMs = 0L) == Seq(gen1))
+    assert(served() == fullServed)
   }
 
   test("semDedup: dropped ⇔ a smaller-id near-dup shares the cluster; kept ∪ dropped = corpus") {

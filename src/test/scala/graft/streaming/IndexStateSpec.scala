@@ -319,6 +319,31 @@ class IndexStateSpec extends SparkSpec {
       Set("b", "c", "d", "e", "f", "g"))
   }
 
+  test("TxnLogState: a stale cached reader reseeds across a foreign compact+vacuum (never folds a gapped suffix)") {
+    val dir = Files.createTempDirectory("graft_txn").toString
+    val writer = new TxnLogState(dir, spark, B)
+    MutationStream.applyBatch(spark, writer, ops(("add", "a")), 0L)
+    // reader caches the fold at entry 0 and goes idle
+    val reader = new TxnLogState(dir, spark, B)
+    assert(stateIds(reader) == Set("a"))
+    // a foreign writer advances twice, checkpoints, and vacuums the
+    // covered entries — the reader's cached suffix is gone from disk
+    MutationStream.applyBatch(spark, writer, ops(("add", "b")), 1L)
+    MutationStream.applyBatch(spark, writer, ops(("deleteById", "a"), ("add", "c")), 2L)
+    assert(writer.compact().contains(2L))
+    assert(writer.vacuumLog(graceMs = 0L).count(_.endsWith(".txn")) == 3)
+    // nothing on disk past the reader's lastSeen: only the
+    // newer-checkpoint check makes it reseed instead of serving stale "a"
+    assert(stateIds(reader) == Set("b", "c"))
+    // after the reseed the reader is at entry 2; a further commit is
+    // contiguous again and applies incrementally
+    MutationStream.applyBatch(spark, writer, ops(("add", "d")), 3L)
+    assert(stateIds(reader) == Set("b", "c", "d"))
+    assert(reader.currentVersion == writer.currentVersion)
+    // a reader opened cold after the vacuum folds checkpoint + suffix
+    assert(stateIds(new TxnLogState(dir, spark, B)) == Set("b", "c", "d"))
+  }
+
   test("TxnLogState: the bucket count is pinned in the log's meta action, not the session") {
     val dir = Files.createTempDirectory("graft_txn").toString
     val st = new TxnLogState(dir, spark, B)
