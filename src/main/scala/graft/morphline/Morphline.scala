@@ -69,6 +69,16 @@ object Morphline {
     * field (existing values stay — the add-alongside merge the forced
     * `morphlineField.*` params use). */
   case class AddValues(fields: Seq[(String, Seq[String])]) extends Command
+  /** Kite `extractJsonPaths` (kite-morphlines-json): extract nodes of a
+    * JSON document into record fields by `/slash/separated` paths. Kite
+    * reads the JSON from the record's attachment (a `readJson` product);
+    * in this record model the document arrives as a FIELD's value —
+    * `inputField` names it. With `flatten` (Kite's default), a path
+    * landing on a JSON array emits one value per element; otherwise the
+    * node lands as one value (scalars unquoted, containers as JSON
+    * text). A missing path adds no field, like Kite on an absent node. */
+  case class ExtractJsonPaths(inputField: String, flatten: Boolean,
+                              paths: Seq[(String, String)]) extends Command
   /** Kite `tryRules`: each rule is a child command chain; rules are tried
     * in order and the FIRST one that succeeds processes the record, the
     * rest are skipped. In this compiled model the only failing command is
@@ -153,6 +163,19 @@ object Morphline {
         SetValues(fs.map { case (k, v) => k -> literalValues("setValues", k, v) })
       case JObject(List(("addValues", JObject(fs)))) =>
         AddValues(fs.map { case (k, v) => k -> literalValues("addValues", k, v) })
+      case JObject(List(("extractJsonPaths", body))) =>
+        val paths = (body \ "paths") match {
+          case JObject(ps) => ps.map {
+            case (out, JString(p)) => out -> p
+            case (out, other) => throw new IllegalArgumentException(
+              s"extractJsonPaths.$out path must be a string, got $other")
+          }
+          case _ => throw new IllegalArgumentException("extractJsonPaths needs paths{}")
+        }
+        ExtractJsonPaths(
+          inputField = (body \ "inputField").extract[String],
+          flatten = (body \ "flatten").extractOpt[Boolean].getOrElse(true),
+          paths = paths)
       case JObject(List(("tryRules", body))) =>
         TryRules((body \ "rules") match {
           case JArray(rs) => rs.map(r => parseCommandList(r \ "commands", "tryRules rule"))
@@ -294,6 +317,21 @@ object Morphline {
       mergeDocs(d, map_from_arrays(
         array(fields.map(f => lit(f._1)): _*),
         array(fields.map(f => array(f._2.map(lit(_)): _*)): _*)))
+    case ExtractJsonPaths(in, flatten, paths) => let(d) { doc =>
+      val v = firstValue(doc, in)
+      paths.foldLeft(doc) { case (dd, (out, p)) =>
+        // Kite slash path → JsonPath: /a/b → $.a.b ($ alone for "/")
+        val jp = "$" + p.split("/").filter(_.nonEmpty).map("." + _).mkString
+        val node = get_json_object(v, jp)
+        // an array node flattens via from_json (null for non-array text,
+        // so scalars fall through coalesce to a single-valued field)
+        val value =
+          if (flatten) coalesce(from_json(node, org.apache.spark.sql.types
+            .ArrayType(org.apache.spark.sql.types.StringType)), array(node))
+          else array(node)
+        putField(dd, out, when(node.isNotNull, value))
+      }
+    }
     case TryRules(rules) => let(d) { doc =>
       // first-match-wins over the SHARED let-bound input doc (N rules
       // cost one upstream evaluation). Acceptance is SEQUENTIAL, like

@@ -149,18 +149,68 @@ object Sampling {
                          tiers: Int = 1024): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "weights must be a non-empty map of positive parts")
-    val W = weights.values.foldLeft(0L)(Math.addExact) // overflow fails loudly
     val target = docs.filter(col(stratumCol).isin(weights.keys.toSeq: _*))
-    val sizes = target.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+    waterFill(target, idCol, stratumCol, weights, census(target, stratumCol), tiers)
+  }
+
+  /** Temperature-scaled mixture: rebalance toward the smoothed stratum
+    * distribution `p_s ∝ n_s^alpha` — the multilingual-sampling classic
+    * (alpha < 1 upsamples the tail's SHARE by downsampling the head;
+    * alpha = 1 is the natural mixture, a no-op). The smoothed weights
+    * feed the same exact-integer water-filling as [[rebalanceToMixture]],
+    * so the head strata bind the total and every stratum keeps exactly
+    * `floor(w_s·T/W)` documents, chosen by id-hash rank.
+    *
+    * Determinism: the weights are computed ONCE driver-side and enter
+    * the plan as literals, so any single run is exactly reproducible.
+    * For cross-ENGINE bit-parity (the DuckDB oracle), alpha = 0.5 uses
+    * exact integer sqrt and alpha = 1 the identity — both engine-proof;
+    * other alphas go through `math.pow`, whose last-ulp rounding is the
+    * JVM's (document the alpha with the run). NULL strata are outside
+    * any mixture and are dropped, like strata outside
+    * [[rebalanceToMixture]]'s spec. */
+  def temperatureMixture(docs: DataFrame, idCol: String, stratumCol: String,
+                         alpha: Double = 0.5, tiers: Int = 1024): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0, 1], got $alpha")
+    val target = docs.filter(col(stratumCol).isNotNull)
+    val sizes = census(target, stratumCol)
+    val weights = sizes.map { case (s, n) =>
+      s -> (if (alpha == 1.0) n
+            else if (alpha == 0.5) math.max(1L, isqrt(n))
+            else math.max(1L, math.floor(math.pow(n.toDouble, alpha)).toLong))
+    }
+    if (weights.isEmpty) target
+    else waterFill(target, idCol, stratumCol, weights, sizes, tiers)
+  }
+
+  /** Stratum census as a bounded driver collect (≤ #strata rows — the
+    * same contract as the token-budget histogram). */
+  private def census(docs: DataFrame, stratumCol: String): Map[String, Long] =
+    docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // multiplyExact: weight×size products at corpus scale can exceed 2^63;
-    // the "exact 64-bit integer" claim requires failing loudly, not wrapping
-    // into negative quotas
+
+  /** Exact-integer water-filling over a (stratum → parts) spec:
+    * T = min_s floor(n_s·W/w_s), quota_s = floor(w_s·T/W), selection via
+    * [[quotaSample]]. addExact/multiplyExact throughout — corpus-scale
+    * weight×size products past 2^63 fail loudly instead of wrapping into
+    * negative quotas. */
+  private def waterFill(target: DataFrame, idCol: String, stratumCol: String,
+                        weights: Map[String, Long], sizes: Map[String, Long],
+                        tiers: Int): DataFrame = {
+    val W = weights.values.foldLeft(0L)(Math.addExact)
     val t = weights.map { case (s, w) =>
       Math.multiplyExact(sizes.getOrElse(s, 0L), W) / w
     }.min
     val quotas = weights.map { case (s, w) => s -> Math.multiplyExact(w, t) / W }
     quotaSample(target, idCol, stratumCol, quotas, defaultQuota = 0L, tiers)
+  }
+
+  /** floor(sqrt(n)) in exact integer arithmetic (n ≥ 0). */
+  private def isqrt(n: Long): Long = {
+    var x = math.sqrt(n.toDouble).toLong
+    while (x > 0 && x > n / x) x -= 1
+    while (x + 1 <= n / (x + 1)) x += 1
+    x
   }
 
   /** Deterministic sequence packing (the GPT-style concat-then-chunk

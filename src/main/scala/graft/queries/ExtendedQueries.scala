@@ -515,6 +515,44 @@ object ExtendedQueries {
         .orderBy(col("id"))
     }),
 
+    // morphline JSON family (kite-morphlines-json extractJsonPaths): a
+    // JSON cell built from base customer columns rides extractHBaseCells
+    // into a field, then slash paths pull nested scalars and a flattened
+    // array back out — the oracle reconstructs every value from the base
+    // columns directly, so the whole JSON round-trip is ground-truthed
+    "x30_morphline_json" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val payload = to_json(struct(
+        col("c_name").as("name"),
+        struct(col("c_mktsegment").as("segment")).as("meta"),
+        array(col("c_name"), col("c_mktsegment")).as("tags")))
+      val cells = cust.select(
+        col("c_custkey").cast("long").as("id"),
+        array(struct(
+          lit("info").as("family"), lit("js").as("qualifier"),
+          lit(0L).as("ts"), lit("put").as("cellType"),
+          payload.as("value"))).as("cells"))
+      val chain =
+        """{"commands": [
+          |  {"extractHBaseCells": {"mappings": [
+          |    {"inputColumn": "info:js", "outputField": "js"}]}},
+          |  {"extractJsonPaths": {"inputField": "js", "flatten": true,
+          |    "paths": {"name_s": "/name", "seg_s": "/meta/segment",
+          |              "tag_ss": "/tags"}}},
+          |  {"sanitizeUnknownSolrFields":
+          |    {"knownFields": ["name_s", "seg_s", "tag_ss"]}}
+          |]}""".stripMargin
+      val doc = graft.morphline.Morphline(chain)(col("cells"))
+      cells.select(col("id"), doc.as("doc"))
+        .select(col("id"),
+          element_at(col("doc")("name_s"), 1).as("name_s"),
+          element_at(col("doc")("seg_s"), 1).as("seg_s"),
+          element_at(col("doc")("tag_ss"), 1).as("tag1"),
+          element_at(col("doc")("tag_ss"), 2).as("tag2"),
+          size(col("doc")("tag_ss")).cast("long").as("n_tags"))
+        .orderBy(col("id"))
+    }),
+
     // morphline breadth past the reference's own test corpus: grok
     // (regex group extraction), split (multi-valued fan-out) and
     // convertTimestamp (format re-render via a forced field), chained
@@ -1242,6 +1280,17 @@ object ExtendedQueries {
         |  string_split(c_name, '#')[1] AS p1,
         |  string_split(c_name, '#')[2] AS p2,
         |  '1709288100000' AS when_ms
+        |FROM customer ORDER BY id""".stripMargin,
+
+    // the JSON round-trip ground truth: every extracted value must equal
+    // the base column it was serialized from
+    "x30_morphline_json" ->
+      """SELECT c_custkey AS id,
+        |  c_name AS name_s,
+        |  c_mktsegment AS seg_s,
+        |  c_name AS tag1,
+        |  c_mktsegment AS tag2,
+        |  CAST(2 AS BIGINT) AS n_tags
         |FROM customer ORDER BY id""".stripMargin,
 
     // qualifier sort order of the info family is

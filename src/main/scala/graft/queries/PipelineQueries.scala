@@ -240,6 +240,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // temperature-scaled mixture (alpha = 0.5, the multilingual sqrt
+    // smoothing): weights = isqrt(stratum size) feed the same integer
+    // water-filling as p09 — the head language is downsampled toward the
+    // tail's share, every quota exact
+    "p13_temperature_mix" -> ((s, dir) => {
+      graft.ops.Sampling.temperatureMixture(
+          docs(s, dir).select(col("doc_id"), col("lang")),
+          "doc_id", "lang", alpha = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // intra-doc repeated-paragraph removal: each synthetic doc repeats
     // its own first paragraph (and carries the successor's text), so the
     // second copy must drop while the cross-doc repeat survives — the
@@ -838,6 +849,23 @@ object PipelineQueries {
          |    row_number() OVER (PARTITION BY lang
          |      ORDER BY ${h60sql("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS rk
          |  FROM documents WHERE lang IN (SELECT lang FROM w))
+         |SELECT doc_id, lang FROM r JOIN q USING (lang)
+         |WHERE rk <= quota ORDER BY doc_id""".stripMargin,
+
+    // p09's water-filling with DERIVED weights: wt = floor(sqrt(n)) —
+    // IEEE sqrt is correctly rounded, so the floor is engine-exact
+    "p13_temperature_mix" ->
+      s"""WITH sz AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |w AS (SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS wt FROM sz),
+         |ww AS (SELECT sum(wt) AS wsum FROM w),
+         |t AS (SELECT min(w.n * ww.wsum // w.wt) AS tt FROM w CROSS JOIN ww),
+         |q AS (SELECT w.lang, w.wt * t.tt // ww.wsum AS quota
+         |      FROM w CROSS JOIN t CROSS JOIN ww),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${h60sql("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS rk
+         |  FROM documents)
          |SELECT doc_id, lang FROM r JOIN q USING (lang)
          |WHERE rk <= quota ORDER BY doc_id""".stripMargin,
 

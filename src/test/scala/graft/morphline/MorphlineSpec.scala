@@ -194,6 +194,39 @@ class MorphlineSpec extends SparkSpec {
     assert(!doc.contains("g"), s"rejected rules must not leave fields behind: $doc")
   }
 
+  test("extractJsonPaths: nested scalars, flattened arrays, absent nodes, flatten=false") {
+    import spark.implicits._
+    val jsonCells = Seq(("r1",
+      """{"name":"alice","meta":{"segment":"gold"},"tags":["a","b"],"n":7}"""))
+      .toDF("rowKey", "v")
+      .select(col("rowKey"), array(struct(
+        lit("info").as("family"), lit("js").as("qualifier"),
+        lit(0L).as("ts"), lit("put").as("cellType"), col("v").as("value"))).as("cells"))
+    def run(flatten: Boolean) = {
+      val chain =
+        s"""{"commands": [
+           |  {"extractHBaseCells": {"mappings": [
+           |    {"inputColumn": "info:js", "outputField": "js"}]}},
+           |  {"extractJsonPaths": {"inputField": "js", "flatten": $flatten,
+           |    "paths": {"name_s": "/name", "seg_s": "/meta/segment",
+           |              "tag_ss": "/tags", "n_i": "/n", "gone": "/missing/node"}}}
+           |]}""".stripMargin
+      jsonCells.select(Morphline(chain)(col("cells")).as("doc"))
+        .collect().head.getMap[String, scala.collection.Seq[String]](0)
+    }
+    val doc = run(flatten = true)
+    assert(doc.get("name_s").map(_.toList).contains(List("alice")))
+    assert(doc.get("seg_s").map(_.toList).contains(List("gold")),
+      s"a /nested/path must reach into objects: $doc")
+    assert(doc.get("tag_ss").map(_.toList).contains(List("a", "b")),
+      s"flatten must emit one value per array element: $doc")
+    assert(doc.get("n_i").map(_.toList).contains(List("7")))
+    assert(!doc.contains("gone"), s"an absent node must add no field: $doc")
+    val unflat = run(flatten = false)
+    assert(unflat.get("tag_ss").map(_.toList).contains(List("""["a","b"]""")),
+      s"flatten=false keeps the array node as one JSON-text value: $unflat")
+  }
+
   test("forced fields pass through sanitizeUnknownSolrFields like any record field") {
     val sanitized =
       """{"commands": [

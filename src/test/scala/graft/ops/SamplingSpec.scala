@@ -179,4 +179,34 @@ class SamplingSpec extends SparkSpec {
         Map("a" -> Long.MaxValue, "b" -> Long.MaxValue)).count()
     }
   }
+
+  test("temperatureMixture: sqrt-smoothed water-fill counts; alpha=1 is the natural mixture") {
+    import spark.implicits._
+    // sizes: a=100, b=25, c=9 → isqrt weights 10, 5, 3 (W=18).
+    // T = min(100*18/10, 25*18/5, 9*18/3) = min(180, 90, 54) = 54
+    // quotas: a = 10*54/18 = 30, b = 5*54/18 = 15, c = 3*54/18 = 9 (binds)
+    val docs = ((1L to 100L).map(i => (i, "a")) ++
+      (101L to 125L).map(i => (i, "b")) ++
+      (126L to 134L).map(i => (i, "c"))).toDF("doc_id", "g")
+    val counts = Sampling.temperatureMixture(docs, "doc_id", "g", alpha = 0.5)
+      .groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 30L, "b" -> 15L, "c" -> 9L), counts.toString)
+    // the head's share drops toward the tail's: 100/134 → 30/54
+    assert(counts("a").toDouble / counts.values.sum < 100.0 / 134.0)
+
+    // alpha = 1: weights = sizes → T = W, quota_s = n_s — a no-op
+    assert(Sampling.temperatureMixture(docs, "doc_id", "g", alpha = 1.0)
+      .count() == 134L)
+
+    // NULL strata sit outside any mixture
+    val withNull = docs.unionByName(
+      Seq((999L, null.asInstanceOf[String])).toDF("doc_id", "g"))
+    assert(Sampling.temperatureMixture(withNull, "doc_id", "g", alpha = 1.0)
+      .count() == 134L)
+
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixture(docs, "doc_id", "g", alpha = 0.0)
+    }
+  }
 }
