@@ -91,6 +91,66 @@ object TextHash {
     out
   }
 
+  /** POSITIONAL 60-bit k-gram hashes (non-distinct, window order):
+    * element i is [[hash60]] of tokens i..i+n-1 joined by single spaces —
+    * the positional twin of [[shingleHashes60]], for span-level
+    * exact-substring dedup where WHERE a window sits matters. Empty when
+    * the doc has fewer than n tokens. */
+  def kgramHashes60(text: UTF8String, n: Int): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
+    val toks = tokens(text)
+    if (toks.length < n || (toks.length == 1 && toks(0).isEmpty))
+      return Array.emptyLongArray
+    val m = toks.length - n + 1
+    val out = new Array[Long](m)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = hash60(sb.toString)
+      i += 1
+    }
+    out
+  }
+
+  /** Drop every token covered by a k-token window starting at any of
+    * `starts` (1-BASED window start positions, duplicates/overlaps fine);
+    * the survivors re-join with single spaces, so output text is
+    * whitespace-normalized like every token-level operator here. A
+    * no-token text returns the empty string. */
+  def removeTokenSpans(text: UTF8String, starts: Array[Long], k: Int): UTF8String = {
+    if (text == null) return null
+    val toks = tokens(text)
+    if (toks.length == 0 || (toks.length == 1 && toks(0).isEmpty))
+      return UTF8String.fromString("")
+    val covered = new Array[Boolean](toks.length)
+    var i = 0
+    while (i < starts.length) {
+      var j = math.max(0L, starts(i) - 1).toInt
+      val end = math.min(toks.length.toLong, starts(i) - 1 + k).toInt
+      while (j < end) { covered(j) = true; j += 1 }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    var first = true
+    i = 0
+    while (i < toks.length) {
+      if (!covered(i)) {
+        if (!first) sb.append(' ')
+        sb.append(toks(i))
+        first = false
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** MinHash signature of a shingle-hash set: element i is
     * `min over h of (permA(i) * (h mod 2^30) + permB(i)) mod (2^31-1)`.
     * Empty input → empty signature. */

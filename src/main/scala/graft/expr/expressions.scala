@@ -466,6 +466,60 @@ case class WinnowHashes(child: Expression, k: Int, w: Int) extends UnaryExpressi
   override def prettyName: String = "winnow_hashes"
 }
 
+/** Positional (non-distinct) 60-bit k-gram hashes of a text column —
+  * [[TextHash.kgramHashes60]] as one compiled pass. Element i hashes
+  * tokens i..i+n-1; `posexplode` downstream recovers (position, hash)
+  * for span-level exact-substring dedup. */
+case class KgramHashes60(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      TextHash.kgramHashes60(input.asInstanceOf[UTF8String], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         .fromPrimitiveArray(graft.expr.TextHash.kgramHashes60($c, $n));""")
+
+  override protected def withNewChildInternal(newChild: Expression): KgramHashes60 =
+    copy(child = newChild)
+  override def prettyName: String = "kgram_hashes60"
+}
+
+/** Span removal for exact-substring dedup: drop every token of `text`
+  * covered by a k-token window starting at any 1-based position in
+  * `starts` (array<bigint>), survivors re-joined by single spaces —
+  * [[TextHash.removeTokenSpans]] as one compiled pass instead of an
+  * interpreted boolean-mask `aggregate`/`transform` chain. */
+case class RemoveTokenSpans(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"remove_token_spans expects (string, array<bigint>), got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.removeTokenSpans(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray(), k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.TextHash.removeTokenSpans($a, $b.toLongArray(), $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RemoveTokenSpans =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "remove_token_spans"
+}
+
 /** Column-level API for the codec expressions plus the key-formatter and
   * sharding helpers (built from codegen'd built-ins where possible). */
 object hfunctions {
@@ -500,6 +554,14 @@ object hfunctions {
 
   /** minhash signature of a shingle-hash array (compiled pass) */
   def minhash_sig(hs: Column, k: Int): Column = expr2col(MinHashSig(col2expr(hs), k))
+
+  /** positional 60-bit k-gram hashes of a text column (compiled pass) */
+  def kgram_hashes60(text: Column, n: Int): Column =
+    expr2col(KgramHashes60(col2expr(text), n))
+
+  /** drop tokens covered by k-token windows at the given 1-based starts */
+  def remove_token_spans(text: Column, starts: Column, k: Int): Column =
+    expr2col(RemoveTokenSpans(col2expr(text), col2expr(starts), k))
 
   /** simhash fingerprint of a text column (compiled pass) */
   def simhash_c(text: Column, bits: Int): Column = expr2col(SimHash(col2expr(text), bits))

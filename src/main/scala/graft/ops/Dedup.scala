@@ -425,6 +425,57 @@ object Dedup {
       concat_ws(sep, col("_kept")).as("clean_text"))
   }
 
+  /** EXACT-SUBSTRING span dedup (the "Deduplicating Training Data Makes
+    * Language Models Better" ExactSubstr step, token-window form): a
+    * k-token window whose k-gram already occurred at a lexicographically
+    * smaller (doc_id, position) is a duplicate span; every token covered
+    * by any duplicate window is cut and the document rebuilt from the
+    * survivors (whitespace-normalized). Output: (doc_id, n_tokens,
+    * n_removed, clean_text) — n_tokens the original count.
+    *
+    * The reference method keeps the FIRST global occurrence of each
+    * duplicated substring and cuts the rest; at k-gram granularity
+    * overlapping duplicate windows merge through the per-token cover
+    * mask, so a shared run of m ≥ k tokens survives exactly once
+    * corpus-wide and loses all m tokens everywhere else (intra-document
+    * repeats included).
+    *
+    * Scale shape: positional k-gram hashes are one compiled pass per doc
+    * (`kgram_hashes60`); the global keep-first is ONE groupBy(h)
+    * min-struct aggregate (map-side partials collapse a boilerplate
+    * k-gram's 10⁹ repeats to once per task before the shuffle);
+    * duplicate marks join back on h and regroup per doc (collect_list
+    * bounded by the doc's own window count); the cover-mask rebuild is a
+    * compiled kernel (`remove_token_spans`). No windows, no sorts — the
+    * same min-struct machinery as [[dedupParagraphs]], one level down.
+    * A true suffix-array construction finds variable-length duplicates
+    * exactly; the fixed-k window form is the bucketable approximation
+    * that needs only hash shuffles, with k the minimum duplicated run
+    * length detected. */
+  def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int = 8): DataFrame = {
+    require(k >= 2, s"k must be at least 2, got $k")
+    val occ = docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.expr.hfunctions.kgram_hashes60(col(textCol), k))
+          .as(Seq("i0", "h")))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("pos"), col("h"))
+    val winners = occ.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+    val dupStarts = occ.join(winners, Seq("h"))
+      .filter(!(col("doc_id") === col("w.doc_id") && col("pos") === col("w.pos")))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("pos")).as("starts"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(dupStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        graft.expr.hfunctions.remove_token_spans(col("text"),
+          coalesce(col("starts"), lit(Array.empty[Long])), k).as("clean_text"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - TextAnalysis.tokenCount(col("clean_text"))).as("n_removed"),
+        col("clean_text"))
+  }
+
   /** Near-duplicate PRUNING — the end-to-end "drop the duplicates, keep
     * the best" curation step, composing the engine's own primitives:
     * LSH-verified Jaccard pairs ([[minhashLshPairs]]) → connected

@@ -240,6 +240,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // exact-substring span dedup: each synthetic doc carries its
+    // successor's full text, so every successor token run ≥ 8 reappears
+    // and must be cut from wherever the (doc_id, pos)-first occurrence
+    // does NOT live; intra-doc repeats cut too
+    "d15_span_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val succ = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("next_text"))
+      val synth = d.join(succ, Seq("doc_id"))
+        .select(col("doc_id"), concat_ws(" ", col("text"), col("next_text")).as("text"))
+      Dedup.dedupSpans(synth, "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // temperature-scaled mixture (alpha = 0.5, the multilingual sqrt
     // smoothing): weights = isqrt(stratum size) feed the same integer
     // water-filling as p09 — the head language is downsampled toward the
@@ -851,6 +864,42 @@ object PipelineQueries {
          |  FROM documents WHERE lang IN (SELECT lang FROM w))
          |SELECT doc_id, lang FROM r JOIN q USING (lang)
          |WHERE rk <= quota ORDER BY doc_id""".stripMargin,
+
+    // span-dedup replica: positional k-gram hashes, keep-first by
+    // row_number over (doc_id, pos), range-join cover mask, ordered
+    // string_agg rebuild
+    "d15_span_dedup" -> {
+      val k = 8
+      val gram = (0 until k).map(j => if (j == 0) "tk[i]" else s"tk[i+$j]")
+        .mkString(" || ' ' || ")
+      s"""WITH base AS (
+         |  SELECT a.doc_id, a.text || ' ' || b.text AS text
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+         |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM base),
+         |kgs AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - ${k - 1}),
+         |          i -> {'pos': i, 'h': ${h60sql(gram)}})) AS u
+         |        FROM tok WHERE len(tk) >= $k),
+         |kg AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM kgs),
+         |rk AS (SELECT doc_id, pos,
+         |         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS r FROM kg),
+         |dup AS (SELECT doc_id, pos FROM rk WHERE r > 1),
+         |tks AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)),
+         |          i -> {'j': i, 'w': tk[i]})) AS u FROM tok),
+         |toks AS (SELECT doc_id, u.j AS j, u.w AS w FROM tks),
+         |rem AS (SELECT DISTINCT t.doc_id, t.j FROM toks t JOIN dup d
+         |        ON d.doc_id = t.doc_id AND t.j >= d.pos AND t.j <= d.pos + ${k - 1}),
+         |agg AS (
+         |  SELECT t.doc_id,
+         |    count(*) AS n_tokens,
+         |    count(r.j) AS n_removed,
+         |    coalesce(string_agg(t.w, ' ' ORDER BY t.j) FILTER (WHERE r.j IS NULL), '')
+         |      AS clean_text
+         |  FROM toks t LEFT JOIN rem r ON r.doc_id = t.doc_id AND r.j = t.j
+         |  GROUP BY t.doc_id)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(n_removed AS BIGINT) AS n_removed, clean_text
+         |FROM agg ORDER BY doc_id""".stripMargin
+    },
 
     // p09's water-filling with DERIVED weights: wt = floor(sqrt(n)) —
     // IEEE sqrt is correctly rounded, so the floor is engine-exact

@@ -222,6 +222,59 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == ((1L, 1L, "delta four")))
   }
 
+  test("dedupSpans: first occurrence survives, cross-doc and intra-doc runs are cut") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "a b c d e f",                 // every window is a winner
+      2L -> "x y a b c d e f z",           // doc 1's run embedded → cut
+      3L -> "p q r p q r p q r")           // intra-doc repeats → cut
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((6L, 0L, "a b c d e f")))
+    // doc 2's windows at pos 3..6 duplicate doc 1 → tokens 3..8 covered
+    assert(out(2L) == ((9L, 6L, "x y z")), out(2L).toString)
+    // doc 3: "p q r"@4,7, "q r p"@5, "r p q"@6 duplicate pos 1,2,3 →
+    // tokens 4..9 covered, the first period survives
+    assert(out(3L) == ((9L, 6L, "p q r")), out(3L).toString)
+  }
+
+  test("dedupSpans == naive reference on a random corpus") {
+    import spark.implicits._
+    val k = 3
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val corpus = (1L to 40L).map { i =>
+      i -> Vector.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    // naive: global first occurrence per k-gram string, cover mask per doc
+    val toks = corpus.map { case (id, t) => id -> t.split("\\s+").toVector }.toMap
+    val occs = corpus.flatMap { case (id, _) =>
+      val tk = toks(id)
+      (0 to tk.length - k).map(i => (tk.slice(i, i + k).mkString(" "), id, i))
+    }
+    val winner = occs.groupBy(_._1).map { case (g, os) =>
+      g -> os.map(o => (o._2, o._3)).min
+    }
+    val expected = corpus.map { case (id, _) =>
+      val tk = toks(id)
+      val covered = Array.fill(tk.length)(false)
+      (0 to tk.length - k).foreach { i =>
+        val g = tk.slice(i, i + k).mkString(" ")
+        if (winner(g) != ((id, i))) (i until math.min(tk.length, i + k)).foreach(covered(_) = true)
+      }
+      val clean = tk.indices.filterNot(covered).map(tk).mkString(" ")
+      id -> ((tk.length.toLong, covered.count(identity).toLong, clean))
+    }.toMap
+    val out = Dedup.dedupSpans(corpus.toDF("doc_id", "text"), "doc_id", "text", k = k)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out == expected,
+      s"mismatches: ${out.keySet.filter(i => out(i) != expected(i)).toSeq.sorted
+        .map(i => s"$i: got ${out(i)} want ${expected(i)}").mkString("; ")}")
+  }
+
   test("nearDupPrune keeps the longest doc per cluster and every singleton") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
