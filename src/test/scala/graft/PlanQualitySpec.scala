@@ -212,4 +212,29 @@ class PlanQualitySpec extends SparkSpec {
     val physical = q("d14_neardup_prune").queryExecution.executedPlan.toString
     assert(!physical.contains("CartesianProduct"), physical.take(800))
   }
+
+  test("d15 span dedup: keep-first is a min-struct aggregate — no window, no cartesian") {
+    val root = q("d15_span_dedup").queryExecution.optimizedPlan
+    val windows = root.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.isEmpty,
+      "global first occurrence must be a hash aggregate, never a row_number window")
+    val physical = q("d15_span_dedup").queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"), physical.take(800))
+    assert(physical.contains("kgram_hashes60") && physical.contains("remove_token_spans"),
+      "the compiled kernels must be in the plan, not an interpreted HOF chain")
+  }
+
+  test("p13 temperature mixture: inherits the tier-bucketed quota plan — no global window") {
+    // same structural bar as p07: the corpus rank window may only
+    // partition by (stratum, tier), never by stratum alone (the
+    // giant-stratum sort); the lone stratum-partitioned window is the
+    // prefix sum over the tiny per-(stratum, tier) histogram
+    val root = q("p13_temperature_mix").queryExecution.optimizedPlan
+    val windows = root.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    val rankWs = windows.filter(_.windowExpressions.exists(_.toString.contains("row_number")))
+    assert(rankWs.nonEmpty && rankWs.forall(_.partitionSpec.length == 2),
+      s"corpus rank window must partition by (stratum, tier): ${rankWs.map(_.partitionSpec)}")
+  }
 }
