@@ -232,15 +232,7 @@ object Dedup {
       if (bands > 0) (bands, rowsPerBand) else minhashConfigFor(threshold)
     val k = nBands * nRows
     val sigs = minhashSignatures(docs, idCol, textCol, k, n)
-
-    // band key: band index + the band's signature slice, as one string —
-    // no extra hashing; the shuffle key is small and engine-portable
-    val banded = sigs.select(col("doc_id"), explode(
-      array((0 until nBands).map { bnd =>
-        concat_ws("_",
-          (lit(bnd.toString) +:
-            (1 to nRows).map(r => element_at(col("sig"), bnd * nRows + r))): _*)
-      }: _*)).as("band_key"))
+    val banded = bandKeys(sigs, nBands, nRows)
 
     val l = banded.select(col("doc_id").as("a_id"), col("band_key"))
     val r = banded.select(col("doc_id").as("b_id"), col("band_key"))
@@ -259,6 +251,54 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "inter", "uni", "jaccard")
+  }
+
+  /** Band keys of a signature frame: band index + the band's signature
+    * slice, as one string — no extra hashing; the shuffle key is small
+    * and engine-portable. (doc_id, band_key) rows, one per band. */
+  private def bandKeys(sigs: DataFrame, nBands: Int, nRows: Int): DataFrame =
+    sigs.select(col("doc_id"), explode(
+      array((0 until nBands).map { bnd =>
+        concat_ws("_",
+          (lit(bnd.toString) +:
+            (1 to nRows).map(r => element_at(col("sig"), bnd * nRows + r))): _*)
+      }: _*)).as("band_key"))
+
+  /** FUZZY benchmark decontamination: every (corpus doc, benchmark doc)
+    * pair whose n-gram Jaccard reaches `threshold` — the near-duplicate
+    * contamination gate. A lightly rewritten test item defeats the exact
+    * shingle-count probe ([[contaminationHits]] needs `minHits` shared
+    * n-grams verbatim); it does not defeat set Jaccard at 0.5. Output:
+    * (doc_id, bench_id, inter, uni, jaccard), one row per flagged pair.
+    *
+    * The bipartite twin of [[minhashLshPairs]]: both sides get banded
+    * minhash signatures with the threshold-derived layout, candidates
+    * come from the band join, and every candidate is EXACT-verified on
+    * the full shingle-hash sets. The benchmark side (tiny next to a
+    * 100 TB corpus — the [[contaminationHits]] contract) broadcasts in
+    * both the band join and the verify join, so the corpus is never
+    * shuffled: scan → band explode → broadcast probe → per-candidate
+    * verify, all map-side. */
+  def fuzzyContamination(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val (nBands, nRows) = minhashConfigFor(threshold)
+    val k = nBands * nRows
+    val cs = minhashSignatures(corpus, idCol, textCol, k, n)
+    val bs = minhashSignatures(benchmark, idCol, textCol, k, n)
+    val candidates = bandKeys(cs, nBands, nRows)
+      .join(broadcast(bandKeys(bs, nBands, nRows)
+        .withColumnRenamed("doc_id", "bench_id")), Seq("band_key"))
+      .select("doc_id", "bench_id").distinct()
+    candidates
+      .join(cs.select(col("doc_id"), col("hs").as("c_hs")), Seq("doc_id"))
+      .join(broadcast(bs.select(col("doc_id").as("bench_id"), col("hs").as("b_hs"))),
+        Seq("bench_id"))
+      .withColumn("inter", size(array_intersect(col("c_hs"), col("b_hs"))).cast("long"))
+      .withColumn("uni", (size(col("c_hs")) + size(col("b_hs"))).cast("long") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id", "bench_id", "inter", "uni", "jaccard")
   }
 
   /** Directed n-gram containment pairs: `(a_id, b_id)` means a_id's

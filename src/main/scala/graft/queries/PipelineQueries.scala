@@ -144,6 +144,20 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // FUZZY decontamination: near-copies of benchmark docs (tail-extended,
+    // shifted ids) hide among the corpus; exact shingle-count probes see
+    // diluted verbatim overlap, Jaccard at 0.5 still flags them
+    "p14_fuzzy_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val bench = d.filter(col("doc_id") < 50)
+      val corpus = d.filter(col("doc_id") >= 50).unionByName(
+        bench.select((col("doc_id") + 600000).as("doc_id"),
+          concat(col("text"), lit(" uu vv ww")).as("text")))
+      Dedup.fuzzyContamination(corpus, bench, "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
     // deterministic md5-hash train/val/test split — stable under
     // reshuffles, retries, and engine changes (never rand())
     "p04_hash_split" -> ((s, dir) => {
@@ -864,6 +878,37 @@ object PipelineQueries {
          |  FROM documents WHERE lang IN (SELECT lang FROM w))
          |SELECT doc_id, lang FROM r JOIN q USING (lang)
          |WHERE rk <= quota ORDER BY doc_id""".stripMargin,
+
+    // exact bipartite Jaccard — the LSH layout is recall-1.0 by
+    // construction at fixture scale, so the exact form IS the oracle
+    "p14_fuzzy_decontaminate" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |bench AS (SELECT doc_id, text FROM d WHERE doc_id < 50),
+        |corpus AS (
+        |  SELECT doc_id, text FROM d WHERE doc_id >= 50
+        |  UNION ALL
+        |  SELECT doc_id + 600000, text || ' uu vv ww' FROM bench),
+        |ctok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM corpus),
+        |csh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |  FROM ctok WHERE len(tk) >= 3),
+        |cn AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY doc_id),
+        |btok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM bench),
+        |bsh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |  FROM btok WHERE len(tk) >= 3),
+        |bn AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY doc_id),
+        |p AS (
+        |  SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS inter
+        |  FROM csh c JOIN bsh b ON c.s = b.s GROUP BY 1, 2)
+        |SELECT p.doc_id, p.bench_id, p.inter,
+        |  cn.n + bn.n - p.inter AS uni,
+        |  CAST(p.inter AS DOUBLE) / (cn.n + bn.n - p.inter) AS jaccard
+        |FROM p JOIN cn ON p.doc_id = cn.doc_id JOIN bn ON p.bench_id = bn.doc_id
+        |WHERE CAST(p.inter AS DOUBLE) / (cn.n + bn.n - p.inter) >= 0.5
+        |ORDER BY p.doc_id, p.bench_id""".stripMargin,
 
     // span-dedup replica: positional k-gram hashes, keep-first by
     // row_number over (doc_id, pos), range-join cover mask, ordered

@@ -222,6 +222,34 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == ((1L, 1L, "delta four")))
   }
 
+  test("fuzzyContamination: catches the rewrite the exact probe dilutes; == exact bipartite Jaccard") {
+    import spark.implicits._
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val bench = Seq(1L -> benchText).toDF("doc_id", "text")
+    val corpus = Seq(
+      100L -> (benchText + " extra tail"),  // near-copy: high Jaccard
+      200L -> "one two three four five six seven eight nine ten",
+      300L -> "alpha beta different words entirely here now today maybe soon")
+      .toDF("doc_id", "text")
+    val out = Dedup.fuzzyContamination(corpus, bench, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+    // exact reference: 3-gram shingle sets, pairwise Jaccard
+    def sh(t: String) = t.split("\\s+").toSeq.sliding(3).map(_.mkString(" ")).toSet
+    val expected = (for {
+      (cid, ct) <- Seq(100L -> (benchText + " extra tail"),
+        200L -> "one two three four five six seven eight nine ten",
+        300L -> "alpha beta different words entirely here now today maybe soon")
+      inter = sh(ct).intersect(sh(benchText)).size
+      uni = sh(ct).union(sh(benchText)).size
+      j = inter.toDouble / uni
+      if j >= 0.5
+    } yield (cid, 1L, j)).toSet
+    assert(out == expected, s"got $out want $expected")
+    assert(out.exists(_._1 == 100L), "the near-copy must be flagged")
+    assert(!out.exists(_._1 == 300L), "a shared-prefix doc below threshold stays clean")
+  }
+
   test("dedupSpans: first occurrence survives, cross-doc and intra-doc runs are cut") {
     import spark.implicits._
     val docs = Seq(
