@@ -344,6 +344,40 @@ class IndexStateSpec extends SparkSpec {
     assert(stateIds(new TxnLogState(dir, spark, B)) == Set("b", "c", "d"))
   }
 
+  test("TxnLogState: a hammering reader thread never desynchronizes the commit slot sequence") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft_txn").toString
+    val st = new TxnLogState(dir, spark, B)
+    @volatile var stop = false
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // refresh() runs between every commit's slot claim and cache publish;
+    // commit must set lastSeen to ITS slot (not increment) or the next
+    // commit would claim a slot past the end and leave a hole
+    val refresher = new Thread(() => {
+      while (!stop) {
+        try { st.currentVersion; st.liveBuckets }
+        catch { case e: Throwable => errs.add(e); stop = true }
+      }
+    })
+    refresher.start()
+    try {
+      for (i <- 0 until 10)
+        MutationStream.applyBatch(spark, st, ops(("add", s"k$i")), i.toLong)
+    } finally { stop = true; refresher.join() }
+    assert(errs.isEmpty, s"reader thread failed: ${errs.asScala.map(_.toString)}")
+    val slotIds = {
+      val fs = Files.list(Paths.get(dir, "_txnlog"))
+      try fs.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".txn")).map(_.takeWhile(_ != '.').toLong).toSeq.sorted
+      finally fs.close()
+    }
+    assert(slotIds == (0L until 10L), s"slots must be contiguous: $slotIds")
+    val expected = (0 until 10).map("k" + _).toSet
+    assert(stateIds(st) == expected)
+    assert(stateIds(new TxnLogState(dir, spark, B)) == expected,
+      "a fresh fold must agree with the writer's cached view")
+  }
+
   test("TxnLogState: the bucket count is pinned in the log's meta action, not the session") {
     val dir = Files.createTempDirectory("graft_txn").toString
     val st = new TxnLogState(dir, spark, B)
