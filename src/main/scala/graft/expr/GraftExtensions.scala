@@ -85,6 +85,12 @@ object GraftExtensions {
       (es: Seq[Expression]) => MinHashSig(es(0), intLit(es(1), "minhash_sig"))),
     ("simhash", mkInfo("simhash", "simhash fingerprint of text"),
       (es: Seq[Expression]) => SimHash(es(0), intLit(es(1), "simhash"))),
+    ("kgram_hashes60", mkInfo("kgram_hashes60", "positional 60-bit md5 hashes of word k-grams"),
+      (es: Seq[Expression]) => KgramHashes60(es(0), intLit(es(1), "kgram_hashes60"))),
+    ("remove_token_spans", mkInfo("remove_token_spans",
+      "drop tokens covered by k-token windows at the given 1-based starts"),
+      (es: Seq[Expression]) => RemoveTokenSpans(es(0), es(1),
+        intLit(es(2), "remove_token_spans"))),
     ("winnow_hashes", mkInfo("winnow_hashes", "winnowing fingerprint hashes of text"),
       (es: Seq[Expression]) => WinnowHashes(es(0), intLit(es(1), "winnow_hashes"),
         intLit(es(2), "winnow_hashes"))),

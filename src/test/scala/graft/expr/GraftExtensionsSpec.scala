@@ -28,6 +28,16 @@ class GraftExtensionsSpec extends SparkSpec {
       hfunctions.minhash_sig(hfunctions.shingle_hashes60(col("t"), 3), 4).as("mh")).head
     assert(viaSql == viaScala)
 
+    val spans = spark.sql(
+      """SELECT kgram_hashes60(t, 3) AS kh,
+        |       remove_token_spans(t, array(2L), 3) AS rs FROM gx_t""".stripMargin).head
+    val spansScala = df.select(
+      hfunctions.kgram_hashes60(col("t"), 3).as("kh"),
+      hfunctions.remove_token_spans(col("t"), array(lit(2L)), 3).as("rs")).head
+    assert(spans == spansScala)
+    assert(spans.getString(1) == "the jumps over the lazy dog",
+      "window at 2 covers tokens 2-4 (quick brown fox)")
+
     val rt = spark.sql("SELECT unformat_key(format_key('my-table', 'row-1')) AS ks")
       .head.getSeq[String](0)
     assert(rt == Seq("my-table", "row-1"))
