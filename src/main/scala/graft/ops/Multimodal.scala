@@ -177,6 +177,64 @@ object Multimodal {
     }
   }
 
+  case class ResizedImage(
+      doc_id: Long, width: Int, height: Int,
+      new_w: Int, new_h: Int, pixel_sum: Long)
+
+  /** Integer fit-to-box: never upscale; the binding axis hits its max and
+    * the other scales by exact integer division (floor, min 1). All-
+    * integer so the target dims are bit-identical on any engine. */
+  private[ops] def fitWithin(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) =
+    if (w <= maxW && h <= maxH) (w, h)
+    else if (w.toLong * maxH >= h.toLong * maxW)
+      (maxW, math.max(1, (h.toLong * maxW / w).toInt))
+    else
+      (math.max(1, (w.toLong * maxH / h).toInt), maxH)
+
+  /** REAL image resize (the thumbnail/normalize step of a multimodal
+    * ingest): full ImageIO decode, aspect-preserving [[fitWithin]] scale
+    * (never upscales), redraw into a fresh RGB raster, and a checksum
+    * over the RESIZED pixels — reading the new raster back is what
+    * proves the scale actually ran, not just the dim arithmetic. Runs
+    * per-partition like every decoder-seam operator (one JVM decode
+    * pipeline per partition, no driver involvement). Undecodable
+    * payloads yield (-1, …) instead of failing the row — the engine's
+    * decode-failure convention. Output: (doc_id, width, height, new_w,
+    * new_h, pixel_sum) with width/height the SOURCE dims. */
+  def resizeImages(media: DataFrame, maxW: Int, maxH: Int): Dataset[ResizedImage] = {
+    require(maxW > 0 && maxH > 0, s"bounds must be positive: ${maxW}x$maxH")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // in-memory streams, no temp files
+      it.map { r =>
+        val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        catch { case _: Exception => null }
+        if (img == null) ResizedImage(r.doc_id, -1, -1, -1, -1, -1L)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val (nw, nh) = fitWithin(w, h, maxW, maxH)
+          val dst = new java.awt.image.BufferedImage(nw, nh,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try g.drawImage(img, 0, 0, nw, nh, null) finally g.dispose()
+          var sum = 0L
+          var y = 0
+          while (y < nh) {
+            var x = 0
+            while (x < nw) {
+              val p = dst.getRGB(x, y)
+              sum += ((p >>> 16) & 0xff) + ((p >>> 8) & 0xff) + (p & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          ResizedImage(r.doc_id, w, h, nw, nh, sum)
+        }
+      }
+    }
+  }
+
   /** Per-partition imperative decode + feature extraction. */
   def extractFeatures(media: DataFrame, decoder: MediaDecoder = StubDecoder): DataFrame = {
     val spark = media.sparkSession

@@ -538,6 +538,36 @@ object PipelineQueries {
       Multimodal.extractFeatures(media, Multimodal.ImageIODecoder)
         .select(col("doc_id"), col("width"), col("height"))
         .orderBy(col("doc_id"))
+    }),
+
+    // REAL image resize under the oracle gate: solid-color PNGs with
+    // id-arithmetic dims and fill; any resize of a solid image is that
+    // solid at the new dims, so the checksum over the RESIZED raster
+    // (pixel_sum = nw*nh*3*c) is exactly predictable — while still
+    // requiring the decode → scale → re-read pipeline to really run
+    "m06_media_resize" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val w = 1 + (id % 64).toInt
+            val h = 1 + (id % 48).toInt
+            val c = 20 + (id % 200).toInt
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = img.createGraphics()
+            try { g.setColor(new java.awt.Color(c, c, c)); g.fillRect(0, 0, w, h) }
+            finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (id, "image/png", bos.toByteArray)
+          }
+        }.toDF("doc_id", "mime", "payload")
+      Multimodal.resizeImages(media, maxW = 32, maxH = 32)
+        .toDF()
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1319,6 +1349,30 @@ object PipelineQueries {
         |  CAST(len(tk[chunk_id * 80 + 1 : chunk_id * 80 + 100]) AS BIGINT) AS n_chunk_tokens,
         |  array_to_string(tk[chunk_id * 80 + 1 : chunk_id * 80 + 100], ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // fit-to-box replica in exact integer arithmetic; the solid fill
+    // makes the resized-raster checksum nw*nh*3*c
+    "m06_media_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 64 AS BIGINT) AS w,
+        |    CAST(1 + doc_id % 48 AS BIGINT) AS h,
+        |    CAST(20 + doc_id % 200 AS BIGINT) AS c
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, w, h, c,
+        |    CASE WHEN w <= 32 AND h <= 32 THEN w
+        |         WHEN w * 32 >= h * 32 THEN 32
+        |         ELSE greatest(1, w * 32 // h) END AS nw,
+        |    CASE WHEN w <= 32 AND h <= 32 THEN h
+        |         WHEN w * 32 >= h * 32 THEN greatest(1, h * 32 // w)
+        |         ELSE 32 END AS nh
+        |  FROM dims)
+        |SELECT doc_id,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(nw AS INT) AS new_w, CAST(nh AS INT) AS new_h,
+        |  nw * nh * 3 * c AS pixel_sum
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // the PNG dims are pure id arithmetic — if the real decoder misreads
     // a header, width/height diverge and the hash comparison fails

@@ -58,6 +58,39 @@ class MultimodalSpec extends SparkSpec {
     assert(got == Seq((1L, 3, 2), (2L, 7, 5), (3L, -1, -1)))
   }
 
+  test("fitWithin: aspect-preserving integer fit, never upscales, floors at 1") {
+    assert(Multimodal.fitWithin(10, 10, 32, 32) == ((10, 10)), "inside the box: unchanged")
+    assert(Multimodal.fitWithin(64, 48, 32, 32) == ((32, 24)), "width binds")
+    assert(Multimodal.fitWithin(48, 64, 32, 32) == ((24, 32)), "height binds")
+    assert(Multimodal.fitWithin(64, 1, 32, 32) == ((32, 1)), "thin strip floors at 1")
+    assert(Multimodal.fitWithin(100, 50, 10, 40) == ((10, 5)), "asymmetric box")
+  }
+
+  test("resizeImages: real decode + scale; solid fill checks out; junk degrades") {
+    import spark.implicits._
+    def solid(w: Int, h: Int, c: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try { g.setColor(new java.awt.Color(c, c, c)); g.fillRect(0, 0, w, h) }
+      finally g.dispose()
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val media = Seq(
+      (1L, "image/png", solid(64, 48, 100)),  // scales to 32x24
+      (2L, "image/png", solid(8, 8, 7)),      // inside the box: untouched
+      (3L, "application/octet-stream", Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "mime", "payload")
+    val got = Multimodal.resizeImages(media, 32, 32)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert((got(1L).width, got(1L).height, got(1L).new_w, got(1L).new_h) == ((64, 48, 32, 24)))
+    assert(got(1L).pixel_sum == 32L * 24 * 3 * 100,
+      s"resized raster of a solid image must stay solid: ${got(1L)}")
+    assert((got(2L).new_w, got(2L).new_h, got(2L).pixel_sum) == ((8, 8, 8L * 8 * 3 * 7)))
+    assert(got(3L).width == -1 && got(3L).pixel_sum == -1L, "junk degrades, never throws")
+  }
+
   test("chunk/sample frame shapes agree with a brute-force reference") {
     import spark.implicits._
     val payload = (0 until 100).map(_.toByte).toArray
