@@ -253,16 +253,24 @@ object Dedup {
       .select("a_id", "b_id", "inter", "uni", "jaccard")
   }
 
-  /** Band keys of a signature frame: band index + the band's signature
-    * slice, as one string — no extra hashing; the shuffle key is small
-    * and engine-portable. (doc_id, band_key) rows, one per band. */
+  /** Band keys of one minhash signature as an ARRAY column: band index +
+    * the band's signature slice, as one string — no extra hashing; the
+    * key is small and engine-portable. The projection form map-only
+    * (streaming) callers compose with `arrays_overlap` against a
+    * broadcast benchmark key set; batch pair search explodes it
+    * ([[bandKeys]]). The signature must be non-empty with length ≥
+    * nBands·nRows ([[minhashSignatures]] guarantees both). */
+  def bandKeyArray(sig: Column, nBands: Int, nRows: Int): Column =
+    array((0 until nBands).map { bnd =>
+      concat_ws("_",
+        (lit(bnd.toString) +:
+          (1 to nRows).map(r => element_at(sig, bnd * nRows + r))): _*)
+    }: _*)
+
+  /** (doc_id, band_key) rows of a signature frame, one per band. */
   private def bandKeys(sigs: DataFrame, nBands: Int, nRows: Int): DataFrame =
-    sigs.select(col("doc_id"), explode(
-      array((0 until nBands).map { bnd =>
-        concat_ws("_",
-          (lit(bnd.toString) +:
-            (1 to nRows).map(r => element_at(col("sig"), bnd * nRows + r))): _*)
-      }: _*)).as("band_key"))
+    sigs.select(col("doc_id"),
+      explode(bandKeyArray(col("sig"), nBands, nRows)).as("band_key"))
 
   /** FUZZY benchmark decontamination: every (corpus doc, benchmark doc)
     * pair whose n-gram Jaccard reaches `threshold` — the near-duplicate

@@ -374,6 +374,54 @@ object ExtendedQueries {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // streaming FUZZY contamination gate (p14's stream twin): per-doc
+    // minhash band keys are a map-only projection; a doc is a candidate
+    // iff its keys overlap the broadcast benchmark key set, and ONLY
+    // candidates pay the exact verify against the broadcast benchmark
+    // hash sets (a when()-gated lambda — clean docs never intersect
+    // anything). Stateless end to end: no watermark, no state store,
+    // the streaming shape that survives unbounded ingest.
+    "s09_stream_fuzzy_gate" -> ((s, dir) => {
+      val work = scratchDir("graft_s09")
+      val d = t(s, dir, "documents")
+      val bench = d.filter(col("doc_id") < 50).select(col("doc_id"), col("text"))
+      d.filter(col("doc_id") >= 50).select(col("doc_id"), col("text"))
+        .unionByName(bench.select((col("doc_id") + 600000).as("doc_id"),
+          concat(col("text"), lit(" uu vv ww")).as("text")))
+        .coalesce(4).write.mode("overwrite").parquet(s"$work/log")
+      val (nBands, nRows) = Dedup.minhashConfigFor(0.5)
+      val k = nBands * nRows
+      val benchSide = broadcast(
+        Dedup.minhashSignatures(bench, "doc_id", "text", k, 3)
+          .select(col("hs"), Dedup.bandKeyArray(col("sig"), nBands, nRows).as("bks"))
+          .agg(array_distinct(flatten(collect_list(col("bks")))).as("bench_bks"),
+            collect_list(col("hs")).as("bench_sets")))
+      val logSchema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("text", "string")
+      val q = s.readStream.schema(logSchema).parquet(s"$work/log")
+        .select(col("doc_id"), shingle_hashes60(col("text"), 3).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .select(col("doc_id"), col("hs"),
+          Dedup.bandKeyArray(minhash_sig(col("hs"), k), nBands, nRows).as("bks"))
+        .crossJoin(benchSide)
+        .withColumn("contaminated",
+          when(arrays_overlap(col("bks"), col("bench_bks")),
+            exists(col("bench_sets"), b => {
+              val inter = size(array_intersect(col("hs"), b))
+              val uni = size(col("hs")) + size(b) - inter
+              inter.cast("double") / uni >= 0.5
+            })).otherwise(lit(false)))
+        .select(col("doc_id"), col("contaminated"))
+        .writeStream
+        .format("memory").queryName("s09_gate")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ckpt")
+        .start()
+      q.awaitTermination()
+      s.table("s09_gate").orderBy(col("doc_id"))
+    }),
+
     // frame chunking: typed flatMap (one row in → N frame rows out)
     "m02_media_chunks" -> ((s, dir) => {
       Multimodal.chunkFrames(Multimodal.toMedia(t(s, dir, "documents")), 32)
@@ -946,6 +994,41 @@ object ExtendedQueries {
          |WHERE qual.q >= 0.2 AND coalesce(h.hits, 0) < 5
          |ORDER BY c.doc_id""".stripMargin
     },
+
+    // exact per-doc contamination flag: LSH candidates are recall-1.0 at
+    // the derived layout and verified exactly, so the stream gate's flag
+    // equals the exact bipartite-Jaccard flag (docs with no shingles are
+    // outside the gate on both sides)
+    "s09_stream_fuzzy_gate" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |bench AS (SELECT doc_id, text FROM d WHERE doc_id < 50),
+        |corpus AS (
+        |  SELECT doc_id, text FROM d WHERE doc_id >= 50
+        |  UNION ALL
+        |  SELECT doc_id + 600000, text || ' uu vv ww' FROM bench),
+        |ctok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM corpus),
+        |csh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |  FROM ctok WHERE len(tk) >= 3),
+        |cn AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY doc_id),
+        |btok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM bench),
+        |bsh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |  FROM btok WHERE len(tk) >= 3),
+        |bn AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY doc_id),
+        |p AS (
+        |  SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS inter
+        |  FROM csh c JOIN bsh b ON c.s = b.s GROUP BY 1, 2),
+        |j AS (
+        |  SELECT p.doc_id,
+        |    CAST(p.inter AS DOUBLE) / (cn.n + bn.n - p.inter) AS jac
+        |  FROM p JOIN cn ON p.doc_id = cn.doc_id JOIN bn ON p.bench_id = bn.doc_id)
+        |SELECT c.doc_id, coalesce(bool_or(j.jac >= 0.5), false) AS contaminated
+        |FROM (SELECT doc_id FROM ctok WHERE len(tk) >= 3) c
+        |LEFT JOIN j ON c.doc_id = j.doc_id
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
 
     "x25_sql_surface" ->
       """WITH k AS (SELECT CAST(c_custkey AS VARCHAR) AS id FROM customer)
