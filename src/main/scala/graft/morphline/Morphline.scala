@@ -69,6 +69,16 @@ object Morphline {
     * field (existing values stay — the add-alongside merge the forced
     * `morphlineField.*` params use). */
   case class AddValues(fields: Seq[(String, Seq[String])]) extends Command
+  /** Kite `extractURIComponents`: parse a URI-valued field and add its
+    * components as `<prefix>scheme/host/port/path/query/fragment`
+    * fields. Kite parses with `java.net.URI`; here each component is a
+    * codegen'd regex over the RFC-3986 generic syntax — same answers on
+    * well-formed absolute URIs, and an absent component adds no field
+    * (Kite's missing-node convention). */
+  case class ExtractUriComponents(inputField: String, prefix: String) extends Command
+  /** Kite `toLowerCase` / `toUpperCase`: rewrite every value of a field
+    * in place (missing field stays missing). */
+  case class ChangeCase(field: String, upper: Boolean) extends Command
   /** Kite `extractJsonPaths` (kite-morphlines-json): extract nodes of a
     * JSON document into record fields by `/slash/separated` paths. Kite
     * reads the JSON from the record's attachment (a `readJson` product);
@@ -163,6 +173,14 @@ object Morphline {
         SetValues(fs.map { case (k, v) => k -> literalValues("setValues", k, v) })
       case JObject(List(("addValues", JObject(fs)))) =>
         AddValues(fs.map { case (k, v) => k -> literalValues("addValues", k, v) })
+      case JObject(List(("extractURIComponents", body))) =>
+        ExtractUriComponents(
+          inputField = (body \ "inputField").extract[String],
+          prefix = (body \ "outputFieldPrefix").extractOpt[String].getOrElse(""))
+      case JObject(List(("toLowerCase", body))) =>
+        ChangeCase((body \ "field").extract[String], upper = false)
+      case JObject(List(("toUpperCase", body))) =>
+        ChangeCase((body \ "field").extract[String], upper = true)
       case JObject(List(("extractJsonPaths", body))) =>
         val paths = (body \ "paths") match {
           case JObject(ps) => ps.map {
@@ -317,6 +335,26 @@ object Morphline {
       mergeDocs(d, map_from_arrays(
         array(fields.map(f => lit(f._1)): _*),
         array(fields.map(f => array(f._2.map(lit(_)): _*)): _*)))
+    case ExtractUriComponents(in, prefix) => let(d) { doc =>
+      val v = firstValue(doc, in)
+      // RFC-3986 generic syntax, componentwise; "" extracts = absent
+      val comps: Seq[(String, Column)] = Seq(
+        "scheme" -> regexp_extract(v, "^([A-Za-z][A-Za-z0-9+.-]*):", 1),
+        "host" -> regexp_extract(v, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1),
+        "port" -> regexp_extract(v, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]*:(\\d+)", 1),
+        "path" -> regexp_extract(v, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+        "query" -> regexp_extract(v, "\\?([^#]*)", 1),
+        "fragment" -> regexp_extract(v, "#(.*)$", 1))
+      comps.foldLeft(doc) { case (dd, (name, c)) =>
+        putField(dd, prefix + name,
+          when(v.isNotNull && length(c) > 0, array(c)))
+      }
+    }
+    case ChangeCase(f, up) => let(d) { doc =>
+      val vs = try_element_at(doc, lit(f))
+      val rewrite: Column => Column = if (up) upper(_) else lower(_)
+      putField(doc, f, when(vs.isNotNull, transform(vs, rewrite)))
+    }
     case ExtractJsonPaths(in, flatten, paths) => let(d) { doc =>
       val v = firstValue(doc, in)
       paths.foldLeft(doc) { case (dd, (out, p)) =>

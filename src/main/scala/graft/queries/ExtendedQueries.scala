@@ -601,6 +601,41 @@ object ExtendedQueries {
         .orderBy(col("id"))
     }),
 
+    // morphline URI family: URLs synthesized from base columns ride a
+    // cell into extractURIComponents + toLowerCase; the oracle
+    // reconstructs every component from the same base arithmetic, so the
+    // regex parse is ground-truthed (absent fragment ⇒ no field ⇒ null)
+    "x31_morphline_uri" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val url = concat(lit("https://Shop"), (col("c_custkey") % 7).cast("string"),
+        lit(".Example.com:"), (lit(8000) + col("c_custkey") % 3).cast("string"),
+        lit("/seg/"), col("c_mktsegment"),
+        lit("?cust="), col("c_custkey").cast("string"))
+      val cells = cust.select(
+        col("c_custkey").cast("long").as("id"),
+        array(struct(
+          lit("info").as("family"), lit("url").as("qualifier"),
+          lit(0L).as("ts"), lit("put").as("cellType"),
+          url.as("value"))).as("cells"))
+      val chain =
+        """{"commands": [
+          |  {"extractHBaseCells": {"mappings": [
+          |    {"inputColumn": "info:url", "outputField": "u"}]}},
+          |  {"extractURIComponents": {"inputField": "u", "outputFieldPrefix": "uri_"}},
+          |  {"toLowerCase": {"field": "uri_host"}}
+          |]}""".stripMargin
+      val doc = graft.morphline.Morphline(chain)(col("cells"))
+      cells.select(col("id"), doc.as("doc"))
+        .select(col("id"),
+          element_at(col("doc")("uri_scheme"), 1).as("scheme"),
+          element_at(col("doc")("uri_host"), 1).as("host"),
+          element_at(col("doc")("uri_port"), 1).as("port"),
+          element_at(col("doc")("uri_path"), 1).as("path"),
+          element_at(col("doc")("uri_query"), 1).as("query"),
+          try_element_at(try_element_at(col("doc"), lit("uri_fragment")), lit(1)).as("fragment"))
+        .orderBy(col("id"))
+    }),
+
     // morphline breadth past the reference's own test corpus: grok
     // (regex group extraction), split (multi-valued fan-out) and
     // convertTimestamp (format re-render via a forced field), chained
@@ -1363,6 +1398,18 @@ object ExtendedQueries {
         |  string_split(c_name, '#')[1] AS p1,
         |  string_split(c_name, '#')[2] AS p2,
         |  '1709288100000' AS when_ms
+        |FROM customer ORDER BY id""".stripMargin,
+
+    // URI components reconstructed from the same base arithmetic; host
+    // lowercased by the chain, fragment absent -> NULL
+    "x31_morphline_uri" ->
+      """SELECT c_custkey AS id,
+        |  'https' AS scheme,
+        |  'shop' || CAST(c_custkey % 7 AS VARCHAR) || '.example.com' AS host,
+        |  CAST(8000 + c_custkey % 3 AS VARCHAR) AS port,
+        |  '/seg/' || c_mktsegment AS path,
+        |  'cust=' || CAST(c_custkey AS VARCHAR) AS query,
+        |  CAST(NULL AS VARCHAR) AS fragment
         |FROM customer ORDER BY id""".stripMargin,
 
     // the JSON round-trip ground truth: every extracted value must equal

@@ -227,6 +227,40 @@ class MorphlineSpec extends SparkSpec {
       s"flatten=false keeps the array node as one JSON-text value: $unflat")
   }
 
+  test("extractURIComponents: RFC components by field; absent parts add no field; case commands") {
+    import spark.implicits._
+    val uriCells = Seq(("r1", "HTTPS://User@Sub.Host.COM:8443/a/b?x=1&y=2#frag"),
+        ("r2", "http://plain.org/p"))
+      .toDF("rowKey", "v")
+      .select(col("rowKey"), array(struct(
+        lit("info").as("family"), lit("url").as("qualifier"),
+        lit(0L).as("ts"), lit("put").as("cellType"), col("v").as("value"))).as("cells"))
+    val chain =
+      """{"commands": [
+        |  {"extractHBaseCells": {"mappings": [
+        |    {"inputColumn": "info:url", "outputField": "u"}]}},
+        |  {"extractURIComponents": {"inputField": "u", "outputFieldPrefix": "uri_"}},
+        |  {"toLowerCase": {"field": "uri_host"}},
+        |  {"toUpperCase": {"field": "uri_scheme"}}
+        |]}""".stripMargin
+    val docs = uriCells.select(col("rowKey"), Morphline(chain)(col("cells")).as("doc"))
+      .collect().map(r => r.getString(0) ->
+        r.getMap[String, scala.collection.Seq[String]](1)).toMap
+    val d1 = docs("r1")
+    assert(d1.get("uri_scheme").map(_.toList).contains(List("HTTPS")))
+    assert(d1.get("uri_host").map(_.toList).contains(List("sub.host.com")),
+      s"host must drop userinfo/port and lowercase: $d1")
+    assert(d1.get("uri_port").map(_.toList).contains(List("8443")))
+    assert(d1.get("uri_path").map(_.toList).contains(List("/a/b")))
+    assert(d1.get("uri_query").map(_.toList).contains(List("x=1&y=2")))
+    assert(d1.get("uri_fragment").map(_.toList).contains(List("frag")))
+    val d2 = docs("r2")
+    assert(d2.get("uri_path").map(_.toList).contains(List("/p")))
+    assert(!d2.contains("uri_port") && !d2.contains("uri_query") &&
+      !d2.contains("uri_fragment"),
+      s"absent components must add no fields: $d2")
+  }
+
   test("forced fields pass through sanitizeUnknownSolrFields like any record field") {
     val sanitized =
       """{"commands": [
