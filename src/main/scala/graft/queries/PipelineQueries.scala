@@ -331,6 +331,43 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the round-7 curation pipeline end-to-end: exact-substring span
+    // dedup (every doc carries its successor's text — the head is cut
+    // wherever the predecessor's tail got there first) → fuzzy benchmark
+    // decontamination on the CLEANED text (tail-extended bench
+    // near-copies must fall) → temperature-scaled mixture (sqrt
+    // smoothing) → deterministic sequence packing; each stage a library
+    // operator, the whole chain under one oracle
+    "p15_span_curation_pack" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"), col("lang"))
+      val bench = d.filter(col("doc_id") < 50).select(col("doc_id"), col("text"))
+      val base = d.filter(col("doc_id") >= 50).select(col("doc_id"), col("text"))
+      val succ = base.select((col("doc_id") - 1).as("doc_id"), col("text").as("next_text"))
+      val synth = base.join(succ, Seq("doc_id"))
+        .select(col("doc_id"), concat_ws(" ", col("text"), col("next_text")).as("text"))
+        .unionByName(bench.select((col("doc_id") + 600000).as("doc_id"),
+          concat(col("text"), lit(" uu vv ww")).as("text")))
+      val spanned = Dedup.dedupSpans(synth, "doc_id", "text", k = 8)
+        .filter(col("n_tokens") > col("n_removed"))
+        .select(col("doc_id"), col("clean_text"))
+      val flagged = Dedup.fuzzyContamination(
+          spanned.select(col("doc_id"), col("clean_text").as("text")), bench,
+          "doc_id", "text", n = 3, threshold = 0.5)
+        .select(col("doc_id")).distinct()
+      val decon = spanned.join(flagged, Seq("doc_id"), "left_anti")
+        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val balanced = graft.ops.Sampling.temperatureMixture(
+        decon.select(col("doc_id"), col("lang"), col("clean_text")),
+        "doc_id", "lang", alpha = 0.5)
+      val counted = balanced.select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("clean_text")).as("n_tokens"))
+      graft.ops.Sampling.packSequences(counted, "doc_id", "n_tokens", seqLen = 256L)
+        .join(counted.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("start_off"), col("seq_first"), col("seq_last"))
+        .orderBy(col("doc_id"))
+    }),
+
     // GPT-style sequence packing: the corpus on one deterministic token
     // tape (id-hash order), cut into 512-token training sequences; each
     // doc reports its tape offset and the sequences it spans
@@ -813,6 +850,96 @@ object PipelineQueries {
          |  start_off // 256 AS seq_first,
          |  (start_off + n_tokens - 1) // 256 AS seq_last
          |FROM o ORDER BY doc_id""".stripMargin,
+
+    // the whole round-7 chain replayed: d15's keep-first cover-mask CTEs
+    // → p14's exact bipartite-Jaccard flag → p13's sqrt-weight
+    // water-filling → p11's tape window, one SQL statement
+    "p15_span_curation_pack" -> {
+      val k = 8
+      val gram = (0 until k).map(j => if (j == 0) "tk[i]" else s"tk[i+$j]")
+        .mkString(" || ' ' || ")
+      s"""WITH dd AS (SELECT doc_id, text, lang FROM documents),
+         |bench AS (SELECT doc_id, text FROM dd WHERE doc_id < 50),
+         |base AS (SELECT doc_id, text FROM dd WHERE doc_id >= 50),
+         |synth AS (
+         |  SELECT a.doc_id, a.text || ' ' || b.text AS text
+         |  FROM base a JOIN base b ON b.doc_id = a.doc_id + 1
+         |  UNION ALL
+         |  SELECT doc_id + 600000, text || ' uu vv ww' FROM bench),
+         |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM synth),
+         |kgs AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - ${k - 1}),
+         |          i -> {'pos': i, 'h': ${h60sql(gram)}})) AS u
+         |        FROM tok WHERE len(tk) >= $k),
+         |kg AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM kgs),
+         |krk AS (SELECT doc_id, pos,
+         |          row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS r FROM kg),
+         |dup AS (SELECT doc_id, pos FROM krk WHERE r > 1),
+         |tks AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)),
+         |          i -> {'j': i, 'w': tk[i]})) AS u FROM tok),
+         |toks AS (SELECT doc_id, u.j AS j, u.w AS w FROM tks),
+         |rem AS (SELECT DISTINCT t.doc_id, t.j FROM toks t JOIN dup dp
+         |        ON dp.doc_id = t.doc_id AND t.j >= dp.pos AND t.j <= dp.pos + ${k - 1}),
+         |cleaned AS (
+         |  SELECT t.doc_id,
+         |    coalesce(string_agg(t.w, ' ' ORDER BY t.j) FILTER (WHERE r.j IS NULL), '')
+         |      AS clean_text,
+         |    count(*) - count(r.j) AS n_kept
+         |  FROM toks t LEFT JOIN rem r ON r.doc_id = t.doc_id AND r.j = t.j
+         |  GROUP BY t.doc_id),
+         |surv AS (SELECT doc_id, clean_text FROM cleaned WHERE n_kept > 0),
+         |ctok AS (SELECT doc_id, regexp_split_to_array(trim(clean_text), '\\s+') AS tk FROM surv),
+         |csh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+         |  FROM ctok WHERE len(tk) >= 3),
+         |cn AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY doc_id),
+         |btok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM bench),
+         |bsh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+         |  FROM btok WHERE len(tk) >= 3),
+         |bn AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY doc_id),
+         |pp AS (
+         |  SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS inter
+         |  FROM csh c JOIN bsh b ON c.s = b.s GROUP BY 1, 2),
+         |flagged AS (
+         |  SELECT DISTINCT pp.doc_id
+         |  FROM pp JOIN cn ON pp.doc_id = cn.doc_id JOIN bn ON pp.bench_id = bn.doc_id
+         |  WHERE CAST(pp.inter AS DOUBLE) / (cn.n + bn.n - pp.inter) >= 0.5),
+         |decon AS (
+         |  SELECT sv.doc_id, dd.lang, sv.clean_text
+         |  FROM surv sv JOIN dd ON sv.doc_id = dd.doc_id
+         |  WHERE sv.doc_id NOT IN (SELECT doc_id FROM flagged)),
+         |sz AS (SELECT lang, count(*) AS n FROM decon GROUP BY lang),
+         |w2 AS (SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS wt FROM sz),
+         |ww AS (SELECT sum(wt) AS wsum FROM w2),
+         |t2 AS (SELECT min(w2.n * ww.wsum // w2.wt) AS tt FROM w2 CROSS JOIN ww),
+         |q2 AS (SELECT w2.lang, w2.wt * t2.tt // ww.wsum AS quota
+         |       FROM w2 CROSS JOIN t2 CROSS JOIN ww),
+         |rnk AS (
+         |  SELECT doc_id, lang, clean_text,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${h60sql("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS rk2
+         |  FROM decon),
+         |bal AS (SELECT doc_id, lang, clean_text FROM rnk JOIN q2 USING (lang)
+         |        WHERE rk2 <= quota),
+         |cnt AS (
+         |  SELECT doc_id, lang,
+         |    CAST(CASE WHEN length(trim(clean_text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(clean_text), '\\s+')) END AS BIGINT) AS n_tokens,
+         |    ${h60sql("CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM bal),
+         |tp AS (SELECT * FROM cnt WHERE n_tokens > 0),
+         |o AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+         |  FROM tp)
+         |SELECT doc_id, lang, n_tokens, start_off,
+         |  start_off // 256 AS seq_first,
+         |  (start_off + n_tokens - 1) // 256 AS seq_last
+         |FROM o ORDER BY doc_id""".stripMargin
+    },
 
     // tape replica: one window cumsum in (hash, id) order — the oracle
     // CAN afford the global sort the Spark side avoids via bucketing
