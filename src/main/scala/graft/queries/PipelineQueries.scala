@@ -347,15 +347,23 @@ object PipelineQueries {
         .select(col("doc_id"), concat_ws(" ", col("text"), col("next_text")).as("text"))
         .unionByName(bench.select((col("doc_id") + 600000).as("doc_id"),
           concat(col("text"), lit(" uu vv ww")).as("text")))
+      // materialize the stage boundary: everything downstream (fuzzy
+      // band + verify joins, the anti-join, the mixture census, the
+      // tape histogram) consumes the span-dedup output several times —
+      // without this the whole keep-first DAG re-executes per consumer.
+      // At cluster scale this is the intermediate-table write between
+      // pipeline stages; locally localCheckpoint is its analogue.
       val spanned = Dedup.dedupSpans(synth, "doc_id", "text", k = 8)
         .filter(col("n_tokens") > col("n_removed"))
         .select(col("doc_id"), col("clean_text"))
+        .localCheckpoint()
       val flagged = Dedup.fuzzyContamination(
           spanned.select(col("doc_id"), col("clean_text").as("text")), bench,
           "doc_id", "text", n = 3, threshold = 0.5)
         .select(col("doc_id")).distinct()
       val decon = spanned.join(flagged, Seq("doc_id"), "left_anti")
         .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .localCheckpoint()
       val balanced = graft.ops.Sampling.temperatureMixture(
         decon.select(col("doc_id"), col("lang"), col("clean_text")),
         "doc_id", "lang", alpha = 0.5)
