@@ -447,10 +447,14 @@ object ExtendedQueries {
           graft.ops.TextAnalysis.langId(col("text")).as("lang"),
           graft.ops.TextAnalysis.qualityScore(col("text")).as("q"))
         .filter(col("lang") === "en" && col("q") >= 0.4)
+        // stage boundary: the gated frame feeds the dedup agg, its
+        // semi-join, the LSH pair search, and the anti-join — without
+        // this the compiled langId/quality kernels re-run per consumer
+        .localCheckpoint()
       // exact dedup: keep the lowest doc_id per canonical fingerprint
       val keepers = Dedup.exactGroups(base, "doc_id", "text")
         .select(col("keeper").as("doc_id"))
-      val s1 = base.join(keepers, Seq("doc_id"), "left_semi")
+      val s1 = base.join(keepers, Seq("doc_id"), "left_semi").localCheckpoint()
       // greedy near-dup drop: b goes when a verified pair (a,b), a<b exists
       val dropB = Dedup.minhashLshPairs(s1, "doc_id", "text", 4, 2, 3, 0.5)
         .select(col("b_id").as("doc_id")).distinct()

@@ -188,6 +188,10 @@ object PipelineQueries {
           TextAnalysis.tokenCount(col("text")).as("n_tokens"),
           TextAnalysis.langId(col("text")).as("lang"))
         .filter(col("q") >= 0.2)
+        // stage boundary: scored feeds the contamination probe (twice,
+        // internally), its semi-join, and the dedup chain — materialize
+        // once instead of re-running the compiled kernels per consumer
+        .localCheckpoint()
       val clean = scored.join(
         Dedup.contaminationHits(scored, bench, "doc_id", "text", n = 3, minHits = 5)
           .filter(!col("contaminated")).select("doc_id"),
@@ -195,7 +199,8 @@ object PipelineQueries {
       val keepers = clean.join(
         Dedup.exactGroups(clean, "doc_id", "text").select(col("keeper").as("doc_id")),
         Seq("doc_id"), "left_semi")
-      val sampled = Sampling.stratifiedSample(keepers, "doc_id", "lang", Map("en" -> 500))
+      val sampled = Sampling.stratifiedSample(
+        keepers.localCheckpoint(), "doc_id", "lang", Map("en" -> 500))
       val selected = Sampling.tokenBudget(sampled, "doc_id", "q", "n_tokens", budget = 20000L)
       TextAnalysis.chunk(
           selected.join(d.select("doc_id", "text"), Seq("doc_id")),
@@ -319,11 +324,15 @@ object PipelineQueries {
       val cleaned = Dedup.dedupParagraphs(synth, "doc_id", "text")
         .filter(col("n_kept") > 0)
         .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        // stage boundary: the rebalance census + tiered quota selection
+        // and the packing stages all re-consume this frame
+        .localCheckpoint()
       val balanced = graft.ops.Sampling.rebalanceToMixture(
         cleaned.select(col("doc_id"), col("lang"), col("clean_text")),
         "doc_id", "lang", Map("en" -> 4L, "de" -> 2L, "fr" -> 1L, "es" -> 1L))
       val counted = balanced.select(col("doc_id"), col("lang"),
         TextAnalysis.tokenCount(col("clean_text")).as("n_tokens"))
+        .localCheckpoint()
       graft.ops.Sampling.packSequences(counted, "doc_id", "n_tokens", seqLen = 256L)
         .join(counted.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("n_tokens"),
@@ -369,6 +378,7 @@ object PipelineQueries {
         "doc_id", "lang", alpha = 0.5)
       val counted = balanced.select(col("doc_id"), col("lang"),
         TextAnalysis.tokenCount(col("clean_text")).as("n_tokens"))
+        .localCheckpoint()
       graft.ops.Sampling.packSequences(counted, "doc_id", "n_tokens", seqLen = 256L)
         .join(counted.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("n_tokens"),
