@@ -89,6 +89,19 @@ object Morphline {
     * text). A missing path adds no field, like Kite on an absent node. */
   case class ExtractJsonPaths(inputField: String, flatten: Boolean,
                               paths: Seq[(String, String)]) extends Command
+  /** Kite `contains`: succeeds iff the named field holds at least one of
+    * the given values — the workhorse CONDITION command for `if` and
+    * `tryRules` rule gating. As a transform it is the identity. */
+  case class ContainsCmd(field: String, values: Seq[String]) extends Command
+  /** Kite `if`: run `conditions`; when every condition succeeds the
+    * `then` chain processes the record AS TRANSFORMED by the conditions,
+    * otherwise the `else` chain processes the ORIGINAL record (the same
+    * copy-rollback a rejected [[TryRules]] rule gets — a failed
+    * condition's partial effects are discarded). Failing commands are
+    * the condition commands ([[Grok]] non-match, [[ContainsCmd]] miss);
+    * everything else always succeeds. */
+  case class IfThenElse(cond: Seq[Command], thenCmds: Seq[Command],
+                        elseCmds: Seq[Command]) extends Command
   /** Kite `tryRules`: each rule is a child command chain; rules are tried
     * in order and the FIRST one that succeeds processes the record, the
     * rest are skipped. In this compiled model the only failing command is
@@ -194,6 +207,19 @@ object Morphline {
           inputField = (body \ "inputField").extract[String],
           flatten = (body \ "flatten").extractOpt[Boolean].getOrElse(true),
           paths = paths)
+      case JObject(List(("contains", JObject(fs)))) =>
+        fs match {
+          case List((field, v)) => ContainsCmd(field, literalValues("contains", field, v))
+          case _ => throw new IllegalArgumentException(
+            "contains needs exactly one field: {field: value | [values]}")
+        }
+      case JObject(List(("if", body))) =>
+        // Kite form: conditions/then/else are command ARRAYS directly
+        def chain(key: String): Seq[Command] = (body \ key) match {
+          case org.json4s.JNothing => Nil
+          case v => parseCommandList(v, s"if.$key")
+        }
+        IfThenElse(chain("conditions"), chain("then"), chain("else"))
       case JObject(List(("tryRules", body))) =>
         TryRules((body \ "rules") match {
           case JArray(rs) => rs.map(r => parseCommandList(r \ "commands", "tryRules rule"))
@@ -373,23 +399,40 @@ object Morphline {
     case TryRules(rules) => let(d) { doc =>
       // first-match-wins over the SHARED let-bound input doc (N rules
       // cost one upstream evaluation). Acceptance is SEQUENTIAL, like
-      // Kite running the rule on a record copy: each grok gates on the
-      // doc state produced by the commands BEFORE it in the rule, so a
-      // grok matching against a findReplace'd value sees the rewrite.
+      // Kite running the rule on a record copy: each condition gates on
+      // the doc state produced by the commands BEFORE it in the rule, so
+      // a grok matching against a findReplace'd value sees the rewrite.
       // A rejected rule's partial effects are discarded (the `when`
       // takes the fallback branch), which is Kite's copy-rollback.
       rules.foldRight(doc) { (rule, fallback) =>
-        val (endDoc, accepts) = rule.foldLeft((doc, lit(true))) {
-          case ((cur, cond), g: Grok) =>
-            val v = firstValue(cur, g.inputField)
-            (applyCommand(cur, g), cond && v.isNotNull && v.rlike(g.pattern))
-          case ((cur, cond), c) => (applyCommand(cur, c), cond)
-        }
+        val (endDoc, accepts) = foldRule(doc, rule)
         when(accepts, endDoc).otherwise(fallback)
       }
     }
+    case IfThenElse(condCmds, thenCmds, elseCmds) => let(d) { doc =>
+      val (condDoc, accepts) = foldRule(doc, condCmds)
+      val thenDoc = thenCmds.foldLeft(condDoc)(applyCommand)
+      val elseDoc = elseCmds.foldLeft(doc)(applyCommand) // copy-rollback
+      when(accepts, thenDoc).otherwise(elseDoc)
+    }
+    case _: ContainsCmd => d // identity outside a condition position
     case _ => d
   }
+
+  /** Run a command chain over `doc`, conjoining the acceptance
+    * predicates of its FAILING commands (grok non-match, contains miss)
+    * — the unit [[TryRules]] rules and [[IfThenElse]] conditions share. */
+  private def foldRule(doc: Column, cmds: Seq[Command]): (Column, Column) =
+    cmds.foldLeft((doc, lit(true))) {
+      case ((cur, cond), g: Grok) =>
+        val v = firstValue(cur, g.inputField)
+        (applyCommand(cur, g), cond && v.isNotNull && v.rlike(g.pattern))
+      case ((cur, cond), c: ContainsCmd) =>
+        val vs = coalesce(try_element_at(cur, lit(c.field)),
+          array().cast("array<string>"))
+        (cur, cond && arrays_overlap(vs, array(c.values.map(lit(_)): _*)))
+      case ((cur, cond), c) => (applyCommand(cur, c), cond)
+    }
 
   /** Let-binding for a document expression: each command stage references
     * its input doc several times (map_filter + lookups + merge), and a

@@ -640,6 +640,31 @@ object ExtendedQueries {
         .orderBy(col("id"))
     }),
 
+    // morphline if/contains routing: records route by whether a field
+    // holds one of the given values; the else side must see the record
+    // unchanged (rollback) — the oracle is a CASE expression on base
+    // columns
+    "x32_morphline_if" -> ((s, dir) => {
+      val chain =
+        """{"commands": [
+          |  {"extractHBaseCells": {"mappings": [
+          |    {"inputColumn": "info:mktsegment", "outputField": "seg"}]}},
+          |  {"if": {
+          |    "conditions": [{"contains": {"seg": ["BUILDING", "MACHINERY"]}}],
+          |    "then": [{"setValues": {"route": "industrial"}},
+          |             {"toLowerCase": {"field": "seg"}}],
+          |    "else": [{"setValues": {"route": "consumer"}}]
+          |  }}
+          |]}""".stripMargin
+      val doc = graft.morphline.Morphline(chain)(col("cells"))
+      graft.core.Fixtures.customerCells(s, dir)
+        .select(col("rowKey").cast("long").as("id"), doc.as("doc"))
+        .select(col("id"),
+          element_at(col("doc")("seg"), 1).as("seg"),
+          element_at(col("doc")("route"), 1).as("route"))
+        .orderBy(col("id"))
+    }),
+
     // morphline breadth past the reference's own test corpus: grok
     // (regex group extraction), split (multi-valued fan-out) and
     // convertTimestamp (format re-render via a forced field), chained
@@ -1402,6 +1427,16 @@ object ExtendedQueries {
         |  string_split(c_name, '#')[1] AS p1,
         |  string_split(c_name, '#')[2] AS p2,
         |  '1709288100000' AS when_ms
+        |FROM customer ORDER BY id""".stripMargin,
+
+    // if/contains routing as a CASE on the base column; the then-branch
+    // lowercases seg, the else-branch leaves it untouched
+    "x32_morphline_if" ->
+      """SELECT c_custkey AS id,
+        |  CASE WHEN c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |       THEN lower(c_mktsegment) ELSE c_mktsegment END AS seg,
+        |  CASE WHEN c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |       THEN 'industrial' ELSE 'consumer' END AS route
         |FROM customer ORDER BY id""".stripMargin,
 
     // URI components reconstructed from the same base arithmetic; host

@@ -261,6 +261,39 @@ class MorphlineSpec extends SparkSpec {
       s"absent components must add no fields: $d2")
   }
 
+  test("if/contains: then sees condition-transformed doc, else sees the original (rollback)") {
+    import spark.implicits._
+    def run(name: String) = {
+      val cells = Seq(("r", name)).toDF("rowKey", "v")
+        .select(col("rowKey"), array(struct(
+          lit("info").as("family"), lit("name").as("qualifier"),
+          lit(0L).as("ts"), lit("put").as("cellType"), col("v").as("value"))).as("cells"))
+      val chain =
+        """{"commands": [
+          |  {"extractHBaseCells": {"mappings": [
+          |    {"inputColumn": "info:name", "outputField": "name_s"}]}},
+          |  {"if": {
+          |    "conditions": [
+          |      {"findReplace": {"field": "name_s", "pattern": "al", "replacement": "AL"}},
+          |      {"contains": {"name_s": ["ALice", "ALfred"]}}
+          |    ],
+          |    "then": [{"setValues": {"route": "vip"}}],
+          |    "else": [{"setValues": {"route": "bulk"}}]
+          |  }}
+          |]}""".stripMargin
+      cells.select(Morphline(chain)(col("cells")).as("doc"))
+        .collect().head.getMap[String, scala.collection.Seq[String]](0)
+    }
+    val hit = run("alice")
+    assert(hit.get("route").map(_.toList).contains(List("vip")))
+    assert(hit.get("name_s").map(_.toList).contains(List("ALice")),
+      s"then must see the condition-transformed doc: $hit")
+    val miss = run("bob")
+    assert(miss.get("route").map(_.toList).contains(List("bulk")))
+    assert(miss.get("name_s").map(_.toList).contains(List("bob")),
+      s"else must see the ORIGINAL doc (condition effects rolled back): $miss")
+  }
+
   test("forced fields pass through sanitizeUnknownSolrFields like any record field") {
     val sanitized =
       """{"commands": [
