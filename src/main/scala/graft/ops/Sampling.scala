@@ -206,7 +206,7 @@ object Sampling {
   }
 
   /** floor(sqrt(n)) in exact integer arithmetic (n ≥ 0). */
-  private def isqrt(n: Long): Long = {
+  private[ops] def isqrt(n: Long): Long = {
     var x = math.sqrt(n.toDouble).toLong
     while (x > 0 && x > n / x) x -= 1
     while (x + 1 <= n / (x + 1)) x += 1

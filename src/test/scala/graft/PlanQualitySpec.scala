@@ -225,6 +225,14 @@ class PlanQualitySpec extends SparkSpec {
       "the compiled kernels must be in the plan, not an interpreted HOF chain")
   }
 
+  test("p14 fuzzy decontamination: benchmark side broadcasts everywhere — no SMJ, no cartesian") {
+    val physical = q("p14_fuzzy_decontaminate").queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"),
+      "band + verify joins must broadcast the benchmark side")
+    assert(!physical.contains("SortMergeJoin"), physical.take(800))
+    assert(!physical.contains("CartesianProduct"), physical.take(800))
+  }
+
   test("p13 temperature mixture: inherits the tier-bucketed quota plan — no global window") {
     // same structural bar as p07: the corpus rank window may only
     // partition by (stratum, tier), never by stratum alone (the

@@ -209,4 +209,17 @@ class SamplingSpec extends SparkSpec {
       Sampling.temperatureMixture(docs, "doc_id", "g", alpha = 0.0)
     }
   }
+
+  test("isqrt: floor(sqrt(n)) exactly, across boundaries and random 2^52-scale inputs") {
+    def check(n: Long): Unit = {
+      val x = Sampling.isqrt(n)
+      assert(x >= 0 && x * x <= n && (x + 1) * (x + 1) > n, s"isqrt($n) = $x")
+    }
+    // perfect squares and their neighbors — where a float sqrt's last
+    // ulp could flip the floor
+    for (k <- Seq(0L, 1L, 2L, 3L, 1000L, 1L << 20, (1L << 26) - 1);
+         n <- Seq(k * k - 1, k * k, k * k + 1) if n >= 0) check(n)
+    val rnd = new scala.util.Random(7)
+    (1 to 10000).foreach { _ => check(math.abs(rnd.nextLong()) % (1L << 52)) }
+  }
 }
