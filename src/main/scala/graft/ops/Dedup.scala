@@ -279,34 +279,42 @@ object Dedup {
     * n-grams verbatim); it does not defeat set Jaccard at 0.5. Output:
     * (doc_id, bench_id, inter, uni, jaccard), one row per flagged pair.
     *
-    * The bipartite twin of [[minhashLshPairs]]: both sides get banded
-    * minhash signatures with the threshold-derived layout, candidates
-    * come from the band join, and every candidate is EXACT-verified on
-    * the full shingle-hash sets. The benchmark side (tiny next to a
-    * 100 TB corpus — the [[contaminationHits]] contract) broadcasts in
-    * both the band join and the verify join, so the corpus is never
-    * shuffled: scan → band explode → broadcast probe → per-candidate
-    * verify, all map-side. */
+    * ONE corpus scan, ZERO corpus shuffles. The benchmark side (tiny
+    * next to a 100 TB corpus — the [[contaminationHits]] contract)
+    * collapses to a single broadcast row: its distinct band-key set plus
+    * its per-doc shingle-hash sets. Each corpus doc computes its own
+    * banded signature in the scan projection; `arrays_overlap` against
+    * the broadcast key set gates candidacy (the minhash-LSH candidate
+    * test, recall governed by [[minhashConfigFor]]), and ONLY candidates
+    * fan out to the per-benchmark-doc exact verify — a map-side explode
+    * over the broadcast sets. Non-candidates never intersect anything.
+    * The per-candidate verify cost is |benchmark| set intersections
+    * (not just band-colliding ones) — the price of the no-shuffle shape,
+    * negligible under the tiny-benchmark contract. */
   def fuzzyContamination(corpus: DataFrame, benchmark: DataFrame,
                          idCol: String, textCol: String,
                          n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val (nBands, nRows) = minhashConfigFor(threshold)
     val k = nBands * nRows
     val cs = minhashSignatures(corpus, idCol, textCol, k, n)
-    val bs = minhashSignatures(benchmark, idCol, textCol, k, n)
-    val candidates = bandKeys(cs, nBands, nRows)
-      .join(broadcast(bandKeys(bs, nBands, nRows)
-        .withColumnRenamed("doc_id", "bench_id")), Seq("band_key"))
-      .select("doc_id", "bench_id").distinct()
-    candidates
-      .join(cs.select(col("doc_id"), col("hs").as("c_hs")), Seq("doc_id"))
-      .join(broadcast(bs.select(col("doc_id").as("bench_id"), col("hs").as("b_hs"))),
-        Seq("bench_id"))
-      .withColumn("inter", size(array_intersect(col("c_hs"), col("b_hs"))).cast("long"))
-      .withColumn("uni", (size(col("c_hs")) + size(col("b_hs"))).cast("long") - col("inter"))
+      .select(col("doc_id"), col("hs"),
+        bandKeyArray(col("sig"), nBands, nRows).as("bks"))
+    val benchSide = broadcast(
+      minhashSignatures(benchmark, idCol, textCol, k, n)
+        .select(col("doc_id"), col("hs"),
+          bandKeyArray(col("sig"), nBands, nRows).as("bks"))
+        .agg(array_distinct(flatten(collect_list(col("bks")))).as("bench_bks"),
+          collect_list(struct(col("doc_id").as("bench_id"), col("hs").as("b_hs")))
+            .as("bench_sets")))
+    cs.crossJoin(benchSide)
+      .filter(arrays_overlap(col("bks"), col("bench_bks")))
+      .select(col("doc_id"), col("hs"), explode(col("bench_sets")).as("b"))
+      .withColumn("inter", size(array_intersect(col("hs"), col("b.b_hs"))).cast("long"))
+      .withColumn("uni", (size(col("hs")) + size(col("b.b_hs"))).cast("long") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
-      .select("doc_id", "bench_id", "inter", "uni", "jaccard")
+      .select(col("doc_id"), col("b.bench_id").as("bench_id"),
+        col("inter"), col("uni"), col("jaccard"))
   }
 
   /** Directed n-gram containment pairs: `(a_id, b_id)` means a_id's

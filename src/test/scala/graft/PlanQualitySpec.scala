@@ -225,12 +225,17 @@ class PlanQualitySpec extends SparkSpec {
       "the compiled kernels must be in the plan, not an interpreted HOF chain")
   }
 
-  test("p14 fuzzy decontamination: benchmark side broadcasts everywhere — no SMJ, no cartesian") {
+  test("p14 fuzzy decontamination: one-row broadcast benchmark, zero corpus shuffles") {
     val physical = q("p14_fuzzy_decontaminate").queryExecution.executedPlan.toString
-    assert(physical.contains("BroadcastHashJoin"),
-      "band + verify joins must broadcast the benchmark side")
+    assert(physical.contains("BroadcastNestedLoopJoin"),
+      "the benchmark collapses to a 1-row broadcast the corpus cross-probes")
     assert(!physical.contains("SortMergeJoin"), physical.take(800))
     assert(!physical.contains("CartesianProduct"), physical.take(800))
+    // the only exchanges: the tiny bench-side aggregation and the final
+    // sort — the corpus path itself is scan → probe → verify, map-only
+    val exchanges = "Exchange (hash|range|single)partitioning".r
+      .findAllIn(physical).size
+    assert(exchanges <= 2, s"corpus path must not shuffle:\n${physical.take(1200)}")
   }
 
   test("p13 temperature mixture: inherits the tier-bucketed quota plan — no global window") {
