@@ -601,30 +601,59 @@ object PipelineQueries {
     // (pixel_sum = nw*nh*3*c) is exactly predictable — while still
     // requiring the decode → scale → re-read pipeline to really run
     "m06_media_resize" -> ((s, dir) => {
-      import s.implicits._
-      val media = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"))
-        .as[Long]
-        .mapPartitions { it =>
-          javax.imageio.ImageIO.setUseCache(false)
-          it.map { id =>
-            val w = 1 + (id % 64).toInt
-            val h = 1 + (id % 48).toInt
-            val c = 20 + (id % 200).toInt
-            val img = new java.awt.image.BufferedImage(w, h,
-              java.awt.image.BufferedImage.TYPE_INT_RGB)
-            val g = img.createGraphics()
-            try { g.setColor(new java.awt.Color(c, c, c)); g.fillRect(0, 0, w, h) }
-            finally g.dispose()
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", bos)
-            (id, "image/png", bos.toByteArray)
-          }
-        }.toDF("doc_id", "mime", "payload")
-      Multimodal.resizeImages(media, maxW = 32, maxH = 32)
+      Multimodal.resizeImages(solidPngMedia(s, dir), maxW = 32, maxH = 32)
         .toDF()
         .orderBy(col("doc_id"))
+    }),
+
+    // the multimodal path under Structured Streaming: the SAME typed
+    // mapPartitions decode→resize kernel runs per micro-batch (typed ops
+    // stream as-is — per-partition decoder init included); stateless, so
+    // results are identical to the batch m06 and share its oracle
+    "s10_stream_media_resize" -> ((s, dir) => {
+      val work = graft.queries.ExtendedQueries.scratchDir("graft_s10")
+      val media = solidPngMedia(s, dir)
+      media.coalesce(4).write.mode("overwrite").parquet(s"$work/log")
+      val q = Multimodal.resizeImages(
+          s.readStream.schema(media.schema).parquet(s"$work/log"),
+          maxW = 32, maxH = 32)
+        .toDF()
+        .writeStream
+        .format("memory").queryName("s10_resize")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ckpt")
+        .start()
+      q.awaitTermination()
+      s.table("s10_resize").orderBy(col("doc_id"))
     })
   )
+
+  /** Deterministic solid-color PNG payloads from the documents ids —
+    * dims (1+id%64, 1+id%48), fill (20+id%200) in every channel: every
+    * m06/s10 output, including the resized-raster checksum, is pure id
+    * arithmetic for the oracle while the real codec runs. */
+  private def solidPngMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id").cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val w = 1 + (id % 64).toInt
+          val h = 1 + (id % 48).toInt
+          val c = 20 + (id % 200).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = img.createGraphics()
+          try { g.setColor(new java.awt.Color(c, c, c)); g.fillRect(0, 0, w, h) }
+          finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, "image/png", bos.toByteArray)
+        }
+      }.toDF("doc_id", "mime", "payload")
+  }
 
   def oracles: Map[String, String] = Map(
 
@@ -1494,6 +1523,29 @@ object PipelineQueries {
         |  CAST(len(tk[chunk_id * 80 + 1 : chunk_id * 80 + 100]) AS BIGINT) AS n_chunk_tokens,
         |  array_to_string(tk[chunk_id * 80 + 1 : chunk_id * 80 + 100], ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // the streaming resize is stateless — identical rows to batch m06
+    "s10_stream_media_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 64 AS BIGINT) AS w,
+        |    CAST(1 + doc_id % 48 AS BIGINT) AS h,
+        |    CAST(20 + doc_id % 200 AS BIGINT) AS c
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, w, h, c,
+        |    CASE WHEN w <= 32 AND h <= 32 THEN w
+        |         WHEN w * 32 >= h * 32 THEN 32
+        |         ELSE greatest(1, w * 32 // h) END AS nw,
+        |    CASE WHEN w <= 32 AND h <= 32 THEN h
+        |         WHEN w * 32 >= h * 32 THEN greatest(1, h * 32 // w)
+        |         ELSE 32 END AS nh
+        |  FROM dims)
+        |SELECT doc_id,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(nw AS INT) AS new_w, CAST(nh AS INT) AS new_h,
+        |  nw * nh * 3 * c AS pixel_sum
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // fit-to-box replica in exact integer arithmetic; the solid fill
     // makes the resized-raster checksum nw*nh*3*c
