@@ -532,6 +532,37 @@ object Dedup {
         col("clean_text"))
   }
 
+  /** Document NOVELTY score: the fraction of a document's k-token
+    * windows that are GLOBALLY-FIRST occurrences of their k-gram
+    * (lexicographic (doc_id, pos) order — [[dedupSpans]]' keep-first
+    * rule, read as a per-doc metric instead of a cut). ~1.0 = original
+    * content; ~0.0 = the document restates earlier corpus text. The
+    * doc-level duplication signal quality filters threshold on. Output:
+    * (doc_id, n_windows, n_novel, novelty); docs with fewer than k
+    * tokens have no windows and no row.
+    *
+    * Cheaper than [[dedupSpans]]: per-doc novel counts come straight
+    * off the winner aggregate (winners carry their (doc, pos)), so the
+    * plan is the one groupBy(h) min-struct aggregate plus two uniform
+    * doc_id aggregations — NO join back on h at all. */
+  def noveltyScores(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8): DataFrame = {
+    require(k >= 2, s"k must be at least 2, got $k")
+    val occ = docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.expr.hfunctions.kgram_hashes60(col(textCol), k))
+          .as(Seq("i0", "h")))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("pos"), col("h"))
+    val novel = occ.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+      .groupBy(col("w.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    occ.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty", col("n_novel").cast("double") / col("n_windows"))
+  }
+
   /** Near-duplicate PRUNING — the end-to-end "drop the duplicates, keep
     * the best" curation step, composing the engine's own primitives:
     * LSH-verified Jaccard pairs ([[minhashLshPairs]]) → connected

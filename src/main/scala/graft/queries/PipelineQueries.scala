@@ -272,6 +272,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // k-gram novelty scoring on the successor-concat corpus: every doc's
+    // head restates its predecessor's tail, so novelty sits near the
+    // fraction of genuinely-new windows — the doc-level duplication
+    // signal quality filters threshold on
+    "t13_novelty" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val succ = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("next_text"))
+      val synth = d.join(succ, Seq("doc_id"))
+        .select(col("doc_id"), concat_ws(" ", col("text"), col("next_text")).as("text"))
+      Dedup.noveltyScores(synth, "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // temperature-scaled mixture (alpha = 0.5, the multilingual sqrt
     // smoothing): weights = isqrt(stratum size) feed the same integer
     // water-filling as p09 — the head language is downsampled toward the
@@ -1113,6 +1126,31 @@ object PipelineQueries {
         |FROM p JOIN cn ON p.doc_id = cn.doc_id JOIN bn ON p.bench_id = bn.doc_id
         |WHERE CAST(p.inter AS DOUBLE) / (cn.n + bn.n - p.inter) >= 0.5
         |ORDER BY p.doc_id, p.bench_id""".stripMargin,
+
+    // novelty = globally-first windows / total windows, from the same
+    // keep-first rank CTEs as d15
+    "t13_novelty" -> {
+      val k = 8
+      val gram = (0 until k).map(j => if (j == 0) "tk[i]" else s"tk[i+$j]")
+        .mkString(" || ' ' || ")
+      s"""WITH base AS (
+         |  SELECT a.doc_id, a.text || ' ' || b.text AS text
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+         |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM base),
+         |kgs AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - ${k - 1}),
+         |          i -> {'pos': i, 'h': ${h60sql(gram)}})) AS u
+         |        FROM tok WHERE len(tk) >= $k),
+         |kg AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM kgs),
+         |rk AS (SELECT doc_id, pos,
+         |         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS r FROM kg),
+         |win AS (SELECT doc_id, count(*) AS n_novel FROM rk WHERE r = 1 GROUP BY doc_id),
+         |tot AS (SELECT doc_id, count(*) AS n_windows FROM kg GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_windows,
+         |  coalesce(w.n_novel, 0) AS n_novel,
+         |  CAST(coalesce(w.n_novel, 0) AS DOUBLE) / t.n_windows AS novelty
+         |FROM tot t LEFT JOIN win w ON t.doc_id = w.doc_id
+         |ORDER BY t.doc_id""".stripMargin
+    },
 
     // span-dedup replica: positional k-gram hashes, keep-first by
     // row_number over (doc_id, pos), range-join cover mask, ordered

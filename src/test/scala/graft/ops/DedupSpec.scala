@@ -268,6 +268,25 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ((9L, 6L, "p q r")), out(3L).toString)
   }
 
+  test("noveltyScores: per-doc fraction of globally-first windows") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "a b c d e f",
+      2L -> "x y a b c d e f z",
+      3L -> "p q r p q r p q r",
+      4L -> "m")                           // < k tokens: no windows, no row
+      .toDF("doc_id", "text")
+    val out = Dedup.noveltyScores(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 4L, 1.0)), out.toString)
+    // doc 2: 7 windows, 4 duplicate doc 1's (pos 3..6) → 3 novel
+    assert(out(2L) == ((7L, 3L, 3.0 / 7)), out.toString)
+    // doc 3: intra-doc repeats — only the first period's 3 windows win
+    assert(out(3L) == ((7L, 3L, 3.0 / 7)), out.toString)
+    assert(!out.contains(4L))
+  }
+
   test("dedupSpans == naive reference on a random corpus") {
     import spark.implicits._
     val k = 3
