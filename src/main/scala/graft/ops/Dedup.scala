@@ -601,12 +601,34 @@ object Dedup {
     singles.unionByName(reps)
   }
 
-  /** SimHash fingerprint (bits-wide, default 32): per token (with
-    * multiplicity), hash to `bits` bits; fingerprint bit j is 1 iff the
-    * sum of ±1 votes over tokens is positive. One compiled pass per doc
-    * ([[graft.expr.SimHash]]) — no shuffle. */
-  def simhash(text: Column, bits: Int = 32): Column =
+  /** SimHash fingerprint (bits-wide, default 60 — the full width of the
+    * md5-derived token hash): per token (with multiplicity), hash to
+    * `bits` bits; fingerprint bit j is 1 iff the sum of ±1 votes over
+    * tokens is positive. One compiled pass per doc
+    * ([[graft.expr.SimHash]]) — no shuffle. Widths above 60 waste bits:
+    * [[graft.expr.TextHash.hash60]] only populates the low 60, so bits
+    * 60..63 would vote uniformly negative and band slices over them
+    * would be degenerate all-zero keys. */
+  def simhash(text: Column, bits: Int = 60): Column = {
+    require(bits >= 1 && bits <= 60, s"simhash width must be in [1, 60], got $bits")
     graft.expr.hfunctions.simhash_c(text, bits)
+  }
+
+  /** Derive a scale-safe (bits, bands) pair for [[simhashPairs]] from the
+    * Hamming radius. Pigeonhole recall needs bands > maxHamming; every
+    * EXTRA band only widens the candidate filter (expected candidate
+    * pairs ≈ bands·n²/2^(bits/bands) on near-uniform fingerprints), so
+    * the minimum bands = maxHamming + 1 is optimal. Bits is the largest
+    * multiple of bands ≤ 60 (the token-hash width), maximizing the slice
+    * width w = bits/bands — each extra bit of w halves candidate volume.
+    * maxHamming 3 → (60, 4): 15-bit keys, n²/2^15 expected candidates
+    * per band, vs n²/2^8 under the old 32-bit default. */
+  def simhashConfigFor(maxHamming: Int): (Int, Int) = {
+    require(maxHamming >= 0 && maxHamming < 60, s"maxHamming in [0, 60), got $maxHamming")
+    val bands = maxHamming + 1
+    val bits = (60 / bands) * bands
+    (bits, bands)
+  }
 
   /** SimHash near-duplicate pairs: candidates share one of `bands` bit
     * slices of the fingerprint; verification is the exact Hamming
@@ -617,12 +639,29 @@ object Dedup {
     * Each surviving pair is kept only in its FIRST matching band (a flat
     * when-chain over the XOR's band slices — no distinct), and the only
     * shuffle is the (band, key) self-join on 8-byte keys. Output:
-    * (a_id, b_id, hamming). */
+    * (a_id, b_id, hamming).
+    *
+    * Scale note: candidate volume is ≈ bands·n²/2^w for slice width
+    * w = bits/bands on near-uniform fingerprints, so w IS the primary
+    * scale knob. The defaults (60, 4) come from [[simhashConfigFor]](3):
+    * 15-bit keys → n²/32768 expected candidates per band; a 32-bit/4-band
+    * config (8-bit keys, n²/256) goes quadratic at corpus scale and must
+    * not be the default. On a CORRELATED corpus (templated/boilerplate
+    * text) fingerprints cluster and heavy band buckets can still go
+    * quadratic regardless of w; `maxBucket` is the safety valve for that
+    * case — (band, key) buckets holding more than `maxBucket` fingerprints
+    * are dropped from candidate generation entirely (deterministic,
+    * df-cap-style semantics, like `jaccardPairs(maxDf)`). A pair is lost
+    * only if EVERY band it agrees on is over the cap, so the pigeonhole
+    * guarantee degrades gracefully rather than exactly; leave it None
+    * (the default) when exact recall matters more than bounded work. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   bits: Int = 32, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+                   bits: Int = 60, bands: Int = 4, maxHamming: Int = 3,
+                   maxBucket: Option[Int] = None): DataFrame = {
     require(bits % bands == 0, s"bands ($bands) must divide bits ($bits)")
     require(maxHamming < bands,
       s"pigeonhole recall guarantee needs maxHamming ($maxHamming) < bands ($bands)")
+    require(maxBucket.forall(_ >= 2), s"maxBucket must be >= 2, got $maxBucket")
     val w = bits / bands
     val mask = (1L << w) - 1
     def slice(c: Column, b: Int): Column = shiftright(c, b * w).bitwiseAND(lit(mask))
@@ -633,15 +672,37 @@ object Dedup {
         (0 until bands).map(b =>
           struct(lit(b).as("band"), slice(col("sh"), b).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val l = banded.select(col("band"), col("key"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
-    val r = banded.select(col("band"), col("key"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
-    val x = col("a_sh").bitwiseXOR(col("b_sh"))
-    val firstEqBand = (0 until bands).foldRight(lit(-1).cast("int")) { (b, rest) =>
-      when(slice(x, b) === 0, lit(b)).otherwise(rest)
+
+    val candidates = maxBucket match {
+      case None =>
+        // exact mode: dedup each pair to its FIRST matching band with a
+        // flat when-chain over the XOR's slices — no distinct needed
+        val l = banded.select(col("band"), col("key"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
+        val r = banded.select(col("band"), col("key"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
+        val x = col("a_sh").bitwiseXOR(col("b_sh"))
+        val firstEqBand = (0 until bands).foldRight(lit(-1).cast("int")) { (b, rest) =>
+          when(slice(x, b) === 0, lit(b)).otherwise(rest)
+        }
+        l.join(r, Seq("band", "key"))
+          .filter(col("a_id") < col("b_id"))
+          .filter(col("band") === firstEqBand)
+      case Some(cap) =>
+        // capped mode: drop over-cap buckets before the self-join (the
+        // count agg and the join shuffle on the same (band, key), so the
+        // exchange is reused). First-eq-band dedup is unsound here — the
+        // first matching band may be a dropped bucket — so dedup by
+        // (a_id, b_id) instead; hamming is deterministic per pair.
+        val kept = banded.join(
+          banded.groupBy(col("band"), col("key")).count()
+            .filter(col("count") <= cap).drop("count"),
+          Seq("band", "key"))
+        val l = kept.select(col("band"), col("key"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
+        val r = kept.select(col("band"), col("key"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
+        l.join(r, Seq("band", "key"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh")).distinct()
     }
-    l.join(r, Seq("band", "key"))
-      .filter(col("a_id") < col("b_id"))
-      .filter(col("band") === firstEqBand)
+    candidates
       .withColumn("hamming", expr("bit_count(a_sh ^ b_sh)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")

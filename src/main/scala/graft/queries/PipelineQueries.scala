@@ -91,7 +91,7 @@ object PipelineQueries {
 
     "d05_simhash" -> ((s, dir) => {
       docs(s, dir)
-        .select(col("doc_id"), Dedup.simhash(col("text"), bits = 32).as("simhash"))
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
         .orderBy(col("doc_id"))
     }),
 
@@ -746,7 +746,7 @@ object PipelineQueries {
         |ORDER BY a_id, b_id""".stripMargin,
 
     "d05_simhash" -> {
-      val bitSum = (0 until 32).map { j =>
+      val bitSum = (0 until 60).map { j =>
         s"(CASE WHEN sum(((hv >> $j) & 1) * 2 - 1) > 0 THEN CAST(1 AS BIGINT) << $j ELSE 0 END)"
       }.mkString(" + ")
       s"""WITH t AS (
@@ -758,11 +758,11 @@ object PipelineQueries {
     },
 
     "d11_simhash_pairs" -> {
-      val bitSum = (0 until 32).map { j =>
+      val bitSum = (0 until 60).map { j =>
         s"(CASE WHEN sum(((hv >> $j) & 1) * 2 - 1) > 0 THEN CAST(1 AS BIGINT) << $j ELSE 0 END)"
       }.mkString(" + ")
       val firstEq = (0 until 4).map { b =>
-        s"WHEN ((xor(a_sh, b_sh) >> ${b * 8}) & 255) = 0 THEN $b"
+        s"WHEN ((xor(a_sh, b_sh) >> ${b * 15}) & 32767) = 0 THEN $b"
       }.mkString("CASE ", " ", " END")
       s"""WITH base AS (
          |  SELECT doc_id, text FROM documents
@@ -775,7 +775,7 @@ object PipelineQueries {
          |s AS (SELECT doc_id, $bitSum AS sh FROM h GROUP BY doc_id),
          |banded AS (
          |  SELECT doc_id, sh, unnest([0, 1, 2, 3]) AS band FROM s),
-         |keyed AS (SELECT doc_id, sh, band, (sh >> (band * 8)) & 255 AS key FROM banded),
+         |keyed AS (SELECT doc_id, sh, band, (sh >> (band * 15)) & 32767 AS key FROM banded),
          |p AS (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS a_sh, b.sh AS b_sh, a.band
          |  FROM keyed a JOIN keyed b ON a.band = b.band AND a.key = b.key

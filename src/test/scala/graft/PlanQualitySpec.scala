@@ -250,4 +250,42 @@ class PlanQualitySpec extends SparkSpec {
     assert(rankWs.nonEmpty && rankWs.forall(_.partitionSpec.length == 2),
       s"corpus rank window must partition by (stratum, tier): ${rankWs.map(_.partitionSpec)}")
   }
+
+  test("d11 simhash: default band keys are 15 bits wide — candidate volume near-linear, not n²/256") {
+    import graft.ops.Dedup
+    // the default config must come from the formula, not a hard-coded
+    // narrow slice: bands = maxHamming+1 = 4, bits = 60 → w = 15
+    assert(Dedup.simhashConfigFor(3) == ((60, 4)))
+    // behavioral bound: collisions among DISTINCT fingerprints are the
+    // filter's waste (identical-fingerprint clusters are the output,
+    // irreducible). Fixture fingerprints are CORRELATED (templated
+    // text), so the uniform bands·m²/2^w estimate undershoots both
+    // configs; compare them EMPIRICALLY on the same input (measured
+    // round 8: 2742 collisions at w=15 vs 24558 at w=8, m=496) and pin
+    // the default ≥5× under the old 8-bit-key volume and a small
+    // fraction of the m²/2 cross-product.
+    val d = spark.read.parquet(s"$sf0001/documents.parquet").select(col("doc_id"), col("text"))
+    val noisy = d.select((col("doc_id") + 200000).as("doc_id"),
+      concat(lit("  "), col("text"), lit("   ")).as("text"))
+    val all = d.unionByName(noisy).filter(length(trim(col("text"))) > 0)
+    def collisions(bits: Int): (Long, Long) = {
+      val w = bits / 4
+      val mask = (1L << w) - 1
+      val fps = all.select(Dedup.simhash(col("text"), bits).as("sh")).distinct()
+      val c = fps.select(explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sh"), b * w).bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
+        .groupBy(col("bk")).count()
+        .agg(sum((col("count") * (col("count") - 1) / 2).cast("long")))
+        .first().getLong(0)
+      (c, fps.count())
+    }
+    val (newWaste, m) = collisions(60)
+    val (oldWaste, _) = collisions(32)
+    assert(m >= 100, s"fixture too small for a volume bound to mean anything: $m")
+    assert(newWaste * 5 <= oldWaste,
+      s"15-bit keys must beat 8-bit keys >=5x on collision volume: $newWaste vs $oldWaste")
+    assert(newWaste * 40 <= m * (m - 1) / 2,
+      s"collision volume must stay a small fraction of the cross-product: $newWaste for m=$m")
+  }
 }

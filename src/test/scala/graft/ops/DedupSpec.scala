@@ -85,7 +85,7 @@ class DedupSpec extends SparkSpec {
       concat(lit("  "), col("text"), lit("   ")).as("text"))
     val all = d.unionByName(noisy)
     val fp = all.filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), Dedup.simhash(col("text"), 32).as("sh"))
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
     val a = fp.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
     val b = fp.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
     val brute = a.crossJoin(b).filter(col("a_id") < col("b_id"))
@@ -97,6 +97,32 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(brute.nonEmpty, "noisy copies guarantee hamming-0 pairs")
     assert(banded == brute, "pigeonhole makes banded == brute, no probability involved")
+  }
+
+  test("simhashPairs maxBucket: over-cap buckets dropped deterministically, light pairs kept") {
+    import spark.implicits._
+    // hostile fixture: a 40-copy identical cluster (one heavy bucket per
+    // band) plus one genuinely-near-dup light pair with distinct texts
+    val heavy = (1L to 40L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val light = Seq(
+      (100L, "spark shuffles partition data across the cluster by key ranges"),
+      (101L, "  spark shuffles partition data across the cluster by key ranges ")).toDF("doc_id", "text")
+    val all = heavy.unionByName(light)
+    val uncapped = Dedup.simhashPairs(all, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.simhashPairs(all, "doc_id", "text", maxBucket = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uncapped finds all 40·39/2 heavy pairs; the cap drops exactly those
+    // (every band bucket of the heavy cluster holds 40 > 10) and keeps
+    // the light pair if its fingerprints agree on any under-cap band
+    assert(uncapped.count(p => p._1 <= 40 && p._2 <= 40) == 40 * 39 / 2)
+    assert(capped.forall(p => p._1 > 40 || p._2 > 40),
+      s"heavy-cluster pairs must be dropped by the cap: $capped")
+    assert(capped == uncapped.filter(p => p._1 > 40 || p._2 > 40),
+      "cap must not change any pair outside the heavy buckets")
+    assert(uncapped.contains((100L, 101L)),
+      "fixture must actually contain a light near-dup pair for the test to bite")
   }
 
   test("containmentPairs: extended copies contained at 1.0; asymmetric by construction") {
