@@ -120,7 +120,9 @@ object TextHash {
   }
 
   /** Drop every token covered by a k-token window starting at any of
-    * `starts` (1-BASED window start positions, duplicates/overlaps fine);
+    * `starts` (1-BASED window start positions, duplicates/overlaps fine;
+    * starts outside [1, #tokens] are SKIPPED — validated in Long space,
+    * so a start like 2^32+1 cannot truncate into a small in-range int);
     * the survivors re-join with single spaces, so output text is
     * whitespace-normalized like every token-level operator here. A
     * no-token text returns the empty string. */
@@ -132,9 +134,12 @@ object TextHash {
     val covered = new Array[Boolean](toks.length)
     var i = 0
     while (i < starts.length) {
-      var j = math.max(0L, starts(i) - 1).toInt
-      val end = math.min(toks.length.toLong, starts(i) - 1 + k).toInt
-      while (j < end) { covered(j) = true; j += 1 }
+      val s = starts(i)
+      if (s >= 1L && s <= toks.length) {
+        var j = (s - 1).toInt
+        val end = math.min(toks.length.toLong, s - 1 + k).toInt
+        while (j < end) { covered(j) = true; j += 1 }
+      }
       i += 1
     }
     val sb = new java.lang.StringBuilder(64)
@@ -149,6 +154,25 @@ object TextHash {
       i += 1
     }
     UTF8String.fromString(sb.toString)
+  }
+
+  /** [[removeTokenSpans]] over raw Catalyst array data — the eval/codegen
+    * entry point. `ArrayData.toLongArray` silently reads a NULL element
+    * as 0 (which the Long-space validation would then skip as out of
+    * range, hiding caller bugs); reject nulls loudly instead — this is a
+    * registered SQL function, not just an internal kernel. */
+  def removeTokenSpans(text: UTF8String,
+                       starts: org.apache.spark.sql.catalyst.util.ArrayData,
+                       k: Int): UTF8String = {
+    val n = starts.numElements()
+    var i = 0
+    while (i < n) {
+      if (starts.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"remove_token_spans: span-start array contains NULL at position $i")
+      i += 1
+    }
+    removeTokenSpans(text, starts.toLongArray(), k)
   }
 
   /** MinHash signature of a shingle-hash set: element i is

@@ -508,11 +508,11 @@ case class RemoveTokenSpans(left: Expression, right: Expression, k: Int)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     TextHash.removeTokenSpans(a.asInstanceOf[UTF8String],
-      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray(), k)
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.expr.TextHash.removeTokenSpans($a, $b.toLongArray(), $k);")
+      s"${ev.value} = graft.expr.TextHash.removeTokenSpans($a, $b, $k);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): RemoveTokenSpans =

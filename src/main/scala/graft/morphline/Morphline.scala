@@ -362,18 +362,27 @@ object Morphline {
         array(fields.map(f => lit(f._1)): _*),
         array(fields.map(f => array(f._2.map(lit(_)): _*)): _*)))
     case ExtractUriComponents(in, prefix) => let(d) { doc =>
-      val v = firstValue(doc, in)
-      // RFC-3986 generic syntax, componentwise; "" extracts = absent
-      val comps: Seq[(String, Column)] = Seq(
-        "scheme" -> regexp_extract(v, "^([A-Za-z][A-Za-z0-9+.-]*):", 1),
-        "host" -> regexp_extract(v, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1),
-        "port" -> regexp_extract(v, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]*:(\\d+)", 1),
-        "path" -> regexp_extract(v, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
-        "query" -> regexp_extract(v, "\\?([^#]*)", 1),
-        "fragment" -> regexp_extract(v, "#(.*)$", 1))
-      comps.foldLeft(doc) { case (dd, (name, c)) =>
+      // Kite iterates EVERY value of a multi-valued input field; each
+      // URI's components append to the output fields in value order.
+      val vs = try_element_at(doc, lit(in))
+      // RFC-3986 generic syntax, componentwise; "" extracts = absent.
+      // The query must be taken from the PRE-fragment substring: an
+      // unanchored \?(...) on the full URI reads a '?' that first
+      // appears inside the fragment (http://h/p#a?b) as a query, where
+      // java.net.URI (Kite's parser) yields none.
+      val comps: Seq[(String, Column => Column)] = Seq(
+        "scheme" -> (v => regexp_extract(v, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)),
+        "authority" -> (v => regexp_extract(v, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+        "userInfo" -> (v => regexp_extract(v, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#@]*)@", 1)),
+        "host" -> (v => regexp_extract(v, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1)),
+        "port" -> (v => regexp_extract(v, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]*:(\\d+)", 1)),
+        "path" -> (v => regexp_extract(v, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)),
+        "query" -> (v => regexp_extract(regexp_extract(v, "^([^#]*)", 1), "\\?(.*)$", 1)),
+        "fragment" -> (v => regexp_extract(v, "#(.*)$", 1)))
+      comps.foldLeft(doc) { case (dd, (name, extract)) =>
+        val got = filter(transform(vs, extract), c => length(c) > 0)
         putField(dd, prefix + name,
-          when(v.isNotNull && length(c) > 0, array(c)))
+          when(vs.isNotNull && size(got) > 0, got))
       }
     }
     case ChangeCase(f, up) => let(d) { doc =>
@@ -381,19 +390,25 @@ object Morphline {
       val rewrite: Column => Column = if (up) upper(_) else lower(_)
       putField(doc, f, when(vs.isNotNull, transform(vs, rewrite)))
     }
-    case ExtractJsonPaths(in, flatten, paths) => let(d) { doc =>
-      val v = firstValue(doc, in)
+    case ExtractJsonPaths(in, doFlatten, paths) => let(d) { doc =>
+      // Kite iterates EVERY value of a multi-valued input field; each
+      // JSON document's extraction appends to the output field in order.
+      val vs = try_element_at(doc, lit(in))
       paths.foldLeft(doc) { case (dd, (out, p)) =>
         // Kite slash path → JsonPath: /a/b → $.a.b ($ alone for "/")
         val jp = "$" + p.split("/").filter(_.nonEmpty).map("." + _).mkString
-        val node = get_json_object(v, jp)
-        // an array node flattens via from_json (null for non-array text,
-        // so scalars fall through coalesce to a single-valued field)
-        val value =
-          if (flatten) coalesce(from_json(node, org.apache.spark.sql.types
-            .ArrayType(org.apache.spark.sql.types.StringType)), array(node))
-          else array(node)
-        putField(dd, out, when(node.isNotNull, value))
+        val perValue: Column => Column = v => {
+          val node = get_json_object(v, jp)
+          // an array node flattens via from_json (null for non-array
+          // text, so scalars fall through coalesce to a single value)
+          val value =
+            if (doFlatten) coalesce(from_json(node, org.apache.spark.sql.types
+              .ArrayType(org.apache.spark.sql.types.StringType)), array(node))
+            else array(node)
+          when(node.isNotNull, value).otherwise(array().cast("array<string>"))
+        }
+        val got = flatten(transform(vs, perValue))
+        putField(dd, out, when(vs.isNotNull && size(got) > 0, got))
       }
     }
     case TryRules(rules) => let(d) { doc =>

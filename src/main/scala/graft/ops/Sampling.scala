@@ -173,10 +173,15 @@ object Sampling {
                          alpha: Double = 0.5, tiers: Int = 1024): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0, 1], got $alpha")
     val target = docs.filter(col(stratumCol).isNotNull)
+    // alpha = 1 is the natural mixture — the identity by construction
+    // (w_s = n_s → t = W → quota_s = n_s, every doc kept). Short-circuit
+    // it: the water-fill's n_s·ΣN product would overflow 2^63 at ~3e9
+    // docs, i.e. exactly at the corpus scale where the no-op is hit most;
+    // genuinely weighted paths keep the fail-loud multiplyExact.
+    if (alpha == 1.0) return target
     val sizes = census(target, stratumCol)
     val weights = sizes.map { case (s, n) =>
-      s -> (if (alpha == 1.0) n
-            else if (alpha == 0.5) math.max(1L, isqrt(n))
+      s -> (if (alpha == 0.5) math.max(1L, isqrt(n))
             else math.max(1L, math.floor(math.pow(n.toDouble, alpha)).toLong))
     }
     if (weights.isEmpty) target

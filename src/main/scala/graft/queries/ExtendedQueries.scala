@@ -632,6 +632,7 @@ object ExtendedQueries {
       cells.select(col("id"), doc.as("doc"))
         .select(col("id"),
           element_at(col("doc")("uri_scheme"), 1).as("scheme"),
+          element_at(col("doc")("uri_authority"), 1).as("authority"),
           element_at(col("doc")("uri_host"), 1).as("host"),
           element_at(col("doc")("uri_port"), 1).as("port"),
           element_at(col("doc")("uri_path"), 1).as("path"),
@@ -1444,6 +1445,8 @@ object ExtendedQueries {
     "x31_morphline_uri" ->
       """SELECT c_custkey AS id,
         |  'https' AS scheme,
+        |  'Shop' || CAST(c_custkey % 7 AS VARCHAR) || '.Example.com:'
+        |    || CAST(8000 + c_custkey % 3 AS VARCHAR) AS authority,
         |  'shop' || CAST(c_custkey % 7 AS VARCHAR) || '.example.com' AS host,
         |  CAST(8000 + c_custkey % 3 AS VARCHAR) AS port,
         |  '/seg/' || c_mktsegment AS path,

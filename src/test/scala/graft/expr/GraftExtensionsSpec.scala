@@ -58,6 +58,28 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(top.queryExecution.executedPlan.toString.contains("partial_topk_by"))
   }
 
+  test("remove_token_spans validates SQL-supplied starts: Long-space bounds, loud nulls") {
+    GraftExtensions.register(spark)
+    // a start like 2^32+1 must NOT truncate via .toInt to 0 and cover the
+    // doc; out-of-range starts (0, negative, > #tokens, huge) are skipped
+    val kept = spark.sql(
+      s"""SELECT remove_token_spans('a b c d e',
+         |  array(${(1L << 32) + 1L}L, 0L, -7L, 99L), 3) AS rs""".stripMargin)
+      .head.getString(0)
+    assert(kept == "a b c d e",
+      s"every start is out of [1, 5] — nothing may be covered, got '$kept'")
+    // in-range starts still work through the same path
+    assert(spark.sql("SELECT remove_token_spans('a b c d e', array(2L), 3) AS rs")
+      .head.getString(0) == "a e")
+    // NULL array elements are caller bugs — rejected loudly, not read as 0
+    val ex = intercept[Exception] {
+      spark.sql("SELECT remove_token_spans('a b c', array(CAST(NULL AS BIGINT)), 2)").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(ex).exists(_.contains("NULL")), ex.toString)
+  }
+
   test("shape parameters must be literals — a column argument fails loudly") {
     GraftExtensions.register(spark)
     val ex = intercept[Exception] {

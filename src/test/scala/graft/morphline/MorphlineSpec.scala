@@ -259,6 +259,68 @@ class MorphlineSpec extends SparkSpec {
     assert(!d2.contains("uri_port") && !d2.contains("uri_query") &&
       !d2.contains("uri_fragment"),
       s"absent components must add no fields: $d2")
+    // userInfo and authority (java.net.URI component set)
+    assert(d1.get("uri_userInfo").map(_.toList).contains(List("User")))
+    assert(d1.get("uri_authority").map(_.toList)
+      .contains(List("User@Sub.Host.COM:8443")))
+    assert(!d2.contains("uri_userInfo"), s"no userinfo → no field: $d2")
+  }
+
+  test("extractURIComponents: '?' inside the fragment is NOT a query; multi-valued inputs iterate") {
+    import spark.implicits._
+    // java.net.URI parses http://h/p#a?b as fragment "a?b", query absent —
+    // an unanchored \?(...) regex would wrongly extract query "b"
+    val cells = Seq(("r1", Seq("http://h/p#a?b")),
+        ("r2", Seq("http://one.org/a?q=1", "https://two.org:99/b#f")))
+      .toDF("rowKey", "vs")
+      .select(col("rowKey"), transform(col("vs"), v => struct(
+        lit("info").as("family"), lit("url").as("qualifier"),
+        lit(0L).as("ts"), lit("put").as("cellType"), v.as("value"))).as("cells"))
+    val chain =
+      """{"commands": [
+        |  {"extractHBaseCells": {"mappings": [
+        |    {"inputColumn": "info:url", "outputField": "u"}]}},
+        |  {"extractURIComponents": {"inputField": "u", "outputFieldPrefix": "uri_"}}
+        |]}""".stripMargin
+    val docs = cells.select(col("rowKey"), Morphline(chain)(col("cells")).as("doc"))
+      .collect().map(r => r.getString(0) ->
+        r.getMap[String, scala.collection.Seq[String]](1)).toMap
+    val d1 = docs("r1")
+    assert(!d1.contains("uri_query"),
+      s"a '?' first appearing inside the fragment is not a query: $d1")
+    assert(d1.get("uri_fragment").map(_.toList).contains(List("a?b")))
+    // Kite iterates every value of a multi-valued input field: components
+    // accumulate across the two URIs in value order
+    val d2 = docs("r2")
+    assert(d2.get("uri_host").map(_.toList).contains(List("one.org", "two.org")), s"$d2")
+    assert(d2.get("uri_query").map(_.toList).contains(List("q=1")),
+      s"only the first URI has a query — one accumulated value: $d2")
+    assert(d2.get("uri_port").map(_.toList).contains(List("99")))
+    assert(d2.get("uri_fragment").map(_.toList).contains(List("f")))
+  }
+
+  test("extractJsonPaths: multi-valued input fields iterate and accumulate") {
+    import spark.implicits._
+    val cells = Seq(("r1", Seq(
+        """{"name":"alice","tags":["a","b"]}""",
+        """{"name":"bob","tags":["c"]}""")))
+      .toDF("rowKey", "vs")
+      .select(col("rowKey"), transform(col("vs"), v => struct(
+        lit("info").as("family"), lit("js").as("qualifier"),
+        lit(0L).as("ts"), lit("put").as("cellType"), v.as("value"))).as("cells"))
+    val chain =
+      """{"commands": [
+        |  {"extractHBaseCells": {"mappings": [
+        |    {"inputColumn": "info:js", "outputField": "js"}]}},
+        |  {"extractJsonPaths": {"inputField": "js", "flatten": true,
+        |    "paths": {"name_s": "/name", "tag_ss": "/tags", "gone": "/nope"}}}
+        |]}""".stripMargin
+    val doc = cells.select(Morphline(chain)(col("cells")).as("doc"))
+      .collect().head.getMap[String, scala.collection.Seq[String]](0)
+    assert(doc.get("name_s").map(_.toList).contains(List("alice", "bob")), s"$doc")
+    assert(doc.get("tag_ss").map(_.toList).contains(List("a", "b", "c")),
+      s"flattened arrays accumulate across values: $doc")
+    assert(!doc.contains("gone"), s"absent in every value → no field: $doc")
   }
 
   test("if/contains: then sees condition-transformed doc, else sees the original (rollback)") {
