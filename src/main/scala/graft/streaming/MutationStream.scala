@@ -393,6 +393,9 @@ object MutationStream {
         prev.select("id", "doc", "rowValue", "familyValue"), cached)
       // batchId in the version makes the commit idempotent under retry
       state.commit(next, f"v$batchId%09d", touched)
+      // post-commit maintenance on the store's own cadence (TxnLogState
+      // checkpoints + reclaims its log; IndexState no-ops)
+      state.maintain()
       touched
     } finally { cached.unpersist(); () }
   }

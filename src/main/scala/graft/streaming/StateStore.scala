@@ -46,6 +46,14 @@ trait DocStateStore extends Serializable {
     * `graceMs` (readers may still scan recently superseded files).
     * Returns the deleted entry names. */
   def vacuum(graceMs: Long = 10 * 60 * 1000L): Seq[String]
+
+  /** Post-commit maintenance hook, called by the sink after every
+    * applied batch ([[MutationStream.applyBatch]]). Implementations with
+    * growing commit metadata compact it here on their own cadence; the
+    * default is a no-op ([[IndexState]]'s manifest is O(buckets) and
+    * never grows with commit count). Must be safe to call concurrently
+    * with readers and other writers. */
+  def maintain(): Unit = {}
 }
 
 /** Delta-protocol-shaped state store: the commit metadata is an
@@ -68,7 +76,9 @@ trait DocStateStore extends Serializable {
   * in-flight commits, same contract as [[IndexState.vacuum]].
   */
 class TxnLogState(val stateDir: String, spark: SparkSession,
-                  requestedBuckets: Int = 16) extends DocStateStore {
+                  requestedBuckets: Int = 16,
+                  autoCompactEvery: Int = 16,
+                  maintenanceGraceMs: Long = 10 * 60 * 1000L) extends DocStateStore {
   import IndexState.BucketCol
 
   private val logDir: Path = Paths.get(stateDir, "_txnlog")
@@ -255,6 +265,26 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
       IndexState.atomicWriteString(
         logDir.resolve(f"$last%020d.ckpt"), lines.mkString("\n"))
       Some(last)
+    }
+  }
+
+  /** Auto-compaction cadence: once `autoCompactEvery` txn entries have
+    * accumulated past the newest checkpoint, write a fresh checkpoint and
+    * reclaim the covered entries — without this a long-running stream
+    * folds an ever-growing log on every first read. Readers are safe
+    * across the reclaim by construction: a cached reader whose suffix no
+    * longer starts at lastSeen+1 (or that observes a newer checkpoint)
+    * reseeds with a full fold ([[refresh]]'s gap detection), and the
+    * checkpoint is atomic-rename-visible. `autoCompactEvery <= 0`
+    * disables the cadence (manual [[compact]]/[[vacuumLog]] only). */
+  override def maintain(): Unit = {
+    if (autoCompactEvery <= 0) return
+    refresh()
+    val cover = listLog(".ckpt").lastOption.map(entryId).getOrElse(-1L)
+    if (lastSeen - cover >= autoCompactEvery) {
+      compact()
+      vacuumLog(maintenanceGraceMs)
+      ()
     }
   }
 

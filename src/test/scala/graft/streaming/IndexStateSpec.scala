@@ -319,6 +319,51 @@ class IndexStateSpec extends SparkSpec {
       Set("b", "c", "d", "e", "f", "g"))
   }
 
+  test("TxnLogState: auto-compaction cadence — applyBatch checkpoints every N commits; a mid-stream reader sees identical state across it") {
+    def logNames(dir: String, suffix: String): Seq[String] = {
+      val fs = Files.list(Paths.get(dir, "_txnlog"))
+      try {
+        import scala.jdk.CollectionConverters._
+        fs.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(suffix)).toSeq.sorted
+      } finally fs.close()
+    }
+    val dir = Files.createTempDirectory("graft_txn").toString
+    val writer = new TxnLogState(dir, spark, B,
+      autoCompactEvery = 3, maintenanceGraceMs = 0L)
+    MutationStream.applyBatch(spark, writer, ops(("add", "a")), 0L)
+    MutationStream.applyBatch(spark, writer, ops(("add", "b")), 1L)
+    // two commits: under the cadence, nothing compacted yet
+    assert(logNames(dir, ".ckpt").isEmpty)
+    // a cached mid-stream reader holds the fold at entry 1
+    val reader = new TxnLogState(dir, spark, B)
+    assert(stateIds(reader) == Set("a", "b"))
+    // the third applyBatch crosses the cadence: maintain() checkpoints at
+    // entry 2 and reclaims the covered txn entries (grace 0)
+    MutationStream.applyBatch(spark, writer,
+      ops(("deleteById", "a"), ("add", "c")), 2L)
+    assert(logNames(dir, ".ckpt") == Seq(f"${2L}%020d.ckpt"),
+      "applyBatch must have auto-compacted at the cadence boundary")
+    assert(logNames(dir, ".txn").isEmpty,
+      "covered txn entries must be reclaimed by the auto-vacuum")
+    // the reader's cached suffix is gone from disk — identical state via
+    // the gap-detecting reseed, no stale 'a', no lost 'c'
+    assert(stateIds(reader) == Set("b", "c"))
+    assert(reader.currentVersion == writer.currentVersion)
+    // the NEXT cadence window triggers again three commits later
+    MutationStream.applyBatch(spark, writer, ops(("add", "d")), 3L)
+    MutationStream.applyBatch(spark, writer, ops(("add", "e")), 4L)
+    assert(logNames(dir, ".ckpt") == Seq(f"${2L}%020d.ckpt"),
+      "no re-compaction before the next N commits accumulate")
+    MutationStream.applyBatch(spark, writer, ops(("add", "f")), 5L)
+    assert(logNames(dir, ".ckpt") == Seq(f"${5L}%020d.ckpt"),
+      "superseded checkpoint reclaimed, fresh one at the new boundary")
+    assert(stateIds(new TxnLogState(dir, spark, B)) ==
+      Set("b", "c", "d", "e", "f"))
+    assert(stateIds(reader) == Set("b", "c", "d", "e", "f"),
+      "the cached reader tracks state across a second auto-compact cycle")
+  }
+
   test("TxnLogState: a stale cached reader reseeds across a foreign compact+vacuum (never folds a gapped suffix)") {
     val dir = Files.createTempDirectory("graft_txn").toString
     val writer = new TxnLogState(dir, spark, B)
