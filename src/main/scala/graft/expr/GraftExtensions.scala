@@ -91,6 +91,9 @@ object GraftExtensions {
       "drop tokens covered by k-token windows at the given 1-based starts"),
       (es: Seq[Expression]) => RemoveTokenSpans(es(0), es(1),
         intLit(es(2), "remove_token_spans"))),
+    ("merge_window_runs", mkInfo("merge_window_runs",
+      "merge k-token window starts into maximal (start, end) runs"),
+      (es: Seq[Expression]) => MergeWindowRuns(es(0), intLit(es(1), "merge_window_runs"))),
     ("winnow_hashes", mkInfo("winnow_hashes", "winnowing fingerprint hashes of text"),
       (es: Seq[Expression]) => WinnowHashes(es(0), intLit(es(1), "winnow_hashes"),
         intLit(es(2), "winnow_hashes"))),

@@ -175,6 +175,49 @@ object TextHash {
     removeTokenSpans(text, starts.toLongArray(), k)
   }
 
+  /** Merge 1-based k-token window start positions into MAXIMAL covered
+    * runs: windows at s cover tokens [s, s+k-1]; overlapping or adjacent
+    * covers (next start ≤ current end + 1) fuse, so the result is
+    * exactly the contiguous true-segments of the boolean cover mask
+    * [[removeTokenSpans]] cuts by. Input order is irrelevant (sorted
+    * in place — callers pass a fresh array); duplicates are fine.
+    * Returns catalyst rows (start, end), inclusive token indices. */
+  def mergeWindowRuns(starts: Array[Long], k: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    if (starts.length == 0) return new GenericArrayData(Array.empty[Any])
+    java.util.Arrays.sort(starts)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var s = starts(0)
+    var e = starts(0) + k - 1
+    var i = 1
+    while (i < starts.length) {
+      val st = starts(i)
+      if (st <= e + 1) { val ne = st + k - 1; if (ne > e) e = ne }
+      else { out += InternalRow(s, e); s = st; e = st + k - 1 }
+      i += 1
+    }
+    out += InternalRow(s, e)
+    new GenericArrayData(out.toArray)
+  }
+
+  /** [[mergeWindowRuns]] over raw Catalyst array data — the eval/codegen
+    * entry point; NULL elements rejected loudly like
+    * [[removeTokenSpans]]'s (this too is a registered SQL function). */
+  def mergeWindowRuns(starts: org.apache.spark.sql.catalyst.util.ArrayData,
+                      k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = starts.numElements()
+    var i = 0
+    while (i < n) {
+      if (starts.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"merge_window_runs: start array contains NULL at position $i")
+      i += 1
+    }
+    mergeWindowRuns(starts.toLongArray(), k)
+  }
+
   /** MinHash signature of a shingle-hash set: element i is
     * `min over h of (permA(i) * (h mod 2^30) + permB(i)) mod (2^31-1)`.
     * Empty input → empty signature. */

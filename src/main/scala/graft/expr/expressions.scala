@@ -487,6 +487,42 @@ case class KgramHashes60(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "kgram_hashes60"
 }
 
+/** Maximal duplicated-run merge for variable-length exact-substring
+  * reporting: fuse 1-based k-token window starts (array<bigint>) whose
+  * covers overlap or touch into array<struct<start, end>> — the
+  * seed-and-extend step that turns fixed-k duplicate windows into true
+  * duplicated-span extents. [[TextHash.mergeWindowRuns]] as one compiled
+  * pass per document (no window functions, no extra shuffle). */
+case class MergeWindowRuns(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    new StructType()
+      .add("start", LongType, nullable = false)
+      .add("end", LongType, nullable = false),
+    containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"merge_window_runs expects array<bigint>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.mergeWindowRuns(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.TextHash.mergeWindowRuns($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): MergeWindowRuns =
+    copy(child = newChild)
+  override def prettyName: String = "merge_window_runs"
+}
+
 /** Span removal for exact-substring dedup: drop every token of `text`
   * covered by a k-token window starting at any 1-based position in
   * `starts` (array<bigint>), survivors re-joined by single spaces —
@@ -562,6 +598,10 @@ object hfunctions {
   /** drop tokens covered by k-token windows at the given 1-based starts */
   def remove_token_spans(text: Column, starts: Column, k: Int): Column =
     expr2col(RemoveTokenSpans(col2expr(text), col2expr(starts), k))
+
+  /** merge k-token window starts into maximal (start, end) runs */
+  def merge_window_runs(starts: Column, k: Int): Column =
+    expr2col(MergeWindowRuns(col2expr(starts), k))
 
   /** simhash fingerprint of a text column (compiled pass) */
   def simhash_c(text: Column, bits: Int): Column = expr2col(SimHash(col2expr(text), bits))

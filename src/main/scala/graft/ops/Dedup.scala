@@ -510,17 +510,7 @@ object Dedup {
     * length detected. */
   def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
                  k: Int = 8): DataFrame = {
-    require(k >= 2, s"k must be at least 2, got $k")
-    val occ = docs.select(col(idCol).as("doc_id"),
-        posexplode(graft.expr.hfunctions.kgram_hashes60(col(textCol), k))
-          .as(Seq("i0", "h")))
-      .select(col("doc_id"), (col("i0") + 1).cast("long").as("pos"), col("h"))
-    val winners = occ.groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
-    val dupStarts = occ.join(winners, Seq("h"))
-      .filter(!(col("doc_id") === col("w.doc_id") && col("pos") === col("w.pos")))
-      .groupBy(col("doc_id"))
-      .agg(collect_list(col("pos")).as("starts"))
+    val dupStarts = duplicateWindowStarts(docs, idCol, textCol, k)
     docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .join(dupStarts, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -531,6 +521,52 @@ object Dedup {
         (col("n_tokens") - TextAnalysis.tokenCount(col("clean_text"))).as("n_removed"),
         col("clean_text"))
   }
+
+  /** Per-doc 1-based start positions of every k-token window that is a
+    * NON-first global occurrence of its k-gram — [[dedupSpans]]' cut
+    * set, shared with [[duplicateRuns]]. One groupBy(h) min-struct
+    * aggregate (map-side partials collapse boilerplate k-grams before
+    * the shuffle), join back on h, regroup per doc. Output:
+    * (doc_id, starts: array<bigint>). */
+  private def duplicateWindowStarts(docs: DataFrame, idCol: String,
+                                    textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be at least 2, got $k")
+    val occ = docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.expr.hfunctions.kgram_hashes60(col(textCol), k))
+          .as(Seq("i0", "h")))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("pos"), col("h"))
+    val winners = occ.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+    occ.join(winners, Seq("h"))
+      .filter(!(col("doc_id") === col("w.doc_id") && col("pos") === col("w.pos")))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("pos")).as("starts"))
+  }
+
+  /** Variable-length exact-substring duplicate RUNS (extends
+    * [[dedupSpans]] from detection to measurement): seed-and-extend —
+    * overlapping/adjacent fixed-k duplicate windows fuse into maximal
+    * runs (the contiguous segments of the cover mask dedupSpans cuts
+    * by), so reported extents are TRUE duplicated-span lengths ≥ k
+    * rather than k-gram window counts. A shared m-token run (m ≥ k)
+    * yields m−k+1 duplicate windows that merge back into one
+    * (start, start+m−1) row. Output: (doc_id, run_start, run_end,
+    * run_len), inclusive 1-based token positions, one row per maximal
+    * run; docs without duplicated spans emit nothing.
+    *
+    * Scale shape: identical to [[dedupSpans]] through the winner
+    * aggregate and join-back; the merge is one compiled pass per doc
+    * over its collected starts ([[graft.expr.MergeWindowRuns]]) — no
+    * window functions, no additional shuffle. */
+  def duplicateRuns(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8): DataFrame =
+    duplicateWindowStarts(docs, idCol, textCol, k)
+      .select(col("doc_id"),
+        explode(graft.expr.hfunctions.merge_window_runs(col("starts"), k)).as("run"))
+      .select(col("doc_id"),
+        col("run.start").as("run_start"),
+        col("run.end").as("run_end"),
+        (col("run.end") - col("run.start") + 1).as("run_len"))
 
   /** Document NOVELTY score: the fraction of a document's k-token
     * windows that are GLOBALLY-FIRST occurrences of their k-gram

@@ -272,6 +272,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // variable-length exact-substring runs on the same successor-concat
+    // corpus: the m-token restated successor text yields m-k+1 duplicate
+    // windows that must merge back into ONE maximal run whose length is
+    // the true duplicated-span extent, not a window count
+    "d16_duplicate_runs" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val succ = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("next_text"))
+      val synth = d.join(succ, Seq("doc_id"))
+        .select(col("doc_id"), concat_ws(" ", col("text"), col("next_text")).as("text"))
+      Dedup.duplicateRuns(synth, "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"), col("run_start"))
+    }),
+
     // k-gram novelty scoring on the successor-concat corpus: every doc's
     // head restates its predecessor's tail, so novelty sits near the
     // fraction of genuinely-new windows — the doc-level duplication
@@ -1186,6 +1199,39 @@ object PipelineQueries {
          |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
          |  CAST(n_removed AS BIGINT) AS n_removed, clean_text
          |FROM agg ORDER BY doc_id""".stripMargin
+    },
+
+    // d15's dup-window CTEs + gaps-and-islands interval merge: a new
+    // island starts where a window's start clears the running max end
+    // by more than one token (cover adjacency)
+    "d16_duplicate_runs" -> {
+      val k = 8
+      val gram = (0 until k).map(j => if (j == 0) "tk[i]" else s"tk[i+$j]")
+        .mkString(" || ' ' || ")
+      s"""WITH base AS (
+         |  SELECT a.doc_id, a.text || ' ' || b.text AS text
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+         |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM base),
+         |kgs AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - ${k - 1}),
+         |          i -> {'pos': i, 'h': ${h60sql(gram)}})) AS u
+         |        FROM tok WHERE len(tk) >= $k),
+         |kg AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM kgs),
+         |rk AS (SELECT doc_id, pos,
+         |         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS r FROM kg),
+         |dup AS (SELECT doc_id, pos AS s, pos + ${k - 1} AS e FROM rk WHERE r > 1),
+         |m AS (SELECT doc_id, s, e,
+         |        CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+         |        THEN 1 ELSE 0 END AS brk
+         |      FROM dup),
+         |g AS (SELECT doc_id, s, e,
+         |        sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+         |          ROWS UNBOUNDED PRECEDING) AS grp
+         |      FROM m)
+         |SELECT doc_id, min(s) AS run_start, max(e) AS run_end,
+         |  max(e) - min(s) + 1 AS run_len
+         |FROM g GROUP BY doc_id, grp
+         |ORDER BY doc_id, run_start""".stripMargin
     },
 
     // p09's water-filling with DERIVED weights: wt = floor(sqrt(n)) —

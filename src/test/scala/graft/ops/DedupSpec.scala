@@ -348,6 +348,52 @@ class DedupSpec extends SparkSpec {
         .map(i => s"$i: got ${out(i)} want ${expected(i)}").mkString("; ")}")
   }
 
+  test("duplicateRuns == naive maximal cover-mask runs on a random corpus") {
+    import spark.implicits._
+    val k = 3
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val corpus = (1L to 40L).map { i =>
+      i -> Vector.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    // naive: cover mask from raw duplicate windows, then its contiguous
+    // true-segments — the definition duplicateRuns' merge must equal
+    val toks = corpus.map { case (id, t) => id -> t.split("\\s+").toVector }.toMap
+    val occs = corpus.flatMap { case (id, _) =>
+      val tk = toks(id)
+      (0 to tk.length - k).map(i => (tk.slice(i, i + k).mkString(" "), id, i))
+    }
+    val winner = occs.groupBy(_._1).map { case (g, os) =>
+      g -> os.map(o => (o._2, o._3)).min
+    }
+    val expected = corpus.flatMap { case (id, _) =>
+      val tk = toks(id)
+      val covered = Array.fill(tk.length)(false)
+      (0 to tk.length - k).foreach { i =>
+        val g = tk.slice(i, i + k).mkString(" ")
+        if (winner(g) != ((id, i))) (i until math.min(tk.length, i + k)).foreach(covered(_) = true)
+      }
+      // contiguous true-segments, reported as 1-based inclusive extents
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var j = 0
+      while (j < tk.length) {
+        if (covered(j)) {
+          val s = j
+          while (j < tk.length && covered(j)) j += 1
+          runs += ((id, (s + 1).toLong, j.toLong, (j - s).toLong))
+        } else j += 1
+      }
+      runs
+    }.toSet
+    val got = Dedup.duplicateRuns(corpus.toDF("doc_id", "text"), "doc_id", "text", k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected,
+      s"extra: ${(got -- expected).toSeq.sorted}; missing: ${(expected -- got).toSeq.sorted}")
+    assert(expected.nonEmpty, "the random corpus must actually contain duplicated runs")
+    // a shared m-token run merges to ONE row of length m, never window counts
+    assert(got.forall(_._4 >= k), s"every run is at least k long: $got")
+  }
+
   test("nearDupPrune keeps the longest doc per cluster and every singleton") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
