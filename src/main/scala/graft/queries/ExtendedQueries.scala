@@ -381,6 +381,35 @@ object ExtendedQueries {
     // hash sets (a when()-gated lambda — clean docs never intersect
     // anything). Stateless end to end: no watermark, no state store,
     // the streaming shape that survives unbounded ingest.
+    // streaming novelty gate: t13's global keep-first computed
+    // incrementally over an ORDERED ingestion log — cross-batch
+    // seen-k-gram state in the bucketed DocStateStore (TxnLogState with
+    // an aggressive auto-compact cadence, so the stream also crosses a
+    // live checkpoint+vacuum mid-drain); batch result == the t13 oracle
+    // because batches arrive in ascending doc_id order
+    "s11_stream_novelty" -> ((s, dir) => {
+      val work = scratchDir("graft_s11")
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val succ = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("next_text"))
+      val synth = d.join(succ, Seq("doc_id"))
+        .select(col("doc_id"), concat_ws(" ", col("text"), col("next_text")).as("text"))
+      val b = synth.agg(min(col("doc_id")), max(col("doc_id"))).first()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val c1 = lo + (hi - lo) / 3
+      val c2 = lo + 2 * (hi - lo) / 3
+      Seq(col("doc_id") <= c1,
+          col("doc_id") > c1 && col("doc_id") <= c2,
+          col("doc_id") > c2).foreach { p =>
+        synth.filter(p).coalesce(1).write.mode("append").parquet(s"$work/in")
+        Thread.sleep(20) // distinct mtimes → deterministic oldest-first arrival
+      }
+      val state = new graft.streaming.TxnLogState(s"$work/seen", s, 16,
+        autoCompactEvery = 2, maintenanceGraceMs = 0L)
+      graft.streaming.StreamNovelty
+        .drain(s, state, s"$work/in", s"$work/out", s"$work/ckpt", k = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     "s09_stream_fuzzy_gate" -> ((s, dir) => {
       val work = scratchDir("graft_s09")
       val d = t(s, dir, "documents")
@@ -1211,6 +1240,31 @@ object ExtendedQueries {
     // the streamed appends land in the same frozen-codebook coordinate
     // system as a from-scratch build, so serving ≡ a03's live path
     "s08_stream_ivf_ingest" -> a03Oracle,
+
+    // the stream twin of t13: identical SQL — ordered-arrival incremental
+    // keep-first must equal the batch global keep-first exactly
+    "s11_stream_novelty" -> {
+      val k = 8
+      val gram = (0 until k).map(j => if (j == 0) "tk[i]" else s"tk[i+$j]")
+        .mkString(" || ' ' || ")
+      s"""WITH base AS (
+         |  SELECT a.doc_id, a.text || ' ' || b.text AS text
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+         |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM base),
+         |kgs AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - ${k - 1}),
+         |          i -> {'pos': i, 'h': ${PipelineQueries.h60sql(gram)}})) AS u
+         |        FROM tok WHERE len(tk) >= $k),
+         |kg AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM kgs),
+         |rk AS (SELECT doc_id, pos,
+         |         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS r FROM kg),
+         |win AS (SELECT doc_id, count(*) AS n_novel FROM rk WHERE r = 1 GROUP BY doc_id),
+         |tot AS (SELECT doc_id, count(*) AS n_windows FROM kg GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_windows,
+         |  coalesce(w.n_novel, 0) AS n_novel,
+         |  CAST(coalesce(w.n_novel, 0) AS DOUBLE) / t.n_windows AS novelty
+         |FROM tot t LEFT JOIN win w ON t.doc_id = w.doc_id
+         |ORDER BY t.doc_id""".stripMargin
+    },
 
     "m02_media_chunks" ->
       """WITH g AS (

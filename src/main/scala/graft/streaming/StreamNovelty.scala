@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Streaming k-gram NOVELTY gate — [[graft.ops.Dedup.noveltyScores]]'
+  * keep-first rule as an incremental per-micro-batch stage with
+  * cross-batch state: a k-gram window is novel iff its k-gram has never
+  * been seen in any PRIOR batch and this window is the within-batch
+  * (doc_id, pos)-first occurrence. With batches arriving in ascending
+  * doc_id order (an ordered ingestion log) this computes EXACTLY the
+  * batch operator's global keep-first — the s11 oracle is t13's SQL.
+  *
+  * The seen-k-gram set lives in a [[DocStateStore]] keyed by the hash
+  * string (`id`), reusing the sink's md5_shard bucketing: each batch
+  * reads ONLY the buckets its own k-grams hash into (a ≤buckets-row
+  * driver collect decides which), unions its first-occurrence hashes in,
+  * and commits just those buckets copy-on-write — the same
+  * touched-bucket contract as [[MutationStream.applyBatch]], so
+  * [[TxnLogState]] brings idempotent versioned commits, optimistic
+  * concurrency, and the auto-compaction cadence for free.
+  *
+  * Scale shape: the per-batch plan is the batch operator's (one
+  * groupBy(h) min-struct aggregate with map-side partials, two uniform
+  * doc_id aggregations), plus one left-anti join against only the
+  * touched buckets' seen hashes. State grows with DISTINCT k-grams, not
+  * corpus size, and is bucket-pruned on read — no full-state scan per
+  * batch, no flatMapGroupsWithState timer state.
+  */
+object StreamNovelty {
+
+  /** Process one micro-batch: append (doc_id, n_windows, n_novel,
+    * novelty) rows to `outPath` and fold the batch's first-occurrence
+    * k-grams into `state`. Returns the touched bucket ids. */
+  def applyBatch(state: DocStateStore, batch: DataFrame, idCol: String,
+                 textCol: String, k: Int, outPath: String,
+                 batchId: Long): Seq[Int] = {
+    val spark = batch.sparkSession
+    val occ = batch.select(col(idCol).as("doc_id"),
+        posexplode(graft.expr.hfunctions.kgram_hashes60(col(textCol), k))
+          .as(Seq("i0", "h")))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("pos"), col("h"))
+      .persist()
+    try {
+      // within-batch keep-first; winners carry their (doc_id, pos)
+      val winners = occ.groupBy(col("h"))
+        .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+        .persist()
+      try {
+        // which buckets does this batch touch? (≤ buckets rows)
+        val touched = winners
+          .select(graft.expr.hfunctions
+            .md5_shard(col("h").cast("string"), state.buckets).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val seen = state.readBuckets(touched)
+          .map(_.select(col("id")))
+          .getOrElse(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row],
+            StructType(Seq(StructField("id", StringType)))))
+        // winners whose k-gram no prior batch claimed
+        val fresh = winners
+          .join(seen.select(col("id").cast("long").as("h")), Seq("h"), "left_anti")
+          .persist()
+        try {
+          val novel = fresh.groupBy(col("w.doc_id").as("doc_id"))
+            .agg(count(lit(1)).as("n_novel"))
+          occ.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+            .join(novel, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("n_windows"),
+              coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+            .withColumn("novelty", col("n_novel").cast("double") / col("n_windows"))
+            .write.mode("append").parquet(outPath)
+          // new contents of the touched buckets = prior seen ∪ fresh
+          val updated = seen
+            .unionByName(fresh.select(col("h").cast("string").as("id")))
+            .distinct()
+          state.commit(updated, f"n$batchId%09d", touched)
+          state.maintain()
+          touched
+        } finally { fresh.unpersist(); () }
+      } finally { winners.unpersist(); () }
+    } finally { occ.unpersist(); () }
+  }
+
+  /** Convenience drain for an ordered document log: stream `inPath`
+    * (doc_id long, text string) file-by-file, gate every batch through
+    * [[applyBatch]], return the accumulated per-doc novelty scores. */
+  def drain(spark: SparkSession, state: DocStateStore, inPath: String,
+            outPath: String, ckptPath: String, k: Int = 8): DataFrame = {
+    val schema = new StructType().add("doc_id", "long").add("text", "string")
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inPath)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        applyBatch(state, b, "doc_id", "text", k, outPath, id)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckptPath)
+      .start()
+    q.awaitTermination()
+    spark.read
+      .schema("doc_id long, n_windows long, n_novel long, novelty double")
+      .parquet(outPath)
+  }
+}

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The incremental keep-first must equal the batch operator under
+  * ordered arrival, and the seen-set must actually persist across
+  * batches (a later batch restating earlier text scores 0 novelty). */
+class StreamNoveltySpec extends SparkSpec {
+
+  test("applyBatch over ordered chunks == batch noveltyScores; cross-batch repeats score 0") {
+    import spark.implicits._
+    val k = 3
+    val corpus = Seq(
+      1L -> "aa bb cc dd ee ff",
+      2L -> "gg hh ii jj kk ll",
+      // restates doc 1 verbatim — every window is a cross-batch repeat
+      3L -> "aa bb cc dd ee ff",
+      // half doc 2, half new
+      4L -> "gg hh ii jj zz yy xx ww")
+    val df = corpus.toDF("doc_id", "text")
+    val work = Files.createTempDirectory("graft_snov").toString
+    val state = new TxnLogState(s"$work/seen", spark, 8,
+      autoCompactEvery = 1, maintenanceGraceMs = 0L)
+    // two ordered batches: {1,2} then {3,4}
+    StreamNovelty.applyBatch(state, df.filter(col("doc_id") <= 2),
+      "doc_id", "text", k, s"$work/out", 0L)
+    StreamNovelty.applyBatch(state, df.filter(col("doc_id") > 2),
+      "doc_id", "text", k, s"$work/out", 1L)
+    val got = spark.read
+      .schema("doc_id long, n_windows long, n_novel long, novelty double")
+      .parquet(s"$work/out")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batch = Dedup.noveltyScores(df, "doc_id", "text", k = k)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == batch, s"stream $got vs batch $batch")
+    assert(got(3L)._2 == 0L, s"a verbatim cross-batch restatement is 0-novel: $got")
+    assert(got(4L)._2 > 0L && got(4L)._2 < got(4L)._1,
+      s"a half-new doc is partially novel: $got")
+    // the aggressive cadence compacted the seen-log mid-run; a cold
+    // store still folds the full seen-set (state survived the vacuum)
+    val reopened = new TxnLogState(s"$work/seen", spark, 8)
+    assert(reopened.read().map(_.count()).getOrElse(0L) ==
+      state.read().map(_.count()).getOrElse(-1L))
+  }
+}
