@@ -507,6 +507,19 @@ object ExtendedQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the SAME budget operator re-denominated through the tokenizer seam:
+    // BPE-style pre-token counts (letter/digit/punct runs + contractions)
+    // replace whitespace counts; quality score unchanged. Proves the
+    // operators are tokenizer-agnostic — only the counting column swaps
+    "p16_token_budget_bpe" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.ops.RegexBpeTokenizer.count(col("text")).as("n_tokens"),
+        graft.ops.TextAnalysis.qualityScore(col("text")).as("q"))
+      graft.ops.Sampling.tokenBudget(d, "doc_id", "q", "n_tokens", budget = 12000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // winnowing fingerprints (window-min k-gram hashes, compiled pass)
     "t05_winnowing" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1389,6 +1402,36 @@ object ExtendedQueries {
          |      0.4 * (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 1.0 ELSE 0.0 END)
          |      + 0.3 * (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END)
          |      + 0.3 * (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END))) AS q
+         |  FROM f),
+         |o AS (
+         |  SELECT doc_id, n_tokens, q,
+         |    sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d)
+         |SELECT doc_id, n_tokens, q FROM o WHERE cum <= 12000 ORDER BY doc_id""".stripMargin
+    },
+
+    // p02's oracle with the output/budget token column re-denominated to
+    // BPE pre-tokens; the quality score still rides the whitespace count
+    "p16_token_budget_bpe" -> {
+      val en = graft.ops.TextAnalysis.defaultProfiles.head._2.map(w => s"'$w'").mkString(", ")
+      val bpe = graft.ops.RegexBpeTokenizer.countSql("text")
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_ws,
+         |    $bpe AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      w -> w IN ($en))) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, n_tokens,
+         |    least(1.0, greatest(0.0,
+         |      0.4 * (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 1.0 ELSE 0.0 END)
+         |      + 0.3 * (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END)
+         |      + 0.3 * (CASE WHEN n_ws > 0 THEN CAST(n_stop AS DOUBLE) / n_ws ELSE 0.0 END))) AS q
          |  FROM f),
          |o AS (
          |  SELECT doc_id, n_tokens, q,

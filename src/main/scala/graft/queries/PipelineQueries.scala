@@ -422,6 +422,15 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // p11 re-denominated through the tokenizer seam: identical packing
+    // operator, BPE pre-token counts on the tape instead of whitespace
+    "p17_sequence_pack_bpe" -> ((s, dir) => {
+      val counted = docs(s, dir).select(col("doc_id"),
+        graft.ops.RegexBpeTokenizer.count(col("text")).as("n_tokens"))
+      graft.ops.Sampling.packSequences(counted, "doc_id", "n_tokens", seqLen = 512L)
+        .orderBy(col("doc_id"))
+    }),
+
     // dynamic quality threshold: keep documents at or above the corpus
     // P75 of the quality score — the cutoff adapts to the corpus instead
     // of a hand-tuned constant. The exact percentile is a 1-row aggregate
@@ -1021,6 +1030,23 @@ object PipelineQueries {
          |  SELECT doc_id,
          |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
          |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+         |    ${h60sql("CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |t AS (SELECT * FROM d WHERE n_tokens > 0),
+         |o AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+         |  FROM t)
+         |SELECT doc_id, n_tokens, start_off,
+         |  start_off // 512 AS seq_first,
+         |  (start_off + n_tokens - 1) // 512 AS seq_last
+         |FROM o ORDER BY doc_id""".stripMargin,
+
+    "p17_sequence_pack_bpe" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    ${graft.ops.RegexBpeTokenizer.countSql("text")} AS n_tokens,
          |    ${h60sql("CAST(doc_id AS VARCHAR)")} AS h
          |  FROM documents),
          |t AS (SELECT * FROM d WHERE n_tokens > 0),
