@@ -71,10 +71,13 @@ object StreamNovelty {
               coalesce(col("n_novel"), lit(0L)).as("n_novel"))
             .withColumn("novelty", col("n_novel").cast("double") / col("n_windows"))
             .write.mode("append").parquet(outPath)
-          // new contents of the touched buckets = prior seen ∪ fresh
+          // new contents of the touched buckets = prior seen ∪ fresh.
+          // No distinct: seen is unique by induction (every commit writes
+          // a union of disjoint unique sets) and fresh is winners-per-h
+          // anti-joined against seen — a distinct here would only add a
+          // full-state shuffle per trigger
           val updated = seen
             .unionByName(fresh.select(col("h").cast("string").as("id")))
-            .distinct()
           state.commit(updated, f"n$batchId%09d", touched)
           state.maintain()
           touched
