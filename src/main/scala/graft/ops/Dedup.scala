@@ -679,10 +679,12 @@ object Dedup {
     *
     * Scale note: candidate volume is ≈ bands·n²/2^w for slice width
     * w = bits/bands on near-uniform fingerprints, so w IS the primary
-    * scale knob. The defaults (60, 4) come from [[simhashConfigFor]](3):
-    * 15-bit keys → n²/32768 expected candidates per band; a 32-bit/4-band
+    * scale knob. Pass (0, 0) — the default — to derive the band layout
+    * from `maxHamming` via [[simhashConfigFor]] (the
+    * [[minhashLshPairs]] convention): maxHamming 3 → (60, 4), 15-bit
+    * keys, n²/32768 expected candidates per band. A 32-bit/4-band
     * config (8-bit keys, n²/256) goes quadratic at corpus scale and must
-    * not be the default. On a CORRELATED corpus (templated/boilerplate
+    * never be a default. On a CORRELATED corpus (templated/boilerplate
     * text) fingerprints cluster and heavy band buckets can still go
     * quadratic regardless of w; `maxBucket` is the safety valve for that
     * case — (band, key) buckets holding more than `maxBucket` fingerprints
@@ -692,8 +694,18 @@ object Dedup {
     * guarantee degrades gracefully rather than exactly; leave it None
     * (the default) when exact recall matters more than bounded work. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   bits: Int = 60, bands: Int = 4, maxHamming: Int = 3,
+                   bits: Int = 0, bands: Int = 0, maxHamming: Int = 3,
                    maxBucket: Option[Int] = None): DataFrame = {
+    require((bits > 0) == (bands > 0),
+      "pass both bits and bands, or neither (auto-derive from maxHamming)")
+    val (nBits, nBands) =
+      if (bits > 0) (bits, bands) else simhashConfigFor(maxHamming)
+    simhashPairsWith(docs, idCol, textCol, nBits, nBands, maxHamming, maxBucket)
+  }
+
+  private def simhashPairsWith(docs: DataFrame, idCol: String, textCol: String,
+                               bits: Int, bands: Int, maxHamming: Int,
+                               maxBucket: Option[Int]): DataFrame = {
     require(bits % bands == 0, s"bands ($bands) must divide bits ($bits)")
     require(maxHamming < bands,
       s"pigeonhole recall guarantee needs maxHamming ($maxHamming) < bands ($bands)")

@@ -225,6 +225,24 @@ class PlanQualitySpec extends SparkSpec {
       "the compiled kernels must be in the plan, not an interpreted HOF chain")
   }
 
+  test("d16 duplicate runs: d15's plan + a compiled merge kernel — no window, no extra join") {
+    val root = q("d16_duplicate_runs").queryExecution.optimizedPlan
+    val windows = root.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.isEmpty,
+      "interval merge must be the per-doc kernel, never a gaps-and-islands window")
+    // ONE operator join (the winner join-back) — measurement adds NO join
+    // over detection. The fixture's successor self-join is inlined once
+    // under each side of the join-back, so the raw count is 3
+    val joins = root.collect { case j: Join => j }
+    assert(joins.length == 3,
+      s"expected winner join-back + 2 inlined fixture joins, got ${joins.length}")
+    val physical = q("d16_duplicate_runs").queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"), physical.take(800))
+    assert(physical.contains("kgram_hashes60") && physical.contains("merge_window_runs"),
+      "the compiled kernels must be in the plan, not an interpreted HOF chain")
+  }
+
   test("p14 fuzzy decontamination: one-row broadcast benchmark, zero corpus shuffles") {
     val physical = q("p14_fuzzy_decontaminate").queryExecution.executedPlan.toString
     assert(physical.contains("BroadcastNestedLoopJoin"),
