@@ -603,6 +603,22 @@ object hfunctions {
   def merge_window_runs(starts: Column, k: Int): Column =
     expr2col(MergeWindowRuns(col2expr(starts), k))
 
+  /** fold a LongType hash column into ONE fixed-size Bloom-filter blob
+    * (Spark's own runtime-filter aggregate — `numBits` bounds the blob
+    * regardless of input cardinality; empty input folds to NULL) */
+  def bloom_filter_agg(h: Column, estItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    expr2col(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(col2expr(h), Literal(estItems), Literal(numBits))
+      .toAggregateExpression())
+  }
+
+  /** membership probe of a long hash against a Bloom blob (one-sided:
+    * false positives possible, false negatives never; NULL blob → NULL) */
+  def might_contain(bf: Column, h: Column): Column =
+    expr2col(org.apache.spark.sql.catalyst.expressions
+      .BloomFilterMightContain(col2expr(bf), col2expr(h)))
+
   /** simhash fingerprint of a text column (compiled pass) */
   def simhash_c(text: Column, bits: Int): Column = expr2col(SimHash(col2expr(text), bits))
 

@@ -411,6 +411,62 @@ object Dedup {
       .withColumn("contaminated", (col("hits") >= minHits).cast("boolean"))
   }
 
+  /** [[contaminationHits]] behind a FIXED-SIZE Bloom prefilter — the
+    * same gate with a bounded broadcast. The benchmark's distinct
+    * shingle hashes fold into ONE Bloom blob of `numBits` bits (Spark's
+    * own runtime-filter aggregate), the corpus probe is a map-side
+    * `might_contain` prefilter, and only the surviving candidate
+    * (doc, shingle) rows verify exactly against the true benchmark set —
+    * Bloom false positives die in the verify join, so the OUTPUT is
+    * byte-identical to [[contaminationHits]] (same oracle).
+    *
+    * Why it matters at 100 TB: the exact path broadcasts the benchmark's
+    * distinct shingle set against every corpus task — fine for one
+    * benchmark, multi-GB once you decontaminate against dozens of
+    * eval suites at once. Here the per-task payload is numBits/8 bytes
+    * REGARDLESS of benchmark size, and the exact set is only joined
+    * against the prefiltered candidates (true hits + FP-rate × corpus
+    * shingles — AQE picks a cheap join for that residue). Size numBits
+    * ≈ 10× the distinct benchmark shingles for ~1% FP. */
+  def contaminationHitsBloom(corpus: DataFrame, benchmark: DataFrame,
+                             idCol: String, textCol: String,
+                             n: Int = 3, minHits: Int = 5,
+                             estBenchShingles: Long = 1L << 20,
+                             numBits: Long = 1L << 23): DataFrame = {
+    require(estBenchShingles > 0 && numBits > 0,
+      s"positive bloom sizing required, got ($estBenchShingles, $numBits)")
+    val corpusSets = shingleHashSets(corpus, idCol, textCol, n)
+    val benchSh = shingleHashSets(benchmark, idCol, textCol, n)
+      .select(explode(col("hs")).as("h")).distinct()
+    // The blob is a BOUNDED driver collect — numBits/8 bytes by
+    // construction, regardless of benchmark cardinality (that bound is
+    // this operator's whole point) — and enters the probe as a binary
+    // LITERAL: `might_contain` requires a constant filter, and a literal
+    // ships with the task closure exactly once per executor. Empty
+    // benchmark → NULL blob → every doc is trivially clean.
+    val blobRow = benchSh.agg(graft.expr.hfunctions
+      .bloom_filter_agg(col("h"), estBenchShingles, numBits).as("bf")).first()
+    val hits =
+      if (blobRow.isNullAt(0))
+        corpusSets.select(col("doc_id"), lit(0L).as("hits")).limit(0)
+      else {
+        val candidates = corpusSets
+          .select(col("doc_id"), explode(col("hs")).as("h"))
+          .filter(graft.expr.hfunctions.might_contain(
+            lit(blobRow.getAs[Array[Byte]](0)), col("h")))
+        candidates.join(benchSh, Seq("h"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+      }
+    corpus.select(col(idCol).as("doc_id"))
+      .join(corpusSets.select(col("doc_id"), size(col("hs")).cast("long").as("n_sh")),
+        Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("contaminated", (col("hits") >= minHits).cast("boolean"))
+  }
+
   /** Paragraph-level exact dedup ACROSS the corpus (the C4 line-dedup
     * step): split every document on `sep`, fingerprint each non-blank
     * paragraph (lowercased, whitespace-collapsed md5 — formatting noise

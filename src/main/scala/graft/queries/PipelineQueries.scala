@@ -31,6 +31,35 @@ object PipelineQueries {
   private[queries] def h60sql(arg: String) =
     s"CAST('0x' || substr(md5($arg), 1, 15) AS BIGINT)"
 
+  /** Shared by p03 (exact probe) and p18 (Bloom-prefiltered probe): the
+    * two operators are required to be byte-identical, so they share ONE
+    * oracle statement. */
+  private val p03OracleSql =
+    """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 50),
+      |bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+      |ctok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM corpus),
+      |csh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+      |  FROM ctok WHERE len(tk) >= 3),
+      |btok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM bench),
+      |bsh AS (
+      |  SELECT DISTINCT unnest(list_distinct(list_transform(
+      |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+      |  FROM btok WHERE len(tk) >= 3),
+      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM csh GROUP BY doc_id),
+      |h AS (
+      |  SELECT doc_id, count(*) AS hits FROM csh
+      |  WHERE s IN (SELECT s FROM bsh) GROUP BY doc_id)
+      |SELECT corpus.doc_id,
+      |  coalesce(cnt.n_sh, 0) AS n_sh,
+      |  coalesce(h.hits, 0) AS hits,
+      |  coalesce(h.hits, 0) >= 5 AS contaminated
+      |FROM corpus
+      |LEFT JOIN cnt ON corpus.doc_id = cnt.doc_id
+      |LEFT JOIN h ON corpus.doc_id = h.doc_id
+      |ORDER BY corpus.doc_id""".stripMargin
+
   /** minhash signature m0..m7 as SQL select-list items: one base h60 per
     * shingle, k affine permutations mod 2^31-1 (mirrors Dedup.perm). */
   private[queries] val minhashCols = (0 until 8).map { i =>
@@ -141,6 +170,19 @@ object PipelineQueries {
       graft.ops.Dedup.contaminationHits(
           d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50),
           "doc_id", "text", n = 3, minHits = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // p03 behind a FIXED-SIZE Bloom prefilter: deliberately undersized
+    // bits (~4 per shingle → real false positives) prove the exact
+    // verify join makes the output byte-identical to the exact path —
+    // p03's oracle, verbatim
+    "p18_bloom_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.Dedup.contaminationHitsBloom(
+          d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50),
+          "doc_id", "text", n = 3, minHits = 5,
+          estBenchShingles = 1L << 14, numBits = 1L << 16)
         .orderBy(col("doc_id"))
     }),
 
@@ -1426,31 +1468,10 @@ object PipelineQueries {
          |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
     },
 
-    "p03_decontaminate" ->
-      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 50),
-        |bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
-        |ctok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM corpus),
-        |csh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
-        |  FROM ctok WHERE len(tk) >= 3),
-        |btok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM bench),
-        |bsh AS (
-        |  SELECT DISTINCT unnest(list_distinct(list_transform(
-        |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
-        |  FROM btok WHERE len(tk) >= 3),
-        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM csh GROUP BY doc_id),
-        |h AS (
-        |  SELECT doc_id, count(*) AS hits FROM csh
-        |  WHERE s IN (SELECT s FROM bsh) GROUP BY doc_id)
-        |SELECT corpus.doc_id,
-        |  coalesce(cnt.n_sh, 0) AS n_sh,
-        |  coalesce(h.hits, 0) AS hits,
-        |  coalesce(h.hits, 0) >= 5 AS contaminated
-        |FROM corpus
-        |LEFT JOIN cnt ON corpus.doc_id = cnt.doc_id
-        |LEFT JOIN h ON corpus.doc_id = h.doc_id
-        |ORDER BY corpus.doc_id""".stripMargin,
+    "p03_decontaminate" -> p03OracleSql,
+
+    // the Bloom-prefiltered path must be byte-identical to the exact one
+    "p18_bloom_decontaminate" -> p03OracleSql,
 
     "p04_hash_split" ->
       """WITH b AS (

@@ -243,6 +243,24 @@ class PlanQualitySpec extends SparkSpec {
       "the compiled kernels must be in the plan, not an interpreted HOF chain")
   }
 
+  test("p18 bloom decontamination: literal-blob probe filters BELOW the verify join") {
+    val root = q("p18_bloom_decontaminate").queryExecution.optimizedPlan
+    // the exact benchmark set must only ever meet PREFILTERED candidates:
+    // every join that touches a might_contain-filtered subtree has the
+    // filter strictly below it, and at least one such join exists
+    val joinsOverProbe = root.collect {
+      case j: Join if j.left.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.contains("might_contain") => f }.nonEmpty => j
+    }
+    assert(joinsOverProbe.nonEmpty,
+      "the verify join must sit ABOVE the Bloom prefilter, never before it")
+    val physical = q("p18_bloom_decontaminate").queryExecution.executedPlan.toString
+    assert(physical.contains("might_contain"),
+      "the prefilter must be the Bloom probe in the scan-side filter")
+    assert(!physical.contains("CartesianProduct"), physical.take(800))
+  }
+
   test("p14 fuzzy decontamination: one-row broadcast benchmark, zero corpus shuffles") {
     val physical = q("p14_fuzzy_decontaminate").queryExecution.executedPlan.toString
     assert(physical.contains("BroadcastNestedLoopJoin"),

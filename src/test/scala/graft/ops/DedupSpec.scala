@@ -394,6 +394,29 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(_._4 >= k), s"every run is at least k long: $got")
   }
 
+  test("contaminationHitsBloom == contaminationHits even with a pathologically small filter") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet").select(col("doc_id"), col("text"))
+    val bench = d.filter(col("doc_id") < 20)
+    val corpus = d.filter(col("doc_id") >= 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val exact = rows(Dedup.contaminationHits(corpus, bench, "doc_id", "text", n = 3, minHits = 5))
+    // 256 bits for thousands of benchmark shingles → the filter is
+    // saturated and nearly every probe is a false positive; the exact
+    // verify join must still reproduce the exact output
+    val tiny = rows(Dedup.contaminationHitsBloom(corpus, bench, "doc_id", "text",
+      n = 3, minHits = 5, estBenchShingles = 16L, numBits = 256L))
+    assert(tiny == exact, "a saturated Bloom must not change the output")
+    val sized = rows(Dedup.contaminationHitsBloom(corpus, bench, "doc_id", "text",
+      n = 3, minHits = 5))
+    assert(sized == exact)
+    assert(exact.exists(_._4), "fixture must actually contain contaminated docs")
+    // empty benchmark: NULL blob → no candidates → all clean, no rows lost
+    val none = rows(Dedup.contaminationHitsBloom(corpus, bench.limit(0), "doc_id", "text"))
+    assert(none.size == exact.size && none.forall(r => r._3 == 0L && !r._4),
+      "an empty benchmark folds to a NULL filter and every doc is clean")
+  }
+
   test("nearDupPrune keeps the longest doc per cluster and every singleton") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
