@@ -31,6 +31,42 @@ object PipelineQueries {
   private[queries] def h60sql(arg: String) =
     s"CAST('0x' || substr(md5($arg), 1, 15) AS BIGINT)"
 
+  /** Shared by d15 (batch span dedup) and s12 (its stream twin over the
+    * seen-k-gram state): the stream cut must equal the batch cover mask
+    * exactly, so they share ONE oracle statement. */
+  private val d15OracleSql = {
+    val k = 8
+    val gram = (0 until k).map(j => if (j == 0) "tk[i]" else s"tk[i+$j]")
+      .mkString(" || ' ' || ")
+    s"""WITH base AS (
+       |  SELECT a.doc_id, a.text || ' ' || b.text AS text
+       |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+       |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM base),
+       |kgs AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - ${k - 1}),
+       |          i -> {'pos': i, 'h': ${h60sql(gram)}})) AS u
+       |        FROM tok WHERE len(tk) >= $k),
+       |kg AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM kgs),
+       |rk AS (SELECT doc_id, pos,
+       |         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS r FROM kg),
+       |dup AS (SELECT doc_id, pos FROM rk WHERE r > 1),
+       |tks AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)),
+       |          i -> {'j': i, 'w': tk[i]})) AS u FROM tok),
+       |toks AS (SELECT doc_id, u.j AS j, u.w AS w FROM tks),
+       |rem AS (SELECT DISTINCT t.doc_id, t.j FROM toks t JOIN dup d
+       |        ON d.doc_id = t.doc_id AND t.j >= d.pos AND t.j <= d.pos + ${k - 1}),
+       |agg AS (
+       |  SELECT t.doc_id,
+       |    count(*) AS n_tokens,
+       |    count(r.j) AS n_removed,
+       |    coalesce(string_agg(t.w, ' ' ORDER BY t.j) FILTER (WHERE r.j IS NULL), '')
+       |      AS clean_text
+       |  FROM toks t LEFT JOIN rem r ON r.doc_id = t.doc_id AND r.j = t.j
+       |  GROUP BY t.doc_id)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(n_removed AS BIGINT) AS n_removed, clean_text
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   /** Shared by p03 (exact probe) and p18 (Bloom-prefiltered probe): the
     * two operators are required to be byte-identical, so they share ONE
     * oracle statement. */
@@ -311,6 +347,32 @@ object PipelineQueries {
       val synth = d.join(succ, Seq("doc_id"))
         .select(col("doc_id"), concat_ws(" ", col("text"), col("next_text")).as("text"))
       Dedup.dedupSpans(synth, "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // d15's stream twin: the cut computed incrementally per micro-batch
+    // over the s11 seen-k-gram state — same ordered three-chunk log,
+    // same DocStateStore bucketing, oracle = d15's SQL verbatim
+    "s12_stream_span_dedup" -> ((s, dir) => {
+      val work = graft.queries.ExtendedQueries.scratchDir("graft_s12")
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val succ = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("next_text"))
+      val synth = d.join(succ, Seq("doc_id"))
+        .select(col("doc_id"), concat_ws(" ", col("text"), col("next_text")).as("text"))
+      val b = synth.agg(min(col("doc_id")), max(col("doc_id"))).first()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val c1 = lo + (hi - lo) / 3
+      val c2 = lo + 2 * (hi - lo) / 3
+      Seq(col("doc_id") <= c1,
+          col("doc_id") > c1 && col("doc_id") <= c2,
+          col("doc_id") > c2).foreach { p =>
+        synth.filter(p).coalesce(1).write.mode("append").parquet(s"$work/in")
+        Thread.sleep(20) // distinct mtimes → deterministic oldest-first arrival
+      }
+      val state = new graft.streaming.TxnLogState(s"$work/seen", s, 16,
+        autoCompactEvery = 2, maintenanceGraceMs = 0L)
+      graft.streaming.StreamSpanDedup
+        .drain(s, state, s"$work/in", s"$work/out", s"$work/ckpt", k = 8)
         .orderBy(col("doc_id"))
     }),
 
@@ -1236,38 +1298,10 @@ object PipelineQueries {
     // span-dedup replica: positional k-gram hashes, keep-first by
     // row_number over (doc_id, pos), range-join cover mask, ordered
     // string_agg rebuild
-    "d15_span_dedup" -> {
-      val k = 8
-      val gram = (0 until k).map(j => if (j == 0) "tk[i]" else s"tk[i+$j]")
-        .mkString(" || ' ' || ")
-      s"""WITH base AS (
-         |  SELECT a.doc_id, a.text || ' ' || b.text AS text
-         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
-         |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM base),
-         |kgs AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - ${k - 1}),
-         |          i -> {'pos': i, 'h': ${h60sql(gram)}})) AS u
-         |        FROM tok WHERE len(tk) >= $k),
-         |kg AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM kgs),
-         |rk AS (SELECT doc_id, pos,
-         |         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS r FROM kg),
-         |dup AS (SELECT doc_id, pos FROM rk WHERE r > 1),
-         |tks AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)),
-         |          i -> {'j': i, 'w': tk[i]})) AS u FROM tok),
-         |toks AS (SELECT doc_id, u.j AS j, u.w AS w FROM tks),
-         |rem AS (SELECT DISTINCT t.doc_id, t.j FROM toks t JOIN dup d
-         |        ON d.doc_id = t.doc_id AND t.j >= d.pos AND t.j <= d.pos + ${k - 1}),
-         |agg AS (
-         |  SELECT t.doc_id,
-         |    count(*) AS n_tokens,
-         |    count(r.j) AS n_removed,
-         |    coalesce(string_agg(t.w, ' ' ORDER BY t.j) FILTER (WHERE r.j IS NULL), '')
-         |      AS clean_text
-         |  FROM toks t LEFT JOIN rem r ON r.doc_id = t.doc_id AND r.j = t.j
-         |  GROUP BY t.doc_id)
-         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-         |  CAST(n_removed AS BIGINT) AS n_removed, clean_text
-         |FROM agg ORDER BY doc_id""".stripMargin
-    },
+    "d15_span_dedup" -> d15OracleSql,
+
+    // the incremental stream cut must equal the batch cover mask exactly
+    "s12_stream_span_dedup" -> d15OracleSql,
 
     // d15's dup-window CTEs + gaps-and-islands interval merge: a new
     // island starts where a window's start clears the running max end

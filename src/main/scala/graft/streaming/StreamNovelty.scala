@@ -4,6 +4,86 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
+/** Shared per-micro-batch k-gram state machinery for the streaming
+  * keep-first operators ([[StreamNovelty]], [[StreamSpanDedup]]): the
+  * positional k-gram explode, the within-batch (doc_id, pos) winner
+  * aggregate, the bucket-pruned read of the cross-batch seen set, and
+  * the copy-on-write fold of the batch's first occurrences back into the
+  * [[DocStateStore]]. With batches arriving in ascending doc_id order
+  * the incremental rule equals the batch operators' global keep-first
+  * exactly — each streaming op's oracle is its batch twin's SQL. */
+private[streaming] object KgramStreamCore {
+
+  /** Per-batch working set. `occ`/`winners`/`fresh` are persisted —
+    * callers release them with [[cleanup]] in a finally block. */
+  case class Prepared(occ: DataFrame, winners: DataFrame,
+                      touched: Seq[Int], seen: DataFrame, fresh: DataFrame)
+
+  def prepare(state: DocStateStore, batch: DataFrame, idCol: String,
+              textCol: String, k: Int): Prepared = {
+    val spark = batch.sparkSession
+    val occ = batch.select(col(idCol).as("doc_id"),
+        posexplode(graft.expr.hfunctions.kgram_hashes60(col(textCol), k))
+          .as(Seq("i0", "h")))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("pos"), col("h"))
+      .persist()
+    // within-batch keep-first; winners carry their (doc_id, pos)
+    val winners = occ.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+      .persist()
+    // which buckets does this batch touch? (≤ buckets rows)
+    val touched = winners
+      .select(graft.expr.hfunctions
+        .md5_shard(col("h").cast("string"), state.buckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val seen = state.readBuckets(touched)
+      .map(_.select(col("id")))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("id", StringType)))))
+    // winners whose k-gram no prior batch claimed
+    val fresh = winners
+      .join(seen.select(col("id").cast("long").as("h")), Seq("h"), "left_anti")
+      .persist()
+    Prepared(occ, winners, touched, seen, fresh)
+  }
+
+  /** Fold the batch's first-occurrence k-grams into the store: new
+    * contents of the touched buckets = prior seen ∪ fresh. No distinct:
+    * seen is unique by induction (every commit writes a union of
+    * disjoint unique sets) and fresh is winners-per-h anti-joined
+    * against seen — a distinct here would only add a full-state shuffle
+    * per trigger. */
+  def commitFresh(state: DocStateStore, p: Prepared, batchId: Long): Unit = {
+    val updated = p.seen
+      .unionByName(p.fresh.select(col("h").cast("string").as("id")))
+    state.commit(updated, f"n$batchId%09d", p.touched)
+    state.maintain()
+  }
+
+  def cleanup(p: Prepared): Unit = {
+    p.occ.unpersist(); p.winners.unpersist(); p.fresh.unpersist(); ()
+  }
+
+  /** Drain an ordered document log (doc_id long, text string) file-by-
+    * file through `perBatch`, then read back the accumulated output. */
+  def drain(spark: SparkSession, inPath: String, outPath: String,
+            ckptPath: String, outSchema: String)
+           (perBatch: (DataFrame, Long) => Unit): DataFrame = {
+    val schema = new StructType().add("doc_id", "long").add("text", "string")
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inPath)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) => perBatch(b, id) }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckptPath)
+      .start()
+    q.awaitTermination()
+    spark.read.schema(outSchema).parquet(outPath)
+  }
+}
+
 /** Streaming k-gram NOVELTY gate — [[graft.ops.Dedup.noveltyScores]]'
   * keep-first rule as an incremental per-micro-batch stage with
   * cross-batch state: a k-gram window is novel iff its k-gram has never
@@ -36,76 +116,84 @@ object StreamNovelty {
   def applyBatch(state: DocStateStore, batch: DataFrame, idCol: String,
                  textCol: String, k: Int, outPath: String,
                  batchId: Long): Seq[Int] = {
-    val spark = batch.sparkSession
-    val occ = batch.select(col(idCol).as("doc_id"),
-        posexplode(graft.expr.hfunctions.kgram_hashes60(col(textCol), k))
-          .as(Seq("i0", "h")))
-      .select(col("doc_id"), (col("i0") + 1).cast("long").as("pos"), col("h"))
-      .persist()
+    val p = KgramStreamCore.prepare(state, batch, idCol, textCol, k)
     try {
-      // within-batch keep-first; winners carry their (doc_id, pos)
-      val winners = occ.groupBy(col("h"))
-        .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
-        .persist()
-      try {
-        // which buckets does this batch touch? (≤ buckets rows)
-        val touched = winners
-          .select(graft.expr.hfunctions
-            .md5_shard(col("h").cast("string"), state.buckets).as("b"))
-          .distinct().collect().map(_.getInt(0)).toSeq
-        val seen = state.readBuckets(touched)
-          .map(_.select(col("id")))
-          .getOrElse(spark.createDataFrame(
-            spark.sparkContext.emptyRDD[Row],
-            StructType(Seq(StructField("id", StringType)))))
-        // winners whose k-gram no prior batch claimed
-        val fresh = winners
-          .join(seen.select(col("id").cast("long").as("h")), Seq("h"), "left_anti")
-          .persist()
-        try {
-          val novel = fresh.groupBy(col("w.doc_id").as("doc_id"))
-            .agg(count(lit(1)).as("n_novel"))
-          occ.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
-            .join(novel, Seq("doc_id"), "left")
-            .select(col("doc_id"), col("n_windows"),
-              coalesce(col("n_novel"), lit(0L)).as("n_novel"))
-            .withColumn("novelty", col("n_novel").cast("double") / col("n_windows"))
-            .write.mode("append").parquet(outPath)
-          // new contents of the touched buckets = prior seen ∪ fresh.
-          // No distinct: seen is unique by induction (every commit writes
-          // a union of disjoint unique sets) and fresh is winners-per-h
-          // anti-joined against seen — a distinct here would only add a
-          // full-state shuffle per trigger
-          val updated = seen
-            .unionByName(fresh.select(col("h").cast("string").as("id")))
-          state.commit(updated, f"n$batchId%09d", touched)
-          state.maintain()
-          touched
-        } finally { fresh.unpersist(); () }
-      } finally { winners.unpersist(); () }
-    } finally { occ.unpersist(); () }
+      val novel = p.fresh.groupBy(col("w.doc_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_novel"))
+      p.occ.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+        .join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_windows"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+        .withColumn("novelty", col("n_novel").cast("double") / col("n_windows"))
+        .write.mode("append").parquet(outPath)
+      KgramStreamCore.commitFresh(state, p, batchId)
+      p.touched
+    } finally KgramStreamCore.cleanup(p)
   }
 
   /** Convenience drain for an ordered document log: stream `inPath`
     * (doc_id long, text string) file-by-file, gate every batch through
     * [[applyBatch]], return the accumulated per-doc novelty scores. */
   def drain(spark: SparkSession, state: DocStateStore, inPath: String,
-            outPath: String, ckptPath: String, k: Int = 8): DataFrame = {
-    val schema = new StructType().add("doc_id", "long").add("text", "string")
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(inPath)
-      .writeStream
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(state, b, "doc_id", "text", k, outPath, id)
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation", ckptPath)
-      .start()
-    q.awaitTermination()
-    spark.read
-      .schema("doc_id long, n_windows long, n_novel long, novelty double")
-      .parquet(outPath)
+            outPath: String, ckptPath: String, k: Int = 8): DataFrame =
+    KgramStreamCore.drain(spark, inPath, outPath, ckptPath,
+      "doc_id long, n_windows long, n_novel long, novelty double") {
+      (b, id) => applyBatch(state, b, "doc_id", "text", k, outPath, id); ()
+    }
+}
+
+/** Streaming EXACT-SUBSTRING span dedup — [[graft.ops.Dedup.dedupSpans]]
+  * as an incremental stage over the same cross-batch seen-k-gram state
+  * as [[StreamNovelty]]: a k-token window is cut iff its k-gram was
+  * claimed by a PRIOR batch (the whole window is a restatement) or it is
+  * a non-first occurrence within its own batch. Under ascending doc_id
+  * arrival the cut set equals the batch operator's global keep-first
+  * cover mask exactly — the s12 oracle is d15's SQL. Same scale shape as
+  * s11 plus the d15 join-back (occ ⨝ winners) and the compiled
+  * `remove_token_spans` rebuild per document. */
+object StreamSpanDedup {
+
+  /** Process one micro-batch: append (doc_id, n_tokens, n_removed,
+    * clean_text) rows to `outPath` and fold the batch's first-occurrence
+    * k-grams into `state`. Returns the touched bucket ids. */
+  def applyBatch(state: DocStateStore, batch: DataFrame, idCol: String,
+                 textCol: String, k: Int, outPath: String,
+                 batchId: Long): Seq[Int] = {
+    val p = KgramStreamCore.prepare(state, batch, idCol, textCol, k)
+    try {
+      // duplicate starts: every occurrence of a previously-seen k-gram,
+      // plus every non-winner occurrence within the batch
+      val seenMark = p.seen
+        .select(col("id").cast("long").as("h"), lit(true).as("_seen"))
+      val dupStarts = p.occ
+        .join(p.winners, Seq("h"))
+        .join(seenMark, Seq("h"), "left")
+        .filter(coalesce(col("_seen"), lit(false)) ||
+          !(col("doc_id") === col("w.doc_id") && col("pos") === col("w.pos")))
+        .groupBy(col("doc_id"))
+        .agg(collect_list(col("pos")).as("starts"))
+      batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+        .join(dupStarts, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          graft.expr.hfunctions.remove_token_spans(col("text"),
+            coalesce(col("starts"), lit(Array.empty[Long])), k).as("clean_text"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - graft.ops.TextAnalysis.tokenCount(col("clean_text")))
+            .as("n_removed"),
+          col("clean_text"))
+        .write.mode("append").parquet(outPath)
+      KgramStreamCore.commitFresh(state, p, batchId)
+      p.touched
+    } finally KgramStreamCore.cleanup(p)
   }
+
+  /** Convenience drain: stream an ordered document log through
+    * [[applyBatch]], return the accumulated cleaned documents. */
+  def drain(spark: SparkSession, state: DocStateStore, inPath: String,
+            outPath: String, ckptPath: String, k: Int = 8): DataFrame =
+    KgramStreamCore.drain(spark, inPath, outPath, ckptPath,
+      "doc_id long, n_tokens long, n_removed long, clean_text string") {
+      (b, id) => applyBatch(state, b, "doc_id", "text", k, outPath, id); ()
+    }
 }

@@ -45,4 +45,37 @@ class StreamNoveltySpec extends SparkSpec {
     assert(reopened.read().map(_.count()).getOrElse(0L) ==
       state.read().map(_.count()).getOrElse(-1L))
   }
+
+  test("StreamSpanDedup over ordered chunks == batch dedupSpans, cross-batch cuts included") {
+    import spark.implicits._
+    val k = 3
+    val corpus = Seq(
+      1L -> "aa bb cc dd ee ff",
+      2L -> "gg hh ii jj kk ll",
+      // restates doc 1 — every window cut, clean_text empty
+      3L -> "aa bb cc dd ee ff",
+      // head restates doc 2's head across the batch boundary, tail is new
+      4L -> "gg hh ii jj zz yy xx ww",
+      // fewer than k tokens: no windows, survives untouched
+      5L -> "mm nn")
+    val df = corpus.toDF("doc_id", "text")
+    val work = java.nio.file.Files.createTempDirectory("graft_sspan").toString
+    val state = new TxnLogState(s"$work/seen", spark, 8,
+      autoCompactEvery = 1, maintenanceGraceMs = 0L)
+    StreamSpanDedup.applyBatch(state, df.filter(col("doc_id") <= 2),
+      "doc_id", "text", k, s"$work/out", 0L)
+    StreamSpanDedup.applyBatch(state, df.filter(col("doc_id") > 2),
+      "doc_id", "text", k, s"$work/out", 1L)
+    val got = spark.read
+      .schema("doc_id long, n_tokens long, n_removed long, clean_text string")
+      .parquet(s"$work/out")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val batch = graft.ops.Dedup.dedupSpans(df, "doc_id", "text", k = k)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == batch, s"stream $got vs batch $batch")
+    assert(got(3L)._3 == "", s"a verbatim cross-batch restatement is fully cut: $got")
+    assert(got(5L)._3 == "mm nn", s"sub-k docs have no windows to cut: $got")
+    assert(got(4L)._2 > 0L && got(4L)._3.nonEmpty,
+      s"a half-restated doc loses its restated head only: $got")
+  }
 }
