@@ -467,6 +467,49 @@ object Dedup {
       .withColumn("contaminated", (col("hits") >= minHits).cast("boolean"))
   }
 
+  /** SURGICAL span decontamination: cut every k-token window of a corpus
+    * document whose k-gram appears ANYWHERE in the benchmark, and
+    * rebuild the document from the survivors — the span-level
+    * alternative to [[contaminationHits]]' drop-the-whole-doc gate
+    * (dropping a 10k-token doc for one quoted test item wastes the other
+    * 99% of it; cutting the quoted span keeps it). Overlapping
+    * contaminated windows merge through the same per-token cover mask as
+    * [[dedupSpans]], so a verbatim benchmark run of m ≥ k tokens is
+    * excised in full. Output: (doc_id, n_tokens, n_removed, clean_text)
+    * for every corpus document.
+    *
+    * Scale shape: the benchmark collapses to its distinct positional
+    * k-gram hash set (tiny vs the corpus) and meets the corpus windows
+    * in a semi-join AQE broadcasts; the corpus is scanned once, the
+    * rebuild is the compiled cover-mask kernel, and there is no
+    * corpus-sized shuffle except the per-doc starts regroup — exactly
+    * [[dedupSpans]]' plan with the winner aggregate replaced by the
+    * benchmark probe. */
+  def decontaminateSpans(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int = 8): DataFrame = {
+    require(k >= 2, s"k must be at least 2, got $k")
+    val occ = corpus.select(col(idCol).as("doc_id"),
+        posexplode(graft.expr.hfunctions.kgram_hashes60(col(textCol), k))
+          .as(Seq("i0", "h")))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("pos"), col("h"))
+    val benchKg = benchmark
+      .select(explode(graft.expr.hfunctions.kgram_hashes60(col(textCol), k)).as("h"))
+      .distinct()
+    val hitStarts = occ.join(benchKg, Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("pos")).as("starts"))
+    corpus.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(hitStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        graft.expr.hfunctions.remove_token_spans(col("text"),
+          coalesce(col("starts"), lit(Array.empty[Long])), k).as("clean_text"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - TextAnalysis.tokenCount(col("clean_text"))).as("n_removed"),
+        col("clean_text"))
+  }
+
   /** Paragraph-level exact dedup ACROSS the corpus (the C4 line-dedup
     * step): split every document on `sep`, fingerprint each non-blank
     * paragraph (lowercased, whitespace-collapsed md5 — formatting noise

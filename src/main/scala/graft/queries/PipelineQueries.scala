@@ -222,6 +222,20 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SURGICAL span decontamination: every corpus doc carries a verbatim
+    // benchmark doc (doc_id % 50) appended — p19 must excise exactly the
+    // quoted spans and keep the rest, instead of dropping whole docs
+    "p19_decontaminate_spans" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val bench = d.filter(col("doc_id") < 50)
+      val corpus = d.filter(col("doc_id") >= 50)
+        .join(bench.select(col("doc_id").as("bid"), col("text").as("btext")),
+          col("doc_id") % 50 === col("bid"))
+        .select(col("doc_id"), concat_ws(" ", col("text"), col("btext")).as("text"))
+      graft.ops.Dedup.decontaminateSpans(corpus, bench, "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // FUZZY decontamination: near-copies of benchmark docs (tail-extended,
     // shifted ids) hide among the corpus; exact shingle-count probes see
     // diluted verbatim overlap, Jaccard at 0.5 still flags them
@@ -1506,6 +1520,46 @@ object PipelineQueries {
 
     // the Bloom-prefiltered path must be byte-identical to the exact one
     "p18_bloom_decontaminate" -> p03OracleSql,
+
+    // d15's cover-mask machinery with the keep-first winner aggregate
+    // replaced by the benchmark k-gram probe
+    "p19_decontaminate_spans" -> {
+      val k = 8
+      val gram = (0 until k).map(j => if (j == 0) "tk[i]" else s"tk[i+$j]")
+        .mkString(" || ' ' || ")
+      s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+         |corpus AS (
+         |  SELECT c.doc_id, c.text || ' ' || b.text AS text
+         |  FROM documents c JOIN bench b ON c.doc_id % 50 = b.doc_id
+         |  WHERE c.doc_id >= 50),
+         |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM corpus),
+         |kgs AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - ${k - 1}),
+         |          i -> {'pos': i, 'h': ${h60sql(gram)}})) AS u
+         |        FROM tok WHERE len(tk) >= $k),
+         |kg AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM kgs),
+         |btok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM bench),
+         |bkgs AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - ${k - 1}),
+         |          i -> {'h': ${h60sql(gram)}})) AS u
+         |        FROM btok WHERE len(tk) >= $k),
+         |bkg AS (SELECT DISTINCT u.h AS h FROM bkgs),
+         |dup AS (SELECT doc_id, pos FROM kg WHERE h IN (SELECT h FROM bkg)),
+         |tks AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)),
+         |          i -> {'j': i, 'w': tk[i]})) AS u FROM tok),
+         |toks AS (SELECT doc_id, u.j AS j, u.w AS w FROM tks),
+         |rem AS (SELECT DISTINCT t.doc_id, t.j FROM toks t JOIN dup d
+         |        ON d.doc_id = t.doc_id AND t.j >= d.pos AND t.j <= d.pos + ${k - 1}),
+         |agg AS (
+         |  SELECT t.doc_id,
+         |    count(*) AS n_tokens,
+         |    count(r.j) AS n_removed,
+         |    coalesce(string_agg(t.w, ' ' ORDER BY t.j) FILTER (WHERE r.j IS NULL), '')
+         |      AS clean_text
+         |  FROM toks t LEFT JOIN rem r ON r.doc_id = t.doc_id AND r.j = t.j
+         |  GROUP BY t.doc_id)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(n_removed AS BIGINT) AS n_removed, clean_text
+         |FROM agg ORDER BY doc_id""".stripMargin
+    },
 
     "p04_hash_split" ->
       """WITH b AS (

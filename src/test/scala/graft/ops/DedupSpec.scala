@@ -417,6 +417,28 @@ class DedupSpec extends SparkSpec {
       "an empty benchmark folds to a NULL filter and every doc is clean")
   }
 
+  test("decontaminateSpans cuts exactly the quoted benchmark spans, keeps the rest") {
+    import spark.implicits._
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // quotes the full benchmark sentence mid-document
+      (100L, "intro words here the quick brown fox jumps over the lazy dog outro words here"),
+      // clean document — must pass through untouched
+      (101L, "entirely unrelated content about spark shuffles and joins today"),
+      // quotes only a sub-k fragment (3 tokens < k) — NOT contaminated
+      (102L, "the quick brown something else entirely different now appears here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.decontaminateSpans(corpus, bench, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(100L)._3 == "intro words here outro words here",
+      s"the quoted 9-token span must be excised in full: ${got(100L)}")
+    assert(got(100L)._2 == 9L)
+    assert(got(101L) == ((9L, 0L, "entirely unrelated content about spark shuffles and joins today")),
+      s"clean docs pass through: ${got(101L)}")
+    assert(got(102L)._2 == 0L,
+      s"a sub-k fragment shares no k-gram and is not contamination: ${got(102L)}")
+  }
+
   test("nearDupPrune keeps the longest doc per cluster and every singleton") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
