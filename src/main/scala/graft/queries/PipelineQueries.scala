@@ -364,6 +364,33 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // doc-level streaming exact dedup on d01's noisy fixture: the
+    // whitespace-noise copies (ids +100000) arrive in the later ordered
+    // chunks and must all gate to kept = false; every original is the
+    // global first of its fingerprint and keeps
+    "s13_stream_exact_dedup" -> ((s, dir) => {
+      val work = graft.queries.ExtendedQueries.scratchDir("graft_s13")
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val noisy = d.select((col("doc_id") + 100000).as("doc_id"),
+        concat(lit("  "), col("text"), lit("   ")).as("text"))
+      val all = d.unionByName(noisy)
+      val b = all.agg(min(col("doc_id")), max(col("doc_id"))).first()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val c1 = lo + (hi - lo) / 3
+      val c2 = lo + 2 * (hi - lo) / 3
+      Seq(col("doc_id") <= c1,
+          col("doc_id") > c1 && col("doc_id") <= c2,
+          col("doc_id") > c2).foreach { p =>
+        all.filter(p).coalesce(1).write.mode("append").parquet(s"$work/in")
+        Thread.sleep(20) // distinct mtimes → deterministic oldest-first arrival
+      }
+      val state = new graft.streaming.TxnLogState(s"$work/seen", s, 16,
+        autoCompactEvery = 2, maintenanceGraceMs = 0L)
+      graft.streaming.StreamExactDedup
+        .drain(s, state, s"$work/in", s"$work/out", s"$work/ckpt")
+        .orderBy(col("doc_id"))
+    }),
+
     // d15's stream twin: the cut computed incrementally per micro-batch
     // over the s11 seen-k-gram state — same ordered three-chunk log,
     // same DocStateStore bucketing, oracle = d15's SQL verbatim
@@ -1316,6 +1343,19 @@ object PipelineQueries {
 
     // the incremental stream cut must equal the batch cover mask exactly
     "s12_stream_span_dedup" -> d15OracleSql,
+
+    // keep-first over fingerprints, stated as the plain global rule the
+    // ordered-arrival incremental gate must reproduce
+    "s13_stream_exact_dedup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, '  ' || text || '   ' FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM all_docs)
+        |SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY fp) AS kept
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // d15's dup-window CTEs + gaps-and-islands interval merge: a new
     // island starts where a window's start clears the running max end

@@ -142,6 +142,67 @@ object StreamNovelty {
     }
 }
 
+/** Streaming DOC-LEVEL exact dedup — [[graft.ops.Dedup.exactGroups]]'
+  * keep-first rule as an unbounded ingestion gate: a document is kept
+  * iff its canonical fingerprint (lowercased, whitespace-collapsed md5 —
+  * [[graft.ops.TextAnalysis.fingerprint]]) was never seen in any prior
+  * batch and it is the smallest doc_id carrying that fingerprint within
+  * its own batch. Completes the streaming keep-first family with
+  * [[StreamNovelty]] (window-level) and [[StreamSpanDedup]]
+  * (token-level): same bucketed [[DocStateStore]] state, same ordered-
+  * arrival ≡ batch-operator contract, but the state is one fingerprint
+  * per DISTINCT document — far smaller than the k-gram stores — and
+  * unbounded by design, unlike [[StreamDedup.dedupWithinHorizon]]'s
+  * watermarked event-id horizon. Output: (doc_id, kept). */
+object StreamExactDedup {
+
+  /** Process one micro-batch: append (doc_id, kept) rows to `outPath`
+    * and fold the batch's first-seen fingerprints into `state`. Returns
+    * the touched bucket ids. */
+  def applyBatch(state: DocStateStore, batch: DataFrame, idCol: String,
+                 textCol: String, outPath: String, batchId: Long): Seq[Int] = {
+    val spark = batch.sparkSession
+    val fps = batch.select(col(idCol).as("doc_id"),
+        graft.ops.TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .persist()
+    try {
+      val winners = fps.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("w_id")).persist()
+      try {
+        val touched = winners
+          .select(graft.expr.hfunctions.md5_shard(col("fp"), state.buckets).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val seen = state.readBuckets(touched)
+          .map(_.select(col("id")))
+          .getOrElse(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row],
+            StructType(Seq(StructField("id", StringType)))))
+        fps.join(winners, Seq("fp"))
+          .join(seen.select(col("id").as("fp"), lit(true).as("_seen")), Seq("fp"), "left")
+          .select(col("doc_id"),
+            (col("doc_id") === col("w_id") &&
+              !coalesce(col("_seen"), lit(false))).as("kept"))
+          .write.mode("append").parquet(outPath)
+        val fresh = winners
+          .join(seen.select(col("id").as("fp")), Seq("fp"), "left_anti")
+        state.commit(seen.unionByName(fresh.select(col("fp").as("id"))),
+          f"n$batchId%09d", touched)
+        state.maintain()
+        touched
+      } finally { winners.unpersist(); () }
+    } finally { fps.unpersist(); () }
+  }
+
+  /** Convenience drain: stream an ordered document log through
+    * [[applyBatch]], return the accumulated keep decisions. */
+  def drain(spark: SparkSession, state: DocStateStore, inPath: String,
+            outPath: String, ckptPath: String): DataFrame =
+    KgramStreamCore.drain(spark, inPath, outPath, ckptPath,
+      "doc_id long, kept boolean") {
+      (b, id) => applyBatch(state, b, "doc_id", "text", outPath, id); ()
+    }
+}
+
 /** Streaming EXACT-SUBSTRING span dedup — [[graft.ops.Dedup.dedupSpans]]
   * as an incremental stage over the same cross-batch seen-k-gram state
   * as [[StreamNovelty]]: a k-token window is cut iff its k-gram was

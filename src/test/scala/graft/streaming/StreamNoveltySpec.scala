@@ -78,4 +78,30 @@ class StreamNoveltySpec extends SparkSpec {
     assert(got(4L)._2 > 0L && got(4L)._3.nonEmpty,
       s"a half-restated doc loses its restated head only: $got")
   }
+
+  test("StreamExactDedup over ordered chunks == global keep-first over fingerprints") {
+    import spark.implicits._
+    val corpus = Seq(
+      1L -> "alpha beta gamma",
+      2L -> "delta epsilon zeta",
+      // formatting-noise copy of doc 1 in a LATER batch → dropped
+      3L -> "  ALPHA beta   gamma ",
+      // verbatim cross-batch duplicate of doc 2 → dropped
+      4L -> "delta epsilon zeta",
+      // intra-batch duplicates of NEW content: smaller id wins the batch
+      5L -> "wholly new content",
+      6L -> "  wholly NEW content ")
+    val df = corpus.toDF("doc_id", "text")
+    val work = java.nio.file.Files.createTempDirectory("graft_sexact").toString
+    val state = new TxnLogState(s"$work/seen", spark, 8,
+      autoCompactEvery = 1, maintenanceGraceMs = 0L)
+    StreamExactDedup.applyBatch(state, df.filter(col("doc_id") <= 2),
+      "doc_id", "text", s"$work/out", 0L)
+    StreamExactDedup.applyBatch(state, df.filter(col("doc_id") > 2),
+      "doc_id", "text", s"$work/out", 1L)
+    val got = spark.read.schema("doc_id long, kept boolean").parquet(s"$work/out")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false,
+      5L -> true, 6L -> false), s"got $got")
+  }
 }
