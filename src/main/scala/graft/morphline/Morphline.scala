@@ -380,9 +380,12 @@ object Morphline {
         "query" -> (v => regexp_extract(regexp_extract(v, "^([^#]*)", 1), "\\?(.*)$", 1)),
         "fragment" -> (v => regexp_extract(v, "#(.*)$", 1)))
       comps.foldLeft(doc) { case (dd, (name, extract)) =>
-        val got = filter(transform(vs, extract), c => length(c) > 0)
+        // let-bind the extracted array: referenced in both the emptiness
+        // test and the field value — unbound it would extract twice
         putField(dd, prefix + name,
-          when(vs.isNotNull && size(got) > 0, got))
+          let(filter(transform(vs, extract), c => length(c) > 0)) { got =>
+            when(vs.isNotNull && size(got) > 0, got)
+          })
       }
     }
     case ChangeCase(f, up) => let(d) { doc =>
@@ -397,18 +400,24 @@ object Morphline {
       paths.foldLeft(doc) { case (dd, (out, p)) =>
         // Kite slash path → JsonPath: /a/b → $.a.b ($ alone for "/")
         val jp = "$" + p.split("/").filter(_.nonEmpty).map("." + _).mkString
-        val perValue: Column => Column = v => {
-          val node = get_json_object(v, jp)
-          // an array node flattens via from_json (null for non-array
-          // text, so scalars fall through coalesce to a single value)
-          val value =
-            if (doFlatten) coalesce(from_json(node, org.apache.spark.sql.types
-              .ArrayType(org.apache.spark.sql.types.StringType)), array(node))
-            else array(node)
-          when(node.isNotNull, value).otherwise(array().cast("array<string>"))
-        }
-        val got = flatten(transform(vs, perValue))
-        putField(dd, out, when(vs.isNotNull && size(got) > 0, got))
+        // let-bind the parsed node per (value, path): `node` is referenced
+        // three times below, and without the binding each reference
+        // re-runs the JSON parse (measured 2× on the x30 bench)
+        val perValue: Column => Column = v =>
+          element_at(transform(array(get_json_object(v, jp)), node => {
+            // an array node flattens via from_json (null for non-array
+            // text, so scalars fall through coalesce to a single value)
+            val value =
+              if (doFlatten) coalesce(from_json(node, org.apache.spark.sql.types
+                .ArrayType(org.apache.spark.sql.types.StringType)), array(node))
+              else array(node)
+            when(node.isNotNull, value).otherwise(array().cast("array<string>"))
+          }), 1)
+        // same double-reference trap as the URI components: bind the
+        // flattened result before testing its size
+        putField(dd, out, let(flatten(transform(vs, perValue))) { got =>
+          when(vs.isNotNull && size(got) > 0, got)
+        })
       }
     }
     case TryRules(rules) => let(d) { doc =>
