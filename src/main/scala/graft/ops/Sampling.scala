@@ -210,6 +210,43 @@ object Sampling {
     quotaSample(target, idCol, stratumCol, quotas, defaultQuota = 0L, tiers)
   }
 
+  /** EXACT global rank by (score DESC, id ASC) — curriculum ordering
+    * (easy-to-hard data ordering, best-first selection cursors) — with
+    * NO global sort: `row_number() OVER (ORDER BY score DESC)` puts the
+    * whole corpus through one task, the classic driver-melting window.
+    * Instead the score in [0, 1] buckets into `buckets` tiers (tier is
+    * monotone in score, so tier order IS score order), a ≤`buckets`-row
+    * driver histogram yields each tier's exclusive offset, and the
+    * within-tier rank is a window over ~1/buckets of the corpus —
+    * the same shape as [[quotaSample]]'s rank and [[packSequences]]'
+    * tape, applied to exact global ranking. Output: (idCol, scoreCol,
+    * rank), rank 1 = highest score, ties broken by ascending id
+    * (deterministic on any engine); NULL scores are unrankable and
+    * dropped. */
+  def curriculumRank(docs: DataFrame, idCol: String, scoreCol: String,
+                     buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val tiered = docs.filter(col(scoreCol).isNotNull)
+      .withColumn("_tier", least(lit(buckets - 1),
+        greatest(lit(0), floor(col(scoreCol) * buckets))).cast("int"))
+    // exclusive offset per tier: how many docs sit in HIGHER tiers
+    val hist = tiered.groupBy("_tier").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(-_._1).toSeq
+    val offsets = hist
+      .scanLeft((Int.MinValue, 0L)) { case ((_, cum), (tier, n)) => (tier, cum + n) }
+      .sliding(2).collect { case Seq((_, prev), (tier, _)) => (tier, prev) }
+      .toSeq
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toDF("_tier", "_off")
+    val w = Window.partitionBy(col("_tier"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    tiered.join(broadcast(offDf), Seq("_tier"))
+      .withColumn("rank", row_number().over(w).cast("long") + col("_off"))
+      .select(idCol, scoreCol, "rank")
+  }
+
   /** floor(sqrt(n)) in exact integer arithmetic (n ≥ 0). */
   private[ops] def isqrt(n: Long): Long = {
     var x = math.sqrt(n.toDouble).toLong

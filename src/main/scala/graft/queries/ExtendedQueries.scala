@@ -520,6 +520,17 @@ object ExtendedQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // exact global curriculum rank WITHOUT a global window: the oracle
+    // states the semantics as the plain row_number the Spark side must
+    // equal while never putting the corpus through one task
+    "p20_curriculum_order" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.ops.TextAnalysis.qualityScore(col("text")).as("q"))
+      graft.ops.Sampling.curriculumRank(scored, "doc_id", "q")
+        .orderBy(col("doc_id"))
+    }),
+
     // winnowing fingerprints (window-min k-gram hashes, compiled pass)
     "t05_winnowing" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1439,6 +1450,30 @@ object ExtendedQueries {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |  FROM d)
          |SELECT doc_id, n_tokens, q FROM o WHERE cum <= 12000 ORDER BY doc_id""".stripMargin
+    },
+
+    // p02's quality formula + the plain global row_number the
+    // tier-bucketed plan must reproduce exactly
+    "p20_curriculum_order" -> {
+      val en = graft.ops.TextAnalysis.defaultProfiles.head._2.map(w => s"'$w'").mkString(", ")
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      w -> w IN ($en))) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id,
+         |    least(1.0, greatest(0.0,
+         |      0.4 * (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 1.0 ELSE 0.0 END)
+         |      + 0.3 * (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END)
+         |      + 0.3 * (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END))) AS q
+         |  FROM f)
+         |SELECT doc_id, q, row_number() OVER (ORDER BY q DESC, doc_id) AS rank
+         |FROM d ORDER BY doc_id""".stripMargin
     },
 
     "s05_stream_stream_join" ->

@@ -287,6 +287,14 @@ class PlanQualitySpec extends SparkSpec {
       s"corpus rank window must partition by (stratum, tier): ${rankWs.map(_.partitionSpec)}")
   }
 
+  test("p20 curriculum rank: the rank window is tier-partitioned, never a global row_number") {
+    val root = q("p20_curriculum_order").queryExecution.optimizedPlan
+    val windows = root.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"an empty partitionSpec is the single-task global sort: ${windows.map(_.partitionSpec)}")
+  }
+
   test("d11 simhash: default band keys are 15 bits wide — candidate volume near-linear, not n²/256") {
     import graft.ops.Dedup
     // the default config must come from the formula, not a hard-coded

@@ -210,6 +210,32 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("curriculumRank == global row_number on random scores, including ties and tier edges") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // scores with deliberate ties, exact tier boundaries (k/1024), 0 and 1
+    val rows = (1L to 500L).map { i =>
+      val q = rnd.nextInt(5) match {
+        case 0 => 0.0
+        case 1 => 1.0
+        case 2 => rnd.nextInt(1024).toDouble / 1024 // exact tier boundary
+        case _ => rnd.nextDouble()
+      }
+      (i, q)
+    }
+    val docs = rows.toDF("doc_id", "q")
+    val got = Sampling.curriculumRank(docs, "doc_id", "q", buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val expected = rows.sortBy { case (id, q) => (-q, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    assert(got == expected,
+      s"diff: ${got.filter { case (k, v) => expected(k) != v }.take(5)}")
+    // NULL scores are unrankable and dropped
+    val withNull = docs.unionByName(
+      Seq((999L, null.asInstanceOf[java.lang.Double])).toDF("doc_id", "q"))
+    assert(Sampling.curriculumRank(withNull, "doc_id", "q").count() == 500L)
+  }
+
   test("isqrt: floor(sqrt(n)) exactly, across boundaries and random 2^52-scale inputs") {
     def check(n: Long): Unit = {
       val x = Sampling.isqrt(n)
