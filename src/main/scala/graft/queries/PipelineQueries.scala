@@ -236,6 +236,38 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the round-8 chain, every stage a library operator: surgical span
+    // decontamination → exact dedup on the CLEANED text (fully-cut docs
+    // collapse to one '' keeper — the stage provably bites) → quality →
+    // global-window-free curriculum rank → BPE-denominated token budget
+    "p21_decontam_curriculum" -> ((s, dir) => {
+      import graft.ops.{RegexBpeTokenizer, Sampling}
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val bench = d.filter(col("doc_id") < 50)
+      val corpus = d.filter(col("doc_id") >= 50)
+        .join(bench.select(col("doc_id").as("bid"), col("text").as("btext")),
+          col("doc_id") % 50 === col("bid"))
+        .select(col("doc_id"), concat_ws(" ", col("text"), col("btext")).as("text"))
+      // stage boundary: the cleaned text feeds dedup, scoring, and
+      // counting — materialize once (the p15 lesson)
+      val cleaned = Dedup.decontaminateSpans(corpus, bench, "doc_id", "text", k = 8)
+        .select(col("doc_id"), col("clean_text")).localCheckpoint()
+      val unique = cleaned.join(
+        Dedup.exactGroups(cleaned, "doc_id", "clean_text")
+          .select(col("keeper").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val scored = unique.select(col("doc_id"),
+          TextAnalysis.qualityScore(col("clean_text")).as("q"),
+          RegexBpeTokenizer.count(col("clean_text")).as("n_tokens"))
+        .localCheckpoint()
+      val ranked = Sampling.curriculumRank(
+        scored.select(col("doc_id"), col("q")), "doc_id", "q")
+      Sampling.tokenBudget(scored, "doc_id", "q", "n_tokens", budget = 500000L)
+        .join(ranked.select(col("doc_id"), col("rank")), Seq("doc_id"))
+        .select(col("doc_id"), col("q"), col("rank"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // FUZZY decontamination: near-copies of benchmark docs (tail-extended,
     // shifted ids) hide among the corpus; exact shingle-count probes see
     // diluted verbatim overlap, Jaccard at 0.5 still flags them
@@ -1388,6 +1420,74 @@ object PipelineQueries {
          |  max(e) - min(s) + 1 AS run_len
          |FROM g GROUP BY doc_id, grp
          |ORDER BY doc_id, run_start""".stripMargin
+    },
+
+    // the round-8 chain: p19's cover-mask CTEs → fingerprint keep-first
+    // → p02's quality formula on the CLEANED text → global row_number →
+    // BPE-denominated greedy budget prefix
+    "p21_decontam_curriculum" -> {
+      val k = 8
+      val gram = (0 until k).map(j => if (j == 0) "tk[i]" else s"tk[i+$j]")
+        .mkString(" || ' ' || ")
+      val en = TextAnalysis.defaultProfiles.head._2.map(w => s"'$w'").mkString(", ")
+      val bpe = graft.ops.RegexBpeTokenizer.countSql("clean_text")
+      s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+         |corpus AS (
+         |  SELECT c.doc_id, c.text || ' ' || b.text AS text
+         |  FROM documents c JOIN bench b ON c.doc_id % 50 = b.doc_id
+         |  WHERE c.doc_id >= 50),
+         |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM corpus),
+         |kgs AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - ${k - 1}),
+         |          i -> {'pos': i, 'h': ${h60sql(gram)}})) AS u
+         |        FROM tok WHERE len(tk) >= $k),
+         |kg AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM kgs),
+         |btok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM bench),
+         |bkgs AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - ${k - 1}),
+         |          i -> {'h': ${h60sql(gram)}})) AS u
+         |        FROM btok WHERE len(tk) >= $k),
+         |bkg AS (SELECT DISTINCT u.h AS h FROM bkgs),
+         |dup AS (SELECT doc_id, pos FROM kg WHERE h IN (SELECT h FROM bkg)),
+         |tks AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)),
+         |          i -> {'j': i, 'w': tk[i]})) AS u FROM tok),
+         |toks AS (SELECT doc_id, u.j AS j, u.w AS w FROM tks),
+         |rem AS (SELECT DISTINCT t.doc_id, t.j FROM toks t JOIN dup d
+         |        ON d.doc_id = t.doc_id AND t.j >= d.pos AND t.j <= d.pos + ${k - 1}),
+         |cln AS (
+         |  SELECT t.doc_id,
+         |    coalesce(string_agg(t.w, ' ' ORDER BY t.j) FILTER (WHERE r.j IS NULL), '')
+         |      AS clean_text
+         |  FROM toks t LEFT JOIN rem r ON r.doc_id = t.doc_id AND r.j = t.j
+         |  GROUP BY t.doc_id),
+         |fpd AS (SELECT doc_id,
+         |          md5(regexp_replace(lower(trim(clean_text)), '\\s+', ' ', 'g')) AS fp
+         |        FROM cln),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fpd GROUP BY fp),
+         |u AS (SELECT c.doc_id, c.clean_text FROM cln c JOIN keep USING (doc_id)),
+         |feat AS (
+         |  SELECT doc_id,
+         |    CAST(length(clean_text) AS BIGINT) AS n_chars,
+         |    CAST(CASE WHEN length(trim(clean_text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(clean_text), '\\s+')) END AS BIGINT) AS n_ws,
+         |    $bpe AS n_tokens,
+         |    CAST(len(regexp_extract_all(clean_text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(clean_text), '\\s+'),
+         |      w -> w IN ($en))) AS BIGINT) AS n_stop
+         |  FROM u),
+         |dq AS (
+         |  SELECT doc_id, n_tokens,
+         |    least(1.0, greatest(0.0,
+         |      0.4 * (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 1.0 ELSE 0.0 END)
+         |      + 0.3 * (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END)
+         |      + 0.3 * (CASE WHEN n_ws > 0 THEN CAST(n_stop AS DOUBLE) / n_ws ELSE 0.0 END))) AS q
+         |  FROM feat),
+         |r AS (
+         |  SELECT doc_id, q, n_tokens,
+         |    row_number() OVER (ORDER BY q DESC, doc_id) AS rank,
+         |    sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM dq)
+         |SELECT doc_id, q, rank, n_tokens
+         |FROM r WHERE cum <= 500000 ORDER BY doc_id""".stripMargin
     },
 
     // p09's water-filling with DERIVED weights: wt = floor(sqrt(n)) —
