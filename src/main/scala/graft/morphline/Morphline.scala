@@ -76,6 +76,15 @@ object Morphline {
     * well-formed absolute URIs, and an absent component adds no field
     * (Kite's missing-node convention). */
   case class ExtractUriComponents(inputField: String, prefix: String) extends Command
+  /** Kite `extractURIQueryParameters`: every occurrence of the named
+    * query parameter across every value of the (multi-valued) input
+    * field appends its value to `outputField`, in order, capped at
+    * `maxParameters` (Kite's cap; Int.MaxValue = unlimited). The query
+    * string is taken from the pre-fragment substring, like
+    * [[ExtractUriComponents]]. */
+  case class ExtractUriQueryParams(inputField: String, parameter: String,
+                                   outputField: String,
+                                   maxParameters: Int) extends Command
   /** Kite `toLowerCase` / `toUpperCase`: rewrite every value of a field
     * in place (missing field stays missing). */
   case class ChangeCase(field: String, upper: Boolean) extends Command
@@ -190,6 +199,13 @@ object Morphline {
         ExtractUriComponents(
           inputField = (body \ "inputField").extract[String],
           prefix = (body \ "outputFieldPrefix").extractOpt[String].getOrElse(""))
+      case JObject(List(("extractURIQueryParameters", body))) =>
+        ExtractUriQueryParams(
+          inputField = (body \ "inputField").extract[String],
+          parameter = (body \ "parameter").extract[String],
+          outputField = (body \ "outputField").extract[String],
+          maxParameters = (body \ "maxParameters").extractOpt[Int]
+            .getOrElse(Int.MaxValue))
       case JObject(List(("toLowerCase", body))) =>
         ChangeCase((body \ "field").extract[String], upper = false)
       case JObject(List(("toUpperCase", body))) =>
@@ -387,6 +403,25 @@ object Morphline {
             when(vs.isNotNull && size(got) > 0, got)
           })
       }
+    }
+    case ExtractUriQueryParams(in, param, out, maxP) => let(d) { doc =>
+      val vs = try_element_at(doc, lit(in))
+      val prefixLit = param + "="
+      // per URI: pre-fragment query string → '&'-separated pairs → the
+      // values of pairs named `param` (a repeated parameter emits one
+      // value per occurrence, in order — Kite's multimap semantics)
+      val perValue: Column => Column = v =>
+        filter(
+          transform(
+            split(regexp_extract(regexp_extract(v, "^([^#]*)", 1), "\\?(.*)$", 1), "&"),
+            kv => when(startswith(kv, lit(prefixLit)),
+              substring(kv, prefixLit.length + 1, 1 << 24))),
+          x => x.isNotNull)
+      val all = flatten(transform(vs, perValue))
+      val capped = if (maxP == Int.MaxValue) all else slice(all, 1, maxP)
+      putField(doc, out, let(capped) { got =>
+        when(vs.isNotNull && size(got) > 0, got)
+      })
     }
     case ChangeCase(f, up) => let(d) { doc =>
       val vs = try_element_at(doc, lit(f))

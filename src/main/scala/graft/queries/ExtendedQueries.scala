@@ -694,6 +694,44 @@ object ExtendedQueries {
         .orderBy(col("id"))
     }),
 
+    // morphline extractURIQueryParameters: a repeated parameter emits one
+    // value per occurrence in order; every value is synthesized from base
+    // columns so the oracle reconstructs them with pure arithmetic
+    "x33_morphline_uriquery" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val url = concat(lit("https://example.com/s?cust="),
+        col("c_custkey").cast("string"),
+        lit("&seg="), col("c_mktsegment"),
+        lit("&cust="), (col("c_custkey") * 2).cast("string"), lit("#frag?x=9"))
+      val cells = cust.select(
+        col("c_custkey").cast("long").as("id"),
+        array(struct(
+          lit("info").as("family"), lit("url").as("qualifier"),
+          lit(0L).as("ts"), lit("put").as("cellType"),
+          url.as("value"))).as("cells"))
+      val chain =
+        """{"commands": [
+          |  {"extractHBaseCells": {"mappings": [
+          |    {"inputColumn": "info:url", "outputField": "u"}]}},
+          |  {"extractURIQueryParameters":
+          |    {"parameter": "cust", "inputField": "u", "outputField": "cust_ss"}},
+          |  {"extractURIQueryParameters":
+          |    {"parameter": "seg", "inputField": "u", "outputField": "seg_ss"}},
+          |  {"extractURIQueryParameters":
+          |    {"parameter": "x", "inputField": "u", "outputField": "x_ss"}}
+          |]}""".stripMargin
+      val doc = graft.morphline.Morphline(chain)(col("cells"))
+      cells.select(col("id"), doc.as("doc"))
+        .select(col("id"),
+          element_at(col("doc")("cust_ss"), 1).as("cust1"),
+          element_at(col("doc")("cust_ss"), 2).as("cust2"),
+          size(col("doc")("cust_ss")).cast("long").as("n_cust"),
+          element_at(col("doc")("seg_ss"), 1).as("seg"),
+          // 'x' only appears inside the fragment — never a query param
+          try_element_at(try_element_at(col("doc"), lit("x_ss")), lit(1)).as("x_none"))
+        .orderBy(col("id"))
+    }),
+
     // morphline if/contains routing: records route by whether a field
     // holds one of the given values; the else side must see the record
     // unchanged (rollback) — the oracle is a CASE expression on base
@@ -1570,6 +1608,17 @@ object ExtendedQueries {
         |       THEN lower(c_mktsegment) ELSE c_mktsegment END AS seg,
         |  CASE WHEN c_mktsegment IN ('BUILDING', 'MACHINERY')
         |       THEN 'industrial' ELSE 'consumer' END AS route
+        |FROM customer ORDER BY id""".stripMargin,
+
+    // repeated 'cust' yields both values in order; 'x' lives only in the
+    // fragment and must never be read as a query parameter
+    "x33_morphline_uriquery" ->
+      """SELECT c_custkey AS id,
+        |  CAST(c_custkey AS VARCHAR) AS cust1,
+        |  CAST(c_custkey * 2 AS VARCHAR) AS cust2,
+        |  CAST(2 AS BIGINT) AS n_cust,
+        |  c_mktsegment AS seg,
+        |  CAST(NULL AS VARCHAR) AS x_none
         |FROM customer ORDER BY id""".stripMargin,
 
     // URI components reconstructed from the same base arithmetic; host

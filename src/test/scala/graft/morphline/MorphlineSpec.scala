@@ -299,6 +299,37 @@ class MorphlineSpec extends SparkSpec {
     assert(d2.get("uri_fragment").map(_.toList).contains(List("f")))
   }
 
+  test("extractURIQueryParameters: repeats in order, maxParameters cap, fragment immune") {
+    import spark.implicits._
+    val cells = Seq(("r1", Seq(
+        "http://a.org/p?k=1&j=9&k=2#f?k=zz",
+        "http://b.org/q?k=3")))
+      .toDF("rowKey", "vs")
+      .select(col("rowKey"), transform(col("vs"), v => struct(
+        lit("info").as("family"), lit("url").as("qualifier"),
+        lit(0L).as("ts"), lit("put").as("cellType"), v.as("value"))).as("cells"))
+    def run(max: String) = {
+      val chain =
+        s"""{"commands": [
+           |  {"extractHBaseCells": {"mappings": [
+           |    {"inputColumn": "info:url", "outputField": "u"}]}},
+           |  {"extractURIQueryParameters":
+           |    {"parameter": "k", "inputField": "u", "outputField": "k_ss"$max}},
+           |  {"extractURIQueryParameters":
+           |    {"parameter": "nope", "inputField": "u", "outputField": "gone"}}
+           |]}""".stripMargin
+      cells.select(Morphline(chain)(col("cells")).as("doc"))
+        .collect().head.getMap[String, scala.collection.Seq[String]](0)
+    }
+    val doc = run("")
+    assert(doc.get("k_ss").map(_.toList).contains(List("1", "2", "3")),
+      s"repeats across values accumulate in order, fragment 'k=zz' excluded: $doc")
+    assert(!doc.contains("gone"), s"an absent parameter adds no field: $doc")
+    val capped = run(""", "maxParameters": 2""")
+    assert(capped.get("k_ss").map(_.toList).contains(List("1", "2")),
+      s"maxParameters caps the accumulated list: $capped")
+  }
+
   test("extractJsonPaths: multi-valued input fields iterate and accumulate") {
     import spark.implicits._
     val cells = Seq(("r1", Seq(
