@@ -179,10 +179,18 @@ object TextHash {
     * runs: windows at s cover tokens [s, s+k-1]; overlapping or adjacent
     * covers (next start ≤ current end + 1) fuse, so the result is
     * exactly the contiguous true-segments of the boolean cover mask
-    * [[removeTokenSpans]] cuts by. Input order is irrelevant (sorted
-    * in place — callers pass a fresh array); duplicates are fine.
-    * Returns catalyst rows (start, end), inclusive token indices. */
-  def mergeWindowRuns(starts: Array[Long], k: Int)
+    * [[removeTokenSpans]] cuts by. Input order is irrelevant (a clone
+    * is sorted — the caller's array is never mutated); duplicates are
+    * fine. Returns catalyst rows (start, end), inclusive token indices. */
+  def mergeWindowRuns(starts0: Array[Long], k: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    mergeOwnedRuns(starts0.clone(), k)
+
+  /** [[mergeWindowRuns]] for an array the callee OWNS (sorted in place,
+    * no defensive copy) — the ArrayData entry point hands over the fresh
+    * array `toLongArray()` materializes, skipping a second copy on the
+    * per-document hot path. */
+  private def mergeOwnedRuns(starts: Array[Long], k: Int)
       : org.apache.spark.sql.catalyst.util.ArrayData = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -215,7 +223,7 @@ object TextHash {
           s"merge_window_runs: start array contains NULL at position $i")
       i += 1
     }
-    mergeWindowRuns(starts.toLongArray(), k)
+    mergeOwnedRuns(starts.toLongArray(), k)
   }
 
   /** MinHash signature of a shingle-hash set: element i is

@@ -407,15 +407,20 @@ object Morphline {
     case ExtractUriQueryParams(in, param, out, maxP) => let(d) { doc =>
       val vs = try_element_at(doc, lit(in))
       val prefixLit = param + "="
-      // per URI: pre-fragment query string → '&'-separated pairs → the
-      // values of pairs named `param` (a repeated parameter emits one
-      // value per occurrence, in order — Kite's multimap semantics)
+      // per URI: pre-fragment query string → pairs split on '&' OR ';'
+      // (both are Kite/URLEncodedUtils pair separators) → the values of
+      // pairs named `param`, form-URL-decoded ('+' → space, %XX bytes —
+      // try_url_decode so a malformed escape drops the value instead of
+      // failing the row, Kite's lenient parse); a bare `param` token
+      // with no '=' yields the empty string; a repeated parameter emits
+      // one value per occurrence, in order (Kite's multimap semantics)
       val perValue: Column => Column = v =>
         filter(
           transform(
-            split(regexp_extract(regexp_extract(v, "^([^#]*)", 1), "\\?(.*)$", 1), "&"),
-            kv => when(startswith(kv, lit(prefixLit)),
-              substring(kv, prefixLit.length + 1, 1 << 24))),
+            split(regexp_extract(regexp_extract(v, "^([^#]*)", 1), "\\?(.*)$", 1), "[&;]"),
+            kv => when(kv === lit(param), lit(""))
+              .when(startswith(kv, lit(prefixLit)),
+                try_url_decode(substring(kv, prefixLit.length + 1, Int.MaxValue)))),
           x => x.isNotNull)
       val all = flatten(transform(vs, perValue))
       val capped = if (maxP == Int.MaxValue) all else slice(all, 1, maxP)

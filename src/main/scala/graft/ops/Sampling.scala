@@ -216,33 +216,91 @@ object Sampling {
     * whole corpus through one task, the classic driver-melting window.
     * Instead the score in [0, 1] buckets into `buckets` tiers (tier is
     * monotone in score, so tier order IS score order), a ≤`buckets`-row
-    * driver histogram yields each tier's exclusive offset, and the
+    * driver census yields each tier's exclusive offset, and the
     * within-tier rank is a window over ~1/buckets of the corpus —
     * the same shape as [[quotaSample]]'s rank and [[packSequences]]'
-    * tape, applied to exact global ranking. Output: (idCol, scoreCol,
-    * rank), rank 1 = highest score, ties broken by ascending id
-    * (deterministic on any engine); NULL scores are unrankable and
-    * dropped. */
+    * tape, applied to exact global ranking.
+    *
+    * Score ATOMS don't break the bound: a clamped quality score piles a
+    * large corpus fraction onto exactly 0.0 or 1.0, and that tier's
+    * window partition would otherwise revert toward the global sort this
+    * operator exists to avoid. Any tier heavier than `heavyFactor` ×
+    * the expected tier size splits into sub-partitions by a SECOND
+    * monotone key — finer score buckets for a tier with score spread,
+    * the id's value range for a single-score atom tier (monotone in the
+    * tie-break, so exactness holds; needs a numeric id — an atom tier
+    * with non-numeric ids keeps one partition, the documented caveat) —
+    * with a second ≤(2×buckets)-row census providing sub-offsets (the
+    * sub counts sum to ≤ corpus/target + #tiers regardless of skew).
+    * Output: (idCol, scoreCol, rank), rank 1 = highest score, ties
+    * broken by ascending id (deterministic on any engine); NULL scores
+    * are unrankable and dropped. */
   def curriculumRank(docs: DataFrame, idCol: String, scoreCol: String,
-                     buckets: Int = 1024): DataFrame = {
+                     buckets: Int = 1024, heavyFactor: Int = 8): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(heavyFactor > 0, s"heavyFactor must be positive, got $heavyFactor")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val idIsNumeric = docs.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val idDbl = if (idIsNumeric) col(idCol).cast("double") else lit(0.0)
     val tiered = docs.filter(col(scoreCol).isNotNull)
       .withColumn("_tier", least(lit(buckets - 1),
         greatest(lit(0), floor(col(scoreCol) * buckets))).cast("int"))
-    // exclusive offset per tier: how many docs sit in HIGHER tiers
-    val hist = tiered.groupBy("_tier").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1))
-      .sortBy(-_._1).toSeq
-    val offsets = hist
-      .scanLeft((Int.MinValue, 0L)) { case ((_, cum), (tier, n)) => (tier, cum + n) }
-      .sliding(2).collect { case Seq((_, prev), (tier, _)) => (tier, prev) }
-      .toSeq
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val offDf = offsets.toDF("_tier", "_off")
-    val w = Window.partitionBy(col("_tier"))
+    // census: counts + the bounds the heavy-tier split needs (score
+    // bounds decide atomness, id bounds give the monotone id → sub map)
+    val census = tiered.groupBy("_tier").agg(
+        count(lit(1)).as("_n"),
+        min(col(scoreCol).cast("double")).as("_slo"),
+        max(col(scoreCol).cast("double")).as("_shi"),
+        min(idDbl).as("_ilo"), max(idDbl).as("_ihi"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    val total = census.map(_._2).sum
+    val target = math.max(1L, total / buckets)
+    // (tier, atom?, sub-count, id bounds); sub-count 1 = no split
+    val params = census.map { case (t, n, slo, shi, ilo, ihi) =>
+      val atom = slo == shi
+      val s =
+        if (n <= heavyFactor.toLong * target) 1
+        else if (atom && !idIsNumeric) 1 // caveat: no monotone sub-key exists
+        else math.min(buckets.toLong, (n + target - 1) / target).toInt
+      (t, atom, s, ilo, ihi)
+    }
+    val anySplit = params.exists(_._3 > 1)
+    val pDf = params.toSeq.toDF("_tier", "_atom", "_s", "_ilo", "_ihi")
+    // the sub-key: monotone NONDECREASING in the tier's residual sort
+    // key (score for spread tiers, id for atoms), so equal keys never
+    // straddle a sub boundary and group order extends the global order
+    val withSub = tiered.join(broadcast(pDf), Seq("_tier"))
+      .withColumn("_sub",
+        when(col("_s") <= 1, lit(0))
+          .when(col("_atom"), least(col("_s") - 1, greatest(lit(0),
+            floor((idDbl - col("_ilo")) / (col("_ihi") - col("_ilo") + 1.0)
+              * col("_s")))))
+          .otherwise(least(col("_s") - 1, greatest(lit(0),
+            floor((col(scoreCol).cast("double") * buckets - col("_tier"))
+              * col("_s")))))
+          .cast("int"))
+    val groupCounts: Map[(Int, Int), Long] =
+      if (!anySplit) census.map { case (t, n, _, _, _, _) => (t, 0) -> n }.toMap
+      else withSub.groupBy("_tier", "_sub").agg(count(lit(1)).as("_n"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // global group order: tiers descending; within a tier, sub order
+    // follows the residual key's direction (score DESC → higher score
+    // sub first; atom id ASC → lower id sub first)
+    val ordered: Seq[(Int, Int)] = params.sortBy(-_._1).toSeq.flatMap {
+      case (t, atom, s, _, _) =>
+        val subs = 0 until math.max(s, 1)
+        (if (atom) subs else subs.reverse).map(t -> _)
+    }
+    val offs = ordered.scanLeft(0L)((acc, g) => acc + groupCounts.getOrElse(g, 0L))
+    val offDf = ordered.zip(offs).map { case ((t, sb), o) => (t, sb, o) }
+      .toDF("_tier", "_sub", "_off")
+    val w = Window.partitionBy(col("_tier"), col("_sub"))
       .orderBy(col(scoreCol).desc, col(idCol))
-    tiered.join(broadcast(offDf), Seq("_tier"))
+    withSub.join(broadcast(offDf), Seq("_tier", "_sub"))
       .withColumn("rank", row_number().over(w).cast("long") + col("_off"))
       .select(idCol, scoreCol, "rank")
   }

@@ -31,6 +31,19 @@ object ExtendedQueries {
     }))
     p.toString
   }
+  /** Build-once memo for deterministic streaming INPUT logs: the bench
+    * reruns each streaming drain (warmup + median-of-3), and the ordered
+    * input log is a pure function of the sf dir — rebuilding it per rep
+    * bills fixture construction, not the operator under test. State /
+    * output / checkpoint dirs stay per-rep (they ARE the operator). */
+  private val builtLogs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def onceLog(key: String, sfDir: String)(build: String => Unit): String =
+    builtLogs.computeIfAbsent(s"$key@$sfDir", _ => {
+      val in = s"${scratchDir(s"graft_${key}_log")}/in"
+      build(in)
+      in
+    })
+
   private def dec(c: Column): Column = c.cast("decimal(18,6)")
   private def dbl(c: Column): Column = c.cast("double")
 
@@ -389,24 +402,26 @@ object ExtendedQueries {
     // because batches arrive in ascending doc_id order
     "s11_stream_novelty" -> ((s, dir) => {
       val work = scratchDir("graft_s11")
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val succ = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("next_text"))
-      val synth = d.join(succ, Seq("doc_id"))
-        .select(col("doc_id"), concat_ws(" ", col("text"), col("next_text")).as("text"))
-      val b = synth.agg(min(col("doc_id")), max(col("doc_id"))).first()
-      val (lo, hi) = (b.getLong(0), b.getLong(1))
-      val c1 = lo + (hi - lo) / 3
-      val c2 = lo + 2 * (hi - lo) / 3
-      Seq(col("doc_id") <= c1,
-          col("doc_id") > c1 && col("doc_id") <= c2,
-          col("doc_id") > c2).foreach { p =>
-        synth.filter(p).coalesce(1).write.mode("append").parquet(s"$work/in")
-        Thread.sleep(20) // distinct mtimes → deterministic oldest-first arrival
+      val in = onceLog("s11", dir) { path =>
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val succ = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("next_text"))
+        val synth = d.join(succ, Seq("doc_id"))
+          .select(col("doc_id"), concat_ws(" ", col("text"), col("next_text")).as("text"))
+        val b = synth.agg(min(col("doc_id")), max(col("doc_id"))).first()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val c1 = lo + (hi - lo) / 3
+        val c2 = lo + 2 * (hi - lo) / 3
+        Seq(col("doc_id") <= c1,
+            col("doc_id") > c1 && col("doc_id") <= c2,
+            col("doc_id") > c2).foreach { p =>
+          synth.filter(p).coalesce(1).write.mode("append").parquet(path)
+          Thread.sleep(20) // distinct mtimes → deterministic oldest-first arrival
+        }
       }
       val state = new graft.streaming.TxnLogState(s"$work/seen", s, 16,
         autoCompactEvery = 2, maintenanceGraceMs = 0L)
       graft.streaming.StreamNovelty
-        .drain(s, state, s"$work/in", s"$work/out", s"$work/ckpt", k = 8)
+        .drain(s, state, in, s"$work/out", s"$work/ckpt", k = 8)
         .orderBy(col("doc_id"))
     }),
 
@@ -699,10 +714,16 @@ object ExtendedQueries {
     // columns so the oracle reconstructs them with pure arithmetic
     "x33_morphline_uriquery" -> ((s, dir) => {
       val cust = s.read.parquet(s"$dir/customer.parquet")
+      // ';' is a pair separator like '&' (URLEncodedUtils); `enc` carries
+      // a %20 and a '+' that must form-URL-decode to spaces; bare `flag`
+      // (no '=') is a present-but-empty parameter
       val url = concat(lit("https://example.com/s?cust="),
         col("c_custkey").cast("string"),
         lit("&seg="), col("c_mktsegment"),
-        lit("&cust="), (col("c_custkey") * 2).cast("string"), lit("#frag?x=9"))
+        lit(";cust="), (col("c_custkey") * 2).cast("string"),
+        lit("&enc="), col("c_mktsegment"), lit("%20plus+"),
+        col("c_custkey").cast("string"),
+        lit("&flag#frag?x=9"))
       val cells = cust.select(
         col("c_custkey").cast("long").as("id"),
         array(struct(
@@ -718,6 +739,10 @@ object ExtendedQueries {
           |  {"extractURIQueryParameters":
           |    {"parameter": "seg", "inputField": "u", "outputField": "seg_ss"}},
           |  {"extractURIQueryParameters":
+          |    {"parameter": "enc", "inputField": "u", "outputField": "enc_ss"}},
+          |  {"extractURIQueryParameters":
+          |    {"parameter": "flag", "inputField": "u", "outputField": "flag_ss"}},
+          |  {"extractURIQueryParameters":
           |    {"parameter": "x", "inputField": "u", "outputField": "x_ss"}}
           |]}""".stripMargin
       val doc = graft.morphline.Morphline(chain)(col("cells"))
@@ -727,6 +752,8 @@ object ExtendedQueries {
           element_at(col("doc")("cust_ss"), 2).as("cust2"),
           size(col("doc")("cust_ss")).cast("long").as("n_cust"),
           element_at(col("doc")("seg_ss"), 1).as("seg"),
+          element_at(col("doc")("enc_ss"), 1).as("enc"),
+          element_at(col("doc")("flag_ss"), 1).as("flag_empty"),
           // 'x' only appears inside the fragment — never a query param
           try_element_at(try_element_at(col("doc"), lit("x_ss")), lit(1)).as("x_none"))
         .orderBy(col("id"))
@@ -1610,7 +1637,9 @@ object ExtendedQueries {
         |       THEN 'industrial' ELSE 'consumer' END AS route
         |FROM customer ORDER BY id""".stripMargin,
 
-    // repeated 'cust' yields both values in order; 'x' lives only in the
+    // repeated 'cust' yields both values in order (the second behind a
+    // ';' separator); 'enc' form-URL-decodes %20 and '+' to spaces; bare
+    // 'flag' is present with an empty value; 'x' lives only in the
     // fragment and must never be read as a query parameter
     "x33_morphline_uriquery" ->
       """SELECT c_custkey AS id,
@@ -1618,6 +1647,8 @@ object ExtendedQueries {
         |  CAST(c_custkey * 2 AS VARCHAR) AS cust2,
         |  CAST(2 AS BIGINT) AS n_cust,
         |  c_mktsegment AS seg,
+        |  c_mktsegment || ' plus ' || CAST(c_custkey AS VARCHAR) AS enc,
+        |  '' AS flag_empty,
         |  CAST(NULL AS VARCHAR) AS x_none
         |FROM customer ORDER BY id""".stripMargin,
 

@@ -402,24 +402,26 @@ object PipelineQueries {
     // global first of its fingerprint and keeps
     "s13_stream_exact_dedup" -> ((s, dir) => {
       val work = graft.queries.ExtendedQueries.scratchDir("graft_s13")
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val noisy = d.select((col("doc_id") + 100000).as("doc_id"),
-        concat(lit("  "), col("text"), lit("   ")).as("text"))
-      val all = d.unionByName(noisy)
-      val b = all.agg(min(col("doc_id")), max(col("doc_id"))).first()
-      val (lo, hi) = (b.getLong(0), b.getLong(1))
-      val c1 = lo + (hi - lo) / 3
-      val c2 = lo + 2 * (hi - lo) / 3
-      Seq(col("doc_id") <= c1,
-          col("doc_id") > c1 && col("doc_id") <= c2,
-          col("doc_id") > c2).foreach { p =>
-        all.filter(p).coalesce(1).write.mode("append").parquet(s"$work/in")
-        Thread.sleep(20) // distinct mtimes → deterministic oldest-first arrival
+      val in = graft.queries.ExtendedQueries.onceLog("s13", dir) { path =>
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        val noisy = d.select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("  "), col("text"), lit("   ")).as("text"))
+        val all = d.unionByName(noisy)
+        val b = all.agg(min(col("doc_id")), max(col("doc_id"))).first()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val c1 = lo + (hi - lo) / 3
+        val c2 = lo + 2 * (hi - lo) / 3
+        Seq(col("doc_id") <= c1,
+            col("doc_id") > c1 && col("doc_id") <= c2,
+            col("doc_id") > c2).foreach { p =>
+          all.filter(p).coalesce(1).write.mode("append").parquet(path)
+          Thread.sleep(20) // distinct mtimes → deterministic oldest-first arrival
+        }
       }
       val state = new graft.streaming.TxnLogState(s"$work/seen", s, 16,
         autoCompactEvery = 2, maintenanceGraceMs = 0L)
       graft.streaming.StreamExactDedup
-        .drain(s, state, s"$work/in", s"$work/out", s"$work/ckpt")
+        .drain(s, state, in, s"$work/out", s"$work/ckpt")
         .orderBy(col("doc_id"))
     }),
 
@@ -428,24 +430,26 @@ object PipelineQueries {
     // same DocStateStore bucketing, oracle = d15's SQL verbatim
     "s12_stream_span_dedup" -> ((s, dir) => {
       val work = graft.queries.ExtendedQueries.scratchDir("graft_s12")
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val succ = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("next_text"))
-      val synth = d.join(succ, Seq("doc_id"))
-        .select(col("doc_id"), concat_ws(" ", col("text"), col("next_text")).as("text"))
-      val b = synth.agg(min(col("doc_id")), max(col("doc_id"))).first()
-      val (lo, hi) = (b.getLong(0), b.getLong(1))
-      val c1 = lo + (hi - lo) / 3
-      val c2 = lo + 2 * (hi - lo) / 3
-      Seq(col("doc_id") <= c1,
-          col("doc_id") > c1 && col("doc_id") <= c2,
-          col("doc_id") > c2).foreach { p =>
-        synth.filter(p).coalesce(1).write.mode("append").parquet(s"$work/in")
-        Thread.sleep(20) // distinct mtimes → deterministic oldest-first arrival
+      val in = graft.queries.ExtendedQueries.onceLog("s12", dir) { path =>
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        val succ = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("next_text"))
+        val synth = d.join(succ, Seq("doc_id"))
+          .select(col("doc_id"), concat_ws(" ", col("text"), col("next_text")).as("text"))
+        val b = synth.agg(min(col("doc_id")), max(col("doc_id"))).first()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val c1 = lo + (hi - lo) / 3
+        val c2 = lo + 2 * (hi - lo) / 3
+        Seq(col("doc_id") <= c1,
+            col("doc_id") > c1 && col("doc_id") <= c2,
+            col("doc_id") > c2).foreach { p =>
+          synth.filter(p).coalesce(1).write.mode("append").parquet(path)
+          Thread.sleep(20) // distinct mtimes → deterministic oldest-first arrival
+        }
       }
       val state = new graft.streaming.TxnLogState(s"$work/seen", s, 16,
         autoCompactEvery = 2, maintenanceGraceMs = 0L)
       graft.streaming.StreamSpanDedup
-        .drain(s, state, s"$work/in", s"$work/out", s"$work/ckpt", k = 8)
+        .drain(s, state, in, s"$work/out", s"$work/ckpt", k = 8)
         .orderBy(col("doc_id"))
     }),
 

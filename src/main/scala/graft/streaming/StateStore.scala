@@ -6,8 +6,10 @@ import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 /** The surface [[MutationStream.applyBatch]] needs from a document state
-  * sink: bucketed reads, a copy-on-write commit of the touched buckets,
-  * and retention-windowed garbage collection. Two implementations ship:
+  * sink: bucketed reads, a copy-on-write commit of the touched buckets
+  * (plus an O(fresh) append-only commit for states that never update a
+  * row — the streaming keep-first seen-sets), and retention-windowed
+  * garbage collection. Two implementations ship:
   *
   *  - [[IndexState]] — manifest file + CURRENT pointer (the engine's own
   *    layout, HBase-indexer go-live semantics);
@@ -41,6 +43,23 @@ trait DocStateStore extends Serializable {
     * (readers see the old or the new version, never a mix) and must fail
     * loudly when a concurrent writer advanced the state in between. */
   def commit(updated: DataFrame, version: String, touched: Seq[Int]): Unit
+
+  /** Append-only commit: `fresh` rows JOIN the touched buckets' current
+    * contents instead of replacing them, so the write volume is O(fresh),
+    * not O(state ∩ touched). Sound only when the caller guarantees the
+    * state is append-only (rows are never updated or deleted — the
+    * keep-first seen-sets) AND `fresh` is disjoint from the current
+    * contents (the gates anti-join before committing). The default folds
+    * to the copy-on-write [[commit]] for stores without a delta path;
+    * [[TxnLogState]] overrides it with a true delta write — per-bucket
+    * delta files, readers fold base + deltas, [[maintain]] compacts. */
+  def commitAppend(fresh: DataFrame, version: String, touched: Seq[Int]): Unit = {
+    val updated = readBuckets(touched) match {
+      case Some(seen) => seen.unionByName(fresh)
+      case None       => fresh
+    }
+    commit(updated, version, touched)
+  }
 
   /** Reclaim data unreachable from the current version and older than
     * `graceMs` (readers may still scan recently superseded files).
@@ -78,7 +97,8 @@ trait DocStateStore extends Serializable {
 class TxnLogState(val stateDir: String, spark: SparkSession,
                   requestedBuckets: Int = 16,
                   autoCompactEvery: Int = 16,
-                  maintenanceGraceMs: Long = 10 * 60 * 1000L) extends DocStateStore {
+                  maintenanceGraceMs: Long = 10 * 60 * 1000L,
+                  maxDeltasPerBucket: Int = 8) extends DocStateStore {
   import IndexState.BucketCol
 
   private val logDir: Path = Paths.get(stateDir, "_txnlog")
@@ -95,15 +115,29 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
     finally fs.close()
   }
 
-  private def applyLines(e: Path, live0: Map[Int, String],
-                         pinned0: Option[Int]): (Map[Int, String], Option[Int]) = {
+  /** A bucket maps to the ORDERED list of its live data dirs: one dir
+    * after a copy-on-write [[commit]], base + deltas after
+    * [[commitAppend]]s. Readers fold (union) the list; `remove` drops
+    * one named dir (idempotent: a re-applied retry entry removing an
+    * already-gone dir is a no-op); `add` is contains-guarded so a
+    * commit's own view update racing [[refresh]] applying the same
+    * entry cannot double-list a dir. */
+  private def addDir(m: Map[Int, Vector[String]], b: Int,
+                     d: String): Map[Int, Vector[String]] = {
+    val cur = m.getOrElse(b, Vector.empty)
+    if (cur.contains(d)) m else m.updated(b, cur :+ d)
+  }
+
+  private def applyLines(e: Path, live0: Map[Int, Vector[String]],
+                         pinned0: Option[Int]): (Map[Int, Vector[String]], Option[Int]) = {
     var live = live0
     var pinned = pinned0
     Files.readAllLines(e).asScala.filter(_.nonEmpty).foreach { line =>
       line.split("\t", -1) match {
-        case Array("add", b, d)            => live += b.toInt -> d
+        case Array("add", b, d)            => live = addDir(live, b.toInt, d)
         case Array("remove", b, d)         =>
-          if (live.get(b.toInt).contains(d)) live -= b.toInt
+          val left = live.getOrElse(b.toInt, Vector.empty).filterNot(_ == d)
+          live = if (left.isEmpty) live - b.toInt else live.updated(b.toInt, left)
         case Array("meta", "buckets", n)   => pinned = Some(n.toInt)
         case other => throw new IllegalStateException(
           s"unparseable txn action in $e: '${other.mkString("\t")}'")
@@ -120,12 +154,12 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
     * names the dir currently mapped — a re-applied retry entry removing
     * an already-superseded dir is a no-op, same as Delta's
     * remove-by-path. */
-  private def fold(): (Long, Map[Int, String], Option[Int]) = {
+  private def fold(): (Long, Map[Int, Vector[String]], Option[Int]) = {
     val (startId, live0, pinned0) = listLog(".ckpt").lastOption match {
       case Some(cp) =>
         val (l, p) = applyLines(cp, Map.empty, None)
         (entryId(cp), l, p)
-      case None => (-1L, Map.empty[Int, String], Option.empty[Int])
+      case None => (-1L, Map.empty[Int, Vector[String]], Option.empty[Int])
     }
     val entries = listLog(".txn").filter(entryId(_) > startId)
     var live = live0
@@ -144,7 +178,7 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
   // slot occupied and aborts — the optimistic-concurrency window is the
   // batch, not the process lifetime.
   @volatile private var lastSeen: Long = -1L
-  @volatile private var view: Map[Int, String] = Map.empty
+  @volatile private var view: Map[Int, Vector[String]] = Map.empty
 
   val buckets: Int = {
     val (last, live, pinned) = fold()
@@ -196,11 +230,11 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
     if (dirs.isEmpty) None
     else Some(spark.read.parquet(dirs.map(d => s"$stateDir/$d"): _*))
 
-  def read(): Option[DataFrame] = { refresh(); readDirs(view.values.toSeq) }
+  def read(): Option[DataFrame] = { refresh(); readDirs(view.values.flatten.toSeq) }
 
   def readBuckets(ks: Seq[Int]): Option[DataFrame] = {
     refresh()
-    readDirs(ks.flatMap(view.get))
+    readDirs(ks.flatMap(k => view.getOrElse(k, Vector.empty)))
   }
 
   /** Atomic put-if-absent of `content` at `target`: write a temp sibling,
@@ -215,10 +249,25 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
     finally Files.deleteIfExists(tmp)
   }
 
-  def commit(updated: DataFrame, version: String, touched: Seq[Int]): Unit = {
+  def commit(updated: DataFrame, version: String, touched: Seq[Int]): Unit =
+    doCommit(updated, version, touched, append = false)
+
+  /** The O(fresh) delta path: log only `add` actions for the new delta
+    * dirs — the touched buckets' existing dirs stay live and readers
+    * fold base + deltas. Untouched semantics otherwise: same slot race,
+    * same idempotent retry behavior. [[maintain]] bounds the per-bucket
+    * delta chain by merging heavy buckets through the copy-on-write
+    * path on its own cadence (the LSM compaction shape), so per-trigger
+    * write volume is ∝ fresh keys, amortized-O(state/maxDeltas) for
+    * compaction instead of O(state) every trigger. */
+  override def commitAppend(fresh: DataFrame, version: String, touched: Seq[Int]): Unit =
+    doCommit(fresh, version, touched, append = true)
+
+  private def doCommit(data: DataFrame, version: String, touched: Seq[Int],
+                       append: Boolean): Unit = {
     val base = Paths.get(stateDir, version)
     val dir = if (!Files.exists(base)) version else s"$version-r${System.nanoTime()}"
-    updated
+    data
       .withColumn(BucketCol, graft.expr.hfunctions.md5_shard(col("id"), buckets))
       .repartition(col(BucketCol))
       .write.partitionBy(BucketCol).parquet(s"$stateDir/$dir")
@@ -227,9 +276,13 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
     // snapshot the cache under the refresh() lock: the claimed slot and the
     // remove actions must come from ONE consistent (lastSeen, view) pair
     val (slotId, baseView) = synchronized { (lastSeen + 1, view) }
+    val removes =
+      if (append) Seq.empty
+      else touched.sorted.flatMap(k =>
+        baseView.getOrElse(k, Vector.empty).map(d => s"remove\t$k\t$d"))
     val actions =
       (if (slotId == 0) Seq(s"meta\tbuckets\t$buckets") else Seq.empty) ++
-        touched.sorted.flatMap(k => baseView.get(k).map(d => s"remove\t$k\t$d")) ++
+        removes ++
         written.sorted.map(k => s"add\t$k\t$dir/$BucketCol=$k")
     val slot = logDir.resolve(f"$slotId%020d.txn")
     if (!putIfAbsent(slot, actions.mkString("\n")))
@@ -241,9 +294,27 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
     // just won (bumping lastSeen to slotId); both updates are idempotent,
     // while an unlocked `lastSeen += 1` would claim a slot never written
     synchronized {
-      view = (view -- touched) ++ written.map(k => k -> s"$dir/$BucketCol=$k")
+      val cleared = if (append) view else view -- touched
+      view = written.foldLeft(cleared)((v, k) => addDir(v, k, s"$dir/$BucketCol=$k"))
       if (slotId > lastSeen) lastSeen = slotId
     }
+  }
+
+  /** Merge every bucket whose delta chain exceeds `maxDeltas` dirs back
+    * into one dir via the copy-on-write path (read the bucket's base +
+    * deltas, rewrite as a single dir). The read-fan-in bound for
+    * [[commitAppend]]-heavy states; superseded delta dirs become
+    * [[vacuum]]-reclaimable. Returns the merged bucket ids. */
+  def compactBuckets(maxDeltas: Int = maxDeltasPerBucket): Seq[Int] = {
+    refresh()
+    val heavy = synchronized {
+      view.collect { case (k, dirs) if dirs.size > maxDeltas => k }.toSeq.sorted
+    }
+    if (heavy.nonEmpty)
+      readBuckets(heavy).foreach { merged =>
+        doCommit(merged, f"c$lastSeen%015d", heavy, append = false)
+      }
+    heavy
   }
 
   /** Compact the log: write the CURRENT fold as a checkpoint entry at
@@ -261,7 +332,8 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
     else {
       val lines =
         Seq(s"meta\tbuckets\t${pinned.getOrElse(buckets)}") ++
-          live.toSeq.sortBy(_._1).map { case (k, d) => s"add\t$k\t$d" }
+          live.toSeq.sortBy(_._1).flatMap { case (k, dirs) =>
+            dirs.map(d => s"add\t$k\t$d") } // vector order preserved: replay appends in delta order
       IndexState.atomicWriteString(
         logDir.resolve(f"$last%020d.ckpt"), lines.mkString("\n"))
       Some(last)
@@ -278,6 +350,9 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
     * checkpoint is atomic-rename-visible. `autoCompactEvery <= 0`
     * disables the cadence (manual [[compact]]/[[vacuumLog]] only). */
   override def maintain(): Unit = {
+    // delta-chain compaction first: its merge commit is itself a txn
+    // entry the log compaction below then covers
+    if (maxDeltasPerBucket > 0) { compactBuckets(); () }
     if (autoCompactEvery <= 0) return
     refresh()
     val cover = listLog(".ckpt").lastOption.map(entryId).getOrElse(-1L)
@@ -308,7 +383,7 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
   }
 
   def vacuum(graceMs: Long): Seq[String] = {
-    val liveDirs = fold()._2.values.map(_.split("/", 2)(0)).toSet
+    val liveDirs = fold()._2.values.flatten.map(_.split("/", 2)(0)).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     val root = Paths.get(stateDir)
     val fs = Files.list(root)

@@ -1,68 +1,159 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import java.nio.file.{Files, Paths}
 
 /** Shared per-micro-batch k-gram state machinery for the streaming
   * keep-first operators ([[StreamNovelty]], [[StreamSpanDedup]]): the
   * positional k-gram explode, the within-batch (doc_id, pos) winner
   * aggregate, the bucket-pruned read of the cross-batch seen set, and
-  * the copy-on-write fold of the batch's first occurrences back into the
-  * [[DocStateStore]]. With batches arriving in ascending doc_id order
-  * the incremental rule equals the batch operators' global keep-first
-  * exactly — each streaming op's oracle is its batch twin's SQL. */
+  * the O(fresh) append of the batch's first occurrences into the
+  * [[DocStateStore]] ([[DocStateStore.commitAppend]] — the seen-set is
+  * append-only by construction, keep-first never updates an entry).
+  * With batches arriving in ascending doc_id order the incremental rule
+  * equals the batch operators' global keep-first exactly — each
+  * streaming op's oracle is its batch twin's SQL. That precondition is
+  * ENFORCED, not assumed: [[checkAscending]] validates every batch
+  * against a persisted doc_id high-water mark and fails the batch
+  * loudly on out-of-order arrival (an exact redelivery of the most
+  * recent batch is tolerated — at-least-once replays are expected). */
 private[streaming] object KgramStreamCore {
 
-  /** Per-batch working set. `occ`/`winners`/`fresh` are persisted —
-    * callers release them with [[cleanup]] in a finally block. */
+  private val trace = sys.env.contains("GRAFT_TRACE")
+  private[streaming] def timed[A](label: String)(body: => A): A =
+    if (!trace) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[trace] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+
+  /** Validate the ascending-arrival contract: the batch's min doc_id
+    * must exceed the stored high-water mark (the previous batch's max).
+    * Returns Some((lo, hi)) to pass to [[advanceHwm]] after the commit,
+    * None for an empty batch. Throws on any out-of-order batch EXCEPT a
+    * bit-exact replay of the most recent one (same lo/hi), which a
+    * crashed-and-restarted at-least-once stream legitimately redelivers
+    * (its fresh set then folds to ∅ against the already-committed
+    * state).
+    *
+    * The range comes from the per-batch stats aggregate (one job shared
+    * with the touched-bucket computation, no extra source scan), and it
+    * covers exactly the rows whose order matters: a sub-k doc holds no
+    * k-gram state and its per-doc output is order-independent, so the
+    * occ domain (which omits it) is the precise validation scope for
+    * novelty/span-dedup; s13 validates over every fingerprint. */
+  def checkAscending(outPath: String,
+                     range: Option[(Long, Long)]): Option[(Long, Long)] = {
+    range.foreach { case (lo, hi) =>
+      val hwmFile = Paths.get(outPath, "_hwm") // '_' prefix: invisible to parquet readers
+      if (Files.exists(hwmFile)) {
+        val Array(prevLo, prevHi) = Files.readString(hwmFile).trim.split("\t").map(_.toLong)
+        if (lo <= prevHi && !(lo == prevLo && hi == prevHi))
+          throw new IllegalStateException(
+            s"out-of-order arrival: batch doc_id range [$lo, $hi] overlaps the " +
+              s"high-water mark $prevHi — the streaming keep-first gates equal " +
+              "their batch twins only under ascending doc_id arrival (an ordered " +
+              "ingestion log); re-order the input or use the batch operator")
+      }
+    }
+    range
+  }
+
+  /** One action returning (doc_id range, touched buckets) over a cached
+    * per-batch frame: min/max for the ascending-arrival check and the
+    * collect_set of bucket ids for the pruned state read share a single
+    * aggregate (partial-agg reduces it to ≤ buckets values per task), so
+    * the cache-fill scan is paid once, not once per question. */
+  def batchStats(ids: DataFrame, idCol: String, keyCol: Column,
+                 buckets: Int): (Option[(Long, Long)], Seq[Int]) = {
+    val r = ids.agg(
+      min(col(idCol)).cast("long"),
+      max(col(idCol)).cast("long"),
+      collect_set(graft.expr.hfunctions.md5_shard(keyCol, buckets))).first()
+    if (r.isNullAt(0)) (None, Seq.empty)
+    else (Some((r.getLong(0), r.getLong(1))),
+      r.getSeq[Int](2).sorted)
+  }
+
+  /** Persist the validated batch's doc_id range as the new high-water
+    * mark — called AFTER the state commit so a crash between the two
+    * replays the batch (tolerated above) rather than skipping it. */
+  def advanceHwm(outPath: String, range: Option[(Long, Long)]): Unit =
+    range.foreach { case (lo, hi) =>
+      IndexState.atomicWriteString(Paths.get(outPath, "_hwm"), s"$lo\t$hi")
+    }
+
+  /** Per-batch working set. `occ`/`winners`/`seenHit`/`fresh` are
+    * persisted — callers release them with [[cleanup]] in a finally
+    * block. `seenHit` = the already-seen subset of this batch's winner
+    * k-grams (≤ |winners| rows, trigger-sized); `range` feeds
+    * [[advanceHwm]] after the commit. */
   case class Prepared(occ: DataFrame, winners: DataFrame,
-                      touched: Seq[Int], seen: DataFrame, fresh: DataFrame)
+                      touched: Seq[Int], seenHit: DataFrame, fresh: DataFrame,
+                      range: Option[(Long, Long)])
 
   def prepare(state: DocStateStore, batch: DataFrame, idCol: String,
-              textCol: String, k: Int): Prepared = {
+              textCol: String, k: Int, outPath: String): Prepared = {
     val spark = batch.sparkSession
     val occ = batch.select(col(idCol).as("doc_id"),
         posexplode(graft.expr.hfunctions.kgram_hashes60(col(textCol), k))
           .as(Seq("i0", "h")))
       .select(col("doc_id"), (col("i0") + 1).cast("long").as("pos"), col("h"))
       .persist()
+    // one stats action fills the occ cache AND answers both driver
+    // questions (ascending contract, touched buckets) — the contract
+    // check runs before anything is written
+    val (range, touched) = timed("stats")(batchStats(
+      occ, "doc_id", col("h").cast("string"), state.buckets))
+    checkAscending(outPath, range)
     // within-batch keep-first; winners carry their (doc_id, pos)
     val winners = occ.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
       .persist()
-    // which buckets does this batch touch? (≤ buckets rows)
-    val touched = winners
-      .select(graft.expr.hfunctions
-        .md5_shard(col("h").cast("string"), state.buckets).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val seen = state.readBuckets(touched)
+    val seen = timed("readBuckets")(state.readBuckets(touched)
       .map(_.select(col("id")))
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row],
-        StructType(Seq(StructField("id", StringType)))))
+        StructType(Seq(StructField("id", StringType))))))
+    // membership probe WITHOUT shuffling the state: the seen-set grows
+    // with distinct corpus k-grams, so a plain anti-join (which shuffles
+    // BOTH sides once seen outgrows the broadcast threshold) would move
+    // O(state) bytes over the wire every trigger — the read-side twin of
+    // the copy-on-write commit flaw. Instead the TRIGGER-sized winner
+    // keys broadcast and seen streams map-side against them; only the
+    // ≤|winners| matches (`seenHit`) ever shuffle or broadcast again.
+    val seenHit = seen.select(col("id").cast("long").as("h"))
+      .join(broadcast(winners.select(col("h"))), Seq("h"))
+      .persist()
     // winners whose k-gram no prior batch claimed
     val fresh = winners
-      .join(seen.select(col("id").cast("long").as("h")), Seq("h"), "left_anti")
+      .join(broadcast(seenHit), Seq("h"), "left_anti")
       .persist()
-    Prepared(occ, winners, touched, seen, fresh)
+    Prepared(occ, winners, touched, seenHit, fresh, range)
   }
 
-  /** Fold the batch's first-occurrence k-grams into the store: new
-    * contents of the touched buckets = prior seen ∪ fresh. No distinct:
-    * seen is unique by induction (every commit writes a union of
-    * disjoint unique sets) and fresh is winners-per-h anti-joined
-    * against seen — a distinct here would only add a full-state shuffle
-    * per trigger. */
+  /** Append the batch's first-occurrence k-grams into the store as a
+    * delta: write volume is O(fresh), never O(seen) — the seen-set is
+    * append-only, so [[DocStateStore.commitAppend]] applies and the
+    * per-trigger full-state copy-on-write rewrite is gone ([[TxnLogState]]
+    * bounds the delta chains by merging heavy buckets on its
+    * `maintain()` cadence). No distinct: seen is unique by induction
+    * (disjoint fresh sets appended) and fresh is winners-per-h
+    * anti-joined against seen. */
   def commitFresh(state: DocStateStore, p: Prepared, batchId: Long): Unit = {
-    val updated = p.seen
-      .unionByName(p.fresh.select(col("h").cast("string").as("id")))
-    state.commit(updated, f"n$batchId%09d", p.touched)
-    state.maintain()
+    timed("commitAppend")(state.commitAppend(
+      p.fresh.select(col("h").cast("string").as("id")),
+      f"n$batchId%09d", p.touched))
+    timed("maintain")(state.maintain())
   }
 
   def cleanup(p: Prepared): Unit = {
-    p.occ.unpersist(); p.winners.unpersist(); p.fresh.unpersist(); ()
+    p.occ.unpersist(); p.winners.unpersist()
+    p.seenHit.unpersist(); p.fresh.unpersist(); ()
   }
 
   /** Drain an ordered document log (doc_id long, text string) file-by-
@@ -116,17 +207,24 @@ object StreamNovelty {
   def applyBatch(state: DocStateStore, batch: DataFrame, idCol: String,
                  textCol: String, k: Int, outPath: String,
                  batchId: Long): Seq[Int] = {
-    val p = KgramStreamCore.prepare(state, batch, idCol, textCol, k)
+    val p = KgramStreamCore.timed("prepare")(
+      KgramStreamCore.prepare(state, batch, idCol, textCol, k, outPath))
     try {
-      val novel = p.fresh.groupBy(col("w.doc_id").as("doc_id"))
-        .agg(count(lit(1)).as("n_novel"))
-      p.occ.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
-        .join(novel, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_windows"),
-          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
-        .withColumn("novelty", col("n_novel").cast("double") / col("n_windows"))
-        .write.mode("append").parquet(outPath)
+      KgramStreamCore.timed("output") {
+        // window and novel counts in ONE aggregation: tag each occ row
+        // (1,0) and each fresh winner (0,1), sum per doc — replaces two
+        // groupBys plus a join (three shuffles of per-doc data) with a
+        // single shuffle
+        p.occ.select(col("doc_id"), lit(1L).as("w"), lit(0L).as("n"))
+          .unionByName(p.fresh.select(col("w.doc_id").as("doc_id"),
+            lit(0L).as("w"), lit(1L).as("n")))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("w")).as("n_windows"), sum(col("n")).as("n_novel"))
+          .withColumn("novelty", col("n_novel").cast("double") / col("n_windows"))
+          .write.mode("append").parquet(outPath)
+      }
       KgramStreamCore.commitFresh(state, p, batchId)
+      KgramStreamCore.advanceHwm(outPath, p.range)
       p.touched
     } finally KgramStreamCore.cleanup(p)
   }
@@ -166,28 +264,37 @@ object StreamExactDedup {
         graft.ops.TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .persist()
     try {
+      // one stats action: fills the fps cache, yields range + touched
+      val (range, touched) = KgramStreamCore.batchStats(
+        fps, "doc_id", col("fp"), state.buckets)
+      KgramStreamCore.checkAscending(outPath, range)
       val winners = fps.groupBy(col("fp"))
         .agg(min(col("doc_id")).as("w_id")).persist()
       try {
-        val touched = winners
-          .select(graft.expr.hfunctions.md5_shard(col("fp"), state.buckets).as("b"))
-          .distinct().collect().map(_.getInt(0)).toSeq
         val seen = state.readBuckets(touched)
           .map(_.select(col("id")))
           .getOrElse(spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row],
             StructType(Seq(StructField("id", StringType)))))
+        // same read-side shape as KgramStreamCore.prepare: broadcast the
+        // trigger-sized fingerprint set, stream the state map-side — the
+        // seen-set never shuffles
+        val seenHit = seen.select(col("id").as("fp"))
+          .join(broadcast(winners.select(col("fp"))), Seq("fp"))
+          .persist()
         fps.join(winners, Seq("fp"))
-          .join(seen.select(col("id").as("fp"), lit(true).as("_seen")), Seq("fp"), "left")
+          .join(broadcast(seenHit.withColumn("_seen", lit(true))), Seq("fp"), "left")
           .select(col("doc_id"),
             (col("doc_id") === col("w_id") &&
               !coalesce(col("_seen"), lit(false))).as("kept"))
           .write.mode("append").parquet(outPath)
         val fresh = winners
-          .join(seen.select(col("id").as("fp")), Seq("fp"), "left_anti")
-        state.commit(seen.unionByName(fresh.select(col("fp").as("id"))),
+          .join(broadcast(seenHit), Seq("fp"), "left_anti")
+        state.commitAppend(fresh.select(col("fp").as("id")),
           f"n$batchId%09d", touched)
+        seenHit.unpersist()
         state.maintain()
+        KgramStreamCore.advanceHwm(outPath, range)
         touched
       } finally { winners.unpersist(); () }
     } finally { fps.unpersist(); () }
@@ -220,15 +327,16 @@ object StreamSpanDedup {
   def applyBatch(state: DocStateStore, batch: DataFrame, idCol: String,
                  textCol: String, k: Int, outPath: String,
                  batchId: Long): Seq[Int] = {
-    val p = KgramStreamCore.prepare(state, batch, idCol, textCol, k)
+    val p = KgramStreamCore.prepare(state, batch, idCol, textCol, k, outPath)
     try {
       // duplicate starts: every occurrence of a previously-seen k-gram,
-      // plus every non-winner occurrence within the batch
-      val seenMark = p.seen
-        .select(col("id").cast("long").as("h"), lit(true).as("_seen"))
+      // plus every non-winner occurrence within the batch. seenHit is
+      // trigger-sized (winners ∩ seen), so the mark join broadcasts —
+      // the full state never shuffles here either.
+      val seenMark = p.seenHit.withColumn("_seen", lit(true))
       val dupStarts = p.occ
         .join(p.winners, Seq("h"))
-        .join(seenMark, Seq("h"), "left")
+        .join(broadcast(seenMark), Seq("h"), "left")
         .filter(coalesce(col("_seen"), lit(false)) ||
           !(col("doc_id") === col("w.doc_id") && col("pos") === col("w.pos")))
         .groupBy(col("doc_id"))
@@ -245,6 +353,7 @@ object StreamSpanDedup {
           col("clean_text"))
         .write.mode("append").parquet(outPath)
       KgramStreamCore.commitFresh(state, p, batchId)
+      KgramStreamCore.advanceHwm(outPath, p.range)
       p.touched
     } finally KgramStreamCore.cleanup(p)
   }

@@ -330,6 +330,35 @@ class MorphlineSpec extends SparkSpec {
       s"maxParameters caps the accumulated list: $capped")
   }
 
+  test("extractURIQueryParameters: URL-decodes values, splits on ';', bare key is empty string") {
+    import spark.implicits._
+    val cells = Seq(("r1",
+        "http://a.org/p?q=a%20b+c;q=x%2By&flag&bad=%ZZ#f?q=no"))
+      .toDF("rowKey", "v")
+      .select(col("rowKey"), array(struct(
+        lit("info").as("family"), lit("url").as("qualifier"),
+        lit(0L).as("ts"), lit("put").as("cellType"), col("v").as("value"))).as("cells"))
+    val chain =
+      """{"commands": [
+        |  {"extractHBaseCells": {"mappings": [
+        |    {"inputColumn": "info:url", "outputField": "u"}]}},
+        |  {"extractURIQueryParameters":
+        |    {"parameter": "q", "inputField": "u", "outputField": "q_ss"}},
+        |  {"extractURIQueryParameters":
+        |    {"parameter": "flag", "inputField": "u", "outputField": "flag_ss"}},
+        |  {"extractURIQueryParameters":
+        |    {"parameter": "bad", "inputField": "u", "outputField": "bad_ss"}}
+        |]}""".stripMargin
+    val doc = cells.select(Morphline(chain)(col("cells")).as("doc"))
+      .collect().head.getMap[String, scala.collection.Seq[String]](0)
+    assert(doc.get("q_ss").map(_.toList).contains(List("a b c", "x+y")),
+      s"%20 and '+' decode to space, %2B to '+', ';' separates pairs: $doc")
+    assert(doc.get("flag_ss").map(_.toList).contains(List("")),
+      s"a bare key with no '=' is a present, empty-string parameter: $doc")
+    assert(!doc.contains("bad_ss"),
+      s"a malformed escape drops the value (lenient parse), not the row: $doc")
+  }
+
   test("extractJsonPaths: multi-valued input fields iterate and accumulate") {
     import spark.implicits._
     val cells = Seq(("r1", Seq(

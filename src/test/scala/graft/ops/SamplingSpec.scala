@@ -236,6 +236,40 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.curriculumRank(withNull, "doc_id", "q").count() == 500L)
   }
 
+  test("curriculumRank: score atoms split heavy tiers by a monotone sub-key, rank stays exact") {
+    import spark.implicits._
+    // the clamp pathology: most of the corpus saturates at exactly 0.0
+    // or 1.0, plus a spread tier that also goes heavy — with
+    // heavyFactor = 1 every heavy tier must sub-partition, and the rank
+    // must still equal the global (score DESC, id ASC) row_number
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 600L).map { i =>
+      val q =
+        if (i % 3 == 0) 0.0
+        else if (i % 3 == 1) 1.0
+        else 0.25 + rnd.nextInt(4).toDouble / 10240 // heavy spread tier w/ ties
+      (i, q)
+    }
+    val docs = rows.toDF("doc_id", "q")
+    val got = Sampling.curriculumRank(docs, "doc_id", "q",
+        buckets = 16, heavyFactor = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val expected = rows.sortBy { case (id, q) => (-q, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    assert(got == expected,
+      s"diff: ${got.filter { case (k, v) => expected(k) != v }.take(5)}")
+
+    // non-numeric ids: no monotone sub-key exists for an atom tier — the
+    // documented fallback keeps one partition but stays exact
+    val srows = rows.map { case (i, q) => (f"doc$i%04d", q) }
+    val sgot = Sampling.curriculumRank(srows.toDF("doc_id", "q"), "doc_id", "q",
+        buckets = 16, heavyFactor = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val sexp = srows.sortBy { case (id, q) => (-q, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    assert(sgot == sexp)
+  }
+
   test("isqrt: floor(sqrt(n)) exactly, across boundaries and random 2^52-scale inputs") {
     def check(n: Long): Unit = {
       val x = Sampling.isqrt(n)

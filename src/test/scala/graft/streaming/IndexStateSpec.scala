@@ -465,4 +465,75 @@ class IndexStateSpec extends SparkSpec {
     assert(Files.exists(Paths.get(s"$work/index", "_txnlog")))
     assert(!Files.exists(Paths.get(s"$work/index", "CURRENT")))
   }
+
+  // ---- append-mode commits: the keep-first seen-sets never update a row,
+  // so a batch's state write must be O(fresh keys), NOT O(state ∩ touched)
+  // — the round-8 scale flaw (per-trigger copy-on-write full rewrite).
+
+  private def txnEntries(dir: String): Seq[Seq[String]] = {
+    val log = Paths.get(dir, "_txnlog").toFile.listFiles()
+      .filter(_.getName.endsWith(".txn")).sortBy(_.getName).toSeq
+    log.map(f => Files.readAllLines(f.toPath).toArray(Array.empty[String]).toSeq)
+  }
+
+  test("TxnLogState: commitAppend write volume ∝ fresh keys — delta dirs, zero remove actions, base untouched") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_txn").toString
+    // one bucket: every commit touches it, so a COW design would rewrite
+    // the WHOLE state each time — the exact pathology being pinned away
+    val st = new TxnLogState(dir, spark, requestedBuckets = 1,
+      autoCompactEvery = 0, maxDeltasPerBucket = 0)
+    val base = (0 until 1000).map(i => f"base$i%04d")
+    st.commit(base.toDF("id"), "v0", Seq(0))
+    (1 to 3).foreach { i =>
+      val fresh = (0 until 10).map(j => s"fresh$i-$j")
+      st.commitAppend(fresh.toDF("id"), s"v$i", Seq(0))
+      // the delta dir holds ONLY this batch's fresh keys (10 rows), never
+      // the 1000-row base — write volume is O(fresh)
+      assert(spark.read.parquet(s"$dir/v$i").count() == 10L,
+        s"append commit $i must write only its fresh keys")
+    }
+    // append entries carry add actions only: nothing is superseded
+    val appends = txnEntries(dir).drop(1)
+    assert(appends.size == 3 &&
+      appends.forall(e => e.nonEmpty && e.forall(_.startsWith("add\t"))),
+      s"append entries must be pure adds: $appends")
+    // readers fold base + deltas; a cold store folds the same state
+    val expected = base.toSet ++
+      (1 to 3).flatMap(i => (0 until 10).map(j => s"fresh$i-$j"))
+    assert(stateIds(st) == expected)
+    assert(stateIds(new TxnLogState(dir, spark, 1)) == expected)
+  }
+
+  test("TxnLogState: maintain() merges delta chains past maxDeltasPerBucket; state and cold reads survive") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_txn").toString
+    val st = new TxnLogState(dir, spark, requestedBuckets = 1,
+      autoCompactEvery = 0, maintenanceGraceMs = 0L, maxDeltasPerBucket = 2)
+    st.commit(Seq("a", "b").toDF("id"), "v0", Seq(0))
+    (1 to 3).foreach { i =>
+      st.commitAppend(Seq(s"k$i").toDF("id"), s"v$i", Seq(0))
+      st.maintain()
+    }
+    // chain never exceeds maxDeltas+1 dirs: 3 appends over a 2-delta cap
+    // must have forced at least one merge commit
+    val merges = txnEntries(dir).filter(_.exists(_.startsWith("remove\t")))
+    assert(merges.nonEmpty, "a merge (COW) commit must have fired")
+    assert(stateIds(st) == Set("a", "b", "k1", "k2", "k3"))
+    // superseded delta dirs are vacuum-reclaimable; the fold is unchanged
+    st.vacuum(graceMs = 0L)
+    assert(stateIds(new TxnLogState(dir, spark, 1)) == Set("a", "b", "k1", "k2", "k3"))
+  }
+
+  test("DocStateStore: the default commitAppend folds to copy-on-write for manifest states (IndexState)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_state").toString
+    val st = new IndexState(dir, spark, B)
+    st.commit(Seq("a", "b").toDF("id").withColumn("v", lit(1)), "v0", (0 until B))
+    val freshBuckets = Seq("c", "d").map(Sharding.md5Shard(_, B)).distinct
+    st.commitAppend(Seq("c", "d").toDF("id").withColumn("v", lit(2)),
+      "v1", freshBuckets)
+    assert(stateIds(st) == Set("a", "b", "c", "d"),
+      "append through the COW fallback must still union fresh into touched buckets")
+  }
 }

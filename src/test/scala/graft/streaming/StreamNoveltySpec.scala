@@ -104,4 +104,36 @@ class StreamNoveltySpec extends SparkSpec {
     assert(got == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false,
       5L -> true, 6L -> false), s"got $got")
   }
+
+  test("out-of-order arrival fails loudly; exact redelivery of the last batch is tolerated") {
+    import spark.implicits._
+    val k = 3
+    val df = Seq(
+      1L -> "aa bb cc dd",
+      2L -> "ee ff gg hh",
+      3L -> "ii jj kk ll",
+      4L -> "mm nn oo pp").toDF("doc_id", "text")
+    val work = Files.createTempDirectory("graft_ooo").toString
+    val state = new TxnLogState(s"$work/seen", spark, 8)
+    val b1 = df.filter(col("doc_id") <= 2)
+    StreamNovelty.applyBatch(state, df.filter(col("doc_id") === 3),
+      "doc_id", "text", k, s"$work/out", 0L)
+    // a batch whose ids fall at-or-below the high-water mark violates the
+    // ascending-ingestion-log contract the batch-equality proof rests on
+    val e = intercept[IllegalStateException] {
+      StreamNovelty.applyBatch(state, b1, "doc_id", "text", k, s"$work/out", 1L)
+    }
+    assert(e.getMessage.contains("out-of-order"), e.getMessage)
+    // ...but an at-least-once redelivery of the MOST RECENT batch (same
+    // doc_id range) must pass: its fresh set folds to ∅ against the
+    // already-committed state
+    StreamNovelty.applyBatch(state, df.filter(col("doc_id") === 3),
+      "doc_id", "text", k, s"$work/out", 0L)
+    // and the next in-order batch proceeds; all three gates share the check
+    StreamSpanDedup.applyBatch(state, df.filter(col("doc_id") === 4),
+      "doc_id", "text", k, s"$work/out2", 2L)
+    intercept[IllegalStateException] {
+      StreamExactDedup.applyBatch(state, b1, "doc_id", "text", s"$work/out2", 3L)
+    }
+  }
 }
