@@ -603,6 +603,10 @@ object hfunctions {
   def merge_window_runs(starts: Column, k: Int): Column =
     expr2col(MergeWindowRuns(col2expr(starts), k))
 
+  /** merges-table BPE subword token count (compiled merge loop) */
+  def bpe_count(text: Column, encoder: BpeEncoder): Column =
+    expr2col(BpeCount(col2expr(text), encoder))
+
   /** fold a LongType hash column into ONE fixed-size Bloom-filter blob
     * (Spark's own runtime-filter aggregate — `numBits` bounds the blob
     * regardless of input cardinality; empty input folds to NULL) */

@@ -88,6 +88,13 @@ object Morphline {
   /** Kite `toLowerCase` / `toUpperCase`: rewrite every value of a field
     * in place (missing field stays missing). */
   case class ChangeCase(field: String, upper: Boolean) extends Command
+  /** Kite `translate`: map each value of a field through a literal
+    * dictionary. A miss takes the `fallback` when one is configured;
+    * without a fallback the miss FAILS the command (Kite rejects the
+    * record) — here the value drops from the field and, used as an
+    * `if`/`tryRules` condition, the rule fails ([[foldRule]]). */
+  case class Translate(field: String, dictionary: Seq[(String, String)],
+                       fallback: Option[String]) extends Command
   /** Kite `extractJsonPaths` (kite-morphlines-json): extract nodes of a
     * JSON document into record fields by `/slash/separated` paths. Kite
     * reads the JSON from the record's attachment (a `readJson` product);
@@ -210,6 +217,20 @@ object Morphline {
         ChangeCase((body \ "field").extract[String], upper = false)
       case JObject(List(("toUpperCase", body))) =>
         ChangeCase((body \ "field").extract[String], upper = true)
+      case JObject(List(("translate", body))) =>
+        val dict = (body \ "dictionary") match {
+          case JObject(ps) => ps.map {
+            case (k, JString(v)) => k -> v
+            case (k, JInt(v))    => k -> v.toString
+            case (k, other) => throw new IllegalArgumentException(
+              s"translate.dictionary.$k must be a scalar, got $other")
+          }
+          case _ => throw new IllegalArgumentException("translate needs dictionary{}")
+        }
+        Translate(
+          field = (body \ "field").extract[String],
+          dictionary = dict,
+          fallback = (body \ "fallback").extractOpt[String])
       case JObject(List(("extractJsonPaths", body))) =>
         val paths = (body \ "paths") match {
           case JObject(ps) => ps.map {
@@ -339,26 +360,57 @@ object Morphline {
   private def applyCommand(d: Column, cmd: Command): Column = cmd match {
     case SanitizeUnknownFields(known) =>
       map_filter(d, (k, _) => k.isInCollection(known.map(lit(_))))
+    // Kite iterates EVERY value of a multi-valued input field for
+    // grok/split/convertTimestamp (like the round-8 URI/JSON extractors):
+    // each value contributes independently and outputs accumulate in
+    // value order.
     case Grok(in, pattern, outs) => let(d) { doc =>
-      val v = firstValue(doc, in)
-      val matched = v.isNotNull && v.rlike(pattern)
+      val vs = try_element_at(doc, lit(in))
+      // per output group: one capture per MATCHING value (a non-matching
+      // value contributes nothing); all values miss ⇒ no field, like
+      // Kite grok on a total miss
       outs.zipWithIndex.collect { case (name, i) if name.nonEmpty =>
-        name -> when(matched, array(regexp_extract(v, pattern, i + 1)))
+        name -> let(transform(filter(vs, v => v.rlike(pattern)),
+            v => regexp_extract(v, pattern, i + 1))) { got =>
+          when(vs.isNotNull && size(got) > 0, got)
+        }
       }.foldLeft(doc) { case (dd, (name, value)) => putField(dd, name, value) }
     }
     case Split(in, out, sep, isRegex) => let(d) { doc =>
-      val v = firstValue(doc, in)
+      val vs = try_element_at(doc, lit(in))
       val pat = if (isRegex) sep else java.util.regex.Pattern.quote(sep)
-      putField(doc, out, when(v.isNotNull, split(v, pat)))
+      putField(doc, out,
+        when(vs.isNotNull, flatten(transform(vs, v => split(v, pat)))))
     }
     case ConvertTimestamp(field, inFmts, outFmt) => let(d) { doc =>
-      val v = firstValue(doc, field)
-      val ts = coalesce(inFmts.map(f => try_to_timestamp(v, lit(f))): _*)
-      val rendered = outFmt match {
-        case "unixTimeInMillis" => unix_millis(ts).cast("string")
-        case pattern => date_format(ts, pattern)
+      val vs = try_element_at(doc, lit(field))
+      val conv: Column => Column = v => {
+        val ts = coalesce(inFmts.map(f => try_to_timestamp(v, lit(f))): _*)
+        outFmt match {
+          case "unixTimeInMillis" => unix_millis(ts).cast("string")
+          case pattern => date_format(ts, pattern)
+        }
       }
-      putField(doc, field, when(rendered.isNotNull, array(rendered)))
+      // value-granularity failure: an unparseable value drops; all
+      // values unparseable ⇒ the field clears (the single-value rule,
+      // applied per value)
+      putField(doc, field, let(filter(transform(vs, conv), c => c.isNotNull)) {
+        got => when(vs.isNotNull && size(got) > 0, got)
+      })
+    }
+    case Translate(field, dict, fallback) => let(d) { doc =>
+      val vs = try_element_at(doc, lit(field))
+      val table = map(dict.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+      val rewrite: Column => Column = v => fallback match {
+        case Some(fb) => coalesce(try_element_at(table, v), lit(fb))
+        case None     => try_element_at(table, v)
+      }
+      // without a fallback a dictionary miss drops the value (and fails
+      // the command as a rule condition — foldRule); with one it maps
+      // to the fallback, Kite's exact contract
+      putField(doc, field, let(filter(transform(vs, rewrite), c => c.isNotNull)) {
+        got => when(vs.isNotNull && size(got) > 0, got)
+      })
     }
     case FindReplace(f, pat, rep, isRegex) => let(d) { doc =>
       val vs = try_element_at(doc, lit(f))
@@ -489,12 +541,22 @@ object Morphline {
   private def foldRule(doc: Column, cmds: Seq[Command]): (Column, Column) =
     cmds.foldLeft((doc, lit(true))) {
       case ((cur, cond), g: Grok) =>
-        val v = firstValue(cur, g.inputField)
-        (applyCommand(cur, g), cond && v.isNotNull && v.rlike(g.pattern))
+        // Kite grok's default numRequiredMatches (atLeastOnce): the rule
+        // accepts when ANY value of the input field matches
+        val vs = coalesce(try_element_at(cur, lit(g.inputField)),
+          array().cast("array<string>"))
+        (applyCommand(cur, g), cond && exists(vs, v => v.rlike(g.pattern)))
       case ((cur, cond), c: ContainsCmd) =>
         val vs = coalesce(try_element_at(cur, lit(c.field)),
           array().cast("array<string>"))
         (cur, cond && arrays_overlap(vs, array(c.values.map(lit(_)): _*)))
+      case ((cur, cond), t: Translate) if t.fallback.isEmpty =>
+        // fallback-less translate rejects the record on any miss
+        val vs = coalesce(try_element_at(cur, lit(t.field)),
+          array().cast("array<string>"))
+        val table = map(t.dictionary.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+        (applyCommand(cur, t),
+          cond && forall(vs, v => try_element_at(table, v).isNotNull))
       case ((cur, cond), c) => (applyCommand(cur, c), cond)
     }
 

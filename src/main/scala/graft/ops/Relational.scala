@@ -101,15 +101,34 @@ object Relational {
     * over `salts` reducers instead of melting one — the standard fix when
     * AQE's skew-join splitting isn't available (e.g. sort-merge join
     * feeding an aggregation on the same key). Result is exactly the plain
-    * equi-join. */
+    * equi-join.
+    *
+    * Broadcast guard: salting exists for the SORT-MERGE case — a right
+    * side under the session's broadcast threshold takes a plain
+    * broadcast hash join instead (no shuffle to skew, so ×salts
+    * replication would be pure overhead). The optimizer's own size
+    * estimate decides, driver-side, no job. */
   def saltedJoin(left: DataFrame, leftKey: Column, right: DataFrame,
                  rightKey: Column, saltSource: Column, salts: Int): DataFrame = {
-    val salted = left.withColumn("_salt", pmod(saltSource.cast("long"), lit(salts.toLong)))
-    val replicated = right.withColumn("_salt",
-      explode(sequence(lit(0L), lit(salts.toLong - 1))))
-    salted.join(replicated,
-        salted("_salt") === replicated("_salt") && leftKey === rightKey)
-      .drop("_salt")
+    // no-default get: resolves the session's EFFECTIVE value including
+    // Spark's built-in default (a supplied fallback would mask it)
+    val thrStr = scala.util.Try(
+      right.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+      .getOrElse("-1").trim
+    // plain number (incl. -1 = disabled) or a byte-suffixed size string
+    val thr = scala.util.Try(thrStr.toLong).getOrElse(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(thrStr))
+    val est = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (thr > 0 && est <= thr)
+      left.join(broadcast(right), leftKey === rightKey)
+    else {
+      val salted = left.withColumn("_salt", pmod(saltSource.cast("long"), lit(salts.toLong)))
+      val replicated = right.withColumn("_salt",
+        explode(sequence(lit(0L), lit(salts.toLong - 1))))
+      salted.join(replicated,
+          salted("_salt") === replicated("_salt") && leftKey === rightKey)
+        .drop("_salt")
+    }
   }
 
   /** Connected components over an undirected edge list (a_id, b_id):

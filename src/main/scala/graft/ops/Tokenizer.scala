@@ -52,3 +52,45 @@ object RegexBpeTokenizer extends Tokenizer {
     s"CAST(len(regexp_extract_all($arg, '$quoted')) AS BIGINT)"
   }
 }
+
+/** TRUE subword counting through the same seam: a merges-table BPE
+  * (the GPT-2 encode loop — lowest-rank adjacent pair fuses first,
+  * repeatedly) over [[RegexBpeTokenizer]]'s pre-token stream, compiled
+  * into one pass per document ([[graft.expr.BpeCount]]). Training-data
+  * budgets are denominated in subword tokens, and this is that unit:
+  * plug a production merges file into the constructor and every
+  * budget/packing operator re-denominates without change. */
+class MergesBpeTokenizer(merges: Seq[(String, String)]) extends Tokenizer {
+  override val name = "merges-bpe"
+
+  val encoder = new graft.expr.BpeEncoder(merges, RegexBpeTokenizer.pattern)
+
+  override def count(text: Column): Column =
+    graft.expr.hfunctions.bpe_count(text, encoder)
+}
+
+object MergesBpeTokenizer {
+  /** Tiny deterministic fixture vocabulary for oracle-checked queries:
+    * multi-level merges (BU+I, IN+G), repeated applications (UR, HO
+    * twice in one word), and rank-precedence cases (IN outranks ER
+    * inside "MACHINERY"). Under this table the five TPC-H market
+    * segments encode to known counts — independently derived from a
+    * separate reference implementation of the merge loop and pinned in
+    * TokenizerSpec — so a DuckDB oracle states them as literals instead
+    * of replaying BPE in SQL:
+    * AUTOMOBILE→8, BUILDING→3, FURNITURE→7, MACHINERY→7, HOUSEHOLD→6;
+    * digits carry no merges, so a number contributes its digit count. */
+  val fixtureMerges: Seq[(String, String)] = Seq(
+    ("I", "N"), ("IN", "G"), ("E", "R"), ("O", "M"), ("U", "R"),
+    ("H", "O"), ("L", "D"), ("B", "U"), ("BU", "I"), ("A", "U"))
+
+  /** The fixture-table segment counts (see above) as an oracle SQL CASE
+    * over a market-segment expression. */
+  def segmentCountSql(arg: String): String =
+    s"""CAST(CASE $arg
+       |  WHEN 'AUTOMOBILE' THEN 8 WHEN 'BUILDING' THEN 3
+       |  WHEN 'FURNITURE' THEN 7 WHEN 'MACHINERY' THEN 7
+       |  WHEN 'HOUSEHOLD' THEN 6 END AS BIGINT)""".stripMargin
+
+  val fixture = new MergesBpeTokenizer(fixtureMerges)
+}

@@ -535,6 +535,22 @@ object ExtendedQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the budget denominated in TRUE subword tokens: a merges-table BPE
+    // (compiled GPT-2 merge loop, fixture vocab) counts synthesized
+    // segment+key text whose encoding the oracle can state as literals —
+    // the five segment counts are pinned against an independent
+    // reference implementation in TokenizerSpec, digits carry no merges
+    "p22_token_budget_subword" -> ((s, dir) => {
+      val bpe = graft.ops.MergesBpeTokenizer.fixture
+      val d = s.read.parquet(s"$dir/customer.parquet").select(
+        col("c_custkey").cast("long").as("doc_id"),
+        bpe.count(concat(col("c_mktsegment"), lit(" "),
+          col("c_custkey").cast("string"))).as("n_tokens"),
+        ((col("c_custkey") % 97).cast("double") / lit(97.0)).as("q"))
+      graft.ops.Sampling.tokenBudget(d, "doc_id", "q", "n_tokens", budget = 8000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // exact global curriculum rank WITHOUT a global window: the oracle
     // states the semantics as the plain row_number the Spark side must
     // equal while never putting the corpus through one task
@@ -809,6 +825,75 @@ object ExtendedQueries {
           element_at(col("doc")("parts"), 1).as("p1"),
           element_at(col("doc")("parts"), 2).as("p2"),
           element_at(col("doc")("when_s"), 1).as("when_ms"))
+        .orderBy(col("id"))
+    }),
+
+    // morphline translate: dictionary mapping with fallback, and the
+    // fallback-less form gating a tryRules rule (a dictionary miss
+    // rejects the record to the catch-all) — Kite's exact contract
+    "x34_morphline_translate" -> ((s, dir) => {
+      val chain =
+        """{"commands": [
+          |  {"extractHBaseCells": {"mappings": [
+          |    {"inputColumn": "info:mktsegment", "outputField": "seg"},
+          |    {"inputColumn": "info:mktsegment", "outputField": "route"}]}},
+          |  {"translate": {"field": "seg",
+          |     "dictionary": {"BUILDING": "bld", "AUTOMOBILE": "auto",
+          |                    "MACHINERY": "mach"},
+          |     "fallback": "other"}},
+          |  {"tryRules": {"rules": [
+          |    {"commands": [
+          |      {"translate": {"field": "route",
+          |         "dictionary": {"BUILDING": "industrial", "MACHINERY": "industrial"}}}]},
+          |    {"commands": [
+          |      {"setValues": {"route": "consumer"}}]}
+          |  ]}}
+          |]}""".stripMargin
+      val doc = graft.morphline.Morphline(chain)(col("cells"))
+      graft.core.Fixtures.customerCells(s, dir)
+        .select(col("rowKey").cast("long").as("id"), doc.as("doc"))
+        .select(col("id"),
+          element_at(col("doc")("seg"), 1).as("seg_code"),
+          element_at(col("doc")("route"), 1).as("route"))
+        .orderBy(col("id"))
+    }),
+
+    // multi-value iteration through grok/split/convertTimestamp: a
+    // wildcard extract yields a MULTI-VALUED field ([c_name,
+    // c_nationkey], qualifier-sorted); grok captures only from matching
+    // values, split fans out every value, convertTimestamp re-renders
+    // each value and drops unparseable ones — Kite's per-value contract
+    "x35_morphline_multivalue" -> ((s, dir) => {
+      val chain =
+        """{"commands": [
+          |  {"extractHBaseCells": {"mappings": [
+          |    {"inputColumn": "info:n*", "outputField": "nv"}]}},
+          |  {"grok": {"inputField": "nv", "pattern": "^([A-Za-z]+)#(\\d+)$",
+          |            "outputFields": ["word", "num"]}},
+          |  {"split": {"inputField": "nv", "outputField": "parts", "separator": "#"}},
+          |  {"setValues": {"times": ["2024-03-01 10:15:00", "oops",
+          |                           "2025-06-02 01:02:03"]}},
+          |  {"convertTimestamp": {"field": "times",
+          |     "inputFormats": ["yyyy-MM-dd HH:mm:ss"],
+          |     "outputFormat": "unixTimeInMillis"}}
+          |]}""".stripMargin
+      val doc = graft.morphline.Morphline(chain)(col("cells"))
+      graft.core.Fixtures.customerCells(s, dir)
+        .select(col("rowKey").cast("long").as("id"), doc.as("doc"))
+        .select(col("id"),
+          // only c_name matches the grok pattern — exactly one capture
+          size(col("doc")("word")).cast("long").as("n_word"),
+          element_at(col("doc")("word"), 1).as("word"),
+          element_at(col("doc")("num"), 1).as("num"),
+          // split fans out both values: name#key → 2 parts, nationkey → 1
+          size(col("doc")("parts")).cast("long").as("n_parts"),
+          element_at(col("doc")("parts"), 1).as("p1"),
+          element_at(col("doc")("parts"), 2).as("p2"),
+          element_at(col("doc")("parts"), 3).as("p3"),
+          // 'oops' drops at value granularity; both real times render
+          size(col("doc")("times")).cast("long").as("n_times"),
+          element_at(col("doc")("times"), 1).as("t1"),
+          element_at(col("doc")("times"), 2).as("t2"))
         .orderBy(col("id"))
     }),
 
@@ -1517,6 +1602,24 @@ object ExtendedQueries {
          |SELECT doc_id, n_tokens, q FROM o WHERE cum <= 12000 ORDER BY doc_id""".stripMargin
     },
 
+    // the subword-count ground truth: fixture-vocab segment encodings as
+    // literals (independently pinned in TokenizerSpec) + digit counts,
+    // then p02's budget-prefix window
+    "p22_token_budget_subword" -> {
+      val seg = graft.ops.MergesBpeTokenizer.segmentCountSql("c_mktsegment")
+      s"""WITH d AS (
+         |  SELECT CAST(c_custkey AS BIGINT) AS doc_id,
+         |    $seg + CAST(length(CAST(c_custkey AS VARCHAR)) AS BIGINT) AS n_tokens,
+         |    CAST(c_custkey % 97 AS DOUBLE) / 97.0 AS q
+         |  FROM customer),
+         |o AS (
+         |  SELECT doc_id, n_tokens, q,
+         |    sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d)
+         |SELECT doc_id, n_tokens, q FROM o WHERE cum <= 8000 ORDER BY doc_id""".stripMargin
+    },
+
     // p02's quality formula + the plain global row_number the
     // tier-bucketed plan must reproduce exactly
     "p20_curriculum_order" -> {
@@ -1625,6 +1728,34 @@ object ExtendedQueries {
         |  string_split(c_name, '#')[1] AS p1,
         |  string_split(c_name, '#')[2] AS p2,
         |  '1709288100000' AS when_ms
+        |FROM customer ORDER BY id""".stripMargin,
+
+    // translate-with-fallback is a CASE with ELSE; the fallback-less
+    // rule translate routes exactly the dictionary's domain
+    "x34_morphline_translate" ->
+      """SELECT c_custkey AS id,
+        |  CASE c_mktsegment WHEN 'BUILDING' THEN 'bld'
+        |    WHEN 'AUTOMOBILE' THEN 'auto' WHEN 'MACHINERY' THEN 'mach'
+        |    ELSE 'other' END AS seg_code,
+        |  CASE WHEN c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |       THEN 'industrial' ELSE 'consumer' END AS route
+        |FROM customer ORDER BY id""".stripMargin,
+
+    // per-value iteration ground truth: c_name is the only grok match,
+    // split fans out name (2 parts) + nationkey (1), the literal times
+    // render to pinned epoch millis with the bad value dropped
+    "x35_morphline_multivalue" ->
+      """SELECT c_custkey AS id,
+        |  CAST(1 AS BIGINT) AS n_word,
+        |  string_split(c_name, '#')[1] AS word,
+        |  string_split(c_name, '#')[2] AS num,
+        |  CAST(3 AS BIGINT) AS n_parts,
+        |  string_split(c_name, '#')[1] AS p1,
+        |  string_split(c_name, '#')[2] AS p2,
+        |  CAST(c_nationkey AS VARCHAR) AS p3,
+        |  CAST(2 AS BIGINT) AS n_times,
+        |  '1709288100000' AS t1,
+        |  '1748826123000' AS t2
         |FROM customer ORDER BY id""".stripMargin,
 
     // if/contains routing as a CASE on the base column; the then-branch

@@ -612,6 +612,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the tape denominated in TRUE subword tokens (merges-table BPE over
+    // synthesized segment+key text — the p22 accounting unit): identical
+    // packing operator, third denomination through the same seam
+    "p23_sequence_pack_subword" -> ((s, dir) => {
+      val bpe = graft.ops.MergesBpeTokenizer.fixture
+      val counted = s.read.parquet(s"$dir/customer.parquet").select(
+        col("c_custkey").cast("long").as("doc_id"),
+        bpe.count(concat(col("c_mktsegment"), lit(" "),
+          col("c_custkey").cast("string"))).as("n_tokens"))
+      graft.ops.Sampling.packSequences(counted, "doc_id", "n_tokens", seqLen = 64L)
+        .orderBy(col("doc_id"))
+    }),
+
     // dynamic quality threshold: keep documents at or above the corpus
     // P75 of the quality score — the cutoff adapts to the corpus instead
     // of a hand-tuned constant. The exact percentile is a 1-row aggregate
@@ -1222,6 +1235,24 @@ object PipelineQueries {
          |SELECT doc_id, n_tokens, start_off,
          |  start_off // 512 AS seq_first,
          |  (start_off + n_tokens - 1) // 512 AS seq_last
+         |FROM o ORDER BY doc_id""".stripMargin,
+
+    "p23_sequence_pack_subword" ->
+      s"""WITH d AS (
+         |  SELECT CAST(c_custkey AS BIGINT) AS doc_id,
+         |    ${graft.ops.MergesBpeTokenizer.segmentCountSql("c_mktsegment")}
+         |      + CAST(length(CAST(c_custkey AS VARCHAR)) AS BIGINT) AS n_tokens,
+         |    ${h60sql("CAST(c_custkey AS VARCHAR)")} AS h
+         |  FROM customer),
+         |t AS (SELECT * FROM d WHERE n_tokens > 0),
+         |o AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+         |  FROM t)
+         |SELECT doc_id, n_tokens, start_off,
+         |  start_off // 64 AS seq_first,
+         |  (start_off + n_tokens - 1) // 64 AS seq_last
          |FROM o ORDER BY doc_id""".stripMargin,
 
     "p17_sequence_pack_bpe" ->

@@ -80,7 +80,17 @@ class IndexerResource(registry: IndexerRegistry, supervisor: IndexerSupervisor) 
         try {
           val d = registry.fromJson(body)
           if (d.name != name) err(400, s"definition name '${d.name}' does not match path '$name'")
-          else ok(registry.toJson(registry.update(d)))
+          else {
+            val updated = registry.update(d)
+            // the reference's DELETE verb: a PUT flipping lifecycleState
+            // to DELETE_REQUESTED (IndexerResource.java:116-130); the
+            // master watches the model and executes — here the
+            // supervisor reacts before the response returns, so the
+            // delete is fully reachable over REST alone
+            if (updated.lifecycleState == LifecycleState.DeleteRequested)
+              supervisor.sync()
+            ok(registry.toJson(updated))
+          }
         } catch {
           case e: ConcurrentModificationError => err(409, e.getMessage)
           case e: IllegalStateException => err(404, e.getMessage)

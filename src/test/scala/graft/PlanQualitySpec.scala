@@ -22,6 +22,34 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(800))
   }
 
+  test("q13 saltedJoin: a broadcast-sized right side short-circuits to a plain broadcast join — no ×salts replication") {
+    // the guard path: orders at sf0.001 sits far under the broadcast
+    // threshold, so the plan must be a BroadcastHashJoin with NO salt
+    // explode (salting exists for the sort-merge case only)
+    val guarded = q("q13_salted_join").queryExecution.executedPlan.toString
+    assert(guarded.contains("BroadcastHashJoin"), guarded.take(800))
+    assert(!guarded.toLowerCase.contains("explode") && !guarded.contains("_salt"),
+      "broadcast-sized right side must not be replicated ×salts: " + guarded.take(800))
+    // the salting path still engages (and still matches the plain join)
+    // once broadcast is off
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import spark.implicits._
+      val left = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
+      val right = Seq((1L, "x"), (2L, "y")).toDF("k", "w")
+      val salted = graft.ops.Relational.saltedJoin(
+        left, left("k"), right, right("k"),
+        org.apache.spark.sql.functions.length(col("v")), salts = 4)
+      assert(salted.queryExecution.executedPlan.toString.contains("_salt") ||
+        salted.queryExecution.optimizedPlan.toString.contains("_salt"),
+        "with broadcast disabled the salting path must engage")
+      assert(salted.select(left("k"), col("v"), col("w")).collect().toSet ==
+        left.join(right, "k").select("k", "v", "w").collect().toSet,
+        "salted result must equal the plain equi-join")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q01: filter is pushed to the parquet scan and columns are pruned") {
     val plan = q("q01_pricing_summary").queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"))

@@ -359,6 +359,75 @@ class MorphlineSpec extends SparkSpec {
       s"a malformed escape drops the value (lenient parse), not the row: $doc")
   }
 
+  test("grok/split/convertTimestamp iterate every value of a multi-valued field") {
+    import spark.implicits._
+    val cells = Seq(("r1", Seq("alpha#1", "42", "beta#7"))).toDF("rowKey", "vs")
+      .select(col("rowKey"), transform(col("vs"), v => struct(
+        lit("info").as("family"), lit("v").as("qualifier"),
+        lit(0L).as("ts"), lit("put").as("cellType"), v.as("value"))).as("cells"))
+    val chain =
+      """{"commands": [
+        |  {"extractHBaseCells": {"mappings": [
+        |    {"inputColumn": "info:v", "outputField": "raw"}]}},
+        |  {"grok": {"inputField": "raw", "pattern": "^([a-z]+)#(\\d+)$",
+        |            "outputFields": ["word", "num"]}},
+        |  {"split": {"inputField": "raw", "outputField": "parts", "separator": "#"}},
+        |  {"setValues": {"times": ["2024-03-01 10:15:00", "nope"]}},
+        |  {"convertTimestamp": {"field": "times",
+        |     "inputFormats": ["yyyy-MM-dd HH:mm:ss"], "outputFormat": "unixTimeInMillis"}}
+        |]}""".stripMargin
+    val doc = cells.select(Morphline(chain)(col("cells")).as("doc"))
+      .collect().head.getMap[String, scala.collection.Seq[String]](0)
+    assert(doc.get("word").map(_.toList).contains(List("alpha", "beta")),
+      s"grok captures from every MATCHING value, misses contribute nothing: $doc")
+    assert(doc.get("num").map(_.toList).contains(List("1", "7")), s"$doc")
+    assert(doc.get("parts").map(_.toList).contains(
+      List("alpha", "1", "42", "beta", "7")),
+      s"split fans out every value in order: $doc")
+    assert(doc.get("times").map(_.toList).contains(List("1709288100000")),
+      s"convertTimestamp renders each parseable value, drops the rest: $doc")
+  }
+
+  test("translate: dictionary + fallback per value; fallback-less miss fails the rule") {
+    import spark.implicits._
+    val cells = Seq(("r1", Seq("red", "mauve", "blue"))).toDF("rowKey", "vs")
+      .select(col("rowKey"), transform(col("vs"), v => struct(
+        lit("info").as("family"), lit("v").as("qualifier"),
+        lit(0L).as("ts"), lit("put").as("cellType"), v.as("value"))).as("cells"))
+    def run(extra: String) = {
+      val chain =
+        s"""{"commands": [
+           |  {"extractHBaseCells": {"mappings": [
+           |    {"inputColumn": "info:v", "outputField": "c"}]}},
+           |  $extra
+           |]}""".stripMargin
+      cells.select(Morphline(chain)(col("cells")).as("doc"))
+        .collect().head.getMap[String, scala.collection.Seq[String]](0)
+    }
+    val withFb = run(
+      """{"translate": {"field": "c",
+        |   "dictionary": {"red": "#f00", "blue": "#00f"}, "fallback": "#000"}}""".stripMargin)
+    assert(withFb.get("c").map(_.toList).contains(List("#f00", "#000", "#00f")),
+      s"fallback substitutes per missing value: $withFb")
+    val noFb = run(
+      """{"translate": {"field": "c",
+        |   "dictionary": {"red": "#f00", "blue": "#00f"}}}""".stripMargin)
+    assert(noFb.get("c").map(_.toList).contains(List("#f00", "#00f")),
+      s"without a fallback a miss drops the value: $noFb")
+    // as a rule condition: the miss rejects rule 1, the record falls to
+    // the catch-all rule UNCHANGED (rollback of rule 1's rewrite)
+    val ruled = run(
+      """{"tryRules": {"rules": [
+        |  {"commands": [
+        |    {"translate": {"field": "c",
+        |       "dictionary": {"red": "#f00", "blue": "#00f"}}}]},
+        |  {"commands": [{"setValues": {"verdict": "untranslatable"}}]}
+        |]}}""".stripMargin)
+    assert(ruled.get("c").map(_.toList).contains(List("red", "mauve", "blue")) &&
+      ruled.get("verdict").map(_.toList).contains(List("untranslatable")),
+      s"a fallback-less miss fails the rule and rolls its rewrite back: $ruled")
+  }
+
   test("extractJsonPaths: multi-valued input fields iterate and accumulate") {
     import spark.implicits._
     val cells = Seq(("r1", Seq(

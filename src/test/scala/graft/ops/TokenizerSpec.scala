@@ -46,4 +46,81 @@ class TokenizerSpec extends SparkSpec {
     // "it's a test, really!" → ws 4; bpe: it|'s|a|test|,|really|! → 7
     assert(ws(2L) == 4L && bpe(2L) == 7L, s"ws=$ws bpe=$bpe")
   }
+
+  /** Independent reference BPE — deliberately a DIFFERENT implementation
+    * shape from [[graft.expr.BpeEncoder]] (immutable lists, pair-scan
+    * via zip, recursion) so the two can only agree by computing the
+    * same function. The oracle literals in p22/p23 come from here. */
+  private def refBpe(word: String, merges: Seq[(String, String)]): List[String] = {
+    val rank = merges.zipWithIndex.toMap
+    @annotation.tailrec
+    def loop(sym: List[String]): List[String] = {
+      val present = sym.zip(sym.drop(1)).flatMap(rank.get)
+      if (present.isEmpty) sym
+      else {
+        val (a, b) = merges(present.min)
+        def fuse(xs: List[String]): List[String] = xs match {
+          case `a` :: `b` :: rest => (a + b) :: fuse(rest)
+          case x :: rest          => x :: fuse(rest)
+          case Nil                => Nil
+        }
+        loop(fuse(sym))
+      }
+    }
+    loop(word.map(String.valueOf(_)).toList)
+  }
+
+  test("merges-table BPE: fixture-vocab encodings match an independent reference, incl. the oracle literals") {
+    import spark.implicits._
+    val m = MergesBpeTokenizer.fixtureMerges
+    // the p22/p23 oracle constants: segment → subword count
+    val expectedSegs = Map(
+      "AUTOMOBILE" -> 8, "BUILDING" -> 3, "FURNITURE" -> 7,
+      "MACHINERY" -> 7, "HOUSEHOLD" -> 6)
+    expectedSegs.foreach { case (w, n) =>
+      assert(refBpe(w, m).length == n, s"reference disagrees on $w")
+      assert(MergesBpeTokenizer.fixture.encoder.encodedLength(w) == n,
+        s"encoder disagrees on $w: ${refBpe(w, m)}")
+    }
+    // multi-level merge really fused: BUILDING → BUI|LD|ING
+    assert(refBpe("BUILDING", m) == List("BUI", "LD", "ING"))
+    // rank precedence: IN (rank 0) fuses before ER (rank 2) in MACHINERY
+    assert(refBpe("MACHINERY", m) == List("M", "A", "C", "H", "IN", "ER", "Y"))
+    // randomized cross-validation over the fixture alphabet
+    val rnd = new scala.util.Random(13)
+    val alpha = "AUBILDNGOMHERTY"
+    (1 to 200).foreach { _ =>
+      val w = (1 to (1 + rnd.nextInt(12))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      assert(MergesBpeTokenizer.fixture.encoder.encodedLength(w) == refBpe(w, m).length,
+        s"divergence on $w: ref=${refBpe(w, m)}")
+    }
+    // the column function: pre-tokens split first, digits carry no
+    // merges, whitespace counts nothing; NULL → 0 through the operators
+    val df = Seq(
+      ("BUILDING 1234", 3L + 4L),
+      ("HOUSEHOLD 7", 6L + 1L),
+      ("", 0L)).toDF("text", "want")
+    val got = df.select(MergesBpeTokenizer.fixture.count(col("text")).as("n"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1), s"${r}"))
+    // an empty merges table degenerates to per-character counting of the
+    // same pre-token stream
+    val noMerges = new MergesBpeTokenizer(Seq.empty)
+    assert(Seq("ab cd!").toDF("text")
+      .select(noMerges.count(col("text"))).head.getLong(0) == 5L)
+  }
+
+  test("tokenBudget under the merges-BPE unit: operator unchanged, unit swapped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "BUILDING BUILDING", 0.9),   // 6 subword tokens
+      (2L, "AUTOMOBILE", 0.8),          // 8
+      (3L, "HOUSEHOLD", 0.7)).toDF("doc_id", "text", "q")
+    val counted = docs.select(col("doc_id"), col("q"),
+      MergesBpeTokenizer.fixture.count(col("text")).as("n_tokens"))
+    val kept = Sampling.tokenBudget(counted, "doc_id", "q", "n_tokens", budget = 14L)
+      .collect().map(_.getLong(0)).toSet
+    // greedy best-quality prefix: doc1 (6) + doc2 (8) = 14 fits; doc3 would overflow
+    assert(kept == Set(1L, 2L), s"got $kept")
+  }
 }

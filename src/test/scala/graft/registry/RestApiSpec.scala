@@ -92,6 +92,19 @@ class RestApiSpec extends SparkSpec {
       assert(lag.body().contains("\"(root)\"") && lag.body().contains("\"backlog\": 0"),
         lag.body())
       assert(get(s"$base/indexer/nope/lag").statusCode() == 404)
+
+      // delete over REST — the reference's verb is a PUT flipping
+      // lifecycleState to DELETE_REQUESTED (IndexerResource.java:116-130,
+      // delete executed by the watching master); here the supervisor
+      // reacts in-request: definition gone, state/checkpoint dropped
+      val d2 = reg.get("idx").get
+      val del = put(s"$base/indexer/idx",
+        reg.toJson(d2.copy(lifecycleState = LifecycleState.DeleteRequested)))
+      assert(del.statusCode() == 200, del.body())
+      assert(reg.get("idx").isEmpty, "definition must be removed")
+      assert(get(s"$base/indexer/idx").statusCode() == 404)
+      assert(!get(s"$base/indexer").body().contains("\"idx\""))
+      assert(sup.indexState("idx").isEmpty, "index state must be dropped")
     } finally srv.stop()
   }
 }
