@@ -7,14 +7,20 @@ import org.apache.spark.sql.functions._
 
 /** The morphline-equivalent ETL layer (SURVEY §2.3 P10/P11): a
   * config-driven command chain compiled to one `Column` document
-  * expression. Scope matches what the reference's tests exercise
+  * expression. Scope covers what the reference's tests exercise
   * (hbase-indexer-morphlines `ExtractHBaseCellsBuilder.java:101-240` and
-  * the test-morphlines configs): `extractHBaseCells` with its three
-  * output modes — single field, positional `outputFields` (empty name ⇒
-  * skip position), dynamic `outputField: "prefix*"` — plus
-  * `sanitizeUnknownSolrFields` (schema projection) and `logDebug`
-  * (no-op). Config is JSON — the reference's HOCON documents for these
-  * commands are structurally identical.
+  * the test-morphlines configs) — `extractHBaseCells` with its three
+  * output modes (single field, positional `outputFields` with empty name
+  * ⇒ skip position, dynamic `outputField: "prefix*"`),
+  * `sanitizeUnknownSolrFields` (schema projection), `logDebug` (no-op) —
+  * plus the widening set of downstream Kite commands a real morphline
+  * chains after extraction: grok, split, convertTimestamp, findReplace,
+  * removeFields, setValues/addValues, extractURIComponents,
+  * extractURIQueryParameters, toLowerCase/toUpperCase, translate,
+  * extractJsonPaths, contains, if, tryRules. Multi-valued fields follow
+  * Kite's per-value iteration contract throughout. Config is JSON — the
+  * reference's HOCON documents for these commands are structurally
+  * identical.
   *
   * Like the reference (which compiles the morphline once per task and
   * streams records through it), the chain is compiled once into the

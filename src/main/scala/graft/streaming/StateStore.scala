@@ -272,6 +272,10 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
       .repartition(col(BucketCol))
       .write.partitionBy(BucketCol).parquet(s"$stateDir/$dir")
     val written = touched.filter(k => Files.exists(Paths.get(stateDir, dir, s"$BucketCol=$k")))
+    // an append that materialized no rows (e.g. a redelivered batch whose
+    // fresh set folded to ∅) has nothing to log: skip the slot claim —
+    // the orphaned empty dir is vacuum-reclaimable
+    if (append && written.isEmpty) return
 
     // snapshot the cache under the refresh() lock: the claimed slot and the
     // remove actions must come from ONE consistent (lastSeen, view) pair
@@ -351,8 +355,10 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
     * disables the cadence (manual [[compact]]/[[vacuumLog]] only). */
   override def maintain(): Unit = {
     // delta-chain compaction first: its merge commit is itself a txn
-    // entry the log compaction below then covers
-    if (maxDeltasPerBucket > 0) { compactBuckets(); () }
+    // entry the log compaction below then covers, and its superseded
+    // delta dirs age into the data vacuum below
+    val merged = if (maxDeltasPerBucket > 0) compactBuckets() else Seq.empty
+    if (merged.nonEmpty) { vacuum(maintenanceGraceMs); () }
     if (autoCompactEvery <= 0) return
     refresh()
     val cover = listLog(".ckpt").lastOption.map(entryId).getOrElse(-1L)
