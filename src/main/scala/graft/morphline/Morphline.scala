@@ -101,6 +101,17 @@ object Morphline {
     * `if`/`tryRules` condition, the rule fails ([[foldRule]]). */
   case class Translate(field: String, dictionary: Seq[(String, String)],
                        fallback: Option[String]) extends Command
+  /** Kite `splitKeyValue` (kite-morphlines-core SplitKeyValueBuilder):
+    * each value of `inputField` splits at the FIRST `separator` into
+    * (key, rest); the record gains field `outputFieldPrefix + key` with
+    * the rest appended — multimap semantics, so a repeated key
+    * accumulates values in input order. A value without the separator
+    * contributes nothing; with `trim` (Kite's default) both sides are
+    * space-trimmed. Output field NAMES are data-driven — the compiled
+    * form folds the pairs into a map and add-alongside-merges it, the
+    * dynamic-fields pattern of the P2 prefix extractor. */
+  case class SplitKeyValue(inputField: String, outputFieldPrefix: String,
+                           separator: String, doTrim: Boolean) extends Command
   /** Kite `extractJsonPaths` (kite-morphlines-json): extract nodes of a
     * JSON document into record fields by `/slash/separated` paths. Kite
     * reads the JSON from the record's attachment (a `readJson` product);
@@ -237,6 +248,12 @@ object Morphline {
           field = (body \ "field").extract[String],
           dictionary = dict,
           fallback = (body \ "fallback").extractOpt[String])
+      case JObject(List(("splitKeyValue", body))) =>
+        SplitKeyValue(
+          inputField = (body \ "inputField").extract[String],
+          outputFieldPrefix = (body \ "outputFieldPrefix").extractOpt[String].getOrElse(""),
+          separator = (body \ "separator").extractOpt[String].getOrElse("="),
+          doTrim = (body \ "trim").extractOpt[Boolean].getOrElse(true))
       case JObject(List(("extractJsonPaths", body))) =>
         val paths = (body \ "paths") match {
           case JObject(ps) => ps.map {
@@ -417,6 +434,32 @@ object Morphline {
       putField(doc, field, let(filter(transform(vs, rewrite), c => c.isNotNull)) {
         got => when(vs.isNotNull && size(got) > 0, got)
       })
+    }
+    case SplitKeyValue(in, prefix, sep, doTrim) => let(d) { doc =>
+      val vs = try_element_at(doc, lit(in))
+      val emptyDoc = map_from_arrays(array(), array()).cast("map<string,array<string>>")
+      // per value: split at the FIRST separator; values without one skip
+      val rawPairs = transform(
+        filter(vs, v => v.contains(sep)),
+        v => {
+          val key = substring_index(v, sep, 1)
+          val rest = v.substr(length(key) + (sep.length + 1), length(v))
+          struct(
+            concat(lit(prefix), if (doTrim) trim(key) else key).as("k"),
+            (if (doTrim) trim(rest) else rest).as("v"))
+        })
+      // group the pairs into a doc-shaped map (multimap per key, values
+      // in input order) — field names are data values, so this cannot be
+      // a static putField; let-bind pairs and keys, each feeds two
+      // consumers (the Morphline.let cost rule)
+      val kvDoc = let(rawPairs) { pairs =>
+        let(array_distinct(transform(pairs, p => p.getField("k")))) { keys =>
+          map_from_arrays(keys, transform(keys, k =>
+            transform(filter(pairs, p => p.getField("k") === k),
+              p => p.getField("v"))))
+        }
+      }
+      mergeDocs(doc, coalesce(kvDoc, emptyDoc))
     }
     case FindReplace(f, pat, rep, isRegex) => let(d) { doc =>
       val vs = try_element_at(doc, lit(f))

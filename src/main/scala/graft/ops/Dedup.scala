@@ -736,6 +736,86 @@ object Dedup {
     singles.unionByName(reps)
   }
 
+  /** INCREMENTAL near-dup admission — the "new crawl increment against
+    * an already-deduplicated corpus" gate, the batch twin of the
+    * streaming keep-first family: a batch document is rejected if any
+    * CORPUS document, or any EARLIER-id BATCH document, is an
+    * LSH-verified near-duplicate (n-gram Jaccard ≥ threshold). The
+    * earlier-id rule is fate-independent (a batch doc rejected for a
+    * corpus dup still blocks its own later near-dups), matching the
+    * seen-set convention of the streaming gates — admission is
+    * decidable per pair, never sequential. Output, one row per batch
+    * doc: (doc_id, n_corpus_dups, n_batch_dups, best_jaccard, kept).
+    *
+    * Scale shape — the whole point vs re-running [[nearDupPrune]] on
+    * corpus ∪ batch: NOTHING corpus-sized is ever paired with itself.
+    * Corpus docs contribute signatures and band keys once (in
+    * production both persist with the corpus, bucketed by band key /
+    * doc id, so an increment shuffles only batch-sized data into the
+    * candidate join and the set-verify join is co-located); candidates
+    * are batch×corpus band collisions plus the batch's internal
+    * band-key self-join (increment-sized). Corpus×corpus pairs — the
+    * quadratic term that already paid its cost when the corpus was
+    * built — are never generated. */
+  def incrementalNearDup(corpus: DataFrame, batch: DataFrame,
+                         idCol: String, textCol: String,
+                         bands: Int = 0, rowsPerBand: Int = 0, n: Int = 3,
+                         threshold: Double = 0.5): DataFrame = {
+    require((bands > 0) == (rowsPerBand > 0),
+      "pass both bands and rowsPerBand, or neither (auto-derive from threshold)")
+    val (nBands, nRows) =
+      if (bands > 0) (bands, rowsPerBand) else minhashConfigFor(threshold)
+    val k = nBands * nRows
+    val cSigs = minhashSignatures(corpus, idCol, textCol, k, n)
+    val bSigs = minhashSignatures(batch, idCol, textCol, k, n)
+    val cBand = bandKeys(cSigs, nBands, nRows)
+    val bBand = bandKeys(bSigs, nBands, nRows)
+
+    val vsCorpus = bBand.select(col("doc_id").as("b_id"), col("band_key"))
+      .join(cBand.select(col("doc_id").as("o_id"), col("band_key")), Seq("band_key"))
+      .select("b_id", "o_id").distinct()
+    val vsBatch = bBand.select(col("doc_id").as("b_id"), col("band_key"))
+      .join(bBand.select(col("doc_id").as("o_id"), col("band_key")), Seq("band_key"))
+      .filter(col("o_id") < col("b_id"))
+      .select("b_id", "o_id").distinct()
+
+    // exact verification per candidate: intersect the full shingle-hash
+    // sets in place (the minhashLshPairs shape — no second explode)
+    def verified(cand: DataFrame, otherSets: DataFrame): DataFrame =
+      cand
+        .join(bSigs.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), Seq("b_id"))
+        .join(otherSets, Seq("o_id"))
+        .withColumn("inter", size(array_intersect(col("b_hs"), col("o_hs"))).cast("long"))
+        .withColumn("uni", (size(col("b_hs")) + size(col("o_hs"))).cast("long") - col("inter"))
+        .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+        .filter(col("jaccard") >= threshold)
+        .select("b_id", "o_id", "jaccard")
+
+    val corpusHits = verified(vsCorpus,
+      cSigs.select(col("doc_id").as("o_id"), col("hs").as("o_hs")))
+      .withColumn("vs_corpus", lit(true))
+    val batchHits = verified(vsBatch,
+      bSigs.select(col("doc_id").as("o_id"), col("hs").as("o_hs")))
+      .withColumn("vs_corpus", lit(false))
+
+    val agg = corpusHits.unionByName(batchHits)
+      .groupBy(col("b_id"))
+      .agg(
+        sum(when(col("vs_corpus"), lit(1L)).otherwise(lit(0L))).as("n_corpus_dups"),
+        sum(when(col("vs_corpus"), lit(0L)).otherwise(lit(1L))).as("n_batch_dups"),
+        max(col("jaccard")).as("best_jaccard"))
+
+    batch.select(col(idCol).cast("long").as("doc_id"))
+      .join(agg.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_corpus_dups"), lit(0L)).as("n_corpus_dups"),
+        coalesce(col("n_batch_dups"), lit(0L)).as("n_batch_dups"),
+        coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
+      .withColumn("kept",
+        when(col("n_corpus_dups") === 0L && col("n_batch_dups") === 0L, lit(1L))
+          .otherwise(lit(0L)))
+  }
+
   /** SimHash fingerprint (bits-wide, default 60 — the full width of the
     * md5-derived token hash): per token (with multiplicity), hash to
     * `bits` bits; fingerprint bit j is 1 iff the sum of ±1 votes over

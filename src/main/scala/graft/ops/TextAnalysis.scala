@@ -181,4 +181,96 @@ object TextAnalysis {
         org.apache.spark.sql.functions.size(col("_chunk")).cast("long").as("n_chunk_tokens"),
         concat_ws(" ", col("_chunk")).as("chunk_text"))
   }
+
+  // ------------------------------------------------------------------
+  // C4-style line cleaning + Gopher document rules
+  // ------------------------------------------------------------------
+
+  /** Boilerplate needles for [[c4KeptLines]] (case-insensitive
+    * substring match): template debris the C4 heuristics drop at line
+    * granularity. Real deployments extend the list; the filter shape is
+    * the operator. */
+  val c4Blacklist: Seq[String] = Seq("lorem ipsum", "javascript", "{", "}")
+
+  /** C4-style line filter (the Raffel et al. 2020 §2.2 page-cleaning
+    * heuristics, re-expressed as engine-portable predicates): a line
+    * survives iff it ends in terminal punctuation ('.', '!', '?' or
+    * '"'), carries at least `minLineWords` whitespace words, and its
+    * lowercase form contains no [[c4Blacklist]] needle. Returns the
+    * ARRAY of kept lines in order — per-row array work only, no
+    * shuffle; the cleaned document is `array_join(_, "\n")`. */
+  def c4KeptLines(text: Column, minLineWords: Int = 3): Column =
+    filter(split(text, "\n"), l => {
+      val t = trim(l)
+      t.rlike("[.!?\"]$") &&
+        size(split(t, "\\s+")) >= minLineWords &&
+        !c4Blacklist.map(b => lower(l).contains(b)).reduce(_ || _)
+    })
+
+  /** Gopher document-quality rules (Rae et al. 2021 Table A1, the
+    * deterministic-core subset) as a FAILURE bitmask — bit set = rule
+    * violated, 0 = the document passes. Bits:
+    *   0  word count outside [minWords, maxWords]
+    *   1  mean word length outside [3, 10]
+    *   2  symbol-to-word ratio ('#' or '...') > 0.1
+    *   3  > 90% of lines start with a bullet (-, *, •)
+    *   4  > 30% of lines end with an ellipsis
+    *   5  < 80% of words contain an alphabetic character
+    *   6  fewer than 2 stopword hits (the en profile of [[stats]])
+    *
+    * All counts are exact integers from the one-pass stats kernel or a
+    * single HOF/regex pass; every ratio is one double division of exact
+    * integers, so the mask is bit-identical across engines. Map-only:
+    * scales with the scan. */
+  def gopherRuleBits(text: Column, minWords: Int = 50,
+                     maxWords: Int = 100000): Column = {
+    val st = stats(text)
+    val nToks = st.getField("n_tokens")
+    val nChars = st.getField("n_chars")
+    val meanLen = when(nToks > 0,
+      (nChars - (nToks - 1)).cast("double") / nToks).otherwise(0.0)
+    val alphaWords = size(filter(tokens(text), t => t.rlike("[A-Za-z]"))).cast("long")
+    val alphaRatio = when(nToks > 0, alphaWords.cast("double") / nToks).otherwise(0.0)
+    val symbols = regexp_count(text, lit("#|\\.\\.\\.")).cast("long")
+    val symbolRatio = when(nToks > 0, symbols.cast("double") / nToks).otherwise(0.0)
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val bulletLines = size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("long")
+    val ellipsisLines = size(filter(lines, l => trim(l).rlike("\\.\\.\\.$"))).cast("long")
+    val bulletRatio = when(nLines > 0, bulletLines.cast("double") / nLines).otherwise(0.0)
+    val ellipsisRatio = when(nLines > 0, ellipsisLines.cast("double") / nLines).otherwise(0.0)
+    val nStop = element_at(st.getField("hits"), 1)
+    def bit(i: Int, failed: Column): Column =
+      when(failed, lit(1L << i)).otherwise(lit(0L))
+    bit(0, nToks < minWords || nToks > maxWords) +
+      bit(1, meanLen < 3.0 || meanLen > 10.0) +
+      bit(2, symbolRatio > 0.1) +
+      bit(3, bulletRatio > 0.9) +
+      bit(4, ellipsisRatio > 0.3) +
+      bit(5, alphaRatio < 0.8) +
+      bit(6, nStop < 2)
+  }
+
+  /** C4 line cleaning + Gopher rules end-to-end: clean each document at
+    * line granularity ([[c4KeptLines]]), then judge the CLEANED text
+    * against the Gopher mask ([[gopherRuleBits]]) — the standard
+    * two-stage web-corpus quality gate. Pure projection (one row in,
+    * one row out, no shuffle — the gate parallelizes with the scan);
+    * callers filter on `gopher_pass = 1` downstream. Output: idCol,
+    * n_lines, n_kept, clean_text, n_tokens, rule_bits, gopher_pass. */
+  def c4GopherClean(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, minLineWords: Int = 3, minWords: Int = 50,
+                    maxWords: Int = 100000): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(idCol),
+        org.apache.spark.sql.functions.size(split(col(textCol), "\n")).cast("long").as("n_lines"),
+        c4KeptLines(col(textCol), minLineWords).as("_kept"))
+      .select(col(idCol), col("n_lines"),
+        org.apache.spark.sql.functions.size(col("_kept")).cast("long").as("n_kept"),
+        array_join(col("_kept"), "\n").as("clean_text"))
+      .select(col(idCol), col("n_lines"), col("n_kept"), col("clean_text"),
+        stats(col("clean_text")).getField("n_tokens").as("n_tokens"),
+        gopherRuleBits(col("clean_text"), minWords, maxWords).as("rule_bits"))
+      .withColumn("gopher_pass",
+        when(col("rule_bits") === 0L, lit(1L)).otherwise(lit(0L)))
 }

@@ -897,6 +897,34 @@ object ExtendedQueries {
         .orderBy(col("id"))
     }),
 
+    // splitKeyValue: data-driven field names (first-separator split,
+    // trim, multimap accumulation for a repeated key, separator-less
+    // values skipped) — one dynamic-keyed fold per input value
+    "x36_morphline_kv" -> ((s, dir) => {
+      val chain =
+        """{"commands": [
+          |  {"extractHBaseCells": {"mappings": [
+          |    {"inputColumn": "info:name", "outputField": "nv"}]}},
+          |  {"findReplace": {"field": "nv",
+          |     "pattern": "Customer#", "replacement": "name="}},
+          |  {"splitKeyValue": {"inputField": "nv", "outputFieldPrefix": "c_"}},
+          |  {"setValues": {"kv": ["color = red", "color= blue", "size =XL",
+          |                        "flagonly"]}},
+          |  {"splitKeyValue": {"inputField": "kv", "outputFieldPrefix": "attr_"}}
+          |]}""".stripMargin
+      val doc = graft.morphline.Morphline(chain)(col("cells"))
+      graft.core.Fixtures.customerCells(s, dir)
+        .select(col("rowKey").cast("long").as("id"), doc.as("doc"))
+        .select(col("id"),
+          element_at(col("doc")("c_name"), 1).as("cust_num"),
+          size(col("doc")("attr_color")).cast("long").as("n_color"),
+          element_at(col("doc")("attr_color"), 1).as("color1"),
+          element_at(col("doc")("attr_color"), 2).as("color2"),
+          element_at(col("doc")("attr_size"), 1).as("size_v"),
+          size(map_keys(col("doc"))).cast("long").as("n_fields"))
+        .orderBy(col("id"))
+    }),
+
     // morphline breadth: findReplace (literal + regex, every value of a
     // multi-valued field) and removeFields (blacklist — sanitize's
     // complement), chained after extract in one compiled expression
@@ -1756,6 +1784,20 @@ object ExtendedQueries {
         |  CAST(2 AS BIGINT) AS n_times,
         |  '1709288100000' AS t1,
         |  '1748826123000' AS t2
+        |FROM customer ORDER BY id""".stripMargin,
+
+    // splitKeyValue ground truth from the name column's own arithmetic:
+    // the rewritten name yields c_name = customer number; the literal
+    // kv pairs trim and accumulate (color twice, size once, the bare
+    // token skipped); fields = nv, c_name, kv, attr_color, attr_size
+    "x36_morphline_kv" ->
+      """SELECT c_custkey AS id,
+        |  string_split(c_name, '#')[2] AS cust_num,
+        |  CAST(2 AS BIGINT) AS n_color,
+        |  'red' AS color1,
+        |  'blue' AS color2,
+        |  'XL' AS size_v,
+        |  CAST(5 AS BIGINT) AS n_fields
         |FROM customer ORDER BY id""".stripMargin,
 
     // if/contains routing as a CASE on the base column; the then-branch

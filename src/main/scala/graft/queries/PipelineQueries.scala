@@ -479,6 +479,47 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // C4 line cleaning + Gopher document rules over synthetic 4-line
+    // pages: line 1 (own text + '.') and line 4 (successor text +
+    // ' right?') survive the line filter, the 2-word teaser and the
+    // javascript/brace boilerplate drop; the Gopher mask then judges
+    // the cleaned text — short docs fail the word-count rule, so the
+    // bitmask genuinely discriminates on the fixture
+    "t14_c4_gopher" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val succ = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("next_text"))
+      val synth = d.join(succ, Seq("doc_id"))
+        .select(col("doc_id"), concat_ws("\n",
+          concat(col("text"), lit(".")),
+          lit("click here"),
+          lit("menu { color: red } javascript"),
+          concat(col("next_text"), lit(" right?"))).as("text"))
+      TextAnalysis.c4GopherClean(synth, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // incremental crawl admission: corpus = 4/5 of the fixture; the
+    // increment carries corpus-derived near-dups (successor text + one
+    // word -> rejected vs corpus), genuinely novel docs (texts the
+    // corpus never saw -> admitted), and second-generation copies of
+    // those novel docs (higher id -> rejected vs the batch itself);
+    // corpus x corpus pairs are never generated
+    "d17_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.filter(col("doc_id") % 5 =!= 0)
+      val succ = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("next_text"))
+      val nearCorpus = d.filter(col("doc_id") % 5 === 0 && col("doc_id") % 10 =!= 0)
+        .join(succ, Seq("doc_id"))
+        .select(col("doc_id"), concat_ws(" ", col("next_text"), lit("zz")).as("text"))
+      val novel = d.filter(col("doc_id") % 10 === 0).select(col("doc_id"), col("text"))
+      val secondGen = novel.select((col("doc_id") + 1000000).as("doc_id"),
+        concat_ws(" ", col("text"), lit("yy")).as("text"))
+      val batch = nearCorpus.unionByName(novel).unionByName(secondGen)
+      Dedup.incrementalNearDup(corpus, batch, "doc_id", "text",
+          bands = 4, rowsPerBand = 2, n = 3, threshold = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // temperature-scaled mixture (alpha = 0.5, the multilingual sqrt
     // smoothing): weights = isqrt(stratum size) feed the same integer
     // water-filling as p09 — the head language is downsampled toward the
@@ -937,6 +978,150 @@ object PipelineQueries {
          |  JOIN cnt ca ON p.a_id = ca.doc_id JOIN cnt cb ON p.b_id = cb.doc_id
          |WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.5
          |ORDER BY p.a_id, p.b_id""".stripMargin
+    },
+
+    // the line filter and every Gopher ratio re-derived from the same
+    // split/regex primitives; ratios are single double divisions of
+    // exact integer counts, so the bitmask is bit-identical
+    "t14_c4_gopher" -> {
+      val en = TextAnalysis.defaultProfiles.head._2.map(w => s"'$w'").mkString(", ")
+      s"""WITH synth AS (
+         |  SELECT d.doc_id,
+         |    d.text || '.' || chr(10) || 'click here' || chr(10) ||
+         |    'menu { color: red } javascript' || chr(10) || s.text || ' right?' AS text
+         |  FROM documents d JOIN documents s ON s.doc_id = d.doc_id + 1),
+         |ln AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM synth),
+         |kept AS (
+         |  SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+         |    list_filter(lines, l ->
+         |      regexp_matches(trim(l), '[.!?"]$$')
+         |      AND len(regexp_split_to_array(trim(l), '\\s+')) >= 3
+         |      AND NOT contains(lower(l), 'lorem ipsum')
+         |      AND NOT contains(lower(l), 'javascript')
+         |      AND NOT contains(lower(l), '{')
+         |      AND NOT contains(lower(l), '}')) AS kl
+         |  FROM ln),
+         |c AS (
+         |  SELECT doc_id, n_lines, CAST(len(kl) AS BIGINT) AS n_kept,
+         |    array_to_string(kl, chr(10)) AS clean_text
+         |  FROM kept),
+         |f AS (
+         |  SELECT doc_id, n_lines, n_kept, clean_text,
+         |    CAST(length(clean_text) AS BIGINT) AS n_chars,
+         |    CAST(CASE WHEN length(trim(clean_text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(clean_text), '\\s+')) END AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(clean_text), '\\s+'),
+         |      t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+         |    CAST(len(regexp_extract_all(clean_text, '#|\\.\\.\\.')) AS BIGINT) AS n_symbols,
+         |    CAST(len(string_split(clean_text, chr(10))) AS BIGINT) AS n_clean_lines,
+         |    CAST(len(list_filter(string_split(clean_text, chr(10)),
+         |      l -> regexp_matches(trim(l), '^[-*•]'))) AS BIGINT) AS n_bullet,
+         |    CAST(len(list_filter(string_split(clean_text, chr(10)),
+         |      l -> regexp_matches(trim(l), '\\.\\.\\.$$'))) AS BIGINT) AS n_ellipsis,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(clean_text), '\\s+'),
+         |      w -> w IN ($en))) AS BIGINT) AS n_stop
+         |  FROM c),
+         |g AS (
+         |  SELECT doc_id, n_lines, n_kept, clean_text, n_tokens,
+         |    CAST(
+         |      (CASE WHEN n_tokens < 50 OR n_tokens > 100000 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN (CASE WHEN n_tokens > 0
+         |            THEN CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens ELSE 0.0 END) < 3.0
+         |          OR (CASE WHEN n_tokens > 0
+         |            THEN CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens ELSE 0.0 END) > 10.0
+         |          THEN 2 ELSE 0 END)
+         |      + (CASE WHEN (CASE WHEN n_tokens > 0
+         |            THEN CAST(n_symbols AS DOUBLE) / n_tokens ELSE 0.0 END) > 0.1
+         |          THEN 4 ELSE 0 END)
+         |      + (CASE WHEN (CASE WHEN n_clean_lines > 0
+         |            THEN CAST(n_bullet AS DOUBLE) / n_clean_lines ELSE 0.0 END) > 0.9
+         |          THEN 8 ELSE 0 END)
+         |      + (CASE WHEN (CASE WHEN n_clean_lines > 0
+         |            THEN CAST(n_ellipsis AS DOUBLE) / n_clean_lines ELSE 0.0 END) > 0.3
+         |          THEN 16 ELSE 0 END)
+         |      + (CASE WHEN (CASE WHEN n_tokens > 0
+         |            THEN CAST(n_alpha_words AS DOUBLE) / n_tokens ELSE 0.0 END) < 0.8
+         |          THEN 32 ELSE 0 END)
+         |      + (CASE WHEN n_stop < 2 THEN 64 ELSE 0 END)
+         |    AS BIGINT) AS rule_bits
+         |  FROM f)
+         |SELECT doc_id, n_lines, n_kept, clean_text, n_tokens, rule_bits,
+         |  CAST(CASE WHEN rule_bits = 0 THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
+
+    // the asymmetric candidate join re-derived: batch bands against
+    // corpus bands plus the batch's internal lower-id self-join —
+    // corpus x corpus pairs never exist in either engine
+    "d17_incremental_dedup" -> {
+      val bandKeysSql = (0 until 4).map { b =>
+        s"'${b}_' || CAST(m${2 * b} AS VARCHAR) || '_' || CAST(m${2 * b + 1} AS VARCHAR)"
+      }.mkString(", ")
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+         |batch AS (
+         |  SELECT d.doc_id, s.text || ' zz' AS text
+         |  FROM documents d JOIN documents s ON s.doc_id = d.doc_id + 1
+         |  WHERE d.doc_id % 5 = 0 AND d.doc_id % 10 <> 0
+         |  UNION ALL
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text || ' yy' AS text
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |ctok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM corpus),
+         |csh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+         |  FROM ctok WHERE len(tk) >= 3),
+         |btok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM batch),
+         |bsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+         |  FROM btok WHERE len(tk) >= 3),
+         |csig AS (SELECT doc_id, $minhashCols FROM csh GROUP BY doc_id),
+         |bsig AS (SELECT doc_id, $minhashCols FROM bsh GROUP BY doc_id),
+         |cband AS (SELECT doc_id, unnest([$bandKeysSql]) AS band_key FROM csig),
+         |bband AS (SELECT doc_id, unnest([$bandKeysSql]) AS band_key FROM bsig),
+         |cand_c AS (SELECT DISTINCT b.doc_id AS b_id, c.doc_id AS o_id
+         |  FROM bband b JOIN cband c ON b.band_key = c.band_key),
+         |cand_b AS (SELECT DISTINCT b.doc_id AS b_id, o.doc_id AS o_id
+         |  FROM bband b JOIN bband o ON b.band_key = o.band_key AND o.doc_id < b.doc_id),
+         |ccnt AS (SELECT doc_id, count(*) AS c FROM csh GROUP BY doc_id),
+         |bcnt AS (SELECT doc_id, count(*) AS c FROM bsh GROUP BY doc_id),
+         |hit_c AS (
+         |  SELECT p.b_id, p.o_id, count(*) AS inter
+         |  FROM cand_c p
+         |  JOIN bsh b ON b.doc_id = p.b_id
+         |  JOIN csh c ON c.doc_id = p.o_id AND c.s = b.s
+         |  GROUP BY 1, 2),
+         |ver_c AS (
+         |  SELECT h.b_id, CAST(h.inter AS DOUBLE) / (bb.c + cc.c - h.inter) AS jaccard,
+         |    TRUE AS vc
+         |  FROM hit_c h JOIN bcnt bb ON h.b_id = bb.doc_id JOIN ccnt cc ON h.o_id = cc.doc_id
+         |  WHERE CAST(h.inter AS DOUBLE) / (bb.c + cc.c - h.inter) >= 0.5),
+         |hit_b AS (
+         |  SELECT p.b_id, p.o_id, count(*) AS inter
+         |  FROM cand_b p
+         |  JOIN bsh b ON b.doc_id = p.b_id
+         |  JOIN bsh o ON o.doc_id = p.o_id AND o.s = b.s
+         |  GROUP BY 1, 2),
+         |ver_b AS (
+         |  SELECT h.b_id, CAST(h.inter AS DOUBLE) / (bb.c + oo.c - h.inter) AS jaccard,
+         |    FALSE AS vc
+         |  FROM hit_b h JOIN bcnt bb ON h.b_id = bb.doc_id JOIN bcnt oo ON h.o_id = oo.doc_id
+         |  WHERE CAST(h.inter AS DOUBLE) / (bb.c + oo.c - h.inter) >= 0.5),
+         |hits AS (SELECT * FROM ver_c UNION ALL SELECT * FROM ver_b),
+         |agg AS (
+         |  SELECT b_id,
+         |    CAST(sum(CASE WHEN vc THEN 1 ELSE 0 END) AS BIGINT) AS ncd,
+         |    CAST(sum(CASE WHEN vc THEN 0 ELSE 1 END) AS BIGINT) AS nbd,
+         |    max(jaccard) AS bj
+         |  FROM hits GROUP BY b_id)
+         |SELECT b.doc_id,
+         |  CAST(coalesce(ncd, 0) AS BIGINT) AS n_corpus_dups,
+         |  CAST(coalesce(nbd, 0) AS BIGINT) AS n_batch_dups,
+         |  coalesce(bj, 0.0) AS best_jaccard,
+         |  CAST(CASE WHEN coalesce(ncd, 0) = 0 AND coalesce(nbd, 0) = 0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM batch b LEFT JOIN agg ON b.doc_id = agg.b_id
+         |ORDER BY b.doc_id""".stripMargin
     },
 
     "d09_jaccard_maxdf" ->

@@ -359,6 +359,56 @@ class MorphlineSpec extends SparkSpec {
       s"a malformed escape drops the value (lenient parse), not the row: $doc")
   }
 
+  test("splitKeyValue: first-separator split, trim, multimap accumulation, separator-less skip") {
+    import spark.implicits._
+    val cells = Seq(("r1",
+        Seq("a = 1 = x", " color =red", "color= blue", "plain", "k=", "=v")))
+      .toDF("rowKey", "vs")
+      .select(col("rowKey"), transform(col("vs"), v => struct(
+        lit("info").as("family"), lit("v").as("qualifier"),
+        lit(0L).as("ts"), lit("put").as("cellType"), v.as("value"))).as("cells"))
+    val chain =
+      """{"commands": [
+        |  {"extractHBaseCells": {"mappings": [
+        |    {"inputColumn": "info:v", "outputField": "kv"}]}},
+        |  {"splitKeyValue": {"inputField": "kv", "outputFieldPrefix": "p_"}},
+        |  {"splitKeyValue": {"inputField": "nosuch", "outputFieldPrefix": "q_"}}
+        |]}""".stripMargin
+    val doc = cells.select(Morphline(chain)(col("cells")).as("doc"))
+      .collect().head.getMap[String, scala.collection.Seq[String]](0)
+    assert(doc.get("p_a").map(_.toList).contains(List("1 = x")),
+      s"split happens at the FIRST separator only: $doc")
+    assert(doc.get("p_color").map(_.toList).contains(List("red", "blue")),
+      s"a repeated key accumulates values in input order (multimap): $doc")
+    assert(doc.get("p_k").map(_.toList).contains(List("")),
+      s"'k=' yields an empty-string value: $doc")
+    assert(doc.get("p_").map(_.toList).contains(List("v")),
+      s"'=v' yields the bare-prefix field: $doc")
+    assert(!doc.contains("p_plain"),
+      s"a value without the separator contributes nothing: $doc")
+    assert(!doc.keysIterator.exists(_.startsWith("q_")),
+      s"a missing input field adds no fields: $doc")
+  }
+
+  test("splitKeyValue: custom separator without trim preserves spacing") {
+    import spark.implicits._
+    val cells = Seq(("r1", "host : db01 :ro"))
+      .toDF("rowKey", "v")
+      .select(col("rowKey"), array(struct(
+        lit("info").as("family"), lit("cfg").as("qualifier"),
+        lit(0L).as("ts"), lit("put").as("cellType"), col("v").as("value"))).as("cells"))
+    val chain =
+      """{"commands": [
+        |  {"extractHBaseCells": {"mappings": [
+        |    {"inputColumn": "info:cfg", "outputField": "cfg"}]}},
+        |  {"splitKeyValue": {"inputField": "cfg", "separator": ":", "trim": false}}
+        |]}""".stripMargin
+    val doc = cells.select(Morphline(chain)(col("cells")).as("doc"))
+      .collect().head.getMap[String, scala.collection.Seq[String]](0)
+    assert(doc.get("host ").map(_.toList).contains(List(" db01 :ro")),
+      s"trim=false keeps both sides verbatim; the split is still first-separator: $doc")
+  }
+
   test("grok/split/convertTimestamp iterate every value of a multi-valued field") {
     import spark.implicits._
     val cells = Seq(("r1", Seq("alpha#1", "42", "beta#7"))).toDF("rowKey", "vs")

@@ -458,4 +458,44 @@ class DedupSpec extends SparkSpec {
     assert(kept.contains((20L, 20L, 1L)) && kept.contains((30L, 30L, 1L)),
       s"singletons keep themselves: $kept")
   }
+
+  test("incrementalNearDup: corpus dup rejects, novel admits, earlier-batch dup blocks fate-independently") {
+    import spark.implicits._
+    val corpus = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "one two three four five six seven eight nine ten")
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      10L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa extra", // corpus near-dup
+      11L -> "totally different words compose this novel document body text",  // novel
+      12L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa more",  // dup of corpus 1 AND of batch 10
+      13L -> "totally different words compose this novel document body tail")  // dup of EARLIER batch 11 only
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDup(corpus, batch, "doc_id", "text",
+        bands = 4, rowsPerBand = 2, threshold = 0.5)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_corpus_dups"), r.getAs[Long]("n_batch_dups"),
+          r.getAs[Long]("kept"))))
+      .toMap
+    assert(out.keySet == Set(10L, 11L, 12L, 13L),
+      s"one verdict per batch doc, corpus never re-judged: $out")
+    assert(out(10L)._1 >= 1L && out(10L)._3 == 0L, s"corpus dup rejected: $out")
+    assert(out(11L) == ((0L, 0L, 1L)), s"novel doc admitted: $out")
+    // fate-independence: 10 was itself rejected (corpus dup) yet still
+    // blocks 12 as an earlier-id batch near-dup
+    assert(out(12L)._1 >= 1L && out(12L)._2 >= 1L && out(12L)._3 == 0L, s"$out")
+    assert(out(13L)._1 == 0L && out(13L)._2 >= 1L && out(13L)._3 == 0L,
+      s"earlier-batch dup rejected without any corpus hit: $out")
+  }
+
+  test("incrementalNearDup: a batch doc too short to shingle is admitted untouched") {
+    import spark.implicits._
+    val corpus = Seq(1L -> "alpha beta gamma delta epsilon zeta").toDF("doc_id", "text")
+    val batch = Seq(10L -> "a b", 11L -> "").toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDup(corpus, batch, "doc_id", "text",
+        bands = 4, rowsPerBand = 2, threshold = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("kept")).toMap
+    assert(out == Map(10L -> 1L, 11L -> 1L), s"$out")
+  }
 }

@@ -1,0 +1,85 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** C4 line cleaning + Gopher document rules: each predicate and each
+  * bitmask bit trips on exactly its designed violation, and the
+  * end-to-end gate composes them over multi-line documents. */
+class TextAnalysisSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def keptLines(text: String, minLineWords: Int = 3): List[String] =
+    Seq(Tuple1(text)).toDF("text")
+      .select(TextAnalysis.c4KeptLines(col("text"), minLineWords).as("k"))
+      .collect().head.getSeq[String](0).toList
+
+  test("c4KeptLines: terminal punctuation, min words, blacklist") {
+    val text = Seq(
+      "This line is long enough and ends well.",
+      "short.",                        // under the word floor
+      "no terminal punctuation here",  // no closing punctuation
+      "Lorem Ipsum dolor sit amet.",   // blacklist, case-insensitive
+      "function demo { return }",      // brace boilerplate
+      "Is this a question? sure!",     // '!' terminates
+      "He said \"stop\"").mkString("\n") // closing quote terminates
+    assert(keptLines(text) == List(
+      "This line is long enough and ends well.",
+      "Is this a question? sure!",
+      "He said \"stop\""))
+  }
+
+  test("c4KeptLines: empty and single-line docs") {
+    assert(keptLines("") == Nil)
+    assert(keptLines("One decent sentence stands alone.") ==
+      List("One decent sentence stands alone."))
+  }
+
+  private def bits(t: String, minWords: Int = 5, maxWords: Int = 100): Long =
+    Seq(Tuple1(t)).toDF("text")
+      .select(TextAnalysis.gopherRuleBits(col("text"), minWords, maxWords).as("b"))
+      .collect().head.getLong(0)
+
+  test("gopherRuleBits: a healthy document passes every rule") {
+    val good = "the cat sat on the mat and then the dog ran off to the park again"
+    assert(bits(good) == 0L)
+  }
+
+  test("gopherRuleBits: each bit trips on its designed violation") {
+    // bit 0: word count under the floor (stopwords present, mean len ok)
+    assert((bits("the dog runs") & 1L) == 1L)
+    // bit 1: mean word length below 3 (single-letter soup)
+    assert((bits("a b c d e f g h i j") & 2L) == 2L)
+    // bit 2: symbol-to-word ratio — '#' on every other word
+    assert((bits("the # cat # sat # on # the # mat # again") & 4L) == 4L)
+    // bit 3: > 90% bullet lines
+    val bullets = (1 to 12).map(i => s"- item number $i in the listing").mkString("\n")
+    assert((bits(bullets) & 8L) == 8L)
+    // bit 4: > 30% ellipsis-terminated lines
+    val trails = Seq("the thought trails away...",
+      "and again it trails off...", "a plain closing line here").mkString("\n")
+    assert((bits(trails) & 16L) == 16L)
+    // bit 5: fewer than 80% alphabetic words
+    assert((bits("1 2 3 4 5 the 7 8 9 10 11 12") & 32L) == 32L)
+    // bit 6: fewer than 2 stopword hits
+    assert((bits("purple elephants juggle quartz flasks beyond misty canyons") & 64L) == 64L)
+  }
+
+  test("c4GopherClean: line filter feeds the document gate end-to-end") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and the dog ran to the park today.\nclick here\nthe value of a row in a table is the sum of its parts."),
+      (2L, "menu { x }\njavascript required")).toDF("doc_id", "text")
+    val out = TextAnalysis.c4GopherClean(df, "doc_id", "text",
+        minLineWords = 3, minWords = 10, maxWords = 1000)
+      .orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Long]("n_lines") == 3L && r1.getAs[Long]("n_kept") == 2L)
+    assert(r1.getAs[String]("clean_text").split("\n").length == 2)
+    assert(r1.getAs[Long]("rule_bits") == 0L && r1.getAs[Long]("gopher_pass") == 1L)
+    val r2 = out(1)
+    assert(r2.getAs[Long]("n_kept") == 0L && r2.getAs[String]("clean_text") == "")
+    assert(r2.getAs[Long]("gopher_pass") == 0L,
+      "an all-boilerplate page cleans to empty and fails the gate")
+  }
+}
