@@ -268,6 +268,51 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the round-9 chain — ingesting a NEW crawl increment end-to-end,
+    // every stage a library operator: C4 line cleaning + Gopher gate
+    // (t14) → incremental near-dup admission against the standing
+    // corpus (d17 — corpus×corpus pairs never generated) → BPE token
+    // budget over the admitted docs; boilerplate pages clean away,
+    // corpus-derived and increment-internal near-dups are rejected,
+    // and the budget keeps the best of what is genuinely new
+    "p24_incremental_ingest" -> ((s, dir) => {
+      import graft.ops.{RegexBpeTokenizer, Sampling}
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), col("text").as("clean_text"))
+      val succ = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("next_text"))
+      val nearCorpus = d.filter(col("doc_id") % 5 === 0 && col("doc_id") % 10 =!= 0)
+        .join(succ, Seq("doc_id"))
+        .select(col("doc_id"), concat_ws(" ", col("next_text"), lit("zz")).as("payload"))
+      val novel = d.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text").as("payload"))
+      val secondGen = novel.select((col("doc_id") + 1000000).as("doc_id"),
+        concat_ws(" ", col("payload"), lit("yy")).as("payload"))
+      val pages = nearCorpus.unionByName(novel).unionByName(secondGen)
+        .select(col("doc_id"), concat_ws("\n",
+          concat(col("payload"), lit(".")),
+          lit("click here"),
+          lit("menu { color: red } javascript")).as("text"))
+      // stage boundary: the cleaned+gated increment feeds admission AND
+      // scoring (the p15 lesson)
+      val cleaned = TextAnalysis.c4GopherClean(pages, "doc_id", "text",
+          minLineWords = 3, minWords = 20, maxWords = 100000)
+        .filter(col("gopher_pass") === 1L)
+        .select(col("doc_id"), col("clean_text")).localCheckpoint()
+      val admitted = Dedup.incrementalNearDup(corpus, cleaned, "doc_id", "clean_text",
+          bands = 4, rowsPerBand = 2, n = 3, threshold = 0.5)
+        .filter(col("kept") === 1L).select("doc_id")
+      // stage boundary: tokenBudget consumes its input twice (histogram
+      // collect + tier filters) — don't re-run the LSH admission per pass
+      val scored = cleaned.join(admitted, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(col("clean_text")).as("q"),
+          RegexBpeTokenizer.count(col("clean_text")).as("n_tokens"))
+        .localCheckpoint()
+      Sampling.tokenBudget(scored, "doc_id", "q", "n_tokens", budget = 1500L)
+        .orderBy(col("doc_id"))
+    }),
+
     // FUZZY decontamination: near-copies of benchmark docs (tail-extended,
     // shifted ids) hide among the corpus; exact shingle-count probes see
     // diluted verbatim overlap, Jaccard at 0.5 still flags them
@@ -1122,6 +1167,141 @@ object PipelineQueries {
          |    THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM batch b LEFT JOIN agg ON b.doc_id = agg.b_id
          |ORDER BY b.doc_id""".stripMargin
+    },
+
+    // the round-9 chain replayed as one statement: the t14 line-filter/
+    // gate blocks, the d17 asymmetric admission blocks (batch := the
+    // gated increment), and the p22 budget cumsum — CTE concatenation
+    // of the single-op oracles
+    "p24_incremental_ingest" -> {
+      val en = TextAnalysis.defaultProfiles.head._2.map(w => s"'$w'").mkString(", ")
+      val bandKeysSql = (0 until 4).map { b =>
+        s"'${b}_' || CAST(m${2 * b} AS VARCHAR) || '_' || CAST(m${2 * b + 1} AS VARCHAR)"
+      }.mkString(", ")
+      val bpe = graft.ops.RegexBpeTokenizer.countSql("clean_text")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text AS clean_text FROM documents WHERE doc_id % 5 <> 0),
+         |inc AS (
+         |  SELECT d.doc_id, s.text || ' zz' AS payload
+         |  FROM documents d JOIN documents s ON s.doc_id = d.doc_id + 1
+         |  WHERE d.doc_id % 5 = 0 AND d.doc_id % 10 <> 0
+         |  UNION ALL
+         |  SELECT doc_id, text AS payload FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text || ' yy' AS payload
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |pages AS (
+         |  SELECT doc_id, payload || '.' || chr(10) || 'click here' || chr(10) ||
+         |    'menu { color: red } javascript' AS text
+         |  FROM inc),
+         |kept AS (
+         |  SELECT doc_id, list_filter(string_split(text, chr(10)), l ->
+         |      regexp_matches(trim(l), '[.!?"]$$')
+         |      AND len(regexp_split_to_array(trim(l), '\\s+')) >= 3
+         |      AND NOT contains(lower(l), 'lorem ipsum')
+         |      AND NOT contains(lower(l), 'javascript')
+         |      AND NOT contains(lower(l), '{')
+         |      AND NOT contains(lower(l), '}')) AS kl
+         |  FROM pages),
+         |cl AS (SELECT doc_id, array_to_string(kl, chr(10)) AS clean_text FROM kept),
+         |gf AS (
+         |  SELECT doc_id, clean_text,
+         |    CAST(length(clean_text) AS BIGINT) AS n_chars,
+         |    CAST(CASE WHEN length(trim(clean_text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(clean_text), '\\s+')) END AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(clean_text), '\\s+'),
+         |      t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+         |    CAST(len(regexp_extract_all(clean_text, '#|\\.\\.\\.')) AS BIGINT) AS n_symbols,
+         |    CAST(len(string_split(clean_text, chr(10))) AS BIGINT) AS n_clean_lines,
+         |    CAST(len(list_filter(string_split(clean_text, chr(10)),
+         |      l -> regexp_matches(trim(l), '^[-*•]'))) AS BIGINT) AS n_bullet,
+         |    CAST(len(list_filter(string_split(clean_text, chr(10)),
+         |      l -> regexp_matches(trim(l), '\\.\\.\\.$$'))) AS BIGINT) AS n_ellipsis,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(clean_text), '\\s+'),
+         |      w -> w IN ($en))) AS BIGINT) AS n_stop
+         |  FROM cl),
+         |gated AS (
+         |  SELECT doc_id, clean_text FROM gf
+         |  WHERE NOT (n_tokens < 20 OR n_tokens > 100000)
+         |    AND (CASE WHEN n_tokens > 0
+         |      THEN CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens ELSE 0.0 END)
+         |      BETWEEN 3.0 AND 10.0
+         |    AND (CASE WHEN n_tokens > 0
+         |      THEN CAST(n_symbols AS DOUBLE) / n_tokens ELSE 0.0 END) <= 0.1
+         |    AND (CASE WHEN n_clean_lines > 0
+         |      THEN CAST(n_bullet AS DOUBLE) / n_clean_lines ELSE 0.0 END) <= 0.9
+         |    AND (CASE WHEN n_clean_lines > 0
+         |      THEN CAST(n_ellipsis AS DOUBLE) / n_clean_lines ELSE 0.0 END) <= 0.3
+         |    AND (CASE WHEN n_tokens > 0
+         |      THEN CAST(n_alpha_words AS DOUBLE) / n_tokens ELSE 0.0 END) >= 0.8
+         |    AND n_stop >= 2),
+         |ctok AS (SELECT doc_id, regexp_split_to_array(trim(clean_text), '\\s+') AS tk FROM corpus),
+         |csh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+         |  FROM ctok WHERE len(tk) >= 3),
+         |btok AS (SELECT doc_id, regexp_split_to_array(trim(clean_text), '\\s+') AS tk FROM gated),
+         |bsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+         |  FROM btok WHERE len(tk) >= 3),
+         |csig AS (SELECT doc_id, $minhashCols FROM csh GROUP BY doc_id),
+         |bsig AS (SELECT doc_id, $minhashCols FROM bsh GROUP BY doc_id),
+         |cband AS (SELECT doc_id, unnest([$bandKeysSql]) AS band_key FROM csig),
+         |bband AS (SELECT doc_id, unnest([$bandKeysSql]) AS band_key FROM bsig),
+         |cand_c AS (SELECT DISTINCT b.doc_id AS b_id, c.doc_id AS o_id
+         |  FROM bband b JOIN cband c ON b.band_key = c.band_key),
+         |cand_b AS (SELECT DISTINCT b.doc_id AS b_id, o.doc_id AS o_id
+         |  FROM bband b JOIN bband o ON b.band_key = o.band_key AND o.doc_id < b.doc_id),
+         |ccnt AS (SELECT doc_id, count(*) AS c FROM csh GROUP BY doc_id),
+         |bcnt AS (SELECT doc_id, count(*) AS c FROM bsh GROUP BY doc_id),
+         |hit_c AS (
+         |  SELECT p.b_id, p.o_id, count(*) AS inter
+         |  FROM cand_c p
+         |  JOIN bsh b ON b.doc_id = p.b_id
+         |  JOIN csh c ON c.doc_id = p.o_id AND c.s = b.s
+         |  GROUP BY 1, 2),
+         |ver_c AS (
+         |  SELECT h.b_id
+         |  FROM hit_c h JOIN bcnt bb ON h.b_id = bb.doc_id JOIN ccnt cc ON h.o_id = cc.doc_id
+         |  WHERE CAST(h.inter AS DOUBLE) / (bb.c + cc.c - h.inter) >= 0.5),
+         |hit_b AS (
+         |  SELECT p.b_id, p.o_id, count(*) AS inter
+         |  FROM cand_b p
+         |  JOIN bsh b ON b.doc_id = p.b_id
+         |  JOIN bsh o ON o.doc_id = p.o_id AND o.s = b.s
+         |  GROUP BY 1, 2),
+         |ver_b AS (
+         |  SELECT h.b_id
+         |  FROM hit_b h JOIN bcnt bb ON h.b_id = bb.doc_id JOIN bcnt oo ON h.o_id = oo.doc_id
+         |  WHERE CAST(h.inter AS DOUBLE) / (bb.c + oo.c - h.inter) >= 0.5),
+         |rej AS (SELECT DISTINCT b_id FROM (
+         |  SELECT b_id FROM ver_c UNION ALL SELECT b_id FROM ver_b)),
+         |adm AS (
+         |  SELECT g.doc_id, g.clean_text
+         |  FROM gated g LEFT JOIN rej ON g.doc_id = rej.b_id
+         |  WHERE rej.b_id IS NULL),
+         |feat AS (
+         |  SELECT doc_id,
+         |    CAST(length(clean_text) AS BIGINT) AS n_chars,
+         |    CAST(CASE WHEN length(trim(clean_text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(clean_text), '\\s+')) END AS BIGINT) AS n_ws,
+         |    $bpe AS n_tokens,
+         |    CAST(len(regexp_extract_all(clean_text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(clean_text), '\\s+'),
+         |      w -> w IN ($en))) AS BIGINT) AS n_stop
+         |  FROM adm),
+         |dq AS (
+         |  SELECT doc_id, n_tokens,
+         |    least(1.0, greatest(0.0,
+         |      0.4 * (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 1.0 ELSE 0.0 END)
+         |      + 0.3 * (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END)
+         |      + 0.3 * (CASE WHEN n_ws > 0 THEN CAST(n_stop AS DOUBLE) / n_ws ELSE 0.0 END))) AS q
+         |  FROM feat),
+         |o AS (
+         |  SELECT doc_id, n_tokens, q,
+         |    sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM dq)
+         |SELECT doc_id, n_tokens, q FROM o WHERE cum <= 1500 ORDER BY doc_id""".stripMargin
     },
 
     "d09_jaccard_maxdf" ->
