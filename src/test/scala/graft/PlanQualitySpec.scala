@@ -360,4 +360,41 @@ class PlanQualitySpec extends SparkSpec {
     assert(newWaste * 40 <= m * (m - 1) / 2,
       s"collision volume must stay a small fraction of the cross-product: $newWaste for m=$m")
   }
+
+  test("t14 c4GopherClean: pure projection — no join, no aggregate, no window") {
+    import spark.implicits._
+    val df = Seq((1L, "a decent line ends here.\nclick here")).toDF("doc_id", "text")
+    val plan = graft.ops.TextAnalysis.c4GopherClean(df, "doc_id", "text")
+      .queryExecution.optimizedPlan
+    assert(plan.collect { case j: Join => j }.isEmpty, "the gate must not join")
+    assert(plan.collect { case a: Aggregate => a }.isEmpty, "the gate must not shuffle")
+    assert(plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty, "the gate must not window")
+  }
+
+  test("d17 incremental admission: fixed join shape, no corpus self-join, no cartesian") {
+    // the scale contract is structural: candidates come from batch×corpus
+    // and batch×batch band joins (2), each verified against the two set
+    // frames (4), plus the final verdict left join (1) = 7 joins. A
+    // corpus×corpus candidate join — the quadratic term this operator
+    // exists to avoid — would change the count; a cartesian is always
+    // wrong. (Pinned on the operator over plain relations: the d17
+    // query's synthetic-batch construction joins would be duplicated
+    // once per consumer in the logical tree and drown the count.)
+    import spark.implicits._
+    import graft.ops.Dedup
+    val corpus = Seq(1L -> "alpha beta gamma delta epsilon zeta").toDF("doc_id", "text")
+    val batch = Seq(10L -> "alpha beta gamma delta epsilon eta").toDF("doc_id", "text")
+    val qe = Dedup.incrementalNearDup(corpus, batch, "doc_id", "text",
+      bands = 4, rowsPerBand = 2).queryExecution
+    val joins = qe.optimizedPlan.collect { case j: Join => j }
+    assert(joins.length == 7, s"expected the 7-join admission shape, got ${joins.length}")
+    assert(!qe.executedPlan.toString.contains("CartesianProduct"))
+  }
+
+  test("p24 incremental ingest: composes without a cartesian product") {
+    val plan = q("p24_incremental_ingest").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
 }
