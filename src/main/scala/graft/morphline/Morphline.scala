@@ -101,6 +101,17 @@ object Morphline {
     * `if`/`tryRules` condition, the rule fails ([[foldRule]]). */
   case class Translate(field: String, dictionary: Seq[(String, String)],
                        fallback: Option[String]) extends Command
+  /** Kite `addValuesIfAbsent`: like `addValues`, but a value is only
+    * appended when the field does not already contain it (the
+    * put-if-absent arm of AbstractAddValuesCommand; first-seen order,
+    * a repeated literal adds once). */
+  case class AddValuesIfAbsent(fields: Seq[(String, Seq[String])]) extends Command
+  /** Kite `removeValues` (the named-field literal subset of
+    * RemoveValuesBuilder's pattern algebra): delete every occurrence of
+    * the given literal values from the named field. A field emptied by
+    * the removal disappears from the record; a missing field stays
+    * missing. */
+  case class RemoveValues(fields: Seq[(String, Seq[String])]) extends Command
   /** Kite `splitKeyValue` (kite-morphlines-core SplitKeyValueBuilder):
     * each value of `inputField` splits at the FIRST `separator` into
     * (key, rest); the record gains field `outputFieldPrefix + key` with
@@ -219,6 +230,11 @@ object Morphline {
         SetValues(fs.map { case (k, v) => k -> literalValues("setValues", k, v) })
       case JObject(List(("addValues", JObject(fs)))) =>
         AddValues(fs.map { case (k, v) => k -> literalValues("addValues", k, v) })
+      case JObject(List(("addValuesIfAbsent", JObject(fs)))) =>
+        AddValuesIfAbsent(fs.map { case (k, v) =>
+          k -> literalValues("addValuesIfAbsent", k, v) })
+      case JObject(List(("removeValues", JObject(fs)))) =>
+        RemoveValues(fs.map { case (k, v) => k -> literalValues("removeValues", k, v) })
       case JObject(List(("extractURIComponents", body))) =>
         ExtractUriComponents(
           inputField = (body \ "inputField").extract[String],
@@ -478,6 +494,30 @@ object Morphline {
       mergeDocs(d, map_from_arrays(
         array(fields.map(f => lit(f._1)): _*),
         array(fields.map(f => array(f._2.map(lit(_)): _*)): _*)))
+    case AddValuesIfAbsent(fields) =>
+      fields.foldLeft(d) { case (doc0, (f, vs)) =>
+        let(doc0) { doc =>
+          // let-bind the current values: referenced by the containment
+          // probe AND the concat
+          putField(doc, f, let(coalesce(try_element_at(doc, lit(f)),
+              array().cast("array<string>"))) { cur =>
+            concat(cur, array_distinct(
+              filter(array(vs.map(lit(_)): _*), v => !array_contains(cur, v))))
+          })
+        }
+      }
+    case RemoveValues(fields) =>
+      fields.foldLeft(d) { case (doc0, (f, vs)) =>
+        let(doc0) { doc =>
+          val lits = array(vs.map(lit(_)): _*)
+          // missing field: null propagates and putField leaves it absent;
+          // an emptied field disappears (size-0 guard)
+          putField(doc, f, let(filter(try_element_at(doc, lit(f)),
+              v => !array_contains(lits, v))) { got =>
+            when(got.isNotNull && size(got) > 0, got)
+          })
+        }
+      }
     case ExtractUriComponents(in, prefix) => let(d) { doc =>
       // Kite iterates EVERY value of a multi-valued input field; each
       // URI's components append to the output fields in value order.

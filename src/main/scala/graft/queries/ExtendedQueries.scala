@@ -925,6 +925,35 @@ object ExtendedQueries {
         .orderBy(col("id"))
     }),
 
+    // addValuesIfAbsent (put-if-absent, repeated literal adds once) and
+    // removeValues (every occurrence; an emptied field disappears, a
+    // missing one stays missing) — the value-level record surgery
+    // commands between setValues/addValues and removeFields
+    "x37_morphline_values_ops" -> ((s, dir) => {
+      val chain =
+        """{"commands": [
+          |  {"extractHBaseCells": {"mappings": [
+          |    {"inputColumn": "info:mktsegment", "outputField": "tags"}]}},
+          |  {"addValuesIfAbsent": {"tags": ["BUILDING", "curated", "curated"]}},
+          |  {"removeValues": {"tags": ["AUTOMOBILE"], "gone": ["x"]}},
+          |  {"setValues": {"tmp": ["a", "b", "a"]}},
+          |  {"removeValues": {"tmp": ["a", "b"]}}
+          |]}""".stripMargin
+      val doc = graft.morphline.Morphline(chain)(col("cells"))
+      graft.core.Fixtures.customerCells(s, dir)
+        .select(col("rowKey").cast("long").as("id"), doc.as("doc"))
+        .select(col("id"),
+          size(col("doc")("tags")).cast("long").as("n_tags"),
+          element_at(col("doc")("tags"), 1).as("t1"),
+          element_at(col("doc")("tags"), 2).as("t2"),
+          try_element_at(col("doc")("tags"), lit(3)).as("t3"),
+          when(array_contains(map_keys(col("doc")), "tmp"), lit(1L))
+            .otherwise(lit(0L)).as("has_tmp"),
+          when(array_contains(map_keys(col("doc")), "gone"), lit(1L))
+            .otherwise(lit(0L)).as("has_gone"))
+        .orderBy(col("id"))
+    }),
+
     // morphline breadth: findReplace (literal + regex, every value of a
     // multi-valued field) and removeFields (blacklist — sanitize's
     // complement), chained after extract in one compiled expression
@@ -1784,6 +1813,24 @@ object ExtendedQueries {
         |  CAST(2 AS BIGINT) AS n_times,
         |  '1709288100000' AS t1,
         |  '1748826123000' AS t2
+        |FROM customer ORDER BY id""".stripMargin,
+
+    // put-if-absent and literal removal as segment CASEs: BUILDING is
+    // already present for BUILDING rows, AUTOMOBILE rows lose their seg
+    // tag, everyone gains 'curated' exactly once; tmp empties away and
+    // the never-present 'gone' field stays absent
+    "x37_morphline_values_ops" ->
+      """SELECT c_custkey AS id,
+        |  CAST(CASE WHEN c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+        |    THEN 2 ELSE 3 END AS BIGINT) AS n_tags,
+        |  CASE WHEN c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+        |    THEN 'BUILDING' ELSE c_mktsegment END AS t1,
+        |  CASE WHEN c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+        |    THEN 'curated' ELSE 'BUILDING' END AS t2,
+        |  CASE WHEN c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+        |    THEN CAST(NULL AS VARCHAR) ELSE 'curated' END AS t3,
+        |  CAST(0 AS BIGINT) AS has_tmp,
+        |  CAST(0 AS BIGINT) AS has_gone
         |FROM customer ORDER BY id""".stripMargin,
 
     // splitKeyValue ground truth from the name column's own arithmetic:

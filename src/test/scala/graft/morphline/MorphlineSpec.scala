@@ -390,6 +390,31 @@ class MorphlineSpec extends SparkSpec {
       s"a missing input field adds no fields: $doc")
   }
 
+  test("addValuesIfAbsent/removeValues: put-if-absent, every-occurrence removal, empty-field collapse") {
+    import spark.implicits._
+    val cells = Seq(("r1", Seq("x", "y", "x"))).toDF("rowKey", "vs")
+      .select(col("rowKey"), transform(col("vs"), v => struct(
+        lit("info").as("family"), lit("v").as("qualifier"),
+        lit(0L).as("ts"), lit("put").as("cellType"), v.as("value"))).as("cells"))
+    val chain =
+      """{"commands": [
+        |  {"extractHBaseCells": {"mappings": [
+        |    {"inputColumn": "info:v", "outputField": "tags"}]}},
+        |  {"addValuesIfAbsent": {"tags": ["x", "z", "z"], "fresh": ["n", "n"]}},
+        |  {"removeValues": {"tags": ["y"], "absent": ["q"]}},
+        |  {"setValues": {"tmp": ["a", "b"]}},
+        |  {"removeValues": {"tmp": ["b", "a"]}}
+        |]}""".stripMargin
+    val doc = cells.select(Morphline(chain)(col("cells")).as("doc"))
+      .collect().head.getMap[String, scala.collection.Seq[String]](0)
+    assert(doc.get("tags").map(_.toList).contains(List("x", "x", "z")),
+      s"'x' already present adds nothing (existing dup untouched), 'z' adds ONCE, 'y' removed: $doc")
+    assert(doc.get("fresh").map(_.toList).contains(List("n")),
+      s"if-absent on a missing field creates it, repeated literal collapses: $doc")
+    assert(!doc.contains("tmp"), s"a field emptied by removeValues disappears: $doc")
+    assert(!doc.contains("absent"), s"removeValues on a missing field stays missing: $doc")
+  }
+
   test("splitKeyValue: custom separator without trim preserves spacing") {
     import spark.implicits._
     val cells = Seq(("r1", "host : db01 :ro"))
