@@ -760,7 +760,8 @@ object Dedup {
   def incrementalNearDup(corpus: DataFrame, batch: DataFrame,
                          idCol: String, textCol: String,
                          bands: Int = 0, rowsPerBand: Int = 0, n: Int = 3,
-                         threshold: Double = 0.5): DataFrame = {
+                         threshold: Double = 0.5,
+                         maxBandDf: Option[Int] = None): DataFrame = {
     require((bands > 0) == (rowsPerBand > 0),
       "pass both bands and rowsPerBand, or neither (auto-derive from threshold)")
     val (nBands, nRows) =
@@ -768,7 +769,25 @@ object Dedup {
     val k = nBands * nRows
     val cSigs = minhashSignatures(corpus, idCol, textCol, k, n)
     val bSigs = minhashSignatures(batch, idCol, textCol, k, n)
-    val cBand = bandKeys(cSigs, nBands, nRows)
+    // maxBandDf: the hot-band valve (the [[jaccardPairs]] maxDf /
+    // simhash maxBucket analog) — a band key shared by more than `cap`
+    // CORPUS docs (boilerplate-identical clusters) would fan every
+    // colliding batch doc out to the whole cluster; dropping it bounds
+    // per-key candidate volume at cap × batch collisions. Recall on a
+    // capped pair survives through its other bands, exactly the
+    // df-cap recall argument; a cluster identical in EVERY band is
+    // deliberately waved through — document, don't melt. In production
+    // the band-frequency table persists beside the band table itself.
+    val cBandAll = bandKeys(cSigs, nBands, nRows)
+    val cBand = maxBandDf match {
+      case None => cBandAll
+      case Some(cap) =>
+        require(cap > 0, s"maxBandDf must be positive, got $cap")
+        cBandAll.join(
+          cBandAll.groupBy("band_key").agg(count(lit(1)).as("_df"))
+            .filter(col("_df") > cap).select("band_key"),
+          Seq("band_key"), "left_anti")
+    }
     val bBand = bandKeys(bSigs, nBands, nRows)
 
     val vsCorpus = bBand.select(col("doc_id").as("b_id"), col("band_key"))

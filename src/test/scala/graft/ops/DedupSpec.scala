@@ -489,6 +489,33 @@ class DedupSpec extends SparkSpec {
       s"earlier-batch dup rejected without any corpus hit: $out")
   }
 
+  test("incrementalNearDup maxBandDf: hot corpus bands are capped, recall rides the cool bands") {
+    import spark.implicits._
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // 30 boilerplate-identical corpus docs: every band of that text is
+    // hot (df = 30); one distinctive corpus doc stays under any cap
+    val corpus = ((1L to 30L).map(_ -> boiler) :+
+      (100L -> "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val batch = Seq(
+      200L -> (boiler + " extra"),                                  // dup of the hot cluster
+      201L -> "one two three four five six seven eight nine more")  // dup of the cool doc
+      .toDF("doc_id", "text")
+    def run(cap: Option[Int]) =
+      Dedup.incrementalNearDup(corpus, batch, "doc_id", "text",
+          bands = 4, rowsPerBand = 2, threshold = 0.5, maxBandDf = cap)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_corpus_dups"), r.getAs[Long]("kept")))).toMap
+    val uncapped = run(None)
+    assert(uncapped(200L)._1 == 30L && uncapped(200L)._2 == 0L, s"$uncapped")
+    val capped = run(Some(10))
+    // every band of the boilerplate cluster exceeds the cap → the
+    // cluster is deliberately waved through (the documented tradeoff);
+    // the cool doc's bands survive, so its dup is still rejected
+    assert(capped(200L) == ((0L, 1L)), s"hot-cluster candidates must be capped away: $capped")
+    assert(capped(201L)._1 == 1L && capped(201L)._2 == 0L,
+      s"cool-band recall must survive the cap: $capped")
+  }
+
   test("incrementalNearDup: a batch doc too short to shingle is admitted untouched") {
     import spark.implicits._
     val corpus = Seq(1L -> "alpha beta gamma delta epsilon zeta").toDF("doc_id", "text")
