@@ -137,6 +137,25 @@ object Morphline {
     * the given values — the workhorse CONDITION command for `if` and
     * `tryRules` rule gating. As a transform it is the identity. */
   case class ContainsCmd(field: String, values: Seq[String]) extends Command
+  /** Kite `equals`: succeeds iff, for every named field, the record's
+    * value LIST equals the given literal list (order-sensitive exact
+    * equality — RecordEqualsBuilder compares `record.get(field)` against
+    * the configured list). A condition command like [[ContainsCmd]];
+    * as a transform it is the identity. */
+  case class EqualsCmd(fields: Seq[(String, Seq[String])]) extends Command
+  /** Kite `not`: wraps one nested command and INVERTS its success — the
+    * guard combinator for `if`/`tryRules` conditions (Kite's
+    * NotBuilder). The nested command runs as a pure predicate: its
+    * record effects are discarded (the meaningful children are the
+    * condition commands, which have none). Outside a condition position
+    * `not` is the identity. */
+  case class NotCmd(inner: Command) extends Command
+  /** Kite `decodeBase64` (kite-morphlines-core DecodeBase64Builder):
+    * replace every value of `field` with its base64-decoded bytes — in
+    * this string-valued record model, decoded as UTF-8 text. Failure is
+    * value-granular like [[ConvertTimestamp]]: an undecodable value
+    * drops; a field with no decodable values clears. */
+  case class DecodeBase64(field: String) extends Command
   /** Kite `if`: run `conditions`; when every condition succeeds the
     * `then` chain processes the record AS TRANSFORMED by the conditions,
     * otherwise the `else` chain processes the ORIGINAL record (the same
@@ -289,6 +308,12 @@ object Morphline {
           case _ => throw new IllegalArgumentException(
             "contains needs exactly one field: {field: value | [values]}")
         }
+      case JObject(List(("equals", JObject(fs)))) =>
+        EqualsCmd(fs.map { case (k, v) => k -> literalValues("equals", k, v) })
+      case JObject(List(("not", body))) =>
+        NotCmd(parseCommand(body))
+      case JObject(List(("decodeBase64", body))) =>
+        DecodeBase64((body \ "field").extract[String])
       case JObject(List(("if", body))) =>
         // Kite form: conditions/then/else are command ARRAYS directly
         def chain(key: String): Seq[Command] = (body \ key) match {
@@ -620,7 +645,19 @@ object Morphline {
       val elseDoc = elseCmds.foldLeft(doc)(applyCommand) // copy-rollback
       when(accepts, thenDoc).otherwise(elseDoc)
     }
+    case DecodeBase64(f) => let(d) { doc =>
+      val vs = try_element_at(doc, lit(f))
+      // try_to_binary: an undecodable value nulls (and drops) instead of
+      // raising under ANSI — value-granular failure like convertTimestamp
+      putField(doc, f, let(filter(
+          transform(vs, v => try_to_binary(v, lit("base64")).cast("string")),
+          c => c.isNotNull)) { got =>
+        when(vs.isNotNull && size(got) > 0, got)
+      })
+    }
     case _: ContainsCmd => d // identity outside a condition position
+    case _: EqualsCmd => d   // identity outside a condition position
+    case _: NotCmd => d      // pure predicate; effects discarded
     case _ => d
   }
 
@@ -639,6 +676,19 @@ object Morphline {
         val vs = coalesce(try_element_at(cur, lit(c.field)),
           array().cast("array<string>"))
         (cur, cond && arrays_overlap(vs, array(c.values.map(lit(_)): _*)))
+      case ((cur, cond), e: EqualsCmd) =>
+        // exact value-list equality per field (RecordEqualsBuilder);
+        // a missing field never equals a non-empty literal list
+        val ok = e.fields.map { case (f, vals) =>
+          coalesce(try_element_at(cur, lit(f)), array().cast("array<string>")) ===
+            array(vals.map(lit(_)): _*)
+        }.reduce(_ && _)
+        (cur, cond && ok)
+      case ((cur, cond), NotCmd(inner)) =>
+        // run the child as a predicate on the CURRENT doc; discard its
+        // effects, invert its acceptance (Kite NotBuilder)
+        val (_, innerCond) = foldRule(cur, Seq(inner))
+        (cur, cond && !innerCond)
       case ((cur, cond), t: Translate) if t.fallback.isEmpty =>
         // fallback-less translate rejects the record on any miss
         val vs = coalesce(try_element_at(cur, lit(t.field)),

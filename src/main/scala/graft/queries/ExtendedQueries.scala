@@ -954,6 +954,66 @@ object ExtendedQueries {
         .orderBy(col("id"))
     }),
 
+    // decodeBase64: per-value decode with value-granular failure — the
+    // wire cell carries base64(c_name) built by the fixture, so decode
+    // must give back the base column; a literal list mixes one good and
+    // one corrupt value (the corrupt one drops, like convertTimestamp)
+    "x38_morphline_base64" -> ((s, dir) => {
+      val cellsDf = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("id"),
+        array(struct(
+          lit("info").as("family"), lit("b64").as("qualifier"),
+          lit(0L).as("ts"), lit("put").as("cellType"),
+          base64(col("c_name").cast("binary")).as("value"))).as("cells"))
+      val chain =
+        """{"commands": [
+          |  {"extractHBaseCells": {"mappings": [
+          |    {"inputColumn": "info:b64", "outputField": "payload"}]}},
+          |  {"decodeBase64": {"field": "payload"}},
+          |  {"setValues": {"mixed": ["aGk=", "%%%not-base64%%%"]}},
+          |  {"decodeBase64": {"field": "mixed"}}
+          |]}""".stripMargin
+      val doc = graft.morphline.Morphline(chain)(col("cells"))
+      cellsDf.select(col("id"), doc.as("doc"))
+        .select(col("id"),
+          element_at(col("doc")("payload"), 1).as("name_rt"),
+          size(col("doc")("mixed")).cast("long").as("n_mixed"),
+          element_at(col("doc")("mixed"), 1).as("m1"))
+        .orderBy(col("id"))
+    }),
+
+    // equals (exact value-list match) and not (condition inversion)
+    // gating tryRules: BUILDING routes by equals; non-(AUTOMOBILE|
+    // HOUSEHOLD) routes by not/contains; the catch-all takes the rest
+    "x39_morphline_routing" -> ((s, dir) => {
+      val chain =
+        """{"commands": [
+          |  {"extractHBaseCells": {"mappings": [
+          |    {"inputColumn": "info:mktsegment", "outputField": "seg"}]}},
+          |  {"tryRules": {"rules": [
+          |    {"commands": [
+          |      {"equals": {"seg": ["BUILDING"]}},
+          |      {"setValues": {"route": "by-equals"}}]},
+          |    {"commands": [
+          |      {"not": {"contains": {"seg": ["AUTOMOBILE", "HOUSEHOLD"]}}},
+          |      {"setValues": {"route": "by-not"}}]},
+          |    {"commands": [
+          |      {"setValues": {"route": "catch-all"}}]}
+          |  ]}},
+          |  {"if": {
+          |    "conditions": [{"equals": {"route": ["catch-all"]}}],
+          |    "then": [{"setValues": {"flagged": "1"}}],
+          |    "else": [{"setValues": {"flagged": "0"}}]}}
+          |]}""".stripMargin
+      val doc = graft.morphline.Morphline(chain)(col("cells"))
+      graft.core.Fixtures.customerCells(s, dir)
+        .select(col("rowKey").cast("long").as("id"), doc.as("doc"))
+        .select(col("id"),
+          element_at(col("doc")("route"), 1).as("route"),
+          element_at(col("doc")("flagged"), 1).as("flagged"))
+        .orderBy(col("id"))
+    }),
+
     // morphline breadth: findReplace (literal + regex, every value of a
     // multi-valued field) and removeFields (blacklist — sanitize's
     // complement), chained after extract in one compiled expression
@@ -1831,6 +1891,27 @@ object ExtendedQueries {
         |    THEN CAST(NULL AS VARCHAR) ELSE 'curated' END AS t3,
         |  CAST(0 AS BIGINT) AS has_tmp,
         |  CAST(0 AS BIGINT) AS has_gone
+        |FROM customer ORDER BY id""".stripMargin,
+
+    // decode(base64(c_name)) is the identity on the base column; of the
+    // literal pair only 'aGk=' ('hi') survives the per-value decode
+    "x38_morphline_base64" ->
+      """SELECT c_custkey AS id,
+        |  c_name AS name_rt,
+        |  CAST(1 AS BIGINT) AS n_mixed,
+        |  'hi' AS m1
+        |FROM customer ORDER BY id""".stripMargin,
+
+    // equals/not routing ground truth: BUILDING matches the exact-list
+    // equals rule; AUTOMOBILE/HOUSEHOLD fail the not(contains) rule and
+    // fall to the catch-all; everything else routes by-not
+    "x39_morphline_routing" ->
+      """SELECT c_custkey AS id,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN 'by-equals'
+        |    WHEN c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD') THEN 'catch-all'
+        |    ELSE 'by-not' END AS route,
+        |  CASE WHEN c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD')
+        |    THEN '1' ELSE '0' END AS flagged
         |FROM customer ORDER BY id""".stripMargin,
 
     // splitKeyValue ground truth from the name column's own arithmetic:

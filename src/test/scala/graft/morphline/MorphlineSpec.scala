@@ -571,4 +571,84 @@ class MorphlineSpec extends SparkSpec {
     assert(doc.contains("name_s") && !doc.contains("junk_s"),
       "sanitize must filter a forced field that is not in the schema")
   }
+
+  test("decodeBase64: per-value decode, undecodable values drop, all-bad field clears") {
+    val chain =
+      """{"commands": [
+        |  {"extractHBaseCells": {"mappings": [
+        |    {"inputColumn": "info:name", "outputField": "name_s", "type": "string"}]}},
+        |  {"setValues": {"good": ["aGVsbG8=", "d29ybGQ="],
+        |                 "mixed": ["b2s=", "***"],
+        |                 "bad": ["%%%"]}},
+        |  {"decodeBase64": {"field": "good"}},
+        |  {"decodeBase64": {"field": "mixed"}},
+        |  {"decodeBase64": {"field": "bad"}},
+        |  {"decodeBase64": {"field": "absent"}}
+        |]}""".stripMargin
+    val doc = docOf(Map.empty, chain)
+    assert(doc.get("good").map(_.toList).contains(List("hello", "world")))
+    assert(doc.get("mixed").map(_.toList).contains(List("ok")),
+      s"undecodable value must drop at value granularity: $doc")
+    assert(!doc.contains("bad"), s"an all-undecodable field must clear: $doc")
+    assert(!doc.contains("absent"), "decoding a missing field must not create it")
+  }
+
+  test("equals: exact value-LIST match (order and arity count); missing field never matches") {
+    def route(vals: String) = {
+      val chain =
+        s"""{"commands": [
+           |  {"extractHBaseCells": {"mappings": [
+           |    {"inputColumn": "info:name", "outputField": "name_s", "type": "string"}]}},
+           |  {"setValues": {"tags": $vals}},
+           |  {"if": {
+           |    "conditions": [{"equals": {"tags": ["a", "b"]}}],
+           |    "then": [{"setValues": {"r": "hit"}}],
+           |    "else": [{"setValues": {"r": "miss"}}]}}
+           |]}""".stripMargin
+      docOf(Map.empty, chain).get("r").map(_.toList)
+    }
+    assert(route("""["a", "b"]""").contains(List("hit")))
+    assert(route("""["b", "a"]""").contains(List("miss")), "order-sensitive")
+    assert(route("""["a", "b", "c"]""").contains(List("miss")), "arity-sensitive")
+    assert(route("""["a"]""").contains(List("miss")))
+    // missing field vs non-empty literal list
+    val chain2 =
+      """{"commands": [
+        |  {"extractHBaseCells": {"mappings": [
+        |    {"inputColumn": "info:name", "outputField": "name_s", "type": "string"}]}},
+        |  {"if": {
+        |    "conditions": [{"equals": {"nope": ["x"]}}],
+        |    "then": [{"setValues": {"r": "hit"}}],
+        |    "else": [{"setValues": {"r": "miss"}}]}}
+        |]}""".stripMargin
+    assert(docOf(Map.empty, chain2).get("r").map(_.toList).contains(List("miss")))
+  }
+
+  test("not: inverts a condition; effects of the wrapped command are discarded") {
+    def run(name: String) = {
+      import spark.implicits._
+      val cells = Seq(("r1", name)).toDF("rowKey", "v")
+        .select(col("rowKey"), array(struct(
+          lit("info").as("family"), lit("name").as("qualifier"),
+          lit(0L).as("ts"), lit("put").as("cellType"), col("v").as("value"))).as("cells"))
+      val chain =
+        """{"commands": [
+          |  {"extractHBaseCells": {"mappings": [
+          |    {"inputColumn": "info:name", "outputField": "name_s", "type": "string"}]}},
+          |  {"tryRules": {"rules": [
+          |    {"commands": [
+          |      {"not": {"contains": {"name_s": ["alice"]}}},
+          |      {"setValues": {"r": "not-alice"}}]},
+          |    {"commands": [{"setValues": {"r": "alice"}}]}
+          |  ]}}
+          |]}""".stripMargin
+      cells.select(Morphline(chain)(col("cells")).as("doc"))
+        .collect().head.getMap[String, scala.collection.Seq[String]](0)
+    }
+    assert(run("alice").get("r").map(_.toList).contains(List("alice")))
+    assert(run("carol").get("r").map(_.toList).contains(List("not-alice")))
+    // not(grok): the wrapped grok's capture effects must NOT land
+    val g = run("zz9")
+    assert(g.get("r").map(_.toList).contains(List("not-alice")))
+  }
 }
