@@ -768,7 +768,6 @@ object Dedup {
       if (bands > 0) (bands, rowsPerBand) else minhashConfigFor(threshold)
     val k = nBands * nRows
     val cSigs = minhashSignatures(corpus, idCol, textCol, k, n)
-    val bSigs = minhashSignatures(batch, idCol, textCol, k, n)
     // maxBandDf: the hot-band valve (the [[jaccardPairs]] maxDf /
     // simhash maxBucket analog) — a band key shared by more than `cap`
     // CORPUS docs (boilerplate-identical clusters) would fan every
@@ -777,14 +776,33 @@ object Dedup {
     // capped pair survives through its other bands, exactly the
     // df-cap recall argument; a cluster identical in EVERY band is
     // deliberately waved through — document, don't melt. In production
-    // the band-frequency table persists beside the band table itself.
+    // the band-frequency table persists beside the band table itself
+    // ([[buildNearDupIndex]] does exactly that).
     val cBandAll = bandKeys(cSigs, nBands, nRows)
+    val bandDf = cBandAll.groupBy("band_key").agg(count(lit(1)).as("df"))
+    admissionCore(cSigs, cBandAll, bandDf, batch, idCol, textCol,
+      nBands, nRows, n, threshold, maxBandDf)
+  }
+
+  /** The shared admission join of [[incrementalNearDup]] and
+    * [[admitWithIndex]]: corpus signatures + band keys + band-frequency
+    * table in, per-batch-doc admission verdicts out. The corpus side
+    * arrives AS RELATIONS (live-computed or index-read) — nothing here
+    * ever pairs the corpus with itself. */
+  private def admissionCore(cSigs: DataFrame, cBandAll: DataFrame,
+                            bandDf: DataFrame, batch: DataFrame,
+                            idCol: String, textCol: String,
+                            nBands: Int, nRows: Int, n: Int,
+                            threshold: Double,
+                            maxBandDf: Option[Int]): DataFrame = {
+    val k = nBands * nRows
+    val bSigs = minhashSignatures(batch, idCol, textCol, k, n)
     val cBand = maxBandDf match {
       case None => cBandAll
       case Some(cap) =>
         require(cap > 0, s"maxBandDf must be positive, got $cap")
         cBandAll.join(
-          cBandAll.groupBy("band_key").agg(count(lit(1)).as("_df"))
+          bandDf.groupBy("band_key").agg(sum(col("df")).as("_df"))
             .filter(col("_df") > cap).select("band_key"),
           Seq("band_key"), "left_anti")
     }
@@ -833,6 +851,95 @@ object Dedup {
       .withColumn("kept",
         when(col("n_corpus_dups") === 0L && col("n_batch_dups") === 0L, lit(1L))
           .otherwise(lit(0L)))
+  }
+
+  /** Build a PERSISTED near-dup admission index for `corpus` — the
+    * production form of [[incrementalNearDup]]'s corpus side, the
+    * Jaccard twin of [[Similarity.buildIvfIndex]]. Layout under `dir`:
+    *   - `sigs/`   (doc_id, hs, sig): shingle-hash sets + minhash
+    *     signatures — the exact-verify side;
+    *   - `bands/`  (doc_id, band_key): the LSH candidate side;
+    *   - `banddf/` (band_key, df): band-frequency deltas — the
+    *     [[incrementalNearDup]] maxBandDf valve's source, so capping
+    *     never rescans the corpus;
+    *   - `MANIFEST` (atomic write): the (bands, rowsPerBand, n,
+    *     threshold) the index was built with — admissions always use
+    *     the built config; a mismatched re-derivation would silently
+    *     compare incompatible signatures.
+    * Each crawl increment then shuffles only increment-sized data
+    * ([[admitWithIndex]]), and admitted docs append without a rebuild
+    * ([[appendToNearDupIndex]]). At warehouse scale `sigs` buckets by
+    * doc_id and `bands` by band_key so the admission joins co-locate;
+    * here the layout is plain parquet with the same join keys. */
+  def buildNearDupIndex(corpus: DataFrame, dir: String,
+                        idCol: String, textCol: String,
+                        bands: Int = 0, rowsPerBand: Int = 0, n: Int = 3,
+                        threshold: Double = 0.5): Unit = {
+    require((bands > 0) == (rowsPerBand > 0),
+      "pass both bands and rowsPerBand, or neither (auto-derive from threshold)")
+    val (nBands, nRows) =
+      if (bands > 0) (bands, rowsPerBand) else minhashConfigFor(threshold)
+    val sigs = minhashSignatures(corpus, idCol, textCol, nBands * nRows, n)
+    sigs.write.mode("overwrite").parquet(s"$dir/sigs")
+    // read back: sigs/ is the materialization boundary — the band
+    // explode and df aggregate must not re-run the shingle scan
+    val spark = corpus.sparkSession
+    val persisted = spark.read.parquet(s"$dir/sigs")
+    val bandTable = bandKeys(persisted, nBands, nRows)
+    bandTable.write.mode("overwrite").parquet(s"$dir/bands")
+    spark.read.parquet(s"$dir/bands")
+      .groupBy("band_key").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$dir/banddf")
+    graft.streaming.IndexState.atomicWriteString(
+      java.nio.file.Paths.get(dir, "MANIFEST"),
+      s"$nBands\t$nRows\t$n\t$threshold")
+  }
+
+  private def readNearDupManifest(dir: String): (Int, Int, Int, Double) = {
+    val Array(b, r, n, t) = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(dir, "MANIFEST")).trim.split("\t")
+    (b.toInt, r.toInt, n.toInt, t.toDouble)
+  }
+
+  /** Admit a crawl increment against a [[buildNearDupIndex]] index:
+    * same verdicts as [[incrementalNearDup]] over the indexed corpus
+    * (one row per batch doc — n_corpus_dups, n_batch_dups,
+    * best_jaccard, kept), but the corpus side is READ, not recomputed:
+    * the increment's signatures shuffle against the persisted band and
+    * signature tables, so admission cost scales with the increment,
+    * never the corpus. Config comes from the index MANIFEST. */
+  def admitWithIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     batch: DataFrame, idCol: String, textCol: String,
+                     maxBandDf: Option[Int] = None): DataFrame = {
+    val (nBands, nRows, n, threshold) = readNearDupManifest(dir)
+    admissionCore(
+      spark.read.parquet(s"$dir/sigs"),
+      spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/banddf"),
+      batch, idCol, textCol, nBands, nRows, n, threshold, maxBandDf)
+  }
+
+  /** Append documents (the ADMITTED slice of an increment — the caller
+    * filters on `kept`) to a persisted near-dup index: signatures, band
+    * keys, and band-frequency DELTAS all append; no existing file is
+    * rewritten, so append cost ∝ the admitted slice ([[admitWithIndex]]
+    * folds the df deltas by summing per band key). The next increment
+    * then sees corpus ∪ admitted — the seen-set convention of the
+    * streaming keep-first gates, batch-shaped. Same single-maintainer
+    * contract as [[Similarity.appendToIvfIndex]]. */
+  def appendToNearDupIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                           docs: DataFrame, idCol: String, textCol: String): Unit = {
+    val (nBands, nRows, n, _) = readNearDupManifest(dir)
+    minhashSignatures(docs, idCol, textCol, nBands * nRows, n)
+      .write.mode("append").parquet(s"$dir/sigs")
+    // band explode from the just-appended slice: re-read by doc id so
+    // the shingle scan is not re-run per derived table
+    val appended = spark.read.parquet(s"$dir/sigs")
+      .join(docs.select(col(idCol).cast("long").as("doc_id")), Seq("doc_id"), "left_semi")
+    val newBands = bandKeys(appended, nBands, nRows)
+    newBands.write.mode("append").parquet(s"$dir/bands")
+    newBands.groupBy("band_key").agg(count(lit(1)).as("df"))
+      .write.mode("append").parquet(s"$dir/banddf")
   }
 
   /** SimHash fingerprint (bits-wide, default 60 — the full width of the

@@ -1098,10 +1098,7 @@ object PipelineQueries {
     // the asymmetric candidate join re-derived: batch bands against
     // corpus bands plus the batch's internal lower-id self-join —
     // corpus x corpus pairs never exist in either engine
-    "d17_incremental_dedup" -> {
-      val bandKeysSql = (0 until 4).map { b =>
-        s"'${b}_' || CAST(m${2 * b} AS VARCHAR) || '_' || CAST(m${2 * b + 1} AS VARCHAR)"
-      }.mkString(", ")
+    "d17_incremental_dedup" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
          |batch AS (
          |  SELECT d.doc_id, s.text || ' zz' AS text
@@ -1112,62 +1109,46 @@ object PipelineQueries {
          |  UNION ALL
          |  SELECT doc_id + 1000000 AS doc_id, text || ' yy' AS text
          |  FROM documents WHERE doc_id % 10 = 0),
-         |ctok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM corpus),
-         |csh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-         |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
-         |  FROM ctok WHERE len(tk) >= 3),
-         |btok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM batch),
-         |bsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-         |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
-         |  FROM btok WHERE len(tk) >= 3),
-         |csig AS (SELECT doc_id, $minhashCols FROM csh GROUP BY doc_id),
-         |bsig AS (SELECT doc_id, $minhashCols FROM bsh GROUP BY doc_id),
-         |cband AS (SELECT doc_id, unnest([$bandKeysSql]) AS band_key FROM csig),
-         |bband AS (SELECT doc_id, unnest([$bandKeysSql]) AS band_key FROM bsig),
-         |cand_c AS (SELECT DISTINCT b.doc_id AS b_id, c.doc_id AS o_id
-         |  FROM bband b JOIN cband c ON b.band_key = c.band_key),
-         |cand_b AS (SELECT DISTINCT b.doc_id AS b_id, o.doc_id AS o_id
-         |  FROM bband b JOIN bband o ON b.band_key = o.band_key AND o.doc_id < b.doc_id),
-         |ccnt AS (SELECT doc_id, count(*) AS c FROM csh GROUP BY doc_id),
-         |bcnt AS (SELECT doc_id, count(*) AS c FROM bsh GROUP BY doc_id),
-         |hit_c AS (
-         |  SELECT p.b_id, p.o_id, count(*) AS inter
-         |  FROM cand_c p
-         |  JOIN bsh b ON b.doc_id = p.b_id
-         |  JOIN csh c ON c.doc_id = p.o_id AND c.s = b.s
-         |  GROUP BY 1, 2),
-         |ver_c AS (
-         |  SELECT h.b_id, CAST(h.inter AS DOUBLE) / (bb.c + cc.c - h.inter) AS jaccard,
-         |    TRUE AS vc
-         |  FROM hit_c h JOIN bcnt bb ON h.b_id = bb.doc_id JOIN ccnt cc ON h.o_id = cc.doc_id
-         |  WHERE CAST(h.inter AS DOUBLE) / (bb.c + cc.c - h.inter) >= 0.5),
-         |hit_b AS (
-         |  SELECT p.b_id, p.o_id, count(*) AS inter
-         |  FROM cand_b p
-         |  JOIN bsh b ON b.doc_id = p.b_id
-         |  JOIN bsh o ON o.doc_id = p.o_id AND o.s = b.s
-         |  GROUP BY 1, 2),
-         |ver_b AS (
-         |  SELECT h.b_id, CAST(h.inter AS DOUBLE) / (bb.c + oo.c - h.inter) AS jaccard,
-         |    FALSE AS vc
-         |  FROM hit_b h JOIN bcnt bb ON h.b_id = bb.doc_id JOIN bcnt oo ON h.o_id = oo.doc_id
-         |  WHERE CAST(h.inter AS DOUBLE) / (bb.c + oo.c - h.inter) >= 0.5),
-         |hits AS (SELECT * FROM ver_c UNION ALL SELECT * FROM ver_b),
-         |agg AS (
-         |  SELECT b_id,
-         |    CAST(sum(CASE WHEN vc THEN 1 ELSE 0 END) AS BIGINT) AS ncd,
-         |    CAST(sum(CASE WHEN vc THEN 0 ELSE 1 END) AS BIGINT) AS nbd,
-         |    max(jaccard) AS bj
-         |  FROM hits GROUP BY b_id)
-         |SELECT b.doc_id,
-         |  CAST(coalesce(ncd, 0) AS BIGINT) AS n_corpus_dups,
-         |  CAST(coalesce(nbd, 0) AS BIGINT) AS n_batch_dups,
-         |  coalesce(bj, 0.0) AS best_jaccard,
-         |  CAST(CASE WHEN coalesce(ncd, 0) = 0 AND coalesce(nbd, 0) = 0
-         |    THEN 1 ELSE 0 END AS BIGINT) AS kept
-         |FROM batch b LEFT JOIN agg ON b.doc_id = agg.b_id
-         |ORDER BY b.doc_id""".stripMargin
-    },
+         |${admissionBlockSql("")}
+         |SELECT doc_id, n_corpus_dups, n_batch_dups, best_jaccard, kept
+         |FROM res ORDER BY doc_id""".stripMargin,
+
+    // two admission rounds against the PERSISTED index: round 1 = d17's
+    // corpus-vs-increment gate; the admitted slice appends; round 2's
+    // second-generation copies then reject AS CORPUS DUPS (the appended
+    // docs gate them), while the word-reversed probes stay novel —
+    // the oracle replays both rounds, round 2's corpus = corpus ∪
+    // round-1 admits
+    "d18_neardup_index" ->
+      s"""WITH r1corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+         |r1batch AS (
+         |  SELECT d.doc_id, s.text || ' zz' AS text
+         |  FROM documents d JOIN documents s ON s.doc_id = d.doc_id + 1
+         |  WHERE d.doc_id % 5 = 0 AND d.doc_id % 10 <> 0
+         |  UNION ALL
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         |${admissionBlockSql("r1")},
+         |r2corpus AS (
+         |  SELECT doc_id, text FROM r1corpus
+         |  UNION ALL
+         |  SELECT b.doc_id, b.text FROM r1batch b
+         |  JOIN r1res r ON b.doc_id = r.doc_id WHERE r.kept = 1),
+         |r2batch AS (
+         |  SELECT doc_id + 1000000 AS doc_id, text || ' yy' AS text
+         |  FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id,
+         |    array_to_string(list_transform(
+         |      generate_series(len(tk), 1, -1), i -> tk[i]), ' ') AS text
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+         |        FROM documents WHERE doc_id % 10 = 1)),
+         |${admissionBlockSql("r2")}
+         |SELECT CAST(1 AS BIGINT) AS round, doc_id, n_corpus_dups,
+         |  n_batch_dups, best_jaccard, kept FROM r1res
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT) AS round, doc_id, n_corpus_dups,
+         |  n_batch_dups, best_jaccard, kept FROM r2res
+         |ORDER BY round, doc_id""".stripMargin,
 
     // the round-9 chain replayed as one statement: the t14 line-filter/
     // gate blocks, the d17 asymmetric admission blocks (batch := the

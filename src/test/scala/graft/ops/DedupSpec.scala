@@ -516,6 +516,54 @@ class DedupSpec extends SparkSpec {
       s"cool-band recall must survive the cap: $capped")
   }
 
+  test("persisted near-dup index: admit ≡ live path; append blocks second-generation dups") {
+    import spark.implicits._
+    val corpus = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "one two three four five six").toDF("doc_id", "text")
+    val batch1 = Seq(
+      10L -> "alpha beta gamma delta epsilon zeta extra",  // corpus dup
+      11L -> "red green blue cyan magenta yellow",         // novel → admitted
+      12L -> "red green blue cyan magenta yellow extra")   // batch dup of 11
+      .toDF("doc_id", "text")
+    val work = java.nio.file.Files.createTempDirectory("graft_ndidx").toString
+    Dedup.buildNearDupIndex(corpus, work, "doc_id", "text",
+      bands = 4, rowsPerBand = 2, threshold = 0.5)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_corpus_dups"), r.getAs[Long]("n_batch_dups"),
+        r.getAs[Long]("kept"))).toList
+
+    val live = rows(Dedup.incrementalNearDup(corpus, batch1, "doc_id", "text",
+      bands = 4, rowsPerBand = 2, threshold = 0.5))
+    val idx = rows(Dedup.admitWithIndex(spark, work, batch1, "doc_id", "text"))
+    assert(idx == live, s"index admission must equal the live path: $idx vs $live")
+    assert(idx.map(t => t._1 -> t._4).toMap == Map(10L -> 0L, 11L -> 1L, 12L -> 0L))
+
+    // append ONLY the admitted slice; a second-generation copy of an
+    // admitted doc must now reject AS A CORPUS DUP
+    Dedup.appendToNearDupIndex(spark, work,
+      batch1.filter(col("doc_id") === 11L), "doc_id", "text")
+    val batch2 = Seq(
+      20L -> "red green blue cyan magenta yellow shiny",   // 2nd-gen of 11
+      21L -> "seven eight nine ten eleven twelve")         // novel
+      .toDF("doc_id", "text")
+    val r2 = rows(Dedup.admitWithIndex(spark, work, batch2, "doc_id", "text"))
+    assert(r2 == List((20L, 1L, 0L, 0L), (21L, 0L, 0L, 1L)),
+      s"appended docs must gate the next increment: $r2")
+    // the append is load-bearing: against the ORIGINAL corpus alone the
+    // second-generation doc would have been admitted
+    val without = rows(Dedup.incrementalNearDup(corpus, batch2, "doc_id", "text",
+      bands = 4, rowsPerBand = 2, threshold = 0.5))
+    assert(without.head == ((20L, 0L, 0L, 1L)), s"control: $without")
+    // maxBandDf folds base + appended df deltas: cap 0 is rejected,
+    // cap 1 keeps every band (no key is shared by 2 indexed docs here)
+    val capped = rows(Dedup.admitWithIndex(spark, work, batch2, "doc_id", "text",
+      maxBandDf = Some(1)))
+    assert(capped == r2, s"an un-hot index must be cap-invariant: $capped")
+  }
+
   test("incrementalNearDup: a batch doc too short to shingle is admitted untouched") {
     import spark.implicits._
     val corpus = Seq(1L -> "alpha beta gamma delta epsilon zeta").toDF("doc_id", "text")
