@@ -35,6 +35,17 @@ object Dedup {
   def hash60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
+  /** The admission-index paths key on a bigint doc id; a silent
+    * `cast("long")` of a string id yields nulls that join to nothing
+    * (every dup looks novel). Fail loudly instead — callers with string
+    * ids hash them first (e.g. `xxhash64(id)`). */
+  private def requireIntegralId(df: DataFrame, idCol: String, where: String): Unit = {
+    val dt = df.schema(idCol).dataType
+    require(dt.isInstanceOf[org.apache.spark.sql.types.IntegralType],
+      s"$where requires an integral id column; '$idCol' is ${dt.simpleString} — " +
+        "hash non-numeric ids to long (e.g. xxhash64) before indexing")
+  }
+
   // MinHash permutation constants (defined once in TextHash, shared by the
   // compiled expressions and the oracle-SQL generators) --------------------
 
@@ -788,13 +799,26 @@ object Dedup {
     * [[admitWithIndex]]: corpus signatures + band keys + band-frequency
     * table in, per-batch-doc admission verdicts out. The corpus side
     * arrives AS RELATIONS (live-computed or index-read) — nothing here
-    * ever pairs the corpus with itself. */
+    * ever pairs the corpus with itself.
+    *
+    * Corpus sides are BROADCAST-PRUNED (the [[fuzzyContamination]]
+    * benchmark-broadcast shape, increment-side this time): the
+    * increment's distinct band-key set gates the corpus band table, and
+    * the candidate `o_id` set gates the corpus signature table — both
+    * sets are increment-bounded, so on an unbucketed layout the corpus
+    * relations stream through map-side semi-joins instead of shuffling
+    * corpus-sized data per increment. Contract (same as
+    * fuzzyContamination's benchmark side): the increment is small next
+    * to the corpus — its band-key set must fit in a broadcast. At
+    * warehouse scale the persisted layout additionally buckets `bands`
+    * by band_key and `sigs` by doc_id so the residual joins co-locate. */
   private def admissionCore(cSigs: DataFrame, cBandAll: DataFrame,
                             bandDf: DataFrame, batch: DataFrame,
                             idCol: String, textCol: String,
                             nBands: Int, nRows: Int, n: Int,
                             threshold: Double,
                             maxBandDf: Option[Int]): DataFrame = {
+    requireIntegralId(batch, idCol, "admission")
     val k = nBands * nRows
     val bSigs = minhashSignatures(batch, idCol, textCol, k, n)
     val cBand = maxBandDf match {
@@ -808,8 +832,13 @@ object Dedup {
     }
     val bBand = bandKeys(bSigs, nBands, nRows)
 
+    // increment-bounded broadcast filter #1: only corpus bands whose key
+    // appears in the increment can produce a candidate
+    val cBandPruned = cBand.join(
+      broadcast(bBand.select("band_key").distinct()), Seq("band_key"), "left_semi")
+
     val vsCorpus = bBand.select(col("doc_id").as("b_id"), col("band_key"))
-      .join(cBand.select(col("doc_id").as("o_id"), col("band_key")), Seq("band_key"))
+      .join(cBandPruned.select(col("doc_id").as("o_id"), col("band_key")), Seq("band_key"))
       .select("b_id", "o_id").distinct()
     val vsBatch = bBand.select(col("doc_id").as("b_id"), col("band_key"))
       .join(bBand.select(col("doc_id").as("o_id"), col("band_key")), Seq("band_key"))
@@ -828,8 +857,11 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
         .select("b_id", "o_id", "jaccard")
 
-    val corpusHits = verified(vsCorpus,
-      cSigs.select(col("doc_id").as("o_id"), col("hs").as("o_hs")))
+    // increment-bounded broadcast filter #2: only corpus docs that are
+    // candidates need their shingle sets read for the exact verify
+    val corpusSets = cSigs.select(col("doc_id").as("o_id"), col("hs").as("o_hs"))
+      .join(broadcast(vsCorpus.select("o_id").distinct()), Seq("o_id"), "left_semi")
+    val corpusHits = verified(vsCorpus, corpusSets)
       .withColumn("vs_corpus", lit(true))
     val batchHits = verified(vsBatch,
       bSigs.select(col("doc_id").as("o_id"), col("hs").as("o_hs")))
@@ -877,6 +909,7 @@ object Dedup {
                         threshold: Double = 0.5): Unit = {
     require((bands > 0) == (rowsPerBand > 0),
       "pass both bands and rowsPerBand, or neither (auto-derive from threshold)")
+    requireIntegralId(corpus, idCol, "buildNearDupIndex")
     val (nBands, nRows) =
       if (bands > 0) (bands, rowsPerBand) else minhashConfigFor(threshold)
     val sigs = minhashSignatures(corpus, idCol, textCol, nBands * nRows, n)
@@ -929,17 +962,22 @@ object Dedup {
     * contract as [[Similarity.appendToIvfIndex]]. */
   def appendToNearDupIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                            docs: DataFrame, idCol: String, textCol: String): Unit = {
+    requireIntegralId(docs, idCol, "appendToNearDupIndex")
     val (nBands, nRows, n, _) = readNearDupManifest(dir)
-    minhashSignatures(docs, idCol, textCol, nBands * nRows, n)
-      .write.mode("append").parquet(s"$dir/sigs")
-    // band explode from the just-appended slice: re-read by doc id so
-    // the shingle scan is not re-run per derived table
-    val appended = spark.read.parquet(s"$dir/sigs")
-      .join(docs.select(col(idCol).cast("long").as("doc_id")), Seq("doc_id"), "left_semi")
-    val newBands = bandKeys(appended, nBands, nRows)
-    newBands.write.mode("append").parquet(s"$dir/bands")
-    newBands.groupBy("band_key").agg(count(lit(1)).as("df"))
-      .write.mode("append").parquet(s"$dir/banddf")
+    // compute the slice's signatures ONCE: cache the increment-sized
+    // frame so the sigs write, the band explode, and the df aggregate
+    // all reuse one shingle scan — never a re-read of the whole sigs/
+    // table (that semi-join re-derivation was a full-index scan per
+    // append) and never a second scan of the raw docs
+    val sigs = minhashSignatures(docs, idCol, textCol, nBands * nRows, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sigs.write.mode("append").parquet(s"$dir/sigs")
+      val newBands = bandKeys(sigs, nBands, nRows)
+      newBands.write.mode("append").parquet(s"$dir/bands")
+      newBands.groupBy("band_key").agg(count(lit(1)).as("df"))
+        .write.mode("append").parquet(s"$dir/banddf")
+    } finally sigs.unpersist()
   }
 
   /** SimHash fingerprint (bits-wide, default 60 — the full width of the

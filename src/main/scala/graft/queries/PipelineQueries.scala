@@ -102,6 +102,80 @@ object PipelineQueries {
     s"min((${Dedup.permA(i)} * (${h60sql("s")} % ${Dedup.PermM}) + ${Dedup.permB(i)}) % ${Dedup.PermP}) AS m$i"
   }.mkString(", ")
 
+  /** The d17/d18 incremental-admission CTE block (oracle side): probes
+    * `${p}batch` against `${p}corpus` via banded MinHash — asymmetric,
+    * so corpus×corpus pairs never form — plus the batch's internal
+    * lower-id self-join, verifies every candidate at Jaccard >= 0.5
+    * over distinct 3-shingles, and lands the per-batch-doc verdict in
+    * a final CTE named `${p}res` (doc_id, n_corpus_dups, n_batch_dups,
+    * best_jaccard, kept). Emits a comma-separated CTE list with no
+    * leading WITH and no trailing comma; every CTE name carries the
+    * prefix so two blocks (d18's round 1 and round 2) can coexist in
+    * one statement.
+    */
+  private def admissionBlockSql(p: String): String = {
+    val bandKeys = (0 until 4).map { b =>
+      s"'${b}_' || CAST(m${2 * b} AS VARCHAR) || '_' || CAST(m${2 * b + 1} AS VARCHAR)"
+    }.mkString(", ")
+    s"""${p}ctok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM ${p}corpus),
+       |${p}csh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+       |  FROM ${p}ctok WHERE len(tk) >= 3),
+       |${p}btok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM ${p}batch),
+       |${p}bsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+       |  FROM ${p}btok WHERE len(tk) >= 3),
+       |${p}csig AS (SELECT doc_id, $minhashCols FROM ${p}csh GROUP BY doc_id),
+       |${p}bsig AS (SELECT doc_id, $minhashCols FROM ${p}bsh GROUP BY doc_id),
+       |${p}cband AS (SELECT doc_id, unnest([$bandKeys]) AS band_key FROM ${p}csig),
+       |${p}bband AS (SELECT doc_id, unnest([$bandKeys]) AS band_key FROM ${p}bsig),
+       |${p}cand_c AS (SELECT DISTINCT b.doc_id AS b_id, c.doc_id AS o_id
+       |  FROM ${p}bband b JOIN ${p}cband c ON b.band_key = c.band_key),
+       |${p}cand_b AS (SELECT DISTINCT b.doc_id AS b_id, o.doc_id AS o_id
+       |  FROM ${p}bband b JOIN ${p}bband o ON b.band_key = o.band_key AND o.doc_id < b.doc_id),
+       |${p}ccnt AS (SELECT doc_id, count(*) AS c FROM ${p}csh GROUP BY doc_id),
+       |${p}bcnt AS (SELECT doc_id, count(*) AS c FROM ${p}bsh GROUP BY doc_id),
+       |${p}hit_c AS (
+       |  SELECT pr.b_id, pr.o_id, count(*) AS inter
+       |  FROM ${p}cand_c pr
+       |  JOIN ${p}bsh b ON b.doc_id = pr.b_id
+       |  JOIN ${p}csh c ON c.doc_id = pr.o_id AND c.s = b.s
+       |  GROUP BY 1, 2),
+       |${p}ver_c AS (
+       |  SELECT h.b_id, CAST(h.inter AS DOUBLE) / (bb.c + cc.c - h.inter) AS jaccard,
+       |    TRUE AS vc
+       |  FROM ${p}hit_c h JOIN ${p}bcnt bb ON h.b_id = bb.doc_id
+       |  JOIN ${p}ccnt cc ON h.o_id = cc.doc_id
+       |  WHERE CAST(h.inter AS DOUBLE) / (bb.c + cc.c - h.inter) >= 0.5),
+       |${p}hit_b AS (
+       |  SELECT pr.b_id, pr.o_id, count(*) AS inter
+       |  FROM ${p}cand_b pr
+       |  JOIN ${p}bsh b ON b.doc_id = pr.b_id
+       |  JOIN ${p}bsh o ON o.doc_id = pr.o_id AND o.s = b.s
+       |  GROUP BY 1, 2),
+       |${p}ver_b AS (
+       |  SELECT h.b_id, CAST(h.inter AS DOUBLE) / (bb.c + oo.c - h.inter) AS jaccard,
+       |    FALSE AS vc
+       |  FROM ${p}hit_b h JOIN ${p}bcnt bb ON h.b_id = bb.doc_id
+       |  JOIN ${p}bcnt oo ON h.o_id = oo.doc_id
+       |  WHERE CAST(h.inter AS DOUBLE) / (bb.c + oo.c - h.inter) >= 0.5),
+       |${p}hits AS (SELECT * FROM ${p}ver_c UNION ALL SELECT * FROM ${p}ver_b),
+       |${p}agg AS (
+       |  SELECT b_id,
+       |    CAST(sum(CASE WHEN vc THEN 1 ELSE 0 END) AS BIGINT) AS ncd,
+       |    CAST(sum(CASE WHEN vc THEN 0 ELSE 1 END) AS BIGINT) AS nbd,
+       |    max(jaccard) AS bj
+       |  FROM ${p}hits GROUP BY b_id),
+       |${p}res AS (
+       |  SELECT b.doc_id,
+       |    CAST(coalesce(ncd, 0) AS BIGINT) AS n_corpus_dups,
+       |    CAST(coalesce(nbd, 0) AS BIGINT) AS n_batch_dups,
+       |    coalesce(bj, 0.0) AS best_jaccard,
+       |    CAST(CASE WHEN coalesce(ncd, 0) = 0 AND coalesce(nbd, 0) = 0
+       |      THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |  FROM ${p}batch b LEFT JOIN ${p}agg a ON b.doc_id = a.b_id)""".stripMargin
+  }
+
   /** per-language profile hit counts as SQL select-list items (t03/p05) */
   private[queries] val langHitsSql = TextAnalysis.defaultProfiles.map { case (lang, words) =>
     val lst = words.map(w => s"'$w'").mkString(", ")

@@ -376,12 +376,15 @@ class PlanQualitySpec extends SparkSpec {
   test("d17 incremental admission: fixed join shape, no corpus self-join, no cartesian") {
     // the scale contract is structural: candidates come from batch×corpus
     // and batch×batch band joins (2), each verified against the two set
-    // frames (4), plus the final verdict left join (1) = 7 joins. A
-    // corpus×corpus candidate join — the quadratic term this operator
-    // exists to avoid — would change the count; a cartesian is always
-    // wrong. (Pinned on the operator over plain relations: the d17
-    // query's synthetic-batch construction joins would be duplicated
-    // once per consumer in the logical tree and drown the count.)
+    // frames (4), plus the final verdict left join (1), plus the two
+    // increment-bounded BROADCAST semi-prunes of the corpus sides (band
+    // keys into the corpus band table, candidate o_ids into the corpus
+    // sigs) = 9 joins. A corpus×corpus candidate join — the quadratic
+    // term this operator exists to avoid — would change the count; a
+    // cartesian is always wrong. (Pinned on the operator over plain
+    // relations: the d17 query's synthetic-batch construction joins
+    // would be duplicated once per consumer in the logical tree and
+    // drown the count.)
     import spark.implicits._
     import graft.ops.Dedup
     val corpus = Seq(1L -> "alpha beta gamma delta epsilon zeta").toDF("doc_id", "text")
@@ -389,8 +392,30 @@ class PlanQualitySpec extends SparkSpec {
     val qe = Dedup.incrementalNearDup(corpus, batch, "doc_id", "text",
       bands = 4, rowsPerBand = 2).queryExecution
     val joins = qe.optimizedPlan.collect { case j: Join => j }
-    assert(joins.length == 7, s"expected the 7-join admission shape, got ${joins.length}")
+    assert(joins.length == 9, s"expected the 9-join admission shape, got ${joins.length}")
+    val semis = joins.filter(_.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi)
+    assert(semis.length == 2, s"expected 2 corpus-prune semi-joins, got ${semis.length}")
     assert(!qe.executedPlan.toString.contains("CartesianProduct"))
+  }
+
+  test("d18 admitWithIndex: corpus sides broadcast-pruned — no corpus-sized exchange") {
+    // on the persisted index the same contract must hold physically: the
+    // two corpus-side prunes execute as BroadcastHashJoin LeftSemi (the
+    // corpus band and sig scans stream map-side); a ShuffleExchange on a
+    // corpus-sized relation per increment would defeat the index.
+    import spark.implicits._
+    import graft.ops.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("ndidx").toString
+    val corpus = Seq(1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "one two three four five six").toDF("doc_id", "text")
+    Dedup.buildNearDupIndex(corpus, dir, "doc_id", "text", bands = 4, rowsPerBand = 2)
+    val batch = Seq(10L -> "alpha beta gamma delta epsilon eta").toDF("doc_id", "text")
+    val exec = Dedup.admitWithIndex(spark, dir, batch, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val semiBroadcastLines = exec.linesIterator
+      .count(l => l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
+    assert(semiBroadcastLines >= 2,
+      s"both corpus prunes must be broadcast semi-joins, saw $semiBroadcastLines:\n${exec.take(1500)}")
   }
 
   test("p24 incremental ingest: composes without a cartesian product") {

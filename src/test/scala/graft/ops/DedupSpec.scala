@@ -573,4 +573,29 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("kept")).toMap
     assert(out == Map(10L -> 1L, 11L -> 1L), s"$out")
   }
+
+  test("admission index paths fail loudly on non-integral ids (no silent null-cast)") {
+    // a string id silently cast to long yields nulls that join to
+    // nothing — every dup would look novel; the guard refuses instead
+    import spark.implicits._
+    val strDocs = Seq("a" -> "alpha beta gamma delta epsilon zeta").toDF("doc_id", "text")
+    val longDocs = Seq(1L -> "alpha beta gamma delta epsilon zeta").toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndidx_guard").toString
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.buildNearDupIndex(strDocs, dir, "doc_id", "text", bands = 4, rowsPerBand = 2)
+    }
+    assert(e1.getMessage.contains("integral id"), e1.getMessage)
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDup(longDocs, strDocs, "doc_id", "text",
+        bands = 4, rowsPerBand = 2)
+    }
+    Dedup.buildNearDupIndex(longDocs, dir, "doc_id", "text", bands = 4, rowsPerBand = 2)
+    intercept[IllegalArgumentException] {
+      Dedup.appendToNearDupIndex(spark, dir, strDocs, "doc_id", "text")
+    }
+    // integer ids (not just bigint) remain acceptable — widening is safe
+    val intDocs = Seq(7 -> "one two three four five six").toDF("doc_id", "text")
+    assert(Dedup.incrementalNearDup(longDocs, intDocs, "doc_id", "text",
+      bands = 4, rowsPerBand = 2).collect().length == 1)
+  }
 }
