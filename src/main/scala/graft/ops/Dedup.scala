@@ -40,8 +40,9 @@ object Dedup {
     * (every dup looks novel). Fail loudly instead — callers with string
     * ids hash them first (e.g. `xxhash64(id)`). */
   private def requireIntegralId(df: DataFrame, idCol: String, where: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
     val dt = df.schema(idCol).dataType
-    require(dt.isInstanceOf[org.apache.spark.sql.types.IntegralType],
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
       s"$where requires an integral id column; '$idCol' is ${dt.simpleString} — " +
         "hash non-numeric ids to long (e.g. xxhash64) before indexing")
   }
