@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.core.Fixtures.table(s, dir, name) // normalizes events.ts → nanos LONG
 
   /** decimal cast used to make double sums order-independent + engine-portable */
   private def dec(c: Column): Column = c.cast("decimal(18,6)")

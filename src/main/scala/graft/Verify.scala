@@ -12,7 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries INT64 TIMESTAMP(NANOS) — surface as raw longs
+      // older fixture generations carry INT64 TIMESTAMP(NANOS) — surface as
+      // raw longs; current TIMESTAMP(MICROS) fixtures are normalized by
+      // Fixtures.normalizeEventTs instead (this flag ignores MICROS)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .getOrCreate()

@@ -20,8 +20,29 @@ import org.apache.spark.sql.functions._
   */
 object Fixtures {
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** Fixture generations disagree on the physical type of `events.ts`:
+    * INT64 TIMESTAMP(NANOS) (surfaced as a raw nanos LongType via
+    * spark.sql.legacy.parquet.nanosAsLong) vs TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (surfaced as TIMESTAMP_NTZ, which the legacy
+    * flag does NOT touch). Normalize at read so the whole engine sees one
+    * shape — epoch nanos as LONG, the same value DuckDB's `epoch_ns(ts)`
+    * yields on either generation. Sessions run with UTC timeZone, so the
+    * NTZ→TZ cast below is micros-identity. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    if (!df.columns.contains("ts")) df
+    else df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          (unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
+            .as("ts"))
+      case _ => df
+    }
 
   private def cell(family: String, qualifier: String, ts: org.apache.spark.sql.Column,
                    cellType: String, value: org.apache.spark.sql.Column) =

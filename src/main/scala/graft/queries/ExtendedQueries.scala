@@ -16,7 +16,7 @@ import org.apache.spark.sql.streaming.Trigger
 object ExtendedQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.core.Fixtures.table(s, dir, name) // normalizes events.ts → nanos LONG
 
   /** Scratch dir for stream logs / checkpoints / index builds, removed by
     * a JVM shutdown hook — repeated Verify/Bench invocations must not

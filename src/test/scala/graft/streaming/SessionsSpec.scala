@@ -24,7 +24,7 @@ class SessionsSpec extends SparkSpec {
   }
 
   test("flatMapGroupsWithState sessionizer == batch window sessionizer") {
-    val events = spark.read.parquet(s"$sf0001/events.parquet")
+    val events = graft.core.Fixtures.table(spark, sf0001, "events")
       .select(col("user_id").cast("long"), col("event_id").cast("long"),
         expr("ts div 1000000000").as("ts_s"))
     val work = java.nio.file.Files.createTempDirectory("graft_sess").toString
