@@ -913,7 +913,10 @@ object Dedup {
     requireIntegralId(corpus, idCol, "buildNearDupIndex")
     val (nBands, nRows) =
       if (bands > 0) (bands, rowsPerBand) else minhashConfigFor(threshold)
-    val sigs = minhashSignatures(corpus, idCol, textCol, nBands * nRows, n)
+    // persisted layouts are uniformly BIGINT: an int-id build followed by
+    // a long-id append (or vice versa) must not mix parquet schemas
+    val sigs = minhashSignatures(
+      corpus.withColumn(idCol, col(idCol).cast("long")), idCol, textCol, nBands * nRows, n)
     sigs.write.mode("overwrite").parquet(s"$dir/sigs")
     // read back: sigs/ is the materialization boundary — the band
     // explode and df aggregate must not re-run the shingle scan
@@ -965,12 +968,15 @@ object Dedup {
                            docs: DataFrame, idCol: String, textCol: String): Unit = {
     requireIntegralId(docs, idCol, "appendToNearDupIndex")
     val (nBands, nRows, n, _) = readNearDupManifest(dir)
+    // same BIGINT normalization as buildNearDupIndex — appended files must
+    // match the built files' schema exactly
+    val docsL = docs.withColumn(idCol, col(idCol).cast("long"))
     // compute the slice's signatures ONCE: cache the increment-sized
     // frame so the sigs write, the band explode, and the df aggregate
     // all reuse one shingle scan — never a re-read of the whole sigs/
     // table (that semi-join re-derivation was a full-index scan per
     // append) and never a second scan of the raw docs
-    val sigs = minhashSignatures(docs, idCol, textCol, nBands * nRows, n)
+    val sigs = minhashSignatures(docsL, idCol, textCol, nBands * nRows, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       sigs.write.mode("append").parquet(s"$dir/sigs")

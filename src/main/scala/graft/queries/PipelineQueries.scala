@@ -639,6 +639,47 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // d17's admission replayed against the PERSISTED index, two rounds:
+    // round 1 gates the corpus-near-dups + novel docs against the indexed
+    // corpus; the admitted slice appends (no rebuild); round 2's
+    // second-generation copies then reject as CORPUS dups — only the
+    // appended docs can gate them — while word-reversed probes (same
+    // tokens, inverted order → disjoint 3-shingles) stay novel. The
+    // build → admit → append → admit chain is the index's whole API.
+    // Round 1 is MATERIALIZED to scratch before the append: admitWith-
+    // Index is lazy over the index parquet, so evaluating it after the
+    // append would let round 1 see its own admitted docs as corpus.
+    "d18_neardup_index" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.filter(col("doc_id") % 5 =!= 0)
+      val succ = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("next_text"))
+      val nearCorpus = d.filter(col("doc_id") % 5 === 0 && col("doc_id") % 10 =!= 0)
+        .join(succ, Seq("doc_id"))
+        .select(col("doc_id"), concat_ws(" ", col("next_text"), lit("zz")).as("text"))
+      val novel = d.filter(col("doc_id") % 10 === 0).select(col("doc_id"), col("text"))
+      val r1batch = nearCorpus.unionByName(novel)
+      val secondGen = novel.select((col("doc_id") + 1000000).as("doc_id"),
+        concat_ws(" ", col("text"), lit("yy")).as("text"))
+      val reversed = d.filter(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat_ws(" ", reverse(split(trim(col("text")), "\\s+"))).as("text"))
+      val r2batch = secondGen.unionByName(reversed)
+      val work = graft.queries.ExtendedQueries.scratchDir("graft_d18")
+      Dedup.buildNearDupIndex(corpus, s"$work/idx", "doc_id", "text",
+        bands = 4, rowsPerBand = 2, n = 3, threshold = 0.5)
+      Dedup.admitWithIndex(s, s"$work/idx", r1batch, "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$work/r1res")
+      val r1 = s.read.parquet(s"$work/r1res")
+      Dedup.appendToNearDupIndex(s, s"$work/idx",
+        r1batch.join(r1.filter(col("kept") === 1).select(col("doc_id")), Seq("doc_id")),
+        "doc_id", "text")
+      val r2 = Dedup.admitWithIndex(s, s"$work/idx", r2batch, "doc_id", "text")
+      r1.withColumn("round", lit(1L)).unionByName(r2.withColumn("round", lit(2L)))
+        .select(col("round"), col("doc_id"), col("n_corpus_dups"),
+          col("n_batch_dups"), col("best_jaccard"), col("kept"))
+        .orderBy(col("round"), col("doc_id"))
+    }),
+
     // temperature-scaled mixture (alpha = 0.5, the multilingual sqrt
     // smoothing): weights = isqrt(stratum size) feed the same integer
     // water-filling as p09 — the head language is downsampled toward the
