@@ -154,6 +154,76 @@ class IndexerSupervisor(
     n
   }
 
+  // C3 admission arm (r11): the persisted near-dup admission index as an
+  // OPERABLE per-indexer artifact, driven the way batch builds are —
+  // build once, then each crawl increment is one synchronous
+  // admit-and-append round (drain semantics, like reindexRow). Layout:
+  //   $workRoot/<name>/neardup/        the index (sigs/bands/banddf/MANIFEST)
+  //   $workRoot/<name>/admissions/rN   round N's verdict frame (parquet)
+  // Verdicts are MATERIALIZED before the append: the admission frame is
+  // lazy over the index parquet, so appending first would let a round
+  // see its own admitted docs as corpus (the d18 invariant).
+
+  private def admissionDir(name: String): String = s"$workRoot/$name/neardup"
+
+  /** Build (or rebuild) the admission index for `name` from a
+    * deduplicated corpus. Synchronous, like executeBatchBuild. */
+  def buildAdmissionIndex(name: String, corpus: org.apache.spark.sql.DataFrame,
+                          idCol: String, textCol: String,
+                          bands: Int = 0, rowsPerBand: Int = 0,
+                          n: Int = 3, threshold: Double = 0.5): Unit = {
+    registry.get(name).getOrElse(throw new IllegalStateException(s"no such indexer: $name"))
+    graft.ops.Dedup.buildNearDupIndex(
+      corpus, admissionDir(name), idCol, textCol, bands, rowsPerBand, n, threshold)
+  }
+
+  /** Admit a crawl increment against `name`'s index: returns the verdict
+    * frame (doc_id, n_corpus_dups, n_batch_dups, best_jaccard, kept) read
+    * back from the round's materialized parquet; when `append` (the
+    * default), the kept slice is appended so the NEXT round sees
+    * corpus ∪ admitted. Admission cost ∝ increment (admitWithIndex). */
+  def admitIncrement(name: String, batch: org.apache.spark.sql.DataFrame,
+                     idCol: String, textCol: String,
+                     append: Boolean = true): org.apache.spark.sql.DataFrame = {
+    registry.get(name).getOrElse(throw new IllegalStateException(s"no such indexer: $name"))
+    val idx = admissionDir(name)
+    require(Files.exists(Paths.get(idx, "MANIFEST")),
+      s"no admission index for $name — run buildAdmissionIndex first")
+    val roundsRoot = Paths.get(s"$workRoot/$name/admissions")
+    Files.createDirectories(roundsRoot)
+    val round = {
+      val existing = Files.list(roundsRoot)
+      try existing.iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("r"))
+        .map(_.drop(1).toInt).foldLeft(0)(math.max) + 1
+      finally existing.close()
+    }
+    val out = s"$roundsRoot/r$round"
+    graft.ops.Dedup.admitWithIndex(spark, idx, batch, idCol, textCol)
+      .write.mode("overwrite").parquet(out)
+    val verdicts = spark.read.parquet(out)
+    if (append) {
+      import org.apache.spark.sql.functions.col
+      graft.ops.Dedup.appendToNearDupIndex(spark, idx,
+        batch.join(verdicts.filter(col("kept") === 1).select(col(idCol)), Seq(idCol)),
+        idCol, textCol)
+    }
+    verdicts
+  }
+
+  /** All admission rounds so far for `name`, newest last — the
+    * admission analog of progressReport. */
+  def admissionRounds(name: String): Seq[Int] = {
+    val roundsRoot = Paths.get(s"$workRoot/$name/admissions")
+    if (!Files.exists(roundsRoot)) Seq.empty
+    else {
+      val s = Files.list(roundsRoot)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("r")).map(_.drop(1).toInt).toSeq.sorted
+      finally s.close()
+    }
+  }
+
   /** Re-subscribe after DO_NOT_SUBSCRIBE: stamps subscriptionTimestamp =
     * now, so pre-existing log history is skipped (SepModelImpl records the
     * subscription timestamp at peer creation the same way). */

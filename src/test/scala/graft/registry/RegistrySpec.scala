@@ -203,4 +203,46 @@ class RegistrySpec extends SparkSpec {
         s"counters must cover the whole drain, not the retained tail: $rep")
     } finally spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", prev)
   }
+
+  test("C3 admission arm: build → admit → append → admit through the supervisor") {
+    import spark.implicits._
+    val regDir = tmp("graft_reg5"); val work = tmp("graft_work5"); val logs = tmp("graft_logs5")
+    val reg = new IndexerRegistry(regDir)
+    val sup = new IndexerSupervisor(spark, reg, work, name => s"$logs/$name")
+    reg.add(IndexerDefinition("idx", confXml))
+
+    val corpus = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta",
+      2L -> "one two three four five six seven").toDF("doc_id", "text")
+    sup.buildAdmissionIndex("idx", corpus, "doc_id", "text", bands = 4, rowsPerBand = 2)
+
+    // round 1: a corpus near-dup (rejected) and a novel doc (admitted,
+    // then appended to the index)
+    val r1 = sup.admitIncrement("idx", Seq(
+      10L -> "alpha beta gamma delta epsilon zeta theta",
+      11L -> "red orange yellow green blue indigo violet").toDF("doc_id", "text"),
+      "doc_id", "text").collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Number]("kept").longValue()).toMap
+    assert(r1 == Map(10L -> 0L, 11L -> 1L), s"round 1 verdicts: $r1")
+
+    // round 2: a second-generation copy of the round-1 admit must now
+    // reject as a CORPUS dup — only the appended doc can gate it
+    val r2 = sup.admitIncrement("idx", Seq(
+      20L -> "red orange yellow green blue indigo cyan").toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+    assert(r2.length == 1)
+    assert(r2.head.getAs[Number]("kept").longValue() == 0L,
+      s"second-generation copy must reject against the appended slice: ${r2.head}")
+    assert(r2.head.getAs[Number]("n_corpus_dups").longValue() >= 1L)
+    assert(sup.admissionRounds("idx") == Seq(1, 2))
+
+    // unknown indexer and missing index both fail loudly
+    intercept[IllegalStateException] {
+      sup.admitIncrement("nope", corpus, "doc_id", "text")
+    }
+    reg.add(IndexerDefinition("bare", confXml))
+    intercept[IllegalArgumentException] {
+      sup.admitIncrement("bare", corpus, "doc_id", "text")
+    }
+  }
 }
