@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-level statistical scoring: operators whose per-document output
@@ -130,5 +130,75 @@ object CorpusStats {
         element_at(col("t.vals"), 1).as("tf"),
         element_at(col("t.vals"), 2).as("df"),
         col("t.rk").as("rk"))
+  }
+
+  /** Model-based quality classifier — the DCLM/fastText-style "train a
+    * tiny text classifier on a labeled seed, score the whole corpus"
+    * curation step, in multinomial Naive-Bayes form so every number the
+    * model produces is engine-portable exact arithmetic.
+    *
+    * `seedLabels` is (doc_id, lab boolean): the caller's curated
+    * positives (lab = true; e.g. docs from a trusted source) and sampled
+    * negatives (lab = false; e.g. a deterministic hash-sample of the
+    * crawl) — exactly how the DCLM/CCNet quality filters source their
+    * training sets. The model is per-token Laplace-smoothed class
+    * likelihoods over the seed tokens; every document then scores
+    *
+    *   score = ln(Npos/Nneg) + Σ_tokens [ln P(w|pos) − ln P(w|neg)]
+    *
+    * with each per-token log-likelihood QUANTIZED to the 10⁻⁶ grid
+    * (t10's convention) so the per-doc sum is an order-free exact
+    * integer sum: `score_q` is that integer total and `pred` its sign —
+    * no float accumulation, no cross-engine ulp drift. Tokens absent
+    * from a class's seed take that class's Laplace "unseen" likelihood
+    * 1/(T_class + V); tokens absent from BOTH classes still contribute
+    * the (nonzero) difference of the two unseen constants, which is the
+    * honest NB treatment when the class corpora differ in size.
+    *
+    * Output: (doc_id, n_tokens, score_q, pred) — one row per document
+    * with ≥ 1 token.
+    *
+    * Plan shape (100 TB posture): one explode collapsed map-side into
+    * per-(doc, w) counts (1 shuffle — shared shape with t10/t11); the
+    * model is a (w)-keyed aggregation of the SEED subset only (seed-
+    * sized, 1 shuffle); scalars (T_pos, T_neg, V, priors) ride as two
+    * broadcast 1-row cross joins, never a driver collect; scoring is one
+    * probe join on w (the model is vocabulary-sized — at 100 TB a
+    * shuffle join whose Zipf head collapses map-side, same posture as
+    * the t10 LM probe) and one per-doc sum (1 shuffle). */
+  def nbQualityScore(docs: DataFrame, idCol: String, textCol: String,
+                     seedLabels: DataFrame): DataFrame = {
+    val tf = docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("m"))
+    val model = tf.join(seedLabels, Seq("doc_id"))
+      .groupBy("w").agg(
+        sum(when(col("lab"), col("m")).otherwise(0L)).as("cpos"),
+        sum(when(!col("lab"), col("m")).otherwise(0L)).as("cneg"))
+    val scal = model.agg(sum("cpos").as("tpos"), sum("cneg").as("tneg"),
+      count(lit(1)).as("v"))
+    val pri = seedLabels.agg(
+      sum(when(col("lab"), 1L).otherwise(0L)).as("npos"),
+      sum(when(!col("lab"), 1L).otherwise(0L)).as("nneg"))
+    // 10⁻⁶-grid quantized log-likelihood: identical expression shape on
+    // the oracle side, so the (correctly-rounded) double division feeds
+    // ln the same argument bit-for-bit
+    def q(x: Column): Column = round(log(x) * 1e6).cast("long")
+    val lpos = q((col("cpos") + 1).cast("double") / (col("tpos") + col("v")))
+    val lneg = q((col("cneg") + 1).cast("double") / (col("tneg") + col("v")))
+    val upos = q(lit(1.0) / (col("tpos") + col("v")))
+    val uneg = q(lit(1.0) / (col("tneg") + col("v")))
+    val prior = q(col("npos").cast("double") / col("nneg"))
+    tf.join(model, Seq("w"), "left")
+      .crossJoin(broadcast(scal))
+      .withColumn("contrib",
+        col("m") * (coalesce(lpos, upos) - coalesce(lneg, uneg)))
+      .groupBy("doc_id")
+      .agg(sum("m").as("n_tokens"), sum("contrib").as("diff"))
+      .crossJoin(broadcast(pri))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("diff") + prior).as("score_q"),
+        (col("diff") + prior > 0).as("pred"))
   }
 }

@@ -859,6 +859,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("rk"))
     }),
 
+    // model-based quality classifier (DCLM-style): positives = the
+    // curated 'src0' source, negatives = a deterministic 1-in-3
+    // hash-free sample of the rest (the "random crawl negatives" side);
+    // train multinomial NB on the seed tokens, score EVERY doc by
+    // quantized log-odds
+    "t15_nb_quality" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val seed = d.filter(col("source") === "src0" || col("doc_id") % 3 === 0)
+        .select(col("doc_id"), (col("source") === "src0").as("lab"))
+      graft.ops.CorpusStats.nbQualityScore(d, "doc_id", "text", seed)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- similarity search ----
 
     "a01_ann_brute" -> ((s, dir) => {
@@ -2063,6 +2076,34 @@ object PipelineQueries {
         |  FROM q)
         |SELECT doc_id, w AS term, tf, df, rk FROM r WHERE rk <= 5
         |ORDER BY doc_id, rk""".stripMargin,
+
+    "t15_nb_quality" ->
+      """WITH d AS (SELECT doc_id, text, source FROM documents
+        |           WHERE length(trim(text)) > 0),
+        |tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |        FROM d),
+        |tf AS (SELECT doc_id, w, count(*) AS m FROM tok GROUP BY 1, 2),
+        |seed AS (SELECT doc_id, (source = 'src0') AS lab FROM documents
+        |         WHERE source = 'src0' OR doc_id % 3 = 0),
+        |st AS (SELECT tf.w,
+        |         sum(CASE WHEN lab THEN m ELSE 0 END) AS cpos,
+        |         sum(CASE WHEN NOT lab THEN m ELSE 0 END) AS cneg
+        |       FROM tf JOIN seed USING (doc_id) GROUP BY 1),
+        |sc AS (SELECT sum(cpos) AS tpos, sum(cneg) AS tneg, count(*) AS v FROM st),
+        |pri AS (SELECT sum(CASE WHEN lab THEN 1 ELSE 0 END) AS npos,
+        |               sum(CASE WHEN NOT lab THEN 1 ELSE 0 END) AS nneg FROM seed),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.m,
+        |    coalesce(CAST(round(ln((st.cpos + 1)::DOUBLE / (sc.tpos + sc.v)) * 1000000) AS BIGINT),
+        |             CAST(round(ln(1.0 / (sc.tpos + sc.v)) * 1000000) AS BIGINT)) AS lp,
+        |    coalesce(CAST(round(ln((st.cneg + 1)::DOUBLE / (sc.tneg + sc.v)) * 1000000) AS BIGINT),
+        |             CAST(round(ln(1.0 / (sc.tneg + sc.v)) * 1000000) AS BIGINT)) AS ln_
+        |  FROM tf LEFT JOIN st USING (w) CROSS JOIN sc)
+        |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+        |  CAST(sum(m * (lp - ln_)) + round(ln(npos::DOUBLE / nneg) * 1000000) AS BIGINT) AS score_q,
+        |  (sum(m * (lp - ln_)) + CAST(round(ln(npos::DOUBLE / nneg) * 1000000) AS BIGINT)) > 0 AS pred
+        |FROM scored CROSS JOIN pri
+        |GROUP BY doc_id, npos, nneg ORDER BY doc_id""".stripMargin,
 
     "d06_embed_neardup" ->
       s"""WITH $quantCte

@@ -72,4 +72,48 @@ class CorpusStatsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(got == expected)
   }
+
+  test("nbQualityScore == brute-force multinomial Naive Bayes") {
+    import spark.implicits._
+    // pos seed = docs 1,5 ("a b" heavy); neg seed = doc 3 ("d" soup);
+    // docs 2 and 4 are scored but unlabeled; doc 2 carries the OOV-in-
+    // one-class token d, doc 6 an everywhere-OOV token
+    val docs6 = corpus :+ (6L, "qq zz")
+    val d6 = docs6.toDF("doc_id", "text")
+    val seedPairs = Seq((1L, true), (5L, true), (3L, false))
+    val seed = seedPairs.toDF("doc_id", "lab")
+
+    // brute force: Laplace-smoothed class likelihoods over seed tokens,
+    // each quantized to the 1e-6 grid, exact integer sum + prior
+    val toks = docs6.toMap.view.mapValues(_.split("\\s+").toSeq).toMap
+    val posDocs = seedPairs.filter(_._2).map(_._1)
+    val negDocs = seedPairs.filterNot(_._2).map(_._1)
+    val cPos = posDocs.flatMap(toks).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cNeg = negDocs.flatMap(toks).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val vocab = (cPos.keySet ++ cNeg.keySet)
+    val (tPos, tNeg, v) = (cPos.values.sum, cNeg.values.sum, vocab.size.toLong)
+    def q(x: Double) = math.round(math.log(x) * 1e6)
+    def lp(c: Map[String, Long], t: Long)(w: String) =
+      if (vocab(w) || c.contains(w)) q((c.getOrElse(w, 0L) + 1).toDouble / (t + v))
+      else q(1.0 / (t + v))
+    val prior = q(posDocs.size.toDouble / negDocs.size)
+    val expected = toks.view.mapValues { tk =>
+      (tk.size.toLong,
+        prior + tk.map(w => lp(cPos, tPos)(w) - lp(cNeg, tNeg)(w)).sum)
+    }.toMap
+
+    val got = CorpusStats.nbQualityScore(d6, "doc_id", "text", seed)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got.keySet == expected.keySet)
+    for ((id, (n, s)) <- expected) {
+      assert(got(id)._1 == n, s"doc $id n_tokens")
+      assert(got(id)._2 == s, s"doc $id score_q: ${got(id)._2} vs $s")
+      assert(got(id)._3 == (s > 0), s"doc $id pred")
+    }
+    // the classifier must actually separate the seed styles: a positive
+    // seed doc scores positive, the negative seed doc negative, and the
+    // identical copy of doc 1 scores identically
+    assert(got(1L)._3 && !got(3L)._3)
+    assert(got(1L) == got(5L))
+  }
 }
