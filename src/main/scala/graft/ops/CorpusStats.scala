@@ -168,15 +168,31 @@ object CorpusStats {
     * the t10 LM probe) and one per-doc sum (1 shuffle). */
   def nbQualityScore(docs: DataFrame, idCol: String, textCol: String,
                      seedLabels: DataFrame): DataFrame = {
-    val tf = docs.filter(length(trim(col(textCol))) > 0)
+    val (model, consts) = nbTrain(docs, idCol, textCol, seedLabels)
+    nbScore(docs, idCol, textCol, model, consts)
+  }
+
+  /** Per-(doc, w) token counts — the shared base of train and score. */
+  private def nbTf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("doc_id"),
         explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("m"))
-    val model = tf.join(seedLabels, Seq("doc_id"))
+
+  /** Train the NB model once: returns (model, consts) where `model` is
+    * (w, lpq, lnq) — the 10⁻⁶-grid quantized class log-likelihood per
+    * seed-vocabulary token — and `consts` is one row (upos, uneg,
+    * prior_q): the two Laplace "unseen" likelihoods and the class prior.
+    * Freeze both (persist / write to parquet) to score later increments
+    * or streams against a FIXED model — retraining per batch would make
+    * admission decisions drift with arrival order. */
+  def nbTrain(docs: DataFrame, idCol: String, textCol: String,
+              seedLabels: DataFrame): (DataFrame, DataFrame) = {
+    val counts = nbTf(docs, idCol, textCol).join(seedLabels, Seq("doc_id"))
       .groupBy("w").agg(
         sum(when(col("lab"), col("m")).otherwise(0L)).as("cpos"),
         sum(when(!col("lab"), col("m")).otherwise(0L)).as("cneg"))
-    val scal = model.agg(sum("cpos").as("tpos"), sum("cneg").as("tneg"),
+    val scal = counts.agg(sum("cpos").as("tpos"), sum("cneg").as("tneg"),
       count(lit(1)).as("v"))
     val pri = seedLabels.agg(
       sum(when(col("lab"), 1L).otherwise(0L)).as("npos"),
@@ -185,20 +201,44 @@ object CorpusStats {
     // the oracle side, so the (correctly-rounded) double division feeds
     // ln the same argument bit-for-bit
     def q(x: Column): Column = round(log(x) * 1e6).cast("long")
-    val lpos = q((col("cpos") + 1).cast("double") / (col("tpos") + col("v")))
-    val lneg = q((col("cneg") + 1).cast("double") / (col("tneg") + col("v")))
-    val upos = q(lit(1.0) / (col("tpos") + col("v")))
-    val uneg = q(lit(1.0) / (col("tneg") + col("v")))
-    val prior = q(col("npos").cast("double") / col("nneg"))
-    tf.join(model, Seq("w"), "left")
-      .crossJoin(broadcast(scal))
+    val model = counts.crossJoin(broadcast(scal)).select(col("w"),
+      q((col("cpos") + 1).cast("double") / (col("tpos") + col("v"))).as("lpq"),
+      q((col("cneg") + 1).cast("double") / (col("tneg") + col("v"))).as("lnq"))
+    val consts = scal.crossJoin(pri).select(
+      q(lit(1.0) / (col("tpos") + col("v"))).as("upos"),
+      q(lit(1.0) / (col("tneg") + col("v"))).as("uneg"),
+      q(col("npos").cast("double") / col("nneg")).as("prior_q"))
+    (model, consts)
+  }
+
+  /** Score documents against a trained (model, consts) pair. With
+    * `broadcastProbe` the VOCAB-sized model never shuffles on the scored
+    * side's trigger: the model streams map-side against the broadcast
+    * batch vocabulary and only the trigger-sized hits re-broadcast into
+    * the probe join — the shape a per-micro-batch streaming gate needs
+    * (the [[graft.streaming]] increment-bounded-broadcast pattern).
+    * Batch scoring of a full corpus keeps the default vocabulary-keyed
+    * shuffle join. */
+  def nbScore(docs: DataFrame, idCol: String, textCol: String,
+              model: DataFrame, consts: DataFrame,
+              broadcastProbe: Boolean = false): DataFrame = {
+    val tf = nbTf(docs, idCol, textCol)
+    val probe =
+      if (!broadcastProbe) tf.join(model, Seq("w"), "left")
+      else {
+        val hit = model.join(broadcast(tf.select("w").distinct()), Seq("w"))
+        tf.join(broadcast(hit), Seq("w"), "left")
+      }
+    probe
+      .crossJoin(broadcast(consts))
       .withColumn("contrib",
-        col("m") * (coalesce(lpos, upos) - coalesce(lneg, uneg)))
+        col("m") * (coalesce(col("lpq"), col("upos")) -
+          coalesce(col("lnq"), col("uneg"))))
       .groupBy("doc_id")
-      .agg(sum("m").as("n_tokens"), sum("contrib").as("diff"))
-      .crossJoin(broadcast(pri))
+      .agg(sum("m").as("n_tokens"), sum("contrib").as("diff"),
+        first("prior_q").as("_p"))
       .select(col("doc_id"), col("n_tokens"),
-        (col("diff") + prior).as("score_q"),
-        (col("diff") + prior > 0).as("pred"))
+        (col("diff") + col("_p")).as("score_q"),
+        (col("diff") + col("_p") > 0).as("pred"))
   }
 }

@@ -67,6 +67,39 @@ object PipelineQueries {
        |FROM agg ORDER BY doc_id""".stripMargin
   }
 
+  /** Shared by t15 (batch NB quality classifier) and s14 (its streaming
+    * admission-gate twin over a frozen model): both replay the full
+    * train+score — seed labeling, Laplace-smoothed per-token class
+    * likelihoods quantized to the 10⁻⁶ grid, exact integer log-odds sum
+    * plus prior — ending in an `nb` CTE of (doc_id, n_tokens, score_q). */
+  private val nbQualityCtes: String =
+    """d AS (SELECT doc_id, text, source FROM documents
+      |       WHERE length(trim(text)) > 0),
+      |tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |        FROM d),
+      |tf AS (SELECT doc_id, w, count(*) AS m FROM tok GROUP BY 1, 2),
+      |seed AS (SELECT doc_id, (source = 'src0') AS lab FROM documents
+      |         WHERE source = 'src0' OR doc_id % 3 = 0),
+      |st AS (SELECT tf.w,
+      |         sum(CASE WHEN lab THEN m ELSE 0 END) AS cpos,
+      |         sum(CASE WHEN NOT lab THEN m ELSE 0 END) AS cneg
+      |       FROM tf JOIN seed USING (doc_id) GROUP BY 1),
+      |sc AS (SELECT sum(cpos) AS tpos, sum(cneg) AS tneg, count(*) AS v FROM st),
+      |pri AS (SELECT sum(CASE WHEN lab THEN 1 ELSE 0 END) AS npos,
+      |               sum(CASE WHEN NOT lab THEN 1 ELSE 0 END) AS nneg FROM seed),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.m,
+      |    coalesce(CAST(round(ln((st.cpos + 1)::DOUBLE / (sc.tpos + sc.v)) * 1000000) AS BIGINT),
+      |             CAST(round(ln(1.0 / (sc.tpos + sc.v)) * 1000000) AS BIGINT)) AS lp,
+      |    coalesce(CAST(round(ln((st.cneg + 1)::DOUBLE / (sc.tneg + sc.v)) * 1000000) AS BIGINT),
+      |             CAST(round(ln(1.0 / (sc.tneg + sc.v)) * 1000000) AS BIGINT)) AS ln_
+      |  FROM tf LEFT JOIN st USING (w) CROSS JOIN sc),
+      |nb AS (
+      |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+      |    CAST(sum(m * (lp - ln_)) + round(ln(npos::DOUBLE / nneg) * 1000000) AS BIGINT) AS score_q
+      |  FROM scored CROSS JOIN pri
+      |  GROUP BY doc_id, npos, nneg)""".stripMargin
+
   /** Shared by p03 (exact probe) and p18 (Bloom-prefiltered probe): the
     * two operators are required to be byte-identical, so they share ONE
     * oracle statement. */
@@ -541,6 +574,39 @@ object PipelineQueries {
         autoCompactEvery = 2, maintenanceGraceMs = 0L)
       graft.streaming.StreamExactDedup
         .drain(s, state, in, s"$work/out", s"$work/ckpt")
+        .orderBy(col("doc_id"))
+    }),
+
+    // t15's stream twin: the NB quality classifier as an ingestion
+    // ADMISSION gate — train once on the standing labeled seed, freeze
+    // (model, consts) as parquet artifacts, then score each ordered
+    // chunk per micro-batch and keep positives. Stateless (no ordering
+    // contract, no high-water mark); oracle = t15's train+score SQL
+    // restricted to admitted docs
+    "s14_stream_nb_gate" -> ((s, dir) => {
+      val work = graft.queries.ExtendedQueries.scratchDir("graft_s14")
+      val in = graft.queries.ExtendedQueries.onceLog("s14", dir) { path =>
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        val b = d.agg(min(col("doc_id")), max(col("doc_id"))).first()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val c1 = lo + (hi - lo) / 3
+        val c2 = lo + 2 * (hi - lo) / 3
+        Seq(col("doc_id") <= c1,
+            col("doc_id") > c1 && col("doc_id") <= c2,
+            col("doc_id") > c2).foreach { p =>
+          d.filter(p).coalesce(1).write.mode("append").parquet(path)
+          Thread.sleep(20) // distinct mtimes → deterministic oldest-first arrival
+        }
+      }
+      val d = docs(s, dir)
+      val seed = d.filter(col("source") === "src0" || col("doc_id") % 3 === 0)
+        .select(col("doc_id"), (col("source") === "src0").as("lab"))
+      val (model, consts) = graft.ops.CorpusStats.nbTrain(d, "doc_id", "text", seed)
+      model.write.mode("overwrite").parquet(s"$work/model")
+      consts.write.mode("overwrite").parquet(s"$work/consts")
+      graft.streaming.StreamNbGate.drain(s,
+          s.read.parquet(s"$work/model"), s.read.parquet(s"$work/consts"),
+          in, s"$work/out", s"$work/ckpt")
         .orderBy(col("doc_id"))
     }),
 
@@ -2078,32 +2144,16 @@ object PipelineQueries {
         |ORDER BY doc_id, rk""".stripMargin,
 
     "t15_nb_quality" ->
-      """WITH d AS (SELECT doc_id, text, source FROM documents
-        |           WHERE length(trim(text)) > 0),
-        |tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
-        |        FROM d),
-        |tf AS (SELECT doc_id, w, count(*) AS m FROM tok GROUP BY 1, 2),
-        |seed AS (SELECT doc_id, (source = 'src0') AS lab FROM documents
-        |         WHERE source = 'src0' OR doc_id % 3 = 0),
-        |st AS (SELECT tf.w,
-        |         sum(CASE WHEN lab THEN m ELSE 0 END) AS cpos,
-        |         sum(CASE WHEN NOT lab THEN m ELSE 0 END) AS cneg
-        |       FROM tf JOIN seed USING (doc_id) GROUP BY 1),
-        |sc AS (SELECT sum(cpos) AS tpos, sum(cneg) AS tneg, count(*) AS v FROM st),
-        |pri AS (SELECT sum(CASE WHEN lab THEN 1 ELSE 0 END) AS npos,
-        |               sum(CASE WHEN NOT lab THEN 1 ELSE 0 END) AS nneg FROM seed),
-        |scored AS (
-        |  SELECT tf.doc_id, tf.m,
-        |    coalesce(CAST(round(ln((st.cpos + 1)::DOUBLE / (sc.tpos + sc.v)) * 1000000) AS BIGINT),
-        |             CAST(round(ln(1.0 / (sc.tpos + sc.v)) * 1000000) AS BIGINT)) AS lp,
-        |    coalesce(CAST(round(ln((st.cneg + 1)::DOUBLE / (sc.tneg + sc.v)) * 1000000) AS BIGINT),
-        |             CAST(round(ln(1.0 / (sc.tneg + sc.v)) * 1000000) AS BIGINT)) AS ln_
-        |  FROM tf LEFT JOIN st USING (w) CROSS JOIN sc)
-        |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
-        |  CAST(sum(m * (lp - ln_)) + round(ln(npos::DOUBLE / nneg) * 1000000) AS BIGINT) AS score_q,
-        |  (sum(m * (lp - ln_)) + CAST(round(ln(npos::DOUBLE / nneg) * 1000000) AS BIGINT)) > 0 AS pred
-        |FROM scored CROSS JOIN pri
-        |GROUP BY doc_id, npos, nneg ORDER BY doc_id""".stripMargin,
+      s"""WITH $nbQualityCtes
+         |SELECT doc_id, n_tokens, score_q, score_q > 0 AS pred
+         |FROM nb ORDER BY doc_id""".stripMargin,
+
+    // s14 = t15's classifier as a streaming admission gate over a frozen
+    // model: the admitted set is exactly t15's positive-score rows
+    "s14_stream_nb_gate" ->
+      s"""WITH $nbQualityCtes
+         |SELECT doc_id, n_tokens, score_q
+         |FROM nb WHERE score_q > 0 ORDER BY doc_id""".stripMargin,
 
     "d06_embed_neardup" ->
       s"""WITH $quantCte

@@ -136,4 +136,39 @@ class StreamNoveltySpec extends SparkSpec {
       StreamExactDedup.applyBatch(state, b1, "doc_id", "text", s"$work/out2", 3L)
     }
   }
+
+  test("StreamNbGate over chunks == batch nbQualityScore positives; chunking-invariant") {
+    import spark.implicits._
+    // seed: doc 1/2 positive style ("aa bb"), doc 3 negative style
+    val corpus = Seq(
+      1L -> "aa bb aa bb cc",
+      2L -> "aa bb aa cc",
+      3L -> "zz yy zz yy zz",
+      4L -> "aa bb cc aa",  // unlabeled, positive-leaning
+      5L -> "zz yy zz",     // unlabeled, negative-leaning
+      6L -> "aa zz")        // unlabeled, mixed
+    val df = corpus.toDF("doc_id", "text")
+    val seed = Seq((1L, true), (2L, true), (3L, false)).toDF("doc_id", "lab")
+    val (model, consts) = graft.ops.CorpusStats.nbTrain(df, "doc_id", "text", seed)
+    val expected = graft.ops.CorpusStats.nbQualityScore(df, "doc_id", "text", seed)
+      .filter(col("pred"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expected.nonEmpty && expected.size < corpus.size,
+      s"fixture must discriminate: $expected")
+
+    // two different chunkings must admit the identical set (stateless gate)
+    for ((cuts, tag) <- Seq(Seq(2L, 4L) -> "a", Seq(1L, 5L) -> "b")) {
+      val work = Files.createTempDirectory(s"graft_nbgate_$tag").toString
+      val chunks = (Long.MinValue +: cuts :+ Long.MaxValue).sliding(2).toSeq
+      chunks.foreach { case Seq(lo, hi) =>
+        StreamNbGate.applyBatch(model, consts,
+          df.filter(col("doc_id") > lo && col("doc_id") <= hi),
+          "doc_id", "text", s"$work/out")
+      }
+      val got = spark.read.schema("doc_id long, n_tokens long, score_q long")
+        .parquet(s"$work/out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected, s"chunking $tag: $got vs $expected")
+    }
+  }
 }
