@@ -127,17 +127,26 @@ object Similarity {
     * `array_sort` over k structs — no cross join, no window exchange of
     * n×k rows, ties toward the smaller centroid id. The corpus scan is
     * the whole cost, which is what survives 100 TB. */
-  private def nearestCentroids(side: DataFrame, cents: Seq[Centroid], keep: Int): DataFrame = {
+  /** Centroids ranked by exact-integer cosine against (qCol, nqCol) as a
+    * pure EXPRESSION — best-first array of (sim, -c_id, c_id) structs, so
+    * assignment/probing is a map-only projection with the codebook
+    * inlined as literals (no join, no shuffle). Ties break toward the
+    * smaller centroid id via the -c_id struct field. */
+  private def centroidRank(cents: Seq[Centroid], qCol: Column, nqCol: Column): Column = {
     val entries = cents.map { c =>
       val sim =
         if (c.nq == 0L) lit(0.0)
-        else when(col("nq") === 0, 0.0).otherwise(
-          graft.expr.hfunctions.long_dot(col("q"), typedLit(c.vec)).cast("double") /
-            (sqrt(col("nq").cast("double")) * math.sqrt(c.nq.toDouble)))
+        else when(nqCol === 0, 0.0).otherwise(
+          graft.expr.hfunctions.long_dot(qCol, typedLit(c.vec)).cast("double") /
+            (sqrt(nqCol.cast("double")) * math.sqrt(c.nq.toDouble)))
       // struct order (sim, -c_id): max = best sim, then smallest id
       struct(sim.as("s"), lit(-c.cId).as("nc"), lit(c.cId).as("c_id"))
     }
-    val ranked = reverse(array_sort(array(entries: _*)))
+    reverse(array_sort(array(entries: _*)))
+  }
+
+  private def nearestCentroids(side: DataFrame, cents: Seq[Centroid], keep: Int): DataFrame = {
+    val ranked = centroidRank(cents, col("q"), col("nq"))
     side.withColumn("c_id", explode(slice(ranked, 1, keep).getField("c_id")))
   }
 
@@ -389,6 +398,83 @@ object Similarity {
     val scored = assigned.join(broadcast(queryProbes), Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", cosineq(col("q"), col("q_vec"), col("nq"), col("q_nq")))
+    topK(scored, k)
+  }
+
+  /** Per-subspace product-quantization codebooks: the quantized vector is
+    * cut into `m` contiguous subvectors of dim/m dims and each subspace
+    * trains its own deterministic k-means codebook ([[trainCentroids]] on
+    * the sliced frame — md5-seeded init, exact integer arithmetic, so the
+    * codebooks are engine-portable like the IVF coarse codebook). Seeds
+    * hash only vec_id, so every subspace seeds from the SAME corpus rows
+    * — one convention the oracle replays once, not m times. */
+  def trainPqCodebooks(corpus: DataFrame, m: Int, dim: Int, ksub: Int = 8,
+                       trainIters: Int = 2): Seq[Seq[Centroid]] = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    (0 until m).map { j =>
+      val sj = corpus.select(col("vec_id"),
+          slice(col("q"), j * sub + 1, sub).as("q"))
+        .withColumn("nq", normq(col("q")))
+      trainCentroids(sj, ksub, trainIters)
+    }
+  }
+
+  /** Product-quantization ANN with asymmetric-distance (ADC) scoring —
+    * the compression axis of large-scale vector search (IVF-PQ's PQ
+    * half): each corpus vector is ENCODED as m small centroid codes (m
+    * bytes at ksub ≤ 256) plus its exact norm, and queries score against
+    * the codes, never the raw vectors.
+    *
+    *  - encode: one MAP-ONLY projection — per subspace the codebook is
+    *    inlined as literals ([[centroidRank]] on the slice), so the
+    *    corpus is scanned once with no join and no shuffle; assignment
+    *    is exact integer sub-cosine, ties toward the smaller code.
+    *  - score: each query precomputes its m×ksub lookup table of exact
+    *    integer subvector·centroid dot products (the classic ADC LUT),
+    *    rides broadcast against the encoded corpus, and the approximate
+    *    dot is an m-term LUT sum unrolled into a codegen'd projection:
+    *    `adc(y, x) = Σ_j y_j · c_{j, code_j(x)}`. Cosine denominator
+    *    uses the STORED exact corpus norm (ADC with exact norms), so
+    *    sim degrades only through the dot approximation.
+    *  - top-k: the bounded-heap partial aggregate ([[topK]]) — ≤ k
+    *    candidates per query per task cross the wire.
+    *
+    * At 100 TB the point is memory traffic: the scan reads m codes + one
+    * norm per vector (vs dim floats), the LUT sum is m adds per
+    * candidate, and recall is tunable via m/ksub. Compose with the IVF
+    * index (a04) to prune the scan to probed partitions first — this
+    * operator is the within-list scorer of a full IVF-PQ. All
+    * arithmetic (codebooks, codes, LUT entries, the ≤2^53 integer-exact
+    * double sums) is engine-portable, so the DuckDB oracle replays
+    * train+encode+score bit-for-bit. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 4, dim: Int = 64, ksub: Int = 8,
+             trainIters: Int = 2): DataFrame = {
+    val sub = dim / m
+    val books = trainPqCodebooks(corpus, m, dim, ksub, trainIters)
+    def subQ(j: Int) = slice(col("q"), j * sub + 1, sub)
+    // encode: map-only, codebooks inlined — code_j = best sub-cosine centroid
+    val codes = corpus.select(col("vec_id"), col("nq"),
+      array((0 until m).map { j =>
+        element_at(centroidRank(books(j), subQ(j), normq(subQ(j))), 1)
+          .getField("c_id")
+      }: _*).as("codes"))
+    // per-query ADC lookup tables: luts[j][c] = y_j · centroid_{j,c}
+    val qWide = queries.select(col("vec_id").as("q_id"), col("nq").as("q_nq"),
+      array((0 until m).map { j =>
+        array(books(j).map(c => dotq(subQ(j), typedLit(c.vec))): _*)
+      }: _*).as("luts"))
+    val adc = (0 until m).map { j =>
+      element_at(element_at(col("luts"), j + 1),
+        (element_at(col("codes"), j + 1) + 1).cast("int"))
+    }.reduce(_ + _)
+    val scored = codes.crossJoin(broadcast(qWide))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim",
+        when(col("nq") === 0 || col("q_nq") === 0, 0.0)
+          .otherwise(adc.cast("double") /
+            (sqrt(col("nq").cast("double")) * sqrt(col("q_nq").cast("double")))))
     topK(scored, k)
   }
 

@@ -356,6 +356,17 @@ object ExtendedQueries {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // product-quantization ANN (the PQ half of IVF-PQ): per-subspace
+    // deterministic codebooks, map-only encode (m codes + the exact norm
+    // per vector), queries score via broadcast ADC lookup tables — the
+    // corpus is scanned once as codes, never as raw vectors
+    "a06_ann_pq" -> ((s, dir) => {
+      val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
+      Similarity.pqTopK(corpus, corpus.filter(col("vec_id") < 5),
+          k = 5, m = 4, dim = 64, ksub = 8)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // streaming ANN ingest: the persisted IVF index tracks a GROWING
     // corpus — seed with half the vectors, stream the rest in file-backed
     // micro-batches through foreachBatch → appendToIvfIndex (the frozen
@@ -1243,6 +1254,82 @@ object ExtendedQueries {
        |WHERE vec_id NOT IN (SELECT vec_id FROM drops)
        |ORDER BY vec_id""".stripMargin
 
+  /** DuckDB replica of PQ-ADC: per-subspace the SAME unrolled Lloyd the
+    * IVF oracle uses, but over the sliced vector; encode = final
+    * assignment, score = the 4-term LUT sum over exact integer subvector
+    * dot products (integer-exact in doubles), norms from the stored full
+    * vectors — matching [[graft.ops.Similarity.pqTopK]] bit-for-bit. */
+  private val a06Oracle: String = {
+    val m = 4; val sub = 16; val ksub = 8; val k = 5
+    def subCtes(j: Int): String = {
+      val lo = j * sub + 1; val hi = (j + 1) * sub
+      val p = s"p$j"
+      def lloydIter(i: Int) =
+        s"""${p}a$i AS (
+           |  SELECT vec_id, q, c_id FROM (
+           |    SELECT sb.vec_id, sb.q, c.c_id,
+           |      row_number() OVER (PARTITION BY sb.vec_id ORDER BY
+           |        CASE WHEN sb.nn = 0 OR c.c_nn = 0 THEN 0.0
+           |             ELSE list_dot_product(sb.q::DOUBLE[], c.c_q::DOUBLE[]) / (sqrt(sb.nn) * sqrt(c.c_nn)) END DESC,
+           |        c.c_id ASC) AS crk
+           |    FROM ${p}n sb CROSS JOIN ${p}cent${i - 1} c)
+           |  WHERE crk = 1),
+           |${p}s$i AS (
+           |  SELECT c_id, d, sum(v) AS s, count(*) AS cnt FROM (
+           |    SELECT c_id, unnest(q) AS v, unnest(range(len(q))) AS d FROM ${p}a$i)
+           |  GROUP BY 1, 2),
+           |${p}v$i AS (SELECT c_id,
+           |          list(CAST((s - ((s % cnt) + cnt) % cnt) / cnt AS BIGINT) ORDER BY d) AS c_q
+           |        FROM ${p}s$i GROUP BY c_id),
+           |${p}cent$i AS (
+           |  SELECT pp.c_id, coalesce(v.c_q, pp.c_q) AS c_q,
+           |    list_dot_product(coalesce(v.c_q, pp.c_q)::DOUBLE[], coalesce(v.c_q, pp.c_q)::DOUBLE[]) AS c_nn
+           |  FROM ${p}cent${i - 1} pp LEFT JOIN ${p}v$i v USING (c_id))""".stripMargin
+      s"""${p}n AS (SELECT vec_id, q[$lo:$hi] AS q,
+         |          list_dot_product(q[$lo:$hi]::DOUBLE[], q[$lo:$hi]::DOUBLE[]) AS nn FROM n),
+         |${p}seeds AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS c_id, q
+         |  FROM (SELECT vec_id, q, ${PipelineQueries.h60sql("CAST(vec_id AS VARCHAR)")} AS h FROM ${p}n)
+         |  ORDER BY h, vec_id LIMIT $ksub),
+         |${p}cent0 AS (SELECT c_id, q AS c_q, list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS c_nn FROM ${p}seeds),
+         |${lloydIter(1)},
+         |${lloydIter(2)},
+         |${p}enc AS (
+         |  SELECT vec_id, c_id FROM (
+         |    SELECT sb.vec_id, c.c_id,
+         |      row_number() OVER (PARTITION BY sb.vec_id ORDER BY
+         |        CASE WHEN sb.nn = 0 OR c.c_nn = 0 THEN 0.0
+         |             ELSE list_dot_product(sb.q::DOUBLE[], c.c_q::DOUBLE[]) / (sqrt(sb.nn) * sqrt(c.c_nn)) END DESC,
+         |        c.c_id ASC) AS crk
+         |    FROM ${p}n sb CROSS JOIN ${p}cent2 c)
+         |  WHERE crk = 1),
+         |${p}lut AS (
+         |  SELECT qr.vec_id AS q_id, c.c_id,
+         |    list_dot_product(qr.q::DOUBLE[], c.c_q::DOUBLE[]) AS pdot
+         |  FROM ${p}n qr CROSS JOIN ${p}cent2 c WHERE qr.vec_id < 5)""".stripMargin
+    }
+    s"""WITH ${PipelineQueries.quantCte},
+       |${(0 until m).map(subCtes).mkString(",\n")},
+       |scored AS (
+       |  SELECT l0.q_id, e0.vec_id AS n_id,
+       |    CASE WHEN cn.nn = 0 OR qn.nn = 0 THEN 0.0
+       |         ELSE (l0.pdot + l1.pdot + l2.pdot + l3.pdot) / (sqrt(cn.nn) * sqrt(qn.nn)) END AS sim
+       |  FROM p0enc e0
+       |    JOIN p1enc e1 USING (vec_id) JOIN p2enc e2 USING (vec_id) JOIN p3enc e3 USING (vec_id)
+       |    JOIN n cn ON cn.vec_id = e0.vec_id
+       |    JOIN p0lut l0 ON l0.c_id = e0.c_id
+       |    JOIN p1lut l1 ON l1.c_id = e1.c_id AND l1.q_id = l0.q_id
+       |    JOIN p2lut l2 ON l2.c_id = e2.c_id AND l2.q_id = l0.q_id
+       |    JOIN p3lut l3 ON l3.c_id = e3.c_id AND l3.q_id = l0.q_id
+       |    JOIN n qn ON qn.vec_id = l0.q_id
+       |  WHERE e0.vec_id <> l0.q_id)
+       |SELECT q_id, n_id, sim, rk FROM (
+       |  SELECT q_id, n_id, sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
+       |  FROM scored)
+       |WHERE rk <= $k ORDER BY q_id, rk""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
 
     "q11_cube" ->
@@ -1525,6 +1612,8 @@ object ExtendedQueries {
     "a04_ann_ivf_index" -> a03Oracle,
 
     "a03_ann_ivf" -> a03Oracle,
+
+    "a06_ann_pq" -> a06Oracle,
 
     "a05_semdedup" -> a05Oracle,
 

@@ -105,6 +105,46 @@ class SimilaritySpec extends SparkSpec {
     assert(r4 >= r2, f"more probes must not lose recall: $r4%.3f < $r2%.3f")
   }
 
+  test("PQ-ADC: deterministic codebooks, self-consistent codes, useful recall vs brute force") {
+    // codebooks are bit-deterministic (the IVF property per subspace)
+    val books = Similarity.trainPqCodebooks(corpus, m = 4, dim = 64)
+    assert(books == Similarity.trainPqCodebooks(corpus, m = 4, dim = 64))
+    assert(books.length == 4 && books.forall(_.length == 8))
+    // every subspace codebook vector has the subspace dimensionality
+    assert(books.flatten.forall(_.vec.length == 16))
+
+    val queries = corpus.filter(col("vec_id") < 7)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(corpus, queries, 5))
+    val pq = pairs(Similarity.pqTopK(corpus, queries, 5, m = 4, dim = 64))
+    val recall = (brute & pq).size.toDouble / brute.size
+    info(f"PQ(4x16, 8 codes) recall vs brute-force top-5: $recall%.3f")
+    // near-uniform random embeddings are the WORST case for product
+    // quantization (subspace residuals are isotropic noise, measured
+    // ~0.09 here); the floor is ~4x the random-guess baseline of
+    // k/|corpus| ≈ 0.008 at this fixture size — it catches a collapsed
+    // quantizer (every vector in one cell scores constant → recall ≈
+    // random), not a tuned accuracy target. Real corpora cluster, which
+    // is the regime PQ (and its a04 IVF composition) is built for.
+    assert(recall >= 0.03, f"recall $recall%.3f ≈ random — encode or ADC broke")
+
+    // ADC exactness contract: when the scored "corpus" contains exactly
+    // the per-subspace centroid concatenations, every vector encodes to
+    // itself and the ADC dot IS the exact dot — PQ top-1 must equal
+    // brute-force top-1 on that reconstruction corpus
+    import spark.implicits._
+    val recon = (0 until 8).map { c =>
+      (c.toLong + 1000L, books.flatMap(b => b(c).vec))
+    }.toDF("vec_id", "q").withColumn("nq", graft.expr.hfunctions.long_dot(col("q"), col("q")))
+    val bruteR = Similarity.bruteForceTopK(recon, recon.filter(col("vec_id") === 1000L), 1)
+      .select("n_id").collect().map(_.getLong(0)).toSet
+    val pqR = Similarity.pqTopK(recon, recon.filter(col("vec_id") === 1000L), 1,
+        m = 4, dim = 64)
+      .select("n_id").collect().map(_.getLong(0)).toSet
+    assert(pqR == bruteR, s"ADC must be exact on centroid reconstructions: $pqR vs $bruteR")
+  }
+
   test("compiled srpBucketFast == higher-order-function srpBucket (a02's oracle contract)") {
     val rows = corpus.limit(50)
       .select(Similarity.srpBucket(col("q"), 8).as("hof"),
