@@ -493,8 +493,13 @@ object Similarity {
     * id exists within cosine ≥ τ") is deterministic and engine-portable
     * — no float accumulation order, no RNG. */
   def semDedup(corpus: DataFrame, threshold: Double, nCentroids: Int = 8,
-               trainIters: Int = 2): DataFrame = {
-    val cents = trainCentroids(corpus, nCentroids, trainIters)
+               trainIters: Int = 2,
+               codebook: Option[Seq[Centroid]] = None): DataFrame = {
+    // a caller-frozen codebook lets dedup run over a SUBSET (e.g. the
+    // admitted docs of a curation gate) in the coordinate system of the
+    // full corpus — assignment is per-row, so subset c_ids equal the
+    // full-corpus assignment restricted to the subset
+    val cents = codebook.getOrElse(trainCentroids(corpus, nCentroids, trainIters))
     val assigned = nearestCentroids(corpus, cents, keep = 1)
       .select(col("vec_id"), col("q"), col("nq"), col("c_id"))
     val a = assigned.select(col("c_id"), col("vec_id").as("a_id"),

@@ -367,6 +367,30 @@ object ExtendedQueries {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // round-11 curation chain: model-based quality gate (t15's NB
+    // classifier admits score > 0) → SEMANTIC dedup of the admitted set
+    // in the FULL-corpus cluster space (frozen codebook, so subset
+    // assignments equal the corpus assignment) → token-budget selection
+    // ranked on mean per-token log-odds. Every stage a library operator;
+    // the chain replays as ONE oracle statement
+    "p25_model_curation" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val seed = d.filter(col("source") === "src0" || col("doc_id") % 3 === 0)
+        .select(col("doc_id"), (col("source") === "src0").as("lab"))
+      val admitted = graft.ops.CorpusStats.nbQualityScore(d, "doc_id", "text", seed)
+        .filter(col("pred"))
+      val emb = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
+      val cents = Similarity.trainCentroids(emb, 8, 2)
+      val admEmb = emb.join(admitted.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      val kept = Similarity.semDedup(admEmb, 0.4, codebook = Some(cents))
+      val sel = admitted
+        .join(kept.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+        .withColumn("q", col("score_q").cast("double") / (col("n_tokens") * lit(1e6)))
+      graft.ops.Sampling.tokenBudget(sel, "doc_id", "q", "n_tokens", budget = 600L)
+        .orderBy(col("doc_id"))
+    }),
+
     // streaming ANN ingest: the persisted IVF index tracks a GROWING
     // corpus — seed with half the vectors, stream the rest in file-backed
     // micro-batches through foreachBatch → appendToIvfIndex (the frozen
@@ -1614,6 +1638,34 @@ object ExtendedQueries {
     "a03_ann_ivf" -> a03Oracle,
 
     "a06_ann_pq" -> a06Oracle,
+
+    // the round-11 chain end-to-end: NB gate (nbQualityCtes) + SemDeDup
+    // over the admitted subset in the full-corpus cluster space
+    // (kmeansAssignCtes' corpus_a restricted to admitted ids) + the p02
+    // token-budget window on mean per-token log-odds
+    "p25_model_curation" ->
+      s"""$kmeansAssignCtes,
+         |${PipelineQueries.nbQualityCtes},
+         |adm AS (SELECT doc_id, n_tokens, score_q FROM nb WHERE score_q > 0),
+         |ca AS (SELECT c.vec_id, c.q, c.nn, c.c_id
+         |       FROM corpus_a c JOIN adm ON c.vec_id = adm.doc_id),
+         |drops AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM ca a JOIN ca b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+         |  WHERE CASE WHEN a.nn = 0 OR b.nn = 0 THEN 0.0
+         |        ELSE list_dot_product(a.q::DOUBLE[], b.q::DOUBLE[]) / (sqrt(a.nn) * sqrt(b.nn)) END >= 0.4),
+         |kept AS (SELECT vec_id FROM ca
+         |         WHERE vec_id NOT IN (SELECT vec_id FROM drops)),
+         |sel AS (
+         |  SELECT adm.doc_id, adm.n_tokens,
+         |    adm.score_q::DOUBLE / (adm.n_tokens * 1000000.0) AS q
+         |  FROM adm JOIN kept ON kept.vec_id = adm.doc_id),
+         |o AS (SELECT doc_id, n_tokens, q,
+         |  sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM sel)
+         |SELECT doc_id, n_tokens, q FROM o WHERE cum <= 600
+         |ORDER BY doc_id""".stripMargin,
 
     "a05_semdedup" -> a05Oracle,
 

@@ -72,7 +72,7 @@ object PipelineQueries {
     * train+score — seed labeling, Laplace-smoothed per-token class
     * likelihoods quantized to the 10⁻⁶ grid, exact integer log-odds sum
     * plus prior — ending in an `nb` CTE of (doc_id, n_tokens, score_q). */
-  private val nbQualityCtes: String =
+  private[queries] val nbQualityCtes: String =
     """d AS (SELECT doc_id, text, source FROM documents
       |       WHERE length(trim(text)) > 0),
       |tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
