@@ -478,6 +478,57 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Full IVF-PQ serving — the canonical 100 TB vector-search
+    * architecture, composed from the two halves this library already
+    * verifies separately: the IVF coarse quantizer (a03/a04) prunes the
+    * candidate set to the query's `nProbe` nearest lists, and PQ-ADC
+    * (a06) scores inside them from m-code compression instead of raw
+    * vectors.
+    *
+    * One map-only encode pass emits (c_id, codes[m], norm) per corpus
+    * vector — both quantizers inlined as literal expressions, no join,
+    * no shuffle; at scale this is the index build you persist
+    * partitioned by c_id (the a04 layout with codes instead of raw
+    * vectors, dim floats → m codes + 1 long per row). Queries broadcast
+    * (probe list ids + ADC LUTs); the probe join keys on c_id so a
+    * query pays ~nProbe/nCentroids of the corpus, each candidate an
+    * m-term LUT sum. Recall compounds coarse-pruning loss with ADC
+    * approximation — tunable by nProbe and m/ksub independently. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nCentroids: Int = 8, nProbe: Int = 2,
+                m: Int = 4, dim: Int = 64, ksub: Int = 8,
+                trainIters: Int = 2): DataFrame = {
+    val coarse = trainCentroids(corpus, nCentroids, trainIters)
+    val books = trainPqCodebooks(corpus, m, dim, ksub, trainIters)
+    val sub = dim / m
+    def subQ(j: Int) = slice(col("q"), j * sub + 1, sub)
+    val encoded = corpus.select(col("vec_id"), col("nq"),
+      element_at(centroidRank(coarse, col("q"), col("nq")), 1)
+        .getField("c_id").as("c_id"),
+      array((0 until m).map { j =>
+        element_at(centroidRank(books(j), subQ(j), normq(subQ(j))), 1)
+          .getField("c_id")
+      }: _*).as("codes"))
+    val qProbes = nearestCentroids(queries, coarse, keep = nProbe)
+      .select(col("vec_id").as("q_id"), col("nq").as("q_nq"), col("c_id"),
+        array((0 until m).map { j =>
+          array(books(j).map(c => dotq(subQ(j), typedLit(c.vec))): _*)
+        }: _*).as("luts"))
+    val adc = (0 until m).map { j =>
+      element_at(element_at(col("luts"), j + 1),
+        (element_at(col("codes"), j + 1) + 1).cast("int"))
+    }.reduce(_ + _)
+    // one list per corpus vector + distinct probed lists per query ⇒
+    // every (corpus, query) pair scores at most once
+    val scored = encoded.join(broadcast(qProbes), Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim",
+        when(col("nq") === 0 || col("q_nq") === 0, 0.0)
+          .otherwise(adc.cast("double") /
+            (sqrt(col("nq").cast("double")) * sqrt(col("q_nq").cast("double")))))
+    topK(scored, k)
+  }
+
   /** SemDeDup-style cluster-scoped embedding dedup: k-means the corpus
     * with the deterministic codebook ([[trainCentroids]]), then WITHIN
     * each cluster drop every vector that has a near-duplicate (cosine ≥

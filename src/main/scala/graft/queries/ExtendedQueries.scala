@@ -367,6 +367,16 @@ object ExtendedQueries {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // full IVF-PQ: coarse probe-list pruning (a03) + PQ-ADC scoring
+    // inside the probed lists (a06) — the two halves composed into the
+    // canonical compressed-index serving path
+    "a07_ann_ivfpq" -> ((s, dir) => {
+      val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
+      Similarity.ivfPqTopK(corpus, corpus.filter(col("vec_id") < 5),
+          k = 5, nCentroids = 8, nProbe = 2, m = 4, dim = 64, ksub = 8)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // round-11 curation chain: model-based quality gate (t15's NB
     // classifier admits score > 0) → SEMANTIC dedup of the admitted set
     // in the FULL-corpus cluster space (frozen codebook, so subset
@@ -1283,9 +1293,12 @@ object ExtendedQueries {
     * assignment, score = the 4-term LUT sum over exact integer subvector
     * dot products (integer-exact in doubles), norms from the stored full
     * vectors — matching [[graft.ops.Similarity.pqTopK]] bit-for-bit. */
-  private val a06Oracle: String = {
-    val m = 4; val sub = 16; val ksub = 8; val k = 5
-    def subCtes(j: Int): String = {
+  /** One PQ subspace's oracle CTEs (prefix `p$j`): the sliced frame, the
+    * unrolled deterministic Lloyd, the final encode assignment, and the
+    * per-query ADC lookup table — shared by a06 (flat PQ) and a07
+    * (IVF-PQ). */
+  private def pqSubCtes(j: Int): String = {
+      val sub = 16; val ksub = 8
       val lo = j * sub + 1; val hi = (j + 1) * sub
       val p = s"p$j"
       def lloydIter(i: Int) =
@@ -1331,9 +1344,12 @@ object ExtendedQueries {
          |  SELECT qr.vec_id AS q_id, c.c_id,
          |    list_dot_product(qr.q::DOUBLE[], c.c_q::DOUBLE[]) AS pdot
          |  FROM ${p}n qr CROSS JOIN ${p}cent2 c WHERE qr.vec_id < 5)""".stripMargin
-    }
+  }
+
+  private val a06Oracle: String = {
+    val m = 4; val k = 5
     s"""WITH ${PipelineQueries.quantCte},
-       |${(0 until m).map(subCtes).mkString(",\n")},
+       |${(0 until m).map(pqSubCtes).mkString(",\n")},
        |scored AS (
        |  SELECT l0.q_id, e0.vec_id AS n_id,
        |    CASE WHEN cn.nn = 0 OR qn.nn = 0 THEN 0.0
@@ -1351,6 +1367,38 @@ object ExtendedQueries {
        |  SELECT q_id, n_id, sim,
        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
        |  FROM scored)
+       |WHERE rk <= $k ORDER BY q_id, rk""".stripMargin
+  }
+
+  /** Full IVF-PQ: the coarse quantizer's probe lists (a03's CTEs) confine
+    * the candidate set; the PQ subspace CTEs (a06's) supply codes and ADC
+    * lookup tables for scoring inside them. */
+  private val a07Oracle: String = {
+    val m = 4; val k = 5
+    s"""$kmeansAssignCtes,
+       |${(0 until m).map(pqSubCtes).mkString(",\n")},
+       |probes AS (SELECT vec_id AS q_id, c_id FROM assign
+       |           WHERE crk <= 2 AND vec_id < 5),
+       |ascored AS (
+       |  SELECT p.q_id, ca.vec_id AS n_id,
+       |    CASE WHEN cn.nn = 0 OR qn.nn = 0 THEN 0.0
+       |         ELSE (l0.pdot + l1.pdot + l2.pdot + l3.pdot) / (sqrt(cn.nn) * sqrt(qn.nn)) END AS sim
+       |  FROM corpus_a ca
+       |    JOIN probes p ON ca.c_id = p.c_id AND ca.vec_id <> p.q_id
+       |    JOIN p0enc e0 ON e0.vec_id = ca.vec_id
+       |    JOIN p1enc e1 ON e1.vec_id = ca.vec_id
+       |    JOIN p2enc e2 ON e2.vec_id = ca.vec_id
+       |    JOIN p3enc e3 ON e3.vec_id = ca.vec_id
+       |    JOIN n cn ON cn.vec_id = ca.vec_id
+       |    JOIN n qn ON qn.vec_id = p.q_id
+       |    JOIN p0lut l0 ON l0.c_id = e0.c_id AND l0.q_id = p.q_id
+       |    JOIN p1lut l1 ON l1.c_id = e1.c_id AND l1.q_id = p.q_id
+       |    JOIN p2lut l2 ON l2.c_id = e2.c_id AND l2.q_id = p.q_id
+       |    JOIN p3lut l3 ON l3.c_id = e3.c_id AND l3.q_id = p.q_id)
+       |SELECT q_id, n_id, sim, rk FROM (
+       |  SELECT q_id, n_id, sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
+       |  FROM ascored)
        |WHERE rk <= $k ORDER BY q_id, rk""".stripMargin
   }
 
@@ -1638,6 +1686,8 @@ object ExtendedQueries {
     "a03_ann_ivf" -> a03Oracle,
 
     "a06_ann_pq" -> a06Oracle,
+
+    "a07_ann_ivfpq" -> a07Oracle,
 
     // the round-11 chain end-to-end: NB gate (nbQualityCtes) + SemDeDup
     // over the admitted subset in the full-corpus cluster space

@@ -145,6 +145,34 @@ class SimilaritySpec extends SparkSpec {
     assert(pqR == bruteR, s"ADC must be exact on centroid reconstructions: $pqR vs $bruteR")
   }
 
+  test("IVF-PQ: probing ALL lists == flat PQ; pruning only narrows the candidate set") {
+    val queries = corpus.filter(col("vec_id") < 7)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id", "sim", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    // with every list probed the coarse quantizer prunes nothing, so
+    // IVF-PQ must reproduce flat PQ-ADC bit-for-bit (sims included)
+    val flat = rows(Similarity.pqTopK(corpus, queries, 5, m = 4, dim = 64))
+    val allProbes = rows(Similarity.ivfPqTopK(corpus, queries, 5,
+      nCentroids = 8, nProbe = 8, m = 4, dim = 64))
+    assert(allProbes == flat, "nProbe = nCentroids must equal flat PQ")
+    // with real pruning the result is a subset of per-query candidates:
+    // every returned neighbor must also be an ADC-scored candidate of
+    // the flat path's ranking universe (same sim for the same pair)
+    val pruned = Similarity.ivfPqTopK(corpus, queries, 5,
+      nCentroids = 8, nProbe = 2, m = 4, dim = 64)
+      .select("q_id", "n_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pruned.nonEmpty)
+    val flatAllSims = Similarity.pqTopK(corpus, queries, 600, m = 4, dim = 64)
+      .select("q_id", "n_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    pruned.foreach { case (pair, sim) =>
+      assert(flatAllSims.get(pair).contains(sim),
+        s"pruned pair $pair sim $sim must match the flat ADC sim ${flatAllSims.get(pair)}")
+    }
+  }
+
   test("compiled srpBucketFast == higher-order-function srpBucket (a02's oracle contract)") {
     val rows = corpus.limit(50)
       .select(Similarity.srpBucket(col("q"), 8).as("hof"),
