@@ -241,4 +241,116 @@ object CorpusStats {
         (col("diff") + col("_p")).as("score_q"),
         (col("diff") + col("_p") > 0).as("pred"))
   }
+
+  // DSIR importance resampling ---------------------------------------------
+
+  /** Per-(doc, hashed-feature-bucket) counts — DSIR's hashed bag-of-ngrams
+    * features: every unigram and word bigram hashed into `buckets`
+    * buckets (`hash60 mod B`; hash60 is non-negative, so `%` ≡ `pmod` in
+    * every engine). One explode per n-gram order, both collapsed map-side
+    * by the per-(doc, bucket) aggregation — the only stage that sees one
+    * row per token occurrence. */
+  private def dsirTf(docs: DataFrame, idCol: String, textCol: String,
+                     buckets: Int): DataFrame = {
+    val base = docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("_tk"))
+    val uni = base.select(col("doc_id"), explode(col("_tk")).as("f"))
+    val bi = base.filter(size(col("_tk")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("_tk")) - 1),
+        i => concat(element_at(col("_tk"), i), lit(" "),
+          element_at(col("_tk"), i + 1)))).as("f"))
+    uni.unionByName(bi)
+      .select(col("doc_id"), (Dedup.hash60(col("f")) % buckets).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("m"))
+  }
+
+  /** DSIR feature-distribution fit — the "Data Selection via Importance
+    * Resampling" recipe (Xie et al., NeurIPS 2023): fit hashed-n-gram
+    * bucket distributions on a TARGET corpus (the distribution you want
+    * more of) and a RAW corpus (what you are selecting from), both
+    * Laplace-smoothed over the fixed `buckets`-sized feature space. A
+    * document's log importance weight is then
+    *
+    *   log w(x) = Σ_buckets m_b(x) · [ln p_target(b) − ln p_raw(b)]
+    *
+    * with each bucket log-likelihood QUANTIZED to the 10⁻⁶ grid (the t10
+    * convention) so per-doc sums are order-free exact integer sums.
+    *
+    * Returns (model, consts): `model` is (b, ltq, lrq) — at most `buckets`
+    * rows — and `consts` one row (ut, ur), the two "unseen bucket"
+    * likelihoods for buckets absent from both seeds.
+    *
+    * THE scale property (and DSIR's selling point over vocabulary-keyed
+    * models like [[nbTrain]]): the model is FIXED-SIZE — B rows no matter
+    * how large the corpus — so it broadcasts unconditionally at any scale
+    * and scoring never shuffles a model side. Freeze both frames (write
+    * to parquet) to score later increments/streams against a fixed
+    * reference. */
+  def dsirTrain(target: DataFrame, raw: DataFrame, idCol: String,
+                textCol: String, buckets: Int = 1024): (DataFrame, DataFrame) = {
+    val ct = dsirTf(target, idCol, textCol, buckets).groupBy("b").agg(sum("m").as("ct"))
+    val cr = dsirTf(raw, idCol, textCol, buckets).groupBy("b").agg(sum("m").as("cr"))
+    val joined = ct.join(cr, Seq("b"), "full")
+      .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val scal = joined.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    def q(x: Column): Column = round(log(x) * 1e6).cast("long")
+    val model = joined.crossJoin(broadcast(scal)).select(col("b"),
+      q((col("ct") + 1).cast("double") / (col("tt") + buckets)).as("ltq"),
+      q((col("cr") + 1).cast("double") / (col("tr") + buckets)).as("lrq"))
+    val consts = scal.select(
+      q(lit(1.0) / (col("tt") + buckets)).as("ut"),
+      q(lit(1.0) / (col("tr") + buckets)).as("ur"))
+    (model, consts)
+  }
+
+  /** Score documents against a trained DSIR (model, consts) pair:
+    * (doc_id, n_feats, logw_q) with `logw_q` the exact-integer quantized
+    * log importance weight. Plan shape: one per-(doc, bucket) pre-agg
+    * shuffle, a BROADCAST probe join on the fixed-size model (map-only —
+    * the model is ≤ `buckets` rows by construction), one per-doc sum
+    * shuffle. Nothing model-sized ever crosses the network. */
+  def dsirScore(docs: DataFrame, idCol: String, textCol: String,
+                model: DataFrame, consts: DataFrame,
+                buckets: Int = 1024): DataFrame =
+    dsirTf(docs, idCol, textCol, buckets)
+      .join(broadcast(model), Seq("b"), "left")
+      .crossJoin(broadcast(consts))
+      .withColumn("contrib",
+        col("m") * (coalesce(col("ltq"), col("ut")) - coalesce(col("lrq"), col("ur"))))
+      .groupBy("doc_id")
+      .agg(sum("m").as("n_feats"), sum("contrib").as("logw_q"))
+
+  /** Deterministic Gumbel-top-k importance resampling over DSIR-scored
+    * documents: sampling k docs WITHOUT replacement with probability
+    * ∝ w(x) is exactly "take the k largest log w(x) + G_x" (the
+    * Gumbel-max trick), and the Gumbel noise here is derived from md5 of
+    * the doc id — no RNG state, identical on any engine, any partitioning,
+    * any rerun:
+    *
+    *   u = (hash60(seed | id) mod 2^20 + 0.5) / 2^20   ∈ (0, 1)
+    *   gumbel_q = round(−ln(−ln u) · 10⁶)
+    *   key_q = logw_q + gumbel_q
+    *
+    * The global top-k is the bounded-heap partial aggregate
+    * ([[graft.expr.TopKByScore]]) over ONE group: each task keeps ≤ k
+    * candidates, the final exchange carries ≤ k×tasks rows — no global
+    * sort, no full-corpus window. Output: the input row + gumbel_q,
+    * key_q, rk (1..k by key_q desc, id asc). */
+  def dsirResample(scored: DataFrame, idCol: String, weightCol: String,
+                   k: Int, seed: String = "dsir"): DataFrame = {
+    val M = 1L << 20
+    val u = (Dedup.hash60(concat(lit(seed + "|"), col(idCol).cast("string")))
+      .mod(M).cast("double") + 0.5) / M
+    val keyed = scored
+      .withColumn("gumbel_q", round(-log(-log(u)) * 1e6).cast("long"))
+      .withColumn("key_q", col(weightCol) + col("gumbel_q"))
+    val top = keyed.groupBy()
+      .agg(graft.expr.hfunctions.topk_by(
+        col("key_q").cast("double"), col(idCol), k).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.n_id").as(idCol), col("t.rk").as("rk"))
+    keyed.join(broadcast(top), Seq(idCol))
+  }
 }

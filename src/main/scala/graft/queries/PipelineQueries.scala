@@ -100,6 +100,43 @@ object PipelineQueries {
       |  FROM scored CROSS JOIN pri
       |  GROUP BY doc_id, npos, nneg)""".stripMargin
 
+  /** Shared by t16 (batch DSIR importance weights), p26 (Gumbel-top-k
+    * resampling) and s15 (the streaming admission twin over a frozen
+    * model): fit hashed-unigram+bigram bucket distributions on the target
+    * (source 'src0') and raw (doc_id % 3 = 1) seeds, Laplace-smoothed over
+    * the fixed 1024-bucket feature space, each bucket log-likelihood
+    * quantized to the 10⁻⁶ grid — ending in a `dsir` CTE of
+    * (doc_id, n_feats, logw_q). */
+  private[queries] val dsirCtes: String =
+    s"""d AS (SELECT doc_id, text, source FROM documents
+       |       WHERE length(trim(text)) > 0),
+       |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM d),
+       |uni AS (SELECT doc_id, unnest(tk) AS f FROM tok),
+       |bi AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+       |        i -> tk[i] || ' ' || tk[i+1])) AS f FROM tok WHERE len(tk) >= 2),
+       |feats AS (SELECT doc_id, ${h60sql("f")} % 1024 AS b
+       |          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+       |ftf AS (SELECT doc_id, b, count(*) AS m FROM feats GROUP BY 1, 2),
+       |dct AS (SELECT b, sum(m) AS ct FROM ftf JOIN documents USING (doc_id)
+       |        WHERE source = 'src0' GROUP BY 1),
+       |dcr AS (SELECT b, sum(m) AS cr FROM ftf WHERE doc_id % 3 = 1 GROUP BY 1),
+       |dj AS (SELECT coalesce(dct.b, dcr.b) AS b, coalesce(dct.ct, 0) AS ct,
+       |              coalesce(dcr.cr, 0) AS cr
+       |       FROM dct FULL JOIN dcr ON dct.b = dcr.b),
+       |dsc AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM dj),
+       |dmodel AS (SELECT b,
+       |    CAST(round(ln((ct + 1)::DOUBLE / (tt + 1024)) * 1000000) AS BIGINT) AS ltq,
+       |    CAST(round(ln((cr + 1)::DOUBLE / (tr + 1024)) * 1000000) AS BIGINT) AS lrq
+       |  FROM dj CROSS JOIN dsc),
+       |dconsts AS (SELECT
+       |    CAST(round(ln(1.0 / (tt + 1024)) * 1000000) AS BIGINT) AS ut,
+       |    CAST(round(ln(1.0 / (tr + 1024)) * 1000000) AS BIGINT) AS ur FROM dsc),
+       |dsir AS (
+       |  SELECT ftf.doc_id, CAST(sum(m) AS BIGINT) AS n_feats,
+       |    CAST(sum(m * (coalesce(ltq, ut) - coalesce(lrq, ur))) AS BIGINT) AS logw_q
+       |  FROM ftf LEFT JOIN dmodel USING (b) CROSS JOIN dconsts
+       |  GROUP BY 1)""".stripMargin
+
   /** Shared by p03 (exact probe) and p18 (Bloom-prefiltered probe): the
     * two operators are required to be byte-identical, so they share ONE
     * oracle statement. */
@@ -610,6 +647,38 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // t16's stream twin: the DSIR importance gate as ingestion ADMISSION —
+    // fit once on the standing target/raw seeds, freeze (model, consts) as
+    // parquet artifacts, score each ordered chunk per micro-batch, keep
+    // logw_q > 0. Stateless like s14; the fixed-size model broadcasts
+    // unconditionally on every trigger — no vocabulary-sized probe at all
+    "s15_stream_dsir_gate" -> ((s, dir) => {
+      val work = graft.queries.ExtendedQueries.scratchDir("graft_s15")
+      val in = graft.queries.ExtendedQueries.onceLog("s15", dir) { path =>
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        val b = d.agg(min(col("doc_id")), max(col("doc_id"))).first()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val c1 = lo + (hi - lo) / 3
+        val c2 = lo + 2 * (hi - lo) / 3
+        Seq(col("doc_id") <= c1,
+            col("doc_id") > c1 && col("doc_id") <= c2,
+            col("doc_id") > c2).foreach { p =>
+          d.filter(p).coalesce(1).write.mode("append").parquet(path)
+          Thread.sleep(20) // distinct mtimes → deterministic oldest-first arrival
+        }
+      }
+      val d = docs(s, dir)
+      val (model, consts) = graft.ops.CorpusStats.dsirTrain(
+        d.filter(col("source") === "src0"), d.filter(col("doc_id") % 3 === 1),
+        "doc_id", "text", buckets = 1024)
+      model.write.mode("overwrite").parquet(s"$work/model")
+      consts.write.mode("overwrite").parquet(s"$work/consts")
+      graft.streaming.StreamDsirGate.drain(s,
+          s.read.parquet(s"$work/model"), s.read.parquet(s"$work/consts"),
+          1024, in, s"$work/out", s"$work/ckpt")
+        .orderBy(col("doc_id"))
+    }),
+
     // d15's stream twin: the cut computed incrementally per micro-batch
     // over the s11 seen-k-gram state — same ordered three-chunk log,
     // same DocStateStore bucketing, oracle = d15's SQL verbatim
@@ -936,6 +1005,38 @@ object PipelineQueries {
         .select(col("doc_id"), (col("source") === "src0").as("lab"))
       graft.ops.CorpusStats.nbQualityScore(d, "doc_id", "text", seed)
         .orderBy(col("doc_id"))
+    }),
+
+    // DSIR importance weights (Xie et al. 2023): target = the curated
+    // 'src0' source, raw = a deterministic 1-in-3 slice of the crawl; fit
+    // hashed-unigram+bigram bucket distributions once, score EVERY doc by
+    // quantized log importance weight. The model is FIXED-SIZE (1024
+    // buckets) — broadcastable at any corpus scale, unlike t15's
+    // vocabulary-sized NB model
+    "t16_dsir_weights" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val (model, consts) = graft.ops.CorpusStats.dsirTrain(
+        d.filter(col("source") === "src0"), d.filter(col("doc_id") % 3 === 1),
+        "doc_id", "text", buckets = 1024)
+      graft.ops.CorpusStats.dsirScore(d, "doc_id", "text", model, consts,
+          buckets = 1024)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gumbel-top-k importance RESAMPLING over the t16 weights: md5-derived
+    // deterministic Gumbel noise + the bounded-heap global top-k — sample
+    // 40 docs without replacement ∝ importance weight, bit-reproducible
+    // across engines, partitionings, and reruns
+    "p26_dsir_select" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val (model, consts) = graft.ops.CorpusStats.dsirTrain(
+        d.filter(col("source") === "src0"), d.filter(col("doc_id") % 3 === 1),
+        "doc_id", "text", buckets = 1024)
+      val scored = graft.ops.CorpusStats.dsirScore(d, "doc_id", "text",
+        model, consts, buckets = 1024)
+      graft.ops.CorpusStats.dsirResample(scored, "doc_id", "logw_q", k = 40)
+        .select("doc_id", "n_feats", "logw_q", "gumbel_q", "key_q", "rk")
+        .orderBy(col("rk"))
     }),
 
     // ---- similarity search ----
@@ -2154,6 +2255,32 @@ object PipelineQueries {
       s"""WITH $nbQualityCtes
          |SELECT doc_id, n_tokens, score_q
          |FROM nb WHERE score_q > 0 ORDER BY doc_id""".stripMargin,
+
+    "t16_dsir_weights" ->
+      s"""WITH $dsirCtes
+         |SELECT doc_id, n_feats, logw_q
+         |FROM dsir ORDER BY doc_id""".stripMargin,
+
+    // s15 = t16's importance gate as a streaming admission filter over a
+    // frozen model: the admitted set is exactly t16's positive-weight rows
+    "s15_stream_dsir_gate" ->
+      s"""WITH $dsirCtes
+         |SELECT doc_id, n_feats, logw_q
+         |FROM dsir WHERE logw_q > 0 ORDER BY doc_id""".stripMargin,
+
+    // deterministic Gumbel-top-k resampling: u from md5 of the doc id,
+    // gumbel = -ln(-ln u) quantized, global top-40 by (logw_q + gumbel)
+    "p26_dsir_select" ->
+      s"""WITH $dsirCtes,
+         |dg AS (SELECT doc_id, n_feats, logw_q,
+         |    CAST(round(-ln(-ln(
+         |      (${h60sql("'dsir|' || CAST(doc_id AS VARCHAR)")} % 1048576 + 0.5)
+         |        / 1048576)) * 1000000) AS BIGINT) AS gumbel_q
+         |  FROM dsir),
+         |dk AS (SELECT *, logw_q + gumbel_q AS key_q FROM dg),
+         |dr AS (SELECT *, row_number() OVER (ORDER BY key_q DESC, doc_id) AS rk FROM dk)
+         |SELECT doc_id, n_feats, logw_q, gumbel_q, key_q, CAST(rk AS BIGINT) AS rk
+         |FROM dr WHERE rk <= 40 ORDER BY rk""".stripMargin,
 
     "d06_embed_neardup" ->
       s"""WITH $quantCte

@@ -116,4 +116,84 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got(1L)._3 && !got(3L)._3)
     assert(got(1L) == got(5L))
   }
+
+  // shared brute-force pieces for the DSIR tests ---------------------------
+
+  private def h60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(md.substring(0, 15), 16)
+  }
+
+  /** hashed unigram+bigram bucket sequence of a text, mirroring dsirTf */
+  private def dsirFeats(t: String, b: Int): Seq[Long] = {
+    val tk = t.split("\\s+").toSeq
+    (tk ++ tk.sliding(2).filter(_.size == 2).map(_.mkString(" ")))
+      .map(f => h60(f) % b)
+  }
+
+  test("dsirScore == brute-force hashed-ngram importance weights") {
+    val B = 64
+    val d = df
+    val (model, consts) = CorpusStats.dsirTrain(
+      d.filter(col("doc_id").isin(1L, 5L)), d.filter(col("doc_id").isin(2L, 3L)),
+      "doc_id", "text", buckets = B)
+    val got = CorpusStats.dsirScore(d, "doc_id", "text", model, consts, buckets = B)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // brute force: Laplace smoothing over the FIXED B-bucket space means a
+    // bucket unseen in a seed contributes exactly the "unseen" constant —
+    // no seen-set special case, unlike NB's data-dependent vocabulary
+    val corpusMap = corpus.toMap
+    val ct = Seq(1L, 5L).flatMap(id => dsirFeats(corpusMap(id), B))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cr = Seq(2L, 3L).flatMap(id => dsirFeats(corpusMap(id), B))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (tt, tr) = (ct.values.sum, cr.values.sum)
+    def q(x: Double) = math.round(math.log(x) * 1e6)
+    def lt(b: Long) = q((ct.getOrElse(b, 0L) + 1).toDouble / (tt + B))
+    def lr(b: Long) = q((cr.getOrElse(b, 0L) + 1).toDouble / (tr + B))
+    val expected = corpus.map { case (id, t) =>
+      val fs = dsirFeats(t, B)
+      id -> (fs.size.toLong, fs.map(b => lt(b) - lr(b)).sum)
+    }.toMap
+    assert(got == expected)
+    // identical docs weigh identically; a target-seed doc out-weighs a
+    // raw-seed doc
+    assert(got(1L) == got(5L))
+    assert(got(1L)._2 > got(3L)._2)
+  }
+
+  test("dsirResample: deterministic Gumbel-top-k == brute-force ranking") {
+    val B = 64
+    val d = df
+    val (model, consts) = CorpusStats.dsirTrain(
+      d.filter(col("doc_id").isin(1L, 5L)), d.filter(col("doc_id").isin(2L, 3L)),
+      "doc_id", "text", buckets = B)
+    val scored = CorpusStats.dsirScore(d, "doc_id", "text", model, consts, buckets = B)
+    val logw = scored.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+
+    val M = 1L << 20
+    def keyOf(id: Long): Long = {
+      val u = (h60(s"dsir|$id") % M + 0.5) / M
+      logw(id) + math.round(-math.log(-math.log(u)) * 1e6)
+    }
+    val expected = logw.keys.toSeq
+      .sortBy(id => (-keyOf(id), id)).take(3)
+      .zipWithIndex.map { case (id, i) => (id, keyOf(id), i + 1L) }.toSet
+
+    val got = CorpusStats.dsirResample(scored, "doc_id", "logw_q", k = 3)
+      .select("doc_id", "key_q", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+
+    // k beyond the corpus returns everything, still ranked
+    val all = CorpusStats.dsirResample(scored, "doc_id", "logw_q", k = 100)
+    assert(all.count() == logw.size)
+    // rerun is bit-identical (no RNG state anywhere)
+    val again = CorpusStats.dsirResample(scored, "doc_id", "logw_q", k = 3)
+      .select("doc_id", "key_q", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == got)
+  }
 }
