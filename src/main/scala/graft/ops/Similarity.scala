@@ -478,6 +478,73 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Per-dimension (min, span) of the quantized corpus — the SQ8 range
+    * "codebook": 2×dim longs, collected to the driver (bounded by dim,
+    * the [[trainCentroids]] bounded-collect convention). One posexplode +
+    * per-dimension min/max aggregation — dim-keyed, so the reduce side is
+    * dim rows no matter the corpus size. */
+  def trainSq8Range(corpus: DataFrame, dim: Int): (Seq[Long], Seq[Long]) = {
+    val mm = corpus
+      .select(posexplode(col("q")).as(Seq("d", "x")))
+      .groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(mm.length == dim, s"expected $dim dims, got ${mm.length}")
+    (mm.map(_._2).toIndexedSeq, mm.map(t => t._3 - t._2).toIndexedSeq)
+  }
+
+  /** Scalar-quantization (SQ8) ANN — the third compression axis next to
+    * PQ (a06) and IVF (a03): each corpus vector is ENCODED as dim 8-bit
+    * codes via a per-dimension affine map onto the corpus [min, max]
+    * range, cutting scan bandwidth 8× vs the quantized longs (4× vs
+    * float32) while keeping per-dimension resolution — the cheap-and-
+    * cheerful quantizer serving stacks reach for before PQ's codebooks.
+    *
+    *  - train: the range codebook is 2×dim longs ([[trainSq8Range]]),
+    *    driver-bounded like the k-means codebooks;
+    *  - encode: MAP-ONLY — mins/spans inline as literal arrays, so
+    *    `code_d = round((x_d − min_d)·255 / span_d)` is a projection
+    *    over the corpus scan (no join, no shuffle); constant dimensions
+    *    (span 0) code to 0;
+    *  - score: asymmetric — the query stays exact and the corpus side
+    *    dequantizes IN SCALED-INTEGER SPACE: `y_d·255 = min_d·255 +
+    *    code_d·span_d` is exact 64-bit arithmetic (no float
+    *    reconstruction error beyond the quantization itself), the
+    *    approximate dot is one compiled [[graft.expr.LongDotProduct]]
+    *    pass, and the ×255 scale cancels between the dot and the stored
+    *    dequantized norm — so scores are engine-portable bit-for-bit
+    *    and the DuckDB oracle replays train+encode+score exactly;
+    *  - top-k: the bounded-heap partial aggregate ([[topK]]).
+    *
+    * At 100 TB you persist (codes, ny) — dim bytes + one long per row —
+    * and rebuild `y` on scan; compose with the IVF index (a04) to prune
+    * the scan to probed lists first, exactly as PQ composes into a07. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              dim: Int = 64): DataFrame = {
+    val (mins, spans) = trainSq8Range(corpus, dim)
+    val minsL = typedLit(mins)
+    val spansL = typedLit(spans)
+    val code = transform(sequence(lit(1), lit(dim)), i =>
+      when(element_at(spansL, i) === 0, 0L)
+        .otherwise(round(
+          ((element_at(col("q"), i) - element_at(minsL, i)) * 255).cast("double") /
+            element_at(spansL, i)).cast("long")))
+    val encoded = corpus.select(col("vec_id"), code.as("codes"))
+      .withColumn("y", transform(sequence(lit(1), lit(dim)), i =>
+        element_at(minsL, i) * 255 +
+          element_at(col("codes"), i) * element_at(spansL, i)))
+      .withColumn("ny", normq(col("y")))
+    val q = queries.select(col("vec_id").as("q_id"), col("q").as("q_vec"),
+      col("nq").as("q_nq"))
+    val scored = encoded.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim",
+        when(col("ny") === 0 || col("q_nq") === 0, 0.0)
+          .otherwise(dotq(col("y"), col("q_vec")).cast("double") /
+            (sqrt(col("ny").cast("double")) * sqrt(col("q_nq").cast("double")))))
+    topK(scored, k)
+  }
+
   /** Full IVF-PQ serving — the canonical 100 TB vector-search
     * architecture, composed from the two halves this library already
     * verifies separately: the IVF coarse quantizer (a03/a04) prunes the

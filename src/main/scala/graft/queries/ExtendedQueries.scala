@@ -377,6 +377,17 @@ object ExtendedQueries {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // scalar-quantization (SQ8) ANN: per-dimension affine 8-bit codes on
+    // the corpus [min,max] range, asymmetric scoring via scaled-integer
+    // dequantization (exact 64-bit arithmetic, the ×255 scale cancels) —
+    // the third compression axis next to PQ (a06) and IVF (a03)
+    "a08_ann_sq8" -> ((s, dir) => {
+      val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
+      Similarity.sq8TopK(corpus, corpus.filter(col("vec_id") < 5),
+          k = 5, dim = 64)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // round-11 curation chain: model-based quality gate (t15's NB
     // classifier admits score > 0) → SEMANTIC dedup of the admitted set
     // in the FULL-corpus cluster space (frozen codebook, so subset
@@ -1402,7 +1413,44 @@ object ExtendedQueries {
        |WHERE rk <= $k ORDER BY q_id, rk""".stripMargin
   }
 
+  /** SQ8: per-dimension [min, max] range over the quantized corpus, 8-bit
+    * affine encode, scaled-integer dequantization (y·255 = mn·255 +
+    * code·span — exact), asymmetric cosine with the ×255 scale cancelling
+    * between the dot and the stored dequantized norm. */
+  private val a08Oracle: String = {
+    val k = 5
+    s"""WITH ${PipelineQueries.quantCte},
+       |mm AS (
+       |  SELECT d, min(x) AS mn, max(x) AS mx FROM (
+       |    SELECT unnest(q) AS x, unnest(generate_series(1, len(q))) AS d FROM n)
+       |  GROUP BY d),
+       |mml AS (SELECT list(mn ORDER BY d) AS mns,
+       |               list(mx - mn ORDER BY d) AS sps FROM mm),
+       |enc AS (
+       |  SELECT vec_id,
+       |    list_transform(generate_series(1, len(q)),
+       |      i -> CASE WHEN sps[i] = 0 THEN mns[i] * 255
+       |           ELSE mns[i] * 255 +
+       |             CAST(round(((q[i] - mns[i]) * 255)::DOUBLE / sps[i]) AS BIGINT) * sps[i]
+       |           END) AS y
+       |  FROM n CROSS JOIN mml),
+       |ey AS (SELECT vec_id, y, list_dot_product(y::DOUBLE[], y::DOUBLE[]) AS ny FROM enc)
+       |SELECT q_id, n_id, sim, rk FROM (
+       |  SELECT qr.vec_id AS q_id, c.vec_id AS n_id,
+       |    CASE WHEN c.ny = 0 OR qr.nn = 0 THEN 0.0
+       |         ELSE list_dot_product(c.y::DOUBLE[], qr.q::DOUBLE[]) / (sqrt(c.ny) * sqrt(qr.nn)) END AS sim,
+       |    row_number() OVER (PARTITION BY qr.vec_id
+       |      ORDER BY CASE WHEN c.ny = 0 OR qr.nn = 0 THEN 0.0
+       |        ELSE list_dot_product(c.y::DOUBLE[], qr.q::DOUBLE[]) / (sqrt(c.ny) * sqrt(qr.nn)) END DESC,
+       |        c.vec_id ASC) AS rk
+       |  FROM ey c CROSS JOIN (SELECT * FROM n WHERE vec_id < 5) qr
+       |  WHERE c.vec_id <> qr.vec_id)
+       |WHERE rk <= $k ORDER BY q_id, rk""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+
+    "a08_ann_sq8" -> a08Oracle,
 
     "q11_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

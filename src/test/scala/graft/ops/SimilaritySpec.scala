@@ -173,6 +173,55 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("SQ8: deterministic range codebook, bounded sim error, endpoint corpora score EXACTLY") {
+    val queries = corpus.filter(col("vec_id") < 7)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(corpus, queries, 5))
+    val sq8 = Similarity.sq8TopK(corpus, queries, 5, dim = 64)
+    val recall = (brute & pairs(sq8)).size.toDouble / brute.size
+    info(f"SQ8 recall vs brute-force top-5: $recall%.3f")
+    // 8 bits PER DIMENSION is near-exact (contrast PQ's ~0.09 here): a
+    // big recall drop means the affine encode or the scaled-integer
+    // dequantization broke
+    assert(recall >= 0.6, f"recall $recall%.3f — 8-bit/dim should be near-exact")
+
+    // per-pair sim error bounded by the quantization step
+    val exactSims = Similarity.bruteForceTopK(corpus, queries, 600)
+      .select("q_id", "n_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val maxErr = sq8.select("q_id", "n_id", "sim").collect()
+      .map(r => math.abs(r.getDouble(2) - exactSims((r.getLong(0), r.getLong(1))))).max
+    info(f"SQ8 max |sim - exact sim|: $maxErr%.5f")
+    assert(maxErr <= 0.02, f"quantization error $maxErr%.5f out of bounds")
+
+    // the range codebook is bit-deterministic
+    val (m1, s1) = Similarity.trainSq8Range(corpus, 64)
+    assert((m1, s1) == Similarity.trainSq8Range(corpus, 64))
+    assert(m1.length == 64 && s1.forall(_ >= 0))
+
+    // endpoint corpus: every component is a per-dim range endpoint, so
+    // codes are exactly 0/255 and dequantization loses NOTHING — ranks
+    // must match brute force exactly and sims to the last-ulp tolerance
+    // of the ×255 scale cancelling numerically (sqrt(255²·n) vs
+    // 255·sqrt(n) can differ by one ulp)
+    import spark.implicits._
+    val endpoint = (0 until 10).map { v =>
+      (v.toLong,
+        (0 until 64).map(d => if ((v + d) % 2 == 0) -(d + 1).toLong else (d + 13).toLong))
+    }.toDF("vec_id", "q")
+      .withColumn("nq", graft.expr.hfunctions.long_dot(col("q"), col("q")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id", "sim", "rk").collect()
+        .map(r => ((r.getLong(0), r.getLong(1), r.getLong(3)), r.getDouble(2))).toMap
+    val eb = rows(Similarity.bruteForceTopK(endpoint, endpoint.filter(col("vec_id") < 3), 4))
+    val es = rows(Similarity.sq8TopK(endpoint, endpoint.filter(col("vec_id") < 3), 4, dim = 64))
+    assert(es.keySet == eb.keySet, s"endpoint ranks must match exactly: $es vs $eb")
+    es.foreach { case (key, sim) =>
+      assert(math.abs(sim - eb(key)) < 1e-12, s"endpoint sim at $key: $sim vs ${eb(key)}")
+    }
+  }
+
   test("compiled srpBucketFast == higher-order-function srpBucket (a02's oracle contract)") {
     val rows = corpus.limit(50)
       .select(Similarity.srpBucket(col("q"), 8).as("hof"),
