@@ -1,0 +1,201 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over the indexed corpus: BM25 scoring and hybrid
+  * lexical+vector rank fusion.
+  *
+  * The reference ships documents INTO a search engine (Solr) and leaves
+  * query-time scoring to it (reference: hbase-indexer-engine's
+  * SolrInputDocumentWriter hands docs to SolrJ, conf/schema.xml carries
+  * the relevance config). A Spark-native engine keeps the serving side
+  * too: the corpus IS the index, and a query plan is the scorer. The
+  * shapes here are chosen for the 100-TB posture:
+  *
+  *  - Scoring is MAP-ONLY. Query terms and their document frequencies are
+  *    plan literals (queries are human-sized; df comes from the standing
+  *    index stats, not a per-query corpus agg), so a BM25 pass is one
+  *    corpus scan with a compiled per-row expression — no explode, no
+  *    (doc, term) shuffle, no join.
+  *  - Top-k is the bounded-heap partial aggregate ([[graft.expr.TopKByScore]]):
+  *    the exchange after the scan carries ≤ queries × k × tasks rows,
+  *    never the scored corpus.
+  *  - Scores are exact-integer micro-units (the t10/t11 convention): the
+  *    only doubles are IEEE-deterministic single expressions (one ln per
+  *    (term, df) pair quantized to the 10⁻⁶ grid; one tf-normalization
+  *    ratio per (doc, term)), each rounded to a long before the order-free
+  *    integer sum — so ranks are engine-portable and retry-stable.
+  */
+object Search {
+
+  /** Whitespace tokens with the empty-text guard: empty/blank text is an
+    * EMPTY array (split of "" would yield [""], minting a phantom term). */
+  def toks(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** (nDocs, totalTokens) for the corpus — the BM25 length-normalization
+    * stats. One agg; the collect is a single row (bounded by construction). */
+  def corpusTokenStats(docs: DataFrame, textCol: String): (Long, Long) = {
+    val r = docs.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(size(toks(col(textCol))).cast("long")), lit(0L)).as("t")).first()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Global top-`k` vocabulary terms by (document frequency desc, term
+    * asc). The df agg is the standard inverted-index build (one
+    * explode → distinct → per-term count, all with map-side partials);
+    * the global top-k is the bounded-heap STRING aggregate
+    * ([[graft.expr.TopKByScoreStr]]), so no vocabulary-wide sort or
+    * single-partition window ever runs. Driver collect is ≤ k rows.
+    * Returns (term, df) strongest-first. */
+  def topDfTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): Seq[(String, Long)] = {
+    val df = docs
+      .select(col(idCol).as("doc_id"), explode(array_distinct(toks(col(textCol)))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+    df.agg(graft.expr.hfunctions.topk_by_str(col("df"), col("term"), Seq(col("df")), k).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.id"), element_at(col("t.vals"), 1))
+      .collect() // bounded: ≤ k rows by the aggregate's contract
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+
+  /** Document frequency of an explicit term set (the index-build half of
+    * BM25 serving: run once per corpus generation, not per query). One
+    * map-only membership projection + a ≤ |terms| agg; the collect is
+    * bounded by the query vocabulary. */
+  def termDf(docs: DataFrame, textCol: String, terms: Seq[String]): Map[String, Long] = {
+    require(terms.nonEmpty, "termDf: empty term set")
+    val t = docs.select(explode(array_intersect(
+      array_distinct(toks(col(textCol))),
+      array(terms.map(lit): _*))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+    t.collect() // bounded: ≤ |terms| rows
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+  }
+
+  /** Okapi BM25 per-term contribution in micro-units, as a column over
+    * (tf, dl). `idf` is the quantized-idf COLUMN (micro-units, already
+    * rounded); nDocs/totalTokens ride as literals. k1 = 1.2, b = 0.75
+    * (the standard defaults), kept as literal doubles — the expression
+    * tree is mirrored token-for-token in the SQL oracles, so the IEEE
+    * arithmetic is bit-identical across engines. */
+  private def bm25Contrib(tf: Column, dl: Column, idf: Column,
+                          nDocs: Long, totalTokens: Long): Column = {
+    val tfD = tf.cast("double")
+    // dl/avgdl computed as dl*N/T (two exact int→double promotions, one
+    // multiply, one divide — associativity mirrored in the oracle)
+    val ratio = dl.cast("double") * lit(nDocs.toDouble) / lit(totalTokens.toDouble)
+    val tfn = tfD * lit(2.2) / (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * ratio))
+    round(idf * tfn).cast("long")
+  }
+
+  /** Quantized idf in micro-units for a literal df: the BM25+ form
+    * ln(1 + (N − df + 0.5)/(df + 0.5)), always positive. Computed
+    * SYMBOLICALLY (engine ln, not driver-side Java) so the oracle's `ln`
+    * evaluates the same expression tree. */
+  private def idfMicro(dfTerm: Long, nDocs: Long): Column =
+    round(log(lit(1.0) +
+      (lit(nDocs.toDouble) - lit(dfTerm.toDouble) + lit(0.5)) /
+        (lit(dfTerm.toDouble) + lit(0.5))) * lit(1e6))
+
+  /** BM25 top-k serving: for each (qId, terms) query, the k best documents
+    * by quantized BM25 score (ties: smaller doc id). `df` maps each query
+    * term to its document frequency in the standing index (terms absent
+    * from the corpus score with df = 0 → idf = ln(1 + (N+0.5)/0.5), the
+    * BM25+ no-evidence ceiling — they contribute only if a doc matches,
+    * which for a truly absent term is never).
+    *
+    * Plan: ONE corpus scan. Every query's score is a compiled per-row
+    * expression over the token array (tf via `array` filter, dl via
+    * `size`); the per-doc query scores stack into an array-of-structs and
+    * explode (tiny constant factor = #queries), rows with score 0 drop
+    * at the scan, and the per-query top-k is the bounded-heap partial
+    * aggregate. Nothing corpus-sized ever shuffles.
+    *
+    * Output: (q_id, doc_id, score_q, rk) strongest-first per query. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(Long, Seq[String])], df: Map[String, Long],
+               nDocs: Long, totalTokens: Long, k: Int,
+               excludeSelf: Boolean = false): DataFrame = {
+    require(queries.nonEmpty, "bm25TopK: no queries")
+    require(nDocs > 0 && totalTokens > 0, "bm25TopK: empty corpus stats")
+    val tk = toks(col(textCol))
+    val dl = size(tk).cast("long")
+    val scoreCols = queries.map { case (qId, terms) =>
+      require(terms.nonEmpty, s"bm25TopK: query $qId has no terms")
+      val contribs = terms.distinct.map { term =>
+        val tf = size(filter(tk, x => x === lit(term))).cast("long")
+        when(tf > 0,
+          bm25Contrib(tf, dl, idfMicro(df.getOrElse(term, 0L), nDocs),
+            nDocs, totalTokens)).otherwise(lit(0L))
+      }
+      struct(lit(qId).as("q_id"), contribs.reduce(_ + _).as("score_q"))
+    }
+    val scored = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(array(scoreCols: _*)).as("s"))
+      .select(col("doc_id"), col("s.q_id").as("q_id"), col("s.score_q").as("score_q"))
+      .filter(col("score_q") > 0)
+    val base = if (excludeSelf) scored.filter(col("doc_id") =!= col("q_id")) else scored
+    base.groupBy(col("q_id"))
+      // score_q is integer-valued and ≪ 2^53, so the double heap is exact
+      .agg(graft.expr.hfunctions.topk_by(col("score_q").cast("double"), col("doc_id"), k).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.n_id").as("doc_id"),
+        col("t.sim").cast("long").as("score_q"), col("t.rk").as("rk"))
+  }
+
+  /** Mid-frequency probe queries derived deterministically from the
+    * corpus vocabulary: vocabulary ranks `skip+1 .. skip+nQueries*width`
+    * by (df desc, term asc), chunked `width` terms per query in rank
+    * order. Skipping the head keeps stopword-ish terms (df ≈ N, idf ≈ 0)
+    * out of the probes. Returns (queries, df of every query term). */
+  def deriveTermQueries(docs: DataFrame, idCol: String, textCol: String,
+                        nQueries: Int, width: Int, skip: Int): (Seq[(Long, Seq[String])], Map[String, Long]) = {
+    val top = topDfTerms(docs, idCol, textCol, skip + nQueries * width)
+    val picked = top.drop(skip)
+    require(picked.length == nQueries * width,
+      s"deriveTermQueries: vocabulary too small (${top.length} ≤ $skip + ${nQueries * width})")
+    val qs = picked.grouped(width).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.map(_._1)) }.toSeq
+    (qs, picked.toMap)
+  }
+
+  /** Reciprocal-rank fusion of two per-query rank lists (the hybrid
+    * lexical + vector serving shape): each system's vote for a doc is
+    * round(10⁶ / (60 + rank)) micro-units (the standard RRF constant),
+    * fused by exact integer sum, re-ranked (fused desc, doc asc), top-k
+    * via the bounded heap. Inputs are already top-K′ lists — queries×K′
+    * rows each — so every join here is broadcast-sized; nothing scales
+    * with the corpus. Expected columns: (q_id, doc_id, rk). */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    def votes(df: DataFrame): DataFrame =
+      df.select(col("q_id"), col("doc_id"),
+        round(lit(1e6) / (lit(60.0) + col("rk").cast("double"))).cast("long").as("v"))
+    val fused = votes(a).as("l")
+      .join(votes(b).as("r"), Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        (coalesce(col("l.v"), lit(0L)) + coalesce(col("r.v"), lit(0L))).as("rrf_q"))
+    fused.groupBy(col("q_id"))
+      .agg(graft.expr.hfunctions.topk_by(col("rrf_q").cast("double"), col("doc_id"), k).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.n_id").as("doc_id"),
+        col("t.sim").cast("long").as("rrf_q"), col("t.rk").as("rk"))
+  }
+
+  /** The query-side term profile for query-by-document retrieval: the
+    * first `width` DISTINCT tokens of each query document in position
+    * order. Driver-bounded: queries are human-sized (the caller passes a
+    * handful of probe docs), and each profile is ≤ width terms. */
+  def docTermProfiles(docs: DataFrame, idCol: String, textCol: String,
+                      width: Int): Seq[(Long, Seq[String])] = {
+    val profiled = docs.select(col(idCol).cast("long").as("q_id"),
+      slice(array_distinct(toks(col(textCol))), 1, width).as("terms"))
+    profiled.collect() // bounded: |queries| rows, ≤ width terms each
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSeq))
+      .filter(_._2.nonEmpty).sortBy(_._1)
+  }
+}

@@ -388,6 +388,42 @@ object ExtendedQueries {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // BM25 full-text retrieval: the serving half the reference delegates
+    // to Solr, Spark-native. Probe queries derive deterministically from
+    // the corpus vocabulary (mid-frequency terms — ranks 11..22 by df,
+    // skipping the stopword-ish head), then scoring is ONE map-only
+    // corpus scan: terms + their df ride as plan literals, per-doc BM25
+    // is a compiled token-array expression, and the per-query top-k is
+    // the bounded-heap partial aggregate — nothing corpus-sized shuffles
+    "a09_bm25_topk" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val (n, tt) = graft.ops.Search.corpusTokenStats(d, "text")
+      val (qs, dfm) = graft.ops.Search.deriveTermQueries(
+        d, "doc_id", "text", nQueries = 4, width = 3, skip = 10)
+      graft.ops.Search.bm25TopK(d, "doc_id", "text", qs, dfm, n, tt, k = 5)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
+    // hybrid retrieval: query-by-document, lexical BM25 (first-8-distinct-
+    // token profile of each probe doc) fused with dense cosine (a01's
+    // brute top-k) by reciprocal-rank fusion — exact integer micro-unit
+    // votes round(1e6/(60+rank)), re-ranked by fused score. Both inputs
+    // are already top-K′ lists, so fusion cost is queries×K′, corpus-free
+    "a10_hybrid_rrf" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val emb = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
+      val (n, tt) = graft.ops.Search.corpusTokenStats(d, "text")
+      val profiles = graft.ops.Search.docTermProfiles(
+        d.filter(col("doc_id") < 5), "doc_id", "text", width = 8)
+      val dfm = graft.ops.Search.termDf(d, "text", profiles.flatMap(_._2).distinct)
+      val lex = graft.ops.Search.bm25TopK(d, "doc_id", "text", profiles, dfm, n, tt,
+        k = 10, excludeSelf = true)
+      val vec = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .select(col("q_id"), col("n_id").as("doc_id"), col("rk"))
+      graft.ops.Search.rrfFuse(lex, vec, k = 5)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // round-11 curation chain: model-based quality gate (t15's NB
     // classifier admits score > 0) → SEMANTIC dedup of the admitted set
     // in the FULL-corpus cluster space (frozen codebook, so subset
@@ -1448,9 +1484,124 @@ object ExtendedQueries {
        |WHERE rk <= $k ORDER BY q_id, rk""".stripMargin
   }
 
+  /** Shared BM25 building blocks: tokenized docs (empty-text guard —
+    * split of "" would mint a [''] phantom term), per-doc length, corpus
+    * stats, and the quantized scoring expression. The double arithmetic
+    * mirrors [[graft.ops.Search]] token-for-token (same association, same
+    * int→double promotions) so both engines compute identical IEEE trees. */
+  private val bm25BaseCtes: String =
+    """bmd AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      |  FROM documents),
+      |bmdl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM bmd),
+      |bmstats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |                   CAST(sum(dl) AS BIGINT) AS t FROM bmdl)""".stripMargin
+
+  /** score_q per (doc, query-term) given columns tf/dl/df and the stats
+    * CTE columns n/t: round(idf_micro * tf_normalization). */
+  private def bm25ContribSql(tf: String, dl: String, df: String): String =
+    s"""CAST(round(
+       |      round(ln(1.0 + (CAST(bmstats.n AS DOUBLE) - CAST($df AS DOUBLE) + 0.5)
+       |                     / (CAST($df AS DOUBLE) + 0.5)) * 1e6)
+       |      * (CAST($tf AS DOUBLE) * 2.2
+       |         / (CAST($tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+       |            (CAST($dl AS DOUBLE) * CAST(bmstats.n AS DOUBLE) / CAST(bmstats.t AS DOUBLE)))))
+       |    ) AS BIGINT)""".stripMargin
+
+  private val a09Oracle: String =
+    s"""WITH $bm25BaseCtes,
+       |vocab AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM (
+       |    SELECT DISTINCT doc_id, term FROM (
+       |      SELECT doc_id, unnest(toks) AS term FROM bmd))
+       |  GROUP BY term),
+       |ranked AS (SELECT term, df,
+       |    row_number() OVER (ORDER BY df DESC, term) AS r FROM vocab),
+       |qt AS (SELECT CAST((r - 11) // 3 AS BIGINT) AS q_id, term, df
+       |       FROM ranked WHERE r BETWEEN 11 AND 22),
+       |tf AS (
+       |  SELECT x.doc_id, q.q_id, q.df, x.dl,
+       |    CAST(len(list_filter(x.toks, tok -> tok = q.term)) AS BIGINT) AS tf
+       |  FROM bmdl x CROSS JOIN qt q),
+       |contrib AS (
+       |  SELECT doc_id, q_id,
+       |    ${bm25ContribSql("tf.tf", "tf.dl", "tf.df")} AS c
+       |  FROM tf, bmstats WHERE tf.tf > 0),
+       |score AS (SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS score_q
+       |          FROM contrib GROUP BY q_id, doc_id HAVING sum(c) > 0)
+       |SELECT q_id, doc_id, score_q, rk FROM (
+       |  SELECT q_id, doc_id, score_q,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score_q DESC, doc_id) AS rk
+       |  FROM score)
+       |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+  private val a10Oracle: String =
+    s"""WITH $bm25BaseCtes,
+       |${PipelineQueries.quantCte},
+       |qprof AS (
+       |  SELECT doc_id AS q_id, u.term AS term, min(u.pos) AS mp FROM (
+       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+       |      i -> {'pos': i, 'term': toks[i]})) AS u
+       |    FROM bmdl WHERE doc_id < 5)
+       |  GROUP BY doc_id, u.term),
+       |qterm AS (SELECT q_id, term FROM (
+       |    SELECT q_id, term, row_number() OVER (PARTITION BY q_id ORDER BY mp) AS pr
+       |    FROM qprof)
+       |  WHERE pr <= 8),
+       |qdf AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM (
+       |    SELECT DISTINCT doc_id, term FROM (
+       |      SELECT doc_id, unnest(toks) AS term FROM bmd))
+       |  WHERE term IN (SELECT DISTINCT term FROM qterm)
+       |  GROUP BY term),
+       |tf AS (
+       |  SELECT x.doc_id, q.q_id, d.df, x.dl,
+       |    CAST(len(list_filter(x.toks, tok -> tok = q.term)) AS BIGINT) AS tf
+       |  FROM bmdl x CROSS JOIN qterm q JOIN qdf d ON d.term = q.term
+       |  WHERE x.doc_id <> q.q_id),
+       |contrib AS (
+       |  SELECT doc_id, q_id,
+       |    ${bm25ContribSql("tf.tf", "tf.dl", "tf.df")} AS c
+       |  FROM tf, bmstats WHERE tf.tf > 0),
+       |lex AS (SELECT q_id, doc_id, rk FROM (
+       |    SELECT q_id, doc_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY sum(c) DESC, doc_id) AS rk
+       |    FROM contrib GROUP BY q_id, doc_id HAVING sum(c) > 0)
+       |  WHERE rk <= 10),
+       |vec AS (SELECT q_id, doc_id, rk FROM (
+       |    SELECT qr.vec_id AS q_id, c.vec_id AS doc_id,
+       |      row_number() OVER (PARTITION BY qr.vec_id
+       |        ORDER BY CASE WHEN c.nn = 0 OR qr.nn = 0 THEN 0.0
+       |          ELSE list_dot_product(c.q::DOUBLE[], qr.q::DOUBLE[]) / (sqrt(c.nn) * sqrt(qr.nn)) END DESC,
+       |          c.vec_id ASC) AS rk
+       |    FROM n c CROSS JOIN (SELECT * FROM n WHERE vec_id < 5) qr
+       |    WHERE c.vec_id <> qr.vec_id)
+       |  WHERE rk <= 10),
+       |fused AS (
+       |  SELECT coalesce(l.q_id, v.q_id) AS q_id,
+       |         coalesce(l.doc_id, v.doc_id) AS doc_id,
+       |    coalesce(CAST(round(1e6 / (60.0 + CAST(l.rk AS DOUBLE))) AS BIGINT), 0)
+       |      + coalesce(CAST(round(1e6 / (60.0 + CAST(v.rk AS DOUBLE))) AS BIGINT), 0) AS rrf_q
+       |  FROM lex l FULL OUTER JOIN vec v
+       |    ON l.q_id = v.q_id AND l.doc_id = v.doc_id)
+       |SELECT q_id, doc_id, rrf_q, rk FROM (
+       |  SELECT q_id, doc_id, rrf_q,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY rrf_q DESC, doc_id) AS rk
+       |  FROM fused)
+       |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
   def oracles: Map[String, String] = Map(
 
     "a08_ann_sq8" -> a08Oracle,
+
+    "a09_bm25_topk" -> a09Oracle,
+
+    "a10_hybrid_rrf" -> a10Oracle,
 
     "q11_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
