@@ -643,6 +643,13 @@ object hfunctions {
     expr2col(TopKByScoreStr(col2expr(score), col2expr(key),
       payload.map(col2expr), k).toAggregateExpression())
 
+  /** K-minimum-values distinct-count synopsis: ascending array of the
+    * ≤ k smallest DISTINCT hashes of the group ([[KmvSketch]]); dedup
+    * happens inside the bounded buffer, so the exchange carries
+    * ≤ groups×k longs instead of a (group, hash) distinct shuffle */
+  def kmv_sketch(h: Column, k: Int): Column =
+    expr2col(KmvSketch(col2expr(h), k).toAggregateExpression())
+
   /** bounded (id, n) collection with an exact group count: the memory-safe
     * aggregate behind df-capped pair generation ([[CollectCapped]]) */
   def collect_capped(id: Column, n: Column, limit: Int): Column =

@@ -1023,6 +1023,31 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // per-source distinct-shingle cardinality via the K-minimum-values
+    // sketch: dedup happens INSIDE the bounded kmv_sketch buffer, so the
+    // only exchange carries ≤ sources×k longs — never the (source, hash)
+    // distinct shuffle an exact count(distinct) would pay. Sketch full →
+    // estimate (k−1)·2⁶⁰/kth-min (deterministic md5-hash space, so the
+    // estimate is bit-reproducible); sketch not full → the array IS the
+    // distinct set and the count is exact
+    "t17_kmv_distinct" -> ((s, dir) => {
+      val k = 32
+      val d = docs(s, dir)
+      val sh = d.filter(size(split(trim(col("text")), "\\s+")) >= 3)
+        .select(col("source"),
+          explode(graft.expr.hfunctions.shingle_hashes60(col("text"), 3)).as("h"))
+      sh.groupBy(col("source"))
+        .agg(graft.expr.hfunctions.kmv_sketch(col("h"), k).as("mins"))
+        .select(col("source"),
+          size(col("mins")).cast("long").as("n_mins"),
+          when(size(col("mins")) < k, lit(0L))
+            .otherwise(element_at(col("mins"), k)).as("kth_h"),
+          when(size(col("mins")) < k, size(col("mins")).cast("long"))
+            .otherwise(round(lit((k - 1).toDouble) * lit(1152921504606846976L.toDouble)
+              / element_at(col("mins"), k).cast("double")).cast("long")).as("est_q"))
+        .orderBy(col("source"))
+    }),
+
     // Gumbel-top-k importance RESAMPLING over the t16 weights: md5-derived
     // deterministic Gumbel noise + the bounded-heap global top-k — sample
     // 40 docs without replacement ∝ importance weight, bit-reproducible
@@ -2281,6 +2306,29 @@ object PipelineQueries {
          |dr AS (SELECT *, row_number() OVER (ORDER BY key_q DESC, doc_id) AS rk FROM dk)
          |SELECT doc_id, n_feats, logw_q, gumbel_q, key_q, CAST(rk AS BIGINT) AS rk
          |FROM dr WHERE rk <= 40 ORDER BY rk""".stripMargin,
+
+    // kmv: kth-smallest distinct hash per source replayed with a window;
+    // 1152921504606846976 = 2^60 (the md5-60 hash space), exact in DOUBLE
+    "t17_kmv_distinct" ->
+      s"""WITH tok17 AS (
+         |  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+         |sh17 AS (
+         |  SELECT source, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+         |  FROM tok17 WHERE len(tk) >= 3),
+         |hh17 AS (SELECT DISTINCT source, ${h60sql("s")} AS h FROM sh17),
+         |rk17 AS (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS r,
+         |    count(*) OVER (PARTITION BY source) AS cnt
+         |  FROM hh17)
+         |SELECT source,
+         |  CAST(least(max(cnt), 32) AS BIGINT) AS n_mins,
+         |  CAST(coalesce(max(CASE WHEN r = 32 THEN h END), 0) AS BIGINT) AS kth_h,
+         |  CAST(CASE WHEN max(cnt) < 32 THEN max(cnt)
+         |       ELSE CAST(round(31.0 * CAST(1152921504606846976 AS DOUBLE)
+         |              / CAST(max(CASE WHEN r = 32 THEN h END) AS DOUBLE)) AS BIGINT)
+         |       END AS BIGINT) AS est_q
+         |FROM rk17 GROUP BY source ORDER BY source""".stripMargin,
 
     "d06_embed_neardup" ->
       s"""WITH $quantCte
