@@ -235,6 +235,136 @@ object Multimodal {
     }
   }
 
+  // Audio ----------------------------------------------------------------
+
+  /** The audio decode seam (the [[MediaDecoder]] pattern for sample
+    * streams): payload bytes → PCM samples. A real deployment implements
+    * this with a codec library (FFmpeg/JavaSound); the engine relies only
+    * on the interface — windowing, energy, and trimming below never look
+    * at bytes. */
+  trait AudioDecoder extends Serializable {
+    def decode(mime: String, payload: Array[Byte]): Array[Short]
+  }
+
+  /** REAL decoder for raw PCM signed-16-bit little-endian (the WAV data
+    * chunk / `audio/L16`-style payload) — byte-pair reassembly is the
+    * actual wire format, no external codec needed. A trailing odd byte is
+    * a malformed frame and drops (the decode-failure-drops-value
+    * convention), never throws. */
+  object PcmS16leDecoder extends AudioDecoder {
+    override def decode(mime: String, payload: Array[Byte]): Array[Short] = {
+      val n = payload.length / 2
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        out(i) = ((payload(2 * i) & 0xff) | (payload(2 * i + 1) << 8)).toShort
+        i += 1
+      }
+      out
+    }
+  }
+
+  case class AudioWindow(
+      doc_id: Long, win_idx: Long, n_samples: Long, energy_q: Long, peak: Long)
+
+  /** Deterministic PCM fixture synthesis (the audio twin of m05's
+    * in-query PNG generation): each doc renders `4 + id%4` windows of 16
+    * samples, the first `id%3` and last `id%2` windows silent, interior
+    * samples `(id·31 + i·7) mod 201 − 100` — chosen so no interior window
+    * can be all-zero (the per-sample step 7 can't hold a residue for 16
+    * consecutive samples), making the loud region well-defined. Emitted
+    * as REAL s16le bytes so the operator under test genuinely decodes. */
+  def synthPcm(ids: DataFrame, windowSamples: Int = 16): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val wTotal = (4 + id % 4).toInt
+      val lead = (id % 3).toInt
+      val tail = (id % 2).toInt
+      val n = wTotal * windowSamples
+      val bytes = new Array[Byte](n * 2) // silent regions stay zero
+      var w = lead
+      while (w < wTotal - tail) {
+        var j = 0
+        while (j < windowSamples) {
+          val i = w * windowSamples + j
+          val s = ((id * 31 + i * 7) % 201 - 100).toShort
+          bytes(2 * i) = (s & 0xff).toByte
+          bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          j += 1
+        }
+        w += 1
+      }
+      (id, "audio/pcm-s16le", bytes)
+    }.toDF("doc_id", "mime", "payload")
+  }
+
+  /** Fixed-size audio windowing with exact integer energy: one row per
+    * window with Σ s² (energy) and max |s| (peak) — the per-window
+    * features VAD / silence detection runs on. Same per-partition decoder
+    * amortization as every seam operator; all-integer arithmetic so the
+    * features are engine-portable. */
+  /** One record's windows with exact integer features: Σ s² (energy) and
+    * max |s| (peak) — the per-window features VAD / silence detection
+    * runs on. All-integer, so engine-portable. */
+  private def windowsOf(r: MediaRecord, windowSamples: Int,
+                        decoder: AudioDecoder): Array[AudioWindow] = {
+    val s = decoder.decode(r.mime, r.payload)
+    val wins = (s.length + windowSamples - 1) / windowSamples
+    Array.tabulate(wins) { w =>
+      val from = w * windowSamples
+      val until = math.min(from + windowSamples, s.length)
+      var energy = 0L; var peak = 0L
+      var i = from
+      while (i < until) {
+        val v = s(i).toLong
+        energy += v * v
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        i += 1
+      }
+      AudioWindow(r.doc_id, (w + 1).toLong, (until - from).toLong, energy, peak)
+    }
+  }
+
+  /** Fixed-size audio windowing: one row per window. Per-partition
+    * decoder amortization like every seam operator. */
+  def audioWindows(media: DataFrame, windowSamples: Int = 16,
+                   decoder: AudioDecoder = PcmS16leDecoder): Dataset[AudioWindow] = {
+    require(windowSamples > 0, s"windowSamples must be positive: $windowSamples")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap(windowsOf(_, windowSamples, decoder))
+    }
+  }
+
+  /** Leading/trailing-silence trim (the audio-curation normalize step):
+    * keep each doc's windows from its first to its last window with
+    * energy > `threshold`. The first/last-loud scan runs over one doc's
+    * in-memory window array INSIDE the decode pass — windows never
+    * shuffle (a groupBy(doc) formulation would exchange every window),
+    * and fully-silent docs vanish at the scan. */
+  def trimSilence(media: DataFrame, windowSamples: Int = 16, threshold: Long = 0L,
+                  decoder: AudioDecoder = PcmS16leDecoder): Dataset[AudioWindow] = {
+    require(windowSamples > 0, s"windowSamples must be positive: $windowSamples")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        val ws = windowsOf(r, windowSamples, decoder)
+        var lo = -1; var hi = -1
+        var i = 0
+        while (i < ws.length) {
+          if (ws(i).energy_q > threshold) { if (lo < 0) lo = i; hi = i }
+          i += 1
+        }
+        if (lo < 0) Iterator.empty
+        else ws.iterator.slice(lo, hi + 1)
+      }
+    }
+  }
+
   /** Per-partition imperative decode + feature extraction. */
   def extractFeatures(media: DataFrame, decoder: MediaDecoder = StubDecoder): DataFrame = {
     val spark = media.sparkSession

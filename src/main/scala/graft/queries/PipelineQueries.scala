@@ -1241,6 +1241,20 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // audio windowing + silence trim over REAL s16le PCM payloads
+    // (synthesized deterministically in-query, decoded back through the
+    // byte-level PcmS16leDecoder seam): per-window exact-integer energy
+    // Σs²/peak, then each doc keeps first-loud..last-loud windows — the
+    // trim scan runs on one doc's in-memory window array inside the
+    // decode pass, so no window ever shuffles. Oracle replays the synth
+    // formula by id-arithmetic (all integers — bit-exact)
+    "m07_audio_trim" -> ((s, dir) => {
+      val ids = docs(s, dir).select(col("doc_id")).filter(col("doc_id") < 300)
+      Multimodal.trimSilence(Multimodal.synthPcm(ids), windowSamples = 16)
+        .toDF()
+        .orderBy(col("doc_id"), col("win_idx"))
+    }),
+
     // the multimodal path under Structured Streaming: the SAME typed
     // mapPartitions decode→resize kernel runs per micro-batch (typed ops
     // stream as-is — per-partition decoder init included); stateless, so
@@ -2669,6 +2683,26 @@ object PipelineQueries {
         |FROM f ORDER BY doc_id""".stripMargin,
 
     // fit-to-box replica in exact integer arithmetic; the solid fill
+    // audio trim: the synth formula replayed by id-arithmetic — windows
+    // wi-1 ∈ [lead, wTotal-tail) carry samples (id·31 + i·7) mod 201 − 100
+    // (never an all-zero window: step 7 can't hold a residue 16 samples),
+    // everything outside is digital silence, so the kept region is exactly
+    // the formula's loud span; energy/peak are exact integers
+    "m07_audio_trim" ->
+      """WITH au AS (
+        |  SELECT doc_id, 4 + (doc_id % 4) AS wt, doc_id % 3 AS ld, doc_id % 2 AS tl
+        |  FROM documents WHERE doc_id < 300),
+        |w7 AS (SELECT doc_id, wt, ld, tl, unnest(generate_series(1, wt)) AS wi FROM au),
+        |k7 AS (SELECT doc_id, wi FROM w7 WHERE wi - 1 >= ld AND wi - 1 < wt - tl),
+        |sv7 AS (SELECT doc_id, wi,
+        |    list_transform(generate_series(0, 15),
+        |      j -> (doc_id * 31 + ((wi - 1) * 16 + j) * 7) % 201 - 100) AS ss
+        |  FROM k7)
+        |SELECT doc_id, CAST(wi AS BIGINT) AS win_idx, CAST(16 AS BIGINT) AS n_samples,
+        |  CAST(list_sum(list_transform(ss, v -> v * v)) AS BIGINT) AS energy_q,
+        |  CAST(list_max(list_transform(ss, v -> abs(v))) AS BIGINT) AS peak
+        |FROM sv7 ORDER BY doc_id, win_idx""".stripMargin,
+
     // makes the resized-raster checksum nw*nh*3*c
     "m06_media_resize" ->
       """WITH dims AS (

@@ -103,4 +103,52 @@ class MultimodalSpec extends SparkSpec {
     assert(sampled.map(_.frame_idx).sorted.toSeq == Seq(1L, 3L),
       "stride-2 keeps frames 1 and 3 only")
   }
+
+  test("PcmS16leDecoder: little-endian reassembly incl. negatives; odd tail drops") {
+    val bytes = Array[Byte](0x34, 0x12, 0xff.toByte, 0xff.toByte, 0x00, 0x80.toByte, 0x7f)
+    val s = Multimodal.PcmS16leDecoder.decode("audio/pcm-s16le", bytes)
+    assert(s.toSeq == Seq(0x1234.toShort, (-1).toShort, Short.MinValue))
+  }
+
+  test("audioWindows: exact integer energy/peak; short final window") {
+    import spark.implicits._
+    // samples: 3, -4, 0, 5 → windows of 2: [3,-4] e=25 p=4; [0,5] e=25 p=5
+    val bytes = Array[Short](3, -4, 0, 5).flatMap(v =>
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte))
+    val media = Seq((1L, "audio/pcm-s16le", bytes)).toDF("doc_id", "mime", "payload")
+    val w = Multimodal.audioWindows(media, windowSamples = 2).collect()
+      .sortBy(_.win_idx).map(x => (x.win_idx, x.n_samples, x.energy_q, x.peak))
+    assert(w.toSeq == Seq((1L, 2L, 25L, 4L), (2L, 2L, 25L, 5L)))
+    // 3 samples at window 2 → final window is short
+    val odd = Seq((2L, "audio/pcm-s16le", bytes.take(6))).toDF("doc_id", "mime", "payload")
+    val ws = Multimodal.audioWindows(odd, windowSamples = 2).collect().sortBy(_.win_idx)
+    assert(ws.map(_.n_samples).toSeq == Seq(2L, 1L))
+  }
+
+  test("trimSilence keeps first-loud..last-loud; interior silence survives; all-silent docs vanish") {
+    import spark.implicits._
+    def pcm(vs: Short*): Array[Byte] =
+      vs.toArray.flatMap(v => Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte))
+    val media = Seq(
+      // windows of 2: [0,0] [1,0] [0,0] [0,2] [0,0] → keep 2..4 (incl. silent 3)
+      (1L, "audio/pcm-s16le", pcm(0, 0, 1, 0, 0, 0, 0, 2, 0, 0)),
+      (2L, "audio/pcm-s16le", pcm(0, 0, 0, 0)) // fully silent → no rows
+    ).toDF("doc_id", "mime", "payload")
+    val kept = Multimodal.trimSilence(media, windowSamples = 2).collect()
+    assert(kept.forall(_.doc_id == 1L))
+    assert(kept.map(_.win_idx).sorted.toSeq == Seq(2L, 3L, 4L))
+    assert(kept.find(_.win_idx == 3L).get.energy_q == 0L, "interior silence is content")
+  }
+
+  test("synthPcm round-trips through the decoder: loud region = [lead, total-tail)") {
+    import spark.implicits._
+    val ids = Seq(7L).toDF("doc_id") // wt = 4+3 = 7, lead = 1, tail = 1
+    val media = Multimodal.synthPcm(ids)
+    val ws = Multimodal.audioWindows(media, windowSamples = 16).collect().sortBy(_.win_idx)
+    assert(ws.length == 7)
+    assert(ws.head.energy_q == 0L && ws.last.energy_q == 0L)
+    assert(ws.slice(1, 6).forall(_.energy_q > 0L), "interior windows are never silent")
+    val s = Multimodal.PcmS16leDecoder.decode("", media.select("payload").as[Array[Byte]].head())
+    assert(s(16) == ((7L * 31 + 16 * 7) % 201 - 100).toShort, "formula survives the byte round-trip")
+  }
 }
