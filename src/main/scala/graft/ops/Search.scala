@@ -120,12 +120,30 @@ object Search {
                queries: Seq[(Long, Seq[String])], df: Map[String, Long],
                nDocs: Long, totalTokens: Long, k: Int,
                excludeSelf: Boolean = false): DataFrame = {
-    require(queries.nonEmpty, "bm25TopK: no queries")
-    require(nDocs > 0 && totalTokens > 0, "bm25TopK: empty corpus stats")
+    val scored = bm25Scores(docs, idCol, textCol, queries, df, nDocs, totalTokens)
+    val base = if (excludeSelf) scored.filter(col("doc_id") =!= col("q_id")) else scored
+    base.groupBy(col("q_id"))
+      // score_q is integer-valued and ≪ 2^53, so the double heap is exact
+      .agg(graft.expr.hfunctions.topk_by(col("score_q").cast("double"), col("doc_id"), k).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.n_id").as("doc_id"),
+        col("t.sim").cast("long").as("score_q"), col("t.rk").as("rk"))
+  }
+
+  /** The scoring scan without the top-k: every (q_id, doc_id) pair with a
+    * positive quantized BM25 score — the PERCOLATION shape (standing
+    * queries, arriving documents) as well as bm25TopK's input. Map-only:
+    * one pass over `docs` with every query's score a compiled per-row
+    * expression, non-matching (score 0) pairs dropped at the scan. */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+                 queries: Seq[(Long, Seq[String])], df: Map[String, Long],
+                 nDocs: Long, totalTokens: Long): DataFrame = {
+    require(queries.nonEmpty, "bm25Scores: no queries")
+    require(nDocs > 0 && totalTokens > 0, "bm25Scores: empty corpus stats")
     val tk = toks(col(textCol))
     val dl = size(tk).cast("long")
     val scoreCols = queries.map { case (qId, terms) =>
-      require(terms.nonEmpty, s"bm25TopK: query $qId has no terms")
+      require(terms.nonEmpty, s"bm25Scores: query $qId has no terms")
       val contribs = terms.distinct.map { term =>
         val tf = size(filter(tk, x => x === lit(term))).cast("long")
         when(tf > 0,
@@ -134,18 +152,11 @@ object Search {
       }
       struct(lit(qId).as("q_id"), contribs.reduce(_ + _).as("score_q"))
     }
-    val scored = docs
+    docs
       .select(col(idCol).cast("long").as("doc_id"),
         explode(array(scoreCols: _*)).as("s"))
       .select(col("doc_id"), col("s.q_id").as("q_id"), col("s.score_q").as("score_q"))
       .filter(col("score_q") > 0)
-    val base = if (excludeSelf) scored.filter(col("doc_id") =!= col("q_id")) else scored
-    base.groupBy(col("q_id"))
-      // score_q is integer-valued and ≪ 2^53, so the double heap is exact
-      .agg(graft.expr.hfunctions.topk_by(col("score_q").cast("double"), col("doc_id"), k).as("top"))
-      .select(col("q_id"), explode(col("top")).as("t"))
-      .select(col("q_id"), col("t.n_id").as("doc_id"),
-        col("t.sim").cast("long").as("score_q"), col("t.rk").as("rk"))
   }
 
   /** Mid-frequency probe queries derived deterministically from the

@@ -424,6 +424,37 @@ object ExtendedQueries {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // streaming BM25 PERCOLATION (a09 inverted — standing queries,
+    // arriving docs): the query set, its df map, and the corpus length
+    // stats freeze from the standing index, then each micro-batch is one
+    // map-only scoring pass routing every positive (query, doc) pair —
+    // the saved-search / alerting shape. Stateless like s14/s15: frozen
+    // stats keep scores comparable across triggers and verdicts
+    // idempotent under redelivery. Oracle = a09's score CTEs un-ranked.
+    "s16_stream_bm25_route" -> ((s, dir) => {
+      val work = scratchDir("graft_s16")
+      val in = onceLog("s16", dir) { path =>
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val b = d.agg(min(col("doc_id")), max(col("doc_id"))).first()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val c1 = lo + (hi - lo) / 3
+        val c2 = lo + 2 * (hi - lo) / 3
+        Seq(col("doc_id") <= c1,
+            col("doc_id") > c1 && col("doc_id") <= c2,
+            col("doc_id") > c2).foreach { p =>
+          d.filter(p).coalesce(1).write.mode("append").parquet(path)
+          Thread.sleep(20) // distinct mtimes → deterministic oldest-first arrival
+        }
+      }
+      val d = t(s, dir, "documents")
+      val (n, tt) = graft.ops.Search.corpusTokenStats(d, "text")
+      val (qs, dfm) = graft.ops.Search.deriveTermQueries(
+        d, "doc_id", "text", nQueries = 4, width = 3, skip = 10)
+      graft.streaming.StreamBm25Route.drain(s, qs, dfm, n, tt,
+          in, s"$work/out", s"$work/ckpt")
+        .orderBy(col("q_id"), col("doc_id"))
+    }),
+
     // round-11 curation chain: model-based quality gate (t15's NB
     // classifier admits score > 0) → SEMANTIC dedup of the admitted set
     // in the FULL-corpus cluster space (frozen codebook, so subset
@@ -1510,8 +1541,10 @@ object ExtendedQueries {
        |            (CAST($dl AS DOUBLE) * CAST(bmstats.n AS DOUBLE) / CAST(bmstats.t AS DOUBLE)))))
        |    ) AS BIGINT)""".stripMargin
 
-  private val a09Oracle: String =
-    s"""WITH $bm25BaseCtes,
+  /** a09's scoring pipeline through the per-(query, doc) score — shared
+    * verbatim by s16, whose output is the un-ranked positive pair set. */
+  private val a09ScoreCtes: String =
+    s"""$bm25BaseCtes,
        |vocab AS (
        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM (
        |    SELECT DISTINCT doc_id, term FROM (
@@ -1530,7 +1563,10 @@ object ExtendedQueries {
        |    ${bm25ContribSql("tf.tf", "tf.dl", "tf.df")} AS c
        |  FROM tf, bmstats WHERE tf.tf > 0),
        |score AS (SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS score_q
-       |          FROM contrib GROUP BY q_id, doc_id HAVING sum(c) > 0)
+       |          FROM contrib GROUP BY q_id, doc_id HAVING sum(c) > 0)""".stripMargin
+
+  private val a09Oracle: String =
+    s"""WITH $a09ScoreCtes
        |SELECT q_id, doc_id, score_q, rk FROM (
        |  SELECT q_id, doc_id, score_q,
        |    row_number() OVER (PARTITION BY q_id
@@ -1602,6 +1638,12 @@ object ExtendedQueries {
     "a09_bm25_topk" -> a09Oracle,
 
     "a10_hybrid_rrf" -> a10Oracle,
+
+    // s16 = a09's scoring un-ranked: the routed pair set is exactly the
+    // positive-score pairs (stateless stream ≡ batch, frozen stats)
+    "s16_stream_bm25_route" ->
+      s"""WITH $a09ScoreCtes
+         |SELECT q_id, doc_id, score_q FROM score ORDER BY q_id, doc_id""".stripMargin,
 
     "q11_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
