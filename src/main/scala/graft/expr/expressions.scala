@@ -643,6 +643,13 @@ object hfunctions {
     expr2col(TopKByScoreStr(col2expr(score), col2expr(key),
       payload.map(col2expr), k).toAggregateExpression())
 
+  /** compiled BM25 scoring pass: every positive (q_id, score_q) of the
+    * plan-frozen query set for one document ([[Bm25Scores]]) — one
+    * tokenize + hash-count pass instead of an interpreted array-filter
+    * scan per (query, term) */
+  def bm25_scores(text: Column, scorer: Bm25Scorer): Column =
+    expr2col(Bm25Scores(col2expr(text), scorer))
+
   /** K-minimum-values distinct-count synopsis: ascending array of the
     * ≤ k smallest DISTINCT hashes of the group ([[KmvSketch]]); dedup
     * happens inside the bounded buffer, so the exchange carries

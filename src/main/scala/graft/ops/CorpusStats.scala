@@ -353,4 +353,34 @@ object CorpusStats {
       .select(col("t.n_id").as(idCol), col("t.rk").as("rk"))
     keyed.join(broadcast(top), Seq(idCol))
   }
+
+  // KMV distinct-cardinality sketches ---------------------------------------
+
+  /** Per-group KMV sketch of distinct word-n-gram shingle hashes: the
+    * ≤ k smallest distinct md5-60 values via [[graft.expr.KmvSketch]] —
+    * dedup happens inside the bounded aggregate buffer, so the exchange
+    * carries ≤ groups×k longs, never a (group, hash) distinct shuffle.
+    * Sketches MERGE (commutative, associative, idempotent): union two
+    * frames' exploded mins and re-aggregate to fold increments into a
+    * standing sketch at sketch-sized cost. */
+  def kmvShingleSketch(docs: DataFrame, groupCol: String, textCol: String,
+                       k: Int, n: Int = 3): DataFrame =
+    docs.filter(size(split(trim(col(textCol)), "\\s+")) >= n)
+      .select(col(groupCol),
+        explode(graft.expr.hfunctions.shingle_hashes60(col(textCol), n)).as("h"))
+      .groupBy(col(groupCol))
+      .agg(graft.expr.hfunctions.kmv_sketch(col("h"), k).as("mins"))
+
+  /** Cardinality read-out of a (group, mins) sketch frame: under-full →
+    * the array IS the distinct set (count exact, kth = 0); full → the
+    * KMV estimate (k−1)·2⁶⁰/kth-min, deterministic over the md5-60 hash
+    * space so the estimate itself is oracle-checkable. */
+  def kmvSummary(sk: DataFrame, groupCol: String, k: Int): DataFrame =
+    sk.select(col(groupCol),
+      size(col("mins")).cast("long").as("n_mins"),
+      when(size(col("mins")) < k, lit(0L))
+        .otherwise(element_at(col("mins"), k)).as("kth_h"),
+      when(size(col("mins")) < k, size(col("mins")).cast("long"))
+        .otherwise(round(lit((k - 1).toDouble) * lit(1152921504606846976L.toDouble)
+          / element_at(col("mins"), k).cast("double")).cast("long")).as("est_q"))
 }

@@ -76,31 +76,6 @@ object Search {
       .map(r => (r.getString(0), r.getLong(1))).toMap
   }
 
-  /** Okapi BM25 per-term contribution in micro-units, as a column over
-    * (tf, dl). `idf` is the quantized-idf COLUMN (micro-units, already
-    * rounded); nDocs/totalTokens ride as literals. k1 = 1.2, b = 0.75
-    * (the standard defaults), kept as literal doubles — the expression
-    * tree is mirrored token-for-token in the SQL oracles, so the IEEE
-    * arithmetic is bit-identical across engines. */
-  private def bm25Contrib(tf: Column, dl: Column, idf: Column,
-                          nDocs: Long, totalTokens: Long): Column = {
-    val tfD = tf.cast("double")
-    // dl/avgdl computed as dl*N/T (two exact int→double promotions, one
-    // multiply, one divide — associativity mirrored in the oracle)
-    val ratio = dl.cast("double") * lit(nDocs.toDouble) / lit(totalTokens.toDouble)
-    val tfn = tfD * lit(2.2) / (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * ratio))
-    round(idf * tfn).cast("long")
-  }
-
-  /** Quantized idf in micro-units for a literal df: the BM25+ form
-    * ln(1 + (N − df + 0.5)/(df + 0.5)), always positive. Computed
-    * SYMBOLICALLY (engine ln, not driver-side Java) so the oracle's `ln`
-    * evaluates the same expression tree. */
-  private def idfMicro(dfTerm: Long, nDocs: Long): Column =
-    round(log(lit(1.0) +
-      (lit(nDocs.toDouble) - lit(dfTerm.toDouble) + lit(0.5)) /
-        (lit(dfTerm.toDouble) + lit(0.5))) * lit(1e6))
-
   /** BM25 top-k serving: for each (qId, terms) query, the k best documents
     * by quantized BM25 score (ties: smaller doc id). `df` maps each query
     * term to its document frequency in the standing index (terms absent
@@ -108,12 +83,12 @@ object Search {
     * BM25+ no-evidence ceiling — they contribute only if a doc matches,
     * which for a truly absent term is never).
     *
-    * Plan: ONE corpus scan. Every query's score is a compiled per-row
-    * expression over the token array (tf via `array` filter, dl via
-    * `size`); the per-doc query scores stack into an array-of-structs and
-    * explode (tiny constant factor = #queries), rows with score 0 drop
-    * at the scan, and the per-query top-k is the bounded-heap partial
-    * aggregate. Nothing corpus-sized ever shuffles.
+    * Plan: ONE corpus scan. All query scores come from one eval of the
+    * compiled [[graft.expr.Bm25Scores]] kernel per document (tokenize →
+    * hash-count the plan-frozen term table → O(query terms) float ops);
+    * positives explode to (q_id, score_q) rows and the per-query top-k is
+    * the bounded-heap partial aggregate. Nothing corpus-sized ever
+    * shuffles.
     *
     * Output: (q_id, doc_id, score_q, rk) strongest-first per query. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
@@ -140,23 +115,13 @@ object Search {
                  nDocs: Long, totalTokens: Long): DataFrame = {
     require(queries.nonEmpty, "bm25Scores: no queries")
     require(nDocs > 0 && totalTokens > 0, "bm25Scores: empty corpus stats")
-    val tk = toks(col(textCol))
-    val dl = size(tk).cast("long")
-    val scoreCols = queries.map { case (qId, terms) =>
-      require(terms.nonEmpty, s"bm25Scores: query $qId has no terms")
-      val contribs = terms.distinct.map { term =>
-        val tf = size(filter(tk, x => x === lit(term))).cast("long")
-        when(tf > 0,
-          bm25Contrib(tf, dl, idfMicro(df.getOrElse(term, 0L), nDocs),
-            nDocs, totalTokens)).otherwise(lit(0L))
-      }
-      struct(lit(qId).as("q_id"), contribs.reduce(_ + _).as("score_q"))
-    }
+    queries.foreach { case (qId, terms) =>
+      require(terms.nonEmpty, s"bm25Scores: query $qId has no terms") }
+    val scorer = graft.expr.Bm25Scorer(queries, df, nDocs, totalTokens)
     docs
       .select(col(idCol).cast("long").as("doc_id"),
-        explode(array(scoreCols: _*)).as("s"))
+        explode(graft.expr.hfunctions.bm25_scores(col(textCol), scorer)).as("s"))
       .select(col("doc_id"), col("s.q_id").as("q_id"), col("s.score_q").as("score_q"))
-      .filter(col("score_q") > 0)
   }
 
   /** Mid-frequency probe queries derived deterministically from the

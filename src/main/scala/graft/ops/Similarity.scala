@@ -522,17 +522,20 @@ object Similarity {
   def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
               dim: Int = 64): DataFrame = {
     val (mins, spans) = trainSq8Range(corpus, dim)
-    val minsL = typedLit(mins)
-    val spansL = typedLit(spans)
-    val code = transform(sequence(lit(1), lit(dim)), i =>
-      when(element_at(spansL, i) === 0, 0L)
-        .otherwise(round(
-          ((element_at(col("q"), i) - element_at(minsL, i)) * 255).cast("double") /
-            element_at(spansL, i)).cast("long")))
-    val encoded = corpus.select(col("vec_id"), code.as("codes"))
-      .withColumn("y", transform(sequence(lit(1), lit(dim)), i =>
-        element_at(minsL, i) * 255 +
-          element_at(col("codes"), i) * element_at(spansL, i)))
+    // encode+dequant as ONE single-level zip_with against a literal
+    // (min, span) struct array: zip_with's children evaluate once per row
+    // and the lambda touches only its two element arguments. The earlier
+    // formulation — element_at(transform(codes…), i) inside a transform
+    // lambda — re-ran the full inner encode (and the quantize under it)
+    // for EVERY outer element: O(dim²) interpreted evals per row, a 230 s
+    // scan at sf0.1 for what is a 1 s projection.
+    val msL = typedLit(mins.zip(spans))
+    val yCol = zip_with(col("q"), msL, (x, m) => {
+      val mn = m.getField("_1"); val sp = m.getField("_2")
+      mn * 255 + when(sp === 0, 0L)
+        .otherwise(round(((x - mn) * 255).cast("double") / sp).cast("long")) * sp
+    })
+    val encoded = corpus.select(col("vec_id"), yCol.as("y"))
       .withColumn("ny", normq(col("y")))
     val q = queries.select(col("vec_id").as("q_id"), col("q").as("q_vec"),
       col("nq").as("q_nq"))
@@ -760,4 +763,21 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select("a_id", "b_id", "sim")
   }
+
+  /** Recall@k of an approximate retriever against the exact ranking —
+    * the "measure, don't guess" harness for the ANN family (IVF/PQ/SQ
+    * trade recall for scan cost; this makes the trade a number). Inputs
+    * are two top-k frames in the (q_id, n_id, …) serving shape, i.e.
+    * queries×k rows each — everything here is broadcast-sized, so the
+    * eval costs nothing beyond the retrievals it measures. Output:
+    * (q_id, n_exact, n_hit, recall) with recall one exact small-integer
+    * division. */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("q_id"), col("n_id"))
+      .join(approx.select(col("q_id"), col("n_id"), lit(1L).as("hit")),
+        Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      .select(col("q_id"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact")).as("recall"))
 }

@@ -424,6 +424,20 @@ object ExtendedQueries {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // ANN recall eval: recall@5 of the IVF retriever (a03's exact
+    // parameters) against the brute-force ranking (a01) — the eval
+    // harness that turns the ANN family's recall/cost trade into a
+    // number. Both inputs are queries×k frames, so the eval itself is
+    // broadcast-sized; the oracle replays retrieval AND measurement
+    "a11_ann_recall" -> ((s, dir) => {
+      val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
+      val qs = corpus.filter(col("vec_id") < 5)
+      Similarity.recallAtK(
+          Similarity.bruteForceTopK(corpus, qs, k = 5),
+          Similarity.ivfTopK(corpus, qs, k = 5, nCentroids = 8, nProbe = 2))
+        .orderBy(col("q_id"))
+    }),
+
     // streaming BM25 PERCOLATION (a09 inverted — standing queries,
     // arriving docs): the query set, its df map, and the corpus length
     // stats freeze from the standing index, then each micro-batch is one
@@ -1638,6 +1652,38 @@ object ExtendedQueries {
     "a09_bm25_topk" -> a09Oracle,
 
     "a10_hybrid_rrf" -> a10Oracle,
+
+    // a11: IVF top-5 (a03's CTEs) left-joined onto brute top-5 (a01's),
+    // recall = one small-integer division
+    "a11_ann_recall" ->
+      s"""$kmeansAssignCtes,
+         |probes11 AS (SELECT vec_id AS q_id, q AS q_q, nn AS q_nn, c_id
+         |             FROM assign WHERE crk <= 2 AND vec_id < 5),
+         |scored11 AS (
+         |  SELECT p.q_id, a.vec_id AS n_id,
+         |    CASE WHEN a.nn = 0 OR p.q_nn = 0 THEN 0.0
+         |         ELSE list_dot_product(a.q::DOUBLE[], p.q_q::DOUBLE[]) / (sqrt(a.nn) * sqrt(p.q_nn)) END AS sim
+         |  FROM corpus_a a JOIN probes11 p ON a.c_id = p.c_id AND a.vec_id <> p.q_id),
+         |ivf11 AS (SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
+         |    FROM scored11)
+         |  WHERE rk <= 5),
+         |brute11 AS (SELECT q_id, n_id FROM (
+         |    SELECT qr.vec_id AS q_id, c.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY qr.vec_id
+         |        ORDER BY CASE WHEN c.nn = 0 OR qr.nn = 0 THEN 0.0
+         |          ELSE list_dot_product(c.q::DOUBLE[], qr.q::DOUBLE[]) / (sqrt(c.nn) * sqrt(qr.nn)) END DESC,
+         |          c.vec_id ASC) AS rk
+         |    FROM n c CROSS JOIN (SELECT * FROM n WHERE vec_id < 5) qr
+         |    WHERE c.vec_id <> qr.vec_id)
+         |  WHERE rk <= 5)
+         |SELECT b.q_id AS q_id,
+         |  CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(i.n_id) AS BIGINT) AS n_hit,
+         |  CAST(count(i.n_id) AS DOUBLE) / count(*) AS recall
+         |FROM brute11 b LEFT JOIN ivf11 i ON b.q_id = i.q_id AND b.n_id = i.n_id
+         |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin,
 
     // s16 = a09's scoring un-ranked: the routed pair set is exactly the
     // positive-score pairs (stateless stream ≡ batch, frozen stats)

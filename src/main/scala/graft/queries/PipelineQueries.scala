@@ -1023,6 +1023,34 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // t17's stream twin: distinct-shingle cardinality tracked
+    // INCREMENTALLY over the ingestion log — per trigger, sketch the
+    // batch map-only and fold it into the standing per-source sketches
+    // (KMV merge = union + re-take k smallest: commutative, associative,
+    // idempotent — so NO ordering contract and no high-water mark, unlike
+    // the keep-first gates). State is sources×k longs, constant in corpus
+    // size; generations commit immutably with an atomic pointer flip.
+    // Final sketch ≡ the batch sketch by mergeability → t17's oracle
+    "s17_stream_kmv" -> ((s, dir) => {
+      val work = graft.queries.ExtendedQueries.scratchDir("graft_s17")
+      val in = graft.queries.ExtendedQueries.onceLog("s17", dir) { path =>
+        val d = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
+        val b = d.agg(min(col("doc_id")), max(col("doc_id"))).first()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val c1 = lo + (hi - lo) / 3
+        val c2 = lo + 2 * (hi - lo) / 3
+        Seq(col("doc_id") <= c1,
+            col("doc_id") > c1 && col("doc_id") <= c2,
+            col("doc_id") > c2).foreach { p =>
+          d.filter(p).coalesce(1).write.mode("append").parquet(path)
+          Thread.sleep(20) // distinct mtimes → deterministic oldest-first arrival
+        }
+      }
+      graft.streaming.StreamKmv.drain(s, in, s"$work/state", s"$work/ckpt",
+          groupCol = "source", k = 32)
+        .orderBy(col("source"))
+    }),
+
     // per-source distinct-shingle cardinality via the K-minimum-values
     // sketch: dedup happens INSIDE the bounded kmv_sketch buffer, so the
     // only exchange carries ≤ sources×k longs — never the (source, hash)
@@ -1032,19 +1060,8 @@ object PipelineQueries {
     // distinct set and the count is exact
     "t17_kmv_distinct" -> ((s, dir) => {
       val k = 32
-      val d = docs(s, dir)
-      val sh = d.filter(size(split(trim(col("text")), "\\s+")) >= 3)
-        .select(col("source"),
-          explode(graft.expr.hfunctions.shingle_hashes60(col("text"), 3)).as("h"))
-      sh.groupBy(col("source"))
-        .agg(graft.expr.hfunctions.kmv_sketch(col("h"), k).as("mins"))
-        .select(col("source"),
-          size(col("mins")).cast("long").as("n_mins"),
-          when(size(col("mins")) < k, lit(0L))
-            .otherwise(element_at(col("mins"), k)).as("kth_h"),
-          when(size(col("mins")) < k, size(col("mins")).cast("long"))
-            .otherwise(round(lit((k - 1).toDouble) * lit(1152921504606846976L.toDouble)
-              / element_at(col("mins"), k).cast("double")).cast("long")).as("est_q"))
+      val sk = graft.ops.CorpusStats.kmvShingleSketch(docs(s, dir), "source", "text", k)
+      graft.ops.CorpusStats.kmvSummary(sk, "source", k)
         .orderBy(col("source"))
     }),
 
@@ -2324,6 +2341,30 @@ object PipelineQueries {
     // kmv: kth-smallest distinct hash per source replayed with a window;
     // 1152921504606846976 = 2^60 (the md5-60 hash space), exact in DOUBLE
     "t17_kmv_distinct" ->
+      s"""WITH tok17 AS (
+         |  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+         |sh17 AS (
+         |  SELECT source, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+         |  FROM tok17 WHERE len(tk) >= 3),
+         |hh17 AS (SELECT DISTINCT source, ${h60sql("s")} AS h FROM sh17),
+         |rk17 AS (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS r,
+         |    count(*) OVER (PARTITION BY source) AS cnt
+         |  FROM hh17)
+         |SELECT source,
+         |  CAST(least(max(cnt), 32) AS BIGINT) AS n_mins,
+         |  CAST(coalesce(max(CASE WHEN r = 32 THEN h END), 0) AS BIGINT) AS kth_h,
+         |  CAST(CASE WHEN max(cnt) < 32 THEN max(cnt)
+         |       ELSE CAST(round(31.0 * CAST(1152921504606846976 AS DOUBLE)
+         |              / CAST(max(CASE WHEN r = 32 THEN h END) AS DOUBLE)) AS BIGINT)
+         |       END AS BIGINT) AS est_q
+         |FROM rk17 GROUP BY source ORDER BY source""".stripMargin,
+
+    // s17 = t17 incrementally: KMV merge is order-free and idempotent,
+    // so the streamed-and-folded sketch equals the whole-corpus sketch
+    // bit-for-bit — the oracle is t17's verbatim
+    "s17_stream_kmv" ->
       s"""WITH tok17 AS (
          |  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
          |sh17 AS (
