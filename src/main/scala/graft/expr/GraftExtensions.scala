@@ -107,6 +107,9 @@ object GraftExtensions {
       "string-keyed bounded-heap top-k aggregate with long payload columns"),
       (es: Seq[Expression]) => TopKByScoreStr(es(0), es(1), es.drop(2).dropRight(1),
         intLit(es.last, "topk_by_str"))),
+    ("kmv_sketch", mkInfo("kmv_sketch",
+      "K-minimum-values distinct-count synopsis: ascending k smallest distinct hashes"),
+      (es: Seq[Expression]) => KmvSketch(es(0), intLit(es(1), "kmv_sketch"))),
     ("format_key", mkInfo("format_key", "reference string unique-key formatter (hyphen escaping)"),
       (es: Seq[Expression]) => formatKeyExpr(es)),
     ("unformat_key", mkInfo("unformat_key", "split a formatted unique key into components"),

@@ -424,6 +424,34 @@ object ExtendedQueries {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // hard-negative mining for retriever training: BM25 surfaces the
+    // lexically-confusable candidates for each probe doc (a10's
+    // query-by-document path), then the embedding space separates true
+    // positives (cosine ≥ 0.4, the d06 near-dup bar) from HARD negatives
+    // — high lexical overlap, low semantic similarity, the pairs a
+    // contrastive retriever learns most from. The corpus-sized work is
+    // the two retrieval scans; candidate labeling joins are all
+    // broadcast-sized (queries×k rows against the embedding scan)
+    "p27_hard_negatives" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val emb = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
+      val (n, tt) = graft.ops.Search.corpusTokenStats(d, "text")
+      val profiles = graft.ops.Search.docTermProfiles(
+        d.filter(col("doc_id") < 5), "doc_id", "text", width = 8)
+      val dfm = graft.ops.Search.termDf(d, "text", profiles.flatMap(_._2).distinct)
+      val lex = graft.ops.Search.bm25TopK(d, "doc_id", "text", profiles, dfm, n, tt,
+          k = 10, excludeSelf = true)
+        .select(col("q_id"), col("doc_id"), col("rk").as("bm25_rk"))
+      val qv = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("q").as("q_vec"), col("nq").as("q_nq"))
+      emb.join(broadcast(lex), emb("vec_id") === lex("doc_id"))
+        .join(broadcast(qv), Seq("q_id"))
+        .withColumn("sim", Similarity.cosineq(col("q"), col("q_vec"), col("nq"), col("q_nq")))
+        .select(col("q_id"), col("doc_id"), col("bm25_rk"), col("sim"),
+          when(col("sim") >= 0.4, lit("pos")).otherwise(lit("hardneg")).as("label"))
+        .orderBy(col("q_id"), col("bm25_rk"))
+    }),
+
     // ANN recall eval: recall@5 of the IVF retriever (a03's exact
     // parameters) against the brute-force ranking (a01) — the eval
     // harness that turns the ANN family's recall/cost trade into a
@@ -1588,8 +1616,11 @@ object ExtendedQueries {
        |  FROM score)
        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
-  private val a10Oracle: String =
-    s"""WITH $bm25BaseCtes,
+  /** Query-by-document lexical retrieval CTEs (through the `lex` top-10
+    * rank list) + the quantized-embedding CTEs — shared by a10 (RRF
+    * fusion) and p27 (hard-negative mining). */
+  private val queryByDocLexCtes: String =
+    s"""$bm25BaseCtes,
        |${PipelineQueries.quantCte},
        |qprof AS (
        |  SELECT doc_id AS q_id, u.term AS term, min(u.pos) AS mp FROM (
@@ -1621,7 +1652,10 @@ object ExtendedQueries {
        |      row_number() OVER (PARTITION BY q_id
        |        ORDER BY sum(c) DESC, doc_id) AS rk
        |    FROM contrib GROUP BY q_id, doc_id HAVING sum(c) > 0)
-       |  WHERE rk <= 10),
+       |  WHERE rk <= 10)""".stripMargin
+
+  private val a10Oracle: String =
+    s"""WITH $queryByDocLexCtes,
        |vec AS (SELECT q_id, doc_id, rk FROM (
        |    SELECT qr.vec_id AS q_id, c.vec_id AS doc_id,
        |      row_number() OVER (PARTITION BY qr.vec_id
@@ -1652,6 +1686,18 @@ object ExtendedQueries {
     "a09_bm25_topk" -> a09Oracle,
 
     "a10_hybrid_rrf" -> a10Oracle,
+
+    // p27: a10's lex list labeled by embedding cosine vs the probe
+    "p27_hard_negatives" ->
+      s"""WITH $queryByDocLexCtes,
+         |cand27 AS (
+         |  SELECT l.q_id, l.doc_id, CAST(l.rk AS BIGINT) AS bm25_rk,
+         |    CASE WHEN c.nn = 0 OR qv.nn = 0 THEN 0.0
+         |         ELSE list_dot_product(c.q::DOUBLE[], qv.q::DOUBLE[]) / (sqrt(c.nn) * sqrt(qv.nn)) END AS sim
+         |  FROM lex l JOIN n c ON c.vec_id = l.doc_id JOIN n qv ON qv.vec_id = l.q_id)
+         |SELECT q_id, doc_id, bm25_rk, sim,
+         |  CASE WHEN sim >= 0.4 THEN 'pos' ELSE 'hardneg' END AS label
+         |FROM cand27 ORDER BY q_id, bm25_rk""".stripMargin,
 
     // a11: IVF top-5 (a03's CTEs) left-joined onto brute top-5 (a01's),
     // recall = one small-integer division

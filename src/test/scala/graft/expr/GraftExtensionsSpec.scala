@@ -58,6 +58,15 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(top.queryExecution.executedPlan.toString.contains("partial_topk_by"))
   }
 
+  test("kmv_sketch works as a SQL aggregate: sorted-distinct k minima with partials") {
+    GraftExtensions.register(spark)
+    val sk = spark.sql(
+      "SELECT kmv_sketch(CAST(id % 7 AS BIGINT), 4) AS mins FROM range(100)")
+    assert(sk.select(explode(col("mins"))).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(sk.queryExecution.executedPlan.toString.contains("partial_kmv_sketch"))
+  }
+
   test("remove_token_spans validates SQL-supplied starts: Long-space bounds, loud nulls") {
     GraftExtensions.register(spark)
     // a start like 2^32+1 must NOT truncate via .toInt to 0 and cover the
