@@ -281,6 +281,40 @@ object SparkEntry {
         .orderBy(col("shard"))
     }),
 
+    // S12+T5 composed: the reference's REBUILD-THEN-SUBSCRIBE lifecycle
+    // (batch MapReduce rebuild from a snapshot, then the SEP subscription
+    // resumes from the rebuild point — reference README "Batch indexing"
+    // + rewind semantics). Batch-apply the pre-cut half of the mutation
+    // log (x06's applyOps path), BOOTSTRAP-COMMIT the built docs as the
+    // stream store's first generation, then stream ONLY the post-cut
+    // mutations into the same store. Catch-up costs post-cut work, not a
+    // log replay — at 100 TB the difference between re-reading history
+    // and reading the delta. Final state ≡ s01's full-stream processing
+    // (same oracle); the per-key seq max_by makes the cut seam exact.
+    "x40_backfill_handoff" -> ((s, dir) => {
+      val work = graft.queries.ExtendedQueries.scratchDir("graft_x40")
+      val events = Fixtures.eventMutations(s, dir)
+      val cut = 5000L
+      val batchOps = IndexerCore.rowPath(eventConf)(events.filter(col("seq") < cut))
+        .select(col("kind"), col("id"), col("doc"),
+          col("rowKey").as("rowValue"), lit(null).cast("string").as("familyValue"),
+          lit(null).cast("string").as("queryRow"), lit(null).cast("string").as("queryFamily"))
+      val empty = batchOps.select("id", "doc", "rowValue", "familyValue").limit(0)
+      val backfill = IndexerCore.applyOps(empty, batchOps)
+      val state = new graft.streaming.IndexState(s"$work/run/index", s)
+      // touched = every bucket; commit registers only dirs actually written
+      state.commit(backfill, "v-bootstrap", 0 until state.buckets)
+      events.filter(col("seq") >= cut).coalesce(2)
+        .write.mode("overwrite").parquet(s"$work/log")
+      graft.streaming.MutationStream.runToCompletion(
+          s, eventConf, s"$work/log", s"$work/run")
+        .select(
+          col("id"),
+          element_at(col("doc")("etype_s"), 1).as("etype_s"),
+          element_at(col("doc")("val_s"), 1).cast("double").as("val_d"))
+        .orderBy(col("id"))
+    }),
+
     // S1/T1-T6: the full streaming path — file-backed mutation log →
     // Structured Streaming → IndexerCore → idempotent parquet index state
     "s01_stream_state" -> ((s, dir) => {
@@ -440,6 +474,15 @@ object SparkEntry {
       """SELECT CAST(CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4) AS INT) % 8 AS BIGINT) AS shard,
         |  count(*) AS n
         |FROM customer GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    // x40 ≡ s01: the handoff seam must be invisible in the final state
+    "x40_backfill_handoff" ->
+      """WITH latest AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS id,
+        |    arg_max(event_type, event_id) AS et, arg_max(value, event_id) AS v
+        |  FROM events GROUP BY user_id)
+        |SELECT id, et AS etype_s, v AS val_d FROM latest
+        |WHERE et <> 'error' ORDER BY id""".stripMargin,
 
     "s01_stream_state" ->
       """WITH latest AS (

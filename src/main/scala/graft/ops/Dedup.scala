@@ -173,6 +173,26 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("group_size"))
 
+  /** Corpus-version diff on canonical fingerprints — the re-crawl
+    * bookkeeping step: which documents a new snapshot ADDED, DELETED,
+    * CHANGED, or left UNCHANGED vs the standing corpus. Comparison is by
+    * [[TextAnalysis.fingerprint]] (lowercase, whitespace-collapsed md5),
+    * so formatting-only churn — the bulk of re-crawl noise — reads as
+    * unchanged and never triggers downstream re-processing. One
+    * co-partitionable full-outer join on the id (bucket both versions by
+    * id at rest and the exchange disappears); each side carries only
+    * (id, 16-byte fp), never the text. */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val a = v1.select(col(idCol).as("doc_id"), TextAnalysis.fingerprint(col(textCol)).as("fp_a"))
+    val b = v2.select(col(idCol).as("doc_id"), TextAnalysis.fingerprint(col(textCol)).as("fp_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp_a").isNull, lit("added"))
+          .when(col("fp_b").isNull, lit("deleted"))
+          .when(col("fp_a") =!= col("fp_b"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** All-pairs n-gram Jaccard ≥ threshold (exact). Shuffles on the shingle
     * hash, then aggregates pair intersections — the textbook distributed
     * similarity join. Set sizes ride through the explode, so the whole

@@ -271,6 +271,25 @@ object PipelineQueries {
 
     // ---- dedup ----
 
+    // re-crawl corpus diff: a simulated second crawl (deletions,
+    // real edits, FORMATTING-ONLY churn, new pages) diffed against the
+    // standing corpus on canonical fingerprints — whitespace padding
+    // must read UNCHANGED (no downstream re-processing), real edits
+    // CHANGED, and the join carries (id, fp) pairs only, never text
+    "d19_snapshot_diff" -> ((s, dir) => {
+      val v1 = docs(s, dir).select(col("doc_id"), col("text"))
+      val recrawl = v1.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" updated")))
+            .when(col("doc_id") % 3 === 0, concat(lit("  "), col("text"), lit("   ")))
+            .otherwise(col("text")))
+      val v2 = recrawl.unionByName(
+        v1.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      Dedup.snapshotDiff(v1, v2, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "d01_dedup_exact" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("text"))
       // add formatting-noise copies so exact dedup has work to do
@@ -1322,6 +1341,28 @@ object PipelineQueries {
   }
 
   def oracles: Map[String, String] = Map(
+
+    "d19_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' updated'
+        |         WHEN doc_id % 3 = 0 THEN '  ' || text || '   '
+        |         ELSE text END AS text
+        |  FROM v1 WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM v1 WHERE doc_id % 11 = 0),
+        |fa AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_a FROM v1),
+        |fb AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_b FROM v2)
+        |SELECT coalesce(fa.doc_id, fb.doc_id) AS doc_id,
+        |  CASE WHEN fa.doc_id IS NULL THEN 'added'
+        |       WHEN fb.doc_id IS NULL THEN 'deleted'
+        |       WHEN fp_a <> fp_b THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM fa FULL OUTER JOIN fb ON fa.doc_id = fb.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "d01_dedup_exact" ->
       """WITH all_docs AS (

@@ -598,4 +598,21 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.incrementalNearDup(longDocs, intDocs, "doc_id", "text",
       bands = 4, rowsPerBand = 2).collect().length == 1)
   }
+
+  test("snapshotDiff: formatting-only churn is unchanged; real edits, adds, deletes detected") {
+    import spark.implicits._
+    val v1 = Seq(
+      (1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon zeta"), (4L, "eta theta")
+    ).toDF("doc_id", "text")
+    val v2 = Seq(
+      (1L, "  alpha   BETA "), // canonicalizes to v1's fingerprint → unchanged
+      (2L, "gamma delta prime"), // real edit → changed
+      (4L, "eta theta"), // untouched
+      (9L, "iota kappa") // new page
+    ).toDF("doc_id", "text") // doc 3 vanished
+    val got = Dedup.snapshotDiff(v1, v2, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "deleted",
+      4L -> "unchanged", 9L -> "added"))
+  }
 }
