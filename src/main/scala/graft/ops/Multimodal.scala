@@ -235,6 +235,77 @@ object Multimodal {
     }
   }
 
+  case class PerceptualHash(doc_id: Long, phash: Long)
+
+  /** Perceptual average-hash (aHash) over REAL image decode: full
+    * ImageIO read → integer grayscale → grid×grid block-average
+    * downsample → threshold each cell against the global cell mean → one
+    * 64-bit fingerprint. All reductions are integer (per-pixel gray =
+    * (r+g+b)/3 int-div, per-cell and global means int-div), so the hash
+    * is a pure function of the pixels — engine-portable, no float
+    * resampler semantics in the contract (the reason this downsamples by
+    * block averaging instead of `drawImage` scaling, whose boundary
+    * sampling is implementation-defined). Undecodable payloads hash to
+    * −1 (the decode-failure convention). Bit layout: cell (cy, cx) →
+    * bit cy·grid + cx. */
+  def aHash64(media: DataFrame, grid: Int = 8): Dataset[PerceptualHash] = {
+    require(grid > 0 && grid * grid <= 64, s"grid² must fit 64 bits: $grid")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        catch { case _: Exception => null }
+        if (img == null) PerceptualHash(r.doc_id, -1L)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val cells = new Array[Long](grid * grid)
+          var cy = 0
+          while (cy < grid) {
+            var cx = 0
+            while (cx < grid) {
+              val x0 = cx * w / grid; val x1 = (cx + 1) * w / grid
+              val y0 = cy * h / grid; val y1 = (cy + 1) * h / grid
+              var sum = 0L; var n = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val p = img.getRGB(x, y)
+                  sum += (((p >>> 16) & 0xff) + ((p >>> 8) & 0xff) + (p & 0xff)) / 3
+                  n += 1; x += 1
+                }
+                y += 1
+              }
+              cells(cy * grid + cx) = if (n == 0) 0L else sum / n
+              cx += 1
+            }
+            cy += 1
+          }
+          val mean = cells.sum / cells.length
+          var hash = 0L
+          var i = 0
+          while (i < cells.length) {
+            if (cells(i) > mean) hash |= 1L << i
+            i += 1
+          }
+          PerceptualHash(r.doc_id, hash)
+        }
+      }
+    }
+  }
+
+  /** Perceptual media dedup: group by aHash — near-identical renders
+    * (recompressions, format shifts, minor tone drift within the cell
+    * threshold) land in one group even when their BYTES differ, which is
+    * exactly what [[dedupExact]]'s content-hash cannot see. Same one
+    * uniform-key shuffle shape. Output: (phash, n_copies, keeper). */
+  def phashDedup(media: DataFrame, grid: Int = 8): DataFrame =
+    aHash64(media, grid).toDF()
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+
   // Audio ----------------------------------------------------------------
 
   /** The audio decode seam (the [[MediaDecoder]] pattern for sample

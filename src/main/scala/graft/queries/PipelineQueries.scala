@@ -1271,6 +1271,17 @@ object PipelineQueries {
     // solid at the new dims, so the checksum over the RESIZED raster
     // (pixel_sum = nw*nh*3*c) is exactly predictable — while still
     // requiring the decode → scale → re-read pipeline to really run
+    // perceptual media dedup: REAL PNG decode → integer block-average
+    // downsample → aHash → group. The pattern fixture makes the hash
+    // pure id arithmetic (cells are uniform tone, so every integer mean
+    // is exact) while the codec and downsampler genuinely run; ids
+    // sharing id%50 must land in one group even though their PNG BYTES
+    // may differ (encoder chunking) — the thing content-md5 cannot see
+    "m08_phash_dedup" -> ((s, dir) => {
+      Multimodal.phashDedup(patternPngMedia(s, dir))
+        .orderBy(col("phash"))
+    }),
+
     "m06_media_resize" -> ((s, dir) => {
       Multimodal.resizeImages(solidPngMedia(s, dir), maxW = 32, maxH = 32)
         .toDF()
@@ -1333,6 +1344,38 @@ object PipelineQueries {
           val g = img.createGraphics()
           try { g.setColor(new java.awt.Color(c, c, c)); g.fillRect(0, 0, w, h) }
           finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, "image/png", bos.toByteArray)
+        }
+      }.toDF("doc_id", "mime", "payload")
+  }
+
+  /** Deterministic 8×8-cell pattern PNGs (32×32 px, 4×4 px per cell):
+    * cell idx carries tone 140 iff ((id%50)·31 + idx·17) % 97 < 48, else
+    * 40. 17 ⊥ 97 keeps 15–48 cells high (never all/none), ids sharing
+    * id%50 render the SAME image — so aHash groups are pure id
+    * arithmetic for the oracle while the real PNG codec + block-average
+    * downsample run under test. */
+  private def patternPngMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id").cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val img = new java.awt.image.BufferedImage(32, 32,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = img.createGraphics()
+          try {
+            var idx = 0
+            while (idx < 64) {
+              val tone = if (((id % 50) * 31 + idx * 17) % 97 < 48) 140 else 40
+              g.setColor(new java.awt.Color(tone, tone, tone))
+              g.fillRect((idx % 8) * 4, (idx / 8) * 4, 4, 4)
+              idx += 1
+            }
+          } finally g.dispose()
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(img, "png", bos)
           (id, "image/png", bos.toByteArray)
@@ -2765,6 +2808,25 @@ object PipelineQueries {
         |FROM f ORDER BY doc_id""".stripMargin,
 
     // fit-to-box replica in exact integer arithmetic; the solid fill
+    // m08: the aHash bits equal the high-tone cells exactly — with tones
+    // {40, 140} and 15–48 high cells, the integer cell mean always sits
+    // strictly between them — so the hash is bit_or of 1<<idx over the
+    // formula's high cells (bit 63 spelled as Long.MinValue: DuckDB's
+    // checked 1<<63 overflows, and a BIGINT sum would too)
+    "m08_phash_dedup" ->
+      """WITH bits AS (
+        |  SELECT doc_id, idx,
+        |    CASE WHEN ((doc_id % 50) * 31 + idx * 17) % 97 < 48 THEN 1 ELSE 0 END AS hi
+        |  FROM (SELECT doc_id, unnest(generate_series(0, 63)) AS idx FROM documents)),
+        |hash AS (
+        |  SELECT doc_id,
+        |    bit_or(CASE WHEN hi = 0 THEN CAST(0 AS BIGINT)
+        |                WHEN idx = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+        |                ELSE (CAST(1 AS BIGINT) << idx) END) AS phash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT phash, count(*) AS n_copies, min(doc_id) AS keeper
+        |FROM hash GROUP BY phash ORDER BY phash""".stripMargin,
+
     // audio trim: the synth formula replayed by id-arithmetic — windows
     // wi-1 ∈ [lead, wTotal-tail) carry samples (id·31 + i·7) mod 201 − 100
     // (never an all-zero window: step 7 can't hold a residue 16 samples),

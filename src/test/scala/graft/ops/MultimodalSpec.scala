@@ -104,6 +104,39 @@ class MultimodalSpec extends SparkSpec {
       "stride-2 keeps frames 1 and 3 only")
   }
 
+  test("aHash groups re-encodings that content-md5 splits; junk hashes to -1") {
+    import spark.implicits._
+    def render(fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try {
+        g.setColor(new java.awt.Color(140, 140, 140)); g.fillRect(0, 0, 16, 32)
+        g.setColor(new java.awt.Color(40, 40, 40)); g.fillRect(16, 0, 16, 32)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val png = render("png"); val bmp = render("bmp")
+    assert(!java.util.Arrays.equals(png, bmp), "distinct bytes by construction")
+    val media = Seq((1L, "image/png", png), (2L, "image/bmp", bmp),
+      (3L, "application/octet-stream", Array[Byte](1, 2, 3))).toDF("doc_id", "mime", "payload")
+    // content dedup sees three distinct payloads...
+    assert(Multimodal.dedupExact(media).count() == 3)
+    // ...perceptual dedup sees one image twice (+ the junk sentinel)
+    val groups = Multimodal.phashDedup(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val junk = groups.find(_._1 == -1L).get
+    assert(junk._2 == 1L && junk._3 == 3L)
+    val img = groups.filter(_._1 != -1L)
+    assert(img.length == 1 && img.head._2 == 2L && img.head._3 == 1L,
+      s"png+bmp must share one perceptual group: ${groups.toSeq}")
+    // left half is the bright half: bits 0-3 of each row set
+    val expected = (0 until 8).map(cy => (0 until 4).map(cx => 1L << (cy * 8 + cx)).sum).sum
+    assert(img.head._1 == expected)
+  }
+
   test("PcmS16leDecoder: little-endian reassembly incl. negatives; odd tail drops") {
     val bytes = Array[Byte](0x34, 0x12, 0xff.toByte, 0xff.toByte, 0x00, 0x80.toByte, 0x7f)
     val s = Multimodal.PcmS16leDecoder.decode("audio/pcm-s16le", bytes)
