@@ -162,6 +162,85 @@ object Search {
         col("t.sim").cast("long").as("rrf_q"), col("t.rk").as("rk"))
   }
 
+  case class MmrPick(q_id: Long, doc_id: Long, reln_q: Long, mmr_q: Long, rk: Long)
+
+  /** HALF_UP away from zero on the exact double (both engines' round()
+    * semantics; Math.round's floor(x+0.5) drifts on ulp-edge values). */
+  private def roundAwayMicro(x: Double): Long = {
+    def pos(v: Double): Long = {
+      val f = Math.floor(v)
+      (if (v - f >= 0.5) f + 1 else f).toLong
+    }
+    if (x >= 0) pos(x) else -pos(-x)
+  }
+
+  /** Maximal-marginal-relevance re-ranking of per-query candidate lists
+    * (λ = 0.5, scaled ×2 into exact integers): step 1 takes the most
+    * relevant candidate; each later step maximizes `relN − max sim to
+    * the already-chosen` — the diversified serving step that stops a
+    * result page from being five copies of the same document. Relevance
+    * normalizes per query to [0, 10⁶]; similarity is micro-quantized
+    * exact-integer cosine, so every selection is an integer argmax
+    * (ties → smaller doc id) and the greedy trace is engine-portable —
+    * the oracle replays it as k unrolled SQL stages.
+    *
+    * Input: (q_id, doc_id, score_q, q, nq) — a top-K′ list already, so
+    * the groupBy exchange carries queries×K′ rows and the per-group
+    * O(K′²·dim) sim table is arithmetic on in-memory arrays. Output:
+    * (q_id, doc_id, reln_q, mmr_q, rk) with rk = 1..k selection order. */
+  def mmrRerank(cands: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"mmrRerank: k must be positive: $k")
+    val spark = cands.sparkSession
+    import spark.implicits._
+    cands.select(col("q_id").cast("long"), col("doc_id").cast("long"),
+        col("score_q").cast("long"), col("q"), col("nq").cast("long"))
+      .as[(Long, Long, Long, Seq[Long], Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cs = it.toArray.sortBy(_._2)
+        if (cs.isEmpty) Iterator.empty
+        else {
+          val maxS = cs.map(_._3).max.toDouble
+          val relN = cs.map(c => roundAwayMicro(c._3.toDouble * 1e6 / maxS))
+          val vecs = cs.map(_._4.toArray)
+          val nq = cs.map(_._5)
+          def simQ(i: Int, j: Int): Long = {
+            if (nq(i) == 0L || nq(j) == 0L) 0L
+            else {
+              var dot = 0L
+              val a = vecs(i); val b = vecs(j)
+              var d = 0
+              while (d < a.length) { dot += a(d) * b(d); d += 1 }
+              roundAwayMicro(dot.toDouble /
+                (Math.sqrt(nq(i).toDouble) * Math.sqrt(nq(j).toDouble)) * 1e6)
+            }
+          }
+          val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
+          val out = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+          var rk = 1L
+          while (chosen.length < math.min(k, cs.length)) {
+            var best = -1
+            var bestMmr = Long.MinValue
+            var i = 0
+            while (i < cs.length) {
+              if (!chosen.contains(i)) {
+                val pen = if (chosen.isEmpty) 0L else chosen.map(simQ(i, _)).max
+                val mmr = relN(i) - pen
+                // ties → smaller doc id (cs is doc-sorted, so first wins)
+                if (mmr > bestMmr) { bestMmr = mmr; best = i }
+              }
+              i += 1
+            }
+            out += MmrPick(qid, cs(best)._2, relN(best), bestMmr, rk)
+            chosen += best
+            rk += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF()
+  }
+
   /** The query-side term profile for query-by-document retrieval: the
     * first `width` DISTINCT tokens of each query document in position
     * order. Driver-bounded: queries are human-sized (the caller passes a

@@ -424,6 +424,27 @@ object ExtendedQueries {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // MMR diversified re-ranking (λ=0.5, ×2-scaled into exact integers):
+    // BM25's top-10 per probe query re-ordered so each pick maximizes
+    // normalized relevance minus max cosine to the already-picked — the
+    // serving step that stops a result page from being five copies of
+    // one document. Every selection is an integer argmax over micro-
+    // quantized values, so the greedy trace is engine-portable and the
+    // oracle replays it as five unrolled SQL stages. The groupBy carries
+    // queries×10 rows; the sim table is in-memory per group
+    "a12_mmr_rerank" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val emb = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
+      val (n, tt) = graft.ops.Search.corpusTokenStats(d, "text")
+      val (qs, dfm) = graft.ops.Search.deriveTermQueries(
+        d, "doc_id", "text", nQueries = 4, width = 3, skip = 10)
+      val lex = graft.ops.Search.bm25TopK(d, "doc_id", "text", qs, dfm, n, tt, k = 10)
+      val cand = emb.join(broadcast(lex), emb("vec_id") === lex("doc_id"))
+        .select(lex("q_id"), lex("doc_id"), lex("score_q"), emb("q"), emb("nq"))
+      graft.ops.Search.mmrRerank(cand, k = 5)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // hard-negative mining for retriever training: BM25 surfaces the
     // lexically-confusable candidates for each probe doc (a10's
     // query-by-document path), then the embedding space separates true
@@ -1686,6 +1707,54 @@ object ExtendedQueries {
     "a09_bm25_topk" -> a09Oracle,
 
     "a10_hybrid_rrf" -> a10Oracle,
+
+    // a12: the greedy MMR trace unrolled — sel1 = top normalized
+    // relevance; each later stage re-argmaxes relN − max(sim to chosen)
+    // over the not-yet-chosen (integer micro-units, ties → smaller doc)
+    "a12_mmr_rerank" -> {
+      def selU(i: Int) =
+        (1 until i).map(j => s"SELECT q_id, doc_id FROM sel$j").mkString(" UNION ALL ")
+      val stages = (2 to 5).map { i =>
+        s"""selu${i - 1} AS (${selU(i)}),
+           |sel$i AS (SELECT q_id, doc_id, reln, mmr, CAST($i AS BIGINT) AS rk FROM (
+           |    SELECT p.q_id, p.doc_id, p.reln, p.mmr,
+           |      row_number() OVER (PARTITION BY p.q_id ORDER BY p.mmr DESC, p.doc_id) AS r
+           |    FROM (
+           |      SELECT c.q_id, c.doc_id, c.reln, c.reln - max(s.sq) AS mmr
+           |      FROM rel12 c
+           |      JOIN sim12 s ON s.q_id = c.q_id AND s.a_id = c.doc_id
+           |      JOIN selu${i - 1} u ON u.q_id = c.q_id AND u.doc_id = s.b_id
+           |      WHERE NOT EXISTS (SELECT 1 FROM selu${i - 1} v
+           |                        WHERE v.q_id = c.q_id AND v.doc_id = c.doc_id)
+           |      GROUP BY c.q_id, c.doc_id, c.reln) p) WHERE r = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $a09ScoreCtes,
+         |${PipelineQueries.quantCte},
+         |lex12 AS (SELECT q_id, doc_id, score_q FROM (
+         |    SELECT q_id, doc_id, score_q,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY score_q DESC, doc_id) AS rk
+         |    FROM score) WHERE rk <= 10),
+         |cand12 AS (SELECT l.q_id, l.doc_id, l.score_q, e.q, e.nn
+         |           FROM lex12 l JOIN n e ON e.vec_id = l.doc_id),
+         |mx12 AS (SELECT q_id, max(score_q) AS maxs FROM cand12 GROUP BY q_id),
+         |rel12 AS (SELECT c.q_id, c.doc_id,
+         |    CAST(round(CAST(c.score_q AS DOUBLE) * 1e6 / CAST(m.maxs AS DOUBLE)) AS BIGINT) AS reln,
+         |    c.q, c.nn
+         |  FROM cand12 c JOIN mx12 m ON m.q_id = c.q_id),
+         |sim12 AS (SELECT a.q_id, a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CAST(CASE WHEN a.nn = 0 OR b.nn = 0 THEN 0
+         |         ELSE round(list_dot_product(a.q::DOUBLE[], b.q::DOUBLE[])
+         |                    / (sqrt(a.nn) * sqrt(b.nn)) * 1e6) END AS BIGINT) AS sq
+         |  FROM rel12 a JOIN rel12 b ON a.q_id = b.q_id AND a.doc_id <> b.doc_id),
+         |sel1 AS (SELECT q_id, doc_id, reln, reln AS mmr, CAST(1 AS BIGINT) AS rk FROM (
+         |    SELECT q_id, doc_id, reln,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY reln DESC, doc_id) AS r
+         |    FROM rel12) WHERE r = 1),
+         |$stages
+         |SELECT q_id, doc_id, reln AS reln_q, mmr AS mmr_q, rk FROM (
+         |  ${(1 to 5).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")})
+         |ORDER BY q_id, rk""".stripMargin
+    },
 
     // p27: a10's lex list labeled by embedding cosine vs the probe
     "p27_hard_negatives" ->

@@ -117,6 +117,27 @@ class SearchSpec extends SparkSpec {
     assert(fused(0) == ((100L, v1 + v2, 1L))) // in both lists → first
   }
 
+  test("mmrRerank demotes the near-duplicate of the leader; ties go to the smaller doc") {
+    // rel order: 10 (rel 100) > 11 (rel 90) > 12 (rel 80), but 11's
+    // vector ≈ 10's → MMR picks 10, then 12 (orthogonal), then 11
+    val cands = Seq(
+      (0L, 10L, 100L, Seq(1000L, 0L, 0L), 1000000L),
+      (0L, 11L, 90L, Seq(999L, 45L, 0L), 999026L + 2025L - 1L), // ~parallel to 10
+      (0L, 12L, 80L, Seq(0L, 0L, 1000L), 1000000L)
+    ).toDF("q_id", "doc_id", "score_q", "q", "nq")
+    val picks = Search.mmrRerank(cands, k = 3)
+      .orderBy(col("rk")).collect().map(r => (r.getLong(1), r.getLong(4)))
+    assert(picks.map(_._1).toSeq == Seq(10L, 12L, 11L), picks.toSeq.toString)
+    // deterministic tie-break: two identical candidates → smaller doc first
+    val ties = Seq(
+      (1L, 21L, 50L, Seq(1000L, 0L, 0L), 1000000L),
+      (1L, 20L, 50L, Seq(1000L, 0L, 0L), 1000000L)
+    ).toDF("q_id", "doc_id", "score_q", "q", "nq")
+    val t = Search.mmrRerank(ties, k = 2).orderBy(col("rk"))
+      .collect().map(_.getLong(1)).toSeq
+    assert(t == Seq(20L, 21L))
+  }
+
   test("bm25 plan: map-only scoring — the only exchange is the bounded-heap top-k") {
     val (n, t) = Search.corpusTokenStats(corpus, "text")
     val df = Search.termDf(corpus, "text", Seq("apple", "banana"))
