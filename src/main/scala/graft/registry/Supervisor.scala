@@ -224,6 +224,53 @@ class IndexerSupervisor(
     }
   }
 
+  // C3 percolation arm (r11): standing saved-searches per indexer — the
+  // s16 gate as an OPERABLE artifact. The query set, its term document
+  // frequencies, and the corpus length stats FREEZE at registration (the
+  // index-build moment), persist under $workRoot/<name>/percolator, and
+  // every arriving batch routes against that frozen snapshot — scores
+  // stay comparable across batches and re-registration is an explicit
+  // operator action, not drift.
+
+  private def percolatorDir(name: String): String = s"$workRoot/$name/percolator"
+
+  /** Freeze a standing-query set for `name` against `corpus` (one
+    * stats + df pass — the percolator's index build). */
+  def registerStandingQueries(name: String, corpus: org.apache.spark.sql.DataFrame,
+                              idCol: String, textCol: String,
+                              queries: Seq[(Long, Seq[String])]): Unit = {
+    registry.get(name).getOrElse(throw new IllegalStateException(s"no such indexer: $name"))
+    require(queries.nonEmpty, "registerStandingQueries: empty query set")
+    val (n, t) = graft.ops.Search.corpusTokenStats(corpus, textCol)
+    val dfm = graft.ops.Search.termDf(corpus, textCol, queries.flatMap(_._2).distinct)
+    val dir = percolatorDir(name)
+    import spark.implicits._
+    queries.toDF("q_id", "terms").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/queries")
+    dfm.toSeq.toDF("term", "df").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/df")
+    Seq((n, t)).toDF("n_docs", "total_tokens").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Route a document batch against `name`'s frozen standing queries:
+    * every positive (q_id, doc_id, score_q). The persisted artifacts are
+    * query-sized (driver-bounded reads); scoring is s16's map-only pass. */
+  def routeBatch(name: String, batch: org.apache.spark.sql.DataFrame,
+                 idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    registry.get(name).getOrElse(throw new IllegalStateException(s"no such indexer: $name"))
+    val dir = percolatorDir(name)
+    require(Files.exists(Paths.get(dir, "stats")),
+      s"no standing queries for $name — run registerStandingQueries first")
+    val qs = spark.read.parquet(s"$dir/queries").collect() // query-sized
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).toSeq.sortBy(_._1)
+    val dfm = spark.read.parquet(s"$dir/df").collect() // ≤ |query terms|
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val st = spark.read.parquet(s"$dir/stats").head()
+    graft.ops.Search.bm25Scores(batch, idCol, textCol, qs, dfm,
+      st.getLong(0), st.getLong(1))
+  }
+
   /** Re-subscribe after DO_NOT_SUBSCRIBE: stamps subscriptionTimestamp =
     * now, so pre-existing log history is skipped (SepModelImpl records the
     * subscription timestamp at peer creation the same way). */

@@ -245,4 +245,43 @@ class RegistrySpec extends SparkSpec {
       sup.admitIncrement("bare", corpus, "doc_id", "text")
     }
   }
+
+  test("C3 percolation arm: frozen standing queries route batches through the supervisor") {
+    import spark.implicits._
+    val regDir = tmp("graft_reg6"); val work = tmp("graft_work6"); val logs = tmp("graft_logs6")
+    val reg = new IndexerRegistry(regDir)
+    val sup = new IndexerSupervisor(spark, reg, work, name => s"$logs/$name")
+    reg.add(IndexerDefinition("idx", confXml))
+
+    val corpus = Seq(
+      1L -> "spark index search engine", 2L -> "alpha beta gamma",
+      3L -> "search engine ranking", 4L -> "unrelated words here"
+    ).toDF("doc_id", "text")
+    val queries = Seq(0L -> Seq("search", "engine"), 1L -> Seq("alpha"))
+    sup.registerStandingQueries("idx", corpus, "doc_id", "text", queries)
+
+    val batch = Seq(
+      10L -> "a new search engine doc", 11L -> "alpha something",
+      12L -> "nothing relevant").toDF("doc_id", "text")
+    val routes = sup.routeBatch("idx", batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    assert(routes.map(_._2) == Set(10L, 11L))
+    assert(routes == Set((0L, 10L), (1L, 11L)), routes.toString)
+    // routing ≡ the library path under the same frozen stats
+    val (n, t) = graft.ops.Search.corpusTokenStats(corpus, "text")
+    val dfm = graft.ops.Search.termDf(corpus, "text", queries.flatMap(_._2))
+    val direct = graft.ops.Search.bm25Scores(batch, "doc_id", "text", queries, dfm, n, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaSup = sup.routeBatch("idx", batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaSup == direct)
+    // unregistered indexer / missing percolator fail loudly
+    intercept[IllegalStateException] {
+      sup.routeBatch("nope", batch, "doc_id", "text")
+    }
+    reg.add(IndexerDefinition("bare", confXml))
+    intercept[IllegalArgumentException] {
+      sup.routeBatch("bare", batch, "doc_id", "text")
+    }
+  }
 }
