@@ -564,21 +564,32 @@ object Similarity {
     * query pays ~nProbe/nCentroids of the corpus, each candidate an
     * m-term LUT sum. Recall compounds coarse-pruning loss with ADC
     * approximation — tunable by nProbe and m/ksub independently. */
-  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                nCentroids: Int = 8, nProbe: Int = 2,
-                m: Int = 4, dim: Int = 64, ksub: Int = 8,
-                trainIters: Int = 2): DataFrame = {
-    val coarse = trainCentroids(corpus, nCentroids, trainIters)
-    val books = trainPqCodebooks(corpus, m, dim, ksub, trainIters)
+  /** Map-only IVF-PQ encode: (vec_id, nq, coarse list id, m PQ codes) —
+    * both quantizers inlined as literal expressions. This is the row the
+    * persisted index stores and the live path scores. */
+  private def ivfPqEncode(corpus: DataFrame, coarse: Seq[Centroid],
+                          books: Seq[Seq[Centroid]], m: Int, dim: Int): DataFrame = {
     val sub = dim / m
     def subQ(j: Int) = slice(col("q"), j * sub + 1, sub)
-    val encoded = corpus.select(col("vec_id"), col("nq"),
+    corpus.select(col("vec_id"), col("nq"),
       element_at(centroidRank(coarse, col("q"), col("nq")), 1)
         .getField("c_id").as("c_id"),
       array((0 until m).map { j =>
         element_at(centroidRank(books(j), subQ(j), normq(subQ(j))), 1)
           .getField("c_id")
       }: _*).as("codes"))
+  }
+
+  /** ADC scoring of an encoded frame against probe queries: per-query
+    * m×ksub LUTs broadcast, the approximate dot an m-term LUT sum, exact
+    * stored norms in the denominator, bounded-heap top-k. Shared verbatim
+    * by the live ([[ivfPqTopK]]) and persisted ([[ivfPqIndexTopK]]) paths
+    * so their equality is structural, not coincidental. */
+  private def ivfPqServe(encoded: DataFrame, queries: DataFrame,
+                         coarse: Seq[Centroid], books: Seq[Seq[Centroid]],
+                         k: Int, nProbe: Int, m: Int, dim: Int): DataFrame = {
+    val sub = dim / m
+    def subQ(j: Int) = slice(col("q"), j * sub + 1, sub)
     val qProbes = nearestCentroids(queries, coarse, keep = nProbe)
       .select(col("vec_id").as("q_id"), col("nq").as("q_nq"), col("c_id"),
         array((0 until m).map { j =>
@@ -597,6 +608,98 @@ object Similarity {
           .otherwise(adc.cast("double") /
             (sqrt(col("nq").cast("double")) * sqrt(col("q_nq").cast("double")))))
     topK(scored, k)
+  }
+
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nCentroids: Int = 8, nProbe: Int = 2,
+                m: Int = 4, dim: Int = 64, ksub: Int = 8,
+                trainIters: Int = 2): DataFrame = {
+    val coarse = trainCentroids(corpus, nCentroids, trainIters)
+    val books = trainPqCodebooks(corpus, m, dim, ksub, trainIters)
+    ivfPqServe(ivfPqEncode(corpus, coarse, books, m, dim), queries,
+      coarse, books, k, nProbe, m, dim)
+  }
+
+  // Persisted IVF-PQ index (a13): the a04 partitioned-assignment layout
+  // with PQ codes instead of raw vectors — dim quantized longs per row
+  // shrink to m codes + one norm, so the probed-partition scan is
+  // bandwidth-proportional to the compressed size. ONE manifest file
+  // (`IVFPQ`) carries the generation pointer, the coarse codebook, AND
+  // all m subspace codebooks — a single atomic flip, because pairing a
+  // new coarse book with old codes (or vice versa) mixes incompatible
+  // coordinate systems (the writeManifest rationale, doubled).
+
+  private def writeIvfPqManifest(dir: String, coarse: Seq[Centroid],
+                                 books: Seq[Seq[Centroid]], gen: String,
+                                 m: Int, dim: Int): Unit = {
+    val lines = s"meta\tdir\t$gen\t$m\t$dim" +:
+      (coarse.map(c => s"C\t${c.cId}\t${c.nq}\t${c.vec.mkString(",")}") ++
+        books.zipWithIndex.flatMap { case (b, j) =>
+          b.map(c => s"B\t$j\t${c.cId}\t${c.nq}\t${c.vec.mkString(",")}")
+        })
+    graft.streaming.IndexState.atomicWriteString(
+      java.nio.file.Paths.get(dir, "IVFPQ"), lines.mkString("\n"))
+  }
+
+  private[graft] def resolveIvfPqIndex(dir: String)
+      : (Seq[Centroid], Seq[Seq[Centroid]], String, Int, Int) = {
+    val lines = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(dir, "IVFPQ"))
+      .split("\n").toSeq.filter(_.nonEmpty)
+    val meta = lines.head.split("\t")
+    require(meta.length == 5 && meta(0) == "meta", s"bad IVFPQ manifest in $dir")
+    val (gen, m) = (meta(2), meta(3).toInt)
+    def cent(parts: Array[String], off: Int) = Centroid(
+      parts(off).toLong, parts(off + 2).split(",").map(_.toLong).toSeq, parts(off + 1).toLong)
+    val coarse = lines.tail.filter(_.startsWith("C\t"))
+      .map(l => cent(l.split("\t"), 1))
+    val books = lines.tail.filter(_.startsWith("B\t")).map(_.split("\t"))
+      .groupBy(_(1).toInt).toSeq.sortBy(_._1)
+      .map(_._2.map(cent(_, 2)).toSeq)
+    (coarse, books, gen, m, meta(4).toInt)
+  }
+
+  /** Build (or rebuild) a persisted IVF-PQ index: train both quantizers
+    * (or freeze passed-in ones), encode map-only, write partitioned by
+    * coarse list, flip the single manifest. */
+  def buildIvfPqIndex(corpus: DataFrame, dir: String,
+                      nCentroids: Int = 8, m: Int = 4, dim: Int = 64,
+                      ksub: Int = 8, trainIters: Int = 2,
+                      coarse: Option[Seq[Centroid]] = None,
+                      books: Option[Seq[Seq[Centroid]]] = None): Unit = {
+    val co = coarse.getOrElse(trainCentroids(corpus, nCentroids, trainIters))
+    val bo = books.getOrElse(trainPqCodebooks(corpus, m, dim, ksub, trainIters))
+    val gen = s"assignment-b${System.nanoTime()}"
+    ivfPqEncode(corpus, co, bo, m, dim)
+      .repartition(col("c_id"))
+      .write.partitionBy("c_id").parquet(s"$dir/$gen")
+    writeIvfPqManifest(dir, co, bo, gen, m, dim)
+  }
+
+  /** Append new vectors under the FROZEN codebooks — append ≡ rebuild
+    * because encode is a pure per-row function of (vector, codebooks).
+    * Same single-owner writer contract as [[appendToIvfIndex]]. */
+  def appendToIvfPqIndex(newVectors: DataFrame, dir: String): Unit = {
+    val (co, bo, gen, m, dim) = resolveIvfPqIndex(dir)
+    ivfPqEncode(newVectors, co, bo, m, dim)
+      .repartition(col("c_id"))
+      .write.mode("append").partitionBy("c_id").parquet(s"$dir/$gen")
+  }
+
+  /** Serve from the persisted index: probe with the manifest's coarse
+    * book, scan ONLY the probed partitions (bounded probe-id collect →
+    * partition-pruning IN filter), ADC-score with the manifest's PQ
+    * books. Identical results to [[ivfPqTopK]] with the same build. */
+  def ivfPqIndexTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+    val (co, bo, gen, m, dim) = resolveIvfPqIndex(dir)
+    val probes = nearestCentroids(queries, co, keep = nProbe)
+      .select(col("c_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted // bounded: ≤ nCentroids
+    val encoded = spark.read.parquet(s"$dir/$gen")
+      .filter(col("c_id").isin(probes: _*))
+      .select(col("vec_id"), col("nq"), col("c_id").cast("long").as("c_id"), col("codes"))
+    ivfPqServe(encoded, queries, co, bo, k, nProbe, m, dim)
   }
 
   /** SemDeDup-style cluster-scoped embedding dedup: k-means the corpus

@@ -377,6 +377,24 @@ object ExtendedQueries {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // the persisted IVF-PQ index: a04's partitioned layout with PQ codes
+    // instead of raw vectors (m codes + 1 norm per row vs dim longs).
+    // Codebooks freeze from the full corpus; HALF the vectors build the
+    // index, the other half APPEND under the frozen books (append ≡
+    // rebuild — encode is a pure per-row function), and serving prunes
+    // to the probed partitions. Results ≡ the live a07 path — its oracle
+    "a13_ann_ivfpq_index" -> ((s, dir) => {
+      val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
+      val work = scratchDir("graft_a13")
+      val co = Similarity.trainCentroids(corpus, 8, 2)
+      val bo = Similarity.trainPqCodebooks(corpus, m = 4, dim = 64, ksub = 8, trainIters = 2)
+      Similarity.buildIvfPqIndex(corpus.filter(col("vec_id") % 2 === 0), work,
+        coarse = Some(co), books = Some(bo))
+      Similarity.appendToIvfPqIndex(corpus.filter(col("vec_id") % 2 === 1), work)
+      Similarity.ivfPqIndexTopK(s, work, corpus.filter(col("vec_id") < 5), k = 5, nProbe = 2)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // scalar-quantization (SQ8) ANN: per-dimension affine 8-bit codes on
     // the corpus [min,max] range, asymmetric scoring via scaled-integer
     // dequantization (exact 64-bit arithmetic, the ×255 scale cancels) —
@@ -2090,6 +2108,10 @@ object ExtendedQueries {
     "a06_ann_pq" -> a06Oracle,
 
     "a07_ann_ivfpq" -> a07Oracle,
+
+    // a13 ≡ a07: frozen full-corpus codebooks + append ≡ rebuild make
+    // the persisted index serve the live path's exact results
+    "a13_ann_ivfpq_index" -> a07Oracle,
 
     // the round-11 chain end-to-end: NB gate (nbQualityCtes) + SemDeDup
     // over the admitted subset in the full-corpus cluster space

@@ -269,6 +269,31 @@ class SimilaritySpec extends SparkSpec {
       "append must be indistinguishable from rebuilding with the same codebook")
   }
 
+  test("persisted IVF-PQ: manifest round-trips, build+append ≡ live path, partitions prune") {
+    val work = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+    val co = Similarity.trainCentroids(corpus, 8, 2)
+    val bo = Similarity.trainPqCodebooks(corpus, m = 4, dim = 64)
+    Similarity.buildIvfPqIndex(corpus.filter(col("vec_id") % 2 === 0), work,
+      coarse = Some(co), books = Some(bo))
+    Similarity.appendToIvfPqIndex(corpus.filter(col("vec_id") % 2 === 1), work)
+
+    val (co2, bo2, _, m2, dim2) = Similarity.resolveIvfPqIndex(work)
+    assert(co2 == co && bo2 == bo && m2 == 4 && dim2 == 64,
+      "both codebooks must round-trip through the single manifest")
+
+    val queries = corpus.filter(col("vec_id") < 7)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("q_id", "rk").collect().toSeq
+    // ivfPqTopK trains on the full corpus — deterministic, so same books
+    val live = rows(Similarity.ivfPqTopK(corpus, queries, 5))
+    val served = rows(Similarity.ivfPqIndexTopK(spark, work, queries, 5))
+    assert(served == live, "persisted build+append must equal the live path")
+
+    val plan = Similarity.ivfPqIndexTopK(spark, work, queries, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("c_id"),
+      "probed lists must prune partitions:\n" + plan.take(1200))
+  }
+
   test("a dim mismatch between vectors and hyperplanes fails loudly, never silently buckets") {
     val e = intercept[Exception] {
       corpus.limit(3).select(Similarity.srpBucketFast(col("q"), 8, 32)).collect()
