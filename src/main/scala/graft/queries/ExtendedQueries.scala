@@ -149,6 +149,26 @@ object ExtendedQueries {
         .orderBy(col("user_id"), col("ts_s"), col("event_id"))
     }),
 
+    // ordered FUNNEL analysis (view → click → purchase by first
+    // occurrence): the product-analytics staple. One conditional-min
+    // groupBy(user) — map-side partials collapse each user's events to
+    // three longs — then a single tiny stage-count agg; nothing beyond
+    // the per-user triple ever shuffles, no window, no self-join (the
+    // naive per-stage-join formulation shuffles the event table once
+    // per funnel stage)
+    "q20_funnel" -> ((s, dir) => {
+      val firsts = eventsSec(s, dir).groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "view", col("event_id"))).as("f_view"),
+        min(when(col("event_type") === "click", col("event_id"))).as("f_click"),
+        min(when(col("event_type") === "purchase", col("event_id"))).as("f_buy"))
+      firsts.agg(
+          count(col("f_view")).as("n_view"),
+          count(when(col("f_view") < col("f_click"), 1)).as("n_view_click"),
+          count(when(col("f_view") < col("f_click") && col("f_click") < col("f_buy"), 1))
+            .as("n_full_funnel"))
+        .orderBy(col("n_view"))
+    }),
+
     // ---- streaming (T3/T4/T7: windowed agg with watermark) ----
 
     "s02_stream_window" -> ((s, dir) => {
@@ -588,6 +608,36 @@ object ExtendedQueries {
         .start()
       q.awaitTermination()
       Similarity.ivfIndexTopK(s, work, corpus.filter(col("vec_id") < 5), k = 5, nProbe = 2)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
+    // streaming COMPRESSED-index ingest: s08 for the IVF-PQ index —
+    // micro-batched appends encode map-only under the FROZEN coarse+PQ
+    // codebooks (pure per-row function, so append ≡ rebuild holds per
+    // trigger) and serving after the drain equals the live a07 path.
+    // The stream writes m codes + a norm per vector, never raw vectors
+    "s18_stream_ivfpq_ingest" -> ((s, dir) => {
+      val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
+      val work = scratchDir("graft_s18")
+      val co = Similarity.trainCentroids(corpus, 8, 2)
+      val bo = Similarity.trainPqCodebooks(corpus, m = 4, dim = 64, ksub = 8, trainIters = 2)
+      Similarity.buildIvfPqIndex(corpus.filter(col("vec_id") % 2 === 0), work,
+        coarse = Some(co), books = Some(bo))
+      corpus.filter(col("vec_id") % 2 === 1)
+        .coalesce(2).write.mode("overwrite").parquet(s"$work/incoming")
+      val q = s.readStream
+        .schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$work/incoming")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          Similarity.appendToIvfPqIndex(batch, work)
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ckpt")
+        .start()
+      q.awaitTermination()
+      Similarity.ivfPqIndexTopK(s, work, corpus.filter(col("vec_id") < 5), k = 5, nProbe = 2)
         .orderBy(col("q_id"), col("rk"))
     }),
 
@@ -1891,6 +1941,18 @@ object ExtendedQueries {
         |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS w_sum
         |FROM ev ORDER BY user_id, ts_s, event_id""".stripMargin,
 
+    "q20_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN event_id END) AS f_view,
+        |    min(CASE WHEN event_type = 'click' THEN event_id END) AS f_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN event_id END) AS f_buy
+        |  FROM events GROUP BY user_id)
+        |SELECT count(f_view) AS n_view,
+        |  count(CASE WHEN f_view < f_click THEN 1 END) AS n_view_click,
+        |  count(CASE WHEN f_view < f_click AND f_click < f_buy THEN 1 END) AS n_full_funnel
+        |FROM f ORDER BY n_view""".stripMargin,
+
     "s02_stream_window" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start, event_type,
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
@@ -2112,6 +2174,10 @@ object ExtendedQueries {
     // a13 ≡ a07: frozen full-corpus codebooks + append ≡ rebuild make
     // the persisted index serve the live path's exact results
     "a13_ann_ivfpq_index" -> a07Oracle,
+
+    // s18 ≡ a07: micro-batched appends under frozen codebooks are
+    // per-row pure — drain order cannot matter
+    "s18_stream_ivfpq_ingest" -> a07Oracle,
 
     // the round-11 chain end-to-end: NB gate (nbQualityCtes) + SemDeDup
     // over the admitted subset in the full-corpus cluster space

@@ -1042,6 +1042,21 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // vocabulary frequency SPECTRUM (count-of-counts): how many token
+    // types occur exactly f times — the Good-Turing smoothing input and
+    // the Zipf-health check a corpus census starts with. Two aggs, both
+    // with map-side partials: vocab-sized (term, freq), then a tiny
+    // (freq, n_types) histogram — the spectrum is ≤ max-freq rows no
+    // matter the corpus size
+    "t18_freq_spectrum" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .filter(length(trim(col("text"))) > 0)
+        .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      tf.groupBy(col("freq")).agg(count(lit(1)).as("n_types"))
+        .orderBy(col("freq"))
+    }),
+
     // t17's stream twin: distinct-shingle cardinality tracked
     // INCREMENTALLY over the ingestion log — per trigger, sketch the
     // batch map-only and fold it into the standing per-source sketches
@@ -2421,6 +2436,14 @@ object PipelineQueries {
          |dr AS (SELECT *, row_number() OVER (ORDER BY key_q DESC, doc_id) AS rk FROM dk)
          |SELECT doc_id, n_feats, logw_q, gumbel_q, key_q, CAST(rk AS BIGINT) AS rk
          |FROM dr WHERE rk <= 40 ORDER BY rk""".stripMargin,
+
+    "t18_freq_spectrum" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY term)
+        |SELECT freq, CAST(count(*) AS BIGINT) AS n_types
+        |FROM tf GROUP BY freq ORDER BY freq""".stripMargin,
 
     // kmv: kth-smallest distinct hash per source replayed with a window;
     // 1152921504606846976 = 2^60 (the md5-60 hash space), exact in DOUBLE
