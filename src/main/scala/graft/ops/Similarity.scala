@@ -386,14 +386,20 @@ object Similarity {
     * re-rank inside them. Results are identical to [[ivfTopK]] with the
     * same build parameters — the index is just the precomputed half. */
   def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
-                   queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+                   queries: DataFrame, k: Int, nProbe: Int = 2,
+                   attrFilter: Option[Column] = None): DataFrame = {
     val (cents, liveDir) = resolveIndex(dir) // one read: codebook + its generation
     val queryProbes = nearestCentroids(queries, cents, keep = nProbe)
       .select(col("vec_id").as("q_id"), col("q").as("q_vec"), col("nq").as("q_nq"), col("c_id"))
     val probedIds = queryProbes.select(col("c_id")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
-    val assigned = spark.read.parquet(liveDir)
-      .filter(col("c_id").isin(probedIds: _*))
+    // FILTERED ANN: attribute columns persist with the assignment
+    // (nearestCentroids preserves whatever the build's corpus carried),
+    // so a metadata predicate composes with partition pruning — it
+    // pushes into the probed partitions' parquet scan, and ONE index
+    // serves every filter instead of one index per filter value
+    val assigned = attrFilter.foldLeft(
+        spark.read.parquet(liveDir).filter(col("c_id").isin(probedIds: _*)))(_ filter _)
       .select(col("vec_id"), col("q"), col("nq"), col("c_id").cast("long").as("c_id"))
     val scored = assigned.join(broadcast(queryProbes), Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))

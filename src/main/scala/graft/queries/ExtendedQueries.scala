@@ -397,6 +397,23 @@ object ExtendedQueries {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // FILTERED ANN: "nearest neighbors in language X" from ONE shared
+    // index — the attribute column persists with the assignment at build
+    // time, so serving composes partition pruning (probed lists) with a
+    // predicate pushed into those partitions' parquet scan; no
+    // per-filter-value index, no post-filter recall cliff bookkeeping
+    // (the oracle defines exactly the filtered candidate universe)
+    "a14_ann_filtered" -> ((s, dir) => {
+      val attrs = t(s, dir, "documents").select(col("doc_id").as("vec_id"), col("lang"))
+      val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .join(attrs, Seq("vec_id"))
+      val work = scratchDir("graft_a14")
+      Similarity.buildIvfIndex(corpus, work)
+      Similarity.ivfIndexTopK(s, work, corpus.filter(col("vec_id") < 5),
+          k = 5, nProbe = 2, attrFilter = Some(col("lang") === "en"))
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // the persisted IVF-PQ index: a04's partitioned layout with PQ codes
     // instead of raw vectors (m codes + 1 norm per row vs dim longs).
     // Codebooks freeze from the full corpus; HALF the vectors build the
@@ -2178,6 +2195,27 @@ object ExtendedQueries {
     // s18 ≡ a07: micro-batched appends under frozen codebooks are
     // per-row pure — drain order cannot matter
     "s18_stream_ivfpq_ingest" -> a07Oracle,
+
+    // a14: a03's serving restricted to the lang='en' candidate universe
+    // (queries themselves stay unfiltered); codebook trains on the full
+    // corpus — the fixture's embeddings↔documents ids align 1:1, so the
+    // build-side join drops nothing
+    "a14_ann_filtered" ->
+      s"""$kmeansAssignCtes,
+         |probes14 AS (SELECT vec_id AS q_id, q AS q_q, nn AS q_nn, c_id
+         |             FROM assign WHERE crk <= 2 AND vec_id < 5),
+         |scored14 AS (
+         |  SELECT p.q_id, a.vec_id AS n_id,
+         |    CASE WHEN a.nn = 0 OR p.q_nn = 0 THEN 0.0
+         |         ELSE list_dot_product(a.q::DOUBLE[], p.q_q::DOUBLE[]) / (sqrt(a.nn) * sqrt(p.q_nn)) END AS sim
+         |  FROM corpus_a a
+         |    JOIN documents dd ON dd.doc_id = a.vec_id AND dd.lang = 'en'
+         |    JOIN probes14 p ON a.c_id = p.c_id AND a.vec_id <> p.q_id)
+         |SELECT q_id, n_id, sim, rk FROM (
+         |  SELECT q_id, n_id, sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
+         |  FROM scored14)
+         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
 
     // the round-11 chain end-to-end: NB gate (nbQualityCtes) + SemDeDup
     // over the admitted subset in the full-corpus cluster space

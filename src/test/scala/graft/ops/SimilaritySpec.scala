@@ -294,6 +294,24 @@ class SimilaritySpec extends SparkSpec {
       "probed lists must prune partitions:\n" + plan.take(1200))
   }
 
+  test("filtered ANN: metadata predicate pushes into the probed-partition scan") {
+    val work = java.nio.file.Files.createTempDirectory("graft_ivf_attr").toString
+    val attributed = corpus.withColumn("grp",
+      when(col("vec_id") % 2 === 0, "even").otherwise("odd"))
+    Similarity.buildIvfIndex(attributed, work)
+    val queries = corpus.filter(col("vec_id") < 7)
+    val served = Similarity.ivfIndexTopK(spark, work, queries, 5,
+      attrFilter = Some(col("grp") === "even"))
+    val got = served.collect().map(_.getAs[Long]("n_id"))
+    assert(got.nonEmpty && got.forall(_ % 2 == 0),
+      s"only even-attr vectors may surface: ${got.toSeq}")
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("c_id"),
+      "probed lists must still prune partitions:\n" + plan.take(1200))
+    assert(plan.contains("PushedFilters") && plan.contains("grp"),
+      "the attribute predicate must reach the parquet scan:\n" + plan.take(1200))
+  }
+
   test("a dim mismatch between vectors and hyperplanes fails loudly, never silently buckets") {
     val e = intercept[Exception] {
       corpus.limit(3).select(Similarity.srpBucketFast(col("q"), 8, 32)).collect()
