@@ -169,6 +169,40 @@ object ExtendedQueries {
         .orderBy(col("n_view"))
     }),
 
+    // cohort retention: users bucketed by first-activity day, then for
+    // each (cohort, day-offset) the count of users active that day — the
+    // classic retention triangle. No join-back to a firsts table: the
+    // per-user day SET rides in the same aggregate as the cohort min
+    // (bounded by distinct calendar days, not events), so the whole
+    // query is two key-partitioned aggregates and an explode between
+    "q21_retention" -> ((s, dir) => {
+      val ev = eventsSec(s, dir)
+        .select(col("user_id"), expr("ts_s div 86400").as("day"))
+      ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort"), collect_set(col("day")).as("days"))
+        .select(col("cohort"), explode(col("days")).as("day"))
+        .groupBy(col("cohort"), (col("day") - col("cohort")).as("offset_d"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort"), col("offset_d"))
+    }),
+
+    // behavioral transition matrix (first-order Markov edges): for each
+    // user the event sequence in event_id order, lag-paired inside a
+    // user-keyed window (one shuffle on user_id, never a global sort),
+    // then edge counts — the path-analysis primitive behind funnel
+    // discovery and next-event prediction features
+    "q22_transitions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+      eventsSec(s, dir)
+        .select(col("user_id"), col("event_type").as("to_type"),
+          lag(col("event_type"), 1).over(w).as("from_type"))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     // ---- streaming (T3/T4/T7: windowed agg with watermark) ----
 
     "s02_stream_window" -> ((s, dir) => {
@@ -749,6 +783,25 @@ object ExtendedQueries {
     "m03_frame_sample" -> ((s, dir) => {
       Multimodal.sampleFrames(Multimodal.toMedia(t(s, dir, "documents")), 32, stride = 4)
         .toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // scene-cut detection over the frame stream: lag-diff of per-frame
+    // energy INSIDE each media id — the window is media-keyed (never
+    // global), so cut detection shuffles once on doc_id and scales with
+    // media count; a real pipeline swaps frame_sum for a decoded-frame
+    // histogram distance, the plan shape is identical
+    "m09_scene_cuts" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      Multimodal.chunkFrames(Multimodal.toMedia(t(s, dir, "documents")), 32)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"), col("frame_sum"),
+          lag(col("frame_sum"), 1).over(w).as("prev_sum"))
+        .filter(col("prev_sum").isNotNull &&
+          abs(col("frame_sum") - col("prev_sum")) > 200)
+        .select(col("doc_id"), col("frame_idx"),
+          (col("frame_sum") - col("prev_sum")).as("delta"))
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
@@ -1970,6 +2023,24 @@ object ExtendedQueries {
         |  count(CASE WHEN f_view < f_click AND f_click < f_buy THEN 1 END) AS n_full_funnel
         |FROM f ORDER BY n_view""".stripMargin,
 
+    "q21_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY user_id),
+        |j AS (SELECT DISTINCT e.user_id, f.cohort, e.day - f.cohort AS offset_d
+        |      FROM ev e JOIN f USING (user_id))
+        |SELECT cohort, offset_d, count(*) AS n_users
+        |FROM j GROUP BY 1, 2 ORDER BY cohort, offset_d""".stripMargin,
+
+    "q22_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type AS to_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS from_type
+        |  FROM events)
+        |SELECT from_type, to_type, count(*) AS n
+        |FROM s WHERE from_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+
     "s02_stream_window" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start, event_type,
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
@@ -2305,6 +2376,25 @@ object ExtendedQueries {
         |    i -> ascii(substr(frame, i, 1)))) AS BIGINT) AS frame_sum,
         |  lower(hex(CAST(substr(frame, 1, 8) AS BLOB))) AS head_hex
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "m09_scene_cuts" ->
+      """WITH g AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(1, CAST(ceil(length(text) / 32.0) AS BIGINT))) AS frame_idx
+        |  FROM documents WHERE length(text) > 0),
+        |f AS (SELECT doc_id, frame_idx,
+        |        substr(text, CAST((frame_idx - 1) * 32 + 1 AS BIGINT), 32) AS frame
+        |      FROM g),
+        |s AS (SELECT doc_id, frame_idx,
+        |        CAST(list_sum(list_transform(generate_series(1, length(frame)),
+        |          i -> ascii(substr(frame, i, 1)))) AS BIGINT) AS frame_sum
+        |      FROM f),
+        |d AS (SELECT doc_id, frame_idx, frame_sum,
+        |        lag(frame_sum) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev_sum
+        |      FROM s)
+        |SELECT doc_id, frame_idx, frame_sum - prev_sum AS delta
+        |FROM d WHERE prev_sum IS NOT NULL AND abs(frame_sum - prev_sum) > 200
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "t05_winnowing" -> {
       val h60 = (arg: String) => s"CAST('0x' || substr(md5($arg), 1, 15) AS BIGINT)"

@@ -1057,6 +1057,25 @@ object PipelineQueries {
         .orderBy(col("freq"))
     }),
 
+    // Zipf-law fit over the FREQUENCY SPECTRUM, not the rank list: for a
+    // Zipfian corpus log n_types ≈ c − a·log freq, and the spectrum is
+    // distinct-frequency-sized (≪ vocabulary), so the regression never
+    // needs the global rank window a log-log rank fit would pay — two
+    // key-partitioned aggregates and one scalar regression fold. Slope
+    // and intercept are rounded to 6 dp so the two engines' accumulation
+    // orders can't drift the hash
+    "t19_zipf_fit" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .filter(length(trim(col("text"))) > 0)
+        .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      tf.groupBy(col("freq")).agg(count(lit(1)).as("n_types"))
+        .agg(
+          round(expr("regr_slope(ln(n_types), ln(freq))"), 6).as("zipf_slope"),
+          round(expr("regr_intercept(ln(n_types), ln(freq))"), 6).as("zipf_icept"),
+          count(lit(1)).as("n_pts"))
+    }),
+
     // t17's stream twin: distinct-shingle cardinality tracked
     // INCREMENTALLY over the ingestion log — per trigger, sketch the
     // batch map-only and fold it into the standing per-source sketches
@@ -2444,6 +2463,17 @@ object PipelineQueries {
         |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY term)
         |SELECT freq, CAST(count(*) AS BIGINT) AS n_types
         |FROM tf GROUP BY freq ORDER BY freq""".stripMargin,
+
+    "t19_zipf_fit" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tf AS (SELECT term, count(*) AS freq FROM toks GROUP BY term),
+        |spec AS (SELECT freq, count(*) AS n_types FROM tf GROUP BY freq)
+        |SELECT round(regr_slope(ln(n_types), ln(freq)), 6) AS zipf_slope,
+        |  round(regr_intercept(ln(n_types), ln(freq)), 6) AS zipf_icept,
+        |  CAST(count(*) AS BIGINT) AS n_pts
+        |FROM spec""".stripMargin,
 
     // kmv: kth-smallest distinct hash per source replayed with a window;
     // 1152921504606846976 = 2^60 (the md5-60 hash space), exact in DOUBLE

@@ -430,4 +430,94 @@ class PlanQualitySpec extends SparkSpec {
     val plan = q("p24_incremental_ingest").queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(800))
   }
+
+  test("a09 BM25: one map-only corpus scan — terms ride as plan literals, zero joins, heap top-k") {
+    // a term-table join would shuffle corpus×terms rows; the compiled
+    // Bm25Scores kernel keeps scoring inside the scan projection and the
+    // per-query top-k is the map-side bounded heap, never a window
+    val qe = q("a09_bm25_topk").queryExecution
+    assert(qe.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      "scoring must not join — queries/df/corpus stats are plan literals")
+    val phys = qe.executedPlan.toString
+    assert(phys.contains("partial_topk_by"), "map-side partial top-k expected")
+    assert(!phys.contains("Window"), phys.take(600))
+  }
+
+  test("a10/p27 retrieval fusion: candidate joins stay candidate-sized, corpus pays only the scans") {
+    // both fuse corpus-scale retrieval output (queries×K′ rows) with
+    // per-candidate voting/labeling — every join past the scans is
+    // candidate-sized. a10's ONLY join is rrfFuse's full-outer vote
+    // merge (full-outer can't broadcast, but both its inputs are the
+    // bounded top-K′ aggregates); p27's labeling joins are explicit
+    // broadcasts. Neither may sort-merge an inner join or go cartesian.
+    val a10 = q("a10_hybrid_rrf").queryExecution
+    assert(!a10.executedPlan.toString.contains("CartesianProduct"))
+    val smjs = a10.executedPlan.toString.linesIterator
+      .filter(_.contains("SortMergeJoin")).toSeq
+    assert(smjs.forall(_.contains("FullOuter")),
+      s"only the K′-sized full-outer fusion may sort-merge: ${smjs.mkString("; ")}")
+    val p27 = q("p27_hard_negatives").queryExecution.executedPlan.toString
+    assert(!p27.contains("CartesianProduct"), p27.take(800))
+    assert(p27.contains("BroadcastHashJoin"),
+      "p27 candidate labeling joins must broadcast: " + p27.take(800))
+    assert(!p27.contains("SortMergeJoin"), p27.take(800))
+  }
+
+  test("a12 MMR re-rank: BM25 candidates broadcast into the embedding scan, greedy runs per-group") {
+    val phys = q("a12_mmr_rerank").queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"),
+      "the queries×10 candidate list must broadcast against the embedding scan: " + phys.take(800))
+    assert(!phys.contains("SortMergeJoin"), phys.take(800))
+    assert(!phys.contains("Window"), "selection is a flatMapGroups trace, not a window")
+  }
+
+  test("a14 filtered ANN: serving scan prunes to probed centroid partitions, attr filter pushes down") {
+    val phys = q("a14_ann_filtered").queryExecution.executedPlan.toString
+    val pf = phys.linesIterator.find(_.contains("PartitionFilters: ["))
+    assert(pf.exists(l => l.contains("c_id") && !l.contains("PartitionFilters: []")),
+      s"probed-centroid IN filter must prune partitions: ${pf.getOrElse(phys.take(800))}")
+    assert(phys.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]") ||
+      phys.contains("EqualTo(lang,en)"),
+      "the metadata predicate must reach the parquet scan")
+  }
+
+  test("q20 funnel: two hash aggregates, no join, no window — per-user firsts then one global fold") {
+    val qe = q("q20_funnel").queryExecution
+    assert(qe.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      "funnel stages must not self-join the events table")
+    assert(qe.optimizedPlan.collect { case a: Aggregate => a }.length == 2,
+      "per-user min-event aggregate + global conversion fold")
+    assert(!qe.executedPlan.toString.contains("Window"))
+  }
+
+  test("t18 frequency spectrum: two aggregates, no join — tf then spectrum, both key-partitioned") {
+    val qe = q("t18_freq_spectrum").queryExecution
+    assert(qe.optimizedPlan.collect { case j: Join => j }.isEmpty)
+    assert(qe.optimizedPlan.collect { case a: Aggregate => a }.length == 2,
+      "term-frequency aggregate + frequency-of-frequencies aggregate")
+  }
+
+  test("q21 retention: no join-back — the per-user day set rides in the cohort aggregate") {
+    val qe = q("q21_retention").queryExecution
+    assert(qe.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      "cohort + day set must come from ONE user-keyed aggregate, not an events×firsts join")
+    assert(!qe.executedPlan.toString.contains("Window"))
+  }
+
+  test("q22/m09 lag windows are key-partitioned — never a single-partition global window") {
+    for (name <- Seq("q22_transitions", "m09_scene_cuts")) {
+      val ws = q(name).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+        s"$name: lag must run inside a user/media-keyed window")
+    }
+  }
+
+  test("t19 zipf fit: regression folds the spectrum, never ranks the vocabulary") {
+    val qe = q("t19_zipf_fit").queryExecution
+    assert(qe.optimizedPlan.collect { case j: Join => j }.isEmpty)
+    assert(!qe.executedPlan.toString.contains("Window"),
+      "slope must come from the distinct-frequency spectrum, not a global rank window")
+  }
 }
