@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: a full Bench pass holds shuffle/broadcast/checkpoint
+  // block metadata for 160+ queries; 8g put the tail of the run into
+  // GC-bound territory (map-only queries measured ~2× their isolated
+  // cost). The host has 128 GiB; 16g keeps headroom for 32 threads.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

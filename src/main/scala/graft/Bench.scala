@@ -24,6 +24,18 @@ object Bench {
         None
       } catch {
         case t: Throwable => Some(t.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(200))
+      } finally {
+        // several pipelines localCheckpoint() stage boundaries; those
+        // blocks outlive the query, and across 160+ queries × (warmup +
+        // median-of-3) the accumulated blocks turn the run's tail into a
+        // GC benchmark (observed: map-only queries ~2× slower by the end
+        // of a full pass than in isolation). Dropping them between
+        // queries is free relative to any timed query and keeps sample
+        // N independent of how many queries ran before it.
+        // blocking: an async removal storm would land inside the NEXT
+        // query's timed window and show up as phantom spread
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       }
 
     def timed(name: String): (Double, Option[String]) = {
