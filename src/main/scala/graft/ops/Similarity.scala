@@ -132,8 +132,8 @@ object Similarity {
     * assignment/probing is a map-only projection with the codebook
     * inlined as literals (no join, no shuffle). Ties break toward the
     * smaller centroid id via the -c_id struct field. */
-  private def centroidRank(cents: Seq[Centroid], qCol: Column, nqCol: Column): Column = {
-    val entries = cents.map { c =>
+  private def centroidEntries(cents: Seq[Centroid], qCol: Column, nqCol: Column): Seq[Column] =
+    cents.map { c =>
       val sim =
         if (c.nq == 0L) lit(0.0)
         else when(nqCol === 0, 0.0).otherwise(
@@ -142,13 +142,28 @@ object Similarity {
       // struct order (sim, -c_id): max = best sim, then smallest id
       struct(sim.as("s"), lit(-c.cId).as("nc"), lit(c.cId).as("c_id"))
     }
-    reverse(array_sort(array(entries: _*)))
+
+  private def centroidRank(cents: Seq[Centroid], qCol: Column, nqCol: Column): Column =
+    reverse(array_sort(array(centroidEntries(cents, qCol, nqCol): _*)))
+
+  /** argmax-only variant of [[centroidRank]]: `greatest` over the same
+    * (sim, -c_id) structs — identical winner and tie-break, but codegen'd
+    * (ArraySort is an interpreted higher-order expression; on the
+    * corpus-sized encode/assignment scans the k-element sort per row was
+    * the dominant cost, and only rank 1 was ever read). */
+  private[graft] def centroidBest(cents: Seq[Centroid], qCol: Column, nqCol: Column): Column = {
+    val entries = centroidEntries(cents, qCol, nqCol)
+    val best = if (entries.size == 1) entries.head else greatest(entries: _*)
+    best.getField("c_id")
   }
 
-  private def nearestCentroids(side: DataFrame, cents: Seq[Centroid], keep: Int): DataFrame = {
-    val ranked = centroidRank(cents, col("q"), col("nq"))
-    side.withColumn("c_id", explode(slice(ranked, 1, keep).getField("c_id")))
-  }
+  private def nearestCentroids(side: DataFrame, cents: Seq[Centroid], keep: Int): DataFrame =
+    if (keep == 1) // corpus-sized path: argmax projection, no per-row sort
+      side.withColumn("c_id", centroidBest(cents, col("q"), col("nq")))
+    else {
+      val ranked = centroidRank(cents, col("q"), col("nq"))
+      side.withColumn("c_id", explode(slice(ranked, 1, keep).getField("c_id")))
+    }
 
   private def collectCentroids(df: DataFrame): Seq[Centroid] =
     df.select(col("c_id"), col("c_vec"), col("c_nq")).collect().toSeq
@@ -418,12 +433,105 @@ object Similarity {
                        trainIters: Int = 2): Seq[Seq[Centroid]] = {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val sub = dim / m
+    trainSpacesJoint(corpus,
+      (0 until m).map(j => Space(j * sub, sub, ksub)), trainIters)
+  }
+
+  /** Reference per-subspace formulation of [[trainPqCodebooks]] — m
+    * independent [[trainCentroids]] runs. Kept (test-visible) as the
+    * equivalence witness for the joint trainer; identical output by
+    * construction is pinned in SimilaritySpec. */
+  private[graft] def trainPqCodebooksSequential(corpus: DataFrame, m: Int, dim: Int,
+                                                ksub: Int = 8,
+                                                trainIters: Int = 2): Seq[Seq[Centroid]] = {
+    val sub = dim / m
     (0 until m).map { j =>
       val sj = corpus.select(col("vec_id"),
           slice(col("q"), j * sub + 1, sub).as("q"))
         .withColumn("nq", normq(col("q")))
       trainCentroids(sj, ksub, trainIters)
     }
+  }
+
+  /** One k-means training space: a contiguous `len`-dim slice of the
+    * quantized vector starting at 0-based `off`, trained to `k` centroids. */
+  case class Space(off: Int, len: Int, k: Int)
+
+  /** Train SEVERAL deterministic k-means codebooks over slices of the
+    * same corpus in ONE job per Lloyd iteration (plus one shared seed
+    * job), bit-identical to running [[trainCentroids]] per slice:
+    *
+    *  - seeds: every space seeds from the SAME corpus rows (the md5 seed
+    *    hash keys only vec_id), so one ordered `limit(max k)` collect
+    *    serves all spaces — each takes its first k rows, sliced
+    *    driver-side (exact: seed vectors are literally the corpus rows);
+    *  - assignment: per space an argmax PROJECTION with the codebook
+    *    inlined ([[centroidBest]] on the slice) — all spaces evaluated in
+    *    the same corpus scan;
+    *  - update: one explode over spaces + posexplode over dims →
+    *    groupBy (space, c_id, d) exact long sums → the same pmod
+    *    floor-mean as [[trainCentroids]]; reduce side is Σ len·k rows,
+    *    never corpus-sized. An emptied centroid keeps its vector.
+    *
+    * This collapses PQ training from m×(1+iters) job chains to 1+iters —
+    * at any scale the training cost is the corpus scans, and this runs
+    * the minimum number of them (IVF-PQ composes the coarse book in too:
+    * [[trainIvfPq]]). */
+  def trainSpacesJoint(corpus: DataFrame, spaces: Seq[Space],
+                       iters: Int = 2): Seq[Seq[Centroid]] = {
+    require(spaces.nonEmpty)
+    val maxK = spaces.map(_.k).max
+    // shared seed collect: first maxK rows by (md5(vec_id), vec_id) —
+    // exactly trainCentroids' seed order, once for every space
+    val seedRows = corpus
+      .withColumn("_h", Dedup.hash60(col("vec_id").cast("string")))
+      .orderBy(col("_h"), col("vec_id")).limit(maxK)
+      .select(col("q")).collect().map(_.getSeq[Long](0))
+    val init: Seq[Seq[Centroid]] = spaces.map { sp =>
+      seedRows.take(sp.k).toSeq.zipWithIndex.map { case (full, i) =>
+        val vec = full.slice(sp.off, sp.off + sp.len)
+        Centroid(i.toLong, vec, vec.map(v => v * v).sum)
+      }
+    }
+    (1 to iters).foldLeft(init) { (books, _) =>
+      val perSpace = spaces.zipWithIndex.map { case (sp, i) =>
+        val sq = slice(col("q"), sp.off + 1, sp.len)
+        struct(lit(i).as("sp"),
+          centroidBest(books(i), sq, normq(sq)).as("c_id"), sq.as("v"))
+      }
+      val updated = corpus.select(explode(array(perSpace: _*)).as("e"))
+        .select(col("e.sp").as("sp"), col("e.c_id").as("c_id"),
+          posexplode(col("e.v")).as(Seq("d", "v")))
+        .groupBy(col("sp"), col("c_id"), col("d"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
+        // exact floor(s / cnt) — the trainCentroids update, verbatim
+        .withColumn("m", ((col("s") - pmod(col("s"), col("cnt"))) / col("cnt")).cast("long"))
+        .groupBy(col("sp"), col("c_id"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+          x => x("m")).as("c_vec"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+      books.zipWithIndex.map { case (b, i) =>
+        b.map { c =>
+          val vec = updated.getOrElse((i, c.cId), c.vec)
+          Centroid(c.cId, vec, vec.map(v => v * v).sum)
+        }
+      }
+    }
+  }
+
+  /** IVF-PQ training in one pass: the coarse codebook is just one more
+    * space (the full vector) trained jointly with the m PQ subspaces —
+    * 1 seed job + `iters` jobs for the whole quantizer stack, output
+    * bit-identical to separate [[trainCentroids]] + [[trainPqCodebooks]]. */
+  def trainIvfPq(corpus: DataFrame, nCentroids: Int, m: Int, dim: Int,
+                 ksub: Int = 8, trainIters: Int = 2)
+      : (Seq[Centroid], Seq[Seq[Centroid]]) = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    val all = trainSpacesJoint(corpus,
+      Space(0, dim, nCentroids) +: (0 until m).map(j => Space(j * sub, sub, ksub)),
+      trainIters)
+    (all.head, all.tail)
   }
 
   /** Product-quantization ANN with asymmetric-distance (ADC) scoring —
@@ -463,8 +571,7 @@ object Similarity {
     // encode: map-only, codebooks inlined — code_j = best sub-cosine centroid
     val codes = corpus.select(col("vec_id"), col("nq"),
       array((0 until m).map { j =>
-        element_at(centroidRank(books(j), subQ(j), normq(subQ(j))), 1)
-          .getField("c_id")
+        centroidBest(books(j), subQ(j), normq(subQ(j)))
       }: _*).as("codes"))
     // per-query ADC lookup tables: luts[j][c] = y_j · centroid_{j,c}
     val qWide = queries.select(col("vec_id").as("q_id"), col("nq").as("q_nq"),
@@ -578,11 +685,9 @@ object Similarity {
     val sub = dim / m
     def subQ(j: Int) = slice(col("q"), j * sub + 1, sub)
     corpus.select(col("vec_id"), col("nq"),
-      element_at(centroidRank(coarse, col("q"), col("nq")), 1)
-        .getField("c_id").as("c_id"),
+      centroidBest(coarse, col("q"), col("nq")).as("c_id"),
       array((0 until m).map { j =>
-        element_at(centroidRank(books(j), subQ(j), normq(subQ(j))), 1)
-          .getField("c_id")
+        centroidBest(books(j), subQ(j), normq(subQ(j)))
       }: _*).as("codes"))
   }
 
@@ -620,8 +725,7 @@ object Similarity {
                 nCentroids: Int = 8, nProbe: Int = 2,
                 m: Int = 4, dim: Int = 64, ksub: Int = 8,
                 trainIters: Int = 2): DataFrame = {
-    val coarse = trainCentroids(corpus, nCentroids, trainIters)
-    val books = trainPqCodebooks(corpus, m, dim, ksub, trainIters)
+    val (coarse, books) = trainIvfPq(corpus, nCentroids, m, dim, ksub, trainIters)
     ivfPqServe(ivfPqEncode(corpus, coarse, books, m, dim), queries,
       coarse, books, k, nProbe, m, dim)
   }
@@ -673,8 +777,12 @@ object Similarity {
                       ksub: Int = 8, trainIters: Int = 2,
                       coarse: Option[Seq[Centroid]] = None,
                       books: Option[Seq[Seq[Centroid]]] = None): Unit = {
-    val co = coarse.getOrElse(trainCentroids(corpus, nCentroids, trainIters))
-    val bo = books.getOrElse(trainPqCodebooks(corpus, m, dim, ksub, trainIters))
+    val (co, bo) = (coarse, books) match {
+      case (Some(c), Some(b)) => (c, b)
+      case (cOpt, bOpt) => // train whatever is missing jointly (one pass)
+        val (tc, tb) = trainIvfPq(corpus, nCentroids, m, dim, ksub, trainIters)
+        (cOpt.getOrElse(tc), bOpt.getOrElse(tb))
+    }
     val gen = s"assignment-b${System.nanoTime()}"
     ivfPqEncode(corpus, co, bo, m, dim)
       .repartition(col("c_id"))
@@ -763,6 +871,42 @@ object Similarity {
     * work is ONE compiled `long_dot` instead of `dim` md5 calls. */
   private[graft] def planeCoefs(p: Int, dim: Int): Seq[Long] =
     (0 until dim).map(d => graft.expr.TextHash.hash60(s"${p}_${d}") % 2001L - 1000L)
+
+  /** Rademacher (±1) random-projection coefficients for output dim `p` —
+    * md5-derived like the SRP hyperplanes (salt `rp_`), so the projection
+    * matrix is reproducible across runs, engines, and cluster sizes. */
+  private[graft] def rpCoefs(p: Int, dim: Int): Seq[Long] =
+    (0 until dim).map(d => graft.expr.TextHash.hash60(s"rp_${p}_${d}") % 2L * 2L - 1L)
+
+  /** Johnson–Lindenstrauss dimensionality reduction: project the
+    * quantized vector onto `rDim` deterministic ±1 (Rademacher) rows —
+    * the database-style JL transform (Achlioptas: ±1 entries preserve
+    * pairwise distances as well as Gaussians, and stay EXACT-INTEGER).
+    * One MAP-ONLY projection: each output dim is a compiled
+    * [[graft.expr.LongDotProduct]] against a literal coefficient array
+    * (no join, no shuffle, rDim passes over a row). Output is prep()
+    * shape, so every downstream ANN operator composes unchanged.
+    *
+    * At 100 TB this is the bandwidth lever AHEAD of the index: dim→rDim
+    * cuts every later scan, shuffle, and index byte by dim/rDim while
+    * keeping cosine geometry to JL distortion — and because the matrix
+    * is hash-derived there is no codebook to train, ship, or version. */
+  def rpReduce(side: DataFrame, rDim: Int, dim: Int): DataFrame =
+    side.select(col("vec_id"),
+      array((0 until rDim).map { p =>
+        graft.expr.hfunctions.long_dot(col("q"), typedLit(rpCoefs(p, dim)))
+      }: _*).as("q"))
+      .withColumn("nq", normq(col("q")))
+
+  /** ANN in the reduced space: JL-project both sides, brute top-k there
+    * (the exact scorer is [[bruteForceTopK]] — reduction composes with
+    * any of the index paths the same way). Scores are exact-integer over
+    * the projected vectors, so the DuckDB oracle replays them bit for
+    * bit; recall vs full-dim brute force is the JL-distortion price,
+    * pinned (as a collapse floor) in SimilaritySpec. */
+  def rpTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             rDim: Int = 16, dim: Int = 64): DataFrame =
+    bruteForceTopK(rpReduce(corpus, rDim, dim), rpReduce(queries, rDim, dim), k)
 
   /** SRP band codes: an array of `bands` bucket ids, band `b` built from
     * the sign bits of `planesPerBand` hyperplane dot products (global

@@ -94,3 +94,89 @@ object MergesBpeTokenizer {
 
   val fixture = new MergesBpeTokenizer(fixtureMerges)
 }
+
+/** Distributed BPE tokenizer TRAINING (Sennrich-style merge learning) —
+  * the other half of the [[MergesBpeTokenizer]] seam: p22/p23 APPLY a
+  * merges table; this learns one from the corpus.
+  *
+  * The classic two-phase trainer shape, kept Spark-first:
+  *  - ONE corpus-sized pass reduces the corpus to the (word, count)
+  *    dictionary — after that, every merge round costs O(|dict|), never
+  *    O(corpus), which is why BPE training scales to 100 TB at all (the
+  *    dict is bounded by the vocabulary, not the token stream);
+  *  - each round: count adjacent token pairs (weighted by word count,
+  *    overlapping occurrences counted — the standard convention), take
+  *    the global argmax with a deterministic (freq desc, pair asc)
+  *    tie-break, and fuse that pair everywhere.
+  *
+  * Token sequences are carried as DELIMITER-ENCODED strings — word
+  * "abc" ⇒ `_a__b__c_`, every token wrapped in `_…_` — because then
+  * `replace(e, "_x__y_", "_xy_")` IS the BPE merge step: plain
+  * left-to-right non-overlapping string replacement (identical
+  * semantics in Spark and DuckDB) fuses exactly the occurrences BPE
+  * fuses, consecutive hits included (the shared `__` separator leaves
+  * one `_` on each side), and can never match across token boundaries
+  * (tokens are `[a-z]+`, so `_x_` occurs iff x is a complete token).
+  * That makes the whole trainer engine-portable: the oracle replays it
+  * as R rounds of unrolled SQL, bit for bit.
+  *
+  * The per-round argmax is a driver `collect` of ONE row (the
+  * bounded-collect convention); the dict stays cached across rounds. */
+object BpeTrainer {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.functions._
+
+  /** One learned merge: round (1-based), the fused pair, its pre-merge
+    * weighted frequency. */
+  case class LearnedMerge(r: Int, x: String, y: String, freq: Long)
+
+  /** Corpus → (word, count) over lowercase alpha runs — the only
+    * corpus-sized job in the trainer. */
+  def wordDict(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+
+  /** word → its delimiter-encoded single-char token sequence: one
+    * codegen'd regexp_replace (each char `c` ⇒ `_c_`; concatenation
+    * yields the shared `__` separators). */
+  private def encodeChars(w: Column): Column =
+    regexp_replace(w, "(.)", "_$1_")
+
+  /** Learn `rounds` merges from a (w, cnt) dictionary. */
+  def trainMerges(dict: DataFrame, rounds: Int): Seq[LearnedMerge] = {
+    val base = dict.select(encodeChars(col("w")).as("e"), col("cnt")).cache()
+    try {
+      val merges = Seq.newBuilder[LearnedMerge]
+      var cur = base
+      for (r <- 1 to rounds) {
+        val toks = split(trim(col("e"), "_"), "__")
+        val pairs = when(size(toks) >= 2,
+            transform(sequence(lit(1), size(toks) - 1),
+              i => struct(element_at(toks, i).as("x"), element_at(toks, i + 1).as("y"))))
+          .otherwise(array().cast("array<struct<x:string,y:string>>"))
+        val best = cur.select(explode(pairs).as("p"), col("cnt"))
+          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+          .agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("x"), col("y"))
+          .limit(1).collect()
+        if (best.isEmpty) return merges.result() // dict exhausted (all words fused)
+        val b = best.head
+        val (x, y, c) = (b.getString(0), b.getString(1), b.getLong(2))
+        merges += LearnedMerge(r, x, y, c)
+        cur = cur.withColumn("e",
+          org.apache.spark.sql.functions.replace(col("e"),
+            lit(s"_${x}__${y}_"), lit(s"_${x}${y}_")))
+      }
+      merges.result()
+    } finally { base.unpersist(blocking = false); () }
+  }
+
+  /** The learned merges as a frame — the t20 query surface. */
+  def trainedMergesDf(spark: SparkSession, docs: DataFrame, textCol: String,
+                      rounds: Int): DataFrame = {
+    import spark.implicits._
+    trainMerges(wordDict(docs, textCol), rounds)
+      .toDF("r", "x", "y", "freq")
+  }
+}

@@ -205,6 +205,29 @@ object ExtendedQueries {
 
     // ---- streaming (T3/T4/T7: windowed agg with watermark) ----
 
+    // q21's stream twin: retention cohorts maintained incrementally —
+    // per-user (min-day, day-set) state folded per micro-batch through
+    // the bucketed TxnLogState (only TOUCHED buckets are read/rewritten
+    // per trigger). The fold is min + set-union: commutative and
+    // idempotent, so NO arrival-order contract (chunks split by user_id,
+    // not time) and redelivery is harmless — the KMV-style state family,
+    // per-user-keyed. Final matrix == the batch q21, its oracle
+    "s19_stream_retention" -> ((s, dir) => {
+      val work = scratchDir("graft_s19")
+      val in = onceLog("s19", dir) { path =>
+        val ev = eventsSec(s, dir)
+          .select(col("user_id"), expr("ts_s div 86400").as("day"))
+        Seq(col("user_id") % 3 === 0, col("user_id") % 3 === 1,
+            col("user_id") % 3 === 2).foreach { p =>
+          ev.filter(p).coalesce(1).write.mode("append").parquet(path)
+          Thread.sleep(20) // distinct mtimes → deterministic arrival order
+        }
+      }
+      val state = new graft.streaming.TxnLogState(s"$work/state", s, 16)
+      graft.streaming.StreamRetention.drain(s, state, in, s"$work/ckpt")
+        .orderBy(col("cohort"), col("offset_d"))
+    }),
+
     "s02_stream_window" -> ((s, dir) => {
       val work = scratchDir("graft_s02")
       t(s, dir, "events").coalesce(4).write.mode("overwrite").parquet(s"$work/log")
@@ -457,8 +480,7 @@ object ExtendedQueries {
     "a13_ann_ivfpq_index" -> ((s, dir) => {
       val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
       val work = scratchDir("graft_a13")
-      val co = Similarity.trainCentroids(corpus, 8, 2)
-      val bo = Similarity.trainPqCodebooks(corpus, m = 4, dim = 64, ksub = 8, trainIters = 2)
+      val (co, bo) = Similarity.trainIvfPq(corpus, 8, m = 4, dim = 64, ksub = 8, trainIters = 2)
       Similarity.buildIvfPqIndex(corpus.filter(col("vec_id") % 2 === 0), work,
         coarse = Some(co), books = Some(bo))
       Similarity.appendToIvfPqIndex(corpus.filter(col("vec_id") % 2 === 1), work)
@@ -670,8 +692,7 @@ object ExtendedQueries {
     "s18_stream_ivfpq_ingest" -> ((s, dir) => {
       val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
       val work = scratchDir("graft_s18")
-      val co = Similarity.trainCentroids(corpus, 8, 2)
-      val bo = Similarity.trainPqCodebooks(corpus, m = 4, dim = 64, ksub = 8, trainIters = 2)
+      val (co, bo) = Similarity.trainIvfPq(corpus, 8, m = 4, dim = 64, ksub = 8, trainIters = 2)
       Similarity.buildIvfPqIndex(corpus.filter(col("vec_id") % 2 === 0), work,
         coarse = Some(co), books = Some(bo))
       corpus.filter(col("vec_id") % 2 === 1)
@@ -2022,6 +2043,18 @@ object ExtendedQueries {
         |  count(CASE WHEN f_view < f_click THEN 1 END) AS n_view_click,
         |  count(CASE WHEN f_view < f_click AND f_click < f_buy THEN 1 END) AS n_full_funnel
         |FROM f ORDER BY n_view""".stripMargin,
+
+    // s19 = q21 incrementally: the per-user (min-day, day-set) state fold
+    // is order-free and idempotent, so the drained matrix equals the
+    // batch computation exactly — one oracle, stated once
+    "s19_stream_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY user_id),
+        |j AS (SELECT DISTINCT e.user_id, f.cohort, e.day - f.cohort AS offset_d
+        |      FROM ev e JOIN f USING (user_id))
+        |SELECT cohort, offset_d, count(*) AS n_users
+        |FROM j GROUP BY 1, 2 ORDER BY cohort, offset_d""".stripMargin,
 
     "q21_retention" ->
       """WITH ev AS (

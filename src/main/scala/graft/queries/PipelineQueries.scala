@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{BpeTrainer, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1148,7 +1148,30 @@ object PipelineQueries {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // JL random projection: 64 → 16 dims through a deterministic ±1
+    // (Rademacher) matrix — map-only, one compiled long_dot per output
+    // dim — then exact brute top-k in the reduced space. The bandwidth
+    // lever AHEAD of any index: every downstream scan/shuffle/index byte
+    // shrinks by dim/rDim, with no codebook to train or ship
+    "a15_rp_reduce" -> ((s, dir) => {
+      val corpus = Similarity.prep(embs(s, dir), "vec_id", "embedding")
+      Similarity.rpTopK(corpus, corpus.filter(col("vec_id") < 5),
+          k = 5, rDim = 16, dim = 64)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // ---- text analysis ----
+
+    // BPE tokenizer TRAINING (the other half of the p22/p23 merges-table
+    // seam): corpus → (word, count) dict in ONE corpus-sized pass, then
+    // 8 rounds of pair-count → deterministic argmax → fuse, each round
+    // O(dict). Token sequences ride as delimiter-encoded strings so the
+    // merge step is a plain string replace — portable bit-for-bit to the
+    // unrolled SQL oracle (see BpeTrainer)
+    "t20_bpe_train" -> ((s, dir) => {
+      BpeTrainer.trainedMergesDf(s, docs(s, dir), "text", rounds = 8)
+        .orderBy(col("r"))
+    }),
 
     "t01_token_stats" -> ((s, dir) => {
       docs(s, dir).select(
@@ -2712,6 +2735,57 @@ object PipelineQueries {
          |  FROM b c JOIN (SELECT * FROM b WHERE vec_id < 5) q ON c.bucket = q.bucket
          |  WHERE c.vec_id <> q.vec_id)
          |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+    },
+
+    "a15_rp_reduce" -> {
+      // 16 Rademacher rows, coefficient = (md5-60bit % 2)*2 - 1 ∈ {±1};
+      // all dots exact-integer (≤ 16·(64·1000)² < 2^53), then a01's
+      // brute top-k shape over the reduced vectors
+      val rexprs = (0 until 16).map { p =>
+        s"""list_sum(list_transform(generate_series(0, len(q) - 1),
+           |      d -> q[d + 1] * ((${h60sql(s"'rp_${p}_' || CAST(d AS VARCHAR)")}) % 2 * 2 - 1)))""".stripMargin
+      }.mkString(",\n    ")
+      s"""WITH $quantCte,
+         |r AS (SELECT vec_id, list_value($rexprs) AS q FROM n),
+         |m AS (SELECT vec_id, q, list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS nn FROM r)
+         |SELECT q_id, n_id, sim, rk FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |    CASE WHEN c.nn = 0 OR q.nn = 0 THEN 0.0
+         |         ELSE list_dot_product(c.q::DOUBLE[], q.q::DOUBLE[]) / (sqrt(c.nn) * sqrt(q.nn)) END AS sim,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY CASE WHEN c.nn = 0 OR q.nn = 0 THEN 0.0
+         |        ELSE list_dot_product(c.q::DOUBLE[], q.q::DOUBLE[]) / (sqrt(c.nn) * sqrt(q.nn)) END DESC,
+         |        c.vec_id ASC) AS rk
+         |  FROM m c CROSS JOIN (SELECT * FROM m WHERE vec_id < 5) q
+         |  WHERE c.vec_id <> q.vec_id)
+         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+    },
+
+    "t20_bpe_train" -> {
+      // the trainer replayed as 8 unrolled rounds: pair-count via lateral
+      // unnest over the token list, argmax with the (freq desc, pair asc)
+      // tie-break, merge via the delimiter-encoded string replace — the
+      // same left-to-right non-overlapping semantics Spark's replace has
+      def roundCtes(r: Int) =
+        s"""p$r AS (
+           |  SELECT t.l[u.i] AS x, t.l[u.i+1] AS y, CAST(sum(t.cnt) AS BIGINT) AS c
+           |  FROM (SELECT string_split(trim(e, '_'), '__') AS l, cnt FROM e${r - 1}) t,
+           |       unnest(generate_series(1, len(t.l) - 1)) AS u(i)
+           |  GROUP BY 1, 2),
+           |b$r AS (SELECT x, y, c FROM p$r ORDER BY c DESC, x, y LIMIT 1),
+           |e$r AS (SELECT replace(t.e, '_' || b.x || '__' || b.y || '_',
+           |                       '_' || b.x || b.y || '_') AS e, t.cnt
+           |        FROM e${r - 1} t, b$r b)""".stripMargin
+      val rounds = 1 to 8
+      s"""WITH dict AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w FROM documents) t
+         |  WHERE w <> '' GROUP BY w),
+         |e0 AS (SELECT '_' || array_to_string(string_split(w, ''), '__') || '_' AS e, cnt FROM dict),
+         |${rounds.map(roundCtes).mkString(",\n")}
+         |SELECT * FROM (
+         |  ${rounds.map(r => s"SELECT $r AS r, x, y, c AS freq FROM b$r").mkString(" UNION ALL ")})
+         |ORDER BY r""".stripMargin
     },
 
     "t01_token_stats" ->

@@ -105,6 +105,56 @@ class SimilaritySpec extends SparkSpec {
     assert(r4 >= r2, f"more probes must not lose recall: $r4%.3f < $r2%.3f")
   }
 
+  test("JL random projection: deterministic, map-only, preserves near-dup separation") {
+    // the JL guarantee that matters for dedup/prefiltering: genuinely
+    // similar pairs stay separated from the bulk after reduction (top-k
+    // RANK preservation is hopeless on near-uniform synthetic vectors —
+    // there is no low-dimensional structure to keep — and is not what
+    // the operator is for)
+    import org.apache.spark.sql.DataFrame
+    def pairSims(reduced: Boolean): Map[(Long, Long), Double] = {
+      val side = if (reduced) Similarity.rpReduce(corpus, 16, 64) else corpus
+      val ex = Similarity.cosineNearDupPairsExact(side, threshold = -1.0)
+      ex.select("a_id", "b_id", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    }
+    val full = pairSims(reduced = false)
+    val red = pairSims(reduced = true)
+    val dupKeys = full.filter(_._2 >= 0.4).keySet
+    assert(dupKeys.nonEmpty, "fixture must contain near-dup pairs")
+    val dupRed = dupKeys.toSeq.map(red)
+    val bulkRed = (full.keySet -- dupKeys).toSeq.map(red)
+    val dupMean = dupRed.sum / dupRed.size
+    val bulkMean = bulkRed.sum / bulkRed.size
+    info(f"reduced-space cosine: near-dups mean $dupMean%.3f min ${dupRed.min}%.3f; bulk mean $bulkMean%.3f")
+    // separation floors, not tuned targets: planted dups must stay far
+    // above the (near-zero-mean) bulk IN THE MEAN after 64→16 reduction
+    // (the per-pair estimator's σ ≈ 1/√16 — an individual threshold-edge
+    // pair can land anywhere; measured: dup mean 0.47, bulk mean 0.00)
+    assert(dupMean > bulkMean + 0.3,
+      f"JL collapsed the dup margin: dup mean $dupMean%.3f vs bulk mean $bulkMean%.3f")
+    assert(dupMean > 0.3, f"near-dup pairs lost their similarity: $dupMean%.3f")
+    // determinism: the md5-derived matrix is run-stable
+    assert(Similarity.rpCoefs(3, 64) == Similarity.rpCoefs(3, 64))
+    assert(Similarity.rpCoefs(3, 64).forall(c => c == 1L || c == -1L))
+    // map-only: no exchange anywhere before the top-k partial aggregate
+    val plan = Similarity.rpReduce(corpus, 16, 64).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "JL reduction must be a pure projection:\n" + plan.take(600))
+  }
+
+  test("joint space training == per-subspace trainCentroids, bit for bit") {
+    // the joint trainer (one seed job + one job per Lloyd iteration for
+    // ALL spaces) must reproduce the sequential per-subspace formulation
+    // exactly — the oracles replay the sequential convention in SQL
+    val joint = Similarity.trainPqCodebooks(corpus, m = 4, dim = 64)
+    val seq = Similarity.trainPqCodebooksSequential(corpus, m = 4, dim = 64)
+    assert(joint == seq)
+    // and the composed IVF-PQ trainer matches separate coarse + books
+    val (co, bo) = Similarity.trainIvfPq(corpus, 8, m = 4, dim = 64)
+    assert(co == Similarity.trainCentroids(corpus, 8, 2))
+    assert(bo == seq)
+  }
+
   test("PQ-ADC: deterministic codebooks, self-consistent codes, useful recall vs brute force") {
     // codebooks are bit-deterministic (the IVF property per subspace)
     val books = Similarity.trainPqCodebooks(corpus, m = 4, dim = 64)

@@ -110,6 +110,35 @@ class TokenizerSpec extends SparkSpec {
       .select(noMerges.count(col("text"))).head.getLong(0) == 5L)
   }
 
+  test("BPE trainer: learned merges match a hand-computed trace, incl. consecutive fusions") {
+    import spark.implicits._
+    // dict: "aaab"×3, "abab"×2, "cd"×5
+    // round 1 pairs: (a,a): 3·2=6  (a,b): 3·1+2·2=7  (b,a): 2  (c,d): 5
+    //   → best (a,b) 7; merge: aaab→[a,a,ab] (consecutive fusion in abab→[ab,ab])
+    // round 2: (a,a): 3  (a,ab): 3  (ab,ab): 2  (c,d): 5 → best (c,d) 5
+    // round 3: (a,a) vs (a,ab) tie at 3 → pair-asc tie-break: (a,a)
+    val docs = Seq(
+      "aaab aaab aaab abab abab cd cd cd cd cd").toDF("text")
+    val got = BpeTrainer.trainMerges(BpeTrainer.wordDict(docs, "text"), rounds = 3)
+    assert(got == Seq(
+      BpeTrainer.LearnedMerge(1, "a", "b", 7L),
+      BpeTrainer.LearnedMerge(2, "c", "d", 5L),
+      BpeTrainer.LearnedMerge(3, "a", "a", 3L)), got.toString)
+  }
+
+  test("BPE trainer: deterministic across reruns on the fixture corpus") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val m1 = BpeTrainer.trainMerges(BpeTrainer.wordDict(d, "text"), rounds = 4)
+    val m2 = BpeTrainer.trainMerges(BpeTrainer.wordDict(d, "text"), rounds = 4)
+    assert(m1 == m2)
+    assert(m1.length == 4)
+    // frequencies are non-increasing only per-pair-generation, but every
+    // learned pair must have been the round's strict argmax under the
+    // (freq desc, pair asc) order — check ranks are 1..4 and pairs unique
+    assert(m1.map(m => (m.x, m.y)).distinct.length == 4)
+    assert(m1.map(_.r) == Seq(1, 2, 3, 4))
+  }
+
   test("tokenBudget under the merges-BPE unit: operator unchanged, unit swapped") {
     import spark.implicits._
     val docs = Seq(
