@@ -200,6 +200,75 @@ case class SrpCodes(child: Expression, coefs: Array[Array[Long]], planesPerBand:
   override def prettyName: String = "srp_codes"
 }
 
+/** Full random-projection of a quantized vector in ONE compiled pass:
+  * output element p (p < rows) is the exact integer dot with coefficient
+  * row p; the LAST element is the reduced vector's norm Σ r_p². One
+  * expression node means the (possibly expensive) child — the quantize
+  * `transform` — is evaluated ONCE per row; the per-output-dim `long_dot`
+  * formulation re-inlines the child into every dot AND into the norm
+  * after projection collapse (measured: ~34 interpreted quantize evals
+  * per row on the a15 plan), and the interpreted lambda blocks
+  * whole-stage codegen for the entire projection. */
+case class RpProject(child: Expression, coefs: Array[Array[Long]])
+    extends UnaryExpression {
+
+  require(coefs.nonEmpty)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"rp_project expects array<bigint>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    RpProject.compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], coefs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("coefs", coefs, "long[][]")
+    nullSafeCodeGen(ctx, ev, q =>
+      s"${ev.value} = graft.expr.RpProject.compute($q, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RpProject =
+    copy(child = newChild)
+
+  override def prettyName: String = "rp_project"
+}
+
+object RpProject {
+  def compute(q: org.apache.spark.sql.catalyst.util.ArrayData,
+              coefs: Array[Array[Long]]):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val rows = coefs.length
+    val dim = q.numElements()
+    // same loud-failure contract as srp_codes: a mismatched vector would
+    // silently truncate/zero-pad the projection
+    if (dim != coefs(0).length)
+      throw new IllegalArgumentException(
+        s"rp_project: vector has $dim dims but the projection matrix was " +
+          s"built for ${coefs(0).length} — pass the actual embedding dimension as `dim`")
+    val out = new Array[Long](rows + 1)
+    var norm = 0L
+    var p = 0
+    while (p < rows) {
+      val c = coefs(p)
+      var dot = 0L
+      var d = 0
+      while (d < dim) { dot += q.getLong(d) * c(d); d += 1 }
+      out(p) = dot
+      norm += dot * dot
+      p += 1
+    }
+    out(rows) = norm
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
 object SrpCodes {
   def compute(q: org.apache.spark.sql.catalyst.util.ArrayData,
               coefs: Array[Array[Long]], planesPerBand: Int):
@@ -580,6 +649,10 @@ object hfunctions {
   /** all SRP band codes of a quantized vector in one compiled pass */
   def srp_codes(q: Column, coefs: Array[Array[Long]], planesPerBand: Int): Column =
     expr2col(SrpCodes(col2expr(q), coefs, planesPerBand))
+
+  /** random-projection dots + reduced norm in one compiled pass */
+  def rp_project(q: Column, coefs: Array[Array[Long]]): Column =
+    expr2col(RpProject(col2expr(q), coefs))
 
   /** all per-document text statistics in one compiled pass */
   def text_stats(text: Column, wordLists: Seq[Seq[String]]): Column =

@@ -661,6 +661,33 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Two-stage REFINEMENT serving — the pattern every production ANN
+    * stack ends with: a compressed first pass (SQ8 codes, 8× less scan
+    * bandwidth) keeps the top `m ≥ k` candidates per query, then ONLY
+    * those m are re-scored EXACTLY against the raw vectors and re-ranked
+    * to the final k. Approximation error is confined to the m/k safety
+    * margin: any true top-k neighbor the compressed scan ranks within m
+    * comes back in exact order.
+    *
+    * Scale shape: stage 1 is a08's map-only compressed scan + bounded-heap
+    * top-m; stage 2 BROADCASTS the (queries×m) candidate list against the
+    * corpus — a broadcast hash join on vec_id, so the raw vectors are
+    * touched once, map-side, for candidates only, and nothing corpus-sized
+    * shuffles in either stage. Both stages are exact-integer/portable, so
+    * the oracle replays the full two-stage trace. */
+  def sq8RefineTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int,
+                    dim: Int = 64): DataFrame = {
+    require(m >= k, s"refinement margin m=$m must be ≥ k=$k")
+    val cand = sq8TopK(corpus, queries, m, dim)
+      .select(col("q_id"), col("n_id").as("vec_id"))
+    val qs = queries.select(col("vec_id").as("q_id"), col("q").as("q_vec"),
+      col("nq").as("q_nq"))
+    val scored = corpus.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(qs), Seq("q_id"))
+      .withColumn("sim", cosineq(col("q"), col("q_vec"), col("nq"), col("q_nq")))
+    topK(scored, k)
+  }
+
   /** Full IVF-PQ serving — the canonical 100 TB vector-search
     * architecture, composed from the two halves this library already
     * verifies separately: the IVF coarse quantizer (a03/a04) prunes the
@@ -891,12 +918,19 @@ object Similarity {
     * cuts every later scan, shuffle, and index byte by dim/rDim while
     * keeping cosine geometry to JL distortion — and because the matrix
     * is hash-derived there is no codebook to train, ship, or version. */
-  def rpReduce(side: DataFrame, rDim: Int, dim: Int): DataFrame =
+  def rpReduce(side: DataFrame, rDim: Int, dim: Int): DataFrame = {
+    // ONE compiled pass emits all rDim dots + the reduced norm
+    // ([[graft.expr.RpProject]]); the per-output-dim long_dot formulation
+    // re-inlined the interpreted quantize lambda into every dot and the
+    // norm after projection collapse (~34 evals/row) and blocked codegen.
+    // `r` is referenced twice below, and rp_project is not cheap, so
+    // CollapseProject keeps the two Projects separate — one eval per row.
+    val coefMatrix = Array.tabulate(rDim)(p => rpCoefs(p, dim).toArray)
     side.select(col("vec_id"),
-      array((0 until rDim).map { p =>
-        graft.expr.hfunctions.long_dot(col("q"), typedLit(rpCoefs(p, dim)))
-      }: _*).as("q"))
-      .withColumn("nq", normq(col("q")))
+        graft.expr.hfunctions.rp_project(col("q"), coefMatrix).as("r"))
+      .select(col("vec_id"), slice(col("r"), 1, rDim).as("q"),
+        element_at(col("r"), rDim + 1).as("nq"))
+  }
 
   /** ANN in the reduced space: JL-project both sides, brute top-k there
     * (the exact scorer is [[bruteForceTopK]] — reduction composes with
