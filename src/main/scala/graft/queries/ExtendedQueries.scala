@@ -228,6 +228,36 @@ object ExtendedQueries {
         .orderBy(col("cohort"), col("offset_d"))
     }),
 
+    // q22's stream twin: the transition matrix maintained incrementally —
+    // per-user last-event state (bucketed TxnLogState) + a types²-sized
+    // additive count generation; within-batch edges from a user-keyed lag
+    // window, boundary edges join the stored lasts, and the ascending-
+    // event_id contract is ENFORCED against a high-water mark (exact
+    // redelivery detected and skipped — additive counts must never
+    // double-fold). Final matrix == batch q22, its oracle
+    "s20_stream_transitions" -> ((s, dir) => {
+      val work = scratchDir("graft_s20")
+      val in = onceLog("s20", dir) { path =>
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"))
+        val b = ev.agg(min(col("event_id")), max(col("event_id"))).first()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val c1 = lo + (hi - lo) / 3
+        val c2 = lo + 2 * (hi - lo) / 3
+        // ascending event_id chunks — the ordering contract the operator enforces
+        Seq(col("event_id") <= c1,
+            col("event_id") > c1 && col("event_id") <= c2,
+            col("event_id") > c2).foreach { p =>
+          ev.filter(p).coalesce(1).write.mode("append").parquet(path)
+          Thread.sleep(20) // distinct mtimes → oldest-first arrival
+        }
+      }
+      val lasts = new graft.streaming.TxnLogState(s"$work/lasts", s, 16)
+      graft.streaming.StreamTransitions
+        .drain(s, lasts, s"$work/counts", in, s"$work/ckpt")
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     "s02_stream_window" -> ((s, dir) => {
       val work = scratchDir("graft_s02")
       t(s, dir, "events").coalesce(4).write.mode("overwrite").parquet(s"$work/log")
@@ -496,6 +526,19 @@ object ExtendedQueries {
       val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
       Similarity.sq8TopK(corpus, corpus.filter(col("vec_id") < 5),
           k = 5, dim = 64)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
+    // two-stage refinement: the SQ8 compressed scan keeps top-20
+    // candidates per query (8× less bandwidth than raw vectors), then
+    // ONLY those 20 are re-scored exactly and re-ranked to 5 — the
+    // pattern every production ANN stack ends with; approximation error
+    // is confined to the 20/5 safety margin, and both stages broadcast
+    // query-sized frames against map-only corpus scans
+    "a16_ann_refine" -> ((s, dir) => {
+      val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
+      Similarity.sq8RefineTopK(corpus, corpus.filter(col("vec_id") < 5),
+          k = 5, m = 20, dim = 64)
         .orderBy(col("q_id"), col("rk"))
     }),
 
@@ -1705,9 +1748,10 @@ object ExtendedQueries {
   /** SQ8: per-dimension [min, max] range over the quantized corpus, 8-bit
     * affine encode, scaled-integer dequantization (y·255 = mn·255 +
     * code·span — exact), asymmetric cosine with the ×255 scale cancelling
-    * between the dot and the stored dequantized norm. */
-  private val a08Oracle: String = {
-    val k = 5
+    * between the dot and the stored dequantized norm. The shared CTE
+    * block ends in `sq8r` = the full approximate ranking — a08 cuts it at
+    * its k, a16 uses the top-m slice as stage-1 candidates. */
+  private val sq8RankedCtes: String =
     s"""WITH ${PipelineQueries.quantCte},
        |mm AS (
        |  SELECT d, min(x) AS mn, max(x) AS mx FROM (
@@ -1723,8 +1767,8 @@ object ExtendedQueries {
        |             CAST(round(((q[i] - mns[i]) * 255)::DOUBLE / sps[i]) AS BIGINT) * sps[i]
        |           END) AS y
        |  FROM n CROSS JOIN mml),
-       |ey AS (SELECT vec_id, y, list_dot_product(y::DOUBLE[], y::DOUBLE[]) AS ny FROM enc)
-       |SELECT q_id, n_id, sim, rk FROM (
+       |ey AS (SELECT vec_id, y, list_dot_product(y::DOUBLE[], y::DOUBLE[]) AS ny FROM enc),
+       |sq8r AS (
        |  SELECT qr.vec_id AS q_id, c.vec_id AS n_id,
        |    CASE WHEN c.ny = 0 OR qr.nn = 0 THEN 0.0
        |         ELSE list_dot_product(c.y::DOUBLE[], qr.q::DOUBLE[]) / (sqrt(c.ny) * sqrt(qr.nn)) END AS sim,
@@ -1733,7 +1777,30 @@ object ExtendedQueries {
        |        ELSE list_dot_product(c.y::DOUBLE[], qr.q::DOUBLE[]) / (sqrt(c.ny) * sqrt(qr.nn)) END DESC,
        |        c.vec_id ASC) AS rk
        |  FROM ey c CROSS JOIN (SELECT * FROM n WHERE vec_id < 5) qr
-       |  WHERE c.vec_id <> qr.vec_id)
+       |  WHERE c.vec_id <> qr.vec_id)""".stripMargin
+
+  private val a08Oracle: String =
+    s"""$sq8RankedCtes
+       |SELECT q_id, n_id, sim, rk FROM sq8r
+       |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+  /** a16: stage 1 = sq8r's top-m as candidates, stage 2 = exact cosine
+    * over the raw quantized vectors, re-ranked to k. */
+  private val a16Oracle: String = {
+    val (k, m) = (5, 20)
+    s"""$sq8RankedCtes,
+       |cand AS (SELECT q_id, n_id FROM sq8r WHERE rk <= $m)
+       |SELECT q_id, n_id, sim, rk FROM (
+       |  SELECT cand.q_id, cand.n_id,
+       |    CASE WHEN c.nn = 0 OR qr.nn = 0 THEN 0.0
+       |         ELSE list_dot_product(c.q::DOUBLE[], qr.q::DOUBLE[]) / (sqrt(c.nn) * sqrt(qr.nn)) END AS sim,
+       |    row_number() OVER (PARTITION BY cand.q_id
+       |      ORDER BY CASE WHEN c.nn = 0 OR qr.nn = 0 THEN 0.0
+       |        ELSE list_dot_product(c.q::DOUBLE[], qr.q::DOUBLE[]) / (sqrt(c.nn) * sqrt(qr.nn)) END DESC,
+       |        cand.n_id ASC) AS rk
+       |  FROM cand
+       |  JOIN n c ON c.vec_id = cand.n_id
+       |  JOIN n qr ON qr.vec_id = cand.q_id)
        |WHERE rk <= $k ORDER BY q_id, rk""".stripMargin
   }
 
@@ -1862,6 +1929,7 @@ object ExtendedQueries {
   def oracles: Map[String, String] = Map(
 
     "a08_ann_sq8" -> a08Oracle,
+    "a16_ann_refine" -> a16Oracle,
 
     "a09_bm25_topk" -> a09Oracle,
 
@@ -2064,6 +2132,18 @@ object ExtendedQueries {
         |      FROM ev e JOIN f USING (user_id))
         |SELECT cohort, offset_d, count(*) AS n_users
         |FROM j GROUP BY 1, 2 ORDER BY cohort, offset_d""".stripMargin,
+
+    // s20 = q22 incrementally: per-user chains count identically however
+    // the stream chunks them (boundary edges from the lasts state), so
+    // the drained matrix equals the batch computation — one oracle
+    "s20_stream_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type AS to_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS from_type
+        |  FROM events)
+        |SELECT from_type, to_type, count(*) AS n
+        |FROM s WHERE from_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
 
     "q22_transitions" ->
       """WITH s AS (

@@ -271,6 +271,51 @@ class IndexerSupervisor(
       st.getLong(0), st.getLong(1))
   }
 
+  // C3 vector arm (r12): the persisted IVF-PQ index (a13) as an OPERABLE
+  // per-indexer artifact — build FREEZES both quantizers (coarse + all m
+  // subspace codebooks, one atomic manifest), each crawl increment is a
+  // map-only compressed append under the frozen books (append ≡ rebuild,
+  // the pure-per-row-encode invariant), and serving prunes to the probed
+  // partitions. Layout: $workRoot/<name>/ivfpq (the a13 layout).
+
+  private def vectorDir(name: String): String = s"$workRoot/$name/ivfpq"
+
+  /** Build (or rebuild) the vector index for `name`. Synchronous, like
+    * executeBatchBuild; re-building re-trains the quantizers and flips
+    * the single manifest — an explicit operator action, never drift. */
+  def buildVectorIndex(name: String, vectors: org.apache.spark.sql.DataFrame,
+                       idCol: String, vecCol: String,
+                       nCentroids: Int = 8, m: Int = 4, dim: Int = 64,
+                       ksub: Int = 8, trainIters: Int = 2): Unit = {
+    registry.get(name).getOrElse(throw new IllegalStateException(s"no such indexer: $name"))
+    graft.ops.Similarity.buildIvfPqIndex(
+      graft.ops.Similarity.prep(vectors, idCol, vecCol), vectorDir(name),
+      nCentroids, m, dim, ksub, trainIters)
+  }
+
+  /** Append a vector increment under `name`'s frozen codebooks — cost ∝
+    * increment (map-only encode + one partitioned write). */
+  def ingestVectors(name: String, vectors: org.apache.spark.sql.DataFrame,
+                    idCol: String, vecCol: String): Unit = {
+    registry.get(name).getOrElse(throw new IllegalStateException(s"no such indexer: $name"))
+    require(Files.exists(Paths.get(vectorDir(name), "IVFPQ")),
+      s"no vector index for $name — run buildVectorIndex first")
+    graft.ops.Similarity.appendToIvfPqIndex(
+      graft.ops.Similarity.prep(vectors, idCol, vecCol), vectorDir(name))
+  }
+
+  /** Serve top-k neighbors for `queries` from `name`'s index, reading
+    * only the probed centroids' partitions. */
+  def searchVectors(name: String, queries: org.apache.spark.sql.DataFrame,
+                    idCol: String, vecCol: String,
+                    k: Int, nProbe: Int = 2): org.apache.spark.sql.DataFrame = {
+    registry.get(name).getOrElse(throw new IllegalStateException(s"no such indexer: $name"))
+    require(Files.exists(Paths.get(vectorDir(name), "IVFPQ")),
+      s"no vector index for $name — run buildVectorIndex first")
+    graft.ops.Similarity.ivfPqIndexTopK(spark, vectorDir(name),
+      graft.ops.Similarity.prep(queries, idCol, vecCol), k, nProbe)
+  }
+
   /** Re-subscribe after DO_NOT_SUBSCRIBE: stamps subscriptionTimestamp =
     * now, so pre-existing log history is skipped (SepModelImpl records the
     * subscription timestamp at peer creation the same way). */

@@ -1,0 +1,146 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Streaming transition matrix — q22's first-order Markov edge counts
+  * maintained incrementally over an unbounded event stream.
+  *
+  * Two-part state:
+  *  - per-user LAST event (id, type) in the bucketed [[TxnLogState]] —
+  *    the batch's users touch only their buckets, and the fold is
+  *    max-by-event-id (under ordered arrival the batch always wins);
+  *  - the edge-count matrix, ≤ |event types|² rows — CONSTANT in stream
+  *    length — committed as immutable generations behind an atomic
+  *    pointer flip (the [[StreamKmv]] state shape).
+  *
+  * Per trigger: within-batch edges from a lag window keyed on user_id
+  * (per-user ordering only, never a global sort), PLUS one boundary edge
+  * per user joining the stored last event to the batch's first — so a
+  * user's event chain counts identically however the stream chunks it.
+  *
+  * Unlike retention's min/union fold, edge counts are ADDITIVE — order
+  * matters and replay double-counts — so the ascending-event_id arrival
+  * contract is ENFORCED against a persisted high-water mark (the
+  * [[KgramStreamCore.checkAscending]] design): out-of-order batches fail
+  * loudly; a bit-exact redelivery of the most recent batch is detected
+  * by its (lo, hi) range and SKIPPED (already folded — at-least-once
+  * replays are expected, silent double-counts are not). */
+object StreamTransitions {
+
+  private def currentGen(countsDir: String): Option[String] = {
+    val cur = Paths.get(countsDir, "_current")
+    if (Files.exists(cur)) Some(Files.readString(cur).trim) else None
+  }
+
+  /** Fold one (user_id, event_id, event_type) micro-batch. */
+  def applyBatch(lasts: DocStateStore, countsDir: String,
+                 batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    Files.createDirectories(Paths.get(countsDir))
+    val b = batch.select(col("user_id"), col("event_id"), col("event_type")).cache()
+    try {
+      val range = b.agg(min(col("event_id")), max(col("event_id"))).head()
+      if (range.isNullAt(0)) return
+      val (lo, hi) = (range.getLong(0), range.getLong(1))
+      val hwmFile = Paths.get(countsDir, "_hwm")
+      if (Files.exists(hwmFile)) {
+        val Array(prevLo, prevHi) = Files.readString(hwmFile).trim.split("\t").map(_.toLong)
+        if (lo == prevLo && hi == prevHi) return // exact redelivery: already folded
+        if (lo <= prevHi)
+          throw new IllegalStateException(
+            s"out-of-order arrival: batch event_id range [$lo, $hi] overlaps the " +
+              s"high-water mark $prevHi — additive edge counts equal the batch " +
+              "operator only under ascending event_id arrival")
+      }
+
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val lagged = b.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      val inner = lagged.filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+
+      // per-user batch endpoints (one user-keyed aggregate, map-side combined)
+      val ends = b.groupBy(col("user_id"))
+        .agg(min_by(col("event_type"), col("event_id")).as("first_type"),
+          max_by(col("event_type"), col("event_id")).as("last_type"),
+          max(col("event_id")).as("last_eid"))
+        .withColumn("id", col("user_id").cast("string"))
+        .cache()
+      val touched = ends
+        .select(graft.expr.hfunctions.md5_shard(col("id"), lasts.buckets).as("bk"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+
+      val prev = lasts.readBuckets(touched)
+      // boundary edges: stored last event → this batch's first, per user
+      val boundary = prev match {
+        case Some(p) => ends.join(p.select(col("user_id"), col("last_type").as("pt")),
+            Seq("user_id"))
+          .groupBy(col("pt").as("from_type"), col("first_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        case None => spark.emptyDataFrame
+      }
+
+      // fold the counts generation (≤ types² rows, constant in stream length)
+      val parts = Seq(Some(inner),
+        if (boundary.columns.nonEmpty) Some(boundary) else None,
+        currentGen(countsDir).map(g => spark.read.parquet(s"$countsDir/$g"))).flatten
+      val next = parts.reduce(_ unionByName _)
+        .groupBy(col("from_type"), col("to_type")).agg(sum(col("n")).as("n"))
+      val gen = s"g$batchId"
+      val prevGen = currentGen(countsDir)
+      next.write.mode("overwrite").parquet(s"$countsDir/$gen")
+
+      // per-user lasts: the batch endpoint always supersedes (ascending
+      // arrival), so union + max-by-event_id is the exact fold
+      val mergedLasts = (prev match {
+        case Some(p) => p.select("id", "user_id", "last_type", "last_eid")
+          .unionByName(ends.select("id", "user_id", "last_type", "last_eid"))
+        case None => ends.select("id", "user_id", "last_type", "last_eid")
+      }).groupBy(col("id"), col("user_id"))
+        .agg(max_by(col("last_type"), col("last_eid")).as("last_type"),
+          max(col("last_eid")).as("last_eid"))
+      lasts.commit(mergedLasts, f"r$batchId%010d", touched)
+
+      // counts pointer flip + hwm AFTER both states land; a crash between
+      // commits replays the batch, which the (lo, hi) check then skips
+      IndexState.atomicWriteString(Paths.get(countsDir, "_current"), gen)
+      Files.writeString(hwmFile, s"$lo\t$hi")
+      prevGen.filter(_ != gen).foreach { g =>
+        def rm(f: java.io.File): Unit = {
+          val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+        }
+        rm(Paths.get(countsDir, g).toFile)
+      }
+      ends.unpersist(blocking = false)
+    } finally { b.unpersist(blocking = false); () }
+  }
+
+  /** The standing edge matrix — q22's output shape. */
+  def summary(spark: SparkSession, countsDir: String): DataFrame =
+    currentGen(countsDir) match {
+      case Some(g) => spark.read.parquet(s"$countsDir/$g")
+        .select(col("from_type"), col("to_type"), col("n"))
+      case None => throw new IllegalStateException("no transition state committed yet")
+    }
+
+  /** Convenience drain over a (user_id, event_id, event_type) log. */
+  def drain(spark: SparkSession, lasts: DocStateStore, countsDir: String,
+            inPath: String, ckptPath: String): DataFrame = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("user_id", "long").add("event_id", "long").add("event_type", "string")
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inPath)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) => applyBatch(lasts, countsDir, b, id) }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckptPath)
+      .start()
+    q.awaitTermination()
+    summary(spark, countsDir)
+  }
+}

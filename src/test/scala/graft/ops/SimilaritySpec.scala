@@ -105,6 +105,33 @@ class SimilaritySpec extends SparkSpec {
     assert(r4 >= r2, f"more probes must not lose recall: $r4%.3f < $r2%.3f")
   }
 
+  test("SQ8 refinement: exact sims on candidates, recall >= plain SQ8, candidates confined to stage-1 top-m") {
+    val queries = corpus.filter(col("vec_id") < 7)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(corpus, queries, 5))
+    val sq8 = pairs(Similarity.sq8TopK(corpus, queries, 5, dim = 64))
+    val refined = Similarity.sq8RefineTopK(corpus, queries, k = 5, m = 20, dim = 64)
+    val refinedPairs = pairs(refined)
+    def recall(s: Set[(Long, Long)]) = (brute & s).size.toDouble / brute.size
+    info(f"recall vs brute: sq8 ${recall(sq8)}%.3f, refined(m=20) ${recall(refinedPairs)}%.3f")
+    assert(recall(refinedPairs) >= recall(sq8),
+      "widening to m=20 then re-ranking exactly must not lose recall")
+    // refined sims are EXACT cosines — each (q, n) pair's sim must equal
+    // the brute-force score for that pair
+    val bruteSims = Similarity.bruteForceTopK(corpus, queries, 20)
+      .select("q_id", "n_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    refined.select("q_id", "n_id", "sim").collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bruteSims.get(key).foreach(exact =>
+        assert(r.getDouble(2) == exact, s"refined sim for $key not exact"))
+    }
+    // candidates are confined to stage 1's top-20
+    val stage1 = pairs(Similarity.sq8TopK(corpus, queries, 20, dim = 64))
+    assert(refinedPairs.subsetOf(stage1), "stage 2 must only re-rank stage-1 candidates")
+  }
+
   test("JL random projection: deterministic, map-only, preserves near-dup separation") {
     // the JL guarantee that matters for dedup/prefiltering: genuinely
     // similar pairs stay separated from the bulk after reduction (top-k

@@ -246,6 +246,48 @@ class RegistrySpec extends SparkSpec {
     }
   }
 
+  test("C3 vector arm: build → ingest → search through the supervisor; append ≡ one-shot build") {
+    val regDir = tmp("graft_reg7"); val work = tmp("graft_work7"); val logs = tmp("graft_logs7")
+    val reg = new IndexerRegistry(regDir)
+    val sup = new IndexerSupervisor(spark, reg, work, name => s"$logs/$name")
+    reg.add(IndexerDefinition("idx", confXml))
+
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    val probes = emb.filter(col("vec_id") < 5)
+
+    // build on the evens, ingest the odds under the frozen codebooks
+    sup.buildVectorIndex("idx", evens, "vec_id", "embedding")
+    sup.ingestVectors("idx", odds, "vec_id", "embedding")
+    val got = sup.searchVectors("idx", probes, "vec_id", "embedding", k = 5)
+      .orderBy(col("q_id"), col("rk")).collect().toSeq
+    assert(got.nonEmpty)
+
+    // append ≡ rebuild is only guaranteed under the SAME codebooks: a
+    // one-shot index over evens∪odds with evens-trained books must serve
+    // identical results
+    reg.add(IndexerDefinition("oneshot", confXml))
+    val evensPrep = graft.ops.Similarity.prep(evens, "vec_id", "embedding")
+    val (co, bo) = (graft.ops.Similarity.trainCentroids(evensPrep, 8, 2),
+      graft.ops.Similarity.trainPqCodebooks(evensPrep, m = 4, dim = 64))
+    graft.ops.Similarity.buildIvfPqIndex(
+      graft.ops.Similarity.prep(emb, "vec_id", "embedding"),
+      s"$work/oneshot/ivfpq", coarse = Some(co), books = Some(bo))
+    val oneShot = sup.searchVectors("oneshot", probes, "vec_id", "embedding", k = 5)
+      .orderBy(col("q_id"), col("rk")).collect().toSeq
+    assert(got == oneShot, "supervisor ingest path must equal a one-shot build")
+
+    // unknown indexer and missing index both fail loudly
+    intercept[IllegalStateException] {
+      sup.searchVectors("nope", probes, "vec_id", "embedding", k = 5)
+    }
+    reg.add(IndexerDefinition("bare", confXml))
+    intercept[IllegalArgumentException] {
+      sup.ingestVectors("bare", odds, "vec_id", "embedding")
+    }
+  }
+
   test("C3 percolation arm: frozen standing queries route batches through the supervisor") {
     import spark.implicits._
     val regDir = tmp("graft_reg6"); val work = tmp("graft_work6"); val logs = tmp("graft_logs6")
