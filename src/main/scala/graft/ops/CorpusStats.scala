@@ -86,6 +86,67 @@ object CorpusStats {
           .as("avg_logp"))
   }
 
+  /** Per-document trigram counts (doc_id, w1, w2, w3, m) — the trigram
+    * analog of [[docBigrams]]; ≥3-token documents only. */
+  private[ops] def docTrigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), toks.as("_tk"))
+      .filter(size(col("_tk")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("_tk")) - 2),
+          i => struct(element_at(col("_tk"), i).as("w1"),
+            element_at(col("_tk"), i + 1).as("w2"),
+            element_at(col("_tk"), i + 2).as("w3")))).as("tg"))
+      .select(col("doc_id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+      .groupBy("doc_id", "w1", "w2", "w3").agg(count(lit(1)).as("m"))
+  }
+
+  /** Interpolated TRIGRAM language-model score per document — [[bigramLmScore]]
+    * with one more order and Jelinek–Mercer backoff, the KenLM-shaped
+    * quality filter: per trigram occurrence
+    * `p = 0.6·c(w1w2w3)/c(w1w2·) + 0.3·c(w2w3·)/c(w2··) + 0.1·c(w3)/C`,
+    * where EVERY count marginalizes the SAME trigram-occurrence stream
+    * (the event space is "trigram positions", so each backoff
+    * distribution sums to 1 over its conditioning and every scored item
+    * has count ≥ 1 — no smoothing constant to tune). Score = mean
+    * quantized ln p over the doc's trigram occurrences.
+    *
+    * Same portability discipline as t10: each ln is quantized to the
+    * 10⁻⁶ grid BEFORE the per-doc sum (order-free exact-integer mean);
+    * the interpolation itself is a fixed left-to-right double expression
+    * shape shared with the oracle.
+    *
+    * Plan shape: docTrigrams (1 shuffle) → four marginal aggregations
+    * over it + the scalar total (broadcast 1-row cross join, never a
+    * driver collect) → probe joins keyed on the marginals → per-doc
+    * weighted mean. Probe traffic is distinct-trigrams-per-doc, not
+    * tokens. Output: (doc_id, n_trigrams, avg_logp). */
+  def trigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dt = docTrigrams(docs, idCol, textCol)
+    val tgc = dt.groupBy("w1", "w2", "w3").agg(sum("m").as("c_tg"))
+    val tgp = dt.groupBy("w1", "w2").agg(sum("m").as("c_tgp"))
+    val bgc = dt.groupBy("w2", "w3").agg(sum("m").as("c_bg"))
+    val bgp = dt.groupBy("w2").agg(sum("m").as("c_bgp"))
+    val ugc = dt.groupBy("w3").agg(sum("m").as("c_ug"))
+    val tot = dt.agg(sum("m").as("c_all"))
+    val p = lit(0.6) * (col("c_tg").cast("double") / col("c_tgp")) +
+      lit(0.3) * (col("c_bg").cast("double") / col("c_bgp")) +
+      lit(0.1) * (col("c_ug").cast("double") / col("c_all"))
+    val qLogP = round(log(p) * 1e6).cast("long")
+    dt.join(tgc, Seq("w1", "w2", "w3"))
+      .join(tgp, Seq("w1", "w2"))
+      .join(bgc, Seq("w2", "w3"))
+      .join(bgp, Seq("w2"))
+      .join(ugc, Seq("w3"))
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(sum("m").as("n_trigrams"),
+        (sum(col("m") * qLogP).cast("double") / (sum("m") * lit(1e6)))
+          .as("avg_logp"))
+  }
+
   /** Per-document top-k TF-IDF terms — keyword extraction over the whole
     * corpus. score = tf · ln(N / df) with tf the in-doc term count, df
     * the number of documents containing the term, N the corpus size.

@@ -149,6 +149,50 @@ object Multimodal {
     }
   }
 
+  /** SEQUENCE-LEVEL media near-dup: two media are near-duplicates when
+    * their DISTINCT frame-signature sets overlap ≥ threshold (Jaccard) —
+    * the video-dedup shape that catches clipped intros, appended
+    * trailers, and re-containered copies, where no byte of the container
+    * matches ([[dedupExact]] splits them) and single-image perceptual
+    * hashing does not apply. Signature = (frame_len, frame_sum,
+    * head_hex) per frame — swap in a decoded-frame aHash without
+    * touching the plan.
+    *
+    * Plan shape is d02's two-shuffle similarity join: per-media distinct
+    * signature sets (sizes ride through the explode — no denominator
+    * join-back), signature-keyed self-join, pair aggregation. `maxDf`
+    * drops viral signatures (black/silent frames are the media analog of
+    * stopword shingles) before the join — the d09 recall-rides-the-cool-
+    * keys convention, which is what bounds the join at video scale. */
+  def videoNearDupPairs(media: DataFrame, frameBytes: Int = 32,
+                        threshold: Double = 0.5,
+                        maxDf: Option[Int] = None): DataFrame = {
+    val sigs = chunkFrames(media, frameBytes).toDF()
+      .select(col("doc_id"),
+        concat_ws("_", col("frame_len"), col("frame_sum"), col("head_hex")).as("sig"))
+      .distinct()
+    val sets = sigs.groupBy(col("doc_id"))
+      .agg(collect_list(col("sig")).as("ss"))
+      .select(col("doc_id"), size(col("ss")).cast("long").as("n_sig"),
+        explode(col("ss")).as("sig"))
+    val capped = maxDf match {
+      case Some(cap) =>
+        val hot = sets.groupBy(col("sig")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("sig")
+        sets.join(hot, Seq("sig"), "left_anti")
+      case None => sets
+    }
+    val a = capped.select(col("doc_id").as("a_id"), col("n_sig").as("a_n"), col("sig"))
+    val b = capped.select(col("doc_id").as("b_id"), col("n_sig").as("b_n"), col("sig"))
+    a.join(b, Seq("sig"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "a_n", "b_n").agg(count(lit(1)).as("inter"))
+      .withColumn("uni", col("a_n") + col("b_n") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "inter", "uni", "jaccard")
+  }
+
   /** Frame SAMPLING: keep every `stride`-th frame (1, 1+stride, …) — the
     * video keyframe / audio-window subsampling shape. Skipped frames are
     * never generated (the iterator steps by `stride`), so cost scales
@@ -407,6 +451,66 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.flatMap(windowsOf(_, windowSamples, decoder))
+    }
+  }
+
+  /** Sample-rate conversion by a rational factor l/m (out/in) with
+    * EXACT-INTEGER linear interpolation — the audio-curation normalize
+    * step that makes a mixed-rate corpus uniform before windowing/
+    * training. Output sample n sits at input position n·m/l: with
+    * p = ⌊n·m/l⌋ and phase f = n·m − p·l ∈ [0, l),
+    * `y[n] = x[p] + ⌊(x[p+1] − x[p])·f / l⌋` (floor division — exact and
+    * engine-portable, the trainCentroids update convention), so the
+    * resampled stream is a pure integer function of the input and the
+    * DuckDB oracle replays it bit-for-bit. Output length
+    * ⌊(nIn−1)·l/m⌋ + 1 — the last output never reads past x[nIn−1].
+    *
+    * Emitted re-windowed ([[AudioWindow]] over the RESAMPLED stream):
+    * the resample + window + feature scan runs on one doc's in-memory
+    * sample array INSIDE the decode pass — samples never shuffle, and
+    * at 100 TB the operator is the same map-only decode-seam pass as
+    * every other audio op. */
+  def resampleWindows(media: DataFrame, l: Int, m: Int,
+                      windowSamples: Int = 16,
+                      decoder: AudioDecoder = PcmS16leDecoder): Dataset[AudioWindow] = {
+    require(l > 0 && m > 0, s"resample ratio must be positive: $l/$m")
+    require(windowSamples > 0, s"windowSamples must be positive: $windowSamples")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        val x = decoder.decode(r.mime, r.payload)
+        if (x.length == 0) Iterator.empty
+        else {
+          val nOut = Math.floorDiv((x.length - 1).toLong * l, m).toInt + 1
+          val y = new Array[Long](nOut)
+          var n = 0
+          while (n < nOut) {
+            val t = n.toLong * m
+            val p = (t / l).toInt // t ≥ 0: truncation == floor
+            val f = t - p.toLong * l
+            y(n) =
+              if (f == 0L) x(p).toLong
+              else x(p) + Math.floorDiv((x(p + 1) - x(p)).toLong * f, l.toLong)
+            n += 1
+          }
+          val wins = (nOut + windowSamples - 1) / windowSamples
+          Iterator.tabulate(wins) { w =>
+            val from = w * windowSamples
+            val until = math.min(from + windowSamples, nOut)
+            var energy = 0L; var peak = 0L
+            var i = from
+            while (i < until) {
+              val v = y(i)
+              energy += v * v
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              i += 1
+            }
+            AudioWindow(r.doc_id, (w + 1).toLong, (until - from).toLong, energy, peak)
+          }
+        }
+      }
     }
   }
 

@@ -842,6 +842,21 @@ object ExtendedQueries {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // sequence-level media near-dup: clipped copies (first frame cut,
+    // re-ingested under new ids) must pair with their originals by
+    // frame-signature Jaccard even though content-md5 splits them; viral
+    // signatures are df-capped before the join (the d09 convention)
+    "m11_video_neardup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(length(col("text")) >= 160)
+      val base = Multimodal.toMedia(d)
+      val clipped = Multimodal.toMedia(
+        d.select((col("doc_id") + 100000).as("doc_id"),
+          expr("substring(text, 33)").as("text")))
+      Multimodal.videoNearDupPairs(base.unionByName(clipped),
+          frameBytes = 32, threshold = 0.5, maxDf = Some(50))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // keyframe-style sampling: every 4th frame, skipped frames never
     // generated
     "m03_frame_sample" -> ((s, dir) => {
@@ -2474,6 +2489,37 @@ object ExtendedQueries {
         |    i -> ascii(substr(frame, i, 1)))) AS BIGINT) AS frame_sum,
         |  lower(hex(CAST(substr(frame, 1, 8) AS BLOB))) AS head_hex
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // frame-signature Jaccard over the base ∪ clipped corpus; same frame
+    // reconstruction as m02, df cap replayed before the pair join
+    "m11_video_neardup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 160),
+        |un AS (SELECT doc_id, text FROM d
+        |       UNION ALL SELECT doc_id + 100000, substr(text, 33) FROM d),
+        |g AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(1, CAST(ceil(length(text) / 32.0) AS BIGINT))) AS fi
+        |  FROM un WHERE length(text) > 0),
+        |fr AS (SELECT doc_id, substr(text, CAST((fi - 1) * 32 + 1 AS BIGINT), 32) AS frame FROM g),
+        |sg AS (SELECT DISTINCT doc_id,
+        |         CAST(length(frame) AS VARCHAR) || '_' ||
+        |         CAST(CAST(list_sum(list_transform(generate_series(1, length(frame)),
+        |           i -> ascii(substr(frame, i, 1)))) AS BIGINT) AS VARCHAR) || '_' ||
+        |         lower(hex(CAST(substr(frame, 1, 8) AS BLOB))) AS sig
+        |       FROM fr),
+        |ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sig FROM sg GROUP BY doc_id),
+        |hot AS (SELECT sig FROM sg GROUP BY sig HAVING count(*) > 50),
+        |cp AS (SELECT doc_id, sig FROM sg WHERE sig NOT IN (SELECT sig FROM hot))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(count(*) AS BIGINT) AS inter,
+        |  na.n_sig + nb.n_sig - count(*) AS uni,
+        |  CAST(count(*) AS DOUBLE) / (na.n_sig + nb.n_sig - count(*)) AS jaccard
+        |FROM cp a JOIN cp b ON a.sig = b.sig AND a.doc_id < b.doc_id
+        |JOIN ns na ON na.doc_id = a.doc_id
+        |JOIN ns nb ON nb.doc_id = b.doc_id
+        |GROUP BY a.doc_id, b.doc_id, na.n_sig, nb.n_sig
+        |HAVING CAST(count(*) AS DOUBLE) / (na.n_sig + nb.n_sig - count(*)) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "m03_frame_sample" ->
       """WITH g AS (

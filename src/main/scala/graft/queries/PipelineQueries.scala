@@ -1006,6 +1006,16 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // interpolated trigram LM (t10 + one order + Jelinek–Mercer backoff,
+    // the KenLM-shaped filter): every backoff count marginalizes the SAME
+    // trigram-occurrence stream, so each distribution sums to 1 over its
+    // conditioning and no smoothing constant exists; per-trigram ln is
+    // quantized to the 1e-6 grid before the order-free per-doc mean
+    "t21_trigram_lm" -> ((s, dir) => {
+      graft.ops.CorpusStats.trigramLmScore(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // per-doc top-5 TF-IDF keywords; rank key is the quantized integer
     // score so the top-k is engine-portable
     "t11_tfidf_terms" -> ((s, dir) => {
@@ -1355,6 +1365,19 @@ object PipelineQueries {
     "m07_audio_trim" -> ((s, dir) => {
       val ids = docs(s, dir).select(col("doc_id")).filter(col("doc_id") < 300)
       Multimodal.trimSilence(Multimodal.synthPcm(ids), windowSamples = 16)
+        .toDF()
+        .orderBy(col("doc_id"), col("win_idx"))
+    }),
+
+    // sample-rate conversion (3:2 downsample) with exact-integer linear
+    // interpolation — the mixed-rate-corpus normalize step; resample +
+    // re-window + features run on one doc's in-memory samples inside the
+    // decode pass (samples never shuffle), and the all-integer kernel is
+    // replayed bit-for-bit by the oracle over the synth formula
+    "m10_audio_resample" -> ((s, dir) => {
+      val ids = docs(s, dir).select(col("doc_id")).filter(col("doc_id") < 300)
+      Multimodal.resampleWindows(Multimodal.synthPcm(ids), l = 2, m = 3,
+          windowSamples = 16)
         .toDF()
         .orderBy(col("doc_id"), col("win_idx"))
     }),
@@ -2403,6 +2426,38 @@ object PipelineQueries {
          |WHERE q >= thr ORDER BY doc_id""".stripMargin
     },
 
+    // trigram LM with Jelinek–Mercer interpolation over the shared
+    // trigram-occurrence stream; same quantize-before-mean discipline
+    "t21_trigram_lm" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(tk) - 2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS t
+        |  FROM tok WHERE len(tk) >= 3),
+        |dt AS (SELECT doc_id, t,
+        |         split_part(t, ' ', 1) AS w1, split_part(t, ' ', 2) AS w2,
+        |         split_part(t, ' ', 3) AS w3, count(*) AS m
+        |       FROM tg GROUP BY 1, 2, 3, 4, 5),
+        |tgc AS (SELECT t, sum(m) AS c_tg FROM dt GROUP BY t),
+        |tgp AS (SELECT w1, w2, sum(m) AS c_tgp FROM dt GROUP BY 1, 2),
+        |bgc AS (SELECT w2, w3, sum(m) AS c_bg FROM dt GROUP BY 1, 2),
+        |bgp AS (SELECT w2, sum(m) AS c_bgp FROM dt GROUP BY 1),
+        |ugc AS (SELECT w3, sum(m) AS c_ug FROM dt GROUP BY 1),
+        |tot AS (SELECT sum(m) AS c_all FROM dt)
+        |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_trigrams,
+        |  CAST(sum(m * CAST(round(ln(
+        |      0.6 * (CAST(c_tg AS DOUBLE) / c_tgp)
+        |      + 0.3 * (CAST(c_bg AS DOUBLE) / c_bgp)
+        |      + 0.1 * (CAST(c_ug AS DOUBLE) / c_all)) * 1000000) AS BIGINT)) AS DOUBLE)
+        |    / (sum(m) * 1000000.0) AS avg_logp
+        |FROM dt JOIN tgc USING (t) JOIN tgp USING (w1, w2)
+        |  JOIN bgc USING (w2, w3) JOIN bgp USING (w2) JOIN ugc USING (w3)
+        |  CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "t10_lm_score" ->
       """WITH tok AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
@@ -2973,6 +3028,39 @@ object PipelineQueries {
         |  CAST(list_sum(list_transform(ss, v -> v * v)) AS BIGINT) AS energy_q,
         |  CAST(list_max(list_transform(ss, v -> abs(v))) AS BIGINT) AS peak
         |FROM sv7 ORDER BY doc_id, win_idx""".stripMargin,
+
+    // audio resample: the synth stream reconstructed by id-arithmetic,
+    // then y[n] = x[p] + ⌊(x[p+1]−x[p])·f / l⌋ at p = (n·m)//l,
+    // f = (n·m) mod l — the floor division spelled out via the
+    // pmod-adjust trick (DuckDB // truncates on integers), so the
+    // resampled stream and its window features are bit-exact
+    "m10_audio_resample" -> {
+      val (l, m, w) = (2, 3, 16)
+      def p = s"(n * $m) // $l"
+      def f = s"(n * $m) % $l"
+      def d = s"(x[$p + 2] - x[$p + 1])"
+      s"""WITH au AS (
+         |  SELECT doc_id, 4 + (doc_id % 4) AS wt, doc_id % 3 AS ld, doc_id % 2 AS tl
+         |  FROM documents WHERE doc_id < 300),
+         |xs AS (SELECT doc_id,
+         |    list_transform(generate_series(0, wt * 16 - 1),
+         |      i -> CASE WHEN i >= ld * 16 AND i < (wt - tl) * 16
+         |           THEN (doc_id * 31 + i * 7) % 201 - 100 ELSE 0 END) AS x
+         |  FROM au),
+         |ys AS (SELECT doc_id,
+         |    list_transform(generate_series(0, ((len(x) - 1) * $l) // $m),
+         |      n -> CASE WHEN $f = 0 THEN x[$p + 1]
+         |           ELSE x[$p + 1] +
+         |             (($d * ($f) - ((($d * ($f)) % $l + $l) % $l)) // $l)
+         |           END) AS y
+         |  FROM xs)
+         |SELECT doc_id, CAST((i - 1) // $w + 1 AS BIGINT) AS win_idx,
+         |  CAST(count(*) AS BIGINT) AS n_samples,
+         |  CAST(sum(v * v) AS BIGINT) AS energy_q,
+         |  CAST(max(abs(v)) AS BIGINT) AS peak
+         |FROM (SELECT doc_id, unnest(y) AS v, unnest(generate_series(1, len(y))) AS i FROM ys)
+         |GROUP BY 1, 2 ORDER BY doc_id, win_idx""".stripMargin
+    },
 
     // makes the resized-raster checksum nw*nh*3*c
     "m06_media_resize" ->

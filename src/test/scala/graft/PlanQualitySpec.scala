@@ -520,4 +520,50 @@ class PlanQualitySpec extends SparkSpec {
     assert(!qe.executedPlan.toString.contains("Window"),
       "slope must come from the distinct-frequency spectrum, not a global rank window")
   }
+
+  test("a16 refinement: both stages broadcast, no sort-merge join, no cartesian, heap top-k") {
+    val plan = q("a16_ann_refine").queryExecution.executedPlan.toString
+    // stage-1 candidates and stage-2 query vectors both ride broadcast
+    // against map-only corpus scans — nothing corpus-sized shuffles
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(800))
+    assert(plan.contains("partial_topk_by"), "bounded-heap top-k expected in both stages")
+    assert(!plan.contains("Window"), "no window rank over the scored set")
+  }
+
+  test("a15 JL reduction feeds brute top-k without extra exchanges") {
+    val plan = q("a15_rp_reduce").queryExecution.executedPlan.toString
+    // the reduction itself is a projection; the only exchange is the
+    // top-k partial aggregate's (queries-keyed, candidate-bounded)
+    assert(plan.contains("rp_project"), "compiled kernel expected in the scan projection")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan.take(800))
+    assert(plan.contains("partial_topk_by"), plan.take(800))
+  }
+
+  test("t20 BPE pair-count round: one aggregate pass over the dict, no join, no window") {
+    // one round of the trainer's pair-count (the per-round job): explode →
+    // count — a single aggregation pair, nothing joins and nothing ranks
+    val dict = graft.ops.BpeTrainer.wordDict(
+      graft.core.Fixtures.table(spark, sf0001, "documents"), "text")
+    import org.apache.spark.sql.functions._
+    val toks = split(trim(col("e"), "_"), "__")
+    val enc = dict.select(regexp_replace(col("w"), "(.)", "_$1_").as("e"), col("cnt"))
+    val pairs = enc.select(explode(when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => struct(element_at(toks, i).as("x"), element_at(toks, i + 1).as("y"))))
+      .otherwise(array().cast("array<struct<x:string,y:string>>"))).as("p"), col("cnt"))
+      .groupBy(col("p.x"), col("p.y")).agg(sum(col("cnt")))
+    val qe = pairs.queryExecution
+    assert(qe.optimizedPlan.collect { case j: Join => j }.isEmpty)
+    assert(!qe.executedPlan.toString.contains("Window"))
+  }
+
+  test("m10 resample: one typed map pass — samples never shuffle") {
+    val plan = q("m10_audio_resample").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") || plan.indexOf("Exchange") > plan.indexOf("Sort"),
+      "resample+window must run inside the decode pass; only the final ORDER BY may exchange:\n" +
+        plan.take(800))
+  }
 }

@@ -50,6 +50,39 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got(3L)._2 > got(2L)._2, "degenerate repeated-token doc out-scores token soup")
   }
 
+  test("trigramLmScore == brute-force interpolated trigram LM") {
+    val docToks = corpus.map { case (id, t) => id -> t.split("\\s+").toSeq }
+    val allTg = docToks.flatMap { case (id, tk) =>
+      tk.sliding(3).filter(_.size == 3).map(p => (id, (p(0), p(1), p(2))))
+    }
+    val cTg = allTg.groupBy(_._2).view.mapValues(_.size).toMap
+    val cTgp = allTg.groupBy(t => (t._2._1, t._2._2)).view.mapValues(_.size).toMap
+    val cBg = allTg.groupBy(t => (t._2._2, t._2._3)).view.mapValues(_.size).toMap
+    val cBgp = allTg.groupBy(_._2._2).view.mapValues(_.size).toMap
+    val cUg = allTg.groupBy(_._2._3).view.mapValues(_.size).toMap
+    val cAll = allTg.size
+    val expected = allTg.groupBy(_._1).view.mapValues { tgs =>
+      val q = tgs.map { case (_, tg) =>
+        val p = 0.6 * (cTg(tg).toDouble / cTgp((tg._1, tg._2))) +
+          0.3 * (cBg((tg._2, tg._3)).toDouble / cBgp(tg._2)) +
+          0.1 * (cUg(tg._3).toDouble / cAll)
+        math.round(math.log(p) * 1e6)
+      }
+      (tgs.size.toLong, q.sum.toDouble / (q.size * 1e6))
+    }.toMap
+
+    val got = CorpusStats.trigramLmScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == expected.keySet, "sub-3-token docs must be absent")
+    for ((id, (n, lp)) <- expected) {
+      assert(got(id)._1 == n, s"doc $id n_trigrams")
+      assert(math.abs(got(id)._2 - lp) < 1e-12, s"doc $id avg_logp: ${got(id)._2} vs $lp")
+    }
+    assert(got(1L) == got(5L), "identical docs score identically")
+    assert(got(3L)._2 > got(2L)._2,
+      "the maximally-predictable repeated-token doc out-scores one-off trigrams")
+  }
+
   test("tfidfTopTerms == brute-force tf-idf ranking") {
     val docToks = corpus.map { case (id, t) => id -> t.split("\\s+").toSeq }
     val n = docToks.size

@@ -173,6 +173,68 @@ class MultimodalSpec extends SparkSpec {
     assert(kept.find(_.win_idx == 3L).get.energy_q == 0L, "interior silence is content")
   }
 
+  test("resampleWindows: 1:1 is identity; hand-traced upsample; downsample shortens the stream") {
+    import spark.implicits._
+    val ids = Seq(3L, 7L, 10L).toDF("doc_id")
+    val media = Multimodal.synthPcm(ids)
+    // l = m ⇒ y == x, so windows must equal audioWindows exactly
+    val id11 = Multimodal.resampleWindows(media, l = 1, m = 1).collect().toSeq
+      .sortBy(w => (w.doc_id, w.win_idx))
+    val base = Multimodal.audioWindows(media).collect().toSeq
+      .sortBy(w => (w.doc_id, w.win_idx))
+    assert(id11 == base)
+
+    // hand trace: samples [0, 10, -7] upsampled 2:1 →
+    // [0, 5, 10, ⌊(−17)/2⌋+10 = 1, −7]; one window of 5
+    def s16le(xs: Seq[Int]): Array[Byte] =
+      xs.flatMap(v => Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)).toArray
+    val tiny = Seq((1L, "audio/pcm-s16le", s16le(Seq(0, 10, -7))))
+      .toDF("doc_id", "mime", "payload")
+    val up = Multimodal.resampleWindows(tiny, l = 2, m = 1).collect()
+    assert(up.toSeq == Seq(Multimodal.AudioWindow(1L, 1L, 5L, 0 + 25 + 100 + 1 + 49, 10L)),
+      up.toSeq.toString)
+
+    // 3:2 downsample: output length ⌊(n−1)·2/3⌋+1 per doc
+    val down = Multimodal.resampleWindows(media, l = 2, m = 3, windowSamples = 1000)
+      .collect().toSeq
+    ids.collect().map(_.getLong(0)).foreach { id =>
+      val nIn = (4 + id % 4) * 16
+      val expect = (nIn - 1) * 2 / 3 + 1
+      assert(down.filter(_.doc_id == id).map(_.n_samples).sum == expect)
+    }
+  }
+
+  test("videoNearDupPairs: clipped copy pairs with its original; viral frames df-capped") {
+    import spark.implicits._
+    def doc(id: Long, frames: Seq[String]) = (id, frames.mkString)
+    val f = (c: Char) => c.toString * 32 // one 32-byte frame of a single char
+    val base = Seq(
+      doc(1L, Seq(f('a'), f('b'), f('c'), f('d'), f('e'))),
+      doc(2L, Seq(f('b'), f('c'), f('d'), f('e'))), // doc 1 minus its first frame
+      doc(3L, Seq(f('x'), f('y'), f('z'), f('w'), f('v'))), // unrelated
+      // docs 4..9 share ONLY the viral frame 'q' with each other
+      doc(4L, Seq(f('q'), f('1'))), doc(5L, Seq(f('q'), f('2'))),
+      doc(6L, Seq(f('q'), f('3'))), doc(7L, Seq(f('q'), f('4'))),
+      doc(8L, Seq(f('q'), f('5'))), doc(9L, Seq(f('q'), f('6'))))
+      .toDF("doc_id", "text")
+    val media = Multimodal.toMedia(base)
+    val pairs = Multimodal.videoNearDupPairs(media, frameBytes = 32,
+        threshold = 0.5, maxDf = Some(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSeq
+    // only (1,2): inter 4, union 5 → 0.8; the q-sharers' only common
+    // signature is viral (df 6 > 5) and must not generate candidates
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)), pairs.toString)
+    assert(math.abs(pairs.head._3 - 0.8) < 1e-12)
+
+    // without the cap the q-sharers WOULD pair at 1/3 — below the 0.5
+    // threshold here, so raise none; but at threshold 0.3 they all appear
+    val uncapped = Multimodal.videoNearDupPairs(media, frameBytes = 32,
+        threshold = 0.3, maxDf = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((4L, 5L)) && uncapped.size >= 16,
+      s"uncapped viral frame must candidate all q-sharers: $uncapped")
+  }
+
   test("synthPcm round-trips through the decoder: loud region = [lead, total-tail)") {
     import spark.implicits._
     val ids = Seq(7L).toDF("doc_id") // wt = 4+3 = 7, lead = 1, tail = 1
