@@ -200,6 +200,84 @@ case class SrpCodes(child: Expression, coefs: Array[Array[Long]], planesPerBand:
   override def prettyName: String = "srp_codes"
 }
 
+/** Nearest-centroid ARGMAX in one compiled pass: the winning centroid id
+  * by exact-integer-dot cosine against a literal codebook, ties toward
+  * the smaller id (ids iterate ascending; only a strictly greater sim
+  * displaces the winner). Value-identical to `greatest` over the
+  * (sim, −c_id) ranking structs — but one helper call instead of a
+  * k-way inlined struct comparison, so the generated code stays small
+  * (the struct formulation's janino compile time dominated the tiny-SF
+  * bench for every ANN query) and the per-row loop is branch-light.
+  * A zero norm on either side scores 0.0, the centroidEntries rule. */
+case class BestCentroid(left: Expression, right: Expression,
+                        ids: Array[Long], vecs: Array[Array[Long]],
+                        norms: Array[Long])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(ids.length == vecs.length && ids.length == norms.length && ids.nonEmpty)
+  // ids must ascend so "strictly greater displaces" == "ties pick smaller id"
+  require(ids.zip(ids.tail).forall { case (a, b) => a < b },
+    "BestCentroid requires ascending centroid ids")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"best_centroid expects (array<bigint>, bigint), got $other")
+    }
+
+  override def nullSafeEval(q: Any, nq: Any): Any =
+    BestCentroid.compute(q.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      nq.asInstanceOf[Long], ids, vecs, norms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("ids", ids, "long[]")
+    val vecsRef = ctx.addReferenceObj("vecs", vecs, "long[][]")
+    val normsRef = ctx.addReferenceObj("norms", norms, "long[]")
+    nullSafeCodeGen(ctx, ev, (q, nq) =>
+      s"${ev.value} = graft.expr.BestCentroid.compute($q, $nq, $idsRef, $vecsRef, $normsRef);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): BestCentroid =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "best_centroid"
+}
+
+object BestCentroid {
+  def compute(q: org.apache.spark.sql.catalyst.util.ArrayData, nq: Long,
+              ids: Array[Long], vecs: Array[Array[Long]],
+              norms: Array[Long]): Long = {
+    var bestSim = Double.NegativeInfinity
+    var bestId = 0L
+    val sq = if (nq == 0L) 0.0 else math.sqrt(nq.toDouble)
+    var c = 0
+    while (c < ids.length) {
+      val sim =
+        if (norms(c) == 0L || nq == 0L) 0.0
+        else {
+          val v = vecs(c)
+          // the long_dot convention: iterate min(len) — a mismatched
+          // vector scores like a truncated one, identical to the
+          // literal-array formulation this replaces
+          val n = math.min(q.numElements(), v.length)
+          var dot = 0L
+          var i = 0
+          while (i < n) { dot += q.getLong(i) * v(i); i += 1 }
+          dot.toDouble / (sq * math.sqrt(norms(c).toDouble))
+        }
+      if (sim > bestSim) { bestSim = sim; bestId = ids(c) }
+      c += 1
+    }
+    bestId
+  }
+}
+
 /** Full random-projection of a quantized vector in ONE compiled pass:
   * output element p (p < rows) is the exact integer dot with coefficient
   * row p; the LAST element is the reduced vector's norm Σ r_p². One
@@ -653,6 +731,11 @@ object hfunctions {
   /** random-projection dots + reduced norm in one compiled pass */
   def rp_project(q: Column, coefs: Array[Array[Long]]): Column =
     expr2col(RpProject(col2expr(q), coefs))
+
+  /** nearest-centroid argmax (ascending ids; ties toward the smaller) */
+  def best_centroid(q: Column, nq: Column, ids: Array[Long],
+                    vecs: Array[Array[Long]], norms: Array[Long]): Column =
+    expr2col(BestCentroid(col2expr(q), col2expr(nq), ids, vecs, norms))
 
   /** all per-document text statistics in one compiled pass */
   def text_stats(text: Column, wordLists: Seq[Seq[String]]): Column =

@@ -146,15 +146,19 @@ object Similarity {
   private def centroidRank(cents: Seq[Centroid], qCol: Column, nqCol: Column): Column =
     reverse(array_sort(array(centroidEntries(cents, qCol, nqCol): _*)))
 
-  /** argmax-only variant of [[centroidRank]]: `greatest` over the same
-    * (sim, -c_id) structs — identical winner and tie-break, but codegen'd
-    * (ArraySort is an interpreted higher-order expression; on the
-    * corpus-sized encode/assignment scans the k-element sort per row was
-    * the dominant cost, and only rank 1 was ever read). */
+  /** argmax-only variant of [[centroidRank]]: one compiled
+    * [[graft.expr.BestCentroid]] call — identical winner and tie-break to
+    * `greatest` over the (sim, -c_id) structs (itself value-identical to
+    * rank 1 of the sorted ranking), but the generated code is one helper
+    * call instead of a k-way inlined struct comparison: the struct
+    * formulation's janino compile time dominated every ANN query at
+    * tiny SF, and ArraySort before it was interpreted per row. */
   private[graft] def centroidBest(cents: Seq[Centroid], qCol: Column, nqCol: Column): Column = {
-    val entries = centroidEntries(cents, qCol, nqCol)
-    val best = if (entries.size == 1) entries.head else greatest(entries: _*)
-    best.getField("c_id")
+    val sorted = cents.sortBy(_.cId)
+    graft.expr.hfunctions.best_centroid(qCol, nqCol,
+      sorted.map(_.cId).toArray,
+      sorted.map(_.vec.toArray).toArray,
+      sorted.map(_.nq).toArray)
   }
 
   private def nearestCentroids(side: DataFrame, cents: Seq[Centroid], keep: Int): DataFrame =

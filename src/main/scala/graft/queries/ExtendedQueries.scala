@@ -228,6 +228,25 @@ object ExtendedQueries {
         .orderBy(col("cohort"), col("offset_d"))
     }),
 
+    // q20's stream twin: per-user stage firsts folded per micro-batch —
+    // per-field min is idempotent and order-free (chunks split by
+    // user_id), the final funnel is a state-sized fold; q20's oracle
+    "s21_stream_funnel" -> ((s, dir) => {
+      val work = scratchDir("graft_s21")
+      val in = onceLog("s21", dir) { path =>
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"))
+        Seq(col("user_id") % 3 === 0, col("user_id") % 3 === 1,
+            col("user_id") % 3 === 2).foreach { p =>
+          ev.filter(p).coalesce(1).write.mode("append").parquet(path)
+          Thread.sleep(20)
+        }
+      }
+      val state = new graft.streaming.TxnLogState(s"$work/state", s, 16)
+      graft.streaming.StreamFunnel.drain(s, state, in, s"$work/ckpt")
+        .orderBy(col("n_view"))
+    }),
+
     // q22's stream twin: the transition matrix maintained incrementally —
     // per-user last-event state (bucketed TxnLogState) + a types²-sized
     // additive count generation; within-batch edges from a user-keyed lag
@@ -2114,6 +2133,20 @@ object ExtendedQueries {
         |    PARTITION BY user_id ORDER BY ts_s
         |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS w_sum
         |FROM ev ORDER BY user_id, ts_s, event_id""".stripMargin,
+
+    // s21 = q20 incrementally: the per-user stage-first fold is
+    // idempotent min, so the drained funnel equals the batch — one oracle
+    "s21_stream_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN event_id END) AS f_view,
+        |    min(CASE WHEN event_type = 'click' THEN event_id END) AS f_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN event_id END) AS f_buy
+        |  FROM events GROUP BY user_id)
+        |SELECT count(f_view) AS n_view,
+        |  count(CASE WHEN f_view < f_click THEN 1 END) AS n_view_click,
+        |  count(CASE WHEN f_view < f_click AND f_click < f_buy THEN 1 END) AS n_full_funnel
+        |FROM f ORDER BY n_view""".stripMargin,
 
     "q20_funnel" ->
       """WITH f AS (
