@@ -193,6 +193,38 @@ object Dedup {
           .otherwise(lit("unchanged")).as("status"))
   }
 
+  /** [[snapshotDiff]] + edit-severity TRIAGE: the CHANGED class splits
+    * into `minor_edit` (old/new shingle Jaccard ≥ threshold — a tweak,
+    * downstream features can patch) vs `rewrite` (re-process from
+    * scratch). The re-crawl delta-triage step: most real edits are
+    * touch-ups, and re-running the whole pipeline on them is the bulk of
+    * re-crawl cost.
+    *
+    * Same scale discipline as d19 — ONE co-partitionable full-outer join
+    * on the id; each side carries (id, fp, shingle-hash set), and the
+    * per-id intersection is a compiled array op INSIDE the joined row, so
+    * shingles never shuffle and no cross-document pair exists anywhere.
+    * A changed doc where either side is too short to shingle triages
+    * conservatively as `rewrite`. */
+  def snapshotFuzzyDiff(v1: DataFrame, v2: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    def side(df: DataFrame, suf: String) = df.select(
+      col(idCol).as("doc_id"),
+      TextAnalysis.fingerprint(col(textCol)).as(s"fp_$suf"),
+      when(size(split(trim(col(textCol)), "\\s+")) >= n,
+        graft.expr.hfunctions.shingle_hashes60(col(textCol), n)).as(s"hs_$suf"))
+    val joined = side(v1, "a").join(side(v2, "b"), Seq("doc_id"), "full_outer")
+    val inter = size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
+    val uni = (size(col("hs_a")) + size(col("hs_b"))).cast("double") - inter
+    joined.select(col("doc_id"),
+      when(col("fp_a").isNull, lit("added"))
+        .when(col("fp_b").isNull, lit("deleted"))
+        .when(col("fp_a") === col("fp_b"), lit("unchanged"))
+        .when(col("hs_a").isNotNull && col("hs_b").isNotNull &&
+          inter / uni >= threshold, lit("minor_edit"))
+        .otherwise(lit("rewrite")).as("status"))
+  }
+
   /** All-pairs n-gram Jaccard ≥ threshold (exact). Shuffles on the shingle
     * hash, then aggregates pair intersections — the textbook distributed
     * similarity join. Set sizes ride through the explode, so the whole

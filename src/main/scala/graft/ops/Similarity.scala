@@ -682,14 +682,39 @@ object Similarity {
   def sq8RefineTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int,
                     dim: Int = 64): DataFrame = {
     require(m >= k, s"refinement margin m=$m must be ≥ k=$k")
-    val cand = sq8TopK(corpus, queries, m, dim)
-      .select(col("q_id"), col("n_id").as("vec_id"))
+    exactRerank(corpus, queries,
+      sq8TopK(corpus, queries, m, dim).select(col("q_id"), col("n_id").as("vec_id")), k)
+  }
+
+  /** Shared refinement stage 2: exact cosine over the raw vectors for a
+    * broadcast-sized (q_id, vec_id) candidate list, bounded-heap top-k.
+    * The corpus is touched once, map-side, for candidates only. */
+  private def exactRerank(corpus: DataFrame, queries: DataFrame,
+                          cand: DataFrame, k: Int): DataFrame = {
     val qs = queries.select(col("vec_id").as("q_id"), col("q").as("q_vec"),
       col("nq").as("q_nq"))
     val scored = corpus.join(broadcast(cand), Seq("vec_id"))
       .join(broadcast(qs), Seq("q_id"))
       .withColumn("sim", cosineq(col("q"), col("q_vec"), col("nq"), col("q_nq")))
     topK(scored, k)
+  }
+
+  /** IVF-PQR — the terminal production serving shape: IVF prunes to the
+    * probed lists, PQ-ADC ranks the compressed candidates, and ONLY the
+    * top `refineM` per query re-score exactly against the raw vectors
+    * ([[exactRerank]]). Compression error is confined to the refineM/k
+    * margin exactly as in [[sq8RefineTopK]], but here stage 1 also never
+    * scans outside the probed lists — the full bandwidth × pruning ×
+    * exactness stack in one operator. */
+  def ivfPqRefineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                      refineM: Int, nCentroids: Int = 8, nProbe: Int = 2,
+                      m: Int = 4, dim: Int = 64, ksub: Int = 8,
+                      trainIters: Int = 2): DataFrame = {
+    require(refineM >= k, s"refinement margin refineM=$refineM must be ≥ k=$k")
+    val cand = ivfPqTopK(corpus, queries, refineM, nCentroids, nProbe, m, dim,
+        ksub, trainIters)
+      .select(col("q_id"), col("n_id").as("vec_id"))
+    exactRerank(corpus, queries, cand, k)
   }
 
   /** Full IVF-PQ serving — the canonical 100 TB vector-search

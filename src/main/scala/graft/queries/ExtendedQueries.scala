@@ -503,6 +503,18 @@ object ExtendedQueries {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // IVF-PQR: the full production serving stack in one operator — IVF
+    // prunes the scan to probed lists, PQ-ADC ranks compressed
+    // candidates, and only the top-20 per query re-score exactly against
+    // raw vectors (a16's stage 2). Compression error confined to the
+    // 20/5 margin; nothing outside the probed lists is ever read
+    "a17_ann_ivfpq_refine" -> ((s, dir) => {
+      val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
+      Similarity.ivfPqRefineTopK(corpus, corpus.filter(col("vec_id") < 5),
+          k = 5, refineM = 20, nCentroids = 8, nProbe = 2, m = 4, dim = 64, ksub = 8)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // FILTERED ANN: "nearest neighbors in language X" from ONE shared
     // index — the attribute column persists with the assignment at build
     // time, so serving composes partition pruning (probed lists) with a
@@ -1750,8 +1762,11 @@ object ExtendedQueries {
   /** Full IVF-PQ: the coarse quantizer's probe lists (a03's CTEs) confine
     * the candidate set; the PQ subspace CTEs (a06's) supply codes and ADC
     * lookup tables for scoring inside them. */
-  private val a07Oracle: String = {
-    val m = 4; val k = 5
+  /** Shared IVF-PQ scoring CTE block, ending in `ascored` = the raw
+    * ADC-approximate (q_id, n_id, sim) rows inside the probed lists —
+    * a07/a13 rank it at k; a17 takes its top-m as refinement candidates. */
+  private val ivfPqScoredCtes: String = {
+    val m = 4
     s"""$kmeansAssignCtes,
        |${(0 until m).map(pqSubCtes).mkString(",\n")},
        |probes AS (SELECT vec_id AS q_id, c_id FROM assign
@@ -1771,11 +1786,40 @@ object ExtendedQueries {
        |    JOIN p0lut l0 ON l0.c_id = e0.c_id AND l0.q_id = p.q_id
        |    JOIN p1lut l1 ON l1.c_id = e1.c_id AND l1.q_id = p.q_id
        |    JOIN p2lut l2 ON l2.c_id = e2.c_id AND l2.q_id = p.q_id
-       |    JOIN p3lut l3 ON l3.c_id = e3.c_id AND l3.q_id = p.q_id)
+       |    JOIN p3lut l3 ON l3.c_id = e3.c_id AND l3.q_id = p.q_id)"""
+      .stripMargin
+  }
+
+  private val a07Oracle: String = {
+    val k = 5
+    s"""$ivfPqScoredCtes
        |SELECT q_id, n_id, sim, rk FROM (
        |  SELECT q_id, n_id, sim,
        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
        |  FROM ascored)
+       |WHERE rk <= $k ORDER BY q_id, rk""".stripMargin
+  }
+
+  /** a17: IVF-PQR — ascored's top-m as candidates, exact cosine re-rank
+    * over the raw quantized vectors to k (the a16 stage-2 shape). */
+  private val a17Oracle: String = {
+    val (k, mm) = (5, 20)
+    s"""$ivfPqScoredCtes,
+       |cand AS (SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
+       |    FROM ascored) WHERE rk <= $mm)
+       |SELECT q_id, n_id, sim, rk FROM (
+       |  SELECT cand.q_id, cand.n_id,
+       |    CASE WHEN c.nn = 0 OR qr.nn = 0 THEN 0.0
+       |         ELSE list_dot_product(c.q::DOUBLE[], qr.q::DOUBLE[]) / (sqrt(c.nn) * sqrt(qr.nn)) END AS sim,
+       |    row_number() OVER (PARTITION BY cand.q_id
+       |      ORDER BY CASE WHEN c.nn = 0 OR qr.nn = 0 THEN 0.0
+       |        ELSE list_dot_product(c.q::DOUBLE[], qr.q::DOUBLE[]) / (sqrt(c.nn) * sqrt(qr.nn)) END DESC,
+       |        cand.n_id ASC) AS rk
+       |  FROM cand
+       |  JOIN n c ON c.vec_id = cand.n_id
+       |  JOIN n qr ON qr.vec_id = cand.q_id)
        |WHERE rk <= $k ORDER BY q_id, rk""".stripMargin
   }
 
@@ -2423,6 +2467,7 @@ object ExtendedQueries {
     // a13 ≡ a07: frozen full-corpus codebooks + append ≡ rebuild make
     // the persisted index serve the live path's exact results
     "a13_ann_ivfpq_index" -> a07Oracle,
+    "a17_ann_ivfpq_refine" -> a17Oracle,
 
     // s18 ≡ a07: micro-batched appends under frozen codebooks are
     // per-row pure — drain order cannot matter

@@ -290,6 +290,26 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // d19 + edit-severity triage: appended-word edits triage minor_edit,
+    // word-order reversals triage rewrite, formatting churn stays
+    // unchanged — per-id shingle Jaccard inside the one co-partitioned
+    // join, shingles never shuffle, no cross-document pair anywhere
+    "d20_snapshot_fuzzy_diff" -> ((s, dir) => {
+      val v1 = docs(s, dir).select(col("doc_id"), col("text"))
+      val recrawl = v1.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" updated")))
+            .when(col("doc_id") % 3 === 0, concat(lit("  "), col("text"), lit("   ")))
+            .when(col("doc_id") % 13 === 0,
+              concat_ws(" ", reverse(split(trim(col("text")), "\\s+"))))
+            .otherwise(col("text")))
+      val v2 = recrawl.unionByName(
+        v1.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      Dedup.snapshotFuzzyDiff(v1, v2, "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     "d01_dedup_exact" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("text"))
       // add formatting-noise copies so exact dedup has work to do
@@ -1485,6 +1505,51 @@ object PipelineQueries {
         |       WHEN fp_a <> fp_b THEN 'changed'
         |       ELSE 'unchanged' END AS status
         |FROM fa FULL OUTER JOIN fb ON fa.doc_id = fb.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // fuzzy diff: d19's corpus construction + per-id shingle Jaccard for
+    // the changed class; a side too short to shingle triages as rewrite
+    "d20_snapshot_fuzzy_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' updated'
+        |         WHEN doc_id % 3 = 0 THEN '  ' || text || '   '
+        |         WHEN doc_id % 13 = 0 THEN
+        |           array_to_string(list_reverse(regexp_split_to_array(trim(text), '\s+')), ' ')
+        |         ELSE text END AS text
+        |  FROM v1 WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM v1 WHERE doc_id % 11 = 0),
+        |fa AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_a,
+        |    regexp_split_to_array(trim(text), '\s+') AS tk FROM v1),
+        |fb AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_b,
+        |    regexp_split_to_array(trim(text), '\s+') AS tk FROM v2),
+        |sa AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |  FROM fa WHERE len(tk) >= 3),
+        |sb AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |  FROM fb WHERE len(tk) >= 3),
+        |ca AS (SELECT doc_id, count(*) AS c FROM sa GROUP BY doc_id),
+        |cb AS (SELECT doc_id, count(*) AS c FROM sb GROUP BY doc_id),
+        |iv AS (SELECT a.doc_id, count(*) AS inter
+        |       FROM sa a JOIN sb b ON a.doc_id = b.doc_id AND a.s = b.s GROUP BY a.doc_id)
+        |SELECT coalesce(fa.doc_id, fb.doc_id) AS doc_id,
+        |  CASE WHEN fa.doc_id IS NULL THEN 'added'
+        |       WHEN fb.doc_id IS NULL THEN 'deleted'
+        |       WHEN fp_a = fp_b THEN 'unchanged'
+        |       WHEN ca.c IS NOT NULL AND cb.c IS NOT NULL AND
+        |            CAST(coalesce(iv.inter, 0) AS DOUBLE) /
+        |              (CAST(ca.c + cb.c AS DOUBLE) - coalesce(iv.inter, 0)) >= 0.5
+        |         THEN 'minor_edit'
+        |       ELSE 'rewrite' END AS status
+        |FROM fa FULL OUTER JOIN fb ON fa.doc_id = fb.doc_id
+        |LEFT JOIN ca ON ca.doc_id = fa.doc_id
+        |LEFT JOIN cb ON cb.doc_id = fb.doc_id
+        |LEFT JOIN iv ON iv.doc_id = fa.doc_id
         |ORDER BY doc_id""".stripMargin,
 
     "d01_dedup_exact" ->

@@ -615,4 +615,27 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "deleted",
       4L -> "unchanged", 9L -> "added"))
   }
+
+  test("snapshotFuzzyDiff: the changed class triages minor_edit vs rewrite by shingle Jaccard") {
+    import spark.implicits._
+    val ten = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10" // 8 trigram shingles
+    val v1 = Seq(
+      (1L, ten),                 // formatting churn → unchanged
+      (2L, ten),                 // one appended word → minor_edit
+      (3L, ten),                 // full reversal → rewrite
+      (4L, "a b"),               // too short to shingle, real edit → rewrite
+      (5L, ten)                  // deleted
+    ).toDF("doc_id", "text")
+    val v2 = Seq(
+      (1L, s"  $ten   "),
+      (2L, s"$ten w11"),         // 8/9 shared → jaccard 8/9 ≥ 0.5
+      (3L, ten.split(" ").reverse.mkString(" ")),
+      (4L, "a c"),
+      (9L, ten)                  // added
+    ).toDF("doc_id", "text")
+    val got = Dedup.snapshotFuzzyDiff(v1, v2, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "minor_edit", 3L -> "rewrite",
+      4L -> "rewrite", 5L -> "deleted", 9L -> "added"), got.toString)
+  }
 }

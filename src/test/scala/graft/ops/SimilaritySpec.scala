@@ -132,6 +132,31 @@ class SimilaritySpec extends SparkSpec {
     assert(refinedPairs.subsetOf(stage1), "stage 2 must only re-rank stage-1 candidates")
   }
 
+  test("IVF-PQR: refined recall >= plain IVF-PQ, exact sims, candidates from the probed lists") {
+    val queries = corpus.filter(col("vec_id") < 7)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(corpus, queries, 5))
+    val plain = pairs(Similarity.ivfPqTopK(corpus, queries, 5))
+    val refined = Similarity.ivfPqRefineTopK(corpus, queries, k = 5, refineM = 20)
+    val refinedPairs = pairs(refined)
+    def recall(s: Set[(Long, Long)]) = (brute & s).size.toDouble / brute.size
+    info(f"recall vs brute: ivfpq ${recall(plain)}%.3f, +refine(m=20) ${recall(refinedPairs)}%.3f")
+    assert(recall(refinedPairs) >= recall(plain),
+      "exact re-rank over a 4x candidate margin must not lose recall")
+    // refined sims are exact cosines
+    val bruteSims = Similarity.bruteForceTopK(corpus, queries, 50)
+      .select("q_id", "n_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    refined.select("q_id", "n_id", "sim").collect().foreach { r =>
+      bruteSims.get((r.getLong(0), r.getLong(1))).foreach(exact =>
+        assert(r.getDouble(2) == exact, s"refined sim not exact at ${(r.getLong(0), r.getLong(1))}"))
+    }
+    // stage 2 only re-ranks stage 1's candidates
+    val stage1 = pairs(Similarity.ivfPqTopK(corpus, queries, 20))
+    assert(refinedPairs.subsetOf(stage1))
+  }
+
   test("JL random projection: deterministic, map-only, preserves near-dup separation") {
     // the JL guarantee that matters for dedup/prefiltering: genuinely
     // similar pairs stay separated from the bulk after reduction (top-k
