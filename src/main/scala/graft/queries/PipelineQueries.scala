@@ -1220,6 +1220,26 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Flesch-style readability: words / sentence-runs / vowel-run
+    // "syllables", all from three codegen'd regex counts over one scan;
+    // the score surfaces as a 1e-6-quantized integer (the t11 rank-key
+    // convention — raw doubles are not hash-portable), integers only
+    "t22_readability" -> ((s, dir) => {
+      val d = docs(s, dir).filter(length(trim(col("text"))) > 0)
+      d.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_words"),
+          greatest(regexp_count(col("text"), lit("[.!?]+")).cast("long"), lit(1L))
+            .as("n_sents"),
+          regexp_count(col("text"), lit("(?i)[aeiouy]+")).cast("long").as("n_syll"))
+        .filter(col("n_words") > 0)
+        .withColumn("fk_q",
+          round((lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sents"))
+            - lit(84.6) * (col("n_syll").cast("double") / col("n_words"))) * 1e6)
+            .cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
     "t03_langid" -> ((s, dir) => {
       docs(s, dir).select(
           col("doc_id"),
@@ -2938,6 +2958,18 @@ object PipelineQueries {
          |    + 0.3 * (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END))) AS quality
          |FROM f ORDER BY doc_id""".stripMargin
     },
+
+    "t22_readability" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+        |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS n_sents,
+        |    CAST(len(regexp_extract_all(text, '(?i)[aeiouy]+')) AS BIGINT) AS n_syll
+        |  FROM documents WHERE length(trim(text)) > 0)
+        |SELECT doc_id, n_words, n_sents, n_syll,
+        |  CAST(round((206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+        |    - 84.6 * (CAST(n_syll AS DOUBLE) / n_words)) * 1000000) AS BIGINT) AS fk_q
+        |FROM f WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
 
     "t03_langid" ->
       s"""WITH t AS (
