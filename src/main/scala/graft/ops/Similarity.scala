@@ -699,6 +699,40 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** BINARY (1-bit) quantization ANN — the extreme compression point:
+    * each vector collapses to its sign bits (dim=64 → ONE long word, a
+    * 512× cut vs float32), candidates rank by XOR-popcount Hamming
+    * distance (one ALU op per comparison), and the top `m` per query
+    * re-score exactly ([[exactRerank]]). The modern binary-embedding
+    * serving recipe: Hamming distance on sign bits is a monotone proxy
+    * for angular distance (SRP with axis-aligned planes), and the
+    * refinement margin absorbs the 1-bit quantization error.
+    *
+    * The sign-bit packing reuses the compiled [[graft.expr.SrpCodes]]
+    * kernel with a ONE-HOT hyperplane matrix — plane d = e_d, so bit d
+    * is sign(q[d]) — one pass, child evaluated once. Stage 1 is a
+    * map-only projection + the bounded-heap top-m (score = −hamming, so
+    * the heap's sim-desc/id-asc order is hamming-asc/id-asc); nothing
+    * corpus-sized shuffles in either stage. All-integer → the oracle
+    * replays packing, Hamming, and the re-rank bit-for-bit. */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int,
+                 dim: Int = 64): DataFrame = {
+    require(dim <= 64, s"binary codes pack into one long word: dim $dim > 64")
+    require(m >= k, s"refinement margin m=$m must be ≥ k=$k")
+    val oneHot = Array.tabulate(dim)(d =>
+      Array.tabulate(dim)(j => if (j == d) 1L else 0L))
+    def code(side: DataFrame) = side.withColumn("code",
+      element_at(graft.expr.hfunctions.srp_codes(col("q"), oneHot, dim), 1))
+    val qSide = code(queries)
+      .select(col("vec_id").as("q_id"), col("code").as("q_code"))
+    val scored = code(corpus).crossJoin(broadcast(qSide))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim",
+        -bit_count(col("code").bitwiseXOR(col("q_code"))).cast("double"))
+    val cand = topK(scored, m).select(col("q_id"), col("n_id").as("vec_id"))
+    exactRerank(corpus, queries, cand, k)
+  }
+
   /** IVF-PQR — the terminal production serving shape: IVF prunes to the
     * probed lists, PQ-ADC ranks the compressed candidates, and ONLY the
     * top `refineM` per query re-score exactly against the raw vectors

@@ -503,6 +503,17 @@ object ExtendedQueries {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // BINARY (1-bit) ANN: vectors collapse to sign bits — one 64-bit
+    // word each, 512× less than float32 — candidates rank by
+    // XOR-popcount Hamming (one ALU op per comparison), top-20 re-score
+    // exactly; the extreme compression end of the a06/a08 axis
+    "a18_ann_binary" -> ((s, dir) => {
+      val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
+      Similarity.binaryTopK(corpus, corpus.filter(col("vec_id") < 5),
+          k = 5, m = 20, dim = 64)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // IVF-PQR: the full production serving stack in one operator — IVF
     // prunes the scan to probed lists, PQ-ADC ranks compressed
     // candidates, and only the top-20 per query re-score exactly against
@@ -2008,6 +2019,35 @@ object ExtendedQueries {
 
     "a08_ann_sq8" -> a08Oracle,
     "a16_ann_refine" -> a16Oracle,
+    // binary ANN: Hamming = count of dims whose sign bits differ (the
+    // packed XOR-popcount, unpacked — dodges the 1<<63 BIGINT edge), then
+    // the a16 exact re-rank tail
+    "a18_ann_binary" -> {
+      val (k, m) = (5, 20)
+      s"""WITH ${PipelineQueries.quantCte},
+         |s1 AS (
+         |  SELECT qr.vec_id AS q_id, c.vec_id AS n_id,
+         |    len(list_filter(generate_series(1, len(c.q)),
+         |      d -> (c.q[d] > 0) <> (qr.q[d] > 0))) AS ham
+         |  FROM n c CROSS JOIN (SELECT * FROM n WHERE vec_id < 5) qr
+         |  WHERE c.vec_id <> qr.vec_id),
+         |cand AS (SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY ham ASC, n_id ASC) AS rk
+         |    FROM s1) WHERE rk <= $m)
+         |SELECT q_id, n_id, sim, rk FROM (
+         |  SELECT cand.q_id, cand.n_id,
+         |    CASE WHEN c.nn = 0 OR qr.nn = 0 THEN 0.0
+         |         ELSE list_dot_product(c.q::DOUBLE[], qr.q::DOUBLE[]) / (sqrt(c.nn) * sqrt(qr.nn)) END AS sim,
+         |    row_number() OVER (PARTITION BY cand.q_id
+         |      ORDER BY CASE WHEN c.nn = 0 OR qr.nn = 0 THEN 0.0
+         |        ELSE list_dot_product(c.q::DOUBLE[], qr.q::DOUBLE[]) / (sqrt(c.nn) * sqrt(qr.nn)) END DESC,
+         |        cand.n_id ASC) AS rk
+         |  FROM cand
+         |  JOIN n c ON c.vec_id = cand.n_id
+         |  JOIN n qr ON qr.vec_id = cand.q_id)
+         |WHERE rk <= $k ORDER BY q_id, rk""".stripMargin
+    },
 
     "a09_bm25_topk" -> a09Oracle,
 

@@ -132,6 +132,29 @@ class SimilaritySpec extends SparkSpec {
     assert(refinedPairs.subsetOf(stage1), "stage 2 must only re-rank stage-1 candidates")
   }
 
+  test("binary ANN: sign-bit Hamming pre-rank + exact re-rank; widening m never loses recall") {
+    val queries = corpus.filter(col("vec_id") < 7)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(corpus, queries, 5))
+    val at20 = pairs(Similarity.binaryTopK(corpus, queries, k = 5, m = 20))
+    val at60 = pairs(Similarity.binaryTopK(corpus, queries, k = 5, m = 60))
+    def recall(s: Set[(Long, Long)]) = (brute & s).size.toDouble / brute.size
+    info(f"binary+refine recall vs brute: ${recall(at20)}%.3f @m=20, ${recall(at60)}%.3f @m=60")
+    assert(recall(at60) >= recall(at20),
+      "a wider refinement margin must not lose recall")
+    assert(recall(at20) >= 0.2, f"recall ${recall(at20)}%.3f collapsed — sign codes broke")
+    // re-ranked sims are exact cosines (shared exactRerank contract)
+    val bruteSims = Similarity.bruteForceTopK(corpus, queries, 60)
+      .select("q_id", "n_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Similarity.binaryTopK(corpus, queries, k = 5, m = 20)
+      .select("q_id", "n_id", "sim").collect().foreach { r =>
+        bruteSims.get((r.getLong(0), r.getLong(1))).foreach(exact =>
+          assert(r.getDouble(2) == exact))
+      }
+  }
+
   test("IVF-PQR: refined recall >= plain IVF-PQ, exact sims, candidates from the probed lists") {
     val queries = corpus.filter(col("vec_id") < 7)
     def pairs(df: org.apache.spark.sql.DataFrame) =
