@@ -317,6 +317,55 @@ object Dedup {
       .select("a_id", "b_id", "inter", "uni", "jaccard")
   }
 
+  /** Edit-distance VERIFIED near-dup pairs: MinHash-LSH band collisions
+    * propose candidates (recall governed by `candidateThreshold` via
+    * [[minhashConfigFor]]), then each candidate pair is verified by TRUE
+    * character-level edit similarity
+    * `1 − levenshtein(a, b) / max(|a|, |b|) ≥ editSim` — the check
+    * n-gram Jaccard cannot express: shingle sets ignore within-token
+    * character edits (OCR noise, diacritic stripping, templated serial
+    * numbers), and two docs can be shingle-similar yet many scattered
+    * edits apart. The standard two-tier shape for char-level dedup of
+    * short-to-medium texts (titles, QA pairs, code snippets).
+    *
+    * Scale: Levenshtein is O(|a|·|b|) PER PAIR — viable only because it
+    * runs strictly on LSH candidates, never all pairs. `maxDist`
+    * additionally bounds the accepted distance using Spark's bounded DP
+    * (cost ≈ O(maxDist·min len) per pair with early exit, vs quadratic)
+    * — at corpus scale always set it: a pair further than maxDist edits
+    * is not a near-dup of interest, and the bound keeps one pathological
+    * long-pair from stalling its task. Full texts ride the wire only for
+    * candidates (two id-keyed hash joins, candidate-sized on one side).
+    * Output: (a_id, b_id, dist, max_len, edit_sim). */
+  def editSimilarityPairs(docs: DataFrame, idCol: String, textCol: String,
+                          bands: Int = 0, rowsPerBand: Int = 0, n: Int = 3,
+                          candidateThreshold: Double = 0.5,
+                          editSim: Double = 0.8, maxDist: Int = 1000): DataFrame = {
+    require((bands > 0) == (rowsPerBand > 0),
+      "pass both bands and rowsPerBand, or neither (auto-derive from candidateThreshold)")
+    val (nBands, nRows) =
+      if (bands > 0) (bands, rowsPerBand) else minhashConfigFor(candidateThreshold)
+    val sigs = minhashSignatures(docs, idCol, textCol, nBands * nRows, n)
+    val banded = bandKeys(sigs, nBands, nRows)
+    val candidates = banded.select(col("doc_id").as("a_id"), col("band_key"))
+      .join(banded.select(col("doc_id").as("b_id"), col("band_key")), Seq("band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val texts = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    candidates
+      .join(texts.select(col("doc_id").as("a_id"), col("text").as("a_text")), Seq("a_id"))
+      .join(texts.select(col("doc_id").as("b_id"), col("text").as("b_text")), Seq("b_id"))
+      .withColumn("dist", levenshtein(col("a_text"), col("b_text"), maxDist).cast("long"))
+      .filter(col("dist") >= 0) // bounded DP reports -1 beyond maxDist
+      .withColumn("max_len",
+        greatest(length(col("a_text")), length(col("b_text"))).cast("long"))
+      .withColumn("edit_sim",
+        when(col("max_len") === 0, lit(1.0))
+          .otherwise(lit(1.0) - col("dist").cast("double") / col("max_len")))
+      .filter(col("edit_sim") >= editSim)
+      .select("a_id", "b_id", "dist", "max_len", "edit_sim")
+  }
+
   /** Band keys of one minhash signature as an ARRAY column: band index +
     * the band's signature slice, as one string — no extra hashing; the
     * key is small and engine-portable. The projection form map-only

@@ -361,7 +361,9 @@ object Similarity {
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
     val (cents, liveDir) = resolveIndex(dir)
     val target = s"assignment-${System.currentTimeMillis()}"
-    spark.read.parquet(liveDir)
+    // tombstones apply PHYSICALLY here: the fresh generation is written
+    // without the doomed rows and starts with an empty tombstone set
+    maskTombstones(spark, liveDir, spark.read.parquet(liveDir))
       .repartition(col("c_id"))
       .write.partitionBy("c_id").parquet(s"$dir/$target")
     // same codebook, new generation — still one atomic manifest flip
@@ -395,6 +397,63 @@ object Similarity {
     doomed.sorted
   }
 
+  /** Tombstone-DELETE vectors from a persisted index — the lifecycle
+    * piece between append and rebuild. Deleting costs delete-sized work:
+    * the ids append as parquet under `<liveGen>/_tombstones`
+    * (underscore-prefixed, so data scans never list it — the `_SUCCESS`
+    * convention), serving masks them with a broadcast anti-join
+    * ([[maskTombstones]]; the tombstone set is bounded by
+    * deletes-since-last-compaction, small next to the corpus — the
+    * delta-delete contract every production ANN/lakehouse store uses),
+    * and [[compactIvfIndex]] applies them PHYSICALLY: the fresh
+    * generation is written without the doomed rows and starts with an
+    * empty tombstone set. Tombstones live INSIDE the generation
+    * directory on purpose — a rebuild/compaction manifest flip atomically
+    * retires them together with the data they mask, and vacuum reclaims
+    * both as one directory.
+    *
+    * CONTRACT — a delete is terminal for an id within a generation:
+    * re-inserting a deleted id via [[appendToIvfIndex]] stays masked
+    * until a compaction clears the tombstone (upsert = delete, compact,
+    * re-append). Same single-owner writer contract as append/compact;
+    * readers need no coordination — a serve in flight may miss a
+    * tombstone written after it resolved the generation, the usual
+    * read-committed-at-resolve semantics. */
+  def deleteFromIvfIndex(ids: DataFrame, dir: String): Unit =
+    writeTombstones(ids, assignmentDir(dir))
+
+  /** [[deleteFromIvfIndex]] for the PQ-coded index — same layout, same
+    * masking, same compaction semantics ([[compactIvfPqIndex]]). */
+  def deleteFromIvfPqIndex(ids: DataFrame, dir: String): Unit = {
+    val (_, _, gen, _, _) = resolveIvfPqIndex(dir)
+    writeTombstones(ids, s"$dir/$gen")
+  }
+
+  private def writeTombstones(ids: DataFrame, liveDir: String): Unit =
+    ids.select(col(ids.columns.head).cast("long").as("vec_id"))
+      .distinct()
+      .coalesce(1) // delete-sized by contract: one file per delete call
+      .write.mode("append").parquet(s"$liveDir/_tombstones")
+
+  /** The live generation's tombstone set — None when nothing was ever
+    * deleted (the common case: serving then skips the anti-join
+    * entirely, zero overhead on the no-delete path). */
+  private def readTombstones(spark: org.apache.spark.sql.SparkSession,
+                             liveDir: String): Option[DataFrame] = {
+    val p = java.nio.file.Paths.get(liveDir, "_tombstones")
+    if (java.nio.file.Files.isDirectory(p))
+      Some(spark.read.parquet(p.toString).select("vec_id"))
+    else None
+  }
+
+  /** Mask a generation's tombstones out of an assignment scan: broadcast
+    * LEFT ANTI on vec_id — map-side against the (delete-sized) set, so
+    * the corpus never shuffles for its own deletions. */
+  private def maskTombstones(spark: org.apache.spark.sql.SparkSession,
+                             liveDir: String, assigned: DataFrame): DataFrame =
+    readTombstones(spark, liveDir).fold(assigned)(t =>
+      assigned.join(broadcast(t), Seq("vec_id"), "left_anti"))
+
   /** Read a persisted codebook (driver-small by construction). */
   def openIvfCodebook(dir: String): Seq[Centroid] = resolveIndex(dir)._1
 
@@ -417,9 +476,10 @@ object Similarity {
     // so a metadata predicate composes with partition pruning — it
     // pushes into the probed partitions' parquet scan, and ONE index
     // serves every filter instead of one index per filter value
-    val assigned = attrFilter.foldLeft(
+    val assigned = maskTombstones(spark, liveDir,
+      attrFilter.foldLeft(
         spark.read.parquet(liveDir).filter(col("c_id").isin(probedIds: _*)))(_ filter _)
-      .select(col("vec_id"), col("q"), col("nq"), col("c_id").cast("long").as("c_id"))
+      .select(col("vec_id"), col("q"), col("nq"), col("c_id").cast("long").as("c_id")))
     val scored = assigned.join(broadcast(queryProbes), Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", cosineq(col("q"), col("q_vec"), col("nq"), col("q_nq")))
@@ -900,10 +960,25 @@ object Similarity {
     val probes = nearestCentroids(queries, co, keep = nProbe)
       .select(col("c_id")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted // bounded: ≤ nCentroids
-    val encoded = spark.read.parquet(s"$dir/$gen")
-      .filter(col("c_id").isin(probes: _*))
-      .select(col("vec_id"), col("nq"), col("c_id").cast("long").as("c_id"), col("codes"))
+    val encoded = maskTombstones(spark, s"$dir/$gen",
+      spark.read.parquet(s"$dir/$gen")
+        .filter(col("c_id").isin(probes: _*))
+        .select(col("vec_id"), col("nq"), col("c_id").cast("long").as("c_id"), col("codes")))
     ivfPqServe(encoded, queries, co, bo, k, nProbe, m, dim)
+  }
+
+  /** [[compactIvfIndex]] for the PQ-coded index: rewrite the live
+    * generation minus its tombstones (codes are copied, never re-encoded
+    * — the books are frozen, so compaction is pure I/O), flip the single
+    * manifest. Same single-owner writer contract. */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val (co, bo, gen, m, dim) = resolveIvfPqIndex(dir)
+    val target = s"assignment-${System.currentTimeMillis()}"
+    maskTombstones(spark, s"$dir/$gen", spark.read.parquet(s"$dir/$gen"))
+      .repartition(col("c_id"))
+      .write.partitionBy("c_id").parquet(s"$dir/$target")
+    writeIvfPqManifest(dir, co, bo, target, m, dim)
+    target
   }
 
   /** SemDeDup-style cluster-scoped embedding dedup: k-means the corpus

@@ -277,6 +277,39 @@ object ExtendedQueries {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // d20's stream twin: the re-crawl arrives as a stream against a
+    // FROZEN bucketed baseline — each trigger's verdicts are a pure
+    // per-doc function of (text, baseline row), so arrival order is free
+    // (chunks split by id); the verdict log appends as per-bucket deltas
+    // (I/O ∝ trigger), the deleted class materializes at drain end as one
+    // state-sized anti-join. Final diff == batch d20, its oracle
+    "s22_stream_snapshot_diff" -> ((s, dir) => {
+      val work = scratchDir("graft_s22")
+      val v1 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val in = onceLog("s22", dir) { path =>
+        val recrawl = v1.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" updated")))
+              .when(col("doc_id") % 3 === 0, concat(lit("  "), col("text"), lit("   ")))
+              .when(col("doc_id") % 13 === 0,
+                concat_ws(" ", reverse(split(trim(col("text")), "\\s+"))))
+              .otherwise(col("text")))
+        val v2 = recrawl.unionByName(
+          v1.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+        Seq(col("doc_id") % 3 === 0, col("doc_id") % 3 === 1,
+            col("doc_id") % 3 === 2).foreach { p =>
+          v2.filter(p).coalesce(1).write.mode("append").parquet(path)
+          Thread.sleep(20) // distinct mtimes → deterministic chunking
+        }
+      }
+      val baseline = new graft.streaming.TxnLogState(s"$work/base", s, 16)
+      val verdicts = new graft.streaming.TxnLogState(s"$work/verd", s, 16)
+      graft.streaming.StreamSnapshotDiff.initBaseline(baseline, v1, "doc_id", "text")
+      graft.streaming.StreamSnapshotDiff.drain(s, baseline, verdicts, in, s"$work/ckpt")
+        .orderBy(col("doc_id"))
+    }),
+
     "s02_stream_window" -> ((s, dir) => {
       val work = scratchDir("graft_s02")
       t(s, dir, "events").coalesce(4).write.mode("overwrite").parquet(s"$work/log")
@@ -558,6 +591,36 @@ object ExtendedQueries {
       Similarity.appendToIvfPqIndex(corpus.filter(col("vec_id") % 2 === 1), work)
       Similarity.ivfPqIndexTopK(s, work, corpus.filter(col("vec_id") < 5), k = 5, nProbe = 2)
         .orderBy(col("q_id"), col("rk"))
+    }),
+
+    // ANN index DELETIONS: the lifecycle piece between append and
+    // rebuild. A delete costs delete-sized work — ids append as
+    // tombstones inside the live generation, serving masks them with a
+    // broadcast anti-join, and compaction applies them physically
+    // (fresh generation without the doomed rows, empty tombstone set).
+    // Phase 1 serves with tombstones live, phase 2 after
+    // compact+vacuum rewrote the index — identical results prove
+    // masked ≡ physically-deleted, so the oracle replays the surviving
+    // candidate universe once and expects it twice
+    "a19_ann_ivf_delete" -> ((s, dir) => {
+      val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
+      val work = scratchDir("graft_a19")
+      Similarity.buildIvfIndex(corpus, work, nCentroids = 8)
+      Similarity.deleteFromIvfIndex(
+        corpus.filter(col("vec_id") % 7 === 3).select("vec_id"), work)
+      // served1's plan reads the pre-compaction generation LAZILY — the
+      // superseded directory staying on disk until vacuum's grace window
+      // is exactly the in-flight-reader contract (vacuum itself is
+      // exercised in SimilaritySpec, where materialization is forced)
+      val served1 = Similarity.ivfIndexTopK(
+        s, work, corpus.filter(col("vec_id") < 5), k = 5, nProbe = 2)
+        .withColumn("phase", lit(1L))
+      Similarity.compactIvfIndex(s, work)
+      val served2 = Similarity.ivfIndexTopK(
+        s, work, corpus.filter(col("vec_id") < 5), k = 5, nProbe = 2)
+        .withColumn("phase", lit(2L))
+      served1.unionByName(served2)
+        .orderBy(col("phase"), col("q_id"), col("rk"))
     }),
 
     // scalar-quantization (SQ8) ANN: per-dimension affine 8-bit codes on
@@ -1677,6 +1740,31 @@ object ExtendedQueries {
        |  FROM scored)
        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
+  /** a19: a03's serving universe minus the tombstoned rows
+    * (vec_id % 7 = 3), expected TWICE — phase 1 masked by tombstones,
+    * phase 2 physically compacted. The identical phases ARE the
+    * operator's correctness claim (masked ≡ physically-deleted). */
+  private val a19Oracle: String =
+    s"""$kmeansAssignCtes,
+       |probes AS (SELECT vec_id AS q_id, q AS q_q, nn AS q_nn, c_id
+       |           FROM assign WHERE crk <= 2 AND vec_id < 5),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id AS n_id,
+       |    CASE WHEN a.nn = 0 OR p.q_nn = 0 THEN 0.0
+       |         ELSE list_dot_product(a.q::DOUBLE[], p.q_q::DOUBLE[]) / (sqrt(a.nn) * sqrt(p.q_nn)) END AS sim
+       |  FROM corpus_a a JOIN probes p ON a.c_id = p.c_id AND a.vec_id <> p.q_id
+       |  WHERE a.vec_id % 7 <> 3),
+       |one AS (
+       |  SELECT q_id, n_id, sim, rk FROM (
+       |    SELECT q_id, n_id, sim,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
+       |    FROM scored)
+       |  WHERE rk <= 5)
+       |SELECT q_id, n_id, sim, rk, phase FROM (
+       |  SELECT *, CAST(1 AS BIGINT) AS phase FROM one
+       |  UNION ALL SELECT *, CAST(2 AS BIGINT) AS phase FROM one)
+       |ORDER BY phase, q_id, rk""".stripMargin
+
   private val a05Oracle: String =
     s"""$kmeansAssignCtes,
        |drops AS (
@@ -2277,6 +2365,12 @@ object ExtendedQueries {
         |FROM s WHERE from_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
 
+    // s22 = d20 incrementally: verdicts are pure per-doc functions of the
+    // frozen baseline and the fold is append-only, so the drained diff
+    // equals the batch triage exactly — d20's oracle, stated once
+    "s22_stream_snapshot_diff" ->
+      graft.queries.PipelineQueries.oracles("d20_snapshot_fuzzy_diff"),
+
     "q22_transitions" ->
       """WITH s AS (
         |  SELECT user_id, event_type AS to_type,
@@ -2497,6 +2591,8 @@ object ExtendedQueries {
     // a04 serves from the persisted index built with the same parameters —
     // its results (and therefore its oracle) are exactly a03's
     "a04_ann_ivf_index" -> a03Oracle,
+    // a19: deletions — the surviving universe, served twice
+    "a19_ann_ivf_delete" -> a19Oracle,
 
     "a03_ann_ivf" -> a03Oracle,
 

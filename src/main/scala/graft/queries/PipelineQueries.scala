@@ -337,6 +337,19 @@ object PipelineQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // char-level near-dup: LSH band candidates verified by TRUE edit
+    // similarity (levenshtein / max-len) — catches the within-token
+    // edit noise shingle Jaccard ignores; '... ok'-suffixed copies are
+    // a 3-char edit and must pair with their originals at 0.9
+    "d21_edit_neardup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val noisy = d.select((col("doc_id") + 300000).as("doc_id"),
+        concat(col("text"), lit(" ok")).as("text"))
+      Dedup.editSimilarityPairs(d.unionByName(noisy), "doc_id", "text",
+          bands = 4, rowsPerBand = 2, n = 3, editSim = 0.9, maxDist = 200)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     "d05_simhash" -> ((s, dir) => {
       docs(s, dir)
         .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
@@ -1623,6 +1636,42 @@ object PipelineQueries {
          |  JOIN cnt ca ON p.a_id = ca.doc_id JOIN cnt cb ON p.b_id = cb.doc_id
          |WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.5
          |ORDER BY p.a_id, p.b_id""".stripMargin
+    },
+
+    // d21: d04's band-candidate CTEs over the suffixed-copy corpus, then
+    // verification = DuckDB's own levenshtein — dist and max_len are
+    // exact integers, edit_sim one double division, engine-identical
+    "d21_edit_neardup" -> {
+      val bandKeysSql = (0 until 4).map { b =>
+        s"'${b}_' || CAST(m${2 * b} AS VARCHAR) || '_' || CAST(m${2 * b + 1} AS VARCHAR)"
+      }.mkString(", ")
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 300000, text || ' ok' FROM documents),
+         |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM all_docs),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+         |  FROM tok WHERE len(tk) >= 3),
+         |sig AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
+         |banded AS (SELECT doc_id, unnest([$bandKeysSql]) AS band_key FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |v AS (
+         |  SELECT c.a_id, c.b_id,
+         |    CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist,
+         |    CAST(greatest(length(ta.text), length(tb.text)) AS BIGINT) AS max_len
+         |  FROM cand c JOIN all_docs ta ON ta.doc_id = c.a_id
+         |              JOIN all_docs tb ON tb.doc_id = c.b_id)
+         |SELECT a_id, b_id, dist, max_len,
+         |  CASE WHEN max_len = 0 THEN 1.0
+         |       ELSE 1.0 - CAST(dist AS DOUBLE) / max_len END AS edit_sim
+         |FROM v
+         |WHERE dist <= 200 AND
+         |  (CASE WHEN max_len = 0 THEN 1.0
+         |        ELSE 1.0 - CAST(dist AS DOUBLE) / max_len END) >= 0.9
+         |ORDER BY a_id, b_id""".stripMargin
     },
 
     // the line filter and every Gopher ratio re-derived from the same

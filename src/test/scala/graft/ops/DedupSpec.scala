@@ -79,6 +79,43 @@ class DedupSpec extends SparkSpec {
     assert(lsh.contains((0L, 1L))) // identical docs always share all bands
   }
 
+  test("editSimilarityPairs: suffix copies verify at 0.9; maxDist bounds; sims exact") {
+    import spark.implicits._
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "spark shuffles partition data across the cluster by key ranges nightly"),
+      (2L, "completely unrelated short text about gardening tools and wet soil"))
+      .toDF("doc_id", "text")
+    val noisy = base.select((col("doc_id") + 100).as("doc_id"),
+      concat(col("text"), lit(" ok")).as("text"))
+    val corpus = base.unionByName(noisy)
+
+    val pairs = Dedup.editSimilarityPairs(corpus, "doc_id", "text",
+      bands = 4, rowsPerBand = 2, editSim = 0.9, maxDist = 200)
+    val got = pairs.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    // every original pairs with its 3-char-edit copy, dist exactly 3
+    val expected = base.collect().map { r =>
+      val len = r.getString(1).length + 3
+      (r.getLong(0), r.getLong(0) + 100, 3L, len.toLong, 1.0 - 3.0 / len)
+    }.toSet
+    assert(got.toSet == expected, s"got $got")
+
+    // the bounded DP drops pairs beyond maxDist — at maxDist=2 the
+    // 3-edit copies vanish entirely (dist reported as -1, filtered)
+    assert(Dedup.editSimilarityPairs(corpus, "doc_id", "text",
+      bands = 4, rowsPerBand = 2, editSim = 0.0, maxDist = 2).count() == 0)
+
+    // verification is the gate, not just candidacy: at editSim > attainable
+    // similarity nothing survives even though band candidates exist
+    assert(Dedup.editSimilarityPairs(corpus, "doc_id", "text",
+      bands = 4, rowsPerBand = 2, editSim = 0.999, maxDist = 200).count() == 0)
+
+    // no cartesian anywhere — candidates come from the band join only
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
   test("simhashPairs: pigeonhole recall — every pair inside the Hamming ball is found") {
     val d = spark.read.parquet(s"$sf0001/documents.parquet").select(col("doc_id"), col("text"))
     val noisy = d.select((col("doc_id") + 200000).as("doc_id"),

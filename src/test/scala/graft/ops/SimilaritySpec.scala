@@ -488,6 +488,90 @@ class SimilaritySpec extends SparkSpec {
     assert(rows() == afterAppend, "serving unaffected by vacuum")
   }
 
+  test("IVF deletions: tombstone mask ≡ survivors-only rebuild ≡ physical compaction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_del").toString
+    val queries = corpus.filter(col("vec_id") < 7)
+    def rows() = Similarity.ivfIndexTopK(spark, dir, queries, 5)
+      .orderBy("q_id", "rk").collect().toSeq
+    Similarity.buildIvfIndex(corpus, dir)
+    val before = rows()
+    // the no-delete path must not pay for the mask at all
+    val cleanPlan = Similarity.ivfIndexTopK(spark, dir, queries, 5)
+      .queryExecution.executedPlan.toString
+    assert(!cleanPlan.contains("LeftAnti"),
+      "no tombstones ⇒ no anti-join in the plan:\n" + cleanPlan.take(800))
+
+    Similarity.deleteFromIvfIndex(
+      corpus.filter(col("vec_id") % 7 === 3).select("vec_id"), dir)
+    val masked = rows()
+    assert(masked != before && masked.forall(_.getLong(1) % 7 != 3),
+      "deleted ids must never surface in serving")
+    val maskedPlan = Similarity.ivfIndexTopK(spark, dir, queries, 5)
+      .queryExecution.executedPlan.toString
+    assert(maskedPlan.contains("LeftAnti") && maskedPlan.contains("PartitionFilters"),
+      "mask = broadcast anti-join, composed with partition pruning:\n" + maskedPlan.take(1200))
+
+    // ground truth: a survivors-only rebuild under the SAME codebook
+    val truthDir = java.nio.file.Files.createTempDirectory("graft_ivf_del_t").toString
+    Similarity.buildIvfIndex(corpus.filter(col("vec_id") % 7 =!= 3), truthDir,
+      codebook = Some(Similarity.openIvfCodebook(dir)))
+    assert(masked == Similarity.ivfIndexTopK(spark, truthDir, queries, 5)
+      .orderBy("q_id", "rk").collect().toSeq,
+      "tombstone-masked serving must equal an index never containing the rows")
+
+    // compaction applies tombstones physically and resets the mask
+    val genDoomed = java.nio.file.Paths.get(Similarity.assignmentDir(dir))
+      .getFileName.toString
+    Similarity.compactIvfIndex(spark, dir)
+    val live = Similarity.assignmentDir(dir)
+    assert(!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(live, "_tombstones")),
+      "a fresh generation starts with an empty tombstone set")
+    assert(spark.read.parquet(live).filter(col("vec_id") % 7 === 3).count() == 0,
+      "compaction must drop the doomed rows physically")
+    assert(rows() == masked, "compaction must not change serving results")
+    assert(Similarity.vacuumIvfIndex(dir, graceMs = 0L) == Seq(genDoomed))
+    assert(rows() == masked, "vacuum reclaims the masked generation, serving unaffected")
+
+    // post-compaction the id is re-insertable (upsert = delete, compact,
+    // append): the row lands in the live generation with no tombstone
+    // masking it, so serving includes it whenever its list is probed
+    Similarity.appendToIvfIndex(corpus.filter(col("vec_id") === 3), dir)
+    val live2 = Similarity.assignmentDir(dir)
+    assert(spark.read.parquet(live2).filter(col("vec_id") === 3).count() == 1,
+      "a re-appended id must be back in the live generation")
+    assert(!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(live2, "_tombstones")),
+      "nothing masks the re-appended id")
+  }
+
+  test("IVF-PQ deletions: masked serving ≡ survivors-only build under the same books") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_del").toString
+    val queries = corpus.filter(col("vec_id") < 7)
+    val co = Similarity.trainCentroids(corpus, 8, 2)
+    val bo = Similarity.trainPqCodebooks(corpus, m = 4, dim = 64)
+    Similarity.buildIvfPqIndex(corpus, dir, coarse = Some(co), books = Some(bo))
+    Similarity.deleteFromIvfPqIndex(
+      corpus.filter(col("vec_id") % 7 === 3).select("vec_id"), dir)
+    def rows() = Similarity.ivfPqIndexTopK(spark, dir, queries, 5)
+      .orderBy("q_id", "rk").collect().toSeq
+    val masked = rows()
+    assert(masked.nonEmpty && masked.forall(_.getLong(1) % 7 != 3))
+
+    val truthDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_del_t").toString
+    Similarity.buildIvfPqIndex(corpus.filter(col("vec_id") % 7 =!= 3), truthDir,
+      coarse = Some(co), books = Some(bo))
+    assert(masked == Similarity.ivfPqIndexTopK(spark, truthDir, queries, 5)
+      .orderBy("q_id", "rk").collect().toSeq)
+
+    // PQ compaction copies codes (frozen books) minus tombstones
+    Similarity.compactIvfPqIndex(spark, dir)
+    val (_, _, gen2, _, _) = Similarity.resolveIvfPqIndex(dir)
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$dir/$gen2", "_tombstones")))
+    assert(rows() == masked, "PQ compaction must not change serving results")
+  }
+
   test("IVF rebuild: fresh generation behind ONE manifest flip; superseded gen vacuums") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rb").toString
     val queries = corpus.filter(col("vec_id") < 7)
