@@ -514,6 +514,97 @@ object Multimodal {
     }
   }
 
+  case class AudioPrint(doc_id: Long, pos: Long, h: Long)
+
+  /** Scale-invariant energy-contour FINGERPRINTS — the audio-matching
+    * primitive: each doc's window-energy sequence collapses to a 5-way
+    * RATIO contour — per step, e[w+1] vs e[w] classified as sharp-drop
+    * (2·e' < e), drop (e' < e), equal, rise (e' ≤ 2·e), sharp-rise —
+    * and k consecutive symbols pack into one base-5 integer. No hashing
+    * needed: 5^k fits a long for k ≤ 27 and every comparison is exact
+    * integer arithmetic, engine-portable. One print per contour position.
+    *
+    * Ratio classes (not deltas) are what make the print INVARIANT to
+    * amplitude: gain g scales every energy by g² > 0 and all four
+    * comparisons are homogeneous, so the contour doesn't move — clip
+    * lookup survives volume normalization. The 5-symbol alphabet (vs a
+    * 3-way delta sign) is the discrimination lever: ~2.3 bits/step keeps
+    * chance k-gram collisions from out-voting a true containment.
+    * Swapping this contour for spectral peak pairs (when an FFT lib is
+    * present) replaces THIS kernel only; [[matchAudioClips]]' plan is
+    * the constellation join either way. Decode + window + contour + pack
+    * all run on one doc's in-memory data inside the decode pass —
+    * nothing per-sample ever shuffles. */
+  def audioContourPrints(media: DataFrame, windowSamples: Int = 16, k: Int = 4,
+                         decoder: AudioDecoder = PcmS16leDecoder): Dataset[AudioPrint] = {
+    require(k >= 1 && k <= 27, s"contour gram k in [1,27]: $k")
+    require(windowSamples > 0, s"windowSamples must be positive: $windowSamples")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        val ws = windowsOf(r, windowSamples, decoder)
+        val c = Array.tabulate(math.max(0, ws.length - 1)) { i =>
+          val a = ws(i).energy_q; val b = ws(i + 1).energy_q
+          if (b * 2 < a) 0L
+          else if (b < a) 1L
+          else if (b == a) 2L
+          else if (b <= a * 2) 3L
+          else 4L
+        }
+        Iterator.tabulate(math.max(0, c.length - k + 1)) { p =>
+          var h = 0L; var j = 0
+          while (j < k) { h = h * 5 + c(p + j); j += 1 }
+          AudioPrint(r.doc_id, (p + 1).toLong, h)
+        }
+      }
+    }
+  }
+
+  /** Clip→track matching by offset-consistency VOTING — the
+    * constellation-join shape of every audio-lookup system: clip prints
+    * ([[audioContourPrints]]) broadcast against ONE map-only scan of the
+    * track corpus's prints, each gram match votes for
+    * (track, t_pos − c_pos), and a clip's verdict is its highest-voted
+    * (track, offset) pair (ties → smaller track, then smaller offset —
+    * deterministic). A true containment lines all the clip's grams up at
+    * one offset; chance collisions scatter across offsets and lose the
+    * vote.
+    *
+    * Scale: the corpus side NEVER shuffles on its own volume — the
+    * broadcast clip set prunes it map-side, and the vote aggregate
+    * carries only gram matches. Flat contours (digital silence, constant
+    * tones) are hub grams — the stopword analog — so `maxDf` drops track
+    * grams above a per-track document-frequency cap before the join,
+    * the same candidate-volume contract as shingle dedup's df cap.
+    * Output: (clip_id, track_id, offset_w, votes), one row per matched
+    * clip; clips with no offset reaching `minVotes` produce no row. */
+  def matchAudioClips(tracks: DataFrame, clips: DataFrame,
+                      windowSamples: Int = 16, k: Int = 4, minVotes: Long = 2,
+                      maxDf: Option[Int] = None,
+                      decoder: AudioDecoder = PcmS16leDecoder): DataFrame = {
+    val tp0 = audioContourPrints(tracks, windowSamples, k, decoder).toDF()
+      .select(col("doc_id").as("track_id"), col("pos").as("t_pos"), col("h"))
+    val tp = maxDf.fold(tp0) { cap =>
+      val keep = tp0.select("track_id", "h").distinct()
+        .groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap)
+      tp0.join(keep.select("h"), Seq("h"))
+    }
+    val cp = audioContourPrints(clips, windowSamples, k, decoder).toDF()
+      .select(col("doc_id").as("clip_id"), col("pos").as("c_pos"), col("h"))
+    val votes = tp.join(broadcast(cp), Seq("h"))
+      .groupBy(col("clip_id"), col("track_id"),
+        (col("t_pos") - col("c_pos")).as("offset_w"))
+      .agg(count(lit(1)).as("votes"))
+      .filter(col("votes") >= minVotes)
+    votes.groupBy(col("clip_id"))
+      .agg(max(struct(col("votes"), (-col("track_id")).as("nt"),
+        (-col("offset_w")).as("no"))).as("b"))
+      .select(col("clip_id"), (-col("b.nt")).as("track_id"),
+        (-col("b.no")).as("offset_w"), col("b.votes").as("votes"))
+  }
+
   /** Leading/trailing-silence trim (the audio-curation normalize step):
     * keep each doc's windows from its first to its last window with
     * energy > `threshold`. The first/last-loud scan runs over one doc's

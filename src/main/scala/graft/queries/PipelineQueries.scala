@@ -1422,6 +1422,20 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("win_idx"))
     }),
 
+    // audio CLIP MATCHING (the constellation-join shape): tracks and
+    // amplitude-scaled clips synthesize deterministically as real s16le;
+    // clip prints broadcast against one map-only pass over the track
+    // corpus's energy-contour fingerprints, matches vote on
+    // (track, offset), and the per-clip gain 1 + t%3 proves scale
+    // invariance — energies scale by g², the sign contour doesn't move.
+    // Oracle replays windows, contour, base-3 pack, vote, and argmax by
+    // id-arithmetic
+    "m12_audio_clip_match" -> ((s, dir) => {
+      val (tracks, clips) = pcmClipFixture(s, dir)
+      Multimodal.matchAudioClips(tracks, clips, windowSamples = 4, k = 4)
+        .orderBy(col("clip_id"))
+    }),
+
     // sample-rate conversion (3:2 downsample) with exact-integer linear
     // interpolation — the mixed-rate-corpus normalize step; resample +
     // re-window + features run on one doc's in-memory samples inside the
@@ -1457,6 +1471,41 @@ object PipelineQueries {
       s.table("s10_resize").orderBy(col("doc_id"))
     })
   )
+
+  /** Clip-matching fixture: tracks = 96 md5-derived samples
+    * (`hash60(t || '_' || i) mod 201 − 100` — every track genuinely
+    * distinct content, unlike a shifted progression; 24 windows at 4
+    * samples); clips = 40 samples of track t from sample (t%5)·8 —
+    * window-aligned, so the true offset is (t%5)·2 — amplitude-scaled
+    * by 1 + t%3 (stays within s16 range). Real s16le bytes round-trip
+    * the decoder while every downstream number is hash-arithmetic the
+    * oracle replays with the same md5. */
+  private def pcmClipFixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    def s16le(samples: Array[Int]): Array[Byte] = {
+      val b = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        b(2 * i) = (samples(i) & 0xff).toByte
+        b(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      b
+    }
+    def x(t: Long, i: Int): Int =
+      (graft.expr.TextHash.hash60(s"${t}_$i") % 201 - 100).toInt
+    val ids = docs(s, dir).select(col("doc_id").cast("long"))
+      .filter(col("doc_id") < 200).as[Long]
+    val tracks = ids.map { t =>
+      (t, "audio/pcm-s16le", s16le(Array.tabulate(96)(i => x(t, i))))
+    }.toDF("doc_id", "mime", "payload")
+    val clips = ids.map { t =>
+      val g = (1 + t % 3).toInt
+      val s0 = ((t % 5) * 8).toInt
+      (t, "audio/pcm-s16le", s16le(Array.tabulate(40)(j => g * x(t, s0 + j))))
+    }.toDF("doc_id", "mime", "payload")
+    (tracks, clips)
+  }
 
   /** Deterministic solid-color PNG payloads from the documents ids —
     * dims (1+id%64, 1+id%48), fill (20+id%200) in every channel: every
@@ -3174,6 +3223,53 @@ object PipelineQueries {
         |  CAST(list_sum(list_transform(ss, v -> v * v)) AS BIGINT) AS energy_q,
         |  CAST(list_max(list_transform(ss, v -> abs(v))) AS BIGINT) AS peak
         |FROM sv7 ORDER BY doc_id, win_idx""".stripMargin,
+
+    // clip match: track/clip sample streams by md5-arithmetic, window
+    // energies as unrolled 4-term sums, 5-way ratio contour (gain-
+    // invariant: every comparison homogeneous in g²), base-5 4-gram
+    // pack, gram join voting on (track, t_pos − c_pos), per-clip argmax
+    // with the (votes desc, track asc, offset asc) tie-break — every
+    // quantity an exact integer
+    "m12_audio_clip_match" -> {
+      def energies(src: String, nw: Int) =
+        s"""list_transform(generate_series(0, ${nw - 1}), w ->
+           |      $src[4*w+1]*$src[4*w+1] + $src[4*w+2]*$src[4*w+2] +
+           |      $src[4*w+3]*$src[4*w+3] + $src[4*w+4]*$src[4*w+4])""".stripMargin
+      def contour(len: Int) =
+        s"""list_transform(generate_series(1, $len), i ->
+           |      CASE WHEN 2*e[i+1] < e[i] THEN 0
+           |           WHEN e[i+1] < e[i] THEN 1
+           |           WHEN e[i+1] = e[i] THEN 2
+           |           WHEN e[i+1] <= 2*e[i] THEN 3
+           |           ELSE 4 END)""".stripMargin
+      val samp = h60sql("CAST(t AS VARCHAR) || '_' || CAST(i AS VARCHAR)")
+      val sampJ = h60sql("CAST(t AS VARCHAR) || '_' || CAST((t % 5) * 8 + j AS VARCHAR)")
+      s"""WITH ids AS (SELECT doc_id AS t FROM documents WHERE doc_id < 200),
+         |tx AS (SELECT t, list_transform(generate_series(0, 95),
+         |         i -> $samp % 201 - 100) AS x FROM ids),
+         |te AS (SELECT t, ${energies("x", 24)} AS e FROM tx),
+         |tc AS (SELECT t, ${contour(23)} AS c FROM te),
+         |tp AS (SELECT t AS track_id, p AS t_pos,
+         |         c[p]*125 + c[p+1]*25 + c[p+2]*5 + c[p+3] AS h
+         |       FROM (SELECT t, c, unnest(generate_series(1, 20)) AS p FROM tc)),
+         |cy AS (SELECT t, list_transform(generate_series(0, 39),
+         |         j -> (1 + t % 3) * ($sampJ % 201 - 100)) AS y
+         |       FROM ids),
+         |ce AS (SELECT t, ${energies("y", 10)} AS e FROM cy),
+         |cc AS (SELECT t, ${contour(9)} AS c FROM ce),
+         |cp AS (SELECT t AS clip_id, p AS c_pos,
+         |         c[p]*125 + c[p+1]*25 + c[p+2]*5 + c[p+3] AS h
+         |       FROM (SELECT t, c, unnest(generate_series(1, 6)) AS p FROM cc)),
+         |v AS (SELECT cp.clip_id, tp.track_id, tp.t_pos - cp.c_pos AS offset_w,
+         |        CAST(count(*) AS BIGINT) AS votes
+         |      FROM cp JOIN tp ON cp.h = tp.h
+         |      GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+         |r AS (SELECT clip_id, track_id, CAST(offset_w AS BIGINT) AS offset_w, votes,
+         |        row_number() OVER (PARTITION BY clip_id
+         |          ORDER BY votes DESC, track_id ASC, offset_w ASC) AS rk FROM v)
+         |SELECT clip_id, track_id, offset_w, votes FROM r WHERE rk = 1
+         |ORDER BY clip_id""".stripMargin
+    },
 
     // audio resample: the synth stream reconstructed by id-arithmetic,
     // then y[n] = x[p] + ⌊(x[p+1]−x[p])·f / l⌋ at p = (n·m)//l,

@@ -235,6 +235,55 @@ class MultimodalSpec extends SparkSpec {
       s"uncapped viral frame must candidate all q-sharers: $uncapped")
   }
 
+  test("audio clip matching: gain-invariant prints, offset voting, df cap, broadcast plan") {
+    import spark.implicits._
+    def s16le(samples: Array[Int]): Array[Byte] = {
+      val b = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        b(2 * i) = (samples(i) & 0xff).toByte
+        b(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      b
+    }
+    def x(t: Long, i: Int): Int =
+      (graft.expr.TextHash.hash60(s"${t}_$i") % 201 - 100).toInt
+    val tracks = Seq(1L, 2L, 3L).map { t =>
+      (t, "audio/pcm-s16le", s16le(Array.tabulate(64)(i => x(t, i))))
+    }.toDF("doc_id", "mime", "payload")
+    // clip of track 2: 8 windows from window 3, gain 5
+    val clip = Seq((20L, "audio/pcm-s16le",
+      s16le(Array.tabulate(32)(j => 5 * x(2L, 12 + j))))).toDF("doc_id", "mime", "payload")
+
+    // gain invariance: the scaled clip's prints equal the unscaled slice's
+    val unscaled = Seq((20L, "audio/pcm-s16le",
+      s16le(Array.tabulate(32)(j => x(2L, 12 + j))))).toDF("doc_id", "mime", "payload")
+    def prints(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.audioContourPrints(df, windowSamples = 4, k = 4)
+        .collect().sortBy(_.pos).toSeq
+    assert(prints(clip) == prints(unscaled), "gain must never move the contour")
+
+    val m = Multimodal.matchAudioClips(tracks, clip, windowSamples = 4, k = 4)
+    val got = m.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((20L, 2L, 3L, 4L)),
+      s"clip must land on track 2 at window offset 3 with all 4 grams voting: $got")
+    val plan = m.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "clip prints must broadcast against the track scan:\n" + plan.take(800))
+
+    // df cap: an all-silent track pair shares flat hub grams everywhere —
+    // capped at 1 they vanish, so a silent clip finds nothing
+    val silent = Seq(7L, 8L).map(t =>
+      (t, "audio/pcm-s16le", s16le(Array.fill(64)(0)))).toDF("doc_id", "mime", "payload")
+    val silentClip = Seq((70L, "audio/pcm-s16le", s16le(Array.fill(32)(0))))
+      .toDF("doc_id", "mime", "payload")
+    assert(Multimodal.matchAudioClips(silent, silentClip,
+      windowSamples = 4, k = 4, maxDf = Some(1)).count() == 0,
+      "hub grams above the df cap must drop before the join")
+    assert(Multimodal.matchAudioClips(silent, silentClip,
+      windowSamples = 4, k = 4).count() > 0,
+      "uncapped, the flat grams do collide (the hazard the cap controls)")
+  }
+
   test("synthPcm round-trips through the decoder: loud region = [lead, total-tail)") {
     import spark.implicits._
     val ids = Seq(7L).toDF("doc_id") // wt = 4+3 = 7, lead = 1, tail = 1
