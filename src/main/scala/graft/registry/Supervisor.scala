@@ -316,6 +316,71 @@ class IndexerSupervisor(
       graft.ops.Similarity.prep(queries, idCol, vecCol), k, nProbe)
   }
 
+  /** Tombstone-delete vectors from `name`'s index — delete-sized work,
+    * masked at serve time; [[compactVectorIndex]] applies physically.
+    * The a19 lifecycle, operable per indexer. */
+  def deleteVectors(name: String, ids: org.apache.spark.sql.DataFrame): Unit = {
+    registry.get(name).getOrElse(throw new IllegalStateException(s"no such indexer: $name"))
+    require(Files.exists(Paths.get(vectorDir(name), "IVFPQ")),
+      s"no vector index for $name — run buildVectorIndex first")
+    graft.ops.Similarity.deleteFromIvfPqIndex(ids, vectorDir(name))
+  }
+
+  /** Rewrite `name`'s live generation minus its tombstones (codes copy
+    * under the frozen books — pure I/O) and flip the manifest. */
+  def compactVectorIndex(name: String): String = {
+    registry.get(name).getOrElse(throw new IllegalStateException(s"no such indexer: $name"))
+    require(Files.exists(Paths.get(vectorDir(name), "IVFPQ")),
+      s"no vector index for $name — run buildVectorIndex first")
+    graft.ops.Similarity.compactIvfPqIndex(spark, vectorDir(name))
+  }
+
+  // C3 re-crawl arm (r12): the incremental snapshot diff (s22) as an
+  // OPERABLE per-indexer artifact — freeze the standing corpus once as a
+  // bucketed baseline, feed re-crawl chunks in any order (verdicts are
+  // pure per-doc functions of the frozen baseline), read the full triage
+  // (incl. deleted) whenever the snapshot is complete. Layout:
+  //   $workRoot/<name>/recrawl/base   frozen baseline state
+  //   $workRoot/<name>/recrawl/verd   append-only verdict log
+
+  private def recrawlBase(name: String) =
+    new graft.streaming.TxnLogState(s"$workRoot/$name/recrawl/base", spark, 16)
+  private def recrawlVerdicts(name: String) =
+    new graft.streaming.TxnLogState(s"$workRoot/$name/recrawl/verd", spark, 16)
+
+  /** Freeze the standing corpus as `name`'s diff baseline. Re-freezing
+    * starts a NEW diff epoch: the verdict log must be empty (finish or
+    * discard the in-flight diff first) — verdicts from two epochs must
+    * never mix. */
+  def freezeRecrawlBaseline(name: String, corpus: org.apache.spark.sql.DataFrame,
+                            idCol: String, textCol: String): Unit = {
+    registry.get(name).getOrElse(throw new IllegalStateException(s"no such indexer: $name"))
+    require(recrawlVerdicts(name).currentVersion.isEmpty,
+      s"$name has an in-flight re-crawl diff — delete $workRoot/$name/recrawl/verd first")
+    graft.streaming.StreamSnapshotDiff.initBaseline(
+      recrawlBase(name), corpus, idCol, textCol)
+  }
+
+  /** Fold one re-crawl chunk into `name`'s diff — order-free, idempotent
+    * on bit-exact redelivery, loud on a conflicting re-arrival. */
+  def ingestRecrawl(name: String, chunk: org.apache.spark.sql.DataFrame,
+                    idCol: String, textCol: String): Unit = {
+    registry.get(name).getOrElse(throw new IllegalStateException(s"no such indexer: $name"))
+    require(recrawlBase(name).currentVersion.nonEmpty,
+      s"no re-crawl baseline for $name — run freezeRecrawlBaseline first")
+    graft.streaming.StreamSnapshotDiff.applyBatch(
+      recrawlBase(name), recrawlVerdicts(name), chunk,
+      System.nanoTime(), idCol, textCol)
+  }
+
+  /** The full triage so far: added/unchanged/minor_edit/rewrite per
+    * arrived doc, deleted = baseline never seen (only meaningful once
+    * the snapshot has fully arrived). */
+  def recrawlDiff(name: String): org.apache.spark.sql.DataFrame = {
+    registry.get(name).getOrElse(throw new IllegalStateException(s"no such indexer: $name"))
+    graft.streaming.StreamSnapshotDiff.summary(recrawlBase(name), recrawlVerdicts(name))
+  }
+
   /** Re-subscribe after DO_NOT_SUBSCRIBE: stamps subscriptionTimestamp =
     * now, so pre-existing log history is skipped (SepModelImpl records the
     * subscription timestamp at peer creation the same way). */

@@ -288,6 +288,67 @@ class RegistrySpec extends SparkSpec {
     }
   }
 
+  test("C3 vector arm deletions: delete masks, compact applies, serving stable") {
+    val regDir = tmp("graft_reg8"); val work = tmp("graft_work8"); val logs = tmp("graft_logs8")
+    val reg = new IndexerRegistry(regDir)
+    val sup = new IndexerSupervisor(spark, reg, work, name => s"$logs/$name")
+    reg.add(IndexerDefinition("idx", confXml))
+
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 5)
+    sup.buildVectorIndex("idx", emb, "vec_id", "embedding")
+    def served() = sup.searchVectors("idx", probes, "vec_id", "embedding", k = 5)
+      .orderBy(col("q_id"), col("rk")).collect().toSeq
+    val before = served()
+    sup.deleteVectors("idx", emb.filter(col("vec_id") % 7 === 3).select("vec_id"))
+    val masked = served()
+    assert(masked != before && masked.forall(_.getLong(1) % 7 != 3),
+      "deleted vectors must never surface through the supervisor")
+    sup.compactVectorIndex("idx")
+    assert(served() == masked, "compaction must not change serving")
+    intercept[IllegalStateException] {
+      sup.deleteVectors("nope", emb.select("vec_id"))
+    }
+  }
+
+  test("C3 re-crawl arm: freeze → chunked ingest (any order) → diff == batch triage") {
+    import spark.implicits._
+    val regDir = tmp("graft_reg9"); val work = tmp("graft_work9"); val logs = tmp("graft_logs9")
+    val reg = new IndexerRegistry(regDir)
+    val sup = new IndexerSupervisor(spark, reg, work, name => s"$logs/$name")
+    reg.add(IndexerDefinition("idx", confXml))
+
+    val v1 = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "spark shuffles partition data across the cluster by key",
+      3L -> "a completely different document about gardening tools",
+      4L -> "this page disappears in the next crawl").toDF("doc_id", "text")
+    val v2 = Seq(
+      1L -> "  the quick brown fox jumps over the lazy dog today ",
+      2L -> "spark shuffles partition data across the cluster by key ok",
+      3L -> "tools gardening about document different completely a",
+      9L -> "a brand new page").toDF("doc_id", "text")
+
+    sup.freezeRecrawlBaseline("idx", v1, "doc_id", "text")
+    // chunks arrive out of id order — verdicts are order-free
+    sup.ingestRecrawl("idx", v2.filter(col("doc_id") > 2), "doc_id", "text")
+    sup.ingestRecrawl("idx", v2.filter(col("doc_id") <= 2), "doc_id", "text")
+    val got = sup.recrawlDiff("idx").orderBy("doc_id").collect().toSeq
+    val expected = graft.ops.Dedup.snapshotFuzzyDiff(v1, v2, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(got == expected, s"supervisor diff must equal the batch triage: $got")
+
+    // a second epoch needs an explicit verdict reset — no silent mixing
+    intercept[IllegalArgumentException] {
+      sup.freezeRecrawlBaseline("idx", v2, "doc_id", "text")
+    }
+    // ingest without a baseline fails loudly
+    reg.add(IndexerDefinition("bare", confXml))
+    intercept[IllegalArgumentException] {
+      sup.ingestRecrawl("bare", v2, "doc_id", "text")
+    }
+  }
+
   test("C3 percolation arm: frozen standing queries route batches through the supervisor") {
     import spark.implicits._
     val regDir = tmp("graft_reg6"); val work = tmp("graft_work6"); val logs = tmp("graft_logs6")
