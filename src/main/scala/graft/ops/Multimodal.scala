@@ -582,7 +582,25 @@ object Multimodal {
   def matchAudioClips(tracks: DataFrame, clips: DataFrame,
                       windowSamples: Int = 16, k: Int = 4, minVotes: Long = 2,
                       maxDf: Option[Int] = None,
-                      decoder: AudioDecoder = PcmS16leDecoder): DataFrame = {
+                      decoder: AudioDecoder = PcmS16leDecoder): DataFrame =
+    clipMatches(tracks, clips, windowSamples, k, minVotes, maxDf, decoder)
+      .groupBy(col("clip_id"))
+      .agg(max(struct(col("votes"), (-col("track_id")).as("nt"),
+        (-col("offset_w")).as("no"))).as("b"))
+      .select(col("clip_id"), (-col("b.nt")).as("track_id"),
+        (-col("b.no")).as("offset_w"), col("b.votes").as("votes"))
+
+  /** PAIR-level clip matching — every (clip, track) pair that reaches
+    * `minVotes` at some offset, with its best offset (ties → smaller).
+    * The percolation-friendly granularity: each pair's verdict depends
+    * only on that one track and the frozen clip set, so a track corpus
+    * can be processed in chunks (or as a stream — s23) and the union of
+    * chunk outputs IS the batch output. [[matchAudioClips]] adds the
+    * per-clip argmax over tracks on top. */
+  def clipMatches(tracks: DataFrame, clips: DataFrame,
+                  windowSamples: Int = 16, k: Int = 4, minVotes: Long = 2,
+                  maxDf: Option[Int] = None,
+                  decoder: AudioDecoder = PcmS16leDecoder): DataFrame = {
     val tp0 = audioContourPrints(tracks, windowSamples, k, decoder).toDF()
       .select(col("doc_id").as("track_id"), col("pos").as("t_pos"), col("h"))
     val tp = maxDf.fold(tp0) { cap =>
@@ -593,15 +611,14 @@ object Multimodal {
     }
     val cp = audioContourPrints(clips, windowSamples, k, decoder).toDF()
       .select(col("doc_id").as("clip_id"), col("pos").as("c_pos"), col("h"))
-    val votes = tp.join(broadcast(cp), Seq("h"))
+    tp.join(broadcast(cp), Seq("h"))
       .groupBy(col("clip_id"), col("track_id"),
         (col("t_pos") - col("c_pos")).as("offset_w"))
       .agg(count(lit(1)).as("votes"))
       .filter(col("votes") >= minVotes)
-    votes.groupBy(col("clip_id"))
-      .agg(max(struct(col("votes"), (-col("track_id")).as("nt"),
-        (-col("offset_w")).as("no"))).as("b"))
-      .select(col("clip_id"), (-col("b.nt")).as("track_id"),
+      .groupBy(col("clip_id"), col("track_id"))
+      .agg(max(struct(col("votes"), (-col("offset_w")).as("no"))).as("b"))
+      .select(col("clip_id"), col("track_id"),
         (-col("b.no")).as("offset_w"), col("b.votes").as("votes"))
   }
 

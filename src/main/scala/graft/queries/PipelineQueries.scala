@@ -1449,6 +1449,35 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("win_idx"))
     }),
 
+    // m12 percolated: standing clip "alerts" match every arriving track
+    // micro-batch — pair verdicts depend only on (one track, the frozen
+    // clip set), so the drained union of per-batch outputs equals the
+    // batch pair-level matcher; stateless per trigger, no watermark, no
+    // state store (the s09/s16 percolation family, audio edition)
+    "s23_stream_clip_percolate" -> ((s, dir) => {
+      val work = graft.queries.ExtendedQueries.scratchDir("graft_s23")
+      val (tracks, clips) = pcmClipFixture(s, dir)
+      Seq(col("doc_id") % 3 === 0, col("doc_id") % 3 === 1,
+          col("doc_id") % 3 === 2).foreach { p =>
+        tracks.filter(p).coalesce(1).write.mode("append").parquet(s"$work/log")
+        Thread.sleep(20)
+      }
+      val outDir = s"$work/out"
+      val q = s.readStream.schema(tracks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$work/log")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          Multimodal.clipMatches(b, clips, windowSamples = 4, k = 4)
+            .write.mode("append").parquet(outDir); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ckpt")
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir).orderBy(col("clip_id"), col("track_id"))
+    }),
+
     // the multimodal path under Structured Streaming: the SAME typed
     // mapPartitions decode→resize kernel runs per micro-batch (typed ops
     // stream as-is — per-partition decoder init included); stateless, so
@@ -1563,6 +1592,46 @@ object PipelineQueries {
           (id, "image/png", bos.toByteArray)
         }
       }.toDF("doc_id", "mime", "payload")
+  }
+
+  /** Shared m12/s23 oracle block ending in `v` = the (clip, track,
+    * offset_w, votes ≥ 2) vote rows: md5-derived samples, unrolled
+    * 4-term window energies, the 5-way ratio contour, base-5 4-gram
+    * pack, and the gram-join offset vote — all exact integers. */
+  private val m12VoteCtes: String = {
+    def energies(src: String, nw: Int) =
+      s"""list_transform(generate_series(0, ${nw - 1}), w ->
+         |      $src[4*w+1]*$src[4*w+1] + $src[4*w+2]*$src[4*w+2] +
+         |      $src[4*w+3]*$src[4*w+3] + $src[4*w+4]*$src[4*w+4])""".stripMargin
+    def contour(len: Int) =
+      s"""list_transform(generate_series(1, $len), i ->
+         |      CASE WHEN 2*e[i+1] < e[i] THEN 0
+         |           WHEN e[i+1] < e[i] THEN 1
+         |           WHEN e[i+1] = e[i] THEN 2
+         |           WHEN e[i+1] <= 2*e[i] THEN 3
+         |           ELSE 4 END)""".stripMargin
+    val samp = h60sql("CAST(t AS VARCHAR) || '_' || CAST(i AS VARCHAR)")
+    val sampJ = h60sql("CAST(t AS VARCHAR) || '_' || CAST((t % 5) * 8 + j AS VARCHAR)")
+    s"""ids AS (SELECT doc_id AS t FROM documents WHERE doc_id < 200),
+       |tx AS (SELECT t, list_transform(generate_series(0, 95),
+       |         i -> $samp % 201 - 100) AS x FROM ids),
+       |te AS (SELECT t, ${energies("x", 24)} AS e FROM tx),
+       |tc AS (SELECT t, ${contour(23)} AS c FROM te),
+       |tp AS (SELECT t AS track_id, p AS t_pos,
+       |         c[p]*125 + c[p+1]*25 + c[p+2]*5 + c[p+3] AS h
+       |       FROM (SELECT t, c, unnest(generate_series(1, 20)) AS p FROM tc)),
+       |cy AS (SELECT t, list_transform(generate_series(0, 39),
+       |         j -> (1 + t % 3) * ($sampJ % 201 - 100)) AS y
+       |       FROM ids),
+       |ce AS (SELECT t, ${energies("y", 10)} AS e FROM cy),
+       |cc AS (SELECT t, ${contour(9)} AS c FROM ce),
+       |cp AS (SELECT t AS clip_id, p AS c_pos,
+       |         c[p]*125 + c[p+1]*25 + c[p+2]*5 + c[p+3] AS h
+       |       FROM (SELECT t, c, unnest(generate_series(1, 6)) AS p FROM cc)),
+       |v AS (SELECT cp.clip_id, tp.track_id, tp.t_pos - cp.c_pos AS offset_w,
+       |        CAST(count(*) AS BIGINT) AS votes
+       |      FROM cp JOIN tp ON cp.h = tp.h
+       |      GROUP BY 1, 2, 3 HAVING count(*) >= 2)""".stripMargin
   }
 
   def oracles: Map[String, String] = Map(
@@ -3230,46 +3299,25 @@ object PipelineQueries {
     // pack, gram join voting on (track, t_pos − c_pos), per-clip argmax
     // with the (votes desc, track asc, offset asc) tie-break — every
     // quantity an exact integer
-    "m12_audio_clip_match" -> {
-      def energies(src: String, nw: Int) =
-        s"""list_transform(generate_series(0, ${nw - 1}), w ->
-           |      $src[4*w+1]*$src[4*w+1] + $src[4*w+2]*$src[4*w+2] +
-           |      $src[4*w+3]*$src[4*w+3] + $src[4*w+4]*$src[4*w+4])""".stripMargin
-      def contour(len: Int) =
-        s"""list_transform(generate_series(1, $len), i ->
-           |      CASE WHEN 2*e[i+1] < e[i] THEN 0
-           |           WHEN e[i+1] < e[i] THEN 1
-           |           WHEN e[i+1] = e[i] THEN 2
-           |           WHEN e[i+1] <= 2*e[i] THEN 3
-           |           ELSE 4 END)""".stripMargin
-      val samp = h60sql("CAST(t AS VARCHAR) || '_' || CAST(i AS VARCHAR)")
-      val sampJ = h60sql("CAST(t AS VARCHAR) || '_' || CAST((t % 5) * 8 + j AS VARCHAR)")
-      s"""WITH ids AS (SELECT doc_id AS t FROM documents WHERE doc_id < 200),
-         |tx AS (SELECT t, list_transform(generate_series(0, 95),
-         |         i -> $samp % 201 - 100) AS x FROM ids),
-         |te AS (SELECT t, ${energies("x", 24)} AS e FROM tx),
-         |tc AS (SELECT t, ${contour(23)} AS c FROM te),
-         |tp AS (SELECT t AS track_id, p AS t_pos,
-         |         c[p]*125 + c[p+1]*25 + c[p+2]*5 + c[p+3] AS h
-         |       FROM (SELECT t, c, unnest(generate_series(1, 20)) AS p FROM tc)),
-         |cy AS (SELECT t, list_transform(generate_series(0, 39),
-         |         j -> (1 + t % 3) * ($sampJ % 201 - 100)) AS y
-         |       FROM ids),
-         |ce AS (SELECT t, ${energies("y", 10)} AS e FROM cy),
-         |cc AS (SELECT t, ${contour(9)} AS c FROM ce),
-         |cp AS (SELECT t AS clip_id, p AS c_pos,
-         |         c[p]*125 + c[p+1]*25 + c[p+2]*5 + c[p+3] AS h
-         |       FROM (SELECT t, c, unnest(generate_series(1, 6)) AS p FROM cc)),
-         |v AS (SELECT cp.clip_id, tp.track_id, tp.t_pos - cp.c_pos AS offset_w,
-         |        CAST(count(*) AS BIGINT) AS votes
-         |      FROM cp JOIN tp ON cp.h = tp.h
-         |      GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+    "m12_audio_clip_match" ->
+      s"""WITH $m12VoteCtes,
          |r AS (SELECT clip_id, track_id, CAST(offset_w AS BIGINT) AS offset_w, votes,
          |        row_number() OVER (PARTITION BY clip_id
          |          ORDER BY votes DESC, track_id ASC, offset_w ASC) AS rk FROM v)
          |SELECT clip_id, track_id, offset_w, votes FROM r WHERE rk = 1
-         |ORDER BY clip_id""".stripMargin
-    },
+         |ORDER BY clip_id""".stripMargin,
+
+    // s23 = m12 percolated at pair granularity: each (clip, track) pair's
+    // verdict depends only on that track and the frozen clips, so the
+    // drained per-batch union equals the batch pair matcher — one shared
+    // vote-CTE block, pair-level argmax
+    "s23_stream_clip_percolate" ->
+      s"""WITH $m12VoteCtes,
+         |r AS (SELECT clip_id, track_id, CAST(offset_w AS BIGINT) AS offset_w, votes,
+         |        row_number() OVER (PARTITION BY clip_id, track_id
+         |          ORDER BY votes DESC, offset_w ASC) AS rk FROM v)
+         |SELECT clip_id, track_id, offset_w, votes FROM r WHERE rk = 1
+         |ORDER BY clip_id, track_id""".stripMargin,
 
     // audio resample: the synth stream reconstructed by id-arithmetic,
     // then y[n] = x[p] + ⌊(x[p+1]−x[p])·f / l⌋ at p = (n·m)//l,

@@ -270,6 +270,15 @@ class MultimodalSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       "clip prints must broadcast against the track scan:\n" + plan.take(800))
 
+    // pair granularity: per-chunk union == whole-corpus batch (the s23
+    // percolation contract — a pair's verdict sees only its own track)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.clipMatches(df, clip, windowSamples = 4, k = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(Seq(tracks.filter(col("doc_id") <= 1), tracks.filter(col("doc_id") > 1))
+      .map(pairs).reduce(_ ++ _) == pairs(tracks),
+      "chunked pair matching must union to the batch result")
+
     // df cap: an all-silent track pair shares flat hub grams everywhere —
     // capped at 1 they vanish, so a silent clip finds nothing
     val silent = Seq(7L, 8L).map(t =>
