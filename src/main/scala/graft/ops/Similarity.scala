@@ -981,6 +981,47 @@ object Similarity {
     target
   }
 
+  /** QUANTIZER-DRIFT monitor — the when-to-rebuild signal every
+    * frozen-codebook index needs: a04/a13/s08/s18 freeze their books at
+    * build time and appends encode under them forever; when the data
+    * distribution moves, vectors quantize badly and recall decays
+    * SILENTLY (nothing errors — results are just worse). This measures
+    * the decay: per labeled segment, the per-vector best-centroid cosine
+    * (micro-quantized, the engine's 10⁻⁶ convention) aggregated to
+    * `(segment, n_vecs, mean_fit, p_low)` with p_low = the fraction of
+    * vectors whose fit falls under `lowFit`. A segment (say, this week's
+    * crawl increment) whose mean_fit drops against the build segment —
+    * or whose p_low climbs — is the retrain alarm.
+    *
+    * Scale: ONE map-only scan per segment — the codebook rides as plan
+    * literals inside a codegen'd `greatest` (no join, no shuffle), the
+    * aggregate is map-side-partial, and the output is segments-sized.
+    * Mean = order-free exact integer micro-unit sum ÷ n, so the report
+    * is engine-portable. */
+  def quantizerDrift(segments: Seq[(String, DataFrame)], cents: Seq[Centroid],
+                     lowFit: Double = 0.5): DataFrame = {
+    require(cents.nonEmpty, "quantizerDrift needs a trained codebook")
+    require(segments.nonEmpty, "quantizerDrift needs at least one segment")
+    val lowQ = math.round(lowFit * 1e6)
+    segments.map { case (label, df) =>
+      val sims = cents.map { c =>
+        if (c.nq == 0L) lit(0.0)
+        else when(col("nq") === 0, 0.0).otherwise(
+          graft.expr.hfunctions.long_dot(col("q"), typedLit(c.vec)).cast("double") /
+            (sqrt(col("nq").cast("double")) * math.sqrt(c.nq.toDouble)))
+      }
+      val best = if (sims.size == 1) sims.head else greatest(sims: _*)
+      df.select(round(best * 1e6).cast("long").as("fit_q"))
+        .agg(count(lit(1)).as("n_vecs"),
+          (sum(col("fit_q")).cast("double") /
+            (count(lit(1)) * lit(1e6))).as("mean_fit"),
+          (sum(when(col("fit_q") < lowQ, 1L).otherwise(0L)).cast("double") /
+            count(lit(1))).as("p_low"))
+        .withColumn("segment", lit(label))
+        .select("segment", "n_vecs", "mean_fit", "p_low")
+    }.reduce(_ unionByName _)
+  }
+
   /** SemDeDup-style cluster-scoped embedding dedup: k-means the corpus
     * with the deterministic codebook ([[trainCentroids]]), then WITHIN
     * each cluster drop every vector that has a near-duplicate (cosine ≥

@@ -623,6 +623,27 @@ object ExtendedQueries {
         .orderBy(col("phase"), col("q_id"), col("rk"))
     }),
 
+    // QUANTIZER-DRIFT monitor: the when-to-rebuild signal for every
+    // frozen-codebook index — per-segment mean best-centroid cosine
+    // (micro-quantized) + low-fit fraction from ONE map-only scan per
+    // segment (codebook as plan literals inside a codegen'd greatest).
+    // 'build' = the training corpus, 'increment' = an in-distribution
+    // half (fit holds), 'drift' = reversed vectors (distribution moved,
+    // fit drops — the retrain alarm the oracle certifies)
+    "a20_ann_drift" -> ((s, dir) => {
+      val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
+      val drifted = Similarity.prep(
+        t(s, dir, "embeddings").withColumn("embedding", reverse(col("embedding"))),
+        "vec_id", "embedding")
+      val cents = Similarity.trainCentroids(corpus, 8, 2)
+      Similarity.quantizerDrift(Seq(
+          "build" -> corpus,
+          "increment" -> corpus.filter(col("vec_id") % 2 === 1),
+          "drift" -> drifted),
+        cents, lowFit = 0.5)
+        .orderBy(col("segment"))
+    }),
+
     // scalar-quantization (SQ8) ANN: per-dimension affine 8-bit codes on
     // the corpus [min,max] range, asymmetric scoring via scaled-integer
     // dequantization (exact 64-bit arithmetic, the ×255 scale cancels) —
@@ -1765,6 +1786,32 @@ object ExtendedQueries {
        |  UNION ALL SELECT *, CAST(2 AS BIGINT) AS phase FROM one)
        |ORDER BY phase, q_id, rk""".stripMargin
 
+  /** a20: best-centroid fit per segment off the shared k-means CTEs —
+    * `assign` crk=1 rows carry the build corpus's best sim; the drift
+    * segment re-scores reversed vectors (norms unchanged) against the
+    * same codebook with a plain max. Micro-quantized sums are exact. */
+  private val a20Oracle: String =
+    s"""$kmeansAssignCtes,
+       |bs AS (SELECT n.vec_id,
+       |         max(CASE WHEN n.nn = 0 OR c.c_nn = 0 THEN 0.0
+       |             ELSE list_dot_product(n.q::DOUBLE[], c.c_q::DOUBLE[]) / (sqrt(n.nn) * sqrt(c.c_nn)) END) AS sim
+       |       FROM n CROSS JOIN c GROUP BY n.vec_id),
+       |nr AS (SELECT vec_id, list_reverse(q) AS q, nn FROM n),
+       |bd AS (SELECT nr.vec_id,
+       |         max(CASE WHEN nr.nn = 0 OR c.c_nn = 0 THEN 0.0
+       |             ELSE list_dot_product(nr.q::DOUBLE[], c.c_q::DOUBLE[]) / (sqrt(nr.nn) * sqrt(c.c_nn)) END) AS sim
+       |       FROM nr CROSS JOIN c GROUP BY nr.vec_id),
+       |seg AS (
+       |  SELECT 'build' AS segment, CAST(round(sim * 1000000) AS BIGINT) AS fit_q FROM bs
+       |  UNION ALL
+       |  SELECT 'increment', CAST(round(sim * 1000000) AS BIGINT) FROM bs WHERE vec_id % 2 = 1
+       |  UNION ALL
+       |  SELECT 'drift', CAST(round(sim * 1000000) AS BIGINT) FROM bd)
+       |SELECT segment, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(fit_q) AS DOUBLE) / (count(*) * 1000000.0) AS mean_fit,
+       |  CAST(count(CASE WHEN fit_q < 500000 THEN 1 END) AS DOUBLE) / count(*) AS p_low
+       |FROM seg GROUP BY segment ORDER BY segment""".stripMargin
+
   private val a05Oracle: String =
     s"""$kmeansAssignCtes,
        |drops AS (
@@ -2593,6 +2640,8 @@ object ExtendedQueries {
     "a04_ann_ivf_index" -> a03Oracle,
     // a19: deletions — the surviving universe, served twice
     "a19_ann_ivf_delete" -> a19Oracle,
+    // a20: drift — per-segment quantizer fit off the shared k-means CTEs
+    "a20_ann_drift" -> a20Oracle,
 
     "a03_ann_ivf" -> a03Oracle,
 

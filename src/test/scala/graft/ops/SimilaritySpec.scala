@@ -621,6 +621,27 @@ class SimilaritySpec extends SparkSpec {
       s"drop set mismatch: ${(allIds -- keptIds) -- expectedDrops} vs ${expectedDrops -- (allIds -- keptIds)}")
   }
 
+  test("quantizerDrift: reversed-vector segment alarms, in-distribution increment holds") {
+    val cents = Similarity.trainCentroids(corpus, 8, 2)
+    val drifted = corpus.withColumn("q", reverse(col("q"))) // norm unchanged
+    val rep = Similarity.quantizerDrift(Seq(
+        "build" -> corpus,
+        "increment" -> corpus.filter(col("vec_id") % 2 === 1),
+        "drift" -> drifted), cents)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val (nb, fb, pb) = rep("build")
+    val (ni, fi, _) = rep("increment")
+    val (nd, fd, pd) = rep("drift")
+    assert(nd == nb && ni < nb)
+    assert(fd < fb, s"reversed vectors must fit worse than the training corpus: $fd vs $fb")
+    assert(pd >= pb, s"low-fit fraction must not improve under drift: $pd vs $pb")
+    assert(math.abs(fi - fb) < 0.2, s"an in-distribution increment holds fit: $fi vs $fb")
+    // codebook rides as plan literals — a drift report must never join
+    val plan = Similarity.quantizerDrift(Seq("build" -> corpus), cents)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "no join in the drift scan:\n" + plan.take(800))
+  }
+
   test("plane coefficients match the md5-derived planeCoef expression") {
     val viaExpr = spark.range(1).select(
       (0 until 4).flatMap(p => (0 until 3).map(d =>
