@@ -444,4 +444,35 @@ object CorpusStats {
       when(size(col("mins")) < k, size(col("mins")).cast("long"))
         .otherwise(round(lit((k - 1).toDouble) * lit(1152921504606846976L.toDouble)
           / element_at(col("mins"), k).cast("double")).cast("long")).as("est_q"))
+
+  /** Grouped FEATURE STANDARDIZATION without a window (t23): per-group
+    * z-scores for an integer feature — the "normalize quality/length
+    * signals within each language (or domain, or source)" step every
+    * mixed-corpus threshold rule needs: an absolute cutoff that is
+    * strict for English is lax for a low-resource language, z-scores
+    * within the group make one threshold portable.
+    *
+    * Scale: stats are ONE groupBy producing (n, Σx, Σx²) — groups-sized
+    * — broadcast back over a second corpus scan; no window function
+    * over the corpus anywhere (a `Window.partitionBy(group)` here
+    * sorts every partition — the trap this operator exists to avoid).
+    * z = (n·x − Σx)/√(n·Σx² − Σx²): numerator and radicand exact
+    * 64-bit integers, ONE double division — engine-portable
+    * bit-for-bit. Zero-variance groups (and singletons) score 0. At
+    * corpus scale the Σx² products want a `decimal(38,0)` widen if the
+    * feature exceeds ~2²⁰ per doc; lengths and token counts don't. */
+  def groupedZScores(docs: DataFrame, idCol: String, groupCol: String,
+                     x: Column): DataFrame = {
+    val d = docs.select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
+      x.cast("long").as("x"))
+    val st = d.groupBy(col("grp")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"))
+    val rad = col("n") * col("sxx") - col("sx") * col("sx")
+    d.join(broadcast(st), Seq("grp"))
+      .withColumn("z", when(rad <= 0, lit(0.0))
+        .otherwise((col("n") * col("x") - col("sx")).cast("double") /
+          sqrt(rad.cast("double"))))
+      .select(col("doc_id"), col("grp"), col("z"))
+  }
 }

@@ -169,6 +169,31 @@ object ExtendedQueries {
         .orderBy(col("n_view"))
     }),
 
+    // TIME-BOUNDED conversion funnel: view → click within 1h of the
+    // first view → purchase within 1h of that click. Each stage is a
+    // type-filtered slice joined to the previous stage's users-sized
+    // firsts frame (pruned BEFORE the join), keyed on user_id
+    // throughout — three co-keyed aggregates, no window, no self-join
+    // of the full event table; the per-stage firsts frames are
+    // users-sized and broadcastable when small
+    "q23_funnel_windowed" -> ((s, dir) => {
+      val dt = 3600L
+      val ev = eventsSec(s, dir).select(col("user_id"), col("ts_s"), col("event_type"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_s")).as("t_v"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts_s") >= col("t_v") && col("ts_s") <= col("t_v") + dt)
+        .groupBy(col("user_id")).agg(min(col("ts_s")).as("t_c"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts_s") >= col("t_c") && col("ts_s") <= col("t_c") + dt)
+        .groupBy(col("user_id")).agg(min(col("ts_s")).as("t_p"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click_within")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase_within")))
+    }),
+
     // cohort retention: users bucketed by first-activity day, then for
     // each (cohort, day-offset) the count of users active that day — the
     // classic retention triangle. No join-back to a firsts table: the
@@ -2390,6 +2415,27 @@ object ExtendedQueries {
         |      FROM ev e JOIN f USING (user_id))
         |SELECT cohort, offset_d, count(*) AS n_users
         |FROM j GROUP BY 1, 2 ORDER BY cohort, offset_d""".stripMargin,
+
+    // q23: the same three chained stage-firsts, each bounded by the
+    // previous stage's timestamp + window
+    "q23_funnel_windowed" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_s, event_type FROM events),
+        |v AS (SELECT user_id, min(ts_s) AS t_v FROM ev
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts_s) AS t_c
+        |      FROM ev e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click'
+        |        AND e.ts_s >= v.t_v AND e.ts_s <= v.t_v + 3600
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts_s) AS t_p
+        |      FROM ev e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase'
+        |        AND e.ts_s >= c.t_c AND e.ts_s <= c.t_c + 3600
+        |      GROUP BY e.user_id)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click_within,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_within""".stripMargin,
 
     "q21_retention" ->
       """WITH ev AS (

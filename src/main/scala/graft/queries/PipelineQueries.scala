@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{BpeTrainer, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{BpeTrainer, CorpusStats, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1230,6 +1230,18 @@ object PipelineQueries {
       docs(s, dir).select(
           (col("doc_id") +: feats.map { case (n, c) => c.as(n) }) :+
             TextAnalysis.qualityScore(col("text")).as("quality"): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // grouped z-score standardization: per-language length z-scores —
+    // the normalize-within-group step that makes one quality threshold
+    // portable across a mixed corpus. Stats = one groups-sized groupBy
+    // (n, Σx, Σx²) broadcast back over the scan; NO window over the
+    // corpus; z = (n·x − Σx)/√(n·Σx² − Σx²), exact integers inside,
+    // one double division — engine-identical
+    "t23_grouped_zscore" -> ((s, dir) => {
+      CorpusStats.groupedZScores(docs(s, dir), "doc_id", "lang",
+          length(col("text")))
         .orderBy(col("doc_id"))
     }),
 
@@ -3125,6 +3137,18 @@ object PipelineQueries {
          |    + 0.3 * (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END))) AS quality
          |FROM f ORDER BY doc_id""".stripMargin
     },
+
+    "t23_grouped_zscore" ->
+      """WITH d AS (SELECT doc_id, lang AS grp, CAST(length(text) AS BIGINT) AS x
+        |           FROM documents),
+        |st AS (SELECT grp, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |              CAST(sum(x * x) AS BIGINT) AS sxx
+        |       FROM d GROUP BY grp)
+        |SELECT d.doc_id, d.grp,
+        |  CASE WHEN st.n * st.sxx - st.sx * st.sx <= 0 THEN 0.0
+        |       ELSE CAST(st.n * d.x - st.sx AS DOUBLE) /
+        |            sqrt(CAST(st.n * st.sxx - st.sx * st.sx AS DOUBLE)) END AS z
+        |FROM d JOIN st ON d.grp = st.grp ORDER BY doc_id""".stripMargin,
 
     "t22_readability" ->
       """WITH f AS (

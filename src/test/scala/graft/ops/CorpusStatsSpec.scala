@@ -229,4 +229,27 @@ class CorpusStatsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(again == got)
   }
+
+  test("groupedZScores == stddev_pop z-scores; zero-variance and singleton groups score 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "aaaa"), (2L, "en", "aaaaaaaa"), (3L, "en", "aaaaaaaaaaaa"),
+      (4L, "de", "bbbbbb"), (5L, "de", "bbbbbb"),   // zero variance
+      (6L, "fr", "c")                                // singleton
+    ).toDF("doc_id", "lang", "text")
+    val got = CorpusStats.groupedZScores(docs, "doc_id", "lang",
+        length(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // en: lengths 4/8/12, mu=8, sigma_pop=sqrt(32/3)
+    val sig = math.sqrt(32.0 / 3.0)
+    assert(math.abs(got(1L) - (-4.0 / sig)) < 1e-12, got(1L).toString)
+    assert(math.abs(got(2L)) < 1e-12)
+    assert(math.abs(got(3L) - 4.0 / sig) < 1e-12)
+    assert(got(4L) == 0.0 && got(5L) == 0.0, "zero-variance group scores 0")
+    assert(got(6L) == 0.0, "singleton scores 0")
+    // no window operator anywhere in the plan
+    val plan = CorpusStats.groupedZScores(docs, "doc_id", "lang", length(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(600))
+  }
 }
