@@ -998,20 +998,26 @@ object Similarity {
     * aggregate is map-side-partial, and the output is segments-sized.
     * Mean = order-free exact integer micro-unit sum ÷ n, so the report
     * is engine-portable. */
+  /** Per-vector best-centroid fit, micro-quantized — the codebook rides
+    * as plan literals inside a codegen'd `greatest` (no join). */
+  private[graft] def bestFitQ(cents: Seq[Centroid]): Column = {
+    val sims = cents.map { c =>
+      if (c.nq == 0L) lit(0.0)
+      else when(col("nq") === 0, 0.0).otherwise(
+        graft.expr.hfunctions.long_dot(col("q"), typedLit(c.vec)).cast("double") /
+          (sqrt(col("nq").cast("double")) * math.sqrt(c.nq.toDouble)))
+    }
+    val best = if (sims.size == 1) sims.head else greatest(sims: _*)
+    round(best * 1e6).cast("long")
+  }
+
   def quantizerDrift(segments: Seq[(String, DataFrame)], cents: Seq[Centroid],
                      lowFit: Double = 0.5): DataFrame = {
     require(cents.nonEmpty, "quantizerDrift needs a trained codebook")
     require(segments.nonEmpty, "quantizerDrift needs at least one segment")
     val lowQ = math.round(lowFit * 1e6)
     segments.map { case (label, df) =>
-      val sims = cents.map { c =>
-        if (c.nq == 0L) lit(0.0)
-        else when(col("nq") === 0, 0.0).otherwise(
-          graft.expr.hfunctions.long_dot(col("q"), typedLit(c.vec)).cast("double") /
-            (sqrt(col("nq").cast("double")) * math.sqrt(c.nq.toDouble)))
-      }
-      val best = if (sims.size == 1) sims.head else greatest(sims: _*)
-      df.select(round(best * 1e6).cast("long").as("fit_q"))
+      df.select(bestFitQ(cents).as("fit_q"))
         .agg(count(lit(1)).as("n_vecs"),
           (sum(col("fit_q")).cast("double") /
             (count(lit(1)) * lit(1e6))).as("mean_fit"),

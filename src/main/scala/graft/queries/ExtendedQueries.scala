@@ -335,6 +335,26 @@ object ExtendedQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // a20 on the ingest stream: every arriving micro-batch scores its
+    // quantization fit against the FROZEN codebook and appends one
+    // batch-keyed report row — counts and micro-unit sums are additive
+    // over disjoint triggers, so the drained summary equals the batch
+    // a20 aggregate exactly; the per-batch rows are the drift time
+    // series an operator dashboards
+    "s24_stream_drift" -> ((s, dir) => {
+      val work = scratchDir("graft_s24")
+      val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
+      val cents = Similarity.trainCentroids(corpus, 8, 2)
+      val in = onceLog("s24", dir) { path =>
+        Seq(col("vec_id") % 3 === 0, col("vec_id") % 3 === 1,
+            col("vec_id") % 3 === 2).foreach { p =>
+          corpus.filter(p).coalesce(1).write.mode("append").parquet(path)
+          Thread.sleep(20)
+        }
+      }
+      graft.streaming.StreamDrift.drain(s, cents, in, s"$work/reports", s"$work/ckpt")
+    }),
+
     "s02_stream_window" -> ((s, dir) => {
       val work = scratchDir("graft_s02")
       t(s, dir, "events").coalesce(4).write.mode("overwrite").parquet(s"$work/log")
@@ -2688,6 +2708,19 @@ object ExtendedQueries {
     "a19_ann_ivf_delete" -> a19Oracle,
     // a20: drift — per-segment quantizer fit off the shared k-means CTEs
     "a20_ann_drift" -> a20Oracle,
+    // s24 = a20's build segment incrementally: integer sums are additive
+    // over disjoint triggers, so the drained summary is the batch row
+    "s24_stream_drift" ->
+      s"""$kmeansAssignCtes,
+         |bs AS (SELECT n.vec_id,
+         |         max(CASE WHEN n.nn = 0 OR c.c_nn = 0 THEN 0.0
+         |             ELSE list_dot_product(n.q::DOUBLE[], c.c_q::DOUBLE[]) / (sqrt(n.nn) * sqrt(c.c_nn)) END) AS sim
+         |       FROM n CROSS JOIN c GROUP BY n.vec_id),
+         |f AS (SELECT CAST(round(sim * 1000000) AS BIGINT) AS fit_q FROM bs)
+         |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(fit_q) AS DOUBLE) / (count(*) * 1000000.0) AS mean_fit,
+         |  CAST(count(CASE WHEN fit_q < 500000 THEN 1 END) AS DOUBLE) / count(*) AS p_low
+         |FROM f""".stripMargin,
 
     "a03_ann_ivf" -> a03Oracle,
 

@@ -642,6 +642,22 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Join"), "no join in the drift scan:\n" + plan.take(800))
   }
 
+  test("StreamDrift: additive trigger reports fold to the batch a20 row exactly") {
+    val cents = Similarity.trainCentroids(corpus, 8, 2)
+    val work = java.nio.file.Files.createTempDirectory("graft_sdrift").toString
+    graft.streaming.StreamDrift.applyBatch(s"$work/reports", cents,
+      corpus.filter(col("vec_id") % 2 === 0), 0L)
+    graft.streaming.StreamDrift.applyBatch(s"$work/reports", cents,
+      corpus.filter(col("vec_id") % 2 === 1), 1L)
+    val got = graft.streaming.StreamDrift.summary(spark, s"$work/reports")
+      .collect().head
+    val batch = Similarity.quantizerDrift(Seq("build" -> corpus), cents)
+      .collect().head
+    assert(got.getLong(0) == batch.getLong(1), "n_vecs")
+    assert(got.getDouble(1) == batch.getDouble(2), "mean_fit must be bit-equal (exact sums)")
+    assert(got.getDouble(2) == batch.getDouble(3), "p_low must be bit-equal")
+  }
+
   test("plane coefficients match the md5-derived planeCoef expression") {
     val viaExpr = spark.range(1).select(
       (0 until 4).flatMap(p => (0 until 3).map(d =>
