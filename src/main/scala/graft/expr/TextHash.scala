@@ -313,4 +313,54 @@ object TextHash {
     }
     java.lang.Long.valueOf(out)
   }
+
+  /** Threshold-bounded Levenshtein distance (classic Ukkonen band,
+    * O(maxDist · min len) with early exit when an entire band row
+    * exceeds the bound): the exact distance when ≤ `t`, else −1 —
+    * value-identical to Spark's `levenshtein(a, b, t)` on BMP text.
+    * The built-in's interpreted path walks UTF8 bytes per character
+    * access and measured ~5 ms per ~300-char pair (it dominated d21's
+    * whole runtime); this kernel decodes once and runs the band on
+    * char arrays. */
+  def boundedLevenshtein(a: UTF8String, b: UTF8String, t: Int): Long = {
+    val s = a.toString
+    val u = b.toString
+    val m = s.length
+    val n = u.length
+    if (math.abs(m - n) > t) return -1L
+    if (m == 0) return if (n <= t) n.toLong else -1L
+    if (n == 0) return if (m <= t) m.toLong else -1L
+    val INF = Int.MaxValue / 2
+    var prev = new Array[Int](n + 1)
+    var cur = new Array[Int](n + 1)
+    java.util.Arrays.fill(prev, INF)
+    var j = 0
+    val j0 = math.min(n, t)
+    while (j <= j0) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= m) {
+      java.util.Arrays.fill(cur, INF)
+      val lo = math.max(1, i - t)
+      val hi = math.min(n, i + t)
+      cur(0) = if (i <= t) i else INF
+      var best = INF
+      var jj = lo
+      while (jj <= hi) {
+        val cost = if (s.charAt(i - 1) == u.charAt(jj - 1)) 0 else 1
+        var v = prev(jj - 1) + cost
+        val del = prev(jj) + 1
+        if (del < v) v = del
+        val ins = cur(jj - 1) + 1
+        if (ins < v) v = ins
+        cur(jj) = v
+        if (v < best) best = v
+        jj += 1
+      }
+      if (best > t) return -1L // no cell in the band can recover
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    val d = prev(n)
+    if (d <= t) d.toLong else -1L
+  }
 }

@@ -527,6 +527,39 @@ case class LongDotProduct(left: Expression, right: Expression)
   override def prettyName: String = "long_dot"
 }
 
+/** Threshold-bounded Levenshtein distance as a compiled kernel —
+  * value-identical to `levenshtein(a, b, maxDist)` (exact distance when
+  * ≤ maxDist, else −1). The built-in's interpreted path measured ~5 ms
+  * per ~300-char pair on the d21 verification set (it walks UTF8 bytes
+  * per character access); [[TextHash.boundedLevenshtein]] decodes once
+  * and runs the Ukkonen band with early exit. */
+case class BoundedLevenshtein(left: Expression, right: Expression, maxDist: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bounded_levenshtein expects (string, string), got (${left.dataType}, ${right.dataType})")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.boundedLevenshtein(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], maxDist)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.TextHash.boundedLevenshtein($a, $b, $maxDist);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BoundedLevenshtein =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "bounded_levenshtein"
+}
+
 /** Distinct 60-bit md5 hashes of the word n-gram shingles of a text
   * column, as one compiled pass per document (tokenize → n-grams → md5 →
   * dedup). Replaces an interpreted `transform`/`array_distinct` chain —
@@ -743,6 +776,8 @@ object hfunctions {
 
   /** distinct 60-bit md5 shingle hashes of a text column (compiled pass) */
   def shingle_hashes60(text: Column, n: Int): Column = expr2col(ShingleHashes60(col2expr(text), n))
+  def bounded_levenshtein(a: Column, b: Column, maxDist: Int): Column =
+    expr2col(BoundedLevenshtein(col2expr(a), col2expr(b), maxDist))
 
   /** minhash signature of a shingle-hash array (compiled pass) */
   def minhash_sig(hs: Column, k: Int): Column = expr2col(MinHashSig(col2expr(hs), k))

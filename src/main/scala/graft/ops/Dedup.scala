@@ -343,6 +343,7 @@ object Dedup {
                           editSim: Double = 0.8, maxDist: Int = 1000): DataFrame = {
     require((bands > 0) == (rowsPerBand > 0),
       "pass both bands and rowsPerBand, or neither (auto-derive from candidateThreshold)")
+    requireIntegralId(docs, idCol, "editSimilarityPairs")
     val (nBands, nRows) =
       if (bands > 0) (bands, rowsPerBand) else minhashConfigFor(candidateThreshold)
     val sigs = minhashSignatures(docs, idCol, textCol, nBands * nRows, n)
@@ -351,19 +352,33 @@ object Dedup {
       .join(banded.select(col("doc_id").as("b_id"), col("band_key")), Seq("band_key"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    val texts = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val texts = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the verify step runs through a TYPED map on purpose: as a Column
+    // expression the banded DP gets planned into the filter AND both
+    // downstream projections (predicate pushdown substitutes the alias —
+    // measured 3 plan occurrences, 3× the query's whole cost); the
+    // object boundary pins exactly ONE evaluation per candidate pair
     candidates
       .join(texts.select(col("doc_id").as("a_id"), col("text").as("a_text")), Seq("a_id"))
       .join(texts.select(col("doc_id").as("b_id"), col("text").as("b_text")), Seq("b_id"))
-      .withColumn("dist", levenshtein(col("a_text"), col("b_text"), maxDist).cast("long"))
-      .filter(col("dist") >= 0) // bounded DP reports -1 beyond maxDist
-      .withColumn("max_len",
-        greatest(length(col("a_text")), length(col("b_text"))).cast("long"))
-      .withColumn("edit_sim",
-        when(col("max_len") === 0, lit(1.0))
-          .otherwise(lit(1.0) - col("dist").cast("double") / col("max_len")))
-      .filter(col("edit_sim") >= editSim)
-      .select("a_id", "b_id", "dist", "max_len", "edit_sim")
+      .select(col("a_id").cast("long"), col("b_id").cast("long"),
+        col("a_text"), col("b_text"))
+      .as[(Long, Long, String, String)]
+      .map { case (aId, bId, at, bt) =>
+        val dist = graft.expr.TextHash.boundedLevenshtein(
+          org.apache.spark.unsafe.types.UTF8String.fromString(at),
+          org.apache.spark.unsafe.types.UTF8String.fromString(bt), maxDist)
+        val maxLen = math.max(at.codePointCount(0, at.length),
+          bt.codePointCount(0, bt.length)).toLong
+        val sim = if (maxLen == 0) 1.0 else 1.0 - dist.toDouble / maxLen
+        (aId, bId, dist, maxLen, sim)
+      }
+      .toDF("a_id", "b_id", "dist", "max_len", "edit_sim")
+      .filter(col("dist") >= 0 && // bounded DP reports -1 beyond maxDist
+        (col("max_len") === 0 || col("edit_sim") >= editSim))
   }
 
   /** Band keys of one minhash signature as an ARRAY column: band index +

@@ -305,6 +305,34 @@ object Sampling {
       .select(idCol, scoreCol, "rank")
   }
 
+  /** EPOCH-SHUFFLED training order (p28): the data-ordering step of a
+    * multi-epoch training run — every epoch must visit the whole corpus
+    * in a DIFFERENT pseudo-random order, and the order must be
+    * reproducible across retries, partitionings, and engines (never
+    * `rand()`). Epoch e's key for doc d is `md5(e ‖ d)` scaled into
+    * [0, 1) — a fresh deterministic permutation per epoch — and ranking
+    * runs through [[curriculumRank]]'s tier machinery, so there is NO
+    * global sort anywhere: the shuffle key is uniform, which is the
+    * easy, perfectly-balanced case of the tiered ranking. Output:
+    * (epoch, doc_id, step) with steps globally consecutive — epoch e
+    * occupies [(e−1)·n, e·n). At 100 TB you materialize each epoch
+    * lazily as training reaches it; the per-epoch cost is one ranking
+    * pass, and nothing here depends on epochs being built together. */
+  def epochSchedule(docs: DataFrame, idCol: String, epochs: Int,
+                    buckets: Int = 1024): DataFrame = {
+    require(epochs > 0, s"epochs must be positive: $epochs")
+    val n = docs.count()
+    (1 to epochs).map { e =>
+      val scored = docs.select(col(idCol).as("doc_id"))
+        .withColumn("score",
+          Dedup.hash60(concat(lit(s"${e}_"), col("doc_id").cast("string")))
+            .cast("double") / lit(1152921504606846976.0))
+      curriculumRank(scored, "doc_id", "score", buckets)
+        .select(lit(e.toLong).as("epoch"), col("doc_id"),
+          (col("rank") + lit((e - 1).toLong * n)).as("step"))
+    }.reduce(_ unionByName _)
+  }
+
   /** floor(sqrt(n)) in exact integer arithmetic (n ≥ 0). */
   private[ops] def isqrt(n: Long): Long = {
     var x = math.sqrt(n.toDouble).toLong

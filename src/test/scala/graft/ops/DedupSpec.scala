@@ -79,6 +79,22 @@ class DedupSpec extends SparkSpec {
     assert(lsh.contains((0L, 1L))) // identical docs always share all bands
   }
 
+  test("bounded_levenshtein == builtin levenshtein(a, b, t) on random pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def word() = (0 until (1 + rnd.nextInt(40)))
+      .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    val pairs = (0 until 200).map { _ => (word(), word()) } ++
+      Seq(("", ""), ("", "abc"), ("same", "same"))
+    val df = pairs.toDF("a", "b")
+    for (t <- Seq(0, 1, 3, 10, 1000)) {
+      val rows = df.select(
+        graft.expr.hfunctions.bounded_levenshtein(col("a"), col("b"), t).as("k"),
+        levenshtein(col("a"), col("b"), t).cast("long").as("ref")).collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"t=$t row=$r"))
+    }
+  }
+
   test("editSimilarityPairs: suffix copies verify at 0.9; maxDist bounds; sims exact") {
     import spark.implicits._
     val base = Seq(
