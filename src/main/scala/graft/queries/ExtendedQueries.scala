@@ -1136,6 +1136,16 @@ object ExtendedQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // epoch-shuffled training order: every epoch a fresh DETERMINISTIC
+    // permutation (md5(epoch ‖ id), never rand()), ranked through the
+    // same tier machinery as p20 — no global sort; steps consecutive
+    // across epochs
+    "p28_epoch_schedule" -> ((s, dir) => {
+      graft.ops.Sampling.epochSchedule(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id", epochs = 2)
+        .orderBy(col("step"))
+    }),
+
     // winnowing fingerprints (window-min k-gram hashes, compiled pass)
     "t05_winnowing" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -3069,6 +3079,26 @@ object ExtendedQueries {
          |  FROM f)
          |SELECT doc_id, q, row_number() OVER (ORDER BY q DESC, doc_id) AS rank
          |FROM d ORDER BY doc_id""".stripMargin
+    },
+
+    // p28: per-epoch permutation = the SAME scaled double both engines
+    // derive from the md5 hash (division by 2^60 is order-preserving up
+    // to double rounding — so the oracle orders by the scaled value,
+    // not the raw hash), ranked per epoch, steps offset by epoch
+    "p28_epoch_schedule" -> {
+      val h = PipelineQueries.h60sql(
+        "CAST(e.epoch AS VARCHAR) || '_' || CAST(d.doc_id AS VARCHAR)")
+      s"""WITH e AS (SELECT unnest(generate_series(1, 2)) AS epoch),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+         |s AS (SELECT CAST(e.epoch AS BIGINT) AS epoch, d.doc_id,
+         |        CAST($h AS DOUBLE) / 1152921504606846976.0 AS score
+         |      FROM e CROSS JOIN documents d),
+         |r AS (SELECT epoch, doc_id, score,
+         |        row_number() OVER (PARTITION BY epoch
+         |          ORDER BY score DESC, doc_id ASC) AS rk
+         |      FROM s)
+         |SELECT epoch, doc_id, CAST(rk + (epoch - 1) * n.total AS BIGINT) AS step
+         |FROM r CROSS JOIN n ORDER BY step""".stripMargin
     },
 
     "s05_stream_stream_join" ->

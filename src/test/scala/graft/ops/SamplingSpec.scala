@@ -270,6 +270,28 @@ class SamplingSpec extends SparkSpec {
     assert(sgot == sexp)
   }
 
+  test("epochSchedule: fresh full permutation per epoch, consecutive steps, deterministic") {
+    import spark.implicits._
+    val ids = (0L until 97L).toDF("doc_id")
+    val sched = Sampling.epochSchedule(ids, "doc_id", epochs = 3, buckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sched.length == 3 * 97)
+    for (e <- 1 to 3) {
+      val epoch = sched.filter(_._1 == e)
+      assert(epoch.map(_._2).toSet == (0L until 97L).toSet,
+        s"epoch $e must visit every doc exactly once")
+      assert(epoch.map(_._3).sorted.toSeq == ((e - 1) * 97L + 1 to e * 97L).toSeq,
+        s"epoch $e occupies its own consecutive step range")
+    }
+    // different epochs produce genuinely different orders
+    def order(e: Long) = sched.filter(_._1 == e).sortBy(_._3).map(_._2).toSeq
+    assert(order(1) != order(2) && order(2) != order(3))
+    // reproducible: a second run is bit-identical (no rand() anywhere)
+    val again = Sampling.epochSchedule(ids, "doc_id", epochs = 3, buckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sortBy(x => (x._1, x._3)).toSeq == sched.sortBy(x => (x._1, x._3)).toSeq)
+  }
+
   test("isqrt: floor(sqrt(n)) exactly, across boundaries and random 2^52-scale inputs") {
     def check(n: Long): Unit = {
       val x = Sampling.isqrt(n)
