@@ -1172,16 +1172,30 @@ object Dedup {
   private def simhashPairsWith(docs: DataFrame, idCol: String, textCol: String,
                                bits: Int, bands: Int, maxHamming: Int,
                                maxBucket: Option[Int]): DataFrame = {
+    val fp = docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), simhash(col(textCol), bits).as("sh"))
+    hammingPairs(fp, "doc_id", "sh", bits, bands, maxHamming, maxBucket)
+  }
+
+  /** Pigeonhole Hamming pair search over ANY fingerprint column — the
+    * banding core of [[simhashPairs]], public so other fingerprint
+    * families (perceptual image aHash, audio contour prints) reuse it:
+    * with `bands > maxHamming` band slices, any pair within the Hamming
+    * ball shares at least one intact band (recall 1.0 by construction,
+    * not probability). Works on the full 64-bit width — the arithmetic
+    * shift's sign extension dies under the slice mask. */
+  def hammingPairs(fps: DataFrame, idCol: String, fpCol: String,
+                   bits: Int, bands: Int, maxHamming: Int,
+                   maxBucket: Option[Int] = None): DataFrame = {
     require(bits % bands == 0, s"bands ($bands) must divide bits ($bits)")
     require(maxHamming < bands,
       s"pigeonhole recall guarantee needs maxHamming ($maxHamming) < bands ($bands)")
     require(maxBucket.forall(_ >= 2), s"maxBucket must be >= 2, got $maxBucket")
     val w = bits / bands
-    val mask = (1L << w) - 1
-    def slice(c: Column, b: Int): Column = shiftright(c, b * w).bitwiseAND(lit(mask))
+    val mask = if (w == 64) lit(-1L) else lit((1L << w) - 1)
+    def slice(c: Column, b: Int): Column = shiftright(c, b * w).bitwiseAND(mask)
 
-    val fp = docs.filter(length(trim(col(textCol))) > 0)
-      .select(col(idCol).as("doc_id"), simhash(col(textCol), bits).as("sh"))
+    val fp = fps.select(col(idCol).as("doc_id"), col(fpCol).as("sh"))
     val banded = fp.select(col("doc_id"), col("sh"), explode(array(
         (0 until bands).map(b =>
           struct(lit(b).as("band"), slice(col("sh"), b).as("key"))): _*)).as("bk"))

@@ -350,6 +350,28 @@ object Multimodal {
       .groupBy(col("phash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
 
+  /** PERCEPTUAL near-dup PAIR search: aHash fingerprints + the
+    * pigeonhole Hamming band join ([[graft.ops.Dedup.hammingPairs]],
+    * recall 1.0 by construction) — the media variant of text SimHash
+    * pairs. [[phashDedup]] groups only EXACT hash matches
+    * (re-encodings); this finds the slightly-retouched variants — a few
+    * flipped grid cells from noise, small overlays, brightness-local
+    * edits — that land within `maxHamming` bits, without any pairwise
+    * scan (band buckets bound the join). Undecodable payloads (aHash
+    * −1) are excluded up front: they are not near-dups of each other.
+    * `maxHamming + 1` must divide 64 (the band layout). Output:
+    * (a_id, b_id, hamming). */
+  def perceptualNearDupPairs(media: DataFrame, maxHamming: Int = 3,
+                             grid: Int = 8,
+                             maxBucket: Option[Int] = None): DataFrame = {
+    require(maxHamming >= 0 && 64 % (maxHamming + 1) == 0,
+      s"maxHamming + 1 must divide 64 for the band layout, got $maxHamming")
+    val fps = aHash64(media, grid).toDF().filter(col("phash") =!= -1L)
+    graft.ops.Dedup.hammingPairs(fps, "doc_id", "phash",
+      bits = 64, bands = maxHamming + 1, maxHamming = maxHamming,
+      maxBucket = maxBucket)
+  }
+
   // Audio ----------------------------------------------------------------
 
   /** The audio decode seam (the [[MediaDecoder]] pattern for sample

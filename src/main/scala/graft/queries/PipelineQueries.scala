@@ -1414,6 +1414,17 @@ object PipelineQueries {
         .orderBy(col("phash"))
     }),
 
+    // perceptual near-dup PAIRS: the retouched-variant case exact-hash
+    // grouping splits — ids sharing id%50 render the same pattern, and
+    // ids with id%7=0 get ONE grid cell flipped (a 1-bit hash delta), so
+    // classmates pair at hamming 0/1/2; the pigeonhole band join finds
+    // every pair in the ball (recall 1.0), so the oracle is plain
+    // brute-force bit_count over the id-arithmetic hashes
+    "m13_phash_neardup" -> ((s, dir) => {
+      Multimodal.perceptualNearDupPairs(tweakedPngMedia(s, dir), maxHamming = 3)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     "m06_media_resize" -> ((s, dir) => {
       Multimodal.resizeImages(solidPngMedia(s, dir), maxW = 32, maxH = 32)
         .toDF()
@@ -1594,6 +1605,39 @@ object PipelineQueries {
             var idx = 0
             while (idx < 64) {
               val tone = if (((id % 50) * 31 + idx * 17) % 97 < 48) 140 else 40
+              g.setColor(new java.awt.Color(tone, tone, tone))
+              g.fillRect((idx % 8) * 4, (idx / 8) * 4, 4, 4)
+              idx += 1
+            }
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, "image/png", bos.toByteArray)
+        }
+      }.toDF("doc_id", "mime", "payload")
+  }
+
+  /** m13 fixture: [[patternPngMedia]] bounded to doc_id < 300 with one
+    * grid cell flipped for ids with id%7 = 0 (cell id%64) — high-cell
+    * counts stay within [14, 49], so the cell mean still sits strictly
+    * between the two tones and the flip moves EXACTLY one aHash bit. */
+  private def tweakedPngMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id").cast("long").as("doc_id"))
+      .filter(col("doc_id") < 300)
+      .as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val img = new java.awt.image.BufferedImage(32, 32,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = img.createGraphics()
+          try {
+            var idx = 0
+            while (idx < 64) {
+              val base = ((id % 50) * 31 + idx * 17) % 97 < 48
+              val flip = id % 7 == 0 && idx == id % 64
+              val tone = if (base != flip) 140 else 40
               g.setColor(new java.awt.Color(tone, tone, tone))
               g.fillRect((idx % 8) * 4, (idx / 8) * 4, 4, 4)
               idx += 1
@@ -3296,6 +3340,28 @@ object PipelineQueries {
         |  FROM bits GROUP BY doc_id)
         |SELECT phash, count(*) AS n_copies, min(doc_id) AS keeper
         |FROM hash GROUP BY phash ORDER BY phash""".stripMargin,
+
+    // m13: brute-force bit_count over the id-arithmetic hashes — sound
+    // as the oracle precisely BECAUSE pigeonhole banding has recall 1.0
+    "m13_phash_neardup" ->
+      """WITH bits AS (
+        |  SELECT doc_id, idx,
+        |    CASE WHEN ((((doc_id % 50) * 31 + idx * 17) % 97 < 48) <>
+        |               (doc_id % 7 = 0 AND idx = doc_id % 64))
+        |         THEN 1 ELSE 0 END AS hi
+        |  FROM (SELECT doc_id, unnest(generate_series(0, 63)) AS idx
+        |        FROM documents WHERE doc_id < 300)),
+        |hash AS (
+        |  SELECT doc_id,
+        |    bit_or(CASE WHEN hi = 0 THEN CAST(0 AS BIGINT)
+        |                WHEN idx = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+        |                ELSE (CAST(1 AS BIGINT) << idx) END) AS phash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM hash a JOIN hash b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // audio trim: the synth formula replayed by id-arithmetic — windows
     // wi-1 ∈ [lead, wTotal-tail) carry samples (id·31 + i·7) mod 201 − 100

@@ -235,6 +235,40 @@ class MultimodalSpec extends SparkSpec {
       s"uncapped viral frame must candidate all q-sharers: $uncapped")
   }
 
+  test("perceptualNearDupPairs == brute-force Hamming ball over the aHashes") {
+    import spark.implicits._
+    def png(id: Long): Array[Byte] = {
+      val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try {
+        var idx = 0
+        while (idx < 64) {
+          val base = ((id % 10) * 31 + idx * 17) % 97 < 48
+          val flip = id % 4 == 0 && idx == id % 64
+          val tone = if (base != flip) 140 else 40
+          g.setColor(new java.awt.Color(tone, tone, tone))
+          g.fillRect((idx % 8) * 4, (idx / 8) * 4, 4, 4)
+          idx += 1
+        }
+      } finally g.dispose()
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = (0L until 40L).map(id => (id, "image/png", png(id)))
+      .toDF("doc_id", "mime", "payload")
+    val got = Multimodal.perceptualNearDupPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hashes = Multimodal.aHash64(media).collect().map(h => h.doc_id -> h.phash)
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+    assert(got.exists(_._3 == 1L), "the flipped-cell variants must pair at hamming 1")
+    assert(got.exists(_._3 == 0L), "identical renders must pair at hamming 0")
+  }
+
   test("audio clip matching: gain-invariant prints, offset voting, df cap, broadcast plan") {
     import spark.implicits._
     def s16le(samples: Array[Int]): Array[Byte] = {
