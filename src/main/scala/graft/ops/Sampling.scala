@@ -305,6 +305,38 @@ object Sampling {
       .select(idCol, scoreCol, "rank")
   }
 
+  /** LEAKAGE-SAFE train/val/test split (p29): [[hashSplit]]'s silent
+    * failure mode on a real corpus is eval contamination — near-duplicate
+    * documents hash independently, so a test doc's near-copy lands in
+    * train and the benchmark leaks. Here the split key is the near-dup
+    * CLUSTER, not the document: LSH-verified pairs
+    * ([[Dedup.minhashLshPairs]]) → connected components → every member
+    * splits by the hash of its cluster label (singletons by their own
+    * id — identical to [[hashSplit]] for them). Near-dups share a split
+    * BY CONSTRUCTION, not by luck. Output: (doc_id, grp, split).
+    *
+    * Scale: the pair search is the one corpus-sized shuffle (banded,
+    * df-bounded); components run over the PAIR set — duplicates only, a
+    * small fraction of a deduplicated-ish corpus; the label join-back's
+    * right side is duplicate-sized. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+                       trainPct: Int = 90, valPct: Int = 5,
+                       bands: Int = 0, rowsPerBand: Int = 0, n: Int = 3,
+                       threshold: Double = 0.5): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(docs, idCol, textCol, bands, rowsPerBand,
+      n, threshold)
+    val clusters = Relational.connectedComponents(pairs.select("a_id", "b_id"))
+    val labeled = docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(clusters.select(col("node").as("doc_id"), col("cluster")),
+        Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("cluster"), col("doc_id")))
+    val b = hashBucket(col("grp"), 100)
+    labeled.select(col("doc_id"), col("grp"),
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** EPOCH-SHUFFLED training order (p28): the data-ordering step of a
     * multi-epoch training run — every epoch must visit the whole corpus
     * in a DIFFERENT pseudo-random order, and the order must be

@@ -1136,6 +1136,17 @@ object ExtendedQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // leakage-safe split: hashSplit's silent failure is a test doc's
+    // near-copy landing in train — here the split key is the near-dup
+    // CLUSTER label (LSH pairs → components), so near-dups share a
+    // split by construction and singletons degrade to exactly hashSplit
+    "p29_leakage_safe_split" -> ((s, dir) => {
+      graft.ops.Sampling.leakageSafeSplit(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", bands = 4, rowsPerBand = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // epoch-shuffled training order: every epoch a fresh DETERMINISTIC
     // permutation (md5(epoch ‖ id), never rand()), ranked through the
     // same tier machinery as p20 — no global sort; steps consecutive
@@ -2658,6 +2669,48 @@ object ExtendedQueries {
          |SELECT node, cluster,
          |  CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
          |FROM lbl ORDER BY node""".stripMargin
+    },
+
+    // p29: d07's component labels + the hashSplit bucket formula applied
+    // to the coalesced cluster label
+    "p29_leakage_safe_split" -> {
+      val bandKeys = (0 until 4).map { b =>
+        s"'${b}_' || CAST(m${2 * b} AS VARCHAR) || '_' || CAST(m${2 * b + 1} AS VARCHAR)"
+      }.mkString(", ")
+      val hb = "CAST('0x' || substr(md5(CAST(grp AS VARCHAR)), 1, 15) AS BIGINT) % 100"
+      s"""WITH RECURSIVE ${PipelineQueries.shingleCte},
+         |sig AS (SELECT doc_id, ${PipelineQueries.minhashCols} FROM sh GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, unnest([$bandKeys]) AS band_key FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |p AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT p.a_id, p.b_id
+         |  FROM p JOIN cand ON p.a_id = cand.a_id AND p.b_id = cand.b_id
+         |    JOIN cnt ca ON p.a_id = ca.doc_id JOIN cnt cb ON p.b_id = cb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.5),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lbl AS (SELECT src AS node, least(src, min(dst)) AS cluster
+         |        FROM reach GROUP BY src),
+         |base AS (
+         |  SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS grp
+         |  FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id)
+         |SELECT doc_id, grp,
+         |  CASE WHEN $hb < 90 THEN 'train'
+         |       WHEN $hb < 95 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM base ORDER BY doc_id""".stripMargin
     },
 
     // d14 = d07's components + representative selection (longest text,

@@ -270,6 +270,38 @@ class SamplingSpec extends SparkSpec {
     assert(sgot == sexp)
   }
 
+  test("leakageSafeSplit: near-dup pairs always share a split; singletons == hashSplit") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "spark shuffles partition data across the cluster by key ranges"),
+      (3L, "completely unrelated text about gardening tools and wet soil"),
+      (4L, "yet another independent document concerning astronomy and stars"))
+      .toDF("doc_id", "text")
+    // near-copies of each base doc under far-apart ids — plain hashSplit
+    // would scatter these across splits
+    val copies = base.select((col("doc_id") + 1000).as("doc_id"),
+      concat(col("text"), lit(" ok")).as("text"))
+    val corpus = base.unionByName(copies)
+    val out = Sampling.leakageSafeSplit(corpus, "doc_id", "text",
+      bands = 4, rowsPerBand = 2)
+    val rows = out.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    for (i <- 1L to 4L) {
+      assert(rows(i) == rows(i + 1000),
+        s"doc $i and its near-copy must share cluster AND split: ${rows(i)} vs ${rows(i + 1000)}")
+      assert(rows(i)._1 == i, "cluster label is the component's min id")
+    }
+    // a doc with no near-dups splits exactly like hashSplit
+    val loner = Seq((77L, "a one of a kind singleton document with no twin anywhere"))
+      .toDF("doc_id", "text")
+    val lonerSplit = Sampling.leakageSafeSplit(corpus.unionByName(loner),
+        "doc_id", "text", bands = 4, rowsPerBand = 2)
+      .filter(col("doc_id") === 77L).collect().head.getString(2)
+    val plain = Sampling.hashSplit(loner, "doc_id")
+      .collect().head.getAs[String]("split")
+    assert(lonerSplit == plain, "singletons must degrade to exactly hashSplit")
+  }
+
   test("epochSchedule: fresh full permutation per epoch, consecutive steps, deterministic") {
     import spark.implicits._
     val ids = (0L until 97L).toDF("doc_id")
