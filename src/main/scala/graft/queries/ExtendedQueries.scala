@@ -1136,6 +1136,24 @@ object ExtendedQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // train-ready corpus ASSEMBLY — the final mile from raw corpus to a
+    // training data order, every stage an existing operator: quality
+    // gate (t02's score) → leakage-safe split (near-dups can't straddle
+    // train/test) → the train partition's 2-epoch deterministic
+    // schedule. The composition point: the split runs AFTER the gate
+    // (clusters computed on what survives) and the schedule runs on the
+    // train split only — order matters, and the whole chain is one
+    // oracle statement
+    "p30_train_assembly" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val gated = d.filter(graft.ops.TextAnalysis.qualityScore(col("text")) >= 0.5)
+      val split = graft.ops.Sampling.leakageSafeSplit(gated, "doc_id", "text",
+        bands = 4, rowsPerBand = 2)
+      val train = split.filter(col("split") === "train").select("doc_id")
+      graft.ops.Sampling.epochSchedule(train, "doc_id", epochs = 2)
+        .orderBy(col("step"))
+    }),
+
     // leakage-safe split: hashSplit's silent failure is a test doc's
     // near-copy landing in train — here the split key is the near-dup
     // CLUSTER label (LSH pairs → components), so near-dups share a
@@ -2669,6 +2687,82 @@ object ExtendedQueries {
          |SELECT node, cluster,
          |  CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
          |FROM lbl ORDER BY node""".stripMargin
+    },
+
+    // p30: the t02 quality formula gates the corpus, d07's recursive
+    // components label the gated docs, the hash-bucket split keeps the
+    // train partition, and the p28 epoch ranking orders it — one chain
+    "p30_train_assembly" -> {
+      val en = graft.ops.TextAnalysis.defaultProfiles.head._2.map(w => s"'$w'").mkString(", ")
+      val bandKeys = (0 until 4).map { b =>
+        s"'${b}_' || CAST(m${2 * b} AS VARCHAR) || '_' || CAST(m${2 * b + 1} AS VARCHAR)"
+      }.mkString(", ")
+      val hb = "CAST('0x' || substr(md5(CAST(grp AS VARCHAR)), 1, 15) AS BIGINT) % 100"
+      val h = PipelineQueries.h60sql(
+        "CAST(e.epoch AS VARCHAR) || '_' || CAST(t.doc_id AS VARCHAR)")
+      s"""WITH RECURSIVE fq AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      w -> w IN ($en))) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |dq AS (
+         |  SELECT doc_id,
+         |    least(1.0, greatest(0.0,
+         |      0.4 * (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 1.0 ELSE 0.0 END)
+         |      + 0.3 * (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END)
+         |      + 0.3 * (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END))) AS q
+         |  FROM fq),
+         |gated AS (
+         |  SELECT d.doc_id, d.text FROM documents d
+         |  JOIN dq ON dq.doc_id = d.doc_id WHERE dq.q >= 0.5),
+         |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM gated),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+         |  FROM tok WHERE len(tk) >= 3),
+         |sig AS (SELECT doc_id, ${PipelineQueries.minhashCols} FROM sh GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, unnest([$bandKeys]) AS band_key FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |p AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT p.a_id, p.b_id
+         |  FROM p JOIN cand ON p.a_id = cand.a_id AND p.b_id = cand.b_id
+         |    JOIN cnt ca ON p.a_id = ca.doc_id JOIN cnt cb ON p.b_id = cb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (ca.c + cb.c - inter) >= 0.5),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lbl AS (SELECT src AS node, least(src, min(dst)) AS cluster
+         |        FROM reach GROUP BY src),
+         |base AS (
+         |  SELECT g.doc_id, coalesce(l.cluster, g.doc_id) AS grp
+         |  FROM gated g LEFT JOIN lbl l ON l.node = g.doc_id),
+         |train AS (SELECT doc_id FROM base WHERE $hb < 90),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS total FROM train),
+         |e AS (SELECT unnest(generate_series(1, 2)) AS epoch),
+         |sc AS (SELECT CAST(e.epoch AS BIGINT) AS epoch, t.doc_id,
+         |        CAST($h AS DOUBLE) / 1152921504606846976.0 AS score
+         |      FROM e CROSS JOIN train t),
+         |r AS (SELECT epoch, doc_id, score,
+         |        row_number() OVER (PARTITION BY epoch
+         |          ORDER BY score DESC, doc_id ASC) AS rk
+         |      FROM sc)
+         |SELECT epoch, doc_id, CAST(rk + (epoch - 1) * nn.total AS BIGINT) AS step
+         |FROM r CROSS JOIN nn ORDER BY step""".stripMargin
     },
 
     // p29: d07's component labels + the hashSplit bucket formula applied
