@@ -1501,6 +1501,26 @@ object PipelineQueries {
       s.read.parquet(outDir).orderBy(col("clip_id"), col("track_id"))
     }),
 
+    // streaming PERCEPTUAL admission: arriving images are rejected when
+    // any earlier-id image sits within the Hamming ball of their aHash —
+    // fate-independent (a rejected image still blocks its later
+    // near-dups), so the verdict is a pure predicate over the id order
+    // and the oracle is brute force; state = band rows, bucket-routed on
+    // the band key, append-only deltas; ascending-id arrival HWM-enforced
+    "s25_stream_media_gate" -> ((s, dir) => {
+      val work = graft.queries.ExtendedQueries.scratchDir("graft_s25")
+      val media = tweakedPngMedia(s, dir)
+      Seq(col("doc_id") < 100, col("doc_id") >= 100 && col("doc_id") < 200,
+          col("doc_id") >= 200).foreach { p =>
+        media.filter(p).coalesce(1).write.mode("append").parquet(s"$work/log")
+        Thread.sleep(20) // ascending-id chunks — the enforced contract
+      }
+      val state = new graft.streaming.TxnLogState(s"$work/state", s, 16)
+      graft.streaming.StreamMediaGate
+        .drain(s, state, s"$work/log", s"$work/out", s"$work/ckpt", maxHamming = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // the multimodal path under Structured Streaming: the SAME typed
     // mapPartitions decode→resize kernel runs per micro-batch (typed ops
     // stream as-is — per-partition decoder init included); stateless, so
@@ -3340,6 +3360,31 @@ object PipelineQueries {
         |  FROM bits GROUP BY doc_id)
         |SELECT phash, count(*) AS n_copies, min(doc_id) AS keeper
         |FROM hash GROUP BY phash ORDER BY phash""".stripMargin,
+
+    // s25: the keep-first predicate is pure over the id order (fate-
+    // independent rejection), so the oracle is the same brute-force
+    // Hamming ball as m13 — rejected ⇔ a lower-id image within 3 bits
+    "s25_stream_media_gate" ->
+      """WITH bits AS (
+        |  SELECT doc_id, idx,
+        |    CASE WHEN ((((doc_id % 50) * 31 + idx * 17) % 97 < 48) <>
+        |               (doc_id % 7 = 0 AND idx = doc_id % 64))
+        |         THEN 1 ELSE 0 END AS hi
+        |  FROM (SELECT doc_id, unnest(generate_series(0, 63)) AS idx
+        |        FROM documents WHERE doc_id < 300)),
+        |hash AS (
+        |  SELECT doc_id,
+        |    bit_or(CASE WHEN hi = 0 THEN CAST(0 AS BIGINT)
+        |                WHEN idx = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+        |                ELSE (CAST(1 AS BIGINT) << idx) END) AS phash
+        |  FROM bits GROUP BY doc_id),
+        |rej AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM hash a JOIN hash b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 3)
+        |SELECT h.doc_id, h.phash, (r.doc_id IS NOT NULL) AS rejected
+        |FROM hash h LEFT JOIN rej r ON r.doc_id = h.doc_id
+        |ORDER BY h.doc_id""".stripMargin,
 
     // m13: brute-force bit_count over the id-arithmetic hashes — sound
     // as the oracle precisely BECAUSE pigeonhole banding has recall 1.0
