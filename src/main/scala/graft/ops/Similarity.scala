@@ -655,6 +655,74 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** The centroid VECTOR for a c_id column, as a when-chain over the
+    * (driver-small) codebook — keeps per-row centroid lookups join-free. */
+  private def centroidVecOf(cents: Seq[Centroid], cId: Column): Column =
+    cents.sortBy(_.cId).map(c => (c.cId, typedLit(c.vec)))
+      .foldRight(lit(null).cast("array<bigint>")) { case ((id, v), rest) =>
+        when(cId === id, v).otherwise(rest)
+      }
+
+  /** RESIDUAL IVF-PQ (a21) — the canonical FAISS-style IVFPQ encoding:
+    * the PQ codebooks train on and the codes approximate the RESIDUAL
+    * `x − c(x)` (each vector minus its coarse centroid), not the raw
+    * subvectors that [[ivfPqTopK]] encodes. The residual is what remains
+    * AFTER the coarse quantizer explains the vector, so the same m×ksub
+    * code budget spends on a smaller-variance signal — the approximation
+    * tightens at zero extra serving cost (pinned: mean |ADC − exact|
+    * strictly below raw-subvector PQ's on the same data).
+    *
+    * Scoring stays ADC-shaped:
+    * `dot(q, x) ≈ dot(q, c_x) + Σ_j dot(q_j, book_j[code_j])` — the
+    * coarse term is per-(query, probed centroid) (≤ queries×nProbe,
+    * riding the broadcast probe frame), the LUT term is the same
+    * per-query m×ksub table as a06 built from FULL-query slices against
+    * the residual-trained codewords, and the denominator uses the stored
+    * exact norm. Everything integer-exact — the oracle replays coarse
+    * training, residual construction, per-subspace Lloyd, encode, and
+    * the composed score bit-for-bit. */
+  def ivfRpqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 nCentroids: Int = 8, nProbe: Int = 2, m: Int = 4,
+                 dim: Int = 64, ksub: Int = 8, trainIters: Int = 2): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    val coarse = trainCentroids(corpus, nCentroids, trainIters)
+    val resid = corpus
+      .withColumn("c_id", centroidBest(coarse, col("q"), col("nq")))
+      .withColumn("r", zip_with(col("q"),
+        centroidVecOf(coarse, col("c_id")), (a, b) => a - b))
+      .select(col("vec_id"), col("nq"), col("c_id"), col("r").as("q"))
+      .withColumn("rq", normq(col("q")))
+    val books = trainPqCodebooks(
+      resid.select(col("vec_id"), col("q"), col("rq").as("nq")),
+      m, dim, ksub, trainIters)
+    def subR(j: Int) = slice(col("q"), j * sub + 1, sub)
+    val encoded = resid.select(col("vec_id"), col("nq"), col("c_id"),
+      array((0 until m).map { j =>
+        centroidBest(books(j), subR(j), normq(subR(j)))
+      }: _*).as("codes"))
+    def subQ(j: Int) = slice(col("q"), j * sub + 1, sub)
+    val probes = nearestCentroids(queries, coarse, keep = nProbe)
+      .withColumn("qc_dot", graft.expr.hfunctions.long_dot(col("q"),
+        centroidVecOf(coarse, col("c_id"))))
+      .select(col("vec_id").as("q_id"), col("nq").as("q_nq"), col("c_id"),
+        col("qc_dot"),
+        array((0 until m).map { j =>
+          array(books(j).map(c => dotq(subQ(j), typedLit(c.vec))): _*)
+        }: _*).as("luts"))
+    val adc = (0 until m).map { j =>
+      element_at(element_at(col("luts"), j + 1),
+        (element_at(col("codes"), j + 1) + 1).cast("int"))
+    }.reduce(_ + _)
+    val scored = encoded.join(broadcast(probes), Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim",
+        when(col("nq") === 0 || col("q_nq") === 0, 0.0)
+          .otherwise((col("qc_dot") + adc).cast("double") /
+            (sqrt(col("nq").cast("double")) * sqrt(col("q_nq").cast("double")))))
+    topK(scored, k)
+  }
+
   /** Per-dimension (min, span) of the quantized corpus — the SQ8 range
     * "codebook": 2×dim longs, collected to the driver (bounded by dim,
     * the [[trainCentroids]] bounded-collect convention). One posexplode +

@@ -581,6 +581,17 @@ object ExtendedQueries {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // RESIDUAL IVF-PQ: the canonical FAISS encoding — PQ codebooks
+    // train on x − c(x), so the code budget spends on the smaller
+    // post-coarse signal; scoring = the coarse dot (per query×probe)
+    // plus the same ADC LUT sum, exact norms in the denominator
+    "a21_ann_ivf_rpq" -> ((s, dir) => {
+      val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
+      Similarity.ivfRpqTopK(corpus, corpus.filter(col("vec_id") < 5),
+          k = 5, nCentroids = 8, nProbe = 2, m = 4, dim = 64, ksub = 8)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // BINARY (1-bit) ANN: vectors collapse to sign bits — one 64-bit
     // word each, 512× less than float32 — candidates rank by
     // XOR-popcount Hamming (one ALU op per comparison), top-20 re-score
@@ -2020,6 +2031,99 @@ object ExtendedQueries {
       .stripMargin
   }
 
+  /** One RESIDUAL-PQ subspace's oracle CTEs (prefix `r$j`): the sliced
+    * RESIDUAL frame trains and encodes; the LUT slices the FULL query
+    * vectors against the residual-trained codewords. Same unrolled
+    * deterministic Lloyd as [[pqSubCtes]]. */
+  private def residSubCtes(j: Int): String = {
+    val sub = 16; val ksub = 8
+    val lo = j * sub + 1; val hi = (j + 1) * sub
+    val p = s"r$j"
+    def lloydIter(i: Int) =
+      s"""${p}a$i AS (
+         |  SELECT vec_id, q, c_id FROM (
+         |    SELECT sb.vec_id, sb.q, c.c_id,
+         |      row_number() OVER (PARTITION BY sb.vec_id ORDER BY
+         |        CASE WHEN sb.nn = 0 OR c.c_nn = 0 THEN 0.0
+         |             ELSE list_dot_product(sb.q::DOUBLE[], c.c_q::DOUBLE[]) / (sqrt(sb.nn) * sqrt(c.c_nn)) END DESC,
+         |        c.c_id ASC) AS crk
+         |    FROM ${p}n sb CROSS JOIN ${p}cent${i - 1} c)
+         |  WHERE crk = 1),
+         |${p}s$i AS (
+         |  SELECT c_id, d, sum(v) AS s, count(*) AS cnt FROM (
+         |    SELECT c_id, unnest(q) AS v, unnest(range(len(q))) AS d FROM ${p}a$i)
+         |  GROUP BY 1, 2),
+         |${p}v$i AS (SELECT c_id,
+         |          list(CAST((s - ((s % cnt) + cnt) % cnt) / cnt AS BIGINT) ORDER BY d) AS c_q
+         |        FROM ${p}s$i GROUP BY c_id),
+         |${p}cent$i AS (
+         |  SELECT pp.c_id, coalesce(v.c_q, pp.c_q) AS c_q,
+         |    list_dot_product(coalesce(v.c_q, pp.c_q)::DOUBLE[], coalesce(v.c_q, pp.c_q)::DOUBLE[]) AS c_nn
+         |  FROM ${p}cent${i - 1} pp LEFT JOIN ${p}v$i v USING (c_id))""".stripMargin
+    s"""${p}n AS (SELECT vec_id, q[$lo:$hi] AS q,
+       |          list_dot_product(q[$lo:$hi]::DOUBLE[], q[$lo:$hi]::DOUBLE[]) AS nn FROM rn),
+       |${p}seeds AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS c_id, q
+       |  FROM (SELECT vec_id, q, ${PipelineQueries.h60sql("CAST(vec_id AS VARCHAR)")} AS h FROM ${p}n)
+       |  ORDER BY h, vec_id LIMIT $ksub),
+       |${p}cent0 AS (SELECT c_id, q AS c_q, list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS c_nn FROM ${p}seeds),
+       |${lloydIter(1)},
+       |${lloydIter(2)},
+       |${p}enc AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT sb.vec_id, c.c_id,
+       |      row_number() OVER (PARTITION BY sb.vec_id ORDER BY
+       |        CASE WHEN sb.nn = 0 OR c.c_nn = 0 THEN 0.0
+       |             ELSE list_dot_product(sb.q::DOUBLE[], c.c_q::DOUBLE[]) / (sqrt(sb.nn) * sqrt(c.c_nn)) END DESC,
+       |        c.c_id ASC) AS crk
+       |    FROM ${p}n sb CROSS JOIN ${p}cent2 c)
+       |  WHERE crk = 1),
+       |${p}lut AS (
+       |  SELECT qr.vec_id AS q_id, c.c_id,
+       |    list_dot_product(qr.q[$lo:$hi]::DOUBLE[], c.c_q::DOUBLE[]) AS pdot
+       |  FROM n qr CROSS JOIN ${p}cent2 c WHERE qr.vec_id < 5)""".stripMargin
+  }
+
+  /** a21: coarse CTEs (codebook + hard assignment) → residual frame →
+    * per-subspace residual Lloyd/encode/LUT → composed ADC score with
+    * the per-(query, centroid) coarse dot. */
+  private val a21Oracle: String = {
+    val m = 4; val k = 5
+    s"""$kmeansAssignCtes,
+       |rn AS (
+       |  SELECT a.vec_id,
+       |    list_transform(generate_series(1, 64), i -> a.q[i] - c.c_q[i]) AS q,
+       |    a.nn AS onn, a.c_id
+       |  FROM corpus_a a JOIN c USING (c_id)),
+       |${(0 until m).map(residSubCtes).mkString(",\n")},
+       |probes AS (SELECT vec_id AS q_id, q AS q_q, nn AS q_nn, c_id
+       |           FROM assign WHERE crk <= 2 AND vec_id < 5),
+       |qc AS (SELECT p.q_id, p.c_id,
+       |         list_dot_product(p.q_q::DOUBLE[], c.c_q::DOUBLE[]) AS qc_dot
+       |       FROM probes p JOIN c USING (c_id)),
+       |ascored AS (
+       |  SELECT p.q_id, ca.vec_id AS n_id,
+       |    CASE WHEN ca.nn = 0 OR qn.nn = 0 THEN 0.0
+       |         ELSE (qc.qc_dot + l0.pdot + l1.pdot + l2.pdot + l3.pdot) / (sqrt(ca.nn) * sqrt(qn.nn)) END AS sim
+       |  FROM corpus_a ca
+       |    JOIN probes p ON ca.c_id = p.c_id AND ca.vec_id <> p.q_id
+       |    JOIN qc ON qc.q_id = p.q_id AND qc.c_id = p.c_id
+       |    JOIN r0enc e0 ON e0.vec_id = ca.vec_id
+       |    JOIN r1enc e1 ON e1.vec_id = ca.vec_id
+       |    JOIN r2enc e2 ON e2.vec_id = ca.vec_id
+       |    JOIN r3enc e3 ON e3.vec_id = ca.vec_id
+       |    JOIN n qn ON qn.vec_id = p.q_id
+       |    JOIN r0lut l0 ON l0.c_id = e0.c_id AND l0.q_id = p.q_id
+       |    JOIN r1lut l1 ON l1.c_id = e1.c_id AND l1.q_id = p.q_id
+       |    JOIN r2lut l2 ON l2.c_id = e2.c_id AND l2.q_id = p.q_id
+       |    JOIN r3lut l3 ON l3.c_id = e3.c_id AND l3.q_id = p.q_id)
+       |SELECT q_id, n_id, sim, rk FROM (
+       |  SELECT q_id, n_id, sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
+       |  FROM ascored)
+       |WHERE rk <= $k ORDER BY q_id, rk""".stripMargin
+  }
+
   private val a07Oracle: String = {
     val k = 5
     s"""$ivfPqScoredCtes
@@ -2865,6 +2969,8 @@ object ExtendedQueries {
     "a19_ann_ivf_delete" -> a19Oracle,
     // a20: drift — per-segment quantizer fit off the shared k-means CTEs
     "a20_ann_drift" -> a20Oracle,
+    // a21: residual IVF-PQ — coarse + residual-trained subspaces composed
+    "a21_ann_ivf_rpq" -> a21Oracle,
     // s24 = a20's build segment incrementally: integer sums are additive
     // over disjoint triggers, so the drained summary is the batch row
     "s24_stream_drift" ->

@@ -642,6 +642,28 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Join"), "no join in the drift scan:\n" + plan.take(800))
   }
 
+  test("residual IVF-PQ: tighter approximation than raw-subvector PQ; deterministic") {
+    val queries = corpus.filter(col("vec_id") < 7)
+    def simsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // probe EVERY list so both approximations rank the same full universe
+    val exact = simsOf(Similarity.bruteForceTopK(corpus, queries, 200))
+    val raw = simsOf(Similarity.ivfPqTopK(corpus, queries, 200,
+      nCentroids = 8, nProbe = 8, m = 4, dim = 64))
+    val res = simsOf(Similarity.ivfRpqTopK(corpus, queries, 200,
+      nCentroids = 8, nProbe = 8, m = 4, dim = 64))
+    val common = raw.keySet intersect res.keySet intersect exact.keySet
+    assert(common.nonEmpty)
+    def err(m: Map[(Long, Long), Double]) =
+      common.toSeq.map(k => math.abs(m(k) - exact(k))).sum / common.size
+    val (eRaw, eRes) = (err(raw), err(res))
+    assert(eRes < eRaw,
+      s"residual codes must approximate tighter: $eRes vs raw $eRaw")
+    // deterministic: a second run is bit-identical
+    assert(simsOf(Similarity.ivfRpqTopK(corpus, queries, 200,
+      nCentroids = 8, nProbe = 8, m = 4, dim = 64)) == res)
+  }
+
   test("StreamDrift: additive trigger reports fold to the batch a20 row exactly") {
     val cents = Similarity.trainCentroids(corpus, 8, 2)
     val work = java.nio.file.Files.createTempDirectory("graft_sdrift").toString
