@@ -314,6 +314,26 @@ object TextHash {
     java.lang.Long.valueOf(out)
   }
 
+  /** Distinct 60-bit hashes of all k-CHARACTER substrings — the
+    * char-shingle primitive for edit-level similarity banding: a
+    * character substitution destroys only the k substrings covering it,
+    * where it rewrites every WORD shingle containing the word. One
+    * compiled pass; no canonicalization (edit distance is about the
+    * exact characters). Texts shorter than k yield no shingles. */
+  def charShingles60(text: UTF8String, k: Int): Array[Long] = {
+    val s = text.toString
+    if (s.length < k) return Array.emptyLongArray
+    val seen = new java.util.HashSet[Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](s.length - k + 1)
+    var i = 0
+    while (i + k <= s.length) {
+      val h = hash60(s.substring(i, i + k))
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    out.toArray
+  }
+
   /** Threshold-bounded Levenshtein distance (classic Ukkonen band,
     * O(maxDist · min len) with early exit when an entire band row
     * exceeds the bound): the exact distance when ≤ `t`, else −1 —

@@ -527,6 +527,26 @@ case class LongDotProduct(left: Expression, right: Expression)
   override def prettyName: String = "long_dot"
 }
 
+/** Distinct 60-bit md5 hashes of all k-character substrings, one
+  * compiled pass — the char-shingle analog of [[ShingleHashes60]] for
+  * edit-level similarity banding. */
+case class CharShingles60(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      TextHash.charShingles60(input.asInstanceOf[UTF8String], k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         .fromPrimitiveArray(graft.expr.TextHash.charShingles60($c, $k));""")
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingles60 =
+    copy(child = newChild)
+  override def prettyName: String = "char_shingles60"
+}
+
 /** Threshold-bounded Levenshtein distance as a compiled kernel —
   * value-identical to `levenshtein(a, b, maxDist)` (exact distance when
   * ≤ maxDist, else −1). The built-in's interpreted path measured ~5 ms
@@ -778,6 +798,8 @@ object hfunctions {
   def shingle_hashes60(text: Column, n: Int): Column = expr2col(ShingleHashes60(col2expr(text), n))
   def bounded_levenshtein(a: Column, b: Column, maxDist: Int): Column =
     expr2col(BoundedLevenshtein(col2expr(a), col2expr(b), maxDist))
+  def char_shingles60(text: Column, k: Int): Column =
+    expr2col(CharShingles60(col2expr(text), k))
 
   /** minhash signature of a shingle-hash array (compiled pass) */
   def minhash_sig(hs: Column, k: Int): Column = expr2col(MinHashSig(col2expr(hs), k))

@@ -445,6 +445,69 @@ object Dedup {
         col("inter"), col("uni"), col("jaccard"))
   }
 
+  /** EDIT-verified benchmark decontamination — [[fuzzyContamination]]'s
+    * character-level twin: catches the contaminated item whose rewrite
+    * happens WITHIN tokens (leetspeak, diacritic strips, OCR noise,
+    * templated serial numbers), where word-shingle Jaccard collapses —
+    * every word containing the edited character changes, so the fuzzy
+    * probe cannot even generate the candidate. Banding therefore runs on
+    * CHARACTER k-gram shingles (a char edit destroys only the k
+    * substrings covering it — the compiled [[graft.expr.TextHash.charShingles60]]
+    * kernel), and verification is true edit similarity
+    * `1 − levenshtein/max-len ≥ editSim` via the bounded-DP kernel.
+    *
+    * Same ONE-scan, ZERO-corpus-shuffle shape as [[fuzzyContamination]]:
+    * the (tiny) benchmark collapses to one broadcast row — its distinct
+    * band-key set plus (bench_id, text) pairs — each corpus doc computes
+    * its banded char-shingle signature in the scan projection,
+    * `arrays_overlap` gates candidacy, and only candidates fan out to
+    * the per-benchmark verify. The verifier runs through a typed map
+    * (the d21 single-evaluation discipline — one banded DP per
+    * (candidate, bench) pair, never re-planned into filters). Output:
+    * (doc_id, bench_id, dist, max_len, edit_sim). */
+  def editContamination(corpus: DataFrame, benchmark: DataFrame,
+                        idCol: String, textCol: String,
+                        k: Int = 4, bands: Int = 0, rowsPerBand: Int = 0,
+                        candidateThreshold: Double = 0.5,
+                        editSim: Double = 0.8, maxDist: Int = 1000): DataFrame = {
+    requireIntegralId(corpus, idCol, "editContamination")
+    require((bands > 0) == (rowsPerBand > 0),
+      "pass both bands and rowsPerBand, or neither (auto-derive from candidateThreshold)")
+    val (nBands, nRows) =
+      if (bands > 0) (bands, rowsPerBand) else minhashConfigFor(candidateThreshold)
+    val nHashes = nBands * nRows
+    def sigs(df: DataFrame) =
+      df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"),
+          graft.expr.hfunctions.char_shingles60(col(textCol), k).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .withColumn("sig", minhashFromHashes(col("hs"), nHashes))
+        .withColumn("bks", bandKeyArray(col("sig"), nBands, nRows))
+    val benchSide = broadcast(sigs(benchmark)
+      .agg(array_distinct(flatten(collect_list(col("bks")))).as("bench_bks"),
+        collect_list(struct(col("doc_id").as("bench_id"), col("text").as("b_text")))
+          .as("bench")))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    sigs(corpus)
+      .crossJoin(benchSide)
+      .filter(arrays_overlap(col("bks"), col("bench_bks")))
+      .select(col("doc_id"), col("text"), explode(col("bench")).as("b"))
+      .select(col("doc_id"), col("b.bench_id").as("bench_id"),
+        col("text"), col("b.b_text").as("b_text"))
+      .as[(Long, Long, String, String)]
+      .map { case (docId, benchId, ct, bt) =>
+        val dist = graft.expr.TextHash.boundedLevenshtein(
+          org.apache.spark.unsafe.types.UTF8String.fromString(ct),
+          org.apache.spark.unsafe.types.UTF8String.fromString(bt), maxDist)
+        val maxLen = math.max(ct.codePointCount(0, ct.length),
+          bt.codePointCount(0, bt.length)).toLong
+        val sim = if (maxLen == 0) 1.0 else 1.0 - dist.toDouble / maxLen
+        (docId, benchId, dist, maxLen, sim)
+      }
+      .toDF("doc_id", "bench_id", "dist", "max_len", "edit_sim")
+      .filter(col("dist") >= 0 && col("edit_sim") >= editSim)
+  }
+
   /** Directed n-gram containment pairs: `(a_id, b_id)` means a_id's
     * shingle set is (nearly) contained in b_id's —
     * `containment = |A ∩ B| / |A| ≥ threshold`. The asymmetric twin of

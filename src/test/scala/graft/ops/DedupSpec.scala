@@ -79,6 +79,30 @@ class DedupSpec extends SparkSpec {
     assert(lsh.contains((0L, 1L))) // identical docs always share all bands
   }
 
+  test("editContamination catches the leetspeak rewrite the word-shingle probe can't candidate") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the green river bank every evening"),
+      (2L, "spark shuffles partition data across the cluster by key ranges and merges results"),
+      (3L, "a completely different note about gardening tools and wet soil in september"))
+      .toDF("doc_id", "text")
+    // benchmark item 1 leetspeak-rewritten: every 'e' becomes '3' — most
+    // WORDS change, so word-shingle Jaccard collapses…
+    val bench = corpus.filter(col("doc_id") === 1)
+      .withColumn("text", translate(col("text"), "e", "3"))
+    assert(Dedup.fuzzyContamination(corpus, bench, "doc_id", "text",
+      n = 3, threshold = 0.5).count() == 0,
+      "the word-shingle fuzzy probe must fail on within-token edits (the gap d22 fills)")
+    // …while char-4-gram banding + edit verification flags exactly doc 1
+    val got = Dedup.editContamination(corpus, bench, "doc_id", "text",
+      k = 4, bands = 8, rowsPerBand = 1, editSim = 0.8, maxDist = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L)), s"got $got")
+    // the verifier is a real gate: a sky-high bar rejects even the rewrite
+    assert(Dedup.editContamination(corpus, bench, "doc_id", "text",
+      k = 4, bands = 8, rowsPerBand = 1, editSim = 0.999, maxDist = 200).count() == 0)
+  }
+
   test("bounded_levenshtein == builtin levenshtein(a, b, t) on random pairs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
