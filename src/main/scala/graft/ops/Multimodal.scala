@@ -350,6 +350,55 @@ object Multimodal {
       .groupBy(col("phash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
 
+  case class ImagePatch(doc_id: Long, px: Int, py: Int,
+                        patch_w: Int, patch_h: Int, gray_sum: Long)
+
+  /** PATCH extraction (the ViT data-prep step): real decode → the image
+    * cut into a `grid`×`grid` array of patches (block boundaries by the
+    * same integer `c·dim/grid` arithmetic as [[aHash64]] — no resampler
+    * semantics in the contract), one typed row per patch with its exact
+    * integer grayscale sum. A real vision pipeline replaces the feature
+    * with the raw patch tensor; the SHAPE — one row per (image, py, px)
+    * with typed coordinates, flatMap'd inside the decode pass so pixels
+    * never shuffle — is the contract this operator pins. Undecodable
+    * payloads yield no patches (decode-failure-drops convention). */
+  def patchify(media: DataFrame, grid: Int = 4): Dataset[ImagePatch] = {
+    require(grid > 0, s"grid must be positive: $grid")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        catch { case _: Exception => null }
+        if (img == null) Iterator.empty
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          for {
+            cy <- (0 until grid).iterator
+            cx <- (0 until grid).iterator
+            x0 = cx * w / grid; x1 = (cx + 1) * w / grid
+            y0 = cy * h / grid; y1 = (cy + 1) * h / grid
+            if x1 > x0 && y1 > y0 // degenerate cells of tiny images drop
+          } yield {
+            var sum = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val p = img.getRGB(x, y)
+                sum += (((p >>> 16) & 0xff) + ((p >>> 8) & 0xff) + (p & 0xff)) / 3
+                x += 1
+              }
+              y += 1
+            }
+            ImagePatch(r.doc_id, cx, cy, x1 - x0, y1 - y0, sum)
+          }
+        }
+      }
+    }
+  }
+
   /** PERCEPTUAL near-dup PAIR search: aHash fingerprints + the
     * pigeonhole Hamming band join ([[graft.ops.Dedup.hammingPairs]],
     * recall 1.0 by construction) — the media variant of text SimHash

@@ -169,6 +169,25 @@ object ExtendedQueries {
         .orderBy(col("n_view"))
     }),
 
+    // LAST-TOUCH attribution: each purchase attributed to the same
+    // user's latest preceding non-purchase event — one user-keyed
+    // window ordered by event_id carrying a running "last touch"
+    // (per-user ordering only, never a global sort), then revenue
+    // rolls up per touch type; the marketing-attribution primitive
+    "q24_last_touch" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      eventsSec(s, dir)
+        .withColumn("touch", last(
+          when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase" && col("touch").isNotNull)
+        .groupBy(col("touch"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("revenue"))
+        .orderBy(col("touch"))
+    }),
+
     // TIME-BOUNDED conversion funnel: view → click within 1h of the
     // first view → purchase within 1h of that click. Each stage is a
     // type-filtered slice joined to the previous stage's users-sized
@@ -2578,6 +2597,19 @@ object ExtendedQueries {
         |      FROM ev e JOIN f USING (user_id))
         |SELECT cohort, offset_d, count(*) AS n_users
         |FROM j GROUP BY 1, 2 ORDER BY cohort, offset_d""".stripMargin,
+
+    // q24: the running last non-purchase touch via the same frame spec
+    "q24_last_touch" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT touch, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM t WHERE event_type = 'purchase' AND touch IS NOT NULL
+        |GROUP BY touch ORDER BY touch""".stripMargin,
 
     // q23: the same three chained stage-firsts, each bounded by the
     // previous stage's timestamp + window

@@ -1439,6 +1439,16 @@ object PipelineQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // ViT-style patch extraction over REAL decode: 4×4 grid, one typed
+    // row per patch with exact integer grayscale sums; solid fills make
+    // every patch sum pure id-arithmetic (area × fill) while the real
+    // codec and raster walk run — pixels never shuffle
+    "m14_patchify" -> ((s, dir) => {
+      Multimodal.patchify(solidPngMedia(s, dir), grid = 4)
+        .toDF()
+        .orderBy(col("doc_id"), col("py"), col("px"))
+    }),
+
     "m06_media_resize" -> ((s, dir) => {
       Multimodal.resizeImages(solidPngMedia(s, dir), maxW = 32, maxH = 32)
         .toDF()
@@ -3538,6 +3548,28 @@ object PipelineQueries {
          |FROM (SELECT doc_id, unnest(y) AS v, unnest(generate_series(1, len(y))) AS i FROM ys)
          |GROUP BY 1, 2 ORDER BY doc_id, win_idx""".stripMargin
     },
+
+    // m14: block boundaries replayed by the same integer c·dim/grid
+    // arithmetic; solid fill ⇒ gray_sum = area × fill exactly
+    "m14_patchify" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 64 AS BIGINT) AS w,
+        |    CAST(1 + doc_id % 48 AS BIGINT) AS h,
+        |    CAST(20 + doc_id % 200 AS BIGINT) AS c
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, w, h, c, cx, cy,
+        |    (cx * w) // 4 AS x0, ((cx + 1) * w) // 4 AS x1,
+        |    (cy * h) // 4 AS y0, ((cy + 1) * h) // 4 AS y1
+        |  FROM dims,
+        |    (SELECT unnest(generate_series(0, 3)) AS cx),
+        |    (SELECT unnest(generate_series(0, 3)) AS cy))
+        |SELECT doc_id, CAST(cx AS INT) AS px, CAST(cy AS INT) AS py,
+        |  CAST(x1 - x0 AS INT) AS patch_w, CAST(y1 - y0 AS INT) AS patch_h,
+        |  CAST((x1 - x0) * (y1 - y0) * c AS BIGINT) AS gray_sum
+        |FROM g WHERE x1 > x0 AND y1 > y0
+        |ORDER BY doc_id, py, px""".stripMargin,
 
     // makes the resized-raster checksum nw*nh*3*c
     "m06_media_resize" ->
