@@ -684,23 +684,56 @@ object Similarity {
   def ivfRpqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                  nCentroids: Int = 8, nProbe: Int = 2, m: Int = 4,
                  dim: Int = 64, ksub: Int = 8, trainIters: Int = 2): DataFrame = {
-    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
-    val sub = dim / m
-    val coarse = trainCentroids(corpus, nCentroids, trainIters)
-    val resid = corpus
+    val (coarse, books) = trainIvfRpq(corpus, nCentroids, m, dim, ksub, trainIters)
+    ivfRpqServe(ivfRpqEncode(corpus, coarse, books, m, dim),
+      queries, coarse, books, k, nProbe, m, dim)
+  }
+
+  /** The residual frame: each vector minus its coarse centroid, in
+    * [[prep]] shape (vec_id, q = residual, nq = residual norm). */
+  private def residualFrame(corpus: DataFrame, coarse: Seq[Centroid]): DataFrame =
+    corpus
       .withColumn("c_id", centroidBest(coarse, col("q"), col("nq")))
       .withColumn("r", zip_with(col("q"),
         centroidVecOf(coarse, col("c_id")), (a, b) => a - b))
-      .select(col("vec_id"), col("nq"), col("c_id"), col("r").as("q"))
-      .withColumn("rq", normq(col("q")))
-    val books = trainPqCodebooks(
-      resid.select(col("vec_id"), col("q"), col("rq").as("nq")),
-      m, dim, ksub, trainIters)
-    def subR(j: Int) = slice(col("q"), j * sub + 1, sub)
-    val encoded = resid.select(col("vec_id"), col("nq"), col("c_id"),
-      array((0 until m).map { j =>
-        centroidBest(books(j), subR(j), normq(subR(j)))
-      }: _*).as("codes"))
+      .select(col("vec_id"), col("r").as("q"))
+      .withColumn("nq", normq(col("q")))
+
+  /** Residual-IVF-PQ training: the coarse book first, then the PQ books
+    * over the residual frame (inherently two phases — residuals need the
+    * coarse book to exist). */
+  def trainIvfRpq(corpus: DataFrame, nCentroids: Int, m: Int, dim: Int,
+                  ksub: Int = 8, trainIters: Int = 2)
+      : (Seq[Centroid], Seq[Seq[Centroid]]) = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val coarse = trainCentroids(corpus, nCentroids, trainIters)
+    (coarse, trainPqCodebooks(residualFrame(corpus, coarse), m, dim, ksub, trainIters))
+  }
+
+  /** Residual encode: coarse assignment + PQ codes of the residual
+    * slices + the ORIGINAL exact norm — pure per-row under frozen books
+    * (so append ≡ rebuild, the same invariant as [[ivfPqEncode]]). */
+  private def ivfRpqEncode(corpus: DataFrame, coarse: Seq[Centroid],
+                           books: Seq[Seq[Centroid]], m: Int, dim: Int): DataFrame = {
+    val sub = dim / m
+    def subR(j: Int) = slice(col("r"), j * sub + 1, sub)
+    corpus
+      .withColumn("c_id", centroidBest(coarse, col("q"), col("nq")))
+      .withColumn("r", zip_with(col("q"),
+        centroidVecOf(coarse, col("c_id")), (a, b) => a - b))
+      .select(col("vec_id"), col("nq"), col("c_id"),
+        array((0 until m).map { j =>
+          centroidBest(books(j), subR(j), normq(subR(j)))
+        }: _*).as("codes"))
+  }
+
+  /** Residual ADC serving over an encoded frame: the per-(query, probed
+    * centroid) coarse dot rides the broadcast probe frame next to the
+    * per-query LUTs. */
+  private def ivfRpqServe(encoded: DataFrame, queries: DataFrame,
+                          coarse: Seq[Centroid], books: Seq[Seq[Centroid]],
+                          k: Int, nProbe: Int, m: Int, dim: Int): DataFrame = {
+    val sub = dim / m
     def subQ(j: Int) = slice(col("q"), j * sub + 1, sub)
     val probes = nearestCentroids(queries, coarse, keep = nProbe)
       .withColumn("qc_dot", graft.expr.hfunctions.long_dot(col("q"),
@@ -959,8 +992,9 @@ object Similarity {
 
   private def writeIvfPqManifest(dir: String, coarse: Seq[Centroid],
                                  books: Seq[Seq[Centroid]], gen: String,
-                                 m: Int, dim: Int): Unit = {
-    val lines = s"meta\tdir\t$gen\t$m\t$dim" +:
+                                 m: Int, dim: Int,
+                                 residual: Boolean = false): Unit = {
+    val lines = (s"meta\tdir\t$gen\t$m\t$dim" + (if (residual) "\tres" else "")) +:
       (coarse.map(c => s"C\t${c.cId}\t${c.nq}\t${c.vec.mkString(",")}") ++
         books.zipWithIndex.flatMap { case (b, j) =>
           b.map(c => s"B\t$j\t${c.cId}\t${c.nq}\t${c.vec.mkString(",")}")
@@ -975,7 +1009,7 @@ object Similarity {
       .readString(java.nio.file.Paths.get(dir, "IVFPQ"))
       .split("\n").toSeq.filter(_.nonEmpty)
     val meta = lines.head.split("\t")
-    require(meta.length == 5 && meta(0) == "meta", s"bad IVFPQ manifest in $dir")
+    require(meta.length >= 5 && meta(0) == "meta", s"bad IVFPQ manifest in $dir")
     val (gen, m) = (meta(2), meta(3).toInt)
     def cent(parts: Array[String], off: Int) = Centroid(
       parts(off).toLong, parts(off + 2).split(",").map(_.toLong).toSeq, parts(off + 1).toLong)
@@ -985,6 +1019,17 @@ object Similarity {
       .groupBy(_(1).toInt).toSeq.sortBy(_._1)
       .map(_._2.map(cent(_, 2)).toSeq)
     (coarse, books, gen, m, meta(4).toInt)
+  }
+
+  /** Whether the persisted index's codes approximate RESIDUALS (the a21
+    * encoding) — recorded in the manifest so append and serve always use
+    * the encoding the codes were written under; mixing would compose
+    * incompatible coordinate systems silently. */
+  private[graft] def ivfPqIndexResidual(dir: String): Boolean = {
+    val meta = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(dir, "IVFPQ"))
+      .split("\n").head.split("\t")
+    meta.length >= 6 && meta(5) == "res"
   }
 
   /** Build (or rebuild) a persisted IVF-PQ index: train both quantizers
@@ -1008,13 +1053,37 @@ object Similarity {
     writeIvfPqManifest(dir, co, bo, gen, m, dim)
   }
 
+  /** [[buildIvfPqIndex]] with the RESIDUAL encoding (a21): same layout,
+    * same manifest flip, but codes approximate x − c(x) and the manifest
+    * records the mode so append/serve can never mix encodings. */
+  def buildIvfRpqIndex(corpus: DataFrame, dir: String,
+                       nCentroids: Int = 8, m: Int = 4, dim: Int = 64,
+                       ksub: Int = 8, trainIters: Int = 2,
+                       coarse: Option[Seq[Centroid]] = None,
+                       books: Option[Seq[Seq[Centroid]]] = None): Unit = {
+    val (co, bo) = (coarse, books) match {
+      case (Some(c), Some(b)) => (c, b)
+      case _ =>
+        val (tc, tb) = trainIvfRpq(corpus, nCentroids, m, dim, ksub, trainIters)
+        (coarse.getOrElse(tc), books.getOrElse(tb))
+    }
+    val gen = s"assignment-b${System.nanoTime()}"
+    ivfRpqEncode(corpus, co, bo, m, dim)
+      .repartition(col("c_id"))
+      .write.partitionBy("c_id").parquet(s"$dir/$gen")
+    writeIvfPqManifest(dir, co, bo, gen, m, dim, residual = true)
+  }
+
   /** Append new vectors under the FROZEN codebooks — append ≡ rebuild
     * because encode is a pure per-row function of (vector, codebooks).
-    * Same single-owner writer contract as [[appendToIvfIndex]]. */
+    * The manifest's encoding mode decides raw vs residual codes. Same
+    * single-owner writer contract as [[appendToIvfIndex]]. */
   def appendToIvfPqIndex(newVectors: DataFrame, dir: String): Unit = {
     val (co, bo, gen, m, dim) = resolveIvfPqIndex(dir)
-    ivfPqEncode(newVectors, co, bo, m, dim)
-      .repartition(col("c_id"))
+    val enc =
+      if (ivfPqIndexResidual(dir)) ivfRpqEncode(newVectors, co, bo, m, dim)
+      else ivfPqEncode(newVectors, co, bo, m, dim)
+    enc.repartition(col("c_id"))
       .write.mode("append").partitionBy("c_id").parquet(s"$dir/$gen")
   }
 
@@ -1032,7 +1101,9 @@ object Similarity {
       spark.read.parquet(s"$dir/$gen")
         .filter(col("c_id").isin(probes: _*))
         .select(col("vec_id"), col("nq"), col("c_id").cast("long").as("c_id"), col("codes")))
-    ivfPqServe(encoded, queries, co, bo, k, nProbe, m, dim)
+    if (ivfPqIndexResidual(dir))
+      ivfRpqServe(encoded, queries, co, bo, k, nProbe, m, dim)
+    else ivfPqServe(encoded, queries, co, bo, k, nProbe, m, dim)
   }
 
   /** [[compactIvfIndex]] for the PQ-coded index: rewrite the live
@@ -1042,10 +1113,11 @@ object Similarity {
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
     val (co, bo, gen, m, dim) = resolveIvfPqIndex(dir)
     val target = s"assignment-${System.currentTimeMillis()}"
+    val residual = ivfPqIndexResidual(dir) // the mode survives compaction
     maskTombstones(spark, s"$dir/$gen", spark.read.parquet(s"$dir/$gen"))
       .repartition(col("c_id"))
       .write.partitionBy("c_id").parquet(s"$dir/$target")
-    writeIvfPqManifest(dir, co, bo, target, m, dim)
+    writeIvfPqManifest(dir, co, bo, target, m, dim, residual)
     target
   }
 

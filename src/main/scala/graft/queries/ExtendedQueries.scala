@@ -600,6 +600,21 @@ object ExtendedQueries {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // the PERSISTED residual index: a13's partitioned layout with the
+    // manifest recording the encoding mode (append/serve/compact can
+    // never mix raw and residual coordinate systems); books freeze from
+    // the full corpus, half builds, half appends, serving ≡ live a21
+    "a22_ann_ivf_rpq_index" -> ((s, dir) => {
+      val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
+      val work = scratchDir("graft_a22")
+      val (co, bo) = Similarity.trainIvfRpq(corpus, 8, m = 4, dim = 64, ksub = 8)
+      Similarity.buildIvfRpqIndex(corpus.filter(col("vec_id") % 2 === 0), work,
+        coarse = Some(co), books = Some(bo))
+      Similarity.appendToIvfPqIndex(corpus.filter(col("vec_id") % 2 === 1), work)
+      Similarity.ivfPqIndexTopK(s, work, corpus.filter(col("vec_id") < 5), k = 5, nProbe = 2)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // RESIDUAL IVF-PQ: the canonical FAISS encoding — PQ codebooks
     // train on x − c(x), so the code budget spends on the smaller
     // post-coarse signal; scoring = the coarse dot (per query×probe)
@@ -3003,6 +3018,9 @@ object ExtendedQueries {
     "a20_ann_drift" -> a20Oracle,
     // a21: residual IVF-PQ — coarse + residual-trained subspaces composed
     "a21_ann_ivf_rpq" -> a21Oracle,
+    // a22 ≡ a21: frozen full-corpus books + pure-per-row encode make
+    // build+append indistinguishable from the live path
+    "a22_ann_ivf_rpq_index" -> a21Oracle,
     // s24 = a20's build segment incrementally: integer sums are additive
     // over disjoint triggers, so the drained summary is the batch row
     "s24_stream_drift" ->

@@ -642,6 +642,37 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Join"), "no join in the drift scan:\n" + plan.take(800))
   }
 
+  test("persisted residual index: mode in the manifest, build+append ≡ one-shot, mode survives compaction") {
+    val queries = corpus.filter(col("vec_id") < 7)
+    val (co, bo) = Similarity.trainIvfRpq(corpus, 8, m = 4, dim = 64)
+    val inc = java.nio.file.Files.createTempDirectory("graft_rpq_inc").toString
+    Similarity.buildIvfRpqIndex(corpus.filter(col("vec_id") % 2 === 0), inc,
+      coarse = Some(co), books = Some(bo))
+    assert(Similarity.ivfPqIndexResidual(inc), "the manifest must record the encoding mode")
+    Similarity.appendToIvfPqIndex(corpus.filter(col("vec_id") % 2 === 1), inc)
+
+    val full = java.nio.file.Files.createTempDirectory("graft_rpq_full").toString
+    Similarity.buildIvfRpqIndex(corpus, full, coarse = Some(co), books = Some(bo))
+    def rows(dir: String) = Similarity.ivfPqIndexTopK(spark, dir, queries, 5)
+      .orderBy("q_id", "rk").collect().toSeq
+    assert(rows(inc) == rows(full),
+      "append must encode under the SAME residual mode as the build")
+
+    // deletions + compaction keep both the verdicts and the mode
+    Similarity.deleteFromIvfPqIndex(
+      corpus.filter(col("vec_id") % 7 === 3).select("vec_id"), inc)
+    val masked = rows(inc)
+    assert(masked.forall(_.getLong(1) % 7 != 3))
+    Similarity.compactIvfPqIndex(spark, inc)
+    assert(Similarity.ivfPqIndexResidual(inc), "compaction must not drop the mode")
+    assert(rows(inc) == masked)
+
+    // a raw index still reads as raw (flag back-compat)
+    val raw = java.nio.file.Files.createTempDirectory("graft_rpq_raw").toString
+    Similarity.buildIvfPqIndex(corpus, raw, coarse = Some(co), books = Some(bo))
+    assert(!Similarity.ivfPqIndexResidual(raw))
+  }
+
   test("residual IVF-PQ: tighter approximation than raw-subvector PQ; deterministic") {
     val queries = corpus.filter(col("vec_id") < 7)
     def simsOf(df: org.apache.spark.sql.DataFrame) =
