@@ -972,6 +972,35 @@ object ExtendedQueries {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // s18 on the RESIDUAL index: the mode-aware append reads the
+    // manifest and encodes each micro-batch as residual codes under the
+    // frozen books — per-row-pure, so drain order is irrelevant and
+    // serving after the drain ≡ the live a21 path, its oracle; one
+    // streaming ingest path serves both encodings
+    "s26_stream_rpq_ingest" -> ((s, dir) => {
+      val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
+      val work = scratchDir("graft_s26")
+      val (co, bo) = Similarity.trainIvfRpq(corpus, 8, m = 4, dim = 64, ksub = 8)
+      Similarity.buildIvfRpqIndex(corpus.filter(col("vec_id") % 2 === 0), work,
+        coarse = Some(co), books = Some(bo))
+      corpus.filter(col("vec_id") % 2 === 1)
+        .coalesce(2).write.mode("overwrite").parquet(s"$work/incoming")
+      val q = s.readStream
+        .schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$work/incoming")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          Similarity.appendToIvfPqIndex(batch, work)
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ckpt")
+        .start()
+      q.awaitTermination()
+      Similarity.ivfPqIndexTopK(s, work, corpus.filter(col("vec_id") < 5), k = 5, nProbe = 2)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // streaming FUZZY contamination gate (p14's stream twin): per-doc
     // minhash band keys are a map-only projection; a doc is a candidate
     // iff its keys overlap the broadcast benchmark key set, and ONLY
@@ -3049,6 +3078,8 @@ object ExtendedQueries {
     // s18 ≡ a07: micro-batched appends under frozen codebooks are
     // per-row pure — drain order cannot matter
     "s18_stream_ivfpq_ingest" -> a07Oracle,
+    // s26 ≡ a21: residual encode is per-row-pure under frozen books
+    "s26_stream_rpq_ingest" -> a21Oracle,
 
     // a14: a03's serving restricted to the lang='en' candidate universe
     // (queries themselves stay unfiltered); codebook trains on the full
