@@ -566,4 +566,43 @@ class PlanQualitySpec extends SparkSpec {
       "resample+window must run inside the decode pass; only the final ORDER BY may exchange:\n" +
         plan.take(800))
   }
+
+  test("d22 edit decontamination: one-row broadcast benchmark, corpus never shuffled before verify") {
+    val physical = q("d22_edit_decontamination").queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastNestedLoopJoin"),
+      "the benchmark collapses to a 1-row broadcast the corpus cross-probes")
+    assert(!physical.contains("SortMergeJoin") && !physical.contains("CartesianProduct"),
+      physical.take(800))
+  }
+
+  test("m12 clip match: clip prints broadcast; the track corpus never sort-merge joins") {
+    val physical = q("m12_audio_clip_match").queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"), physical.take(800))
+    assert(!physical.contains("SortMergeJoin") && !physical.contains("CartesianProduct"),
+      physical.take(800))
+  }
+
+  test("a21 residual IVF-PQ: probes broadcast into the encoded scan, no cartesian, no window over pairs") {
+    val physical = q("a21_ann_ivf_rpq").queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"), physical.take(800))
+    assert(!physical.contains("CartesianProduct"), physical.take(800))
+    // top-k is the bounded-heap partial aggregate, never a ranking window
+    assert(!physical.contains("RunningWindowFunction") &&
+      !"Window\\b".r.findFirstIn(physical).isDefined, physical.take(800))
+  }
+
+  test("q24 last-touch: the only window is user-partitioned — never a global sort") {
+    val root = q("q24_last_touch").queryExecution.optimizedPlan
+    val windows = root.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"attribution window must partition by user: ${windows.map(_.partitionSpec)}")
+  }
+
+  test("t23 grouped z-scores: stats ride back as a broadcast — no window anywhere") {
+    val physical = q("t23_grouped_zscore").queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"),
+      "group stats must broadcast back over the scan:\n" + physical.take(800))
+    assert(!physical.contains("Window"), physical.take(800))
+  }
 }
