@@ -1204,6 +1204,49 @@ object Similarity {
       .select(col("vec_id"), col("c_id"))
   }
 
+  /** Cluster MEDOID selection — exemplar extraction for dataset
+    * distillation / prototype-based pruning: per k-means cluster, the
+    * member with the highest total micro-quantized cosine to its
+    * co-members — the discrete analog of the centroid that is an ACTUAL
+    * data point, usable as the cluster's face in labeling UIs, as a
+    * coreset element, or as the survivor in aggressive semantic pruning
+    * (where [[semDedup]] keeps the smallest id, this keeps the most
+    * central). Ties break to the smaller id; singletons are their own
+    * medoid (score 0).
+    *
+    * Scale: the pairwise term is confined to clusters — Σ|cluster|², the
+    * [[semDedup]] contract (size nCentroids ∝ n / target-cluster-size);
+    * scores are exact integer micro-unit sums, so the per-cluster argmax
+    * is ONE max_by hash aggregate, engine-portable, no window. Output:
+    * (c_id, medoid_id, cluster_size, sum_sim_q). */
+  def clusterMedoids(corpus: DataFrame, nCentroids: Int = 8,
+                     trainIters: Int = 2,
+                     codebook: Option[Seq[Centroid]] = None): DataFrame = {
+    val cents = codebook.getOrElse(trainCentroids(corpus, nCentroids, trainIters))
+    val assigned = nearestCentroids(corpus, cents, keep = 1)
+      .select(col("vec_id"), col("q"), col("nq"), col("c_id"))
+    val a = assigned.select(col("c_id"), col("vec_id").as("a_id"),
+      col("q").as("a_q"), col("nq").as("a_nq"))
+    val b = assigned.select(col("c_id"), col("vec_id").as("b_id"),
+      col("q").as("b_q"), col("nq").as("b_nq"))
+    val scores = a.join(b, Seq("c_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("s", round(cosineq(col("a_q"), col("b_q"),
+        col("a_nq"), col("b_nq")) * 1e6).cast("long"))
+      .groupBy(col("c_id"), col("a_id")).agg(sum(col("s")).as("sum_sim_q"))
+    val sizes = assigned.groupBy("c_id").agg(count(lit(1)).as("cluster_size"))
+    assigned.select(col("c_id"), col("vec_id"))
+      .join(scores.select(col("c_id"), col("a_id").as("vec_id"), col("sum_sim_q")),
+        Seq("c_id", "vec_id"), "left")
+      .withColumn("sum_sim_q", coalesce(col("sum_sim_q"), lit(0L)))
+      .groupBy(col("c_id"))
+      .agg(max(struct(col("sum_sim_q"), (-col("vec_id")).as("nv"))).as("b"))
+      .select(col("c_id"), (-col("b.nv")).as("medoid_id"),
+        col("b.sum_sim_q").as("sum_sim_q"))
+      .join(sizes, Seq("c_id"))
+      .select("c_id", "medoid_id", "cluster_size", "sum_sim_q")
+  }
+
   /** Embedding near-duplicate pairs, brute force: all pairs with cosine ≥
     * threshold via an explicit cross join. O(n²) — kept ONLY as the
     * small-n oracle reference; the operator users reach for is the

@@ -559,6 +559,17 @@ object ExtendedQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // cluster MEDOIDS: per k-means cluster the most central actual
+    // member (highest exact micro-unit cosine sum to co-members, ties
+    // to the smaller id) — exemplar extraction for distillation and
+    // prototype-keeping pruning; pairwise work cluster-confined, argmax
+    // one max_by aggregate
+    "d23_cluster_medoids" -> ((s, dir) => {
+      val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
+      Similarity.clusterMedoids(corpus, nCentroids = 8)
+        .orderBy(col("c_id"))
+    }),
+
     // IVF ANN: coarse-quantizer assignment + nProbe-list exact re-rank
     "a03_ann_ivf" -> ((s, dir) => {
       val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
@@ -1970,6 +1981,28 @@ object ExtendedQueries {
        |  CAST(count(CASE WHEN fit_q < 500000 THEN 1 END) AS DOUBLE) / count(*) AS p_low
        |FROM seg GROUP BY segment ORDER BY segment""".stripMargin
 
+  /** d23: per-cluster in-cluster pair sims (micro-quantized), summed per
+    * member, argmax with the (score desc, id asc) tie-break. */
+  private val d23Oracle: String =
+    s"""$kmeansAssignCtes,
+       |pr AS (
+       |  SELECT a.c_id, a.vec_id AS a_id,
+       |    CAST(round((CASE WHEN a.nn = 0 OR b.nn = 0 THEN 0.0
+       |      ELSE list_dot_product(a.q::DOUBLE[], b.q::DOUBLE[]) / (sqrt(a.nn) * sqrt(b.nn)) END)
+       |      * 1000000) AS BIGINT) AS s
+       |  FROM corpus_a a JOIN corpus_a b
+       |    ON a.c_id = b.c_id AND a.vec_id <> b.vec_id),
+       |sc AS (SELECT c_id, a_id, CAST(sum(s) AS BIGINT) AS sum_sim_q FROM pr GROUP BY 1, 2),
+       |fl AS (SELECT ca.c_id, ca.vec_id,
+       |         coalesce(sc.sum_sim_q, CAST(0 AS BIGINT)) AS sum_sim_q
+       |       FROM corpus_a ca LEFT JOIN sc ON sc.c_id = ca.c_id AND sc.a_id = ca.vec_id),
+       |sz AS (SELECT c_id, CAST(count(*) AS BIGINT) AS cluster_size FROM corpus_a GROUP BY c_id),
+       |r AS (SELECT c_id, vec_id, sum_sim_q,
+       |        row_number() OVER (PARTITION BY c_id
+       |          ORDER BY sum_sim_q DESC, vec_id ASC) AS rk FROM fl)
+       |SELECT r.c_id, r.vec_id AS medoid_id, sz.cluster_size, r.sum_sim_q
+       |FROM r JOIN sz USING (c_id) WHERE rk = 1 ORDER BY r.c_id""".stripMargin
+
   private val a05Oracle: String =
     s"""$kmeansAssignCtes,
        |drops AS (
@@ -3131,6 +3164,8 @@ object ExtendedQueries {
          |ORDER BY doc_id""".stripMargin,
 
     "a05_semdedup" -> a05Oracle,
+    // d23: cluster medoids — in-cluster micro-unit score sums, argmax
+    "d23_cluster_medoids" -> d23Oracle,
 
     // the streamed appends land in the same frozen-codebook coordinate
     // system as a from-scratch build, so serving ≡ a03's live path

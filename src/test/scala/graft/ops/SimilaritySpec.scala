@@ -642,6 +642,36 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Join"), "no join in the drift scan:\n" + plan.take(800))
   }
 
+  test("clusterMedoids == brute-force per-cluster centrality argmax; singleton = self") {
+    val cents = Similarity.trainCentroids(corpus, 8, 2)
+    val got = Similarity.clusterMedoids(corpus, codebook = Some(cents))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+    // brute force from collected vectors + the τ>1 semDedup assignment
+    val clusterOf = Similarity.semDedup(corpus, threshold = 1.1, nCentroids = 8,
+        codebook = Some(cents))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = corpus.collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Long](1).toArray, r.getLong(2)))).toMap
+    def simQ(x: Long, y: Long): Long = {
+      val ((a, na), (b, nb)) = (vecs(x), vecs(y))
+      if (na == 0 || nb == 0) 0L
+      else {
+        val dot = a.zip(b).map { case (u, v) => u * v }.sum
+        val v = dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)) * 1e6
+        if (v >= 0) math.floor(v + 0.5).toLong else -math.floor(-v + 0.5).toLong
+      }
+    }
+    val byCluster = clusterOf.toSeq.groupBy(_._2).map { case (c, ms) => c -> ms.map(_._1).sorted }
+    val expected = byCluster.map { case (c, members) =>
+      val scored = members.map(m => m -> members.filter(_ != m).map(simQ(m, _)).sum)
+      val (mid, s) = scored.minBy { case (m, sq) => (-sq, m) }
+      c -> ((mid, members.size.toLong, s))
+    }
+    assert(got == expected,
+      s"diff=${expected.toSet.diff(got.toSet)} extra=${got.toSet.diff(expected.toSet)}")
+  }
+
   test("persisted residual index: mode in the manifest, build+append ≡ one-shot, mode survives compaction") {
     val queries = corpus.filter(col("vec_id") < 7)
     val (co, bo) = Similarity.trainIvfRpq(corpus, 8, m = 4, dim = 64)
