@@ -169,6 +169,23 @@ object ExtendedQueries {
         .orderBy(col("n_view"))
     }),
 
+    // ROLLING 7-day active users (DAU/WAU): events compress to the
+    // distinct (user, day) activity frame, each activity day COVERS the
+    // 7 windows it contributes to via a bounded explode, and WAU is one
+    // distinct-count per covered day — no RANGE window over the event
+    // stream, no day×day self-join; reported for observed days only
+    "q25_rolling_active" -> ((s, dir) => {
+      val ud = eventsSec(s, dir)
+        .select(col("user_id"), expr("ts_s div 86400").as("day")).distinct()
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("w_day"))
+        .groupBy(col("w_day")).agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, dau("day") === wau("w_day"))
+        .select(col("day"), col("dau"), col("wau"))
+        .orderBy(col("day"))
+    }),
+
     // LAST-TOUCH attribution: each purchase attributed to the same
     // user's latest preceding non-purchase event — one user-keyed
     // window ordered by event_id carrying a running "last touch"
@@ -2674,6 +2691,20 @@ object ExtendedQueries {
         |      FROM ev e JOIN f USING (user_id))
         |SELECT cohort, offset_d, count(*) AS n_users
         |FROM j GROUP BY 1, 2 ORDER BY cohort, offset_d""".stripMargin,
+
+    // q25: the covers-explode formulation — each activity day counts
+    // toward its 7 covering windows, distinct users per covered day
+    "q25_rolling_active" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |cov AS (
+        |  SELECT user_id, day + o AS w_day
+        |  FROM ud, (SELECT unnest(generate_series(0, 6)) AS o)),
+        |w AS (SELECT w_day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |      FROM cov GROUP BY w_day),
+        |d AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day)
+        |SELECT d.day, d.dau, w.wau
+        |FROM d JOIN w ON w.w_day = d.day ORDER BY d.day""".stripMargin,
 
     // q24: the running last non-purchase touch via the same frame spec
     "q24_last_touch" ->
