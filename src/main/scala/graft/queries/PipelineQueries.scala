@@ -1247,6 +1247,38 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SCRIPT census: per-doc counts of Latin / digit / Cyrillic / CJK /
+    // Arabic codepoints (five codegen'd regex class counts in one scan)
+    // + a deterministic dominant-script verdict — the multilingual
+    // routing signal lang-ID needs under it (t03 assumes an alphabet;
+    // this says WHICH alphabet). Fixture appends per-id non-Latin runs
+    // so every class and the tie-priority is exercised
+    "t24_script_census" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" "),
+          expr("repeat('д', cast(doc_id % 5 as int))"),
+          expr("repeat('中', cast(doc_id % 3 as int))"),
+          expr("repeat('ش', cast(doc_id % 2 as int))")).as("text"))
+      val latin = regexp_count(col("text"), lit("[A-Za-z]")).cast("long")
+      val digit = regexp_count(col("text"), lit("[0-9]")).cast("long")
+      val cyr = regexp_count(col("text"), lit("[Ѐ-ӿ]")).cast("long")
+      val cjk = regexp_count(col("text"), lit("[一-鿿]")).cast("long")
+      val ar = regexp_count(col("text"), lit("[؀-ۿ]")).cast("long")
+      d.select(col("doc_id"),
+          latin.as("n_latin"), digit.as("n_digit"), cyr.as("n_cyrillic"),
+          cjk.as("n_cjk"), ar.as("n_arabic"))
+        .withColumn("script",
+          when(col("n_latin") === 0 && col("n_cyrillic") === 0 &&
+            col("n_cjk") === 0 && col("n_arabic") === 0, "none")
+          .when(col("n_latin") >= col("n_cyrillic") &&
+            col("n_latin") >= col("n_cjk") && col("n_latin") >= col("n_arabic"), "latin")
+          .when(col("n_cyrillic") >= col("n_cjk") &&
+            col("n_cyrillic") >= col("n_arabic"), "cyrillic")
+          .when(col("n_cjk") >= col("n_arabic"), "cjk")
+          .otherwise("arabic"))
+        .orderBy(col("doc_id"))
+    }),
+
     // grouped z-score standardization: per-language length z-scores —
     // the normalize-within-group step that makes one quality threshold
     // portable across a mixed corpus. Stats = one groups-sized groupBy
@@ -3263,6 +3295,29 @@ object PipelineQueries {
          |    + 0.3 * (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END))) AS quality
          |FROM f ORDER BY doc_id""".stripMargin
     },
+
+    "t24_script_census" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' ' || repeat('д', CAST(doc_id % 5 AS INT)) ||
+        |    repeat('中', CAST(doc_id % 3 AS INT)) ||
+        |    repeat('ش', CAST(doc_id % 2 AS INT)) AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_latin,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+        |    CAST(len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS BIGINT) AS n_cyrillic,
+        |    CAST(len(regexp_extract_all(text, '[一-鿿]')) AS BIGINT) AS n_cjk,
+        |    CAST(len(regexp_extract_all(text, '[؀-ۿ]')) AS BIGINT) AS n_arabic
+        |  FROM d)
+        |SELECT doc_id, n_latin, n_digit, n_cyrillic, n_cjk, n_arabic,
+        |  CASE WHEN n_latin = 0 AND n_cyrillic = 0 AND n_cjk = 0 AND n_arabic = 0 THEN 'none'
+        |       WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk AND n_latin >= n_arabic THEN 'latin'
+        |       WHEN n_cyrillic >= n_cjk AND n_cyrillic >= n_arabic THEN 'cyrillic'
+        |       WHEN n_cjk >= n_arabic THEN 'cjk'
+        |       ELSE 'arabic' END AS script
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "t23_grouped_zscore" ->
       """WITH d AS (SELECT doc_id, lang AS grp, CAST(length(text) AS BIGINT) AS x
