@@ -97,6 +97,27 @@ class IndexerResource(registry: IndexerRegistry, supervisor: IndexerSupervisor) 
           case e: Exception => err(400, s"bad definition: ${e.getMessage}")
         }
 
+      // the re-crawl arm's triage, summarized (counts by status) — the
+      // full diff is corpus-sized and belongs in a dataset, not a GET
+      case ("GET", List("indexer", name, "recrawl")) =>
+        if (registry.get(name).isEmpty) notFound(name)
+        else try {
+          val counts = supervisor.recrawlDiff(name)
+            .groupBy(org.apache.spark.sql.functions.col("status")).count()
+            .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+          ok(counts.map { case (s, n) => s""""$s": $n""" }.mkString("{", ", ", "}"))
+        } catch {
+          case e: IllegalStateException => err(404, e.getMessage)
+        }
+
+      // vector-arm maintenance: apply tombstones physically, flip the
+      // manifest — the GoLive-shaped compaction verb
+      case ("POST", List("indexer", name))
+          if params.get("action").contains("compact-vectors") =>
+        if (registry.get(name).isEmpty) notFound(name)
+        else try ok(s"""{"indexer": "$name", "generation": "${supervisor.compactVectorIndex(name)}"}""")
+        catch { case e: IllegalArgumentException => err(404, e.getMessage) }
+
       case ("POST", List("indexer", name)) if params.get("action").contains("index") =>
         params.get("id") match {
           case None => err(400, "missing id parameter")

@@ -107,4 +107,37 @@ class RestApiSpec extends SparkSpec {
       assert(sup.indexState("idx").isEmpty, "index state must be dropped")
     } finally srv.stop()
   }
+
+  test("arm operations over REST: re-crawl triage summary, vector compaction") {
+    import spark.implicits._
+    val reg = new IndexerRegistry(tmp("graft_rest_reg2"))
+    val logs = tmp("graft_rest_logs2")
+    val sup = new IndexerSupervisor(spark, reg, tmp("graft_rest_work2"), n => s"$logs/$n")
+    val srv = new RestServer(new IndexerResource(reg, sup))
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      reg.add(IndexerDefinition("idx", confXml))
+
+      // re-crawl summary: 404 before any baseline, counts after a diff
+      assert(get(s"$base/indexer/idx/recrawl").statusCode() == 404)
+      val v1 = Seq(1L -> "alpha beta gamma delta", 2L -> "one two three four",
+        3L -> "gone after this crawl").toDF("doc_id", "text")
+      val v2 = Seq(1L -> " alpha beta gamma delta ", 2L -> "one two three four five",
+        9L -> "brand new page").toDF("doc_id", "text")
+      sup.freezeRecrawlBaseline("idx", v1, "doc_id", "text")
+      sup.ingestRecrawl("idx", v2, "doc_id", "text")
+      val rc = get(s"$base/indexer/idx/recrawl")
+      assert(rc.statusCode() == 200, rc.body())
+      assert(rc.body().contains("\"added\": 1") && rc.body().contains("\"deleted\": 1") &&
+        rc.body().contains("\"unchanged\": 1"), rc.body())
+
+      // vector compaction: 404 without an index, a generation once built
+      assert(post(s"$base/indexer/idx?action=compact-vectors").statusCode() == 404)
+      val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      sup.buildVectorIndex("idx", emb, "vec_id", "embedding")
+      val cp = post(s"$base/indexer/idx?action=compact-vectors")
+      assert(cp.statusCode() == 200 && cp.body().contains("\"generation\""), cp.body())
+      assert(post(s"$base/indexer/nope?action=compact-vectors").statusCode() == 404)
+    } finally srv.stop()
+  }
 }
