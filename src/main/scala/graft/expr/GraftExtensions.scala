@@ -110,6 +110,13 @@ object GraftExtensions {
     ("kmv_sketch", mkInfo("kmv_sketch",
       "K-minimum-values distinct-count synopsis: ascending k smallest distinct hashes"),
       (es: Seq[Expression]) => KmvSketch(es(0), intLit(es(1), "kmv_sketch"))),
+    ("bounded_levenshtein", mkInfo("bounded_levenshtein",
+      "Ukkonen-banded edit distance: exact when <= maxDist, else -1"),
+      (es: Seq[Expression]) => BoundedLevenshtein(es(0), es(1),
+        intLit(es(2), "bounded_levenshtein"))),
+    ("char_shingles60", mkInfo("char_shingles60",
+      "distinct 60-bit md5 hashes of all k-character substrings"),
+      (es: Seq[Expression]) => CharShingles60(es(0), intLit(es(1), "char_shingles60"))),
     ("format_key", mkInfo("format_key", "reference string unique-key formatter (hyphen escaping)"),
       (es: Seq[Expression]) => formatKeyExpr(es)),
     ("unformat_key", mkInfo("unformat_key", "split a formatted unique key into components"),

@@ -45,6 +45,15 @@ class GraftExtensionsSpec extends SparkSpec {
     val codec = spark.sql("SELECT hbase_decode(hbase_encode(42L, 'long'), 'long') AS v")
       .head.getLong(0)
     assert(codec == 42L)
+
+    // the r12 kernels: banded edit distance + char shingles
+    val lev = spark.sql(
+      "SELECT bounded_levenshtein('kitten', 'sitting', 10) AS d," +
+        " bounded_levenshtein('kitten', 'sitting', 2) AS capped").head
+    assert(lev.getLong(0) == 3L && lev.getLong(1) == -1L)
+    val cs = spark.sql("SELECT char_shingles60(t, 4) AS cs FROM gx_t").head
+    val csScala = df.select(hfunctions.char_shingles60(col("t"), 4).as("cs")).head
+    assert(cs == csScala)
   }
 
   test("topk_by works as a SQL aggregate with map-side partials") {
