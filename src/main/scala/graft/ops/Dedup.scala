@@ -450,61 +450,69 @@ object Dedup {
     * happens WITHIN tokens (leetspeak, diacritic strips, OCR noise,
     * templated serial numbers), where word-shingle Jaccard collapses —
     * every word containing the edited character changes, so the fuzzy
-    * probe cannot even generate the candidate. Banding therefore runs on
-    * CHARACTER k-gram shingles (a char edit destroys only the k
-    * substrings covering it — the compiled [[graft.expr.TextHash.charShingles60]]
-    * kernel), and verification is true edit similarity
-    * `1 − levenshtein/max-len ≥ editSim` via the bounded-DP kernel.
+    * probe cannot even generate the candidate.
     *
-    * Same ONE-scan, ZERO-corpus-shuffle shape as [[fuzzyContamination]]:
-    * the (tiny) benchmark collapses to one broadcast row — its distinct
-    * band-key set plus (bench_id, text) pairs — each corpus doc computes
-    * its banded char-shingle signature in the scan projection,
-    * `arrays_overlap` gates candidacy, and only candidates fan out to
-    * the per-benchmark verify. The verifier runs through a typed map
-    * (the d21 single-evaluation discipline — one banded DP per
-    * (candidate, bench) pair, never re-planned into filters). Output:
-    * (doc_id, bench_id, dist, max_len, edit_sim). */
+    * Candidacy is an EXACT shared-char-gram overlap threshold, not
+    * minhash banding: measured background char-4-gram Jaccard between
+    * unrelated same-language docs is ~0.29 (0.12 at k=6, 0.04 at k=8) —
+    * there is no signature budget at which banding separates an edited
+    * rewrite from that background, and the first banding formulation
+    * degenerated to all-pairs × all-bench verification (458 s at
+    * sf0.1). Instead: a pair is a candidate iff
+    * `|shared k-grams| ≥ minOverlap · min(|A|, |B|)` — deterministic
+    * (recall 1.0 above the bar, no probabilistic miss), length-adaptive,
+    * and computed as one corpus gram-explode joined against the
+    * BROADCAST benchmark gram rows with a (doc, bench)-keyed count.
+    * A char edit destroys only the k grams covering it, so a rewrite at
+    * edit density d keeps ≈ (1−d)^k of its grams — at k=8, d=10% that
+    * is 0.43, comfortably above a 0.25 bar the background (~0.04–0.13
+    * containment) cannot reach.
+    *
+    * Verification is true edit similarity `1 − levenshtein/max-len ≥
+    * editSim` via the bounded-DP kernel, through a typed map (the d21
+    * single-evaluation discipline). Corpus-side cost: one gram explode
+    * (shuffling only grams that HIT the broadcast benchmark set), one
+    * candidate-keyed count, one DP per candidate pair. Output:
+    * (doc_id, bench_id, hits, dist, max_len, edit_sim). */
   def editContamination(corpus: DataFrame, benchmark: DataFrame,
                         idCol: String, textCol: String,
-                        k: Int = 4, bands: Int = 0, rowsPerBand: Int = 0,
-                        candidateThreshold: Double = 0.5,
+                        k: Int = 8, minOverlap: Double = 0.25,
                         editSim: Double = 0.8, maxDist: Int = 1000): DataFrame = {
     requireIntegralId(corpus, idCol, "editContamination")
-    require((bands > 0) == (rowsPerBand > 0),
-      "pass both bands and rowsPerBand, or neither (auto-derive from candidateThreshold)")
-    val (nBands, nRows) =
-      if (bands > 0) (bands, rowsPerBand) else minhashConfigFor(candidateThreshold)
-    val nHashes = nBands * nRows
-    def sigs(df: DataFrame) =
-      df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"),
+    require(minOverlap > 0.0 && minOverlap <= 1.0, s"minOverlap in (0,1]: $minOverlap")
+    def grams(df: DataFrame, id: String) =
+      df.select(col(idCol).cast("long").as(id), col(textCol).as(s"${id}_text"),
           graft.expr.hfunctions.char_shingles60(col(textCol), k).as("hs"))
         .filter(size(col("hs")) > 0)
-        .withColumn("sig", minhashFromHashes(col("hs"), nHashes))
-        .withColumn("bks", bandKeyArray(col("sig"), nBands, nRows))
-    val benchSide = broadcast(sigs(benchmark)
-      .agg(array_distinct(flatten(collect_list(col("bks")))).as("bench_bks"),
-        collect_list(struct(col("doc_id").as("bench_id"), col("text").as("b_text")))
-          .as("bench")))
+        .withColumn(s"${id}_n", size(col("hs")).cast("long"))
+    val cs = grams(corpus, "doc_id")
+    val bs = grams(benchmark, "bench_id")
+    val cg = cs.select(col("doc_id"), col("doc_id_n"), explode(col("hs")).as("h"))
+    val bg = bs.select(col("bench_id"), col("bench_id_n"), explode(col("hs")).as("h"))
+    val cand = cg.join(broadcast(bg), Seq("h"))
+      .groupBy(col("doc_id"), col("bench_id"), col("doc_id_n"), col("bench_id_n"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits").cast("double") >=
+        least(col("doc_id_n"), col("bench_id_n")).cast("double") * minOverlap)
+      .select("doc_id", "bench_id", "hits")
     val spark = corpus.sparkSession
     import spark.implicits._
-    sigs(corpus)
-      .crossJoin(benchSide)
-      .filter(arrays_overlap(col("bks"), col("bench_bks")))
-      .select(col("doc_id"), col("text"), explode(col("bench")).as("b"))
-      .select(col("doc_id"), col("b.bench_id").as("bench_id"),
-        col("text"), col("b.b_text").as("b_text"))
-      .as[(Long, Long, String, String)]
-      .map { case (docId, benchId, ct, bt) =>
+    cs.select(col("doc_id"), col("doc_id_text"))
+      .join(broadcast(cand), Seq("doc_id"))
+      .join(broadcast(bs.select(col("bench_id"), col("bench_id_text"))), Seq("bench_id"))
+      .select(col("doc_id"), col("bench_id"), col("hits"),
+        col("doc_id_text"), col("bench_id_text"))
+      .as[(Long, Long, Long, String, String)]
+      .map { case (docId, benchId, hits, ct, bt) =>
         val dist = graft.expr.TextHash.boundedLevenshtein(
           org.apache.spark.unsafe.types.UTF8String.fromString(ct),
           org.apache.spark.unsafe.types.UTF8String.fromString(bt), maxDist)
         val maxLen = math.max(ct.codePointCount(0, ct.length),
           bt.codePointCount(0, bt.length)).toLong
         val sim = if (maxLen == 0) 1.0 else 1.0 - dist.toDouble / maxLen
-        (docId, benchId, dist, maxLen, sim)
+        (docId, benchId, hits, dist, maxLen, sim)
       }
-      .toDF("doc_id", "bench_id", "dist", "max_len", "edit_sim")
+      .toDF("doc_id", "bench_id", "hits", "dist", "max_len", "edit_sim")
       .filter(col("dist") >= 0 && col("edit_sim") >= editSim)
   }
 

@@ -352,15 +352,17 @@ object PipelineQueries {
 
     // EDIT-level decontamination: benchmark items leetspeak-rewritten
     // (e → 3) — every word containing an 'e' changes, so the word-
-    // shingle fuzzy probe can't even candidate them; char-4-gram
-    // banding catches them (an edit destroys only the 4 substrings
-    // covering it) and the bounded-DP verifier scores true edit sim
+    // shingle fuzzy probe can't even candidate them. Candidacy = an
+    // EXACT shared-char-8-gram overlap bar (deterministic recall — no
+    // banding: measured background char-gram similarity drowns any
+    // minhash signature), then the bounded-DP verifier scores true
+    // edit similarity
     "d22_edit_decontamination" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("text"))
       val bench = d.filter(col("doc_id") % 17 === 0)
         .withColumn("text", translate(col("text"), "e", "3"))
       Dedup.editContamination(d, bench, "doc_id", "text",
-          k = 4, bands = 8, rowsPerBand = 1, editSim = 0.8, maxDist = 200)
+          k = 8, minOverlap = 0.25, editSim = 0.8, maxDist = 200)
         .orderBy(col("doc_id"), col("bench_id"))
     }),
 
@@ -1924,35 +1926,31 @@ object PipelineQueries {
          |ORDER BY a_id, b_id""".stripMargin
     },
 
-    // d22: char-4-gram shingles on both sides, 8×1 minhash bands, band
-    // collision gates candidacy, DuckDB's levenshtein verifies
+    // d22: char-8-gram sets on both sides, exact overlap bar gates
+    // candidacy, DuckDB's levenshtein verifies
     "d22_edit_decontamination" -> {
-      val bandKeysSql = (0 until 8).map { b =>
-        s"'${b}_' || CAST(m$b AS VARCHAR)"
-      }.mkString(", ")
-      def chSh(src: String) =
-        s"""SELECT doc_id, unnest(list_distinct(list_transform(
-           |    generate_series(1, length(text) - 3), i -> substr(text, i, 4)))) AS s
-           |  FROM $src WHERE length(text) >= 4""".stripMargin
+      def chSet(src: String) =
+        s"""SELECT doc_id, text, list_distinct(list_transform(
+           |    generate_series(1, length(text) - 7), i -> substr(text, i, 8))) AS s
+           |  FROM $src WHERE length(text) >= 8""".stripMargin
       s"""WITH bench0 AS (
          |  SELECT doc_id, translate(text, 'e', '3') AS text
          |  FROM documents WHERE doc_id % 17 = 0),
-         |cs AS (${chSh("documents")}),
-         |bs AS (${chSh("bench0")}),
-         |csig AS (SELECT doc_id, $minhashCols FROM cs GROUP BY doc_id),
-         |bsig AS (SELECT doc_id, $minhashCols FROM bs GROUP BY doc_id),
-         |cban AS (SELECT doc_id, unnest([$bandKeysSql]) AS band_key FROM csig),
-         |bban AS (SELECT doc_id, unnest([$bandKeysSql]) AS band_key FROM bsig),
+         |cs AS (${chSet("documents")}),
+         |bs AS (${chSet("bench0")}),
          |cand AS (
-         |  SELECT DISTINCT c.doc_id, b.doc_id AS bench_id
-         |  FROM cban c JOIN bban b ON c.band_key = b.band_key),
+         |  SELECT c.doc_id, b.doc_id AS bench_id,
+         |    CAST(len(list_intersect(c.s, b.s)) AS BIGINT) AS hits,
+         |    c.text AS c_text, b.text AS b_text
+         |  FROM cs c CROSS JOIN bs b
+         |  WHERE CAST(len(list_intersect(c.s, b.s)) AS DOUBLE) >=
+         |    least(len(c.s), len(b.s)) * 0.25),
          |v AS (
-         |  SELECT cand.doc_id, cand.bench_id,
-         |    CAST(levenshtein(d.text, b.text) AS BIGINT) AS dist,
-         |    CAST(greatest(length(d.text), length(b.text)) AS BIGINT) AS max_len
-         |  FROM cand JOIN documents d ON d.doc_id = cand.doc_id
-         |            JOIN bench0 b ON b.doc_id = cand.bench_id)
-         |SELECT doc_id, bench_id, dist, max_len,
+         |  SELECT doc_id, bench_id, hits,
+         |    CAST(levenshtein(c_text, b_text) AS BIGINT) AS dist,
+         |    CAST(greatest(length(c_text), length(b_text)) AS BIGINT) AS max_len
+         |  FROM cand)
+         |SELECT doc_id, bench_id, hits, dist, max_len,
          |  CASE WHEN max_len = 0 THEN 1.0
          |       ELSE 1.0 - CAST(dist AS DOUBLE) / max_len END AS edit_sim
          |FROM v

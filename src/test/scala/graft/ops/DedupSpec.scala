@@ -95,12 +95,12 @@ class DedupSpec extends SparkSpec {
       "the word-shingle fuzzy probe must fail on within-token edits (the gap d22 fills)")
     // …while char-4-gram banding + edit verification flags exactly doc 1
     val got = Dedup.editContamination(corpus, bench, "doc_id", "text",
-      k = 4, bands = 8, rowsPerBand = 1, editSim = 0.8, maxDist = 200)
+      k = 8, minOverlap = 0.25, editSim = 0.8, maxDist = 200)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 1L)), s"got $got")
     // the verifier is a real gate: a sky-high bar rejects even the rewrite
     assert(Dedup.editContamination(corpus, bench, "doc_id", "text",
-      k = 4, bands = 8, rowsPerBand = 1, editSim = 0.999, maxDist = 200).count() == 0)
+      k = 8, minOverlap = 0.25, editSim = 0.999, maxDist = 200).count() == 0)
   }
 
   test("bounded_levenshtein == builtin levenshtein(a, b, t) on random pairs") {
