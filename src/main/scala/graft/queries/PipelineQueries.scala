@@ -1559,6 +1559,38 @@ object PipelineQueries {
       s.read.parquet(outDir).orderBy(col("clip_id"), col("track_id"))
     }),
 
+    // d22's stream twin: each arriving corpus chunk probes the FROZEN
+    // benchmark for edit-level contamination — per-doc verdicts depend
+    // only on (doc, benchmark), so the drained union of per-batch
+    // outputs IS the batch operator; stateless per trigger (the
+    // s09/s16/s23 percolation family, char-edit edition)
+    "s27_stream_edit_decontaminate" -> ((s, dir) => {
+      val work = graft.queries.ExtendedQueries.scratchDir("graft_s27")
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val bench = d.filter(col("doc_id") % 17 === 0)
+        .withColumn("text", translate(col("text"), "e", "3"))
+      Seq(col("doc_id") % 3 === 0, col("doc_id") % 3 === 1,
+          col("doc_id") % 3 === 2).foreach { p =>
+        d.filter(p).coalesce(1).write.mode("append").parquet(s"$work/log")
+        Thread.sleep(20)
+      }
+      val outDir = s"$work/out"
+      val q = s.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$work/log")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          Dedup.editContamination(b, bench, "doc_id", "text",
+              k = 8, minOverlap = 0.25, editSim = 0.8, maxDist = 200)
+            .write.mode("append").parquet(outDir); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ckpt")
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir).orderBy(col("doc_id"), col("bench_id"))
+    }),
+
     // streaming PERCEPTUAL admission: arriving images are rejected when
     // any earlier-id image sits within the Hamming ball of their aHash —
     // fate-independent (a rejected image still blocks its later
@@ -1768,6 +1800,42 @@ object PipelineQueries {
        |      GROUP BY 1, 2, 3 HAVING count(*) >= 2)""".stripMargin
   }
 
+  /** d22/s27: char-8-gram sets on both sides, the exact overlap bar
+    * gates candidacy, DuckDB's levenshtein verifies — shared by the
+    * batch operator and its stateless stream twin (per-doc verdicts are
+    * pure functions of the frozen benchmark). */
+  private val d22OracleSql: String = {
+      def chSet(src: String) =
+        s"""SELECT doc_id, text, list_distinct(list_transform(
+           |    generate_series(1, length(text) - 7), i -> substr(text, i, 8))) AS s
+           |  FROM $src WHERE length(text) >= 8""".stripMargin
+      s"""WITH bench0 AS (
+         |  SELECT doc_id, translate(text, 'e', '3') AS text
+         |  FROM documents WHERE doc_id % 17 = 0),
+         |cs AS (${chSet("documents")}),
+         |bs AS (${chSet("bench0")}),
+         |cand AS (
+         |  SELECT c.doc_id, b.doc_id AS bench_id,
+         |    CAST(len(list_intersect(c.s, b.s)) AS BIGINT) AS hits,
+         |    c.text AS c_text, b.text AS b_text
+         |  FROM cs c CROSS JOIN bs b
+         |  WHERE CAST(len(list_intersect(c.s, b.s)) AS DOUBLE) >=
+         |    least(len(c.s), len(b.s)) * 0.25),
+         |v AS (
+         |  SELECT doc_id, bench_id, hits,
+         |    CAST(levenshtein(c_text, b_text) AS BIGINT) AS dist,
+         |    CAST(greatest(length(c_text), length(b_text)) AS BIGINT) AS max_len
+         |  FROM cand)
+         |SELECT doc_id, bench_id, hits, dist, max_len,
+         |  CASE WHEN max_len = 0 THEN 1.0
+         |       ELSE 1.0 - CAST(dist AS DOUBLE) / max_len END AS edit_sim
+         |FROM v
+         |WHERE dist <= 200 AND
+         |  (CASE WHEN max_len = 0 THEN 1.0
+         |        ELSE 1.0 - CAST(dist AS DOUBLE) / max_len END) >= 0.8
+         |ORDER BY doc_id, bench_id""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
 
     "d19_snapshot_diff" ->
@@ -1926,39 +1994,12 @@ object PipelineQueries {
          |ORDER BY a_id, b_id""".stripMargin
     },
 
-    // d22: char-8-gram sets on both sides, exact overlap bar gates
-    // candidacy, DuckDB's levenshtein verifies
-    "d22_edit_decontamination" -> {
-      def chSet(src: String) =
-        s"""SELECT doc_id, text, list_distinct(list_transform(
-           |    generate_series(1, length(text) - 7), i -> substr(text, i, 8))) AS s
-           |  FROM $src WHERE length(text) >= 8""".stripMargin
-      s"""WITH bench0 AS (
-         |  SELECT doc_id, translate(text, 'e', '3') AS text
-         |  FROM documents WHERE doc_id % 17 = 0),
-         |cs AS (${chSet("documents")}),
-         |bs AS (${chSet("bench0")}),
-         |cand AS (
-         |  SELECT c.doc_id, b.doc_id AS bench_id,
-         |    CAST(len(list_intersect(c.s, b.s)) AS BIGINT) AS hits,
-         |    c.text AS c_text, b.text AS b_text
-         |  FROM cs c CROSS JOIN bs b
-         |  WHERE CAST(len(list_intersect(c.s, b.s)) AS DOUBLE) >=
-         |    least(len(c.s), len(b.s)) * 0.25),
-         |v AS (
-         |  SELECT doc_id, bench_id, hits,
-         |    CAST(levenshtein(c_text, b_text) AS BIGINT) AS dist,
-         |    CAST(greatest(length(c_text), length(b_text)) AS BIGINT) AS max_len
-         |  FROM cand)
-         |SELECT doc_id, bench_id, hits, dist, max_len,
-         |  CASE WHEN max_len = 0 THEN 1.0
-         |       ELSE 1.0 - CAST(dist AS DOUBLE) / max_len END AS edit_sim
-         |FROM v
-         |WHERE dist <= 200 AND
-         |  (CASE WHEN max_len = 0 THEN 1.0
-         |        ELSE 1.0 - CAST(dist AS DOUBLE) / max_len END) >= 0.8
-         |ORDER BY doc_id, bench_id""".stripMargin
-    },
+    "d22_edit_decontamination" -> d22OracleSql,
+
+    // s27 = d22 per micro-batch against the frozen benchmark: verdicts
+    // are per-doc pure, so the drained union equals the batch operator
+    "s27_stream_edit_decontaminate" -> d22OracleSql,
+
 
     // the line filter and every Gopher ratio re-derived from the same
     // split/regex primitives; ratios are single double divisions of
