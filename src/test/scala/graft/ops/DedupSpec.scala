@@ -103,6 +103,51 @@ class DedupSpec extends SparkSpec {
       k = 8, minOverlap = 0.25, editSim = 0.999, maxDist = 200).count() == 0)
   }
 
+  test("editSimilarityPairs == brute-force verification on a random corpus (candidates subset)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def doc() = (0 until (8 + rnd.nextInt(10)))
+      .map(_ => "abcdef".charAt(rnd.nextInt(6)).toString * (1 + rnd.nextInt(3))).mkString(" ")
+    val base = (0L until 30L).map(i => (i, doc()))
+    // near-copies with 1–3 char edits for half the docs
+    val edited = base.collect { case (i, t) if i % 2 == 0 =>
+      (i + 1000, t.patch(rnd.nextInt(t.length), "zz".take(1 + rnd.nextInt(2)), 1))
+    }
+    val corpus = (base ++ edited).toDF("doc_id", "text")
+    val got = Dedup.editSimilarityPairs(corpus, "doc_id", "text",
+      bands = 4, rowsPerBand = 2, editSim = 0.7, maxDist = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // brute-force reference over ALL pairs with plain scala levenshtein
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val texts = (base ++ edited).toMap
+    val brute = (for {
+      (a, ta) <- texts; (b, tb) <- texts if a < b
+      dist = lev(ta, tb)
+      maxLen = math.max(ta.length, tb.length)
+      sim = if (maxLen == 0) 1.0 else 1.0 - dist.toDouble / maxLen
+      if dist <= 100 && sim >= 0.7
+    } yield (a, b) -> ((dist.toLong, maxLen.toLong, sim))).toMap
+    // LSH candidates are a SUBSET of all pairs; every surfaced pair must
+    // carry brute-force-exact numbers, and every true edit-copy is found
+    assert(got.nonEmpty && got.keySet.subsetOf(brute.keySet),
+      s"non-pairs surfaced: ${got.keySet -- brute.keySet}")
+    got.foreach { case (k, v) => assert(v == brute(k), s"pair $k: $v vs ${brute(k)}") }
+    // candidate recall is the band config's business (4×2 on short docs
+    // misses an edit that lands on a token boundary) — but the large
+    // majority of 1–2-char copies must surface, and everything surfaced
+    // is brute-force exact
+    val found = edited.count { case (id, _) => got.contains((id - 1000, id)) }
+    assert(found * 3 >= edited.size * 2,
+      s"only $found/${edited.size} edit copies found — banding is broken, not just unlucky")
+  }
+
   test("bounded_levenshtein == builtin levenshtein(a, b, t) on random pairs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
