@@ -567,10 +567,10 @@ class PlanQualitySpec extends SparkSpec {
         plan.take(800))
   }
 
-  test("d22 edit decontamination: one-row broadcast benchmark, corpus never shuffled before verify") {
+  test("d22 edit decontamination: benchmark grams broadcast, corpus joins map-side only") {
     val physical = q("d22_edit_decontamination").queryExecution.executedPlan.toString
-    assert(physical.contains("BroadcastNestedLoopJoin"),
-      "the benchmark collapses to a 1-row broadcast the corpus cross-probes")
+    assert(physical.contains("BroadcastHashJoin"),
+      "the benchmark gram rows must broadcast against the corpus explode:\n" + physical.take(800))
     assert(!physical.contains("SortMergeJoin") && !physical.contains("CartesianProduct"),
       physical.take(800))
   }
