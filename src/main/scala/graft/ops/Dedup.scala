@@ -516,6 +516,88 @@ object Dedup {
       .filter(col("dist") >= 0 && col("edit_sim") >= editSim)
   }
 
+  /** INCREMENTAL EDIT-level admission (d24) — d17's char-edit sibling:
+    * a batch (crawl-increment) document is REJECTED when any CORPUS
+    * document, or any EARLIER-id batch document, sits within edit
+    * similarity ≥ `editSim` — fate-independent (a rejected batch doc
+    * still blocks its own later near-dups), the admission convention.
+    * This is the gate that keeps leetspeak/OCR-noise re-submissions out
+    * of a standing corpus where d17's word-Jaccard admission can't even
+    * candidate them.
+    *
+    * Candidacy is d22's exact shared-char-gram overlap bar
+    * (deterministic recall — no banding; see d22's measured-background
+    * rationale). Scale discipline is d17's: the INCREMENT's gram rows
+    * broadcast, the corpus streams map-side through one scan and only
+    * gram HITS shuffle into the (corpus, batch)-keyed count; the
+    * increment's internal pairs are increment-sized. Corpus×corpus
+    * pairs are never generated — an increment costs increment-bounded
+    * work, never a corpus re-check. Verification is the bounded-DP
+    * kernel through the single-evaluation typed map. Output: one row
+    * per batch doc, (doc_id, admitted). */
+  def editAdmission(corpus: DataFrame, batch: DataFrame,
+                    idCol: String, textCol: String,
+                    k: Int = 8, minOverlap: Double = 0.25,
+                    editSim: Double = 0.8, maxDist: Int = 1000): DataFrame = {
+    requireIntegralId(corpus, idCol, "editAdmission")
+    requireIntegralId(batch, idCol, "editAdmission")
+    def grams(df: DataFrame, id: String) =
+      df.select(col(idCol).cast("long").as(id), col(textCol).as(s"${id}_text"),
+          graft.expr.hfunctions.char_shingles60(col(textCol), k).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .withColumn(s"${id}_n", size(col("hs")).cast("long"))
+    val cs = grams(corpus, "c_id")
+    val bs = grams(batch, "b_id")
+    val bg = bs.select(col("b_id"), col("b_id_n"), explode(col("hs")).as("h"))
+    // batch × corpus: increment grams broadcast, corpus streams map-side
+    val candCorpus = cs.select(col("c_id"), col("c_id_n"), explode(col("hs")).as("h"))
+      .join(broadcast(bg), Seq("h"))
+      .groupBy(col("c_id"), col("b_id"), col("c_id_n"), col("b_id_n"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits").cast("double") >=
+        least(col("c_id_n"), col("b_id_n")).cast("double") * minOverlap)
+      .select(col("c_id").as("blocker"), col("b_id"))
+    // batch × earlier-id batch: increment-sized on both sides
+    val candSelf = bg.select(col("b_id").as("a_id"), col("b_id_n").as("a_n"), col("h"))
+      .join(broadcast(bg), Seq("h"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_id_n"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits").cast("double") >=
+        least(col("a_n"), col("b_id_n")).cast("double") * minOverlap)
+      .select(col("a_id").as("blocker"), col("b_id"))
+    // verify: blocker text (corpus scan map-side for corpus blockers,
+    // broadcast batch for batch blockers) vs batch text
+    val corpusPairs = cs.select(col("c_id").as("blocker"), col("c_id_text").as("blk_text"))
+      .join(broadcast(candCorpus), Seq("blocker"))
+    val batchTexts = bs.select(col("b_id"), col("b_id_text"))
+    val selfPairs = candSelf
+      .join(broadcast(batchTexts.select(col("b_id").as("blocker"),
+        col("b_id_text").as("blk_text"))), Seq("blocker"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rejected = corpusPairs.unionByName(selfPairs)
+      .join(broadcast(batchTexts), Seq("b_id"))
+      .select(col("b_id"), col("blk_text"), col("b_id_text"))
+      .as[(Long, String, String)]
+      .map { case (bId, blk, bt) =>
+        val dist = graft.expr.TextHash.boundedLevenshtein(
+          org.apache.spark.unsafe.types.UTF8String.fromString(blk),
+          org.apache.spark.unsafe.types.UTF8String.fromString(bt), maxDist)
+        val maxLen = math.max(blk.codePointCount(0, blk.length),
+          bt.codePointCount(0, bt.length)).toLong
+        val sim = if (maxLen == 0) 1.0 else 1.0 - dist.toDouble / maxLen
+        (bId, dist, sim)
+      }
+      .toDF("b_id", "dist", "edit_sim")
+      .filter(col("dist") >= 0 && col("edit_sim") >= editSim)
+      .select(col("b_id")).distinct()
+    batch.select(col(idCol).cast("long").as("doc_id"))
+      .join(rejected.select(col("b_id").as("doc_id")).withColumn("rej", lit(true)),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), (!coalesce(col("rej"), lit(false))).as("admitted"))
+  }
+
   /** Directed n-gram containment pairs: `(a_id, b_id)` means a_id's
     * shingle set is (nearly) contained in b_id's —
     * `containment = |A ∩ B| / |A| ≥ threshold`. The asymmetric twin of

@@ -366,6 +366,26 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("bench_id"))
     }),
 
+    // incremental EDIT-level admission: leetspeak re-submissions of
+    // standing-corpus docs and suffix-edited copies of earlier batch
+    // docs are rejected; candidacy = the exact overlap bar, scale = the
+    // d17 discipline (increment grams broadcast, corpus streams
+    // map-side, corpus×corpus never generated)
+    "d24_edit_admission" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.filter(col("doc_id") % 2 === 0)
+      val batch = d.filter(col("doc_id") % 2 === 1)
+        .unionByName(d.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"),
+            translate(col("text"), "e", "3").as("text")))
+        .unionByName(d.filter(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 600000).as("doc_id"),
+            concat(col("text"), lit(" ok")).as("text")))
+      Dedup.editAdmission(corpus, batch, "doc_id", "text",
+          k = 8, minOverlap = 0.25, editSim = 0.8, maxDist = 200)
+        .orderBy(col("doc_id"))
+    }),
+
     "d05_simhash" -> ((s, dir) => {
       docs(s, dir)
         .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
@@ -1995,6 +2015,45 @@ object PipelineQueries {
     },
 
     "d22_edit_decontamination" -> d22OracleSql,
+
+    // d24: corpus/batch construction + the same overlap-bar candidacy on
+    // both the cross side and the earlier-id self side, levenshtein
+    // verification, fate-independent rejection
+    "d24_edit_admission" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |corpus0 AS (SELECT doc_id, text FROM d WHERE doc_id % 2 = 0),
+        |batch0 AS (
+        |  SELECT doc_id, text FROM d WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 500000, translate(text, 'e', '3') FROM d WHERE doc_id % 6 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 600000, text || ' ok' FROM d WHERE doc_id % 10 = 1),
+        |cs AS (SELECT doc_id, text, list_distinct(list_transform(
+        |    generate_series(1, length(text) - 7), i -> substr(text, i, 8))) AS s
+        |  FROM corpus0 WHERE length(text) >= 8),
+        |bs AS (SELECT doc_id, text, list_distinct(list_transform(
+        |    generate_series(1, length(text) - 7), i -> substr(text, i, 8))) AS s
+        |  FROM batch0 WHERE length(text) >= 8),
+        |candc AS (
+        |  SELECT c.text AS blk_text, b.doc_id AS b_id, b.text AS b_text
+        |  FROM cs c CROSS JOIN bs b
+        |  WHERE CAST(len(list_intersect(c.s, b.s)) AS DOUBLE) >=
+        |    least(len(c.s), len(b.s)) * 0.25),
+        |cands AS (
+        |  SELECT a.text AS blk_text, b.doc_id AS b_id, b.text AS b_text
+        |  FROM bs a JOIN bs b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) >=
+        |    least(len(a.s), len(b.s)) * 0.25),
+        |v AS (
+        |  SELECT b_id FROM (SELECT * FROM candc UNION ALL SELECT * FROM cands)
+        |  WHERE levenshtein(blk_text, b_text) <= 200 AND
+        |    (CASE WHEN greatest(length(blk_text), length(b_text)) = 0 THEN 1.0
+        |          ELSE 1.0 - CAST(levenshtein(blk_text, b_text) AS DOUBLE) /
+        |               greatest(length(blk_text), length(b_text)) END) >= 0.8),
+        |rej AS (SELECT DISTINCT b_id FROM v)
+        |SELECT b.doc_id, (r.b_id IS NULL) AS admitted
+        |FROM batch0 b LEFT JOIN rej r ON r.b_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
 
     // s27 = d22 per micro-batch against the frozen benchmark: verdicts
     // are per-doc pure, so the drained union equals the batch operator

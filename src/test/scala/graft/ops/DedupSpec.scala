@@ -103,6 +103,27 @@ class DedupSpec extends SparkSpec {
       k = 8, minOverlap = 0.25, editSim = 0.999, maxDist = 200).count() == 0)
   }
 
+  test("editAdmission: corpus and earlier-batch blockers reject, fate-independently") {
+    import spark.implicits._
+    val corpus = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog near the green river bank every evening"),
+      (4L, "spark shuffles partition data across the cluster by key ranges and merges results"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "a completely novel document about gardening tools and wet soil in september"),
+      // leetspeak re-submission of corpus doc 2 → rejected by the corpus
+      (13L, "th3 quick brown fox jumps ov3r th3 lazy dog n3ar th3 gr33n riv3r bank 3v3ry 3v3ning"),
+      // suffix copy of the REJECTED 13 → still rejected (fate-independent)
+      (15L, "th3 quick brown fox jumps ov3r th3 lazy dog n3ar th3 gr33n riv3r bank 3v3ry 3v3ning ok"),
+      // suffix copy of the ADMITTED 11 → rejected by the earlier batch doc
+      (17L, "a completely novel document about gardening tools and wet soil in september ok"))
+      .toDF("doc_id", "text")
+    val got = Dedup.editAdmission(corpus, batch, "doc_id", "text",
+      k = 8, minOverlap = 0.25, editSim = 0.8, maxDist = 200)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(11L -> true, 13L -> false, 15L -> false, 17L -> false), got.toString)
+  }
+
   test("editSimilarityPairs == brute-force verification on a random corpus (candidates subset)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
