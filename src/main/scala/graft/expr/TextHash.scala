@@ -320,7 +320,16 @@ object TextHash {
     * where it rewrites every WORD shingle containing the word. One
     * compiled pass; no canonicalization (edit distance is about the
     * exact characters). Texts shorter than k yield no shingles. */
-  def charShingles60(text: UTF8String, k: Int): Array[Long] = {
+  def charShingles60(text: UTF8String, k: Int): Array[Long] =
+    charShingles60(text, k, 1)
+
+  /** [[charShingles60]] with deterministic MOD-P SAMPLING: keep only
+    * grams whose hash ≡ 0 (mod `sampleMod`) — the winnowing-style
+    * density lever for gram-join volume. Sampling is a pure function of
+    * CONTENT (never position or RNG), so two docs' sampled sets overlap
+    * in the same proportion as their full sets in expectation, and both
+    * engines sample identically. `sampleMod = 1` keeps everything. */
+  def charShingles60(text: UTF8String, k: Int, sampleMod: Int): Array[Long] = {
     val s = text.toString
     if (s.length < k) return Array.emptyLongArray
     val seen = new java.util.HashSet[Long]()
@@ -328,7 +337,7 @@ object TextHash {
     var i = 0
     while (i + k <= s.length) {
       val h = hash60(s.substring(i, i + k))
-      if (seen.add(h)) out += h
+      if ((sampleMod <= 1 || h % sampleMod == 0) && seen.add(h)) out += h
       i += 1
     }
     out.toArray

@@ -530,17 +530,18 @@ case class LongDotProduct(left: Expression, right: Expression)
 /** Distinct 60-bit md5 hashes of all k-character substrings, one
   * compiled pass — the char-shingle analog of [[ShingleHashes60]] for
   * edit-level similarity banding. */
-case class CharShingles60(child: Expression, k: Int) extends UnaryExpression {
+case class CharShingles60(child: Expression, k: Int, sampleMod: Int = 1)
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
-      TextHash.charShingles60(input.asInstanceOf[UTF8String], k))
+      TextHash.charShingles60(input.asInstanceOf[UTF8String], k, sampleMod))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-         .fromPrimitiveArray(graft.expr.TextHash.charShingles60($c, $k));""")
+         .fromPrimitiveArray(graft.expr.TextHash.charShingles60($c, $k, $sampleMod));""")
 
   override protected def withNewChildInternal(newChild: Expression): CharShingles60 =
     copy(child = newChild)
@@ -800,6 +801,8 @@ object hfunctions {
     expr2col(BoundedLevenshtein(col2expr(a), col2expr(b), maxDist))
   def char_shingles60(text: Column, k: Int): Column =
     expr2col(CharShingles60(col2expr(text), k))
+  def char_shingles60(text: Column, k: Int, sampleMod: Int): Column =
+    expr2col(CharShingles60(col2expr(text), k, sampleMod))
 
   /** minhash signature of a shingle-hash array (compiled pass) */
   def minhash_sig(hs: Column, k: Int): Column = expr2col(MinHashSig(col2expr(hs), k))

@@ -374,15 +374,18 @@ object PipelineQueries {
     "d24_edit_admission" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("text"))
       val corpus = d.filter(col("doc_id") % 2 === 0)
-      val batch = d.filter(col("doc_id") % 2 === 1)
-        .unionByName(d.filter(col("doc_id") % 6 === 0)
+      // a true INCREMENT: ~5% of the corpus + its contaminated copies
+      val novel = d.filter(col("doc_id") % 20 === 1)
+      val batch = novel
+        .unionByName(d.filter(col("doc_id") % 30 === 0)
           .select((col("doc_id") + 500000).as("doc_id"),
             translate(col("text"), "e", "3").as("text")))
-        .unionByName(d.filter(col("doc_id") % 10 === 1)
+        .unionByName(d.filter(col("doc_id") % 50 === 1)
           .select((col("doc_id") + 600000).as("doc_id"),
             concat(col("text"), lit(" ok")).as("text")))
       Dedup.editAdmission(corpus, batch, "doc_id", "text",
-          k = 8, minOverlap = 0.25, editSim = 0.8, maxDist = 200)
+          k = 8, minOverlap = 0.25, editSim = 0.8, maxDist = 200,
+          gramSampleMod = 4)
         .orderBy(col("doc_id"))
     }),
 
@@ -2023,17 +2026,21 @@ object PipelineQueries {
       """WITH d AS (SELECT doc_id, text FROM documents),
         |corpus0 AS (SELECT doc_id, text FROM d WHERE doc_id % 2 = 0),
         |batch0 AS (
-        |  SELECT doc_id, text FROM d WHERE doc_id % 2 = 1
+        |  SELECT doc_id, text FROM d WHERE doc_id % 20 = 1
         |  UNION ALL
-        |  SELECT doc_id + 500000, translate(text, 'e', '3') FROM d WHERE doc_id % 6 = 0
+        |  SELECT doc_id + 500000, translate(text, 'e', '3') FROM d WHERE doc_id % 30 = 0
         |  UNION ALL
-        |  SELECT doc_id + 600000, text || ' ok' FROM d WHERE doc_id % 10 = 1),
-        |cs AS (SELECT doc_id, text, list_distinct(list_transform(
-        |    generate_series(1, length(text) - 7), i -> substr(text, i, 8))) AS s
+        |  SELECT doc_id + 600000, text || ' ok' FROM d WHERE doc_id % 50 = 1),
+        |cs0 AS (SELECT doc_id, text, list_filter(list_distinct(list_transform(
+        |    generate_series(1, length(text) - 7), i -> substr(text, i, 8))),
+        |    g -> CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 4 = 0) AS s
         |  FROM corpus0 WHERE length(text) >= 8),
-        |bs AS (SELECT doc_id, text, list_distinct(list_transform(
-        |    generate_series(1, length(text) - 7), i -> substr(text, i, 8))) AS s
+        |cs AS (SELECT * FROM cs0 WHERE len(s) > 0),
+        |bs0 AS (SELECT doc_id, text, list_filter(list_distinct(list_transform(
+        |    generate_series(1, length(text) - 7), i -> substr(text, i, 8))),
+        |    g -> CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 4 = 0) AS s
         |  FROM batch0 WHERE length(text) >= 8),
+        |bs AS (SELECT * FROM bs0 WHERE len(s) > 0),
         |candc AS (
         |  SELECT c.text AS blk_text, b.doc_id AS b_id, b.text AS b_text
         |  FROM cs c CROSS JOIN bs b
