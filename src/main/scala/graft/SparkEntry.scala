@@ -336,7 +336,27 @@ object SparkEntry {
   // oracle SQL (DuckDB dialect, same tables, same column names)
   // ---------------------------------------------------------------
 
-  def oracleSql: Map[String, String] = Map(
+  /** DuckDB 1.x inlines every CTE reference, so a chained training oracle
+    * (k-means unrolled into CTEs, each consumed 2–4× downstream) re-executes
+    * its whole upstream chain per reference — the IVF-PQ oracles took ~2 min
+    * EACH at sf0.01 (500 embedding rows!), pushing the driver's whole gate
+    * past its timeout. `AS MATERIALIZED` pins one evaluation per CTE;
+    * results are identical. Applied by allowlist: each listed oracle uses
+    * ` AS (` only in CTE definitions (no string literal contains the token)
+    * and none is WITH RECURSIVE (which cannot be materialized). */
+  private val matOracles = Set(
+    "a03_ann_ivf", "a04_ann_ivf_index", "a06_ann_pq",
+    "a07_ann_ivfpq", "a11_ann_recall", "a12_mmr_rerank", "a13_ann_ivfpq_index",
+    "a14_ann_filtered", "a17_ann_ivfpq_refine", "a19_ann_ivf_delete",
+    "a20_ann_drift", "a21_ann_ivf_rpq", "a22_ann_ivf_rpq_index",
+    "s18_stream_ivfpq_ingest", "s24_stream_drift", "s26_stream_rpq_ingest")
+
+  def oracleSql: Map[String, String] = oracleSqlBase.map {
+    case (k, v) if matOracles(k) => k -> v.replace(" AS (", " AS MATERIALIZED (")
+    case kv => kv
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
