@@ -732,13 +732,20 @@ object Morphline {
     * (LocalMorphlineResultToSolrMapper.java:152-160), and relying on the
     * session's `mapKeyDedupPolicy=LAST_WIN` would instead replace them
     * (and THROW under Spark's default EXCEPTION policy). */
-  private[morphline] def mergeDocs(a: Column, b: Column): Column = {
-    val keys = array_union(map_keys(a), map_keys(b))
-    map_from_arrays(keys, transform(keys, k =>
-      concat(
-        coalesce(try_element_at(a, k), array().cast("array<string>")),
-        coalesce(try_element_at(b, k), array().cast("array<string>")))))
-  }
+  private[morphline] def mergeDocs(a: Column, b: Column): Column =
+    // let-bind BOTH maps: each is referenced once in array_union and once
+    // PER KEY in the transform lambda — without the binding a computed
+    // right side (splitKeyValue's grouping fold) re-evaluates for every
+    // merged key (~8×/row; measured 35% of the whole x36 bench query)
+    let(a) { aa =>
+      let(b) { bb =>
+        val keys = array_union(map_keys(aa), map_keys(bb))
+        map_from_arrays(keys, transform(keys, k =>
+          concat(
+            coalesce(try_element_at(aa, k), array().cast("array<string>")),
+            coalesce(try_element_at(bb, k), array().cast("array<string>")))))
+      }
+    }
 
   /** Parse + compile in one step. */
   def apply(json: String)(cells: Column): Column = compile(parse(json))(cells)
