@@ -475,4 +475,68 @@ object CorpusStats {
           sqrt(rad.cast("double"))))
       .select(col("doc_id"), col("grp"), col("z"))
   }
+
+  /** Population Stability Index between a reference and a current
+    * snapshot over a pre-bucketed feature column — the distribution-
+    * drift alarm for corpus refreshes ("did the new crawl's length /
+    * quality / language profile move?"). Per observed bin (union of
+    * both sides): smoothed shares p = (n + 1)/(N + B) (add-one over the
+    * B observed bins, so empty-on-one-side bins stay finite), PSI term
+    * = (p_cur − p_ref)·ln(p_cur/p_ref), surfaced on the 1e-6 grid (the
+    * t10 ln-quantization convention — raw doubles aren't hash-portable).
+    * Σ psi_q / 1e6 ≳ 0.2 is the conventional "retrain" line.
+    *
+    * Scale: one bins-keyed aggregation per side (bins are bounded by
+    * construction), then a bins-sized outer join — no corpus-sized
+    * shuffle beyond the two groupBys, no window anywhere. */
+  def psiDrift(ref: DataFrame, cur: DataFrame, binCol: String): DataFrame = {
+    def side(df: DataFrame, n: String) =
+      df.groupBy(col(binCol).as("bin")).agg(count(lit(1)).as(n))
+    val joined = side(ref, "n_ref").join(side(cur, "n_cur"), Seq("bin"), "full")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    // totals + bin count: one census-sized aggregate broadcast back
+    val tot = joined.agg(sum(col("n_ref")).as("t_ref"),
+      sum(col("n_cur")).as("t_cur"), count(lit(1)).as("b"))
+    def p(n: Column, t: Column, b: Column): Column =
+      (n + 1L).cast("double") / (t + b).cast("double")
+    joined.crossJoin(broadcast(tot))
+      .withColumn("psi_q", {
+        val pr = p(col("n_ref"), col("t_ref"), col("b"))
+        val pc = p(col("n_cur"), col("t_cur"), col("b"))
+        round((pc - pr) * log(pc / pr) * 1e6).cast("long")
+      })
+      .select(col("bin"), col("n_ref"), col("n_cur"), col("psi_q"))
+  }
+
+  /** Tokenizer fertility census per group (language, domain): how many
+    * sub-lexical tokens the tokenizer spends per whitespace word, and
+    * how many characters each buys — THE unit-economics check before
+    * committing a token budget to a multilingual mix (a tokenizer with
+    * 3× fertility on one language silently triples that language's
+    * cost in [[Sampling.waterFillBudget]] terms). Counts are exact
+    * integer sums (one corpus scan, one groups-sized aggregate);
+    * the two ratios surface on the 1e-6 grid.
+    *
+    * `pre` is the sub-lexical counting column (e.g.
+    * [[RegexBpeTokenizer.count]]'s codegen'd one-pass kernel). */
+  def tokenizerFertility(docs: DataFrame, groupCol: String,
+                         textCol: String, pre: Column): DataFrame =
+    docs
+      .select(col(groupCol).as("grp"),
+        length(col(textCol)).cast("long").as("nc"),
+        TextAnalysis.tokenCount(col(textCol)).as("nw"),
+        pre.as("np"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"),
+        sum(col("nw")).as("n_words"), sum(col("np")).as("n_pretokens"))
+      .withColumn("fertility_q",
+        when(col("n_words") > 0,
+          round(col("n_pretokens") * 1e6 / col("n_words")).cast("long"))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("chars_per_tok_q",
+        when(col("n_pretokens") > 0,
+          round(col("n_chars") * 1e6 / col("n_pretokens")).cast("long"))
+          .otherwise(lit(null).cast("long")))
 }

@@ -499,4 +499,123 @@ object Sampling {
 
     above.unionByName(boundaryKept)
   }
+
+  /** k-anonymity generalization census: assign every row the FINEST
+    * quasi-identifier generalization level whose full-corpus group still
+    * has ≥ k members. Level L means the last L of `qiCols` are replaced
+    * by `"*"`; level-count monotonicity (coarser ⇒ never smaller groups)
+    * makes "finest adequate level" well-defined from one census.
+    *
+    * Spark-first shape: ONE `rollup` aggregation computes every level's
+    * group sizes in a single shuffle (level L = grouping id 2^L − 1 —
+    * rollup's suffix masks are exactly the generalization ladder), and
+    * each level table is ≤ distinct-combo-sized, so the per-level lookups
+    * broadcast — the corpus is scanned once and never re-shuffled,
+    * 100-TB-safe. Null-safe joins: a NULL QI value is a value, not a
+    * rolled-up slot (grouping id disambiguates).
+    *
+    * Output: idCol, one `<qi>_g` generalized string per QI, `anon_level`,
+    * `grp_n` (the assigning level's group size), `kept` (false only when
+    * even the all-star group — the whole corpus — is under k). */
+  def kAnonymize(docs: DataFrame, idCol: String, qiCols: Seq[String],
+                 k: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    val nQi = qiCols.length
+    val counts = docs
+      .rollup(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("_ka_n"),
+        grouping_id(qiCols.map(col): _*).as("_ka_gid"))
+    // level L keeps the first nQi−L QIs; rollup's suffix-mask gid is 2^L−1
+    val joined = (0 to nQi).foldLeft(docs) { (acc, lvl) =>
+      val keep = qiCols.take(nQi - lvl)
+      val lvlCounts = counts
+        .filter(col("_ka_gid") === ((1L << lvl) - 1L))
+        .select(keep.map(c => col(c).as(s"_ka_${lvl}_$c")) :+
+          col("_ka_n").as(s"_ka_n_$lvl"): _*)
+      val cond = keep.map(c => acc(c) <=> lvlCounts(s"_ka_${lvl}_$c"))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      acc.join(broadcast(lvlCounts), cond, "left")
+        .drop(keep.map(c => s"_ka_${lvl}_$c"): _*)
+    }
+    val level = (0 to nQi).foldRight(lit(nQi.toLong)) { (lvl, finer) =>
+      if (lvl == nQi) finer
+      else when(col(s"_ka_n_$lvl") >= k, lit(lvl.toLong)).otherwise(finer)
+    }
+    val withLvl = joined.withColumn("anon_level", level)
+    val grpN = (0 to nQi).foldRight(lit(null).cast("long")) { (lvl, rest) =>
+      when(col("anon_level") === lvl, col(s"_ka_n_$lvl")).otherwise(rest)
+    }
+    val gCols = qiCols.zipWithIndex.map { case (c, i) =>
+      // QI i is generalized at levels > nQi−1−i (suffix ladder)
+      when(col("anon_level") > (nQi - 1 - i), lit("*"))
+        .otherwise(col(c).cast("string")).as(s"${c}_g")
+    }
+    withLvl.select(col(idCol) +: gCols :+ col("anon_level") :+
+      grpN.as("grp_n") :+ (grpN >= k).as("kept"): _*)
+  }
+
+  /** Water-filling token-budget allocation across strata (domains,
+    * languages, sources): find the integer water level `cap` with
+    * Σ_s min(tokens_s, cap) ≤ budget < Σ_s min(tokens_s, cap+1), give
+    * every stratum alloc = min(tokens_s, cap), then hand the exact
+    * remainder out one token at a time to the unsaturated strata in
+    * stratum-name order — Σ alloc == min(budget, Σ tokens), exactly.
+    * The mixture primitive for "spend B tokens as evenly as the data
+    * allows": small domains keep everything, large domains are capped
+    * at a common level (DoReMi-adjacent uniform water-filling).
+    *
+    * Scale: one corpus-sized aggregation to the per-stratum census;
+    * everything after (windows, the cap pick, remainder ranks) runs on
+    * ≤ #strata rows — the same bounded-census discipline as
+    * [[quotaSample]]. Output per stratum: n_docs, total_tokens, cap,
+    * alloc. */
+  def waterFillBudget(docs: DataFrame, stratumCol: String, tokCol: String,
+                      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val census = docs.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokCol)).as("total_tokens"))
+    // census-sized windows (≤ #strata rows — bounded by design)
+    val wAsc = Window.orderBy(col("total_tokens"), col(stratumCol))
+    val ranked = census
+      .withColumn("_wf_i", row_number().over(wAsc))
+      .withColumn("_wf_prefix",
+        coalesce(sum(col("total_tokens"))
+          .over(wAsc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_wf_prev",
+        coalesce(lag(col("total_tokens"), 1).over(wAsc), lit(0L)))
+      .withColumn("_wf_s",
+        count(lit(1)).over(Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    // candidate level for row i: remaining budget spread over the
+    // still-unsaturated strata; valid iff it lands in [prev, total_i).
+    // `div` (IntegralDivide), not `/`: the double round-trip is inexact
+    // past 2^53 and a water level may not be off by one token
+    val leveled = ranked
+      .withColumn("_wf_left", greatest(lit(budget) - col("_wf_prefix"), lit(0L)))
+      .withColumn("_wf_cand", expr("_wf_left div (_wf_s - _wf_i + 1)"))
+      .withColumn("_wf_valid",
+        col("_wf_prev") <= col("_wf_cand") &&
+          col("_wf_cand") < col("total_tokens"))
+    // budget ≥ Σ tokens ⇒ no valid row ⇒ cap = the largest stratum
+    val capRow = leveled.agg(
+      coalesce(max(when(col("_wf_valid"), col("_wf_cand"))),
+        max(col("total_tokens"))).as("cap"))
+    val withCap = leveled.crossJoin(broadcast(capRow))
+      .withColumn("_wf_alloc0", least(col("total_tokens"), col("cap")))
+    // exact remainder: +1 token to the first r unsaturated strata
+    val spentRow = withCap.agg(
+      (least(lit(budget), sum(col("total_tokens"))) -
+        sum(col("_wf_alloc0"))).as("_wf_r"))
+    val wUnsat = Window.partitionBy(col("_wf_unsat")).orderBy(col(stratumCol))
+    withCap
+      .withColumn("_wf_unsat", col("total_tokens") > col("cap"))
+      .crossJoin(broadcast(spentRow))
+      .withColumn("_wf_urk", row_number().over(wUnsat))
+      .withColumn("alloc",
+        col("_wf_alloc0") +
+          when(col("_wf_unsat") && col("_wf_urk") <= col("_wf_r"), 1L)
+            .otherwise(0L))
+      .select(col(stratumCol), col("n_docs"), col("total_tokens"),
+        col("cap"), col("alloc"))
+  }
 }

@@ -1277,6 +1277,59 @@ object ExtendedQueries {
         .orderBy(col("step"))
     }),
 
+    // k-anonymity generalization census: every doc gets the FINEST
+    // (lang, source, length-bucket) generalization whose full-corpus
+    // group has ≥ 5 members — one rollup shuffle computes all ladder
+    // levels, each level lookup broadcasts (privacy gate before
+    // exporting user-adjacent corpora as training data)
+    "p31_kanon_census" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("len_b", floor(col("n_chars") / 200).cast("long").cast("string"))
+      graft.ops.Sampling.kAnonymize(d, "doc_id",
+          Seq("lang", "source", "len_b"), k = 5L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // water-filling token budget across sources: spend 90% of the
+    // corpus's whitespace tokens as evenly as the data allows — small
+    // sources keep everything, large ones are capped at the common
+    // water level, the integer remainder is handed out deterministically
+    "p33_budget_waterfill" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      // ONE-row bounded collect: the 90% budget is data-relative so the
+      // saturation mix survives any corpus scale
+      val total = d.agg(sum(col("n_tok"))).first().getLong(0)
+      graft.ops.Sampling.waterFillBudget(d, "source", "n_tok",
+          budget = total * 9L / 10L)
+        .orderBy(col("source"))
+    }),
+
+    // PSI drift between corpus snapshots: current = the odd-id half with
+    // text doubled (a real length-profile shift), reference = the even-id
+    // half; per-bin smoothed shares, ln on the 1e-6 grid — the retrain
+    // alarm (Σ psi ≥ 0.2) for corpus refreshes
+    "t25_psi_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      def binned(df: org.apache.spark.sql.DataFrame) = df.withColumn("bin",
+        least(floor(length(col("text")) / 100), lit(7L)).cast("long"))
+      val ref = binned(d.filter(col("doc_id") % 2 === 0))
+      val cur = binned(d.filter(col("doc_id") % 2 === 1)
+        .withColumn("text", concat_ws(" ", col("text"), col("text"))))
+      graft.ops.CorpusStats.psiDrift(ref, cur, "bin")
+        .orderBy(col("bin"))
+    }),
+
+    // tokenizer fertility census per language: pre-tokens per word and
+    // chars per pre-token (1e-6 grid) from exact integer sums — the
+    // unit-economics check before denominating a multilingual budget
+    "t26_tokenizer_fertility" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.CorpusStats.tokenizerFertility(d, "lang", "text",
+          graft.ops.RegexBpeTokenizer.count(col("text")))
+        .orderBy(col("grp"))
+    }),
+
     // winnowing fingerprints (window-min k-gram hashes, compiled pass)
     "t05_winnowing" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -3007,6 +3060,118 @@ object ExtendedQueries {
          |      FROM sc)
          |SELECT epoch, doc_id, CAST(rk + (epoch - 1) * nn.total AS BIGINT) AS step
          |FROM r CROSS JOIN nn ORDER BY step""".stripMargin
+    },
+
+    // p31: the generalization ladder as four plain GROUP BYs (rollup's
+    // levels spelled out), finest adequate level per doc
+    "p31_kanon_census" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, CAST(n_chars // 200 AS VARCHAR) AS len_b
+        |  FROM documents),
+        |l0 AS (SELECT lang, source, len_b, count(*) AS n FROM base GROUP BY 1, 2, 3),
+        |l1 AS (SELECT lang, source, count(*) AS n FROM base GROUP BY 1, 2),
+        |l2 AS (SELECT lang, count(*) AS n FROM base GROUP BY 1),
+        |l3 AS (SELECT count(*) AS n FROM base),
+        |j AS (
+        |  SELECT b.doc_id, b.lang, b.source, b.len_b,
+        |    l0.n AS n0, l1.n AS n1, l2.n AS n2, l3.n AS n3,
+        |    CASE WHEN l0.n >= 5 THEN 0 WHEN l1.n >= 5 THEN 1
+        |         WHEN l2.n >= 5 THEN 2 ELSE 3 END AS lvl
+        |  FROM base b
+        |  JOIN l0 ON b.lang = l0.lang AND b.source = l0.source AND b.len_b = l0.len_b
+        |  JOIN l1 ON b.lang = l1.lang AND b.source = l1.source
+        |  JOIN l2 ON b.lang = l2.lang
+        |  CROSS JOIN l3)
+        |SELECT doc_id,
+        |  CASE WHEN lvl > 2 THEN '*' ELSE lang END AS lang_g,
+        |  CASE WHEN lvl > 1 THEN '*' ELSE source END AS source_g,
+        |  CASE WHEN lvl > 0 THEN '*' ELSE len_b END AS len_b_g,
+        |  CAST(lvl AS BIGINT) AS anon_level,
+        |  CAST(CASE lvl WHEN 0 THEN n0 WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END AS BIGINT) AS grp_n,
+        |  (CASE lvl WHEN 0 THEN n0 WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END) >= 5 AS kept
+        |FROM j ORDER BY doc_id""".stripMargin,
+
+    // p33: the water level as the unique census row whose remaining-
+    // budget spread lands in [prev stratum total, own total)
+    "p33_budget_waterfill" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+        |  FROM documents),
+        |census AS (
+        |  SELECT source, count(*) AS n_docs, sum(n_tok) AS total_tokens
+        |  FROM d GROUP BY source),
+        |bud AS (SELECT (sum(total_tokens) * 9) // 10 AS budget FROM census),
+        |r AS (
+        |  SELECT source, n_docs, total_tokens,
+        |    row_number() OVER (ORDER BY total_tokens, source) AS i,
+        |    coalesce(sum(total_tokens) OVER (ORDER BY total_tokens, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx,
+        |    coalesce(lag(total_tokens) OVER (ORDER BY total_tokens, source), 0) AS prev,
+        |    count(*) OVER () AS s
+        |  FROM census),
+        |lv AS (
+        |  SELECT r.*, budget, greatest(budget - pfx, 0) // (s - i + 1) AS cand
+        |  FROM r CROSS JOIN bud),
+        |cp AS (
+        |  SELECT coalesce(
+        |    max(CASE WHEN prev <= cand AND cand < total_tokens THEN cand END),
+        |    max(total_tokens)) AS cap
+        |  FROM lv),
+        |a0 AS (
+        |  SELECT lv.*, cp.cap, least(total_tokens, cp.cap) AS alloc0,
+        |    total_tokens > cp.cap AS unsat
+        |  FROM lv CROSS JOIN cp),
+        |rem AS (
+        |  SELECT least(max(budget), sum(total_tokens)) - sum(alloc0) AS rr FROM a0),
+        |fin AS (
+        |  SELECT a0.*, row_number() OVER (PARTITION BY unsat ORDER BY source) AS urk
+        |  FROM a0)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(total_tokens AS BIGINT) AS total_tokens, CAST(cap AS BIGINT) AS cap,
+        |  CAST(alloc0 + CASE WHEN unsat AND urk <= rr THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM fin CROSS JOIN rem ORDER BY source""".stripMargin,
+
+    // t25: identical smoothed-share formula, ln on the 1e-6 grid (the
+    // t10 quantization convention)
+    "t25_psi_drift" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |refs AS (SELECT least(length(text) // 100, 7) AS bin FROM d WHERE doc_id % 2 = 0),
+        |curs AS (SELECT least(length(concat(text, ' ', text)) // 100, 7) AS bin
+        |         FROM d WHERE doc_id % 2 = 1),
+        |rc AS (SELECT bin, count(*) AS n_ref FROM refs GROUP BY bin),
+        |cc AS (SELECT bin, count(*) AS n_cur FROM curs GROUP BY bin),
+        |j AS (
+        |  SELECT coalesce(rc.bin, cc.bin) AS bin,
+        |    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        |  FROM rc FULL JOIN cc ON rc.bin = cc.bin),
+        |t AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur, count(*) AS b FROM j)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(n_ref AS BIGINT) AS n_ref,
+        |  CAST(n_cur AS BIGINT) AS n_cur,
+        |  CAST(round((((n_cur + 1) / CAST(t_cur + b AS DOUBLE)) - ((n_ref + 1) / CAST(t_ref + b AS DOUBLE)))
+        |    * ln(((n_cur + 1) / CAST(t_cur + b AS DOUBLE)) / ((n_ref + 1) / CAST(t_ref + b AS DOUBLE)))
+        |    * 1000000) AS BIGINT) AS psi_q
+        |FROM j CROSS JOIN t ORDER BY bin""".stripMargin,
+
+    // t26: exact integer sums; the ratios repeat the Spark operand order
+    // (np·1e6)/nw so the one double rounding agrees bit-for-bit
+    "t26_tokenizer_fertility" -> {
+      val np = graft.ops.RegexBpeTokenizer.countSql("text")
+      s"""WITH f AS (
+         |  SELECT lang AS grp, CAST(length(text) AS BIGINT) AS nc,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS nw,
+         |    $np AS np
+         |  FROM documents)
+         |SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nc) AS BIGINT) AS n_chars, CAST(sum(nw) AS BIGINT) AS n_words,
+         |  CAST(sum(np) AS BIGINT) AS n_pretokens,
+         |  CASE WHEN sum(nw) > 0
+         |    THEN CAST(round(CAST(sum(np) AS DOUBLE) * 1000000.0 / sum(nw)) AS BIGINT) END AS fertility_q,
+         |  CASE WHEN sum(np) > 0
+         |    THEN CAST(round(CAST(sum(nc) AS DOUBLE) * 1000000.0 / sum(np)) AS BIGINT) END AS chars_per_tok_q
+         |FROM f GROUP BY grp ORDER BY grp""".stripMargin
     },
 
     // p29: d07's component labels + the hashSplit bucket formula applied

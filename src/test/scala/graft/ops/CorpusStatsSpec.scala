@@ -252,4 +252,44 @@ class CorpusStatsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan.take(600))
   }
+
+  test("psiDrift: zero on identical snapshots, exact formula on a drifted one") {
+    import spark.implicits._
+    val ref = Seq(0L, 0L, 1L, 1L, 1L, 2L).toDF("bin")
+    // identical distributions → every term is exactly 0 (pc == pr)
+    val same = CorpusStats.psiDrift(ref, ref, "bin").collect()
+    assert(same.forall(_.getLong(3) == 0L), same.mkString(","))
+    // drifted + a bin absent from each side: finite terms, driver replay
+    val cur = Seq(1L, 2L, 2L, 2L, 3L).toDF("bin")
+    val got = CorpusStats.psiDrift(ref, cur, "bin")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val refN = Map(0L -> 2L, 1L -> 3L, 2L -> 1L, 3L -> 0L)
+    val curN = Map(0L -> 0L, 1L -> 1L, 2L -> 3L, 3L -> 1L)
+    val (tr, tc, nb) = (6.0, 5.0, 4.0)
+    refN.keys.foreach { b =>
+      val pr = (refN(b) + 1) / (tr + nb); val pc = (curN(b) + 1) / (tc + nb)
+      val exp = math.round((pc - pr) * math.log(pc / pr) * 1e6)
+      assert(got(b) == (refN(b), curN(b), exp), s"bin $b: ${got(b)} vs $exp")
+    }
+    // total PSI over a real drift is positive (the alarm direction)
+    assert(refN.keys.toSeq.map(b => got(b)._3).sum > 0L)
+  }
+
+  test("tokenizerFertility: exact sums and quantized ratios on known docs") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "ab cd!"),      // 2 words; pre-tokens ab|cd|! = 3; 6 chars
+      ("en", "it's 42"),     // 2 words; it|'s|42 = 3; 7 chars
+      ("de", ""),            // 0 words, 0 pre-tokens, 0 chars
+      ("de", "xyz")          // 1 word, 1 pre-token, 3 chars
+    ).toDF("lang", "text")
+    val got = CorpusStats.tokenizerFertility(docs, "lang", "text",
+        RegexBpeTokenizer.count(col("text")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.get(5), r.get(6))).toMap
+    assert(got("en") == ((2L, 13L, 4L, 6L,
+      math.round(6L * 1e6 / 4L), math.round(13L * 1e6 / 6L))), got("en").toString)
+    assert(got("de") == ((2L, 3L, 1L, 1L, 1000000L, 3000000L)), got("de").toString)
+  }
 }

@@ -324,6 +324,84 @@ class SamplingSpec extends SparkSpec {
     assert(again.sortBy(x => (x._1, x._3)).toSeq == sched.sortBy(x => (x._1, x._3)).toSeq)
   }
 
+  test("kAnonymize == driver replay of the full-census ladder, random QIs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (1L to 300L).map { id =>
+      (id, s"l${rnd.nextInt(4)}", s"s${rnd.nextInt(8)}", s"b${rnd.nextInt(3)}")
+    }
+    val df = rows.toDF("id", "q1", "q2", "q3")
+    for (k <- Seq(1L, 3L, 8L, 50L, 400L)) {
+      val got = Sampling.kAnonymize(df, "id", Seq("q1", "q2", "q3"), k)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4), r.getLong(5), r.getBoolean(6))).toSet
+      // full-population counts per level; finest adequate level wins
+      val c0 = rows.groupBy(r => (r._2, r._3, r._4)).view.mapValues(_.size.toLong).toMap
+      val c1 = rows.groupBy(r => (r._2, r._3)).view.mapValues(_.size.toLong).toMap
+      val c2 = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val c3 = rows.size.toLong
+      val exp = rows.map { case (id, q1, q2, q3) =>
+        val ns = Seq(c0((q1, q2, q3)), c1((q1, q2)), c2(q1), c3)
+        val lvl = ns.indexWhere(_ >= k) match { case -1 => 3; case i => i }
+        (id,
+          if (lvl > 2) "*" else q1,
+          if (lvl > 1) "*" else q2,
+          if (lvl > 0) "*" else q3,
+          lvl.toLong, ns(lvl), ns(lvl) >= k)
+      }.toSet
+      assert(got == exp, s"k=$k: diff=${(got -- exp).take(3)} / ${(exp -- got).take(3)}")
+    }
+    // k=1 keeps every row fully specific; k > N suppresses everything
+    assert(Sampling.kAnonymize(df, "id", Seq("q1"), 1L)
+      .filter(col("anon_level") =!= 0L).count() == 0)
+    assert(Sampling.kAnonymize(df, "id", Seq("q1"), 1000L)
+      .filter(col("kept")).count() == 0)
+  }
+
+  test("waterFillBudget == driver water-fill simulation across budgets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val strata = (0 until 12).map(i => (s"dom$i", 1L + rnd.nextInt(500)))
+    val docs = strata.flatMap { case (s, t) =>
+      // split each stratum's tokens over a few docs (the op must sum)
+      var left = t
+      val parts = scala.collection.mutable.Buffer[Long]()
+      while (left > 0) { val p = 1L + rnd.nextInt(200).min(left.toInt - 1).max(0); parts += p; left -= p }
+      parts.map(p => (s, p))
+    }.toDF("source", "n_tok")
+    val totals = strata.toMap
+    val sumT = totals.values.sum
+    def simulate(budget: Long): Map[String, Long] = {
+      // exact integer water level + one-token remainder round-robin
+      val sorted = totals.toSeq.sortBy { case (s, t) => (t, s) }
+      val cap =
+        if (budget >= sumT) totals.values.max
+        else {
+          var prefix = 0L; var ans = -1L
+          for (((s, t), i) <- sorted.zipWithIndex if ans < 0) {
+            val cand = math.max(budget - prefix, 0L) / (sorted.size - i)
+            val prev = if (i == 0) 0L else sorted(i - 1)._2
+            if (prev <= cand && cand < t) ans = cand
+            prefix += t
+          }
+          ans
+        }
+      val alloc0 = totals.view.mapValues(t => math.min(t, cap)).toMap
+      var r = math.min(budget, sumT) - alloc0.values.sum
+      val extra = totals.toSeq.filter(_._2 > cap).map(_._1).sorted.map { s =>
+        val e = if (r > 0) 1L else 0L; r -= e; s -> e
+      }.toMap
+      totals.map { case (s, _) => s -> (alloc0(s) + extra.getOrElse(s, 0L)) }
+    }
+    for (budget <- Seq(0L, 17L, sumT / 10, sumT / 3, sumT - 1, sumT, sumT + 99L)) {
+      val got = Sampling.waterFillBudget(docs, "source", "n_tok", budget)
+        .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+      val exp = simulate(budget)
+      assert(got == exp, s"budget=$budget: got=$got exp=$exp")
+      assert(got.values.sum == math.min(budget, sumT), s"budget=$budget total off")
+    }
+  }
+
   test("isqrt: floor(sqrt(n)) exactly, across boundaries and random 2^52-scale inputs") {
     def check(n: Long): Unit = {
       val x = Sampling.isqrt(n)
