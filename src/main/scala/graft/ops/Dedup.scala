@@ -797,6 +797,39 @@ object Dedup {
         col("clean_text"))
   }
 
+  /** Benchmark n-gram coverage audit: per benchmark doc, the fraction of
+    * its distinct word n-grams that occur ANYWHERE in the corpus — the
+    * contamination-rate summary run before a release (d22's edit-level
+    * cousin reports pairs; this reports the one number per probe that a
+    * decontamination policy thresholds on).
+    *
+    * Scale shape (the d17 admission discipline): the benchmark is
+    * increment-sized, so its distinct gram set broadcasts and prunes the
+    * corpus gram stream MAP-SIDE (left-semi against the broadcast); only
+    * the survivor set — ≤ the benchmark's gram count, tiny — is
+    * deduplicated and broadcast back for the per-doc hit count. The
+    * corpus is scanned once and never shuffled by gram.
+    *
+    * Output: (doc_id, n_grams, n_hit, cov_q) with cov_q on the 1e-6
+    * grid; benchmark docs shorter than n tokens carry no grams and are
+    * absent (nothing to audit). */
+  def gramCoverage(corpus: DataFrame, benchmark: DataFrame,
+                   idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val bg = shingleHashSets(benchmark, idCol, textCol, n)
+      .select(col("doc_id"), explode(col("hs")).as("g"))
+    val cg = shingleHashSets(corpus, idCol, textCol, n)
+      .select(explode(col("hs")).as("g"))
+    val benchGramSet = bg.select("g").distinct()
+    val survivors = cg.join(broadcast(benchGramSet), Seq("g"), "left_semi")
+      .distinct()
+    bg.join(broadcast(survivors.withColumn("_gc_hit", lit(1L))), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_gc_hit"), lit(0L))).as("n_hit"))
+      .withColumn("cov_q",
+        round(col("n_hit") * 1e6 / col("n_grams")).cast("long"))
+  }
+
   /** Paragraph-level exact dedup ACROSS the corpus (the C4 line-dedup
     * step): split every document on `sep`, fingerprint each non-blank
     * paragraph (lowercased, whitespace-collapsed md5 — formatting noise

@@ -500,6 +500,43 @@ object Sampling {
     above.unionByName(boundaryKept)
   }
 
+  /** Multi-turn conversation assembly from an interaction log: per user,
+    * turns in `orderCol` order, truncated to the LATEST turns whose
+    * token total fits `budget` (context-window truncation keeps the
+    * recent end — the chat-training convention). Emits per-user example
+    * stats plus a deterministic fingerprint of the kept turn sequence
+    * (md5-60 of the ordered texts), the dedup/versioning key for
+    * assembled examples.
+    *
+    * Scale: one shuffle on the user key, a user-keyed window (never a
+    * global sort), and a per-user aggregate whose collected list is
+    * session-sized — the q22 discipline applied to example assembly. */
+  def assembleConversations(events: DataFrame, userCol: String,
+                            orderCol: String, textCol: String,
+                            budget: Long,
+                            tok: Tokenizer = RegexBpeTokenizer): DataFrame = {
+    val turns = events.select(col(userCol).as("user_id"),
+      col(orderCol).as("ord"), col(textCol).as("txt"),
+      tok.count(col(textCol)).as("nt"))
+    // suffix token sums: cumulative in DESCENDING order = budget measured
+    // back from the latest turn
+    val wDesc = Window.partitionBy(col("user_id")).orderBy(col("ord").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = turns.withColumn("_ca_cum", sum(col("nt")).over(wDesc))
+      .withColumn("_ca_keep", col("_ca_cum") <= budget)
+    marked.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_turns"),
+      sum(when(col("_ca_keep"), 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("_ca_keep"), col("nt")).otherwise(0L)).as("n_tokens"),
+      min(when(col("_ca_keep"), col("ord"))).as("first_kept"),
+      max(when(col("_ca_keep"), col("ord"))).as("last_kept"),
+      Dedup.hash60(concat_ws("\u0001",
+        transform(
+          array_sort(collect_list(when(col("_ca_keep"),
+            struct(col("ord"), col("txt"))))),
+          s => s.getField("txt")))).as("fp"))
+  }
+
   /** k-anonymity generalization census: assign every row the FINEST
     * quasi-identifier generalization level whose full-corpus group still
     * has ≥ k members. Level L means the last L of `qiCols` are replaced

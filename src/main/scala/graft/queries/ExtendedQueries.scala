@@ -1330,6 +1330,31 @@ object ExtendedQueries {
         .orderBy(col("grp"))
     }),
 
+    // multi-turn conversation assembly: per-user turns in event order,
+    // context-window truncation to the latest 64 pre-tokens, example
+    // stats + a deterministic kept-sequence fingerprint — the
+    // interaction-log → chat-training-example step
+    "p32_conversation_assembly" -> ((s, dir) => {
+      val turns = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        concat_ws(" ", col("event_type"), col("props")).as("txt"))
+      graft.ops.Sampling.assembleConversations(turns, "user_id", "event_id",
+          "txt", budget = 64L)
+        .orderBy(col("user_id"))
+    }),
+
+    // benchmark n-gram coverage audit: probes = the %17 docs, half
+    // verbatim (contaminated → coverage 1), half leetspeak-mutated
+    // (→ near 0); corpus grams pruned map-side behind the broadcast
+    // probe gram set — the one-number-per-probe contamination rate
+    "t27_gram_coverage" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = d.filter(col("doc_id") % 17 === 0)
+        .withColumn("text", when(col("doc_id") % 34 === 0, col("text"))
+          .otherwise(translate(col("text"), "e", "3")))
+      graft.ops.Dedup.gramCoverage(d, bench, "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // winnowing fingerprints (window-min k-gram hashes, compiled pass)
     "t05_winnowing" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -3060,6 +3085,62 @@ object ExtendedQueries {
          |      FROM sc)
          |SELECT epoch, doc_id, CAST(rk + (epoch - 1) * nn.total AS BIGINT) AS step
          |FROM r CROSS JOIN nn ORDER BY step""".stripMargin
+    },
+
+    // p32: identical suffix cumsum + the kept-sequence md5-60; string_agg
+    // skips NULLs (un-kept turns) like Spark's collect_list
+    "p32_conversation_assembly" -> {
+      val np = graft.ops.RegexBpeTokenizer.countSql("txt")
+      val fp = PipelineQueries.h60sql(
+        "coalesce(string_agg(CASE WHEN keep THEN txt END, chr(1) ORDER BY event_id), '')")
+      s"""WITH turns AS (
+         |  SELECT user_id, event_id, event_type || ' ' || props AS txt
+         |  FROM events),
+         |tn AS (SELECT user_id, event_id, txt, $np AS nt FROM turns),
+         |c AS (
+         |  SELECT *, sum(nt) OVER (PARTITION BY user_id ORDER BY event_id DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM tn),
+         |m AS (SELECT *, cum <= 64 AS keep FROM c)
+         |SELECT user_id,
+         |  CAST(count(*) AS BIGINT) AS n_turns,
+         |  CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept,
+         |  CAST(coalesce(sum(CASE WHEN keep THEN nt END), 0) AS BIGINT) AS n_tokens,
+         |  min(CASE WHEN keep THEN event_id END) AS first_kept,
+         |  max(CASE WHEN keep THEN event_id END) AS last_kept,
+         |  $fp AS fp
+         |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+
+    // t27: probe grams vs the corpus gram universe, both as md5-60 hash
+    // sets (the shingle convention), hit share on the 1e-6 grid
+    "t27_gram_coverage" -> {
+      val gram = (0 until 5).map(j => if (j == 0) "tk[i]" else s"tk[i+$j]")
+        .mkString(" || ' ' || ")
+      val h = PipelineQueries.h60sql("g")
+      s"""WITH bench AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 34 = 0 THEN text ELSE translate(text, 'e', '3') END AS text
+         |  FROM documents WHERE doc_id % 17 = 0),
+         |bt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+         |       FROM bench WHERE length(trim(text)) > 0),
+         |bg AS (
+         |  SELECT DISTINCT doc_id, $h AS gh FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(tk) - 4), i -> $gram)) AS g
+         |    FROM bt WHERE len(tk) >= 5)),
+         |ct AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+         |       FROM documents WHERE length(trim(text)) > 0),
+         |cg AS (
+         |  SELECT DISTINCT $h AS gh FROM (
+         |    SELECT unnest(list_transform(
+         |      generate_series(1, len(tk) - 4), i -> $gram)) AS g
+         |    FROM ct WHERE len(tk) >= 5))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(count(cg.gh) AS BIGINT) AS n_hit,
+         |  CAST(round(count(cg.gh) * 1000000.0 / count(*)) AS BIGINT) AS cov_q
+         |FROM bg LEFT JOIN cg USING (gh)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     // p31: the generalization ladder as four plain GROUP BYs (rollup's

@@ -781,4 +781,60 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> "unchanged", 2L -> "minor_edit", 3L -> "rewrite",
       4L -> "rewrite", 5L -> "deleted", 9L -> "added"), got.toString)
   }
+
+  test("gramCoverage: full / partial / zero coverage, short probes absent") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),        // grams abcde bcdef cdefg defgh
+      (2L, "p q r s t u")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "a b c d e f g h"),       // verbatim copy → coverage 1
+      (11L, "a b c d e x y z w"),     // 5 grams, only abcde hits → 1/5
+      (12L, "m n o v w x y"),         // nothing shared → 0
+      (13L, "a b c")                  // < 5 tokens → no grams, absent
+    ).toDF("doc_id", "text")
+    val got = Dedup.gramCoverage(corpus, bench, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      10L -> ((4L, 4L, 1000000L)),
+      11L -> ((5L, 1L, 200000L)),
+      12L -> ((3L, 0L, 0L))), got.toString)
+    // the corpus gram stream is pruned behind a BROADCAST of the probe
+    // gram set — no shuffle keyed by corpus grams anywhere
+    val plan = Dedup.gramCoverage(corpus, bench, "doc_id", "text", n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      plan.take(800))
+  }
+
+  test("assembleConversations: suffix truncation, boundary budgets, order-free fp") {
+    import spark.implicits._
+    // user 1: 4 turns costing 2,3,2,3 pre-tokens (texts are letter runs
+    // + digit runs); budget 5 keeps the LAST two (3+2... wait: suffix
+    // order) — derive expected by hand below
+    val ev = Seq(
+      (1L, 1L, "aa bb"),     // 2 pre-tokens
+      (1L, 2L, "cc dd ee"),  // 3
+      (1L, 3L, "ff 11"),     // 2
+      (1L, 4L, "gg hh 22"),  // 3
+      (2L, 1L, "a b c d e f g h")  // 8 > budget 5 → nothing kept
+    ).toDF("user_id", "event_id", "txt")
+    val got = Sampling.assembleConversations(ev, "user_id", "event_id", "txt", 5L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    // user 1 suffix sums: turn4=3, turn3=5, turn2=8 → keeps turns 3,4
+    assert(got(1L) == ((4L, 2L, 5L, 3L, 4L)), got(1L).toString)
+    assert(got(2L) == ((1L, 0L, 0L, -1L, -1L)), got(2L).toString)
+    // fingerprint is a pure function of the kept sequence: shuffled input
+    // rows produce the identical fp
+    def fps(df: org.apache.spark.sql.DataFrame) =
+      Sampling.assembleConversations(df, "user_id", "event_id", "txt", 5L)
+        .collect().map(r => r.getLong(0) -> r.getLong(6)).toMap
+    assert(fps(ev) == fps(ev.orderBy(rand(7))))
+    // distinct kept sequences get distinct fps
+    assert(fps(ev)(1L) != fps(ev)(2L))
+  }
 }
