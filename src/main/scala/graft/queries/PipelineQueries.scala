@@ -680,6 +680,34 @@ object PipelineQueries {
     // whitespace-noise copies (ids +100000) arrive in the later ordered
     // chunks and must all gate to kept = false; every original is the
     // global first of its fingerprint and keeps
+    // p07's stream twin: exact per-language budgets as a first-come
+    // ingestion ADMISSION gate — per-class counters (≤ |classes| rows,
+    // constant in stream length) behind an atomic generation flip, the
+    // ascending-arrival contract HWM-enforced (re-admission on replay is
+    // the additive-state hazard, like s20). Under ascending doc_id
+    // chunks the admitted set is the plain per-class rank prefix — the
+    // oracle is one window
+    "s28_stream_quota" -> ((s, dir) => {
+      val work = graft.queries.ExtendedQueries.scratchDir("graft_s28")
+      val in = graft.queries.ExtendedQueries.onceLog("s28", dir) { path =>
+        val d = docs(s, dir).select(col("doc_id"), col("lang").as("cls"))
+        val b = d.agg(min(col("doc_id")), max(col("doc_id"))).first()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val c1 = lo + (hi - lo) / 3
+        val c2 = lo + 2 * (hi - lo) / 3
+        Seq(col("doc_id") <= c1,
+            col("doc_id") > c1 && col("doc_id") <= c2,
+            col("doc_id") > c2).foreach { p =>
+          d.filter(p).coalesce(1).write.mode("append").parquet(path)
+          Thread.sleep(20) // distinct mtimes → deterministic oldest-first arrival
+        }
+      }
+      graft.streaming.StreamQuota.drain(s, s"$work/state",
+          Map("en" -> 60L, "de" -> 25L, "fr" -> 20L, "es" -> 25L, "zh" -> 30L),
+          in, s"$work/out", s"$work/ckpt")
+        .orderBy(col("doc_id"))
+    }),
+
     "s13_stream_exact_dedup" -> ((s, dir) => {
       val work = graft.queries.ExtendedQueries.scratchDir("graft_s13")
       val in = graft.queries.ExtendedQueries.onceLog("s13", dir) { path =>
@@ -2801,6 +2829,18 @@ object PipelineQueries {
 
     // keep-first over fingerprints, stated as the plain global rule the
     // ordered-arrival incremental gate must reproduce
+    // s28: first-come admission under ascending arrival = the per-class
+    // rank prefix
+    "s28_stream_quota" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang AS cls,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS adm_rk
+        |  FROM documents)
+        |SELECT doc_id, cls, CAST(adm_rk AS BIGINT) AS adm_rk FROM r
+        |WHERE adm_rk <= CASE cls WHEN 'en' THEN 60 WHEN 'de' THEN 25
+        |  WHEN 'fr' THEN 20 WHEN 'es' THEN 25 WHEN 'zh' THEN 30 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
+
     "s13_stream_exact_dedup" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents
