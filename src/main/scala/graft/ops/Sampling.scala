@@ -558,10 +558,16 @@ object Sampling {
                  k: Long): DataFrame = {
     require(qiCols.nonEmpty, "need at least one quasi-identifier column")
     val nQi = qiCols.length
+    // localCheckpoint: the census feeds one lookup per ladder level, and
+    // without a stage boundary Catalyst re-plans (and re-EXECUTES) the
+    // whole rollup once per level — nQi+1 corpus scans instead of one
+    // (caught by the PlanQualitySpec Expand-count pin). The checkpointed
+    // frame is ≤ distinct-combo-sized.
     val counts = docs
       .rollup(qiCols.map(col): _*)
       .agg(count(lit(1)).as("_ka_n"),
         grouping_id(qiCols.map(col): _*).as("_ka_gid"))
+      .localCheckpoint()
     // level L keeps the first nQi−L QIs; rollup's suffix-mask gid is 2^L−1
     val joined = (0 to nQi).foldLeft(docs) { (acc, lvl) =>
       val keep = qiCols.take(nQi - lvl)

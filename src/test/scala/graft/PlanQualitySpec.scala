@@ -605,4 +605,74 @@ class PlanQualitySpec extends SparkSpec {
       "group stats must broadcast back over the scan:\n" + physical.take(800))
     assert(!physical.contains("Window"), physical.take(800))
   }
+
+  test("p31 k-anon: the ladder census runs ONCE — one corpus scan, level lookups broadcast") {
+    val root = q("p31_kanon_census").queryExecution.optimizedPlan
+    // the rollup census is checkpointed: the query plan must show the
+    // corpus parquet scan exactly once (the doc side) and NO Expand —
+    // without the stage boundary Catalyst re-executed the whole rollup
+    // once per ladder level (4 corpus scans, the regression this pins)
+    val expands = root.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e }
+    assert(expands.isEmpty, s"census re-planned into the query: ${expands.length} Expands")
+    val scans = root.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r }
+    assert(scans.length == 1, s"expected 1 corpus scan, got ${scans.length}")
+    val physical = q("p31_kanon_census").queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"), physical.take(800))
+    assert(!physical.contains("SortMergeJoin"), physical.take(800))
+  }
+
+  test("p33 water-fill: corpus reduces to the census FIRST — every window sits above an aggregate") {
+    val root = q("p33_budget_waterfill").queryExecution.optimizedPlan
+    val windows = root.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.collect { case a: Aggregate => a }.nonEmpty,
+        "window over raw corpus rows (the census must aggregate first):\n" + w.treeString.take(500))
+    }
+    assert(!q("p33_budget_waterfill").queryExecution.executedPlan.toString
+      .contains("SortMergeJoin"))
+  }
+
+  test("t25 PSI: totals ride a broadcast, no window; joins sit above the bin aggregates") {
+    val physical = q("t25_psi_drift").queryExecution.executedPlan.toString
+    assert(!physical.contains("Window"), physical.take(800))
+    assert(physical.contains("BroadcastNestedLoopJoin") ||
+      physical.contains("BroadcastHashJoin"), physical.take(800))
+    // the bins full-outer join may legitimately sort-merge (FullOuter
+    // can't broadcast) — but ONLY over the bins-sized aggregates, never
+    // the corpus: every join input must contain an Aggregate
+    val root = q("t25_psi_drift").queryExecution.optimizedPlan
+    root.collect { case j: Join => j }.foreach { j =>
+      Seq(j.left, j.right).foreach { side =>
+        assert(side.collect { case a: Aggregate => a }.nonEmpty,
+          "join over raw corpus rows:\n" + side.treeString.take(400))
+      }
+    }
+  }
+
+  test("t26 fertility: one scan, one aggregate, no joins") {
+    val root = q("t26_tokenizer_fertility").queryExecution.optimizedPlan
+    assert(root.collect { case j: Join => j }.isEmpty, "census must be join-free")
+    assert(root.collect { case a: Aggregate => a }.length == 1)
+  }
+
+  test("p32 conversation assembly: the truncation window is user-partitioned, never global") {
+    val root = q("p32_conversation_assembly").queryExecution.optimizedPlan
+    val windows = root.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"suffix-sum window must partition by user: ${windows.map(_.partitionSpec)}")
+    assert(!q("p32_conversation_assembly").queryExecution.executedPlan.toString
+      .contains("CartesianProduct"))
+  }
+
+  test("t27 gram coverage: corpus grams pruned behind broadcasts — no gram-keyed sort-merge") {
+    val physical = q("t27_gram_coverage").queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"), physical.take(800))
+    assert(!physical.contains("SortMergeJoin"),
+      "the corpus gram stream must never shuffle by gram:\n" + physical.take(800))
+  }
 }
