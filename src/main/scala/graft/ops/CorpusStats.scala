@@ -492,7 +492,16 @@ object CorpusStats {
   def psiDrift(ref: DataFrame, cur: DataFrame, binCol: String): DataFrame = {
     def side(df: DataFrame, n: String) =
       df.groupBy(col(binCol).as("bin")).agg(count(lit(1)).as(n))
-    val joined = side(ref, "n_ref").join(side(cur, "n_cur"), Seq("bin"), "full")
+    psiFromCounts(side(ref, "n_ref"), side(cur, "n_cur"))
+  }
+
+  /** The PSI formula over pre-aggregated histograms — (bin, n_ref) ×
+    * (bin, n_cur) — shared by the batch operator and the streaming
+    * monitor ([[graft.streaming.StreamPsi]]), whose state IS the counts
+    * frame (re-expanding it to rows would be histogram-total-sized). */
+  private[graft] def psiFromCounts(refCounts: DataFrame,
+                                   curCounts: DataFrame): DataFrame = {
+    val joined = refCounts.join(curCounts, Seq("bin"), "full")
       .select(col("bin"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))

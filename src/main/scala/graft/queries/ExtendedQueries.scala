@@ -1355,6 +1355,36 @@ object ExtendedQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // t25's stream twin: the current snapshot's histogram accumulates
+    // per micro-batch (per-bin additive counters behind an atomic
+    // generation flip, HWM-enforced like s20/s28), PSI computed ONCE on
+    // the drained counts against the frozen reference — t25's oracle
+    // verbatim
+    "s29_stream_psi" -> ((s, dir) => {
+      val work = scratchDir("graft_s29")
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      def binned(df: org.apache.spark.sql.DataFrame) = df.withColumn("bin",
+        least(floor(length(col("text")) / 100), lit(7L)).cast("long"))
+      val ref = binned(d.filter(col("doc_id") % 2 === 0)).select("bin")
+      val in = onceLog("s29", dir) { path =>
+        val cur = binned(d.filter(col("doc_id") % 2 === 1)
+            .withColumn("text", concat_ws(" ", col("text"), col("text"))))
+          .select(col("doc_id"), col("bin"))
+        val b = cur.agg(min(col("doc_id")), max(col("doc_id"))).first()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val c1 = lo + (hi - lo) / 3
+        val c2 = lo + 2 * (hi - lo) / 3
+        Seq(col("doc_id") <= c1,
+            col("doc_id") > c1 && col("doc_id") <= c2,
+            col("doc_id") > c2).foreach { p =>
+          cur.filter(p).coalesce(1).write.mode("append").parquet(path)
+          Thread.sleep(20) // distinct mtimes → deterministic oldest-first arrival
+        }
+      }
+      graft.streaming.StreamPsi.drain(s, s"$work/state", ref, in, s"$work/ckpt")
+        .orderBy(col("bin"))
+    }),
+
     // winnowing fingerprints (window-min k-gram hashes, compiled pass)
     "t05_winnowing" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -2315,6 +2345,29 @@ object ExtendedQueries {
        |WHERE rk <= $k ORDER BY q_id, rk""".stripMargin
   }
 
+  /** t25's smoothed-share PSI over the even/odd length-profile split —
+    * ln on the 1e-6 grid (the t10 quantization convention). Shared with
+    * s29: additive per-bin counts make the drained histogram equal the
+    * batch histogram, and the formula runs once on the totals. */
+  private val t25OracleSql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents),
+      |refs AS (SELECT least(length(text) // 100, 7) AS bin FROM d WHERE doc_id % 2 = 0),
+      |curs AS (SELECT least(length(concat(text, ' ', text)) // 100, 7) AS bin
+      |         FROM d WHERE doc_id % 2 = 1),
+      |rc AS (SELECT bin, count(*) AS n_ref FROM refs GROUP BY bin),
+      |cc AS (SELECT bin, count(*) AS n_cur FROM curs GROUP BY bin),
+      |j AS (
+      |  SELECT coalesce(rc.bin, cc.bin) AS bin,
+      |    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+      |  FROM rc FULL JOIN cc ON rc.bin = cc.bin),
+      |t AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur, count(*) AS b FROM j)
+      |SELECT CAST(bin AS BIGINT) AS bin, CAST(n_ref AS BIGINT) AS n_ref,
+      |  CAST(n_cur AS BIGINT) AS n_cur,
+      |  CAST(round((((n_cur + 1) / CAST(t_cur + b AS DOUBLE)) - ((n_ref + 1) / CAST(t_ref + b AS DOUBLE)))
+      |    * ln(((n_cur + 1) / CAST(t_cur + b AS DOUBLE)) / ((n_ref + 1) / CAST(t_ref + b AS DOUBLE)))
+      |    * 1000000) AS BIGINT) AS psi_q
+      |FROM j CROSS JOIN t ORDER BY bin""".stripMargin
+
   private val a07Oracle: String = {
     val k = 5
     s"""$ivfPqScoredCtes
@@ -3216,24 +3269,11 @@ object ExtendedQueries {
 
     // t25: identical smoothed-share formula, ln on the 1e-6 grid (the
     // t10 quantization convention)
-    "t25_psi_drift" ->
-      """WITH d AS (SELECT doc_id, text FROM documents),
-        |refs AS (SELECT least(length(text) // 100, 7) AS bin FROM d WHERE doc_id % 2 = 0),
-        |curs AS (SELECT least(length(concat(text, ' ', text)) // 100, 7) AS bin
-        |         FROM d WHERE doc_id % 2 = 1),
-        |rc AS (SELECT bin, count(*) AS n_ref FROM refs GROUP BY bin),
-        |cc AS (SELECT bin, count(*) AS n_cur FROM curs GROUP BY bin),
-        |j AS (
-        |  SELECT coalesce(rc.bin, cc.bin) AS bin,
-        |    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
-        |  FROM rc FULL JOIN cc ON rc.bin = cc.bin),
-        |t AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur, count(*) AS b FROM j)
-        |SELECT CAST(bin AS BIGINT) AS bin, CAST(n_ref AS BIGINT) AS n_ref,
-        |  CAST(n_cur AS BIGINT) AS n_cur,
-        |  CAST(round((((n_cur + 1) / CAST(t_cur + b AS DOUBLE)) - ((n_ref + 1) / CAST(t_ref + b AS DOUBLE)))
-        |    * ln(((n_cur + 1) / CAST(t_cur + b AS DOUBLE)) / ((n_ref + 1) / CAST(t_ref + b AS DOUBLE)))
-        |    * 1000000) AS BIGINT) AS psi_q
-        |FROM j CROSS JOIN t ORDER BY bin""".stripMargin,
+    "t25_psi_drift" -> t25OracleSql,
+
+    // s29 ≡ t25: per-bin counts are additive over disjoint triggers and
+    // the PSI formula runs once, on the drained totals
+    "s29_stream_psi" -> t25OracleSql,
 
     // t26: exact integer sums; the ratios repeat the Spark operand order
     // (np·1e6)/nw so the one double rounding agrees bit-for-bit
