@@ -476,6 +476,38 @@ object CorpusStats {
       .select(col("doc_id"), col("grp"), col("z"))
   }
 
+  /** Per-source corpus DATASHEET — the "datasheet for datasets" report a
+    * release ships: per source, document/token volume, exact-duplicate
+    * rate (canonical-fingerprint keep-first, the d01 notion), English
+    * share, and mean composite quality on the 1e-6 grid. Every number
+    * is computed by the engine's own operators, so the datasheet is
+    * reproducible from the corpus alone.
+    *
+    * Scale: one scan computes fingerprint/tokens/quality per row
+    * (codegen'd kernels); duplicate labeling is the d14 discipline — an
+    * fp-keyed min aggregate joined back (never a window over fp
+    * groups, whose skew a single viral duplicate would concentrate);
+    * the final aggregate is sources-sized. Quality quantizes PER DOC
+    * before the mean, so the sum is order-free exact integers. */
+  def datasheet(docs: DataFrame, idCol: String, sourceCol: String,
+                textCol: String, langCol: String): DataFrame = {
+    val enriched = docs.select(col(idCol).as("doc_id"),
+      col(sourceCol).as("source"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"),
+      TextAnalysis.tokenCount(col(textCol)).as("nt"),
+      round(TextAnalysis.qualityScore(col(textCol)) * 1e6).cast("long").as("q_q"),
+      (col(langCol) === "en").as("is_en"))
+    val keepers = enriched.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
+    enriched.join(keepers, Seq("fp"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L)).as("n_dups"),
+        sum(when(col("is_en"), 1L).otherwise(0L)).as("n_en"),
+        round(sum(col("q_q")) * lit(1.0) / count(lit(1))).cast("long")
+          .as("mean_quality_q"))
+  }
+
   /** Population Stability Index between a reference and a current
     * snapshot over a pre-bucketed feature column — the distribution-
     * drift alarm for corpus refreshes ("did the new crawl's length /

@@ -1385,6 +1385,21 @@ object ExtendedQueries {
         .orderBy(col("bin"))
     }),
 
+    // per-source corpus datasheet: volume, dup rate (a third of the docs
+    // get a whitespace-noised copy so the rate is non-trivial), English
+    // share, mean quality — the release report, every number from the
+    // engine's own operators
+    "p34_datasheet" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"), col("lang"))
+      val noisy = d.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("source"),
+          concat(lit("  "), col("text"), lit("   ")).as("text"), col("lang"))
+      graft.ops.CorpusStats.datasheet(d.unionByName(noisy),
+          "doc_id", "source", "text", "lang")
+        .orderBy(col("source"))
+    }),
+
     // winnowing fingerprints (window-min k-gram hashes, compiled pass)
     "t05_winnowing" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -3194,6 +3209,50 @@ object ExtendedQueries {
          |  CAST(round(count(cg.gh) * 1000000.0 / count(*)) AS BIGINT) AS cov_q
          |FROM bg LEFT JOIN cg USING (gh)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // p34: the quality formula is p08's, the fingerprint d01's; quality
+    // quantizes per doc before the order-free integer mean
+    "p34_datasheet" -> {
+      val en = graft.ops.TextAnalysis.defaultProfiles.head._2
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, source, text, lang FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, source, '  ' || text || '   ', lang
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      w -> w IN ($en))) AS BIGINT) AS n_stop
+         |  FROM all_docs),
+         |q AS (
+         |  SELECT doc_id, CAST(round(least(1.0, greatest(0.0,
+         |      0.4 * (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 1.0 ELSE 0.0 END)
+         |      + 0.3 * (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END)
+         |      + 0.3 * (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END)))
+         |    * 1000000) AS BIGINT) AS q_q, n_tokens
+         |  FROM f),
+         |fps AS (
+         |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM all_docs),
+         |k AS (SELECT fp, min(doc_id) AS keeper FROM fps GROUP BY fp),
+         |e AS (
+         |  SELECT d.doc_id, d.source, d.lang, q.n_tokens AS nt, q.q_q, k.keeper
+         |  FROM all_docs d
+         |  JOIN q ON q.doc_id = d.doc_id
+         |  JOIN fps ON fps.doc_id = d.doc_id
+         |  JOIN k ON k.fp = fps.fp)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  CAST(count(CASE WHEN doc_id <> keeper THEN 1 END) AS BIGINT) AS n_dups,
+         |  CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS n_en,
+         |  CAST(round(sum(q_q) * 1.0 / count(*)) AS BIGINT) AS mean_quality_q
+         |FROM e GROUP BY source ORDER BY source""".stripMargin
     },
 
     // p31: the generalization ladder as four plain GROUP BYs (rollup's
