@@ -110,6 +110,14 @@ class IndexerResource(registry: IndexerRegistry, supervisor: IndexerSupervisor) 
           case e: IllegalStateException => err(404, e.getMessage)
         }
 
+      // the quota arm's budget dashboard: per-class admitted counters
+      case ("GET", List("indexer", name, "quota")) =>
+        if (registry.get(name).isEmpty) notFound(name)
+        else {
+          val counts = supervisor.quotaStatus(name).toSeq.sortBy(_._1)
+          ok(counts.map { case (c, n) => s""""$c": $n""" }.mkString("{", ", ", "}"))
+        }
+
       // vector-arm maintenance: apply tombstones physically, flip the
       // manifest — the GoLive-shaped compaction verb
       case ("POST", List("indexer", name))

@@ -381,6 +381,30 @@ class IndexerSupervisor(
     graft.streaming.StreamSnapshotDiff.summary(recrawlBase(name), recrawlVerdicts(name))
   }
 
+  // --- quota-admission arm (s28 made operable, the re-crawl pattern) ---
+  // Layout: $workRoot/<name>/quota — per-class admitted counters behind
+  // the StreamQuota generation flip, admitted log beside them.
+
+  private def quotaDir(name: String) = s"$workRoot/$name/quota"
+
+  /** Fold one ordered (doc_id, cls) chunk through `name`'s first-come
+    * admission gate — replay-safe, out-of-order loud ([[graft.streaming.StreamQuota]]). */
+  def quotaAdmit(name: String, chunk: org.apache.spark.sql.DataFrame,
+                 quotas: Map[String, Long], batchId: Long): Unit = {
+    registry.get(name).getOrElse(throw new IllegalStateException(s"no such indexer: $name"))
+    graft.streaming.StreamQuota.applyBatch(
+      s"${quotaDir(name)}/state", quotas, chunk, s"${quotaDir(name)}/out", batchId)
+  }
+
+  /** The standing per-class admitted counters — the budget dashboard. */
+  def quotaStatus(name: String): Map[String, Long] = {
+    registry.get(name).getOrElse(throw new IllegalStateException(s"no such indexer: $name"))
+    val cur = Paths.get(s"${quotaDir(name)}/state", "_current")
+    if (!Files.exists(cur)) Map.empty
+    else spark.read.parquet(s"${quotaDir(name)}/state/${Files.readString(cur).trim}")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
   /** Re-subscribe after DO_NOT_SUBSCRIBE: stamps subscriptionTimestamp =
     * now, so pre-existing log history is skipped (SepModelImpl records the
     * subscription timestamp at peer creation the same way). */

@@ -138,6 +138,16 @@ class RestApiSpec extends SparkSpec {
       val cp = post(s"$base/indexer/idx?action=compact-vectors")
       assert(cp.statusCode() == 200 && cp.body().contains("\"generation\""), cp.body())
       assert(post(s"$base/indexer/nope?action=compact-vectors").statusCode() == 404)
+
+      // quota dashboard: empty before any admission, counters after
+      val q0 = get(s"$base/indexer/idx/quota")
+      assert(q0.statusCode() == 200 && q0.body().trim == "{}", q0.body())
+      val chunk = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "en")).toDF("doc_id", "cls")
+      sup.quotaAdmit("idx", chunk, Map("en" -> 2L, "de" -> 5L), 0L)
+      val q1 = get(s"$base/indexer/idx/quota")
+      assert(q1.statusCode() == 200 &&
+        q1.body().contains("\"en\": 2") && q1.body().contains("\"de\": 1"), q1.body())
+      assert(get(s"$base/indexer/nope/quota").statusCode() == 404)
     } finally srv.stop()
   }
 }
