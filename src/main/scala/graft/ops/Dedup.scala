@@ -830,6 +830,29 @@ object Dedup {
         round(col("n_hit") * 1e6 / col("n_grams")).cast("long"))
   }
 
+  /** Cross-source duplicate overlap matrix — which sources copy from
+    * which: for every source pair (a < b), how many canonical
+    * fingerprints (d01's exact-dup notion) occur in BOTH. The
+    * provenance census behind mixture decisions ("src3 is 40% mirrors
+    * of src0 — don't count it as independent data").
+    *
+    * Scale: one scan to (source, fp) distinct, one fp-keyed self-join —
+    * the d01 shuffle shape; per-fp fan-out is bounded by the source
+    * count (≤ sources² pairs per fingerprint, after the per-source
+    * distinct), and the output is ≤ sources² rows. */
+  def sourceOverlap(docs: DataFrame, sourceCol: String,
+                    textCol: String): DataFrame = {
+    val sfp = docs.select(col(sourceCol).as("src"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .distinct()
+    val a = sfp.select(col("src").as("src_a"), col("fp"))
+    val b = sfp.select(col("src").as("src_b"), col("fp"))
+    a.join(b, Seq("fp"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Paragraph-level exact dedup ACROSS the corpus (the C4 line-dedup
     * step): split every document on `sep`, fingerprint each non-blank
     * paragraph (lowercased, whitespace-collapsed md5 — formatting noise

@@ -1427,6 +1427,35 @@ object Similarity {
     * eval costs nothing beyond the retrievals it measures. Output:
     * (q_id, n_exact, n_hit, recall) with recall one exact small-integer
     * division. */
+  /** The recall-vs-nProbe tuning curve: ONE codebook (trained once) and
+    * one brute-force truth set serve every probe level, so the sweep
+    * costs one training + |probes| broadcast-probe scoring passes — the
+    * "how many lists must I probe for 95% recall" number an operator
+    * reads before fixing nProbe in production. Output: one row per
+    * probe level (n_probe, n_queries, n_exact, n_hit, recall). */
+  def recallSweep(corpus: DataFrame, queries: DataFrame, k: Int,
+                  nCentroids: Int, probes: Seq[Int],
+                  trainIters: Int = 2): DataFrame = {
+    require(probes.nonEmpty, "need at least one probe level")
+    val cents = trainCentroids(corpus, nCentroids, trainIters)
+    val brute = bruteForceTopK(corpus, queries, k)
+    val corpusAssigned = nearestCentroids(corpus, cents, keep = 1)
+    probes.map { p =>
+      val queryProbes = nearestCentroids(queries, cents, keep = p)
+        .select(col("vec_id").as("q_id"), col("q").as("q_vec"),
+          col("nq").as("q_nq"), col("c_id"))
+      val scored = corpusAssigned.join(broadcast(queryProbes), Seq("c_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", cosineq(col("q"), col("q_vec"), col("nq"), col("q_nq")))
+      recallAtK(brute, topK(scored, k))
+        .agg(count(lit(1)).as("n_queries"), sum(col("n_exact")).as("n_exact"),
+          sum(col("n_hit")).as("n_hit"))
+        .select(lit(p.toLong).as("n_probe"), col("n_queries"),
+          col("n_exact"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_exact")).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
     exact.select(col("q_id"), col("n_id"))
       .join(approx.select(col("q_id"), col("n_id"), lit(1L).as("hit")),

@@ -876,6 +876,17 @@ object ExtendedQueries {
     // harness that turns the ANN family's recall/cost trade into a
     // number. Both inputs are queries×k frames, so the eval itself is
     // broadcast-sized; the oracle replays retrieval AND measurement
+    // recall-vs-nProbe tuning curve: one codebook + one brute truth set
+    // serve every probe level — the "how many lists for 95% recall"
+    // number read before fixing nProbe in production
+    "a23_recall_sweep" -> ((s, dir) => {
+      val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
+      val qs = corpus.filter(col("vec_id") < 5)
+      Similarity.recallSweep(corpus, qs, k = 5, nCentroids = 8,
+          probes = Seq(1, 2, 4))
+        .orderBy(col("n_probe"))
+    }),
+
     "a11_ann_recall" -> ((s, dir) => {
       val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
       val qs = corpus.filter(col("vec_id") < 5)
@@ -1398,6 +1409,22 @@ object ExtendedQueries {
       graft.ops.CorpusStats.datasheet(d.unionByName(noisy),
           "doc_id", "source", "text", "lang")
         .orderBy(col("source"))
+    }),
+
+    // cross-source duplicate overlap matrix: a third of the docs get a
+    // whitespace-noised mirror in the NEXT source (srcN → srcN+1 mod 20),
+    // so the matrix shows a real copying ring — the provenance census
+    // behind treating sources as independent
+    "d25_source_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      val mirrored = d.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          concat(lit("src"),
+            ((regexp_replace(col("source"), "src", "").cast("long") + 1) % 20))
+            .as("source"),
+          concat(lit(" "), col("text"), lit("  ")).as("text"))
+      graft.ops.Dedup.sourceOverlap(d.unionByName(mirrored), "source", "text")
+        .orderBy(col("src_a"), col("src_b"))
     }),
 
     // winnowing fingerprints (window-min k-gram hashes, compiled pass)
@@ -2697,6 +2724,46 @@ object ExtendedQueries {
 
     // a11: IVF top-5 (a03's CTEs) left-joined onto brute top-5 (a01's),
     // recall = one small-integer division
+    // a23: a11's recall computation once per probe level off the SHARED
+    // k-means CTEs, summarized to the tuning curve
+    "a23_recall_sweep" -> {
+      def arm(p: Int) =
+        s"""probes23_$p AS (SELECT vec_id AS q_id, q AS q_q, nn AS q_nn, c_id
+           |               FROM assign WHERE crk <= $p AND vec_id < 5),
+           |scored23_$p AS (
+           |  SELECT pr.q_id, a.vec_id AS n_id,
+           |    CASE WHEN a.nn = 0 OR pr.q_nn = 0 THEN 0.0
+           |         ELSE list_dot_product(a.q::DOUBLE[], pr.q_q::DOUBLE[]) / (sqrt(a.nn) * sqrt(pr.q_nn)) END AS sim
+           |  FROM corpus_a a JOIN probes23_$p pr ON a.c_id = pr.c_id AND a.vec_id <> pr.q_id),
+           |ivf23_$p AS (SELECT q_id, n_id FROM (
+           |    SELECT q_id, n_id,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
+           |    FROM scored23_$p)
+           |  WHERE rk <= 5),
+           |sum23_$p AS (
+           |  SELECT CAST($p AS BIGINT) AS n_probe,
+           |    CAST(count(DISTINCT b.q_id) AS BIGINT) AS n_queries,
+           |    CAST(count(*) AS BIGINT) AS n_exact,
+           |    CAST(count(i.n_id) AS BIGINT) AS n_hit,
+           |    CAST(count(i.n_id) AS DOUBLE) / count(*) AS recall
+           |  FROM brute23 b LEFT JOIN ivf23_$p i ON b.q_id = i.q_id AND b.n_id = i.n_id)""".stripMargin
+      s"""$kmeansAssignCtes,
+         |brute23 AS (SELECT q_id, n_id FROM (
+         |    SELECT qr.vec_id AS q_id, c.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY qr.vec_id
+         |        ORDER BY CASE WHEN c.nn = 0 OR qr.nn = 0 THEN 0.0
+         |          ELSE list_dot_product(c.q::DOUBLE[], qr.q::DOUBLE[]) / (sqrt(c.nn) * sqrt(qr.nn)) END DESC,
+         |          c.vec_id ASC) AS rk
+         |    FROM n c CROSS JOIN (SELECT * FROM n WHERE vec_id < 5) qr
+         |    WHERE c.vec_id <> qr.vec_id)
+         |  WHERE rk <= 5),
+         |${arm(1)},
+         |${arm(2)},
+         |${arm(4)}
+         |SELECT * FROM sum23_1 UNION ALL SELECT * FROM sum23_2
+         |UNION ALL SELECT * FROM sum23_4 ORDER BY n_probe""".stripMargin
+    },
+
     "a11_ann_recall" ->
       s"""$kmeansAssignCtes,
          |probes11 AS (SELECT vec_id AS q_id, q AS q_q, nn AS q_nn, c_id
@@ -3254,6 +3321,23 @@ object ExtendedQueries {
          |  CAST(round(sum(q_q) * 1.0 / count(*)) AS BIGINT) AS mean_quality_q
          |FROM e GROUP BY source ORDER BY source""".stripMargin
     },
+
+    // d25: same canonical fingerprint, per-source distinct, ordered pair
+    // counts
+    "d25_source_overlap" ->
+      """WITH all_docs AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT 'src' || CAST((CAST(replace(source, 'src', '') AS BIGINT) + 1) % 20 AS VARCHAR),
+        |    ' ' || text || '  '
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |sfp AS (
+        |  SELECT DISTINCT source AS src,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM all_docs)
+        |SELECT a.src AS src_a, b.src AS src_b, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM sfp a JOIN sfp b ON a.fp = b.fp AND a.src < b.src
+        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
 
     // p31: the generalization ladder as four plain GROUP BYs (rollup's
     // levels spelled out), finest adequate level per doc
