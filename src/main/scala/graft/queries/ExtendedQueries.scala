@@ -1427,6 +1427,27 @@ object ExtendedQueries {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // two-phase anneal schedule (the Llama-3-style data curriculum):
+    // phase 1 = the √-temperature mixture over the full corpus in a
+    // deterministic permutation; phase 2 = the high-quality slice of
+    // that mixture re-permuted for the anneal steps — stage order IS
+    // the semantics, steps globally consecutive
+    "p35_anneal_schedule" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val mixed = graft.ops.Sampling.temperatureMixture(
+        d.select(col("doc_id"), col("lang")), "doc_id", "lang")
+      val p1 = graft.ops.Sampling.epochSchedule(
+          mixed.select("doc_id"), "doc_id", epochs = 1)
+        .select(col("doc_id"), col("step"), lit(1L).as("phase"))
+      val n1 = mixed.count() // bounded: one scalar, the phase boundary
+      val anneal = mixed.join(d.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .filter(graft.ops.TextAnalysis.qualityScore(col("text")) >= 0.5)
+        .select("doc_id")
+      val p2 = graft.ops.Sampling.epochSchedule(anneal, "doc_id", epochs = 1)
+        .select(col("doc_id"), (col("step") + n1).as("step"), lit(2L).as("phase"))
+      p1.unionByName(p2).orderBy(col("step"))
+    }),
+
     // winnowing fingerprints (window-min k-gram hashes, compiled pass)
     "t05_winnowing" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -3338,6 +3359,57 @@ object ExtendedQueries {
         |SELECT a.src AS src_a, b.src AS src_b, CAST(count(*) AS BIGINT) AS n_shared
         |FROM sfp a JOIN sfp b ON a.fp = b.fp AND a.src < b.src
         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
+    // p35: p13's mixture + p28's permutation (epoch key "1_") per phase
+    // + p08's quality formula at a fixed 0.5 bar; phase-2 steps offset
+    // by the phase-1 count
+    "p35_anneal_schedule" -> {
+      val en = graft.ops.TextAnalysis.defaultProfiles.head._2
+        .map(w => s"'$w'").mkString(", ")
+      val perm = PipelineQueries.h60sql("'1_' || CAST(doc_id AS VARCHAR)")
+      s"""WITH sz AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |w AS (SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS wt FROM sz),
+         |ww AS (SELECT sum(wt) AS wsum FROM w),
+         |t AS (SELECT min(w.n * ww.wsum // w.wt) AS tt FROM w CROSS JOIN ww),
+         |qq AS (SELECT w.lang, w.wt * t.tt // ww.wsum AS quota
+         |       FROM w CROSS JOIN t CROSS JOIN ww),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${PipelineQueries.h60sql("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS rk
+         |  FROM documents),
+         |mixed AS (SELECT doc_id FROM r JOIN qq USING (lang) WHERE rk <= quota),
+         |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM mixed),
+         |p1 AS (
+         |  SELECT doc_id, row_number() OVER (
+         |    ORDER BY CAST($perm AS DOUBLE) / 1152921504606846976.0 DESC, doc_id ASC) AS step
+         |  FROM mixed),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      w -> w IN ($en))) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |qsc AS (
+         |  SELECT doc_id, least(1.0, greatest(0.0,
+         |      0.4 * (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 1.0 ELSE 0.0 END)
+         |      + 0.3 * (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END)
+         |      + 0.3 * (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END))) AS q
+         |  FROM f),
+         |anneal AS (SELECT m.doc_id FROM mixed m JOIN qsc USING (doc_id) WHERE q >= 0.5),
+         |p2 AS (
+         |  SELECT doc_id, row_number() OVER (
+         |    ORDER BY CAST($perm AS DOUBLE) / 1152921504606846976.0 DESC, doc_id ASC) AS rk2
+         |  FROM anneal)
+         |SELECT doc_id, CAST(step AS BIGINT) AS step, CAST(1 AS BIGINT) AS phase FROM p1
+         |UNION ALL
+         |SELECT doc_id, CAST(rk2 + n1.n AS BIGINT), CAST(2 AS BIGINT)
+         |FROM p2 CROSS JOIN n1
+         |ORDER BY step""".stripMargin
+    },
 
     // p31: the generalization ladder as four plain GROUP BYs (rollup's
     // levels spelled out), finest adequate level per doc
