@@ -199,4 +199,79 @@ object Relational {
     intermediates.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     result
   }
+
+  /** Fixed-point PageRank over a weighted directed graph — the link/
+    * transition-graph authority score (domain rank for web-corpus
+    * curation, item rank for behavioral graphs). `edges` = (src, dst, w)
+    * with long node ids and positive long weights; `nodes` = (item), the
+    * full vertex set (vertices with no edges still hold rank mass).
+    *
+    * All arithmetic is INTEGER fixed-point so the result is bit-identical
+    * across engines and partitionings (the [[graft.ops.Sampling]]
+    * quantize-then-integer-fold discipline applied to an iterative
+    * algorithm — float PageRank sums in shuffle order and can never
+    * hash-match an oracle):
+    *   - ranks live on a 1e-12 grid (SCALE), transition probabilities on
+    *     a 1e-6 grid (PSCALE), both truncating `div`;
+    *   - per-edge contribution = (r_src * p_e) div PSCALE, bounded by
+    *     SCALE·PSCALE = 1e18 < 2^63 REGARDLESS of corpus size — the
+    *     probabilities are precomputed ONCE outside the loop, so the
+    *     per-iteration multiply never sees a raw corpus-scale count
+    *     (p_e requires w·PSCALE < 2^63 ⇒ outdegree < 9.2e12 events per
+    *     node, checked loudly);
+    *   - new_r = (3·SCALE) div (20·N)  +  17·(in_sum + dang div N) div 20
+    *     — damping 0.85 as the exact rational 17/20, dangling mass
+    *     redistributed uniformly.
+    *
+    * Scale shape: the edge frame shuffles ONCE to aggregate weights and
+    * once to build probabilities; each iteration is one join of ranks
+    * (vertex-sized) against edges on src + one dst-keyed aggregate — the
+    * textbook distributed PageRank step. `localCheckpoint` per iteration
+    * keeps the plan flat (same discipline as [[connectedComponents]]);
+    * the dangling scalar rides a broadcast 1-row crossJoin, never a
+    * driver collect. Output: (item, pr_q) with pr_q on the SCALE grid,
+    * Σ pr_q ≈ SCALE (truncation drops ≤ a few units per vertex).
+    */
+  def pageRank(edges: DataFrame, nodes: DataFrame, iterations: Int = 10): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
+    val tracked = scala.collection.mutable.Buffer.empty[Int]
+    def cp(df: DataFrame): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet
+      val r = df.localCheckpoint()
+      tracked ++= (sc.getPersistentRDDs.keySet -- before)
+      r
+    }
+
+    val vertices = cp(nodes.select(col("item").cast("long").as("item")).distinct())
+    val n = vertices.count()
+    require(n > 0, "pageRank over an empty vertex set")
+    val ew = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+    val outd = ew.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
+    // fail loudly (not wrap) if a node's outdegree would overflow w·PSCALE
+    val pe = cp(ew.join(outd, "src")
+      .select(col("src"), col("dst"), expr(
+        "CASE WHEN outdeg >= 9223372036854L THEN " +
+          "raise_error('pageRank: outdegree too large for the 1e-6 probability grid') " +
+          "ELSE (w * 1000000L) div outdeg END").as("p")))
+    val base = (3L * 1000000000000L) / (20L * n)
+
+    var ranks = cp(vertices.withColumn("r", lit(1000000000000L / n)))
+    (1 to iterations).foreach { _ =>
+      val in = pe.join(ranks, pe("src") === ranks("item"))
+        .groupBy(col("dst")).agg(sum(expr("(r * p) div 1000000L")).as("in_sum"))
+      val dang = ranks.join(outd, ranks("item") === outd("src"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+      ranks = cp(vertices
+        .join(in, vertices("item") === in("dst"), "left")
+        .crossJoin(broadcast(dang))
+        .select(vertices("item"), expr(
+          s"${base}L + (17L * (coalesce(in_sum, 0L) + (dang div ${n}L))) div 20L").as("r")))
+    }
+    val intermediates = tracked.toSet
+    val result = ranks.select(col("item"), col("r").cast("long").as("pr_q"))
+      .orderBy(col("pr_q").desc, col("item")).localCheckpoint()
+    intermediates.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    result
+  }
 }

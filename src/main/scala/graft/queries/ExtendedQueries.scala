@@ -186,6 +186,29 @@ object ExtendedQueries {
         .orderBy(col("day"))
     }),
 
+    // ITEM RANK: fixed-point PageRank over the behavioral item graph
+    // (q22's transition edges, item-granular) — the link-authority score
+    // a web-corpus curation pipeline computes over the domain graph as a
+    // quality prior. Integer math end-to-end (1e-12 rank grid, 1e-6
+    // probability grid) so ten distributed iterations are bit-identical
+    // to the oracle's ten unrolled CTEs; per-iteration cost is ONE
+    // edges⋈ranks join + one dst-keyed aggregate, plan kept flat by
+    // localCheckpoint (the iterative-graph discipline of d07's
+    // connected components)
+    "q26_item_rank" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+      val ev = t(s, dir, "events").select(
+        col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      val sq = ev.select(col("item").as("dst"),
+        lag(col("item"), 1).over(w).as("src"))
+      val edges = sq.filter(col("src").isNotNull)
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      graft.ops.Relational.pageRank(edges, ev.select(col("item")), 10)
+    }),
+
     // LAST-TOUCH attribution: each purchase attributed to the same
     // user's latest preceding non-purchase event — one user-keyed
     // window ordered by event_id carrying a running "last touch"
@@ -2939,6 +2962,42 @@ object ExtendedQueries {
         |d AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day)
         |SELECT d.day, d.dau, w.wau
         |FROM d JOIN w ON w.w_day = d.day ORDER BY d.day""".stripMargin,
+
+    // q26: ten unrolled fixed-point iterations — every CTE is consumed
+    // twice (in-sum join + dangling scalar), so this oracle is on the
+    // matOracles MATERIALIZED allowlist (inlining would re-execute the
+    // whole chain 2^10 times); all-integer arithmetic mirrors the engine
+    // `div`-for-`//` exactly, so the hash match is exact
+    "q26_item_rank" -> {
+      val iter = (1 to 10).map { i =>
+        s"""r$i AS (
+           |  SELECT nodes.item,
+           |    3000000000000 // (20 * (SELECT count(*) FROM nodes))
+           |    + (17 * (COALESCE(s.in_sum, 0)
+           |       + (SELECT COALESCE(sum(p.r), 0) FROM r${i - 1} p
+           |          LEFT JOIN outd ON p.item = outd.src WHERE outd.src IS NULL)
+           |         // (SELECT count(*) FROM nodes))) // 20 AS r
+           |  FROM nodes LEFT JOIN (
+           |    SELECT pe.dst AS item2, sum((p.r * pe.p) // 1000000) AS in_sum
+           |    FROM r${i - 1} p JOIN pe ON p.item = pe.src GROUP BY 1) s
+           |  ON nodes.item = s.item2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item FROM events),
+         |sq AS (
+         |  SELECT item AS dst,
+         |    lag(item) OVER (PARTITION BY user_id ORDER BY event_id) AS src FROM ev),
+         |eg AS (
+         |  SELECT src, dst, count(*) AS w FROM sq WHERE src IS NOT NULL GROUP BY 1, 2),
+         |nodes AS (SELECT DISTINCT item FROM ev),
+         |outd AS (SELECT src, sum(w) AS outdeg FROM eg GROUP BY 1),
+         |pe AS (SELECT eg.src, eg.dst, (eg.w * 1000000) // outd.outdeg AS p
+         |       FROM eg JOIN outd ON eg.src = outd.src),
+         |r0 AS (SELECT item, 1000000000000 // (SELECT count(*) FROM nodes) AS r FROM nodes),
+         |$iter
+         |SELECT item, CAST(r AS BIGINT) AS pr_q FROM r10 ORDER BY pr_q DESC, item""".stripMargin
+    },
 
     // q24: the running last non-purchase touch via the same frame spec
     "q24_last_touch" ->

@@ -591,6 +591,19 @@ class PlanQualitySpec extends SparkSpec {
       !"Window\\b".r.findFirstIn(physical).isDefined, physical.take(800))
   }
 
+  test("q26 item rank: ten iterations leave a FLAT plan — lineage truncated per round") {
+    // the iterative-graph failure mode is a plan that deepens per
+    // iteration (analysis cost grows superlinearly, shuffles re-derive);
+    // pageRank localCheckpoints every round, so the delivered frame must
+    // sit on a materialized boundary: no joins, no file scans in its plan
+    val root = q("q26_item_rank").queryExecution.optimizedPlan
+    val joins = root.collect { case j: Join => j }
+    assert(joins.isEmpty, s"expected checkpoint-flat plan, got ${joins.length} joins")
+    val scans = root.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r }
+    assert(scans.isEmpty, s"expected no re-read of events, got ${scans.length} scans")
+  }
+
   test("q24 last-touch: the only window is user-partitioned — never a global sort") {
     val root = q("q24_last_touch").queryExecution.optimizedPlan
     val windows = root.collect {

@@ -36,4 +36,61 @@ class RelationalSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("did not converge"))
   }
+
+  // ---- pageRank ----
+
+  private def pr(edges: Seq[(Long, Long, Long)], nodes: Seq[Long], iters: Int = 10) = {
+    import spark.implicits._
+    Relational.pageRank(edges.toDF("src", "dst", "w"), nodes.toDF("item"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("pageRank: symmetric 2-cycle splits mass evenly and conserves ~SCALE") {
+    val m = pr(Seq((1L, 2L, 1L), (2L, 1L, 1L)), Seq(1L, 2L))
+    assert(m(1L) == m(2L), "symmetric graph must give equal ranks")
+    val total = m.values.sum
+    // truncating div drops at most a few units per node per iteration
+    assert(total <= 1000000000000L && total > 1000000000000L - 1000L, s"mass $total")
+  }
+
+  test("pageRank: a sink fed by everyone outranks its feeders") {
+    // 1→3, 2→3, 3 dangles (its mass redistributes uniformly)
+    val m = pr(Seq((1L, 3L, 1L), (2L, 3L, 1L)), Seq(1L, 2L, 3L))
+    assert(m(3L) > m(1L) && m(3L) > m(2L))
+    assert(m(1L) == m(2L), "symmetric feeders tie")
+  }
+
+  test("pageRank: edge weights steer rank (heavier edge, higher rank)") {
+    // 1 links to 2 with weight 9 and to 3 with weight 1
+    val m = pr(Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L)), Seq(1L, 2L, 3L))
+    assert(m(2L) > m(3L))
+  }
+
+  test("pageRank: isolated vertex keeps only the teleport share") {
+    val m = pr(Seq((1L, 2L, 1L), (2L, 1L, 1L)), Seq(1L, 2L, 7L))
+    assert(m(7L) < m(1L))
+    // its rank converges to base/(1-0.85·0/…): teleport + its dangling share
+    assert(m(7L) > 0L)
+  }
+
+  test("pageRank: deterministic under input shuffling and repartitioning") {
+    import spark.implicits._
+    val edges = (0L until 40L).map(i => (i, (i * 7 + 3) % 40, 1L + i % 3))
+    val a = pr(edges, 0L until 40L)
+    val shuffled = scala.util.Random.shuffle(edges.toVector)
+    val b = Relational.pageRank(
+      shuffled.toDF("src", "dst", "w").repartition(7),
+      (0L until 40L).reverse.toDF("item").repartition(3), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "integer fixed-point PageRank must be partition-order-free")
+  }
+
+  test("pageRank: empty vertex set fails loudly") {
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      Relational.pageRank(Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w"),
+        Seq.empty[Long].toDF("item"))
+    }
+    assert(e.getMessage.contains("empty"))
+  }
 }
