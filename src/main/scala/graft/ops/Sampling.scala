@@ -661,4 +661,41 @@ object Sampling {
       .select(col(stratumCol), col("n_docs"), col("total_tokens"),
         col("cap"), col("alloc"))
   }
+
+  /** Cluster-balanced (diversity) sampling: spend a document budget as
+    * evenly as the EMBEDDING-SPACE structure allows. The SSL-curation
+    * step between SemDeDup and stratified sampling — strata you don't
+    * have labels for: cluster the corpus with the deterministic k-means
+    * codebook ([[Similarity.trainCentroids]]), water-fill the budget
+    * across clusters (dense regions are capped at a common water level,
+    * sparse regions keep everything — the same integer allocator as
+    * [[waterFillBudget]] with unit weights), then select each cluster's
+    * quota by id-hash rank ([[quotaSample]]'s tier-bucketed plan).
+    *
+    * Everything is exact integer math end-to-end (integer k-means,
+    * integer water-fill, hash-rank selection), so the kept set is
+    * bit-identical across engines and partitionings.
+    *
+    * Scale shape: codebook training on a sample is O(k·iters·|sample|);
+    * the full corpus then pays ONE broadcast-assign scan (the codebook
+    * is plan literals — nothing corpus-sized shuffles for assignment),
+    * one census aggregation (≤ k rows — the bounded-collect contract for
+    * the quota map), and quotaSample's tier-histogram selection. Output:
+    * (c_id, id) of the kept rows. */
+  def clusterQuotaSample(corpus: DataFrame, idCol: String, budget: Long,
+                         nCentroids: Int = 8, iters: Int = 2): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val cents = Similarity.trainCentroids(corpus, nCentroids, iters)
+    val assigned = corpus.withColumn("c_id",
+      Similarity.centroidBest(cents, col("q"), col("nq")))
+    val alloc = waterFillBudget(assigned.withColumn("_cq_one", lit(1L)),
+      "c_id", "_cq_one", budget)
+    // ≤ nCentroids rows — the bounded-census collect behind every quota map
+    val quotas = alloc.select(col("c_id"), col("alloc")).collect()
+      .map(r => r.getLong(0).toString -> r.getLong(1)).toMap
+    val strat = assigned
+      .select(col(idCol), col("c_id"), col("c_id").cast("string").as("_cq_cluster"))
+    quotaSample(strat, idCol, "_cq_cluster", quotas, defaultQuota = 0L)
+      .select(col("c_id"), col(idCol))
+  }
 }

@@ -1339,6 +1339,19 @@ object ExtendedQueries {
         .orderBy(col("source"))
     }),
 
+    // CLUSTER-BALANCED sampling: spend a 200-doc budget as evenly as the
+    // embedding-space structure allows — k-means clusters stand in for
+    // the strata no label column gives you; dense clusters are capped at
+    // the integer water level, sparse ones keep everything, selection is
+    // id-hash rank. Integer end-to-end (codebook, allocator, ranks), so
+    // the kept set is engine-bit-identical
+    "p36_cluster_quota" -> ((s, dir) => {
+      val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
+      graft.ops.Sampling.clusterQuotaSample(corpus, "vec_id",
+          budget = 200L, nCentroids = 8)
+        .orderBy(col("c_id"), col("vec_id"))
+    }),
+
     // PSI drift between corpus snapshots: current = the odd-id half with
     // text doubled (a real length-profile shift), reference = the even-id
     // half; per-bin smoothed shares, ln on the 1e-6 grid — the retrain
@@ -3540,6 +3553,45 @@ object ExtendedQueries {
         |  CAST(total_tokens AS BIGINT) AS total_tokens, CAST(cap AS BIGINT) AS cap,
         |  CAST(alloc0 + CASE WHEN unsat AND urk <= rr THEN 1 ELSE 0 END AS BIGINT) AS alloc
         |FROM fin CROSS JOIN rem ORDER BY source""".stripMargin,
+
+    // p36: the k-means assignment CTEs (a03's), a unit-weight water-fill
+    // on the cluster census, then per-cluster hash-rank selection —
+    // corpus_a is consumed twice and the Lloyd chain is deep, so this is
+    // on the MATERIALIZED allowlist
+    "p36_cluster_quota" ->
+      s"""$kmeansAssignCtes,
+         |census AS (SELECT c_id, count(*) AS nt FROM corpus_a GROUP BY 1),
+         |rr0 AS (
+         |  SELECT c_id, nt, row_number() OVER (ORDER BY nt, c_id) AS i,
+         |    coalesce(sum(nt) OVER (ORDER BY nt, c_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx,
+         |    coalesce(lag(nt) OVER (ORDER BY nt, c_id), 0) AS prev,
+         |    count(*) OVER () AS sct
+         |  FROM census),
+         |lv AS (SELECT rr0.*, greatest(200 - pfx, 0) // (sct - i + 1) AS cand FROM rr0),
+         |cp AS (
+         |  SELECT coalesce(max(CASE WHEN prev <= cand AND cand < nt THEN cand END),
+         |    max(nt)) AS cap
+         |  FROM lv),
+         |a0 AS (
+         |  SELECT lv.c_id, lv.nt, least(lv.nt, cp.cap) AS alloc0,
+         |    lv.nt > cp.cap AS unsat
+         |  FROM lv CROSS JOIN cp),
+         |rem AS (SELECT least(200, sum(nt)) - sum(alloc0) AS rrem FROM a0),
+         |alc AS (
+         |  SELECT c_id,
+         |    alloc0 + CASE WHEN unsat AND urk <= rrem THEN 1 ELSE 0 END AS alloc
+         |  FROM (SELECT a0.*,
+         |          row_number() OVER (PARTITION BY unsat ORDER BY c_id) AS urk
+         |        FROM a0) CROSS JOIN rem),
+         |sel AS (
+         |  SELECT a.c_id, a.vec_id,
+         |    row_number() OVER (PARTITION BY a.c_id
+         |      ORDER BY ${PipelineQueries.h60sql("CAST(a.vec_id AS VARCHAR)")} ASC,
+         |        a.vec_id ASC) AS rk
+         |  FROM corpus_a a)
+         |SELECT sel.c_id, sel.vec_id FROM sel JOIN alc ON sel.c_id = alc.c_id
+         |WHERE sel.rk <= alc.alloc ORDER BY sel.c_id, sel.vec_id""".stripMargin,
 
     // t25: identical smoothed-share formula, ln on the 1e-6 grid (the
     // t10 quantization convention)

@@ -636,6 +636,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(!physical.contains("SortMergeJoin"), physical.take(800))
   }
 
+  test("p36 cluster quota: codebook is plan literals, quotas broadcast — corpus never sort-merge joins") {
+    // assignment must be a map-only projection (centroidBest over literal
+    // centroid arrays), and the only joins in selection are the broadcast
+    // quota/boundary frames; every window partitions by the cluster
+    val qe = q("p36_cluster_quota").queryExecution
+    val physical = qe.executedPlan.toString
+    assert(!physical.contains("SortMergeJoin") && !physical.contains("CartesianProduct"),
+      physical.take(800))
+    val windows = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"selection windows must partition by cluster: ${windows.map(_.partitionSpec)}")
+  }
+
   test("p33 water-fill: corpus reduces to the census FIRST — every window sits above an aggregate") {
     val root = q("p33_budget_waterfill").queryExecution.optimizedPlan
     val windows = root.collect {

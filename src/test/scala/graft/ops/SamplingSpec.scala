@@ -9,6 +9,31 @@ import org.apache.spark.sql.functions._
   * inside a tier, and beyond the corpus total. */
 class SamplingSpec extends SparkSpec {
 
+  test("clusterQuotaSample: exact budget, water-level evenness, determinism") {
+    val corpus = Similarity.prep(
+      spark.read.parquet(s"$sf0001/embeddings.parquet"), "vec_id", "embedding")
+    val kept = Sampling.clusterQuotaSample(corpus, "vec_id", budget = 200L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(kept.size == 200, s"water-fill must spend the budget exactly: ${kept.size}")
+    assert(kept.map(_._2).distinct.size == 200, "no row kept twice")
+    // evenness: per-cluster kept counts differ by ≤1 among CAPPED clusters
+    // (uncapped clusters contribute everything they have, below the level)
+    val byC = kept.groupBy(_._1).view.mapValues(_.size).toMap
+    val sizes = corpus.withColumn("c_id",
+        Similarity.centroidBest(Similarity.trainCentroids(corpus, 8), col("q"), col("nq")))
+      .groupBy("c_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val capped = byC.filter { case (c, n) => n < sizes(c) }.values
+    assert(capped.isEmpty || capped.max - capped.min <= 1,
+      s"capped clusters must sit at a common water level ±1: $byC vs $sizes")
+    // determinism under repartitioning
+    val again = Sampling.clusterQuotaSample(corpus.repartition(7), "vec_id", budget = 200L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(again == kept, "cluster quota sampling must be partition-order-free")
+    // a budget ≥ corpus keeps everything
+    val all = Sampling.clusterQuotaSample(corpus, "vec_id", budget = 100000L).count()
+    assert(all == corpus.count())
+  }
+
   test("tier-histogram selection == global-window greedy prefix across budgets") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
