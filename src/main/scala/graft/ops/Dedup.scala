@@ -815,20 +815,37 @@ object Dedup {
     * absent (nothing to audit). */
   def gramCoverage(corpus: DataFrame, benchmark: DataFrame,
                    idCol: String, textCol: String, n: Int = 5): DataFrame = {
-    val bg = shingleHashSets(benchmark, idCol, textCol, n)
-      .select(col("doc_id"), explode(col("hs")).as("g"))
     val cg = shingleHashSets(corpus, idCol, textCol, n)
       .select(explode(col("hs")).as("g"))
-    val benchGramSet = bg.select("g").distinct()
+    val benchGramSet = benchGrams(benchmark, idCol, textCol, n).select("g").distinct()
     val survivors = cg.join(broadcast(benchGramSet), Seq("g"), "left_semi")
       .distinct()
-    bg.join(broadcast(survivors.withColumn("_gc_hit", lit(1L))), Seq("g"), "left")
+    coverageFromSeen(benchmark, idCol, textCol, n, survivors)
+  }
+
+  /** The benchmark side of the coverage audit: one row per (probe doc,
+    * distinct gram hash) — probe-bounded. Shared by the batch operator
+    * and the streaming twin's frozen probe frame. */
+  private[graft] def benchGrams(benchmark: DataFrame, idCol: String,
+                                textCol: String, n: Int): DataFrame =
+    shingleHashSets(benchmark, idCol, textCol, n)
+      .select(col("doc_id"), explode(col("hs")).as("g"))
+
+  /** Coverage report given the set of benchmark grams the corpus was
+    * seen to contain (`seen`: one `g` column, ≤ the benchmark's gram
+    * count). This is the drain-end step of the streaming audit and the
+    * final step of [[gramCoverage]] — sharing it is what makes
+    * "stream ≡ batch" an identity, not a claim. */
+  private[graft] def coverageFromSeen(benchmark: DataFrame, idCol: String,
+                                      textCol: String, n: Int,
+                                      seen: DataFrame): DataFrame =
+    benchGrams(benchmark, idCol, textCol, n)
+      .join(broadcast(seen.withColumn("_gc_hit", lit(1L))), Seq("g"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("_gc_hit"), lit(0L))).as("n_hit"))
       .withColumn("cov_q",
         round(col("n_hit") * 1e6 / col("n_grams")).cast("long"))
-  }
 
   /** Cross-source duplicate overlap matrix — which sources copy from
     * which: for every source pair (a < b), how many canonical

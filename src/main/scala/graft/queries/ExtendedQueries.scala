@@ -1432,6 +1432,30 @@ object ExtendedQueries {
         .orderBy(col("bin"))
     }),
 
+    // t27's stream twin: the contamination audit on the ingest path —
+    // the seen-probe-gram state folds by SET UNION (idempotent + order-
+    // free, the s17/s19 contract class: no HWM, chunks split by doc_id
+    // residue, not arrival time), each trigger prunes map-side against
+    // the broadcast frozen probe grams; drain-end report shares the
+    // batch coverage step, so t27's oracle applies verbatim
+    "s30_stream_gram_coverage" -> ((s, dir) => {
+      val work = scratchDir("graft_s30")
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = d.filter(col("doc_id") % 17 === 0)
+        .withColumn("text", when(col("doc_id") % 34 === 0, col("text"))
+          .otherwise(translate(col("text"), "e", "3")))
+      val in = onceLog("s30", dir) { path =>
+        Seq(col("doc_id") % 3 === 0, col("doc_id") % 3 === 1,
+            col("doc_id") % 3 === 2).foreach { p =>
+          d.filter(p).coalesce(1).write.mode("append").parquet(path)
+          Thread.sleep(20) // distinct mtimes → deterministic arrival order
+        }
+      }
+      graft.streaming.StreamGramCoverage.drain(s, in, s"$work/state",
+          s"$work/ckpt", bench, "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // per-source corpus datasheet: volume, dup rate (a third of the docs
     // get a whitespace-noised copy so the rate is non-trivial), English
     // share, mean quality — the release report, every number from the
@@ -2448,6 +2472,37 @@ object ExtendedQueries {
     * ln on the 1e-6 grid (the t10 quantization convention). Shared with
     * s29: additive per-bin counts make the drained histogram equal the
     * batch histogram, and the formula runs once on the totals. */
+  /** t27 ≡ s30: probe grams vs the corpus gram universe, both as md5-60
+    * hash sets (the shingle convention), hit share on the 1e-6 grid. */
+  private val t27OracleSql: String = {
+    val gram = (0 until 5).map(j => if (j == 0) "tk[i]" else s"tk[i+$j]")
+      .mkString(" || ' ' || ")
+    val h = PipelineQueries.h60sql("g")
+    s"""WITH bench AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 34 = 0 THEN text ELSE translate(text, 'e', '3') END AS text
+       |  FROM documents WHERE doc_id % 17 = 0),
+       |bt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+       |       FROM bench WHERE length(trim(text)) > 0),
+       |bg AS (
+       |  SELECT DISTINCT doc_id, $h AS gh FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      generate_series(1, len(tk) - 4), i -> $gram)) AS g
+       |    FROM bt WHERE len(tk) >= 5)),
+       |ct AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+       |       FROM documents WHERE length(trim(text)) > 0),
+       |cg AS (
+       |  SELECT DISTINCT $h AS gh FROM (
+       |    SELECT unnest(list_transform(
+       |      generate_series(1, len(tk) - 4), i -> $gram)) AS g
+       |    FROM ct WHERE len(tk) >= 5))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(count(cg.gh) AS BIGINT) AS n_hit,
+       |  CAST(round(count(cg.gh) * 1000000.0 / count(*)) AS BIGINT) AS cov_q
+       |FROM bg LEFT JOIN cg USING (gh)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   private val t25OracleSql: String =
     """WITH d AS (SELECT doc_id, text FROM documents),
       |refs AS (SELECT least(length(text) // 100, 7) AS bin FROM d WHERE doc_id % 2 = 0),
@@ -3342,34 +3397,11 @@ object ExtendedQueries {
 
     // t27: probe grams vs the corpus gram universe, both as md5-60 hash
     // sets (the shingle convention), hit share on the 1e-6 grid
-    "t27_gram_coverage" -> {
-      val gram = (0 until 5).map(j => if (j == 0) "tk[i]" else s"tk[i+$j]")
-        .mkString(" || ' ' || ")
-      val h = PipelineQueries.h60sql("g")
-      s"""WITH bench AS (
-         |  SELECT doc_id,
-         |    CASE WHEN doc_id % 34 = 0 THEN text ELSE translate(text, 'e', '3') END AS text
-         |  FROM documents WHERE doc_id % 17 = 0),
-         |bt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
-         |       FROM bench WHERE length(trim(text)) > 0),
-         |bg AS (
-         |  SELECT DISTINCT doc_id, $h AS gh FROM (
-         |    SELECT doc_id, unnest(list_transform(
-         |      generate_series(1, len(tk) - 4), i -> $gram)) AS g
-         |    FROM bt WHERE len(tk) >= 5)),
-         |ct AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
-         |       FROM documents WHERE length(trim(text)) > 0),
-         |cg AS (
-         |  SELECT DISTINCT $h AS gh FROM (
-         |    SELECT unnest(list_transform(
-         |      generate_series(1, len(tk) - 4), i -> $gram)) AS g
-         |    FROM ct WHERE len(tk) >= 5))
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-         |  CAST(count(cg.gh) AS BIGINT) AS n_hit,
-         |  CAST(round(count(cg.gh) * 1000000.0 / count(*)) AS BIGINT) AS cov_q
-         |FROM bg LEFT JOIN cg USING (gh)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
+    "t27_gram_coverage" -> t27OracleSql,
+
+    // s30 ≡ t27: the seen-gram state folds by set union (idempotent,
+    // order-free), and the drain-end report IS the batch coverage step
+    "s30_stream_gram_coverage" -> t27OracleSql,
 
     // p34: the quality formula is p08's, the fingerprint d01's; quality
     // quantizes per doc before the order-free integer mean
