@@ -870,6 +870,39 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Structural SKELETON of a document: letter runs collapse to `w`,
+    * digit runs to `9`, whitespace normalizes — what survives is the
+    * punctuation/layout template. Documents GENERATED from one template
+    * (product pages, error pages, invoices, log lines) share a skeleton
+    * while differing textually — the class exact dedup can't see (every
+    * instance is unique) and near-dup dedup misprices (instances can
+    * share almost no n-grams). */
+  def skeleton(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(lower(trim(text)),
+      "[a-z]+", "w"), "[0-9]+", "9"), "\\s+", " ")
+
+  /** Template-cluster census: groups of ≥ `minSize` documents sharing a
+    * skeleton with ≥ 2 DISTINCT exact texts (all-identical groups are
+    * d01's exact dups, not templates). Output per cluster:
+    * (skel_fp, n_docs, n_texts, rep_id = smallest doc id).
+    *
+    * Scale shape: one scan computing both fingerprints in the
+    * projection, then ONE aggregate keyed on the skeleton hash —
+    * map-side partials collapse template instances before the shuffle
+    * (a template stamped 10⁹ times crosses the wire once per task), and
+    * the distinct-text count rides Spark's standard two-phase
+    * distinct-agg expansion under the same key. No join, no window. */
+  def templateClusters(docs: DataFrame, idCol: String, textCol: String,
+                       minSize: Long = 2L): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        hash60(skeleton(col(textCol))).as("skel_fp"),
+        TextAnalysis.fingerprint(col(textCol)).as("_tx_fp"))
+      .groupBy(col("skel_fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("_tx_fp")).as("n_texts"),
+        min(col("doc_id")).as("rep_id"))
+      .filter(col("n_docs") >= minSize && col("n_texts") >= 2L)
+
   /** Paragraph-level exact dedup ACROSS the corpus (the C4 line-dedup
     * step): split every document on `sep`, fingerprint each non-blank
     * paragraph (lowercased, whitespace-collapsed md5 — formatting noise

@@ -1487,6 +1487,28 @@ object ExtendedQueries {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // TEMPLATE-skeleton clusters: two synthetic template families stamp
+    // instances over the corpus (order/ref layouts with varying numbers)
+    // — all instances of a family share a SKELETON (letters→w, digits→9,
+    // punctuation kept) while every text is unique: the generated-
+    // boilerplate class exact dedup can't see and n-gram near-dup
+    // misprices; base docs contribute their natural shape classes
+    "d26_template_skeleton" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val tA = d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(lit("order #"), (col("doc_id") * 7).cast("string"),
+            lit(": total $"), (col("doc_id") % 97).cast("string"),
+            lit(" (qty "), (col("doc_id") % 7).cast("string"), lit(")")).as("text"))
+      val tB = d.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat(lit("ref ["), (col("doc_id") * 3).cast("string"),
+            lit("] status ok")).as("text"))
+      graft.ops.Dedup.templateClusters(
+          d.unionByName(tA).unionByName(tB), "doc_id", "text", minSize = 3L)
+        .orderBy(col("skel_fp"))
+    }),
+
     // two-phase anneal schedule (the Llama-3-style data curriculum):
     // phase 1 = the √-temperature mixture over the full corpus in a
     // deterministic permutation; phase 2 = the high-quality slice of
@@ -3463,6 +3485,35 @@ object ExtendedQueries {
         |SELECT a.src AS src_a, b.src AS src_b, CAST(count(*) AS BIGINT) AS n_shared
         |FROM sfp a JOIN sfp b ON a.fp = b.fp AND a.src < b.src
         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
+    // d26: identical skeleton regexes (the 'g' flag is DuckDB's
+    // replace-all; Spark replaces all by default), md5 text fingerprint
+    // per d01's convention, one grouped census with HAVING = the filter
+    "d26_template_skeleton" -> {
+      val skel = "regexp_replace(regexp_replace(regexp_replace(lower(trim(text)), " +
+        "'[a-z]+', 'w', 'g'), '[0-9]+', '9', 'g'), '\\s+', ' ', 'g')"
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000,
+         |    'order #' || CAST(doc_id * 7 AS VARCHAR) || ': total $$' ||
+         |    CAST(doc_id % 97 AS VARCHAR) || ' (qty ' || CAST(doc_id % 7 AS VARCHAR) || ')'
+         |  FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 300000,
+         |    'ref [' || CAST(doc_id * 3 AS VARCHAR) || '] status ok'
+         |  FROM documents WHERE doc_id % 5 = 1),
+         |f AS (
+         |  SELECT doc_id, ${PipelineQueries.h60sql(skel)} AS skel_fp,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS tx_fp
+         |  FROM u)
+         |SELECT skel_fp, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT tx_fp) AS BIGINT) AS n_texts,
+         |  min(doc_id) AS rep_id
+         |FROM f GROUP BY skel_fp
+         |HAVING count(*) >= 3 AND count(DISTINCT tx_fp) >= 2
+         |ORDER BY skel_fp""".stripMargin
+    },
 
     // p35: p13's mixture + p28's permutation (epoch key "1_") per phase
     // + p08's quality formula at a fixed 0.5 bar; phase-2 steps offset

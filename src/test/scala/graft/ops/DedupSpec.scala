@@ -837,4 +837,29 @@ class DedupSpec extends SparkSpec {
     // distinct kept sequences get distinct fps
     assert(fps(ev)(1L) != fps(ev)(2L))
   }
+
+  test("templateClusters: same layout different values clusters; exact dups and layout changes don't") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "order #12: total $5 (qty 2)"),
+      (2L, "order #9034: total $71 (qty 6)"),
+      (3L, "ORDER #7:   total $80 (qty 1)"), // case/whitespace-noised instance
+      (4L, "order #12: total $5 (qty 2)"),   // EXACT dup of 1 — adds n_docs, not n_texts
+      (5L, "order [12] total $5 qty 2"),     // different punctuation layout → other skeleton
+      (6L, "plain words only here"),
+      (7L, "other plain text entirely"),     // same shape class as 6 (w w w w)
+      (8L, "three words exactly")            // 3-word shape ≠ 4-word shape
+    ).toDF("doc_id", "text")
+    val got = Dedup.templateClusters(docs, "doc_id", "text", minSize = 2L)
+      .collect().map(r => r.getLong(3) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // order-template cluster: docs 1,2,3,4 → 4 docs, 3 distinct texts
+    assert(got(1L) == ((4L, 3L)), got.toString)
+    // shape-class cluster: docs 6,7 (4 plain words each)
+    assert(got(6L) == ((2L, 2L)), got.toString)
+    // nothing else qualifies (5 and 8 are singleton skeletons)
+    assert(got.size == 2, got.toString)
+    // skeleton is deterministic and layout-sensitive
+    val s1 = docs.select(Dedup.skeleton(col("text"))).collect().map(_.getString(0))
+    assert(s1(0) == "w #9: w $9 (w 9)" && s1(4) == "w [9] w $9 w 9", s1.mkString("|"))
+  }
 }
