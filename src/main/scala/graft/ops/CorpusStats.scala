@@ -580,4 +580,41 @@ object CorpusStats {
         when(col("n_pretokens") > 0,
           round(col("n_chars") * 1e6 / col("n_pretokens")).cast("long"))
           .otherwise(lit(null).cast("long")))
+
+  /** Dedup-aware (EFFECTIVE) token accounting per source: raw token
+    * counts double-bill every mirror, so a mixture weighted on raw
+    * volume over-samples whatever is most copied. Each exact-dup
+    * cluster (d01's canonical fingerprint, counted ACROSS sources) gets
+    * its tokens down-weighted by 1/cluster_size on the 1e-6 grid —
+    * Σ eff over all sources ≈ the deduped corpus's token count, and a
+    * source that is pure mirrors contributes ~nothing. The
+    * "count duplicates once" correction the mixture rows
+    * ([[Sampling.rebalanceToMixture]], [[Sampling.waterFillBudget]])
+    * should be fed at 100 TB.
+    *
+    * The floor is taken at (fingerprint, source) granularity —
+    * eff_q = Σ_{fp,src} (tok_sum · 1e6) div size_fp — which is what
+    * makes the whole computation join-back-free at corpus scale:
+    *   1. ONE corpus scan → (fp, source) aggregate (map-side partials
+    *      collapse a 10⁹-times-mirrored page before the shuffle);
+    *   2. cluster sizes = a second, (fp-count)-sized aggregate;
+    *   3. an fp-keyed join of the two SMALL frames;
+    *   4. the sources-sized rollup.
+    * No per-document weight join ever touches the corpus. Output:
+    * (source, n_docs, raw_tokens, eff_tokens_q). */
+  def effectiveTokens(docs: DataFrame, sourceCol: String,
+                      textCol: String): DataFrame = {
+    val g1 = docs
+      .select(col(sourceCol).as("source"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"),
+        TextAnalysis.tokenCount(col(textCol)).as("tok"))
+      .groupBy(col("fp"), col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("tok")).as("tok_sum"))
+    val sizes = g1.groupBy(col("fp")).agg(sum(col("n")).as("cl_size"))
+    g1.join(sizes, Seq("fp"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"),
+        sum(col("tok_sum")).as("raw_tokens"),
+        sum(expr("(tok_sum * 1000000L) div cl_size")).as("eff_tokens_q"))
+  }
 }

@@ -1487,6 +1487,22 @@ object ExtendedQueries {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // EFFECTIVE-token accounting: the d25 mirror fixture again, so the
+    // copying ring shows up as eff ≪ raw for the mirrored sources — the
+    // "count duplicates once" correction a mixture should be fed
+    "p37_effective_tokens" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      val mirrored = d.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          concat(lit("src"),
+            ((regexp_replace(col("source"), "src", "").cast("long") + 1) % 20))
+            .as("source"),
+          concat(lit(" "), col("text"), lit("  ")).as("text"))
+      graft.ops.CorpusStats.effectiveTokens(
+          d.unionByName(mirrored), "source", "text")
+        .orderBy(col("source"))
+    }),
+
     // TEMPLATE-skeleton clusters: two synthetic template families stamp
     // instances over the corpus (order/ref layouts with varying numbers)
     // — all instances of a family share a SKELETON (letters→w, digits→9,
@@ -3485,6 +3501,28 @@ object ExtendedQueries {
         |SELECT a.src AS src_a, b.src AS src_b, CAST(count(*) AS BIGINT) AS n_shared
         |FROM sfp a JOIN sfp b ON a.fp = b.fp AND a.src < b.src
         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
+    // p37: whitespace-collapsed md5 fingerprint (d01), whitespace token
+    // count (p33's formula), floors at (fp, source) granularity exactly
+    // as the engine takes them; g1 is consumed twice → materialized
+    "p37_effective_tokens" ->
+      """WITH u AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT 'src' || CAST((CAST(replace(source, 'src', '') AS BIGINT) + 1) % 20 AS VARCHAR),
+        |    ' ' || text || '  '
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |f AS (
+        |  SELECT source, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS tok
+        |  FROM u),
+        |g1 AS (SELECT fp, source, count(*) AS n, sum(tok) AS tok_sum FROM f GROUP BY 1, 2),
+        |sz AS (SELECT fp, sum(n) AS cl_size FROM g1 GROUP BY 1)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok_sum) AS BIGINT) AS raw_tokens,
+        |  CAST(sum((tok_sum * 1000000) // cl_size) AS BIGINT) AS eff_tokens_q
+        |FROM g1 JOIN sz USING (fp) GROUP BY source ORDER BY source""".stripMargin,
 
     // d26: identical skeleton regexes (the 'g' flag is DuckDB's
     // replace-all; Spark replaces all by default), md5 text fingerprint

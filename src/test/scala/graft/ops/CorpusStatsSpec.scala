@@ -292,4 +292,26 @@ class CorpusStatsSpec extends SparkSpec {
       math.round(6L * 1e6 / 4L), math.round(13L * 1e6 / 6L))), got("en").toString)
     assert(got("de") == ((2L, 3L, 1L, 1L, 1000000L, 3000000L)), got("de").toString)
   }
+
+  test("effectiveTokens: mirrors down-weight by global cluster size; unique docs keep full weight") {
+    import spark.implicits._
+    val docs = Seq(
+      ("A", "one two three four five"),  // fp X, 5 tokens
+      ("A", "solo text here"),           // unique, 3 tokens
+      ("B", "  one two   three four five "), // fp X (whitespace-noised copy)
+      ("C", "one two three four five"),  // fp X
+      ("C", "one two three four five")   // fp X again (2 in C) → cluster size 4
+    ).toDF("source", "text")
+    val got = CorpusStats.effectiveTokens(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // cluster X spans A(1), B(1), C(2): size 4 → per-copy weight 1/4
+    assert(got("A") == ((2L, 8L, (5L * 1000000L) / 4 + 3L * 1000000L)), got.toString)
+    assert(got("B") == ((1L, 5L, (5L * 1000000L) / 4)), got.toString)
+    // C's floor is taken on its (fp, source) token SUM (10 tokens)
+    assert(got("C") == ((2L, 10L, (10L * 1000000L) / 4)), got.toString)
+    // total effective ≈ deduped corpus: X counted once (5) + solo (3)
+    val eff = got.values.map(_._3).sum
+    assert(eff == 8L * 1000000L, eff.toString)
+  }
 }
