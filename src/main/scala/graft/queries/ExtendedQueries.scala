@@ -186,6 +186,33 @@ object ExtendedQueries {
         .orderBy(col("day"))
     }),
 
+    // SESSION PATH mining: the top event-type trigram paths users walk
+    // WITHIN a session (s04's 1h-gap sessions — paths never bridge a
+    // session boundary, which is what separates this from q22's global
+    // transition edges). One user-keyed shuffle carries every window
+    // (session assignment + both lags); the path census is bounded by
+    // |event types|³, so the top-k runs on a tiny frame at any scale
+    "q27_session_paths" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = eventsSec(s, dir)
+        .withColumn("prev", lag(col("ts_s"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("ts_s") - col("prev") > 3600, 1L).otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(run))
+      val ws = Window.partitionBy(col("user_id"), col("sess_id"))
+        .orderBy(col("ts_s"), col("event_id"))
+      sess
+        .withColumn("e1", lag(col("event_type"), 2).over(ws))
+        .withColumn("e2", lag(col("event_type"), 1).over(ws))
+        .filter(col("e1").isNotNull)
+        .groupBy(col("e1"), col("e2"), col("event_type").as("e3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+        .limit(10)
+    }),
+
     // ITEM RANK: fixed-point PageRank over the behavioral item graph
     // (q22's transition edges, item-granular) — the link-authority score
     // a web-corpus curation pipeline computes over the domain graph as a
@@ -3068,6 +3095,29 @@ object ExtendedQueries {
         |d AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day)
         |SELECT d.day, d.dau, w.wau
         |FROM d JOIN w ON w.w_day = d.day ORDER BY d.day""".stripMargin,
+
+    // q27: s04's session assignment, then both lags inside the
+    // (user, session) frame — the census is types³-bounded, top-10 with
+    // a full deterministic tiebreak
+    "q27_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000000000 AS ts_s FROM events),
+        |x AS (SELECT *, lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev
+        |      FROM e),
+        |y AS (SELECT user_id, event_id, event_type, ts_s,
+        |        CASE WHEN prev IS NULL OR ts_s - prev > 3600 THEN 1 ELSE 0 END AS new_sess
+        |      FROM x),
+        |z AS (SELECT user_id, event_id, event_type, ts_s,
+        |        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |      FROM y),
+        |p AS (SELECT
+        |        lag(event_type, 2) OVER (PARTITION BY user_id, sess_id ORDER BY ts_s, event_id) AS e1,
+        |        lag(event_type, 1) OVER (PARTITION BY user_id, sess_id ORDER BY ts_s, event_id) AS e2,
+        |        event_type AS e3
+        |      FROM z)
+        |SELECT e1, e2, e3, count(*) AS n FROM p WHERE e1 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 10""".stripMargin,
 
     // q26: ten unrolled fixed-point iterations — every CTE is consumed
     // twice (in-sum join + dangling scalar), so this oracle is on the

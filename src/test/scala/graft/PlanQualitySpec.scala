@@ -612,6 +612,20 @@ class PlanQualitySpec extends SparkSpec {
       s"attribution window must partition by user: ${windows.map(_.partitionSpec)}")
   }
 
+  test("q27 session paths: every window user-partitioned; the top-k sort sees only the types³ census") {
+    val root = q("q27_session_paths").queryExecution.optimizedPlan
+    val windows = root.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"path windows must partition by user/session: ${windows.map(_.partitionSpec)}")
+    // the global sort (top-10) must sit ABOVE the aggregate, never on events
+    val sorts = root.collect {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global => s }
+    assert(sorts.forall(_.find {
+      case _: Aggregate => true; case _ => false }.isDefined),
+      "global top-k sort must run on the path census, not the event stream")
+  }
+
   test("t23 grouped z-scores: stats ride back as a broadcast — no window anywhere") {
     val physical = q("t23_grouped_zscore").queryExecution.executedPlan.toString
     assert(physical.contains("BroadcastHashJoin"),
