@@ -602,6 +602,37 @@ object CorpusStats {
     *   4. the sources-sized rollup.
     * No per-document weight join ever touches the corpus. Output:
     * (source, n_docs, raw_tokens, eff_tokens_q). */
+  /** Vocabulary-coverage census: the share of each group's token
+    * OCCURRENCES covered by the global top-`v` vocabulary — the check
+    * run before fixing a vocabulary size for a multilingual corpus (a
+    * language whose coverage craters at the chosen V pays for it in
+    * UNK/byte-fallback rates forever). Vocabulary selection is
+    * deterministic: count desc, then the word's 60-bit hash asc (t09's
+    * tiebreak convention).
+    *
+    * Scale shape: one scan to the word stream; the count aggregate's
+    * output is vocabulary-sized and the top-V is a TakeOrdered (per-
+    * partition top-V, then a V-sized merge — never a full sort); the
+    * V-sized vocabulary broadcasts back over a second stream pass for
+    * the groups-sized coverage rollup. Output: (grp, n_tokens,
+    * n_covered, cov_q) with cov_q on the 1e-6 grid. */
+  def vocabCoverage(docs: DataFrame, groupCol: String, textCol: String,
+                    v: Int): DataFrame = {
+    def toks = docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(groupCol).as("grp"),
+        explode(TextAnalysis.tokens(col(textCol))).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, Dedup.hash60(col("w")).asc)
+      .limit(v)
+      .select(col("w"))
+    toks.join(broadcast(vocab.withColumn("_vc_hit", lit(1L))), Seq("w"), "left")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("_vc_hit"), lit(0L))).as("n_covered"))
+      .withColumn("cov_q",
+        round(col("n_covered") * 1e6 / col("n_tokens")).cast("long"))
+  }
+
   def effectiveTokens(docs: DataFrame, sourceCol: String,
                       textCol: String): DataFrame = {
     val g1 = docs

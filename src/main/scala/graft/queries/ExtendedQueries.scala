@@ -1514,6 +1514,17 @@ object ExtendedQueries {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // VOCABULARY-coverage census: what share of each language's token
+    // occurrences the global top-100 vocabulary covers — the pre-commit
+    // check on a vocab size for a multilingual mix; selection tiebreaks
+    // on the t09 hash convention so the boundary is engine-deterministic
+    "t28_vocab_coverage" -> ((s, dir) => {
+      graft.ops.CorpusStats.vocabCoverage(
+          t(s, dir, "documents").select(col("lang"), col("text")),
+          "lang", "text", v = 100)
+        .orderBy(col("grp"))
+    }),
+
     // EFFECTIVE-token accounting: the d25 mirror fixture again, so the
     // copying ring shows up as eff ≪ raw for the mirrored sources — the
     // "count duplicates once" correction a mixture should be fed
@@ -3551,6 +3562,20 @@ object ExtendedQueries {
         |SELECT a.src AS src_a, b.src AS src_b, CAST(count(*) AS BIGINT) AS n_shared
         |FROM sfp a JOIN sfp b ON a.fp = b.fp AND a.src < b.src
         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
+    // t28: t09's split + hash-tiebreak conventions; tok is consumed
+    // twice (vocabulary + coverage) → materialized
+    "t28_vocab_coverage" ->
+      s"""WITH tok AS (
+         |  SELECT lang AS grp, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |c AS (SELECT w, count(*) AS n FROM tok GROUP BY 1),
+         |vocab AS (SELECT w FROM c ORDER BY n DESC, ${PipelineQueries.h60sql("w")} ASC LIMIT 100)
+         |SELECT grp, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(count(vocab.w) AS BIGINT) AS n_covered,
+         |  CAST(round(count(vocab.w) * 1000000.0 / count(*)) AS BIGINT) AS cov_q
+         |FROM tok LEFT JOIN vocab USING (w)
+         |GROUP BY grp ORDER BY grp""".stripMargin,
 
     // p37: whitespace-collapsed md5 fingerprint (d01), whitespace token
     // count (p33's formula), floors at (fp, source) granularity exactly

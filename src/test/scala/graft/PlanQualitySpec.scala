@@ -626,6 +626,14 @@ class PlanQualitySpec extends SparkSpec {
       "global top-k sort must run on the path census, not the event stream")
   }
 
+  test("t28 vocab coverage: top-V is a TakeOrdered, vocabulary broadcasts back — no global sort, no sort-merge") {
+    val physical = q("t28_vocab_coverage").queryExecution.executedPlan.toString
+    assert(physical.contains("TakeOrderedAndProject"),
+      "top-V must be per-partition top-V + V-sized merge:\n" + physical.take(800))
+    assert(physical.contains("BroadcastHashJoin"), physical.take(800))
+    assert(!physical.contains("SortMergeJoin"), physical.take(800))
+  }
+
   test("t23 grouped z-scores: stats ride back as a broadcast — no window anywhere") {
     val physical = q("t23_grouped_zscore").queryExecution.executedPlan.toString
     assert(physical.contains("BroadcastHashJoin"),

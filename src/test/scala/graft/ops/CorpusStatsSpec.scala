@@ -314,4 +314,24 @@ class CorpusStatsSpec extends SparkSpec {
     val eff = got.values.map(_._3).sum
     assert(eff == 8L * 1000000L, eff.toString)
   }
+
+  test("vocabCoverage: top-V occupancy per group, occurrence-weighted, deterministic boundary") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "the the the cat"),   // 'the' dominates the global count
+      ("en", "the dog"),
+      ("de", "der der hund"),
+      ("de", "xyzzy qwerty plugh") // rare words → uncovered at V=2
+    ).toDF("lang", "text")
+    // global counts: the=4, der=2, then singletons — V=2 keeps {the, der}
+    val got = CorpusStats.vocabCoverage(docs, "lang", "text", v = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got("en") == ((6L, 4L, math.round(4L * 1e6 / 6L))), got.toString)
+    assert(got("de") == ((6L, 2L, math.round(2L * 1e6 / 6L))), got.toString)
+    // a huge V covers everything
+    val full = CorpusStats.vocabCoverage(docs, "lang", "text", v = 1000)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(full.values.forall(_ == 1000000L), full.toString)
+  }
 }
