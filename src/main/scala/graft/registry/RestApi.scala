@@ -110,6 +110,22 @@ class IndexerResource(registry: IndexerRegistry, supervisor: IndexerSupervisor) 
           case e: IllegalStateException => err(404, e.getMessage)
         }
 
+      // the contamination-audit arm's dashboard: probe counts by class —
+      // the per-probe frame is benchmark-sized and belongs in a dataset,
+      // the GET returns the numbers a release policy thresholds on
+      case ("GET", List("indexer", name, "coverage")) =>
+        if (registry.get(name).isEmpty) notFound(name)
+        else try {
+          val rows = supervisor.coverageReport(name)
+            .select(org.apache.spark.sql.functions.col("cov_q")).collect()
+          val covs = rows.map(_.getLong(0))
+          val contaminated = covs.count(_ >= 500000L)
+          val maxCov = if (covs.isEmpty) 0L else covs.max
+          ok(s"""{"probes": ${covs.length}, "contaminated": $contaminated, "max_cov_q": $maxCov}""")
+        } catch {
+          case e: IllegalStateException => err(404, e.getMessage)
+        }
+
       // the quota arm's budget dashboard: per-class admitted counters
       case ("GET", List("indexer", name, "quota")) =>
         if (registry.get(name).isEmpty) notFound(name)

@@ -405,6 +405,54 @@ class IndexerSupervisor(
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
+  // --- contamination-audit arm (s30 made operable) ---
+  // Layout: $workRoot/<name>/coverage — frozen benchmark + probe grams,
+  // seen-gram state behind the StreamGramCoverage generation flip.
+
+  private def coverageDir(name: String) = s"$workRoot/$name/coverage"
+
+  /** Freeze `name`'s audit benchmark: the probe docs and their distinct
+    * gram set persist once, and every ingested chunk prunes against the
+    * SAME frozen probes (comparable coverage across the corpus's life —
+    * the s30 contract). Re-freezing resets the audit. */
+  def coverageFreeze(name: String, benchmark: org.apache.spark.sql.DataFrame): Unit = {
+    registry.get(name).getOrElse(throw new IllegalStateException(s"no such indexer: $name"))
+    deleteRecursively(Paths.get(coverageDir(name)))
+    benchmark.select("doc_id", "text")
+      .write.mode("overwrite").parquet(s"${coverageDir(name)}/bench")
+    graft.ops.Dedup.benchGrams(
+        spark.read.parquet(s"${coverageDir(name)}/bench"), "doc_id", "text", 5)
+      .select("g").distinct()
+      .write.mode("overwrite").parquet(s"${coverageDir(name)}/probes")
+  }
+
+  /** Fold one corpus chunk into `name`'s seen-gram state (set-union
+    * fold — any order, any redelivery; [[graft.streaming.StreamGramCoverage]]). */
+  def coverageIngest(name: String, chunk: org.apache.spark.sql.DataFrame,
+                     batchId: Long): Unit = {
+    registry.get(name).getOrElse(throw new IllegalStateException(s"no such indexer: $name"))
+    val probes = Paths.get(s"${coverageDir(name)}/probes")
+    if (!Files.exists(probes))
+      throw new IllegalStateException(s"coverage benchmark not frozen for: $name")
+    graft.streaming.StreamGramCoverage.applyBatch(chunk, "doc_id", "text", 5,
+      spark.read.parquet(probes.toString), s"${coverageDir(name)}/state", batchId)
+  }
+
+  /** The per-probe contamination report over everything ingested so far
+    * — (doc_id, n_grams, n_hit, cov_q), the s30 drain-end frame. */
+  def coverageReport(name: String): org.apache.spark.sql.DataFrame = {
+    registry.get(name).getOrElse(throw new IllegalStateException(s"no such indexer: $name"))
+    val bench = Paths.get(s"${coverageDir(name)}/bench")
+    if (!Files.exists(bench))
+      throw new IllegalStateException(s"coverage benchmark not frozen for: $name")
+    val seen = graft.streaming.StreamGramCoverage
+      .readState(spark, s"${coverageDir(name)}/state")
+      .getOrElse(spark.range(0).select(
+        org.apache.spark.sql.functions.col("id").as("g")))
+    graft.ops.Dedup.coverageFromSeen(
+      spark.read.parquet(bench.toString), "doc_id", "text", 5, seen)
+  }
+
   /** Re-subscribe after DO_NOT_SUBSCRIBE: stamps subscriptionTimestamp =
     * now, so pre-existing log history is skipped (SepModelImpl records the
     * subscription timestamp at peer creation the same way). */

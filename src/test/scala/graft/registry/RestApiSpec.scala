@@ -148,6 +148,31 @@ class RestApiSpec extends SparkSpec {
       assert(q1.statusCode() == 200 &&
         q1.body().contains("\"en\": 2") && q1.body().contains("\"de\": 1"), q1.body())
       assert(get(s"$base/indexer/nope/quota").statusCode() == 404)
+
+      // contamination-audit dashboard: 404 before freeze; after two
+      // ingested chunks the verbatim probe reads contaminated, the
+      // nonsense probe doesn't; re-ingesting a chunk changes nothing
+      // (set-union fold)
+      assert(get(s"$base/indexer/idx/coverage").statusCode() == 404)
+      val bench = Seq(
+        100L -> "alpha beta gamma delta epsilon zeta eta",
+        101L -> "zebra xylophone quartz jackdaw vex nymph waltz")
+        .toDF("doc_id", "text")
+      sup.coverageFreeze("idx", bench)
+      val c0 = get(s"$base/indexer/idx/coverage")
+      assert(c0.statusCode() == 200 &&
+        c0.body().contains("\"contaminated\": 0"), c0.body())
+      sup.coverageIngest("idx",
+        Seq(1L -> "alpha beta gamma delta epsilon zeta eta").toDF("doc_id", "text"), 0L)
+      sup.coverageIngest("idx",
+        Seq(2L -> "totally unrelated corpus text here now").toDF("doc_id", "text"), 1L)
+      sup.coverageIngest("idx",
+        Seq(1L -> "alpha beta gamma delta epsilon zeta eta").toDF("doc_id", "text"), 2L)
+      val c1 = get(s"$base/indexer/idx/coverage")
+      assert(c1.statusCode() == 200 && c1.body().contains("\"probes\": 2") &&
+        c1.body().contains("\"contaminated\": 1") &&
+        c1.body().contains("\"max_cov_q\": 1000000"), c1.body())
+      assert(get(s"$base/indexer/nope/coverage").statusCode() == 404)
     } finally srv.stop()
   }
 }
