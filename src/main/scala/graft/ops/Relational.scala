@@ -247,7 +247,11 @@ object Relational {
     require(n > 0, "pageRank over an empty vertex set")
     val ew = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
-    val outd = ew.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
+    // outd is consumed EVERY iteration (dangling anti-join) — without its
+    // own stage boundary the caller's corpus-sized edge derivation
+    // re-executes 10× (the p31 one-census-many-consumers lesson; measured
+    // ~4 s of the 6.4 s first cut of this operator)
+    val outd = cp(ew.groupBy(col("src")).agg(sum(col("w")).as("outdeg")))
     // fail loudly (not wrap) if a node's outdegree would overflow w·PSCALE
     val pe = cp(ew.join(outd, "src")
       .select(col("src"), col("dst"), expr(
@@ -256,22 +260,45 @@ object Relational {
           "ELSE (w * 1000000L) div outdeg END").as("p")))
     val base = (3L * 1000000000000L) / (20L * n)
 
-    var ranks = cp(vertices.withColumn("r", lit(1000000000000L / n)))
-    (1 to iterations).foreach { _ =>
-      val in = pe.join(ranks, pe("src") === ranks("item"))
-        .groupBy(col("dst")).agg(sum(expr("(r * p) div 1000000L")).as("in_sum"))
-      val dang = ranks.join(outd, ranks("item") === outd("src"), "left_anti")
-        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
-      ranks = cp(vertices
-        .join(in, vertices("item") === in("dst"), "left")
-        .crossJoin(broadcast(dang))
-        .select(vertices("item"), expr(
-          s"${base}L + (17L * (coalesce(in_sum, 0L) + (dang div ${n}L))) div 20L").as("r")))
-    }
-    val intermediates = tracked.toSet
-    val result = ranks.select(col("item"), col("r").cast("long").as("pr_q"))
-      .orderBy(col("pr_q").desc, col("item")).localCheckpoint()
-    intermediates.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-    result
+    // The loop's frames are GRAPH-bounded (vertices/edges), not corpus-
+    // bounded — the corpus-sized work (building the edge aggregate)
+    // already ran under the caller's partitioning when `pe` materialized.
+    // Shuffling a 100-node rank frame across the session's full
+    // partition count makes every one of the ~3 shuffles per iteration
+    // pure scheduling overhead (measured 6.4 s → the census-scaled
+    // setting below; capped at the session value, so a billion-edge
+    // graph on a real cluster keeps the cluster-sized setting).
+    val e = pe.count()
+    val spark = edges.sparkSession
+    val loopParts = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      math.max(n, e) / 200000L + 1L)).toInt
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    try {
+      // checkpoint every SECOND round: each un-checkpointed level doubles
+      // the plan (ranks feeds both the in-sum join and the dangling
+      // anti-join), so blocks stay short — but halving the sequential
+      // action count halves the per-job scheduling floor that dominates
+      // small-graph runs
+      var ranks = cp(vertices.withColumn("r", lit(1000000000000L / n)))
+      (1 to iterations).foreach { i =>
+        val in = pe.join(ranks, pe("src") === ranks("item"))
+          .groupBy(col("dst")).agg(sum(expr("(r * p) div 1000000L")).as("in_sum"))
+        val dang = ranks.join(outd, ranks("item") === outd("src"), "left_anti")
+          .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+        val next = vertices
+          .join(in, vertices("item") === in("dst"), "left")
+          .crossJoin(broadcast(dang))
+          .select(vertices("item"), expr(
+            s"${base}L + (17L * (coalesce(in_sum, 0L) + (dang div ${n}L))) div 20L").as("r"))
+        ranks = if (i % 2 == 0 || i == iterations) cp(next) else next
+      }
+      val intermediates = tracked.toSet
+      val result = ranks.select(col("item"), col("r").cast("long").as("pr_q"))
+        .orderBy(col("pr_q").desc, col("item")).localCheckpoint()
+      intermediates.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      result
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 }
