@@ -1372,6 +1372,23 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // CLASSIFIER-evaluation census: t03's language-ID against the stored
+    // labels as a confusion matrix with per-truth shares (diagonal row =
+    // that class's recall) — the eval every heuristic gate (t03/t15)
+    // should ship with. One scan, one classes²-bounded aggregate; the
+    // truth totals join is matrix-sized
+    "t29_langid_confusion" -> ((s, dir) => {
+      val m = docs(s, dir)
+        .select(col("lang").as("truth"),
+          TextAnalysis.langId(col("text")).as("pred"))
+        .groupBy(col("truth"), col("pred")).agg(count(lit(1)).as("n"))
+      val tot = m.groupBy(col("truth")).agg(sum(col("n")).as("t_n"))
+      m.join(tot, Seq("truth"))
+        .select(col("truth"), col("pred"), col("n"),
+          expr("(n * 1000000L) div t_n").as("share_q"))
+        .orderBy(col("truth"), col("pred"))
+    }),
+
     "t04_fingerprint" -> ((s, dir) => {
       docs(s, dir).select(
           col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -3502,6 +3519,23 @@ object PipelineQueries {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // t29: t03's predictor verbatim, grouped against the stored labels;
+    // m is consumed twice (matrix + totals) → materialized
+    "t29_langid_confusion" ->
+      s"""WITH t AS (
+         |  SELECT lang AS truth, regexp_split_to_array(trim(text), '\\s+') AS tk
+         |  FROM documents),
+         |sc AS (
+         |  SELECT truth,
+         |    $langHitsSql
+         |  FROM t),
+         |p AS (SELECT truth, $langPredSql AS pred FROM sc),
+         |m AS (SELECT truth, pred, count(*) AS n FROM p GROUP BY 1, 2),
+         |tot AS (SELECT truth, sum(n) AS t_n FROM m GROUP BY 1)
+         |SELECT m.truth, m.pred, CAST(m.n AS BIGINT) AS n,
+         |  CAST((m.n * 1000000) // tt.t_n AS BIGINT) AS share_q
+         |FROM m JOIN tot tt USING (truth) ORDER BY truth, pred""".stripMargin,
 
     // the SQL applies literally the same patterns in the same order (the
     // pattern list is the shared source of truth)
