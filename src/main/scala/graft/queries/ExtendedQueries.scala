@@ -1429,6 +1429,40 @@ object ExtendedQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // p36's stream twin: cluster-balanced ADMISSION — arriving vectors
+    // assign map-only against the frozen codebook and gate through the
+    // s28 quota machinery under the frozen water-fill allocations; the
+    // composition is the operator, so every s28 contract (constant
+    // state, HWM, replay-skip) carries verbatim
+    "s31_stream_cluster_quota" -> ((s, dir) => {
+      val work = scratchDir("graft_s31")
+      val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
+      val cents = Similarity.trainCentroids(corpus, 8)
+      val assigned = corpus.withColumn("c_id",
+        Similarity.centroidBest(cents, col("q"), col("nq")))
+      val alloc = graft.ops.Sampling.waterFillBudget(
+        assigned.withColumn("_one", lit(1L)), "c_id", "_one", 200L)
+      // ≤ k rows — the bounded-census collect behind every quota map
+      val quotas = alloc.select(col("c_id"), col("alloc")).collect()
+        .map(r => r.getLong(0).toString -> r.getLong(1)).toMap
+      val in = onceLog("s31", dir) { path =>
+        val d = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val b = d.agg(min(col("vec_id")), max(col("vec_id"))).first()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val c1 = lo + (hi - lo) / 3
+        val c2 = lo + 2 * (hi - lo) / 3
+        Seq(col("vec_id") <= c1,
+            col("vec_id") > c1 && col("vec_id") <= c2,
+            col("vec_id") > c2).foreach { p =>
+          d.filter(p).coalesce(1).write.mode("append").parquet(path)
+          Thread.sleep(20) // distinct mtimes → deterministic oldest-first arrival
+        }
+      }
+      graft.streaming.StreamClusterQuota.drain(s, in, cents, quotas,
+          s"$work/state", s"$work/out", s"$work/ckpt")
+        .orderBy(col("doc_id"))
+    }),
+
     // t25's stream twin: the current snapshot's histogram accumulates
     // per micro-batch (per-bin additive counters behind an atomic
     // generation flip, HWM-enforced like s20/s28), PSI computed ONCE on
@@ -2238,6 +2272,37 @@ object ExtendedQueries {
            |    FROM n CROSS JOIN c)),
            |corpus_a AS (SELECT vec_id, q, nn, c_id FROM assign WHERE crk = 1)""".stripMargin
   }
+
+  /** Shared by p36 (batch hash-rank selection) and s31 (first-come
+    * stream admission): the k-means assignment + the unit-weight
+    * water-fill over the cluster census, ending in `alc` =
+    * (c_id, alloc). */
+  private val clusterAllocCtes: String =
+    s"""$kmeansAssignCtes,
+       |census AS (SELECT c_id, count(*) AS nt FROM corpus_a GROUP BY 1),
+       |rr0 AS (
+       |  SELECT c_id, nt, row_number() OVER (ORDER BY nt, c_id) AS i,
+       |    coalesce(sum(nt) OVER (ORDER BY nt, c_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx,
+       |    coalesce(lag(nt) OVER (ORDER BY nt, c_id), 0) AS prev,
+       |    count(*) OVER () AS sct
+       |  FROM census),
+       |lv AS (SELECT rr0.*, greatest(200 - pfx, 0) // (sct - i + 1) AS cand FROM rr0),
+       |cp AS (
+       |  SELECT coalesce(max(CASE WHEN prev <= cand AND cand < nt THEN cand END),
+       |    max(nt)) AS cap
+       |  FROM lv),
+       |a0 AS (
+       |  SELECT lv.c_id, lv.nt, least(lv.nt, cp.cap) AS alloc0,
+       |    lv.nt > cp.cap AS unsat
+       |  FROM lv CROSS JOIN cp),
+       |rem AS (SELECT least(200, sum(nt)) - sum(alloc0) AS rrem FROM a0),
+       |alc AS (
+       |  SELECT c_id,
+       |    alloc0 + CASE WHEN unsat AND urk <= rrem THEN 1 ELSE 0 END AS alloc
+       |  FROM (SELECT a0.*,
+       |          row_number() OVER (PARTITION BY unsat ORDER BY c_id) AS urk
+       |        FROM a0) CROSS JOIN rem)""".stripMargin
 
   private val a03Oracle: String =
     s"""$kmeansAssignCtes,
@@ -3750,36 +3815,11 @@ object ExtendedQueries {
         |  CAST(alloc0 + CASE WHEN unsat AND urk <= rr THEN 1 ELSE 0 END AS BIGINT) AS alloc
         |FROM fin CROSS JOIN rem ORDER BY source""".stripMargin,
 
-    // p36: the k-means assignment CTEs (a03's), a unit-weight water-fill
-    // on the cluster census, then per-cluster hash-rank selection —
-    // corpus_a is consumed twice and the Lloyd chain is deep, so this is
-    // on the MATERIALIZED allowlist
+    // p36: the shared k-means + water-fill CTEs, then per-cluster
+    // HASH-rank selection — corpus_a is consumed twice and the Lloyd
+    // chain is deep, so this is on the MATERIALIZED allowlist
     "p36_cluster_quota" ->
-      s"""$kmeansAssignCtes,
-         |census AS (SELECT c_id, count(*) AS nt FROM corpus_a GROUP BY 1),
-         |rr0 AS (
-         |  SELECT c_id, nt, row_number() OVER (ORDER BY nt, c_id) AS i,
-         |    coalesce(sum(nt) OVER (ORDER BY nt, c_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx,
-         |    coalesce(lag(nt) OVER (ORDER BY nt, c_id), 0) AS prev,
-         |    count(*) OVER () AS sct
-         |  FROM census),
-         |lv AS (SELECT rr0.*, greatest(200 - pfx, 0) // (sct - i + 1) AS cand FROM rr0),
-         |cp AS (
-         |  SELECT coalesce(max(CASE WHEN prev <= cand AND cand < nt THEN cand END),
-         |    max(nt)) AS cap
-         |  FROM lv),
-         |a0 AS (
-         |  SELECT lv.c_id, lv.nt, least(lv.nt, cp.cap) AS alloc0,
-         |    lv.nt > cp.cap AS unsat
-         |  FROM lv CROSS JOIN cp),
-         |rem AS (SELECT least(200, sum(nt)) - sum(alloc0) AS rrem FROM a0),
-         |alc AS (
-         |  SELECT c_id,
-         |    alloc0 + CASE WHEN unsat AND urk <= rrem THEN 1 ELSE 0 END AS alloc
-         |  FROM (SELECT a0.*,
-         |          row_number() OVER (PARTITION BY unsat ORDER BY c_id) AS urk
-         |        FROM a0) CROSS JOIN rem),
+      s"""$clusterAllocCtes,
          |sel AS (
          |  SELECT a.c_id, a.vec_id,
          |    row_number() OVER (PARTITION BY a.c_id
@@ -3788,6 +3828,21 @@ object ExtendedQueries {
          |  FROM corpus_a a)
          |SELECT sel.c_id, sel.vec_id FROM sel JOIN alc ON sel.c_id = alc.c_id
          |WHERE sel.rk <= alc.alloc ORDER BY sel.c_id, sel.vec_id""".stripMargin,
+
+    // s31 ≡ p36's allocations admitted first-come: under ascending
+    // vec_id arrival the admitted set is the per-cluster ID-rank prefix
+    // (hash rank is the batch sampler's tiebreak; arrival order is the
+    // stream's)
+    "s31_stream_cluster_quota" ->
+      s"""$clusterAllocCtes,
+         |sel AS (
+         |  SELECT a.c_id, a.vec_id,
+         |    row_number() OVER (PARTITION BY a.c_id ORDER BY a.vec_id) AS adm_rk
+         |  FROM corpus_a a)
+         |SELECT sel.vec_id AS doc_id, CAST(sel.c_id AS VARCHAR) AS cls,
+         |  CAST(adm_rk AS BIGINT) AS adm_rk
+         |FROM sel JOIN alc ON sel.c_id = alc.c_id
+         |WHERE adm_rk <= alc.alloc ORDER BY doc_id""".stripMargin,
 
     // t25: identical smoothed-share formula, ln on the 1e-6 grid (the
     // t10 quantization convention)

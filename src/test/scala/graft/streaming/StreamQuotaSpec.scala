@@ -45,4 +45,28 @@ class StreamQuotaSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("out-of-order"), ex.getMessage)
   }
+
+  test("cluster gate: chunked embedding admission == one-shot (delegation preserves counters)") {
+    import java.nio.file.Files
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val corpus = graft.ops.Similarity.prep(emb, "vec_id", "embedding")
+    val cents = graft.ops.Similarity.trainCentroids(corpus, 4)
+    val quotas = (0L until 4L).map(c => c.toString -> 30L).toMap
+    def admitted(out: String) = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+
+    val w1 = Files.createTempDirectory("graft_scq1").toString
+    graft.streaming.StreamClusterQuota.applyBatch(emb.filter(col("vec_id") < 100),
+      "vec_id", "embedding", cents, quotas, s"$w1/state", s"$w1/out", 0L)
+    graft.streaming.StreamClusterQuota.applyBatch(emb.filter(col("vec_id") >= 100),
+      "vec_id", "embedding", cents, quotas, s"$w1/state", s"$w1/out", 1L)
+
+    val w2 = Files.createTempDirectory("graft_scq2").toString
+    graft.streaming.StreamClusterQuota.applyBatch(emb,
+      "vec_id", "embedding", cents, quotas, s"$w2/state", s"$w2/out", 0L)
+
+    val chunked = admitted(s"$w1/out")
+    assert(chunked == admitted(s"$w2/out"), "chunking must not change admissions")
+    assert(chunked.nonEmpty && chunked.groupBy(_._2).values.forall(_.size <= 30))
+  }
 }
