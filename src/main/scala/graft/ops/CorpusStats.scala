@@ -581,6 +581,52 @@ object CorpusStats {
           round(col("n_chars") * 1e6 / col("n_pretokens")).cast("long"))
           .otherwise(lit(null).cast("long")))
 
+  /** TextRank keyword extraction at corpus granularity: PageRank over
+    * the word CO-OCCURRENCE graph (adjacent-token pairs, symmetric,
+    * weight = co-occurrence count; words below `minCount` occurrences
+    * pruned as noise) — the graph-centrality alternative to frequency
+    * (t09) and TF-IDF (t11) term ranking: a term is important if
+    * important terms co-occur with it.
+    *
+    * Built ENTIRELY from the engine's own primitives: adjacency is a
+    * pure array projection per document (no shuffle — the pair list
+    * never leaves the row until the edge aggregate), the frequent-word
+    * prune is a vocab-sized semi-join on each endpoint, and the ranking
+    * IS [[Relational.pageRank]] (integer fixed-point, engine-bit-
+    * identical — see q26). The graph is VOCABULARY-bounded, so the
+    * iteration loop costs vocab-sized joins regardless of corpus size;
+    * the corpus is paid once, in the edge aggregate. Output: the top-k
+    * (term, pr_q), rank grid 1e-12. */
+  def textRankTerms(docs: DataFrame, idCol: String, textCol: String,
+                    minCount: Long = 3L, k: Int = 20): DataFrame = {
+    val tok = docs.filter(length(trim(col(textCol))) > 0)
+      .select(TextAnalysis.tokens(col(textCol)).as("tk"))
+    val words = tok.select(explode(col("tk")).as("w"))
+    val kept = words.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount).select(col("w"))
+    // size ≥ 2 guard: Spark's sequence(1, 0) runs DESCENDING, not empty
+    val pairs = tok.filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), " +
+          "i -> struct(element_at(tk, i) AS a, element_at(tk, i + 1) AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+      .join(kept.select(col("w").as("a")), Seq("a"), "left_semi")
+      .join(kept.select(col("w").as("b")), Seq("b"), "left_semi")
+    val eg = pairs.select(col("a").as("sw"), col("b").as("dw"))
+      .unionByName(pairs.select(col("b").as("sw"), col("a").as("dw")))
+      .groupBy(col("sw"), col("dw")).agg(count(lit(1)).as("w"))
+    val edges = eg.select(Dedup.hash60(col("sw")).as("src"),
+      Dedup.hash60(col("dw")).as("dst"), col("w"))
+    val pr = Relational.pageRank(edges,
+      kept.select(Dedup.hash60(col("w")).as("item")), iterations = 10)
+    pr.join(kept.select(Dedup.hash60(col("w")).as("item"), col("w").as("term")),
+        Seq("item"))
+      .select(col("term"), col("pr_q"))
+      .orderBy(col("pr_q").desc, col("term")).limit(k)
+  }
+
   /** Dedup-aware (EFFECTIVE) token accounting per source: raw token
     * counts double-bill every mirror, so a mixture weighted on raw
     * volume over-samples whatever is most copied. Each exact-dup

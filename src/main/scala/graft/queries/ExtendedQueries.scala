@@ -1548,6 +1548,17 @@ object ExtendedQueries {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // TEXTRANK keywords: PageRank over the word co-occurrence graph —
+    // the graph-centrality term ranking next to frequency (t09) and
+    // TF-IDF (t11), built on the engine's own q26 primitive; adjacency
+    // is a pure array projection (pairs never leave the row before the
+    // edge aggregate), the graph is vocabulary-bounded
+    "t30_textrank_terms" -> ((s, dir) => {
+      graft.ops.CorpusStats.textRankTerms(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", minCount = 3L, k = 20)
+    }),
+
     // VOCABULARY-coverage census: what share of each language's token
     // occurrences the global top-100 vocabulary covers — the pre-commit
     // check on a vocab size for a multilingual mix; selection tiebreaks
@@ -2271,6 +2282,32 @@ object ExtendedQueries {
            |           ELSE list_dot_product(n.q::DOUBLE[], c.c_q::DOUBLE[]) / (sqrt(n.nn) * sqrt(c.c_nn)) END AS sim
            |    FROM n CROSS JOIN c)),
            |corpus_a AS (SELECT vec_id, q, nn, c_id FROM assign WHERE crk = 1)""".stripMargin
+  }
+
+  /** The fixed-point PageRank iteration CTEs (q26's oracle core, shared
+    * with t30's TextRank): expects upstream CTEs `<edges>`(src, dst, w)
+    * and `nodes`(item); produces outd/pe/r0..r10. Every rI is consumed
+    * twice (in-sums + dangling), so any oracle using this belongs on
+    * the MATERIALIZED allowlist. */
+  private def pageRankCtes(edges: String): String = {
+    val iter = (1 to 10).map { i =>
+      s"""r$i AS (
+         |  SELECT nodes.item,
+         |    3000000000000 // (20 * (SELECT count(*) FROM nodes))
+         |    + (17 * (COALESCE(s.in_sum, 0)
+         |       + (SELECT COALESCE(sum(p.r), 0) FROM r${i - 1} p
+         |          LEFT JOIN outd ON p.item = outd.src WHERE outd.src IS NULL)
+         |         // (SELECT count(*) FROM nodes))) // 20 AS r
+         |  FROM nodes LEFT JOIN (
+         |    SELECT pe.dst AS item2, sum((p.r * pe.p) // 1000000) AS in_sum
+         |    FROM r${i - 1} p JOIN pe ON p.item = pe.src GROUP BY 1) s
+         |  ON nodes.item = s.item2)""".stripMargin
+    }.mkString(",\n")
+    s"""outd AS (SELECT src, sum(w) AS outdeg FROM $edges GROUP BY 1),
+       |pe AS (SELECT e.src, e.dst, (e.w * 1000000) // outd.outdeg AS p
+       |       FROM $edges e JOIN outd ON e.src = outd.src),
+       |r0 AS (SELECT item, 1000000000000 // (SELECT count(*) FROM nodes) AS r FROM nodes),
+       |$iter""".stripMargin
   }
 
   /** Shared by p36 (batch hash-rank selection) and s31 (first-come
@@ -3200,20 +3237,7 @@ object ExtendedQueries {
     // matOracles MATERIALIZED allowlist (inlining would re-execute the
     // whole chain 2^10 times); all-integer arithmetic mirrors the engine
     // `div`-for-`//` exactly, so the hash match is exact
-    "q26_item_rank" -> {
-      val iter = (1 to 10).map { i =>
-        s"""r$i AS (
-           |  SELECT nodes.item,
-           |    3000000000000 // (20 * (SELECT count(*) FROM nodes))
-           |    + (17 * (COALESCE(s.in_sum, 0)
-           |       + (SELECT COALESCE(sum(p.r), 0) FROM r${i - 1} p
-           |          LEFT JOIN outd ON p.item = outd.src WHERE outd.src IS NULL)
-           |         // (SELECT count(*) FROM nodes))) // 20 AS r
-           |  FROM nodes LEFT JOIN (
-           |    SELECT pe.dst AS item2, sum((p.r * pe.p) // 1000000) AS in_sum
-           |    FROM r${i - 1} p JOIN pe ON p.item = pe.src GROUP BY 1) s
-           |  ON nodes.item = s.item2)""".stripMargin
-      }.mkString(",\n")
+    "q26_item_rank" ->
       s"""WITH ev AS (
          |  SELECT user_id, event_id,
          |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item FROM events),
@@ -3223,12 +3247,38 @@ object ExtendedQueries {
          |eg AS (
          |  SELECT src, dst, count(*) AS w FROM sq WHERE src IS NOT NULL GROUP BY 1, 2),
          |nodes AS (SELECT DISTINCT item FROM ev),
-         |outd AS (SELECT src, sum(w) AS outdeg FROM eg GROUP BY 1),
-         |pe AS (SELECT eg.src, eg.dst, (eg.w * 1000000) // outd.outdeg AS p
-         |       FROM eg JOIN outd ON eg.src = outd.src),
-         |r0 AS (SELECT item, 1000000000000 // (SELECT count(*) FROM nodes) AS r FROM nodes),
-         |$iter
-         |SELECT item, CAST(r AS BIGINT) AS pr_q FROM r10 ORDER BY pr_q DESC, item""".stripMargin
+         |${pageRankCtes("eg")}
+         |SELECT item, CAST(r AS BIGINT) AS pr_q FROM r10 ORDER BY pr_q DESC, item""".stripMargin,
+
+    // t30: the same fixed-point iteration CTEs over the word
+    // co-occurrence graph, joined back to terms for the top-20
+    "t30_textrank_terms" -> {
+      val h = PipelineQueries.h60sql _
+      s"""WITH tok AS (
+         |  SELECT regexp_split_to_array(trim(text), '\\s+') AS tk
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |wc AS (
+         |  SELECT w, count(*) AS n FROM (SELECT unnest(tk) AS w FROM tok) GROUP BY 1),
+         |kept AS (SELECT w FROM wc WHERE n >= 3),
+         |pairs0 AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+         |    i -> {'a': tk[i], 'b': tk[i + 1]})) AS u
+         |  FROM tok WHERE len(tk) >= 2),
+         |pairs AS (
+         |  SELECT u.a AS a, u.b AS b FROM pairs0
+         |  WHERE u.a <> u.b AND u.a IN (SELECT w FROM kept)
+         |    AND u.b IN (SELECT w FROM kept)),
+         |eg0 AS (
+         |  SELECT sw, dw, count(*) AS w FROM (
+         |    SELECT a AS sw, b AS dw FROM pairs
+         |    UNION ALL SELECT b AS sw, a AS dw FROM pairs)
+         |  GROUP BY 1, 2),
+         |egh AS (SELECT ${h("sw")} AS src, ${h("dw")} AS dst, w FROM eg0),
+         |nodes AS (SELECT ${h("w")} AS item FROM kept),
+         |${pageRankCtes("egh")}
+         |SELECT kk.w AS term, CAST(r AS BIGINT) AS pr_q
+         |FROM r10 JOIN (SELECT w, ${h("w")} AS item FROM kept) kk USING (item)
+         |ORDER BY pr_q DESC, term LIMIT 20""".stripMargin
     },
 
     // q24: the running last non-purchase touch via the same frame spec

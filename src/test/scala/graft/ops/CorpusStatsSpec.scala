@@ -334,4 +334,25 @@ class CorpusStatsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(full.values.forall(_ == 1000000L), full.toString)
   }
+
+  test("textRankTerms: the co-occurrence hub outranks peripheral terms; deterministic") {
+    import spark.implicits._
+    // 'hub' neighbors every other frequent word; satellites only see hub
+    val docs = Seq(
+      (1L, "hub aa hub bb hub cc"),
+      (2L, "hub aa hub bb hub cc"),
+      (3L, "hub aa hub bb hub cc"),
+      (4L, "rare singleton words appear once only")
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.textRankTerms(docs, "doc_id", "text", minCount = 3L, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.head._1 == "hub", got.mkString(","))
+    assert(got.forall(_._1 != "singleton"), "below-minCount words must be pruned")
+    // graph mass: Σ pr over kept vertices ≈ SCALE (truncation only)
+    val total = got.map(_._2).sum
+    assert(total <= 1000000000000L && total > 999999990000L, total.toString)
+    val again = CorpusStats.textRankTerms(docs.repartition(5), "doc_id", "text", 3L, 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(again.toSeq == got.toSeq, "TextRank must be partition-order-free")
+  }
 }
