@@ -399,6 +399,53 @@ object Multimodal {
     }
   }
 
+  case class CropBox(doc_id: Long, x0: Int, y0: Int, crop_w: Int, crop_h: Int)
+
+  /** LETTERBOX/PILLARBOX detection: find the maximal all-dark border
+    * rows (top/bottom) and columns (left/right) of each decoded image
+    * and emit the content crop box — the pre-crop every vision-training
+    * pipeline runs so padding bars don't dilute patch statistics (and
+    * so aHash/patchify fingerprints aren't dominated by black borders).
+    * A pixel is "bar" when its RGB mean ≤ `threshold`. An image with no
+    * content pixel reports (0, 0, 0, 0) — fully synthetic padding,
+    * droppable upstream.
+    *
+    * Row/column scans are independent (a bar row is all-dark, so it
+    * never blocks column detection), run per partition behind the same
+    * typed decode seam as [[patchify]]/[[aHash64]]: one row in, one
+    * typed row out, columns ordinary downstream so Catalyst prunes
+    * around them. Undecodable payloads are dropped (they have no
+    * raster to crop). */
+  def detectLetterbox(media: DataFrame, threshold: Int = 0): Dataset[CropBox] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        catch { case _: Exception => null }
+        if (img == null) Iterator.empty
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          def dark(x: Int, y: Int): Boolean = {
+            val p = img.getRGB(x, y)
+            (((p >>> 16) & 0xff) + ((p >>> 8) & 0xff) + (p & 0xff)) / 3 <= threshold
+          }
+          def rowDark(y: Int): Boolean = { var x = 0; while (x < w && dark(x, y)) x += 1; x == w }
+          def colDark(x: Int): Boolean = { var y = 0; while (y < h && dark(x, y)) y += 1; y == h }
+          var top = 0; while (top < h && rowDark(top)) top += 1
+          if (top == h) Iterator.single(CropBox(r.doc_id, 0, 0, 0, 0))
+          else {
+            var bot = h - 1; while (bot > top && rowDark(bot)) bot -= 1
+            var left = 0; while (left < w && colDark(left)) left += 1
+            var right = w - 1; while (right > left && colDark(right)) right -= 1
+            Iterator.single(CropBox(r.doc_id, left, top, right - left + 1, bot - top + 1))
+          }
+        }
+      }
+    }
+  }
+
   /** PERCEPTUAL near-dup PAIR search: aHash fingerprints + the
     * pigeonhole Hamming band join ([[graft.ops.Dedup.hammingPairs]],
     * recall 1.0 by construction) — the media variant of text SimHash

@@ -1514,6 +1514,41 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // LETTERBOX detection under the oracle gate: PNGs rendered with
+    // id-arithmetic black bars (top/bottom = id%5 rows, left/right =
+    // id%4 cols) around a solid non-black content box; the operator
+    // must recover the crop from the RASTER (the decode + border scans
+    // genuinely run) while the oracle predicts it from the arithmetic
+    "m15_letterbox_crop" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val w = 16 + (id % 16).toInt
+            val h = 16 + (id % 12).toInt
+            val t = (id % 5).toInt
+            val l = (id % 4).toInt
+            val c = 1 + (id % 255).toInt
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB) // zero-init = black bars
+            val rgb = (c << 16) | (c << 8) | c
+            var y = t
+            while (y < h - t) {
+              var x = l
+              while (x < w - l) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (id, "image/png", bos.toByteArray)
+          }
+        }.toDF("doc_id", "mime", "payload")
+      Multimodal.detectLetterbox(media).toDF()
+        .orderBy(col("doc_id"))
+    }),
+
     // REAL image resize under the oracle gate: solid-color PNGs with
     // id-arithmetic dims and fill; any resize of a solid image is that
     // solid at the new dims, so the checksum over the RESIZED raster
@@ -3834,6 +3869,16 @@ object PipelineQueries {
       """SELECT doc_id,
         |  CAST(1 + doc_id % 64 AS INT) AS width,
         |  CAST(1 + doc_id % 48 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // m15: the crop box is pure bar arithmetic — the raster scan must
+    // agree with the id-derived geometry
+    "m15_letterbox_crop" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 4 AS INT) AS x0,
+        |  CAST(doc_id % 5 AS INT) AS y0,
+        |  CAST(16 + doc_id % 16 - 2 * (doc_id % 4) AS INT) AS crop_w,
+        |  CAST(16 + doc_id % 12 - 2 * (doc_id % 5) AS INT) AS crop_h
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "m01_media_features" ->

@@ -338,4 +338,31 @@ class MultimodalSpec extends SparkSpec {
     val s = Multimodal.PcmS16leDecoder.decode("", media.select("payload").as[Array[Byte]].head())
     assert(s(16) == ((7L * 31 + 16 * 7) % 201 - 100).toShort, "formula survives the byte round-trip")
   }
+
+  test("detectLetterbox: bars crop, bar-free images keep the frame, all-black reports empty") {
+    import spark.implicits._
+    def png(id: Long, w: Int, h: Int)(paint: java.awt.image.BufferedImage => Unit) = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      paint(img)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      (id, "image/png", bos.toByteArray)
+    }
+    val white = 0xffffff
+    val media = Seq(
+      // asymmetric-looking bars via independent scans: 2 rows top/bottom, 3 cols left/right
+      png(1L, 20, 10) { im =>
+        for (y <- 2 until 8; x <- 3 until 17) im.setRGB(x, y, white) },
+      png(2L, 8, 8) { im => for (y <- 0 until 8; x <- 0 until 8) im.setRGB(x, y, white) },
+      png(3L, 6, 6) { _ => () }, // stays zero = all black
+      (4L, "image/png", Array[Byte](1, 2, 3)) // undecodable → dropped
+    ).toDF("doc_id", "mime", "payload")
+    val got = Multimodal.detectLetterbox(media).collect()
+      .map(c => c.doc_id -> ((c.x0, c.y0, c.crop_w, c.crop_h))).toMap
+    assert(got(1L) == ((3, 2, 14, 6)), got.toString)
+    assert(got(2L) == ((0, 0, 8, 8)), got.toString)
+    assert(got(3L) == ((0, 0, 0, 0)), got.toString)
+    assert(!got.contains(4L), "undecodable payloads have no raster to crop")
+  }
 }
