@@ -1456,6 +1456,29 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** Recall-TARGETED serving: run the [[recallSweep]] tuning curve,
+    * pick the CHEAPEST probe level whose measured recall meets
+    * `targetRecall` (the largest offered level if none does), and serve
+    * top-k at that level — the auto-tuning loop an operator otherwise
+    * runs by hand before fixing nProbe in production, closed inside the
+    * engine so the SLO, not a guess, picks the scan fraction.
+    *
+    * The sweep frame is |probes|-sized — the bounded collect every
+    * tuner does; training is deterministic, so the sweep's codebook and
+    * the serving codebook are the same object in effect. Output: a03's
+    * (q_id, n_id, sim, rk) plus the chosen `n_probe`. */
+  def autoTuneTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                   nCentroids: Int, probes: Seq[Int],
+                   targetRecall: Double): DataFrame = {
+    val sweep = recallSweep(corpus, queries, k, nCentroids, probes)
+      .select(col("n_probe"), col("recall")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1)
+    val chosen = sweep.find(_._2 >= targetRecall).map(_._1)
+      .getOrElse(sweep.last._1)
+    ivfTopK(corpus, queries, k, nCentroids, chosen.toInt)
+      .withColumn("n_probe", lit(chosen))
+  }
+
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
     exact.select(col("q_id"), col("n_id"))
       .join(approx.select(col("q_id"), col("n_id"), lit(1L).as("hit")),

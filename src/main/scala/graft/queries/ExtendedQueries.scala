@@ -937,6 +937,18 @@ object ExtendedQueries {
         .orderBy(col("n_probe"))
     }),
 
+    // recall-TARGETED auto-tuned serving: the sweep measures, the SLO
+    // (recall ≥ 0.5) picks the cheapest probe level, the IVF serves at
+    // it — closing the tune-then-fix loop inside the engine; the sweep
+    // frame is |probes|-sized (bounded collect)
+    "a24_ann_autotune" -> ((s, dir) => {
+      val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
+      val qs = corpus.filter(col("vec_id") < 5)
+      Similarity.autoTuneTopK(corpus, qs, k = 5, nCentroids = 8,
+          probes = Seq(1, 2, 4), targetRecall = 0.5)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     "a11_ann_recall" -> ((s, dir) => {
       val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
       val qs = corpus.filter(col("vec_id") < 5)
@@ -2284,6 +2296,48 @@ object ExtendedQueries {
            |corpus_a AS (SELECT vec_id, q, nn, c_id FROM assign WHERE crk = 1)""".stripMargin
   }
 
+  /** a23's sweep CTEs (shared with a24's auto-tuner): the k-means
+    * assignment, the brute truth set, one arm per probe level, ending
+    * in `sw23` = (n_probe, n_queries, n_exact, n_hit, recall). */
+  private val a23SweepCtes: String = {
+    def arm(p: Int) =
+      s"""probes23_$p AS (SELECT vec_id AS q_id, q AS q_q, nn AS q_nn, c_id
+         |               FROM assign WHERE crk <= $p AND vec_id < 5),
+         |scored23_$p AS (
+         |  SELECT pr.q_id, a.vec_id AS n_id,
+         |    CASE WHEN a.nn = 0 OR pr.q_nn = 0 THEN 0.0
+         |         ELSE list_dot_product(a.q::DOUBLE[], pr.q_q::DOUBLE[]) / (sqrt(a.nn) * sqrt(pr.q_nn)) END AS sim
+         |  FROM corpus_a a JOIN probes23_$p pr ON a.c_id = pr.c_id AND a.vec_id <> pr.q_id),
+         |ivf23_$p AS (SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
+         |    FROM scored23_$p)
+         |  WHERE rk <= 5),
+         |sum23_$p AS (
+         |  SELECT CAST($p AS BIGINT) AS n_probe,
+         |    CAST(count(DISTINCT b.q_id) AS BIGINT) AS n_queries,
+         |    CAST(count(*) AS BIGINT) AS n_exact,
+         |    CAST(count(i.n_id) AS BIGINT) AS n_hit,
+         |    CAST(count(i.n_id) AS DOUBLE) / count(*) AS recall
+         |  FROM brute23 b LEFT JOIN ivf23_$p i ON b.q_id = i.q_id AND b.n_id = i.n_id)""".stripMargin
+    s"""$kmeansAssignCtes,
+       |brute23 AS (SELECT q_id, n_id FROM (
+       |    SELECT qr.vec_id AS q_id, c.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY qr.vec_id
+       |        ORDER BY CASE WHEN c.nn = 0 OR qr.nn = 0 THEN 0.0
+       |          ELSE list_dot_product(c.q::DOUBLE[], qr.q::DOUBLE[]) / (sqrt(c.nn) * sqrt(qr.nn)) END DESC,
+       |          c.vec_id ASC) AS rk
+       |    FROM n c CROSS JOIN (SELECT * FROM n WHERE vec_id < 5) qr
+       |    WHERE c.vec_id <> qr.vec_id)
+       |  WHERE rk <= 5),
+       |${arm(1)},
+       |${arm(2)},
+       |${arm(4)},
+       |sw23 AS (
+       |  SELECT * FROM sum23_1 UNION ALL SELECT * FROM sum23_2
+       |  UNION ALL SELECT * FROM sum23_4)""".stripMargin
+  }
+
   /** The fixed-point PageRank iteration CTEs (q26's oracle core, shared
     * with t30's TextRank): expects upstream CTEs `<edges>`(src, dst, w)
     * and `nodes`(item); produces outd/pe/r0..r10. Every rI is consumed
@@ -3016,43 +3070,33 @@ object ExtendedQueries {
     // recall = one small-integer division
     // a23: a11's recall computation once per probe level off the SHARED
     // k-means CTEs, summarized to the tuning curve
-    "a23_recall_sweep" -> {
-      def arm(p: Int) =
-        s"""probes23_$p AS (SELECT vec_id AS q_id, q AS q_q, nn AS q_nn, c_id
-           |               FROM assign WHERE crk <= $p AND vec_id < 5),
-           |scored23_$p AS (
-           |  SELECT pr.q_id, a.vec_id AS n_id,
-           |    CASE WHEN a.nn = 0 OR pr.q_nn = 0 THEN 0.0
-           |         ELSE list_dot_product(a.q::DOUBLE[], pr.q_q::DOUBLE[]) / (sqrt(a.nn) * sqrt(pr.q_nn)) END AS sim
-           |  FROM corpus_a a JOIN probes23_$p pr ON a.c_id = pr.c_id AND a.vec_id <> pr.q_id),
-           |ivf23_$p AS (SELECT q_id, n_id FROM (
-           |    SELECT q_id, n_id,
-           |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
-           |    FROM scored23_$p)
-           |  WHERE rk <= 5),
-           |sum23_$p AS (
-           |  SELECT CAST($p AS BIGINT) AS n_probe,
-           |    CAST(count(DISTINCT b.q_id) AS BIGINT) AS n_queries,
-           |    CAST(count(*) AS BIGINT) AS n_exact,
-           |    CAST(count(i.n_id) AS BIGINT) AS n_hit,
-           |    CAST(count(i.n_id) AS DOUBLE) / count(*) AS recall
-           |  FROM brute23 b LEFT JOIN ivf23_$p i ON b.q_id = i.q_id AND b.n_id = i.n_id)""".stripMargin
-      s"""$kmeansAssignCtes,
-         |brute23 AS (SELECT q_id, n_id FROM (
-         |    SELECT qr.vec_id AS q_id, c.vec_id AS n_id,
-         |      row_number() OVER (PARTITION BY qr.vec_id
-         |        ORDER BY CASE WHEN c.nn = 0 OR qr.nn = 0 THEN 0.0
-         |          ELSE list_dot_product(c.q::DOUBLE[], qr.q::DOUBLE[]) / (sqrt(c.nn) * sqrt(qr.nn)) END DESC,
-         |          c.vec_id ASC) AS rk
-         |    FROM n c CROSS JOIN (SELECT * FROM n WHERE vec_id < 5) qr
-         |    WHERE c.vec_id <> qr.vec_id)
-         |  WHERE rk <= 5),
-         |${arm(1)},
-         |${arm(2)},
-         |${arm(4)}
-         |SELECT * FROM sum23_1 UNION ALL SELECT * FROM sum23_2
-         |UNION ALL SELECT * FROM sum23_4 ORDER BY n_probe""".stripMargin
-    },
+    "a23_recall_sweep" ->
+      s"""$a23SweepCtes
+         |SELECT * FROM sw23 ORDER BY n_probe""".stripMargin,
+
+    // a24: the sweep picks the cheapest level meeting the target, then
+    // the a03 serving CTEs run with that level as a scalar bound — the
+    // auto-tuner closed inside one statement
+    "a24_ann_autotune" ->
+      s"""$a23SweepCtes,
+         |chosen AS (
+         |  SELECT coalesce(min(CASE WHEN recall >= 0.5 THEN n_probe END),
+         |    max(n_probe)) AS lvl
+         |  FROM sw23),
+         |probes24 AS (SELECT vec_id AS q_id, q AS q_q, nn AS q_nn, c_id
+         |             FROM assign
+         |             WHERE crk <= (SELECT lvl FROM chosen) AND vec_id < 5),
+         |scored24 AS (
+         |  SELECT pr.q_id, a.vec_id AS n_id,
+         |    CASE WHEN a.nn = 0 OR pr.q_nn = 0 THEN 0.0
+         |         ELSE list_dot_product(a.q::DOUBLE[], pr.q_q::DOUBLE[]) / (sqrt(a.nn) * sqrt(pr.q_nn)) END AS sim
+         |  FROM corpus_a a JOIN probes24 pr ON a.c_id = pr.c_id AND a.vec_id <> pr.q_id)
+         |SELECT q_id, n_id, sim, rk, (SELECT CAST(lvl AS BIGINT) FROM chosen) AS n_probe
+         |FROM (
+         |  SELECT q_id, n_id, sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
+         |  FROM scored24)
+         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
 
     "a11_ann_recall" ->
       s"""$kmeansAssignCtes,

@@ -748,4 +748,22 @@ class SimilaritySpec extends SparkSpec {
     val viaScala = for (p <- 0 until 4; d <- 0 until 3) yield Similarity.planeCoefs(p, 3)(d)
     assert(viaScala == (0 until 12).map(i => viaExpr.getLong(i)))
   }
+
+  test("autoTuneTopK: serves at the cheapest level meeting the target; unreachable target = max level") {
+    val qs = corpus.filter(col("vec_id") < 5)
+    val sweep = Similarity.recallSweep(corpus, qs, 5, 8, Seq(1, 2, 4))
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).sortBy(_._1)
+    val target = 0.5
+    val expectLvl = sweep.find(_._2 >= target).map(_._1).getOrElse(sweep.last._1)
+    val tuned = Similarity.autoTuneTopK(corpus, qs, 5, 8, Seq(1, 2, 4), target)
+    val lvls = tuned.select("n_probe").distinct().collect().map(_.getLong(0)).toSeq
+    assert(lvls == Seq(expectLvl), s"chosen $lvls, sweep ${sweep.mkString(",")}")
+    val direct = Similarity.ivfTopK(corpus, qs, 5, 8, expectLvl.toInt)
+      .orderBy(col("q_id"), col("rk")).collect().toSeq
+    assert(tuned.drop("n_probe").orderBy(col("q_id"), col("rk")).collect().toSeq == direct,
+      "auto-tuned serving must equal direct serving at the chosen level")
+    val maxed = Similarity.autoTuneTopK(corpus, qs, 5, 8, Seq(1, 2, 4), 1.1)
+      .select("n_probe").distinct().collect().map(_.getLong(0)).toSeq
+    assert(maxed == Seq(4L), "unreachable target falls back to the largest level")
+  }
 }
