@@ -511,6 +511,34 @@ object Sampling {
     * Scale: one shuffle on the user key, a user-keyed window (never a
     * global sort), and a per-user aggregate whose collected list is
     * session-sized — the q22 discipline applied to example assembly. */
+  /** Assistant-turn LOSS-MASK spans for chat training: number each
+    * user's turns in event order (0-based; even = user, odd =
+    * assistant — the alternating-roles convention), lay the turns on
+    * the per-conversation token tape, and emit one row per ASSISTANT
+    * turn with its [tok_s, tok_e) token span — exactly the indices a
+    * trainer masks the loss to ("train only on assistant tokens").
+    * Flattened to one row per span (not an array column) so the spans
+    * are joinable/filterable like any frame.
+    *
+    * One user-keyed shuffle carries the turn numbering and the
+    * exclusive prefix token sum (per-conversation ordering only, never
+    * a global sort); token counts use `tok` ([[RegexBpeTokenizer]] by
+    * default — the same denominator as [[assembleConversations]]).
+    * Output: (user_id, turn_idx, tok_s, tok_e). */
+  def assistantSpans(events: DataFrame, userCol: String, orderCol: String,
+                     textCol: String,
+                     tok: Tokenizer = RegexBpeTokenizer): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ord"))
+    events.select(col(userCol).as("user_id"), col(orderCol).as("ord"),
+        tok.count(col(textCol)).as("nt"))
+      .withColumn("turn_idx", (row_number().over(w) - 1).cast("long"))
+      .withColumn("tok_s", coalesce(
+        sum(col("nt")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("turn_idx") % 2 === 1)
+      .select(col("user_id"), col("turn_idx"), col("tok_s"),
+        (col("tok_s") + col("nt")).as("tok_e"))
+  }
+
   def assembleConversations(events: DataFrame, userCol: String,
                             orderCol: String, textCol: String,
                             budget: Long,

@@ -1420,6 +1420,17 @@ object ExtendedQueries {
     // context-window truncation to the latest 64 pre-tokens, example
     // stats + a deterministic kept-sequence fingerprint — the
     // interaction-log → chat-training-example step
+    // ASSISTANT-span loss-mask index: the [tok_s, tok_e) token ranges a
+    // trainer masks the loss to under the alternating-roles convention
+    // — one user-keyed shuffle (turn numbering + exclusive prefix sum),
+    // flattened to one row per span so masks join like any frame
+    "p38_assistant_spans" -> ((s, dir) => {
+      val turns = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        concat_ws(" ", col("event_type"), col("props")).as("txt"))
+      graft.ops.Sampling.assistantSpans(turns, "user_id", "event_id", "txt")
+        .orderBy(col("user_id"), col("turn_idx"))
+    }),
+
     "p32_conversation_assembly" -> ((s, dir) => {
       val turns = t(s, dir, "events").select(col("user_id"), col("event_id"),
         concat_ws(" ", col("event_type"), col("props")).as("txt"))
@@ -3630,6 +3641,23 @@ object ExtendedQueries {
 
     // p32: identical suffix cumsum + the kept-sequence md5-60; string_agg
     // skips NULLs (un-kept turns) like Spark's collect_list
+    // p38: the same turn text and pre-token denominator as p32, spans
+    // from the exclusive prefix sum
+    "p38_assistant_spans" -> {
+      val np = graft.ops.RegexBpeTokenizer.countSql("event_type || ' ' || props")
+      s"""WITH t AS (
+         |  SELECT user_id, event_id, $np AS nt FROM events),
+         |r AS (
+         |  SELECT user_id, nt,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS turn_idx,
+         |    COALESCE(sum(nt) OVER (PARTITION BY user_id ORDER BY event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_s
+         |  FROM t)
+         |SELECT user_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+         |  CAST(tok_s AS BIGINT) AS tok_s, CAST(tok_s + nt AS BIGINT) AS tok_e
+         |FROM r WHERE turn_idx % 2 = 1 ORDER BY user_id, turn_idx""".stripMargin
+    },
+
     "p32_conversation_assembly" -> {
       val np = graft.ops.RegexBpeTokenizer.countSql("txt")
       val fp = PipelineQueries.h60sql(

@@ -34,6 +34,20 @@ class SamplingSpec extends SparkSpec {
     assert(all == corpus.count())
   }
 
+  test("assistantSpans: alternating roles index the token tape; spans tile assistant turns exactly") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "aa bb"),      // turn 0 (user): 2 toks → tape [0,2)
+      (1L, 2L, "cc"),         // turn 1 (assistant): [2,3)
+      (1L, 3L, "dd ee ff"),   // turn 2 (user): [3,6)
+      (1L, 4L, "gg hh"),      // turn 3 (assistant): [6,8)
+      (2L, 9L, "solo")        // turn 0 only → no assistant span
+    ).toDF("user_id", "event_id", "txt")
+    val got = Sampling.assistantSpans(ev, "user_id", "event_id", "txt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(got == Seq((1L, 1L, 2L, 3L), (1L, 3L, 6L, 8L)), got.toString)
+  }
+
   test("tier-histogram selection == global-window greedy prefix across budgets") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
