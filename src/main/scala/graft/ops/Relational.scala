@@ -232,7 +232,20 @@ object Relational {
     * driver collect. Output: (item, pr_q) with pr_q on the SCALE grid,
     * Σ pr_q ≈ SCALE (truncation drops ≤ a few units per vertex).
     */
-  def pageRank(edges: DataFrame, nodes: DataFrame, iterations: Int = 10): DataFrame = {
+  def pageRank(edges: DataFrame, nodes: DataFrame, iterations: Int = 10): DataFrame =
+    personalizedPageRank(edges, nodes, nodes.select(col("item")), iterations)
+
+  /** PERSONALIZED PageRank (TrustRank): teleport and dangling mass
+    * return only to the SEED set, so rank measures proximity-weighted
+    * trust flowing out of curated seeds — the classic spam-demotion /
+    * domain-authority prior for web-corpus curation (seeds = vetted
+    * domains; pages reachable only from spam farms keep ~zero rank).
+    * Uniform [[pageRank]] is the special case seeds = all vertices; the
+    * same integer grids, overflow bounds, and census-scaled loop apply
+    * (see pageRank). Non-seed vertices start at 0 and earn rank only
+    * through in-links. Output: (item, pr_q). */
+  def personalizedPageRank(edges: DataFrame, nodes: DataFrame,
+                           seeds: DataFrame, iterations: Int = 10): DataFrame = {
     val sc = edges.sparkSession.sparkContext
     val tracked = scala.collection.mutable.Buffer.empty[Int]
     def cp(df: DataFrame): DataFrame = {
@@ -242,9 +255,13 @@ object Relational {
       r
     }
 
-    val vertices = cp(nodes.select(col("item").cast("long").as("item")).distinct())
-    val n = vertices.count()
-    require(n > 0, "pageRank over an empty vertex set")
+    val seedSet = seeds.select(col("item").cast("long").as("item")).distinct()
+      .withColumn("is_seed", lit(true))
+    val vertices = cp(nodes.select(col("item").cast("long").as("item")).distinct()
+      .join(seedSet, Seq("item"), "left")
+      .withColumn("is_seed", coalesce(col("is_seed"), lit(false))))
+    val n = vertices.filter(col("is_seed")).count()
+    require(n > 0, "personalizedPageRank needs a non-empty seed set within the vertex set")
     val ew = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
     // outd is consumed EVERY iteration (dangling anti-join) — without its
@@ -269,10 +286,11 @@ object Relational {
     // setting below; capped at the session value, so a billion-edge
     // graph on a real cluster keeps the cluster-sized setting).
     val e = pe.count()
+    val vCount = vertices.count()
     val spark = edges.sparkSession
     val loopParts = math.max(1L, math.min(
       spark.sessionState.conf.numShufflePartitions.toLong,
-      math.max(n, e) / 200000L + 1L)).toInt
+      math.max(vCount, e) / 200000L + 1L)).toInt
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     try {
@@ -281,7 +299,8 @@ object Relational {
       // anti-join), so blocks stay short — but halving the sequential
       // action count halves the per-job scheduling floor that dominates
       // small-graph runs
-      var ranks = cp(vertices.withColumn("r", lit(1000000000000L / n)))
+      var ranks = cp(vertices.withColumn("r",
+        when(col("is_seed"), lit(1000000000000L / n)).otherwise(lit(0L))))
       (1 to iterations).foreach { i =>
         val in = pe.join(ranks, pe("src") === ranks("item"))
           .groupBy(col("dst")).agg(sum(expr("(r * p) div 1000000L")).as("in_sum"))
@@ -290,8 +309,10 @@ object Relational {
         val next = vertices
           .join(in, vertices("item") === in("dst"), "left")
           .crossJoin(broadcast(dang))
-          .select(vertices("item"), expr(
-            s"${base}L + (17L * (coalesce(in_sum, 0L) + (dang div ${n}L))) div 20L").as("r"))
+          .select(vertices("item"), vertices("is_seed"), expr(
+            s"CASE WHEN is_seed THEN ${base}L + " +
+              s"(17L * (coalesce(in_sum, 0L) + (dang div ${n}L))) div 20L " +
+              "ELSE (17L * coalesce(in_sum, 0L)) div 20L END").as("r"))
         ranks = if (i % 2 == 0 || i == iterations) cp(next) else next
       }
       val intermediates = tracked.toSet

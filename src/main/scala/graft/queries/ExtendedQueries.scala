@@ -213,6 +213,27 @@ object ExtendedQueries {
         .limit(10)
     }),
 
+    // TRUST RANK: personalized PageRank over the same item graph with
+    // teleport restricted to a curated SEED set (items < 10) — the
+    // spam-demotion / source-trust prior: rank measures proximity-
+    // weighted reachability FROM the seeds, and items only spam links
+    // reach keep ~zero rank. Same integer grids and loop shape as q26
+    "q28_trust_rank" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+      val ev = t(s, dir, "events").select(
+        col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      val sq = ev.select(col("item").as("dst"),
+        lag(col("item"), 1).over(w).as("src"))
+      val edges = sq.filter(col("src").isNotNull)
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      val nodes = ev.select(col("item"))
+      graft.ops.Relational.personalizedPageRank(edges, nodes,
+          nodes.filter(col("item") < 10), 10)
+    }),
+
     // ITEM RANK: fixed-point PageRank over the behavioral item graph
     // (q22's transition edges, item-granular) — the link-authority score
     // a web-corpus curation pipeline computes over the domain graph as a
@@ -2375,6 +2396,36 @@ object ExtendedQueries {
        |$iter""".stripMargin
   }
 
+  /** The PERSONALIZED variant (q28's TrustRank): teleport and dangling
+    * mass return only to an upstream `seeds`(item) CTE; non-seeds start
+    * at 0 and earn rank through in-links alone. */
+  private def personalizedPageRankCtes(edges: String): String = {
+    val iter = (1 to 10).map { i =>
+      s"""r$i AS (
+         |  SELECT nodes.item,
+         |    CASE WHEN nodes.item IN (SELECT item FROM seeds)
+         |      THEN 3000000000000 // (20 * (SELECT count(*) FROM seeds))
+         |        + (17 * (COALESCE(s.in_sum, 0)
+         |           + (SELECT COALESCE(sum(p.r), 0) FROM r${i - 1} p
+         |              LEFT JOIN outd ON p.item = outd.src WHERE outd.src IS NULL)
+         |             // (SELECT count(*) FROM seeds))) // 20
+         |      ELSE (17 * COALESCE(s.in_sum, 0)) // 20 END AS r
+         |  FROM nodes LEFT JOIN (
+         |    SELECT pe.dst AS item2, sum((p.r * pe.p) // 1000000) AS in_sum
+         |    FROM r${i - 1} p JOIN pe ON p.item = pe.src GROUP BY 1) s
+         |  ON nodes.item = s.item2)""".stripMargin
+    }.mkString(",\n")
+    s"""outd AS (SELECT src, sum(w) AS outdeg FROM $edges GROUP BY 1),
+       |pe AS (SELECT e.src, e.dst, (e.w * 1000000) // outd.outdeg AS p
+       |       FROM $edges e JOIN outd ON e.src = outd.src),
+       |r0 AS (
+       |  SELECT item,
+       |    CASE WHEN item IN (SELECT item FROM seeds)
+       |      THEN 1000000000000 // (SELECT count(*) FROM seeds) ELSE 0 END AS r
+       |  FROM nodes),
+       |$iter""".stripMargin
+  }
+
   /** Shared by p36 (batch hash-rank selection) and s31 (first-come
     * stream admission): the k-means assignment + the unit-weight
     * water-fill over the cluster census, ending in `alc` =
@@ -3303,6 +3354,22 @@ object ExtendedQueries {
          |  SELECT src, dst, count(*) AS w FROM sq WHERE src IS NOT NULL GROUP BY 1, 2),
          |nodes AS (SELECT DISTINCT item FROM ev),
          |${pageRankCtes("eg")}
+         |SELECT item, CAST(r AS BIGINT) AS pr_q FROM r10 ORDER BY pr_q DESC, item""".stripMargin,
+
+    // q28: the q26 graph CTEs + a seeds CTE feeding the personalized
+    // iteration builder
+    "q28_trust_rank" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item FROM events),
+         |sq AS (
+         |  SELECT item AS dst,
+         |    lag(item) OVER (PARTITION BY user_id ORDER BY event_id) AS src FROM ev),
+         |eg AS (
+         |  SELECT src, dst, count(*) AS w FROM sq WHERE src IS NOT NULL GROUP BY 1, 2),
+         |nodes AS (SELECT DISTINCT item FROM ev),
+         |seeds AS (SELECT item FROM nodes WHERE item < 10),
+         |${personalizedPageRankCtes("eg")}
          |SELECT item, CAST(r AS BIGINT) AS pr_q FROM r10 ORDER BY pr_q DESC, item""".stripMargin,
 
     // t30: the same fixed-point iteration CTEs over the word

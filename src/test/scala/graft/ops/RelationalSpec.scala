@@ -85,6 +85,32 @@ class RelationalSpec extends SparkSpec {
     assert(a == b, "integer fixed-point PageRank must be partition-order-free")
   }
 
+  test("personalizedPageRank: trust flows only FROM seeds; mass stays on the reachable set") {
+    import spark.implicits._
+    // seed 1 → 2 → 3; node 9 links INTO the seed but nothing reaches it
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (9L, 1L, 1L)).toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L, 9L).toDF("item")
+    val m = Relational.personalizedPageRank(edges, nodes, Seq(1L).toDF("item"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(9L) == 0L, "no in-links from the seed side ⇒ zero trust")
+    assert(m(1L) > 0L && m(2L) > 0L && m(3L) > 0L, m.toString)
+    // mass conservation over the seed-reachable set (truncation only)
+    val total = m.values.sum
+    assert(total <= 1000000000000L && total > 1000000000000L - 1000L, total.toString)
+    // uniform special case: seeds = all vertices ≡ plain pageRank
+    val uni = Relational.personalizedPageRank(edges, nodes, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = Relational.pageRank(edges, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uni == plain)
+    // a dangling seed keeps all mass: teleport and dangling both return to it
+    val m2 = Relational.personalizedPageRank(
+      Seq((2L, 3L, 1L)).toDF("src", "dst", "w"),
+      Seq(1L, 2L, 3L).toDF("item"), Seq(1L).toDF("item"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m2(1L) > 999999990000L && m2(2L) == 0L && m2(3L) == 0L, m2.toString)
+  }
+
   test("pageRank: empty vertex set fails loudly") {
     import spark.implicits._
     val e = intercept[IllegalArgumentException] {
