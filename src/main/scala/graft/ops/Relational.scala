@@ -322,4 +322,86 @@ object Relational {
       result
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
+
+  /** SALSA hub/authority scores over a weighted directed graph — the
+    * stochastic (random-walk) variant of HITS, the link-analysis score
+    * behind "who-to-follow"-style ranking. Unlike HITS, each step is a
+    * PROBABILITY-normalized walk (authority mass moves backward over a
+    * hub's out-distribution, hub mass forward over an authority's
+    * in-distribution), so scores are L1-stable without a normalization
+    * pass — which is what makes an exact integer fixed-point iteration
+    * possible at all (HITS' L2 normalization has no rational form).
+    *
+    * Update (per iteration, mirroring [[personalizedPageRank]]'s grids —
+    * scores on the 1e-12 grid, transition probabilities on 1e-6):
+    *   h'(j) = Σ_{j→i} (a(i) · p_in(j,i))  div 1e6,  p_in  = w·1e6 div indeg_w(i)
+    *   a'(i) = Σ_{j→i} (h'(j) · p_out(j,i)) div 1e6, p_out = w·1e6 div outdeg_w(j)
+    * Restricted to the edge-incident bipartite graph, every authority has
+    * in-mass and every hub out-mass, so there is NO dangling term; total
+    * mass is conserved up to grid truncation.
+    *
+    * Scale shape: both probability frames are built ONCE (two edge
+    * shuffles total, as in pageRank); each iteration is two edge⋈score
+    * joins + two keyed aggregates — everything graph-bounded, run under
+    * the same census-scaled partition count and alternating
+    * localCheckpoint discipline as pageRank. Output: (item, auth_q,
+    * hub_q), zero where the node lacks the role.
+    */
+  def salsa(edges: DataFrame, iterations: Int = 5): DataFrame = {
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    val tracked = scala.collection.mutable.Buffer.empty[Int]
+    def cp(df: DataFrame): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet
+      val r = df.localCheckpoint()
+      tracked ++= (sc.getPersistentRDDs.keySet -- before)
+      r
+    }
+    // callers pass (src, dst, w) already unique per edge (as pageRank)
+    val ew = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+    val guard = (deg: String) =>
+      s"CASE WHEN $deg >= 9223372036854L THEN " +
+        "raise_error('salsa: degree too large for the 1e-6 probability grid') " +
+        s"ELSE (w * 1000000L) div $deg END"
+    val outd = ew.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
+    val ind = ew.groupBy(col("dst")).agg(sum(col("w")).as("indeg"))
+    // both probability frames materialize once; the loop only joins them
+    val pout = cp(ew.join(outd, "src")
+      .select(col("src"), col("dst"), expr(guard("outdeg")).as("p")))
+    val pin = cp(ew.join(ind, "dst")
+      .select(col("src"), col("dst"), expr(guard("indeg")).as("p")))
+    val auths = cp(ew.select(col("dst").as("item")).distinct())
+    val nA = auths.count()
+    require(nA > 0, "salsa needs a non-empty edge set")
+    val e = ew.count()
+    val loopParts = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      e / 200000L + 1L)).toInt
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    try {
+      var a = cp(auths.withColumn("r", lit(1000000000000L / nA)))
+      var h: DataFrame = null
+      (1 to iterations).foreach { i =>
+        val hNext = pin.join(a, pin("dst") === a("item"))
+          .groupBy(pin("src").as("item"))
+          .agg(sum(expr("(r * p) div 1000000L")).as("r"))
+        h = if (i % 2 == 0 || i == iterations) cp(hNext) else hNext
+        val aNext = pout.join(h, pout("src") === h("item"))
+          .groupBy(pout("dst").as("item"))
+          .agg(sum(expr("(r * p) div 1000000L")).as("r"))
+        a = if (i % 2 == 0 || i == iterations) cp(aNext) else aNext
+      }
+      val intermediates = tracked.toSet
+      val result = a.select(col("item"), col("r").as("auth_q"))
+        .join(h.select(col("item"), col("r").as("hub_q")), Seq("item"), "full_outer")
+        .select(col("item"),
+          coalesce(col("auth_q"), lit(0L)).as("auth_q"),
+          coalesce(col("hub_q"), lit(0L)).as("hub_q"))
+        .orderBy(col("auth_q").desc, col("item")).localCheckpoint()
+      intermediates.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      result
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
 }

@@ -234,6 +234,24 @@ object ExtendedQueries {
           nodes.filter(col("item") < 10), 10)
     }),
 
+    // SALSA hub/authority: the stochastic-HITS score over the same
+    // behavioral transition graph — probability-normalized walks make the
+    // iteration integer-exact (no L2 normalization), so five alternating
+    // backward/forward steps hash-match the oracle's unrolled CTEs
+    "q29_salsa" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+      val ev = t(s, dir, "events").select(
+        col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      val sq = ev.select(col("item").as("dst"),
+        lag(col("item"), 1).over(w).as("src"))
+      val edges = sq.filter(col("src").isNotNull)
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      graft.ops.Relational.salsa(edges, 5)
+    }),
+
     // ITEM RANK: fixed-point PageRank over the behavioral item graph
     // (q22's transition edges, item-granular) — the link-authority score
     // a web-corpus curation pipeline computes over the domain graph as a
@@ -407,6 +425,36 @@ object ExtendedQueries {
       graft.streaming.StreamTransitions
         .drain(s, lasts, s"$work/counts", in, s"$work/ckpt")
         .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // q24's stream twin: last-touch attribution maintained incrementally —
+    // per-user last non-purchase touch (bucketed TxnLogState) + a
+    // touch-types-sized additive rollup generation; purchases attribute
+    // within-batch via the lag frame, across triggers via the stored
+    // touch, revenue folds in decimal. Ascending event_id enforced
+    // against a high-water mark (additive counts must never double-fold).
+    // Final rollup == batch q24, its oracle
+    "s32_stream_attribution" -> ((s, dir) => {
+      val work = scratchDir("graft_s32")
+      val in = onceLog("s32", dir) { path =>
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        val b = ev.agg(min(col("event_id")), max(col("event_id"))).first()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val c1 = lo + (hi - lo) / 3
+        val c2 = lo + 2 * (hi - lo) / 3
+        // ascending event_id chunks — the ordering contract the operator enforces
+        Seq(col("event_id") <= c1,
+            col("event_id") > c1 && col("event_id") <= c2,
+            col("event_id") > c2).foreach { p =>
+          ev.filter(p).coalesce(1).write.mode("append").parquet(path)
+          Thread.sleep(20) // distinct mtimes → oldest-first arrival
+        }
+      }
+      val touches = new graft.streaming.TxnLogState(s"$work/touches", s, 16)
+      graft.streaming.StreamAttribution
+        .drain(s, touches, s"$work/agg", in, s"$work/ckpt")
+        .orderBy(col("touch"))
     }),
 
     // d20's stream twin: the re-crawl arrives as a stream against a
@@ -2396,6 +2444,31 @@ object ExtendedQueries {
        |$iter""".stripMargin
   }
 
+  /** SALSA's alternating backward/forward walk unrolled (q29): five
+    * h/a CTE pairs over probability frames normalized by in- and
+    * out-degree — same 1e-12/1e-6 grids and floor-division order as the
+    * Spark op, so the fixed point is bit-identical. */
+  private def salsaCtes(edges: String): String = {
+    val iter = (1 to 5).map { i =>
+      s"""h$i AS (
+         |  SELECT pin.src AS item, sum((p.r * pin.p) // 1000000) AS r
+         |  FROM a${i - 1} p JOIN pin ON p.item = pin.dst GROUP BY 1),
+         |a$i AS (
+         |  SELECT pout.dst AS item, sum((p.r * pout.p) // 1000000) AS r
+         |  FROM h$i p JOIN pout ON p.item = pout.src GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""outd AS (SELECT src, sum(w) AS outdeg FROM $edges GROUP BY 1),
+       |ind AS (SELECT dst, sum(w) AS indeg FROM $edges GROUP BY 1),
+       |pout AS (SELECT e.src, e.dst, (e.w * 1000000) // outd.outdeg AS p
+       |         FROM $edges e JOIN outd ON e.src = outd.src),
+       |pin AS (SELECT e.src, e.dst, (e.w * 1000000) // ind.indeg AS p
+       |        FROM $edges e JOIN ind ON e.dst = ind.dst),
+       |auths AS (SELECT DISTINCT dst AS item FROM $edges),
+       |a0 AS (SELECT item,
+       |  1000000000000 // (SELECT count(*) FROM auths) AS r FROM auths),
+       |$iter""".stripMargin
+  }
+
   /** The PERSONALIZED variant (q28's TrustRank): teleport and dangling
     * mass return only to an upstream `seeds`(item) CTE; non-seeds start
     * at 0 and earn rank through in-links alone. */
@@ -3372,6 +3445,24 @@ object ExtendedQueries {
          |${personalizedPageRankCtes("eg")}
          |SELECT item, CAST(r AS BIGINT) AS pr_q FROM r10 ORDER BY pr_q DESC, item""".stripMargin,
 
+    // q29: the q26 graph CTEs + the alternating SALSA iteration; the
+    // final full join surfaces pure hubs (auth 0) and pure authorities
+    "q29_salsa" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item FROM events),
+         |sq AS (
+         |  SELECT item AS dst,
+         |    lag(item) OVER (PARTITION BY user_id ORDER BY event_id) AS src FROM ev),
+         |eg AS (
+         |  SELECT src, dst, count(*) AS w FROM sq WHERE src IS NOT NULL GROUP BY 1, 2),
+         |${salsaCtes("eg")}
+         |SELECT COALESCE(a.item, h.item) AS item,
+         |  CAST(COALESCE(a.r, 0) AS BIGINT) AS auth_q,
+         |  CAST(COALESCE(h.r, 0) AS BIGINT) AS hub_q
+         |FROM a5 a FULL OUTER JOIN h5 h ON a.item = h.item
+         |ORDER BY auth_q DESC, item""".stripMargin,
+
     // t30: the same fixed-point iteration CTEs over the word
     // co-occurrence graph, joined back to terms for the top-20
     "t30_textrank_terms" -> {
@@ -3457,6 +3548,22 @@ object ExtendedQueries {
         |SELECT from_type, to_type, count(*) AS n
         |FROM s WHERE from_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+
+    // s32 = q24 incrementally: per-chain attribution is invariant to how
+    // the stream chunks a user's events (stored touch bridges triggers)
+    // and the rollup fold is additive over disjoint purchases — q24's
+    // oracle, stated once
+    "s32_stream_attribution" -> (
+      """WITH t AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT touch, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM t WHERE event_type = 'purchase' AND touch IS NOT NULL
+        |GROUP BY touch ORDER BY touch""".stripMargin),
 
     // s22 = d20 incrementally: verdicts are pure per-doc functions of the
     // frozen baseline and the fold is append-only, so the drained diff
