@@ -1,0 +1,169 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Streaming last-touch attribution — q24's marketing-attribution
+  * rollup maintained incrementally over an unbounded event stream.
+  *
+  * Two-part state (the [[StreamTransitions]] shape):
+  *  - per-user LAST NON-PURCHASE touch (type, event_id) in the bucketed
+  *    [[TxnLogState]] — each trigger touches only its users' buckets;
+  *  - the attribution rollup, ≤ |touch types| rows — CONSTANT in stream
+  *    length — committed as immutable generations behind an atomic
+  *    pointer flip.
+  *
+  * Per trigger: purchases attribute within-batch first (a user-keyed
+  * lag-frame `last(non-purchase) ignore nulls` — per-user ordering only,
+  * never a global sort); purchases whose preceding touch fell in an
+  * earlier trigger join the stored per-user touch. A user's event chain
+  * therefore attributes identically however the stream chunks it.
+  *
+  * Revenue folds in DECIMAL(18,6) (exact, order-free addition) and only
+  * the drained summary casts to double — the [[graft.SparkEntry]] dec/
+  * decOut discipline applied to cross-trigger state.
+  *
+  * Attribution counts are ADDITIVE — replay double-counts — so ascending
+  * event_id arrival is ENFORCED against a persisted high-water mark and
+  * an exact redelivery of the latest batch is detected by its (lo, hi)
+  * range and skipped (the [[StreamTransitions]] at-least-once contract).
+  */
+object StreamAttribution {
+
+  private def currentGen(aggDir: String): Option[String] = {
+    val cur = Paths.get(aggDir, "_current")
+    if (Files.exists(cur)) Some(Files.readString(cur).trim) else None
+  }
+
+  /** Fold one (user_id, event_id, event_type, value) micro-batch. */
+  def applyBatch(touches: DocStateStore, aggDir: String,
+                 batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    Files.createDirectories(Paths.get(aggDir))
+    val b = batch.select(col("user_id"), col("event_id"), col("event_type"),
+      col("value").cast("decimal(18,6)").as("value")).cache()
+    try {
+      val range = b.agg(min(col("event_id")), max(col("event_id"))).head()
+      if (range.isNullAt(0)) return
+      val (lo, hi) = (range.getLong(0), range.getLong(1))
+      val hwmFile = Paths.get(aggDir, "_hwm")
+      if (Files.exists(hwmFile)) {
+        val Array(prevLo, prevHi) = Files.readString(hwmFile).trim.split("\t").map(_.toLong)
+        if (lo == prevLo && hi == prevHi) return // exact redelivery: already folded
+        if (lo <= prevHi)
+          throw new IllegalStateException(
+            s"out-of-order arrival: batch event_id range [$lo, $hi] overlaps the " +
+              s"high-water mark $prevHi — additive attribution equals the batch " +
+              "operator only under ascending event_id arrival")
+      }
+
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withTouch = b.withColumn("touch_in",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+
+      // per-user batch state: latest non-purchase event in this trigger
+      val ends = b.filter(col("event_type") =!= "purchase")
+        .groupBy(col("user_id"))
+        .agg(max_by(col("event_type"), col("event_id")).as("touch"),
+          max(col("event_id")).as("last_eid"))
+        .withColumn("id", col("user_id").cast("string"))
+        .cache()
+
+      // buckets this trigger writes = users with a new touch; buckets it
+      // READS also cover purchase-only users needing the stored touch
+      val purch = withTouch.filter(col("event_type") === "purchase").cache()
+      val readIds = ends.select(col("id"))
+        .unionByName(purch.filter(col("touch_in").isNull)
+          .select(col("user_id").cast("string").as("id")))
+        .distinct()
+      val readBuckets = readIds
+        .select(graft.expr.hfunctions.md5_shard(col("id"), touches.buckets).as("bk"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      val prev = touches.readBuckets(readBuckets)
+
+      // attribute: within-batch touch wins (it is later); else stored
+      val attributed = (prev match {
+        case Some(p) => purch.join(
+            p.select(col("user_id"), col("touch").as("touch_prev")),
+            Seq("user_id"), "left")
+        case None => purch.withColumn("touch_prev", lit(null).cast("string"))
+      }).withColumn("touch", coalesce(col("touch_in"), col("touch_prev")))
+        .filter(col("touch").isNotNull)
+      val batchAgg = attributed.groupBy(col("touch"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("value")).as("revenue"))
+
+      // fold the rollup generation (≤ touch-types rows)
+      val parts = Seq(Some(batchAgg),
+        currentGen(aggDir).map(g => spark.read.parquet(s"$aggDir/$g"))).flatten
+      val next = parts.reduce(_ unionByName _)
+        .groupBy(col("touch"))
+        .agg(sum(col("n_purchases")).as("n_purchases"),
+          sum(col("revenue")).cast("decimal(18,6)").as("revenue"))
+      val gen = s"g$batchId"
+      val prevGen = currentGen(aggDir)
+      next.write.mode("overwrite").parquet(s"$aggDir/$gen")
+
+      // per-user touch state: the batch's touch supersedes (ascending
+      // arrival). Write-set = buckets of users in `ends` only.
+      val writeBuckets = ends
+        .select(graft.expr.hfunctions.md5_shard(col("id"), touches.buckets).as("bk"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      if (writeBuckets.nonEmpty) {
+        val prevW = touches.readBuckets(writeBuckets)
+        val mergedTouches = (prevW match {
+          case Some(p) => p.select("id", "user_id", "touch", "last_eid")
+            .unionByName(ends.select("id", "user_id", "touch", "last_eid"))
+          case None => ends.select("id", "user_id", "touch", "last_eid")
+        }).groupBy(col("id"), col("user_id"))
+          .agg(max_by(col("touch"), col("last_eid")).as("touch"),
+            max(col("last_eid")).as("last_eid"))
+        touches.commit(mergedTouches, f"r$batchId%010d", writeBuckets)
+      }
+
+      // rollup pointer flip + hwm AFTER both states land; a crash between
+      // commits replays the batch, which the (lo, hi) check then skips
+      IndexState.atomicWriteString(Paths.get(aggDir, "_current"), gen)
+      Files.writeString(hwmFile, s"$lo\t$hi")
+      prevGen.filter(_ != gen).foreach { g =>
+        def rm(f: java.io.File): Unit = {
+          val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+        }
+        rm(Paths.get(aggDir, g).toFile)
+      }
+      ends.unpersist(blocking = false)
+      purch.unpersist(blocking = false)
+    } finally { b.unpersist(blocking = false); () }
+  }
+
+  /** The standing rollup — q24's output shape. */
+  def summary(spark: SparkSession, aggDir: String): DataFrame =
+    currentGen(aggDir) match {
+      case Some(g) => spark.read.parquet(s"$aggDir/$g")
+        .select(col("touch"), col("n_purchases"),
+          col("revenue").cast("double").as("revenue"))
+      case None => throw new IllegalStateException("no attribution state committed yet")
+    }
+
+  /** Convenience drain over a (user_id, event_id, event_type, value) log. */
+  def drain(spark: SparkSession, touches: DocStateStore, aggDir: String,
+            inPath: String, ckptPath: String): DataFrame = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("user_id", "long").add("event_id", "long")
+      .add("event_type", "string").add("value", "double")
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inPath)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) => applyBatch(touches, aggDir, b, id) }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckptPath)
+      .start()
+    q.awaitTermination()
+    summary(spark, aggDir)
+  }
+}
