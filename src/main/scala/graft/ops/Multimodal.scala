@@ -446,6 +446,50 @@ object Multimodal {
     }
   }
 
+  case class AspectAssign(doc_id: Long, width: Int, height: Int,
+                          bucket_w: Int, bucket_h: Int)
+
+  /** ASPECT-RATIO BUCKETING: assign each image to the nearest of a fixed
+    * aspect-ratio bucket set — the batching precondition of every
+    * variable-aspect vision-training pipeline (images batch only with
+    * same-shaped peers; a census over the buckets IS the batch plan).
+    *
+    * Nearest is decided in EXACT integer arithmetic: with D = lcm of
+    * bucket denominators, |w/h − bw/bh| ranks identically to
+    * |D·w − (bw·D/bh)·h| (multiply through by D·h > 0, one common
+    * denominator for every bucket) — no float ratio ever forms, so the
+    * assignment is bit-stable and oracle-replayable. Ties go to the
+    * earlier bucket in the list.
+    *
+    * Dimensions come from the HEADER-ONLY [[ImageIODecoder]] (rasters
+    * never materialize) and the bucket loop runs inside the same decode
+    * pass — per image this is O(|buckets|) integer ops and NO shuffle;
+    * the downstream census is a buckets-sized aggregate. Undecodable
+    * payloads are dropped. */
+  def aspectBuckets(media: DataFrame,
+      buckets: Seq[(Int, Int)] = Seq((1, 1), (4, 3), (3, 4), (16, 9),
+        (9, 16), (3, 2), (2, 3))): Dataset[AspectAssign] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    @annotation.tailrec def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val d = buckets.map(_._2.toLong).foldLeft(1L)((acc, b) => acc / gcd(acc, b) * b)
+    val scaled = buckets.map { case (bw, bh) => (bw * (d / bh), bw, bh) }
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        val (w, h) = ImageIODecoder.decode(r.mime, r.payload)
+        if (w <= 0 || h <= 0) Iterator.empty
+        else {
+          var bestW = 0; var bestH = 0; var bestD = Long.MaxValue
+          scaled.foreach { case (rs, bw, bh) =>
+            val dist = math.abs(d * w - rs * h)
+            if (dist < bestD) { bestD = dist; bestW = bw; bestH = bh }
+          }
+          Iterator.single(AspectAssign(r.doc_id, w, h, bestW, bestH))
+        }
+      }
+    }
+  }
+
   /** PERCEPTUAL near-dup PAIR search: aHash fingerprints + the
     * pigeonhole Hamming band join ([[graft.ops.Dedup.hammingPairs]],
     * recall 1.0 by construction) — the media variant of text SimHash

@@ -1519,6 +1519,26 @@ object PipelineQueries {
     // id%4 cols) around a solid non-black content box; the operator
     // must recover the crop from the RASTER (the decode + border scans
     // genuinely run) while the oracle predicts it from the arithmetic
+    // ASPECT-RATIO bucket census over REAL header decode: each solid PNG's
+    // true dims feed the exact-integer nearest-bucket assignment (common-
+    // denominator cross-multiplication — no float ratio), the census
+    // rolls up per bucket with its resize target at a 4096-px budget.
+    // Dims are id-arithmetic (w=1+id%64, h=1+id%48) so the oracle replays
+    // the assignment via the same integer argmin — while the real codec
+    // header read runs under test
+    "m16_aspect_buckets" -> ((s, dir) => {
+      Multimodal.aspectBuckets(solidPngMedia(s, dir)).toDF()
+        .groupBy(col("bucket_w"), col("bucket_h"))
+        .agg(count(lit(1)).as("n_images"))
+        .withColumn("scale",
+          floor(sqrt(expr("CAST(4096 div (bucket_w * bucket_h) AS DOUBLE)"))))
+        .select(col("bucket_w"), col("bucket_h"),
+          (col("bucket_w") * col("scale")).cast("int").as("target_w"),
+          (col("bucket_h") * col("scale")).cast("int").as("target_h"),
+          col("n_images"))
+        .orderBy(col("bucket_w"), col("bucket_h"))
+    }),
+
     "m15_letterbox_crop" -> ((s, dir) => {
       import s.implicits._
       val media = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"))
@@ -3873,6 +3893,28 @@ object PipelineQueries {
 
     // m15: the crop box is pure bar arithmetic — the raster scan must
     // agree with the id-derived geometry
+    // m16: D = lcm(bucket heights) = 144; rs = bw*(144/bh). The argmin
+    // over |144w - rs*h| with idx tie-break replays the engine's exact-
+    // integer assignment; targets = bucket * floor(sqrt(budget div area))
+    "m16_aspect_buckets" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, CAST(1 + doc_id % 64 AS BIGINT) AS w,
+        |    CAST(1 + doc_id % 48 AS BIGINT) AS h FROM documents),
+        |b(idx, bw, bh, rs) AS (VALUES
+        |  (0, 1, 1, 144), (1, 4, 3, 192), (2, 3, 4, 108), (3, 16, 9, 256),
+        |  (4, 9, 16, 81), (5, 3, 2, 216), (6, 2, 3, 96)),
+        |d AS (
+        |  SELECT doc_id, bw, bh,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY abs(144 * w - rs * h), idx) AS rn
+        |  FROM imgs CROSS JOIN b),
+        |c AS (SELECT bw, bh, count(*) AS n_images FROM d WHERE rn = 1 GROUP BY 1, 2)
+        |SELECT CAST(bw AS INT) AS bucket_w, CAST(bh AS INT) AS bucket_h,
+        |  CAST(bw * floor(sqrt(CAST(4096 // (bw * bh) AS DOUBLE))) AS INT) AS target_w,
+        |  CAST(bh * floor(sqrt(CAST(4096 // (bw * bh) AS DOUBLE))) AS INT) AS target_h,
+        |  n_images
+        |FROM c ORDER BY bucket_w, bucket_h""".stripMargin,
+
     "m15_letterbox_crop" ->
       """SELECT doc_id,
         |  CAST(doc_id % 4 AS INT) AS x0,
