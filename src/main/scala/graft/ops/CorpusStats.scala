@@ -303,6 +303,34 @@ object CorpusStats {
         (col("diff") + col("_p") > 0).as("pred"))
   }
 
+  /** CALIBRATION (reliability) curve for a quantized classifier score:
+    * bin scored documents by fixed-width score bands and report the
+    * observed gold-positive rate per band — the diagram a quality-gate
+    * THRESHOLD is read off of (if 'score > 0' admits 40%-gold docs, the
+    * gate is miscalibrated and the mixture inherits the noise).
+    *
+    * Bands are FIXED-WIDTH on the integer score grid (clamp to
+    * [lo, hi], then (score − lo) div binWidth — nonnegative, so
+    * truncating and floor division agree in every engine). Fixed-width
+    * banding is deliberate: quantile bands need a global sort/rank, a
+    * fixed grid is one map-side expression — the 100-TB-safe shape, and
+    * reliability diagrams are conventionally fixed-width anyway.
+    *
+    * `labels` = (doc_id, lab boolean) gold rows — typically the seed/
+    * holdout subset, NOT the whole corpus. One join on doc_id + one
+    * bands-sized aggregate. Output: (bin, n_docs, n_pos, pos_ppm). */
+  def calibrationCurve(scored: DataFrame, scoreCol: String, labels: DataFrame,
+                       binWidth: Long = 200000L, lo: Long = -1000000L,
+                       hi: Long = 999999L): DataFrame =
+    scored.join(labels, Seq("doc_id"))
+      .select(expr(s"(least(greatest($scoreCol, ${lo}L), ${hi}L) - (${lo}L)) " +
+          s"div ${binWidth}L").as("bin"),
+        col("lab"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lab"), lit(1L)).otherwise(lit(0L))).as("n_pos"))
+      .withColumn("pos_ppm", expr("(n_pos * 1000000L) div n_docs"))
+
   // DSIR importance resampling ---------------------------------------------
 
   /** Per-(doc, hashed-feature-bucket) counts — DSIR's hashed bag-of-ngrams

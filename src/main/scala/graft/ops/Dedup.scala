@@ -870,6 +870,39 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** PER-SOURCE duplication census — the per-source rows of a corpus
+    * datasheet: how much of each source is internal copies, and how much
+    * of its distinct content also appears elsewhere. [[sourceOverlap]]
+    * answers "which source PAIRS share" (quadratic in sources);
+    * this answers "how clean is EACH source" (linear) — the number that
+    * decides a source's mixture weight before any pairwise drill-down.
+    *
+    * Per source: n_docs, n_distinct_texts (canonical fingerprints),
+    * n_dup_within (= docs − distinct: internal extra copies),
+    * n_cross_shared (distinct texts also present in ≥1 other source),
+    * dup_ppm (internal dup rate on the 1e-6 grid, truncating div).
+    *
+    * Scale shape: one scan → ONE (source, fp)-keyed aggregate (map-side
+    * partials collapse copies before the shuffle), one fp-keyed count
+    * over the already-distinct pairs, one fp-keyed join back — every
+    * frame after the first aggregate is DISTINCT-CONTENT-sized, never
+    * corpus-sized; no window, no pairwise expansion. */
+  def sourceDupCensus(docs: DataFrame, sourceCol: String,
+                      textCol: String): DataFrame = {
+    val sfc = docs.select(col(sourceCol).as("source"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("source"), col("fp")).agg(count(lit(1)).as("n"))
+    val nsrc = sfc.groupBy(col("fp")).agg(count(lit(1)).as("n_src"))
+    sfc.join(nsrc, Seq("fp"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_distinct_texts"),
+        sum(col("n") - lit(1L)).as("n_dup_within"),
+        sum(when(col("n_src") > 1, lit(1L)).otherwise(lit(0L))).as("n_cross_shared"))
+      .withColumn("dup_ppm",
+        expr("((n_docs - n_distinct_texts) * 1000000L) div n_docs"))
+  }
+
   /** Structural SKELETON of a document: letter runs collapse to `w`,
     * digit runs to `9`, whitespace normalizes — what survives is the
     * punctuation/layout template. Documents GENERATED from one template

@@ -1640,6 +1640,22 @@ object ExtendedQueries {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // PER-SOURCE duplication census: the d25 mirror fixture again —
+    // mirrored sources show up with high n_cross_shared, sources with
+    // internal copies show dup_ppm > 0 — the per-source datasheet row
+    // that decides a mixture weight before any pairwise drill-down
+    "d27_source_dup_census" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      val mirrored = d.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          concat(lit("src"),
+            ((regexp_replace(col("source"), "src", "").cast("long") + 1) % 20))
+            .as("source"),
+          concat(lit(" "), col("text"), lit("  ")).as("text"))
+      graft.ops.Dedup.sourceDupCensus(d.unionByName(mirrored), "source", "text")
+        .orderBy(col("source"))
+    }),
+
     // TEXTRANK keywords: PageRank over the word co-occurrence graph —
     // the graph-centrality term ranking next to frequency (t09) and
     // TF-IDF (t11), built on the engine's own q26 primitive; adjacency
@@ -3923,6 +3939,28 @@ object ExtendedQueries {
         |SELECT a.src AS src_a, b.src AS src_b, CAST(count(*) AS BIGINT) AS n_shared
         |FROM sfp a JOIN sfp b ON a.fp = b.fp AND a.src < b.src
         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
+    // d27: the d25 fixture + fingerprint; g is consumed twice (census +
+    // per-fp source count) → materialized via the allowlist
+    "d27_source_dup_census" ->
+      """WITH u AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT 'src' || CAST((CAST(replace(source, 'src', '') AS BIGINT) + 1) % 20 AS VARCHAR),
+        |    ' ' || text || '  '
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |g AS (
+        |  SELECT source, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    count(*) AS n
+        |  FROM u GROUP BY 1, 2),
+        |ns AS (SELECT fp, count(*) AS n_src FROM g GROUP BY 1)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_texts,
+        |  CAST(sum(n - 1) AS BIGINT) AS n_dup_within,
+        |  CAST(sum(CASE WHEN n_src > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_shared,
+        |  CAST(((sum(n) - count(*)) * 1000000) // sum(n) AS BIGINT) AS dup_ppm
+        |FROM g JOIN ns USING (fp)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // t28: t09's split + hash-tiebreak conventions; tok is consumed
     // twice (vocabulary + coverage) → materialized

@@ -1128,6 +1128,20 @@ object PipelineQueries {
     // hash-free sample of the rest (the "random crawl negatives" side);
     // train multinomial NB on the seed tokens, score EVERY doc by
     // quantized log-odds
+    // CALIBRATION curve for the t15 quality gate: fixed-width score
+    // bands over the gold-labeled seed rows → observed positive rate per
+    // band — the reliability diagram the admission threshold is read off
+    // of; fixed-width banding (not quantiles) keeps it one map-side
+    // expression + a bands-sized aggregate at any corpus scale
+    "t31_gate_calibration" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val seed = d.filter(col("source") === "src0" || col("doc_id") % 3 === 0)
+        .select(col("doc_id"), (col("source") === "src0").as("lab"))
+      val scored = graft.ops.CorpusStats.nbQualityScore(d, "doc_id", "text", seed)
+      graft.ops.CorpusStats.calibrationCurve(scored, "score_q", seed)
+        .orderBy(col("bin"))
+    }),
+
     "t15_nb_quality" -> ((s, dir) => {
       val d = docs(s, dir)
       val seed = d.filter(col("source") === "src0" || col("doc_id") % 3 === 0)
@@ -3139,6 +3153,22 @@ object PipelineQueries {
       s"""WITH $nbQualityCtes
          |SELECT doc_id, n_tokens, score_q, score_q > 0 AS pred
          |FROM nb ORDER BY doc_id""".stripMargin,
+
+    // t31: t15's nb scores joined back to the gold seed labels, banded
+    // on the shifted nonnegative grid (floor ≡ trunc division there)
+    "t31_gate_calibration" ->
+      s"""WITH $nbQualityCtes,
+         |lab31 AS (
+         |  SELECT doc_id, (source = 'src0') AS lab FROM documents
+         |  WHERE source = 'src0' OR doc_id % 3 = 0),
+         |b31 AS (
+         |  SELECT (least(greatest(score_q, -1000000), 999999) + 1000000) // 200000 AS bin,
+         |    lab
+         |  FROM nb JOIN lab31 USING (doc_id))
+         |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  CAST((sum(CASE WHEN lab THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS pos_ppm
+         |FROM b31 GROUP BY bin ORDER BY bin""".stripMargin,
 
     // s14 = t15's classifier as a streaming admission gate over a frozen
     // model: the admitted set is exactly t15's positive-score rows
