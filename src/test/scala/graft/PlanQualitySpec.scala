@@ -604,6 +604,36 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans.isEmpty, s"expected no re-read of events, got ${scans.length} scans")
   }
 
+  test("q29 salsa: alternating iterations leave a FLAT plan — lineage truncated per round") {
+    // same contract as q26: the delivered frame sits on a materialized
+    // checkpoint boundary — no joins, no re-scan of events in its plan
+    val root = q("q29_salsa").queryExecution.optimizedPlan
+    val joins = root.collect { case j: Join => j }
+    assert(joins.isEmpty, s"expected checkpoint-flat plan, got ${joins.length} joins")
+    val scans = root.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r }
+    assert(scans.isEmpty, s"expected no re-read of events, got ${scans.length} scans")
+  }
+
+  test("d27 source dup census: joins sit above the (source,fp) aggregate — no window, no corpus-keyed join") {
+    val root = q("d27_source_dup_census").queryExecution.optimizedPlan
+    val windows = root.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.isEmpty, "the census is aggregate-only — no window anywhere")
+    // every join input must already be aggregated (distinct-content-sized)
+    val joins = root.collect { case j: Join => j }
+    assert(joins.nonEmpty && joins.forall(_.children.forall(_.find {
+      case _: Aggregate => true; case _ => false }.isDefined)),
+      "joins must run on distinct-content frames, never the raw corpus")
+  }
+
+  test("t31 calibration: banding is one map-side expression — no window, no sort below the aggregate") {
+    val root = q("t31_gate_calibration").queryExecution.optimizedPlan
+    val windows = root.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.isEmpty, "fixed-width bands need no window/rank")
+  }
+
   test("q24 last-touch: the only window is user-partitioned — never a global sort") {
     val root = q("q24_last_touch").queryExecution.optimizedPlan
     val windows = root.collect {

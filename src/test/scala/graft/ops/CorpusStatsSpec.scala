@@ -355,4 +355,29 @@ class CorpusStatsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1))
     assert(again.toSeq == got.toSeq, "TextRank must be partition-order-free")
   }
+
+  test("calibrationCurve: fixed bands, clamping, exact ppm rates") {
+    import spark.implicits._
+    // bands of 200000 over [-1000000, 999999]: bin = (clamp+1e6) div 2e5
+    val scored = Seq(
+      (1L, -5000000L), // clamps to lo → bin 0
+      (2L, -100001L),  // bin 4
+      (3L, 0L),        // bin 5
+      (4L, 100000L),   // bin 5
+      (5L, 350000L),   // bin 6
+      (6L, 9999999L)   // clamps to hi → bin 9
+    ).toDF("doc_id", "score_q")
+    val labels = Seq((1L, false), (2L, false), (3L, true), (4L, false),
+      (5L, true), (6L, true)).toDF("doc_id", "lab")
+    val got = CorpusStats.calibrationCurve(scored, "score_q", labels)
+      .orderBy(col("bin")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == ((1L, 0L, 0L)) && got(4L) == ((1L, 0L, 0L)), got.toString)
+    assert(got(5L) == ((2L, 1L, 500000L)), "bin 5: one of two gold → 500000 ppm")
+    assert(got(6L) == ((1L, 1L, 1000000L)) && got(9L) == ((1L, 1L, 1000000L)), got.toString)
+    // only labeled docs participate
+    val half = CorpusStats.calibrationCurve(scored, "score_q",
+      labels.filter(col("doc_id") <= 3L))
+    assert(half.agg(org.apache.spark.sql.functions.sum("n_docs")).head.getLong(0) == 3L)
+  }
 }

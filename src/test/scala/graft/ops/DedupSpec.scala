@@ -862,4 +862,19 @@ class DedupSpec extends SparkSpec {
     val s1 = docs.select(Dedup.skeleton(col("text"))).collect().map(_.getString(0))
     assert(s1(0) == "w #9: w $9 (w 9)" && s1(4) == "w [9] w $9 w 9", s1.mkString("|"))
   }
+
+  test("sourceDupCensus: internal copies, cross-shared texts, ppm grid") {
+    import spark.implicits._
+    // srcA: "x" twice (internal dup) + "y"; srcB: "y" (cross-shared with
+    // A) + "z"; canonicalization folds whitespace ("x" ≡ " x  ")
+    val docs = Seq(
+      ("srcA", "x"), ("srcA", " x  "), ("srcA", "y"),
+      ("srcB", "y"), ("srcB", "z")).toDF("source", "text")
+    val got = Dedup.sourceDupCensus(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // srcA: 3 docs, 2 distinct, 1 internal dup, 1 cross-shared, 333333 ppm
+    assert(got("srcA") == ((3L, 2L, 1L, 1L, 333333L)), got.toString)
+    assert(got("srcB") == ((2L, 2L, 0L, 1L, 0L)), got.toString)
+  }
 }

@@ -365,4 +365,33 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L) == ((0, 0, 0, 0)), got.toString)
     assert(!got.contains(4L), "undecodable payloads have no raster to crop")
   }
+
+  test("aspectBuckets: exact-integer nearest assignment, tie to the earlier bucket, undecodable dropped") {
+    import spark.implicits._
+    def png(id: Long, w: Int, h: Int) = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      (id, "image/png", bos.toByteArray)
+    }
+    val media = Seq(
+      png(1L, 32, 32),   // exact 1:1
+      png(2L, 64, 36),   // exact 16:9
+      png(3L, 40, 30),   // exact 4:3
+      png(4L, 30, 40),   // exact 3:4
+      png(5L, 33, 32),   // slightly wide of square → still (1,1)
+      (6L, "image/png", Array[Byte](9, 9))) // undecodable → dropped
+      .toDF("doc_id", "mime", "payload")
+    val got = Multimodal.aspectBuckets(media).collect()
+      .map(a => a.doc_id -> ((a.bucket_w, a.bucket_h))).toMap
+    assert(got(1L) == ((1, 1)) && got(2L) == ((16, 9)) && got(3L) == ((4, 3))
+      && got(4L) == ((3, 4)) && got(5L) == ((1, 1)), got.toString)
+    assert(!got.contains(6L), "undecodable payloads are dropped")
+    // the real dims feed the assignment: a 2:1 image is NOT in the list —
+    // nearest by |D·w − rs·h| is 16:9 (|288·... closest cross-multiplied)
+    val wide = Multimodal.aspectBuckets(Seq(png(7L, 64, 32)).toDF("doc_id", "mime", "payload"))
+      .collect().head
+    assert((wide.bucket_w, wide.bucket_h) == ((16, 9)), s"${wide.bucket_w}:${wide.bucket_h}")
+  }
 }

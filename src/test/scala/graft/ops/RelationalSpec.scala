@@ -119,4 +119,41 @@ class RelationalSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("empty"))
   }
+
+  // ---- salsa ----
+
+  private def sl(edges: Seq[(Long, Long, Long)], iters: Int = 5) = {
+    import spark.implicits._
+    Relational.salsa(edges.toDF("src", "dst", "w"), iters)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+  }
+
+  test("salsa: symmetric 2-cycle gives equal auth and hub everywhere; mass conserved") {
+    val m = sl(Seq((1L, 2L, 1L), (2L, 1L, 1L)))
+    assert(m(1L) == m(2L), "symmetric graph must tie")
+    val authTotal = m.values.map(_._1).sum
+    val hubTotal = m.values.map(_._2).sum
+    // probability-normalized walks conserve L1 mass up to grid truncation
+    assert(authTotal <= 1000000000000L && authTotal > 1000000000000L - 1000L, s"$authTotal")
+    assert(hubTotal <= 1000000000000L && hubTotal > 1000000000000L - 1000L, s"$hubTotal")
+  }
+
+  test("salsa: an authority fed by every hub outranks; pure hubs carry zero auth") {
+    // 1→3, 2→3, 1→4: node 3 is the stronger authority, 1/2 are pure hubs
+    val m = sl(Seq((1L, 3L, 1L), (2L, 3L, 1L), (1L, 4L, 1L)))
+    assert(m(3L)._1 > m(4L)._1, m.toString)
+    assert(m(1L)._1 == 0L && m(2L)._1 == 0L, "pure hubs have no authority mass")
+    assert(m(3L)._2 == 0L && m(4L)._2 == 0L, "pure authorities have no hub mass")
+    assert(m(1L)._2 > m(2L)._2, "the hub covering more authorities collects more hub mass")
+  }
+
+  test("salsa: deterministic under input shuffling and repartitioning") {
+    import spark.implicits._
+    val edges = (0L until 40L).map(i => (i, (i * 7 + 3) % 40, 1L + i % 3))
+    val a = sl(edges)
+    val shuffled = scala.util.Random.shuffle(edges.toVector)
+    val b = Relational.salsa(shuffled.toDF("src", "dst", "w").repartition(7), 5)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(a == b, "integer fixed-point SALSA must be partition-order-free")
+  }
 }
