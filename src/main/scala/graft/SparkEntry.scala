@@ -351,7 +351,7 @@ object SparkEntry {
     "a20_ann_drift", "a21_ann_ivf_rpq", "a22_ann_ivf_rpq_index", "q26_item_rank", "p36_cluster_quota", "p37_effective_tokens",
     "t28_vocab_coverage", "t29_langid_confusion", "s31_stream_cluster_quota",
     "t30_textrank_terms", "a24_ann_autotune", "p38_assistant_spans",
-    "q28_trust_rank", "q29_salsa", "d27_source_dup_census",
+    "q28_trust_rank", "q29_salsa", "d27_source_dup_census", "a25_knn_graph",
     "s18_stream_ivfpq_ingest", "s24_stream_drift", "s26_stream_rpq_ingest")
 
   def oracleSql: Map[String, String] = oracleSqlBase.map {

@@ -116,6 +116,33 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** k-NN GRAPH build — every vector's top-k cosine neighbors within the
+    * corpus itself: the substrate of SemDeDup-style cluster pruning,
+    * graph-based diversity sampling, and label propagation over
+    * embeddings. Brute force is O(n²) and dies first at scale; this is
+    * the standard IVF-bounded build: train the coarse codebook once,
+    * assign every vector MAP-ONLY (codebook inlined as plan literals,
+    * [[centroidBest]]), and confine pairwise work to same-cell pairs via
+    * ONE c_id-keyed self-join — expected pair count n²/nCentroids, so
+    * nCentroids ~ √n (caller-chosen) bounds each cell's quadratic term
+    * to O(n). Exact integer-quantized cosine re-rank inside the cell;
+    * top-k per node through the bounded-heap aggregate (no window over
+    * the scored set). Same-cell confinement is the recall/cost tradeoff
+    * (boundary neighbors in adjacent cells are missed — the a03 nProbe
+    * story applied to graph building). Output: (q_id, n_id, sim, rk). */
+  def knnGraph(corpus: DataFrame, k: Int, nCentroids: Int = 8,
+               iters: Int = 2): DataFrame = {
+    val cents = trainCentroids(corpus, nCentroids, iters)
+    val assigned = corpus.withColumn("c_id",
+      centroidBest(cents, col("q"), col("nq")))
+    val b = assigned.select(col("vec_id").as("q_id"), col("q").as("q_vec"),
+      col("nq").as("q_nq"), col("c_id"))
+    val scored = assigned.join(b, Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", cosineq(col("q"), col("q_vec"), col("nq"), col("q_nq")))
+    topK(scored, k)
+  }
+
   /** A trained codebook small enough to live in the plan: centroid id,
     * quantized vector, integer norm. */
   case class Centroid(cId: Long, vec: Seq[Long], nq: Long)

@@ -706,6 +706,16 @@ object ExtendedQueries {
         .orderBy(col("c_id"))
     }),
 
+    // k-NN GRAPH: every vector's top-3 same-cell cosine neighbors — the
+    // IVF-bounded corpus self-join (n²/cells pairs, map-only assignment,
+    // bounded-heap top-k), the substrate of cluster pruning and
+    // graph-propagation ops
+    "a25_knn_graph" -> ((s, dir) => {
+      val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
+      Similarity.knnGraph(corpus, k = 3, nCentroids = 8)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // IVF ANN: coarse-quantizer assignment + nProbe-list exact re-rank
     "a03_ann_ivf" -> ((s, dir) => {
       val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
@@ -4326,6 +4336,21 @@ object ExtendedQueries {
          |FROM f""".stripMargin,
 
     "a03_ann_ivf" -> a03Oracle,
+
+    // a25: the shared assignment CTEs + a same-cell self-join, top-3 per
+    // node — corpus_a consumed twice → materialized via the allowlist
+    "a25_knn_graph" ->
+      s"""$kmeansAssignCtes,
+         |sc25 AS (
+         |  SELECT b.vec_id AS q_id, a.vec_id AS n_id,
+         |    CASE WHEN a.nn = 0 OR b.nn = 0 THEN 0.0
+         |         ELSE list_dot_product(a.q::DOUBLE[], b.q::DOUBLE[]) / (sqrt(a.nn) * sqrt(b.nn)) END AS sim
+         |  FROM corpus_a a JOIN corpus_a b ON a.c_id = b.c_id AND a.vec_id <> b.vec_id)
+         |SELECT q_id, n_id, sim, rk FROM (
+         |  SELECT q_id, n_id, sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
+         |  FROM sc25)
+         |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
 
     "a06_ann_pq" -> a06Oracle,
 
