@@ -323,6 +323,35 @@ object Relational {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** BURST detection over an event log: time buckets where a type's
+    * event count spikes to ≥ `factor`× its own floor-mean bucket rate —
+    * the traffic-anomaly / trending-topic census (run over crawl logs it
+    * flags the scrape storms a curation pipeline should down-weight).
+    *
+    * All-integer semantics so both engines agree bit-for-bit: the
+    * per-type mean is the FLOOR mean (total div active-buckets, clamped
+    * ≥ 1), the spike ratio lands on the 1e-6 grid via truncating div —
+    * n·1e6 stays < 2⁶³ for any corpus under ~9.2e12 events per
+    * (type, bucket), no guard needed.
+    *
+    * Scale shape: ONE events-sized shuffle to the (type, bucket) census
+    * (map-side combined); everything after is census-sized — the totals
+    * frame is types-sized and rides back as an explicit broadcast.
+    * Output: (event_type, bucket, n, ratio_q), bursts only. */
+  def burstCensus(events: DataFrame, typeCol: String, tsSecCol: String,
+                  bucketSecs: Long = 3600L, factor: Long = 2L): DataFrame = {
+    val census = events.select(col(typeCol).as("event_type"),
+        expr(s"$tsSecCol div ${bucketSecs}L").as("bucket"))
+      .groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("n"))
+    val totals = census.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("total_n"), count(lit(1)).as("buckets_active"))
+    census.join(broadcast(totals), Seq("event_type"))
+      .withColumn("mean_f", expr("greatest(total_n div buckets_active, 1L)"))
+      .filter(col("n") >= lit(factor) * col("mean_f"))
+      .select(col("event_type"), col("bucket"), col("n"),
+        expr("(n * 1000000L) div mean_f").as("ratio_q"))
+  }
+
   /** SALSA hub/authority scores over a weighted directed graph — the
     * stochastic (random-walk) variant of HITS, the link-analysis score
     * behind "who-to-follow"-style ranking. Unlike HITS, each step is a

@@ -234,6 +234,16 @@ object ExtendedQueries {
           nodes.filter(col("item") < 10), 10)
     }),
 
+    // BURST census: hourly buckets where an event type runs ≥2× its own
+    // floor-mean rate — the scrape-storm / trending-anomaly flag over
+    // ingest logs; one events shuffle, census-sized everything after
+    "q30_burst_census" -> ((s, dir) => {
+      graft.ops.Relational.burstCensus(
+          eventsSec(s, dir).select(col("event_type"), col("ts_s")),
+          "event_type", "ts_s")
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
     // SALSA hub/authority: the stochastic-HITS score over the same
     // behavioral transition graph — probability-normalized walks make the
     // iteration integer-exact (no L2 normalization), so five alternating
@@ -3470,6 +3480,23 @@ object ExtendedQueries {
          |seeds AS (SELECT item FROM nodes WHERE item < 10),
          |${personalizedPageRankCtes("eg")}
          |SELECT item, CAST(r AS BIGINT) AS pr_q FROM r10 ORDER BY pr_q DESC, item""".stripMargin,
+
+    // q30: the (type, hour) census, floor-mean per type, spike filter —
+    // census CTE consumed twice → materialized via the allowlist
+    "q30_burst_census" ->
+      """WITH ev30 AS (
+        |  SELECT event_type, (epoch_ns(ts) // 1000000000) // 3600 AS bucket FROM events),
+        |c30 AS (SELECT event_type, bucket, count(*) AS n FROM ev30 GROUP BY 1, 2),
+        |t30_ AS (SELECT event_type, sum(n) AS total_n, count(*) AS buckets_active
+        |         FROM c30 GROUP BY 1),
+        |j30 AS (
+        |  SELECT c30.event_type, bucket, n,
+        |    greatest(total_n // buckets_active, 1) AS mean_f
+        |  FROM c30 JOIN t30_ USING (event_type))
+        |SELECT event_type, CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n,
+        |  CAST((n * 1000000) // mean_f AS BIGINT) AS ratio_q
+        |FROM j30 WHERE n >= 2 * mean_f
+        |ORDER BY event_type, bucket""".stripMargin,
 
     // q29: the q26 graph CTEs + the alternating SALSA iteration; the
     // final full join surfaces pure hubs (auth 0) and pure authorities
