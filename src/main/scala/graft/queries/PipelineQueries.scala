@@ -72,6 +72,23 @@ object PipelineQueries {
     * train+score — seed labeling, Laplace-smoothed per-token class
     * likelihoods quantized to the 10⁻⁶ grid, exact integer log-odds sum
     * plus prior — ending in an `nb` CTE of (doc_id, n_tokens, score_q). */
+  /** Shared by t31 (batch) and s33 (streaming fold of the same bands):
+    * nb scores joined back to the gold seed labels, banded on the
+    * shifted nonnegative grid (floor ≡ trunc division there). */
+  private lazy val t31OracleSql: String =
+    s"""WITH $nbQualityCtes,
+       |lab31 AS (
+       |  SELECT doc_id, (source = 'src0') AS lab FROM documents
+       |  WHERE source = 'src0' OR doc_id % 3 = 0),
+       |b31 AS (
+       |  SELECT (least(greatest(score_q, -1000000), 999999) + 1000000) // 200000 AS bin,
+       |    lab
+       |  FROM nb JOIN lab31 USING (doc_id))
+       |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  CAST((sum(CASE WHEN lab THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS pos_ppm
+       |FROM b31 GROUP BY bin ORDER BY bin""".stripMargin
+
   private[queries] val nbQualityCtes: String =
     """d AS (SELECT doc_id, text, source FROM documents
       |       WHERE length(trim(text)) > 0),
@@ -764,6 +781,39 @@ object PipelineQueries {
           s.read.parquet(s"$work/model"), s.read.parquet(s"$work/consts"),
           in, s"$work/out", s"$work/ckpt")
         .orderBy(col("doc_id"))
+    }),
+
+    // t31's stream twin: the frozen gate's CALIBRATION monitored on the
+    // labeled slice of the ingest stream — per-band (n, n_pos) counters
+    // (≤ bands rows, constant in stream length) folded additively under
+    // the HWM/replay-skip contract; scoring stateless via the broadcast-
+    // probe nbScore. Drained curve == batch t31, its oracle
+    "s33_stream_calibration" -> ((s, dir) => {
+      val work = graft.queries.ExtendedQueries.scratchDir("graft_s33")
+      val d = docs(s, dir)
+      val seed = d.filter(col("source") === "src0" || col("doc_id") % 3 === 0)
+        .select(col("doc_id"), (col("source") === "src0").as("lab"))
+      val in = graft.queries.ExtendedQueries.onceLog("s33", dir) { path =>
+        val labeled = d.join(seed, Seq("doc_id"))
+          .select(col("doc_id"), col("text"), col("lab"))
+        val b = labeled.agg(min(col("doc_id")), max(col("doc_id"))).first()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val c1 = lo + (hi - lo) / 3
+        val c2 = lo + 2 * (hi - lo) / 3
+        Seq(col("doc_id") <= c1,
+            col("doc_id") > c1 && col("doc_id") <= c2,
+            col("doc_id") > c2).foreach { p =>
+          labeled.filter(p).coalesce(1).write.mode("append").parquet(path)
+          Thread.sleep(20) // distinct mtimes → deterministic oldest-first arrival
+        }
+      }
+      val (model, consts) = graft.ops.CorpusStats.nbTrain(d, "doc_id", "text", seed)
+      model.write.mode("overwrite").parquet(s"$work/model")
+      consts.write.mode("overwrite").parquet(s"$work/consts")
+      graft.streaming.StreamCalibration.drain(s,
+          s.read.parquet(s"$work/model"), s.read.parquet(s"$work/consts"),
+          s"$work/agg", in, s"$work/ckpt")
+        .orderBy(col("bin"))
     }),
 
     // t16's stream twin: the DSIR importance gate as ingestion ADMISSION —
@@ -3156,19 +3206,12 @@ object PipelineQueries {
 
     // t31: t15's nb scores joined back to the gold seed labels, banded
     // on the shifted nonnegative grid (floor ≡ trunc division there)
-    "t31_gate_calibration" ->
-      s"""WITH $nbQualityCtes,
-         |lab31 AS (
-         |  SELECT doc_id, (source = 'src0') AS lab FROM documents
-         |  WHERE source = 'src0' OR doc_id % 3 = 0),
-         |b31 AS (
-         |  SELECT (least(greatest(score_q, -1000000), 999999) + 1000000) // 200000 AS bin,
-         |    lab
-         |  FROM nb JOIN lab31 USING (doc_id))
-         |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-         |  CAST((sum(CASE WHEN lab THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS pos_ppm
-         |FROM b31 GROUP BY bin ORDER BY bin""".stripMargin,
+    "t31_gate_calibration" -> t31OracleSql,
+
+    // s33 = t31 incrementally: per-band counters are additive over
+    // disjoint labeled docs and scoring is stateless against the frozen
+    // model, so the drained curve is t31's — its oracle, stated once
+    "s33_stream_calibration" -> t31OracleSql,
 
     // s14 = t15's classifier as a streaming admission gate over a frozen
     // model: the admitted set is exactly t15's positive-score rows
