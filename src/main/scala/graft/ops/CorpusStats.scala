@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level statistical scoring: operators whose per-document output
@@ -301,6 +302,62 @@ object CorpusStats {
       .select(col("doc_id"), col("n_tokens"),
         (col("diff") + col("_p")).as("score_q"),
         (col("diff") + col("_p") > 0).as("pred"))
+  }
+
+  /** EXCESS-LOSS mixture reweighting (the DoReMi idea on the engine's
+    * own t10 signal): per-source bigram-LM loss vs the global loss, and
+    * a mixture weight ∝ the positive excess — sources the corpus LM
+    * models WORST get upweighted, the domain-reweighting prior a
+    * mixture is trained under. All integer:
+    *  - per-(source, bigram) counts feed the global model (c_bg/c_ug)
+    *    and the per-source quantized-log-prob sums (qLogP ≤ 0 always:
+    *    c_bg ≤ c_ug), exactly t10's grid;
+    *  - means use magnitude-floor division `-((-S) div M)` — operand
+    *    nonneg, so truncating (Spark) and floor (DuckDB) agree;
+    *  - weights normalize to the 1e-6 grid with LARGEST-REMAINDER exact
+    *    distribution (remainder desc, source asc) so Σ weight_ppm is
+    *    EXACTLY 1e6; zero total excess (all sources equal) degrades to
+    *    uniform via a unit base.
+    *
+    * Scale shape: one corpus shuffle to (source, bigram) counts; the
+    * model aggregates and probe join run on the vocabulary-sized frame;
+    * everything from the per-source rollup down is sources-sized
+    * (census windows above aggregates — the p33 discipline).
+    * Output: (source, n_bigrams, mean_logp_q, excess_q, weight_ppm). */
+  def excessLossWeights(docs: DataFrame, sourceCol: String,
+                        textCol: String): DataFrame = {
+    val db = docBigrams(docs, sourceCol, textCol)
+      .withColumnRenamed("doc_id", "source")
+    val bgc = db.groupBy("w1", "w2").agg(sum("m").as("c_bg"))
+    val ugc = db.groupBy("w1").agg(sum("m").as("c_ug"))
+    val qLogP = round(log(col("c_bg").cast("double") / col("c_ug")) * 1e6)
+      .cast("long")
+    val perSource = db.join(bgc, Seq("w1", "w2")).join(ugc, Seq("w1"))
+      .groupBy(col("source"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(col("m") * qLogP).as("s_q"))
+      .withColumn("mean_logp_q", expr("-((-s_q) div n_bigrams)"))
+    val glob = perSource.agg(sum(col("s_q")).as("gs"), sum(col("n_bigrams")).as("gm"))
+      .select(expr("-((-gs) div gm)").as("g_q"))
+    val ex = perSource.crossJoin(broadcast(glob))
+      .withColumn("excess_q", greatest(col("g_q") - col("mean_logp_q"), lit(0L)))
+    val tot = ex.agg(sum(col("excess_q")).as("t_ex"), count(lit(1)).as("n_src"))
+    val based = ex.crossJoin(broadcast(tot))
+      .withColumn("base", when(col("t_ex") === 0L, lit(1L)).otherwise(col("excess_q")))
+      .withColumn("t2", when(col("t_ex") === 0L, col("n_src")).otherwise(col("t_ex")))
+      .withColumn("w0", expr("(base * 1000000L) div t2"))
+      .withColumn("rem", expr("(base * 1000000L) % t2"))
+    // sources-sized windows: the remainder rank and the spent sum
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    based
+      .withColumn("_r", lit(1000000L) - sum(col("w0")).over(wAll))
+      .withColumn("_rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))))
+      .withColumn("weight_ppm",
+        col("w0") + when(col("_rk") <= col("_r"), 1L).otherwise(0L))
+      .select(col("source"), col("n_bigrams"), col("mean_logp_q"),
+        col("excess_q"), col("weight_ppm"))
   }
 
   /** CALIBRATION (reliability) curve for a quantized classifier score:

@@ -1660,6 +1660,17 @@ object ExtendedQueries {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // EXCESS-LOSS mixture weights: per-source bigram-LM loss vs global,
+    // weight ∝ positive excess normalized to exactly 1e6 ppm via
+    // largest-remainder — the DoReMi-style domain reweighting prior
+    // computed from the engine's own t10 signal
+    "p39_excess_loss_weights" -> ((s, dir) => {
+      graft.ops.CorpusStats.excessLossWeights(
+          t(s, dir, "documents").select(col("source"), col("text")),
+          "source", "text")
+        .orderBy(col("source"))
+    }),
+
     // PER-SOURCE duplication census: the d25 mirror fixture again —
     // mirrored sources show up with high n_cross_shared, sources with
     // internal copies show dup_ppm > 0 — the per-source datasheet row
@@ -3976,6 +3987,49 @@ object ExtendedQueries {
         |SELECT a.src AS src_a, b.src AS src_b, CAST(count(*) AS BIGINT) AS n_shared
         |FROM sfp a JOIN sfp b ON a.fp = b.fp AND a.src < b.src
         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
+    // p39: t10's model CTEs at source granularity; magnitude-floor means
+    // (-((0-S)//M): nonneg operand, floor ≡ trunc), largest-remainder
+    // ppm weights; db consumed 3× → materialized via the allowlist
+    "p39_excess_loss_weights" ->
+      """WITH tok39 AS (
+        |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |bg39 AS (
+        |  SELECT source, unnest(list_transform(generate_series(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1])) AS b
+        |  FROM tok39 WHERE len(tk) >= 2),
+        |db39 AS (SELECT source, b, split_part(b, ' ', 1) AS w1, count(*) AS m
+        |         FROM bg39 GROUP BY 1, 2, 3),
+        |bgc39 AS (SELECT b, sum(m) AS c_bg FROM db39 GROUP BY b),
+        |ugc39 AS (SELECT w1, sum(m) AS c_ug FROM db39 GROUP BY w1),
+        |ps39 AS (
+        |  SELECT source, sum(m) AS n_bigrams,
+        |    sum(m * CAST(round(ln(CAST(c_bg AS DOUBLE) / c_ug) * 1000000) AS BIGINT)) AS s_q
+        |  FROM db39 JOIN bgc39 USING (b) JOIN ugc39 USING (w1) GROUP BY source),
+        |pm39 AS (SELECT source, n_bigrams, s_q,
+        |           -((0 - s_q) // n_bigrams) AS mean_logp_q FROM ps39),
+        |g39 AS (SELECT -((0 - sum(s_q)) // sum(n_bigrams)) AS g_q FROM pm39),
+        |ex39 AS (SELECT source, n_bigrams, mean_logp_q,
+        |           greatest(g_q - mean_logp_q, 0) AS excess_q
+        |         FROM pm39 CROSS JOIN g39),
+        |tt39 AS (SELECT sum(excess_q) AS t_ex, count(*) AS n_src FROM ex39),
+        |ws39 AS (
+        |  SELECT source, n_bigrams, mean_logp_q, excess_q,
+        |    (CASE WHEN t_ex = 0 THEN 1 ELSE excess_q END * 1000000)
+        |      // (CASE WHEN t_ex = 0 THEN n_src ELSE t_ex END) AS w0,
+        |    (CASE WHEN t_ex = 0 THEN 1 ELSE excess_q END * 1000000)
+        |      % (CASE WHEN t_ex = 0 THEN n_src ELSE t_ex END) AS rem
+        |  FROM ex39 CROSS JOIN tt39),
+        |fin39 AS (
+        |  SELECT *, 1000000 - sum(w0) OVER () AS r_,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |  FROM ws39)
+        |SELECT source, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |  CAST(mean_logp_q AS BIGINT) AS mean_logp_q,
+        |  CAST(excess_q AS BIGINT) AS excess_q,
+        |  CAST(w0 + CASE WHEN rk <= r_ THEN 1 ELSE 0 END AS BIGINT) AS weight_ppm
+        |FROM fin39 ORDER BY source""".stripMargin,
 
     // d27: the d25 fixture + fingerprint; g is consumed twice (census +
     // per-fp source count) → materialized via the allowlist
