@@ -380,4 +380,24 @@ class CorpusStatsSpec extends SparkSpec {
       labels.filter(col("doc_id") <= 3L))
     assert(half.agg(org.apache.spark.sql.functions.sum("n_docs")).head.getLong(0) == 3L)
   }
+
+  test("excessLossWeights: worse-modeled source upweighted; weights sum to exactly 1e6") {
+    import spark.implicits._
+    // srcA repeats one bigram (well modeled); srcB's bigrams are diluted
+    // by srcA's mass sharing the 'the' prefix → higher loss → more weight
+    val docs = Seq(
+      ("srcA", "the cat the cat the cat"), ("srcA", "the cat the cat"),
+      ("srcB", "the dog runs far"), ("srcB", "the dog runs")
+    ).toDF("source", "text")
+    val got = CorpusStats.excessLossWeights(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("srcB")._4 > got("srcA")._4, got.toString)
+    assert(got.values.map(_._4).sum == 1000000L, "weights must sum to exactly 1e6 ppm")
+    // identical sources → zero excess everywhere → uniform split
+    val same = Seq(("s1", "a b c"), ("s2", "a b c")).toDF("source", "text")
+    val uni = CorpusStats.excessLossWeights(same, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(uni.values.toSeq.sorted == Seq(500000L, 500000L), uni.toString)
+  }
 }

@@ -147,6 +147,18 @@ class RelationalSpec extends SparkSpec {
     assert(m(1L)._2 > m(2L)._2, "the hub covering more authorities collects more hub mass")
   }
 
+  test("burstCensus: floor-mean spike flags, quiet types stay silent") {
+    import spark.implicits._
+    // type A: 10 events in hour 0, 1 in hours 1 and 2 → mean_f = 12/3 = 4,
+    // hour 0 bursts at ratio 10e6/4 = 2_500_000; type B flat → no burst
+    val ev = (Seq.fill(10)(("A", 100L)) ++ Seq(("A", 3700L), ("A", 7300L)) ++
+        Seq(("B", 100L), ("B", 200L), ("B", 3700L), ("B", 3800L)))
+      .toDF("event_type", "ts_s")
+    val got = Relational.burstCensus(ev, "event_type", "ts_s")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("A", 0L, 10L, 2500000L)), got.mkString(","))
+  }
+
   test("salsa: deterministic under input shuffling and repartitioning") {
     import spark.implicits._
     val edges = (0L until 40L).map(i => (i, (i * 7 + 3) % 40, 1L + i % 3))

@@ -766,4 +766,16 @@ class SimilaritySpec extends SparkSpec {
       .select("n_probe").distinct().collect().map(_.getLong(0)).toSeq
     assert(maxed == Seq(4L), "unreachable target falls back to the largest level")
   }
+
+  test("knnGraph: per-node top-k equals ivfTopK at nProbe=1 with the corpus as queries") {
+    // the kNN graph IS the nProbe=1 IVF search of every vector against
+    // the corpus — the self-join build must agree with the probe path
+    val g = Similarity.knnGraph(corpus, k = 3, nCentroids = 8)
+      .orderBy(col("q_id"), col("rk")).collect().toSeq
+    val probe = Similarity.ivfTopK(corpus, corpus, k = 3, nCentroids = 8, nProbe = 1)
+      .orderBy(col("q_id"), col("rk")).collect().toSeq
+    assert(g.nonEmpty && g == probe, s"graph ${g.take(3)} vs probe ${probe.take(3)}")
+    // no self-edges, rk dense from 1 per node
+    assert(g.forall(r => r.getLong(0) != r.getLong(1)), "self-edges excluded")
+  }
 }
