@@ -340,6 +340,80 @@ object Multimodal {
     }
   }
 
+  /** ROTATION-CANONICAL perceptual hash: the minimum aHash over the four
+    * 90° orientations of the decoded raster — re-oriented copies (phone
+    * photos, rotated scans, EXIF-stripped re-uploads) share one hash
+    * where plain [[aHash64]] splits them fourfold. Each orientation's
+    * hash is computed by walking the SAME in-memory raster with
+    * transformed coordinates (no pixel copy, no re-decode): per image
+    * this is 4 grid passes inside the one decode pass, rows never
+    * shuffle. min() canonicalizes because any of the four orientations
+    * of the same content produces the same 4-hash SET — the orbit is the
+    * identity, its least member the representative. Undecodable → −1. */
+  def canonicalAHash64(media: DataFrame, grid: Int = 8): Dataset[PerceptualHash] = {
+    require(grid > 0 && grid * grid <= 64, s"grid² must fit 64 bits: $grid")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        catch { case _: Exception => null }
+        if (img == null) PerceptualHash(r.doc_id, -1L)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          def gray(x: Int, y: Int): Long = {
+            val p = img.getRGB(x, y)
+            ((((p >>> 16) & 0xff) + ((p >>> 8) & 0xff) + (p & 0xff)) / 3).toLong
+          }
+          // one orientation's aHash over accessor-space dims (ww, hh)
+          def hashOf(ww: Int, hh: Int, pix: (Int, Int) => Long): Long = {
+            val cells = new Array[Long](grid * grid)
+            var cy = 0
+            while (cy < grid) {
+              var cx = 0
+              while (cx < grid) {
+                val x0 = cx * ww / grid; val x1 = (cx + 1) * ww / grid
+                val y0 = cy * hh / grid; val y1 = (cy + 1) * hh / grid
+                var sum = 0L; var n = 0L
+                var y = y0
+                while (y < y1) {
+                  var x = x0
+                  while (x < x1) { sum += pix(x, y); n += 1; x += 1 }
+                  y += 1
+                }
+                cells(cy * grid + cx) = if (n == 0) 0L else sum / n
+                cx += 1
+              }
+              cy += 1
+            }
+            val mean = cells.sum / cells.length
+            var hash = 0L
+            var i = 0
+            while (i < cells.length) {
+              if (cells(i) > mean) hash |= 1L << i
+              i += 1
+            }
+            hash
+          }
+          val h0 = hashOf(w, h, (x, y) => gray(x, y))
+          val h90 = hashOf(h, w, (x, y) => gray(y, h - 1 - x))
+          val h180 = hashOf(w, h, (x, y) => gray(w - 1 - x, h - 1 - y))
+          val h270 = hashOf(h, w, (x, y) => gray(w - 1 - y, x))
+          PerceptualHash(r.doc_id, Seq(h0, h90, h180, h270).min)
+        }
+      }
+    }
+  }
+
+  /** Rotation-invariant perceptual dedup: [[phashDedup]] over the
+    * canonical orientation hash — the grouping that catches re-oriented
+    * copies. Output: (phash, n_copies, keeper). */
+  def rotationDedup(media: DataFrame, grid: Int = 8): DataFrame =
+    canonicalAHash64(media, grid).toDF()
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+
   /** Perceptual media dedup: group by aHash — near-identical renders
     * (recompressions, format shifts, minor tone drift within the cell
     * threshold) land in one group even when their BYTES differ, which is

@@ -323,6 +323,46 @@ object Relational {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** CO-VISITATION item-item similarity: for every item, the top-k items
+    * most often sharing a session with it — the classic collaborative-
+    * filtering neighbor build (and, over a web corpus, the co-citation
+    * structure a curation pipeline mines). `events` must already carry a
+    * session assignment (userCol, sessCol — the s04/q27 1h-gap
+    * sessionization); items co-visit when they appear in the SAME
+    * session, each session counted once per pair (distinct items).
+    *
+    * Scale shape: one (user, session)-keyed aggregate collapses events
+    * to sorted distinct-item arrays; sessions larger than
+    * `maxSessionItems` are DROPPED before the pair explode (bot/crawler
+    * sessions are the hub shingles of co-visitation — the df-cap
+    * discipline), so the quadratic term is capped at cap²/2 per session;
+    * pairs generate MAP-SIDE from the arrays (never a self-join), one
+    * (a, b)-keyed count, and the per-item top-k rides the bounded-heap
+    * aggregate. Pairs normalize a < b via the sorted array, so counts
+    * are partition-order-free. Output: (item, nb, co_n, rk). */
+  def coVisitation(events: DataFrame, userCol: String, sessCol: String,
+                   itemCol: String, k: Int = 5,
+                   maxSessionItems: Int = 20): DataFrame = {
+    val sets = events.filter(col(itemCol).isNotNull)
+      .groupBy(col(userCol), col(sessCol))
+      .agg(array_sort(collect_set(col(itemCol))).as("items"))
+      .filter(size(col("items")).between(2, maxSessionItems))
+    val pairs = sets.select(explode(flatten(transform(
+        sequence(lit(1), size(col("items")) - 1),
+        i => transform(sequence(i + 1, size(col("items"))),
+          j => struct(element_at(col("items"), i).as("a"),
+            element_at(col("items"), j).as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val c = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+    val sym = c.select(col("a").as("item"), col("b").as("nb"), col("n"))
+      .unionByName(c.select(col("b").as("item"), col("a").as("nb"), col("n")))
+    sym.groupBy(col("item"))
+      .agg(graft.expr.hfunctions.topk_by(col("n").cast("double"), col("nb"), k).as("top"))
+      .select(col("item"), explode(col("top")).as("t"))
+      .select(col("item"), col("t.n_id").as("nb"),
+        col("t.sim").cast("long").as("co_n"), col("t.rk").as("rk"))
+  }
+
   /** BURST detection over an event log: time buckets where a type's
     * event count spikes to ≥ `factor`× its own floor-mean bucket rate —
     * the traffic-anomaly / trending-topic census (run over crawl logs it

@@ -213,6 +213,28 @@ object ExtendedQueries {
         .limit(10)
     }),
 
+    // CO-VISITATION neighbors: top-5 items sharing q27's 1h-gap sessions
+    // with each item — the collaborative-filtering build; session item
+    // sets capped at 20 (bot sessions are co-visitation's hub shingles),
+    // pairs generated map-side from sorted arrays, never a self-join
+    "q31_covisitation" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ev = t(s, dir, "events").select(
+        col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        expr("ts div 1000000000").as("ts_s"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      val sess = ev.withColumn("prev", lag(col("ts_s"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("ts_s") - col("prev") > 3600, 1L).otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(run))
+      graft.ops.Relational.coVisitation(sess, "user_id", "sess_id", "item",
+          k = 5, maxSessionItems = 20)
+        .orderBy(col("item"), col("rk"))
+    }),
+
     // TRUST RANK: personalized PageRank over the same item graph with
     // teleport restricted to a curated SEED set (items < 10) — the
     // spam-demotion / source-trust prior: rank measures proximity-
@@ -3457,6 +3479,41 @@ object ExtendedQueries {
         |      FROM z)
         |SELECT e1, e2, e3, count(*) AS n FROM p WHERE e1 IS NOT NULL
         |GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 10""".stripMargin,
+
+    // q31: q27's sessionization + per-session sorted distinct items,
+    // a<b pair unnest, symmetric counts, rank-5 per item; z31 consumed
+    // once per layer but the chain is deep → materialized via allowlist
+    "q31_covisitation" ->
+      """WITH e31 AS (SELECT user_id, event_id,
+        |    epoch_ns(ts) // 1000000000 AS ts_s,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item FROM events),
+        |x31 AS (SELECT *, lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev
+        |        FROM e31),
+        |y31 AS (SELECT user_id, event_id, item, ts_s,
+        |          CASE WHEN prev IS NULL OR ts_s - prev > 3600 THEN 1 ELSE 0 END AS new_sess
+        |        FROM x31),
+        |z31 AS (SELECT user_id, item,
+        |          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |        FROM y31),
+        |s31_ AS (SELECT user_id, sess_id,
+        |           list_sort(list_distinct(list(item))) AS items
+        |         FROM z31 WHERE item IS NOT NULL GROUP BY 1, 2),
+        |f31 AS (SELECT items FROM s31_ WHERE len(items) BETWEEN 2 AND 20),
+        |p31_ AS (
+        |  SELECT u.a AS a, u.b AS b FROM (
+        |    SELECT unnest(flatten(list_transform(generate_series(1, len(items) - 1),
+        |      i -> list_transform(generate_series(i + 1, len(items)),
+        |        j -> {'a': items[i], 'b': items[j]})))) AS u
+        |    FROM f31)),
+        |c31 AS (SELECT a, b, count(*) AS n FROM p31_ GROUP BY 1, 2),
+        |sym31 AS (SELECT a AS item, b AS nb, n FROM c31
+        |          UNION ALL SELECT b, a, n FROM c31),
+        |r31 AS (SELECT item, nb, n,
+        |          row_number() OVER (PARTITION BY item ORDER BY n DESC, nb ASC) AS rk
+        |        FROM sym31)
+        |SELECT item, nb, CAST(n AS BIGINT) AS co_n, rk
+        |FROM r31 WHERE rk <= 5 ORDER BY item, rk""".stripMargin,
 
     // q26: ten unrolled fixed-point iterations — every CTE is consumed
     // twice (in-sum join + dangling scalar), so this oracle is on the

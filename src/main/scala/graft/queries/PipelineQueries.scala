@@ -1583,6 +1583,17 @@ object PipelineQueries {
     // id%4 cols) around a solid non-black content box; the operator
     // must recover the crop from the RASTER (the decode + border scans
     // genuinely run) while the oracle predicts it from the arithmetic
+    // ROTATION-invariant perceptual dedup: ids ≡ 0 (mod 7) render their
+    // class pattern rotated 90° — plain aHash (m08) splits them off;
+    // the canonical min-over-orientations hash reunites every class.
+    // The real codec + 4 grid walks run; the oracle replays all four
+    // hashes by cell-permutation arithmetic (32×32 / grid 8 divides
+    // evenly, so each rotation is an exact cell permutation)
+    "m17_rotation_dedup" -> ((s, dir) => {
+      Multimodal.rotationDedup(rotatedPatternPngMedia(s, dir))
+        .orderBy(col("phash"))
+    }),
+
     // ASPECT-RATIO bucket census over REAL header decode: each solid PNG's
     // true dims feed the exact-integer nearest-bucket assignment (common-
     // denominator cross-multiplication — no float ratio), the census
@@ -1902,6 +1913,41 @@ object PipelineQueries {
             var idx = 0
             while (idx < 64) {
               val tone = if (((id % 50) * 31 + idx * 17) % 97 < 48) 140 else 40
+              g.setColor(new java.awt.Color(tone, tone, tone))
+              g.fillRect((idx % 8) * 4, (idx / 8) * 4, 4, 4)
+              idx += 1
+            }
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, "image/png", bos.toByteArray)
+        }
+      }.toDF("doc_id", "mime", "payload")
+  }
+
+  /** m17 fixture: [[patternPngMedia]] with ids ≡ 0 (mod 7) rendering
+    * their class pattern ROTATED 90° clockwise — rendered cell idx shows
+    * the class's cell (7 − idx%8)·8 + idx/8. Plain aHash splits these
+    * from their classmates; the rotation-canonical hash reunites them.
+    * 32×32 at grid 8 divides evenly, so every rotation is an EXACT cell
+    * permutation and the oracle replays all four hashes by idx
+    * arithmetic. */
+  private def rotatedPatternPngMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id").cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val img = new java.awt.image.BufferedImage(32, 32,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = img.createGraphics()
+          try {
+            var idx = 0
+            while (idx < 64) {
+              val srcIdx =
+                if (id % 7 == 0) (7 - idx % 8) * 8 + idx / 8 else idx
+              val tone = if (((id % 50) * 31 + srcIdx * 17) % 97 < 48) 140 else 40
               g.setColor(new java.awt.Color(tone, tone, tone))
               g.fillRect((idx % 8) * 4, (idx / 8) * 4, 4, 4)
               idx += 1
@@ -3771,6 +3817,34 @@ object PipelineQueries {
     // strictly between them — so the hash is bit_or of 1<<idx over the
     // formula's high cells (bit 63 spelled as Long.MinValue: DuckDB's
     // checked 1<<63 overflows, and a BIGINT sum would too)
+    // m17: the rendered cell grid by idx arithmetic (rot-rendered for
+    // ids ≡ 0 mod 7), then ALL FOUR orientation hashes as bit
+    // permutations of the same grid — bit i of hash_r = hi(perm_r(i)),
+    // i.e. source cell j lands at position perm_r⁻¹(j) — and the
+    // canonical least(); the m08 bit-63 min-long convention per shift
+    "m17_rotation_dedup" -> {
+      def sh(pos: String) =
+        s"""CASE WHEN hi = 0 THEN CAST(0 AS BIGINT)
+           |      WHEN ($pos) = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+           |      ELSE (CAST(1 AS BIGINT) << ($pos)) END""".stripMargin
+      s"""WITH cells AS (
+         |  SELECT doc_id, idx,
+         |    CASE WHEN ((doc_id % 50) * 31 +
+         |      (CASE WHEN doc_id % 7 = 0 THEN (7 - idx % 8) * 8 + idx // 8
+         |            ELSE idx END) * 17) % 97 < 48 THEN 1 ELSE 0 END AS hi
+         |  FROM (SELECT doc_id, unnest(generate_series(0, 63)) AS idx FROM documents)),
+         |h AS (
+         |  SELECT doc_id,
+         |    bit_or(${sh("idx")}) AS h0,
+         |    bit_or(${sh("(idx % 8) * 8 + (7 - idx // 8)")}) AS h90,
+         |    bit_or(${sh("63 - idx")}) AS h180,
+         |    bit_or(${sh("(7 - idx % 8) * 8 + idx // 8")}) AS h270
+         |  FROM cells GROUP BY doc_id),
+         |canon AS (SELECT doc_id, least(h0, h90, h180, h270) AS phash FROM h)
+         |SELECT phash, count(*) AS n_copies, min(doc_id) AS keeper
+         |FROM canon GROUP BY phash ORDER BY phash""".stripMargin
+    },
+
     "m08_phash_dedup" ->
       """WITH bits AS (
         |  SELECT doc_id, idx,

@@ -394,4 +394,37 @@ class MultimodalSpec extends SparkSpec {
       .collect().head
     assert((wide.bucket_w, wide.bucket_h) == ((16, 9)), s"${wide.bucket_w}:${wide.bucket_h}")
   }
+
+  test("canonicalAHash64: all four orientations of one image share the canonical hash") {
+    import spark.implicits._
+    // an asymmetric 16×16 pattern and its three rotations as separate docs
+    def render(id: Long, rot: Int) = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val (sx, sy) = rot match {
+          case 0 => (x, y)
+          case 1 => (y, 15 - x)          // 90° cw: R(x,y) = I(y, h-1-x)
+          case 2 => (15 - x, 15 - y)
+          case _ => (15 - y, x)
+        }
+        val tone = if ((sx * 7 + sy * 13) % 23 < 11) 200 else 30
+        img.setRGB(x, y, (tone << 16) | (tone << 8) | tone)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      (id, "image/png", bos.toByteArray)
+    }
+    val media = (0 to 3).map(r => render(r.toLong, r))
+      .toDF("doc_id", "mime", "payload")
+    val plain = Multimodal.aHash64(media).collect().map(_.phash).distinct
+    assert(plain.length > 1, "the pattern must not be rotation-symmetric under aHash")
+    val canon = Multimodal.canonicalAHash64(media).collect().map(_.phash).distinct
+    assert(canon.length == 1, s"all orientations must share one canonical hash: ${canon.toSeq}")
+    // undecodable payloads → −1, never dropped silently
+    val bad = Multimodal.canonicalAHash64(
+      Seq((9L, "image/png", Array[Byte](1, 2))).toDF("doc_id", "mime", "payload"))
+      .collect().head
+    assert(bad.phash == -1L)
+  }
 }

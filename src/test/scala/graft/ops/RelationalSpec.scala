@@ -159,6 +159,25 @@ class RelationalSpec extends SparkSpec {
     assert(got.toSeq == Seq(("A", 0L, 10L, 2500000L)), got.mkString(","))
   }
 
+  test("coVisitation: session-confined symmetric counts, cap drops bot sessions") {
+    import spark.implicits._
+    // u1/s1 {1,2,3}, u2/s1 {1,2}, u3/s1 33 items (> cap → dropped)
+    val ev = (Seq((1L, 1L, 1L), (1L, 1L, 2L), (1L, 1L, 3L), (1L, 1L, 2L),
+        (2L, 1L, 1L), (2L, 1L, 2L)) ++
+        (0L until 33L).map(i => (3L, 1L, 100L + i)))
+      .toDF("user_id", "sess_id", "item")
+    val got = Relational.coVisitation(ev, "user_id", "sess_id", "item",
+        k = 5, maxSessionItems = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got((1L, 2L)) == ((2L, 1L)), "pair (1,2) co-visits in both kept sessions")
+    assert(got((2L, 1L)) == ((2L, 1L)), "symmetric")
+    assert(got((1L, 3L)) == ((1L, 2L)) && got((3L, 1L))._1 == 1L, got.toString)
+    assert(!got.keys.exists(_._1 >= 100L), "over-cap session contributes nothing")
+    // duplicate items within a session count once per pair
+    assert(got((2L, 3L)) == ((1L, 2L)), got.toString)
+  }
+
   test("salsa: deterministic under input shuffling and repartitioning") {
     import spark.implicits._
     val edges = (0L until 40L).map(i => (i, (i * 7 + 3) % 40, 1L + i % 3))
