@@ -446,6 +446,102 @@ object Similarity {
     * readers need no coordination — a serve in flight may miss a
     * tombstone written after it resolved the generation, the usual
     * read-committed-at-resolve semantics. */
+  /** HOT-CELL SPLIT — IVF index REBALANCING, the maintenance step between
+    * [[appendToIvfIndex]] (which lets cells grow) and a full rebuild:
+    * cells that outgrew the cap are split in place into two sub-cells by
+    * a per-cell 2-means, so probe cost stays bounded without retraining
+    * the whole codebook (split-only changes never move a vector OUT of
+    * its parent's region — serving stays consistent; periodic rebuilds
+    * remain the model-quality maintenance).
+    *
+    * Cap defaults to ⌈total/cells⌉ — cells above the average split.
+    * All math follows the [[trainCentroids]] exact-integer discipline
+    * (md5-seeded 2 seeds per cell, integer-cosine assignment with ties
+    * to the smaller sub, floor-mean updates, emptied sub keeps its
+    * vector), so the split is bit-identical across engines. New cell ids
+    * are deterministic: maxId+1 + 2·(rank of parent among hot cells) +
+    * sub.
+    *
+    * Scale shape: the grouped 2-means trains EVERY hot cell in the same
+    * jobs (one cell-keyed join + one (cell, sub, dim) aggregate per
+    * Lloyd step — never a per-cell driver loop); sub-centroid frames are
+    * ≤ 2·cells rows (the bounded-collect contract). The fresh assignment
+    * generation rewrites cold cells untouched and flips the manifest
+    * atomically — readers never see a half-split index; tombstones apply
+    * physically (the [[compactIvfIndex]] contract). Returns
+    * (new_id, parent_id) pairs, empty if nothing was hot. */
+  def splitHotCells(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    capOverride: Option[Long] = None,
+                    iters: Int = 2): Seq[(Long, Long)] = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val (cents, liveDir) = resolveIndex(dir)
+    // c_id is a partition column: path-inferred as INT on read — cast back
+    val assigned = maskTombstones(spark, liveDir, spark.read.parquet(liveDir))
+      .select(col("vec_id"), col("q"), col("nq"), col("c_id").cast("long").as("c_id"))
+    val census = assigned.groupBy(col("c_id")).agg(count(lit(1)).as("n"))
+    val tot = census.agg(sum(col("n")).as("t"), count(lit(1)).as("k")).first()
+    val cap = capOverride.getOrElse(
+      (tot.getLong(0) + tot.getLong(1) - 1) / tot.getLong(1))
+    val hot = census.filter(col("n") > cap) // ≤ codebook-sized collect
+      .select(col("c_id")).collect().map(_.getLong(0)).sorted.toSeq
+    if (hot.isEmpty) return Seq.empty
+    val base = cents.map(_.cId).max + 1
+
+    val hv = assigned.filter(col("c_id").isin(hot: _*)).cache()
+    try {
+      // grouped 2-means: every hot cell trains in the SAME jobs
+      val seedW = Window.partitionBy(col("c_id"))
+        .orderBy(Dedup.hash60(col("vec_id").cast("string")), col("vec_id"))
+      val init: Map[(Long, Long), Seq[Long]] = hv
+        .withColumn("rn", row_number().over(seedW)).filter(col("rn") <= 2)
+        .select(col("c_id"), (col("rn") - 1).cast("long").as("sub"), col("q"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+
+      def subsDF(m: Map[(Long, Long), Seq[Long]]): DataFrame =
+        m.toSeq.map { case ((c, s), v) => (c, s, v, v.map(x => x * x).sum) }
+          .toDF("c_id", "sub", "c_vec", "c_nq")
+      def assign(m: Map[(Long, Long), Seq[Long]]): DataFrame =
+        hv.join(broadcast(subsDF(m)), Seq("c_id"))
+          .withColumn("sim", cosineq(col("q"), col("c_vec"), col("nq"), col("c_nq")))
+          .groupBy(col("c_id"), col("vec_id"), col("q"), col("nq"))
+          .agg(max(struct(col("sim"), (-col("sub")).as("ns"), col("sub")))
+            .getField("sub").as("sub"))
+
+      val finalSubs = (1 to iters).foldLeft(init) { (m, _) =>
+        val upd = assign(m)
+          .select(col("c_id"), col("sub"), posexplode(col("q")).as(Seq("d", "v")))
+          .groupBy(col("c_id"), col("sub"), col("d"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
+          .withColumn("m",
+            ((col("s") - pmod(col("s"), col("cnt"))) / col("cnt")).cast("long"))
+          .groupBy(col("c_id"), col("sub"))
+          .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+            x => x("m")).as("c_vec"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+        m.map { case (key, v) => key -> upd.getOrElse(key, v) } // emptied sub keeps vector
+      }
+
+      val newIdOf = hot.zipWithIndex.flatMap { case (p, i) =>
+        Seq((p, 0L) -> (base + 2L * i), (p, 1L) -> (base + 2L * i + 1)) }.toMap
+      val idMap = newIdOf.toSeq.map { case ((p, s), nid) => (p, s, nid) }
+        .toDF("c_id", "sub", "new_id")
+      val reassigned = assign(finalSubs)
+        .join(broadcast(idMap), Seq("c_id", "sub"))
+        .select(col("vec_id"), col("q"), col("nq"), col("new_id").as("c_id"))
+      val fresh = assigned.filter(!col("c_id").isin(hot: _*))
+        .unionByName(reassigned)
+      val gen = s"assignment-s${System.nanoTime()}"
+      fresh.repartition(col("c_id")).write.partitionBy("c_id").parquet(s"$dir/$gen")
+      val newCents = cents.filterNot(c => hot.contains(c.cId)) ++
+        finalSubs.toSeq.map { case ((p, s), v) =>
+          Centroid(newIdOf((p, s)), v, v.map(x => x * x).sum) }
+      writeManifest(dir, newCents.sortBy(_.cId), gen)
+      hot.zipWithIndex.flatMap { case (p, i) =>
+        Seq((base + 2L * i) -> p, (base + 2L * i + 1) -> p) }
+    } finally { hv.unpersist(blocking = false); () }
+  }
+
   def deleteFromIvfIndex(ids: DataFrame, dir: String): Unit =
     writeTombstones(ids, assignmentDir(dir))
 

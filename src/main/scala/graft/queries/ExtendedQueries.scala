@@ -738,6 +738,25 @@ object ExtendedQueries {
         .orderBy(col("c_id"))
     }),
 
+    // HOT-CELL SPLIT: IVF rebalancing — cells above ⌈total/cells⌉ split
+    // into two by a grouped per-cell 2-means (every hot cell trains in
+    // the same jobs), fresh generation + atomic manifest flip; output =
+    // the post-split census with parent lineage
+    "a26_cell_split" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
+      val work = scratchDir("graft_a26")
+      Similarity.buildIvfIndex(corpus, work, nCentroids = 8)
+      val parents = Similarity.splitHotCells(s, work)
+      val census = s.read.parquet(Similarity.assignmentDir(work))
+        .groupBy(col("c_id").cast("long").as("c_id")).agg(count(lit(1)).as("n"))
+      val parentDF = parents.toDF("c_id", "parent_id")
+      census.join(broadcast(parentDF), Seq("c_id"), "left")
+        .select(col("c_id"),
+          coalesce(col("parent_id"), col("c_id")).as("parent_id"), col("n"))
+        .orderBy(col("c_id"))
+    }),
+
     // k-NN GRAPH: every vector's top-3 same-cell cosine neighbors — the
     // IVF-bounded corpus self-join (n²/cells pairs, map-only assignment,
     // bounded-heap top-k), the substrate of cluster pruning and
@@ -2598,6 +2617,32 @@ object ExtendedQueries {
        |  FROM (SELECT a0.*,
        |          row_number() OVER (PARTITION BY unsat ORDER BY c_id) AS urk
        |        FROM a0) CROSS JOIN rem)""".stripMargin
+
+  /** a26's grouped per-cell 2-means, one Lloyd step: cell-partitioned
+    * best-of-2 assignment (ties to the smaller sub) + floor-mean update;
+    * an emptied sub keeps its previous vector — the engine's
+    * [[graft.ops.Similarity.splitHotCells]] conventions verbatim. */
+  private def splitIterCtes(i: Int): String =
+    s"""as26_$i AS (
+       |  SELECT c_id, vec_id, q, sub FROM (
+       |    SELECT v.c_id, v.vec_id, v.q, s.sub,
+       |      row_number() OVER (PARTITION BY v.c_id, v.vec_id ORDER BY
+       |        CASE WHEN v.nn = 0 OR s.c_nn = 0 THEN 0.0
+       |             ELSE list_dot_product(v.q::DOUBLE[], s.c_q::DOUBLE[]) / (sqrt(v.nn) * sqrt(s.c_nn)) END DESC,
+       |        s.sub ASC) AS srk
+       |    FROM hv26 v JOIN sc26_${i - 1} s USING (c_id))
+       |  WHERE srk = 1),
+       |su26_$i AS (
+       |  SELECT c_id, sub, d, sum(v) AS s, count(*) AS cnt FROM (
+       |    SELECT c_id, sub, unnest(q) AS v, unnest(range(len(q))) AS d FROM as26_$i)
+       |  GROUP BY 1, 2, 3),
+       |nv26_$i AS (SELECT c_id, sub,
+       |    list(CAST((s - ((s % cnt) + cnt) % cnt) / cnt AS BIGINT) ORDER BY d) AS c_q
+       |  FROM su26_$i GROUP BY 1, 2),
+       |sc26_$i AS (
+       |  SELECT p.c_id, p.sub, coalesce(v.c_q, p.c_q) AS c_q,
+       |    list_dot_product(coalesce(v.c_q, p.c_q)::DOUBLE[], coalesce(v.c_q, p.c_q)::DOUBLE[]) AS c_nn
+       |  FROM sc26_${i - 1} p LEFT JOIN nv26_$i v USING (c_id, sub))""".stripMargin
 
   private val a03Oracle: String =
     s"""$kmeansAssignCtes,
@@ -4474,6 +4519,46 @@ object ExtendedQueries {
          |FROM f""".stripMargin,
 
     "a03_ann_ivf" -> a03Oracle,
+
+    // a26: the shared assignment CTEs + the grouped 2-means iterations;
+    // deep chain with corpus_a consumed throughout → materialized
+    "a26_cell_split" ->
+      s"""$kmeansAssignCtes,
+         |cen26 AS (SELECT c_id, count(*) AS n FROM corpus_a GROUP BY 1),
+         |cap26 AS (SELECT (sum(n) + count(*) - 1) // count(*) AS cap FROM cen26),
+         |hot26 AS (SELECT c_id, row_number() OVER (ORDER BY c_id) - 1 AS hrk
+         |          FROM cen26 CROSS JOIN cap26 WHERE n > cap),
+         |hv26 AS (SELECT a.vec_id, a.q, a.nn, a.c_id
+         |         FROM corpus_a a JOIN hot26 USING (c_id)),
+         |sd26 AS (SELECT c_id, vec_id, q,
+         |           row_number() OVER (PARTITION BY c_id
+         |             ORDER BY ${PipelineQueries.h60sql("CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
+         |         FROM hv26),
+         |sc26_0 AS (SELECT c_id, CAST(rn - 1 AS BIGINT) AS sub, q AS c_q,
+         |             list_dot_product(q::DOUBLE[], q::DOUBLE[]) AS c_nn
+         |           FROM sd26 WHERE rn <= 2),
+         |${splitIterCtes(1)},
+         |${splitIterCtes(2)},
+         |fin26 AS (
+         |  SELECT c_id, vec_id, sub FROM (
+         |    SELECT v.c_id, v.vec_id, s.sub,
+         |      row_number() OVER (PARTITION BY v.c_id, v.vec_id ORDER BY
+         |        CASE WHEN v.nn = 0 OR s.c_nn = 0 THEN 0.0
+         |             ELSE list_dot_product(v.q::DOUBLE[], s.c_q::DOUBLE[]) / (sqrt(v.nn) * sqrt(s.c_nn)) END DESC,
+         |        s.sub ASC) AS srk
+         |    FROM hv26 v JOIN sc26_2 s USING (c_id)) WHERE srk = 1),
+         |base26 AS (SELECT max(c_id) + 1 AS b FROM c),
+         |splitcen AS (
+         |  SELECT b + 2 * hrk + sub AS c_id, h.c_id AS parent_id, count(*) AS n
+         |  FROM fin26 f JOIN hot26 h ON f.c_id = h.c_id CROSS JOIN base26
+         |  GROUP BY 1, 2),
+         |coldcen AS (
+         |  SELECT c_id, c_id AS parent_id, n FROM cen26
+         |  WHERE c_id NOT IN (SELECT c_id FROM hot26))
+         |SELECT CAST(c_id AS BIGINT) AS c_id, CAST(parent_id AS BIGINT) AS parent_id,
+         |  CAST(n AS BIGINT) AS n
+         |FROM (SELECT * FROM splitcen UNION ALL SELECT * FROM coldcen)
+         |ORDER BY c_id""".stripMargin,
 
     // a25: the shared assignment CTEs + a same-cell self-join, top-3 per
     // node — corpus_a consumed twice → materialized via the allowlist

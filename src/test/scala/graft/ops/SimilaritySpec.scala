@@ -767,6 +767,39 @@ class SimilaritySpec extends SparkSpec {
     assert(maxed == Seq(4L), "unreachable target falls back to the largest level")
   }
 
+  test("splitHotCells: membership preserved per parent, manifest flips atomically, serving still works") {
+    val work = java.nio.file.Files.createTempDirectory("graft_split").toString
+    Similarity.buildIvfIndex(corpus, work, nCentroids = 8)
+    val before = spark.read.parquet(Similarity.assignmentDir(work))
+      .select(col("vec_id"), col("c_id").cast("long").as("c_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val parents = Similarity.splitHotCells(spark, work)
+    assert(parents.nonEmpty, "the fixture must have at least one above-average cell")
+    val parentOf = parents.toMap
+    val after = spark.read.parquet(Similarity.assignmentDir(work))
+      .select(col("vec_id"), col("c_id").cast("long").as("c_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after.keySet == before.keySet, "no vector gained or lost")
+    // a split-cell vector moved to a CHILD of its old cell; others stayed
+    after.foreach { case (v, c) =>
+      val old = before(v)
+      if (parents.map(_._2).contains(old))
+        assert(parentOf(c) == old, s"vec $v: new cell $c must descend from $old")
+      else assert(c == old, s"vec $v: cold cell must not move")
+    }
+    // the manifest's codebook has no parent ids and serving still answers
+    val cents = Similarity.openIvfCodebook(work).map(_.cId).toSet
+    assert(parents.map(_._2).toSet.intersect(cents).isEmpty, "parents retired")
+    assert(parents.map(_._1).forall(cents.contains), "children published")
+    val served = Similarity.ivfIndexTopK(spark, work,
+      corpus.filter(col("vec_id") < 3), k = 3, nProbe = 2)
+    assert(served.count() > 0)
+    // idempotence guard: a second split with the same default cap only
+    // ever splits cells still above it — and never invents vectors
+    Similarity.splitHotCells(spark, work)
+    assert(spark.read.parquet(Similarity.assignmentDir(work)).count() == before.size)
+  }
+
   test("knnGraph: per-node top-k equals ivfTopK at nProbe=1 with the corpus as queries") {
     // the kNN graph IS the nProbe=1 IVF search of every vector against
     // the corpus — the self-join build must agree with the probe path
