@@ -353,7 +353,7 @@ object SparkEntry {
     "t30_textrank_terms", "a24_ann_autotune", "p38_assistant_spans",
     "q28_trust_rank", "q29_salsa", "d27_source_dup_census", "a25_knn_graph",
     "q30_burst_census", "p39_excess_loss_weights", "q31_covisitation",
-    "a26_cell_split",
+    "a26_cell_split", "s34_stream_burst", "p40_epoch_plan",
     "s18_stream_ivfpq_ingest", "s24_stream_drift", "s26_stream_rpq_ingest")
 
   def oracleSql: Map[String, String] = oracleSqlBase.map {

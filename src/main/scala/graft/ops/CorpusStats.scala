@@ -304,6 +304,27 @@ object CorpusStats {
         (col("diff") + col("_p") > 0).as("pred"))
   }
 
+  /** GOOD-TURING missing mass per group: the probability that the NEXT
+    * token drawn from a source is a type never seen before, estimated by
+    * the singleton share P₀ ≈ n₁/N — the coverage health-check a corpus
+    * census runs before trusting per-source statistics (a source with
+    * 30% missing mass is under-sampled; its quality numbers are noise).
+    * Integer ppm output (truncating div — nonneg, engine-portable).
+    *
+    * Scale shape: one (group, term) aggregate with map-side partials
+    * (the only stage that sees token occurrences), then a groups-sized
+    * rollup. Join-free. Output: (grp, n_tokens, n_types, n_singletons,
+    * p0_ppm). */
+  def missingMass(docs: DataFrame, groupCol: String, textCol: String): DataFrame =
+    docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(groupCol).as("grp"),
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .groupBy(col("grp"), col("w")).agg(count(lit(1)).as("m"))
+      .groupBy(col("grp"))
+      .agg(sum(col("m")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("m") === 1L, lit(1L)).otherwise(lit(0L))).as("n_singletons"))
+      .withColumn("p0_ppm", expr("(n_singletons * 1000000L) div n_tokens"))
+
   /** EXCESS-LOSS mixture reweighting (the DoReMi idea on the engine's
     * own t10 signal): per-source bigram-LM loss vs the global loss, and
     * a mixture weight ∝ the positive excess — sources the corpus LM

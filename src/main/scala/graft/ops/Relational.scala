@@ -379,10 +379,19 @@ object Relational {
     * frame is types-sized and rides back as an explicit broadcast.
     * Output: (event_type, bucket, n, ratio_q), bursts only. */
   def burstCensus(events: DataFrame, typeCol: String, tsSecCol: String,
-                  bucketSecs: Long = 3600L, factor: Long = 2L): DataFrame = {
-    val census = events.select(col(typeCol).as("event_type"),
+                  bucketSecs: Long = 3600L, factor: Long = 2L): DataFrame =
+    burstFromCounts(events.select(col(typeCol).as("event_type"),
         expr(s"$tsSecCol div ${bucketSecs}L").as("bucket"))
-      .groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("n")),
+      factor)
+
+  /** The burst formula on an already-built (event_type, bucket, n)
+    * census — shared by the batch operator above and the streaming
+    * monitor ([[graft.streaming.StreamBurst]]), whose drained counters
+    * arrive pre-aggregated (re-expanding a census to rows to reuse the
+    * row-level operator would be stream-length-sized — the s29
+    * psiFromCounts lesson). */
+  def burstFromCounts(census: DataFrame, factor: Long = 2L): DataFrame = {
     val totals = census.groupBy(col("event_type"))
       .agg(sum(col("n")).as("total_n"), count(lit(1)).as("buckets_active"))
     census.join(broadcast(totals), Seq("event_type"))

@@ -690,6 +690,37 @@ object Sampling {
         col("cap"), col("alloc"))
   }
 
+  /** DATA-CONSTRAINED epoch plan (the Muennighoff-style repetition
+    * budget): spend a token budget across sources where each source can
+    * contribute at most `maxEpochs` passes over its UNIQUE content —
+    * duplicated text counts once toward capacity (the p37 effective-
+    * token floor), and the allocation is [[waterFillBudget]] over the
+    * per-source capacities, so over-budget corpora cap evenly instead of
+    * proportionally amplifying the biggest crawl. epochs_ppm = how many
+    * passes over the unique data the allocation buys, on the 1e-6 grid.
+    *
+    * Scale shape: one (source, fingerprint) aggregate (map-side collapse
+    * of copies), a sources-sized rollup, and the census-sized water-fill
+    * windows — nothing corpus-sized after the first aggregate. Output:
+    * (source, unique_tokens, capacity, alloc, epochs_ppm). */
+  def epochPlan(docs: DataFrame, sourceCol: String, textCol: String,
+                budget: Long, maxEpochs: Long = 4L): DataFrame = {
+    require(budget >= 0 && maxEpochs > 0, s"bad budget/epochs: $budget/$maxEpochs")
+    val uniq = docs.select(col(sourceCol).as("source"),
+        graft.ops.TextAnalysis.fingerprint(col(textCol)).as("fp"),
+        graft.ops.TextAnalysis.tokenCount(col(textCol)).as("tok"))
+      .groupBy(col("source"), col("fp")).agg(max(col("tok")).as("tok"))
+      .groupBy(col("source")).agg(sum(col("tok")).as("unique_tokens"))
+    val capd = uniq.select(col("source"), col("unique_tokens"),
+      (col("unique_tokens") * lit(maxEpochs)).as("capacity"))
+    val alloc = waterFillBudget(capd, "source", "capacity", budget)
+      .select(col("source"), col("alloc"))
+    capd.join(alloc, Seq("source")) // sources-sized both sides
+      .select(col("source"), col("unique_tokens"), col("capacity"), col("alloc"),
+        expr("CASE WHEN unique_tokens = 0 THEN 0L " +
+          "ELSE (alloc * 1000000L) div unique_tokens END").as("epochs_ppm"))
+  }
+
   /** Cluster-balanced (diversity) sampling: spend a document budget as
     * evenly as the EMBEDDING-SPACE structure allows. The SSL-curation
     * step between SemDeDup and stratified sampling — strata you don't

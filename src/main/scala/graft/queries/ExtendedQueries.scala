@@ -459,6 +459,29 @@ object ExtendedQueries {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // q30's stream twin: the burst census folded per trigger (additive
+    // (type, bucket) counters under the HWM contract), the spike formula
+    // run ONCE on the drained totals — the live scrape-storm alarm;
+    // final report == batch q30, its oracle
+    "s34_stream_burst" -> ((s, dir) => {
+      val work = scratchDir("graft_s34")
+      val in = onceLog("s34", dir) { path =>
+        val ev = eventsSec(s, dir).select(col("event_id"), col("event_type"), col("ts_s"))
+        val b = ev.agg(min(col("event_id")), max(col("event_id"))).first()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val c1 = lo + (hi - lo) / 3
+        val c2 = lo + 2 * (hi - lo) / 3
+        Seq(col("event_id") <= c1,
+            col("event_id") > c1 && col("event_id") <= c2,
+            col("event_id") > c2).foreach { p =>
+          ev.filter(p).coalesce(1).write.mode("append").parquet(path)
+          Thread.sleep(20) // distinct mtimes → oldest-first arrival
+        }
+      }
+      graft.streaming.StreamBurst.drain(s, s"$work/agg", in, s"$work/ckpt")
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
     // q24's stream twin: last-touch attribution maintained incrementally —
     // per-user last non-purchase touch (bucketed TxnLogState) + a
     // touch-types-sized additive rollup generation; purchases attribute
@@ -1701,6 +1724,32 @@ object ExtendedQueries {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // GOOD-TURING missing mass per source: singleton share ≈ the chance
+    // the next token is a never-seen type — the under-sampling alarm a
+    // census runs before trusting per-source statistics
+    "t32_missing_mass" -> ((s, dir) => {
+      graft.ops.CorpusStats.missingMass(
+          t(s, dir, "documents").select(col("source"), col("text")),
+          "source", "text")
+        .orderBy(col("grp"))
+    }),
+
+    // DATA-CONSTRAINED epoch plan: token budget water-filled over
+    // per-source unique-content capacities (≤4 epochs each, duplicates
+    // count once) — budget = 2× total unique tokens so the big sources
+    // cap at the water level while small ones saturate their 4 passes
+    "p40_epoch_plan" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"), col("text"))
+      val uniq = d.select(col("source"),
+          graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).as("tok"))
+        .groupBy(col("source"), col("fp")).agg(max(col("tok")).as("tok"))
+        .agg(sum(col("tok"))).first().getLong(0) // one-row bounded collect
+      graft.ops.Sampling.epochPlan(d, "source", "text",
+          budget = uniq * 2L, maxEpochs = 4L)
+        .orderBy(col("source"))
+    }),
+
     // EXCESS-LOSS mixture weights: per-source bigram-LM loss vs global,
     // weight ∝ positive excess normalized to exactly 1e6 ppm via
     // largest-remainder — the DoReMi-style domain reweighting prior
@@ -2531,6 +2580,23 @@ object ExtendedQueries {
        |r0 AS (SELECT item, 1000000000000 // (SELECT count(*) FROM nodes) AS r FROM nodes),
        |$iter""".stripMargin
   }
+
+  /** Shared by q30 (batch) and s34 (streaming fold of the same census):
+    * the (type, hour) census, floor-mean per type, spike filter. */
+  private val q30OracleSql: String =
+    """WITH ev30 AS (
+      |  SELECT event_type, (epoch_ns(ts) // 1000000000) // 3600 AS bucket FROM events),
+      |c30 AS (SELECT event_type, bucket, count(*) AS n FROM ev30 GROUP BY 1, 2),
+      |t30_ AS (SELECT event_type, sum(n) AS total_n, count(*) AS buckets_active
+      |         FROM c30 GROUP BY 1),
+      |j30 AS (
+      |  SELECT c30.event_type, bucket, n,
+      |    greatest(total_n // buckets_active, 1) AS mean_f
+      |  FROM c30 JOIN t30_ USING (event_type))
+      |SELECT event_type, CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n,
+      |  CAST((n * 1000000) // mean_f AS BIGINT) AS ratio_q
+      |FROM j30 WHERE n >= 2 * mean_f
+      |ORDER BY event_type, bucket""".stripMargin
 
   /** SALSA's alternating backward/forward walk unrolled (q29): five
     * h/a CTE pairs over probability frames normalized by in- and
@@ -3596,20 +3662,12 @@ object ExtendedQueries {
 
     // q30: the (type, hour) census, floor-mean per type, spike filter —
     // census CTE consumed twice → materialized via the allowlist
-    "q30_burst_census" ->
-      """WITH ev30 AS (
-        |  SELECT event_type, (epoch_ns(ts) // 1000000000) // 3600 AS bucket FROM events),
-        |c30 AS (SELECT event_type, bucket, count(*) AS n FROM ev30 GROUP BY 1, 2),
-        |t30_ AS (SELECT event_type, sum(n) AS total_n, count(*) AS buckets_active
-        |         FROM c30 GROUP BY 1),
-        |j30 AS (
-        |  SELECT c30.event_type, bucket, n,
-        |    greatest(total_n // buckets_active, 1) AS mean_f
-        |  FROM c30 JOIN t30_ USING (event_type))
-        |SELECT event_type, CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n,
-        |  CAST((n * 1000000) // mean_f AS BIGINT) AS ratio_q
-        |FROM j30 WHERE n >= 2 * mean_f
-        |ORDER BY event_type, bucket""".stripMargin,
+    "q30_burst_census" -> q30OracleSql,
+
+    // s34 = q30 incrementally: the census fold is additive over disjoint
+    // triggers and the formula runs once on the drained totals — q30's
+    // oracle, stated once
+    "s34_stream_burst" -> q30OracleSql,
 
     // q29: the q26 graph CTEs + the alternating SALSA iteration; the
     // final full join surfaces pure hubs (auth 0) and pure authorities
@@ -4089,6 +4147,66 @@ object ExtendedQueries {
         |SELECT a.src AS src_a, b.src AS src_b, CAST(count(*) AS BIGINT) AS n_shared
         |FROM sfp a JOIN sfp b ON a.fp = b.fp AND a.src < b.src
         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
+    // t32: one (source, term) count, per-source singleton rollup
+    "t32_missing_mass" ->
+      """WITH tok32 AS (
+        |  SELECT source AS grp, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tf32 AS (SELECT grp, w, count(*) AS m FROM tok32 GROUP BY 1, 2)
+        |SELECT grp, CAST(sum(m) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+        |  CAST((sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) * 1000000) // sum(m) AS BIGINT) AS p0_ppm
+        |FROM tf32 GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // p40: unique-content capacities (duplicates floor at max tok per
+    // fp), p33's water-fill CTE shape over capacity with a 2×-unique
+    // budget; u40 consumed twice → materialized via the allowlist
+    "p40_epoch_plan" ->
+      """WITH f40 AS (
+        |  SELECT source, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS tok
+        |  FROM documents),
+        |g40 AS (SELECT source, fp, max(tok) AS tok FROM f40 GROUP BY 1, 2),
+        |u40 AS (SELECT source, sum(tok) AS unique_tokens FROM g40 GROUP BY 1),
+        |census40 AS (SELECT source, unique_tokens, unique_tokens * 4 AS total_tokens FROM u40),
+        |bud40 AS (SELECT sum(unique_tokens) * 2 AS budget FROM u40),
+        |r40 AS (
+        |  SELECT source, unique_tokens, total_tokens,
+        |    row_number() OVER (ORDER BY total_tokens, source) AS i,
+        |    coalesce(sum(total_tokens) OVER (ORDER BY total_tokens, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx,
+        |    coalesce(lag(total_tokens) OVER (ORDER BY total_tokens, source), 0) AS prev,
+        |    count(*) OVER () AS s
+        |  FROM census40),
+        |lv40 AS (
+        |  SELECT r40.*, budget, greatest(budget - pfx, 0) // (s - i + 1) AS cand
+        |  FROM r40 CROSS JOIN bud40),
+        |cp40 AS (
+        |  SELECT coalesce(
+        |    max(CASE WHEN prev <= cand AND cand < total_tokens THEN cand END),
+        |    max(total_tokens)) AS cap
+        |  FROM lv40),
+        |a40 AS (
+        |  SELECT lv40.*, cp40.cap, least(total_tokens, cp40.cap) AS alloc0,
+        |    total_tokens > cp40.cap AS unsat
+        |  FROM lv40 CROSS JOIN cp40),
+        |rem40 AS (
+        |  SELECT least(max(budget), sum(total_tokens)) - sum(alloc0) AS rr FROM a40),
+        |fin40 AS (
+        |  SELECT a40.*, row_number() OVER (PARTITION BY unsat ORDER BY source) AS urk
+        |  FROM a40),
+        |al40 AS (
+        |  SELECT source, unique_tokens, total_tokens,
+        |    alloc0 + CASE WHEN unsat AND urk <= rr THEN 1 ELSE 0 END AS alloc
+        |  FROM fin40 CROSS JOIN rem40)
+        |SELECT source, CAST(unique_tokens AS BIGINT) AS unique_tokens,
+        |  CAST(total_tokens AS BIGINT) AS capacity, CAST(alloc AS BIGINT) AS alloc,
+        |  CAST(CASE WHEN unique_tokens = 0 THEN 0
+        |    ELSE (alloc * 1000000) // unique_tokens END AS BIGINT) AS epochs_ppm
+        |FROM al40 ORDER BY source""".stripMargin,
 
     // p39: t10's model CTEs at source granularity; magnitude-floor means
     // (-((0-S)//M): nonneg operand, floor ≡ trunc), largest-remainder

@@ -400,4 +400,17 @@ class CorpusStatsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
     assert(uni.values.toSeq.sorted == Seq(500000L, 500000L), uni.toString)
   }
+
+  test("missingMass: singleton share per source, empty texts excluded") {
+    import spark.implicits._
+    // srcA: a a b → N=3, types 2, singletons 1 (b) → 333333 ppm
+    // srcB: x y → N=2, 2 singletons → 1_000_000 ppm
+    val docs = Seq(("srcA", "a a"), ("srcA", "b"), ("srcB", "x y"),
+      ("srcB", "   ")).toDF("source", "text")
+    val got = CorpusStats.missingMass(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("srcA") == ((3L, 2L, 1L, 333333L)), got.toString)
+    assert(got("srcB") == ((2L, 2L, 2L, 1000000L)), got.toString)
+  }
 }

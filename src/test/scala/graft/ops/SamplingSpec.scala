@@ -453,4 +453,25 @@ class SamplingSpec extends SparkSpec {
     val rnd = new scala.util.Random(7)
     (1 to 10000).foreach { _ => check(math.abs(rnd.nextLong()) % (1L << 52)) }
   }
+
+  test("epochPlan: duplicates count once, small sources saturate epochs, big ones cap") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // srcBig: 100 unique tokens (10 docs × 10 tokens); srcSmall: 10
+    // unique tokens incl. an exact duplicate doc (counted once).
+    val big = (1 to 10).map(i =>
+      ("srcBig", (1 to 10).map(t => s"b${i}_$t").mkString(" ")))
+    val small = Seq(("srcSmall", (1 to 10).map(t => s"s$t").mkString(" ")),
+      ("srcSmall", (1 to 10).map(t => s"s$t").mkString(" "))) // exact dup
+    val docs = (big ++ small).toDF("source", "text")
+    // budget 120 < capacities (400 + 40): small saturates 4 epochs (40),
+    // big gets the rest (80) = 0.8 epochs
+    val got = Sampling.epochPlan(docs, "source", "text", budget = 120L, maxEpochs = 4L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("srcSmall") == ((10L, 40L, 40L, 4000000L)), got.toString)
+    assert(got("srcBig") == ((100L, 400L, 80L, 800000L)), got.toString)
+    // Σ alloc == budget exactly
+    assert(got.values.map(_._3).sum == 120L)
+  }
 }
