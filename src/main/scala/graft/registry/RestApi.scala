@@ -126,6 +126,22 @@ class IndexerResource(registry: IndexerRegistry, supervisor: IndexerSupervisor) 
           case e: IllegalStateException => err(404, e.getMessage)
         }
 
+      // the vector arm's rebalance dashboard: per-cell counts + hot
+      // flags (above ⌈total/cells⌉) — the number an operator reads
+      // before a split/rebuild; probe latency tracks the hottest cell
+      case ("GET", List("indexer", name, "cells")) =>
+        if (registry.get(name).isEmpty) notFound(name)
+        else try {
+          val cells = supervisor.vectorCellCensus(name)
+          val rows = cells.map { case (c, n, hot) =>
+            s"""{"c_id": $c, "n": $n, "hot": $hot}""" }
+          ok(s"""{"cells": ${rows.mkString("[", ", ", "]")}, """ +
+            s""""n_hot": ${cells.count(_._3)}}""")
+        } catch {
+          case e: IllegalStateException => err(404, e.getMessage)
+          case e: IllegalArgumentException => err(404, e.getMessage)
+        }
+
       // the quota arm's budget dashboard: per-class admitted counters
       case ("GET", List("indexer", name, "quota")) =>
         if (registry.get(name).isEmpty) notFound(name)

@@ -326,6 +326,33 @@ class IndexerSupervisor(
     graft.ops.Similarity.deleteFromIvfPqIndex(ids, vectorDir(name))
   }
 
+  /** Per-cell census of `name`'s vector index — the REBALANCE dashboard:
+    * (c_id, n, hot) where hot = above the ⌈total/cells⌉ cap (the a26
+    * split trigger). Cells-sized collect; the operator reads this before
+    * deciding a rebuild/split — probe cost is proportional to the
+    * hottest probed cell, so a skewed census IS the latency alarm. */
+  def vectorCellCensus(name: String): Seq[(Long, Long, Boolean)] = {
+    registry.get(name).getOrElse(throw new IllegalStateException(s"no such indexer: $name"))
+    require(Files.exists(Paths.get(vectorDir(name), "IVFPQ")),
+      s"no vector index for $name — run buildVectorIndex first")
+    val (coarse, _, gen, _, _) =
+      graft.ops.Similarity.resolveIvfPqIndex(vectorDir(name))
+    val census = spark.read.parquet(s"${vectorDir(name)}/$gen")
+      .groupBy(org.apache.spark.sql.functions.col("c_id").cast("long").as("c_id"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = census.values.sum
+    val k = math.max(coarse.length.toLong, 1L)
+    val cap = (total + k - 1) / k
+    // every codebook cell reports, including empty ones — an operator
+    // watching skew needs the zeros too
+    coarse.map(_.cId).sorted.map { c =>
+      val n = census.getOrElse(c, 0L)
+      (c, n, n > cap)
+    }
+  }
+
   /** Rewrite `name`'s live generation minus its tombstones (codes copy
     * under the frozen books — pure I/O) and flip the manifest. */
   def compactVectorIndex(name: String): String = {

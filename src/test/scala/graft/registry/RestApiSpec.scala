@@ -139,6 +139,15 @@ class RestApiSpec extends SparkSpec {
       assert(cp.statusCode() == 200 && cp.body().contains("\"generation\""), cp.body())
       assert(post(s"$base/indexer/nope?action=compact-vectors").statusCode() == 404)
 
+      // cell-census dashboard: every codebook cell reports (zeros too),
+      // counts sum to the corpus, hot = above ⌈total/cells⌉
+      val cc = get(s"$base/indexer/idx/cells")
+      assert(cc.statusCode() == 200 && cc.body().contains("\"cells\""), cc.body())
+      val cellsN = "\"n\": (\\d+)".r.findAllMatchIn(cc.body()).map(_.group(1).toLong).toSeq
+      assert(cellsN.sum == emb.count(), s"census must cover the corpus: ${cc.body()}")
+      assert(cc.body().contains("\"n_hot\""), cc.body())
+      assert(get(s"$base/indexer/nope/cells").statusCode() == 404)
+
       // quota dashboard: empty before any admission, counters after
       val q0 = get(s"$base/indexer/idx/quota")
       assert(q0.statusCode() == 200 && q0.body().trim == "{}", q0.body())
