@@ -323,6 +323,82 @@ object Relational {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** MARKOV (removal-effect) attribution — the data-driven upgrade of
+    * q24's last-touch heuristic: model user journeys as a first-order
+    * Markov chain (START → events → CONV at the first conversion, or
+    * NULL when the journey ends unconverted), and credit each channel by
+    * how much the chain's conversion probability DROPS when that channel
+    * is switched off (visits to it absorb to nothing). The standard
+    * multi-touch attribution model, exactly computable.
+    *
+    * All-integer semantics: transition probabilities on the 1e-6 grid
+    * (truncating div), state values on the 1e-12 grid, `iters` rounds of
+    * the absorbing-chain fixed point p(s) = Σ p(t)·pr(s→t) — monotone
+    * from 0, so the result is the ≤ iters-step conversion probability,
+    * bit-identical across engines. Removing channel c = forcing every
+    * read of p(c) to zero inside the iteration (no new matrices).
+    *
+    * Scale shape: journeys truncate at the first conversion inside ONE
+    * user-keyed window pass; transition counts aggregate map-side to a
+    * (types+2)²-bounded matrix — the ONLY corpus-sized work. The chain
+    * itself is solved in exact driver arithmetic over that tiny matrix
+    * (the bounded-collect contract: the matrix is codebook-sized by
+    * construction). Output: (channel, p_full_q, p_removed_q, removal_q),
+    * removal_q = (P − P₋c)·1e6 div P. */
+  def markovAttribution(events: DataFrame, userCol: String, orderCol: String,
+                        typeCol: String, convType: String = "purchase",
+                        iters: Int = 12): DataFrame = {
+    val w = Window.partitionBy(col("u")).orderBy(col("o"))
+    val uw = Window.partitionBy(col("u"))
+    val ev = events.select(col(userCol).as("u"), col(orderCol).as("o"),
+      col(typeCol).as("t"))
+    val kept = ev.withColumn("cut",
+        min(when(col("t") === convType, col("o"))).over(uw))
+      .filter(col("cut").isNull || col("o") <= col("cut"))
+    val lagged = kept
+      .withColumn("prev", lag(col("t"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("mo", max(col("o")).over(uw))
+    val inner = lagged.select(
+      when(col("rn") === 1, lit("START")).otherwise(col("prev")).as("src"),
+      col("t").as("dst"))
+    val nulls = lagged.filter(col("o") === col("mo") && col("t") =!= convType)
+      .select(col("t").as("src"), lit("NULL").as("dst"))
+    val eg = inner.unionByName(nulls)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+    // (types+2)²-bounded collect — the transition matrix IS codebook-sized
+    val edges = eg.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val pr = edges.map { case (s, t, n) => (s, t) -> (n * 1000000L / out(s)) }.toMap
+    val states = out.keys.toSeq.sorted
+    val bySrc = edges.groupBy(_._1)
+    def solve(removed: Option[String]): Long = {
+      var p = states.map(_ -> 0L).toMap
+      (1 to iters).foreach { _ =>
+        p = states.map { s =>
+          s -> bySrc(s).map { case (_, t, _) =>
+            val pt =
+              if (t == convType) 1000000000000L
+              else if (t == "NULL" || removed.contains(t)) 0L
+              else p.getOrElse(t, 0L)
+            pt * pr((s, t)) / 1000000L
+          }.sum
+        }.toMap
+      }
+      p.getOrElse("START", 0L)
+    }
+    val pFull = solve(None)
+    val channels = states.filterNot(_ == "START").sorted
+    val spark = events.sparkSession
+    import spark.implicits._
+    channels.map { c =>
+      val pc = solve(Some(c))
+      (c, pFull, pc,
+        if (pFull == 0L) 0L else (pFull - pc) * 1000000L / pFull)
+    }.toDF("channel", "p_full_q", "p_removed_q", "removal_q")
+      .orderBy(col("channel"))
+  }
+
   /** CO-VISITATION item-item similarity: for every item, the top-k items
     * most often sharing a session with it — the classic collaborative-
     * filtering neighbor build (and, over a web corpus, the co-citation

@@ -213,6 +213,17 @@ object ExtendedQueries {
         .limit(10)
     }),
 
+    // MARKOV removal-effect attribution: the data-driven multi-touch
+    // model next to q24's last-touch heuristic — journeys truncate at
+    // first purchase in one user-keyed pass, the (types+2)²-bounded
+    // transition matrix collects, and the absorbing-chain fixed point
+    // runs in exact driver integers per removal arm
+    "q32_markov_attribution" -> ((s, dir) => {
+      graft.ops.Relational.markovAttribution(
+        t(s, dir, "events").select(col("user_id"), col("event_id"), col("event_type")),
+        "user_id", "event_id", "event_type")
+    }),
+
     // CO-VISITATION neighbors: top-5 items sharing q27's 1h-gap sessions
     // with each item — the collaborative-filtering build; session item
     // sets capped at 20 (bot sessions are co-visitation's hub shingles),
@@ -2581,6 +2592,25 @@ object ExtendedQueries {
        |$iter""".stripMargin
   }
 
+  /** One fixed-point arm of q32's absorbing chain: `iters` unrolled
+    * rounds of p(s) = Σ p(t)·pr(s→t) over the types-sized transition
+    * frame; `removed` forces every read of that channel's value to zero
+    * (the removal-effect semantics). Mirrors the engine's exact driver
+    * integers: values 1e-12 grid, probabilities 1e-6, per-edge
+    * truncating division before the sum. */
+  private def markovArm(tag: String, removed: Option[String], iters: Int): String = {
+    val rm = removed.map(c => s"WHEN e.dst = '$c' THEN 0 ").getOrElse("")
+    val iterCtes = (1 to iters).map { i =>
+      s"""${tag}_$i AS (
+         |  SELECT e.src AS s,
+         |    sum((CASE WHEN e.dst = 'purchase' THEN 1000000000000
+         |      WHEN e.dst = 'NULL' THEN 0 ${rm}ELSE COALESCE(p.p, 0) END * e.pr) // 1000000) AS p
+         |  FROM pe32 e LEFT JOIN ${tag}_${i - 1} p ON e.dst = p.s GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""${tag}_0 AS (SELECT src AS s, CAST(0 AS BIGINT) AS p FROM outc32),
+       |$iterCtes""".stripMargin
+  }
+
   /** Shared by q30 (batch) and s34 (streaming fold of the same census):
     * the (type, hour) census, floor-mean per type, spike filter. */
   private val q30OracleSql: String =
@@ -3590,6 +3620,47 @@ object ExtendedQueries {
         |      FROM z)
         |SELECT e1, e2, e3, count(*) AS n FROM p WHERE e1 IS NOT NULL
         |GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 10""".stripMargin,
+
+    // q32: the journey-truncated transition matrix + one unrolled
+    // fixed-point arm per channel (types hardcoded — the fixture's
+    // event vocabulary is stable across SFs); pe32 consumed by every
+    // arm's every round → materialized via the allowlist
+    "q32_markov_attribution" -> {
+      val channels = Seq("click", "error", "signup", "view")
+      val arms = (markovArm("f32", None, 12) +: channels.zipWithIndex.map {
+        case (c, i) => markovArm(s"r32_$i", Some(c), 12) }).mkString(",\n")
+      val selects = channels.zipWithIndex.map { case (c, i) =>
+        s"""SELECT '$c' AS channel,
+           |  (SELECT p FROM f32_12 WHERE s = 'START') AS p_full_q,
+           |  (SELECT p FROM r32_${i}_12 WHERE s = 'START') AS p_removed_q""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ev32 AS (SELECT user_id AS u, event_id AS o, event_type AS t FROM events),
+         |cut32 AS (SELECT u, o, t,
+         |    min(CASE WHEN t = 'purchase' THEN o END) OVER (PARTITION BY u) AS cut
+         |  FROM ev32),
+         |kept32 AS (SELECT u, o, t FROM cut32 WHERE cut IS NULL OR o <= cut),
+         |lg32 AS (SELECT u, o, t,
+         |    lag(t) OVER (PARTITION BY u ORDER BY o) AS prev,
+         |    row_number() OVER (PARTITION BY u ORDER BY o) AS rn,
+         |    max(o) OVER (PARTITION BY u) AS mo
+         |  FROM kept32),
+         |eg32 AS (
+         |  SELECT src, dst, count(*) AS n FROM (
+         |    SELECT CASE WHEN rn = 1 THEN 'START' ELSE prev END AS src, t AS dst FROM lg32
+         |    UNION ALL
+         |    SELECT t AS src, 'NULL' AS dst FROM lg32 WHERE o = mo AND t <> 'purchase')
+         |  GROUP BY 1, 2),
+         |outc32 AS (SELECT src, sum(n) AS ob FROM eg32 GROUP BY 1),
+         |pe32 AS (SELECT e.src, e.dst, (e.n * 1000000) // o.ob AS pr
+         |         FROM eg32 e JOIN outc32 o ON e.src = o.src),
+         |$arms
+         |SELECT channel, CAST(p_full_q AS BIGINT) AS p_full_q,
+         |  CAST(p_removed_q AS BIGINT) AS p_removed_q,
+         |  CAST(CASE WHEN p_full_q = 0 THEN 0
+         |    ELSE ((p_full_q - p_removed_q) * 1000000) // p_full_q END AS BIGINT) AS removal_q
+         |FROM ($selects)
+         |ORDER BY channel""".stripMargin
+    },
 
     // q31: q27's sessionization + per-session sorted distinct items,
     // a<b pair unnest, symmetric counts, rank-5 per item; z31 consumed

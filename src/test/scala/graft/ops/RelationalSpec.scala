@@ -159,6 +159,37 @@ class RelationalSpec extends SparkSpec {
     assert(got.toSeq == Seq(("A", 0L, 10L, 2500000L)), got.mkString(","))
   }
 
+  test("markovAttribution: exact chain value, removal effects ordered by path coverage") {
+    import spark.implicits._
+    // u1: view→click→purchase; u2: view→purchase; u3: click (dies);
+    // u4: view→click (dies). Transition probs (1e-6 grid):
+    //   START: view 750000, click 250000; view: click 666666, buy 333333;
+    //   click: buy 333333, NULL 666666.
+    val ev = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+      (2L, 4L, "view"), (2L, 5L, "purchase"),
+      (3L, 6L, "click"),
+      (4L, 7L, "view"), (4L, 8L, "click"))
+      .toDF("user_id", "event_id", "event_type")
+    val got = Relational.markovAttribution(ev, "user_id", "event_id", "event_type")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // hand-computed exact fixed point (stabilizes after 3 rounds):
+    // p(click)=333333000000, p(view)=555554777778, p(START)=499999333333
+    assert(got("view")._1 == 499999333333L, got.toString)
+    // removing view leaves only START→click→buy = 83333250000
+    assert(got("view")._2 == 83333250000L, got.toString)
+    // removing click leaves START→view→buy = 249999750000
+    assert(got("click")._2 == 249999750000L, got.toString)
+    // view carries more conversion mass than click; both strictly positive
+    assert(got("view")._3 > got("click")._3 && got("click")._3 > 0L, got.toString)
+    // events after the first purchase must not form transitions
+    val extra = ev.unionByName(Seq((1L, 9L, "view")).toDF("user_id", "event_id", "event_type"))
+    val again = Relational.markovAttribution(extra, "user_id", "event_id", "event_type")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again("view") == 499999333333L, "post-conversion events are outside the journey")
+  }
+
   test("coVisitation: session-confined symmetric counts, cap drops bot sessions") {
     import spark.implicits._
     // u1/s1 {1,2,3}, u2/s1 {1,2}, u3/s1 33 items (> cap → dropped)
