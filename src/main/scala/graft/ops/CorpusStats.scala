@@ -304,6 +304,38 @@ object CorpusStats {
         (col("diff") + col("_p") > 0).as("pred"))
   }
 
+  /** QUALITY-vs-QUANTITY frontier — the operating curve a filtering
+    * threshold is chosen from: for every observed quality band, how many
+    * documents and tokens survive a "keep ≥ this band" gate, and what
+    * share of the corpus that is. Reading the curve answers "what does
+    * each extra point of quality COST in tokens" before anyone commits
+    * to a threshold (the number t31's calibration then validates).
+    *
+    * Per-doc quality quantizes to the 1e-6 grid (the p34 convention) and
+    * docs bucket into fixed `bandWidth` bands — so the frontier is a
+    * bands-sized SUFFIX CUMSUM over one census: one corpus scan + one
+    * bands-keyed aggregate; the windows sit above the aggregate (the p33
+    * discipline). Output: (threshold_q, n_kept, tokens_kept, share_ppm)
+    * per observed band. */
+  def qualityFrontier(docs: DataFrame, textCol: String,
+                      bandWidth: Long = 100000L): DataFrame = {
+    val bands = docs.select(
+        round(TextAnalysis.qualityScore(col(textCol)) * 1e6).cast("long").as("q_q"),
+        TextAnalysis.tokenCount(col(textCol)).as("tok"))
+      .select(expr(s"q_q div ${bandWidth}L").as("band"), col("tok"))
+      .groupBy(col("band")).agg(count(lit(1)).as("n"), sum(col("tok")).as("toks"))
+    val w = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bands
+      .withColumn("n_kept", sum(col("n")).over(w))
+      .withColumn("tokens_kept", sum(col("toks")).over(w))
+      .crossJoin(broadcast(bands.agg(sum(col("toks")).as("tot"))))
+      .select((col("band") * lit(bandWidth)).as("threshold_q"),
+        col("n_kept"), col("tokens_kept"),
+        expr("CASE WHEN tot = 0 THEN 0L ELSE (tokens_kept * 1000000L) div tot END")
+          .as("share_ppm"))
+  }
+
   /** GOOD-TURING missing mass per group: the probability that the NEXT
     * token drawn from a source is a type never seen before, estimated by
     * the singleton share P₀ ≈ n₁/N — the coverage health-check a corpus

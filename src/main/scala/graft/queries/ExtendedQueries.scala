@@ -1735,6 +1735,33 @@ object ExtendedQueries {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // PER-SOURCE Zipf fit: t19's log-log regression grouped by source —
+    // a source whose slope departs from the corpus norm is synthetic,
+    // templated, or boilerplate-heavy; the census-sized regression sits
+    // above a (source, freq) spectrum aggregate
+    "t33_zipf_by_source" -> ((s, dir) => {
+      val tf = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("term"))
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("freq"))
+      tf.groupBy(col("source"), col("freq")).agg(count(lit(1)).as("n_types"))
+        .groupBy(col("source")).agg(
+          round(expr("regr_slope(ln(n_types), ln(freq))"), 6).as("zipf_slope"),
+          round(expr("regr_intercept(ln(n_types), ln(freq))"), 6).as("zipf_icept"),
+          count(lit(1)).as("n_pts"))
+        .orderBy(col("source"))
+    }),
+
+    // QUALITY-vs-QUANTITY frontier: per observed quality band, the docs/
+    // tokens surviving a "keep ≥ band" gate — the operating curve a
+    // filtering threshold is read off of; bands-sized suffix cumsum
+    // above one corpus aggregate
+    "p41_quality_frontier" -> ((s, dir) => {
+      graft.ops.CorpusStats.qualityFrontier(
+          t(s, dir, "documents").select(col("text")), "text")
+        .orderBy(col("threshold_q"))
+    }),
+
     // GOOD-TURING missing mass per source: singleton share ≈ the chance
     // the next token is a never-seen type — the under-sampling alarm a
     // census runs before trusting per-source statistics
@@ -4218,6 +4245,54 @@ object ExtendedQueries {
         |SELECT a.src AS src_a, b.src AS src_b, CAST(count(*) AS BIGINT) AS n_shared
         |FROM sfp a JOIN sfp b ON a.fp = b.fp AND a.src < b.src
         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
+    // t33: t19's regression per source over the grouped spectrum
+    "t33_zipf_by_source" ->
+      """WITH toks33 AS (
+        |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tf33 AS (SELECT source, term, count(*) AS freq FROM toks33 GROUP BY 1, 2),
+        |spec33 AS (SELECT source, freq, count(*) AS n_types FROM tf33 GROUP BY 1, 2)
+        |SELECT source, round(regr_slope(ln(n_types), ln(freq)), 6) AS zipf_slope,
+        |  round(regr_intercept(ln(n_types), ln(freq)), 6) AS zipf_icept,
+        |  CAST(count(*) AS BIGINT) AS n_pts
+        |FROM spec33 GROUP BY source ORDER BY source""".stripMargin,
+
+    // p41: p34's per-doc quality quantization, banded census, suffix
+    // cumsum; bands CTE consumed twice → materialized via the allowlist
+    "p41_quality_frontier" -> {
+      val en = graft.ops.TextAnalysis.defaultProfiles.head._2
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH f41 AS (
+         |  SELECT CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      w -> w IN ($en))) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |q41 AS (
+         |  SELECT CAST(round(least(1.0, greatest(0.0,
+         |      0.4 * (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 1.0 ELSE 0.0 END)
+         |      + 0.3 * (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END)
+         |      + 0.3 * (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END)))
+         |    * 1000000) AS BIGINT) // 100000 AS band, n_tokens AS tok
+         |  FROM f41),
+         |b41 AS (SELECT band, count(*) AS n, sum(tok) AS toks FROM q41 GROUP BY 1),
+         |t41 AS (SELECT sum(toks) AS tot FROM b41),
+         |c41 AS (
+         |  SELECT band, sum(n) OVER (ORDER BY band DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_kept,
+         |    sum(toks) OVER (ORDER BY band DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tokens_kept
+         |  FROM b41)
+         |SELECT CAST(band * 100000 AS BIGINT) AS threshold_q,
+         |  CAST(n_kept AS BIGINT) AS n_kept,
+         |  CAST(tokens_kept AS BIGINT) AS tokens_kept,
+         |  CAST(CASE WHEN tot = 0 THEN 0
+         |    ELSE (tokens_kept * 1000000) // tot END AS BIGINT) AS share_ppm
+         |FROM c41 CROSS JOIN t41 ORDER BY threshold_q""".stripMargin
+    },
 
     // t32: one (source, term) count, per-source singleton rollup
     "t32_missing_mass" ->

@@ -401,6 +401,24 @@ class CorpusStatsSpec extends SparkSpec {
     assert(uni.values.toSeq.sorted == Seq(500000L, 500000L), uni.toString)
   }
 
+  test("qualityFrontier: suffix-cumulative bands, shares sum correctly") {
+    import spark.implicits._
+    // q_q: 'a b' short text → lengthOk 0, band depends on ratios; rather
+    // than re-derive scores, assert the STRUCTURAL frontier invariants
+    val docs = Seq("the quick brown fox jumps over the lazy dog and runs on",
+      "zz", "the the the and and of", "x1 9 $%").toDF("text")
+    val rows = CorpusStats.qualityFrontier(docs, "text")
+      .orderBy(col("threshold_q")).collect()
+    // lowest observed threshold keeps everything
+    assert(rows.head.getLong(1) == 4L, rows.mkString("|"))
+    assert(rows.head.getLong(3) == 1000000L, "lowest band keeps 100% of tokens")
+    // monotone: higher threshold never keeps more
+    val kept = rows.map(_.getLong(1))
+    assert(kept.zip(kept.tail).forall { case (a, b) => a >= b }, kept.toSeq.toString)
+    val share = rows.map(_.getLong(3))
+    assert(share.zip(share.tail).forall { case (a, b) => a >= b }, share.toSeq.toString)
+  }
+
   test("missingMass: singleton share per source, empty texts excluded") {
     import spark.implicits._
     // srcA: a a b → N=3, types 2, singletons 1 (b) → 333333 ppm
