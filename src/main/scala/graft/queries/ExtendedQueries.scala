@@ -470,6 +470,32 @@ object ExtendedQueries {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // t32's stream twin: exact per-(source, term) counts behind the
+    // bucketed TxnLogState — vocabulary-sized additive-update state,
+    // term-keyed bucket routing so a trigger touches only its own
+    // buckets; the missing-mass report derives at drain time (singleton-
+    // ness is not trigger-local). Final report == batch t32, its oracle
+    "s35_stream_vocab" -> ((s, dir) => {
+      val work = scratchDir("graft_s35")
+      val in = onceLog("s35", dir) { path =>
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), col("source").as("grp"), col("text"))
+        val b = d.agg(min(col("doc_id")), max(col("doc_id"))).first()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val c1 = lo + (hi - lo) / 3
+        val c2 = lo + 2 * (hi - lo) / 3
+        Seq(col("doc_id") <= c1,
+            col("doc_id") > c1 && col("doc_id") <= c2,
+            col("doc_id") > c2).foreach { p =>
+          d.filter(p).coalesce(1).write.mode("append").parquet(path)
+          Thread.sleep(20) // distinct mtimes → oldest-first arrival
+        }
+      }
+      val state = new graft.streaming.TxnLogState(s"$work/vocab", s, 16)
+      graft.streaming.StreamVocab.drain(s, state, in, s"$work/ckpt")
+        .orderBy(col("grp"))
+    }),
+
     // q30's stream twin: the burst census folded per trigger (additive
     // (type, bucket) counters under the HWM contract), the spike formula
     // run ONCE on the drained totals — the live scrape-storm alarm;
@@ -2638,6 +2664,19 @@ object ExtendedQueries {
        |$iterCtes""".stripMargin
   }
 
+  /** Shared by t32 (batch) and s35 (streaming fold of the same counts):
+    * one (source, term) count, per-source singleton rollup. */
+  private val t32OracleSql: String =
+    """WITH tok32 AS (
+      |  SELECT source AS grp, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |tf32 AS (SELECT grp, w, count(*) AS m FROM tok32 GROUP BY 1, 2)
+      |SELECT grp, CAST(sum(m) AS BIGINT) AS n_tokens,
+      |  CAST(count(*) AS BIGINT) AS n_types,
+      |  CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+      |  CAST((sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) * 1000000) // sum(m) AS BIGINT) AS p0_ppm
+      |FROM tf32 GROUP BY grp ORDER BY grp""".stripMargin
+
   /** Shared by q30 (batch) and s34 (streaming fold of the same census):
     * the (type, hour) census, floor-mean per type, spike filter. */
   private val q30OracleSql: String =
@@ -4295,16 +4334,12 @@ object ExtendedQueries {
     },
 
     // t32: one (source, term) count, per-source singleton rollup
-    "t32_missing_mass" ->
-      """WITH tok32 AS (
-        |  SELECT source AS grp, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
-        |  FROM documents WHERE length(trim(text)) > 0),
-        |tf32 AS (SELECT grp, w, count(*) AS m FROM tok32 GROUP BY 1, 2)
-        |SELECT grp, CAST(sum(m) AS BIGINT) AS n_tokens,
-        |  CAST(count(*) AS BIGINT) AS n_types,
-        |  CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
-        |  CAST((sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) * 1000000) // sum(m) AS BIGINT) AS p0_ppm
-        |FROM tf32 GROUP BY grp ORDER BY grp""".stripMargin,
+    "t32_missing_mass" -> t32OracleSql,
+
+    // s35 = t32 incrementally: the vocabulary state holds true counts
+    // (singleton-ness is not trigger-local) and the report derives at
+    // drain time — t32's oracle, stated once
+    "s35_stream_vocab" -> t32OracleSql,
 
     // p40: unique-content capacities (duplicates floor at max tok per
     // fp), p33's water-fill CTE shape over capacity with a 2×-unique

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming VOCABULARY census — exact per-(group, term) occurrence
+  * counts maintained incrementally, serving t32's missing-mass report
+  * (and any other spectrum-derived number) over an unbounded ingest
+  * stream. The state class this adds to the family: VOCABULARY-sized
+  * additive-UPDATE state behind the bucketed [[TxnLogState]] — bigger
+  * than the constant counter frames (s17/s28/s34) but still sublinear
+  * in the stream (types, not tokens), and each trigger touches only the
+  * buckets its own terms hash to (term-keyed md5 routing, the keep-first
+  * gates' pruned-read discipline).
+  *
+  * Per trigger: one batch-sized (grp, term) aggregate (the only stage
+  * that sees token occurrences), touched-bucket read, counts merge,
+  * copy-on-write commit of exactly those buckets. Counts are ADDITIVE —
+  * replay double-counts — so ascending doc_id arrival is ENFORCED
+  * against a high-water mark and bit-exact redeliveries are skipped.
+  *
+  * Singleton-ness is NOT local to a trigger (a term seen once in two
+  * triggers is not a singleton) — which is exactly why the state must
+  * hold true counts and the report derives at READ time from the
+  * drained state (the derive-per-trigger-report-once discipline). */
+object StreamVocab {
+
+  private def hwmFile(state: TxnLogState) = Paths.get(state.stateDir, "_hwm")
+
+  /** Fold one (doc_id, grp, text) micro-batch. */
+  def applyBatch(state: TxnLogState, batch: DataFrame, batchId: Long): Unit = {
+    val b = batch.select(col("doc_id"), col("grp"), col("text")).cache()
+    try {
+      val range = b.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      if (range.isNullAt(0)) return
+      val (lo, hi) = (range.getLong(0), range.getLong(1))
+      val hf = hwmFile(state)
+      if (Files.exists(hf)) {
+        val Array(prevLo, prevHi) = Files.readString(hf).trim.split("\t").map(_.toLong)
+        if (lo == prevLo && hi == prevHi) return // exact redelivery: already folded
+        if (lo <= prevHi)
+          throw new IllegalStateException(
+            s"out-of-order arrival: batch doc_id range [$lo, $hi] overlaps the " +
+              s"high-water mark $prevHi — additive term counts equal the batch " +
+              "census only under ascending doc_id arrival")
+      }
+      val fresh = b.filter(length(trim(col("text"))) > 0)
+        .select(col("grp"), explode(split(trim(col("text")), "\\s+")).as("term"))
+        .groupBy(col("grp"), col("term")).agg(count(lit(1)).as("m"))
+        .withColumn("id", concat(col("grp"), lit("|"), col("term")))
+        .cache()
+      val touched = fresh
+        .select(graft.expr.hfunctions.md5_shard(col("id"), state.buckets).as("bk"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      if (touched.nonEmpty) {
+        val merged = (state.readBuckets(touched) match {
+          case Some(prev) => prev.select("id", "grp", "term", "m").unionByName(
+            fresh.select("id", "grp", "term", "m"))
+          case None => fresh.select("id", "grp", "term", "m")
+        }).groupBy(col("id"), col("grp"), col("term")).agg(sum(col("m")).as("m"))
+        state.commit(merged, f"r$batchId%010d", touched)
+      }
+      IndexState.atomicWriteString(hf, s"$lo\t$hi")
+      fresh.unpersist(blocking = false)
+    } finally { b.unpersist(blocking = false); () }
+  }
+
+  /** The missing-mass report from the drained state — t32's shape. */
+  def summary(state: TxnLogState): DataFrame =
+    state.read() match {
+      case Some(df) => df
+        .groupBy(col("grp"))
+        .agg(sum(col("m")).as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(when(col("m") === 1L, lit(1L)).otherwise(lit(0L))).as("n_singletons"))
+        .withColumn("p0_ppm", expr("(n_singletons * 1000000L) div n_tokens"))
+      case None => throw new IllegalStateException("no vocabulary state committed yet")
+    }
+
+  /** Convenience drain over a (doc_id, grp, text) log. */
+  def drain(spark: SparkSession, state: TxnLogState, inPath: String,
+            ckptPath: String): DataFrame = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("grp", "string").add("text", "string")
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inPath)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) => applyBatch(state, b, id) }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckptPath)
+      .start()
+    q.awaitTermination()
+    summary(state)
+  }
+}
