@@ -323,6 +323,43 @@ object Relational {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** BOT/AUTOMATION census — users whose inter-arrival gaps are too
+    * regular to be human: scripted traffic arrives on a timer, so one
+    * gap value dominates its distribution. Behavioral logs feeding a
+    * training pipeline need this gate the way text needs a boilerplate
+    * filter — bot sessions poison co-visitation, transition, and funnel
+    * statistics (they ARE the hub sessions q31 caps away, detected at
+    * the source).
+    *
+    * Per user: consecutive-event gaps (one user-keyed window, never a
+    * global sort), then the gap distribution's modal share on the 1e-6
+    * grid — all integer. A user flags when it has ≥ `minGaps` gaps and
+    * the modal gap covers ≥ `shareThreshold` ppm. Output (flagged users
+    * only): (user_id, n_gaps, n_distinct_gaps, top_share_ppm).
+    *
+    * Scale shape: one user-keyed window pass + two aggregates, the
+    * second keyed on (user, gap) with map-side partials; output is
+    * flagged-users-sized. */
+  def botCensus(events: DataFrame, userCol: String, orderCol: String,
+                tsSecCol: String, minGaps: Long = 5L,
+                shareThreshold: Long = 800000L): DataFrame = {
+    val w = Window.partitionBy(col("u")).orderBy(col("o"))
+    val gaps = events.select(col(userCol).as("u"), col(orderCol).as("o"),
+        col(tsSecCol).as("ts"))
+      .withColumn("gap", col("ts") - lag(col("ts"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    gaps.groupBy(col("u"), col("gap")).agg(count(lit(1)).as("c"))
+      .groupBy(col("u"))
+      .agg(sum(col("c")).as("n_gaps"),
+        count(lit(1)).as("n_distinct_gaps"),
+        max(col("c")).as("top_c"))
+      .withColumn("top_share_ppm", expr("(top_c * 1000000L) div n_gaps"))
+      .filter(col("n_gaps") >= minGaps &&
+        col("top_share_ppm") >= shareThreshold)
+      .select(col("u").as("user_id"), col("n_gaps"),
+        col("n_distinct_gaps"), col("top_share_ppm"))
+  }
+
   /** MARKOV (removal-effect) attribution — the data-driven upgrade of
     * q24's last-touch heuristic: model user journeys as a first-order
     * Markov chain (START → events → CONV at the first conversion, or

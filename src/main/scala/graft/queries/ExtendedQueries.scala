@@ -213,6 +213,21 @@ object ExtendedQueries {
         .limit(10)
     }),
 
+    // BOT census: users whose inter-arrival gaps are dominated by one
+    // value (scripted timers) — the behavioral-data analog of the
+    // boilerplate filter; synthetic bots injected so the flag has
+    // positives at every SF (user_id+1e6, events every exactly 60s)
+    "q33_bot_census" -> ((s, dir) => {
+      val base = eventsSec(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_s"))
+      val bots = base.filter(col("user_id") % 17 === 0)
+        .select((col("user_id") + 1000000L).as("user_id"),
+          col("event_id"), lit(0L).as("ts_s")) // a perfect timer: all gaps 0
+      graft.ops.Relational.botCensus(base.unionByName(bots),
+          "user_id", "event_id", "ts_s")
+        .orderBy(col("user_id"))
+    }),
+
     // MARKOV removal-effect attribution: the data-driven multi-touch
     // model next to q24's last-touch heuristic — journeys truncate at
     // first purchase in one user-keyed pass, the (types+2)²-bounded
@@ -3686,6 +3701,33 @@ object ExtendedQueries {
         |      FROM z)
         |SELECT e1, e2, e3, count(*) AS n FROM p WHERE e1 IS NOT NULL
         |GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 10""".stripMargin,
+
+    // q33: the same gap distribution + modal-share formula over the
+    // bot-injected union
+    "q33_bot_census" ->
+      """WITH base33 AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_s FROM events),
+        |u33 AS (
+        |  SELECT user_id, event_id, ts_s FROM base33
+        |  UNION ALL
+        |  SELECT user_id + 1000000, event_id, 0 AS ts_s
+        |  FROM base33 WHERE user_id % 17 = 0),
+        |g33 AS (
+        |  SELECT user_id,
+        |    ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY event_id) AS gap
+        |  FROM u33),
+        |c33 AS (SELECT user_id, gap, count(*) AS c FROM g33
+        |        WHERE gap IS NOT NULL GROUP BY 1, 2),
+        |a33 AS (
+        |  SELECT user_id, sum(c) AS n_gaps, count(*) AS n_distinct_gaps,
+        |    max(c) AS top_c
+        |  FROM c33 GROUP BY 1)
+        |SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+        |  CAST(n_distinct_gaps AS BIGINT) AS n_distinct_gaps,
+        |  CAST((top_c * 1000000) // n_gaps AS BIGINT) AS top_share_ppm
+        |FROM a33
+        |WHERE n_gaps >= 5 AND (top_c * 1000000) // n_gaps >= 800000
+        |ORDER BY user_id""".stripMargin,
 
     // q32: the journey-truncated transition matrix + one unrolled
     // fixed-point arm per channel (types hardcoded — the fixture's

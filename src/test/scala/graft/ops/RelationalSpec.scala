@@ -159,6 +159,23 @@ class RelationalSpec extends SparkSpec {
     assert(got.toSeq == Seq(("A", 0L, 10L, 2500000L)), got.mkString(","))
   }
 
+  test("botCensus: timer users flag, irregular humans don't, thresholds bind") {
+    import spark.implicits._
+    // user 1: perfect 60s timer (6 gaps, all 60) → flagged
+    // user 2: irregular gaps → modal share below threshold
+    // user 3: regular but only 2 gaps → below minGaps
+    val ev = ((1 to 7).map(i => (1L, i.toLong, i * 60L)) ++
+      Seq((2L, 1L, 0L), (2L, 2L, 10L), (2L, 3L, 25L), (2L, 4L, 100L),
+        (2L, 5L, 101L), (2L, 6L, 300L), (2L, 7L, 301L)) ++
+      (1 to 3).map(i => (3L, i.toLong, i * 30L)))
+      .toDF("user_id", "event_id", "ts_s")
+    val got = Relational.botCensus(ev, "user_id", "event_id", "ts_s")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set(1L), got.toString)
+    assert(got(1L) == ((6L, 1L, 1000000L)), got.toString)
+  }
+
   test("markovAttribution: exact chain value, removal effects ordered by path coverage") {
     import spark.implicits._
     // u1: view→click→purchase; u2: view→purchase; u3: click (dies);
