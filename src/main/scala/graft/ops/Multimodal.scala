@@ -340,6 +340,49 @@ object Multimodal {
     }
   }
 
+  case class ToneProfile(doc_id: Long, share_ppm: Long, blank: Boolean)
+
+  /** BLANK / NEAR-BLANK image filter: the media-curation gate that drops
+    * failed renders, empty-page screenshots, and solid placeholders —
+    * images whose DOMINANT tone band covers ≥ `threshold` ppm of the
+    * raster carry no trainable signal. Pixels bucket into `bands`
+    * grayscale bands (band = gray·bands div 256, integer), the dominant
+    * share lands on the 1e-6 grid — all exact, so a synthetic fixture's
+    * share is pure id arithmetic while the real decode + raster walk run.
+    * One pass per image inside the decode partition (no shuffle);
+    * undecodable payloads are dropped (no raster to judge). */
+  def blankFilter(media: DataFrame, bands: Int = 4,
+                  threshold: Long = 900000L): Dataset[ToneProfile] = {
+    require(bands > 0 && bands <= 256, s"bands must be in 1..256: $bands")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        catch { case _: Exception => null }
+        if (img == null) Iterator.empty
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val counts = new Array[Long](bands)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              val g = (((p >>> 16) & 0xff) + ((p >>> 8) & 0xff) + (p & 0xff)) / 3
+              counts(g * bands / 256) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val share = counts.max * 1000000L / (w.toLong * h)
+          Iterator.single(ToneProfile(r.doc_id, share, share >= threshold))
+        }
+      }
+    }
+  }
+
   /** ROTATION-CANONICAL perceptual hash: the minimum aHash over the four
     * 90° orientations of the decoded raster — re-oriented copies (phone
     * photos, rotated scans, EXIF-stripped re-uploads) share one hash

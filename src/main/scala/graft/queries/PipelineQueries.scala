@@ -1583,6 +1583,18 @@ object PipelineQueries {
     // id%4 cols) around a solid non-black content box; the operator
     // must recover the crop from the RASTER (the decode + border scans
     // genuinely run) while the oracle predicts it from the arithmetic
+    // BLANK-image filter: solid placeholders (ids shifted +500000) flag
+    // at share 1e6; pattern renders stay below the 0.9 threshold (their
+    // dominant band is max(k, 64−k)/64 ≤ 48/64). Real decode + raster
+    // walk under an id-arithmetic oracle
+    "m18_blank_filter" -> ((s, dir) => {
+      val solids = solidPngMedia(s, dir)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("mime"), col("payload"))
+      Multimodal.blankFilter(patternPngMedia(s, dir).unionByName(solids))
+        .toDF()
+        .orderBy(col("doc_id"))
+    }),
+
     // ROTATION-invariant perceptual dedup: ids ≡ 0 (mod 7) render their
     // class pattern rotated 90° — plain aHash (m08) splits them off;
     // the canonical min-over-orientations hash reunites every class.
@@ -3817,6 +3829,24 @@ object PipelineQueries {
     // strictly between them — so the hash is bit_or of 1<<idx over the
     // formula's high cells (bit 63 spelled as Long.MinValue: DuckDB's
     // checked 1<<63 overflows, and a BIGINT sum would too)
+    // m18: dominant band share by cell arithmetic — pattern images carry
+    // max(k, 64−k) of 64 uniform 16-px cells (tones 140/40 land in bands
+    // 2/0), solids are single-band by construction
+    "m18_blank_filter" ->
+      """WITH k18 AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN ((doc_id % 50) * 31 + idx * 17) % 97 < 48
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS khi
+        |  FROM (SELECT doc_id, unnest(generate_series(0, 63)) AS idx FROM documents)
+        |  GROUP BY doc_id),
+        |pat18 AS (SELECT doc_id, greatest(khi, 64 - khi) * 15625 AS share_ppm FROM k18),
+        |sol18 AS (SELECT doc_id + 500000 AS doc_id,
+        |            CAST(1000000 AS BIGINT) AS share_ppm FROM documents)
+        |SELECT doc_id, CAST(share_ppm AS BIGINT) AS share_ppm,
+        |  share_ppm >= 900000 AS blank
+        |FROM (SELECT * FROM pat18 UNION ALL SELECT * FROM sol18)
+        |ORDER BY doc_id""".stripMargin,
+
     // m17: the rendered cell grid by idx arithmetic (rot-rendered for
     // ids ≡ 0 mod 7), then ALL FOUR orientation hashes as bit
     // permutations of the same grid — bit i of hash_r = hi(perm_r(i)),
