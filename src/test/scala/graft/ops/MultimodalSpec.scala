@@ -395,6 +395,29 @@ class MultimodalSpec extends SparkSpec {
     assert((wide.bucket_w, wide.bucket_h) == ((16, 9)), s"${wide.bucket_w}:${wide.bucket_h}")
   }
 
+  test("blankFilter: solid flags, half-split does not, undecodable dropped") {
+    import spark.implicits._
+    def png(id: Long)(paint: java.awt.image.BufferedImage => Unit) = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      paint(img)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      (id, "image/png", bos.toByteArray)
+    }
+    val white = 0xffffff
+    val media = Seq(
+      png(1L) { im => for (y <- 0 until 16; x <- 0 until 16) im.setRGB(x, y, white) },
+      png(2L) { im => for (y <- 0 until 8; x <- 0 until 16) im.setRGB(x, y, white) },
+      (3L, "image/png", Array[Byte](7))
+    ).toDF("doc_id", "mime", "payload")
+    val got = Multimodal.blankFilter(media).collect()
+      .map(t => t.doc_id -> ((t.share_ppm, t.blank))).toMap
+    assert(got(1L) == ((1000000L, true)), got.toString)
+    assert(got(2L) == ((500000L, false)), "half white, half black → 50% dominant")
+    assert(!got.contains(3L), "undecodable payloads are dropped")
+  }
+
   test("canonicalAHash64: all four orientations of one image share the canonical hash") {
     import spark.implicits._
     // an asymmetric 16×16 pattern and its three rotations as separate docs
