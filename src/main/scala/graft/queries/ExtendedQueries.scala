@@ -1776,6 +1776,25 @@ object ExtendedQueries {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // TERM BURSTINESS (Church–Gale cf/df): terms whose occurrences pile
+    // into few documents are topical/templated; stopwords spread thin.
+    // Next to frequency (t09), TF-IDF (t11), and TextRank (t30) this is
+    // the fourth term-importance lens — and the cheapest: two aggregates
+    // (doc-term, then term) + a TakeOrdered top-20, everything exact
+    // integers on the ppm grid
+    "t34_term_burstiness" -> ((s, dir) => {
+      val dt = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      dt.groupBy(col("term"))
+        .agg(sum(col("tf")).as("cf"), count(lit(1)).as("df"))
+        .filter(col("df") >= 3)
+        .withColumn("burst_ppm", expr("(cf * 1000000L) div df"))
+        .orderBy(col("burst_ppm").desc, col("term"))
+        .limit(20)
+    }),
+
     // PER-SOURCE Zipf fit: t19's log-log regression grouped by source —
     // a source whose slope departs from the corpus norm is synthetic,
     // templated, or boilerplate-heavy; the census-sized regression sits
@@ -4326,6 +4345,19 @@ object ExtendedQueries {
         |SELECT a.src AS src_a, b.src AS src_b, CAST(count(*) AS BIGINT) AS n_shared
         |FROM sfp a JOIN sfp b ON a.fp = b.fp AND a.src < b.src
         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
+    // t34: the same two aggregates + rank-20 by (burst desc, term)
+    "t34_term_burstiness" ->
+      """WITH dt34 AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tf34 AS (SELECT doc_id, term, count(*) AS tf FROM dt34 GROUP BY 1, 2),
+        |ag34 AS (
+        |  SELECT term, CAST(sum(tf) AS BIGINT) AS cf, CAST(count(*) AS BIGINT) AS df
+        |  FROM tf34 GROUP BY term)
+        |SELECT term, cf, df, CAST((cf * 1000000) // df AS BIGINT) AS burst_ppm
+        |FROM ag34 WHERE df >= 3
+        |ORDER BY burst_ppm DESC, term LIMIT 20""".stripMargin,
 
     // t33: t19's regression per source over the grouped spectrum
     "t33_zipf_by_source" ->
