@@ -634,6 +634,36 @@ class PlanQualitySpec extends SparkSpec {
     assert(windows.isEmpty, "fixed-width bands need no window/rank")
   }
 
+  test("q31 co-visitation: pairs generate map-side — NO join anywhere in the plan") {
+    val root = q("q31_covisitation").queryExecution.optimizedPlan
+    val joins = root.collect { case j: Join => j }
+    assert(joins.isEmpty,
+      s"pair explosion must come from the session arrays, got ${joins.length} joins")
+    val windows = root.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "sessionization windows must partition by user")
+  }
+
+  test("q33 bot census: user-partitioned window, join-free aggregates") {
+    val root = q("q33_bot_census").queryExecution.optimizedPlan
+    assert(root.collect { case j: Join => j }.isEmpty, "census is aggregate-only")
+    val windows = root.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "gap windows must partition by user")
+  }
+
+  test("p41 quality frontier: the suffix windows sit ABOVE the band aggregate") {
+    val root = q("p41_quality_frontier").queryExecution.optimizedPlan
+    val windows = root.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty, "the frontier is a windowed suffix cumsum")
+    assert(windows.forall(_.find {
+      case _: Aggregate => true; case _ => false }.isDefined),
+      "every window must run on the bands census, never the corpus")
+  }
+
   test("q24 last-touch: the only window is user-partitioned — never a global sort") {
     val root = q("q24_last_touch").queryExecution.optimizedPlan
     val windows = root.collect {
