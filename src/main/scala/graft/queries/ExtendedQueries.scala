@@ -213,6 +213,42 @@ object ExtendedQueries {
         .limit(10)
     }),
 
+    // SESSION LIFT: P(a,b)/(P(a)·P(b)) over 1h-gap sessions — which
+    // event types co-occur beyond chance (the association rule next to
+    // q22's directed transitions); sessions collapse to sorted distinct
+    // type arrays, pairs generate map-side (the q31 discipline), and
+    // every frame after the session aggregate is types²-bounded
+    "q34_session_lift" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = eventsSec(s, dir)
+        .withColumn("prev", lag(col("ts_s"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("ts_s") - col("prev") > 3600, 1L).otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(run))
+      val sets = sess.groupBy(col("user_id"), col("sess_id"))
+        .agg(array_sort(collect_set(col("event_type"))).as("types"))
+      val totals = sets.agg(count(lit(1)).as("n_sess"))
+      val singles = sets.select(explode(col("types")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+      val pairs = sets.filter(size(col("types")) >= 2)
+        .select(explode(flatten(transform(
+            sequence(lit(1), size(col("types")) - 1),
+            i => transform(sequence(i + 1, size(col("types"))),
+              j => struct(element_at(col("types"), i).as("a"),
+                element_at(col("types"), j).as("b")))))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(singles.select(col("t").as("a"), col("n_t").as("n_a"))), Seq("a"))
+        .join(broadcast(singles.select(col("t").as("b"), col("n_t").as("n_b"))), Seq("b"))
+        .crossJoin(broadcast(totals))
+        .select(col("a"), col("b"), col("n_ab"),
+          round(col("n_ab") * col("n_sess") * lit(1.0) / (col("n_a") * col("n_b")), 6)
+            .as("lift"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // BOT census: users whose inter-arrival gaps are dominated by one
     // value (scripted timers) — the behavioral-data analog of the
     // boilerplate filter; synthetic bots injected so the flag has
@@ -3720,6 +3756,42 @@ object ExtendedQueries {
         |      FROM z)
         |SELECT e1, e2, e3, count(*) AS n FROM p WHERE e1 IS NOT NULL
         |GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 10""".stripMargin,
+
+    // q34: q27's sessionization, per-session sorted distinct types,
+    // a<b pair unnest, lift vs independence; chain consumed by singles
+    // AND pairs → materialized via the allowlist
+    "q34_session_lift" ->
+      """WITH e34 AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000000000 AS ts_s FROM events),
+        |x34 AS (SELECT *, lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev
+        |        FROM e34),
+        |y34 AS (SELECT user_id, event_id, event_type, ts_s,
+        |          CASE WHEN prev IS NULL OR ts_s - prev > 3600 THEN 1 ELSE 0 END AS new_sess
+        |        FROM x34),
+        |z34 AS (SELECT user_id, event_type,
+        |          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |        FROM y34),
+        |s34_ AS (SELECT user_id, sess_id,
+        |           list_sort(list_distinct(list(event_type))) AS types
+        |         FROM z34 GROUP BY 1, 2),
+        |tot34 AS (SELECT count(*) AS n_sess FROM s34_),
+        |sg34 AS (SELECT t, count(*) AS n_t FROM (
+        |           SELECT unnest(types) AS t FROM s34_) GROUP BY 1),
+        |pr34 AS (
+        |  SELECT u.a AS a, u.b AS b, count(*) AS n_ab FROM (
+        |    SELECT unnest(flatten(list_transform(generate_series(1, len(types) - 1),
+        |      i -> list_transform(generate_series(i + 1, len(types)),
+        |        j -> {'a': types[i], 'b': types[j]})))) AS u
+        |    FROM s34_ WHERE len(types) >= 2)
+        |  GROUP BY 1, 2)
+        |SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab,
+        |  round(n_ab * n_sess * 1.0 / (sa.n_t * sb.n_t), 6) AS lift
+        |FROM pr34
+        |JOIN sg34 sa ON pr34.a = sa.t
+        |JOIN sg34 sb ON pr34.b = sb.t
+        |CROSS JOIN tot34
+        |ORDER BY a, b""".stripMargin,
 
     // q33: the same gap distribution + modal-share formula over the
     // bot-injected union
