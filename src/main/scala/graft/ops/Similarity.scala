@@ -64,6 +64,22 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** MIPS — maximum-inner-product top-k: the retrieval mode for
+    * UNNORMALIZED embeddings (matrix-factorization recommenders,
+    * popularity-scaled encoders), where cosine's normalization would
+    * erase the magnitude signal the model put there. Same broadcast-
+    * query / bounded-heap shape as [[bruteForceTopK]]; the score is the
+    * EXACT integer dot (≤ dim·(1000·|x|max)² — far under 2⁵³ for
+    * unit-scale embeddings, so its double image is exact and engine-
+    * portable). Output: (q_id, n_id, sim = dot, rk). */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("q").as("q_vec"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", dotq(col("q"), col("q_vec")).cast("double"))
+    topK(scored, k)
+  }
+
   /** Deterministic integer hyperplane coefficient for (plane, dim):
     * md5-derived value in [-1000, 1000]. */
   def planeCoef(plane: Column, dim: Column): Column =

@@ -849,6 +849,15 @@ object ExtendedQueries {
         .orderBy(col("c_id"))
     }),
 
+    // MIPS top-k: exact inner-product retrieval for unnormalized
+    // embeddings — cosine would erase the magnitude signal; integer dot
+    // is exact in double, broadcast-query + bounded-heap shape
+    "a27_mips_topk" -> ((s, dir) => {
+      val corpus = Similarity.prep(t(s, dir, "embeddings"), "vec_id", "embedding")
+      Similarity.mipsTopK(corpus, corpus.filter(col("vec_id") < 5), k = 5)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // HOT-CELL SPLIT: IVF rebalancing — cells above ⌈total/cells⌉ split
     // into two by a grouped per-cell 2-means (every hot cell trains in
     // the same jobs), fresh generation + atomic manifest flip; output =
@@ -4964,6 +4973,21 @@ object ExtendedQueries {
          |FROM f""".stripMargin,
 
     "a03_ann_ivf" -> a03Oracle,
+
+    // a27: the quantized corpus joined against the query slice, ranked
+    // by raw dot; n consumed twice → materialized via the allowlist
+    "a27_mips_topk" ->
+      s"""WITH ${PipelineQueries.quantCte},
+         |sc27 AS (
+         |  SELECT p.vec_id AS q_id, a.vec_id AS n_id,
+         |    CAST(list_dot_product(a.q::DOUBLE[], p.q::DOUBLE[]) AS DOUBLE) AS sim
+         |  FROM n a JOIN (SELECT vec_id, q FROM n WHERE vec_id < 5) p
+         |    ON a.vec_id <> p.vec_id)
+         |SELECT q_id, n_id, sim, rk FROM (
+         |  SELECT q_id, n_id, sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
+         |  FROM sc27)
+         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
 
     // a26: the shared assignment CTEs + the grouped 2-means iterations;
     // deep chain with corpus_a consumed throughout → materialized
