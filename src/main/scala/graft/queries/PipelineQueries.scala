@@ -1583,6 +1583,29 @@ object PipelineQueries {
     // id%4 cols) around a solid non-black content box; the operator
     // must recover the crop from the RASTER (the decode + border scans
     // genuinely run) while the oracle predicts it from the arithmetic
+    // m16's stream twin: the batch plan maintained over the media ingest
+    // stream — per-row-pure header decode + assignment, buckets-sized
+    // additive counters under the HWM contract, targets derived at drain.
+    // Final census == batch m16, its oracle
+    "s36_stream_aspect" -> ((s, dir) => {
+      val work = graft.queries.ExtendedQueries.scratchDir("graft_s36")
+      val in = graft.queries.ExtendedQueries.onceLog("s36", dir) { path =>
+        val media = solidPngMedia(s, dir)
+        val b = media.agg(min(col("doc_id")), max(col("doc_id"))).first()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val c1 = lo + (hi - lo) / 3
+        val c2 = lo + 2 * (hi - lo) / 3
+        Seq(col("doc_id") <= c1,
+            col("doc_id") > c1 && col("doc_id") <= c2,
+            col("doc_id") > c2).foreach { p =>
+          media.filter(p).coalesce(1).write.mode("append").parquet(path)
+          Thread.sleep(20) // distinct mtimes → oldest-first arrival
+        }
+      }
+      graft.streaming.StreamAspect.drain(s, s"$work/agg", in, s"$work/ckpt")
+        .orderBy(col("bucket_w"), col("bucket_h"))
+    }),
+
     // BLANK-image filter: solid placeholders (ids shifted +500000) flag
     // at share 1e6; pattern renders stay below the 0.9 threshold (their
     // dominant band is max(k, 64−k)/64 ≤ 48/64). Real decode + raster
@@ -1936,6 +1959,28 @@ object PipelineQueries {
         }
       }.toDF("doc_id", "mime", "payload")
   }
+
+  /** Shared by m16 (batch) and s36 (streaming fold of the same census):
+    * exact-integer nearest-bucket assignment over id-arithmetic dims,
+    * bucket census + 4096-px resize targets. */
+  private val m16OracleSql: String =
+    """WITH imgs AS (
+      |  SELECT doc_id, CAST(1 + doc_id % 64 AS BIGINT) AS w,
+      |    CAST(1 + doc_id % 48 AS BIGINT) AS h FROM documents),
+      |b(idx, bw, bh, rs) AS (VALUES
+      |  (0, 1, 1, 144), (1, 4, 3, 192), (2, 3, 4, 108), (3, 16, 9, 256),
+      |  (4, 9, 16, 81), (5, 3, 2, 216), (6, 2, 3, 96)),
+      |d AS (
+      |  SELECT doc_id, bw, bh,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY abs(144 * w - rs * h), idx) AS rn
+      |  FROM imgs CROSS JOIN b),
+      |c AS (SELECT bw, bh, count(*) AS n_images FROM d WHERE rn = 1 GROUP BY 1, 2)
+      |SELECT CAST(bw AS INT) AS bucket_w, CAST(bh AS INT) AS bucket_h,
+      |  CAST(bw * floor(sqrt(CAST(4096 // (bw * bh) AS DOUBLE))) AS INT) AS target_w,
+      |  CAST(bh * floor(sqrt(CAST(4096 // (bw * bh) AS DOUBLE))) AS INT) AS target_h,
+      |  n_images
+      |FROM c ORDER BY bucket_w, bucket_h""".stripMargin
 
   /** m17 fixture: [[patternPngMedia]] with ids ≡ 0 (mod 7) rendering
     * their class pattern ROTATED 90° clockwise — rendered cell idx shows
@@ -4073,24 +4118,11 @@ object PipelineQueries {
     // m16: D = lcm(bucket heights) = 144; rs = bw*(144/bh). The argmin
     // over |144w - rs*h| with idx tie-break replays the engine's exact-
     // integer assignment; targets = bucket * floor(sqrt(budget div area))
-    "m16_aspect_buckets" ->
-      """WITH imgs AS (
-        |  SELECT doc_id, CAST(1 + doc_id % 64 AS BIGINT) AS w,
-        |    CAST(1 + doc_id % 48 AS BIGINT) AS h FROM documents),
-        |b(idx, bw, bh, rs) AS (VALUES
-        |  (0, 1, 1, 144), (1, 4, 3, 192), (2, 3, 4, 108), (3, 16, 9, 256),
-        |  (4, 9, 16, 81), (5, 3, 2, 216), (6, 2, 3, 96)),
-        |d AS (
-        |  SELECT doc_id, bw, bh,
-        |    row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY abs(144 * w - rs * h), idx) AS rn
-        |  FROM imgs CROSS JOIN b),
-        |c AS (SELECT bw, bh, count(*) AS n_images FROM d WHERE rn = 1 GROUP BY 1, 2)
-        |SELECT CAST(bw AS INT) AS bucket_w, CAST(bh AS INT) AS bucket_h,
-        |  CAST(bw * floor(sqrt(CAST(4096 // (bw * bh) AS DOUBLE))) AS INT) AS target_w,
-        |  CAST(bh * floor(sqrt(CAST(4096 // (bw * bh) AS DOUBLE))) AS INT) AS target_h,
-        |  n_images
-        |FROM c ORDER BY bucket_w, bucket_h""".stripMargin,
+    "m16_aspect_buckets" -> m16OracleSql,
+
+    // s36 = m16 incrementally: per-row-pure assignment + additive bucket
+    // counters, targets derived at drain — m16's oracle, stated once
+    "s36_stream_aspect" -> m16OracleSql,
 
     "m15_letterbox_crop" ->
       """SELECT doc_id,
