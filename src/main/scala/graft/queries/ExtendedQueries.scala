@@ -1821,6 +1821,33 @@ object ExtendedQueries {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // BOILERPLATE DENSITY: the share of a doc's trigrams that are
+    // corpus-COMMON (appear in ≥ 3 documents) — cross-document
+    // formulaicity, the complement of t14's within-doc repetition:
+    // navigation chrome, legal footers, and template prose score high.
+    // One trigram census + one df-keyed probe join, multiplicities ride
+    // the per-(doc, trigram) aggregate so probe traffic is distinct-
+    // trigrams-per-doc, never tokens
+    "t35_boilerplate_density" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val dt = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), toks.as("_tk"))
+        .filter(size(col("_tk")) >= 3)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("_tk")) - 2),
+            i => concat_ws(" ", element_at(col("_tk"), i),
+              element_at(col("_tk"), i + 1), element_at(col("_tk"), i + 2)))).as("tg"))
+        .groupBy(col("doc_id"), col("tg")).agg(count(lit(1)).as("m"))
+      val df = dt.groupBy(col("tg")).agg(count(lit(1)).as("df"))
+      dt.join(df, Seq("tg"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("m")).as("n_trigrams"),
+          sum(when(col("df") >= 3, col("m")).otherwise(0L)).as("n_common"))
+        .withColumn("boiler_ppm", expr("(n_common * 1000000L) div n_trigrams"))
+        .orderBy(col("doc_id"))
+    }),
+
     // TERM BURSTINESS (Church–Gale cf/df): terms whose occurrences pile
     // into few documents are topical/templated; stopwords spread thin.
     // Next to frequency (t09), TF-IDF (t11), and TextRank (t30) this is
@@ -4426,6 +4453,26 @@ object ExtendedQueries {
         |SELECT a.src AS src_a, b.src AS src_b, CAST(count(*) AS BIGINT) AS n_shared
         |FROM sfp a JOIN sfp b ON a.fp = b.fp AND a.src < b.src
         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
+    // t35: the per-(doc, trigram) census probed against its own df;
+    // dt35 consumed twice → materialized via the allowlist
+    "t35_boilerplate_density" ->
+      """WITH tok35 AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tg35 AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(tk) - 2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tg
+        |  FROM tok35 WHERE len(tk) >= 3),
+        |dt35 AS (SELECT doc_id, tg, count(*) AS m FROM tg35 GROUP BY 1, 2),
+        |df35 AS (SELECT tg, count(*) AS df FROM dt35 GROUP BY 1)
+        |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_trigrams,
+        |  CAST(sum(CASE WHEN df >= 3 THEN m ELSE 0 END) AS BIGINT) AS n_common,
+        |  CAST((sum(CASE WHEN df >= 3 THEN m ELSE 0 END) * 1000000)
+        |    // sum(m) AS BIGINT) AS boiler_ppm
+        |FROM dt35 JOIN df35 USING (tg)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // t34: the same two aggregates + rank-20 by (burst desc, term)
     "t34_term_burstiness" ->
