@@ -1606,6 +1606,29 @@ object PipelineQueries {
         .orderBy(col("bucket_w"), col("bucket_h"))
     }),
 
+    // m18's stream twin: per-row-pure verdicts per micro-batch (the
+    // percolation family, raster edition) — drained union == batch m18
+    "s37_stream_blank_gate" -> ((s, dir) => {
+      val work = graft.queries.ExtendedQueries.scratchDir("graft_s37")
+      val in = graft.queries.ExtendedQueries.onceLog("s37", dir) { path =>
+        val media = patternPngMedia(s, dir).unionByName(
+          solidPngMedia(s, dir)
+            .select((col("doc_id") + 500000L).as("doc_id"), col("mime"), col("payload")))
+        val b = media.agg(min(col("doc_id")), max(col("doc_id"))).first()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val c1 = lo + (hi - lo) / 3
+        val c2 = lo + 2 * (hi - lo) / 3
+        Seq(col("doc_id") <= c1,
+            col("doc_id") > c1 && col("doc_id") <= c2,
+            col("doc_id") > c2).foreach { p =>
+          media.filter(p).coalesce(1).write.mode("append").parquet(path)
+          Thread.sleep(20) // distinct mtimes → oldest-first arrival
+        }
+      }
+      graft.streaming.StreamBlankGate.drain(s, in, s"$work/out", s"$work/ckpt")
+        .orderBy(col("doc_id"))
+    }),
+
     // BLANK-image filter: solid placeholders (ids shifted +500000) flag
     // at share 1e6; pattern renders stay below the 0.9 threshold (their
     // dominant band is max(k, 64−k)/64 ≤ 48/64). Real decode + raster
@@ -1959,6 +1982,24 @@ object PipelineQueries {
         }
       }.toDF("doc_id", "mime", "payload")
   }
+
+  /** Shared by m18 (batch) and s37 (its stateless percolation twin):
+    * dominant band share by cell arithmetic over the pattern + shifted-
+    * solid fixture. */
+  private val m18OracleSql: String =
+    """WITH k18 AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN ((doc_id % 50) * 31 + idx * 17) % 97 < 48
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS khi
+      |  FROM (SELECT doc_id, unnest(generate_series(0, 63)) AS idx FROM documents)
+      |  GROUP BY doc_id),
+      |pat18 AS (SELECT doc_id, greatest(khi, 64 - khi) * 15625 AS share_ppm FROM k18),
+      |sol18 AS (SELECT doc_id + 500000 AS doc_id,
+      |            CAST(1000000 AS BIGINT) AS share_ppm FROM documents)
+      |SELECT doc_id, CAST(share_ppm AS BIGINT) AS share_ppm,
+      |  share_ppm >= 900000 AS blank
+      |FROM (SELECT * FROM pat18 UNION ALL SELECT * FROM sol18)
+      |ORDER BY doc_id""".stripMargin
 
   /** Shared by m16 (batch) and s36 (streaming fold of the same census):
     * exact-integer nearest-bucket assignment over id-arithmetic dims,
@@ -3877,20 +3918,11 @@ object PipelineQueries {
     // m18: dominant band share by cell arithmetic — pattern images carry
     // max(k, 64−k) of 64 uniform 16-px cells (tones 140/40 land in bands
     // 2/0), solids are single-band by construction
-    "m18_blank_filter" ->
-      """WITH k18 AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN ((doc_id % 50) * 31 + idx * 17) % 97 < 48
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS khi
-        |  FROM (SELECT doc_id, unnest(generate_series(0, 63)) AS idx FROM documents)
-        |  GROUP BY doc_id),
-        |pat18 AS (SELECT doc_id, greatest(khi, 64 - khi) * 15625 AS share_ppm FROM k18),
-        |sol18 AS (SELECT doc_id + 500000 AS doc_id,
-        |            CAST(1000000 AS BIGINT) AS share_ppm FROM documents)
-        |SELECT doc_id, CAST(share_ppm AS BIGINT) AS share_ppm,
-        |  share_ppm >= 900000 AS blank
-        |FROM (SELECT * FROM pat18 UNION ALL SELECT * FROM sol18)
-        |ORDER BY doc_id""".stripMargin,
+    "m18_blank_filter" -> m18OracleSql,
+
+    // s37 = m18 per micro-batch: verdicts are per-row pure, the drained
+    // union IS the batch gate — m18's oracle, stated once
+    "s37_stream_blank_gate" -> m18OracleSql,
 
     // m17: the rendered cell grid by idx arithmetic (rot-rendered for
     // ids ≡ 0 mod 7), then ALL FOUR orientation hashes as bit
