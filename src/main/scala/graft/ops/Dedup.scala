@@ -903,6 +903,30 @@ object Dedup {
         expr("((n_docs - n_distinct_texts) * 1000000L) div n_docs"))
   }
 
+  /** DEDUP-SAVINGS census — what exact dedup BUYS, by cluster size: for
+    * each observed duplicate-cluster size k, how many clusters, how many
+    * redundant documents ((k−1) per cluster), and how many tokens
+    * keeping one representative saves. The cost-benefit report a
+    * pipeline publishes next to its d01 pass (a corpus whose savings
+    * concentrate at k=2 has organic mirrors; a heavy tail of huge
+    * clusters means template spam the near-dup passes should chase).
+    *
+    * Copies of one canonical fingerprint tokenize identically (the
+    * fingerprint collapses exactly the whitespace the tokenizer does),
+    * so savings = (k−1)·tokens_per_copy without inspecting keepers.
+    * One (fp)-keyed aggregate with map-side partials, then a
+    * sizes-bounded census. Output: (cluster_size, n_clusters,
+    * n_dup_docs, tokens_saved). */
+  def dedupSavings(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(TextAnalysis.fingerprint(col(textCol)).as("fp"),
+        TextAnalysis.tokenCount(col(textCol)).as("tok"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("k"), max(col("tok")).as("tok"))
+      .groupBy(col("k").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("k") - lit(1L)).as("n_dup_docs"),
+        sum((col("k") - lit(1L)) * col("tok")).as("tokens_saved"))
+
   /** Structural SKELETON of a document: letter runs collapse to `w`,
     * digit runs to `9`, whitespace normalizes — what survives is the
     * punctuation/layout template. Documents GENERATED from one template

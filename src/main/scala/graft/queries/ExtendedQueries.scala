@@ -1931,6 +1931,18 @@ object ExtendedQueries {
         .orderBy(col("source"))
     }),
 
+    // DEDUP-SAVINGS census: the d25 mirror fixture gives real k=2
+    // clusters — per cluster size: clusters, redundant docs, tokens
+    // saved by keeping one representative
+    "d28_dedup_savings" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      val mirrored = d.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("source"),
+          concat(lit(" "), col("text"), lit("  ")).as("text"))
+      graft.ops.Dedup.dedupSavings(d.unionByName(mirrored), "text")
+        .orderBy(col("cluster_size"))
+    }),
+
     // PER-SOURCE duplication census: the d25 mirror fixture again —
     // mirrored sources show up with high n_cross_shared, sources with
     // internal copies show dup_ppm > 0 — the per-source datasheet row
@@ -4633,6 +4645,25 @@ object ExtendedQueries {
         |  CAST(excess_q AS BIGINT) AS excess_q,
         |  CAST(w0 + CASE WHEN rk <= r_ THEN 1 ELSE 0 END AS BIGINT) AS weight_ppm
         |FROM fin39 ORDER BY source""".stripMargin,
+
+    // d28: fingerprint clusters (copies tokenize identically — max(tok)
+    // is THE per-copy count), sizes census; g28 consumed once per layer
+    "d28_dedup_savings" ->
+      """WITH u28 AS (
+        |  SELECT text FROM documents
+        |  UNION ALL
+        |  SELECT ' ' || text || '  ' FROM documents WHERE doc_id % 3 = 0),
+        |f28 AS (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS tok
+        |  FROM u28),
+        |g28 AS (SELECT fp, count(*) AS k, max(tok) AS tok FROM f28 GROUP BY 1)
+        |SELECT CAST(k AS BIGINT) AS cluster_size,
+        |  CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(sum(k - 1) AS BIGINT) AS n_dup_docs,
+        |  CAST(sum((k - 1) * tok) AS BIGINT) AS tokens_saved
+        |FROM g28 GROUP BY k ORDER BY cluster_size""".stripMargin,
 
     // d27: the d25 fixture + fingerprint; g is consumed twice (census +
     // per-fp source count) → materialized via the allowlist
