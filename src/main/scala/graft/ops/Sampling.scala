@@ -690,6 +690,30 @@ object Sampling {
         col("cap"), col("alloc"))
   }
 
+  /** SOFT-DEDUP sampling — keep each document with probability
+    * base/(cluster_size) instead of hard-dropping duplicates: duplicated
+    * content stays REPRESENTED (proportionally to its one distinct text,
+    * not its copy count) while the corpus keeps natural-variation copies
+    * a hard d14 prune would erase. The selection analog of p37's
+    * count-duplicates-once accounting.
+    *
+    * Deterministic: doc kept iff h60(id) mod (k·denom) < num — an exact
+    * integer Bernoulli(num/(k·denom)) trial on the md5 grid, so the kept
+    * set is engine- and partitioning-stable. One fp-keyed aggregate for
+    * cluster sizes + one fp-keyed join back; the trial itself is
+    * map-side. Output: kept (id, cluster_size). */
+  def softDedupSample(docs: DataFrame, idCol: String, textCol: String,
+                      num: Long = 1L, denom: Long = 2L): DataFrame = {
+    require(num > 0 && denom >= num, s"keep rate must be in (0,1]: $num/$denom")
+    val f = docs.select(col(idCol).as("id"),
+      graft.ops.TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val sizes = f.groupBy(col("fp")).agg(count(lit(1)).as("cluster_size"))
+    f.join(sizes, Seq("fp"))
+      .filter(pmod(graft.ops.Dedup.hash60(col("id").cast("string")),
+        col("cluster_size") * lit(denom)) < lit(num))
+      .select(col("id"), col("cluster_size"))
+  }
+
   /** DATA-CONSTRAINED epoch plan (the Muennighoff-style repetition
     * budget): spend a token budget across sources where each source can
     * contribute at most `maxEpochs` passes over its UNIQUE content —

@@ -1931,6 +1931,18 @@ object ExtendedQueries {
         .orderBy(col("source"))
     }),
 
+    // SOFT-DEDUP sampling: keep with probability 1/(2·cluster_size) —
+    // duplicated content represented once in expectation, exact integer
+    // Bernoulli on the md5 grid; the mirror fixture provides k=2 clusters
+    "p42_soft_dedup_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mirrored = d.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 700000L).as("doc_id"),
+          concat(lit(" "), col("text"), lit("  ")).as("text"))
+      graft.ops.Sampling.softDedupSample(d.unionByName(mirrored), "doc_id", "text")
+        .orderBy(col("id"))
+    }),
+
     // DEDUP-SAVINGS census: the d25 mirror fixture gives real k=2
     // clusters — per cluster size: clusters, redundant docs, tokens
     // saved by keeping one representative
@@ -4645,6 +4657,26 @@ object ExtendedQueries {
         |  CAST(excess_q AS BIGINT) AS excess_q,
         |  CAST(w0 + CASE WHEN rk <= r_ THEN 1 ELSE 0 END AS BIGINT) AS weight_ppm
         |FROM fin39 ORDER BY source""".stripMargin,
+
+    // p42: the fp-cluster sizes + the md5-grid Bernoulli trial; f42
+    // consumed twice → materialized via the allowlist
+    "p42_soft_dedup_sample" -> {
+      val h = PipelineQueries.h60sql("CAST(doc_id AS VARCHAR)")
+      s"""WITH u42 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 700000, ' ' || text || '  '
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |f42 AS (
+         |  SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM u42),
+         |s42 AS (SELECT fp, count(*) AS cluster_size FROM f42 GROUP BY 1)
+         |SELECT doc_id AS id, CAST(cluster_size AS BIGINT) AS cluster_size
+         |FROM f42 JOIN s42 USING (fp)
+         |WHERE $h % (cluster_size * 2) < 1
+         |ORDER BY id""".stripMargin
+    },
 
     // d28: fingerprint clusters (copies tokenize identically — max(tok)
     // is THE per-copy count), sizes census; g28 consumed once per layer
