@@ -213,6 +213,35 @@ object ExtendedQueries {
         .limit(10)
     }),
 
+    // EVENT-CONCENTRATION census: what share of all events the top 1%
+    // (and 10%) of users generate — the skew number that decides whether
+    // behavioral statistics reflect the population or a handful of
+    // power users/crawlers (q33's aggregate-level companion). Users-
+    // sized census windows above one events-sized aggregate; ceil-counts
+    // and ppm shares all exact integers, ties broken by user_id
+    "q35_concentration" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perUser = eventsSec(s, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("n").desc, col("user_id"))
+      val all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val ranked = perUser
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n_users", count(lit(1)).over(all))
+        .withColumn("total", sum(col("n")).over(all))
+      ranked
+        .select(
+          when(col("rk") <= expr("(n_users + 99) div 100"), lit("top1"))
+            .when(col("rk") <= expr("(n_users + 9) div 10"), lit("top10"))
+            .otherwise(lit("rest")).as("tier"),
+          col("n"), col("total"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"),
+          expr("(sum(n) * 1000000L) div first(total)").as("share_ppm"))
+        .orderBy(col("tier"))
+    }),
+
     // SESSION LIFT: P(a,b)/(P(a)·P(b)) over 1h-gap sessions — which
     // event types co-occur beyond chance (the association rule next to
     // q22's directed transitions); sessions collapse to sorted distinct
@@ -3816,6 +3845,28 @@ object ExtendedQueries {
         |      FROM z)
         |SELECT e1, e2, e3, count(*) AS n FROM p WHERE e1 IS NOT NULL
         |GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 10""".stripMargin,
+
+    // q35: rank users by event count (ties by user_id), ceil-percentile
+    // tiers, exact ppm shares; pu35 consumed by the window chain →
+    // materialized via the allowlist
+    "q35_concentration" ->
+      """WITH pu35 AS (
+        |  SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |r35 AS (
+        |  SELECT n,
+        |    row_number() OVER (ORDER BY n DESC, user_id) AS rk,
+        |    count(*) OVER () AS n_users,
+        |    sum(n) OVER () AS total
+        |  FROM pu35),
+        |t35_ AS (
+        |  SELECT CASE WHEN rk <= (n_users + 99) // 100 THEN 'top1'
+        |              WHEN rk <= (n_users + 9) // 10 THEN 'top10'
+        |              ELSE 'rest' END AS tier, n, total
+        |  FROM r35)
+        |SELECT tier, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST((sum(n) * 1000000) // max(total) AS BIGINT) AS share_ppm
+        |FROM t35_ GROUP BY tier ORDER BY tier""".stripMargin,
 
     // q34: q27's sessionization, per-session sorted distinct types,
     // a<b pair unnest, lift vs independence; chain consumed by singles
