@@ -213,6 +213,45 @@ object ExtendedQueries {
         .limit(10)
     }),
 
+    // BEHAVIORAL-data release pipeline (capstone composition): inject
+    // the q33 synthetic bots, then flag bot users (q33) AND burst
+    // buckets (q30), re-derive q22's transition matrix on the CLEANED
+    // stream, and report raw-vs-clean per edge — "what did the curation
+    // gates change in the downstream statistics", the before/after
+    // report a release ships. Pure composition of existing operators.
+    "p43_behavior_release" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = eventsSec(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts_s"))
+      val bots = base.filter(col("user_id") % 17 === 0)
+        .select((col("user_id") + 1000000L).as("user_id"),
+          col("event_id"), col("event_type"), lit(0L).as("ts_s"))
+      val all = base.unionByName(bots)
+      val botUsers = graft.ops.Relational.botCensus(all,
+        "user_id", "event_id", "ts_s").select(col("user_id"))
+      val burstBuckets = graft.ops.Relational.burstCensus(
+          all.select(col("event_type"), col("ts_s")), "event_type", "ts_s")
+        .select(col("event_type"), col("bucket"))
+      val clean = all
+        .join(botUsers, Seq("user_id"), "left_anti")
+        .withColumn("bucket", expr("ts_s div 3600L"))
+        .join(burstBuckets, Seq("event_type", "bucket"), "left_anti")
+      def matrix(df: org.apache.spark.sql.DataFrame) = {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        df.select(col("user_id"), col("event_id"), col("event_type").as("to_type"))
+          .withColumn("from_type", lag(col("to_type"), 1).over(w))
+          .filter(col("from_type").isNotNull)
+          .groupBy(col("from_type"), col("to_type")).agg(count(lit(1)).as("n"))
+      }
+      matrix(all).withColumnRenamed("n", "n_raw")
+        .join(matrix(clean).withColumnRenamed("n", "n_clean"),
+          Seq("from_type", "to_type"), "full_outer")
+        .select(col("from_type"), col("to_type"),
+          coalesce(col("n_raw"), lit(0L)).as("n_raw"),
+          coalesce(col("n_clean"), lit(0L)).as("n_clean"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     // EVENT-CONCENTRATION census: what share of all events the top 1%
     // (and 10%) of users generate — the skew number that decides whether
     // behavioral statistics reflect the population or a handful of
@@ -3845,6 +3884,63 @@ object ExtendedQueries {
         |      FROM z)
         |SELECT e1, e2, e3, count(*) AS n FROM p WHERE e1 IS NOT NULL
         |GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 10""".stripMargin,
+
+    // p43: q33's flag CTEs + q30's burst CTEs over the bot-injected
+    // union, anti-joined, both matrices re-derived; chain consumed
+    // widely → materialized via the allowlist
+    "p43_behavior_release" ->
+      """WITH base43 AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000000000 AS ts_s FROM events),
+        |all43 AS (
+        |  SELECT user_id, event_id, event_type, ts_s FROM base43
+        |  UNION ALL
+        |  SELECT user_id + 1000000, event_id, event_type, 0 AS ts_s
+        |  FROM base43 WHERE user_id % 17 = 0),
+        |g43 AS (
+        |  SELECT user_id,
+        |    ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY event_id) AS gap
+        |  FROM all43),
+        |c43 AS (SELECT user_id, gap, count(*) AS c FROM g43
+        |        WHERE gap IS NOT NULL GROUP BY 1, 2),
+        |bots43 AS (
+        |  SELECT user_id FROM (
+        |    SELECT user_id, sum(c) AS n_gaps, max(c) AS top_c
+        |    FROM c43 GROUP BY 1)
+        |  WHERE n_gaps >= 5 AND (top_c * 1000000) // n_gaps >= 800000),
+        |bc43 AS (
+        |  SELECT event_type, ts_s // 3600 AS bucket, count(*) AS n
+        |  FROM all43 GROUP BY 1, 2),
+        |bt43 AS (SELECT event_type, sum(n) AS total_n, count(*) AS buckets_active
+        |         FROM bc43 GROUP BY 1),
+        |bursts43 AS (
+        |  SELECT bc43.event_type, bucket FROM bc43 JOIN bt43 USING (event_type)
+        |  WHERE n >= 2 * greatest(total_n // buckets_active, 1)),
+        |clean43 AS (
+        |  SELECT a.user_id, a.event_id, a.event_type FROM all43 a
+        |  WHERE a.user_id NOT IN (SELECT user_id FROM bots43)
+        |    AND NOT EXISTS (SELECT 1 FROM bursts43 b
+        |      WHERE b.event_type = a.event_type AND b.bucket = a.ts_s // 3600)),
+        |mraw43 AS (
+        |  SELECT from_type, to_type, count(*) AS n FROM (
+        |    SELECT event_type AS to_type,
+        |      lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS from_type
+        |    FROM all43)
+        |  WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |mclean43 AS (
+        |  SELECT from_type, to_type, count(*) AS n FROM (
+        |    SELECT event_type AS to_type,
+        |      lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS from_type
+        |    FROM clean43)
+        |  WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT COALESCE(r.from_type, c.from_type) AS from_type,
+        |  COALESCE(r.to_type, c.to_type) AS to_type,
+        |  CAST(COALESCE(r.n, 0) AS BIGINT) AS n_raw,
+        |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_clean
+        |FROM mraw43 r
+        |FULL OUTER JOIN mclean43 c
+        |  ON r.from_type = c.from_type AND r.to_type = c.to_type
+        |ORDER BY from_type, to_type""".stripMargin,
 
     // q35: rank users by event count (ties by user_id), ceil-percentile
     // tiers, exact ppm shares; pu35 consumed by the window chain →
