@@ -1889,6 +1889,36 @@ object ExtendedQueries {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // CRAWL-SATURATION curve: per corpus decile (by doc_id order), the
+    // share of its distinct trigrams never seen in earlier deciles —
+    // the marginal-value-of-more-data curve a crawl budget is read off
+    // of (a flat tail means the source is mined out). First-seen decile
+    // is a min-aggregate per gram; every frame after the (gram, decile)
+    // census is gram- or decile-bounded
+    "t36_novelty_curve" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("_tk"))
+        .filter(size(col("_tk")) >= 3)
+      val bounds = d.agg(min(col("doc_id")).as("lo"),
+        (max(col("doc_id")) - min(col("doc_id")) + 1).as("span"))
+      val grams = d.crossJoin(broadcast(bounds))
+        .select(expr("least(9L, ((doc_id - lo) * 10L) div span)").as("dec"),
+          explode(transform(sequence(lit(1), size(col("_tk")) - 2),
+            i => concat_ws(" ", element_at(col("_tk"), i),
+              element_at(col("_tk"), i + 1), element_at(col("_tk"), i + 2)))).as("tg"))
+        .distinct()
+      val firstSeen = grams.groupBy(col("tg")).agg(min(col("dec")).as("first_dec"))
+      val perDec = grams.groupBy(col("dec")).agg(count(lit(1)).as("n_grams"))
+      val newPerDec = firstSeen.groupBy(col("first_dec").as("dec"))
+        .agg(count(lit(1)).as("n_new"))
+      perDec.join(newPerDec, Seq("dec"), "left")
+        .select(col("dec"), col("n_grams"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          expr("(coalesce(n_new, 0L) * 1000000L) div n_grams").as("new_ppm"))
+        .orderBy(col("dec"))
+    }),
+
     // BOILERPLATE DENSITY: the share of a doc's trigrams that are
     // corpus-COMMON (appear in ≥ 3 documents) — cross-document
     // formulaicity, the complement of t14's within-doc repetition:
@@ -4624,6 +4654,29 @@ object ExtendedQueries {
         |SELECT a.src AS src_a, b.src AS src_b, CAST(count(*) AS BIGINT) AS n_shared
         |FROM sfp a JOIN sfp b ON a.fp = b.fp AND a.src < b.src
         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
+    // t36: distinct (decile, gram) pairs, min-decile first-seen, decile
+    // census; gr36 consumed twice → materialized via the allowlist
+    "t36_novelty_curve" ->
+      """WITH tok36 AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |el36 AS (SELECT doc_id, tk FROM tok36 WHERE len(tk) >= 3),
+        |bd36 AS (SELECT min(doc_id) AS lo,
+        |           max(doc_id) - min(doc_id) + 1 AS span FROM el36),
+        |gr36 AS (
+        |  SELECT DISTINCT least(9, ((doc_id - lo) * 10) // span) AS dec,
+        |    unnest(list_transform(generate_series(1, len(tk) - 2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tg
+        |  FROM el36 CROSS JOIN bd36),
+        |fs36 AS (SELECT tg, min(dec) AS first_dec FROM gr36 GROUP BY 1),
+        |pd36 AS (SELECT dec, count(*) AS n_grams FROM gr36 GROUP BY 1),
+        |np36 AS (SELECT first_dec AS dec, count(*) AS n_new FROM fs36 GROUP BY 1)
+        |SELECT pd36.dec AS dec, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+        |  CAST((COALESCE(n_new, 0) * 1000000) // n_grams AS BIGINT) AS new_ppm
+        |FROM pd36 LEFT JOIN np36 ON pd36.dec = np36.dec
+        |ORDER BY dec""".stripMargin,
 
     // t35: the per-(doc, trigram) census probed against its own df;
     // dt35 consumed twice → materialized via the allowlist
