@@ -213,6 +213,39 @@ object ExtendedQueries {
         .limit(10)
     }),
 
+    // TRIANGLE census: triangle count + global clustering coefficient
+    // of the undirected item graph — the cohesion number distinguishing
+    // community-structured graphs from star-shaped (spam-hub) ones. The
+    // a<b<c ordering discipline makes the two-join plan count each
+    // triangle exactly once with no candidate explosion beyond wedges;
+    // wedges come from the degree census (Σ d·(d−1)/2), all exact
+    "q36_triangles" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+      val sq = ev.select(col("item").as("x"), lag(col("item"), 1).over(w).as("y"))
+        .filter(col("y").isNotNull && col("x") =!= col("y"))
+      val edges = sq.select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b")).distinct()
+      val wedgesRow = edges.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        .agg(sum(expr("d * (d - 1) div 2")).as("wedges"),
+          count(lit(1)).as("n_nodes"))
+      val e2 = edges.select(col("a").as("b"), col("b").as("c"))
+      val e3 = edges.select(col("a").as("a3"), col("b").as("c3"))
+      val triangles = edges.join(e2, Seq("b"))
+        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+        .agg(count(lit(1)).as("n_triangles"))
+      triangles.crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
+        .crossJoin(broadcast(wedgesRow))
+        .select(col("n_triangles"), col("n_edges"), col("n_nodes"),
+          expr("CASE WHEN wedges = 0 THEN 0L " +
+            "ELSE (3L * n_triangles * 1000000L) div wedges END").as("gcc_ppm"))
+    }),
+
     // BEHAVIORAL-data release pipeline (capstone composition): inject
     // the q33 synthetic bots, then flag bot users (q33) AND burst
     // buckets (q30), re-derive q22's transition matrix on the CLEANED
@@ -3914,6 +3947,36 @@ object ExtendedQueries {
         |      FROM z)
         |SELECT e1, e2, e3, count(*) AS n FROM p WHERE e1 IS NOT NULL
         |GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 10""".stripMargin,
+
+    // q36: the symmetrized deduped edge set joined twice under a<b<c;
+    // ed36 consumed 4× → materialized via the allowlist
+    "q36_triangles" ->
+      """WITH ev36 AS (
+        |  SELECT user_id, event_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item FROM events),
+        |sq36 AS (
+        |  SELECT item AS x,
+        |    lag(item) OVER (PARTITION BY user_id ORDER BY event_id) AS y
+        |  FROM ev36),
+        |ed36 AS (
+        |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |  FROM sq36 WHERE y IS NOT NULL AND x <> y),
+        |dg36 AS (SELECT v, count(*) AS d FROM (
+        |           SELECT a AS v FROM ed36 UNION ALL SELECT b FROM ed36)
+        |         GROUP BY 1),
+        |wd36 AS (SELECT sum(d * (d - 1) // 2) AS wedges, count(*) AS n_nodes FROM dg36),
+        |tr36 AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM ed36 e1
+        |  JOIN ed36 e2 ON e1.b = e2.a
+        |  JOIN ed36 e3 ON e1.a = e3.a AND e2.b = e3.b),
+        |ne36 AS (SELECT count(*) AS n_edges FROM ed36)
+        |SELECT CAST(n_triangles AS BIGINT) AS n_triangles,
+        |  CAST(n_edges AS BIGINT) AS n_edges,
+        |  CAST(n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(CASE WHEN wedges = 0 THEN 0
+        |    ELSE (3 * n_triangles * 1000000) // wedges END AS BIGINT) AS gcc_ppm
+        |FROM tr36 CROSS JOIN ne36 CROSS JOIN wd36""".stripMargin,
 
     // p43: q33's flag CTEs + q30's burst CTEs over the bot-injected
     // union, anti-joined, both matrices re-derived; chain consumed
