@@ -629,6 +629,23 @@ object Multimodal {
       maxBucket = maxBucket)
   }
 
+  /** [[perceptualNearDupPairs]] at ROTATION-CANONICAL granularity: the
+    * pigeonhole Hamming band join over [[canonicalAHash64]] fingerprints
+    * — finds the rotated-AND-retouched variants neither plain-hash pairs
+    * (rotation moves ~half the bits) nor exact canonical grouping (a
+    * retouch flips bits) can see. Same recall-1.0 band layout, same
+    * bucket bounds. Output: (a_id, b_id, hamming over canonicals). */
+  def rotationNearDupPairs(media: DataFrame, maxHamming: Int = 3,
+                           grid: Int = 8,
+                           maxBucket: Option[Int] = None): DataFrame = {
+    require(maxHamming >= 0 && 64 % (maxHamming + 1) == 0,
+      s"maxHamming + 1 must divide 64 for the band layout, got $maxHamming")
+    val fps = canonicalAHash64(media, grid).toDF().filter(col("phash") =!= -1L)
+    graft.ops.Dedup.hammingPairs(fps, "doc_id", "phash",
+      bits = 64, bands = maxHamming + 1, maxHamming = maxHamming,
+      maxBucket = maxBucket)
+  }
+
   // Audio ----------------------------------------------------------------
 
   /** The audio decode seam (the [[MediaDecoder]] pattern for sample

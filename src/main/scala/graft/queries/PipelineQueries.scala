@@ -1641,6 +1641,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ROTATION-invariant near-dup PAIRS: canonical hashes through the
+    // pigeonhole band join — rotated classmates pair at hamming 0, and
+    // the recall-1.0 layout makes the oracle plain brute force over the
+    // replayed canonical hashes (m13's contract at m17's granularity)
+    "m19_rotation_neardup" -> ((s, dir) => {
+      Multimodal.rotationNearDupPairs(
+          rotatedPatternPngMedia(s, dir).filter(col("doc_id") < 300),
+          maxHamming = 3)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // ROTATION-invariant perceptual dedup: ids ≡ 0 (mod 7) render their
     // class pattern rotated 90° — plain aHash (m08) splits them off;
     // the canonical min-over-orientations hash reunites every class.
@@ -3923,6 +3934,35 @@ object PipelineQueries {
     // s37 = m18 per micro-batch: verdicts are per-row pure, the drained
     // union IS the batch gate — m18's oracle, stated once
     "s37_stream_blank_gate" -> m18OracleSql,
+
+    // m19: m17's canonical-hash replay restricted to doc_id < 300, then
+    // brute-force bit_count pairs (the band join's recall-1.0 contract)
+    "m19_rotation_neardup" -> {
+      def sh(pos: String) =
+        s"""CASE WHEN hi = 0 THEN CAST(0 AS BIGINT)
+           |      WHEN ($pos) = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+           |      ELSE (CAST(1 AS BIGINT) << ($pos)) END""".stripMargin
+      s"""WITH cells AS (
+         |  SELECT doc_id, idx,
+         |    CASE WHEN ((doc_id % 50) * 31 +
+         |      (CASE WHEN doc_id % 7 = 0 THEN (7 - idx % 8) * 8 + idx // 8
+         |            ELSE idx END) * 17) % 97 < 48 THEN 1 ELSE 0 END AS hi
+         |  FROM (SELECT doc_id, unnest(generate_series(0, 63)) AS idx
+         |        FROM documents WHERE doc_id < 300)),
+         |h AS (
+         |  SELECT doc_id,
+         |    bit_or(${sh("idx")}) AS h0,
+         |    bit_or(${sh("(idx % 8) * 8 + (7 - idx // 8)")}) AS h90,
+         |    bit_or(${sh("63 - idx")}) AS h180,
+         |    bit_or(${sh("(7 - idx % 8) * 8 + idx // 8")}) AS h270
+         |  FROM cells GROUP BY doc_id),
+         |canon AS (SELECT doc_id, least(h0, h90, h180, h270) AS phash FROM h)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+         |FROM canon a JOIN canon b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin
+    },
 
     // m17: the rendered cell grid by idx arithmetic (rot-rendered for
     // ids ≡ 0 mod 7), then ALL FOUR orientation hashes as bit
