@@ -622,6 +622,38 @@ object ExtendedQueries {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // STREAMING unique-token accounting: the first fold composing BOTH
+    // state classes — an append-only fp seen-set (delta commits) and
+    // sources-sized additive raw/unique counters; first-copy credit =
+    // min doc_id under the enforced ascending arrival. The d25 mirror
+    // fixture (shifted ids, next-source copies) makes stale_ppm real
+    "s38_stream_unique_tokens" -> ((s, dir) => {
+      val work = scratchDir("graft_s38")
+      val in = onceLog("s38", dir) { path =>
+        val d = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+        val mirrored = d.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 800000L).as("doc_id"),
+            concat(lit("src"),
+              ((regexp_replace(col("source"), "src", "").cast("long") + 1) % 20))
+              .as("source"),
+            concat(lit(" "), col("text"), lit("  ")).as("text"))
+        val all = d.unionByName(mirrored)
+        val b = all.agg(min(col("doc_id")), max(col("doc_id"))).first()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val c1 = lo + (hi - lo) / 3
+        val c2 = lo + 2 * (hi - lo) / 3
+        Seq(col("doc_id") <= c1,
+            col("doc_id") > c1 && col("doc_id") <= c2,
+            col("doc_id") > c2).foreach { p =>
+          all.filter(p).coalesce(1).write.mode("append").parquet(path)
+          Thread.sleep(20) // distinct mtimes → oldest-first arrival
+        }
+      }
+      val seen = new graft.streaming.TxnLogState(s"$work/seen", s, 16)
+      graft.streaming.StreamUniqueTokens.drain(s, seen, s"$work/agg", in, s"$work/ckpt")
+        .orderBy(col("source"))
+    }),
+
     // t32's stream twin: exact per-(source, term) counts behind the
     // bucketed TxnLogState — vocabulary-sized additive-update state,
     // term-keyed bucket routing so a trigger touches only its own
@@ -4940,6 +4972,36 @@ object ExtendedQueries {
          |WHERE $h % (cluster_size * 2) < 1
          |ORDER BY id""".stripMargin
     },
+
+    // s38: raw per source vs first-copy (min doc_id per fp) credit over
+    // the shifted-mirror union; f38 consumed 3× → materialized
+    "s38_stream_unique_tokens" ->
+      """WITH u38 AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 800000,
+        |    'src' || CAST((CAST(replace(source, 'src', '') AS BIGINT) + 1) % 20 AS VARCHAR),
+        |    ' ' || text || '  '
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |f38 AS (
+        |  SELECT doc_id, source,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS tok
+        |  FROM u38),
+        |fc38 AS (SELECT fp, min(doc_id) AS first_id FROM f38 GROUP BY 1),
+        |raw38 AS (SELECT source, sum(tok) AS raw_tokens FROM f38 GROUP BY 1),
+        |un38 AS (
+        |  SELECT f.source, sum(f.tok) AS unique_tokens
+        |  FROM f38 f JOIN fc38 c ON f.fp = c.fp AND f.doc_id = c.first_id
+        |  GROUP BY 1)
+        |SELECT raw38.source AS source, CAST(raw_tokens AS BIGINT) AS raw_tokens,
+        |  CAST(COALESCE(unique_tokens, 0) AS BIGINT) AS unique_tokens,
+        |  CAST(CASE WHEN raw_tokens = 0 THEN 0
+        |    ELSE ((raw_tokens - COALESCE(unique_tokens, 0)) * 1000000) // raw_tokens
+        |  END AS BIGINT) AS stale_ppm
+        |FROM raw38 LEFT JOIN un38 ON raw38.source = un38.source
+        |ORDER BY source""".stripMargin,
 
     // d28: fingerprint clusters (copies tokenize identically — max(tok)
     // is THE per-copy count), sizes census; g28 consumed once per layer

@@ -1,0 +1,128 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming UNIQUE-TOKEN accounting — the p37/p40 input (how many
+  * tokens of NEVER-SEEN-BEFORE content each source has contributed)
+  * maintained online: the number a data buyer watches to know whether a
+  * feed is still delivering new content or re-sending its back catalog.
+  *
+  * The first operator COMPOSING the family's two state classes in one
+  * fold: an append-only fingerprint seen-set (bucketed, `commitAppend`
+  * delta writes — per-trigger I/O ∝ trigger, the keep-first gates'
+  * contract) plus sources-sized ADDITIVE counters (raw vs unique
+  * tokens) behind an atomic generation flip. A fingerprint's token
+  * credit goes to the source that ships it FIRST (ties within a trigger
+  * to the smallest doc_id) — the batch equivalent is the min-doc_id
+  * first-copy rule, so ascending doc_id arrival is ENFORCED (HWM,
+  * bit-exact redelivery skipped: the additive half demands it even
+  * though the seen-set half is idempotent by algebra). */
+object StreamUniqueTokens {
+
+  private def currentGen(aggDir: String): Option[String] = {
+    val cur = Paths.get(aggDir, "_current")
+    if (Files.exists(cur)) Some(Files.readString(cur).trim) else None
+  }
+
+  /** Fold one (doc_id, source, text) micro-batch. */
+  def applyBatch(seen: DocStateStore, aggDir: String,
+                 batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    Files.createDirectories(Paths.get(aggDir))
+    val b = batch.select(col("doc_id"), col("source"),
+        graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).as("tok")).cache()
+    try {
+      val range = b.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      if (range.isNullAt(0)) return
+      val (lo, hi) = (range.getLong(0), range.getLong(1))
+      val hwmFile = Paths.get(aggDir, "_hwm")
+      if (Files.exists(hwmFile)) {
+        val Array(prevLo, prevHi) = Files.readString(hwmFile).trim.split("\t").map(_.toLong)
+        if (lo == prevLo && hi == prevHi) return // exact redelivery: already folded
+        if (lo <= prevHi)
+          throw new IllegalStateException(
+            s"out-of-order arrival: batch doc_id range [$lo, $hi] overlaps the " +
+              s"high-water mark $prevHi — first-copy credit equals the batch " +
+              "min-doc_id rule only under ascending doc_id arrival")
+      }
+      // within-batch first copy per fp (smallest doc_id), then the
+      // cross-batch check against the seen-set — bucket-pruned both ways
+      val firsts = b.groupBy(col("fp"))
+        .agg(min_by(col("source"), col("doc_id")).as("source"),
+          max(col("tok")).as("tok")) // copies tokenize identically
+        .withColumn("id", col("fp"))
+      val touched = firsts
+        .select(graft.expr.hfunctions.md5_shard(col("id"), seen.buckets).as("bk"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      val fresh = (seen.readBuckets(touched) match {
+        case Some(prev) => firsts.join(prev.select(col("id")), Seq("id"), "left_anti")
+        case None => firsts
+      }).cache()
+
+      val batchAgg = b.groupBy(col("source")).agg(sum(col("tok")).as("raw_tokens"))
+        .join(fresh.groupBy(col("source")).agg(sum(col("tok")).as("unique_tokens")),
+          Seq("source"), "full_outer")
+        .select(col("source"),
+          coalesce(col("raw_tokens"), lit(0L)).as("raw_tokens"),
+          coalesce(col("unique_tokens"), lit(0L)).as("unique_tokens"))
+      val parts = Seq(Some(batchAgg),
+        currentGen(aggDir).map(g => spark.read.parquet(s"$aggDir/$g"))).flatten
+      val next = parts.reduce(_ unionByName _)
+        .groupBy(col("source"))
+        .agg(sum(col("raw_tokens")).as("raw_tokens"),
+          sum(col("unique_tokens")).as("unique_tokens"))
+      val gen = s"g$batchId"
+      val prevGen = currentGen(aggDir)
+      next.write.mode("overwrite").parquet(s"$aggDir/$gen")
+
+      // the seen-set grows by exactly the fresh fingerprints (delta write)
+      val freshTouched = fresh
+        .select(graft.expr.hfunctions.md5_shard(col("id"), seen.buckets).as("bk"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      if (freshTouched.nonEmpty)
+        seen.commitAppend(fresh.select(col("id")), f"r$batchId%010d", freshTouched)
+
+      IndexState.atomicWriteString(Paths.get(aggDir, "_current"), gen)
+      Files.writeString(hwmFile, s"$lo\t$hi")
+      prevGen.filter(_ != gen).foreach { g =>
+        def rm(f: java.io.File): Unit = {
+          val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+        }
+        rm(Paths.get(aggDir, g).toFile)
+      }
+      fresh.unpersist(blocking = false)
+    } finally { b.unpersist(blocking = false); () }
+  }
+
+  /** The standing accounting — (source, raw, unique, stale_ppm). */
+  def summary(spark: SparkSession, aggDir: String): DataFrame =
+    currentGen(aggDir) match {
+      case Some(g) => spark.read.parquet(s"$aggDir/$g")
+        .withColumn("stale_ppm", expr(
+          "CASE WHEN raw_tokens = 0 THEN 0L " +
+            "ELSE ((raw_tokens - unique_tokens) * 1000000L) div raw_tokens END"))
+        .select(col("source"), col("raw_tokens"), col("unique_tokens"), col("stale_ppm"))
+      case None => throw new IllegalStateException("no accounting state committed yet")
+    }
+
+  /** Convenience drain over a (doc_id, source, text) log. */
+  def drain(spark: SparkSession, seen: DocStateStore, aggDir: String,
+            inPath: String, ckptPath: String): DataFrame = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("source", "string").add("text", "string")
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inPath)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) => applyBatch(seen, aggDir, b, id) }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckptPath)
+      .start()
+    q.awaitTermination()
+    summary(spark, aggDir)
+  }
+}
