@@ -563,6 +563,26 @@ object Multimodal {
     }
   }
 
+  /** DECODE-HEALTH census: per claimed mime type, how many payloads the
+    * real decoder actually accepts — the media-feed integrity number
+    * (a mime class going dark means an upstream re-encoder broke, and
+    * mislabeled-but-decodable classes surface as healthy under a
+    * "wrong" name). Header-only decode, one pass, mime-classes-sized
+    * output: (mime, n, n_decodable, ok_ppm). */
+  def decodeHealth(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        val (w, _) = ImageIODecoder.decode(r.mime, r.payload)
+        (r.mime, if (w > 0) 1L else 0L)
+      }
+    }.toDF("mime", "ok")
+      .groupBy(col("mime"))
+      .agg(count(lit(1)).as("n"), sum(col("ok")).as("n_decodable"))
+      .withColumn("ok_ppm", expr("(n_decodable * 1000000L) div n"))
+  }
+
   case class AspectAssign(doc_id: Long, width: Int, height: Int,
                           bucket_w: Int, bucket_h: Int)
 

@@ -213,6 +213,27 @@ object ExtendedQueries {
         .limit(10)
     }),
 
+    // DEGREE spectrum of the item graph: how many nodes have exactly d
+    // neighbors — the graph-health histogram next to q36's cohesion
+    // number (a heavy high-degree tail = hub/spam structure); t18's
+    // count-of-counts shape on the degree census
+    "q37_degree_spectrum" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+      val sq = ev.select(col("item").as("x"), lag(col("item"), 1).over(w).as("y"))
+        .filter(col("y").isNotNull && col("x") =!= col("y"))
+      val edges = sq.select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b")).distinct()
+      edges.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("degree"))
+    }),
+
     // TRIANGLE census: triangle count + global clustering coefficient
     // of the undirected item graph — the cohesion number distinguishing
     // community-structured graphs from star-shaped (spam-hub) ones. The
@@ -3979,6 +4000,24 @@ object ExtendedQueries {
         |      FROM z)
         |SELECT e1, e2, e3, count(*) AS n FROM p WHERE e1 IS NOT NULL
         |GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 10""".stripMargin,
+
+    // q37: the degree census re-aggregated count-of-counts style
+    "q37_degree_spectrum" ->
+      """WITH ev37 AS (
+        |  SELECT user_id, event_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item FROM events),
+        |sq37 AS (
+        |  SELECT item AS x,
+        |    lag(item) OVER (PARTITION BY user_id ORDER BY event_id) AS y
+        |  FROM ev37),
+        |ed37 AS (
+        |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |  FROM sq37 WHERE y IS NOT NULL AND x <> y),
+        |dg37 AS (SELECT v, count(*) AS degree FROM (
+        |           SELECT a AS v FROM ed37 UNION ALL SELECT b FROM ed37)
+        |         GROUP BY 1)
+        |SELECT CAST(degree AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM dg37 GROUP BY degree ORDER BY degree""".stripMargin,
 
     // q36: the symmetrized deduped edge set joined twice under a<b<c;
     // ed36 consumed 4× → materialized via the allowlist

@@ -1641,6 +1641,20 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // DECODE-HEALTH census: ids ≡ 0 (mod 9) truncate to a broken header
+    // (undecodable), ids ≡ 0 (mod 5) carry a mislabeled-but-decodable
+    // mime — the per-class integrity numbers a media feed dashboards;
+    // the REAL decoder judges, the oracle replays by id arithmetic
+    "m20_decode_health" -> ((s, dir) => {
+      val media = patternPngMedia(s, dir).select(
+        col("doc_id"),
+        when(col("doc_id") % 5 === 0, lit("image/x-alt"))
+          .otherwise(lit("image/png")).as("mime"),
+        when(col("doc_id") % 9 === 0, expr("substring(payload, 1, 8)"))
+          .otherwise(col("payload")).as("payload"))
+      Multimodal.decodeHealth(media).orderBy(col("mime"))
+    }),
+
     // ROTATION-invariant near-dup PAIRS: canonical hashes through the
     // pigeonhole band join — rotated classmates pair at hamming 0, and
     // the recall-1.0 layout makes the oracle plain brute force over the
@@ -3934,6 +3948,18 @@ object PipelineQueries {
     // s37 = m18 per micro-batch: verdicts are per-row pure, the drained
     // union IS the batch gate — m18's oracle, stated once
     "s37_stream_blank_gate" -> m18OracleSql,
+
+    // m20: classes and decodability by id arithmetic
+    "m20_decode_health" ->
+      """WITH m20 AS (
+        |  SELECT CASE WHEN doc_id % 5 = 0 THEN 'image/x-alt'
+        |              ELSE 'image/png' END AS mime,
+        |    CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 1 END AS ok
+        |  FROM documents)
+        |SELECT mime, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(ok) AS BIGINT) AS n_decodable,
+        |  CAST((sum(ok) * 1000000) // count(*) AS BIGINT) AS ok_ppm
+        |FROM m20 GROUP BY mime ORDER BY mime""".stripMargin,
 
     // m19: m17's canonical-hash replay restricted to doc_id < 300, then
     // brute-force bit_count pairs (the band join's recall-1.0 contract)
