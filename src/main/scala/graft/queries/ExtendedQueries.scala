@@ -2104,6 +2104,36 @@ object ExtendedQueries {
         .orderBy(col("source"))
     }),
 
+    // MIXTURE SELECTION (capstone): p39's excess-loss weights converted
+    // to exact per-source quotas (floor + largest remainder → Σ = 200
+    // docs exactly) and materialized as the hash-rank prefix selection —
+    // the weights→dataset step a mixture plan ends with
+    "p44_mixture_select" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      val wts = graft.ops.CorpusStats.excessLossWeights(d, "source", "text")
+        .select(col("source"), col("weight_ppm"))
+      val budget = 200L
+      val quotas = wts
+        .withColumn("q0", expr(s"(weight_ppm * ${budget}L) div 1000000L"))
+        .withColumn("rem", expr(s"(weight_ppm * ${budget}L) % 1000000L"))
+        .withColumn("_r", lit(budget) - sum(col("q0")).over(
+          Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("_rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("source"))))
+        .select(col("source"),
+          (col("q0") + when(col("_rk") <= col("_r"), 1L).otherwise(0L)).as("quota"))
+      val ranked = d.select(col("source"), col("doc_id"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(graft.ops.Dedup.hash60(col("doc_id").cast("string")), col("doc_id"))))
+      ranked.join(broadcast(quotas), Seq("source"))
+        .filter(col("rk") <= col("quota"))
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // EXCESS-LOSS mixture weights: per-source bigram-LM loss vs global,
     // weight ∝ positive excess normalized to exactly 1e6 ppm via
     // largest-remainder — the DoReMi-style domain reweighting prior
@@ -2977,6 +3007,44 @@ object ExtendedQueries {
     s"""${tag}_0 AS (SELECT src AS s, CAST(0 AS BIGINT) AS p FROM outc32),
        |$iterCtes""".stripMargin
   }
+
+  /** p39's weight chain (shared with p44's selection): t10's model CTEs
+    * at source granularity, magnitude-floor means, largest-remainder
+    * inputs — ends in `fin39` carrying (source, ..., w0, rem, r_, rk). */
+  private val p39Ctes: String =
+    """tok39 AS (
+      |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS tk
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |bg39 AS (
+      |  SELECT source, unnest(list_transform(generate_series(1, len(tk) - 1),
+      |    i -> tk[i] || ' ' || tk[i+1])) AS b
+      |  FROM tok39 WHERE len(tk) >= 2),
+      |db39 AS (SELECT source, b, split_part(b, ' ', 1) AS w1, count(*) AS m
+      |         FROM bg39 GROUP BY 1, 2, 3),
+      |bgc39 AS (SELECT b, sum(m) AS c_bg FROM db39 GROUP BY b),
+      |ugc39 AS (SELECT w1, sum(m) AS c_ug FROM db39 GROUP BY w1),
+      |ps39 AS (
+      |  SELECT source, sum(m) AS n_bigrams,
+      |    sum(m * CAST(round(ln(CAST(c_bg AS DOUBLE) / c_ug) * 1000000) AS BIGINT)) AS s_q
+      |  FROM db39 JOIN bgc39 USING (b) JOIN ugc39 USING (w1) GROUP BY source),
+      |pm39 AS (SELECT source, n_bigrams, s_q,
+      |           -((0 - s_q) // n_bigrams) AS mean_logp_q FROM ps39),
+      |g39 AS (SELECT -((0 - sum(s_q)) // sum(n_bigrams)) AS g_q FROM pm39),
+      |ex39 AS (SELECT source, n_bigrams, mean_logp_q,
+      |           greatest(g_q - mean_logp_q, 0) AS excess_q
+      |         FROM pm39 CROSS JOIN g39),
+      |tt39 AS (SELECT sum(excess_q) AS t_ex, count(*) AS n_src FROM ex39),
+      |ws39 AS (
+      |  SELECT source, n_bigrams, mean_logp_q, excess_q,
+      |    (CASE WHEN t_ex = 0 THEN 1 ELSE excess_q END * 1000000)
+      |      // (CASE WHEN t_ex = 0 THEN n_src ELSE t_ex END) AS w0,
+      |    (CASE WHEN t_ex = 0 THEN 1 ELSE excess_q END * 1000000)
+      |      % (CASE WHEN t_ex = 0 THEN n_src ELSE t_ex END) AS rem
+      |  FROM ex39 CROSS JOIN tt39),
+      |fin39 AS (
+      |  SELECT *, 1000000 - sum(w0) OVER () AS r_,
+      |    row_number() OVER (ORDER BY rem DESC, source) AS rk
+      |  FROM ws39)""".stripMargin
 
   /** Shared by t32 (batch) and s35 (streaming fold of the same counts):
     * one (source, term) count, per-source singleton rollup. */
@@ -4953,44 +5021,40 @@ object ExtendedQueries {
     // (-((0-S)//M): nonneg operand, floor ≡ trunc), largest-remainder
     // ppm weights; db consumed 3× → materialized via the allowlist
     "p39_excess_loss_weights" ->
-      """WITH tok39 AS (
-        |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS tk
-        |  FROM documents WHERE length(trim(text)) > 0),
-        |bg39 AS (
-        |  SELECT source, unnest(list_transform(generate_series(1, len(tk) - 1),
-        |    i -> tk[i] || ' ' || tk[i+1])) AS b
-        |  FROM tok39 WHERE len(tk) >= 2),
-        |db39 AS (SELECT source, b, split_part(b, ' ', 1) AS w1, count(*) AS m
-        |         FROM bg39 GROUP BY 1, 2, 3),
-        |bgc39 AS (SELECT b, sum(m) AS c_bg FROM db39 GROUP BY b),
-        |ugc39 AS (SELECT w1, sum(m) AS c_ug FROM db39 GROUP BY w1),
-        |ps39 AS (
-        |  SELECT source, sum(m) AS n_bigrams,
-        |    sum(m * CAST(round(ln(CAST(c_bg AS DOUBLE) / c_ug) * 1000000) AS BIGINT)) AS s_q
-        |  FROM db39 JOIN bgc39 USING (b) JOIN ugc39 USING (w1) GROUP BY source),
-        |pm39 AS (SELECT source, n_bigrams, s_q,
-        |           -((0 - s_q) // n_bigrams) AS mean_logp_q FROM ps39),
-        |g39 AS (SELECT -((0 - sum(s_q)) // sum(n_bigrams)) AS g_q FROM pm39),
-        |ex39 AS (SELECT source, n_bigrams, mean_logp_q,
-        |           greatest(g_q - mean_logp_q, 0) AS excess_q
-        |         FROM pm39 CROSS JOIN g39),
-        |tt39 AS (SELECT sum(excess_q) AS t_ex, count(*) AS n_src FROM ex39),
-        |ws39 AS (
-        |  SELECT source, n_bigrams, mean_logp_q, excess_q,
-        |    (CASE WHEN t_ex = 0 THEN 1 ELSE excess_q END * 1000000)
-        |      // (CASE WHEN t_ex = 0 THEN n_src ELSE t_ex END) AS w0,
-        |    (CASE WHEN t_ex = 0 THEN 1 ELSE excess_q END * 1000000)
-        |      % (CASE WHEN t_ex = 0 THEN n_src ELSE t_ex END) AS rem
-        |  FROM ex39 CROSS JOIN tt39),
-        |fin39 AS (
-        |  SELECT *, 1000000 - sum(w0) OVER () AS r_,
-        |    row_number() OVER (ORDER BY rem DESC, source) AS rk
-        |  FROM ws39)
-        |SELECT source, CAST(n_bigrams AS BIGINT) AS n_bigrams,
-        |  CAST(mean_logp_q AS BIGINT) AS mean_logp_q,
-        |  CAST(excess_q AS BIGINT) AS excess_q,
-        |  CAST(w0 + CASE WHEN rk <= r_ THEN 1 ELSE 0 END AS BIGINT) AS weight_ppm
-        |FROM fin39 ORDER BY source""".stripMargin,
+      s"""WITH $p39Ctes
+         |SELECT source, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+         |  CAST(mean_logp_q AS BIGINT) AS mean_logp_q,
+         |  CAST(excess_q AS BIGINT) AS excess_q,
+         |  CAST(w0 + CASE WHEN rk <= r_ THEN 1 ELSE 0 END AS BIGINT) AS weight_ppm
+         |FROM fin39 ORDER BY source""".stripMargin,
+
+    // p44: p39's weight chain + exact 200-doc quotas (floor + largest
+    // remainder) + the per-source hash-rank prefix; shares the p39
+    // materialization story
+    "p44_mixture_select" -> {
+      val h = PipelineQueries.h60sql("CAST(doc_id AS VARCHAR)")
+      s"""WITH $p39Ctes,
+         |wts44 AS (
+         |  SELECT source,
+         |    w0 + CASE WHEN rk <= r_ THEN 1 ELSE 0 END AS weight_ppm
+         |  FROM fin39),
+         |q44 AS (
+         |  SELECT source, (weight_ppm * 200) // 1000000 AS q0,
+         |    (weight_ppm * 200) % 1000000 AS rem
+         |  FROM wts44),
+         |f44 AS (
+         |  SELECT source, q0 + CASE WHEN
+         |      row_number() OVER (ORDER BY rem DESC, source) <= 200 - sum(q0) OVER ()
+         |    THEN 1 ELSE 0 END AS quota
+         |  FROM q44),
+         |rk44 AS (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source ORDER BY $h, doc_id) AS rk
+         |  FROM documents)
+         |SELECT rk44.source AS source, doc_id
+         |FROM rk44 JOIN f44 ON rk44.source = f44.source
+         |WHERE rk <= quota ORDER BY source, doc_id""".stripMargin
+    },
 
     // p42: the fp-cluster sizes + the md5-grid Bernoulli trial; f42
     // consumed twice → materialized via the allowlist
