@@ -1975,6 +1975,25 @@ object ExtendedQueries {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // CODE-vs-PROSE census: per source, how many docs look like code
+    // (symbol density ≥ 40‰ of chars) — the routing census a mixed
+    // corpus needs before prose-tuned quality gates misfire on code;
+    // one scan, symbol counting via regexp extraction, exact permille
+    "t37_code_census" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"), col("text"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .filter(col("n_chars") > 0)
+        .withColumn("n_sym",
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[{}\\[\\]();=<>]", ""))).cast("long"))
+        .withColumn("code_like", col("n_sym") * 1000L >= col("n_chars") * 40L)
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("code_like"), 1L).otherwise(0L)).as("n_code_like"))
+        .withColumn("code_ppm", expr("(n_code_like * 1000000L) div n_docs"))
+        .orderBy(col("source"))
+    }),
+
     // CRAWL-SATURATION curve: per corpus decile (by doc_id order), the
     // share of its distinct trigrams never seen in earlier deciles —
     // the marginal-value-of-more-data curve a crawl budget is read off
@@ -4856,6 +4875,20 @@ object ExtendedQueries {
         |SELECT a.src AS src_a, b.src AS src_b, CAST(count(*) AS BIGINT) AS n_shared
         |FROM sfp a JOIN sfp b ON a.fp = b.fp AND a.src < b.src
         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
+    // t37: symbol counting by delete-and-diff, the same permille gate
+    "t37_code_census" ->
+      """WITH d37 AS (
+        |  SELECT source, CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(regexp_replace(text, '[{}\[\]();=<>]', '', 'g'))
+        |      AS BIGINT) AS n_sym
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN n_sym * 1000 >= n_chars * 40 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_code_like,
+        |  CAST((sum(CASE WHEN n_sym * 1000 >= n_chars * 40 THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*) AS BIGINT) AS code_ppm
+        |FROM d37 GROUP BY source ORDER BY source""".stripMargin,
 
     // t36: distinct (decile, gram) pairs, min-decile first-seen, decile
     // census; gr36 consumed twice → materialized via the allowlist
