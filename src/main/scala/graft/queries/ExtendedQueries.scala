@@ -213,6 +213,29 @@ object ExtendedQueries {
         .limit(10)
     }),
 
+    // RETENTION HALF-LIFE: per cohort, the first day offset where active
+    // users drop below half of day 0 (−1 = never within observation) —
+    // the single decay number a dashboard quotes from q21's matrix;
+    // cohorts-sized frames throughout after the q21 aggregate
+    "q38_retention_halflife" -> ((s, dir) => {
+      val ev = eventsSec(s, dir)
+        .select(col("user_id"), expr("ts_s div 86400").as("day"))
+      val firsts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+      val j = ev.join(firsts, Seq("user_id"))
+        .select(col("user_id"), col("cohort"), (col("day") - col("cohort")).as("offset_d"))
+        .distinct()
+      val matrix = j.groupBy(col("cohort"), col("offset_d"))
+        .agg(count(lit(1)).as("n_users"))
+      val day0 = matrix.filter(col("offset_d") === 0)
+        .select(col("cohort"), col("n_users").as("n_day0"))
+      matrix.join(day0, Seq("cohort"))
+        .groupBy(col("cohort"))
+        .agg(first(col("n_day0")).as("n_day0"),
+          coalesce(min(when(col("offset_d") > 0 && col("n_users") * 2 < col("n_day0"),
+            col("offset_d"))), lit(-1L)).as("half_life_d"))
+        .orderBy(col("cohort"))
+    }),
+
     // DEGREE spectrum of the item graph: how many nodes have exactly d
     // neighbors — the graph-health histogram next to q36's cohesion
     // number (a heavy high-degree tail = hub/spam structure); t18's
@@ -4087,6 +4110,23 @@ object ExtendedQueries {
         |      FROM z)
         |SELECT e1, e2, e3, count(*) AS n FROM p WHERE e1 IS NOT NULL
         |GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 10""".stripMargin,
+
+    // q38: q21's matrix + the first-below-half offset per cohort;
+    // m38 consumed twice → materialized via the allowlist
+    "q38_retention_halflife" ->
+      """WITH ev38 AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |f38_ AS (SELECT user_id, min(day) AS cohort FROM ev38 GROUP BY user_id),
+        |j38 AS (SELECT DISTINCT e.user_id, f.cohort, e.day - f.cohort AS offset_d
+        |        FROM ev38 e JOIN f38_ f USING (user_id)),
+        |m38 AS (SELECT cohort, offset_d, count(*) AS n_users
+        |        FROM j38 GROUP BY 1, 2),
+        |d038 AS (SELECT cohort, n_users AS n_day0 FROM m38 WHERE offset_d = 0)
+        |SELECT m38.cohort AS cohort, CAST(max(n_day0) AS BIGINT) AS n_day0,
+        |  CAST(COALESCE(min(CASE WHEN offset_d > 0 AND n_users * 2 < n_day0
+        |    THEN offset_d END), -1) AS BIGINT) AS half_life_d
+        |FROM m38 JOIN d038 USING (cohort)
+        |GROUP BY m38.cohort ORDER BY cohort""".stripMargin,
 
     // q37: the degree census re-aggregated count-of-counts style
     "q37_degree_spectrum" ->
