@@ -358,7 +358,7 @@ object SparkEntry {
     "a27_mips_topk", "t35_boilerplate_density", "p42_soft_dedup_sample",
     "q35_concentration", "p43_behavior_release", "t36_novelty_curve",
     "q36_triangles", "s38_stream_unique_tokens", "q37_degree_spectrum",
-    "p44_mixture_select", "q38_retention_halflife",
+    "p44_mixture_select", "q38_retention_halflife", "d29_source_jaccard",
     "s18_stream_ivfpq_ingest", "s24_stream_drift", "s26_stream_rpq_ingest")
 
   def oracleSql: Map[String, String] = oracleSqlBase.map {

@@ -2199,6 +2199,33 @@ object ExtendedQueries {
         .orderBy(col("id"))
     }),
 
+    // SOURCE-overlap JACCARD: d25's raw shared counts normalized by the
+    // pair's union of distinct texts — the rate that makes the matrix
+    // comparable across differently-sized sources (a 500-doc mirror of a
+    // 500-doc source is total; of a 50k source it's noise)
+    "d29_source_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      val mirrored = d.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          concat(lit("src"),
+            ((regexp_replace(col("source"), "src", "").cast("long") + 1) % 20))
+            .as("source"),
+          concat(lit(" "), col("text"), lit("  ")).as("text"))
+      val all = d.unionByName(mirrored)
+      val pairs = graft.ops.Dedup.sourceOverlap(all, "source", "text")
+      val sizes = all.select(col("source"),
+          graft.ops.TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+        .groupBy(col("source")).agg(count(lit(1)).as("n_fp"))
+      pairs
+        .join(broadcast(sizes.select(col("source").as("src_a"), col("n_fp").as("na"))),
+          Seq("src_a"))
+        .join(broadcast(sizes.select(col("source").as("src_b"), col("n_fp").as("nb"))),
+          Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          expr("(n_shared * 1000000L) div (na + nb - n_shared)").as("jaccard_ppm"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // DEDUP-SAVINGS census: the d25 mirror fixture gives real k=2
     // clusters — per cluster size: clusters, redundant docs, tokens
     // saved by keeping one representative
@@ -5148,6 +5175,32 @@ object ExtendedQueries {
          |WHERE $h % (cluster_size * 2) < 1
          |ORDER BY id""".stripMargin
     },
+
+    // d29: d25's pair counts + per-source distinct-fp sizes, union-
+    // normalized; sfp29 consumed 3× → materialized via the allowlist
+    "d29_source_jaccard" ->
+      """WITH all29 AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT 'src' || CAST((CAST(replace(source, 'src', '') AS BIGINT) + 1) % 20 AS VARCHAR),
+        |    ' ' || text || '  '
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |sfp29 AS (
+        |  SELECT DISTINCT source AS src,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM all29),
+        |sz29 AS (SELECT src, count(*) AS n_fp FROM sfp29 GROUP BY 1),
+        |pr29 AS (
+        |  SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared
+        |  FROM sfp29 a JOIN sfp29 b ON a.fp = b.fp AND a.src < b.src
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+        |  CAST((n_shared * 1000000) // (sa.n_fp + sb.n_fp - n_shared) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM pr29
+        |JOIN sz29 sa ON pr29.src_a = sa.src
+        |JOIN sz29 sb ON pr29.src_b = sb.src
+        |ORDER BY src_a, src_b""".stripMargin,
 
     // s38: raw per source vs first-copy (min doc_id per fp) credit over
     // the shifted-mirror union; f38 consumed 3× → materialized
