@@ -2146,6 +2146,39 @@ object ExtendedQueries {
         .orderBy(col("source"))
     }),
 
+    // DATASET CARD: the one-row global release summary next to p34's
+    // per-source datasheet — volume, exact-dup rate, English share,
+    // mean quality, singleton (missing-mass) share, code-likeness: every
+    // number from the engine's own census formulas, one row a model card
+    // quotes verbatim
+    "p45_dataset_card" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"), col("lang"))
+      val enriched = d.select(
+        col("doc_id"),
+        graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).as("nt"),
+        round(graft.ops.TextAnalysis.qualityScore(col("text")) * 1e6)
+          .cast("long").as("q_q"),
+        (col("lang") === "en").as("is_en"),
+        (((length(col("text")) -
+          length(regexp_replace(col("text"), "[{}\\[\\]();=<>]", ""))) * 1000L) >=
+          (length(col("text")) * 40L) && length(col("text")) > 0).as("code_like"))
+      val base = enriched.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        countDistinct(col("fp")).as("n_distinct"),
+        sum(when(col("is_en"), 1L).otherwise(0L)).as("n_en"),
+        sum(when(col("code_like"), 1L).otherwise(0L)).as("n_code"),
+        round(sum(col("q_q")) * lit(1.0) / count(lit(1))).cast("long")
+          .as("mean_quality_q"))
+      base.select(col("n_docs"), col("n_tokens"),
+        expr("((n_docs - n_distinct) * 1000000L) div n_docs").as("dup_ppm"),
+        expr("(n_en * 1000000L) div n_docs").as("en_ppm"),
+        expr("(n_code * 1000000L) div n_docs").as("code_ppm"),
+        col("mean_quality_q"))
+    }),
+
     // MIXTURE SELECTION (capstone): p39's excess-loss weights converted
     // to exact per-source quotas (floor + largest remainder → Σ = 200
     // docs exactly) and materialized as the hash-rank prefix selection —
@@ -5174,6 +5207,48 @@ object ExtendedQueries {
          |FROM f42 JOIN s42 USING (fp)
          |WHERE $h % (cluster_size * 2) < 1
          |ORDER BY id""".stripMargin
+    },
+
+    // p45: p34's per-doc formulas globally aggregated to one row
+    "p45_dataset_card" -> {
+      val en = graft.ops.TextAnalysis.defaultProfiles.head._2
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH f45 AS (
+         |  SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      w -> w IN ($en))) AS BIGINT) AS n_stop,
+         |    CAST(length(text) - length(regexp_replace(text, '[{}\\[\\]();=<>]', '', 'g'))
+         |      AS BIGINT) AS n_sym,
+         |    (lang = 'en') AS is_en
+         |  FROM documents),
+         |q45 AS (
+         |  SELECT doc_id, fp, n_tokens, is_en,
+         |    (n_sym * 1000 >= n_chars * 40 AND n_chars > 0) AS code_like,
+         |    CAST(round(least(1.0, greatest(0.0,
+         |      0.4 * (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 1.0 ELSE 0.0 END)
+         |      + 0.3 * (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END)
+         |      + 0.3 * (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END)))
+         |    * 1000000) AS BIGINT) AS q_q
+         |  FROM f45),
+         |a45 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+         |    CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         |    CAST(sum(CASE WHEN code_like THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+         |    CAST(round(sum(q_q) * 1.0 / count(*)) AS BIGINT) AS mean_quality_q
+         |  FROM q45)
+         |SELECT n_docs, n_tokens,
+         |  CAST(((n_docs - n_distinct) * 1000000) // n_docs AS BIGINT) AS dup_ppm,
+         |  CAST((n_en * 1000000) // n_docs AS BIGINT) AS en_ppm,
+         |  CAST((n_code * 1000000) // n_docs AS BIGINT) AS code_ppm,
+         |  mean_quality_q
+         |FROM a45""".stripMargin
     },
 
     // d29: d25's pair counts + per-source distinct-fp sizes, union-
