@@ -664,6 +664,32 @@ class PlanQualitySpec extends SparkSpec {
       "every window must run on the bands census, never the corpus")
   }
 
+  test("d29 source jaccard: size frames ride broadcasts — the pair join never sort-merges on sizes") {
+    val physical = q("d29_source_jaccard").queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"),
+      "per-source sizes must broadcast back:\n" + physical.take(600))
+  }
+
+  test("p44 mixture select: quota windows sit above the sources census; quotas broadcast") {
+    val root = q("p44_mixture_select").queryExecution.optimizedPlan
+    val windows = root.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    // the only corpus-sized window is the per-source rank (partitioned);
+    // every UNpartitioned window must run on the sources census
+    assert(windows.nonEmpty, "selection needs the rank window")
+    assert(windows.filter(_.partitionSpec.isEmpty).forall(_.find {
+      case _: Aggregate => true; case _ => false }.isDefined),
+      "global quota windows must sit above the weights aggregate")
+  }
+
+  test("t35 boilerplate density: probe join runs on the per-doc gram census, not raw tokens") {
+    val root = q("t35_boilerplate_density").queryExecution.optimizedPlan
+    val joins = root.collect { case j: Join => j }
+    assert(joins.nonEmpty && joins.forall(_.children.forall(_.find {
+      case _: Aggregate => true; case _ => false }.isDefined)),
+      "both probe-join inputs must be aggregates (distinct-grams granularity)")
+  }
+
   test("q24 last-touch: the only window is user-partitioned — never a global sort") {
     val root = q("q24_last_touch").queryExecution.optimizedPlan
     val windows = root.collect {
