@@ -1641,6 +1641,33 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // m20's stream twin: the integrity census folded per trigger —
+    // classes-sized additive counters under the HWM contract, ok_ppm
+    // derived at drain; final census == batch m20, its oracle
+    "s39_stream_decode_health" -> ((s, dir) => {
+      val work = graft.queries.ExtendedQueries.scratchDir("graft_s39")
+      val in = graft.queries.ExtendedQueries.onceLog("s39", dir) { path =>
+        val media = patternPngMedia(s, dir).select(
+          col("doc_id"),
+          when(col("doc_id") % 5 === 0, lit("image/x-alt"))
+            .otherwise(lit("image/png")).as("mime"),
+          when(col("doc_id") % 9 === 0, expr("substring(payload, 1, 8)"))
+            .otherwise(col("payload")).as("payload"))
+        val b = media.agg(min(col("doc_id")), max(col("doc_id"))).first()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val c1 = lo + (hi - lo) / 3
+        val c2 = lo + 2 * (hi - lo) / 3
+        Seq(col("doc_id") <= c1,
+            col("doc_id") > c1 && col("doc_id") <= c2,
+            col("doc_id") > c2).foreach { p =>
+          media.filter(p).coalesce(1).write.mode("append").parquet(path)
+          Thread.sleep(20) // distinct mtimes → oldest-first arrival
+        }
+      }
+      graft.streaming.StreamDecodeHealth.drain(s, s"$work/agg", in, s"$work/ckpt")
+        .orderBy(col("mime"))
+    }),
+
     // DECODE-HEALTH census: ids ≡ 0 (mod 9) truncate to a broken header
     // (undecodable), ids ≡ 0 (mod 5) carry a mislabeled-but-decodable
     // mime — the per-class integrity numbers a media feed dashboards;
@@ -2007,6 +2034,19 @@ object PipelineQueries {
         }
       }.toDF("doc_id", "mime", "payload")
   }
+
+  /** Shared by m20 (batch) and s39 (streaming fold of the same census):
+    * classes and decodability by id arithmetic. */
+  private val m20OracleSql: String =
+    """WITH m20 AS (
+      |  SELECT CASE WHEN doc_id % 5 = 0 THEN 'image/x-alt'
+      |              ELSE 'image/png' END AS mime,
+      |    CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 1 END AS ok
+      |  FROM documents)
+      |SELECT mime, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(ok) AS BIGINT) AS n_decodable,
+      |  CAST((sum(ok) * 1000000) // count(*) AS BIGINT) AS ok_ppm
+      |FROM m20 GROUP BY mime ORDER BY mime""".stripMargin
 
   /** Shared by m18 (batch) and s37 (its stateless percolation twin):
     * dominant band share by cell arithmetic over the pattern + shifted-
@@ -3950,16 +3990,11 @@ object PipelineQueries {
     "s37_stream_blank_gate" -> m18OracleSql,
 
     // m20: classes and decodability by id arithmetic
-    "m20_decode_health" ->
-      """WITH m20 AS (
-        |  SELECT CASE WHEN doc_id % 5 = 0 THEN 'image/x-alt'
-        |              ELSE 'image/png' END AS mime,
-        |    CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 1 END AS ok
-        |  FROM documents)
-        |SELECT mime, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(ok) AS BIGINT) AS n_decodable,
-        |  CAST((sum(ok) * 1000000) // count(*) AS BIGINT) AS ok_ppm
-        |FROM m20 GROUP BY mime ORDER BY mime""".stripMargin,
+    "m20_decode_health" -> m20OracleSql,
+
+    // s39 = m20 incrementally: classes-sized additive counters, ok_ppm
+    // derived at drain — m20's oracle, stated once
+    "s39_stream_decode_health" -> m20OracleSql,
 
     // m19: m17's canonical-hash replay restricted to doc_id < 300, then
     // brute-force bit_count pairs (the band join's recall-1.0 contract)
