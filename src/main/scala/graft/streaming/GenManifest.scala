@@ -1,0 +1,139 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+/** Atomic generation-pointer + high-water-mark manifest for the
+  * constant-size streaming rollups ([[StreamTransitions]],
+  * [[StreamAttribution]], [[StreamQuota]], [[StreamAspect]],
+  * [[StreamBurst]], [[StreamCalibration]], [[StreamDecodeHealth]],
+  * [[StreamPsi]], [[StreamUniqueTokens]]).
+  *
+  * One `_current` file holds `gen\tlo\thi`, written via temp +
+  * ATOMIC_MOVE, so the state advance and the redelivery detector are a
+  * SINGLE commit point. The previous layout (a `_current` pointer flip
+  * followed by a separate `_hwm` write) had a crash window between the
+  * two files: on replay the hwm check would not skip the batch (hwm
+  * stale) but the rollup generation had already folded it — the batch's
+  * additive counts were double-counted. With the fused manifest a crash
+  * anywhere before the move replays the batch against the OLD generation
+  * (correct: the fold is deterministic and the new generation directory
+  * is simply rewritten), and a crash after the move is detected as a
+  * bit-exact redelivery by its (lo, hi) range and skipped.
+  *
+  * Reads stay compatible with the pre-fuse layout (gen-only `_current`
+  * plus sibling `_hwm`) so a long-running monitor restarted across the
+  * upgrade keeps its redelivery guard.
+  */
+object GenManifest {
+
+  /** (generation, hwm lo, hwm hi) of the live commit, None when empty. */
+  def read(dir: String): Option[(String, Long, Long)] = {
+    val cur = Paths.get(dir, "_current")
+    if (!Files.exists(cur)) None
+    else Files.readString(cur).trim.split("\t") match {
+      case Array(g, lo, hi) => Some((g, lo.toLong, hi.toLong))
+      case Array(g) => // pre-fuse layout: gen-only pointer, hwm sibling
+        val hwm = Paths.get(dir, "_hwm")
+        if (Files.exists(hwm)) {
+          val Array(lo, hi) = Files.readString(hwm).trim.split("\t").map(_.toLong)
+          Some((g, lo, hi))
+        } else Some((g, Long.MinValue, Long.MinValue))
+      case other => throw new IllegalStateException(
+        s"unparseable generation manifest in $dir: '${other.mkString("\\t")}'")
+    }
+  }
+
+  /** The live generation name (directory under `dir`), None when empty. */
+  def currentGen(dir: String): Option[String] = read(dir).map(_._1)
+
+  /** The ascending-arrival contract check. Returns TRUE when the batch
+    * is a bit-exact redelivery of the newest committed one (same lo/hi —
+    * already folded, the caller must skip it); throws on any other
+    * overlap with the high-water mark; returns false for a fresh batch. */
+  def isRedelivery(dir: String, lo: Long, hi: Long, contract: String): Boolean =
+    read(dir) match {
+      case Some((_, pl, ph)) if lo == pl && hi == ph => true
+      case Some((_, _, ph)) if lo <= ph =>
+        throw new IllegalStateException(
+          s"out-of-order arrival: batch range [$lo, $hi] overlaps the " +
+            s"high-water mark $ph — $contract")
+      case _ => false
+    }
+
+  /** THE commit point: generation pointer and hwm land in one atomic
+    * move; drops a leftover pre-fuse `_hwm` sibling so stale state can
+    * never shadow the manifest. */
+  def commit(dir: String, gen: String, lo: Long, hi: Long): Unit = {
+    IndexState.atomicWriteString(Paths.get(dir, "_current"), s"$gen\t$lo\t$hi")
+    Files.deleteIfExists(Paths.get(dir, "_hwm"))
+    ()
+  }
+}
+
+/** The DUAL-STATE variant of [[GenManifest]]: monitors that keep a
+  * bucketed per-key state in a [[DocStateStore]] NEXT TO a constant-size
+  * rollup generation ([[StreamTransitions]], [[StreamAttribution]],
+  * [[StreamUniqueTokens]], [[StreamVocab]]) cannot use a filesystem
+  * manifest as the commit point — a crash between the store commit and
+  * the manifest flip leaves the two halves disagreeing about which
+  * batches folded (the per-key state says yes, the redelivery detector
+  * says no → the additive rollup double-counts on replay, or computes
+  * boundary terms against post-batch state). Instead the generation
+  * pointer AND the high-water mark ride the store commit itself as
+  * [[DocStateStore.stateMeta]] keys (Delta's `txn` action, re-expressed):
+  * ONE put-if-absent txn entry (or CURRENT flip) advances the per-key
+  * delta, the rollup pointer, and the redelivery range together — no
+  * ordering of filesystem writes can tear them apart. */
+object GenMeta {
+
+  /** The live rollup generation for namespace `ns`, None when empty. */
+  def currentGen(store: DocStateStore, ns: String): Option[String] =
+    store.stateMeta(s"$ns.gen")
+
+  /** Ascending-arrival check against the store-resident hwm: true = the
+    * batch is a bit-exact redelivery of the newest committed one (skip
+    * it); throws on any other overlap; false = fresh batch. */
+  def isRedelivery(store: DocStateStore, ns: String, lo: Long, hi: Long,
+                   contract: String): Boolean =
+    store.stateMeta(s"$ns.hwm") match {
+      case Some(h) =>
+        val Array(pl, ph) = h.split(",").map(_.toLong)
+        if (lo == pl && hi == ph) true
+        else if (lo <= ph) throw new IllegalStateException(
+          s"out-of-order arrival: batch range [$lo, $hi] overlaps the " +
+            s"high-water mark $ph — $contract")
+        else false
+      case None => false
+    }
+
+  /** The meta entries a monitor attaches to its store commit. */
+  def kv(ns: String, gen: String, lo: Long, hi: Long): Map[String, String] =
+    Map(s"$ns.gen" -> gen, s"$ns.hwm" -> s"$lo,$hi")
+
+  /** Drop every superseded `g*` generation directory under `aggDir` —
+    * called AFTER the commit, so a crash before it merely leaks a dir
+    * that the next batch's sweep reclaims (self-healing, never load-
+    * bearing). */
+  def sweep(aggDir: String, keep: String): Unit = {
+    val root = Paths.get(aggDir)
+    if (!Files.exists(root)) return
+    val fs = Files.list(root)
+    val doomed =
+      try {
+        val it = fs.iterator()
+        var acc = List.empty[java.nio.file.Path]
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          if (n.startsWith("g") && n != keep && Files.isDirectory(p)) acc ::= p
+        }
+        acc
+      } finally fs.close()
+    doomed.foreach { p =>
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().forEachRemaining(f => { Files.deleteIfExists(f); () })
+      finally walk.close()
+    }
+  }
+}

@@ -86,17 +86,35 @@ class IndexState(val indexDir: String, spark: SparkSession, requestedBuckets: In
   def liveBuckets: Set[Int] = currentManifest.keySet
 
   /** bucket → directory (relative to indexDir), from the live manifest.
-    * Self-describing: readers never need the writer's bucket count. */
+    * Self-describing: readers never need the writer's bucket count.
+    * `#meta` lines (committed key→value metadata) are skipped here and
+    * surfaced via [[stateMeta]]. */
   def currentManifest: Map[Int, String] = currentVersion match {
     case None => Map.empty
     case Some(m) =>
       Files.readAllLines(Paths.get(indexDir, m)).toArray(Array.empty[String]).toSeq
-        .filter(_.nonEmpty)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
         .map { line =>
           val Array(b, dir) = line.split("\t", 2)
           b.toInt -> dir
         }.toMap
   }
+
+  /** The committed metadata map — `#meta\tkey\tvalue` manifest lines,
+    * carried forward across commits, updated atomically with the data by
+    * the same CURRENT flip. */
+  private def currentMetas: Map[String, String] = currentVersion match {
+    case None => Map.empty
+    case Some(m) =>
+      Files.readAllLines(Paths.get(indexDir, m)).toArray(Array.empty[String]).toSeq
+        .filter(_.startsWith("#meta\t"))
+        .map { line =>
+          val Array(_, k, v) = line.split("\t", 3)
+          k -> v
+        }.toMap
+  }
+
+  def stateMeta(key: String): Option[String] = currentMetas.get(key)
 
   private def readDirs(dirs: Seq[String]): Option[DataFrame] =
     if (dirs.isEmpty) None
@@ -156,7 +174,24 @@ class IndexState(val indexDir: String, spark: SparkSession, requestedBuckets: In
     doomed.sorted
   }
 
-  def commit(updated: DataFrame, version: String, touched: Seq[Int]): Unit = {
+  def commit(updated: DataFrame, version: String, touched: Seq[Int]): Unit =
+    commitWithMeta(updated, version, touched, Map.empty)
+
+  def commitAppendWithMeta(fresh: DataFrame, version: String, touched: Seq[Int],
+                           kv: Map[String, String]): Unit = {
+    val updated = readBuckets(touched) match {
+      case Some(seen) => seen.unionByName(fresh)
+      case None       => fresh
+    }
+    commitWithMeta(updated, version, touched, kv)
+  }
+
+  def commitWithMeta(updated: DataFrame, version: String, touched: Seq[Int],
+                     kv: Map[String, String]): Unit = {
+    kv.foreach { case (k, v) =>
+      require(!k.exists(c => c == '\t' || c == '\n') && !v.exists(c => c == '\t' || c == '\n'),
+        s"state meta keys/values must be tab/newline-free: '$k' -> '$v'")
+    }
     val base = Paths.get(indexDir, version)
     val dir = if (!Files.exists(base)) version else s"$version-r${System.nanoTime()}"
     updated
@@ -181,12 +216,14 @@ class IndexState(val indexDir: String, spark: SparkSession, requestedBuckets: In
             "two drivers are committing to one state dir; this writer is fenced off")
       val manifest = (currentManifest -- touched) ++
         written.map(k => k -> s"$dir/$BucketCol=$k")
+      val metas = currentMetas ++ kv
       val mName = s"MANIFEST-$dir"
       // the manifest file is never read until CURRENT names it, so its own
       // write need not be atomic; the POINTER flip must be — an in-place
       // truncate+write would let a racing reader observe an empty pointer
       Files.writeString(Paths.get(indexDir, mName),
-        manifest.toSeq.sorted.map { case (k, d) => s"$k\t$d" }.mkString("\n"))
+        (manifest.toSeq.sorted.map { case (k, d) => s"$k\t$d" } ++
+          metas.toSeq.sorted.map { case (k, v) => s"#meta\t$k\t$v" }).mkString("\n"))
       IndexState.atomicWriteString(ptr, mName)
       fenceToken = Some(mName)
     }

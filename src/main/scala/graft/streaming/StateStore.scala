@@ -61,6 +61,28 @@ trait DocStateStore extends Serializable {
     commit(updated, version, touched)
   }
 
+  /** Key→value metadata carried ATOMICALLY with a commit — Delta's `txn`
+    * action, re-expressed: the dual-state streaming monitors keep a
+    * constant-size rollup generation (and its redelivery high-water mark)
+    * NEXT TO the bucketed per-key state, and committing those pointers in
+    * the SAME transaction as the data is the only way a crash can never
+    * leave the two halves disagreeing about which batches have been
+    * folded. Last write wins per key; values must be tab/newline-free
+    * (they ride the store's line-oriented metadata). Reads reflect the
+    * live committed version. */
+  def stateMeta(key: String): Option[String]
+
+  /** [[commit]] + [[stateMeta]] updates as ONE atomic commit point. */
+  def commitWithMeta(updated: DataFrame, version: String, touched: Seq[Int],
+                     kv: Map[String, String]): Unit
+
+  /** [[commitAppend]] + [[stateMeta]] updates as ONE atomic commit point.
+    * Unlike the plain append, a nonempty `kv` claims a commit even when
+    * `fresh` materializes no rows — a batch whose delta folds to ∅ still
+    * advances its rollup pointers. */
+  def commitAppendWithMeta(fresh: DataFrame, version: String, touched: Seq[Int],
+                           kv: Map[String, String]): Unit
+
   /** Reclaim data unreachable from the current version and older than
     * `graceMs` (readers may still scan recently superseded files).
     * Returns the deleted entry names. */
@@ -129,9 +151,11 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
   }
 
   private def applyLines(e: Path, live0: Map[Int, Vector[String]],
-                         pinned0: Option[Int]): (Map[Int, Vector[String]], Option[Int]) = {
+                         pinned0: Option[Int], meta0: Map[String, String])
+      : (Map[Int, Vector[String]], Option[Int], Map[String, String]) = {
     var live = live0
     var pinned = pinned0
+    var meta = meta0
     Files.readAllLines(e).asScala.filter(_.nonEmpty).foreach { line =>
       line.split("\t", -1) match {
         case Array("add", b, d)            => live = addDir(live, b.toInt, d)
@@ -139,11 +163,12 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
           val left = live.getOrElse(b.toInt, Vector.empty).filterNot(_ == d)
           live = if (left.isEmpty) live - b.toInt else live.updated(b.toInt, left)
         case Array("meta", "buckets", n)   => pinned = Some(n.toInt)
+        case Array("mkv", k, v)            => meta = meta.updated(k, v) // last wins
         case other => throw new IllegalStateException(
           s"unparseable txn action in $e: '${other.mkString("\t")}'")
       }
     }
-    (live, pinned)
+    (live, pinned, meta)
   }
 
   /** Left fold of the log: (last entry id or -1, bucket → data dir,
@@ -154,21 +179,23 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
     * names the dir currently mapped — a re-applied retry entry removing
     * an already-superseded dir is a no-op, same as Delta's
     * remove-by-path. */
-  private def fold(): (Long, Map[Int, Vector[String]], Option[Int]) = {
-    val (startId, live0, pinned0) = listLog(".ckpt").lastOption match {
+  private def fold(): (Long, Map[Int, Vector[String]], Option[Int], Map[String, String]) = {
+    val (startId, live0, pinned0, meta0) = listLog(".ckpt").lastOption match {
       case Some(cp) =>
-        val (l, p) = applyLines(cp, Map.empty, None)
-        (entryId(cp), l, p)
-      case None => (-1L, Map.empty[Int, Vector[String]], Option.empty[Int])
+        val (l, p, m) = applyLines(cp, Map.empty, None, Map.empty)
+        (entryId(cp), l, p, m)
+      case None => (-1L, Map.empty[Int, Vector[String]], Option.empty[Int],
+        Map.empty[String, String])
     }
     val entries = listLog(".txn").filter(entryId(_) > startId)
     var live = live0
     var pinned = pinned0
+    var meta = meta0
     entries.foreach { e =>
-      val (l, p) = applyLines(e, live, pinned)
-      live = l; pinned = p
+      val (l, p, m) = applyLines(e, live, pinned, meta)
+      live = l; pinned = p; meta = m
     }
-    (entries.lastOption.map(entryId).getOrElse(startId), live, pinned)
+    (entries.lastOption.map(entryId).getOrElse(startId), live, pinned, meta)
   }
 
   // The cached fold: commits target slot lastSeen+1 and rebuild removes
@@ -179,10 +206,11 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
   // batch, not the process lifetime.
   @volatile private var lastSeen: Long = -1L
   @volatile private var view: Map[Int, Vector[String]] = Map.empty
+  @volatile private var metaView: Map[String, String] = Map.empty
 
   val buckets: Int = {
-    val (last, live, pinned) = fold()
-    lastSeen = last; view = live
+    val (last, live, pinned, meta) = fold()
+    lastSeen = last; view = live; metaView = meta
     pinned.getOrElse {
       require(requestedBuckets > 0, s"buckets must be positive: $requestedBuckets")
       requestedBuckets
@@ -209,12 +237,14 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
     val gapped = entries.headOption.exists(entryId(_) != lastSeen + 1) ||
       listLog(".ckpt").lastOption.exists(entryId(_) > lastSeen)
     if (gapped) {
-      val (last, live, _) = fold()
+      val (last, live, _, meta) = fold()
       view = live
+      metaView = meta
       lastSeen = last
     } else entries.foreach { e =>
-      val (l, _) = applyLines(e, view, None)
+      val (l, _, m) = applyLines(e, view, None, metaView)
       view = l
+      metaView = m
       lastSeen = entryId(e)
     }
   }
@@ -250,7 +280,17 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
   }
 
   def commit(updated: DataFrame, version: String, touched: Seq[Int]): Unit =
-    doCommit(updated, version, touched, append = false)
+    doCommit(updated, version, touched, append = false, Map.empty)
+
+  def stateMeta(key: String): Option[String] = { refresh(); metaView.get(key) }
+
+  def commitWithMeta(updated: DataFrame, version: String, touched: Seq[Int],
+                     kv: Map[String, String]): Unit =
+    doCommit(updated, version, touched, append = false, kv)
+
+  def commitAppendWithMeta(fresh: DataFrame, version: String, touched: Seq[Int],
+                           kv: Map[String, String]): Unit =
+    doCommit(fresh, version, touched, append = true, kv)
 
   /** The O(fresh) delta path: log only `add` actions for the new delta
     * dirs — the touched buckets' existing dirs stay live and readers
@@ -261,10 +301,14 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
     * write volume is ∝ fresh keys, amortized-O(state/maxDeltas) for
     * compaction instead of O(state) every trigger. */
   override def commitAppend(fresh: DataFrame, version: String, touched: Seq[Int]): Unit =
-    doCommit(fresh, version, touched, append = true)
+    doCommit(fresh, version, touched, append = true, Map.empty)
 
   private def doCommit(data: DataFrame, version: String, touched: Seq[Int],
-                       append: Boolean): Unit = {
+                       append: Boolean, kv: Map[String, String]): Unit = {
+    kv.foreach { case (k, v) =>
+      require(!k.exists(c => c == '\t' || c == '\n') && !v.exists(c => c == '\t' || c == '\n'),
+        s"state meta keys/values must be tab/newline-free: '$k' -> '$v'")
+    }
     val base = Paths.get(stateDir, version)
     val dir = if (!Files.exists(base)) version else s"$version-r${System.nanoTime()}"
     data
@@ -274,8 +318,9 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
     val written = touched.filter(k => Files.exists(Paths.get(stateDir, dir, s"$BucketCol=$k")))
     // an append that materialized no rows (e.g. a redelivered batch whose
     // fresh set folded to ∅) has nothing to log: skip the slot claim —
-    // the orphaned empty dir is vacuum-reclaimable
-    if (append && written.isEmpty) return
+    // the orphaned empty dir is vacuum-reclaimable. A nonempty kv still
+    // commits: the rollup pointers must advance even on an ∅ delta.
+    if (append && written.isEmpty && kv.isEmpty) return
 
     // snapshot the cache under the refresh() lock: the claimed slot and the
     // remove actions must come from ONE consistent (lastSeen, view) pair
@@ -287,7 +332,8 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
     val actions =
       (if (slotId == 0) Seq(s"meta\tbuckets\t$buckets") else Seq.empty) ++
         removes ++
-        written.sorted.map(k => s"add\t$k\t$dir/$BucketCol=$k")
+        written.sorted.map(k => s"add\t$k\t$dir/$BucketCol=$k") ++
+        kv.toSeq.sorted.map { case (k, v) => s"mkv\t$k\t$v" }
     val slot = logDir.resolve(f"$slotId%020d.txn")
     if (!putIfAbsent(slot, actions.mkString("\n")))
       throw new java.util.ConcurrentModificationException(
@@ -300,6 +346,7 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
     synchronized {
       val cleared = if (append) view else view -- touched
       view = written.foldLeft(cleared)((v, k) => addDir(v, k, s"$dir/$BucketCol=$k"))
+      metaView = metaView ++ kv
       if (slotId > lastSeen) lastSeen = slotId
     }
   }
@@ -316,7 +363,7 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
     }
     if (heavy.nonEmpty)
       readBuckets(heavy).foreach { merged =>
-        doCommit(merged, f"c$lastSeen%015d", heavy, append = false)
+        doCommit(merged, f"c$lastSeen%015d", heavy, append = false, Map.empty)
       }
     heavy
   }
@@ -331,13 +378,14 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
     * put-if-absent on `.txn` names the checkpoint never touches.
     * Returns the checkpointed entry id, or None on an empty log. */
   def compact(): Option[Long] = {
-    val (last, live, pinned) = fold()
+    val (last, live, pinned, meta) = fold()
     if (last < 0) None
     else {
       val lines =
         Seq(s"meta\tbuckets\t${pinned.getOrElse(buckets)}") ++
           live.toSeq.sortBy(_._1).flatMap { case (k, dirs) =>
-            dirs.map(d => s"add\t$k\t$d") } // vector order preserved: replay appends in delta order
+            dirs.map(d => s"add\t$k\t$d") } ++ // vector order preserved: replay appends in delta order
+          meta.toSeq.sorted.map { case (k, v) => s"mkv\t$k\t$v" }
       IndexState.atomicWriteString(
         logDir.resolve(f"$last%020d.ckpt"), lines.mkString("\n"))
       Some(last)

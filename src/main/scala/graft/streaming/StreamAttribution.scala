@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   *  - per-user LAST NON-PURCHASE touch (type, event_id) in the bucketed
   *    [[TxnLogState]] — each trigger touches only its users' buckets;
   *  - the attribution rollup, ≤ |touch types| rows — CONSTANT in stream
-  *    length — committed as immutable generations behind an atomic
-  *    pointer flip.
+  *    length — immutable generations whose live pointer (and the
+  *    redelivery hwm) ride the touch-state commit as [[GenMeta]]
+  *    metadata: one txn entry advances both state halves atomically.
   *
   * Per trigger: purchases attribute within-batch first (a user-keyed
   * lag-frame `last(non-purchase) ignore nulls` — per-user ordering only,
@@ -33,10 +34,7 @@ import org.apache.spark.sql.functions._
   */
 object StreamAttribution {
 
-  private def currentGen(aggDir: String): Option[String] = {
-    val cur = Paths.get(aggDir, "_current")
-    if (Files.exists(cur)) Some(Files.readString(cur).trim) else None
-  }
+  private val Ns = "attribution" // stateMeta namespace (gen pointer + hwm)
 
   /** Fold one (user_id, event_id, event_type, value) micro-batch. */
   def applyBatch(touches: DocStateStore, aggDir: String,
@@ -45,20 +43,14 @@ object StreamAttribution {
     Files.createDirectories(Paths.get(aggDir))
     val b = batch.select(col("user_id"), col("event_id"), col("event_type"),
       col("value").cast("decimal(18,6)").as("value")).cache()
+    var cached: List[DataFrame] = Nil // released in finally — no leak on a failed commit
     try {
       val range = b.agg(min(col("event_id")), max(col("event_id"))).head()
       if (range.isNullAt(0)) return
       val (lo, hi) = (range.getLong(0), range.getLong(1))
-      val hwmFile = Paths.get(aggDir, "_hwm")
-      if (Files.exists(hwmFile)) {
-        val Array(prevLo, prevHi) = Files.readString(hwmFile).trim.split("\t").map(_.toLong)
-        if (lo == prevLo && hi == prevHi) return // exact redelivery: already folded
-        if (lo <= prevHi)
-          throw new IllegalStateException(
-            s"out-of-order arrival: batch event_id range [$lo, $hi] overlaps the " +
-              s"high-water mark $prevHi — additive attribution equals the batch " +
-              "operator only under ascending event_id arrival")
-      }
+      if (GenMeta.isRedelivery(touches, Ns, lo, hi,
+        "additive attribution equals the batch operator only under " +
+          "ascending event_id arrival")) return // already folded: skip
 
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -73,10 +65,12 @@ object StreamAttribution {
           max(col("event_id")).as("last_eid"))
         .withColumn("id", col("user_id").cast("string"))
         .cache()
+      cached ::= ends
 
       // buckets this trigger writes = users with a new touch; buckets it
       // READS also cover purchase-only users needing the stored touch
       val purch = withTouch.filter(col("event_type") === "purchase").cache()
+      cached ::= purch
       val readIds = ends.select(col("id"))
         .unionByName(purch.filter(col("touch_in").isNull)
           .select(col("user_id").cast("string").as("id")))
@@ -99,50 +93,44 @@ object StreamAttribution {
 
       // fold the rollup generation (≤ touch-types rows)
       val parts = Seq(Some(batchAgg),
-        currentGen(aggDir).map(g => spark.read.parquet(s"$aggDir/$g"))).flatten
+        GenMeta.currentGen(touches, Ns).map(g => spark.read.parquet(s"$aggDir/$g"))).flatten
       val next = parts.reduce(_ unionByName _)
         .groupBy(col("touch"))
         .agg(sum(col("n_purchases")).as("n_purchases"),
           sum(col("revenue")).cast("decimal(18,6)").as("revenue"))
       val gen = s"g$batchId"
-      val prevGen = currentGen(aggDir)
       next.write.mode("overwrite").parquet(s"$aggDir/$gen")
 
       // per-user touch state: the batch's touch supersedes (ascending
-      // arrival). Write-set = buckets of users in `ends` only.
+      // arrival). Write-set = buckets of users in `ends` only; a
+      // purchase-only batch writes no buckets but STILL commits (the gen
+      // pointer + hwm must advance — a kv-only txn entry).
       val writeBuckets = ends
         .select(graft.expr.hfunctions.md5_shard(col("id"), touches.buckets).as("bk"))
         .distinct().collect().map(_.getInt(0)).toSeq.sorted
-      if (writeBuckets.nonEmpty) {
-        val prevW = touches.readBuckets(writeBuckets)
-        val mergedTouches = (prevW match {
+      val mergedTouches =
+        if (writeBuckets.isEmpty) ends.select("id", "user_id", "touch", "last_eid").limit(0)
+        else (touches.readBuckets(writeBuckets) match {
           case Some(p) => p.select("id", "user_id", "touch", "last_eid")
             .unionByName(ends.select("id", "user_id", "touch", "last_eid"))
           case None => ends.select("id", "user_id", "touch", "last_eid")
         }).groupBy(col("id"), col("user_id"))
           .agg(max_by(col("touch"), col("last_eid")).as("touch"),
             max(col("last_eid")).as("last_eid"))
-        touches.commit(mergedTouches, f"r$batchId%010d", writeBuckets)
-      }
-
-      // rollup pointer flip + hwm AFTER both states land; a crash between
-      // commits replays the batch, which the (lo, hi) check then skips
-      IndexState.atomicWriteString(Paths.get(aggDir, "_current"), gen)
-      Files.writeString(hwmFile, s"$lo\t$hi")
-      prevGen.filter(_ != gen).foreach { g =>
-        def rm(f: java.io.File): Unit = {
-          val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
-        }
-        rm(Paths.get(aggDir, g).toFile)
-      }
-      ends.unpersist(blocking = false)
-      purch.unpersist(blocking = false)
-    } finally { b.unpersist(blocking = false); () }
+      // THE commit point: touch-state delta + rollup generation pointer +
+      // hwm in ONE txn entry ([[GenMeta]]) — a crash anywhere earlier
+      // replays the batch against the OLD touches AND the OLD generation
+      // (deterministic re-fold); a crash after is a detected redelivery
+      // and skipped. No ordering of filesystem writes can double-count.
+      touches.commitWithMeta(mergedTouches, f"r$batchId%010d", writeBuckets,
+        GenMeta.kv(Ns, gen, lo, hi))
+      GenMeta.sweep(aggDir, keep = gen) // reclaim superseded generations
+    } finally { (b :: cached).foreach(_.unpersist(blocking = false)); () }
   }
 
   /** The standing rollup — q24's output shape. */
-  def summary(spark: SparkSession, aggDir: String): DataFrame =
-    currentGen(aggDir) match {
+  def summary(spark: SparkSession, touches: DocStateStore, aggDir: String): DataFrame =
+    GenMeta.currentGen(touches, Ns) match {
       case Some(g) => spark.read.parquet(s"$aggDir/$g")
         .select(col("touch"), col("n_purchases"),
           col("revenue").cast("double").as("revenue"))
@@ -164,6 +152,6 @@ object StreamAttribution {
       .option("checkpointLocation", ckptPath)
       .start()
     q.awaitTermination()
-    summary(spark, aggDir)
+    summary(spark, touches, aggDir)
   }
 }

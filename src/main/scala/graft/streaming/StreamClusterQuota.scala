@@ -56,6 +56,7 @@ object StreamClusterQuota {
       .option("checkpointLocation", ckptPath)
       .start()
     q.awaitTermination()
-    spark.read.parquet(outPath)
+    // drop the batch-tag partition column (StreamQuota's idempotent output)
+    spark.read.parquet(outPath).select(col("doc_id"), col("cls"), col("adm_rk"))
   }
 }

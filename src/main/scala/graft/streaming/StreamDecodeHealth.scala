@@ -15,10 +15,8 @@ import org.apache.spark.sql.functions._
   * at READ time. Drained census ≡ batch m20 bit-for-bit. */
 object StreamDecodeHealth {
 
-  private def currentGen(aggDir: String): Option[String] = {
-    val cur = Paths.get(aggDir, "_current")
-    if (Files.exists(cur)) Some(Files.readString(cur).trim) else None
-  }
+  private def currentGen(aggDir: String): Option[String] =
+    GenManifest.currentGen(aggDir)
 
   /** Fold one (doc_id, mime, payload) micro-batch. */
   def applyBatch(aggDir: String, batch: DataFrame, batchId: Long): Unit = {
@@ -29,16 +27,9 @@ object StreamDecodeHealth {
       val range = b.agg(min(col("doc_id")), max(col("doc_id"))).head()
       if (range.isNullAt(0)) return
       val (lo, hi) = (range.getLong(0), range.getLong(1))
-      val hwmFile = Paths.get(aggDir, "_hwm")
-      if (Files.exists(hwmFile)) {
-        val Array(prevLo, prevHi) = Files.readString(hwmFile).trim.split("\t").map(_.toLong)
-        if (lo == prevLo && hi == prevHi) return // exact redelivery: already folded
-        if (lo <= prevHi)
-          throw new IllegalStateException(
-            s"out-of-order arrival: batch doc_id range [$lo, $hi] overlaps the " +
-              s"high-water mark $prevHi — additive health counters equal the batch " +
-              "census only under ascending doc_id arrival")
-      }
+      if (GenManifest.isRedelivery(aggDir, lo, hi,
+        "additive health counters equal the batch census only under " +
+          "ascending doc_id arrival")) return // already folded: skip
       val batchCensus = graft.ops.Multimodal.decodeHealth(b)
         .select(col("mime"), col("n"), col("n_decodable"))
       val parts = Seq(Some(batchCensus),
@@ -49,8 +40,7 @@ object StreamDecodeHealth {
       val gen = s"g$batchId"
       val prevGen = currentGen(aggDir)
       next.write.mode("overwrite").parquet(s"$aggDir/$gen")
-      IndexState.atomicWriteString(Paths.get(aggDir, "_current"), gen)
-      Files.writeString(hwmFile, s"$lo\t$hi")
+      GenManifest.commit(aggDir, gen, lo, hi) // gen + hwm in ONE atomic move
       prevGen.filter(_ != gen).foreach { g =>
         def rm(f: java.io.File): Unit = {
           val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()

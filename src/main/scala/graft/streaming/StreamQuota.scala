@@ -27,10 +27,8 @@ import org.apache.spark.sql.functions._
   * size, state I/O ∝ |classes|. */
 object StreamQuota {
 
-  private def currentGen(stateDir: String): Option[String] = {
-    val cur = Paths.get(stateDir, "_current")
-    if (Files.exists(cur)) Some(Files.readString(cur).trim) else None
-  }
+  private def currentGen(stateDir: String): Option[String] =
+    GenManifest.currentGen(stateDir)
 
   /** Fold one (doc_id, cls) micro-batch: append admitted rows
     * (doc_id, cls, adm_rk) to `outPath`, advance the counters. */
@@ -43,16 +41,9 @@ object StreamQuota {
       val range = b.agg(min(col("doc_id")), max(col("doc_id"))).head()
       if (range.isNullAt(0)) return
       val (lo, hi) = (range.getLong(0), range.getLong(1))
-      val hwmFile = Paths.get(stateDir, "_hwm")
-      if (Files.exists(hwmFile)) {
-        val Array(prevLo, prevHi) = Files.readString(hwmFile).trim.split("\t").map(_.toLong)
-        if (lo == prevLo && hi == prevHi) return // exact redelivery: already admitted
-        if (lo <= prevHi)
-          throw new IllegalStateException(
-            s"out-of-order arrival: batch doc_id range [$lo, $hi] overlaps the " +
-              s"high-water mark $prevHi — first-come admission equals the batch " +
-              "operator only under ascending doc_id arrival")
-      }
+      if (GenManifest.isRedelivery(stateDir, lo, hi,
+        "first-come admission equals the batch operator only under " +
+          "ascending doc_id arrival")) return // already admitted: skip
 
       // within-batch first-come rank per class (trigger-sized window)
       val w = Window.partitionBy(col("cls")).orderBy(col("doc_id"))
@@ -73,7 +64,12 @@ object StreamQuota {
         .select(col("doc_id"), col("cls"), (col("_n0") + col("_rk")).as("adm_rk"))
         .cache()
       try {
-        admitted.write.mode("append").parquet(outPath)
+        // batch-tagged IDEMPOTENT output: each batch owns the partition
+        // directory keyed by its lo doc_id, written with overwrite — a
+        // replayed batch (crash after this write, before the manifest
+        // commit) recomputes against the UNCHANGED counters and rewrites
+        // the identical rows instead of appending duplicates
+        admitted.write.mode("overwrite").parquet(s"$outPath/adm_lo=$lo")
 
         val batchCounts = admitted.groupBy(col("cls"))
           .agg(count(lit(1)).as("n_adm"))
@@ -85,10 +81,10 @@ object StreamQuota {
         val prevGen = currentGen(stateDir)
         next.write.mode("overwrite").parquet(s"$stateDir/$gen")
 
-        // pointer flip + hwm AFTER the output lands; a crash in between
-        // replays the batch, which the (lo, hi) check then skips
-        IndexState.atomicWriteString(Paths.get(stateDir, "_current"), gen)
-        Files.writeString(hwmFile, s"$lo\t$hi")
+        // ONE atomic commit point carrying gen + hwm, AFTER the output
+        // lands: earlier crashes replay into the idempotent overwrite
+        // above, later ones are detected redeliveries and skipped
+        GenManifest.commit(stateDir, gen, lo, hi)
         prevGen.filter(_ != gen).foreach { g =>
           def rm(f: java.io.File): Unit = {
             val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
@@ -116,6 +112,8 @@ object StreamQuota {
       .option("checkpointLocation", ckptPath)
       .start()
     q.awaitTermination()
-    spark.read.parquet(outPath)
+    // drop the batch-tag partition column — consumers see the same
+    // (doc_id, cls, adm_rk) shape as before the idempotent-output fix
+    spark.read.parquet(outPath).select(col("doc_id"), col("cls"), col("adm_rk"))
   }
 }

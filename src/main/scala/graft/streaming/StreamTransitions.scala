@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   *    the batch's users touch only their buckets, and the fold is
   *    max-by-event-id (under ordered arrival the batch always wins);
   *  - the edge-count matrix, ≤ |event types|² rows — CONSTANT in stream
-  *    length — committed as immutable generations behind an atomic
-  *    pointer flip (the [[StreamKmv]] state shape).
+  *    length — immutable generations whose live pointer (and the
+  *    redelivery hwm) ride the lasts-store commit as [[GenMeta]]
+  *    metadata: one txn entry advances both state halves atomically.
   *
   * Per trigger: within-batch edges from a lag window keyed on user_id
   * (per-user ordering only, never a global sort), PLUS one boundary edge
@@ -31,10 +32,7 @@ import org.apache.spark.sql.functions._
   * replays are expected, silent double-counts are not). */
 object StreamTransitions {
 
-  private def currentGen(countsDir: String): Option[String] = {
-    val cur = Paths.get(countsDir, "_current")
-    if (Files.exists(cur)) Some(Files.readString(cur).trim) else None
-  }
+  private val Ns = "transitions" // stateMeta namespace (gen pointer + hwm)
 
   /** Fold one (user_id, event_id, event_type) micro-batch. */
   def applyBatch(lasts: DocStateStore, countsDir: String,
@@ -42,20 +40,14 @@ object StreamTransitions {
     val spark = batch.sparkSession
     Files.createDirectories(Paths.get(countsDir))
     val b = batch.select(col("user_id"), col("event_id"), col("event_type")).cache()
+    var cached: List[DataFrame] = Nil // released in finally — no leak on a failed commit
     try {
       val range = b.agg(min(col("event_id")), max(col("event_id"))).head()
       if (range.isNullAt(0)) return
       val (lo, hi) = (range.getLong(0), range.getLong(1))
-      val hwmFile = Paths.get(countsDir, "_hwm")
-      if (Files.exists(hwmFile)) {
-        val Array(prevLo, prevHi) = Files.readString(hwmFile).trim.split("\t").map(_.toLong)
-        if (lo == prevLo && hi == prevHi) return // exact redelivery: already folded
-        if (lo <= prevHi)
-          throw new IllegalStateException(
-            s"out-of-order arrival: batch event_id range [$lo, $hi] overlaps the " +
-              s"high-water mark $prevHi — additive edge counts equal the batch " +
-              "operator only under ascending event_id arrival")
-      }
+      if (GenMeta.isRedelivery(lasts, Ns, lo, hi,
+        "additive edge counts equal the batch operator only under " +
+          "ascending event_id arrival")) return // already folded: skip
 
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
       val lagged = b.withColumn("prev_type", lag(col("event_type"), 1).over(w))
@@ -70,6 +62,7 @@ object StreamTransitions {
           max(col("event_id")).as("last_eid"))
         .withColumn("id", col("user_id").cast("string"))
         .cache()
+      cached ::= ends
       val touched = ends
         .select(graft.expr.hfunctions.md5_shard(col("id"), lasts.buckets).as("bk"))
         .distinct().collect().map(_.getInt(0)).toSeq.sorted
@@ -87,11 +80,10 @@ object StreamTransitions {
       // fold the counts generation (≤ types² rows, constant in stream length)
       val parts = Seq(Some(inner),
         if (boundary.columns.nonEmpty) Some(boundary) else None,
-        currentGen(countsDir).map(g => spark.read.parquet(s"$countsDir/$g"))).flatten
+        GenMeta.currentGen(lasts, Ns).map(g => spark.read.parquet(s"$countsDir/$g"))).flatten
       val next = parts.reduce(_ unionByName _)
         .groupBy(col("from_type"), col("to_type")).agg(sum(col("n")).as("n"))
       val gen = s"g$batchId"
-      val prevGen = currentGen(countsDir)
       next.write.mode("overwrite").parquet(s"$countsDir/$gen")
 
       // per-user lasts: the batch endpoint always supersedes (ascending
@@ -103,25 +95,21 @@ object StreamTransitions {
       }).groupBy(col("id"), col("user_id"))
         .agg(max_by(col("last_type"), col("last_eid")).as("last_type"),
           max(col("last_eid")).as("last_eid"))
-      lasts.commit(mergedLasts, f"r$batchId%010d", touched)
-
-      // counts pointer flip + hwm AFTER both states land; a crash between
-      // commits replays the batch, which the (lo, hi) check then skips
-      IndexState.atomicWriteString(Paths.get(countsDir, "_current"), gen)
-      Files.writeString(hwmFile, s"$lo\t$hi")
-      prevGen.filter(_ != gen).foreach { g =>
-        def rm(f: java.io.File): Unit = {
-          val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
-        }
-        rm(Paths.get(countsDir, g).toFile)
-      }
-      ends.unpersist(blocking = false)
-    } finally { b.unpersist(blocking = false); () }
+      // THE commit point: per-user lasts delta + counts generation
+      // pointer + hwm in ONE txn entry ([[GenMeta]]) — a crash anywhere
+      // earlier replays the batch against the OLD lasts AND the OLD
+      // generation (deterministic re-fold, boundary edges included); a
+      // crash after is a detected redelivery and skipped. The two state
+      // halves can never disagree about which batches have folded.
+      lasts.commitWithMeta(mergedLasts, f"r$batchId%010d", touched,
+        GenMeta.kv(Ns, gen, lo, hi))
+      GenMeta.sweep(countsDir, keep = gen) // reclaim superseded generations
+    } finally { (b :: cached).foreach(_.unpersist(blocking = false)); () }
   }
 
   /** The standing edge matrix — q22's output shape. */
-  def summary(spark: SparkSession, countsDir: String): DataFrame =
-    currentGen(countsDir) match {
+  def summary(spark: SparkSession, lasts: DocStateStore, countsDir: String): DataFrame =
+    GenMeta.currentGen(lasts, Ns) match {
       case Some(g) => spark.read.parquet(s"$countsDir/$g")
         .select(col("from_type"), col("to_type"), col("n"))
       case None => throw new IllegalStateException("no transition state committed yet")
@@ -141,6 +129,6 @@ object StreamTransitions {
       .option("checkpointLocation", ckptPath)
       .start()
     q.awaitTermination()
-    summary(spark, countsDir)
+    summary(spark, lasts, countsDir)
   }
 }

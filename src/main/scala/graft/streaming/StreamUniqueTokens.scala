@@ -19,13 +19,14 @@ import org.apache.spark.sql.functions._
   * to the smallest doc_id) — the batch equivalent is the min-doc_id
   * first-copy rule, so ascending doc_id arrival is ENFORCED (HWM,
   * bit-exact redelivery skipped: the additive half demands it even
-  * though the seen-set half is idempotent by algebra). */
+  * though the seen-set half is idempotent by algebra). Both state halves
+  * advance in ONE txn entry: the counters' generation pointer and the
+  * hwm ride the seen-set commit as [[GenMeta]] metadata, so a crash can
+  * never leave the seen-set ahead of the counters (which would zero the
+  * replay's unique credit) or behind them (double credit). */
 object StreamUniqueTokens {
 
-  private def currentGen(aggDir: String): Option[String] = {
-    val cur = Paths.get(aggDir, "_current")
-    if (Files.exists(cur)) Some(Files.readString(cur).trim) else None
-  }
+  private val Ns = "uniqtok" // stateMeta namespace (gen pointer + hwm)
 
   /** Fold one (doc_id, source, text) micro-batch. */
   def applyBatch(seen: DocStateStore, aggDir: String,
@@ -35,20 +36,14 @@ object StreamUniqueTokens {
     val b = batch.select(col("doc_id"), col("source"),
         graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"),
         graft.ops.TextAnalysis.tokenCount(col("text")).as("tok")).cache()
+    var cached: List[DataFrame] = Nil // released in finally — no leak on a failed commit
     try {
       val range = b.agg(min(col("doc_id")), max(col("doc_id"))).head()
       if (range.isNullAt(0)) return
       val (lo, hi) = (range.getLong(0), range.getLong(1))
-      val hwmFile = Paths.get(aggDir, "_hwm")
-      if (Files.exists(hwmFile)) {
-        val Array(prevLo, prevHi) = Files.readString(hwmFile).trim.split("\t").map(_.toLong)
-        if (lo == prevLo && hi == prevHi) return // exact redelivery: already folded
-        if (lo <= prevHi)
-          throw new IllegalStateException(
-            s"out-of-order arrival: batch doc_id range [$lo, $hi] overlaps the " +
-              s"high-water mark $prevHi — first-copy credit equals the batch " +
-              "min-doc_id rule only under ascending doc_id arrival")
-      }
+      if (GenMeta.isRedelivery(seen, Ns, lo, hi,
+        "first-copy credit equals the batch min-doc_id rule only under " +
+          "ascending doc_id arrival")) return // already folded: skip
       // within-batch first copy per fp (smallest doc_id), then the
       // cross-batch check against the seen-set — bucket-pruned both ways
       val firsts = b.groupBy(col("fp"))
@@ -62,6 +57,7 @@ object StreamUniqueTokens {
         case Some(prev) => firsts.join(prev.select(col("id")), Seq("id"), "left_anti")
         case None => firsts
       }).cache()
+      cached ::= fresh
 
       val batchAgg = b.groupBy(col("source")).agg(sum(col("tok")).as("raw_tokens"))
         .join(fresh.groupBy(col("source")).agg(sum(col("tok")).as("unique_tokens")),
@@ -70,37 +66,32 @@ object StreamUniqueTokens {
           coalesce(col("raw_tokens"), lit(0L)).as("raw_tokens"),
           coalesce(col("unique_tokens"), lit(0L)).as("unique_tokens"))
       val parts = Seq(Some(batchAgg),
-        currentGen(aggDir).map(g => spark.read.parquet(s"$aggDir/$g"))).flatten
+        GenMeta.currentGen(seen, Ns).map(g => spark.read.parquet(s"$aggDir/$g"))).flatten
       val next = parts.reduce(_ unionByName _)
         .groupBy(col("source"))
         .agg(sum(col("raw_tokens")).as("raw_tokens"),
           sum(col("unique_tokens")).as("unique_tokens"))
       val gen = s"g$batchId"
-      val prevGen = currentGen(aggDir)
       next.write.mode("overwrite").parquet(s"$aggDir/$gen")
 
-      // the seen-set grows by exactly the fresh fingerprints (delta write)
+      // THE commit point: the seen-set delta, the counters' generation
+      // pointer, and the hwm advance in ONE txn entry ([[GenMeta]]) — a
+      // kv-carrying append commits even when fresh is ∅ (an all-stale
+      // batch still advances raw_tokens). A crash anywhere earlier
+      // replays against the OLD seen-set and OLD counters (deterministic
+      // re-fold); a crash after is a detected redelivery and skipped.
       val freshTouched = fresh
         .select(graft.expr.hfunctions.md5_shard(col("id"), seen.buckets).as("bk"))
         .distinct().collect().map(_.getInt(0)).toSeq.sorted
-      if (freshTouched.nonEmpty)
-        seen.commitAppend(fresh.select(col("id")), f"r$batchId%010d", freshTouched)
-
-      IndexState.atomicWriteString(Paths.get(aggDir, "_current"), gen)
-      Files.writeString(hwmFile, s"$lo\t$hi")
-      prevGen.filter(_ != gen).foreach { g =>
-        def rm(f: java.io.File): Unit = {
-          val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
-        }
-        rm(Paths.get(aggDir, g).toFile)
-      }
-      fresh.unpersist(blocking = false)
-    } finally { b.unpersist(blocking = false); () }
+      seen.commitAppendWithMeta(fresh.select(col("id")), f"r$batchId%010d",
+        freshTouched, GenMeta.kv(Ns, gen, lo, hi))
+      GenMeta.sweep(aggDir, keep = gen) // reclaim superseded generations
+    } finally { (b :: cached).foreach(_.unpersist(blocking = false)); () }
   }
 
   /** The standing accounting — (source, raw, unique, stale_ppm). */
-  def summary(spark: SparkSession, aggDir: String): DataFrame =
-    currentGen(aggDir) match {
+  def summary(spark: SparkSession, seen: DocStateStore, aggDir: String): DataFrame =
+    GenMeta.currentGen(seen, Ns) match {
       case Some(g) => spark.read.parquet(s"$aggDir/$g")
         .withColumn("stale_ppm", expr(
           "CASE WHEN raw_tokens = 0 THEN 0L " +
@@ -123,6 +114,6 @@ object StreamUniqueTokens {
       .option("checkpointLocation", ckptPath)
       .start()
     q.awaitTermination()
-    summary(spark, aggDir)
+    summary(spark, seen, aggDir)
   }
 }

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -27,44 +25,43 @@ import org.apache.spark.sql.functions._
   * drained state (the derive-per-trigger-report-once discipline). */
 object StreamVocab {
 
-  private def hwmFile(state: TxnLogState) = Paths.get(state.stateDir, "_hwm")
+  private val Ns = "vocab" // stateMeta namespace (hwm rides the commit)
 
   /** Fold one (doc_id, grp, text) micro-batch. */
   def applyBatch(state: TxnLogState, batch: DataFrame, batchId: Long): Unit = {
     val b = batch.select(col("doc_id"), col("grp"), col("text")).cache()
+    var cached: List[DataFrame] = Nil
     try {
       val range = b.agg(min(col("doc_id")), max(col("doc_id"))).head()
       if (range.isNullAt(0)) return
       val (lo, hi) = (range.getLong(0), range.getLong(1))
-      val hf = hwmFile(state)
-      if (Files.exists(hf)) {
-        val Array(prevLo, prevHi) = Files.readString(hf).trim.split("\t").map(_.toLong)
-        if (lo == prevLo && hi == prevHi) return // exact redelivery: already folded
-        if (lo <= prevHi)
-          throw new IllegalStateException(
-            s"out-of-order arrival: batch doc_id range [$lo, $hi] overlaps the " +
-              s"high-water mark $prevHi — additive term counts equal the batch " +
-              "census only under ascending doc_id arrival")
-      }
+      if (GenMeta.isRedelivery(state, Ns, lo, hi,
+        "additive term counts equal the batch census only under " +
+          "ascending doc_id arrival")) return // already folded: skip
       val fresh = b.filter(length(trim(col("text"))) > 0)
         .select(col("grp"), explode(split(trim(col("text")), "\\s+")).as("term"))
         .groupBy(col("grp"), col("term")).agg(count(lit(1)).as("m"))
         .withColumn("id", concat(col("grp"), lit("|"), col("term")))
         .cache()
+      cached ::= fresh
       val touched = fresh
         .select(graft.expr.hfunctions.md5_shard(col("id"), state.buckets).as("bk"))
         .distinct().collect().map(_.getInt(0)).toSeq.sorted
-      if (touched.nonEmpty) {
-        val merged = (state.readBuckets(touched) match {
+      val merged =
+        if (touched.isEmpty) fresh.select("id", "grp", "term", "m").limit(0)
+        else (state.readBuckets(touched) match {
           case Some(prev) => prev.select("id", "grp", "term", "m").unionByName(
             fresh.select("id", "grp", "term", "m"))
           case None => fresh.select("id", "grp", "term", "m")
         }).groupBy(col("id"), col("grp"), col("term")).agg(sum(col("m")).as("m"))
-        state.commit(merged, f"r$batchId%010d", touched)
-      }
-      IndexState.atomicWriteString(hf, s"$lo\t$hi")
-      fresh.unpersist(blocking = false)
-    } finally { b.unpersist(blocking = false); () }
+      // THE commit point: counts delta and hwm in ONE txn entry — the
+      // additive state can never advance without the redelivery detector
+      // (a crash between the old separate hwm write and the commit
+      // double-counted the replay). An all-blank batch still commits a
+      // kv-only entry so the hwm advances.
+      state.commitWithMeta(merged, f"r$batchId%010d", touched,
+        Map(s"$Ns.hwm" -> s"$lo,$hi"))
+    } finally { (b :: cached).foreach(_.unpersist(blocking = false)); () }
   }
 
   /** The missing-mass report from the drained state — t32's shape. */
