@@ -86,18 +86,45 @@ object GenManifest {
   * ordering of filesystem writes can tear them apart. */
 object GenMeta {
 
-  /** The live rollup generation for namespace `ns`, None when empty. */
-  def currentGen(store: DocStateStore, ns: String): Option[String] =
-    store.stateMeta(s"$ns.gen")
+  /** Pre-fuse filesystem hwm under `dir`: either inside a `_current`
+    * manifest (gen-only or fused — [[GenManifest.read]] handles both)
+    * or a bare `_hwm` file with no gen pointer (the old
+    * [[StreamVocab]] layout, tab-separated `lo\thi`). */
+  private def legacyHwm(dir: String): Option[(Long, Long)] =
+    GenManifest.read(dir)
+      .map { case (_, lo, hi) => (lo, hi) }
+      .filter(_._1 != Long.MinValue)
+      .orElse {
+        val hwm = Paths.get(dir, "_hwm")
+        if (!Files.exists(hwm)) None
+        else {
+          val Array(lo, hi) = Files.readString(hwm).trim.split("\t").map(_.toLong)
+          Some((lo, hi))
+        }
+      }
+
+  /** The live rollup generation for namespace `ns`, None when empty.
+    * Falls back to the pre-fuse filesystem pointer under `legacyDir`
+    * when the store carries no meta yet — a long-running monitor
+    * restarted across the upgrade keeps its rollup instead of silently
+    * restarting the additive totals from zero (the same back-compat
+    * [[GenManifest.read]] keeps for the single-state monitors). */
+  def currentGen(store: DocStateStore, ns: String, legacyDir: String): Option[String] =
+    store.stateMeta(s"$ns.gen").orElse(GenManifest.currentGen(legacyDir))
 
   /** Ascending-arrival check against the store-resident hwm: true = the
     * batch is a bit-exact redelivery of the newest committed one (skip
-    * it); throws on any other overlap; false = fresh batch. */
-  def isRedelivery(store: DocStateStore, ns: String, lo: Long, hi: Long,
-                   contract: String): Boolean =
-    store.stateMeta(s"$ns.hwm") match {
-      case Some(h) =>
-        val Array(pl, ph) = h.split(",").map(_.toLong)
+    * it); throws on any other overlap; false = fresh batch. When the
+    * store carries no meta yet, the pre-fuse filesystem hwm under
+    * `legacyDir` is consulted so an upgrade never drops the redelivery
+    * guard while per-key state is retained. */
+  def isRedelivery(store: DocStateStore, ns: String, legacyDir: String,
+                   lo: Long, hi: Long, contract: String): Boolean = {
+    val hwm = store.stateMeta(s"$ns.hwm")
+      .map { h => val Array(pl, ph) = h.split(",").map(_.toLong); (pl, ph) }
+      .orElse(legacyHwm(legacyDir))
+    hwm match {
+      case Some((pl, ph)) =>
         if (lo == pl && hi == ph) true
         else if (lo <= ph) throw new IllegalStateException(
           s"out-of-order arrival: batch range [$lo, $hi] overlaps the " +
@@ -105,20 +132,33 @@ object GenMeta {
         else false
       case None => false
     }
+  }
 
   /** The meta entries a monitor attaches to its store commit. */
   def kv(ns: String, gen: String, lo: Long, hi: Long): Map[String, String] =
     Map(s"$ns.gen" -> gen, s"$ns.hwm" -> s"$lo,$hi")
 
-  /** Drop every superseded `g*` generation directory under `aggDir` —
+  /** Reclaim superseded `g*` generation directories under `aggDir` —
     * called AFTER the commit, so a crash before it merely leaks a dir
     * that the next batch's sweep reclaims (self-healing, never load-
-    * bearing). */
-  def sweep(aggDir: String, keep: String): Unit = {
+    * bearing). Deletion is TWO-PHASE with a grace window: the first
+    * sweep that sees a superseded dir stamps a `_doomed` marker (an
+    * underscore file, invisible to parquet readers) recording the
+    * supersession time; only a later sweep deletes dirs whose stamp is
+    * older than `graceMs`. A concurrent [[GenMeta.currentGen]] reader
+    * that resolved the old pointer but has not yet materialized its
+    * lazy parquet scan therefore never hits FileNotFoundException
+    * mid-read — the same discipline as the store vacuum paths. Once
+    * the store meta owns the pointer, any pre-fuse `_current`/`_hwm`
+    * siblings are dropped so stale filesystem state can never shadow
+    * the fused manifest. */
+  def sweep(aggDir: String, keep: String, graceMs: Long = 10L * 60 * 1000): Unit = {
     val root = Paths.get(aggDir)
     if (!Files.exists(root)) return
+    Files.deleteIfExists(root.resolve("_current"))
+    Files.deleteIfExists(root.resolve("_hwm"))
     val fs = Files.list(root)
-    val doomed =
+    val superseded =
       try {
         val it = fs.iterator()
         var acc = List.empty[java.nio.file.Path]
@@ -129,11 +169,21 @@ object GenMeta {
         }
         acc
       } finally fs.close()
-    doomed.foreach { p =>
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().forEachRemaining(f => { Files.deleteIfExists(f); () })
-      finally walk.close()
+    // a re-committed (replayed) generation is live again: clear any
+    // stale stamp so a later supersession gets a full grace window
+    Files.deleteIfExists(root.resolve(keep).resolve("_doomed"))
+    val now = System.currentTimeMillis()
+    superseded.foreach { p =>
+      val stamp = p.resolve("_doomed")
+      val doomedAt =
+        if (Files.exists(stamp)) Files.readString(stamp).trim.toLong
+        else { Files.writeString(stamp, now.toString); now }
+      if (now - doomedAt >= graceMs) {
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().forEachRemaining(f => { Files.deleteIfExists(f); () })
+        finally walk.close()
+      }
     }
   }
 }

@@ -48,7 +48,7 @@ object StreamAttribution {
       val range = b.agg(min(col("event_id")), max(col("event_id"))).head()
       if (range.isNullAt(0)) return
       val (lo, hi) = (range.getLong(0), range.getLong(1))
-      if (GenMeta.isRedelivery(touches, Ns, lo, hi,
+      if (GenMeta.isRedelivery(touches, Ns, aggDir, lo, hi,
         "additive attribution equals the batch operator only under " +
           "ascending event_id arrival")) return // already folded: skip
 
@@ -93,7 +93,7 @@ object StreamAttribution {
 
       // fold the rollup generation (≤ touch-types rows)
       val parts = Seq(Some(batchAgg),
-        GenMeta.currentGen(touches, Ns).map(g => spark.read.parquet(s"$aggDir/$g"))).flatten
+        GenMeta.currentGen(touches, Ns, aggDir).map(g => spark.read.parquet(s"$aggDir/$g"))).flatten
       val next = parts.reduce(_ unionByName _)
         .groupBy(col("touch"))
         .agg(sum(col("n_purchases")).as("n_purchases"),
@@ -130,7 +130,7 @@ object StreamAttribution {
 
   /** The standing rollup — q24's output shape. */
   def summary(spark: SparkSession, touches: DocStateStore, aggDir: String): DataFrame =
-    GenMeta.currentGen(touches, Ns) match {
+    GenMeta.currentGen(touches, Ns, aggDir) match {
       case Some(g) => spark.read.parquet(s"$aggDir/$g")
         .select(col("touch"), col("n_purchases"),
           col("revenue").cast("double").as("revenue"))

@@ -45,7 +45,7 @@ object StreamTransitions {
       val range = b.agg(min(col("event_id")), max(col("event_id"))).head()
       if (range.isNullAt(0)) return
       val (lo, hi) = (range.getLong(0), range.getLong(1))
-      if (GenMeta.isRedelivery(lasts, Ns, lo, hi,
+      if (GenMeta.isRedelivery(lasts, Ns, countsDir, lo, hi,
         "additive edge counts equal the batch operator only under " +
           "ascending event_id arrival")) return // already folded: skip
 
@@ -80,7 +80,7 @@ object StreamTransitions {
       // fold the counts generation (≤ types² rows, constant in stream length)
       val parts = Seq(Some(inner),
         if (boundary.columns.nonEmpty) Some(boundary) else None,
-        GenMeta.currentGen(lasts, Ns).map(g => spark.read.parquet(s"$countsDir/$g"))).flatten
+        GenMeta.currentGen(lasts, Ns, countsDir).map(g => spark.read.parquet(s"$countsDir/$g"))).flatten
       val next = parts.reduce(_ unionByName _)
         .groupBy(col("from_type"), col("to_type")).agg(sum(col("n")).as("n"))
       val gen = s"g$batchId"
@@ -109,7 +109,7 @@ object StreamTransitions {
 
   /** The standing edge matrix — q22's output shape. */
   def summary(spark: SparkSession, lasts: DocStateStore, countsDir: String): DataFrame =
-    GenMeta.currentGen(lasts, Ns) match {
+    GenMeta.currentGen(lasts, Ns, countsDir) match {
       case Some(g) => spark.read.parquet(s"$countsDir/$g")
         .select(col("from_type"), col("to_type"), col("n"))
       case None => throw new IllegalStateException("no transition state committed yet")

@@ -41,7 +41,7 @@ object StreamUniqueTokens {
       val range = b.agg(min(col("doc_id")), max(col("doc_id"))).head()
       if (range.isNullAt(0)) return
       val (lo, hi) = (range.getLong(0), range.getLong(1))
-      if (GenMeta.isRedelivery(seen, Ns, lo, hi,
+      if (GenMeta.isRedelivery(seen, Ns, aggDir, lo, hi,
         "first-copy credit equals the batch min-doc_id rule only under " +
           "ascending doc_id arrival")) return // already folded: skip
       // within-batch first copy per fp (smallest doc_id), then the
@@ -66,7 +66,7 @@ object StreamUniqueTokens {
           coalesce(col("raw_tokens"), lit(0L)).as("raw_tokens"),
           coalesce(col("unique_tokens"), lit(0L)).as("unique_tokens"))
       val parts = Seq(Some(batchAgg),
-        GenMeta.currentGen(seen, Ns).map(g => spark.read.parquet(s"$aggDir/$g"))).flatten
+        GenMeta.currentGen(seen, Ns, aggDir).map(g => spark.read.parquet(s"$aggDir/$g"))).flatten
       val next = parts.reduce(_ unionByName _)
         .groupBy(col("source"))
         .agg(sum(col("raw_tokens")).as("raw_tokens"),
@@ -91,7 +91,7 @@ object StreamUniqueTokens {
 
   /** The standing accounting — (source, raw, unique, stale_ppm). */
   def summary(spark: SparkSession, seen: DocStateStore, aggDir: String): DataFrame =
-    GenMeta.currentGen(seen, Ns) match {
+    GenMeta.currentGen(seen, Ns, aggDir) match {
       case Some(g) => spark.read.parquet(s"$aggDir/$g")
         .withColumn("stale_ppm", expr(
           "CASE WHEN raw_tokens = 0 THEN 0L " +

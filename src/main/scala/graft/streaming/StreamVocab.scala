@@ -35,7 +35,7 @@ object StreamVocab {
       val range = b.agg(min(col("doc_id")), max(col("doc_id"))).head()
       if (range.isNullAt(0)) return
       val (lo, hi) = (range.getLong(0), range.getLong(1))
-      if (GenMeta.isRedelivery(state, Ns, lo, hi,
+      if (GenMeta.isRedelivery(state, Ns, state.stateDir, lo, hi,
         "additive term counts equal the batch census only under " +
           "ascending doc_id arrival")) return // already folded: skip
       val fresh = b.filter(length(trim(col("text"))) > 0)

@@ -45,7 +45,7 @@ class StreamAttributionSpec extends SparkSpec {
     StreamAttribution.applyBatch(touches, s"$work/agg",
       ev.filter(col("event_id") > 4 && col("event_id") <= 6), 1L)
     StreamAttribution.applyBatch(touches, s"$work/agg", ev.filter(col("event_id") > 6), 2L)
-    val got = StreamAttribution.summary(spark, s"$work/agg")
+    val got = StreamAttribution.summary(spark, touches, s"$work/agg")
       .orderBy(col("touch")).collect().toSeq
     assert(got == batchRollup(ev), s"\ngot      $got\nexpected ${batchRollup(ev)}")
   }
@@ -54,10 +54,10 @@ class StreamAttributionSpec extends SparkSpec {
     val work = Files.createTempDirectory("graft_sattr2").toString
     val touches = new TxnLogState(s"$work/touches", spark, 4)
     StreamAttribution.applyBatch(touches, s"$work/agg", ev.filter(col("event_id") <= 6), 0L)
-    val before = StreamAttribution.summary(spark, s"$work/agg")
+    val before = StreamAttribution.summary(spark, touches, s"$work/agg")
       .orderBy(col("touch")).collect().toSeq
     StreamAttribution.applyBatch(touches, s"$work/agg", ev.filter(col("event_id") <= 6), 1L)
-    val after = StreamAttribution.summary(spark, s"$work/agg")
+    val after = StreamAttribution.summary(spark, touches, s"$work/agg")
       .orderBy(col("touch")).collect().toSeq
     assert(after == before, "replayed batch must not double-count purchases")
     val ex = intercept[IllegalStateException] {

@@ -35,7 +35,7 @@ class StreamTransitionsSpec extends SparkSpec {
     StreamTransitions.applyBatch(lasts, s"$work/counts", ev.filter(col("event_id") <= 3), 0L)
     StreamTransitions.applyBatch(lasts, s"$work/counts", ev.filter(col("event_id") > 3 && col("event_id") <= 6), 1L)
     StreamTransitions.applyBatch(lasts, s"$work/counts", ev.filter(col("event_id") > 6), 2L)
-    val got = StreamTransitions.summary(spark, s"$work/counts")
+    val got = StreamTransitions.summary(spark, lasts, s"$work/counts")
       .orderBy(col("from_type"), col("to_type")).collect().toSeq
     assert(got == batchMatrix(ev), s"\ngot      $got\nexpected ${batchMatrix(ev)}")
   }
@@ -44,11 +44,11 @@ class StreamTransitionsSpec extends SparkSpec {
     val work = Files.createTempDirectory("graft_strx2").toString
     val lasts = new TxnLogState(s"$work/lasts", spark, 4)
     StreamTransitions.applyBatch(lasts, s"$work/counts", ev.filter(col("event_id") <= 6), 0L)
-    val before = StreamTransitions.summary(spark, s"$work/counts")
+    val before = StreamTransitions.summary(spark, lasts, s"$work/counts")
       .orderBy(col("from_type"), col("to_type")).collect().toSeq
     // bit-exact replay of the most recent batch: a no-op, not a double-fold
     StreamTransitions.applyBatch(lasts, s"$work/counts", ev.filter(col("event_id") <= 6), 1L)
-    val after = StreamTransitions.summary(spark, s"$work/counts")
+    val after = StreamTransitions.summary(spark, lasts, s"$work/counts")
       .orderBy(col("from_type"), col("to_type")).collect().toSeq
     assert(after == before, "replayed batch must not double-count edges")
     // a genuinely out-of-order batch (overlapping, not identical) throws

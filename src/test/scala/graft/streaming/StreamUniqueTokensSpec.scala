@@ -29,7 +29,7 @@ class StreamUniqueTokensSpec extends SparkSpec {
     StreamUniqueTokens.applyBatch(seen, s"$work/agg",
       docs.filter(col("doc_id") > 2 && col("doc_id") <= 4), 1L)
     StreamUniqueTokens.applyBatch(seen, s"$work/agg", docs.filter(col("doc_id") > 4), 2L)
-    val got = StreamUniqueTokens.summary(spark, s"$work/agg")
+    val got = StreamUniqueTokens.summary(spark, seen, s"$work/agg")
       .orderBy(col("source")).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     // srcA: raw 2+3+3=8, unique 2+3=5 (doc 5 is a re-send) → stale 375000
@@ -39,7 +39,7 @@ class StreamUniqueTokensSpec extends SparkSpec {
 
     // bit-exact replay of the latest batch: a no-op
     StreamUniqueTokens.applyBatch(seen, s"$work/agg", docs.filter(col("doc_id") > 4), 3L)
-    val after = StreamUniqueTokens.summary(spark, s"$work/agg")
+    val after = StreamUniqueTokens.summary(spark, seen, s"$work/agg")
       .orderBy(col("source")).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(after == got, "replayed batch must not double-count")
