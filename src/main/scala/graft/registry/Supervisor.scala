@@ -426,10 +426,12 @@ class IndexerSupervisor(
   /** The standing per-class admitted counters — the budget dashboard. */
   def quotaStatus(name: String): Map[String, Long] = {
     registry.get(name).getOrElse(throw new IllegalStateException(s"no such indexer: $name"))
-    val cur = Paths.get(s"${quotaDir(name)}/state", "_current")
-    if (!Files.exists(cur)) Map.empty
-    else spark.read.parquet(s"${quotaDir(name)}/state/${Files.readString(cur).trim}")
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.streaming.GenManifest.currentGen(s"${quotaDir(name)}/state") match {
+      case None => Map.empty
+      case Some(gen) =>
+        spark.read.parquet(s"${quotaDir(name)}/state/$gen")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
   }
 
   // --- contamination-audit arm (s30 made operable) ---

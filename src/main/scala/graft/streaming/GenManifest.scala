@@ -151,8 +151,24 @@ object GenMeta {
     * mid-read — the same discipline as the store vacuum paths. Once
     * the store meta owns the pointer, any pre-fuse `_current`/`_hwm`
     * siblings are dropped so stale filesystem state can never shadow
-    * the fused manifest. */
-  def sweep(aggDir: String, keep: String, graceMs: Long = 10L * 60 * 1000): Unit = {
+    * the fused manifest.
+    *
+    * Retention is bounded by COUNT as well as age: only the
+    * `graceKeep` most-recently-superseded generations get the grace
+    * window — anything older was superseded at least `graceKeep`
+    * commits ago, so no reader that resolved it as CURRENT can still
+    * be mid-scan, and it is deleted immediately. At seconds-level
+    * trigger cadence this caps the backlog at `graceKeep` directories
+    * per monitor instead of one per trigger within the window. */
+  def sweep(aggDir: String, keep: String, graceMs: Long = 10L * 60 * 1000,
+            graceKeep: Int = 4): Unit =
+    // self-healing and never load-bearing: a failed sweep leaks dirs
+    // the NEXT sweep reclaims — it must not fail the batch post-commit
+    try sweepOrThrow(aggDir, keep, graceMs, graceKeep)
+    catch { case scala.util.control.NonFatal(_) => () }
+
+  private[streaming] def sweepOrThrow(aggDir: String, keep: String, graceMs: Long,
+                                      graceKeep: Int): Unit = {
     val root = Paths.get(aggDir)
     if (!Files.exists(root)) return
     Files.deleteIfExists(root.resolve("_current"))
@@ -173,12 +189,23 @@ object GenMeta {
     // stale stamp so a later supersession gets a full grace window
     Files.deleteIfExists(root.resolve(keep).resolve("_doomed"))
     val now = System.currentTimeMillis()
-    superseded.foreach { p =>
+    // newest-first by batch id (gens are g<batchId>, monotonic); only
+    // the graceKeep newest can still have in-flight readers
+    val byRecency = superseded.sortBy { p =>
+      val n = p.getFileName.toString.drop(1)
+      -(if (n.forall(_.isDigit) && n.nonEmpty) n.toLong else Long.MinValue)
+    }
+    byRecency.zipWithIndex.foreach { case (p, rank) =>
       val stamp = p.resolve("_doomed")
       val doomedAt =
-        if (Files.exists(stamp)) Files.readString(stamp).trim.toLong
-        else { Files.writeString(stamp, now.toString); now }
-      if (now - doomedAt >= graceMs) {
+        if (Files.exists(stamp)) {
+          // a crash mid-write leaves a partial stamp; treat it as
+          // stamped now (sweep is self-healing, never load-bearing)
+          val raw = Files.readString(stamp).trim
+          if (raw.nonEmpty && raw.forall(_.isDigit)) raw.toLong
+          else { IndexState.atomicWriteString(stamp, now.toString); now }
+        } else { IndexState.atomicWriteString(stamp, now.toString); now }
+      if (rank >= graceKeep || now - doomedAt >= graceMs) {
         val walk = Files.walk(p)
         try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .iterator().forEachRemaining(f => { Files.deleteIfExists(f); () })

@@ -19,10 +19,8 @@ import org.apache.spark.sql.functions._
   * m16 bit-for-bit. */
 object StreamAspect {
 
-  private def currentGen(aggDir: String): Option[String] = {
-    val cur = Paths.get(aggDir, "_current")
-    if (Files.exists(cur)) Some(Files.readString(cur).trim) else None
-  }
+  private def currentGen(aggDir: String): Option[String] =
+    GenManifest.currentGen(aggDir)
 
   /** Fold one (doc_id, mime, payload) micro-batch. */
   def applyBatch(aggDir: String, batch: DataFrame, batchId: Long): Unit = {
@@ -33,16 +31,9 @@ object StreamAspect {
       val range = b.agg(min(col("doc_id")), max(col("doc_id"))).head()
       if (range.isNullAt(0)) return
       val (lo, hi) = (range.getLong(0), range.getLong(1))
-      val hwmFile = Paths.get(aggDir, "_hwm")
-      if (Files.exists(hwmFile)) {
-        val Array(prevLo, prevHi) = Files.readString(hwmFile).trim.split("\t").map(_.toLong)
-        if (lo == prevLo && hi == prevHi) return // exact redelivery: already folded
-        if (lo <= prevHi)
-          throw new IllegalStateException(
-            s"out-of-order arrival: batch doc_id range [$lo, $hi] overlaps the " +
-              s"high-water mark $prevHi — additive bucket counters equal the batch " +
-              "census only under ascending doc_id arrival")
-      }
+      if (GenManifest.isRedelivery(aggDir, lo, hi,
+        "additive bucket counters equal the batch census only under " +
+          "ascending doc_id arrival")) return
       val batchCensus = graft.ops.Multimodal.aspectBuckets(b).toDF()
         .groupBy(col("bucket_w"), col("bucket_h"))
         .agg(count(lit(1)).as("n_images"))
@@ -54,8 +45,7 @@ object StreamAspect {
       val gen = s"g$batchId"
       val prevGen = currentGen(aggDir)
       next.write.mode("overwrite").parquet(s"$aggDir/$gen")
-      IndexState.atomicWriteString(Paths.get(aggDir, "_current"), gen)
-      Files.writeString(hwmFile, s"$lo\t$hi")
+      GenManifest.commit(aggDir, gen, lo, hi)
       prevGen.filter(_ != gen).foreach { g =>
         def rm(f: java.io.File): Unit = {
           val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()

@@ -25,10 +25,8 @@ import org.apache.spark.sql.functions._
   * q30 bit-for-bit. */
 object StreamBurst {
 
-  private def currentGen(aggDir: String): Option[String] = {
-    val cur = Paths.get(aggDir, "_current")
-    if (Files.exists(cur)) Some(Files.readString(cur).trim) else None
-  }
+  private def currentGen(aggDir: String): Option[String] =
+    GenManifest.currentGen(aggDir)
 
   /** Fold one (event_id, event_type, ts_s) micro-batch. */
   def applyBatch(aggDir: String, batch: DataFrame, batchId: Long,
@@ -41,16 +39,9 @@ object StreamBurst {
       val range = b.agg(min(col("event_id")), max(col("event_id"))).head()
       if (range.isNullAt(0)) return
       val (lo, hi) = (range.getLong(0), range.getLong(1))
-      val hwmFile = Paths.get(aggDir, "_hwm")
-      if (Files.exists(hwmFile)) {
-        val Array(prevLo, prevHi) = Files.readString(hwmFile).trim.split("\t").map(_.toLong)
-        if (lo == prevLo && hi == prevHi) return // exact redelivery: already folded
-        if (lo <= prevHi)
-          throw new IllegalStateException(
-            s"out-of-order arrival: batch event_id range [$lo, $hi] overlaps the " +
-              s"high-water mark $prevHi — additive bucket counters equal the batch " +
-              "census only under ascending event_id arrival")
-      }
+      if (GenManifest.isRedelivery(aggDir, lo, hi,
+        "additive bucket counters equal the batch census only under " +
+          "ascending event_id arrival")) return
       val batchCensus = b.groupBy(col("event_type"), col("bucket"))
         .agg(count(lit(1)).as("n"))
       val parts = Seq(Some(batchCensus),
@@ -60,8 +51,7 @@ object StreamBurst {
       val gen = s"g$batchId"
       val prevGen = currentGen(aggDir)
       next.write.mode("overwrite").parquet(s"$aggDir/$gen")
-      IndexState.atomicWriteString(Paths.get(aggDir, "_current"), gen)
-      Files.writeString(hwmFile, s"$lo\t$hi")
+      GenManifest.commit(aggDir, gen, lo, hi)
       prevGen.filter(_ != gen).foreach { g =>
         def rm(f: java.io.File): Unit = {
           val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()

@@ -27,10 +27,8 @@ import org.apache.spark.sql.functions._
   * labeled rows, bit-for-bit. */
 object StreamCalibration {
 
-  private def currentGen(aggDir: String): Option[String] = {
-    val cur = Paths.get(aggDir, "_current")
-    if (Files.exists(cur)) Some(Files.readString(cur).trim) else None
-  }
+  private def currentGen(aggDir: String): Option[String] =
+    GenManifest.currentGen(aggDir)
 
   /** Fold one labeled (doc_id, text, lab) micro-batch. */
   def applyBatch(model: DataFrame, consts: DataFrame, aggDir: String,
@@ -44,16 +42,9 @@ object StreamCalibration {
       val range = b.agg(min(col("doc_id")), max(col("doc_id"))).head()
       if (range.isNullAt(0)) return
       val (rlo, rhi) = (range.getLong(0), range.getLong(1))
-      val hwmFile = Paths.get(aggDir, "_hwm")
-      if (Files.exists(hwmFile)) {
-        val Array(prevLo, prevHi) = Files.readString(hwmFile).trim.split("\t").map(_.toLong)
-        if (rlo == prevLo && rhi == prevHi) return // exact redelivery: already folded
-        if (rlo <= prevHi)
-          throw new IllegalStateException(
-            s"out-of-order arrival: batch doc_id range [$rlo, $rhi] overlaps the " +
-              s"high-water mark $prevHi — additive band counters equal the batch " +
-              "curve only under ascending doc_id arrival")
-      }
+      if (GenManifest.isRedelivery(aggDir, rlo, rhi,
+        "additive band counters equal the batch curve only under " +
+          "ascending doc_id arrival")) return
 
       val scored = graft.ops.CorpusStats
         .nbScore(b, "doc_id", "text", model, consts, broadcastProbe = true)
@@ -72,9 +63,7 @@ object StreamCalibration {
       val gen = s"g$batchId"
       val prevGen = currentGen(aggDir)
       next.write.mode("overwrite").parquet(s"$aggDir/$gen")
-
-      IndexState.atomicWriteString(Paths.get(aggDir, "_current"), gen)
-      Files.writeString(hwmFile, s"$rlo\t$rhi")
+      GenManifest.commit(aggDir, gen, rlo, rhi)
       prevGen.filter(_ != gen).foreach { g =>
         def rm(f: java.io.File): Unit = {
           val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()

@@ -31,10 +31,8 @@ import org.apache.spark.sql.functions._
   * verbatim. */
 object StreamGramCoverage {
 
-  private def currentGen(stateDir: String): Option[String] = {
-    val cur = Paths.get(stateDir, "_current")
-    if (Files.exists(cur)) Some(Files.readString(cur).trim) else None
-  }
+  private def currentGen(stateDir: String): Option[String] =
+    GenManifest.currentGen(stateDir)
 
   /** The standing seen-gram set (one `g` column); empty before the
     * first commit. */
@@ -60,7 +58,9 @@ object StreamGramCoverage {
     }
     val gen = s"g$batchId"
     merged.write.mode("overwrite").parquet(s"$stateDir/$gen")
-    IndexState.atomicWriteString(Paths.get(stateDir, "_current"), gen)
+    // idempotent set-union ⇒ no hwm by design; the sentinel keeps the
+    // manifest format uniform across every monitor (one reader, no drift)
+    GenManifest.commit(stateDir, gen, Long.MinValue, Long.MinValue)
     prev.filter(_ != gen).foreach { g => // vacuum the superseded generation
       def rm(f: java.io.File): Unit = {
         val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()

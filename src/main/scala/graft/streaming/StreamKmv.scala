@@ -27,10 +27,8 @@ import org.apache.spark.sql.functions._
   * is groups×k longs, so even leaking a few is harmless). */
 object StreamKmv {
 
-  private def currentGen(stateDir: String): Option[String] = {
-    val cur = Paths.get(stateDir, "_current")
-    if (Files.exists(cur)) Some(Files.readString(cur).trim) else None
-  }
+  private def currentGen(stateDir: String): Option[String] =
+    GenManifest.currentGen(stateDir)
 
   /** Read the standing (group, mins) sketch frame, empty before the
     * first commit. */
@@ -57,7 +55,9 @@ object StreamKmv {
       .agg(graft.expr.hfunctions.kmv_sketch(col("h"), k).as("mins"))
     val gen = s"g$batchId"
     next.write.mode("overwrite").parquet(s"$stateDir/$gen")
-    IndexState.atomicWriteString(Paths.get(stateDir, "_current"), gen)
+    // idempotent merge ⇒ no hwm by design; the sentinel keeps the
+    // manifest format uniform across every monitor (one reader, no drift)
+    GenManifest.commit(stateDir, gen, Long.MinValue, Long.MinValue)
     prev.filter(_ != gen).foreach { g => // vacuum the superseded generation
       def rm(f: java.io.File): Unit = {
         val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()

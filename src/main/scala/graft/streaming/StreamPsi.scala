@@ -20,10 +20,8 @@ import org.apache.spark.sql.functions._
   * loudly. */
 object StreamPsi {
 
-  private def currentGen(stateDir: String): Option[String] = {
-    val cur = Paths.get(stateDir, "_current")
-    if (Files.exists(cur)) Some(Files.readString(cur).trim) else None
-  }
+  private def currentGen(stateDir: String): Option[String] =
+    GenManifest.currentGen(stateDir)
 
   /** Fold one (doc_id, bin) micro-batch into the current-side histogram. */
   def applyBatch(stateDir: String, batch: DataFrame, batchId: Long): Unit = {
@@ -34,15 +32,8 @@ object StreamPsi {
       val range = b.agg(min(col("doc_id")), max(col("doc_id"))).head()
       if (range.isNullAt(0)) return
       val (lo, hi) = (range.getLong(0), range.getLong(1))
-      val hwmFile = Paths.get(stateDir, "_hwm")
-      if (Files.exists(hwmFile)) {
-        val Array(prevLo, prevHi) = Files.readString(hwmFile).trim.split("\t").map(_.toLong)
-        if (lo == prevLo && hi == prevHi) return // exact redelivery: already folded
-        if (lo <= prevHi)
-          throw new IllegalStateException(
-            s"out-of-order arrival: batch doc_id range [$lo, $hi] overlaps the " +
-              s"high-water mark $prevHi — additive histogram counts must not re-fold")
-      }
+      if (GenManifest.isRedelivery(stateDir, lo, hi,
+        "additive histogram counts must not re-fold")) return
       val batchCounts = b.groupBy(col("bin")).agg(count(lit(1)).as("n_cur"))
       val prior = currentGen(stateDir)
         .map(g => spark.read.parquet(s"$stateDir/$g"))
@@ -53,8 +44,7 @@ object StreamPsi {
       val gen = s"g$batchId"
       val prevGen = currentGen(stateDir)
       next.write.mode("overwrite").parquet(s"$stateDir/$gen")
-      IndexState.atomicWriteString(Paths.get(stateDir, "_current"), gen)
-      Files.writeString(hwmFile, s"$lo\t$hi")
+      GenManifest.commit(stateDir, gen, lo, hi)
       prevGen.filter(_ != gen).foreach { g =>
         def rm(f: java.io.File): Unit = {
           val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -61,6 +63,11 @@ object StreamVocab {
       // kv-only entry so the hwm advances.
       state.commitWithMeta(merged, f"r$batchId%010d", touched,
         Map(s"$Ns.hwm" -> s"$lo,$hi"))
+      // the store meta now owns the hwm: drop the pre-fuse filesystem
+      // sibling so it can never resurrect an ancient mark if the state
+      // is ever rebuilt in place (mirrors GenMeta.sweep's cleanup)
+      Files.deleteIfExists(Paths.get(state.stateDir, "_hwm"))
+      ()
     } finally { (b :: cached).foreach(_.unpersist(blocking = false)); () }
   }
 

@@ -205,4 +205,126 @@ class GenManifestSpec extends SparkSpec {
     GenMeta.sweep(agg, keep = "g2", graceMs = 60 * 60 * 1000L) // g2 live again
     assert(!Files.exists(Paths.get(agg, "g2", "_doomed")))
   }
+
+  test("sweep: count-bounded retention deletes beyond graceKeep even inside the window") {
+    val agg = Files.createTempDirectory("graft_gm7").toString
+    (0 to 5).foreach { i =>
+      Files.createDirectories(Paths.get(agg, s"g$i"))
+      Files.writeString(Paths.get(agg, s"g$i", "part-0"), "x")
+    }
+    // g5 live; g0..g4 superseded, all inside a wide-open grace window:
+    // only the graceKeep=2 newest (g4, g3) may linger
+    GenMeta.sweep(agg, keep = "g5", graceMs = 60 * 60 * 1000L, graceKeep = 2)
+    assert(Files.exists(Paths.get(agg, "g5")))
+    assert(Files.exists(Paths.get(agg, "g4")) && Files.exists(Paths.get(agg, "g3")),
+      "graceKeep newest superseded gens must get the grace window")
+    assert(!Files.exists(Paths.get(agg, "g2")) && !Files.exists(Paths.get(agg, "g1")) &&
+      !Files.exists(Paths.get(agg, "g0")),
+      "older superseded gens must be reclaimed immediately")
+    // a corrupted (partial-write) _doomed stamp must not wedge the sweep:
+    // it is re-stamped now, not thrown on
+    Files.createDirectories(Paths.get(agg, "g6"))
+    Files.writeString(Paths.get(agg, "g6", "_doomed"), "")
+    GenMeta.sweep(agg, keep = "g5", graceMs = 60 * 60 * 1000L, graceKeep = 2)
+    val restamped = Files.readString(Paths.get(agg, "g6", "_doomed")).trim
+    assert(restamped.nonEmpty && restamped.forall(_.isDigit),
+      s"partial stamp must be rewritten, got '$restamped'")
+  }
+
+  /** THE manifest-drift guard (round-15 regression class): every
+    * monitor that keeps rollup generations behind a filesystem pointer
+    * must (a) write the FUSED `gen\tlo\thi` manifest — never a raw
+    * gen-only pointer with a `_hwm` sibling — and (b) stay readable
+    * through its own dashboard path after the commit. Round 15's
+    * quota-dashboard 500 happened exactly because a reader parsed the
+    * raw file while the writer had moved to the fused format; this test
+    * enumerates ALL `_current` writers so any future format change
+    * breaks HERE, not in production. (StreamVocab/Transitions/
+    * Attribution/UniqueTokens ride the store meta, not a file;
+    * StreamNovelty keeps a bare `_hwm` with append-only output — both
+    * contracts pinned elsewhere.) */
+  test("drift guard: every filesystem-manifest monitor writes fused and reads back") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_gm8").toString
+
+    def assertFused(dir: String, wantHwm: Boolean): Unit = {
+      val raw = Files.readString(Paths.get(dir, "_current")).trim
+      assert(raw.split("\t").length == 3, s"$dir: raw manifest '$raw' not fused")
+      assert(!Files.exists(Paths.get(dir, "_hwm")), s"$dir: stale _hwm sibling")
+      val Some((g, lo, hi)) = GenManifest.read(dir)
+      assert(g.startsWith("g"))
+      if (wantHwm) assert(lo != Long.MinValue && lo <= hi, s"$dir: hwm ($lo,$hi)")
+    }
+
+    // StreamQuota: commit → quota dashboard read (the round-15 breakage)
+    val qdir = s"$work/quota"
+    StreamQuota.applyBatch(s"$qdir/state", Map("a" -> 2L),
+      Seq((1L, "a"), (2L, "a"), (3L, "a")).toDF("doc_id", "cls"), s"$qdir/out", 0L)
+    assertFused(s"$qdir/state", wantHwm = true)
+    val g = GenManifest.currentGen(s"$qdir/state").get
+    assert(spark.read.parquet(s"$qdir/state/$g").count() == 1L)
+
+    // StreamPsi: commit → summary
+    val pdir = s"$work/psi"
+    StreamPsi.applyBatch(pdir, Seq((1L, 0L), (2L, 1L)).toDF("doc_id", "bin"), 0L)
+    assertFused(pdir, wantHwm = true)
+    assert(StreamPsi.summary(spark, pdir, Seq(0L, 1L).toDF("bin")).count() > 0)
+
+    // StreamBurst: commit → summary
+    val bdir = s"$work/burst"
+    StreamBurst.applyBatch(bdir,
+      Seq((1L, "A", 100L), (2L, "A", 200L)).toDF("event_id", "event_type", "ts_s"), 0L)
+    assertFused(bdir, wantHwm = true)
+    StreamBurst.summary(spark, bdir).collect()
+
+    // StreamAspect: commit → summary (tiny real PNG headers)
+    def png(id: Long, w: Int, h: Int) = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      (id, "image/png", bos.toByteArray)
+    }
+    val adir = s"$work/aspect"
+    StreamAspect.applyBatch(adir,
+      Seq(png(1L, 32, 32), png(2L, 64, 36)).toDF("doc_id", "mime", "payload"), 0L)
+    assertFused(adir, wantHwm = true)
+    assert(StreamAspect.summary(spark, adir).count() > 0)
+
+    // StreamCalibration: commit → summary
+    val docs = Seq((1L, "good clean text"), (2L, "zz spam junk")).toDF("doc_id", "text")
+    val labels = Seq((1L, true), (2L, false)).toDF("doc_id", "lab")
+    val (model, consts) = graft.ops.CorpusStats.nbTrain(docs, "doc_id", "text", labels)
+    val cdir = s"$work/cal"
+    StreamCalibration.applyBatch(model, consts, cdir,
+      docs.join(labels, Seq("doc_id")), 0L)
+    assertFused(cdir, wantHwm = true)
+    assert(StreamCalibration.summary(spark, cdir).count() > 0)
+
+    // StreamDecodeHealth: commit → summary
+    val ddir = s"$work/dec"
+    StreamDecodeHealth.applyBatch(ddir,
+      Seq(png(1L, 8, 8), (2L, "image/png", Array[Byte](1, 2)))
+        .toDF("doc_id", "mime", "payload"), 0L)
+    assertFused(ddir, wantHwm = true)
+    assert(StreamDecodeHealth.summary(spark, ddir).count() > 0)
+
+    // StreamKmv (idempotent — sentinel hwm): commit → readState
+    val kdir = s"$work/kmv"
+    StreamKmv.applyBatch(Seq((1L, "alpha beta gamma delta", "g1"))
+      .toDF("doc_id", "text", "grp"), "grp", "text", 4, kdir, 0L)
+    assertFused(kdir, wantHwm = false)
+    assert(StreamKmv.readState(spark, kdir, "grp").get.count() > 0)
+
+    // StreamGramCoverage (idempotent — sentinel hwm): commit → readState
+    val gdir = s"$work/cov"
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val probe = graft.ops.Dedup.shingleHashSets(bench, "doc_id", "text", 3)
+      .select(explode(col("hs")).as("g")).distinct()
+    StreamGramCoverage.applyBatch(
+      Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"),
+      "doc_id", "text", 3, probe, gdir, 0L)
+    assertFused(gdir, wantHwm = false)
+    assert(StreamGramCoverage.readState(spark, gdir).get.count() > 0)
+  }
 }
