@@ -44,6 +44,19 @@ object ExtendedQueries {
       in
     })
 
+  /** FREEZE a derived frame before handing it to a streaming drain: a
+    * DataFrame captured in a `foreachBatch` closure (or the static side
+    * of a stream-static join) is RE-EXECUTED from its source on every
+    * trigger — a frozen benchmark/model side must be materialized once
+    * and read back, so each trigger pays one small parquet scan instead
+    * of the whole derivation (the s14/s15/s33 model-freeze discipline,
+    * generalized). [[graft.PlanQualitySpec]] pins that the result plan
+    * is a bare scan. */
+  private[graft] def freeze(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
   private def dec(c: Column): Column = c.cast("decimal(18,6)")
   private def dbl(c: Column): Column = c.cast("double")
 

@@ -551,8 +551,12 @@ object PipelineQueries {
           minLineWords = 3, minWords = 20, maxWords = 100000)
         .filter(col("gopher_pass") === 1L)
         .select(col("doc_id"), col("clean_text")).localCheckpoint()
+      // maxBandDf: 2-row bands collide aggressively — one boilerplate
+      // band key shared by >64 corpus docs would fan every colliding
+      // increment doc across the cluster (recall survives through the
+      // other bands; the oracle mirrors the cap)
       val admitted = Dedup.incrementalNearDup(corpus, cleaned, "doc_id", "clean_text",
-          bands = 4, rowsPerBand = 2, n = 3, threshold = 0.5)
+          bands = 4, rowsPerBand = 2, n = 3, threshold = 0.5, maxBandDf = Some(64))
         .filter(col("kept") === 1L).select("doc_id")
       // stage boundary: tokenBudget consumes its input twice (histogram
       // collect + tier filters) — don't re-run the LSH admission per pass
@@ -1845,7 +1849,9 @@ object PipelineQueries {
     // state store (the s09/s16 percolation family, audio edition)
     "s23_stream_clip_percolate" -> ((s, dir) => {
       val work = graft.queries.ExtendedQueries.scratchDir("graft_s23")
-      val (tracks, clips) = pcmClipFixture(s, dir)
+      val (tracks, clipsSrc) = pcmClipFixture(s, dir)
+      // frozen clip set materialized ONCE (the s27 freeze discipline)
+      val clips = graft.queries.ExtendedQueries.freeze(clipsSrc, s"$work/clips")
       Seq(col("doc_id") % 3 === 0, col("doc_id") % 3 === 1,
           col("doc_id") % 3 === 2).foreach { p =>
         tracks.filter(p).coalesce(1).write.mode("append").parquet(s"$work/log")
@@ -1875,8 +1881,12 @@ object PipelineQueries {
     "s27_stream_edit_decontaminate" -> ((s, dir) => {
       val work = graft.queries.ExtendedQueries.scratchDir("graft_s27")
       val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val bench = d.filter(col("doc_id") % 17 === 0)
-        .withColumn("text", translate(col("text"), "e", "3"))
+      // frozen side materialized ONCE — a closure-captured derivation
+      // would re-execute on every trigger
+      val bench = graft.queries.ExtendedQueries.freeze(
+        d.filter(col("doc_id") % 17 === 0)
+          .withColumn("text", translate(col("text"), "e", "3")),
+        s"$work/bench")
       Seq(col("doc_id") % 3 === 0, col("doc_id") % 3 === 1,
           col("doc_id") % 3 === 2).foreach { p =>
         d.filter(p).coalesce(1).write.mode("append").parquet(s"$work/log")
@@ -2641,7 +2651,10 @@ object PipelineQueries {
          |  FROM btok WHERE len(tk) >= 3),
          |csig AS (SELECT doc_id, $minhashCols FROM csh GROUP BY doc_id),
          |bsig AS (SELECT doc_id, $minhashCols FROM bsh GROUP BY doc_id),
-         |cband AS (SELECT doc_id, unnest([$bandKeysSql]) AS band_key FROM csig),
+         |cband0 AS (SELECT doc_id, unnest([$bandKeysSql]) AS band_key FROM csig),
+         |cbdf AS (SELECT band_key FROM cband0 GROUP BY band_key HAVING count(*) <= 64),
+         |cband AS (SELECT c.doc_id, c.band_key FROM cband0 c
+         |  JOIN cbdf f ON c.band_key = f.band_key),
          |bband AS (SELECT doc_id, unnest([$bandKeysSql]) AS band_key FROM bsig),
          |cand_c AS (SELECT DISTINCT b.doc_id AS b_id, c.doc_id AS o_id
          |  FROM bband b JOIN cband c ON b.band_key = c.band_key),

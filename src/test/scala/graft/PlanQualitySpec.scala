@@ -810,4 +810,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(!physical.contains("SortMergeJoin"),
       "the corpus gram stream must never shuffle by gram:\n" + physical.take(800))
   }
+
+  test("freeze: a frozen stream side is a bare scan — the derivation never re-executes per trigger") {
+    // a foreachBatch closure (or stream-static join side) re-executes a
+    // captured DataFrame's FULL plan on every trigger; freeze must
+    // collapse the derivation (filter + translate here) into one parquet
+    // write so each trigger pays a small scan instead (s23/s27 shape)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_freeze").toString
+    val derived = (1L to 100L).toDF("doc_id")
+      .filter(col("doc_id") % 17 === 0)
+      .withColumn("text", translate(concat(lit("e"), col("doc_id")), "e", "3"))
+    val frozen = graft.queries.ExtendedQueries.freeze(derived, s"$dir/bench")
+    val plan = frozen.queryExecution.optimizedPlan
+    assert(plan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f }.isEmpty &&
+      plan.collect { case p: org.apache.spark.sql.catalyst.plans.logical.Project => p }.isEmpty,
+      s"frozen side must be a bare relation scan, got:\n$plan")
+    assert(plan.isInstanceOf[
+      org.apache.spark.sql.execution.datasources.LogicalRelation],
+      s"expected a parquet LogicalRelation leaf, got ${plan.getClass}")
+    assert(frozen.count() == derived.count())
+  }
 }
