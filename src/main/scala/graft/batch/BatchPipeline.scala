@@ -60,12 +60,30 @@ object BatchPipeline {
     * set. The reference's merge-tree (log_F(R/S) extra MR passes,
     * HBaseMapReduceIndexerTool.java:462-520) is unnecessary: the shuffle
     * already produces exactly `numShards` partitions, and AQE handles
-    * within-shard file sizing. */
-  def buildShards(ops: DataFrame, numShards: Int, outDir: String): Unit =
+    * within-shard file sizing.
+    *
+    * `router` picks the route function, mirroring the reference's two
+    * modes (HBaseMapReduceIndexerTool.java:397-417):
+    *   - `"md5"` — the engine-native HashSharder route (default, the
+    *     reference's non-SolrCloud path);
+    *   - `"solrcloud"` — Solr NRT-compatible compositeId/murmur3 range
+    *     routing ([[graft.expr.SolrRouteHash]]), so an offline build
+    *     dropped into a live SolrCloud collection puts every doc on the
+    *     shard the NRT API would have picked — batch and live updates
+    *     mix on identical unique keys. */
+  def buildShards(ops: DataFrame, numShards: Int, outDir: String,
+                  router: String = "md5"): Unit = {
+    val route = router match {
+      case "md5" => graft.expr.hfunctions.md5_shard(col("id"), numShards)
+      case "solrcloud" => graft.expr.hfunctions.solr_shard(col("id"), numShards)
+      case other => throw new IllegalArgumentException(
+        s"unknown router '$other' (expected md5 or solrcloud)")
+    }
     ops.filter(col("kind") === "add")
-      .withColumn("shard", graft.expr.hfunctions.md5_shard(col("id"), numShards))
+      .withColumn("shard", route)
       .repartition(numShards, col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
 
   /** Read a built shard set back (go-live's MergeIndexes becomes "point
     * the serving layer at the new directory"). */

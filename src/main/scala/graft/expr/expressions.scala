@@ -923,4 +923,10 @@ object hfunctions {
     * from codegen'd built-ins: md5 → first 4 hex chars → int → mod. */
   def md5_shard(id: Column, numShards: Int): Column =
     pmod(conv(substring(md5(id.cast("binary")), 1, 4), 16, 10).cast("int"), lit(numShards))
+
+  /** SolrCloud-compatible shard route: murmur3_x86_32 compositeId hash
+    * into even 32-bit ranges ([[graft.expr.SolrRouteHash]]) — offline
+    * shards match live NRT routing bit-for-bit. */
+  def solr_shard(id: Column, numShards: Int): Column =
+    expr2col(SolrShard(col2expr(id), numShards))
 }

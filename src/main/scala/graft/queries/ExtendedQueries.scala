@@ -2444,6 +2444,27 @@ object ExtendedQueries {
         .orderBy(col("shard"))
     }),
 
+    // SolrCloud-compatible offline shard build (reference
+    // HBaseMapReduceIndexerTool.java:397-417): every third key is a
+    // compositeId routed under its market segment; the murmur3 range
+    // router puts each doc on the shard the live NRT API would pick.
+    // The oracle replicates murmur3_x86_32 + compositeId + range split
+    // in SQL, so the route itself is oracle-checked bit-for-bit
+    "x41_solrcloud_shards" -> ((s, dir) => {
+      val ids = t(s, dir, "customer").select(
+        when(col("c_custkey") % 3 === 0,
+          concat(col("c_mktsegment"), lit("!"), col("c_custkey").cast("string")))
+          .otherwise(col("c_custkey").cast("string")).as("id"))
+      val ops = ids.select(lit("add").as("kind"), col("id"),
+        map(lit("k"), col("id")).as("doc"))
+      val out = scratchDir("graft_x41") + "/shards"
+      graft.batch.BatchPipeline.buildShards(ops, 8, out, router = "solrcloud")
+      graft.batch.BatchPipeline.readShards(s, out)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"))
+        .orderBy(col("shard"))
+    }),
+
     // P10/P11: morphline-equivalent command chain — extractHBaseCells in
     // all three output modes + sanitizeUnknownSolrFields + logDebug,
     // compiled to one document expression
@@ -6198,6 +6219,80 @@ object ExtendedQueries {
       """WITH ids AS (SELECT CAST(c_custkey AS VARCHAR) AS id FROM customer),
         |sh AS (SELECT id,
         |  CAST(CAST('0x' || substr(md5(id), 1, 4) AS INT) % 8 AS BIGINT) AS shard FROM ids)
+        |SELECT shard, count(*) AS n, min(id) AS min_id
+        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // murmur3_x86_32(seed 0) re-derived in SQL: 32-bit modular multiply
+    // via 16-bit limbs ((a%2^16)*c + (((a//2^16)*c)%2^16)*2^16) % 2^32,
+    // rotl r as (x*2^r)%2^32 + x//2^(32-r), sequential block fold via
+    // list_reduce, nested single-element list_transform as let-binding
+    "x41_solrcloud_shards" ->
+      """WITH ids AS (
+        |  SELECT CASE WHEN c_custkey % 3 = 0
+        |    THEN c_mktsegment || '!' || CAST(c_custkey AS VARCHAR)
+        |    ELSE CAST(c_custkey AS VARCHAR) END AS id
+        |  FROM customer),
+        |parts AS (
+        |  SELECT id, 0 AS part_no,
+        |    CASE WHEN contains(id, '!') THEN string_split(id, '!')[1] ELSE id END AS s
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT id, 1 AS part_no, string_split(id, '!')[2] AS s
+        |  FROM ids WHERE contains(id, '!')),
+        |mm0 AS (
+        |  SELECT id, part_no, CAST(len(s) AS BIGINT) AS n,
+        |    list_transform(generate_series(1, len(s)),
+        |      i -> CAST(ord(substr(s, i, 1)) AS BIGINT)) AS bs
+        |  FROM parts),
+        |mm1 AS (
+        |  SELECT id, part_no, n, bs,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(0, CAST(n // 4 AS INT) - 1), j ->
+        |        bs[4*j+1] + bs[4*j+2]*256 + bs[4*j+3]*65536 + bs[4*j+4]*16777216)),
+        |      (acc, kin) ->
+        |        list_transform([((kin % 65536) * 3432918353 +
+        |            (((kin // 65536) * 3432918353) % 65536) * 65536) % 4294967296], t1 ->
+        |        list_transform([((t1 * 32768) % 4294967296) + (t1 // 131072)], t2 ->
+        |        list_transform([((t2 % 65536) * 461845907 +
+        |            (((t2 // 65536) * 461845907) % 65536) * 65536) % 4294967296], t3 ->
+        |        list_transform([xor(acc, t3)], t4 ->
+        |        list_transform([((t4 * 8192) % 4294967296) + (t4 // 524288)], t5 ->
+        |          (t5 * 5 + 3864292196) % 4294967296
+        |        )[1])[1])[1])[1])[1]) AS hbody
+        |  FROM mm0),
+        |mm2 AS (
+        |  SELECT id, part_no, n,
+        |    CASE WHEN n % 4 = 0 THEN hbody
+        |    ELSE xor(hbody,
+        |      list_transform([((kt % 65536) * 3432918353 +
+        |          (((kt // 65536) * 3432918353) % 65536) * 65536) % 4294967296], t1 ->
+        |      list_transform([((t1 * 32768) % 4294967296) + (t1 // 131072)], t2 ->
+        |        ((t2 % 65536) * 461845907 +
+        |          (((t2 // 65536) * 461845907) % 65536) * 65536) % 4294967296
+        |      )[1])[1]) END AS hmix
+        |  FROM (SELECT id, part_no, n, hbody,
+        |    CASE WHEN n % 4 >= 1 THEN
+        |      bs[CAST((n // 4) * 4 + 1 AS INT)]
+        |      + CASE WHEN n % 4 >= 2 THEN bs[CAST((n // 4) * 4 + 2 AS INT)] * 256 ELSE 0 END
+        |      + CASE WHEN n % 4 >= 3 THEN bs[CAST((n // 4) * 4 + 3 AS INT)] * 65536 ELSE 0 END
+        |    ELSE 0 END AS kt FROM mm1)),
+        |mm3 AS (SELECT id, part_no, xor(hmix, n) AS h FROM mm2),
+        |mm4 AS (SELECT id, part_no, xor(h, h // 65536) AS h FROM mm3),
+        |mm5 AS (SELECT id, part_no, ((h % 65536) * 2246822507 +
+        |  (((h // 65536) * 2246822507) % 65536) * 65536) % 4294967296 AS h FROM mm4),
+        |mm6 AS (SELECT id, part_no, xor(h, h // 8192) AS h FROM mm5),
+        |mm7 AS (SELECT id, part_no, ((h % 65536) * 3266489909 +
+        |  (((h // 65536) * 3266489909) % 65536) * 65536) % 4294967296 AS h FROM mm6),
+        |mm8 AS (SELECT id, part_no, xor(h, h // 65536) AS h FROM mm7),
+        |hh AS (
+        |  SELECT id,
+        |    CASE WHEN count(*) = 2
+        |      THEN (max(CASE WHEN part_no = 0 THEN h END) // 65536) * 65536
+        |         + max(CASE WHEN part_no = 1 THEN h END) % 65536
+        |      ELSE max(h) END AS h
+        |  FROM mm8 GROUP BY id),
+        |sh AS (SELECT id, CAST(least(7, ((h + 2147483648) % 4294967296) // 536870912) AS BIGINT) AS shard
+        |  FROM hh)
         |SELECT shard, count(*) AS n, min(id) AS min_id
         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
 

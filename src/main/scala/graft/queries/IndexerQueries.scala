@@ -126,6 +126,26 @@ object IndexerQueries {
         .orderBy(col("id"))
     }),
 
+    // P16's pluggable half: the payload rides as an ordinary sys:payload
+    // CELL and a reflectively-loaded extractor class (the reference
+    // PayloadExtractor seam, SepConsumer.java:246-253 first-wins) derives
+    // the event payload from the cells at the ingress
+    "x42_payload_extractor" -> ((s, dir) => {
+      val withCell = Fixtures.eventMutations(s, dir)
+        .withColumn("cells", concat(col("cells"), array(struct(
+          lit("sys").as("family"), lit("payload").as("qualifier"),
+          col("seq").as("ts"), lit("put").as("cellType"),
+          col("payload").as("value")))))
+        .withColumn("payload", lit(null).cast("string"))
+      val ex = graft.model.PayloadExtractor.load("graft.model.SysPayloadExtractor")
+      graft.model.PayloadExtractor.attach(withCell, ex)
+        .groupBy(col("rowKey").as("id"))
+        .agg(max_by(col("payload"), col("seq")).as("payload"))
+        .select(col("id"),
+          get_json_object(col("payload"), "$.k").cast("int").as("k_i"))
+        .orderBy(col("id"))
+    }),
+
     // P10 dynamic output fields: field name = prefix + qualifier tail
     "x12_dynamic_fields" -> ((s, dir) => {
       val conf = IndexerConf(table = "customer", rowReadMode = RowReadMode.Never,
@@ -259,6 +279,13 @@ object IndexerQueries {
         |FROM customer ORDER BY id""".stripMargin,
 
     "x11_payload" ->
+      """SELECT CAST(user_id AS VARCHAR) AS id,
+        |  CAST(json_extract_string(arg_max(props, event_id), '$.k') AS INT) AS k_i
+        |FROM events GROUP BY user_id ORDER BY id""".stripMargin,
+
+    // the extractor routes the sys:payload cell back into the event
+    // payload, so the drained result is x11's — same oracle text
+    "x42_payload_extractor" ->
       """SELECT CAST(user_id AS VARCHAR) AS id,
         |  CAST(json_extract_string(arg_max(props, event_id), '$.k') AS INT) AS k_i
         |FROM events GROUP BY user_id ORDER BY id""".stripMargin,
