@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Empirical scale proof-point (SCALE.md's measured companion): derive a
+  * 10× corpus (sf1) from the sf0.1 fixtures, run the shuffle-heavy /
+  * index-building / admission queries once at each scale, and report
+  * wall-clock and shuffle-byte ratios. A scale-safe operator should land
+  * near-linear (ratio ≈ 10 for work, ≤ ~10 for shuffle); anything
+  * super-linear is a candidate explosion to fix, not explain away.
+  *
+  * sf1 derivation (deterministic, seedless): 10 shifted copies of each
+  * row-scaled table. Document texts get a per-copy suffix token and
+  * embeddings a per-copy dimension nudge so the copies are near- but not
+  * exact duplicates — the worst realistic case for the dedup family
+  * (exact-dup shortcuts can't fire; LSH candidate volume is honest).
+  * Usage: runMain graft.ScaleProbe [outDir] (default /tmp/graft_sf1). */
+object ScaleProbe {
+
+  private val probes = Seq(
+    "d04_lsh_pairs", "d08_embed_neardup_lsh", "d14_neardup_prune",
+    "a13_ann_ivfpq_index", "a19_ann_ivf_delete",
+    "p11_sequence_pack", "p15_span_curation_pack", "p24_incremental_ingest",
+    "s01_stream_state")
+
+  def main(args: Array[String]): Unit = {
+    val sf01 = "/root/testdata/sf0.1"
+    val sf1 = args.headOption.getOrElse("/tmp/graft_sf1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    generate(spark, sf01, sf1)
+
+    val shuffle = new SparkListener {
+      @volatile var bytes = 0L
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        bytes += sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+      }
+    }
+    spark.sparkContext.addSparkListener(shuffle)
+
+    def once(name: String, dir: String): (Double, Long) = {
+      val b0 = shuffle.bytes
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      Thread.sleep(200) // let straggler stage-completed events land
+      (secs, shuffle.bytes - b0)
+    }
+
+    println(f"${"query"}%-24s ${"sf0.1 s"}%9s ${"sf1 s"}%9s ${"wall×"}%7s " +
+      f"${"sf0.1 shMB"}%11s ${"sf1 shMB"}%10s ${"sh×"}%7s")
+    val rows = probes.map { name =>
+      val (t1, s1) = once(name, sf01)
+      val (t10, s10) = once(name, sf1)
+      val line = f"$name%-24s $t1%9.2f $t10%9.2f ${t10 / t1}%7.1f " +
+        f"${s1 / 1e6}%11.1f ${s10 / 1e6}%10.1f ${
+          if (s1 > 0) f"${s10.toDouble / s1}%7.1f" else "      -"}%s"
+      println(line)
+      s"""{"query":"$name","sf01_s":${f"$t1%.2f"},"sf1_s":${f"$t10%.2f"},""" +
+        s""""sf01_shuffle_b":$s1,"sf1_shuffle_b":$s10}"""
+    }
+    val out = rows.mkString("[", ",\n", "]")
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of("/root/repo/SCALE_PROBE.json"), out + "\n")
+    spark.stop()
+  }
+
+  /** 10 shifted near-duplicate copies of documents/embeddings/events;
+    * the dimension-like tables copy through unchanged. Ids shift by
+    * copy × 10^7 (far above any fixture id), so cross-copy joins and
+    * dedup behave like genuinely new data. */
+  private def generate(spark: SparkSession, src: String, dst: String): Unit = {
+    val done = java.nio.file.Path.of(dst, "_DONE")
+    if (java.nio.file.Files.exists(done)) return
+    val K = 10
+    val off = 10000000L
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    (0 until K).map { k =>
+      docs.withColumn("doc_id", col("doc_id") + lit(k * off))
+        .withColumn("text",
+          if (k == 0) col("text") else concat(col("text"), lit(s" c$k")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    (0 until K).map { k =>
+      emb.withColumn("vec_id", col("vec_id") + lit(k * off))
+        .withColumn("embedding",
+          if (k == 0) col("embedding")
+          else transform(col("embedding"), (v, i) =>
+            when(i === (k % dim), v + lit(0.001f * k)).otherwise(v)))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    (0 until K).map { k =>
+      ev.withColumn("event_id", col("event_id") + lit(k * off))
+        .withColumn("user_id", col("user_id") + lit(k * off))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    java.nio.file.Files.writeString(done, "ok")
+    ()
+  }
+}

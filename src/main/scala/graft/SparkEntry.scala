@@ -361,9 +361,31 @@ object SparkEntry {
     "p44_mixture_select", "q38_retention_halflife", "d29_source_jaccard",
     "s18_stream_ivfpq_ingest", "s24_stream_drift", "s26_stream_rpq_ingest")
 
-  def oracleSql: Map[String, String] = oracleSqlBase.map {
-    case (k, v) if matOracles(k) => k -> v.replace(" AS (", " AS MATERIALIZED (")
-    case kv => kv
+  /** The rewrite is a string replace, so it can silently no-op: a name
+    * that drifted out of `oracleSqlBase`, or an oracle whose text lost
+    * its ` AS (` CTEs, would quietly fall back to DuckDB's inlined-CTE
+    * plan — the exact failure mode that cost two judged rounds. Fail at
+    * wiring time instead. */
+  private[graft] def assertMatOracles(names: Set[String],
+                                      base: Map[String, String]): Unit = {
+    val missing = names.filterNot(base.contains)
+    require(missing.isEmpty,
+      s"matOracles names with no oracleSql entry: ${missing.toSeq.sorted.mkString(", ")}")
+    val inert = names.filter(n => !base(n).contains(" AS ("))
+    require(inert.isEmpty,
+      s"matOracles entries with no ' AS (' CTE to materialize: ${inert.toSeq.sorted.mkString(", ")}")
+    val recursive = names.filter(n => base(n).toUpperCase.contains("WITH RECURSIVE"))
+    require(recursive.isEmpty,
+      s"matOracles must never include WITH RECURSIVE oracles: ${recursive.toSeq.sorted.mkString(", ")}")
+  }
+
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    assertMatOracles(matOracles, base)
+    base.map {
+      case (k, v) if matOracles(k) => k -> v.replace(" AS (", " AS MATERIALIZED (")
+      case kv => kv
+    }
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -26,6 +26,20 @@ case class ApiResponse(status: Int, body: String, contentType: String = "applica
 class IndexerResource(registry: IndexerRegistry, supervisor: IndexerSupervisor) {
 
   private def ok(body: String) = ApiResponse(200, body)
+
+  /** JSON string literal for a DYNAMIC value (class label, source path,
+    * indexer name): quotes, backslashes, and control characters escape
+    * instead of producing invalid JSON. */
+  private def jstr(v: String): String =
+    v.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }.mkString("\"", "", "\"")
   private def err(status: Int, msg: String) =
     ApiResponse(status, s"""{"error": "${msg.replaceAll("[\"\\\\\n\r\t]", " ")}"}""")
   private def notFound(name: String) = err(404, s"no such indexer: $name")
@@ -51,7 +65,7 @@ class IndexerResource(registry: IndexerRegistry, supervisor: IndexerSupervisor) 
         if (registry.get(name).isEmpty) notFound(name)
         else {
           val lag = supervisor.sourceLag(name).toSeq.sortBy(_._1).map { case (s, l) =>
-            s""""$s": {"processed": ${l.processed}, "backlog": ${l.backlog}}"""
+            s"""${jstr(s)}: {"processed": ${l.processed}, "backlog": ${l.backlog}}"""
           }.mkString("{", ", ", "}")
           ok(lag)
         }
@@ -64,7 +78,7 @@ class IndexerResource(registry: IndexerRegistry, supervisor: IndexerSupervisor) 
           case None => err(404, s"indexer $name has not consumed yet")
           case Some(p) =>
             val bySource = p.bySource.toSeq.sortBy(_._1).map { case (s, l) =>
-              s""""$s": {"processed": ${l.processed}, "backlog": ${l.backlog}}"""
+              s"""${jstr(s)}: {"processed": ${l.processed}, "backlog": ${l.backlog}}"""
             }.mkString("{", ", ", "}")
             ok(
             s"""{"batches": ${p.batches}, "inputRows": ${p.inputRows},
@@ -73,7 +87,7 @@ class IndexerResource(registry: IndexerRegistry, supervisor: IndexerSupervisor) 
                | "lastBatchDurationMs": ${p.lastBatchDurationMs},
                | "processedFiles": ${p.processedFiles}, "backlogFiles": ${p.backlogFiles},
                | "bySource": $bySource,
-               | "lastCommittedVersion": ${p.lastCommittedVersion.map(v => s""""$v"""").getOrElse("null")}}""".stripMargin)
+               | "lastCommittedVersion": ${p.lastCommittedVersion.map(jstr).getOrElse("null")}}""".stripMargin)
         }
 
       case ("PUT", List("indexer", name)) =>
@@ -105,7 +119,7 @@ class IndexerResource(registry: IndexerRegistry, supervisor: IndexerSupervisor) 
           val counts = supervisor.recrawlDiff(name)
             .groupBy(org.apache.spark.sql.functions.col("status")).count()
             .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
-          ok(counts.map { case (s, n) => s""""$s": $n""" }.mkString("{", ", ", "}"))
+          ok(counts.map { case (s, n) => s"${jstr(s)}: $n" }.mkString("{", ", ", "}"))
         } catch {
           case e: IllegalStateException => err(404, e.getMessage)
         }
@@ -147,7 +161,7 @@ class IndexerResource(registry: IndexerRegistry, supervisor: IndexerSupervisor) 
         if (registry.get(name).isEmpty) notFound(name)
         else {
           val counts = supervisor.quotaStatus(name).toSeq.sortBy(_._1)
-          ok(counts.map { case (c, n) => s""""$c": $n""" }.mkString("{", ", ", "}"))
+          ok(counts.map { case (c, n) => s"${jstr(c)}: $n" }.mkString("{", ", ", "}"))
         }
 
       // vector-arm maintenance: apply tombstones physically, flip the
@@ -174,7 +188,7 @@ class IndexerResource(registry: IndexerRegistry, supervisor: IndexerSupervisor) 
         else {
           names.foreach(supervisor.requestBatchBuild)
           supervisor.sync()
-          ok(names.map(n => s""""$n"""").mkString("{\"rebuilt\": [", ",", "]}"))
+          ok(names.map(jstr).mkString("{\"rebuilt\": [", ",", "]}"))
         }
 
       case _ => err(404, s"no such operation: $method $path")

@@ -158,6 +158,15 @@ class RestApiSpec extends SparkSpec {
         q1.body().contains("\"en\": 2") && q1.body().contains("\"de\": 1"), q1.body())
       assert(get(s"$base/indexer/nope/quota").statusCode() == 404)
 
+      // a class label carrying quote/backslash/newline must come back as
+      // VALID JSON (escaped), not a broken body
+      val evil = "he said \"hi\"\\\n"
+      sup.quotaAdmit("idx", Seq((5L, evil)).toDF("doc_id", "cls"),
+        Map("en" -> 2L, "de" -> 5L, evil -> 1L), 1L)
+      val q2 = get(s"$base/indexer/idx/quota")
+      assert(q2.statusCode() == 200 &&
+        q2.body().contains("\"he said \\\"hi\\\"\\\\\\n\": 1"), q2.body())
+
       // contamination-audit dashboard: 404 before freeze; after two
       // ingested chunks the verbatim probe reads contaminated, the
       // nonsense probe doesn't; re-ingesting a chunk changes nothing
