@@ -477,16 +477,40 @@ object Dedup {
   def editContamination(corpus: DataFrame, benchmark: DataFrame,
                         idCol: String, textCol: String,
                         k: Int = 8, minOverlap: Double = 0.25,
-                        editSim: Double = 0.8, maxDist: Int = 1000): DataFrame = {
+                        editSim: Double = 0.8, maxDist: Int = 1000): DataFrame =
+    editContaminationPrepared(corpus,
+      editBenchPrep(benchmark, idCol, textCol, k),
+      idCol, textCol, k, minOverlap, editSim, maxDist)
+
+  /** The FROZEN-side half of [[editContamination]]: benchmark texts with
+    * their char-k-gram hash sets and counts, computed once. A streaming
+    * percolator (s27) re-probes the SAME benchmark every trigger —
+    * shingling it per trigger re-pays a benchmark-sized scan + kernel
+    * pass each time; persist this frame (the
+    * [[graft.queries.ExtendedQueries.freeze]] discipline) and hand it to
+    * [[editContaminationPrepared]] instead. */
+  def editBenchPrep(benchmark: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8): DataFrame =
+    benchmark.select(col(idCol).cast("long").as("bench_id"),
+        col(textCol).as("bench_id_text"),
+        graft.expr.hfunctions.char_shingles60(col(textCol), k).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .withColumn("bench_id_n", size(col("hs")).cast("long"))
+
+  /** [[editContamination]] against a prepared ([[editBenchPrep]]) — and
+    * typically persisted — benchmark side. */
+  def editContaminationPrepared(corpus: DataFrame, benchPrepared: DataFrame,
+                                idCol: String, textCol: String,
+                                k: Int = 8, minOverlap: Double = 0.25,
+                                editSim: Double = 0.8, maxDist: Int = 1000): DataFrame = {
     requireIntegralId(corpus, idCol, "editContamination")
     require(minOverlap > 0.0 && minOverlap <= 1.0, s"minOverlap in (0,1]: $minOverlap")
-    def grams(df: DataFrame, id: String) =
-      df.select(col(idCol).cast("long").as(id), col(textCol).as(s"${id}_text"),
-          graft.expr.hfunctions.char_shingles60(col(textCol), k).as("hs"))
-        .filter(size(col("hs")) > 0)
-        .withColumn(s"${id}_n", size(col("hs")).cast("long"))
-    val cs = grams(corpus, "doc_id")
-    val bs = grams(benchmark, "bench_id")
+    val cs = corpus
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("doc_id_text"),
+        graft.expr.hfunctions.char_shingles60(col(textCol), k).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .withColumn("doc_id_n", size(col("hs")).cast("long"))
+    val bs = benchPrepared
     val cg = cs.select(col("doc_id"), col("doc_id_n"), explode(col("hs")).as("h"))
     val bg = bs.select(col("bench_id"), col("bench_id_n"), explode(col("hs")).as("h"))
     val cand = cg.join(broadcast(bg), Seq("h"))

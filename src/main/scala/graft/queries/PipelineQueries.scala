@@ -1881,11 +1881,14 @@ object PipelineQueries {
     "s27_stream_edit_decontaminate" -> ((s, dir) => {
       val work = graft.queries.ExtendedQueries.scratchDir("graft_s27")
       val d = docs(s, dir).select(col("doc_id"), col("text"))
-      // frozen side materialized ONCE — a closure-captured derivation
-      // would re-execute on every trigger
+      // frozen side PREPARED (shingled + counted) and materialized ONCE —
+      // a closure-captured derivation would re-execute on every trigger,
+      // and even a frozen text frame would re-shingle per trigger
       val bench = graft.queries.ExtendedQueries.freeze(
-        d.filter(col("doc_id") % 17 === 0)
-          .withColumn("text", translate(col("text"), "e", "3")),
+        Dedup.editBenchPrep(
+          d.filter(col("doc_id") % 17 === 0)
+            .withColumn("text", translate(col("text"), "e", "3")),
+          "doc_id", "text", k = 8),
         s"$work/bench")
       Seq(col("doc_id") % 3 === 0, col("doc_id") % 3 === 1,
           col("doc_id") % 3 === 2).foreach { p =>
@@ -1898,7 +1901,7 @@ object PipelineQueries {
         .parquet(s"$work/log")
         .writeStream
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          Dedup.editContamination(b, bench, "doc_id", "text",
+          Dedup.editContaminationPrepared(b, bench, "doc_id", "text",
               k = 8, minOverlap = 0.25, editSim = 0.8, maxDist = 200)
             .write.mode("append").parquet(outDir); ()
         }
