@@ -916,7 +916,28 @@ object Multimodal {
   def clipMatches(tracks: DataFrame, clips: DataFrame,
                   windowSamples: Int = 16, k: Int = 4, minVotes: Long = 2,
                   maxDf: Option[Int] = None,
-                  decoder: AudioDecoder = PcmS16leDecoder): DataFrame = {
+                  decoder: AudioDecoder = PcmS16leDecoder): DataFrame =
+    clipMatchesPrepared(tracks,
+      clipPrints(clips, windowSamples, k, decoder),
+      windowSamples, k, minVotes, maxDf, decoder)
+
+  /** The FROZEN-side half of [[clipMatches]]: the standing clip set's
+    * contour fingerprints, decoded and hashed once. A streaming
+    * percolator (s23) probes the SAME clips every trigger — decoding +
+    * fingerprinting them per trigger re-pays the whole kernel pass;
+    * persist this frame (the freeze discipline) and hand it to
+    * [[clipMatchesPrepared]]. */
+  def clipPrints(clips: DataFrame, windowSamples: Int = 16, k: Int = 4,
+                 decoder: AudioDecoder = PcmS16leDecoder): DataFrame =
+    audioContourPrints(clips, windowSamples, k, decoder).toDF()
+      .select(col("doc_id").as("clip_id"), col("pos").as("c_pos"), col("h"))
+
+  /** [[clipMatches]] against a prepared ([[clipPrints]]) — and typically
+    * persisted — clip fingerprint side. */
+  def clipMatchesPrepared(tracks: DataFrame, clipPrintsDf: DataFrame,
+                          windowSamples: Int = 16, k: Int = 4, minVotes: Long = 2,
+                          maxDf: Option[Int] = None,
+                          decoder: AudioDecoder = PcmS16leDecoder): DataFrame = {
     val tp0 = audioContourPrints(tracks, windowSamples, k, decoder).toDF()
       .select(col("doc_id").as("track_id"), col("pos").as("t_pos"), col("h"))
     val tp = maxDf.fold(tp0) { cap =>
@@ -925,8 +946,7 @@ object Multimodal {
         .filter(col("df") <= cap)
       tp0.join(keep.select("h"), Seq("h"))
     }
-    val cp = audioContourPrints(clips, windowSamples, k, decoder).toDF()
-      .select(col("doc_id").as("clip_id"), col("pos").as("c_pos"), col("h"))
+    val cp = clipPrintsDf
     tp.join(broadcast(cp), Seq("h"))
       .groupBy(col("clip_id"), col("track_id"),
         (col("t_pos") - col("c_pos")).as("offset_w"))

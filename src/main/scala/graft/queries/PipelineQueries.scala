@@ -1850,8 +1850,11 @@ object PipelineQueries {
     "s23_stream_clip_percolate" -> ((s, dir) => {
       val work = graft.queries.ExtendedQueries.scratchDir("graft_s23")
       val (tracks, clipsSrc) = pcmClipFixture(s, dir)
-      // frozen clip set materialized ONCE (the s27 freeze discipline)
-      val clips = graft.queries.ExtendedQueries.freeze(clipsSrc, s"$work/clips")
+      // frozen clip FINGERPRINTS materialized ONCE (the s27 freeze
+      // discipline): per trigger the percolator pays a small parquet
+      // scan, not a clip-set decode + fingerprint pass
+      val clips = graft.queries.ExtendedQueries.freeze(
+        Multimodal.clipPrints(clipsSrc, windowSamples = 4, k = 4), s"$work/clips")
       Seq(col("doc_id") % 3 === 0, col("doc_id") % 3 === 1,
           col("doc_id") % 3 === 2).foreach { p =>
         tracks.filter(p).coalesce(1).write.mode("append").parquet(s"$work/log")
@@ -1863,7 +1866,7 @@ object PipelineQueries {
         .parquet(s"$work/log")
         .writeStream
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          Multimodal.clipMatches(b, clips, windowSamples = 4, k = 4)
+          Multimodal.clipMatchesPrepared(b, clips, windowSamples = 4, k = 4)
             .write.mode("append").parquet(outDir); ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
