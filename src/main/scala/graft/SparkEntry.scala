@@ -359,7 +359,8 @@ object SparkEntry {
     "q35_concentration", "p43_behavior_release", "t36_novelty_curve",
     "q36_triangles", "s38_stream_unique_tokens", "q37_degree_spectrum",
     "p44_mixture_select", "q38_retention_halflife", "d29_source_jaccard",
-    "s18_stream_ivfpq_ingest", "s24_stream_drift", "s26_stream_rpq_ingest")
+    "s18_stream_ivfpq_ingest", "s24_stream_drift", "s26_stream_rpq_ingest",
+    "t38_repetition_gate")
 
   /** The rewrite is a string replace, so it can silently no-op: a name
     * that drifted out of `oracleSqlBase`, or an oracle whose text lost
@@ -377,6 +378,13 @@ object SparkEntry {
     val recursive = names.filter(n => base(n).toUpperCase.contains("WITH RECURSIVE"))
     require(recursive.isEmpty,
       s"matOracles must never include WITH RECURSIVE oracles: ${recursive.toSeq.sorted.mkString(", ")}")
+    // a named WINDOW clause also spells ' AS (' — the rewrite would
+    // produce 'WINDOW w AS MATERIALIZED (' (DuckDB parse error); spell
+    // such windows inline (OVER (...)) in allowlisted oracles
+    val winClause = names.filter(n => "(?i)WINDOW\\s+\\w+\\s+AS\\s*\\(".r
+      .findFirstIn(base(n)).isDefined)
+    require(winClause.isEmpty,
+      s"matOracles entries with named WINDOW clauses: ${winClause.toSeq.sorted.mkString(", ")}")
   }
 
   def oracleSql: Map[String, String] = {

@@ -273,4 +273,149 @@ object TextAnalysis {
         gopherRuleBits(col("clean_text"), minWords, maxWords).as("rule_bits"))
       .withColumn("gopher_pass",
         when(col("rule_bits") === 0L, lit(1L)).otherwise(lit(0L)))
+
+  // ---- Gopher REPETITION filters (Rae et al. 2021, Table A1) ----
+  // The repetition half of the Gopher suite: line-level duplicate
+  // fractions plus n-gram character-coverage fractions. All fractions
+  // are exact ppm integers (order-free, engine-exact). Every shuffle
+  // below is keyed by doc_id (or doc_id+gram) — per-doc windows, never
+  // a global exchange — so the family scales with documents.
+
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.expressions.Window
+
+  /** Duplicate-LINE fractions: occurrences beyond the first of each
+    * distinct non-blank line are duplicates.
+    * Output: doc_id, n_lines, dup_line_ppm (duplicate occurrences /
+    * lines), dup_line_char_ppm (their characters / line characters). */
+  def lineRepetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(split(col(textCol), "\n")).as("raw"))
+      .select(col("doc_id"), trim(col("raw")).as("line"))
+      .filter(length(col("line")) > 0)
+    lines
+      .groupBy(col("doc_id"), col("line"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_lines"),
+        sum(col("cnt") - 1).as("_dup"),
+        sum(col("cnt") * length(col("line")).cast("long")).as("_chars"),
+        sum((col("cnt") - 1) * length(col("line")).cast("long")).as("_dupChars"))
+      .select(col("doc_id"), col("n_lines"),
+        expr("(_dup * 1000000L) div n_lines").as("dup_line_ppm"),
+        when(col("_chars") > 0, expr("(_dupChars * 1000000L) div _chars"))
+          .otherwise(lit(0L)).as("dup_line_char_ppm"))
+  }
+
+  /** Word tokens of the whitespace-NORMALIZED text with their character
+    * offsets in it: (doc_id, p, tok, cs) where cs is the token's char
+    * start and tokens are single-space separated. The cumulative-sum
+    * window partitions by doc — each partition is one document. */
+  private def tokenPositions(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        regexp_replace(trim(col(textCol)), "\\s+", " ").as("t"))
+      .filter(length(col("t")) > 0)
+      .select(col("doc_id"), col("t"),
+        posexplode(split(col("t"), " ")).as(Seq("p", "tok")))
+      .withColumn("cs",
+        sum(length(col("tok")).cast("long") + 1L)
+          .over(Window.partitionBy("doc_id").orderBy("p"))
+          - length(col("tok")).cast("long") - 1L)
+      .select(col("doc_id"), col("p"), col("tok"), col("cs"))
+
+  /** Word n-gram occurrences with char intervals over the normalized
+    * text: (doc_id, p, g, s, e) — [s, e) covers the n tokens and their
+    * n-1 separating spaces. */
+  private def ngramIntervals(tp: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, s"n-gram repetition needs n >= 2, got $n")
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val gram = concat_ws(" ",
+      (0 until n).map(i => if (i == 0) col("tok") else lead(col("tok"), i).over(w)): _*)
+    val lastEnd = lead(col("cs") + length(col("tok")).cast("long"), n - 1).over(w)
+    tp.select(col("doc_id"), col("p"), col("cs").as("s"),
+        lastEnd.as("e"), gram.as("g"))
+      .filter(col("e").isNotNull)
+  }
+
+  /** TOP n-gram character coverage (Gopher n ∈ {2,3,4}): characters
+    * covered by the most frequent word n-gram as ppm of the normalized
+    * text. Coverage = count × gram-char-length; among tied counts the
+    * largest coverage wins (deterministic in both engines).
+    * Output: doc_id, n_chars, top_ngram_char_ppm. */
+  def topNgramCharFrac(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val tp = tokenPositions(docs, idCol, textCol)
+    val lens = tp.groupBy("doc_id")
+      .agg((sum(length(col("tok")).cast("long")) + count(lit(1)) - 1L).as("n_chars"),
+        count(lit(1)).as("n_toks"))
+    val byGram = ngramIntervals(tp, n)
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("cnt"), first(col("e") - col("s")).as("glen"))
+    val top = byGram
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("cnt"), (col("cnt") * col("glen")).as("cov"))).as("_b"))
+      .select(col("doc_id"), col("_b.cov").as("_cov"))
+    lens.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        when(col("_cov").isNotNull && col("n_chars") > 0,
+          expr("(_cov * 1000000L) div n_chars")).otherwise(lit(0L))
+          .as("top_ngram_char_ppm"))
+  }
+
+  /** DUPLICATE n-gram character coverage (Gopher n ∈ {5..10}):
+    * characters inside ANY n-gram that occurs more than once in the
+    * document, overlapping occurrences counted ONCE (interval union via
+    * the classic running-max window — per doc, never global), as ppm of
+    * the normalized text. Output: doc_id, n_chars, dup_ngram_char_ppm. */
+  def dupNgramCharFrac(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val tp = tokenPositions(docs, idCol, textCol)
+    val lens = tp.groupBy("doc_id")
+      .agg((sum(length(col("tok")).cast("long")) + count(lit(1)) - 1L).as("n_chars"))
+    val iv = ngramIntervals(tp, n)
+    val dupIv = iv.withColumn("_cnt",
+        count(lit(1)).over(Window.partitionBy("doc_id", "g")))
+      .filter(col("_cnt") > 1)
+      .select(col("doc_id"), col("s"), col("e"))
+    val wOrd = Window.partitionBy("doc_id").orderBy(col("s"), col("e"))
+    val merged = dupIv
+      .withColumn("_pmax",
+        max(col("e")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_new",
+        when(col("_pmax").isNull || col("s") > col("_pmax"), 1L).otherwise(0L))
+      .withColumn("_grp", sum(col("_new")).over(wOrd))
+      .groupBy(col("doc_id"), col("_grp"))
+      .agg((max(col("e")) - min(col("s"))).as("_len"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("_len")).as("_cov"))
+    lens.join(merged, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        when(col("_cov").isNotNull && col("n_chars") > 0,
+          expr("(_cov * 1000000L) div n_chars")).otherwise(lit(0L))
+          .as("dup_ngram_char_ppm"))
+  }
+
+  /** The composed repetition GATE: line duplicates + a top-2-gram probe
+    * + a dup-5-gram probe against the published Gopher thresholds
+    * (dup lines > 30%, dup line chars > 20%, top 2-gram > 20%,
+    * dup 5-gram > 15% — each expressed in ppm). The full paper sweep is
+    * this with n = 3,4 top probes and n = 6..10 dup probes unioned in —
+    * same operators, more calls. */
+  def repetitionGate(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"))
+    base
+      .join(lineRepetition(docs, idCol, textCol), Seq("doc_id"), "left")
+      .join(topNgramCharFrac(docs, idCol, textCol, 2)
+        .withColumnRenamed("top_ngram_char_ppm", "top2_char_ppm")
+        .drop("n_chars"), Seq("doc_id"), "left")
+      .join(dupNgramCharFrac(docs, idCol, textCol, 5)
+        .withColumnRenamed("dup_ngram_char_ppm", "dup5_char_ppm"), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_lines", "dup_line_ppm", "dup_line_char_ppm",
+        "top2_char_ppm", "n_chars", "dup5_char_ppm"))
+      .withColumn("rep_pass",
+        when(col("dup_line_ppm") <= 300000L && col("dup_line_char_ppm") <= 200000L &&
+          col("top2_char_ppm") <= 200000L && col("dup5_char_ppm") <= 150000L,
+          lit(1L)).otherwise(lit(0L)))
+  }
 }

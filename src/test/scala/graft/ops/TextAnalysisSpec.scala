@@ -82,4 +82,56 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r2.getAs[Long]("gopher_pass") == 0L,
       "an all-boilerplate page cleans to empty and fails the gate")
   }
+
+  test("lineRepetition: duplicate occurrences beyond the first, char-weighted") {
+    // 4 non-blank lines: "aa" ×2 (len 2), "bbbb" ×1, "cc dd" ×1
+    // dup occurrences = 1; dup chars = 2; total chars = 2+2+4+5 = 13
+    val df = Seq((1L, "aa\n aa \nbbbb\n\ncc dd")).toDF("doc_id", "text")
+    val r = TextAnalysis.lineRepetition(df, "doc_id", "text").collect().head
+    assert(r.getAs[Long]("n_lines") == 4L)
+    assert(r.getAs[Long]("dup_line_ppm") == 1000000L / 4)
+    assert(r.getAs[Long]("dup_line_char_ppm") == 2L * 1000000L / 13L)
+  }
+
+  test("topNgramCharFrac: count x gram length of the most frequent 2-gram") {
+    // normalized: "a b a b a b x" (13 chars); top 2-gram "a b" (len 3)
+    // occurs 3x -> cov 9 -> 692307 ppm
+    val df = Seq((1L, "a b a b a b x")).toDF("doc_id", "text")
+    val r = TextAnalysis.topNgramCharFrac(df, "doc_id", "text", 2).collect().head
+    assert(r.getAs[Long]("n_chars") == 13L)
+    assert(r.getAs[Long]("top_ngram_char_ppm") == 9L * 1000000L / 13L)
+  }
+
+  test("dupNgramCharFrac: overlapping duplicated n-gram spans count chars once") {
+    // "p q r s t u p q r s t u v" (25 chars): the repeated 6-token run
+    // yields overlapping duplicated 5-grams [0,9),[2,11) and [12,21),
+    // [14,23) -> union [0,11) + [12,23) = 22 chars
+    val df = Seq((1L, "p q r s t u p q r s t u v")).toDF("doc_id", "text")
+    val r = TextAnalysis.dupNgramCharFrac(df, "doc_id", "text", 5).collect().head
+    assert(r.getAs[Long]("n_chars") == 25L)
+    assert(r.getAs[Long]("dup_ngram_char_ppm") == 22L * 1000000L / 25L,
+      s"got ${r.getAs[Long]("dup_ngram_char_ppm")}")
+  }
+
+  test("repetitionGate: clean text passes, degenerate text fails; blank is safe") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over one lazy dog near the old river bank today"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam"),
+      (3L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionGate(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rep_pass")).toMap
+    assert(out(1L) == 1L, "varied prose must pass")
+    assert(out(2L) == 0L, "a degenerate repeated-token doc must fail")
+    assert(out(3L) == 1L, "a blank doc yields all-zero features (no crash)")
+  }
+
+  test("repetition windows partition by doc — never a global exchange") {
+    val df = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val plan = TextAnalysis.dupNgramCharFrac(df, "doc_id", "text", 5)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"every repetition window must partition by doc_id: ${windows.map(_.partitionSpec)}")
+  }
 }
