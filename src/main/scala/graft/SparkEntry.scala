@@ -360,7 +360,7 @@ object SparkEntry {
     "q36_triangles", "s38_stream_unique_tokens", "q37_degree_spectrum",
     "p44_mixture_select", "q38_retention_halflife", "d29_source_jaccard",
     "s18_stream_ivfpq_ingest", "s24_stream_drift", "s26_stream_rpq_ingest",
-    "t38_repetition_gate")
+    "t38_repetition_gate", "s40_stream_repetition_gate")
 
   /** The rewrite is a string replace, so it can silently no-op: a name
     * that drifted out of `oracleSqlBase`, or an oracle whose text lost

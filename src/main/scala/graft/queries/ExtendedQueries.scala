@@ -2047,6 +2047,36 @@ object ExtendedQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // t38's stream twin: the repetition gate as ingestion admission —
+    // per-doc pure (own lines, own n-grams), so the drained union of
+    // per-batch outputs IS the batch operator; stateless, no watermark,
+    // no ordering contract (the s14/s15 frozen-gate family, except
+    // nothing even needs freezing — the thresholds are the model)
+    "s40_stream_repetition_gate" -> ((s, dir) => {
+      val work = scratchDir("graft_s40")
+      val in = onceLog("s40", dir) { path =>
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val opener = concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 8))
+        val pages = d.select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat_ws("\n", col("text"), opener, opener))
+            .otherwise(col("text")).as("text"))
+        val b = pages.agg(min(col("doc_id")), max(col("doc_id"))).first()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val c1 = lo + (hi - lo) / 3
+        val c2 = lo + 2 * (hi - lo) / 3
+        Seq(col("doc_id") <= c1,
+            col("doc_id") > c1 && col("doc_id") <= c2,
+            col("doc_id") > c2).foreach { p =>
+          pages.filter(p).coalesce(1).write.mode("append").parquet(path)
+          Thread.sleep(20) // distinct mtimes → deterministic oldest-first arrival
+        }
+      }
+      graft.streaming.StreamRepetitionGate
+        .drain(s, in, s"$work/out", s"$work/ckpt")
+        .orderBy(col("doc_id"))
+    }),
+
     // CRAWL-SATURATION curve: per corpus decile (by doc_id order), the
     // share of its distinct trigrams never seen in earlier deciles —
     // the marginal-value-of-more-data curve a crawl budget is read off
@@ -3201,6 +3231,108 @@ object ExtendedQueries {
 
   /** Shared by t32 (batch) and s35 (streaming fold of the same counts):
     * one (source, term) count, per-source singleton rollup. */
+  private val t38OracleSql: String =
+    """WITH pages37 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      text || chr(10) ||
+        |      array_to_string(regexp_split_to_array(text, '\s+')[1:8], ' ') || chr(10) ||
+        |      array_to_string(regexp_split_to_array(text, '\s+')[1:8], ' ')
+        |    ELSE text END AS text
+        |  FROM documents),
+        |ln37 AS (
+        |  SELECT doc_id, line FROM (
+        |    SELECT doc_id, trim(unnest(string_split(text, chr(10)))) AS line
+        |    FROM pages37)
+        |  WHERE length(line) > 0),
+        |lc37 AS (SELECT doc_id, line, count(*) AS cnt FROM ln37 GROUP BY 1, 2),
+        |lrep37 AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+        |    CAST((sum(cnt - 1) * 1000000) // sum(cnt) AS BIGINT) AS dup_line_ppm,
+        |    CAST(CASE WHEN sum(cnt * length(line)) > 0
+        |      THEN (sum((cnt - 1) * length(line)) * 1000000) // sum(cnt * length(line))
+        |      ELSE 0 END AS BIGINT) AS dup_line_char_ppm
+        |  FROM lc37 GROUP BY doc_id),
+        |tok37 AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
+        |  FROM pages37 WHERE length(trim(text)) > 0),
+        |tpi37 AS (
+        |  SELECT doc_id, l, unnest(generate_series(1, len(l))) AS p FROM tok37),
+        |tp37 AS (
+        |  SELECT doc_id, p, l[p] AS tok,
+        |    sum(length(l[p]) + 1) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS UNBOUNDED PRECEDING) - length(l[p]) - 1 AS cs
+        |  FROM tpi37),
+        |lens37 AS (
+        |  SELECT doc_id, CAST(sum(length(tok)) + count(*) - 1 AS BIGINT) AS n_chars
+        |  FROM tp37 GROUP BY doc_id),
+        |g2v37 AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id,
+        |      tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY p) AS g,
+        |      cs AS s,
+        |      lead(cs + length(tok), 1) OVER (PARTITION BY doc_id ORDER BY p) AS e
+        |    FROM tp37)
+        |  WHERE e IS NOT NULL),
+        |t2a37 AS (SELECT doc_id, g, count(*) AS cnt, min(e - s) AS glen
+        |  FROM g2v37 GROUP BY 1, 2),
+        |t2b37 AS (SELECT doc_id, max(cnt) AS maxc FROM t2a37 GROUP BY 1),
+        |t2c37 AS (
+        |  SELECT a.doc_id, max(a.cnt * a.glen) AS cov
+        |  FROM t2a37 a JOIN t2b37 b ON a.doc_id = b.doc_id AND a.cnt = b.maxc
+        |  GROUP BY a.doc_id),
+        |g5v37 AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id,
+        |      tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY p)
+        |        || ' ' || lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY p)
+        |        || ' ' || lead(tok, 3) OVER (PARTITION BY doc_id ORDER BY p)
+        |        || ' ' || lead(tok, 4) OVER (PARTITION BY doc_id ORDER BY p) AS g,
+        |      cs AS s,
+        |      lead(cs + length(tok), 4) OVER (PARTITION BY doc_id ORDER BY p) AS e
+        |    FROM tp37)
+        |  WHERE e IS NOT NULL),
+        |d5v37 AS (
+        |  SELECT doc_id, s, e FROM (
+        |    SELECT doc_id, s, e, count(*) OVER (PARTITION BY doc_id, g) AS cnt
+        |    FROM g5v37)
+        |  WHERE cnt > 1),
+        |mrg37 AS (
+        |  SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM d5v37),
+        |grp37 AS (
+        |  SELECT doc_id, s, e,
+        |    sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM mrg37),
+        |cov537 AS (
+        |  SELECT doc_id, sum(len) AS cov FROM (
+        |    SELECT doc_id, grp, max(e) - min(s) AS len FROM grp37 GROUP BY 1, 2)
+        |  GROUP BY doc_id),
+        |rep37 AS (
+        |  SELECT d.doc_id,
+        |    COALESCE(l.n_lines, 0) AS n_lines,
+        |    COALESCE(l.dup_line_ppm, 0) AS dup_line_ppm,
+        |    COALESCE(l.dup_line_char_ppm, 0) AS dup_line_char_ppm,
+        |    CAST(COALESCE(CASE WHEN le.n_chars > 0
+        |      THEN (t2.cov * 1000000) // le.n_chars END, 0) AS BIGINT) AS top2_char_ppm,
+        |    COALESCE(le.n_chars, 0) AS n_chars,
+        |    CAST(COALESCE(CASE WHEN le.n_chars > 0
+        |      THEN (c5.cov * 1000000) // le.n_chars END, 0) AS BIGINT) AS dup5_char_ppm
+        |  FROM documents d
+        |  LEFT JOIN lrep37 l ON d.doc_id = l.doc_id
+        |  LEFT JOIN lens37 le ON d.doc_id = le.doc_id
+        |  LEFT JOIN t2c37 t2 ON d.doc_id = t2.doc_id
+        |  LEFT JOIN cov537 c5 ON d.doc_id = c5.doc_id)
+        |SELECT doc_id, n_lines, dup_line_ppm, dup_line_char_ppm,
+        |  top2_char_ppm, n_chars, dup5_char_ppm,
+        |  CAST(CASE WHEN dup_line_ppm <= 300000 AND dup_line_char_ppm <= 200000
+        |    AND top2_char_ppm <= 200000 AND dup5_char_ppm <= 150000
+        |    THEN 1 ELSE 0 END AS BIGINT) AS rep_pass
+        |FROM rep37 ORDER BY doc_id""".stripMargin
+
   private val t32OracleSql: String =
     """WITH tok32 AS (
       |  SELECT source AS grp, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
@@ -5046,107 +5178,10 @@ object ExtendedQueries {
     // coverage = max(cnt*glen) among max-cnt grams; dup-5-gram coverage
     // = per-doc interval union (running-max window then group-sum).
     // tp38 consumed 3x downstream → materialized via the allowlist
-    "t38_repetition_gate" ->
-      """WITH pages37 AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 3 = 0 THEN
-        |      text || chr(10) ||
-        |      array_to_string(regexp_split_to_array(text, '\s+')[1:8], ' ') || chr(10) ||
-        |      array_to_string(regexp_split_to_array(text, '\s+')[1:8], ' ')
-        |    ELSE text END AS text
-        |  FROM documents),
-        |ln37 AS (
-        |  SELECT doc_id, line FROM (
-        |    SELECT doc_id, trim(unnest(string_split(text, chr(10)))) AS line
-        |    FROM pages37)
-        |  WHERE length(line) > 0),
-        |lc37 AS (SELECT doc_id, line, count(*) AS cnt FROM ln37 GROUP BY 1, 2),
-        |lrep37 AS (
-        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
-        |    CAST((sum(cnt - 1) * 1000000) // sum(cnt) AS BIGINT) AS dup_line_ppm,
-        |    CAST(CASE WHEN sum(cnt * length(line)) > 0
-        |      THEN (sum((cnt - 1) * length(line)) * 1000000) // sum(cnt * length(line))
-        |      ELSE 0 END AS BIGINT) AS dup_line_char_ppm
-        |  FROM lc37 GROUP BY doc_id),
-        |tok37 AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
-        |  FROM pages37 WHERE length(trim(text)) > 0),
-        |tpi37 AS (
-        |  SELECT doc_id, l, unnest(generate_series(1, len(l))) AS p FROM tok37),
-        |tp37 AS (
-        |  SELECT doc_id, p, l[p] AS tok,
-        |    sum(length(l[p]) + 1) OVER (PARTITION BY doc_id ORDER BY p
-        |      ROWS UNBOUNDED PRECEDING) - length(l[p]) - 1 AS cs
-        |  FROM tpi37),
-        |lens37 AS (
-        |  SELECT doc_id, CAST(sum(length(tok)) + count(*) - 1 AS BIGINT) AS n_chars
-        |  FROM tp37 GROUP BY doc_id),
-        |g2v37 AS (
-        |  SELECT * FROM (
-        |    SELECT doc_id,
-        |      tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY p) AS g,
-        |      cs AS s,
-        |      lead(cs + length(tok), 1) OVER (PARTITION BY doc_id ORDER BY p) AS e
-        |    FROM tp37)
-        |  WHERE e IS NOT NULL),
-        |t2a37 AS (SELECT doc_id, g, count(*) AS cnt, min(e - s) AS glen
-        |  FROM g2v37 GROUP BY 1, 2),
-        |t2b37 AS (SELECT doc_id, max(cnt) AS maxc FROM t2a37 GROUP BY 1),
-        |t2c37 AS (
-        |  SELECT a.doc_id, max(a.cnt * a.glen) AS cov
-        |  FROM t2a37 a JOIN t2b37 b ON a.doc_id = b.doc_id AND a.cnt = b.maxc
-        |  GROUP BY a.doc_id),
-        |g5v37 AS (
-        |  SELECT * FROM (
-        |    SELECT doc_id,
-        |      tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY p)
-        |        || ' ' || lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY p)
-        |        || ' ' || lead(tok, 3) OVER (PARTITION BY doc_id ORDER BY p)
-        |        || ' ' || lead(tok, 4) OVER (PARTITION BY doc_id ORDER BY p) AS g,
-        |      cs AS s,
-        |      lead(cs + length(tok), 4) OVER (PARTITION BY doc_id ORDER BY p) AS e
-        |    FROM tp37)
-        |  WHERE e IS NOT NULL),
-        |d5v37 AS (
-        |  SELECT doc_id, s, e FROM (
-        |    SELECT doc_id, s, e, count(*) OVER (PARTITION BY doc_id, g) AS cnt
-        |    FROM g5v37)
-        |  WHERE cnt > 1),
-        |mrg37 AS (
-        |  SELECT doc_id, s, e,
-        |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
-        |  FROM d5v37),
-        |grp37 AS (
-        |  SELECT doc_id, s, e,
-        |    sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS grp
-        |  FROM mrg37),
-        |cov537 AS (
-        |  SELECT doc_id, sum(len) AS cov FROM (
-        |    SELECT doc_id, grp, max(e) - min(s) AS len FROM grp37 GROUP BY 1, 2)
-        |  GROUP BY doc_id),
-        |rep37 AS (
-        |  SELECT d.doc_id,
-        |    COALESCE(l.n_lines, 0) AS n_lines,
-        |    COALESCE(l.dup_line_ppm, 0) AS dup_line_ppm,
-        |    COALESCE(l.dup_line_char_ppm, 0) AS dup_line_char_ppm,
-        |    CAST(COALESCE(CASE WHEN le.n_chars > 0
-        |      THEN (t2.cov * 1000000) // le.n_chars END, 0) AS BIGINT) AS top2_char_ppm,
-        |    COALESCE(le.n_chars, 0) AS n_chars,
-        |    CAST(COALESCE(CASE WHEN le.n_chars > 0
-        |      THEN (c5.cov * 1000000) // le.n_chars END, 0) AS BIGINT) AS dup5_char_ppm
-        |  FROM documents d
-        |  LEFT JOIN lrep37 l ON d.doc_id = l.doc_id
-        |  LEFT JOIN lens37 le ON d.doc_id = le.doc_id
-        |  LEFT JOIN t2c37 t2 ON d.doc_id = t2.doc_id
-        |  LEFT JOIN cov537 c5 ON d.doc_id = c5.doc_id)
-        |SELECT doc_id, n_lines, dup_line_ppm, dup_line_char_ppm,
-        |  top2_char_ppm, n_chars, dup5_char_ppm,
-        |  CAST(CASE WHEN dup_line_ppm <= 300000 AND dup_line_char_ppm <= 200000
-        |    AND top2_char_ppm <= 200000 AND dup5_char_ppm <= 150000
-        |    THEN 1 ELSE 0 END AS BIGINT) AS rep_pass
-        |FROM rep37 ORDER BY doc_id""".stripMargin,
+    "t38_repetition_gate" -> t38OracleSql,
+
+    // per-doc pure ⇒ drained union == batch operator, its oracle verbatim
+    "s40_stream_repetition_gate" -> t38OracleSql,
 
     // t36: distinct (decile, gram) pairs, min-decile first-seen, decile
     // census; gr36 consumed twice → materialized via the allowlist
