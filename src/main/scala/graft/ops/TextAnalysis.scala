@@ -284,30 +284,43 @@ object TextAnalysis {
   import org.apache.spark.sql.DataFrame
   import org.apache.spark.sql.expressions.Window
 
+  /** Duplicate-BLOCK fractions (shared core of the line and paragraph
+    * metrics): occurrences beyond the first of each distinct non-blank
+    * block are duplicates. Output columns carry `unit`'s name. */
+  private def blockRepetition(docs: DataFrame, idCol: String, textCol: String,
+                              sep: String, unit: String): DataFrame = {
+    val blocks = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(split(col(textCol), sep)).as("raw"))
+      .select(col("doc_id"), trim(col("raw")).as("blk"))
+      .filter(length(col("blk")) > 0)
+    blocks
+      .groupBy(col("doc_id"), col("blk"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as(s"n_${unit}s"),
+        sum(col("cnt") - 1).as("_dup"),
+        sum(col("cnt") * length(col("blk")).cast("long")).as("_chars"),
+        sum((col("cnt") - 1) * length(col("blk")).cast("long")).as("_dupChars"))
+      .select(col("doc_id"), col(s"n_${unit}s"),
+        expr(s"(_dup * 1000000L) div n_${unit}s").as(s"dup_${unit}_ppm"),
+        when(col("_chars") > 0, expr("(_dupChars * 1000000L) div _chars"))
+          .otherwise(lit(0L)).as(s"dup_${unit}_char_ppm"))
+  }
+
   /** Duplicate-LINE fractions: occurrences beyond the first of each
     * distinct non-blank line are duplicates.
     * Output: doc_id, n_lines, dup_line_ppm (duplicate occurrences /
     * lines), dup_line_char_ppm (their characters / line characters). */
-  def lineRepetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val lines = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        explode(split(col(textCol), "\n")).as("raw"))
-      .select(col("doc_id"), trim(col("raw")).as("line"))
-      .filter(length(col("line")) > 0)
-    lines
-      .groupBy(col("doc_id"), col("line"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(col("cnt")).as("n_lines"),
-        sum(col("cnt") - 1).as("_dup"),
-        sum(col("cnt") * length(col("line")).cast("long")).as("_chars"),
-        sum((col("cnt") - 1) * length(col("line")).cast("long")).as("_dupChars"))
-      .select(col("doc_id"), col("n_lines"),
-        expr("(_dup * 1000000L) div n_lines").as("dup_line_ppm"),
-        when(col("_chars") > 0, expr("(_dupChars * 1000000L) div _chars"))
-          .otherwise(lit(0L)).as("dup_line_char_ppm"))
-  }
+  def lineRepetition(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    blockRepetition(docs, idCol, textCol, "\n", "line")
+
+  /** Duplicate-PARAGRAPH fractions (blank-line-separated blocks) —
+    * Gopher's paragraph duplicates next to the line duplicates.
+    * Output: doc_id, n_paras, dup_para_ppm, dup_para_char_ppm. */
+  def paraRepetition(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    blockRepetition(docs, idCol, textCol, "\n\\s*\n", "para")
 
   /** Word tokens of the whitespace-NORMALIZED text with their character
     * offsets in it: (doc_id, p, tok, cs) where cs is the token's char
@@ -396,25 +409,28 @@ object TextAnalysis {
           .as("dup_ngram_char_ppm"))
   }
 
-  /** The composed repetition GATE: line duplicates + a top-2-gram probe
-    * + a dup-5-gram probe against the published Gopher thresholds
-    * (dup lines > 30%, dup line chars > 20%, top 2-gram > 20%,
-    * dup 5-gram > 15% — each expressed in ppm). The full paper sweep is
-    * this with n = 3,4 top probes and n = 6..10 dup probes unioned in —
-    * same operators, more calls. */
+  /** The composed repetition GATE: line + paragraph duplicates, a
+    * top-2-gram probe, and a dup-5-gram probe against the published
+    * Gopher thresholds (dup lines/paras > 30%, their char fractions
+    * > 20%, top 2-gram > 20%, dup 5-gram > 15% — each expressed in
+    * ppm). The full paper sweep is this with n = 3,4 top probes and
+    * n = 6..10 dup probes unioned in — same operators, more calls. */
   def repetitionGate(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = docs.select(col(idCol).cast("long").as("doc_id"))
     base
       .join(lineRepetition(docs, idCol, textCol), Seq("doc_id"), "left")
+      .join(paraRepetition(docs, idCol, textCol), Seq("doc_id"), "left")
       .join(topNgramCharFrac(docs, idCol, textCol, 2)
         .withColumnRenamed("top_ngram_char_ppm", "top2_char_ppm")
         .drop("n_chars"), Seq("doc_id"), "left")
       .join(dupNgramCharFrac(docs, idCol, textCol, 5)
         .withColumnRenamed("dup_ngram_char_ppm", "dup5_char_ppm"), Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_lines", "dup_line_ppm", "dup_line_char_ppm",
+        "n_paras", "dup_para_ppm", "dup_para_char_ppm",
         "top2_char_ppm", "n_chars", "dup5_char_ppm"))
       .withColumn("rep_pass",
         when(col("dup_line_ppm") <= 300000L && col("dup_line_char_ppm") <= 200000L &&
+          col("dup_para_ppm") <= 300000L && col("dup_para_char_ppm") <= 200000L &&
           col("top2_char_ppm") <= 200000L && col("dup5_char_ppm") <= 150000L,
           lit(1L)).otherwise(lit(0L)))
   }

@@ -2037,13 +2037,8 @@ object ExtendedQueries {
     // duplicated line (its own opening 8 words, twice) so line dups,
     // 2-gram spikes, and repeated 5-grams all genuinely occur
     "t38_repetition_gate" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val opener = concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 8))
-      val pages = d.select(col("doc_id"),
-        when(col("doc_id") % 3 === 0,
-          concat_ws("\n", col("text"), opener, opener))
-          .otherwise(col("text")).as("text"))
-      graft.ops.TextAnalysis.repetitionGate(pages, "doc_id", "text")
+      graft.ops.TextAnalysis
+        .repetitionGate(repetitionPages(t(s, dir, "documents")), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 
@@ -2055,12 +2050,7 @@ object ExtendedQueries {
     "s40_stream_repetition_gate" -> ((s, dir) => {
       val work = scratchDir("graft_s40")
       val in = onceLog("s40", dir) { path =>
-        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        val opener = concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 8))
-        val pages = d.select(col("doc_id"),
-          when(col("doc_id") % 3 === 0,
-            concat_ws("\n", col("text"), opener, opener))
-            .otherwise(col("text")).as("text"))
+        val pages = repetitionPages(t(s, dir, "documents"))
         val b = pages.agg(min(col("doc_id")), max(col("doc_id"))).first()
         val (lo, hi) = (b.getLong(0), b.getLong(1))
         val c1 = lo + (hi - lo) / 3
@@ -3231,15 +3221,41 @@ object ExtendedQueries {
 
   /** Shared by t32 (batch) and s35 (streaming fold of the same counts):
     * one (source, term) count, per-source singleton rollup. */
+  /** The t38/s40 fixture: every third doc gains a duplicated LINE (its
+    * opening 8 words, twice) and every fourth a duplicated PARAGRAPH
+    * (the same opener as two blank-line-separated blocks) — line dups,
+    * paragraph dups, 2-gram spikes, and repeated 5-grams all genuinely
+    * occur, with the %12 docs exercising every signal at once. */
+  private def repetitionPages(docs: DataFrame): DataFrame = {
+    val opener = concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 8))
+    docs.select(col("doc_id"), col("text"), opener.as("_op"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat_ws("\n", col("text"), col("_op"), col("_op")))
+          .otherwise(col("text")).as("text"),
+        col("_op"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat_ws("\n\n", col("text"), col("_op"), col("_op")))
+          .otherwise(col("text")).as("text"))
+  }
+
   private val t38OracleSql: String =
-    """WITH pages37 AS (
+    """WITH pages37a AS (
         |  SELECT doc_id,
+        |    array_to_string(regexp_split_to_array(text, '\s+')[1:8], ' ') AS op,
         |    CASE WHEN doc_id % 3 = 0 THEN
         |      text || chr(10) ||
         |      array_to_string(regexp_split_to_array(text, '\s+')[1:8], ' ') || chr(10) ||
         |      array_to_string(regexp_split_to_array(text, '\s+')[1:8], ' ')
         |    ELSE text END AS text
         |  FROM documents),
+        |pages37 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN
+        |      text || chr(10) || chr(10) || op || chr(10) || chr(10) || op
+        |    ELSE text END AS text
+        |  FROM pages37a),
         |ln37 AS (
         |  SELECT doc_id, line FROM (
         |    SELECT doc_id, trim(unnest(string_split(text, chr(10)))) AS line
@@ -3253,6 +3269,19 @@ object ExtendedQueries {
         |      THEN (sum((cnt - 1) * length(line)) * 1000000) // sum(cnt * length(line))
         |      ELSE 0 END AS BIGINT) AS dup_line_char_ppm
         |  FROM lc37 GROUP BY doc_id),
+        |pp37 AS (
+        |  SELECT doc_id, para FROM (
+        |    SELECT doc_id, trim(unnest(string_split_regex(text, '\n\s*\n'))) AS para
+        |    FROM pages37)
+        |  WHERE length(para) > 0),
+        |pc37 AS (SELECT doc_id, para, count(*) AS cnt FROM pp37 GROUP BY 1, 2),
+        |prep37 AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_paras,
+        |    CAST((sum(cnt - 1) * 1000000) // sum(cnt) AS BIGINT) AS dup_para_ppm,
+        |    CAST(CASE WHEN sum(cnt * length(para)) > 0
+        |      THEN (sum((cnt - 1) * length(para)) * 1000000) // sum(cnt * length(para))
+        |      ELSE 0 END AS BIGINT) AS dup_para_char_ppm
+        |  FROM pc37 GROUP BY doc_id),
         |tok37 AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
         |  FROM pages37 WHERE length(trim(text)) > 0),
@@ -3316,6 +3345,9 @@ object ExtendedQueries {
         |    COALESCE(l.n_lines, 0) AS n_lines,
         |    COALESCE(l.dup_line_ppm, 0) AS dup_line_ppm,
         |    COALESCE(l.dup_line_char_ppm, 0) AS dup_line_char_ppm,
+        |    COALESCE(pr.n_paras, 0) AS n_paras,
+        |    COALESCE(pr.dup_para_ppm, 0) AS dup_para_ppm,
+        |    COALESCE(pr.dup_para_char_ppm, 0) AS dup_para_char_ppm,
         |    CAST(COALESCE(CASE WHEN le.n_chars > 0
         |      THEN (t2.cov * 1000000) // le.n_chars END, 0) AS BIGINT) AS top2_char_ppm,
         |    COALESCE(le.n_chars, 0) AS n_chars,
@@ -3323,12 +3355,15 @@ object ExtendedQueries {
         |      THEN (c5.cov * 1000000) // le.n_chars END, 0) AS BIGINT) AS dup5_char_ppm
         |  FROM documents d
         |  LEFT JOIN lrep37 l ON d.doc_id = l.doc_id
+        |  LEFT JOIN prep37 pr ON d.doc_id = pr.doc_id
         |  LEFT JOIN lens37 le ON d.doc_id = le.doc_id
         |  LEFT JOIN t2c37 t2 ON d.doc_id = t2.doc_id
         |  LEFT JOIN cov537 c5 ON d.doc_id = c5.doc_id)
         |SELECT doc_id, n_lines, dup_line_ppm, dup_line_char_ppm,
+        |  n_paras, dup_para_ppm, dup_para_char_ppm,
         |  top2_char_ppm, n_chars, dup5_char_ppm,
         |  CAST(CASE WHEN dup_line_ppm <= 300000 AND dup_line_char_ppm <= 200000
+        |    AND dup_para_ppm <= 300000 AND dup_para_char_ppm <= 200000
         |    AND top2_char_ppm <= 200000 AND dup5_char_ppm <= 150000
         |    THEN 1 ELSE 0 END AS BIGINT) AS rep_pass
         |FROM rep37 ORDER BY doc_id""".stripMargin

@@ -33,6 +33,7 @@ object StreamRepetitionGate {
             ckptPath: String): DataFrame =
     KgramStreamCore.drain(spark, inPath, outPath, ckptPath,
       "doc_id long, n_lines long, dup_line_ppm long, dup_line_char_ppm long, " +
+        "n_paras long, dup_para_ppm long, dup_para_char_ppm long, " +
         "top2_char_ppm long, n_chars long, dup5_char_ppm long, rep_pass long") {
       (b, _) => applyBatch(b, "doc_id", "text", outPath)
     }

@@ -93,6 +93,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Long]("dup_line_char_ppm") == 2L * 1000000L / 13L)
   }
 
+  test("paraRepetition: blank-line-separated blocks, duplicates beyond the first") {
+    // paragraphs: "aa bb" x2 (len 5), "cc" x1 -> 3 paras, 1 dup,
+    // chars 5+5+2 = 12, dup chars 5
+    val df = Seq((1L, "aa bb\n\ncc\n\naa bb")).toDF("doc_id", "text")
+    val r = TextAnalysis.paraRepetition(df, "doc_id", "text").collect().head
+    assert(r.getAs[Long]("n_paras") == 3L)
+    assert(r.getAs[Long]("dup_para_ppm") == 1000000L / 3)
+    assert(r.getAs[Long]("dup_para_char_ppm") == 5L * 1000000L / 12L)
+  }
+
   test("topNgramCharFrac: count x gram length of the most frequent 2-gram") {
     // normalized: "a b a b a b x" (13 chars); top 2-gram "a b" (len 3)
     // occurs 3x -> cov 9 -> 692307 ppm
