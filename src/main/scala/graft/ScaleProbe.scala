@@ -23,7 +23,7 @@ object ScaleProbe {
     "d04_lsh_pairs", "d08_embed_neardup_lsh", "d14_neardup_prune",
     "a13_ann_ivfpq_index", "a19_ann_ivf_delete",
     "p11_sequence_pack", "p15_span_curation_pack", "p24_incremental_ingest",
-    "s01_stream_state")
+    "s01_stream_state", "t38_repetition_gate")
 
   def main(args: Array[String]): Unit = {
     val sf01 = "/root/testdata/sf0.1"
