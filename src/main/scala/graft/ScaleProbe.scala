@@ -35,8 +35,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-      .config("spark.driver.memory", "16g")
-      .getOrCreate()
+      .getOrCreate() // heap comes from build.sbt's forked -Xmx (16g default)
     spark.sparkContext.setLogLevel("WARN")
 
     generate(spark, sf01, sf1)
@@ -60,16 +59,22 @@ object ScaleProbe {
       (secs, shuffle.bytes - b0)
     }
 
+    def r2(v: Double): Double = math.round(v * 100) / 100.0 // locale-free
+
     println(f"${"query"}%-24s ${"sf0.1 s"}%9s ${"sf1 s"}%9s ${"wall×"}%7s " +
       f"${"sf0.1 shMB"}%11s ${"sf1 shMB"}%10s ${"sh×"}%7s")
     val rows = probes.map { name =>
+      // warmup at the small scale first: JIT/codegen/session startup
+      // otherwise lands entirely in the sf0.1 denominator and deflates
+      // every reported wall ratio
+      once(name, sf01)
       val (t1, s1) = once(name, sf01)
       val (t10, s10) = once(name, sf1)
       val line = f"$name%-24s $t1%9.2f $t10%9.2f ${t10 / t1}%7.1f " +
         f"${s1 / 1e6}%11.1f ${s10 / 1e6}%10.1f ${
           if (s1 > 0) f"${s10.toDouble / s1}%7.1f" else "      -"}%s"
       println(line)
-      s"""{"query":"$name","sf01_s":${f"$t1%.2f"},"sf1_s":${f"$t10%.2f"},""" +
+      s"""{"query":"$name","sf01_s":${r2(t1)},"sf1_s":${r2(t10)},""" +
         s""""sf01_shuffle_b":$s1,"sf1_shuffle_b":$s10}"""
     }
     val out = rows.mkString("[", ",\n", "]")

@@ -491,11 +491,17 @@ object Dedup {
     * [[editContaminationPrepared]] instead. */
   def editBenchPrep(benchmark: DataFrame, idCol: String, textCol: String,
                     k: Int = 8): DataFrame =
-    benchmark.select(col(idCol).cast("long").as("bench_id"),
-        col(textCol).as("bench_id_text"),
+    editGrams(benchmark, idCol, textCol, k, "bench_id")
+
+  /** Shared shingle-prep of both [[editContaminationPrepared]] sides —
+    * one definition so corpus and benchmark can never silently diverge. */
+  private def editGrams(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, as: String): DataFrame =
+    df.select(col(idCol).cast("long").as(as),
+        col(textCol).as(s"${as}_text"),
         graft.expr.hfunctions.char_shingles60(col(textCol), k).as("hs"))
       .filter(size(col("hs")) > 0)
-      .withColumn("bench_id_n", size(col("hs")).cast("long"))
+      .withColumn(s"${as}_n", size(col("hs")).cast("long"))
 
   /** [[editContamination]] against a prepared ([[editBenchPrep]]) — and
     * typically persisted — benchmark side. */
@@ -505,11 +511,7 @@ object Dedup {
                                 editSim: Double = 0.8, maxDist: Int = 1000): DataFrame = {
     requireIntegralId(corpus, idCol, "editContamination")
     require(minOverlap > 0.0 && minOverlap <= 1.0, s"minOverlap in (0,1]: $minOverlap")
-    val cs = corpus
-      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("doc_id_text"),
-        graft.expr.hfunctions.char_shingles60(col(textCol), k).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .withColumn("doc_id_n", size(col("hs")).cast("long"))
+    val cs = editGrams(corpus, idCol, textCol, k, "doc_id")
     val bs = benchPrepared
     val cg = cs.select(col("doc_id"), col("doc_id_n"), explode(col("hs")).as("h"))
     val bg = bs.select(col("bench_id"), col("bench_id_n"), explode(col("hs")).as("h"))

@@ -414,24 +414,168 @@ object TextAnalysis {
     * Gopher thresholds (dup lines/paras > 30%, their char fractions
     * > 20%, top 2-gram > 20%, dup 5-gram > 15% — each expressed in
     * ppm). The full paper sweep is this with n = 3,4 top probes and
-    * n = 6..10 dup probes unioned in — same operators, more calls. */
+    * n = 6..10 dup probes unioned in — same operators, more calls.
+    *
+    * Every feature is per-doc pure, so the gate runs as ONE map-only
+    * pass through the compiled [[RepetitionKernel]] behind a typed map
+    * (the object boundary also guarantees one kernel evaluation per
+    * row) — the composable relational forms ([[lineRepetition]],
+    * [[topNgramCharFrac]], [[dupNgramCharFrac]]) each re-scan and
+    * shuffle by doc_id, which is the right shape for a single probe
+    * but 6+ corpus scans for the composed gate.
+    * [[TextAnalysisSpec]] pins kernel ≡ relational equality. */
   def repetitionGate(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = docs.select(col(idCol).cast("long").as("doc_id"))
-    base
-      .join(lineRepetition(docs, idCol, textCol), Seq("doc_id"), "left")
-      .join(paraRepetition(docs, idCol, textCol), Seq("doc_id"), "left")
-      .join(topNgramCharFrac(docs, idCol, textCol, 2)
-        .withColumnRenamed("top_ngram_char_ppm", "top2_char_ppm")
-        .drop("n_chars"), Seq("doc_id"), "left")
-      .join(dupNgramCharFrac(docs, idCol, textCol, 5)
-        .withColumnRenamed("dup_ngram_char_ppm", "dup5_char_ppm"), Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_lines", "dup_line_ppm", "dup_line_char_ppm",
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val a = RepetitionKernel.compute(text)
+        val pass =
+          if (a(1) <= 300000L && a(2) <= 200000L &&
+            a(4) <= 300000L && a(5) <= 200000L &&
+            a(6) <= 200000L && a(8) <= 150000L) 1L else 0L
+        (id, a(0), a(1), a(2), a(3), a(4), a(5), a(6), a(7), a(8), pass)
+      }
+      .toDF("doc_id", "n_lines", "dup_line_ppm", "dup_line_char_ppm",
         "n_paras", "dup_para_ppm", "dup_para_char_ppm",
-        "top2_char_ppm", "n_chars", "dup5_char_ppm"))
-      .withColumn("rep_pass",
-        when(col("dup_line_ppm") <= 300000L && col("dup_line_char_ppm") <= 200000L &&
-          col("dup_para_ppm") <= 300000L && col("dup_para_char_ppm") <= 200000L &&
-          col("top2_char_ppm") <= 200000L && col("dup5_char_ppm") <= 150000L,
-          lit(1L)).otherwise(lit(0L)))
+        "top2_char_ppm", "n_chars", "dup5_char_ppm", "rep_pass")
+  }
+}
+
+/** One-pass per-document kernel behind [[TextAnalysis.repetitionGate]].
+  * Reproduces the relational forms' semantics EXACTLY (the DuckDB
+  * oracle replays the relational formulation, so the two must stay
+  * bit-identical; pinned in TextAnalysisSpec):
+  *  - `trim` strips SPACES only (Spark `trim` semantics);
+  *  - lengths count Unicode CODE POINTS (Spark `length`);
+  *  - lines split on `\n`, paragraphs on `\n\s*\n`, blanks dropped
+  *    after the space-trim;
+  *  - n-grams run over the whitespace-NORMALIZED text (`\s+` → one
+  *    space) with char offsets cs_p = Σ_{q<p}(len_q + 1);
+  *  - top-2-gram coverage = max count, ties by max count×gram-length;
+  *  - dup-5-gram coverage = interval union ordered by (start, end),
+  *    touching intervals merging (length-neutral);
+  *  - all fractions are `x * 1e6 / y` in Long math (floor on
+  *    non-negative operands, matching `div` and DuckDB `//`).
+  * Returns [n_lines, dup_line_ppm, dup_line_char_ppm, n_paras,
+  * dup_para_ppm, dup_para_char_ppm, top2_char_ppm, n_chars,
+  * dup5_char_ppm]; empty units yield zeros, never divide by zero. */
+private[ops] object RepetitionKernel {
+
+  private val paraSplit = java.util.regex.Pattern.compile("\n\\s*\n")
+  private val wsRun = java.util.regex.Pattern.compile("\\s+")
+
+  private def trimSpaces(s: String): String = {
+    var i = 0; var j = s.length
+    while (i < j && s.charAt(i) == ' ') i += 1
+    while (j > i && s.charAt(j - 1) == ' ') j -= 1
+    s.substring(i, j)
+  }
+
+  private def cp(s: String): Long = s.codePointCount(0, s.length).toLong
+
+  /** (n_blocks, dup_ppm, dup_char_ppm) over trimmed non-blank blocks. */
+  private def blockDup(blocks: Array[String]): (Long, Long, Long) = {
+    val counts = new java.util.HashMap[String, Long]()
+    var i = 0
+    while (i < blocks.length) {
+      val b = trimSpaces(blocks(i))
+      if (b.nonEmpty) counts.merge(b, 1L, java.lang.Long.sum)
+      i += 1
+    }
+    var n = 0L; var dup = 0L; var chars = 0L; var dupChars = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val len = cp(e.getKey); val cnt = e.getValue
+      n += cnt; dup += cnt - 1
+      chars += cnt * len; dupChars += (cnt - 1) * len
+    }
+    if (n == 0L) (0L, 0L, 0L)
+    else (n, dup * 1000000L / n,
+      if (chars > 0L) dupChars * 1000000L / chars else 0L)
+  }
+
+  def compute(text: String): Array[Long] = {
+    val (nLines, dupLine, dupLineChar) = blockDup(text.split("\n", -1))
+    val (nParas, dupPara, dupParaChar) = blockDup(paraSplit.split(text, -1))
+
+    val norm = wsRun.matcher(trimSpaces(text)).replaceAll(" ")
+    var top2 = 0L; var nChars = 0L; var dup5 = 0L
+    if (norm.nonEmpty) {
+      val toks = norm.split(" ", -1)
+      val n = toks.length
+      val lens = new Array[Long](n)
+      val cs = new Array[Long](n)
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        lens(i) = cp(toks(i)); cs(i) = acc; acc += lens(i) + 1; i += 1
+      }
+      nChars = acc - 1 // Σ len + (n-1)
+
+      if (n >= 2 && nChars > 0) {
+        val g2 = new java.util.HashMap[String, Array[Long]]() // (cnt, glen)
+        i = 0
+        while (i < n - 1) {
+          val g = toks(i) + " " + toks(i + 1)
+          val e = g2.get(g)
+          if (e == null) g2.put(g, Array(1L, lens(i) + lens(i + 1) + 1L))
+          else e(0) += 1L
+          i += 1
+        }
+        var maxCnt = 0L; var maxCov = 0L
+        val it = g2.values().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val cov = e(0) * e(1)
+          if (e(0) > maxCnt || (e(0) == maxCnt && cov > maxCov)) {
+            if (e(0) > maxCnt) { maxCnt = e(0); maxCov = cov }
+            else maxCov = cov
+          }
+        }
+        top2 = maxCov * 1000000L / nChars
+      }
+
+      if (n >= 5 && nChars > 0) {
+        val cnt5 = new java.util.HashMap[String, Long]()
+        i = 0
+        while (i <= n - 5) {
+          val sb = new java.lang.StringBuilder(toks(i))
+          var j = 1
+          while (j < 5) { sb.append(' ').append(toks(i + j)); j += 1 }
+          cnt5.merge(sb.toString, 1L, java.lang.Long.sum)
+          i += 1
+        }
+        val iv = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        i = 0
+        while (i <= n - 5) {
+          val sb = new java.lang.StringBuilder(toks(i))
+          var j = 1
+          while (j < 5) { sb.append(' ').append(toks(i + j)); j += 1 }
+          if (cnt5.get(sb.toString) > 1L)
+            iv += ((cs(i), cs(i + 4) + lens(i + 4)))
+          i += 1
+        }
+        if (iv.nonEmpty) {
+          val sorted = iv.sortBy(identity)
+          var cov = 0L
+          var (cs0, ce0) = sorted.head
+          var k = 1
+          while (k < sorted.length) {
+            val (s, e) = sorted(k)
+            if (s > ce0) { cov += ce0 - cs0; cs0 = s; ce0 = e }
+            else if (e > ce0) ce0 = e
+            k += 1
+          }
+          cov += ce0 - cs0
+          dup5 = cov * 1000000L / nChars
+        }
+      }
+    }
+    Array(nLines, dupLine, dupLineChar, nParas, dupPara, dupParaChar,
+      top2, nChars, dup5)
   }
 }

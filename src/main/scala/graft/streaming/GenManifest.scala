@@ -154,21 +154,25 @@ object GenMeta {
     * the fused manifest.
     *
     * Retention is bounded by COUNT as well as age: only the
-    * `graceKeep` most-recently-superseded generations get the grace
-    * window — anything older was superseded at least `graceKeep`
-    * commits ago, so no reader that resolved it as CURRENT can still
-    * be mid-scan, and it is deleted immediately. At seconds-level
-    * trigger cadence this caps the backlog at `graceKeep` directories
-    * per monitor instead of one per trigger within the window. */
+    * `graceKeep` most-recently-superseded generations get the FULL
+    * grace window; older ones are reclaimable once `graceFloorMs` has
+    * passed since their supersession stamp. Commit COUNT alone must
+    * never delete — at seconds-level trigger cadence a gen can be
+    * `graceKeep` commits deep within seconds of being superseded while
+    * a reader that resolved it as CURRENT is still materializing its
+    * lazy scan; the floor is the hard resolution→materialization bound
+    * every reader gets. The backlog is then capped at
+    * max(graceKeep, commits within graceFloorMs) directories per
+    * monitor instead of one per trigger across the whole window. */
   def sweep(aggDir: String, keep: String, graceMs: Long = 10L * 60 * 1000,
-            graceKeep: Int = 4): Unit =
+            graceKeep: Int = 4, graceFloorMs: Long = 60L * 1000): Unit =
     // self-healing and never load-bearing: a failed sweep leaks dirs
     // the NEXT sweep reclaims — it must not fail the batch post-commit
-    try sweepOrThrow(aggDir, keep, graceMs, graceKeep)
+    try sweepOrThrow(aggDir, keep, graceMs, graceKeep, graceFloorMs)
     catch { case scala.util.control.NonFatal(_) => () }
 
   private[streaming] def sweepOrThrow(aggDir: String, keep: String, graceMs: Long,
-                                      graceKeep: Int): Unit = {
+                                      graceKeep: Int, graceFloorMs: Long): Unit = {
     val root = Paths.get(aggDir)
     if (!Files.exists(root)) return
     Files.deleteIfExists(root.resolve("_current"))
@@ -189,11 +193,12 @@ object GenMeta {
     // stale stamp so a later supersession gets a full grace window
     Files.deleteIfExists(root.resolve(keep).resolve("_doomed"))
     val now = System.currentTimeMillis()
-    // newest-first by batch id (gens are g<batchId>, monotonic); only
-    // the graceKeep newest can still have in-flight readers
+    // newest-first by batch id (gens are g<batchId>, monotonic);
+    // non-numeric strays sort LAST (oldest) — note -(Long.MinValue)
+    // would overflow back to MinValue and rank them newest
     val byRecency = superseded.sortBy { p =>
       val n = p.getFileName.toString.drop(1)
-      -(if (n.forall(_.isDigit) && n.nonEmpty) n.toLong else Long.MinValue)
+      if (n.nonEmpty && n.forall(_.isDigit)) -n.toLong else Long.MaxValue
     }
     byRecency.zipWithIndex.foreach { case (p, rank) =>
       val stamp = p.resolve("_doomed")
@@ -205,7 +210,8 @@ object GenMeta {
           if (raw.nonEmpty && raw.forall(_.isDigit)) raw.toLong
           else { IndexState.atomicWriteString(stamp, now.toString); now }
         } else { IndexState.atomicWriteString(stamp, now.toString); now }
-      if (rank >= graceKeep || now - doomedAt >= graceMs) {
+      val age = now - doomedAt
+      if (age >= graceMs || (rank >= graceKeep && age >= graceFloorMs)) {
         val walk = Files.walk(p)
         try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .iterator().forEachRemaining(f => { Files.deleteIfExists(f); () })

@@ -135,6 +135,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == 1L, "a blank doc yields all-zero features (no crash)")
   }
 
+  test("repetitionGate kernel == the composable relational forms, feature by feature") {
+    import spark.implicits._
+    // adversarial texts: planted dup lines/paras, repeated 5-gram runs
+    // with overlap, whitespace noise, blanks, single tokens, ties
+    val docs = Seq(
+      (1L, "aa\n aa \nbbbb\n\ncc dd"),
+      (2L, "a b a b a b x"),
+      (3L, "p q r s t u p q r s t u v"),
+      (4L, "the quick brown fox jumps over one lazy dog near the old river"),
+      (5L, "spam spam spam spam spam spam spam spam spam spam"),
+      (6L, "   "),
+      (7L, "solo"),
+      (8L, "x y\n\nx y\n\nz\n\nx y"),
+      (9L, "one two\tthree   four\nfive six seven eight nine ten one two\tthree   four")
+    ).toDF("doc_id", "text")
+    val viaKernel = TextAnalysis.repetitionGate(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    // relational reference, assembled exactly like the pre-kernel gate
+    val base = docs.select(col("doc_id"))
+    val rel = base
+      .join(TextAnalysis.lineRepetition(docs, "doc_id", "text"), Seq("doc_id"), "left")
+      .join(TextAnalysis.paraRepetition(docs, "doc_id", "text"), Seq("doc_id"), "left")
+      .join(TextAnalysis.topNgramCharFrac(docs, "doc_id", "text", 2)
+        .withColumnRenamed("top_ngram_char_ppm", "top2_char_ppm")
+        .drop("n_chars"), Seq("doc_id"), "left")
+      .join(TextAnalysis.dupNgramCharFrac(docs, "doc_id", "text", 5)
+        .withColumnRenamed("dup_ngram_char_ppm", "dup5_char_ppm"), Seq("doc_id"), "left")
+      .na.fill(0L)
+      .select("doc_id", "n_lines", "dup_line_ppm", "dup_line_char_ppm",
+        "n_paras", "dup_para_ppm", "dup_para_char_ppm",
+        "top2_char_ppm", "n_chars", "dup5_char_ppm")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    rel.foreach { case (id, want) =>
+      assert(viaKernel(id).dropRight(1) == want,
+        s"doc $id: kernel ${viaKernel(id).dropRight(1)} != relational $want")
+    }
+  }
+
   test("repetition windows partition by doc — never a global exchange") {
     val df = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
     val plan = TextAnalysis.dupNgramCharFrac(df, "doc_id", "text", 5)

@@ -212,15 +212,31 @@ class GenManifestSpec extends SparkSpec {
       Files.createDirectories(Paths.get(agg, s"g$i"))
       Files.writeString(Paths.get(agg, s"g$i", "part-0"), "x")
     }
-    // g5 live; g0..g4 superseded, all inside a wide-open grace window:
-    // only the graceKeep=2 newest (g4, g3) may linger
+    // g5 live; g0..g4 superseded, all inside a wide-open grace window.
+    // Commit count alone must NOT delete — a reader that just resolved
+    // g0 may still be materializing its lazy scan (the floor is its
+    // hard bound), so with the default floor everything lingers
     GenMeta.sweep(agg, keep = "g5", graceMs = 60 * 60 * 1000L, graceKeep = 2)
+    (0 to 4).foreach(i => assert(Files.exists(Paths.get(agg, s"g$i")),
+      s"g$i must survive: count rank alone never deletes inside the floor"))
+    // once the floor has passed, only the graceKeep=2 newest (g4, g3)
+    // keep the FULL window; older ones are reclaimed
+    GenMeta.sweep(agg, keep = "g5", graceMs = 60 * 60 * 1000L, graceKeep = 2,
+      graceFloorMs = 0L)
     assert(Files.exists(Paths.get(agg, "g5")))
     assert(Files.exists(Paths.get(agg, "g4")) && Files.exists(Paths.get(agg, "g3")),
-      "graceKeep newest superseded gens must get the grace window")
+      "graceKeep newest superseded gens must get the full grace window")
     assert(!Files.exists(Paths.get(agg, "g2")) && !Files.exists(Paths.get(agg, "g1")) &&
       !Files.exists(Paths.get(agg, "g0")),
-      "older superseded gens must be reclaimed immediately")
+      "older superseded gens must be reclaimed once past the floor")
+    // a non-numeric stray ranks OLDEST (never occupies a protected
+    // slot): with floor passed it is reclaimed while g4/g3 linger
+    Files.createDirectories(Paths.get(agg, "gstray"))
+    GenMeta.sweep(agg, keep = "g5", graceMs = 60 * 60 * 1000L, graceKeep = 2,
+      graceFloorMs = 0L)
+    assert(!Files.exists(Paths.get(agg, "gstray")),
+      "non-numeric gen names must rank oldest, not newest (negation overflow)")
+    assert(Files.exists(Paths.get(agg, "g4")) && Files.exists(Paths.get(agg, "g3")))
     // a corrupted (partial-write) _doomed stamp must not wedge the sweep:
     // it is re-stamped now, not thrown on
     Files.createDirectories(Paths.get(agg, "g6"))
