@@ -11,23 +11,51 @@ import org.apache.spark.sql.functions._
   * near-linear (ratio ≈ 10 for work, ≤ ~10 for shuffle); anything
   * super-linear is a candidate explosion to fix, not explain away.
   *
+  * Streaming probes and trigger accounting: the streaming DRAIN probes
+  * (s11 novelty, s22 snapshot diff) are trigger-MATCHED by construction
+  * (their input logs are split into 3 chunks at any scale, so 10× data
+  * means 10× rows per trigger, same trigger count), and
+  * `s01_stream_state_matched` pins the trigger count explicitly by
+  * repartitioning the mutation log to a fixed file count at both scales
+  * — together they separate the per-trigger floor (constant commit cost
+  * × trigger count, a cadence knob) from genuine per-byte growth, the
+  * decomposition plain `s01_stream_state` (file count ∝ corpus ⇒
+  * trigger count ∝ corpus) cannot make on its own.
+  *
   * sf1 derivation (deterministic, seedless): 10 shifted copies of each
   * row-scaled table. Document texts get a per-copy suffix token and
   * embeddings a per-copy dimension nudge so the copies are near- but not
   * exact duplicates — the worst realistic case for the dedup family
   * (exact-dup shortcuts can't fire; LSH candidate volume is honest).
-  * Usage: runMain graft.ScaleProbe [outDir] (default /tmp/graft_sf1). */
+  *
+  * Usage: runMain graft.ScaleProbe [sf1Dir] (default /tmp/graft_sf1).
+  * The BASE fixture dir comes from SPARK_GRAFT_SF_DIR (default
+  * /root/testdata/sf0.1) and the report lands at SPARK_GRAFT_PROBE_OUT
+  * (default SCALE_PROBE.json in the working directory), so the probe is
+  * runnable outside this machine's layout. */
 object ScaleProbe {
 
   private val probes = Seq(
     "d04_lsh_pairs", "d08_embed_neardup_lsh", "d14_neardup_prune",
     "a13_ann_ivfpq_index", "a19_ann_ivf_delete",
     "p11_sequence_pack", "p15_span_curation_pack", "p24_incremental_ingest",
-    "s01_stream_state", "t38_repetition_gate")
+    "s01_stream_state", "t38_repetition_gate",
+    "s11_stream_novelty", "s22_stream_snapshot_diff")
+
+  /** Triggers pinned at BOTH scales for the matched s01 probe: the log is
+    * repartitioned to exactly this many files and drained one per
+    * trigger, so a 10× corpus means 10× rows PER TRIGGER — per-trigger
+    * wall growing ≤ linearly in per-trigger data is the claim under
+    * test (the unmatched probe's super-linear wall is then trigger
+    * count, a cadence knob, not a state-path defect). */
+  private val MatchedTriggers = 8
 
   def main(args: Array[String]): Unit = {
-    val sf01 = "/root/testdata/sf0.1"
+    val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sf1 = args.headOption.getOrElse("/tmp/graft_sf1")
+    val reportPath = java.nio.file.Path.of(
+      sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", "SCALE_PROBE.json"))
+      .toAbsolutePath
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -48,10 +76,10 @@ object ScaleProbe {
     }
     spark.sparkContext.addSparkListener(shuffle)
 
-    def once(name: String, dir: String): (Double, Long) = {
+    def measure(body: => Unit): (Double, Long) = {
       val b0 = shuffle.bytes
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      body
       val secs = (System.nanoTime() - t0) / 1e9
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
@@ -59,10 +87,37 @@ object ScaleProbe {
       (secs, shuffle.bytes - b0)
     }
 
+    def once(name: String, dir: String): (Double, Long) = measure {
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+    }
+
+    /** s01 with the trigger count PINNED across scales: build the log at
+      * exactly [[MatchedTriggers]] files (untimed), drain one file per
+      * trigger. Only the drain is timed. */
+    def onceMatchedS01(dir: String): (Double, Long) = {
+      val work = graft.queries.ExtendedQueries.scratchDir("graft_probe_s01m")
+      graft.core.Fixtures.eventMutations(spark, dir)
+        .repartition(MatchedTriggers)
+        .write.mode("overwrite").parquet(s"$work/log")
+      measure {
+        graft.streaming.MutationStream
+          .runToCompletion(spark, SparkEntry.eventConf, s"$work/log", s"$work/run")
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+
     def r2(v: Double): Double = math.round(v * 100) / 100.0 // locale-free
 
-    println(f"${"query"}%-24s ${"sf0.1 s"}%9s ${"sf1 s"}%9s ${"wall×"}%7s " +
+    println(f"${"query"}%-26s ${"sf0.1 s"}%9s ${"sf1 s"}%9s ${"wall×"}%7s " +
       f"${"sf0.1 shMB"}%11s ${"sf1 shMB"}%10s ${"sh×"}%7s")
+    def report(name: String, t1: Double, t10: Double, s1: Long, s10: Long,
+               extra: String = ""): String = {
+      println(f"$name%-26s $t1%9.2f $t10%9.2f ${t10 / t1}%7.1f " +
+        f"${s1 / 1e6}%11.1f ${s10 / 1e6}%10.1f ${
+          if (s1 > 0) f"${s10.toDouble / s1}%7.1f" else "      -"}%s")
+      s"""{"query":"$name","sf01_s":${r2(t1)},"sf1_s":${r2(t10)},""" +
+        s""""sf01_shuffle_b":$s1,"sf1_shuffle_b":$s10$extra}"""
+    }
     val rows = probes.map { name =>
       // warmup at the small scale first: JIT/codegen/session startup
       // otherwise lands entirely in the sf0.1 denominator and deflates
@@ -70,16 +125,18 @@ object ScaleProbe {
       once(name, sf01)
       val (t1, s1) = once(name, sf01)
       val (t10, s10) = once(name, sf1)
-      val line = f"$name%-24s $t1%9.2f $t10%9.2f ${t10 / t1}%7.1f " +
-        f"${s1 / 1e6}%11.1f ${s10 / 1e6}%10.1f ${
-          if (s1 > 0) f"${s10.toDouble / s1}%7.1f" else "      -"}%s"
-      println(line)
-      s"""{"query":"$name","sf01_s":${r2(t1)},"sf1_s":${r2(t10)},""" +
-        s""""sf01_shuffle_b":$s1,"sf1_shuffle_b":$s10}"""
+      report(name, t1, t10, s1, s10)
+    } :+ {
+      onceMatchedS01(sf01) // warmup
+      val (t1, s1) = onceMatchedS01(sf01)
+      val (t10, s10) = onceMatchedS01(sf1)
+      report("s01_stream_state_matched", t1, t10, s1, s10,
+        s""","triggers":$MatchedTriggers""" +
+          s""","sf01_per_trigger_s":${r2(t1 / MatchedTriggers)}""" +
+          s""","sf1_per_trigger_s":${r2(t10 / MatchedTriggers)}""")
     }
-    val out = rows.mkString("[", ",\n", "]")
-    java.nio.file.Files.writeString(
-      java.nio.file.Path.of("/root/repo/SCALE_PROBE.json"), out + "\n")
+    java.nio.file.Files.writeString(reportPath, rows.mkString("[", ",\n", "]") + "\n")
+    println(s"report: $reportPath")
     spark.stop()
   }
 

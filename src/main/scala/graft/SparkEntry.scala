@@ -57,7 +57,7 @@ object SparkEntry {
 
   /** Event-log indexer: prefix extractor over the evt family; value and
     * qualifier sources. */
-  private lazy val eventConf = IndexerConf(
+  private[graft] lazy val eventConf = IndexerConf(
     table = "events",
     rowReadMode = RowReadMode.Never,
     fields = Seq(

@@ -1590,11 +1590,15 @@ object ExtendedQueries {
         .coalesce(4).write.mode("overwrite").parquet(s"$work/log")
       val (nBands, nRows) = Dedup.minhashConfigFor(0.5)
       val k = nBands * nRows
-      val benchSide = broadcast(
+      // freeze the derived benchmark side: a static side of a stream
+      // crossJoin re-executes its WHOLE derivation (minhash + agg) on
+      // every trigger — materialized once, each trigger pays a 1-row scan
+      val benchSide = broadcast(freeze(
         Dedup.minhashSignatures(bench, "doc_id", "text", k, 3)
           .select(col("hs"), Dedup.bandKeyArray(col("sig"), nBands, nRows).as("bks"))
           .agg(array_distinct(flatten(collect_list(col("bks")))).as("bench_bks"),
-            collect_list(col("hs")).as("bench_sets")))
+            collect_list(col("hs")).as("bench_sets")),
+        s"$work/bench"))
       val logSchema = new org.apache.spark.sql.types.StructType()
         .add("doc_id", "long").add("text", "string")
       val q = s.readStream.schema(logSchema).parquet(s"$work/log")
@@ -3228,7 +3232,12 @@ object ExtendedQueries {
     * occur, with the %12 docs exercising every signal at once. */
   private def repetitionPages(docs: DataFrame): DataFrame = {
     val opener = concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 8))
-    docs.select(col("doc_id"), col("text"), opener.as("_op"))
+    // coalesce text to '' up front: concat_ws SKIPS nulls (a NULL text on a
+    // doc_id%3==0 row would plant an opener-only page) while the DuckDB
+    // oracle's `text || ...` propagates NULL — normalizing here makes both
+    // sides identical by construction, not by fixture luck
+    docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .select(col("doc_id"), col("text"), opener.as("_op"))
       .select(col("doc_id"),
         when(col("doc_id") % 3 === 0,
           concat_ws("\n", col("text"), col("_op"), col("_op")))
@@ -3241,7 +3250,9 @@ object ExtendedQueries {
   }
 
   private val t38OracleSql: String =
-    """WITH pages37a AS (
+    """WITH docs37 AS (
+        |  SELECT doc_id, coalesce(text, '') AS text FROM documents),
+        |pages37a AS (
         |  SELECT doc_id,
         |    array_to_string(regexp_split_to_array(text, '\s+')[1:8], ' ') AS op,
         |    CASE WHEN doc_id % 3 = 0 THEN
@@ -3249,7 +3260,7 @@ object ExtendedQueries {
         |      array_to_string(regexp_split_to_array(text, '\s+')[1:8], ' ') || chr(10) ||
         |      array_to_string(regexp_split_to_array(text, '\s+')[1:8], ' ')
         |    ELSE text END AS text
-        |  FROM documents),
+        |  FROM docs37),
         |pages37 AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 4 = 0 THEN
@@ -6419,7 +6430,16 @@ object ExtendedQueries {
     // murmur3_x86_32(seed 0) re-derived in SQL: 32-bit modular multiply
     // via 16-bit limbs ((a%2^16)*c + (((a//2^16)*c)%2^16)*2^16) % 2^32,
     // rotl r as (x*2^r)%2^32 + x//2^(32-r), sequential block fold via
-    // list_reduce, nested single-element list_transform as let-binding
+    // list_reduce, nested single-element list_transform as let-binding.
+    // ORACLE SCOPE (fixture-pinned, NOT fully general): (a) `ord()` code
+    // points + `len()` char counts equal SolrRouteHash's UTF-8 bytes only
+    // for ASCII ids — the c_mktsegment!c_custkey fixture is ASCII by
+    // construction (non-ASCII parity is pinned on the Scala side by
+    // SolrRouteSpec's published murmur3 vectors instead); (b)
+    // string_split(id,'!')[2] takes the second segment, equal to the
+    // Scala side's everything-after-the-first-'!' only for single-'!'
+    // ids, which the fixture guarantees (compositeId's own convention
+    // is at most one shard-key '!' separator anyway).
     "x41_solrcloud_shards" ->
       """WITH ids AS (
         |  SELECT CASE WHEN c_custkey % 3 = 0

@@ -779,10 +779,9 @@ object PipelineQueries {
       val seed = d.filter(col("source") === "src0" || col("doc_id") % 3 === 0)
         .select(col("doc_id"), (col("source") === "src0").as("lab"))
       val (model, consts) = graft.ops.CorpusStats.nbTrain(d, "doc_id", "text", seed)
-      model.write.mode("overwrite").parquet(s"$work/model")
-      consts.write.mode("overwrite").parquet(s"$work/consts")
       graft.streaming.StreamNbGate.drain(s,
-          s.read.parquet(s"$work/model"), s.read.parquet(s"$work/consts"),
+          graft.queries.ExtendedQueries.freeze(model, s"$work/model"),
+          graft.queries.ExtendedQueries.freeze(consts, s"$work/consts"),
           in, s"$work/out", s"$work/ckpt")
         .orderBy(col("doc_id"))
     }),
@@ -812,10 +811,9 @@ object PipelineQueries {
         }
       }
       val (model, consts) = graft.ops.CorpusStats.nbTrain(d, "doc_id", "text", seed)
-      model.write.mode("overwrite").parquet(s"$work/model")
-      consts.write.mode("overwrite").parquet(s"$work/consts")
       graft.streaming.StreamCalibration.drain(s,
-          s.read.parquet(s"$work/model"), s.read.parquet(s"$work/consts"),
+          graft.queries.ExtendedQueries.freeze(model, s"$work/model"),
+          graft.queries.ExtendedQueries.freeze(consts, s"$work/consts"),
           s"$work/agg", in, s"$work/ckpt")
         .orderBy(col("bin"))
     }),
@@ -844,10 +842,9 @@ object PipelineQueries {
       val (model, consts) = graft.ops.CorpusStats.dsirTrain(
         d.filter(col("source") === "src0"), d.filter(col("doc_id") % 3 === 1),
         "doc_id", "text", buckets = 1024)
-      model.write.mode("overwrite").parquet(s"$work/model")
-      consts.write.mode("overwrite").parquet(s"$work/consts")
       graft.streaming.StreamDsirGate.drain(s,
-          s.read.parquet(s"$work/model"), s.read.parquet(s"$work/consts"),
+          graft.queries.ExtendedQueries.freeze(model, s"$work/model"),
+          graft.queries.ExtendedQueries.freeze(consts, s"$work/consts"),
           1024, in, s"$work/out", s"$work/ckpt")
         .orderBy(col("doc_id"))
     }),

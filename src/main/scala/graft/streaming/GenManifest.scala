@@ -167,9 +167,25 @@ object GenMeta {
   def sweep(aggDir: String, keep: String, graceMs: Long = 10L * 60 * 1000,
             graceKeep: Int = 4, graceFloorMs: Long = 60L * 1000): Unit =
     // self-healing and never load-bearing: a failed sweep leaks dirs
-    // the NEXT sweep reclaims — it must not fail the batch post-commit
+    // the NEXT sweep reclaims — it must not fail the batch post-commit.
+    // But a PERSISTENTLY failing sweep (permissions, IO) leaks superseded
+    // generations forever, so the swallow is rate-limited-logged: one
+    // line per (aggDir, exception class) per process, diagnosable
+    // without turning the post-commit hook into a log storm.
     try sweepOrThrow(aggDir, keep, graceMs, graceKeep, graceFloorMs)
-    catch { case scala.util.control.NonFatal(_) => () }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        val key = s"$aggDir#${e.getClass.getName}"
+        if (loggedSweepFailures.add(key))
+          System.err.println(
+            s"[graft] GenMeta.sweep failed for $aggDir (superseded generations " +
+              s"will accumulate until a sweep succeeds): $e")
+    }
+
+  /** (aggDir, exception class) pairs already logged — bounds sweep-failure
+    * logging to one line per distinct failure mode per process. */
+  private val loggedSweepFailures =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private[streaming] def sweepOrThrow(aggDir: String, keep: String, graceMs: Long,
                                       graceKeep: Int, graceFloorMs: Long): Unit = {

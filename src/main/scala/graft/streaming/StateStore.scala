@@ -256,15 +256,22 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
 
   def liveBuckets: Set[Int] = { refresh(); view.keySet }
 
-  private def readDirs(dirs: Seq[String]): Option[DataFrame] =
-    if (dirs.isEmpty) None
-    else Some(spark.read.parquet(dirs.map(d => s"$stateDir/$d"): _*))
+  def read(): Option[DataFrame] = {
+    refresh()
+    IndexState.readAssigned(spark, stateDir,
+      view.toSeq.flatMap { case (k, dirs) => dirs.map(d => (d, k)) })
+  }
 
-  def read(): Option[DataFrame] = { refresh(); readDirs(view.values.flatten.toSeq) }
-
+  /** Bucket-pruned read: a commit dir can hold several buckets' rows (one
+    * plain parquet dir per commit — see [[doCommit]]), and a later commit
+    * may have remapped a SUBSET of a dir's buckets elsewhere, so each dir
+    * contributes only the buckets the log currently assigns to it
+    * ([[IndexState.readAssigned]] groups identical assignments into one
+    * scan and pushes the `_bucket IN` filter to the parquet footers). */
   def readBuckets(ks: Seq[Int]): Option[DataFrame] = {
     refresh()
-    readDirs(ks.flatMap(k => view.getOrElse(k, Vector.empty)))
+    IndexState.readAssigned(spark, stateDir,
+      ks.flatMap(k => view.getOrElse(k, Vector.empty).map(d => (d, k))))
   }
 
   /** Atomic put-if-absent of `content` at `target`: write a temp sibling,
@@ -311,11 +318,23 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
     }
     val base = Paths.get(stateDir, version)
     val dir = if (!Files.exists(base)) version else s"$version-r${System.nanoTime()}"
+    // ONE plain parquet dir per commit, bucket id as a DATA column: the
+    // dynamic-partition writer (extra sort, per-partition writer churn,
+    // per-dir commit renames) measured ~0.5 s/commit CONSTANT on
+    // trigger-sized data — the streaming drains' bucketed-commit floor.
+    // The repartition keeps every output file bucket-pure, so the read
+    // side's pushed-down `_bucket IN (...)` prunes files from footer
+    // stats exactly as directory pruning did; the observe() census of
+    // nonempty buckets replaces the per-bucket-dir existence probe with
+    // zero extra jobs.
+    val obs = org.apache.spark.sql.Observation()
     data
       .withColumn(BucketCol, graft.expr.hfunctions.md5_shard(col("id"), buckets))
+      .observe(obs, org.apache.spark.sql.functions.collect_set(col(BucketCol)).as("bs"))
       .repartition(col(BucketCol))
-      .write.partitionBy(BucketCol).parquet(s"$stateDir/$dir")
-    val written = touched.filter(k => Files.exists(Paths.get(stateDir, dir, s"$BucketCol=$k")))
+      .write.parquet(s"$stateDir/$dir")
+    val present = obs.get("bs").asInstanceOf[Seq[Int]].toSet
+    val written = touched.filter(present)
     // an append that materialized no rows (e.g. a redelivered batch whose
     // fresh set folded to ∅) has nothing to log: skip the slot claim —
     // the orphaned empty dir is vacuum-reclaimable. A nonempty kv still
@@ -332,7 +351,7 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
     val actions =
       (if (slotId == 0) Seq(s"meta\tbuckets\t$buckets") else Seq.empty) ++
         removes ++
-        written.sorted.map(k => s"add\t$k\t$dir/$BucketCol=$k") ++
+        written.sorted.map(k => s"add\t$k\t$dir") ++
         kv.toSeq.sorted.map { case (k, v) => s"mkv\t$k\t$v" }
     val slot = logDir.resolve(f"$slotId%020d.txn")
     if (!putIfAbsent(slot, actions.mkString("\n")))
@@ -345,7 +364,7 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
     // while an unlocked `lastSeen += 1` would claim a slot never written
     synchronized {
       val cleared = if (append) view else view -- touched
-      view = written.foldLeft(cleared)((v, k) => addDir(v, k, s"$dir/$BucketCol=$k"))
+      view = written.foldLeft(cleared)((v, k) => addDir(v, k, dir))
       metaView = metaView ++ kv
       if (slotId > lastSeen) lastSeen = slotId
     }

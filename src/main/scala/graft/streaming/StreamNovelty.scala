@@ -166,11 +166,11 @@ private[streaming] object KgramStreamCore {
       .option("maxFilesPerTrigger", 1)
       .parquet(inPath)
       .writeStream
-      .foreachBatch { (b: DataFrame, id: Long) => perBatch(b, id) }
+      .foreachBatch { (b: DataFrame, id: Long) => timed(s"perBatch $id")(perBatch(b, id)) }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckptPath)
       .start()
-    q.awaitTermination()
+    timed("awaitTermination")(q.awaitTermination())
     spark.read.schema(outSchema).parquet(outPath)
   }
 }

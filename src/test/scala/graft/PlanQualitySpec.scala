@@ -832,4 +832,48 @@ class PlanQualitySpec extends SparkSpec {
       s"expected a parquet LogicalRelation leaf, got ${plan.getClass}")
     assert(frozen.count() == derived.count())
   }
+
+  test("freeze audit: every streaming drain with a derived static side routes it through freeze()") {
+    // The full audit of the streaming family's static sides. A DataFrame
+    // captured by a foreachBatch closure (or the static side of a
+    // stream-static join) re-executes its WHOLE derivation on every
+    // trigger, so each derived side must be materialized via
+    // ExtendedQueries.freeze (bare-scan contract pinned above). This pins
+    // the CALL SITES: each listed query's source body must invoke
+    // freeze() at least `expected` times (one per derived side). Queries
+    // audited and exempt, for the record: s10/s25 (no derived static
+    // side — the stream feeds a typed kernel / bucketed state only),
+    // s16 (standing queries + df map are driver-side plan literals),
+    // s11/s12/s13/s22/s26/s32... (cross-batch state lives in the
+    // DocStateStore, re-read per trigger BY DESIGN — bucket-pruned reads
+    // of committed parquet, not a derivation).
+    val expected = Map(
+      // query -> (source file, freeze calls: one per derived side)
+      "s09_stream_fuzzy_gate" ->
+        ("src/main/scala/graft/queries/ExtendedQueries.scala", 1), // bench minhash agg
+      "s14_stream_nb_gate" ->
+        ("src/main/scala/graft/queries/PipelineQueries.scala", 2), // NB model + consts
+      "s15_stream_dsir_gate" ->
+        ("src/main/scala/graft/queries/PipelineQueries.scala", 2), // DSIR model + consts
+      "s23_stream_clip_percolate" ->
+        ("src/main/scala/graft/queries/PipelineQueries.scala", 1), // clip prints
+      "s27_stream_edit_decontaminate" ->
+        ("src/main/scala/graft/queries/PipelineQueries.scala", 1), // edit benchmark
+      "s33_stream_calibration" ->
+        ("src/main/scala/graft/queries/PipelineQueries.scala", 2)) // NB model + consts
+    expected.foreach { case (name, (file, n)) =>
+      val src = java.nio.file.Files.readString(java.nio.file.Path.of(file))
+      val start = src.indexOf(s""""$name" ->""")
+      assert(start >= 0, s"$name not found in $file")
+      // the query body ends at the map-level closer `}),` at 4-space indent
+      val end = src.indexOf("\n    }),", start)
+      assert(end > start, s"could not delimit $name's body in $file")
+      val body = src.substring(start, end)
+      val calls = "freeze\\(".r.findAllIn(body).size
+      assert(calls >= n,
+        s"$name must freeze its $n derived static side(s) via " +
+          s"ExtendedQueries.freeze — found $calls call(s); a captured " +
+          "derivation re-executes per trigger")
+    }
+  }
 }

@@ -247,6 +247,34 @@ class GenManifestSpec extends SparkSpec {
       s"partial stamp must be rewritten, got '$restamped'")
   }
 
+  test("sweep crash-window: a lazy reader that resolved CURRENT materializes safely across aggressive sweeps") {
+    import spark.implicits._
+    val agg = Files.createTempDirectory("graft_gm8").toString
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v").write.parquet(s"$agg/g0")
+    GenManifest.commit(agg, "g0", 0L, 9L)
+    // the reader resolves CURRENT and builds its LAZY scan — no action
+    // yet; this is exactly the window the graceFloor exists to protect
+    val gen = GenManifest.currentGen(agg).get
+    val lazyScan = spark.read.parquet(s"$agg/$gen")
+    // the writer advances five generations, sweeping aggressively after
+    // each: rank-based retention protects NOTHING (graceKeep = 0), so
+    // only the graceFloor stands between the reader and a
+    // FileNotFoundException mid-materialization
+    (1 to 5).foreach { i =>
+      Seq((1L, 10L + i)).toDF("k", "v").write.parquet(s"$agg/g$i")
+      GenManifest.commit(agg, s"g$i", i * 10L, i * 10L + 9L)
+      GenMeta.sweep(agg, keep = s"g$i", graceMs = 60 * 60 * 1000L, graceKeep = 0)
+    }
+    assert(Files.exists(Paths.get(agg, "g0", "_doomed")), "g0 must be stamped")
+    // the materialization the whole discipline guarantees: succeeds with
+    // the ORIGINAL generation's rows, not an error and not g5's
+    assert(lazyScan.collect().map(_.getLong(1)).sorted.toSeq == Seq(10L, 20L))
+    // boundary: once the floor too has passed, the dir is reclaimed
+    GenMeta.sweep(agg, keep = "g5", graceMs = 60 * 60 * 1000L, graceKeep = 0,
+      graceFloorMs = 0L)
+    assert(!Files.exists(Paths.get(agg, "g0")), "past the floor g0 is reclaimed")
+  }
+
   /** THE manifest-drift guard (round-15 regression class): every
     * monitor that keeps rollup generations behind a filesystem pointer
     * must (a) write the FUSED `gen\tlo\thi` manifest — never a raw

@@ -29,7 +29,15 @@ class IndexStateSpec extends SparkSpec {
   private def stateIds(st: DocStateStore): Set[String] =
     st.read().map(_.select("id").collect().map(_.getString(0)).toSet).getOrElse(Set.empty)
 
-  test("a batch touching k buckets rewrites exactly k bucket directories") {
+  /** The commit dir's rows must cover exactly the touched buckets — the
+    * copy-on-write contract. Layout: one plain parquet dir per commit
+    * with the bucket id as a data column (files bucket-pure). */
+  private def commitDirBuckets(dir: String, version: String): Seq[Int] =
+    spark.read.parquet(Paths.get(dir, version).toString)
+      .select(IndexState.BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+
+  test("a batch touching k buckets rewrites exactly those buckets' rows") {
     val dir = Files.createTempDirectory("graft_state").toString
     val st = new IndexState(dir, spark, B)
 
@@ -42,17 +50,41 @@ class IndexStateSpec extends SparkSpec {
     // batch 1: one id → exactly one bucket rewritten
     val touched1 = MutationStream.applyBatch(spark, st, ops(("add", "a")), 1L)
     assert(touched1 == Seq(Sharding.md5Shard("a", B)))
-    val v1Buckets = Paths.get(dir, "v000000001").toFile.listFiles()
-      .filter(_.getName.startsWith(s"${IndexState.BucketCol}=")).map(_.getName).toSeq
-    assert(v1Buckets == Seq(s"${IndexState.BucketCol}=${Sharding.md5Shard("a", B)}"))
+    assert(commitDirBuckets(dir, "v000000001") == Seq(Sharding.md5Shard("a", B)),
+      "the commit dir must hold only the touched bucket's rows")
 
     // untouched buckets still point at their batch-0 directories
     val manifest1 = st.currentManifest
     (manifest0 - Sharding.md5Shard("a", B)).foreach { case (k, d) =>
       assert(manifest1(k) == d, s"bucket $k must keep its old dir")
     }
-    assert(manifest1(Sharding.md5Shard("a", B)).startsWith("v000000001/"))
+    assert(manifest1(Sharding.md5Shard("a", B)).startsWith("v000000001"))
     assert(stateIds(st) == ids0.toSet)
+  }
+
+  test("a dir whose buckets were partially remapped serves only its still-assigned buckets") {
+    // v0 holds BOTH a's and b's buckets in one commit dir; updating only
+    // "a" remaps a's bucket to v1 while b's keeps v0. Reads must take a
+    // ONLY from v1 (the superseded copy still sits in v0's files) — a
+    // plain dir union or a global bucket filter would return it twice.
+    val dir = Files.createTempDirectory("graft_state").toString
+    val st = new IndexState(dir, spark, B)
+    val idB = Iterator.from(0).map("b" + _)
+      .find(i => Sharding.md5Shard(i, B) != Sharding.md5Shard("a", B)).get
+    MutationStream.applyBatch(spark, st, ops(("add", "a"), ("add", idB)), 0L)
+    MutationStream.applyBatch(spark, st, ops(("add", "a")), 1L)
+    val full = st.read().get.select("id").collect().map(_.getString(0)).toSeq
+    assert(full.sorted == Seq("a", idB).sorted, s"stale or duplicate rows: $full")
+    val both = Seq("a", idB).map(Sharding.md5Shard(_, B))
+    val pruned = st.readBuckets(both).get.select("id").collect().map(_.getString(0)).toSeq
+    assert(pruned.sorted == Seq("a", idB).sorted, s"stale or duplicate rows: $pruned")
+    // same through the txn-log store
+    val tdir = Files.createTempDirectory("graft_txn").toString
+    val ts = new TxnLogState(tdir, spark, B)
+    MutationStream.applyBatch(spark, ts, ops(("add", "a"), ("add", idB)), 0L)
+    MutationStream.applyBatch(spark, ts, ops(("add", "a")), 1L)
+    val tfull = ts.read().get.select("id").collect().map(_.getString(0)).toSeq
+    assert(tfull.sorted == Seq("a", idB).sorted, s"stale or duplicate rows: $tfull")
   }
 
   test("re-applying a batch (at-least-once retry) leaves the state unchanged") {
@@ -208,16 +240,15 @@ class IndexStateSpec extends SparkSpec {
     assert(a.liveBuckets == b.liveBuckets)
   }
 
-  test("TxnLogState: a one-id batch adds exactly one bucket dir; untouched buckets keep their files") {
+  test("TxnLogState: a one-id batch writes exactly one bucket's rows; untouched buckets keep their files") {
     val dir = Files.createTempDirectory("graft_txn").toString
     val st = new TxnLogState(dir, spark, B)
     val ids0 = Seq("a", "b", "c", "d", "e", "f", "g", "h")
     MutationStream.applyBatch(spark, st, ops(ids0.map(("add", _)): _*), 0L)
     val live0 = st.liveBuckets
     MutationStream.applyBatch(spark, st, ops(("add", "a")), 1L)
-    val v1Buckets = Paths.get(dir, "v000000001").toFile.listFiles()
-      .filter(_.getName.startsWith(s"${IndexState.BucketCol}=")).map(_.getName).toSeq
-    assert(v1Buckets == Seq(s"${IndexState.BucketCol}=${Sharding.md5Shard("a", B)}"))
+    assert(commitDirBuckets(dir, "v000000001") == Seq(Sharding.md5Shard("a", B)),
+      "the commit dir must hold only the touched bucket's rows")
     assert(st.liveBuckets == live0)
     assert(stateIds(st) == ids0.toSet)
   }
