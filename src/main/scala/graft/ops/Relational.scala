@@ -292,35 +292,57 @@ object Relational {
       spark.sessionState.conf.numShufflePartitions.toLong,
       math.max(vCount, e) / 200000L + 1L)).toInt
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    // AQE materializes every shuffle as its own query stage to re-plan on
+    // runtime stats — pure per-stage scheduling tax here, since the loop's
+    // frames are graph-sized with a partition count WE just derived from
+    // exact counts (nothing for AQE to learn). On a vocab-sized graph the
+    // 10-iteration loop is ~6 shuffles per checkpointed action; stage-by-
+    // stage execution made it scheduling-bound (measured ~2× wall on t30).
+    // The caller's corpus-sized work (edge aggregate) already ran under
+    // the session's AQE before pe/outd materialized.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      // checkpoint every SECOND round: each un-checkpointed level doubles
-      // the plan (ranks feeds both the in-sum join and the dangling
-      // anti-join), so blocks stay short — but halving the sequential
-      // action count halves the per-job scheduling floor that dominates
-      // small-graph runs
-      var ranks = cp(vertices.withColumn("r",
-        when(col("is_seed"), lit(1000000000000L / n)).otherwise(lit(0L))))
-      (1 to iterations).foreach { i =>
-        val in = pe.join(ranks, pe("src") === ranks("item"))
+      // The ranks frame is VERTEX-COMPLETE and carries both per-vertex
+      // flags (is_seed, has_out), so one frame serves all three per-
+      // iteration consumers: the in-sum join, the dangling sum (a plain
+      // filter+agg — no anti-join against outd), and the next-rank
+      // left join (no re-join against vertices). Checkpointing EVERY
+      // round keeps each action's plan one iteration deep; with three
+      // consumers per level, any longer cadence multiplies the subtree
+      // 3^k per un-checkpointed level (measured: cadence 5 was 2.2×
+      // cadence 1 on the t30 graph).
+      var ranks = cp(vertices
+        .join(outd.select(col("src").as("item"), lit(true).as("has_out")),
+          Seq("item"), "left")
+        .select(col("item"), col("is_seed"),
+          coalesce(col("has_out"), lit(false)).as("has_out"),
+          when(col("is_seed"), lit(1000000000000L / n)).otherwise(lit(0L)).as("r")))
+      (1 to iterations).foreach { _ =>
+        val in = pe.join(ranks.select(col("item"), col("r")),
+            pe("src") === col("item"))
           .groupBy(col("dst")).agg(sum(expr("(r * p) div 1000000L")).as("in_sum"))
-        val dang = ranks.join(outd, ranks("item") === outd("src"), "left_anti")
+        val dang = ranks.filter(!col("has_out"))
           .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
-        val next = vertices
-          .join(in, vertices("item") === in("dst"), "left")
+        val next = ranks.select(col("item"), col("is_seed"), col("has_out"))
+          .join(in, col("item") === in("dst"), "left")
           .crossJoin(broadcast(dang))
-          .select(vertices("item"), vertices("is_seed"), expr(
+          .select(col("item"), col("is_seed"), col("has_out"), expr(
             s"CASE WHEN is_seed THEN ${base}L + " +
               s"(17L * (coalesce(in_sum, 0L) + (dang div ${n}L))) div 20L " +
               "ELSE (17L * coalesce(in_sum, 0L)) div 20L END").as("r"))
-        ranks = if (i % 2 == 0 || i == iterations) cp(next) else next
+        ranks = cp(next)
       }
       val intermediates = tracked.toSet
       val result = ranks.select(col("item"), col("r").cast("long").as("pr_q"))
         .orderBy(col("pr_q").desc, col("item")).localCheckpoint()
       intermediates.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       result
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   /** BOT/AUTOMATION census — users whose inter-arrival gaps are too
@@ -570,7 +592,12 @@ object Relational {
       spark.sessionState.conf.numShufflePartitions.toLong,
       e / 200000L + 1L)).toInt
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    // same rationale as personalizedPageRank: graph-sized loop frames at
+    // an exactly-derived partition count — AQE's stage-by-stage
+    // materialization is pure scheduling tax inside the loop
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       var a = cp(auths.withColumn("r", lit(1000000000000L / nA)))
       var h: DataFrame = null
@@ -593,6 +620,9 @@ object Relational {
         .orderBy(col("auth_q").desc, col("item")).localCheckpoint()
       intermediates.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       result
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 }
