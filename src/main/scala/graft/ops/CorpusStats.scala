@@ -817,6 +817,48 @@ object CorpusStats {
         round(col("n_covered") * 1e6 / col("n_tokens")).cast("long"))
   }
 
+  /** HOST-level quality gate — the RefinedWeb "site-level filtering"
+    * step: rank hosts by their documents' mean quality signal and gate
+    * every document by its HOST's verdict, not its own score (a spam
+    * farm's best page is still spam-farm content; a good site's worst
+    * page usually is not). The host key comes off the CANONICALIZED url
+    * ([[TextAnalysis.canonicalizeUrl]] — tracking params / fragment /
+    * case noise collapse first, so one logical site is one key).
+    *
+    * Verdict, all integer on the 1e-6 grid: a host with
+    * `host_docs >= minDocs` is admitted iff its mean per-doc quality
+    * (truncating div of the ppm sum) clears the CORPUS-WIDE mean — a
+    * self-calibrating threshold, no magic constant to re-tune per
+    * corpus; a host with fewer docs is admitted by default
+    * (insufficient evidence — per-doc gates, t02/t14, still apply
+    * downstream).
+    *
+    * Scale shape: one corpus scan → host-keyed aggregate with map-side
+    * partials (the hot-host skew collapses before the shuffle), the
+    * 1-row corpus mean rides a broadcast crossJoin, and the hosts-sized
+    * verdict frame broadcasts back over a second scan — the corpus
+    * never shuffles by host for the gate itself. Output: (idCol, host,
+    * host_docs, host_q_ppm, admitted). */
+  def hostQualityGate(docs: DataFrame, idCol: String, urlCol: String,
+                      textCol: String, minDocs: Long = 10L): DataFrame = {
+    def perDoc = docs.select(col(idCol),
+      regexp_extract(TextAnalysis.canonicalizeUrl(col(urlCol)),
+        "^[a-z][a-z0-9+.-]*://([^/?#:]*)", 1).as("host"),
+      round(TextAnalysis.qualityScore(col(textCol)) * 1e6).cast("long").as("q_ppm"))
+    val hosts = perDoc.groupBy(col("host"))
+      .agg(count(lit(1)).as("host_docs"), sum(col("q_ppm")).as("sq"))
+    val global = hosts.agg(
+      expr("sum(sq) div sum(host_docs)").as("g_ppm"))
+    val verdicts = hosts.crossJoin(broadcast(global))
+      .select(col("host"), col("host_docs"),
+        expr("sq div host_docs").as("host_q_ppm"),
+        (col("host_docs") < minDocs ||
+          expr("sq div host_docs") >= col("g_ppm")).as("admitted"))
+    perDoc.join(broadcast(verdicts), Seq("host"))
+      .select(col(idCol), col("host"), col("host_docs"),
+        col("host_q_ppm"), col("admitted"))
+  }
+
   def effectiveTokens(docs: DataFrame, sourceCol: String,
                       textCol: String): DataFrame = {
     val g1 = docs

@@ -1365,6 +1365,24 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // RefinedWeb site-level filtering: hosts ranked by their docs' mean
+    // quality against the self-calibrating corpus-wide mean; every doc
+    // gated by its HOST's verdict, under-evidenced hosts (< minDocs)
+    // admitted by default. The URL fixture exercises canonicalization
+    // (scheme/host case + tracking params) before the host key is cut —
+    // the oracle constructs the host DIRECTLY, so a canonicalization
+    // regression surfaces as a host mismatch here
+    "t39_host_quality_gate" -> ((s, dir) => {
+      val urls = docs(s, dir).select(col("doc_id"), col("text"),
+        concat(lit("HTTPS://"), upper(col("source")),
+          (col("doc_id") % 7).cast("string"),
+          lit(".Example.com/p/"), col("doc_id").cast("string"),
+          when(col("doc_id") % 2 === 0, lit("?utm_source=feed&x=1"))
+            .otherwise(lit(""))).as("url"))
+      CorpusStats.hostQualityGate(urls, "doc_id", "url", "text", minDocs = 4L)
+        .orderBy(col("doc_id"))
+    }),
+
     // SCRIPT census: per-doc counts of Latin / digit / Cyrillic / CJK /
     // Arabic codepoints (five codegen'd regex class counts in one scan)
     // + a deterministic dominant-script verdict — the multilingual
@@ -2452,6 +2470,43 @@ object PipelineQueries {
     // are per-doc pure, so the drained union equals the batch operator
     "s27_stream_edit_decontaminate" -> d22OracleSql,
 
+
+    // host key constructed DIRECTLY (lower(source) || doc_id%7 ||
+    // '.example.com') — the Spark side derives it from the canonicalized
+    // URL, so tracking-param / case / host-extraction regressions
+    // surface as host mismatches; quality replays t02's feature SQL;
+    // all verdict math integer on the ppm grid (// == div: nonnegative)
+    "t39_host_quality_gate" -> {
+      val en = TextAnalysis.defaultProfiles.head._2.map(w => s"'$w'").mkString(", ")
+      s"""WITH f39 AS (
+         |  SELECT doc_id,
+         |    lower(source) || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      w -> w IN ($en))) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |q39 AS (
+         |  SELECT doc_id, host,
+         |    CAST(round(least(1.0, greatest(0.0,
+         |      0.4 * (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 1.0 ELSE 0.0 END)
+         |      + 0.3 * (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END)
+         |      + 0.3 * (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END)
+         |      )) * 1000000) AS BIGINT) AS q_ppm
+         |  FROM f39),
+         |h39 AS (SELECT host, CAST(count(*) AS BIGINT) AS host_docs,
+         |          CAST(sum(q_ppm) AS BIGINT) AS sq FROM q39 GROUP BY host),
+         |g39h AS (SELECT CAST(sum(sq) AS BIGINT) // CAST(sum(host_docs) AS BIGINT) AS g_ppm
+         |         FROM h39),
+         |v39 AS (SELECT host, host_docs, sq // host_docs AS host_q_ppm,
+         |          (host_docs < 4 OR sq // host_docs >= g_ppm) AS admitted
+         |        FROM h39 CROSS JOIN g39h)
+         |SELECT q39.doc_id AS doc_id, q39.host AS host, v39.host_docs AS host_docs,
+         |  v39.host_q_ppm AS host_q_ppm, v39.admitted AS admitted
+         |FROM q39 JOIN v39 USING (host) ORDER BY doc_id""".stripMargin
+    },
 
     // the line filter and every Gopher ratio re-derived from the same
     // split/regex primitives; ratios are single double divisions of

@@ -811,6 +811,19 @@ class PlanQualitySpec extends SparkSpec {
       "the corpus gram stream must never shuffle by gram:\n" + physical.take(800))
   }
 
+  test("t39 host gate: host-keyed agg keeps map-side partials; the verdict join broadcasts") {
+    val physical = q("t39_host_quality_gate").queryExecution.executedPlan.toString
+    // the hosts census must collapse hot hosts BEFORE the shuffle
+    // (partial_count/partial_sum on the host key), and the hosts-sized
+    // verdict frame must broadcast back over the corpus — the corpus
+    // never shuffles by host for the gate
+    assert(physical.contains("partial_count") || physical.contains("partial_sum"),
+      "host census must aggregate map-side first:\n" + physical.take(800))
+    assert(physical.contains("BroadcastHashJoin"), physical.take(800))
+    assert(!physical.contains("SortMergeJoin"),
+      "the gate join must broadcast the hosts-sized verdicts:\n" + physical.take(800))
+  }
+
   test("freeze: a frozen stream side is a bare scan — the derivation never re-executes per trigger") {
     // a foreachBatch closure (or stream-static join side) re-executes a
     // captured DataFrame's FULL plan on every trigger; freeze must
