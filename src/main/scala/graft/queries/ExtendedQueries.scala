@@ -809,7 +809,7 @@ object ExtendedQueries {
               .otherwise(col("text")))
         val v2 = recrawl.unionByName(
           v1.filter(col("doc_id") % 11 === 0)
-            .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+            .select((col("doc_id") + 10000000000L).as("doc_id"), col("text")))
         Seq(col("doc_id") % 3 === 0, col("doc_id") % 3 === 1,
             col("doc_id") % 3 === 2).foreach { p =>
           v2.filter(p).coalesce(1).write.mode("append").parquet(path)

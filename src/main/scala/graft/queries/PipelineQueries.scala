@@ -302,7 +302,7 @@ object PipelineQueries {
             .otherwise(col("text")))
       val v2 = recrawl.unionByName(
         v1.filter(col("doc_id") % 11 === 0)
-          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+          .select((col("doc_id") + 10000000000L).as("doc_id"), col("text")))
       Dedup.snapshotDiff(v1, v2, "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
@@ -322,7 +322,7 @@ object PipelineQueries {
             .otherwise(col("text")))
       val v2 = recrawl.unionByName(
         v1.filter(col("doc_id") % 11 === 0)
-          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+          .select((col("doc_id") + 10000000000L).as("doc_id"), col("text")))
       Dedup.snapshotFuzzyDiff(v1, v2, "doc_id", "text", n = 3, threshold = 0.5)
         .orderBy(col("doc_id"))
     }),
@@ -2274,7 +2274,7 @@ object PipelineQueries {
         |         ELSE text END AS text
         |  FROM v1 WHERE doc_id % 7 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 10000000, text FROM v1 WHERE doc_id % 11 = 0),
+        |  SELECT doc_id + 10000000000, text FROM v1 WHERE doc_id % 11 = 0),
         |fa AS (SELECT doc_id,
         |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_a FROM v1),
         |fb AS (SELECT doc_id,
@@ -2300,7 +2300,7 @@ object PipelineQueries {
         |         ELSE text END AS text
         |  FROM v1 WHERE doc_id % 7 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 10000000, text FROM v1 WHERE doc_id % 11 = 0),
+        |  SELECT doc_id + 10000000000, text FROM v1 WHERE doc_id % 11 = 0),
         |fa AS (SELECT doc_id,
         |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_a,
         |    regexp_split_to_array(trim(text), '\s+') AS tk FROM v1),
