@@ -118,15 +118,35 @@ object ScaleProbe {
       s"""{"query":"$name","sf01_s":${r2(t1)},"sf1_s":${r2(t10)},""" +
         s""""sf01_shuffle_b":$s1,"sf1_shuffle_b":$s10$extra}"""
     }
-    val rows = probes.map { name =>
-      // warmup at the small scale first: JIT/codegen/session startup
-      // otherwise lands entirely in the sf0.1 denominator and deflates
-      // every reported wall ratio
-      once(name, sf01)
-      val (t1, s1) = once(name, sf01)
-      val (t10, s10) = once(name, sf1)
-      report(name, t1, t10, s1, s10)
-    } :+ {
+    // incremental + resumable: each probe's row lands in a sidecar file
+    // as soon as it finishes, and a probe whose sidecar already exists is
+    // skipped — a killed run (wall-clock caps) resumes where it stopped
+    // instead of losing everything; SPARK_GRAFT_PROBE_ONLY=a,b selects a
+    // subset. The final report is assembled from the sidecars in probe
+    // order so partial progress is always readable.
+    val sideDir = java.nio.file.Path.of(
+      sys.env.getOrElse("SPARK_GRAFT_PROBE_PARTS", "/tmp/graft_probe_parts"))
+    java.nio.file.Files.createDirectories(sideDir)
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def probeCached(name: String)(run: => String): Unit = {
+      val f = sideDir.resolve(s"$name.json")
+      if (!java.nio.file.Files.exists(f) && only.forall(_.contains(name)))
+        java.nio.file.Files.writeString(f, run)
+      ()
+    }
+    probes.foreach { name =>
+      probeCached(name) {
+        // warmup at the small scale first: JIT/codegen/session startup
+        // otherwise lands entirely in the sf0.1 denominator and deflates
+        // every reported wall ratio
+        once(name, sf01)
+        val (t1, s1) = once(name, sf01)
+        val (t10, s10) = once(name, sf1)
+        report(name, t1, t10, s1, s10)
+      }
+    }
+    probeCached("s01_stream_state_matched") {
       onceMatchedS01(sf01) // warmup
       val (t1, s1) = onceMatchedS01(sf01)
       val (t10, s10) = onceMatchedS01(sf1)
@@ -135,8 +155,13 @@ object ScaleProbe {
           s""","sf01_per_trigger_s":${r2(t1 / MatchedTriggers)}""" +
           s""","sf1_per_trigger_s":${r2(t10 / MatchedTriggers)}""")
     }
+    val rows = (probes :+ "s01_stream_state_matched").flatMap { name =>
+      val f = sideDir.resolve(s"$name.json")
+      if (java.nio.file.Files.exists(f))
+        Some(java.nio.file.Files.readString(f)) else None
+    }
     java.nio.file.Files.writeString(reportPath, rows.mkString("[", ",\n", "]") + "\n")
-    println(s"report: $reportPath")
+    println(s"report: $reportPath (${rows.size} rows)")
     spark.stop()
   }
 
