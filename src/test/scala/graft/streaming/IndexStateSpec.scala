@@ -556,6 +556,81 @@ class IndexStateSpec extends SparkSpec {
     assert(stateIds(new TxnLogState(dir, spark, 1)) == Set("a", "b", "k1", "k2", "k3"))
   }
 
+  test("randomized model check: 30 mixed commits/appends/compactions/vacuums against an in-memory reference") {
+    // The shared-dir layout's read path (readAssigned: per-dir bucket
+    // assignment, grouped scans, pushed-down bucket filter) is the
+    // subtlest code in the stores — drive both implementations through a
+    // seeded random op sequence and compare every read against a plain
+    // in-memory model of the bucket semantics. COW commit(updated, v, ks)
+    // replaces each k∈ks with updated's k-rows; commitAppend(fresh, v,
+    // ks) unions fresh's k-rows in (callers guarantee fresh ⊆ ks and
+    // disjoint — mirrored here); compaction/vacuum must never change the
+    // observable state.
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val B = 8
+    def shard(id: String): Int = Sharding.md5Shard(id, B)
+    for (txn <- Seq(true, false)) {
+      val dir = Files.createTempDirectory(s"graft_model_$txn").toString
+      val st: DocStateStore =
+        if (txn) new TxnLogState(dir, spark, B, autoCompactEvery = 4,
+          maintenanceGraceMs = 0L, maxDeltasPerBucket = 3)
+        else new IndexState(dir, spark, B)
+      val model = scala.collection.mutable.Map.empty[Int, Set[String]]
+        .withDefaultValue(Set.empty)
+      var nextId = 0
+      def freshIds(n: Int): Seq[String] = (1 to n).map { _ =>
+        nextId += 1; s"id$nextId"
+      }
+      for (step <- 1 to 30) {
+        rnd.nextInt(10) match {
+          case r if r <= 3 => // append-only delta: fresh ids, never updates
+            val ids = freshIds(1 + rnd.nextInt(5))
+            val touched = ids.map(shard).distinct
+            st.commitAppend(ids.toDF("id"), f"a$step%03d", touched)
+            ids.foreach(i => model(shard(i)) += i)
+          case r if r <= 6 => // COW: replace 1-3 buckets with survivors + fresh
+            val ks = rnd.shuffle((0 until B).toList).take(1 + rnd.nextInt(3))
+            val survivors = ks.flatMap(k =>
+              model(k).toSeq.sorted.filter(_ => rnd.nextBoolean()))
+            val added = freshIds(rnd.nextInt(3)).filter(i => ks.contains(shard(i)))
+            val rows = survivors ++ added
+            st.commit(
+              if (rows.isEmpty) spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                new org.apache.spark.sql.types.StructType().add("id", "string"))
+              else rows.toDF("id"),
+              f"c$step%03d", ks)
+            ks.foreach(k => model(k) = rows.filter(shard(_) == k).toSet)
+          case 7 => st.maintain() // delta-chain merge + log compaction cadence
+          case 8 =>
+            st match { case t: TxnLogState => t.compact(); t.vacuumLog(0L); case _ => () }
+          case _ => st.vacuum(graceMs = 0L); ()
+        }
+        // full read and a random bucket-subset read both match the model
+        val expectAll = model.values.flatten.toSet
+        val gotAll = st.read()
+          .map(_.select("id").collect().map(_.getString(0)).toSeq).getOrElse(Seq.empty)
+        assert(gotAll.size == gotAll.distinct.size,
+          s"[$txn step $step] duplicate rows served: ${gotAll.diff(gotAll.distinct)}")
+        assert(gotAll.toSet == expectAll, s"[$txn step $step] full read diverged")
+        val ks = rnd.shuffle((0 until B).toList).take(1 + rnd.nextInt(B))
+        val expectKs = ks.flatMap(model(_)).toSet
+        val gotKs = st.readBuckets(ks)
+          .map(_.select("id").collect().map(_.getString(0)).toSeq).getOrElse(Seq.empty)
+        assert(gotKs.size == gotKs.distinct.size,
+          s"[$txn step $step] duplicate rows in bucket read")
+        assert(gotKs.toSet == expectKs, s"[$txn step $step] bucket read diverged")
+      }
+      // a cold reader folds the identical final state
+      val cold: DocStateStore =
+        if (txn) new TxnLogState(dir, spark, B) else new IndexState(dir, spark, B)
+      val coldIds = cold.read()
+        .map(_.select("id").collect().map(_.getString(0)).toSet).getOrElse(Set.empty)
+      assert(coldIds == model.values.flatten.toSet, s"[$txn] cold fold diverged")
+    }
+  }
+
   test("DocStateStore: the default commitAppend folds to copy-on-write for manifest states (IndexState)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_state").toString
