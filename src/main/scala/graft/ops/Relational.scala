@@ -166,24 +166,52 @@ object Relational {
 
     var labels = cp(sym.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node")))
+    // The loop's frames are GRAPH-bounded, not corpus-bounded — the
+    // corpus-sized work (building the edge list) ran under the caller's
+    // partitioning when `sym` materialized. Same discipline as the rank
+    // loops: census-scaled shuffle partitions (a 1 000-pair near-dup
+    // graph on 32 session partitions makes each of the ~4 shuffles per
+    // round pure scheduling), AQE off inside the loop (its stage-by-
+    // stage materialization is tax at an exactly-derived partition
+    // count), both restored in finally.
+    val spark = edges.sparkSession
+    val e = sym.count()
+    val loopParts = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      e / 200000L + 1L)).toInt
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIter) {
-      val prop = sym.join(labels, col("src") === col("node"))
-        .groupBy(col("dst")).agg(min(col("lbl")).as("nbr"))
-      // pointer jump: lbl(lbl(node)) — labels only ever decrease toward
-      // the component minimum, so the shortcut preserves the fixpoint
-      val jump = labels.select(col("node").as("_j_node"), col("lbl").as("_j_lbl"))
-      val next = cp(labels
-        .join(prop, col("node") === col("dst"), "left")
-        .join(jump, col("lbl") === col("_j_node"), "left")
-        .select(col("node"), least(
-          col("lbl"),
-          least(coalesce(col("nbr"), col("lbl")), coalesce(col("_j_lbl"), col("lbl")))).as("lbl")))
-      converged = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
-      labels = next
-      iter += 1
+    try {
+      while (!converged && iter < maxIter) {
+        val prop = sym.join(labels, col("src") === col("node"))
+          .groupBy(col("dst")).agg(min(col("lbl")).as("nbr"))
+        // pointer jump: lbl(lbl(node)) — labels only ever decrease toward
+        // the component minimum, so the shortcut preserves the fixpoint
+        val jump = labels.select(col("node").as("_j_node"), col("lbl").as("_j_lbl"))
+        // the convergence signal rides the SAME action as the checkpoint
+        // (localCheckpoint fulfills observe metrics): one job per round,
+        // no separate old-vs-new join + isEmpty action
+        val obs = org.apache.spark.sql.Observation()
+        val next = cp(labels
+          .join(prop, col("node") === col("dst"), "left")
+          .join(jump, col("lbl") === col("_j_node"), "left")
+          .select(col("node"), col("lbl"), least(
+            col("lbl"),
+            least(coalesce(col("nbr"), col("lbl")),
+              coalesce(col("_j_lbl"), col("lbl")))).as("nl"))
+          .select(col("node"), col("nl"), (col("nl") =!= col("lbl")).as("_chg"))
+          .observe(obs, count(when(col("_chg"), 1)).as("changed")))
+        converged = obs.get("changed").asInstanceOf[Long] == 0L
+        labels = next.select(col("node"), col("nl").as("lbl"))
+        iter += 1
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
     // silent wrong labels are worse than a loud stop: a non-converged run
     // would get SPLIT keeper assignments
