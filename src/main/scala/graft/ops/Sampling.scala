@@ -353,9 +353,16 @@ object Sampling {
   def epochSchedule(docs: DataFrame, idCol: String, epochs: Int,
                     buckets: Int = 1024): DataFrame = {
     require(epochs > 0, s"epochs must be positive: $epochs")
-    val n = docs.count()
+    // the id frame is consumed 1 + epochs×(census + rank) times — behind
+    // a DERIVED input (p30 feeds the leakage-safe split: LSH pairs +
+    // connected components) each consumption re-executes that whole
+    // chain, so materialize the ids ONCE (they are the narrowest
+    // possible frame to pin; the caller's session releases the block
+    // with the returned frame)
+    val ids = docs.select(col(idCol).as("doc_id")).localCheckpoint()
+    val n = ids.count()
     (1 to epochs).map { e =>
-      val scored = docs.select(col(idCol).as("doc_id"))
+      val scored = ids.select(col("doc_id"))
         .withColumn("score",
           Dedup.hash60(concat(lit(s"${e}_"), col("doc_id").cast("string")))
             .cast("double") / lit(1152921504606846976.0))
