@@ -329,8 +329,13 @@ object TextHash {
     * CONTENT (never position or RNG), so two docs' sampled sets overlap
     * in the same proportion as their full sets in expectation, and both
     * engines sample identically. `sampleMod = 1` keeps everything. */
-  def charShingles60(text: UTF8String, k: Int, sampleMod: Int): Array[Long] = {
-    val s = text.toString
+  def charShingles60(text: UTF8String, k: Int, sampleMod: Int): Array[Long] =
+    charShingles60(text.toString, k, sampleMod)
+
+  /** String-input twin of [[charShingles60]] for typed kernels that
+    * already hold a decoded String (identical output by construction —
+    * the UTF8String overload delegates here). */
+  def charShingles60(s: String, k: Int, sampleMod: Int): Array[Long] = {
     if (s.length < k) return Array.emptyLongArray
     val seen = new java.util.HashSet[Long]()
     val out = new scala.collection.mutable.ArrayBuffer[Long](s.length - k + 1)
@@ -351,9 +356,13 @@ object TextHash {
     * access and measured ~5 ms per ~300-char pair (it dominated d21's
     * whole runtime); this kernel decodes once and runs the band on
     * char arrays. */
-  def boundedLevenshtein(a: UTF8String, b: UTF8String, t: Int): Long = {
-    val s = a.toString
-    val u = b.toString
+  def boundedLevenshtein(a: UTF8String, b: UTF8String, t: Int): Long =
+    boundedLevenshtein(a.toString, b.toString, t)
+
+  /** String-input twin of [[boundedLevenshtein]] for typed kernels that
+    * already hold decoded Strings (the UTF8String overload delegates
+    * here). */
+  def boundedLevenshtein(s: String, u: String, t: Int): Long = {
     val m = s.length
     val n = u.length
     if (math.abs(m - n) > t) return -1L

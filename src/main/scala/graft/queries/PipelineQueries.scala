@@ -1908,6 +1908,9 @@ object PipelineQueries {
             .withColumn("text", translate(col("text"), "e", "3")),
           "doc_id", "text", k = 8),
         s"$work/bench")
+      // inverted gram index built ONCE (collect + broadcast) — the
+      // per-trigger work is then a map-only probe of the arriving chunk
+      val benchIdx = Dedup.editBenchIndex(bench)
       Seq(col("doc_id") % 3 === 0, col("doc_id") % 3 === 1,
           col("doc_id") % 3 === 2).foreach { p =>
         d.filter(p).coalesce(1).write.mode("append").parquet(s"$work/log")
@@ -1919,7 +1922,7 @@ object PipelineQueries {
         .parquet(s"$work/log")
         .writeStream
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          Dedup.editContaminationPrepared(b, bench, "doc_id", "text",
+          Dedup.editContaminationIndexed(b, benchIdx, "doc_id", "text",
               k = 8, minOverlap = 0.25, editSim = 0.8, maxDist = 200)
             .write.mode("append").parquet(outDir); ()
         }

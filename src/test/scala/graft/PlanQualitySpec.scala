@@ -567,12 +567,21 @@ class PlanQualitySpec extends SparkSpec {
         plan.take(800))
   }
 
-  test("d22 edit decontamination: benchmark grams broadcast, corpus joins map-side only") {
+  test("d22 edit decontamination: one map-only corpus probe of the broadcast gram index — no joins at all") {
     val physical = q("d22_edit_decontamination").queryExecution.executedPlan.toString
-    assert(physical.contains("BroadcastHashJoin"),
-      "the benchmark gram rows must broadcast against the corpus explode:\n" + physical.take(800))
-    assert(!physical.contains("SortMergeJoin") && !physical.contains("CartesianProduct"),
-      physical.take(800))
+    // candidacy + verify run inline in the index-probe kernel: the plan
+    // must contain NO join of any kind and no gram explode; the only
+    // exchange allowed is the final ORDER BY's range partitioning
+    assert(!physical.contains("Join") && !physical.contains("CartesianProduct"),
+      "the gram-index kernel replaces every join:\n" + physical.take(800))
+    assert(!physical.contains("Generate"),
+      "no gram explode may survive:\n" + physical.take(800))
+    // allowed exchanges: the kernelParallel round-robin valve (a no-op at
+    // scale — only fires when the fixture scan has fewer splits than
+    // cores) and the final ORDER BY's range partitioning; a HASH
+    // partitioning would mean a join/aggregate crept back in
+    assert(!physical.contains("hashpartitioning"),
+      "no hash exchange — candidacy must stay inside the kernel:\n" + physical.take(800))
   }
 
   test("m12 clip match: clip prints broadcast; the track corpus never sort-merge joins") {

@@ -169,6 +169,91 @@ class DedupSpec extends SparkSpec {
       s"only $found/${edited.size} edit copies found — banding is broken, not just unlucky")
   }
 
+  // adversarial corpus for the gram-index kernel parity pins: nulls,
+  // empties, sub-k texts, unicode, exact dups, near dups, a doc whose
+  // grams hit MANY benchmark items, and repeated-gram texts
+  private val kernelCorpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the green river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the green river bank"),
+    (3L, "spark shuffles partition data across the cluster by key ranges tonight"),
+    (4L, null.asInstanceOf[String]),
+    (5L, ""),
+    (6L, "short"), // < k = 8 chars → zero grams
+    (7L, "unicode héllo wörld 日本語 テキスト mixed ascii content here today"),
+    (8L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"), // one distinct gram, repeated
+    (9L, "the quick brown fox jumps over the lazy dog near the green river bank extra tail"),
+    (10L, "spark shuffles partition data across the cluster by key ranges tonight ok"))
+
+  test("editContamination gram-index kernel == retired relational plan, row for row") {
+    import spark.implicits._
+    val corpus = kernelCorpus.toDF("doc_id", "text")
+    // benchmark: leetspeak rewrites + an unrelated item + a unicode item
+    val bench = corpus.filter(col("doc_id").isin(1, 3, 7))
+      .withColumn("text", translate(col("text"), "e", "3"))
+    for ((ov, sim) <- Seq((0.25, 0.8), (0.1, 0.5), (0.6, 0.95))) {
+      val prepared = Dedup.editBenchPrep(bench, "doc_id", "text", k = 8)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id", "bench_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getDouble(5))).toSeq
+      val kernel = rows(Dedup.editContaminationPrepared(corpus, prepared,
+        "doc_id", "text", k = 8, minOverlap = ov, editSim = sim, maxDist = 200))
+      val relational = rows(Dedup.editContaminationRelational(corpus, prepared,
+        "doc_id", "text", k = 8, minOverlap = ov, editSim = sim, maxDist = 200))
+      assert(kernel == relational, s"ov=$ov sim=$sim:\n$kernel\nvs\n$relational")
+      assert(kernel.nonEmpty || ov > 0.5, s"ov=$ov sim=$sim surfaced nothing")
+    }
+  }
+
+  test("editAdmission gram-index kernel == plain-scala model (incl. sampleMod)") {
+    import spark.implicits._
+    val corpus = kernelCorpus.toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "a completely novel document about gardening tools and wet soil"),
+      (13L, "th3 quick brown fox jumps ov3r th3 lazy dog n3ar th3 gr33n riv3r bank"),
+      (15L, "a completely novel document about gardening tools and wet soil ok"),
+      (17L, null.asInstanceOf[String]),
+      (19L, "tiny"),
+      (21L, "spark shuffles partition data across the cluster by key ranges tonight"))
+      .toDF("doc_id", "text")
+    for (sampleMod <- Seq(1, 2)) {
+      val got = Dedup.editAdmission(corpus, batch, "doc_id", "text",
+          k = 8, minOverlap = 0.25, editSim = 0.8, maxDist = 200,
+          gramSampleMod = sampleMod)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      // independent model: exact bar + bounded-DP semantics in plain scala
+      def grams(t: String) =
+        if (t == null) Array.emptyLongArray
+        else TextHash.charShingles60(t, 8, sampleMod)
+      def blocks(a: String, b: String): Boolean = {
+        val (ga, gb) = (grams(a), grams(b))
+        if (ga.isEmpty || gb.isEmpty) return false
+        val hits = ga.toSet.intersect(gb.toSet).size
+        if (hits.toDouble < math.min(ga.length, gb.length).toDouble * 0.25) return false
+        val dist = TextHash.boundedLevenshtein(a, b, 200)
+        if (dist < 0) return false
+        val maxLen = math.max(a.codePointCount(0, a.length), b.codePointCount(0, b.length))
+        maxLen == 0 || 1.0 - dist.toDouble / maxLen >= 0.8
+      }
+      val corpusTexts = kernelCorpus.collect { case (_, t) if t != null => t }
+      val batchRows = Seq(11L -> "a completely novel document about gardening tools and wet soil",
+        13L -> "th3 quick brown fox jumps ov3r th3 lazy dog n3ar th3 gr33n riv3r bank",
+        15L -> "a completely novel document about gardening tools and wet soil ok",
+        17L -> null.asInstanceOf[String], 19L -> "tiny",
+        21L -> "spark shuffles partition data across the cluster by key ranges tonight")
+      val expected = batchRows.map { case (id, t) =>
+        val rejected = t != null &&
+          (corpusTexts.exists(c => blocks(c, t)) ||
+            batchRows.exists { case (aId, at) => aId < id && at != null && blocks(at, t) })
+        id -> !rejected
+      }.toMap
+      assert(got == expected, s"sampleMod=$sampleMod: $got vs $expected")
+      if (sampleMod == 1)
+        assert(got(13L) == false && got(21L) == false && got(15L) == false && got(11L),
+          s"the designed verdicts must hold at sampleMod=1: $got")
+    }
+  }
+
   test("bounded_levenshtein == builtin levenshtein(a, b, t) on random pairs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
