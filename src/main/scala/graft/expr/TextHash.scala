@@ -59,7 +59,19 @@ object TextHash {
   /** Whitespace tokens of the space-trimmed text — identical to
     * `split(trim(text), "\\s+")`. */
   def tokens(text: UTF8String): Array[String] =
-    ws.split(trimSpaces(text.toString), -1)
+    tokens(text.toString)
+
+  /** String-input twin of [[tokens]] for typed kernels. */
+  def tokens(s: String): Array[String] =
+    ws.split(trimSpaces(s), -1)
+
+  /** Token count under the engine-wide rule — identical to
+    * [[TextStats]]' `n_tokens` field (`when(length(trim(text))===0, 0)
+    * .otherwise(size(split(trim(text), "\\s+")))`). */
+  def tokenCount(s: String): Long = {
+    val toks = tokens(s)
+    if (toks.length == 1 && toks(0).isEmpty) 0L else toks.length.toLong
+  }
 
   /** Distinct 60-bit hashes of the word n-gram shingles, in first-
     * occurrence order — identical contents to
@@ -96,9 +108,13 @@ object TextHash {
     * the positional twin of [[shingleHashes60]], for span-level
     * exact-substring dedup where WHERE a window sits matters. Empty when
     * the doc has fewer than n tokens. */
-  def kgramHashes60(text: UTF8String, n: Int): Array[Long] = {
-    if (text == null) return Array.emptyLongArray
-    val toks = tokens(text)
+  def kgramHashes60(text: UTF8String, n: Int): Array[Long] =
+    if (text == null) Array.emptyLongArray else kgramHashes60(text.toString, n)
+
+  /** String-input twin of [[kgramHashes60]] for typed kernels (identical
+    * output by construction — the UTF8String overload delegates here). */
+  def kgramHashes60(s: String, n: Int): Array[Long] = {
+    val toks = tokens(s)
     if (toks.length < n || (toks.length == 1 && toks(0).isEmpty))
       return Array.emptyLongArray
     val m = toks.length - n + 1
@@ -128,9 +144,15 @@ object TextHash {
     * no-token text returns the empty string. */
   def removeTokenSpans(text: UTF8String, starts: Array[Long], k: Int): UTF8String = {
     if (text == null) return null
+    UTF8String.fromString(removeTokenSpans(text.toString, starts, k))
+  }
+
+  /** String-input twin of [[removeTokenSpans]] for typed kernels (the
+    * UTF8String overload delegates here; null handling stays with it). */
+  def removeTokenSpans(text: String, starts: Array[Long], k: Int): String = {
     val toks = tokens(text)
     if (toks.length == 0 || (toks.length == 1 && toks(0).isEmpty))
-      return UTF8String.fromString("")
+      return ""
     val covered = new Array[Boolean](toks.length)
     var i = 0
     while (i < starts.length) {
@@ -153,7 +175,7 @@ object TextHash {
       }
       i += 1
     }
-    UTF8String.fromString(sb.toString)
+    sb.toString
   }
 
   /** [[removeTokenSpans]] over raw Catalyst array data — the eval/codegen

@@ -6,12 +6,21 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import java.nio.file.{Files, Paths}
 
 /** Shared per-micro-batch k-gram state machinery for the streaming
-  * keep-first operators ([[StreamNovelty]], [[StreamSpanDedup]]): the
-  * positional k-gram explode, the within-batch (doc_id, pos) winner
-  * aggregate, the bucket-pruned read of the cross-batch seen set, and
-  * the O(fresh) append of the batch's first occurrences into the
+  * keep-first operators ([[StreamNovelty]], [[StreamSpanDedup]]): ONE
+  * typed kernel job summarizing the batch (positional k-gram hashes,
+  * within-batch (doc_id, pos) winners, per-doc window counts —
+  * [[summarize]]), one map-only probe of the bucket-pruned cross-batch
+  * seen set against the broadcast trigger keys ([[probeSeen]]), and the
+  * O(fresh) append of the batch's first occurrences into the
   * [[DocStateStore]] ([[DocStateStore.commitAppend]] — the seen-set is
   * append-only by construction, keep-first never updates an entry).
+  * The summary is trigger-sized and flows through the driver under the
+  * SAME memory contract the earlier relational formulation used when it
+  * broadcast the winner keys into the state probe; what the kernel
+  * removes is the per-trigger explode, two shuffles, four persisted
+  * frames, and ~half the Spark jobs — the drain family's wall was
+  * job-count-bound, not data-bound (measured: the commit floor and the
+  * per-job scheduling constant dominated trigger wall at sf0.1).
   * With batches arriving in ascending doc_id order the incremental rule
   * equals the batch operators' global keep-first exactly — each
   * streaming op's oracle is its batch twin's SQL. That precondition is
@@ -87,77 +96,158 @@ private[streaming] object KgramStreamCore {
       IndexState.atomicWriteString(Paths.get(outPath, "_hwm"), s"$lo\t$hi")
     }
 
-  /** Per-batch working set. `occ`/`winners`/`seenHit`/`fresh` are
-    * persisted — callers release them with [[cleanup]] in a finally
-    * block. `seenHit` = the already-seen subset of this batch's winner
-    * k-grams (≤ |winners| rows, trigger-sized); `range` feeds
-    * [[advanceHwm]] after the commit. */
-  case class Prepared(occ: DataFrame, winners: DataFrame,
-                      touched: Seq[Int], seenHit: DataFrame, fresh: DataFrame,
-                      range: Option[(Long, Long)])
+  /** Driver-merged per-trigger k-gram summary: the batch's distinct
+    * k-gram hashes (SORTED — the probe side binary-searches them), the
+    * within-batch winner (doc_id, pos) per hash, and the per-doc window
+    * counts. Trigger-sized BY THE SAME CONTRACT that let the retired
+    * relational plan `broadcast(winners)` — a broadcast already staged
+    * the whole winner set through the driver; the kernel just makes that
+    * explicit and drops the explode + two shuffles + three persisted
+    * frames that produced it (per-trigger wall was job-count-bound, not
+    * data-bound). */
+  final case class KgramSummary(
+      hs: Array[Long], winDoc: Array[Long], winPos: Array[Long],
+      docIds: Array[Long], docWindows: Array[Long],
+      touched: Seq[Int], range: Option[(Long, Long)])
 
-  def prepare(state: DocStateStore, batch: DataFrame, idCol: String,
-              textCol: String, k: Int, outPath: String): Prepared = {
+  /** ONE job over the batch: per-partition winner maps and per-doc
+    * window counts, merged on the driver (a doc's row lives in exactly
+    * one partition, so doc counts concatenate; winners merge by
+    * lexicographic (doc_id, pos) min — order-independent). */
+  def summarize(batch: DataFrame, idCol: String, textCol: String, k: Int,
+                buckets: Int): KgramSummary = {
     val spark = batch.sparkSession
-    val occ = batch.select(col(idCol).as("doc_id"),
-        posexplode(graft.expr.hfunctions.kgram_hashes60(col(textCol), k))
-          .as(Seq("i0", "h")))
-      .select(col("doc_id"), (col("i0") + 1).cast("long").as("pos"), col("h"))
-      .persist()
-    // one stats action fills the occ cache AND answers both driver
-    // questions (ascending contract, touched buckets) — the contract
-    // check runs before anything is written
-    val (range, touched) = timed("stats")(batchStats(
-      occ, "doc_id", col("h").cast("string"), state.buckets))
-    checkAscending(outPath, range)
-    // within-batch keep-first; winners carry their (doc_id, pos)
-    val winners = occ.groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
-      .persist()
-    val seen = timed("readBuckets")(state.readBuckets(touched)
-      .map(_.select(col("id")))
-      .getOrElse(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row],
-        StructType(Seq(StructField("id", StringType))))))
-    // membership probe WITHOUT shuffling the state: the seen-set grows
-    // with distinct corpus k-grams, so a plain anti-join (which shuffles
-    // BOTH sides once seen outgrows the broadcast threshold) would move
-    // O(state) bytes over the wire every trigger — the read-side twin of
-    // the copy-on-write commit flaw. Instead the TRIGGER-sized winner
-    // keys broadcast and seen streams map-side against them; only the
-    // ≤|winners| matches (`seenHit`) ever shuffle or broadcast again.
-    val seenHit = seen.select(col("id").cast("long").as("h"))
-      .join(broadcast(winners.select(col("h"))), Seq("h"))
-      .persist()
-    // winners whose k-gram no prior batch claimed
-    val fresh = winners
-      .join(broadcast(seenHit), Seq("h"), "left_anti")
-      .persist()
-    Prepared(occ, winners, touched, seenHit, fresh, range)
+    import spark.implicits._
+    val parts = batch.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val win = new java.util.HashMap[Long, Array[Long]]()
+        val docs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        it.foreach { case (docId, text) =>
+          if (text != null) {
+            val hs = graft.expr.TextHash.kgramHashes60(text, k)
+            if (hs.length > 0) {
+              docs += ((docId, hs.length.toLong))
+              var i = 0
+              while (i < hs.length) {
+                val h = hs(i)
+                val pos = (i + 1).toLong
+                val cur = win.get(h)
+                if (cur == null || docId < cur(0) || (docId == cur(0) && pos < cur(1)))
+                  win.put(h, Array(docId, pos))
+                i += 1
+              }
+            }
+          }
+        }
+        val n = win.size()
+        val hsA = new Array[Long](n); val dA = new Array[Long](n); val pA = new Array[Long](n)
+        var j = 0
+        val e = win.entrySet().iterator()
+        while (e.hasNext) {
+          val kv = e.next()
+          hsA(j) = kv.getKey; dA(j) = kv.getValue()(0); pA(j) = kv.getValue()(1)
+          j += 1
+        }
+        Iterator.single((hsA, dA, pA, docs.map(_._1).toArray, docs.map(_._2).toArray))
+      }
+      .collect()
+    val win = new java.util.HashMap[Long, Array[Long]]()
+    var docCount = 0
+    parts.foreach { case (hsA, dA, pA, dIds, _) =>
+      docCount += dIds.length
+      var i = 0
+      while (i < hsA.length) {
+        val cur = win.get(hsA(i))
+        if (cur == null || dA(i) < cur(0) || (dA(i) == cur(0) && pA(i) < cur(1)))
+          win.put(hsA(i), Array(dA(i), pA(i)))
+        i += 1
+      }
+    }
+    val hs = new Array[Long](win.size())
+    var j = 0
+    val ks = win.keySet().iterator()
+    while (ks.hasNext) { hs(j) = ks.next(); j += 1 }
+    java.util.Arrays.sort(hs)
+    val winDoc = new Array[Long](hs.length)
+    val winPos = new Array[Long](hs.length)
+    j = 0
+    while (j < hs.length) {
+      val w = win.get(hs(j)); winDoc(j) = w(0); winPos(j) = w(1); j += 1
+    }
+    val docIds = new Array[Long](docCount)
+    val docWindows = new Array[Long](docCount)
+    j = 0
+    parts.foreach { case (_, _, _, dIds, dWins) =>
+      System.arraycopy(dIds, 0, docIds, j, dIds.length)
+      System.arraycopy(dWins, 0, docWindows, j, dIds.length)
+      j += dIds.length
+    }
+    // touched buckets and the ascending-contract range, from the merged
+    // summary (same domains as the retired batchStats over the explode:
+    // distinct h = winner keys; doc range = docs with ≥1 window)
+    val touched = hs.map(h => graft.sink.Sharding.md5Shard(h.toString, buckets))
+      .distinct.sorted.toSeq
+    val range = if (docIds.isEmpty) None else Some((docIds.min, docIds.max))
+    KgramSummary(hs, winDoc, winPos, docIds, docWindows, touched, range)
   }
 
-  /** Append the batch's first-occurrence k-grams into the store as a
-    * delta: write volume is O(fresh), never O(seen) — the seen-set is
-    * append-only, so [[DocStateStore.commitAppend]] applies and the
-    * per-trigger full-state copy-on-write rewrite is gone ([[TxnLogState]]
-    * bounds the delta chains by merging heavy buckets on its
-    * `maintain()` cadence). No distinct: seen is unique by induction
-    * (disjoint fresh sets appended) and fresh is winners-per-h
-    * anti-joined against seen. */
-  def commitFresh(state: DocStateStore, p: Prepared, batchId: Long): Unit = {
+  /** The ALREADY-SEEN subset of the summary's k-grams, SORTED: one
+    * map-only pass over the touched buckets' state files probing the
+    * broadcast trigger-key array — the seen-set never shuffles (the same
+    * read-side discipline as the retired broadcast-join probe, minus the
+    * join machinery). */
+  def probeSeen(state: DocStateStore, sum: KgramSummary,
+                spark: SparkSession): Array[Long] =
+    timed("probeSeen")(state.readBuckets(sum.touched) match {
+      case None => Array.emptyLongArray
+      case Some(df) =>
+        import spark.implicits._
+        val bc = spark.sparkContext.broadcast(sum.hs)
+        val hits = df.select(col("id")).as[String]
+          .mapPartitions { it =>
+            val keys = bc.value
+            it.flatMap { s =>
+              val h = java.lang.Long.parseLong(s)
+              if (java.util.Arrays.binarySearch(keys, h) >= 0) Iterator.single(h)
+              else Iterator.empty
+            }
+          }
+          .collect()
+        java.util.Arrays.sort(hits)
+        hits
+    })
+
+  /** Append the batch's first-occurrence k-grams (summary hashes not in
+    * `seenSorted`) into the store as a delta: write volume is O(fresh),
+    * never O(seen) — the seen-set is append-only, so
+    * [[DocStateStore.commitAppend]] applies ([[TxnLogState]] bounds the
+    * delta chains by merging heavy buckets on its `maintain()` cadence).
+    * No distinct needed: seen is unique by induction (disjoint fresh
+    * sets appended) and the summary's hashes are distinct. */
+  def commitFresh(state: DocStateStore, sum: KgramSummary,
+                  seenSorted: Array[Long], batchId: Long,
+                  spark: SparkSession): Unit = {
+    import spark.implicits._
+    val fresh = sum.hs.iterator
+      .filter(h => java.util.Arrays.binarySearch(seenSorted, h) < 0)
+      .map(_.toString).toSeq
     timed("commitAppend")(state.commitAppend(
-      p.fresh.select(col("h").cast("string").as("id")),
-      f"n$batchId%09d", p.touched))
+      spark.createDataset(fresh).toDF("id"), f"n$batchId%09d", sum.touched))
     timed("maintain")(state.maintain())
   }
 
-  def cleanup(p: Prepared): Unit = {
-    p.occ.unpersist(); p.winners.unpersist()
-    p.seenHit.unpersist(); p.fresh.unpersist(); ()
-  }
-
   /** Drain an ordered document log (doc_id long, text string) file-by-
-    * file through `perBatch`, then read back the accumulated output. */
+    * file through `perBatch`, then read back the accumulated output.
+    *
+    * Per-trigger scheduling discipline (the rank-loop lesson applied to
+    * drains): every frame inside a trigger is TRIGGER-sized, so the
+    * session's shuffle width is pure task-scheduling tax on small
+    * triggers, and AQE's per-stage materialization is a fixed tax per
+    * shuffle with nothing to re-plan (the partition count is derived
+    * from the trigger's own split count). Both are scoped to the
+    * foreachBatch body and restored in `finally`; a cluster-scale
+    * trigger (many input splits) keeps the session width. */
   def drain(spark: SparkSession, inPath: String, outPath: String,
             ckptPath: String, outSchema: String)
            (perBatch: (DataFrame, Long) => Unit): DataFrame = {
@@ -166,7 +256,21 @@ private[streaming] object KgramStreamCore {
       .option("maxFilesPerTrigger", 1)
       .parquet(inPath)
       .writeStream
-      .foreachBatch { (b: DataFrame, id: Long) => timed(s"perBatch $id")(perBatch(b, id)) }
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        timed(s"perBatch $id") {
+          val sessParts = spark.sessionState.conf.numShufflePartitions
+          val trigParts = math.max(4, math.min(sessParts, b.rdd.getNumPartitions * 4))
+          val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+          val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+          spark.conf.set("spark.sql.shuffle.partitions", trigParts.toString)
+          spark.conf.set("spark.sql.adaptive.enabled", "false")
+          try perBatch(b, id)
+          finally {
+            spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+            spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+          }
+        }
+      }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckptPath)
       .start()
@@ -192,12 +296,12 @@ private[streaming] object KgramStreamCore {
   * [[TxnLogState]] brings idempotent versioned commits, optimistic
   * concurrency, and the auto-compaction cadence for free.
   *
-  * Scale shape: the per-batch plan is the batch operator's (one
-  * groupBy(h) min-struct aggregate with map-side partials, two uniform
-  * doc_id aggregations), plus one left-anti join against only the
-  * touched buckets' seen hashes. State grows with DISTINCT k-grams, not
-  * corpus size, and is bucket-pruned on read — no full-state scan per
-  * batch, no flatMapGroupsWithState timer state.
+  * Scale shape: one [[KgramStreamCore.summarize]] kernel job over the
+  * batch, one map-only [[KgramStreamCore.probeSeen]] pass over only the
+  * touched buckets' seen hashes, two small writes — zero shuffles per
+  * trigger. State grows with DISTINCT k-grams, not corpus size, and is
+  * bucket-pruned on read — no full-state scan per batch, no
+  * flatMapGroupsWithState timer state.
   */
 object StreamNovelty {
 
@@ -207,26 +311,38 @@ object StreamNovelty {
   def applyBatch(state: DocStateStore, batch: DataFrame, idCol: String,
                  textCol: String, k: Int, outPath: String,
                  batchId: Long): Seq[Int] = {
-    val p = KgramStreamCore.timed("prepare")(
-      KgramStreamCore.prepare(state, batch, idCol, textCol, k, outPath))
-    try {
-      KgramStreamCore.timed("output") {
-        // window and novel counts in ONE aggregation: tag each occ row
-        // (1,0) and each fresh winner (0,1), sum per doc — replaces two
-        // groupBys plus a join (three shuffles of per-doc data) with a
-        // single shuffle
-        p.occ.select(col("doc_id"), lit(1L).as("w"), lit(0L).as("n"))
-          .unionByName(p.fresh.select(col("w.doc_id").as("doc_id"),
-            lit(0L).as("w"), lit(1L).as("n")))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("w")).as("n_windows"), sum(col("n")).as("n_novel"))
-          .withColumn("novelty", col("n_novel").cast("double") / col("n_windows"))
-          .write.mode("append").parquet(outPath)
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val sum = KgramStreamCore.timed("summarize")(
+      KgramStreamCore.summarize(batch, idCol, textCol, k, state.buckets))
+    KgramStreamCore.checkAscending(outPath, sum.range)
+    val seen = KgramStreamCore.probeSeen(state, sum, spark)
+    KgramStreamCore.timed("output") {
+      // novel per doc = its fresh winner count, folded driver-side from
+      // the summary (the retired relational tag-union aggregation moved
+      // trigger-sized frames through a shuffle to compute the same sums)
+      val novel = new java.util.HashMap[java.lang.Long, Long]()
+      var i = 0
+      while (i < sum.hs.length) {
+        if (java.util.Arrays.binarySearch(seen, sum.hs(i)) < 0) {
+          val d = java.lang.Long.valueOf(sum.winDoc(i))
+          novel.put(d, novel.getOrDefault(d, 0L) + 1L)
+        }
+        i += 1
       }
-      KgramStreamCore.commitFresh(state, p, batchId)
-      KgramStreamCore.advanceHwm(outPath, p.range)
-      p.touched
-    } finally KgramStreamCore.cleanup(p)
+      val rows = sum.docIds.indices.map { j =>
+        val d = sum.docIds(j)
+        val w = sum.docWindows(j)
+        val n = novel.getOrDefault(java.lang.Long.valueOf(d), 0L)
+        (d, w, n, n.toDouble / w)
+      }
+      spark.createDataset(rows)
+        .toDF("doc_id", "n_windows", "n_novel", "novelty")
+        .coalesce(1).write.mode("append").parquet(outPath)
+    }
+    KgramStreamCore.commitFresh(state, sum, seen, batchId, spark)
+    KgramStreamCore.advanceHwm(outPath, sum.range)
+    sum.touched
   }
 
   /** Convenience drain for an ordered document log: stream `inPath`
@@ -317,8 +433,9 @@ object StreamExactDedup {
   * a non-first occurrence within its own batch. Under ascending doc_id
   * arrival the cut set equals the batch operator's global keep-first
   * cover mask exactly — the s12 oracle is d15's SQL. Same scale shape as
-  * s11 plus the d15 join-back (occ ⨝ winners) and the compiled
-  * `remove_token_spans` rebuild per document. */
+  * s11 plus one more map-only pass over the batch: each document decides
+  * its cut windows against the broadcast summary and rebuilds inline
+  * with the same `removeTokenSpans` kernel the expression wraps. */
 object StreamSpanDedup {
 
   /** Process one micro-batch: append (doc_id, n_tokens, n_removed,
@@ -327,35 +444,57 @@ object StreamSpanDedup {
   def applyBatch(state: DocStateStore, batch: DataFrame, idCol: String,
                  textCol: String, k: Int, outPath: String,
                  batchId: Long): Seq[Int] = {
-    val p = KgramStreamCore.prepare(state, batch, idCol, textCol, k, outPath)
-    try {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val sum = KgramStreamCore.timed("summarize")(
+      KgramStreamCore.summarize(batch, idCol, textCol, k, state.buckets))
+    KgramStreamCore.checkAscending(outPath, sum.range)
+    val seen = KgramStreamCore.probeSeen(state, sum, spark)
+    KgramStreamCore.timed("output") {
       // duplicate starts: every occurrence of a previously-seen k-gram,
-      // plus every non-winner occurrence within the batch. seenHit is
-      // trigger-sized (winners ∩ seen), so the mark join broadcasts —
-      // the full state never shuffles here either.
-      val seenMark = p.seenHit.withColumn("_seen", lit(true))
-      val dupStarts = p.occ
-        .join(p.winners, Seq("h"))
-        .join(broadcast(seenMark), Seq("h"), "left")
-        .filter(coalesce(col("_seen"), lit(false)) ||
-          !(col("doc_id") === col("w.doc_id") && col("pos") === col("w.pos")))
-        .groupBy(col("doc_id"))
-        .agg(collect_list(col("pos")).as("starts"))
-      batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-        .join(dupStarts, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          graft.ops.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-          graft.expr.hfunctions.remove_token_spans(col("text"),
-            coalesce(col("starts"), lit(Array.empty[Long])), k).as("clean_text"))
-        .select(col("doc_id"), col("n_tokens"),
-          (col("n_tokens") - graft.ops.TextAnalysis.tokenCount(col("clean_text")))
-            .as("n_removed"),
-          col("clean_text"))
+      // plus every non-winner occurrence within the batch — decided per
+      // occurrence in one map-only pass over the batch against the
+      // broadcast summary (the retired relational path re-joined the occ
+      // explode to winners and the seen marks, then collected starts per
+      // doc through another shuffle). The rebuild runs inline with the
+      // same removeTokenSpans kernel the expression wraps.
+      val bcHs = spark.sparkContext.broadcast(sum.hs)
+      val bcDoc = spark.sparkContext.broadcast(sum.winDoc)
+      val bcPos = spark.sparkContext.broadcast(sum.winPos)
+      val bcSeen = spark.sparkContext.broadcast(seen)
+      batch.select(col(idCol).cast("long"), col(textCol))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val hsK = bcHs.value; val wd = bcDoc.value; val wp = bcPos.value
+          val sn = bcSeen.value
+          it.map { case (docId, text) =>
+            if (text == null)
+              (docId, None: Option[Long], None: Option[Long], null: String)
+            else {
+              val hs = graft.expr.TextHash.kgramHashes60(text, k)
+              val starts = scala.collection.mutable.ArrayBuffer.empty[Long]
+              var i = 0
+              while (i < hs.length) {
+                val h = hs(i)
+                val pos = (i + 1).toLong
+                val gi = java.util.Arrays.binarySearch(hsK, h) // always ≥ 0
+                if (java.util.Arrays.binarySearch(sn, h) >= 0 ||
+                    !(wd(gi) == docId && wp(gi) == pos)) starts += pos
+                i += 1
+              }
+              val nTok = graft.expr.TextHash.tokenCount(text)
+              val clean = graft.expr.TextHash.removeTokenSpans(text, starts.toArray, k)
+              (docId, Some(nTok), Some(nTok - graft.expr.TextHash.tokenCount(clean)),
+                clean)
+            }
+          }
+        }
+        .toDF("doc_id", "n_tokens", "n_removed", "clean_text")
         .write.mode("append").parquet(outPath)
-      KgramStreamCore.commitFresh(state, p, batchId)
-      KgramStreamCore.advanceHwm(outPath, p.range)
-      p.touched
-    } finally KgramStreamCore.cleanup(p)
+    }
+    KgramStreamCore.commitFresh(state, sum, seen, batchId, spark)
+    KgramStreamCore.advanceHwm(outPath, sum.range)
+    sum.touched
   }
 
   /** Convenience drain: stream an ordered document log through
