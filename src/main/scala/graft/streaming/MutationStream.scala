@@ -427,8 +427,10 @@ object MutationStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val ops = opsWithSinkMeta(conf, IndexerCore.rowPath(conf, snapshot)(batch))
-        applyBatch(spark, state, ops, batchId)
+        TriggerScope.scoped(spark, batch) {
+          val ops = opsWithSinkMeta(conf, IndexerCore.rowPath(conf, snapshot)(batch))
+          applyBatch(spark, state, ops, batchId)
+        }
         ()
       }
       .start()

@@ -36,51 +36,57 @@ object StreamAttribution {
 
   private val Ns = "attribution" // stateMeta namespace (gen pointer + hwm)
 
-  /** Fold one (user_id, event_id, event_type, value) micro-batch. */
+  /** Fold one (user_id, event_id, event_type, value) micro-batch.
+    *
+    * Trigger anatomy: THREE Spark jobs — the events table is tiny per
+    * trigger, so locally the wall is the per-job scheduling floor and
+    * on a cluster it's the barrier count. ONE user-keyed window shuffle
+    * feeds everything the trigger derives (within-batch touches, the
+    * per-user endpoint state — its user-keyed aggregate reuses the
+    * window's hash partitioning — and the census), and the only
+    * driver-side action before the two state writes is a ≤buckets-row
+    * census carrying the batch (lo, hi) plus per-bucket read/write
+    * flags: what used to be a range probe plus two distinct→collect
+    * bucket jobs is one aggregate. */
   def applyBatch(touches: DocStateStore, aggDir: String,
                  batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     Files.createDirectories(Paths.get(aggDir))
-    val b = batch.select(col("user_id"), col("event_id"), col("event_type"),
-      col("value").cast("decimal(18,6)").as("value")).cache()
-    var cached: List[DataFrame] = Nil // released in finally — no leak on a failed commit
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wf = batch.select(col("user_id"), col("event_id"), col("event_type"),
+        col("value").cast("decimal(18,6)").as("value"))
+      .withColumn("touch_in",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .cache()
     try {
-      val range = b.agg(min(col("event_id")), max(col("event_id"))).head()
-      if (range.isNullAt(0)) return
-      val (lo, hi) = (range.getLong(0), range.getLong(1))
+      // job 1 — census: buckets this trigger WRITES (users with a new
+      // touch) carry wr; buckets it READS also cover purchases whose
+      // preceding touch fell in an earlier trigger (touch_in null)
+      val bk = graft.expr.hfunctions
+        .md5_shard(col("user_id").cast("string"), touches.buckets)
+      val census = wf.groupBy(bk.as("bk"))
+        .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"),
+          max(col("event_type") =!= "purchase").as("wr"),
+          max(col("event_type") === "purchase" && col("touch_in").isNull)
+            .as("need_prev"))
+        .collect()
+      if (census.isEmpty) return
+      val lo = census.map(_.getAs[Long]("lo")).min
+      val hi = census.map(_.getAs[Long]("hi")).max
       if (GenMeta.isRedelivery(touches, Ns, aggDir, lo, hi,
         "additive attribution equals the batch operator only under " +
           "ascending event_id arrival")) return // already folded: skip
-
-      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val withTouch = b.withColumn("touch_in",
-        last(when(col("event_type") =!= "purchase", col("event_type")),
-          ignoreNulls = true).over(w))
-
-      // per-user batch state: latest non-purchase event in this trigger
-      val ends = b.filter(col("event_type") =!= "purchase")
-        .groupBy(col("user_id"))
-        .agg(max_by(col("event_type"), col("event_id")).as("touch"),
-          max(col("event_id")).as("last_eid"))
-        .withColumn("id", col("user_id").cast("string"))
-        .cache()
-      cached ::= ends
-
-      // buckets this trigger writes = users with a new touch; buckets it
-      // READS also cover purchase-only users needing the stored touch
-      val purch = withTouch.filter(col("event_type") === "purchase").cache()
-      cached ::= purch
-      val readIds = ends.select(col("id"))
-        .unionByName(purch.filter(col("touch_in").isNull)
-          .select(col("user_id").cast("string").as("id")))
-        .distinct()
-      val readBuckets = readIds
-        .select(graft.expr.hfunctions.md5_shard(col("id"), touches.buckets).as("bk"))
-        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      val writeBuckets = census.filter(_.getAs[Boolean]("wr"))
+        .map(_.getAs[Int]("bk")).toSeq.sorted
+      val readBuckets = census
+        .filter(r => r.getAs[Boolean]("wr") || r.getAs[Boolean]("need_prev"))
+        .map(_.getAs[Int]("bk")).toSeq.sorted
       val prev = touches.readBuckets(readBuckets)
 
       // attribute: within-batch touch wins (it is later); else stored
+      val purch = wf.filter(col("event_type") === "purchase")
       val attributed = (prev match {
         case Some(p) => purch.join(
             p.select(col("user_id"), col("touch").as("touch_prev")),
@@ -91,7 +97,7 @@ object StreamAttribution {
       val batchAgg = attributed.groupBy(col("touch"))
         .agg(count(lit(1)).as("n_purchases"), sum(col("value")).as("revenue"))
 
-      // fold the rollup generation (≤ touch-types rows)
+      // job 2 — fold the rollup generation (≤ touch-types rows)
       val parts = Seq(Some(batchAgg),
         GenMeta.currentGen(touches, Ns, aggDir).map(g => spark.read.parquet(s"$aggDir/$g"))).flatten
       val next = parts.reduce(_ unionByName _)
@@ -101,13 +107,16 @@ object StreamAttribution {
       val gen = s"g$batchId"
       next.write.mode("overwrite").parquet(s"$aggDir/$gen")
 
-      // per-user touch state: the batch's touch supersedes (ascending
-      // arrival). Write-set = buckets of users in `ends` only; a
-      // purchase-only batch writes no buckets but STILL commits (the gen
-      // pointer + hwm must advance — a kv-only txn entry).
-      val writeBuckets = ends
-        .select(graft.expr.hfunctions.md5_shard(col("id"), touches.buckets).as("bk"))
-        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      // per-user touch state: latest non-purchase event in this trigger
+      // supersedes the stored one (ascending arrival); the user-keyed
+      // aggregate rides the window's partitioning — no new shuffle
+      val ends = wf.filter(col("event_type") =!= "purchase")
+        .groupBy(col("user_id"))
+        .agg(max_by(col("event_type"), col("event_id")).as("touch"),
+          max(col("event_id")).as("last_eid"))
+        .withColumn("id", col("user_id").cast("string"))
+      // a purchase-only batch writes no buckets but STILL commits (the
+      // gen pointer + hwm must advance — a kv-only txn entry)
       val mergedTouches =
         if (writeBuckets.isEmpty) ends.select("id", "user_id", "touch", "last_eid").limit(0)
         else (touches.readBuckets(writeBuckets) match {
@@ -117,15 +126,16 @@ object StreamAttribution {
         }).groupBy(col("id"), col("user_id"))
           .agg(max_by(col("touch"), col("last_eid")).as("touch"),
             max(col("last_eid")).as("last_eid"))
-      // THE commit point: touch-state delta + rollup generation pointer +
-      // hwm in ONE txn entry ([[GenMeta]]) — a crash anywhere earlier
-      // replays the batch against the OLD touches AND the OLD generation
-      // (deterministic re-fold); a crash after is a detected redelivery
-      // and skipped. No ordering of filesystem writes can double-count.
+      // job 3 — THE commit point: touch-state delta + rollup generation
+      // pointer + hwm in ONE txn entry ([[GenMeta]]) — a crash anywhere
+      // earlier replays the batch against the OLD touches AND the OLD
+      // generation (deterministic re-fold); a crash after is a detected
+      // redelivery and skipped. No ordering of filesystem writes can
+      // double-count.
       touches.commitWithMeta(mergedTouches, f"r$batchId%010d", writeBuckets,
         GenMeta.kv(Ns, gen, lo, hi))
       GenMeta.sweep(aggDir, keep = gen) // reclaim superseded generations
-    } finally { (b :: cached).foreach(_.unpersist(blocking = false)); () }
+    } finally { wf.unpersist(blocking = false); () }
   }
 
   /** The standing rollup — q24's output shape. */
@@ -147,7 +157,8 @@ object StreamAttribution {
       .option("maxFilesPerTrigger", 1)
       .parquet(inPath)
       .writeStream
-      .foreachBatch { (b: DataFrame, id: Long) => applyBatch(touches, aggDir, b, id) }
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        TriggerScope.scoped(spark, b)(applyBatch(touches, aggDir, b, id)) }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckptPath)
       .start()

@@ -27,7 +27,8 @@ object StreamBlankGate {
       .option("maxFilesPerTrigger", 1)
       .parquet(inPath)
       .writeStream
-      .foreachBatch { (b: DataFrame, id: Long) => applyBatch(b, outPath) }
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        TriggerScope.scoped(spark, b)(applyBatch(b, outPath)) }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckptPath)
       .start()

@@ -78,7 +78,8 @@ object StreamBurst {
       .option("maxFilesPerTrigger", 1)
       .parquet(inPath)
       .writeStream
-      .foreachBatch { (b: DataFrame, id: Long) => applyBatch(aggDir, b, id) }
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        TriggerScope.scoped(spark, b)(applyBatch(aggDir, b, id)) }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckptPath)
       .start()

@@ -92,7 +92,8 @@ object StreamCalibration {
       .parquet(inPath)
       .writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(model, consts, aggDir, b, id) }
+        TriggerScope.scoped(spark, b)(
+          applyBatch(model, consts, aggDir, b, id)) }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckptPath)
       .start()

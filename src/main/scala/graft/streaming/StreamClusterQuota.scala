@@ -50,8 +50,8 @@ object StreamClusterQuota {
       .parquet(inPath)
       .writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(b, "vec_id", "embedding", cents, quotas, stateDir, outPath, id)
-      }
+        TriggerScope.scoped(spark, b)(
+          applyBatch(b, "vec_id", "embedding", cents, quotas, stateDir, outPath, id)) }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckptPath)
       .start()

@@ -60,8 +60,8 @@ object StreamDrift {
       .parquet(inPath)
       .writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(outDir, cents, b, id, lowFit)
-      }
+        TriggerScope.scoped(spark, b)(
+          applyBatch(outDir, cents, b, id, lowFit)) }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckptPath)
       .start()

@@ -85,8 +85,8 @@ object StreamGramCoverage {
       .parquet(inPath)
       .writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(b, "doc_id", textCol, n, probeGrams, stateDir, id)
-      }
+        TriggerScope.scoped(spark, b)(
+          applyBatch(b, "doc_id", textCol, n, probeGrams, stateDir, id)) }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckptPath)
       .start()

@@ -77,8 +77,8 @@ object StreamKmv {
       .parquet(inPath)
       .writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(b, groupCol, "text", k, stateDir, id)
-      }
+        TriggerScope.scoped(spark, b)(
+          applyBatch(b, groupCol, "text", k, stateDir, id)) }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckptPath)
       .start()

@@ -109,8 +109,8 @@ object StreamMediaGate {
       .parquet(inPath)
       .writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(state, b, outPath, id, maxHamming)
-      }
+        TriggerScope.scoped(spark, b)(
+          applyBatch(state, b, outPath, id, maxHamming)) }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckptPath)
       .start()

@@ -74,7 +74,8 @@ object StreamPsi {
       .option("maxFilesPerTrigger", 1)
       .parquet(inPath)
       .writeStream
-      .foreachBatch { (b: DataFrame, id: Long) => applyBatch(stateDir, b, id) }
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        TriggerScope.scoped(spark, b)(applyBatch(stateDir, b, id)) }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckptPath)
       .start()

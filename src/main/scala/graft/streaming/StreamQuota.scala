@@ -106,8 +106,8 @@ object StreamQuota {
       .parquet(inPath)
       .writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(stateDir, quotas, b, outPath, id)
-      }
+        TriggerScope.scoped(spark, b)(
+          applyBatch(stateDir, quotas, b, outPath, id)) }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckptPath)
       .start()

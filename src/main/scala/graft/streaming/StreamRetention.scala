@@ -72,7 +72,8 @@ object StreamRetention {
       .option("maxFilesPerTrigger", 1)
       .parquet(inPath)
       .writeStream
-      .foreachBatch { (b: DataFrame, id: Long) => applyBatch(state, b, id) }
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        TriggerScope.scoped(spark, b)(applyBatch(state, b, id)) }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckptPath)
       .start()

@@ -129,8 +129,8 @@ object StreamSnapshotDiff {
       .parquet(inPath)
       .writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(baseline, verdicts, b, id, "doc_id", "text", n, threshold)
-      }
+        TriggerScope.scoped(spark, b)(
+          applyBatch(baseline, verdicts, b, id, "doc_id", "text", n, threshold)) }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckptPath)
       .start()

@@ -34,38 +34,49 @@ object StreamTransitions {
 
   private val Ns = "transitions" // stateMeta namespace (gen pointer + hwm)
 
-  /** Fold one (user_id, event_id, event_type) micro-batch. */
+  /** Fold one (user_id, event_id, event_type) micro-batch.
+    *
+    * Trigger anatomy: THREE Spark jobs (census, counts-generation write,
+    * state commit) — per-trigger frames are small, so the wall is the
+    * job/barrier count, not the data. ONE user-keyed window shuffle
+    * feeds the within-batch edges AND the per-user endpoints (the
+    * endpoint aggregate reuses the lag window's hash partitioning), and
+    * the only driver action before the writes is a ≤buckets-row census
+    * carrying (lo, hi) + the touched-bucket set in one aggregate. */
   def applyBatch(lasts: DocStateStore, countsDir: String,
                  batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     Files.createDirectories(Paths.get(countsDir))
-    val b = batch.select(col("user_id"), col("event_id"), col("event_type")).cache()
-    var cached: List[DataFrame] = Nil // released in finally — no leak on a failed commit
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val lagged = batch.select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .cache()
     try {
-      val range = b.agg(min(col("event_id")), max(col("event_id"))).head()
-      if (range.isNullAt(0)) return
-      val (lo, hi) = (range.getLong(0), range.getLong(1))
+      // job 1 — census: every user in the batch gets a new endpoint, so
+      // the touched set is simply the buckets with rows
+      val bk = graft.expr.hfunctions
+        .md5_shard(col("user_id").cast("string"), lasts.buckets)
+      val census = lagged.groupBy(bk.as("bk"))
+        .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
+        .collect()
+      if (census.isEmpty) return
+      val lo = census.map(_.getAs[Long]("lo")).min
+      val hi = census.map(_.getAs[Long]("hi")).max
       if (GenMeta.isRedelivery(lasts, Ns, countsDir, lo, hi,
         "additive edge counts equal the batch operator only under " +
           "ascending event_id arrival")) return // already folded: skip
 
-      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-      val lagged = b.withColumn("prev_type", lag(col("event_type"), 1).over(w))
       val inner = lagged.filter(col("prev_type").isNotNull)
         .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
         .agg(count(lit(1)).as("n"))
 
-      // per-user batch endpoints (one user-keyed aggregate, map-side combined)
-      val ends = b.groupBy(col("user_id"))
+      // per-user batch endpoints — rides the lag window's partitioning
+      val ends = lagged.groupBy(col("user_id"))
         .agg(min_by(col("event_type"), col("event_id")).as("first_type"),
           max_by(col("event_type"), col("event_id")).as("last_type"),
           max(col("event_id")).as("last_eid"))
         .withColumn("id", col("user_id").cast("string"))
-        .cache()
-      cached ::= ends
-      val touched = ends
-        .select(graft.expr.hfunctions.md5_shard(col("id"), lasts.buckets).as("bk"))
-        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      val touched = census.map(_.getAs[Int]("bk")).toSeq.sorted
 
       val prev = lasts.readBuckets(touched)
       // boundary edges: stored last event → this batch's first, per user
@@ -104,7 +115,7 @@ object StreamTransitions {
       lasts.commitWithMeta(mergedLasts, f"r$batchId%010d", touched,
         GenMeta.kv(Ns, gen, lo, hi))
       GenMeta.sweep(countsDir, keep = gen) // reclaim superseded generations
-    } finally { (b :: cached).foreach(_.unpersist(blocking = false)); () }
+    } finally { lagged.unpersist(blocking = false); () }
   }
 
   /** The standing edge matrix — q22's output shape. */
@@ -124,7 +135,8 @@ object StreamTransitions {
       .option("maxFilesPerTrigger", 1)
       .parquet(inPath)
       .writeStream
-      .foreachBatch { (b: DataFrame, id: Long) => applyBatch(lasts, countsDir, b, id) }
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        TriggerScope.scoped(spark, b)(applyBatch(lasts, countsDir, b, id)) }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckptPath)
       .start()
