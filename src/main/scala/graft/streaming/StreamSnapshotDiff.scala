@@ -61,19 +61,20 @@ object StreamSnapshotDiff {
     require(baseline.buckets == verdicts.buckets,
       s"baseline (${baseline.buckets}) and verdict (${verdicts.buckets}) " +
         "stores must share the bucket count — one routing for both probes")
+    // Trigger anatomy: THREE jobs — a ≤buckets-row census, ONE validation
+    // aggregate over the cached verdict frame (in-batch twins AND
+    // cross-batch conflicts checked together, materializing the
+    // baseline join + shingle intersection exactly once), and the
+    // delta-append commit reusing that cache.
     val bb = prep(batch, idCol, textCol, n)
       .withColumnRenamed("fp", "fp_b").withColumnRenamed("hs", "hs_b")
       .distinct() // bit-exact within-batch repeats collapse harmlessly
       .cache()
+    var fresh: Option[DataFrame] = None
     try {
       // ≤ buckets distinct values — a bounded collect by construction
       val touched = touchedBuckets(bb, verdicts.buckets)
       if (touched.isEmpty) return
-      // snapshot contract INSIDE the batch: one version per id
-      val twin = bb.groupBy(col("id")).count().filter(col("count") > 1)
-        .limit(1).collect()
-      require(twin.isEmpty, s"snapshot contract broken: id ${if (twin.nonEmpty) twin.head.get(0) else ""} " +
-        "arrived twice with different content in one batch")
       val base = baseline.readBuckets(touched).map(
         _.select(col("id"), col("fp").as("fp_a"), col("hs").as("hs_a")))
       val joined = base match {
@@ -89,20 +90,44 @@ object StreamSnapshotDiff {
           .when(col("hs_a").isNotNull && col("hs_b").isNotNull &&
             inter / uni >= threshold, lit("minor_edit"))
           .otherwise(lit("rewrite")).as("status"))
-      val fresh = verdicts.readBuckets(touched) match {
-        case Some(prev) =>
-          // cross-batch: a different-content re-arrival fails loudly …
-          val conflict = fresh0
-            .join(prev.select(col("id"), col("fp").as("fp_seen")), Seq("id"))
-            .filter(col("fp_seen") =!= col("fp")).limit(1).collect()
-          require(conflict.isEmpty, "snapshot contract broken: id " +
-            s"${if (conflict.nonEmpty) conflict.head.get(0) else ""} re-arrived with different content")
-          // … a bit-exact redelivery is skipped (append stays disjoint)
-          fresh0.join(prev.select("id"), Seq("id"), "left_anti")
-        case None => fresh0
+      // the verdict log holds ≤1 row per id (this contract), so the left
+      // join preserves bb's row count: count vs distinct-id detects twins
+      val withSeen = (verdicts.readBuckets(touched) match {
+        case Some(prev) => fresh0.join(
+            prev.select(col("id"), col("fp").as("fp_seen")), Seq("id"), "left")
+        case None => fresh0.withColumn("fp_seen", lit(null).cast("string"))
+      }).cache()
+      fresh = Some(withSeen)
+      val bad = withSeen.agg(
+          (count(lit(1)) - countDistinct(col("id"))).as("n_twin"),
+          sum(when(col("fp_seen").isNotNull && col("fp_seen") =!= col("fp"), 1L)
+            .otherwise(0L)).as("n_conflict"))
+        .head()
+      // contract failures name the offending id — a second job, but only
+      // on the failure path; the passing trigger never pays it
+      if (bad.getLong(0) > 0) {
+        val twin = withSeen.groupBy(col("id")).count()
+          .filter(col("count") > 1).limit(1).collect()
+        require(twin.isEmpty, s"snapshot contract broken: id ${twin.head.get(0)} " +
+          "arrived twice with different content in one batch")
       }
-      verdicts.commitAppend(fresh, f"r$batchId%010d", touched)
-    } finally { bb.unpersist(blocking = false); () }
+      if (bad.getLong(1) > 0) {
+        val conflict = withSeen
+          .filter(col("fp_seen").isNotNull && col("fp_seen") =!= col("fp"))
+          .limit(1).collect()
+        require(conflict.isEmpty, "snapshot contract broken: id " +
+          s"${conflict.head.get(0)} re-arrived with different content")
+      }
+      // a bit-exact redelivery is skipped (the append stays disjoint)
+      verdicts.commitAppend(
+        withSeen.filter(col("fp_seen").isNull)
+          .select(col("id"), col("doc_id"), col("fp"), col("status")),
+        f"r$batchId%010d", touched)
+    } finally {
+      bb.unpersist(blocking = false)
+      fresh.foreach(_.unpersist(blocking = false))
+      ()
+    }
   }
 
   /** The full diff — verdict rows plus the deleted class (baseline ∖
