@@ -28,31 +28,40 @@ object StreamUniqueTokens {
 
   private val Ns = "uniqtok" // stateMeta namespace (gen pointer + hwm)
 
-  /** Fold one (doc_id, source, text) micro-batch. */
+  /** Fold one (doc_id, source, text) micro-batch.
+    *
+    * Trigger anatomy: FOUR jobs (was five). The batch (lo, hi) rides the
+    * touched-bucket census as an `observe` on the batch scan (one job
+    * saved); the fresh-bucket census stays an explicit collect, but over
+    * the cache the generation write just materialized. */
   def applyBatch(seen: DocStateStore, aggDir: String,
                  batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     Files.createDirectories(Paths.get(aggDir))
+    val range = org.apache.spark.sql.Observation()
     val b = batch.select(col("doc_id"), col("source"),
         graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"),
-        graft.ops.TextAnalysis.tokenCount(col("text")).as("tok")).cache()
+        graft.ops.TextAnalysis.tokenCount(col("text")).as("tok"))
+      .observe(range, min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .cache()
     var cached: List[DataFrame] = Nil // released in finally — no leak on a failed commit
     try {
-      val range = b.agg(min(col("doc_id")), max(col("doc_id"))).head()
-      if (range.isNullAt(0)) return
-      val (lo, hi) = (range.getLong(0), range.getLong(1))
-      if (GenMeta.isRedelivery(seen, Ns, aggDir, lo, hi,
-        "first-copy credit equals the batch min-doc_id rule only under " +
-          "ascending doc_id arrival")) return // already folded: skip
       // within-batch first copy per fp (smallest doc_id), then the
       // cross-batch check against the seen-set — bucket-pruned both ways
       val firsts = b.groupBy(col("fp"))
         .agg(min_by(col("source"), col("doc_id")).as("source"),
           max(col("tok")).as("tok")) // copies tokenize identically
         .withColumn("id", col("fp"))
+      // job 1 — census (fulfills the range observation via the b scan)
       val touched = firsts
         .select(graft.expr.hfunctions.md5_shard(col("id"), seen.buckets).as("bk"))
         .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      if (touched.isEmpty) return // empty batch: nothing arrived
+      val rm = range.get
+      val (lo, hi) = (rm("lo").asInstanceOf[Long], rm("hi").asInstanceOf[Long])
+      if (GenMeta.isRedelivery(seen, Ns, aggDir, lo, hi,
+        "first-copy credit equals the batch min-doc_id rule only under " +
+          "ascending doc_id arrival")) return // already folded: skip
       val fresh = (seen.readBuckets(touched) match {
         case Some(prev) => firsts.join(prev.select(col("id")), Seq("id"), "left_anti")
         case None => firsts
@@ -72,6 +81,7 @@ object StreamUniqueTokens {
         .agg(sum(col("raw_tokens")).as("raw_tokens"),
           sum(col("unique_tokens")).as("unique_tokens"))
       val gen = s"g$batchId"
+      // job 2 — generation write (materializes fresh's cache)
       next.write.mode("overwrite").parquet(s"$aggDir/$gen")
 
       // THE commit point: the seen-set delta, the counters' generation
@@ -80,9 +90,15 @@ object StreamUniqueTokens {
       // batch still advances raw_tokens). A crash anywhere earlier
       // replays against the OLD seen-set and OLD counters (deterministic
       // re-fold); a crash after is a detected redelivery and skipped.
+      // job 3 — the fresh-bucket census reads the JUST-MATERIALIZED cache
+      // (the gen write above built it), so this is a cached-scan collect,
+      // not a recomputation. An Observation riding the write would be
+      // free, but Spark does not fulfill observations from write-command
+      // executions — measured, not assumed.
       val freshTouched = fresh
         .select(graft.expr.hfunctions.md5_shard(col("id"), seen.buckets).as("bk"))
         .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      // job 4 — the append commit
       seen.commitAppendWithMeta(fresh.select(col("id")), f"r$batchId%010d",
         freshTouched, GenMeta.kv(Ns, gen, lo, hi))
       GenMeta.sweep(aggDir, keep = gen) // reclaim superseded generations

@@ -29,17 +29,22 @@ object StreamVocab {
 
   private val Ns = "vocab" // stateMeta namespace (hwm rides the commit)
 
-  /** Fold one (doc_id, grp, text) micro-batch. */
+  /** Fold one (doc_id, grp, text) micro-batch.
+    *
+    * Trigger anatomy: TWO jobs. The batch (lo, hi) range rides the
+    * touched-bucket census as an `observe` on the batch scan (the census
+    * job materializes `fresh`, which scans the batch exactly once — the
+    * observation is fulfilled for free), so the only pre-commit driver
+    * action is the ≤buckets-row collect; the redelivery check runs after
+    * it (a redelivery wastes that one census job and still skips the
+    * fold — replays are rare, double-counts are not). */
   def applyBatch(state: TxnLogState, batch: DataFrame, batchId: Long): Unit = {
-    val b = batch.select(col("doc_id"), col("grp"), col("text")).cache()
+    val range = org.apache.spark.sql.Observation()
+    val b = batch.select(col("doc_id"), col("grp"), col("text"))
+      .observe(range, min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .cache()
     var cached: List[DataFrame] = Nil
     try {
-      val range = b.agg(min(col("doc_id")), max(col("doc_id"))).head()
-      if (range.isNullAt(0)) return
-      val (lo, hi) = (range.getLong(0), range.getLong(1))
-      if (GenMeta.isRedelivery(state, Ns, state.stateDir, lo, hi,
-        "additive term counts equal the batch census only under " +
-          "ascending doc_id arrival")) return // already folded: skip
       val fresh = b.filter(length(trim(col("text"))) > 0)
         .select(col("grp"), explode(split(trim(col("text")), "\\s+")).as("term"))
         .groupBy(col("grp"), col("term")).agg(count(lit(1)).as("m"))
@@ -49,6 +54,23 @@ object StreamVocab {
       val touched = fresh
         .select(graft.expr.hfunctions.md5_shard(col("id"), state.buckets).as("bk"))
         .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      // degenerate batches (empty, or every text blank) leave `fresh`
+      // empty — fall back to an explicit range job rather than trusting
+      // the observation was fulfilled by a possibly-optimized-away scan
+      val (loN, hiN) =
+        if (touched.nonEmpty) {
+          val rm = range.get
+          (rm("lo"), rm("hi"))
+        } else {
+          val r = b.agg(min(col("doc_id")), max(col("doc_id"))).head()
+          (if (r.isNullAt(0)) null else Long.box(r.getLong(0)),
+           if (r.isNullAt(1)) null else Long.box(r.getLong(1)))
+        }
+      if (loN == null) return // empty batch: nothing arrived
+      val (lo, hi) = (loN.asInstanceOf[Long], hiN.asInstanceOf[Long])
+      if (GenMeta.isRedelivery(state, Ns, state.stateDir, lo, hi,
+        "additive term counts equal the batch census only under " +
+          "ascending doc_id arrival")) return // already folded: skip
       val merged =
         if (touched.isEmpty) fresh.select("id", "grp", "term", "m").limit(0)
         else (state.readBuckets(touched) match {
