@@ -42,4 +42,28 @@ class StreamVocabSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("out-of-order"), ex.getMessage)
   }
+
+  test("degenerate batches: all-blank advances the hwm (fallback range path); empty is a no-op") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_svocab2").toString
+    val state = new TxnLogState(s"$work/vocab", spark, 4)
+    StreamVocab.applyBatch(state, docs.filter(col("doc_id") <= 2), 0L)
+    val before = StreamVocab.summary(state).orderBy(col("grp")).collect().toSeq
+    // all-blank batch: the census is empty (no terms), so (lo, hi) must
+    // come from the fallback range job — and the hwm must still advance,
+    // making a replay of THIS batch a detected redelivery
+    val blanks = Seq((5L, "a", "   "), (6L, "b", "")).toDF("doc_id", "grp", "text")
+    StreamVocab.applyBatch(state, blanks, 1L)
+    assert(StreamVocab.summary(state).orderBy(col("grp")).collect().toSeq == before,
+      "blank texts contribute no terms")
+    StreamVocab.applyBatch(state, blanks, 2L) // bit-exact redelivery: skipped
+    val ex = intercept[IllegalStateException] {
+      // hwm DID advance past doc 6 — older ids must now fail loudly
+      StreamVocab.applyBatch(state, docs.filter(col("doc_id") <= 2), 3L)
+    }
+    assert(ex.getMessage.contains("out-of-order"), ex.getMessage)
+    // fully EMPTY batch: nothing arrives, nothing advances, no throw
+    StreamVocab.applyBatch(state, docs.filter(col("doc_id") > 99), 4L)
+    assert(StreamVocab.summary(state).orderBy(col("grp")).collect().toSeq == before)
+  }
 }
