@@ -898,4 +898,35 @@ class PlanQualitySpec extends SparkSpec {
           "derivation re-executes per trigger")
     }
   }
+
+  test("trigger census: a user-keyed aggregate over a user-window reuses the window's exchange") {
+    // the r17 trigger fusion (StreamTransitions/StreamAttribution) derives
+    // the per-user endpoints from the SAME window-shuffled frame and
+    // claims Catalyst reuses the partitioning — pin that: the full
+    // window→cache→groupBy(user_id) plan must contain exactly ONE
+    // data exchange (the window's); a second would mean the endpoint
+    // aggregate re-shuffles the batch every trigger
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val b = Seq((1L, 10L, "view"), (1L, 11L, "click"), (2L, 12L, "view"))
+      .toDF("user_id", "event_id", "event_type")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val lagged = b.withColumn("prev_type", lag(col("event_type"), 1).over(w)).cache()
+    try {
+      val ends = lagged.groupBy(col("user_id"))
+        .agg(max_by(col("event_type"), col("event_id")).as("last_type"),
+          max(col("event_id")).as("last_eid"))
+      ends.collect() // materialize through the cache, as a trigger does
+      val phys = ends.queryExecution.executedPlan.toString
+      // judge only the aggregate's own plan — everything ABOVE the cached
+      // window relation (the toString also embeds the cache-build plan
+      // and AQE's pre-adaptive "Initial Plan" section, whose exchanges
+      // are the window's own, not a violation)
+      val outer = phys.substring(0, math.max(phys.indexOf("InMemoryRelation"), 0))
+      assert(outer.contains("InMemoryTableScan"), s"cache missing from plan:\n${phys.take(800)}")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(outer).size
+      assert(exchanges == 0,
+        s"endpoint aggregate must ride the window's partitioning — found $exchanges hash exchanges above the cache:\n${outer.take(1200)}")
+    } finally { lagged.unpersist(blocking = false); () }
+  }
 }
