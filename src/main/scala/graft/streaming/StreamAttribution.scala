@@ -66,11 +66,13 @@ object StreamAttribution {
       // preceding touch fell in an earlier trigger (touch_in null)
       val bk = graft.expr.hfunctions
         .md5_shard(col("user_id").cast("string"), touches.buckets)
+      // coalesce keeps the flags non-null even if a bucket holds only
+      // null-typed rows (which the fold treats as no-ops, as before)
       val census = wf.groupBy(bk.as("bk"))
         .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"),
-          max(col("event_type") =!= "purchase").as("wr"),
-          max(col("event_type") === "purchase" && col("touch_in").isNull)
-            .as("need_prev"))
+          max(coalesce(col("event_type") =!= "purchase", lit(false))).as("wr"),
+          max(coalesce(col("event_type") === "purchase" && col("touch_in").isNull,
+            lit(false))).as("need_prev"))
         .collect()
       if (census.isEmpty) return
       val lo = census.map(_.getAs[Long]("lo")).min
