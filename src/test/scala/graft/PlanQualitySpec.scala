@@ -928,5 +928,25 @@ class PlanQualitySpec extends SparkSpec {
       assert(exchanges == 0,
         s"endpoint aggregate must ride the window's partitioning — found $exchanges hash exchanges above the cache:\n${outer.take(1200)}")
     } finally { lagged.unpersist(blocking = false); () }
+
+    // the attribution variant: a frame-spec window plus a FILTER between
+    // the window and the endpoint aggregate (filters keep partitioning)
+    val wp = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wf = b.withColumn("touch_in",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(wp)).cache()
+    try {
+      val ends = wf.filter(col("event_type") =!= "purchase")
+        .groupBy(col("user_id"))
+        .agg(max_by(col("event_type"), col("event_id")).as("touch"),
+          max(col("event_id")).as("last_eid"))
+      ends.collect()
+      val phys = ends.queryExecution.executedPlan.toString
+      val outer = phys.substring(0, math.max(phys.indexOf("InMemoryRelation"), 0))
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(outer).size
+      assert(exchanges == 0,
+        s"filtered endpoint aggregate must also ride the window's partitioning:\n${outer.take(1200)}")
+    } finally { wf.unpersist(blocking = false); () }
   }
 }
