@@ -40,7 +40,11 @@ object ScaleProbe {
     "a13_ann_ivfpq_index", "a19_ann_ivf_delete",
     "p11_sequence_pack", "p15_span_curation_pack", "p24_incremental_ingest",
     "s01_stream_state", "t38_repetition_gate",
-    "s11_stream_novelty", "s22_stream_snapshot_diff")
+    "s11_stream_novelty", "s22_stream_snapshot_diff",
+    // r18: the five-stage composed chain (the closest shape to the
+    // production 100 TB job) and the span-dedup drain (the one slow
+    // drain that had no probe row)
+    "p06_full_pipeline", "s12_stream_span_dedup")
 
   /** Triggers pinned at BOTH scales for the matched s01 probe: the log is
     * repartitioned to exactly this many files and drained one per

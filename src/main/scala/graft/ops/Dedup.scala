@@ -533,13 +533,53 @@ object Dedup {
   /** Collect a prepared ([[editBenchPrep]]) benchmark side and broadcast
     * it as the packed inverted [[EditGramIndex]]. ACTION at call time;
     * build once and share across triggers / queries probing the same
-    * benchmark. */
-  def editBenchIndex(benchPrepared: DataFrame): org.apache.spark.broadcast.Broadcast[EditGramIndex] = {
+    * benchmark.
+    *
+    * DRIVER/BROADCAST BOUND: the index stages the ENTIRE reference side
+    * through the driver and onto every executor — its memory is
+    * O(rows × grams-per-row) longs plus the reference texts. That is the
+    * contract of the whole broadcast-index family ([[editBenchIndex]],
+    * [[editAdmission]], and the streaming gates composing them — d22,
+    * d24, s27, p24): the REFERENCE/INCREMENT side must be
+    * benchmark-sized or trigger-sized, never corpus-sized. `maxRows`
+    * enforces it — the collect materializes at most `maxRows + 1` rows
+    * (CollectLimit protects the driver even against a corpus-sized
+    * mistake) and fails BY NAME when the bound is hit, instead of
+    * OOMing the driver three stages later. */
+  def editBenchIndex(benchPrepared: DataFrame,
+                     maxRows: Int = DefaultMaxIndexRows): org.apache.spark.broadcast.Broadcast[EditGramIndex] = {
     val spark = benchPrepared.sparkSession
     import spark.implicits._
-    val refs = benchPrepared.select(col("bench_id"), col("bench_id_text"), col("hs"))
-      .as[(Long, String, Array[Long])].collect()
+    val refs = collectBounded(
+      benchPrepared.select(col("bench_id"), col("bench_id_text"), col("hs"))
+        .as[(Long, String, Array[Long])],
+      maxRows, "editBenchIndex reference side")
     spark.sparkContext.broadcast(EditGramIndex.build(refs))
+  }
+
+  /** Default row bound for the broadcast-index family's driver collects
+    * ([[editBenchIndex]], [[editAdmission]]). At the family's defaults
+    * (k=8 char shingles, ~10⁴ distinct grams per reference doc) 100k rows
+    * is ~8 GB of packed gram longs — the practical ceiling of a 16 GB
+    * driver; real benchmark/increment sides are orders of magnitude
+    * smaller. Raise it explicitly if the driver and executors have the
+    * headroom; split the increment if they don't. */
+  val DefaultMaxIndexRows: Int = 100000
+
+  /** Driver-bounded collect for the broadcast-index family: materializes
+    * at most `maxRows + 1` rows (a CollectLimit — the driver survives
+    * even a corpus-sized input) and fails by name when the bound is hit. */
+  private def collectBounded[T](ds: org.apache.spark.sql.Dataset[T], maxRows: Int,
+                                what: String): Array[T] = {
+    require(maxRows > 0, s"maxRows must be positive: $maxRows")
+    val refs = ds.limit(maxRows + 1).collect()
+    if (refs.length > maxRows)
+      throw new IllegalArgumentException(
+        s"$what exceeds the broadcast-index bound of $maxRows rows — the index " +
+          "stages rows x grams through the driver and onto every executor, so " +
+          "it must stay benchmark/trigger-sized; split the increment into " +
+          "smaller batches or raise maxRows if the cluster has the memory")
+    refs
   }
 
   /** The [[editContamination]] kernel: ONE map-only corpus pass that
@@ -669,12 +709,20 @@ object Dedup {
     * gramSampleMod is the probe VOLUME lever: mod-p sampling (a pure
     * function of content, identical in both engines) divides gram volume
     * by ~p while the overlap FRACTION statistics — what the bar tests —
-    * hold in expectation. */
+    * hold in expectation.
+    *
+    * INCREMENT-SIZE CONTRACT: the increment stages through the driver
+    * and broadcasts as the packed index — O(rows × grams) memory on the
+    * driver and every executor. That is bounded by trigger size at CDC
+    * cadence and enforced by `maxIncrementRows` (fails by name, never
+    * OOMs — see [[editBenchIndex]]); the CORPUS side streams and is
+    * unbounded. */
   def editAdmission(corpus: DataFrame, batch: DataFrame,
                     idCol: String, textCol: String,
                     k: Int = 8, minOverlap: Double = 0.25,
                     editSim: Double = 0.8, maxDist: Int = 1000,
-                    gramSampleMod: Int = 1): DataFrame = {
+                    gramSampleMod: Int = 1,
+                    maxIncrementRows: Int = DefaultMaxIndexRows): DataFrame = {
     requireIntegralId(corpus, idCol, "editAdmission")
     requireIntegralId(batch, idCol, "editAdmission")
     val spark = corpus.sparkSession
@@ -685,8 +733,13 @@ object Dedup {
       .filter(size(col("hs")) > 0)
     // ONE evaluation of the increment's shingles: the collected refs feed
     // the index build, the self pass (grams reused verbatim), and the
-    // verify texts — the increment derivation is never re-scanned
-    val refs = bs.as[(Long, String, Array[Long])].collect()
+    // verify texts — the increment derivation is never re-scanned.
+    // DRIVER/BROADCAST BOUND: this stages the INCREMENT (rows x grams)
+    // through the driver — bounded by trigger size at CDC cadence, and
+    // enforced by maxIncrementRows so a corpus-sized increment fails by
+    // name instead of OOMing the driver (see [[editBenchIndex]]).
+    val refs = collectBounded(bs.as[(Long, String, Array[Long])],
+      maxIncrementRows, "editAdmission increment")
     val idx = spark.sparkContext.broadcast(EditGramIndex.build(refs))
     // batch × corpus: ONE map-only text-column corpus scan; each corpus
     // doc probes the increment index and emits the batch ids it blocks

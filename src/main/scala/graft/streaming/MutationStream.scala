@@ -183,8 +183,11 @@ class IndexState(val indexDir: String, spark: SparkSession, requestedBuckets: In
 
   def commitAppendWithMeta(fresh: DataFrame, version: String, touched: Seq[Int],
                            kv: Map[String, String]): Unit = {
+    // fresh is the receiver: a batch-derived frame keeps the commit plan
+    // under the drain's TriggerScope'd (cloned) session, where the
+    // store-read side is bound to the store's own session
     val updated = readBuckets(touched) match {
-      case Some(seen) => seen.unionByName(fresh)
+      case Some(seen) => fresh.unionByName(seen)
       case None       => fresh
     }
     commitWithMeta(updated, version, touched, kv)
@@ -208,7 +211,13 @@ class IndexState(val indexDir: String, spark: SparkSession, requestedBuckets: In
     // directory pruning did. At cluster scale widen with a salt column
     // (bucket, hash(id) % filesPerBucket) to bound per-file size. The
     // observe() census of nonempty buckets replaces per-bucket-dir
-    // existence probes with zero extra jobs.
+    // existence probes with zero extra jobs. Write-command executions DO
+    // fulfill Observations in this Spark — both this direct shape
+    // (observe → repartition → write) and StreamUniqueTokens's
+    // through-a-cache shape; an earlier round's contrary measurement was
+    // stale. Both shapes are pinned by name in ObservationWriteSpec, so
+    // an upgrade that stops fulfilling either fails there, not as a
+    // hung commit.
     val obs = org.apache.spark.sql.Observation()
     updated
       .withColumn(BucketCol, graft.expr.hfunctions.md5_shard(col("id"), buckets))
@@ -427,7 +436,7 @@ object MutationStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        TriggerScope.scoped(spark, batch) {
+        TriggerScope.scoped(batch) {
           val ops = opsWithSinkMeta(conf, IndexerCore.rowPath(conf, snapshot)(batch))
           applyBatch(spark, state, ops, batchId)
         }

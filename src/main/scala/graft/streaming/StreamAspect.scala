@@ -79,7 +79,7 @@ object StreamAspect {
       .parquet(inPath)
       .writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        TriggerScope.scoped(spark, b)(applyBatch(aggDir, b, id)) }
+        TriggerScope.scoped(b)(applyBatch(aggDir, b, id)) }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckptPath)
       .start()

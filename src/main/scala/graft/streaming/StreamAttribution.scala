@@ -70,11 +70,20 @@ object StreamAttribution {
       // null-typed rows (which the fold treats as no-ops, as before)
       val census = wf.groupBy(bk.as("bk"))
         .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"),
+          count(lit(1)).as("n"), count(col("event_id")).as("n_eid"),
           max(coalesce(col("event_type") =!= "purchase", lit(false))).as("wr"),
           max(coalesce(col("event_type") === "purchase" && col("touch_in").isNull,
             lit(false))).as("need_prev"))
         .collect()
       if (census.isEmpty) return
+      // event_id is the ordering key of the ascending-arrival contract; a
+      // null would silently unbox to 0L below (min/max skip nulls, so an
+      // all-null bucket yields null lo/hi) and corrupt lo/hi and the hwm —
+      // fail by name instead. The per-bucket count pair makes the check
+      // exact, not just all-null-bucket-visible, at zero extra jobs.
+      require(census.forall(r => r.getAs[Long]("n") == r.getAs[Long]("n_eid")),
+        "attribution requires non-null event_id — it is the ordering key " +
+          "of the ascending-arrival contract; null events cannot be placed")
       val lo = census.map(_.getAs[Long]("lo")).min
       val hi = census.map(_.getAs[Long]("hi")).max
       if (GenMeta.isRedelivery(touches, Ns, aggDir, lo, hi,
@@ -121,9 +130,11 @@ object StreamAttribution {
       // gen pointer + hwm must advance — a kv-only txn entry)
       val mergedTouches =
         if (writeBuckets.isEmpty) ends.select("id", "user_id", "touch", "last_eid").limit(0)
+        // the batch-derived side is the union receiver so the commit plan
+        // executes under the drain's TriggerScope'd (cloned) session
         else (touches.readBuckets(writeBuckets) match {
-          case Some(p) => p.select("id", "user_id", "touch", "last_eid")
-            .unionByName(ends.select("id", "user_id", "touch", "last_eid"))
+          case Some(p) => ends.select("id", "user_id", "touch", "last_eid")
+            .unionByName(p.select("id", "user_id", "touch", "last_eid"))
           case None => ends.select("id", "user_id", "touch", "last_eid")
         }).groupBy(col("id"), col("user_id"))
           .agg(max_by(col("touch"), col("last_eid")).as("touch"),
@@ -160,7 +171,7 @@ object StreamAttribution {
       .parquet(inPath)
       .writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        TriggerScope.scoped(spark, b)(applyBatch(touches, aggDir, b, id)) }
+        TriggerScope.scoped(b)(applyBatch(touches, aggDir, b, id)) }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckptPath)
       .start()

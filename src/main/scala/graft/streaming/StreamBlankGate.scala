@@ -28,7 +28,7 @@ object StreamBlankGate {
       .parquet(inPath)
       .writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        TriggerScope.scoped(spark, b)(applyBatch(b, outPath)) }
+        TriggerScope.scoped(b)(applyBatch(b, outPath)) }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckptPath)
       .start()

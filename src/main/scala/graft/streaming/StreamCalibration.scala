@@ -92,7 +92,7 @@ object StreamCalibration {
       .parquet(inPath)
       .writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        TriggerScope.scoped(spark, b)(
+        TriggerScope.scoped(b)(
           applyBatch(model, consts, aggDir, b, id)) }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckptPath)

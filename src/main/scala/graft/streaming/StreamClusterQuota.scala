@@ -50,7 +50,7 @@ object StreamClusterQuota {
       .parquet(inPath)
       .writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        TriggerScope.scoped(spark, b)(
+        TriggerScope.scoped(b)(
           applyBatch(b, "vec_id", "embedding", cents, quotas, stateDir, outPath, id)) }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckptPath)

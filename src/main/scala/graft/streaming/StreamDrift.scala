@@ -60,7 +60,7 @@ object StreamDrift {
       .parquet(inPath)
       .writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        TriggerScope.scoped(spark, b)(
+        TriggerScope.scoped(b)(
           applyBatch(outDir, cents, b, id, lowFit)) }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckptPath)

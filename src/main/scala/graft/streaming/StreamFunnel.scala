@@ -67,7 +67,7 @@ object StreamFunnel {
       .parquet(inPath)
       .writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        TriggerScope.scoped(spark, b)(applyBatch(state, b, id)) }
+        TriggerScope.scoped(b)(applyBatch(state, b, id)) }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckptPath)
       .start()

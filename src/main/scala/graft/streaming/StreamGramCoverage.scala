@@ -85,7 +85,7 @@ object StreamGramCoverage {
       .parquet(inPath)
       .writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        TriggerScope.scoped(spark, b)(
+        TriggerScope.scoped(b)(
           applyBatch(b, "doc_id", textCol, n, probeGrams, stateDir, id)) }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckptPath)

@@ -77,7 +77,7 @@ object StreamKmv {
       .parquet(inPath)
       .writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        TriggerScope.scoped(spark, b)(
+        TriggerScope.scoped(b)(
           applyBatch(b, groupCol, "text", k, stateDir, id)) }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckptPath)

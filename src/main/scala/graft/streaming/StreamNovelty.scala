@@ -110,33 +110,52 @@ private[streaming] object KgramStreamCore {
       docIds: Array[Long], docWindows: Array[Long],
       touched: Seq[Int], range: Option[(Long, Long)])
 
+  /** The batch as (doc_id, text, positional k-gram hashes) — the ONE
+    * evaluation of the k-gram kernel per trigger. [[summarize]] consumes
+    * it directly; a drain that needs a second pass over the same hashes
+    * (the s12 rebuild) persists this frame so the kernel runs once, not
+    * once per pass (the r17 shape re-hashed the whole batch in the
+    * rebuild — measured at ~a third of s12's per-trigger wall). */
+  def hashedDocs(batch: DataFrame, idCol: String, textCol: String,
+                 k: Int): org.apache.spark.sql.Dataset[(Long, String, Array[Long])] = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    batch.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (d, t) =>
+        (d, t, if (t == null) null else graft.expr.TextHash.kgramHashes60(t, k))
+      }
+  }
+
   /** ONE job over the batch: per-partition winner maps and per-doc
     * window counts, merged on the driver (a doc's row lives in exactly
     * one partition, so doc counts concatenate; winners merge by
     * lexicographic (doc_id, pos) min — order-independent). */
   def summarize(batch: DataFrame, idCol: String, textCol: String, k: Int,
-                buckets: Int): KgramSummary = {
-    val spark = batch.sparkSession
+                buckets: Int): KgramSummary =
+    summarizeHashed(hashedDocs(batch, idCol, textCol, k), buckets)
+
+  /** [[summarize]] over a pre-hashed frame ([[hashedDocs]]) — collecting
+    * through it materializes the frame's cache when the caller persisted
+    * it for a second pass. */
+  def summarizeHashed(docsHs: org.apache.spark.sql.Dataset[(Long, String, Array[Long])],
+                      buckets: Int): KgramSummary = {
+    val spark = docsHs.sparkSession
     import spark.implicits._
-    val parts = batch.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
+    val parts = docsHs
       .mapPartitions { it =>
         val win = new java.util.HashMap[Long, Array[Long]]()
         val docs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-        it.foreach { case (docId, text) =>
-          if (text != null) {
-            val hs = graft.expr.TextHash.kgramHashes60(text, k)
-            if (hs.length > 0) {
-              docs += ((docId, hs.length.toLong))
-              var i = 0
-              while (i < hs.length) {
-                val h = hs(i)
-                val pos = (i + 1).toLong
-                val cur = win.get(h)
-                if (cur == null || docId < cur(0) || (docId == cur(0) && pos < cur(1)))
-                  win.put(h, Array(docId, pos))
-                i += 1
-              }
+        it.foreach { case (docId, _, hs) =>
+          if (hs != null && hs.length > 0) {
+            docs += ((docId, hs.length.toLong))
+            var i = 0
+            while (i < hs.length) {
+              val h = hs(i)
+              val pos = (i + 1).toLong
+              val cur = win.get(h)
+              if (cur == null || docId < cur(0) || (docId == cur(0) && pos < cur(1)))
+                win.put(h, Array(docId, pos))
+              i += 1
             }
           }
         }
@@ -257,19 +276,7 @@ private[streaming] object KgramStreamCore {
       .parquet(inPath)
       .writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        timed(s"perBatch $id") {
-          val sessParts = spark.sessionState.conf.numShufflePartitions
-          val trigParts = math.max(4, math.min(sessParts, b.rdd.getNumPartitions * 4))
-          val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-          val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-          spark.conf.set("spark.sql.shuffle.partitions", trigParts.toString)
-          spark.conf.set("spark.sql.adaptive.enabled", "false")
-          try perBatch(b, id)
-          finally {
-            spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-            spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-          }
-        }
+        timed(s"perBatch $id")(TriggerScope.scoped(b)(perBatch(b, id)))
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckptPath)
@@ -446,55 +453,60 @@ object StreamSpanDedup {
                  batchId: Long): Seq[Int] = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val sum = KgramStreamCore.timed("summarize")(
-      KgramStreamCore.summarize(batch, idCol, textCol, k, state.buckets))
-    KgramStreamCore.checkAscending(outPath, sum.range)
-    val seen = KgramStreamCore.probeSeen(state, sum, spark)
-    KgramStreamCore.timed("output") {
-      // duplicate starts: every occurrence of a previously-seen k-gram,
-      // plus every non-winner occurrence within the batch — decided per
-      // occurrence in one map-only pass over the batch against the
-      // broadcast summary (the retired relational path re-joined the occ
-      // explode to winners and the seen marks, then collected starts per
-      // doc through another shuffle). The rebuild runs inline with the
-      // same removeTokenSpans kernel the expression wraps.
-      val bcHs = spark.sparkContext.broadcast(sum.hs)
-      val bcDoc = spark.sparkContext.broadcast(sum.winDoc)
-      val bcPos = spark.sparkContext.broadcast(sum.winPos)
-      val bcSeen = spark.sparkContext.broadcast(seen)
-      batch.select(col(idCol).cast("long"), col(textCol))
-        .as[(Long, String)]
-        .mapPartitions { it =>
-          val hsK = bcHs.value; val wd = bcDoc.value; val wp = bcPos.value
-          val sn = bcSeen.value
-          it.map { case (docId, text) =>
-            if (text == null)
-              (docId, None: Option[Long], None: Option[Long], null: String)
-            else {
-              val hs = graft.expr.TextHash.kgramHashes60(text, k)
-              val starts = scala.collection.mutable.ArrayBuffer.empty[Long]
-              var i = 0
-              while (i < hs.length) {
-                val h = hs(i)
-                val pos = (i + 1).toLong
-                val gi = java.util.Arrays.binarySearch(hsK, h) // always ≥ 0
-                if (java.util.Arrays.binarySearch(sn, h) >= 0 ||
-                    !(wd(gi) == docId && wp(gi) == pos)) starts += pos
-                i += 1
+    // the k-gram kernel runs ONCE per trigger: the persisted hashed frame
+    // feeds the summary collect (which fills the cache) AND the rebuild
+    // pass below — the r17 shape re-hashed the whole batch in the rebuild,
+    // ~a third of this drain's per-trigger wall for pure recomputation
+    val hashed = KgramStreamCore.hashedDocs(batch, idCol, textCol, k).persist()
+    try {
+      val sum = KgramStreamCore.timed("summarize")(
+        KgramStreamCore.summarizeHashed(hashed, state.buckets))
+      KgramStreamCore.checkAscending(outPath, sum.range)
+      val seen = KgramStreamCore.probeSeen(state, sum, spark)
+      KgramStreamCore.timed("output") {
+        // duplicate starts: every occurrence of a previously-seen k-gram,
+        // plus every non-winner occurrence within the batch — decided per
+        // occurrence in one map-only pass over the cached hashes against
+        // the broadcast summary (the retired relational path re-joined the
+        // occ explode to winners and the seen marks, then collected starts
+        // per doc through another shuffle). The rebuild runs inline with
+        // the same removeTokenSpans kernel the expression wraps.
+        val bcHs = spark.sparkContext.broadcast(sum.hs)
+        val bcDoc = spark.sparkContext.broadcast(sum.winDoc)
+        val bcPos = spark.sparkContext.broadcast(sum.winPos)
+        val bcSeen = spark.sparkContext.broadcast(seen)
+        hashed
+          .mapPartitions { it =>
+            val hsK = bcHs.value; val wd = bcDoc.value; val wp = bcPos.value
+            val sn = bcSeen.value
+            it.map { case (docId, text, hs) =>
+              if (text == null)
+                (docId, None: Option[Long], None: Option[Long], null: String)
+              else {
+                val starts = scala.collection.mutable.ArrayBuffer.empty[Long]
+                var i = 0
+                while (i < hs.length) {
+                  val h = hs(i)
+                  val pos = (i + 1).toLong
+                  val gi = java.util.Arrays.binarySearch(hsK, h) // always ≥ 0
+                  if (java.util.Arrays.binarySearch(sn, h) >= 0 ||
+                      !(wd(gi) == docId && wp(gi) == pos)) starts += pos
+                  i += 1
+                }
+                val nTok = graft.expr.TextHash.tokenCount(text)
+                val clean = graft.expr.TextHash.removeTokenSpans(text, starts.toArray, k)
+                (docId, Some(nTok), Some(nTok - graft.expr.TextHash.tokenCount(clean)),
+                  clean)
               }
-              val nTok = graft.expr.TextHash.tokenCount(text)
-              val clean = graft.expr.TextHash.removeTokenSpans(text, starts.toArray, k)
-              (docId, Some(nTok), Some(nTok - graft.expr.TextHash.tokenCount(clean)),
-                clean)
             }
           }
-        }
-        .toDF("doc_id", "n_tokens", "n_removed", "clean_text")
-        .write.mode("append").parquet(outPath)
-    }
-    KgramStreamCore.commitFresh(state, sum, seen, batchId, spark)
-    KgramStreamCore.advanceHwm(outPath, sum.range)
-    sum.touched
+          .toDF("doc_id", "n_tokens", "n_removed", "clean_text")
+          .write.mode("append").parquet(outPath)
+      }
+      KgramStreamCore.commitFresh(state, sum, seen, batchId, spark)
+      KgramStreamCore.advanceHwm(outPath, sum.range)
+      sum.touched
+    } finally { hashed.unpersist(blocking = false); () }
   }
 
   /** Convenience drain: stream an ordered document log through

@@ -75,7 +75,7 @@ object StreamPsi {
       .parquet(inPath)
       .writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        TriggerScope.scoped(spark, b)(applyBatch(stateDir, b, id)) }
+        TriggerScope.scoped(b)(applyBatch(stateDir, b, id)) }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckptPath)
       .start()

@@ -57,9 +57,19 @@ object StreamTransitions {
       val bk = graft.expr.hfunctions
         .md5_shard(col("user_id").cast("string"), lasts.buckets)
       val census = lagged.groupBy(bk.as("bk"))
-        .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
+        .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"),
+          count(lit(1)).as("n"), count(col("event_id")).as("n_eid"))
         .collect()
       if (census.isEmpty) return
+      // event_id is the ordering key of the ascending-arrival contract; a
+      // null would silently unbox to 0L below (min/max skip nulls, so an
+      // all-null bucket yields null lo/hi) and corrupt lo/hi and the hwm —
+      // fail by name instead. The per-bucket count pair makes the check
+      // exact, not just all-null-bucket-visible, at zero extra jobs.
+      require(census.forall(r => r.getAs[Long]("n") == r.getAs[Long]("n_eid")),
+        "transition counting requires non-null event_id — it is the " +
+          "ordering key of the ascending-arrival contract; null events " +
+          "cannot be placed")
       val lo = census.map(_.getAs[Long]("lo")).min
       val hi = census.map(_.getAs[Long]("hi")).max
       if (GenMeta.isRedelivery(lasts, Ns, countsDir, lo, hi,
@@ -99,9 +109,11 @@ object StreamTransitions {
 
       // per-user lasts: the batch endpoint always supersedes (ascending
       // arrival), so union + max-by-event_id is the exact fold
+      // the batch-derived side is the union receiver so the commit plan
+      // executes under the drain's TriggerScope'd (cloned) session
       val mergedLasts = (prev match {
-        case Some(p) => p.select("id", "user_id", "last_type", "last_eid")
-          .unionByName(ends.select("id", "user_id", "last_type", "last_eid"))
+        case Some(p) => ends.select("id", "user_id", "last_type", "last_eid")
+          .unionByName(p.select("id", "user_id", "last_type", "last_eid"))
         case None => ends.select("id", "user_id", "last_type", "last_eid")
       }).groupBy(col("id"), col("user_id"))
         .agg(max_by(col("last_type"), col("last_eid")).as("last_type"),
@@ -136,7 +148,7 @@ object StreamTransitions {
       .parquet(inPath)
       .writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        TriggerScope.scoped(spark, b)(applyBatch(lasts, countsDir, b, id)) }
+        TriggerScope.scoped(b)(applyBatch(lasts, countsDir, b, id)) }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckptPath)
       .start()

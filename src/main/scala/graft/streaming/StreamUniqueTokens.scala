@@ -30,10 +30,11 @@ object StreamUniqueTokens {
 
   /** Fold one (doc_id, source, text) micro-batch.
     *
-    * Trigger anatomy: FOUR jobs (was five). The batch (lo, hi) rides the
-    * touched-bucket census as an `observe` on the batch scan (one job
-    * saved); the fresh-bucket census stays an explicit collect, but over
-    * the cache the generation write just materialized. */
+    * Trigger anatomy: THREE jobs (was five, then four). The batch
+    * (lo, hi) rides the touched-bucket census as an `observe` on the
+    * batch scan, and the fresh-bucket census rides the generation write
+    * the same way (ObservationWriteSpec pins both fulfillment shapes) —
+    * leaving census, generation write, and the append commit. */
   def applyBatch(seen: DocStateStore, aggDir: String,
                  batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
@@ -42,7 +43,8 @@ object StreamUniqueTokens {
     val b = batch.select(col("doc_id"), col("source"),
         graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"),
         graft.ops.TextAnalysis.tokenCount(col("text")).as("tok"))
-      .observe(range, min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .observe(range, min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"),
+        count(lit(1)).as("n"), count(col("doc_id")).as("n_id"))
       .cache()
     var cached: List[DataFrame] = Nil // released in finally — no leak on a failed commit
     try {
@@ -58,14 +60,26 @@ object StreamUniqueTokens {
         .distinct().collect().map(_.getInt(0)).toSeq.sorted
       if (touched.isEmpty) return // empty batch: nothing arrived
       val rm = range.get
+      // doc_id is the ordering key of the ascending-arrival contract; a
+      // null would reach the asInstanceOf[Long] below as a silent 0L
+      // (min/max skip nulls) and corrupt lo/hi and the hwm — fail by
+      // name instead. The observed count pair makes the check exact at
+      // zero extra jobs.
+      require(rm("n") == rm("n_id"),
+        "unique-token accounting requires non-null doc_id — it is the " +
+          "ordering key of the ascending-arrival contract; null docs " +
+          "cannot be placed")
       val (lo, hi) = (rm("lo").asInstanceOf[Long], rm("hi").asInstanceOf[Long])
       if (GenMeta.isRedelivery(seen, Ns, aggDir, lo, hi,
         "first-copy credit equals the batch min-doc_id rule only under " +
           "ascending doc_id arrival")) return // already folded: skip
+      val freshObs = org.apache.spark.sql.Observation()
       val fresh = (seen.readBuckets(touched) match {
         case Some(prev) => firsts.join(prev.select(col("id")), Seq("id"), "left_anti")
         case None => firsts
-      }).cache()
+      }).observe(freshObs,
+        collect_set(graft.expr.hfunctions.md5_shard(col("id"), seen.buckets)).as("bks"))
+        .cache()
       cached ::= fresh
 
       val batchAgg = b.groupBy(col("source")).agg(sum(col("tok")).as("raw_tokens"))
@@ -90,15 +104,36 @@ object StreamUniqueTokens {
       // batch still advances raw_tokens). A crash anywhere earlier
       // replays against the OLD seen-set and OLD counters (deterministic
       // re-fold); a crash after is a detected redelivery and skipped.
-      // job 3 — the fresh-bucket census reads the JUST-MATERIALIZED cache
-      // (the gen write above built it), so this is a cached-scan collect,
-      // not a recomputation. An Observation riding the write would be
-      // free, but Spark does not fulfill observations from write-command
-      // executions — measured, not assumed.
-      val freshTouched = fresh
-        .select(graft.expr.hfunctions.md5_shard(col("id"), seen.buckets).as("bk"))
-        .distinct().collect().map(_.getInt(0)).toSeq.sorted
-      // job 4 — the append commit
+      // The fresh-bucket census rides the gen write's cache-fill as an
+      // Observation — ZERO extra jobs on the common path (was an explicit
+      // cached-scan collect, under an earlier round's measurement that
+      // write-command executions don't fulfill observations; re-measured
+      // in ObservationWriteSpec: they DO, directly and through a cache).
+      // One measured carve-out: when fresh is EMPTY, adaptive
+      // empty-relation propagation eliminates the CollectMetrics node
+      // from the executed plan and the future completes with a
+      // ZERO-FIELD row (also pinned in ObservationWriteSpec) — exactly
+      // the case where the explicit fallback collect below is a trivial
+      // job. The bounded wait turns a Spark behavior change into a named
+      // error instead of a hung drain.
+      val freshTouched = {
+        val row =
+          try scala.concurrent.Await
+            .result(freshObs.future, scala.concurrent.duration.Duration("120s"))
+          catch {
+            case _: java.util.concurrent.TimeoutException =>
+              throw new IllegalStateException(
+                "the fresh-bucket census observation was not fulfilled by the " +
+                  "generation write — Spark's write-command observation behavior " +
+                  "changed (see ObservationWriteSpec); restore the explicit " +
+                  "census collect over the cached fresh frame")
+          }
+        if (row.length > 0) row.getSeq[Int](0).sorted // schemaless row: position 0 = "bks"
+        else fresh // metrics node adaptively eliminated → census the (empty) frame
+          .select(graft.expr.hfunctions.md5_shard(col("id"), seen.buckets).as("bk"))
+          .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      }
+      // job 3 — the append commit
       seen.commitAppendWithMeta(fresh.select(col("id")), f"r$batchId%010d",
         freshTouched, GenMeta.kv(Ns, gen, lo, hi))
       GenMeta.sweep(aggDir, keep = gen) // reclaim superseded generations
@@ -126,7 +161,7 @@ object StreamUniqueTokens {
       .parquet(inPath)
       .writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        TriggerScope.scoped(spark, b)(applyBatch(seen, aggDir, b, id)) }
+        TriggerScope.scoped(b)(applyBatch(seen, aggDir, b, id)) }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckptPath)
       .start()

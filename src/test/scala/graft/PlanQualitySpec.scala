@@ -944,6 +944,9 @@ class PlanQualitySpec extends SparkSpec {
       ends.collect()
       val phys = ends.queryExecution.executedPlan.toString
       val outer = phys.substring(0, math.max(phys.indexOf("InMemoryRelation"), 0))
+      // guard against a vacuous pass: if the cache never appears in the
+      // plan string, `outer` is empty and zero-exchange holds trivially
+      assert(outer.contains("InMemoryTableScan"), s"cache missing from plan:\n${phys.take(800)}")
       val exchanges = "Exchange hashpartitioning".r.findAllIn(outer).size
       assert(exchanges == 0,
         s"filtered endpoint aggregate must also ride the window's partitioning:\n${outer.take(1200)}")

@@ -124,6 +124,30 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(11L -> true, 13L -> false, 15L -> false, 17L -> false), got.toString)
   }
 
+  test("broadcast-index family enforces the increment/reference row bound by name") {
+    import spark.implicits._
+    val corpus = Seq((2L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "a completely novel document about gardening tools and wet soil"),
+      (13L, "another long enough unrelated sentence about distributed query engines"),
+      (15L, "a third sentence exceeding the shingle width for the admission gate"))
+      .toDF("doc_id", "text")
+    // the guard names the bound — a corpus-sized increment must fail loudly,
+    // not OOM the driver three stages later
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.editAdmission(corpus, batch, "doc_id", "text", maxIncrementRows = 2).count()
+    }
+    assert(e1.getMessage.contains("broadcast-index bound of 2 rows"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.editBenchIndex(
+        Dedup.editBenchPrep(batch, "doc_id", "text", 8), maxRows = 2)
+    }
+    assert(e2.getMessage.contains("broadcast-index bound of 2 rows"), e2.getMessage)
+    // at the bound (3 rows) both paths succeed
+    assert(Dedup.editAdmission(corpus, batch, "doc_id", "text",
+      maxIncrementRows = 3).count() == 3)
+  }
+
   test("editSimilarityPairs == brute-force verification on a random corpus (candidates subset)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
