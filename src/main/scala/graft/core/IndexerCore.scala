@@ -185,10 +185,14 @@ object IndexerCore {
     val delQueries = ops.filter(col("kind") === "deleteByQuery")
       .select(col("queryRow"), col("queryFamily")).distinct()
 
-    val afterIdDeletes = state
-      .join(delIds, Seq("id"), "left_anti")
-      .join(adds.select("id"), Seq("id"), "left_anti") // upsert: new doc wins
-      .unionByName(adds)
+    // adds is the union receiver: the batch-derived side keeps the whole
+    // merged plan (and the commit write above it) under the streaming
+    // sink's TriggerScope'd session; the union itself is order-free (the
+    // two sides are id-disjoint by the anti-join)
+    val afterIdDeletes = adds
+      .unionByName(state
+        .join(delIds, Seq("id"), "left_anti")
+        .join(adds.select("id"), Seq("id"), "left_anti")) // upsert: new doc wins
 
     // deleteByQuery: (row) or (row AND family)
     afterIdDeletes.join(delQueries,

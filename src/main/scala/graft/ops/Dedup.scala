@@ -568,12 +568,27 @@ object Dedup {
 
   /** Driver-bounded collect for the broadcast-index family: materializes
     * at most `maxRows + 1` rows (a CollectLimit — the driver survives
-    * even a corpus-sized input) and fails by name when the bound is hit. */
+    * even a corpus-sized input) and fails by name when the bound is hit.
+    * CollectLimit normally ramps partitions 1 → 4 → 16 … (several
+    * sequential driver round-trips — scheduling-floor tax on a
+    * per-trigger CDC path); scoping `initialNumPartitions` to the input's
+    * own partition count makes the in-bound case ONE parallel job, same
+    * shape as the plain collect this replaces. */
   private def collectBounded[T](ds: org.apache.spark.sql.Dataset[T], maxRows: Int,
                                 what: String): Array[T] = {
     require(maxRows > 0, s"maxRows must be positive: $maxRows")
-    val refs = ds.limit(maxRows + 1).collect()
-    if (refs.length > maxRows)
+    val cap = (math.min(maxRows.toLong, Int.MaxValue.toLong - 1) + 1).toInt
+    val sess = ds.sparkSession
+    val key = "spark.sql.limit.initialNumPartitions"
+    val prev = sess.conf.getOption(key)
+    sess.conf.set(key, math.max(1, ds.rdd.getNumPartitions).toString)
+    val refs =
+      try ds.limit(cap).collect()
+      finally prev match {
+        case Some(v) => sess.conf.set(key, v)
+        case None    => sess.conf.unset(key)
+      }
+    if (refs.length >= cap)
       throw new IllegalArgumentException(
         s"$what exceeds the broadcast-index bound of $maxRows rows — the index " +
           "stages rows x grams through the driver and onto every executor, so " +

@@ -224,7 +224,12 @@ class IndexState(val indexDir: String, spark: SparkSession, requestedBuckets: In
       .observe(obs, collect_set(col(BucketCol)).as("bs"))
       .repartition(col(BucketCol))
       .write.parquet(s"$indexDir/$dir")
-    val present = obs.get("bs").asInstanceOf[Seq[Int]].toSet
+    // a runtime-empty frame can reach the write through an adaptive plan
+    // that ELIMINATED the metrics node (the zero-field-row carve-out
+    // pinned in ObservationWriteSpec) — an absent census key means zero
+    // buckets were written, which is exactly what it signifies
+    val present = obs.get.get("bs")
+      .map(_.asInstanceOf[Seq[Int]].toSet).getOrElse(Set.empty[Int])
     val written = touched.filter(present)
     // manifest + pointer flip under the LOCK, fenced on CURRENT: if another
     // writer advanced CURRENT since this writer last committed (or opened

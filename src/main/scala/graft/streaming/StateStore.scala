@@ -54,8 +54,11 @@ trait DocStateStore extends Serializable {
     * [[TxnLogState]] overrides it with a true delta write — per-bucket
     * delta files, readers fold base + deltas, [[maintain]] compacts. */
   def commitAppend(fresh: DataFrame, version: String, touched: Seq[Int]): Unit = {
+    // fresh is the receiver: a batch-derived frame keeps the commit plan
+    // under the caller's TriggerScope'd session (the store-read side is
+    // bound to the store's own session); append is an order-free union
     val updated = readBuckets(touched) match {
-      case Some(seen) => seen.unionByName(fresh)
+      case Some(seen) => fresh.unionByName(seen)
       case None       => fresh
     }
     commit(updated, version, touched)
@@ -333,7 +336,12 @@ class TxnLogState(val stateDir: String, spark: SparkSession,
       .observe(obs, org.apache.spark.sql.functions.collect_set(col(BucketCol)).as("bs"))
       .repartition(col(BucketCol))
       .write.parquet(s"$stateDir/$dir")
-    val present = obs.get("bs").asInstanceOf[Seq[Int]].toSet
+    // a runtime-empty frame can reach the write through an adaptive plan
+    // that ELIMINATED the metrics node (the zero-field-row carve-out
+    // pinned in ObservationWriteSpec) — an absent census key means zero
+    // buckets were written, which is exactly what it signifies
+    val present = obs.get.get("bs")
+      .map(_.asInstanceOf[Seq[Int]].toSet).getOrElse(Set.empty[Int])
     val written = touched.filter(present)
     // an append that materialized no rows (e.g. a redelivered batch whose
     // fresh set folded to ∅) has nothing to log: skip the slot claim —

@@ -33,9 +33,11 @@ object StreamFunnel {
         .select(graft.expr.hfunctions.md5_shard(col("id"), state.buckets).as("b"))
         .distinct().collect().map(_.getInt(0)).toSeq.sorted
       if (touched.isEmpty) return
+      // batch side as receiver: keeps the merge+commit plan under the
+      // drain's TriggerScope'd (cloned) session (order-free fold)
       val merged0 = state.readBuckets(touched) match {
-        case Some(prev) => prev.select("id", "user_id", "f_view", "f_click", "f_buy")
-          .unionByName(ba)
+        case Some(prev) => ba.unionByName(
+          prev.select("id", "user_id", "f_view", "f_click", "f_buy"))
         case None => ba
       }
       // per-field min ignores nulls — exactly the "not yet seen" fold

@@ -38,8 +38,10 @@ object StreamRetention {
         .select(graft.expr.hfunctions.md5_shard(col("id"), state.buckets).as("b"))
         .distinct().collect().map(_.getInt(0)).toSeq.sorted
       if (touched.isEmpty) return
+      // batch side as receiver: keeps the merge+commit plan under the
+      // drain's TriggerScope'd (cloned) session (order-free fold)
       val merged0 = state.readBuckets(touched) match {
-        case Some(prev) => prev.select("id", "user_id", "cohort", "days").unionByName(ba)
+        case Some(prev) => ba.unionByName(prev.select("id", "user_id", "cohort", "days"))
         case None => ba
       }
       // min-cohort + day-set union; days kept sorted so state files are

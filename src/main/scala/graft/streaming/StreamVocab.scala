@@ -73,9 +73,11 @@ object StreamVocab {
           "ascending doc_id arrival")) return // already folded: skip
       val merged =
         if (touched.isEmpty) fresh.select("id", "grp", "term", "m").limit(0)
+        // batch side as receiver: keeps the merge+commit plan under the
+        // drain's TriggerScope'd (cloned) session (order-free fold)
         else (state.readBuckets(touched) match {
-          case Some(prev) => prev.select("id", "grp", "term", "m").unionByName(
-            fresh.select("id", "grp", "term", "m"))
+          case Some(prev) => fresh.select("id", "grp", "term", "m").unionByName(
+            prev.select("id", "grp", "term", "m"))
           case None => fresh.select("id", "grp", "term", "m")
         }).groupBy(col("id"), col("grp"), col("term")).agg(sum(col("m")).as("m"))
       // THE commit point: counts delta and hwm in ONE txn entry — the
