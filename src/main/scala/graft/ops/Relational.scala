@@ -150,7 +150,8 @@ object Relational {
     *
     * This is the canonical "assign one keeper per near-dup cluster" step
     * after pairwise dedup at scale. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25,
+                          localEdgeThreshold: Long = 1000000L): DataFrame = {
     val sc = edges.sparkSession.sparkContext
     val tracked = scala.collection.mutable.Buffer.empty[Int]
     def cp(df: DataFrame): DataFrame = {
@@ -164,6 +165,42 @@ object Relational {
       .union(edges.select(col("b_id").cast("long").as("src"), col("a_id").cast("long").as("dst")))
       .distinct())
 
+    val spark = edges.sparkSession
+    val e = sym.count()
+
+    // BOUNDED-GRAPH fast path (the rank loops' contract): the fixpoint —
+    // every node labeled with its component's MINIMUM id — is unique, so
+    // a driver-local union-find (smaller root wins, hence root = the
+    // component minimum) returns the identical answer without
+    // O(log diameter) rounds of graph-sized joins and their scheduling
+    // floor. The corpus-sized work (pair generation) already ran
+    // distributed in the caller; a genuinely large edge set keeps the
+    // distributed pointer-jumping loop.
+    if (e <= localEdgeThreshold) {
+      import spark.implicits._
+      val es = sym.select(col("src"), col("dst")).as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (s, d) =>
+        if (!parent.contains(s)) parent(s) = s
+        if (!parent.contains(d)) parent(d) = d
+        val rs = find(s); val rd = find(d)
+        if (rs != rd) { if (rs < rd) parent(rd) = rs else parent(rs) = rd }
+      }
+      val byRoot = parent.keysIterator.map(n => (n, find(n))).toIndexedSeq
+      val sizes = byRoot.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val out = byRoot.map { case (n, c) => (n, c, sizes(c)) }
+      val intermediates = tracked.toSet
+      intermediates.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      return spark.createDataset(out).toDF("node", "cluster", "cluster_size")
+    }
+
     var labels = cp(sym.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node")))
     // The loop's frames are GRAPH-bounded, not corpus-bounded — the
@@ -174,8 +211,6 @@ object Relational {
     // round pure scheduling), AQE off inside the loop (its stage-by-
     // stage materialization is tax at an exactly-derived partition
     // count), both restored in finally.
-    val spark = edges.sparkSession
-    val e = sym.count()
     val loopParts = math.max(1L, math.min(
       spark.sessionState.conf.numShufflePartitions.toLong,
       e / 200000L + 1L)).toInt
@@ -260,8 +295,10 @@ object Relational {
     * driver collect. Output: (item, pr_q) with pr_q on the SCALE grid,
     * Σ pr_q ≈ SCALE (truncation drops ≤ a few units per vertex).
     */
-  def pageRank(edges: DataFrame, nodes: DataFrame, iterations: Int = 10): DataFrame =
-    personalizedPageRank(edges, nodes, nodes.select(col("item")), iterations)
+  def pageRank(edges: DataFrame, nodes: DataFrame, iterations: Int = 10,
+               localEdgeThreshold: Long = 1000000L): DataFrame =
+    personalizedPageRank(edges, nodes, nodes.select(col("item")), iterations,
+      localEdgeThreshold)
 
   /** PERSONALIZED PageRank (TrustRank): teleport and dangling mass
     * return only to the SEED set, so rank measures proximity-weighted
@@ -273,7 +310,8 @@ object Relational {
     * (see pageRank). Non-seed vertices start at 0 and earn rank only
     * through in-links. Output: (item, pr_q). */
   def personalizedPageRank(edges: DataFrame, nodes: DataFrame,
-                           seeds: DataFrame, iterations: Int = 10): DataFrame = {
+                           seeds: DataFrame, iterations: Int = 10,
+                           localEdgeThreshold: Long = 1000000L): DataFrame = {
     val sc = edges.sparkSession.sparkContext
     val tracked = scala.collection.mutable.Buffer.empty[Int]
     def cp(df: DataFrame): DataFrame = {
@@ -316,6 +354,67 @@ object Relational {
     val e = pe.count()
     val vCount = vertices.count()
     val spark = edges.sparkSession
+
+    // BOUNDED-GRAPH fast path: every per-iteration quantity is exact
+    // integer fixed-point (truncating div grids, order-free integer
+    // sums), so a driver-local loop is BIT-IDENTICAL to the distributed
+    // one — and a vocab/item-sized graph pays ~10 iterations × ~3
+    // shuffles of pure scheduling floor in the distributed loop for
+    // nothing (t30's residual 5 s was ENTIRELY this). The corpus-sized
+    // work (edge aggregate → outd, pe) already ran distributed above; a
+    // genuinely large graph (> the broadcast-class bound below) keeps
+    // the textbook distributed iteration.
+    if (vCount <= 100000 && e <= localEdgeThreshold) {
+      import spark.implicits._
+      val vtx = vertices.select(col("item"), col("is_seed"))
+        .as[(Long, Boolean)].collect()
+      val pes = pe.select(col("src"), col("dst"), col("p"))
+        .as[(Long, Long, Long)].collect()
+      val m = vtx.length
+      val idx = new java.util.HashMap[Long, Integer](m * 2)
+      var i = 0
+      while (i < m) { idx.put(vtx(i)._1, i); i += 1 }
+      // has_out mirrors the distributed ranks frame: a vertex is
+      // non-dangling iff it appears as src of ANY edge (even one whose
+      // dst is outside the vertex set — that edge still consumed
+      // transition probability when pe was built)
+      val hasOut = new Array[Boolean](m)
+      pes.foreach { case (s, _, _) =>
+        val si = idx.get(s); if (si != null) hasOut(si) = true
+      }
+      val r = new Array[Long](m)
+      i = 0
+      while (i < m) { if (vtx(i)._2) r(i) = 1000000000000L / n; i += 1 }
+      var it = 0
+      while (it < iterations) {
+        // in_sum: per-edge (r_src * p) div 1e6, summed per dst — edges
+        // whose src has no rank row contribute nothing, edges whose dst
+        // is outside the vertex set drop, exactly as the joins do
+        val inSum = new Array[Long](m)
+        pes.foreach { case (s, d, p) =>
+          val si = idx.get(s); val di = idx.get(d)
+          if (si != null && di != null)
+            inSum(di) += (r(si) * p) / 1000000L
+        }
+        var dang = 0L
+        i = 0
+        while (i < m) { if (!hasOut(i)) dang += r(i); i += 1 }
+        val dShare = dang / n
+        i = 0
+        while (i < m) {
+          r(i) =
+            if (vtx(i)._2) base + (17L * (inSum(i) + dShare)) / 20L
+            else (17L * inSum(i)) / 20L
+          i += 1
+        }
+        it += 1
+      }
+      val out = vtx.indices.map(j => (vtx(j)._1, r(j)))
+        .sortBy { case (item, pr) => (-pr, item) }
+      val intermediates = tracked.toSet
+      intermediates.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      return spark.createDataset(out).toDF("item", "pr_q")
+    }
     val loopParts = math.max(1L, math.min(
       spark.sessionState.conf.numShufflePartitions.toLong,
       math.max(vCount, e) / 200000L + 1L)).toInt
@@ -588,7 +687,8 @@ object Relational {
     * localCheckpoint discipline as pageRank. Output: (item, auth_q,
     * hub_q), zero where the node lacks the role.
     */
-  def salsa(edges: DataFrame, iterations: Int = 5): DataFrame = {
+  def salsa(edges: DataFrame, iterations: Int = 5,
+            localEdgeThreshold: Long = 1000000L): DataFrame = {
     val spark = edges.sparkSession
     val sc = spark.sparkContext
     val tracked = scala.collection.mutable.Buffer.empty[Int]
@@ -616,6 +716,45 @@ object Relational {
     val nA = auths.count()
     require(nA > 0, "salsa needs a non-empty edge set")
     val e = ew.count()
+
+    // BOUNDED-GRAPH fast path (same contract as personalizedPageRank's):
+    // the iteration is exact integer fixed-point, so a driver-local loop
+    // is bit-identical and skips ~2 joins × iterations of scheduling
+    // floor; the corpus-sized edge aggregation above stays distributed,
+    // and a genuinely large graph keeps the distributed loop.
+    if (e <= localEdgeThreshold) {
+      import spark.implicits._
+      val pinE = pin.select(col("src"), col("dst"), col("p"))
+        .as[(Long, Long, Long)].collect()
+      val poutE = pout.select(col("src"), col("dst"), col("p"))
+        .as[(Long, Long, Long)].collect()
+      val a0 = auths.select(col("item")).as[Long].collect()
+      var a = scala.collection.mutable.HashMap.empty[Long, Long]
+      a0.foreach(i => a(i) = 1000000000000L / nA)
+      var h = scala.collection.mutable.HashMap.empty[Long, Long]
+      for (_ <- 1 to iterations) {
+        // key sets mirror the joins exactly: an entry exists iff the
+        // vertex had ≥1 edge whose counterpart held rank this half-step
+        // (even when the truncating div makes its contribution 0)
+        val hN = scala.collection.mutable.HashMap.empty[Long, Long]
+        pinE.foreach { case (s, d, p) =>
+          a.get(d).foreach(r => hN(s) = hN.getOrElse(s, 0L) + (r * p) / 1000000L)
+        }
+        h = hN
+        val aN = scala.collection.mutable.HashMap.empty[Long, Long]
+        poutE.foreach { case (s, d, p) =>
+          h.get(s).foreach(r => aN(d) = aN.getOrElse(d, 0L) + (r * p) / 1000000L)
+        }
+        a = aN
+      }
+      val out = (a.keySet ++ h.keySet).toSeq
+        .map(i => (i, a.getOrElse(i, 0L), h.getOrElse(i, 0L)))
+        .sortBy { case (i, aq, _) => (-aq, i) }
+      val intermediates = tracked.toSet
+      intermediates.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      return spark.createDataset(out).toDF("item", "auth_q", "hub_q")
+    }
+
     val loopParts = math.max(1L, math.min(
       spark.sessionState.conf.numShufflePartitions.toLong,
       e / 200000L + 1L)).toInt

@@ -31,10 +31,49 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("non-convergence throws instead of returning split labels") {
+    // localEdgeThreshold = 0 forces the distributed loop — the local
+    // union-find always converges, so the contract under test is the
+    // distributed path's
     val e = intercept[IllegalStateException] {
-      Relational.connectedComponents(chain(100), maxIter = 2)
+      Relational.connectedComponents(chain(100), maxIter = 2, localEdgeThreshold = 0L)
     }
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("bounded-graph fast paths are bit-identical to the distributed loops") {
+    import spark.implicits._
+    // a deliberately lopsided graph: chain + star + dangling + isolated
+    val ccEdges = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L))).toDF("a_id", "b_id")
+    val ccFast = Relational.connectedComponents(ccEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val ccDist = Relational.connectedComponents(ccEdges, localEdgeThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(ccFast == ccDist)
+
+    val prEdges = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L), (1L, 3L, 1L),
+      (4L, 1L, 5L)).toDF("src", "dst", "w")
+    val prNodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("item") // 5 is isolated (dangling)
+    val prFast = Relational.pageRank(prEdges, prNodes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val prDist = Relational.pageRank(prEdges, prNodes, localEdgeThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(prFast == prDist, s"pageRank fast/distributed diverged:\n$prFast\n$prDist")
+
+    val seeds = Seq(1L).toDF("item")
+    val pprFast = Relational.personalizedPageRank(prEdges, prNodes, seeds)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val pprDist = Relational.personalizedPageRank(prEdges, prNodes, seeds,
+        localEdgeThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(pprFast == pprDist)
+
+    val saEdges = Seq((1L, 2L, 2L), (1L, 3L, 1L), (4L, 2L, 1L), (5L, 6L, 3L))
+      .toDF("src", "dst", "w")
+    val saFast = Relational.salsa(saEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val saDist = Relational.salsa(saEdges, localEdgeThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(saFast == saDist, s"salsa fast/distributed diverged:\n$saFast\n$saDist")
   }
 
   // ---- pageRank ----
