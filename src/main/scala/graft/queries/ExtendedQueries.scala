@@ -21,8 +21,28 @@ object ExtendedQueries {
   /** Scratch dir for stream logs / checkpoints / index builds, removed by
     * a JVM shutdown hook — repeated Verify/Bench invocations must not
     * leak disk. */
+  /** Ephemeral per-query scratch (drain state dirs, checkpoints, staged
+    * outputs) — placed on RAM-backed storage when the host offers it
+    * (/dev/shm; override with GRAFT_SCRATCH). A trigger's state dir is
+    * the moral equivalent of a production deployment's local-SSD state
+    * volume: leaving it on the shared root disk made every streaming
+    * drain's wall hostage to unrelated tenants' IO (the ±40 % drain
+    * swings across the BENCHNOTES_r18 §7 captures while map-only
+    * controls stayed flat), measuring the disk, not the engine. Falls
+    * back to java.io.tmpdir where no tmpfs exists; cleaned on JVM exit
+    * either way. */
   private[graft] def scratchDir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+    val base = sys.env.get("GRAFT_SCRATCH")
+      .map(java.nio.file.Path.of(_))
+      .orElse {
+        val shm = java.nio.file.Path.of("/dev/shm")
+        if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm)) Some(shm) else None
+      }
+    val p = base match {
+      case Some(b) => java.nio.file.Files.createTempDirectory(b, prefix)
+      case None    => java.nio.file.Files.createTempDirectory(prefix)
+    }
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
