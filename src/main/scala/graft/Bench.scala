@@ -44,6 +44,24 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, err)
     }
 
+    // LOAD SENTINEL: a fixed-cost, map-only control (~0.3 s of pure CPU —
+    // no parquet, no shuffle, no disk, so nothing engine-side can move
+    // it) interleaved through the capture. On an idle host every sample
+    // sits at the baseline; a co-tenant stealing cores shows up as
+    // sentinel drift AT THE MOMENT it happened. A capture whose worst
+    // sample drifts >2x its baseline flags ITSELF ("ambient":"elevated")
+    // instead of costing an adjudication cycle of hand-picked controls
+    // (the r18 driver capture: 587 s raw, 312 s real — m18 at 550x its
+    // own spread purely from host collision).
+    def sentinelOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, cpus.toInt)
+        .selectExpr("sum(xxhash64(id)) as h")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sentinelEvery = 10 // one control per ~10 timed queries
+
     // Stateful streaming drains carry ~1-2s of state-store open/commit +
     // JIT machinery noise per run; these ALWAYS report the median of 3.
     val alwaysMedian = Set(
@@ -69,9 +87,15 @@ object Bench {
 
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
 
+    // sentinel baseline: min of 3 post-warmup runs (JIT settled; min, not
+    // median — the baseline is "what this job costs unloaded")
+    val sentinelBaseline = { sentinelOnce(); (1 to 3).map(_ => sentinelOnce()).min }
+    val sentinelSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val results = names.map { name =>
+    val results = names.zipWithIndex.map { case (name, qi) =>
+      if (qi > 0 && qi % sentinelEvery == 0) sentinelSamples += sentinelOnce()
       val first = timed(name)
       val runs =
         if (first._2.isDefined) Seq(first)
@@ -96,8 +120,14 @@ object Bench {
     val sp = spreads.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = r3(results.collect { case (_, v) if v >= 0 => v }.sum)
+    val sentMaxRatio =
+      if (sentinelSamples.isEmpty) 1.0
+      else r3(sentinelSamples.max / sentinelBaseline)
+    val ambient = if (sentMaxRatio > 2.0) "elevated" else "flat"
+    val sentJson = s"""{"baseline":${r3(sentinelBaseline)},"every":$sentinelEvery,""" +
+      s""""max_ratio":$sentMaxRatio,"samples":[${sentinelSamples.map(r3).mkString(",")}]}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"spread":$sp,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","ambient":"$ambient","sentinel":$sentJson,"queries":$qs,"errors":$es,"spread":$sp,"sf":"$sfDir"}"""
     // Persist the full per-query artifact on disk (it survives any stdout
     // capture limits) and print it for human logs.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench.json")
@@ -115,6 +145,6 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"slowest":$slowest,"queries_file":"$outPath","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","ambient":"$ambient","sentinel_max_ratio":$sentMaxRatio,"n_queries":${results.size},"n_errors":${errors.size},"slowest":$slowest,"queries_file":"$outPath","sf":"$sfDir"}""")
   }
 }

@@ -91,6 +91,13 @@ object GraftExtensions {
       "drop tokens covered by k-token windows at the given 1-based starts"),
       (es: Seq[Expression]) => RemoveTokenSpans(es(0), es(1),
         intLit(es(2), "remove_token_spans"))),
+    ("char_kgram_hashes60", mkInfo("char_kgram_hashes60",
+      "positional 60-bit md5 hashes of char k-grams over ws-normalized text"),
+      (es: Seq[Expression]) => CharKgramHashes60(es(0), intLit(es(1), "char_kgram_hashes60"))),
+    ("remove_char_spans", mkInfo("remove_char_spans",
+      "drop chars covered by k-char windows at the given 1-based starts"),
+      (es: Seq[Expression]) => RemoveCharSpans(es(0), es(1),
+        intLit(es(2), "remove_char_spans"))),
     ("merge_window_runs", mkInfo("merge_window_runs",
       "merge k-token window starts into maximal (start, end) runs"),
       (es: Seq[Expression]) => MergeWindowRuns(es(0), intLit(es(1), "merge_window_runs"))),

@@ -197,6 +197,94 @@ object TextHash {
     removeTokenSpans(text, starts.toLongArray(), k)
   }
 
+  /** Whitespace-NORMALIZED text — the canonical form the char-granular
+    * span operators index into: space-trimmed, every `\s+` run collapsed
+    * to one space. Identical to
+    * `array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')`
+    * so oracle char positions line up exactly. */
+  def normalizeWs(s: String): String = {
+    val toks = tokens(s)
+    if (toks.length == 1 && toks(0).isEmpty) "" else toks.mkString(" ")
+  }
+
+  /** POSITIONAL 60-bit CHAR k-gram hashes over [[normalizeWs]]'d text —
+    * the character-granular twin of [[kgramHashes60]] for the Lee et al.
+    * ExactSubstr step on corpora where duplication does not respect
+    * token boundaries (OCR, code, CJK). Element i (0-based) is
+    * [[hash60]] of normalized chars i..i+k-1; texts shorter than k
+    * yield no windows. Unlike [[charShingles60]] this keeps EVERY
+    * position (non-distinct, in order) — WHERE a window sits is the
+    * point. Cost is one md5 per char position (k× the byte volume of a
+    * token pass) but stays map-only and embarrassingly parallel; at
+    * petabyte scale swap [[hash60]] for a rolling hash — the operator
+    * contract is only "a strong hash per window". */
+  def charKgramHashes60(text: UTF8String, k: Int): Array[Long] =
+    if (text == null) Array.emptyLongArray else charKgramHashes60(text.toString, k)
+
+  /** String-input twin of [[charKgramHashes60]] for typed kernels. */
+  def charKgramHashes60(s: String, k: Int): Array[Long] = {
+    val t = normalizeWs(s)
+    if (t.length < k) return Array.emptyLongArray
+    val m = t.length - k + 1
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) { out(i) = hash60(t.substring(i, i + k)); i += 1 }
+    out
+  }
+
+  /** Drop every CHARACTER of the [[normalizeWs]]'d text covered by a
+    * k-char window starting at any of `starts` (1-BASED positions into
+    * the NORMALIZED text — [[charKgramHashes60]]'s frame; duplicates /
+    * overlaps fine, out-of-range starts skipped with the same Long-space
+    * validation as [[removeTokenSpans]]). Survivors concatenate
+    * directly — a cut span can fuse its neighbors ("hell" + "rld"),
+    * which IS the ExactSubstr semantics at char granularity. */
+  def removeCharSpans(text: UTF8String, starts: Array[Long], k: Int): UTF8String = {
+    if (text == null) return null
+    UTF8String.fromString(removeCharSpans(text.toString, starts, k))
+  }
+
+  /** String-input twin of [[removeCharSpans]] for typed kernels. */
+  def removeCharSpans(s: String, starts: Array[Long], k: Int): String = {
+    val t = normalizeWs(s)
+    if (t.isEmpty) return ""
+    val covered = new Array[Boolean](t.length)
+    var i = 0
+    while (i < starts.length) {
+      val st = starts(i)
+      if (st >= 1L && st <= t.length) {
+        var j = (st - 1).toInt
+        val end = math.min(t.length.toLong, st - 1 + k).toInt
+        while (j < end) { covered(j) = true; j += 1 }
+      }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(t.length)
+    i = 0
+    while (i < t.length) {
+      if (!covered(i)) sb.append(t.charAt(i))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** [[removeCharSpans]] over raw Catalyst array data — the eval/codegen
+    * entry point; NULL elements rejected loudly like
+    * [[removeTokenSpans]]'s (this too is a registered SQL function). */
+  def removeCharSpans(text: UTF8String,
+                      starts: org.apache.spark.sql.catalyst.util.ArrayData,
+                      k: Int): UTF8String = {
+    val n = starts.numElements()
+    var i = 0
+    while (i < n) {
+      if (starts.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"remove_char_spans: span-start array contains NULL at position $i")
+      i += 1
+    }
+    removeCharSpans(text, starts.toLongArray(), k)
+  }
+
   /** Merge 1-based k-token window start positions into MAXIMAL covered
     * runs: windows at s cover tokens [s, s+k-1]; overlapping or adjacent
     * covers (next start ≤ current end + 1) fuse, so the result is

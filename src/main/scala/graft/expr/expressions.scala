@@ -688,6 +688,60 @@ case class KgramHashes60(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "kgram_hashes60"
 }
 
+/** Positional (non-distinct) 60-bit CHAR k-gram hashes of a text column
+  * over its whitespace-normalized form — [[TextHash.charKgramHashes60]]
+  * as one compiled pass; the character-granular twin of
+  * [[KgramHashes60]] for ExactSubstr dedup where duplication ignores
+  * token boundaries. */
+case class CharKgramHashes60(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      TextHash.charKgramHashes60(input.asInstanceOf[UTF8String], k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         .fromPrimitiveArray(graft.expr.TextHash.charKgramHashes60($c, $k));""")
+
+  override protected def withNewChildInternal(newChild: Expression): CharKgramHashes60 =
+    copy(child = newChild)
+  override def prettyName: String = "char_kgram_hashes60"
+}
+
+/** Char-granular span removal: drop every character of the normalized
+  * text covered by a k-char window starting at any 1-based position in
+  * `starts`; survivors concatenate directly —
+  * [[TextHash.removeCharSpans]] as one compiled pass. */
+case class RemoveCharSpans(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"remove_char_spans expects (string, array<bigint>), got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.removeCharSpans(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.TextHash.removeCharSpans($a, $b, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RemoveCharSpans =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "remove_char_spans"
+}
+
 /** Maximal duplicated-run merge for variable-length exact-substring
   * reporting: fuse 1-based k-token window starts (array<bigint>) whose
   * covers overlap or touch into array<struct<start, end>> — the
@@ -810,6 +864,14 @@ object hfunctions {
   /** positional 60-bit k-gram hashes of a text column (compiled pass) */
   def kgram_hashes60(text: Column, n: Int): Column =
     expr2col(KgramHashes60(col2expr(text), n))
+
+  /** Positional char k-gram hashes over whitespace-normalized text. */
+  def char_kgram_hashes60(text: Column, k: Int): Column =
+    expr2col(CharKgramHashes60(col2expr(text), k))
+
+  /** Char-granular cover-mask span removal over normalized text. */
+  def remove_char_spans(text: Column, starts: Column, k: Int): Column =
+    expr2col(RemoveCharSpans(col2expr(text), col2expr(starts), k))
 
   /** drop tokens covered by k-token windows at the given 1-based starts */
   def remove_token_spans(text: Column, starts: Column, k: Int): Column =

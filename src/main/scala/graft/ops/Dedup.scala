@@ -573,21 +573,33 @@ object Dedup {
     * sequential driver round-trips — scheduling-floor tax on a
     * per-trigger CDC path); scoping `initialNumPartitions` to the input's
     * own partition count makes the in-bound case ONE parallel job, same
-    * shape as the plain collect this replaces. */
+    * shape as the plain collect this replaces.
+    *
+    * The conf set/restore is serialized per session (the lock below):
+    * two overlapping bounded collects on a shared session would
+    * otherwise race the restore and leave a stale value behind. A
+    * concurrent UNRELATED query that happens to plan a limit inside the
+    * window sees a different ramp start — a perf-only knob, never a
+    * correctness one, so the per-session lock (not a full session clone)
+    * is the right weight here. */
+  private val boundedCollectLocks =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, Object]()
   private def collectBounded[T](ds: org.apache.spark.sql.Dataset[T], maxRows: Int,
                                 what: String): Array[T] = {
     require(maxRows > 0, s"maxRows must be positive: $maxRows")
     val cap = (math.min(maxRows.toLong, Int.MaxValue.toLong - 1) + 1).toInt
     val sess = ds.sparkSession
     val key = "spark.sql.limit.initialNumPartitions"
-    val prev = sess.conf.getOption(key)
-    sess.conf.set(key, math.max(1, ds.rdd.getNumPartitions).toString)
-    val refs =
+    val lock = boundedCollectLocks.computeIfAbsent(sess, _ => new Object)
+    val refs = lock.synchronized {
+      val prev = sess.conf.getOption(key)
+      sess.conf.set(key, math.max(1, ds.rdd.getNumPartitions).toString)
       try ds.limit(cap).collect()
       finally prev match {
         case Some(v) => sess.conf.set(key, v)
         case None    => sess.conf.unset(key)
       }
+    }
     if (refs.length >= cap)
       throw new IllegalArgumentException(
         s"$what exceeds the broadcast-index bound of $maxRows rows — the index " +
@@ -1291,6 +1303,50 @@ object Dedup {
           coalesce(col("starts"), lit(Array.empty[Long])), k).as("clean_text"))
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - TextAnalysis.tokenCount(col("clean_text"))).as("n_removed"),
+        col("clean_text"))
+  }
+
+  /** CHARACTER-granular exact-substring span dedup — [[dedupSpans]] with
+    * char k-gram windows over the whitespace-normalized text instead of
+    * token windows (the Lee et al. ExactSubstr step at its native
+    * granularity: OCR corpora, source code, and CJK text duplicate at
+    * byte/char runs that never line up with `\s+` tokens). A k-char
+    * window whose k-gram already occurred at a lexicographically smaller
+    * (doc_id, position) is a duplicate span; every CHARACTER covered by
+    * any duplicate window is cut and the survivors concatenate directly
+    * (a cut can fuse its neighbors — that IS the semantics; there is no
+    * token boundary to respect). Output: (doc_id, n_chars, n_removed,
+    * clean_text), n_chars the NORMALIZED original length.
+    *
+    * Scale shape: identical to [[dedupSpans]] — one compiled positional-
+    * hash pass per doc ([[graft.expr.CharKgramHashes60]]), ONE global
+    * groupBy(h) min-struct keep-first (map-side partials collapse
+    * boilerplate before the shuffle), join back on h, per-doc regroup,
+    * compiled cover-mask rebuild ([[graft.expr.RemoveCharSpans]]). The
+    * hash pass is k× the byte volume of the token pass (one md5 per
+    * char position) but stays map-only; at petabyte scale the kernel's
+    * hash is swappable for a rolling hash without touching the plan. */
+  def dedupCharSpans(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 25): DataFrame = {
+    require(k >= 2, s"k must be at least 2, got $k")
+    val occ = docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.expr.hfunctions.char_kgram_hashes60(col(textCol), k))
+          .as(Seq("i0", "h")))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("pos"), col("h"))
+    val winners = occ.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+    val dupStarts = occ.join(winners, Seq("h"))
+      .filter(!(col("doc_id") === col("w.doc_id") && col("pos") === col("w.pos")))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("pos")).as("starts"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(dupStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        length(concat_ws(" ", split(trim(col("text")), "\\s+"))).cast("long").as("n_chars"),
+        graft.expr.hfunctions.remove_char_spans(col("text"),
+          coalesce(col("starts"), lit(Array.empty[Long])), k).as("clean_text"))
+      .select(col("doc_id"), col("n_chars"),
+        (col("n_chars") - length(col("clean_text")).cast("long")).as("n_removed"),
         col("clean_text"))
   }
 

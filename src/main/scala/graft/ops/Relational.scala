@@ -296,9 +296,10 @@ object Relational {
     * Σ pr_q ≈ SCALE (truncation drops ≤ a few units per vertex).
     */
   def pageRank(edges: DataFrame, nodes: DataFrame, iterations: Int = 10,
-               localEdgeThreshold: Long = 1000000L): DataFrame =
+               localEdgeThreshold: Long = 1000000L,
+               localVertexThreshold: Long = 100000L): DataFrame =
     personalizedPageRank(edges, nodes, nodes.select(col("item")), iterations,
-      localEdgeThreshold)
+      localEdgeThreshold, localVertexThreshold)
 
   /** PERSONALIZED PageRank (TrustRank): teleport and dangling mass
     * return only to the SEED set, so rank measures proximity-weighted
@@ -311,7 +312,8 @@ object Relational {
     * through in-links. Output: (item, pr_q). */
   def personalizedPageRank(edges: DataFrame, nodes: DataFrame,
                            seeds: DataFrame, iterations: Int = 10,
-                           localEdgeThreshold: Long = 1000000L): DataFrame = {
+                           localEdgeThreshold: Long = 1000000L,
+                           localVertexThreshold: Long = 100000L): DataFrame = {
     val sc = edges.sparkSession.sparkContext
     val tracked = scala.collection.mutable.Buffer.empty[Int]
     def cp(df: DataFrame): DataFrame = {
@@ -364,7 +366,7 @@ object Relational {
     // work (edge aggregate → outd, pe) already ran distributed above; a
     // genuinely large graph (> the broadcast-class bound below) keeps
     // the textbook distributed iteration.
-    if (vCount <= 100000 && e <= localEdgeThreshold) {
+    if (vCount <= localVertexThreshold && e <= localEdgeThreshold) {
       import spark.implicits._
       val vtx = vertices.select(col("item"), col("is_seed"))
         .as[(Long, Boolean)].collect()

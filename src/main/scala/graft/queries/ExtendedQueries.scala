@@ -18,9 +18,6 @@ object ExtendedQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.core.Fixtures.table(s, dir, name) // normalizes events.ts → nanos LONG
 
-  /** Scratch dir for stream logs / checkpoints / index builds, removed by
-    * a JVM shutdown hook — repeated Verify/Bench invocations must not
-    * leak disk. */
   /** Ephemeral per-query scratch (drain state dirs, checkpoints, staged
     * outputs) — placed on RAM-backed storage when the host offers it
     * (/dev/shm; override with GRAFT_SCRATCH). A trigger's state dir is
@@ -28,21 +25,34 @@ object ExtendedQueries {
     * volume: leaving it on the shared root disk made every streaming
     * drain's wall hostage to unrelated tenants' IO (the ±40 % drain
     * swings across the BENCHNOTES_r18 §7 captures while map-only
-    * controls stayed flat), measuring the disk, not the engine. Falls
-    * back to java.io.tmpdir where no tmpfs exists; cleaned on JVM exit
-    * either way. */
+    * controls stayed flat), measuring the disk, not the engine. The
+    * tmpfs is only chosen when it reports at least [[ScratchMinFreeBytes]]
+    * free — tmpfs is typically capped at 50 % of RAM and an ENOSPC
+    * mid-drain (or squeezing executor/page-cache memory) would distort
+    * the very benchmarks this placement stabilizes. Falls back to
+    * java.io.tmpdir when the tmpfs is absent or tight; the chosen base
+    * is logged once per distinct base so bench captures record it.
+    * Sizing contract + production rule: SCALE.md §"Scratch placement". */
+  private[graft] val ScratchMinFreeBytes: Long = 8L << 30 // 8 GiB floor
+  private val loggedScratchBases =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private[graft] def scratchDir(prefix: String): String = {
     val base = sys.env.get("GRAFT_SCRATCH")
       .map(java.nio.file.Path.of(_))
       .orElse {
         val shm = java.nio.file.Path.of("/dev/shm")
         if (java.nio.file.Files.isDirectory(shm) &&
-          java.nio.file.Files.isWritable(shm)) Some(shm) else None
+          java.nio.file.Files.isWritable(shm) &&
+          shm.toFile.getUsableSpace >= ScratchMinFreeBytes) Some(shm) else None
       }
     val p = base match {
       case Some(b) => java.nio.file.Files.createTempDirectory(b, prefix)
       case None    => java.nio.file.Files.createTempDirectory(prefix)
     }
+    val baseStr = p.getParent.toString
+    if (loggedScratchBases.add(baseStr))
+      System.err.println(s"[graft] scratch base: $baseStr " +
+        s"(free ${p.getParent.toFile.getUsableSpace >> 30} GiB)")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()

@@ -67,6 +67,44 @@ object PipelineQueries {
        |FROM agg ORDER BY doc_id""".stripMargin
   }
 
+  /** d30, the char-granular twin of [[d15OracleSql]]: positions are
+    * 1-based CHAR indices into the whitespace-normalized text, the
+    * keep-first rule and cover mask are identical, and the rebuild
+    * concatenates surviving chars with no separator. */
+  private val d30OracleSql = {
+    val k = 25
+    s"""WITH base AS (
+       |  SELECT a.doc_id, a.text || ' ' || b.text AS text
+       |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+       |nt AS (SELECT doc_id,
+       |         array_to_string(regexp_split_to_array(trim(text), '\\s+'), ' ') AS t
+       |       FROM base),
+       |kgs AS (SELECT doc_id, unnest(list_transform(generate_series(1, length(t) - ${k - 1}),
+       |          i -> {'pos': i, 'h': ${h60sql(s"substr(t, i, $k)")}})) AS u
+       |        FROM nt WHERE length(t) >= $k),
+       |kg AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM kgs),
+       |rk AS (SELECT doc_id, pos,
+       |         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS r FROM kg),
+       |dup AS (SELECT doc_id, pos FROM rk WHERE r > 1),
+       |chs AS (SELECT doc_id, unnest(list_transform(generate_series(1, length(t)),
+       |          i -> {'j': i, 'c': substr(t, i, 1)})) AS u FROM nt),
+       |ch AS (SELECT doc_id, u.j AS j, u.c AS c FROM chs),
+       |rem AS (SELECT DISTINCT c.doc_id, c.j FROM ch c JOIN dup d
+       |        ON d.doc_id = c.doc_id AND c.j >= d.pos AND c.j <= d.pos + ${k - 1}),
+       |agg AS (
+       |  SELECT c.doc_id,
+       |    count(r.j) AS n_removed,
+       |    coalesce(string_agg(c.c, '' ORDER BY c.j) FILTER (WHERE r.j IS NULL), '')
+       |      AS clean_text
+       |  FROM ch c LEFT JOIN rem r ON r.doc_id = c.doc_id AND r.j = c.j
+       |  GROUP BY c.doc_id)
+       |SELECT nt.doc_id, CAST(length(nt.t) AS BIGINT) AS n_chars,
+       |  CAST(coalesce(agg.n_removed, 0) AS BIGINT) AS n_removed,
+       |  coalesce(agg.clean_text, '') AS clean_text
+       |FROM nt LEFT JOIN agg ON agg.doc_id = nt.doc_id
+       |ORDER BY nt.doc_id""".stripMargin
+  }
+
   /** Shared by t15 (batch NB quality classifier) and s14 (its streaming
     * admission-gate twin over a frozen model): both replay the full
     * train+score — seed labeling, Laplace-smoothed per-token class
@@ -888,6 +926,21 @@ object PipelineQueries {
         .select(col("doc_id"), concat_ws(" ", col("text"), col("next_text")).as("text"))
       Dedup.duplicateRuns(synth, "doc_id", "text", k = 8)
         .orderBy(col("doc_id"), col("run_start"))
+    }),
+
+    // CHAR-granular ExactSubstr on the same successor-concat corpus:
+    // every doc's tail restates its successor's full text as a CHAR run,
+    // so the 25-char keep-first cover mask cuts it wherever the
+    // (doc_id, pos)-first occurrence does NOT live — duplication that
+    // token windows would also catch here, but detected without any
+    // token boundary (the OCR/code/CJK form of d15)
+    "d30_char_span_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val succ = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("next_text"))
+      val synth = d.join(succ, Seq("doc_id"))
+        .select(col("doc_id"), concat_ws(" ", col("text"), col("next_text")).as("text"))
+      Dedup.dedupCharSpans(synth, "doc_id", "text", k = 25)
+        .orderBy(col("doc_id"))
     }),
 
     // k-gram novelty scoring on the successor-concat corpus: every doc's
@@ -3245,6 +3298,10 @@ object PipelineQueries {
 
     // the incremental stream cut must equal the batch cover mask exactly
     "s12_stream_span_dedup" -> d15OracleSql,
+
+    // char-granular ExactSubstr: same keep-first/cover-mask CTEs at
+    // 1-based char positions into the ws-normalized text
+    "d30_char_span_dedup" -> d30OracleSql,
 
     // keep-first over fingerprints, stated as the plain global rule the
     // ordered-arrival incremental gate must reproduce

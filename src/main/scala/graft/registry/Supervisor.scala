@@ -84,6 +84,49 @@ class IndexerSupervisor(
     }
   }
 
+  /** [[sync]] with the reference's PRODUCTION concurrency: every
+    * SUBSCRIBE_AND_CONSUME drain runs on its own pool thread (the
+    * reference gives each indexer its own worker threads,
+    * IndexerSupervisor.java:233-237), so N indexers share the cluster
+    * instead of queueing behind one another's full drain. Safe by
+    * construction: each streaming query plans against its OWN cloned
+    * session ([[graft.streaming.TriggerScope]] scopes only that clone),
+    * state/checkpoint dirs are per-indexer, and the progress listener
+    * keys by runId. Deletes, pauses, and unsubscribes reconcile FIRST,
+    * serially — they only stop queries and touch the registry. Blocks
+    * until every drain completes; the first failure is rethrown after
+    * the pool has fully quiesced (never a half-awaited pool). */
+  def syncConcurrent(maxConcurrent: Int = 8): Unit = {
+    require(maxConcurrent >= 1, s"maxConcurrent must be positive: $maxConcurrent")
+    registry.list().foreach { d =>
+      d.lifecycleState match {
+        case LifecycleState.DeleteRequested => executeDelete(d)
+        case LifecycleState.Active
+            if d.incrementalState != IncrementalIndexingState.SubscribeAndConsume =>
+          reconcile(d)
+        case _ => ()
+      }
+    }
+    val consuming = registry.list().filter(d =>
+      d.lifecycleState == LifecycleState.Active &&
+        d.incrementalState == IncrementalIndexingState.SubscribeAndConsume)
+    if (consuming.isEmpty) return
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(maxConcurrent, consuming.size))
+    try {
+      val futures = consuming.map { d =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = reconcile(d)
+        })
+      }
+      val errs = futures.flatMap { f =>
+        try { f.get(); None }
+        catch { case e: java.util.concurrent.ExecutionException => Option(e.getCause) }
+      }
+      errs.headOption.foreach(throw _)
+    } finally { pool.shutdown(); () }
+  }
+
   /** C2/C3 batch arm: clients flip BUILD_REQUESTED; sync() executes the
     * batch pipeline (scan → mapping → sharded build) and returns the
     * state to INACTIVE (IndexerMaster.java:288-361). */

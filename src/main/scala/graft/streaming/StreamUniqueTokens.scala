@@ -128,7 +128,7 @@ object StreamUniqueTokens {
                   "changed (see ObservationWriteSpec); restore the explicit " +
                   "census collect over the cached fresh frame")
           }
-        if (row.length > 0) row.getSeq[Int](0).sorted // schemaless row: position 0 = "bks"
+        if (row.length > 0) row.getAs[Seq[Int]]("bks").sorted // by name: a second metric later must fail loudly, not shift positions
         else fresh // metrics node adaptively eliminated → census the (empty) frame
           .select(graft.expr.hfunctions.md5_shard(col("id"), seen.buckets).as("bk"))
           .distinct().collect().map(_.getInt(0)).toSeq.sorted

@@ -600,6 +600,74 @@ class DedupSpec extends SparkSpec {
         .map(i => s"$i: got ${out(i)} want ${expected(i)}").mkString("; ")}")
   }
 
+  test("dedupCharSpans: cross-doc char runs cut at the non-first site, survivors fuse") {
+    import spark.implicits._
+    // doc 1 owns "abcdefgh"; doc 2 restates it mid-text with no token
+    // boundary alignment — the char windows catch it, and the cut fuses
+    // doc 2's neighbors directly (no re-spacing)
+    val docs = Seq(
+      (1L, "abcdefgh tail one"),
+      (2L, "xx abcdefgh yy"),
+      (3L, "  spaced   out  text  "), // normalization: collapsed + trimmed
+      (4L, "shrt")                    // shorter than k → untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupCharSpans(docs, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((17L, 0L, "abcdefgh tail one")))
+    // doc 2 normalized = "xx abcdefgh yy" (14 chars); duplicate windows at
+    // 1-based starts 4..8 ("abcde".."efgh ") cover chars 4..12 → "xx "
+    // fuses with "yy" directly
+    assert(out(2L) == ((14L, 9L, "xx yy")), out(2L).toString)
+    assert(out(3L) == ((15L, 0L, "spaced out text")), out(3L).toString)
+    assert(out(4L) == ((4L, 0L, "shrt")))
+  }
+
+  test("dedupCharSpans == naive char-level reference on a random corpus") {
+    import spark.implicits._
+    val k = 4
+    val rnd = new scala.util.Random(19)
+    val alpha = "abc"
+    val corpus = (1L to 40L).map { i =>
+      // random chars with random space runs so ws-normalization is exercised
+      val sb = new StringBuilder
+      (0 until 8 + rnd.nextInt(40)).foreach { _ =>
+        if (rnd.nextInt(6) == 0) sb.append(" " * (1 + rnd.nextInt(3)))
+        else sb.append(alpha(rnd.nextInt(alpha.length)))
+      }
+      i -> sb.toString
+    }
+    def norm(s: String) = s.trim.split("\\s+").mkString(" ")
+    val nrm = corpus.map { case (id, t) => id -> norm(t) }.toMap
+    // naive: global first occurrence per k-char substring (lexicographic
+    // (doc_id, pos)), char cover mask per doc, direct concat of survivors
+    val occs = corpus.flatMap { case (id, _) =>
+      val t = nrm(id)
+      (0 to t.length - k).map(i => (t.substring(i, i + k), id, i))
+    }
+    val winner = occs.groupBy(_._1).map { case (g, os) =>
+      g -> os.map(o => (o._2, o._3)).min
+    }
+    val expected = corpus.map { case (id, _) =>
+      val t = nrm(id)
+      val covered = Array.fill(t.length)(false)
+      (0 to t.length - k).foreach { i =>
+        val g = t.substring(i, i + k)
+        if (winner(g) != ((id, i))) (i until math.min(t.length, i + k)).foreach(covered(_) = true)
+      }
+      val clean = t.indices.filterNot(covered).map(t.charAt).mkString
+      id -> ((t.length.toLong, covered.count(identity).toLong, clean))
+    }.toMap
+    val out = Dedup.dedupCharSpans(corpus.toDF("doc_id", "text"), "doc_id", "text", k = k)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out == expected,
+      s"mismatches: ${out.keySet.filter(i => out(i) != expected(i)).toSeq.sorted
+        .map(i => s"$i: got ${out(i)} want ${expected(i)}").mkString("; ")}")
+    // the fixture must actually exercise the cut
+    assert(expected.values.exists(_._2 > 0), "random corpus produced no duplicate char spans")
+  }
+
   test("duplicateRuns == naive maximal cover-mask runs on a random corpus") {
     import spark.implicits._
     val k = 3
