@@ -55,9 +55,12 @@ object Bench {
     // own spread purely from host collision).
     def sentinelOnce(): Double = {
       val t0 = System.nanoTime()
-      spark.range(0L, 200000000L, 1L, cpus.toInt)
-        .selectExpr("sum(xxhash64(id)) as h")
+      // pmod keeps the running sum ≤ 2e14 — a raw sum(xxhash64) randomly
+      // overflows Long and ANSI mode turns that into a fatal throw
+      try spark.range(0L, 200000000L, 1L, cpus.toInt)
+        .selectExpr("sum(pmod(xxhash64(id), 1000000)) as h")
         .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => return -1.0 } // a control hiccup must never kill the capture
       (System.nanoTime() - t0) / 1e9
     }
     val sentinelEvery = 10 // one control per ~10 timed queries
@@ -87,9 +90,17 @@ object Bench {
 
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
 
-    // sentinel baseline: min of 3 post-warmup runs (JIT settled; min, not
-    // median — the baseline is "what this job costs unloaded")
-    val sentinelBaseline = { sentinelOnce(); (1 to 3).map(_ => sentinelOnce()).min }
+    // sentinel baseline: MEDIAN of 5 post-warmup runs (JIT settled).
+    // Median, not min — a single lucky sample as the denominator turns
+    // ordinary steady-state scatter into a phantom "elevated" flag (the
+    // first r19 capture: min 0.167 s vs steady 0.4 s = a 6× ratio with
+    // an idle host); the flag should fire on drift ABOVE typical, not
+    // above best-ever
+    val sentinelBaseline = {
+      sentinelOnce()
+      val bs = (1 to 5).map(_ => sentinelOnce()).filter(_ > 0).sorted
+      if (bs.isEmpty) -1.0 else bs(bs.length / 2)
+    }
     val sentinelSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -121,9 +132,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = r3(results.collect { case (_, v) if v >= 0 => v }.sum)
     val sentMaxRatio =
-      if (sentinelSamples.isEmpty) 1.0
-      else r3(sentinelSamples.max / sentinelBaseline)
-    val ambient = if (sentMaxRatio > 2.0) "elevated" else "flat"
+      if (sentinelSamples.forall(_ <= 0) || sentinelBaseline <= 0) -1.0
+      else r3(sentinelSamples.filter(_ > 0).max / sentinelBaseline)
+    val ambient =
+      if (sentMaxRatio < 0) "unknown"
+      else if (sentMaxRatio > 2.0) "elevated" else "flat"
     val sentJson = s"""{"baseline":${r3(sentinelBaseline)},"every":$sentinelEvery,""" +
       s""""max_ratio":$sentMaxRatio,"samples":[${sentinelSamples.map(r3).mkString(",")}]}"""
     val line =

@@ -915,6 +915,36 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // d30's stream twin: the char-granular cut computed incrementally per
+    // micro-batch against the cross-batch seen-k-gram state — shares
+    // s12's ordered input log (same synth corpus, separate checkpoint and
+    // state), and under ascending arrival must equal d30's batch cover
+    // mask exactly, so its oracle is d30's SQL verbatim
+    "s39_stream_char_span_dedup" -> ((s, dir) => {
+      val work = graft.queries.ExtendedQueries.scratchDir("graft_s39")
+      val in = graft.queries.ExtendedQueries.onceLog("s12", dir) { path =>
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        val succ = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("next_text"))
+        val synth = d.join(succ, Seq("doc_id"))
+          .select(col("doc_id"), concat_ws(" ", col("text"), col("next_text")).as("text"))
+        val b = synth.agg(min(col("doc_id")), max(col("doc_id"))).first()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val c1 = lo + (hi - lo) / 3
+        val c2 = lo + 2 * (hi - lo) / 3
+        Seq(col("doc_id") <= c1,
+            col("doc_id") > c1 && col("doc_id") <= c2,
+            col("doc_id") > c2).foreach { p =>
+          synth.filter(p).coalesce(1).write.mode("append").parquet(path)
+          Thread.sleep(20) // distinct mtimes → deterministic oldest-first arrival
+        }
+      }
+      val state = new graft.streaming.TxnLogState(s"$work/seen", s, 16,
+        autoCompactEvery = 2, maintenanceGraceMs = 0L)
+      graft.streaming.StreamCharSpanDedup
+        .drain(s, state, in, s"$work/out", s"$work/ckpt", k = 25)
+        .orderBy(col("doc_id"))
+    }),
+
     // variable-length exact-substring runs on the same successor-concat
     // corpus: the m-token restated successor text yields m-k+1 duplicate
     // windows that must merge back into ONE maximal run whose length is
@@ -3302,6 +3332,10 @@ object PipelineQueries {
     // char-granular ExactSubstr: same keep-first/cover-mask CTEs at
     // 1-based char positions into the ws-normalized text
     "d30_char_span_dedup" -> d30OracleSql,
+
+    // the incremental char-granular stream cut must equal d30's batch
+    // cover mask exactly (ascending arrival)
+    "s39_stream_char_span_dedup" -> d30OracleSql,
 
     // keep-first over fingerprints, stated as the plain global rule the
     // ordered-arrival incremental gate must reproduce

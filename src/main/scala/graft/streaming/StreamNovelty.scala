@@ -204,9 +204,20 @@ private[streaming] object KgramStreamCore {
     }
     // touched buckets and the ascending-contract range, from the merged
     // summary (same domains as the retired batchStats over the explode:
-    // distinct h = winner keys; doc range = docs with ≥1 window)
-    val touched = hs.map(h => graft.sink.Sharding.md5Shard(h.toString, buckets))
-      .distinct.sorted.toSeq
+    // distinct h = winner keys; doc range = docs with ≥1 window). Only
+    // the bucket SET matters, so the scan stops the moment all `buckets`
+    // ids have appeared — a char-granular trigger carries millions of
+    // grams and the full driver-side md5 loop was measurable (s39), while
+    // a dense trigger saturates a 16-bucket set within ~hundreds of grams
+    val bseen = new java.util.HashSet[Integer]()
+    var bi = 0
+    while (bi < hs.length && bseen.size < buckets) {
+      bseen.add(graft.sink.Sharding.md5Shard(hs(bi).toString, buckets)); bi += 1
+    }
+    val touched = {
+      import scala.jdk.CollectionConverters._
+      bseen.asScala.toSeq.map(_.intValue).sorted
+    }
     val range = if (docIds.isEmpty) None else Some((docIds.min, docIds.max))
     KgramSummary(hs, winDoc, winPos, docIds, docWindows, touched, range)
   }
@@ -248,11 +259,26 @@ private[streaming] object KgramStreamCore {
                   seenSorted: Array[Long], batchId: Long,
                   spark: SparkSession): Unit = {
     import spark.implicits._
-    val fresh = sum.hs.iterator
-      .filter(h => java.util.Arrays.binarySearch(seenSorted, h) < 0)
-      .map(_.toString).toSeq
-    timed("commitAppend")(state.commitAppend(
-      spark.createDataset(fresh).toDF("id"), f"n$batchId%09d", sum.touched))
+    // the fresh set stays a PRIMITIVE long array on the driver; the
+    // String keys and their row encoding happen on executors over a
+    // broadcast of the packed longs — createDataset(Seq[String]) encoded
+    // every row single-threaded on the driver, which dominated the
+    // char-granular drain's commit (millions of fresh grams per trigger)
+    val fresh = sum.hs.filter(h => java.util.Arrays.binarySearch(seenSorted, h) < 0)
+    val slices = math.max(1, math.min(32, fresh.length / 65536 + 1))
+    val bc = spark.sparkContext.broadcast(fresh)
+    val freshDf = spark.sparkContext
+      .parallelize(0 until slices, slices)
+      .mapPartitions { it =>
+        val a = bc.value
+        it.flatMap { s =>
+          val lo = (s.toLong * a.length / slices).toInt
+          val hi = ((s + 1).toLong * a.length / slices).toInt
+          (lo until hi).iterator.map(i => a(i).toString)
+        }
+      }
+      .toDF("id")
+    timed("commitAppend")(state.commitAppend(freshDf, f"n$batchId%09d", sum.touched))
     timed("maintain")(state.maintain())
   }
 
@@ -515,6 +541,85 @@ object StreamSpanDedup {
             outPath: String, ckptPath: String, k: Int = 8): DataFrame =
     KgramStreamCore.drain(spark, inPath, outPath, ckptPath,
       "doc_id long, n_tokens long, n_removed long, clean_text string") {
+      (b, id) => applyBatch(state, b, "doc_id", "text", k, outPath, id); ()
+    }
+}
+
+/** Streaming CHAR-granular exact-substring span dedup —
+  * [[graft.ops.Dedup.dedupCharSpans]] as an incremental stage:
+  * [[StreamSpanDedup]] one granularity down, sharing the whole
+  * [[KgramStreamCore]] machinery (summary, seen-state probe, hwm,
+  * commit) with only the two kernels swapped — positional CHAR k-gram
+  * hashes over the ws-normalized text in, char cover-mask rebuild out.
+  * Under ascending doc_id arrival the cut equals the batch operator's
+  * global keep-first cover mask exactly, so its oracle is d30's SQL. */
+object StreamCharSpanDedup {
+
+  /** Process one micro-batch: append (doc_id, n_chars, n_removed,
+    * clean_text) rows to `outPath` and fold the batch's first-occurrence
+    * char k-grams into `state`. Returns the touched bucket ids. */
+  def applyBatch(state: DocStateStore, batch: DataFrame, idCol: String,
+                 textCol: String, k: Int, outPath: String,
+                 batchId: Long): Seq[Int] = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    // ONE char-kgram kernel evaluation per trigger (the s12 discipline):
+    // the persisted hashed frame feeds both the summary collect and the
+    // rebuild pass
+    val hashed = batch.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (d, t) =>
+        (d, t, if (t == null) null else graft.expr.TextHash.charKgramHashes60(t, k))
+      }.persist()
+    try {
+      val sum = KgramStreamCore.timed("summarize")(
+        KgramStreamCore.summarizeHashed(hashed, state.buckets))
+      KgramStreamCore.checkAscending(outPath, sum.range)
+      val seen = KgramStreamCore.probeSeen(state, sum, spark)
+      KgramStreamCore.timed("output") {
+        val bcHs = spark.sparkContext.broadcast(sum.hs)
+        val bcDoc = spark.sparkContext.broadcast(sum.winDoc)
+        val bcPos = spark.sparkContext.broadcast(sum.winPos)
+        val bcSeen = spark.sparkContext.broadcast(seen)
+        hashed
+          .mapPartitions { it =>
+            val hsK = bcHs.value; val wd = bcDoc.value; val wp = bcPos.value
+            val sn = bcSeen.value
+            it.map { case (docId, text, hs) =>
+              if (text == null)
+                (docId, None: Option[Long], None: Option[Long], null: String)
+              else {
+                val starts = scala.collection.mutable.ArrayBuffer.empty[Long]
+                var i = 0
+                while (i < hs.length) {
+                  val h = hs(i)
+                  val pos = (i + 1).toLong
+                  val gi = java.util.Arrays.binarySearch(hsK, h) // always ≥ 0
+                  if (java.util.Arrays.binarySearch(sn, h) >= 0 ||
+                      !(wd(gi) == docId && wp(gi) == pos)) starts += pos
+                  i += 1
+                }
+                val nChars = graft.expr.TextHash.normalizeWs(text).length.toLong
+                val clean = graft.expr.TextHash.removeCharSpans(text, starts.toArray, k)
+                (docId, Some(nChars), Some(nChars - clean.length), clean)
+              }
+            }
+          }
+          .toDF("doc_id", "n_chars", "n_removed", "clean_text")
+          .write.mode("append").parquet(outPath)
+      }
+      KgramStreamCore.commitFresh(state, sum, seen, batchId, spark)
+      KgramStreamCore.advanceHwm(outPath, sum.range)
+      sum.touched
+    } finally { hashed.unpersist(blocking = false); () }
+  }
+
+  /** Convenience drain: stream an ordered document log through
+    * [[applyBatch]], return the accumulated cleaned documents. */
+  def drain(spark: SparkSession, state: DocStateStore, inPath: String,
+            outPath: String, ckptPath: String, k: Int = 25): DataFrame =
+    KgramStreamCore.drain(spark, inPath, outPath, ckptPath,
+      "doc_id long, n_chars long, n_removed long, clean_text string") {
       (b, id) => applyBatch(state, b, "doc_id", "text", k, outPath, id); ()
     }
 }

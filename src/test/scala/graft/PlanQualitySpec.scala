@@ -253,6 +253,18 @@ class PlanQualitySpec extends SparkSpec {
       "the compiled kernels must be in the plan, not an interpreted HOF chain")
   }
 
+  test("d30 char span dedup: d15's plan shape at char granularity — no window, compiled kernels") {
+    val root = q("d30_char_span_dedup").queryExecution.optimizedPlan
+    val windows = root.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.isEmpty,
+      "global first occurrence must be a hash aggregate, never a row_number window")
+    val physical = q("d30_char_span_dedup").queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"), physical.take(800))
+    assert(physical.contains("char_kgram_hashes60") && physical.contains("remove_char_spans"),
+      "the compiled char kernels must be in the plan, not an interpreted HOF chain")
+  }
+
   test("d16 duplicate runs: d15's plan + a compiled merge kernel — no window, no extra join") {
     val root = q("d16_duplicate_runs").queryExecution.optimizedPlan
     val windows = root.collect {

@@ -79,6 +79,37 @@ class StreamNoveltySpec extends SparkSpec {
       s"a half-restated doc loses its restated head only: $got")
   }
 
+  test("StreamCharSpanDedup over ordered chunks == batch dedupCharSpans, cross-batch cuts included") {
+    import spark.implicits._
+    val k = 5
+    val corpus = Seq(
+      1L -> "abcdefghij tail",
+      2L -> "unrelated body",
+      // restates doc 1's char run mid-text, no token alignment
+      3L -> "xx abcdefghij yy",
+      // head restates doc 2's head across the batch boundary
+      4L -> "unrelated fresh ending",
+      // shorter than k chars after normalization: untouched
+      5L -> "shrt")
+    val df = corpus.toDF("doc_id", "text")
+    val work = java.nio.file.Files.createTempDirectory("graft_scspan").toString
+    val state = new TxnLogState(s"$work/seen", spark, 8,
+      autoCompactEvery = 1, maintenanceGraceMs = 0L)
+    StreamCharSpanDedup.applyBatch(state, df.filter(col("doc_id") <= 2),
+      "doc_id", "text", k, s"$work/out", 0L)
+    StreamCharSpanDedup.applyBatch(state, df.filter(col("doc_id") > 2),
+      "doc_id", "text", k, s"$work/out", 1L)
+    val got = spark.read
+      .schema("doc_id long, n_chars long, n_removed long, clean_text string")
+      .parquet(s"$work/out")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val batch = Dedup.dedupCharSpans(df, "doc_id", "text", k = k)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == batch, s"stream $got vs batch $batch")
+    assert(got(3L)._2 > 0L, s"a cross-batch char restatement must be cut: $got")
+    assert(got(5L)._3 == "shrt", s"sub-k docs have no windows to cut: $got")
+  }
+
   test("StreamExactDedup over ordered chunks == global keep-first over fingerprints") {
     import spark.implicits._
     val corpus = Seq(
