@@ -44,7 +44,11 @@ object ScaleProbe {
     // r18: the five-stage composed chain (the closest shape to the
     // production 100 TB job) and the span-dedup drain (the one slow
     // drain that had no probe row)
-    "p06_full_pipeline", "s12_stream_span_dedup")
+    "p06_full_pipeline", "s12_stream_span_dedup",
+    // r19: the char-granular ExactSubstr pair — ~6× the gram volume of
+    // the token form on the same corpus, so its scale shape must be
+    // shown, not asserted
+    "d30_char_span_dedup", "s39_stream_char_span_dedup")
 
   /** Triggers pinned at BOTH scales for the matched s01 probe: the log is
     * repartitioned to exactly this many files and drained one per
