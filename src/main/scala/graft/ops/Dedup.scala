@@ -582,8 +582,12 @@ object Dedup {
     * window sees a different ramp start — a perf-only knob, never a
     * correctness one, so the per-session lock (not a full session clone)
     * is the right weight here. */
+  // weak keys: TriggerScope clones a session per streaming query, so a
+  // strong-keyed map would pin every dead clone (and its session state)
+  // for the JVM lifetime; synchronizedMap makes computeIfAbsent atomic
   private val boundedCollectLocks =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, Object]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, Object]())
   private def collectBounded[T](ds: org.apache.spark.sql.Dataset[T], maxRows: Int,
                                 what: String): Array[T] = {
     require(maxRows > 0, s"maxRows must be positive: $maxRows")
@@ -1339,8 +1343,18 @@ object Dedup {
     val occ = docs.select(col(idCol).as("doc_id"),
         posexplode(hashes).as(Seq("i0", "h")))
       .select(col("doc_id"), (col("i0") + 1).cast("long").as("pos"), col("h"))
+    // carry the occurrence count in the SAME aggregate (zero extra
+    // shuffle) and keep only multi-occurrence grams: a unique gram's sole
+    // occurrence IS its winner, so it can never produce a cut — on a
+    // mostly-novel corpus (the 100 TB case) this shrinks the join-back
+    // side from one row per DISTINCT gram to one per DUPLICATE-CLASS
+    // gram, letting AQE broadcast it and spare the positional occ side
+    // its second corpus-sized shuffle entirely (join-back bytes become
+    // duplicate-volume-proportional, not corpus-proportional)
     val winners = occ.groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2).select(col("h"), col("w"))
     val dupStarts = occ.join(winners, Seq("h"))
       .filter(!(col("doc_id") === col("w.doc_id") && col("pos") === col("w.pos")))
       .groupBy(col("doc_id"))
@@ -1356,6 +1370,97 @@ object Dedup {
         col("clean_text"))
   }
 
+  /** Ceiling on the DISTINCT char k-grams a benchmark side may stage
+    * through the driver for [[charContamination]] — the
+    * [[DefaultMaxIndexRows]] pattern at gram granularity (a benchmark
+    * DOC yields ~one gram per character, so rows are the wrong unit
+    * here). 2^25 grams ≈ 256 MB of packed longs on the driver and again
+    * on every executor as the broadcast probe array — benchmark suites
+    * are megabytes of text (≈10^6–10^7 grams), far inside the bound;
+    * a corpus-sized mistake fails BY NAME at the collect. */
+  val DefaultMaxBenchGrams: Int = 1 << 25
+
+  /** Collect and broadcast a benchmark side's DISTINCT char k-gram
+    * hashes, SORTED (the probe binary-searches) — the frozen reference
+    * set [[charContamination]] and its streaming admission twin probe
+    * against; build ONCE and share across queries/triggers hitting the
+    * same benchmark (the [[editBenchIndex]] freeze discipline). ACTION
+    * at call time; bounded by name via `maxGrams`. */
+  def charBenchGrams(benchmark: DataFrame, textCol: String, k: Int,
+                     maxGrams: Int = DefaultMaxBenchGrams)
+      : org.apache.spark.broadcast.Broadcast[Array[Long]] = {
+    require(k >= 2, s"k must be at least 2, got $k")
+    val spark = benchmark.sparkSession
+    import spark.implicits._
+    val grams = collectBounded(
+      benchmark
+        .select(explode(graft.expr.hfunctions.char_kgram_hashes60(col(textCol), k)).as("h"))
+        .distinct().as[Long],
+      maxGrams, "charBenchGrams benchmark gram set")
+    java.util.Arrays.sort(grams)
+    spark.sparkContext.broadcast(grams)
+  }
+
+  /** CHAR-granular benchmark DECONTAMINATION — the Lee et al. /GPT-3-
+    * report ExactSubstr rule applied train-vs-eval: a training document
+    * is contaminated iff it shares at least one k-CHAR run (one char
+    * k-gram window over the ws-normalized text) with any benchmark
+    * document. Complements the existing decontamination family at the
+    * granularity the others can't see: d22 is edit-distance at document
+    * scope, p03/p14 are token-n-gram/MinHash — none catch sub-token char
+    * overlap (OCR'd benchmarks, code, CJK). Output per corpus doc:
+    * (doc_id, n_windows, n_hits, contaminated), n_hits the count of its
+    * windows whose gram occurs in the benchmark set, contaminated =
+    * n_hits ≥ 1.
+    *
+    * Scale shape: the benchmark side is frozen into one sorted broadcast
+    * gram array ([[charBenchGrams]] — bounded BY NAME at
+    * [[DefaultMaxBenchGrams]]), then ONE map-only corpus pass runs the
+    * compiled positional kernel and binary-searches each window. Zero
+    * shuffles, zero explode on the 100 TB side; the corpus is read once
+    * with only (id, text) columns. The contract mirrors the whole
+    * broadcast-index family (d22/d24/s27): the REFERENCE side must be
+    * benchmark-sized, never corpus-sized. */
+  def charContamination(corpus: DataFrame, benchmark: DataFrame,
+                        idCol: String, textCol: String, k: Int = 25,
+                        maxBenchGrams: Int = DefaultMaxBenchGrams): DataFrame = {
+    requireIntegralId(corpus, idCol, "charContamination")
+    val bg = charBenchGrams(benchmark, textCol, k, maxBenchGrams)
+    charContaminationPrepared(corpus, bg, idCol, textCol, k)
+  }
+
+  /** [[charContamination]] against an already-broadcast benchmark gram
+    * set — the per-trigger entry point for the streaming admission twin
+    * (build the broadcast once with [[charBenchGrams]], probe every
+    * trigger against it). */
+  def charContaminationPrepared(corpus: DataFrame,
+                                benchGrams: org.apache.spark.broadcast.Broadcast[Array[Long]],
+                                idCol: String, textCol: String,
+                                k: Int = 25): DataFrame = {
+    require(k >= 2, s"k must be at least 2, got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    kernelParallel(corpus.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val grams = benchGrams.value
+        it.map { case (docId, text) =>
+          if (text == null) (docId, 0L, 0L, false)
+          else {
+            val hs = graft.expr.TextHash.charKgramHashes60(text, k)
+            var hits = 0L
+            var i = 0
+            while (i < hs.length) {
+              if (java.util.Arrays.binarySearch(grams, hs(i)) >= 0) hits += 1
+              i += 1
+            }
+            (docId, hs.length.toLong, hits, hits > 0)
+          }
+        }
+      }
+      .toDF("doc_id", "n_windows", "n_hits", "contaminated")
+  }
+
   /** Per-doc 1-based start positions of every k-token window that is a
     * NON-first global occurrence of its k-gram — [[dedupSpans]]' cut
     * set, shared with [[duplicateRuns]]. One groupBy(h) min-struct
@@ -1369,8 +1474,15 @@ object Dedup {
         posexplode(graft.expr.hfunctions.kgram_hashes60(col(textCol), k))
           .as(Seq("i0", "h")))
       .select(col("doc_id"), (col("i0") + 1).cast("long").as("pos"), col("h"))
+    // keep only multi-occurrence grams on the join-back side (count
+    // carried in the same aggregate — zero extra shuffle): unique grams
+    // cannot cut, so the probe side shrinks to duplicate-class grams and
+    // AQE can broadcast it on mostly-novel corpora, sparing occ its
+    // second corpus-sized shuffle (same shape as dedupCharSpans)
     val winners = occ.groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2).select(col("h"), col("w"))
     occ.join(winners, Seq("h"))
       .filter(!(col("doc_id") === col("w.doc_id") && col("pos") === col("w.pos")))
       .groupBy(col("doc_id"))

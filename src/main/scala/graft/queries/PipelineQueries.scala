@@ -105,6 +105,36 @@ object PipelineQueries {
        |ORDER BY nt.doc_id""".stripMargin
   }
 
+  /** Shared by d31 (batch char-granular decontamination) and s40 (its
+    * streaming admission twin over the frozen benchmark set): corpus =
+    * the raw documents; benchmark = a 120-char mid-document fragment of
+    * every 37th doc (sub-document overlap — the OCR'd-benchmark shape
+    * token decontamination can't see). INDEPENDENT formulation: the
+    * oracle joins the literal 25-char substrings by string equality
+    * where Spark binary-searches md5-60 hashes. */
+  private val d31OracleSql = {
+    val k = 25
+    s"""WITH nt AS (SELECT doc_id,
+       |         array_to_string(regexp_split_to_array(trim(text), '\\s+'), ' ') AS t
+       |       FROM documents),
+       |nb AS (SELECT array_to_string(regexp_split_to_array(trim(substr(text, 40, 120)), '\\s+'), ' ') AS t
+       |       FROM documents WHERE doc_id % 37 = 0),
+       |bg AS (SELECT DISTINCT unnest(list_transform(generate_series(1, length(t) - ${k - 1}),
+       |         i -> substr(t, i, $k))) AS g
+       |       FROM nb WHERE length(t) >= $k),
+       |cg AS (SELECT doc_id, unnest(list_transform(generate_series(1, length(t) - ${k - 1}),
+       |         i -> substr(t, i, $k))) AS g
+       |       FROM nt WHERE length(t) >= $k),
+       |hits AS (SELECT doc_id, count(*) AS n_hits FROM cg JOIN bg USING (g)
+       |         GROUP BY doc_id)
+       |SELECT nt.doc_id,
+       |  CAST(greatest(length(nt.t) - ${k - 1}, 0) AS BIGINT) AS n_windows,
+       |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  coalesce(h.n_hits, 0) > 0 AS contaminated
+       |FROM nt LEFT JOIN hits h ON h.doc_id = nt.doc_id
+       |ORDER BY nt.doc_id""".stripMargin
+  }
+
   /** Shared by t15 (batch NB quality classifier) and s14 (its streaming
     * admission-gate twin over a frozen model): both replay the full
     * train+score — seed labeling, Laplace-smoothed per-token class
@@ -970,6 +1000,46 @@ object PipelineQueries {
       val synth = d.join(succ, Seq("doc_id"))
         .select(col("doc_id"), concat_ws(" ", col("text"), col("next_text")).as("text"))
       Dedup.dedupCharSpans(synth, "doc_id", "text", k = 25)
+        .orderBy(col("doc_id"))
+    }),
+
+    // CHAR-granular benchmark decontamination (Lee et al./GPT-3-report
+    // ExactSubstr train-vs-eval): benchmark = a 120-char mid-document
+    // fragment of every 37th doc, so contamination is SUB-document char
+    // overlap — the fragment's source doc flags on a fraction of its
+    // windows, docs sharing no 25-char run stay clean; d22 (edit
+    // distance) and p03/p14 (token n-gram/MinHash) cannot see this bar
+    "d31_char_decontamination" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val bench = d.filter(col("doc_id") % 37 === 0)
+        .select(substring(col("text"), 40, 120).as("text"))
+      Dedup.charContamination(d, bench, "doc_id", "text", k = 25)
+        .orderBy(col("doc_id"))
+    }),
+
+    // d31's streaming admission twin: the benchmark gram set is frozen
+    // into one bounded broadcast at drain start and every trigger runs
+    // the same map-only probe — no cross-batch state, so ANY arrival
+    // order equals the batch operator and the oracle is d31's verbatim
+    "s40_stream_char_decontamination" -> ((s, dir) => {
+      val work = graft.queries.ExtendedQueries.scratchDir("graft_s40")
+      val in = graft.queries.ExtendedQueries.onceLog("s40", dir) { path =>
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        val b = d.agg(min(col("doc_id")), max(col("doc_id"))).first()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val c1 = lo + (hi - lo) / 3
+        val c2 = lo + 2 * (hi - lo) / 3
+        Seq(col("doc_id") <= c1,
+            col("doc_id") > c1 && col("doc_id") <= c2,
+            col("doc_id") > c2).foreach { p =>
+          d.filter(p).coalesce(1).write.mode("append").parquet(path)
+          Thread.sleep(20) // distinct mtimes → deterministic oldest-first arrival
+        }
+      }
+      val bench = docs(s, dir).filter(col("doc_id") % 37 === 0)
+        .select(substring(col("text"), 40, 120).as("text"))
+      graft.streaming.StreamCharDecontamination
+        .drain(s, bench, in, s"$work/out", s"$work/ckpt", k = 25)
         .orderBy(col("doc_id"))
     }),
 
@@ -3332,6 +3402,13 @@ object PipelineQueries {
     // char-granular ExactSubstr: same keep-first/cover-mask CTEs at
     // 1-based char positions into the ws-normalized text
     "d30_char_span_dedup" -> d30OracleSql,
+
+    // char-granular decontamination: oracle joins literal 25-char
+    // substrings by string equality (Spark probes md5-60 hashes)
+    "d31_char_decontamination" -> d31OracleSql,
+    // frozen-benchmark streaming twin — order-independent, so the batch
+    // SQL is the oracle verbatim
+    "s40_stream_char_decontamination" -> d31OracleSql,
 
     // the incremental char-granular stream cut must equal d30's batch
     // cover mask exactly (ascending arrival)

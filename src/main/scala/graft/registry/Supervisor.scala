@@ -98,7 +98,11 @@ class IndexerSupervisor(
     * the pool has fully quiesced (never a half-awaited pool). */
   def syncConcurrent(maxConcurrent: Int = 8): Unit = {
     require(maxConcurrent >= 1, s"maxConcurrent must be positive: $maxConcurrent")
-    registry.list().foreach { d =>
+    // ONE registry snapshot drives both passes — sync()'s semantics: a
+    // definition flipping state between two reads could otherwise be
+    // reconciled twice (serial pass + pool) or skipped entirely
+    val snapshot = registry.list()
+    snapshot.foreach { d =>
       d.lifecycleState match {
         case LifecycleState.DeleteRequested => executeDelete(d)
         case LifecycleState.Active
@@ -107,7 +111,7 @@ class IndexerSupervisor(
         case _ => ()
       }
     }
-    val consuming = registry.list().filter(d =>
+    val consuming = snapshot.filter(d =>
       d.lifecycleState == LifecycleState.Active &&
         d.incrementalState == IncrementalIndexingState.SubscribeAndConsume)
     if (consuming.isEmpty) return

@@ -110,6 +110,21 @@ private[streaming] object KgramStreamCore {
       docIds: Array[Long], docWindows: Array[Long],
       touched: Seq[Int], range: Option[(Long, Long)])
 
+  /** Ceiling on the DISTINCT k-grams a single trigger may stage through
+    * the driver summary — the [[DocStateStore]] family's
+    * `DefaultMaxIndexRows` pattern applied to the drain path: the
+    * summary costs ~24 B/gram on the driver (hash + winner doc + winner
+    * pos longs) plus the same again as a probe/commit broadcast, so the
+    * default of 2^27 ≈ 134M grams bounds the summary at ~3.2 GB — sized
+    * for the 16 GB driver the bounded-collect family assumes, with
+    * headroom for the batch's own frames. A char-granular trigger emits
+    * ~one gram per character, so this default admits triggers up to
+    * ~134 MB of normalized text; a misconfigured corpus-sized trigger
+    * fails BY NAME here instead of OOMing the driver mid-collect. Raise
+    * it explicitly if the driver has the memory; shrink the trigger
+    * (maxFilesPerTrigger) if it doesn't. */
+  val DefaultMaxSummaryGrams: Int = 1 << 27
+
   /** The batch as (doc_id, text, positional k-gram hashes) — the ONE
     * evaluation of the k-gram kernel per trigger. [[summarize]] consumes
     * it directly; a drain that needs a second pass over the same hashes
@@ -131,16 +146,26 @@ private[streaming] object KgramStreamCore {
     * one partition, so doc counts concatenate; winners merge by
     * lexicographic (doc_id, pos) min — order-independent). */
   def summarize(batch: DataFrame, idCol: String, textCol: String, k: Int,
-                buckets: Int): KgramSummary =
-    summarizeHashed(hashedDocs(batch, idCol, textCol, k), buckets)
+                buckets: Int,
+                maxSummaryGrams: Int = DefaultMaxSummaryGrams): KgramSummary =
+    summarizeHashed(hashedDocs(batch, idCol, textCol, k), buckets, maxSummaryGrams)
 
   /** [[summarize]] over a pre-hashed frame ([[hashedDocs]]) — collecting
     * through it materializes the frame's cache when the caller persisted
     * it for a second pass. */
   def summarizeHashed(docsHs: org.apache.spark.sql.Dataset[(Long, String, Array[Long])],
-                      buckets: Int): KgramSummary = {
+                      buckets: Int,
+                      maxSummaryGrams: Int = DefaultMaxSummaryGrams): KgramSummary = {
+    require(maxSummaryGrams > 0, s"maxSummaryGrams must be positive: $maxSummaryGrams")
     val spark = docsHs.sparkSession
     import spark.implicits._
+    def tooBig(n: Int): Nothing =
+      throw new IllegalArgumentException(
+        s"trigger k-gram summary exceeds maxSummaryGrams=$maxSummaryGrams distinct " +
+          s"grams (reached $n) — the summary stages ~24 B/gram through the driver " +
+          "and back out as a broadcast, so it must stay trigger-sized; shrink the " +
+          "trigger (maxFilesPerTrigger) or raise maxSummaryGrams " +
+          "(KgramStreamCore.DefaultMaxSummaryGrams) if the driver has the memory")
     val parts = docsHs
       .mapPartitions { it =>
         val win = new java.util.HashMap[Long, Array[Long]]()
@@ -153,8 +178,13 @@ private[streaming] object KgramStreamCore {
               val h = hs(i)
               val pos = (i + 1).toLong
               val cur = win.get(h)
-              if (cur == null || docId < cur(0) || (docId == cur(0) && pos < cur(1)))
+              if (cur == null || docId < cur(0) || (docId == cur(0) && pos < cur(1))) {
                 win.put(h, Array(docId, pos))
+                // executor-side early trip: one partition over the bound
+                // already dooms the merged summary — fail before the
+                // driver collect materializes anything
+                if (win.size() > maxSummaryGrams) tooBig(win.size())
+              }
               i += 1
             }
           }
@@ -183,6 +213,9 @@ private[streaming] object KgramStreamCore {
         i += 1
       }
     }
+    // merged-total trip: partitions individually under the bound can
+    // still merge over it
+    if (win.size() > maxSummaryGrams) tooBig(win.size())
     val hs = new Array[Long](win.size())
     var j = 0
     val ks = win.keySet().iterator()
@@ -234,16 +267,21 @@ private[streaming] object KgramStreamCore {
       case Some(df) =>
         import spark.implicits._
         val bc = spark.sparkContext.broadcast(sum.hs)
-        val hits = df.select(col("id")).as[String]
-          .mapPartitions { it =>
-            val keys = bc.value
-            it.flatMap { s =>
-              val h = java.lang.Long.parseLong(s)
-              if (java.util.Arrays.binarySearch(keys, h) >= 0) Iterator.single(h)
-              else Iterator.empty
+        // a char-granular trigger broadcasts millions of longs; destroy
+        // eagerly once the probe action completes — GC-driven
+        // ContextCleaner cleanup is too lazy for a long drain's cadence
+        val hits =
+          try df.select(col("id")).as[String]
+            .mapPartitions { it =>
+              val keys = bc.value
+              it.flatMap { s =>
+                val h = java.lang.Long.parseLong(s)
+                if (java.util.Arrays.binarySearch(keys, h) >= 0) Iterator.single(h)
+                else Iterator.empty
+              }
             }
-          }
-          .collect()
+            .collect()
+          finally bc.destroy()
         java.util.Arrays.sort(hits)
         hits
     })
@@ -267,18 +305,23 @@ private[streaming] object KgramStreamCore {
     val fresh = sum.hs.filter(h => java.util.Arrays.binarySearch(seenSorted, h) < 0)
     val slices = math.max(1, math.min(32, fresh.length / 65536 + 1))
     val bc = spark.sparkContext.broadcast(fresh)
-    val freshDf = spark.sparkContext
-      .parallelize(0 until slices, slices)
-      .mapPartitions { it =>
-        val a = bc.value
-        it.flatMap { s =>
-          val lo = (s.toLong * a.length / slices).toInt
-          val hi = ((s + 1).toLong * a.length / slices).toInt
-          (lo until hi).iterator.map(i => a(i).toString)
+    try {
+      val freshDf = spark.sparkContext
+        .parallelize(0 until slices, slices)
+        .mapPartitions { it =>
+          val a = bc.value
+          it.flatMap { s =>
+            val lo = (s.toLong * a.length / slices).toInt
+            val hi = ((s + 1).toLong * a.length / slices).toInt
+            (lo until hi).iterator.map(i => a(i).toString)
+          }
         }
-      }
-      .toDF("id")
-    timed("commitAppend")(state.commitAppend(freshDf, f"n$batchId%09d", sum.touched))
+        .toDF("id")
+      timed("commitAppend")(state.commitAppend(freshDf, f"n$batchId%09d", sum.touched))
+      // destroy once the commit action has consumed it: millions of
+      // packed longs per char-granular trigger must not wait on the
+      // GC-driven ContextCleaner across a long drain
+    } finally bc.destroy()
     timed("maintain")(state.maintain())
   }
 
@@ -501,7 +544,7 @@ object StreamSpanDedup {
         val bcDoc = spark.sparkContext.broadcast(sum.winDoc)
         val bcPos = spark.sparkContext.broadcast(sum.winPos)
         val bcSeen = spark.sparkContext.broadcast(seen)
-        hashed
+        try hashed
           .mapPartitions { it =>
             val hsK = bcHs.value; val wd = bcDoc.value; val wp = bcPos.value
             val sn = bcSeen.value
@@ -528,6 +571,10 @@ object StreamSpanDedup {
           }
           .toDF("doc_id", "n_tokens", "n_removed", "clean_text")
           .write.mode("append").parquet(outPath)
+        // the write above is the only consumer: destroy the trigger's
+        // summary broadcasts eagerly instead of leaving millions of longs
+        // to the GC-driven ContextCleaner across a long drain
+        finally Seq(bcHs, bcDoc, bcPos, bcSeen).foreach(_.destroy())
       }
       KgramStreamCore.commitFresh(state, sum, seen, batchId, spark)
       KgramStreamCore.advanceHwm(outPath, sum.range)
@@ -581,7 +628,7 @@ object StreamCharSpanDedup {
         val bcDoc = spark.sparkContext.broadcast(sum.winDoc)
         val bcPos = spark.sparkContext.broadcast(sum.winPos)
         val bcSeen = spark.sparkContext.broadcast(seen)
-        hashed
+        try hashed
           .mapPartitions { it =>
             val hsK = bcHs.value; val wd = bcDoc.value; val wp = bcPos.value
             val sn = bcSeen.value
@@ -599,14 +646,20 @@ object StreamCharSpanDedup {
                       !(wd(gi) == docId && wp(gi) == pos)) starts += pos
                   i += 1
                 }
-                val nChars = graft.expr.TextHash.normalizeWs(text).length.toLong
+                // code points, not UTF-16 units — the same frame as the
+                // kernels, Spark length(), and the DuckDB oracle
+                val nChars = graft.expr.TextHash.normalizedCodePointCount(text)
                 val clean = graft.expr.TextHash.removeCharSpans(text, starts.toArray, k)
-                (docId, Some(nChars), Some(nChars - clean.length), clean)
+                (docId, Some(nChars),
+                  Some(nChars - clean.codePointCount(0, clean.length)), clean)
               }
             }
           }
           .toDF("doc_id", "n_chars", "n_removed", "clean_text")
           .write.mode("append").parquet(outPath)
+        // char-granular triggers carry the largest summaries of the
+        // family — destroy eagerly once the write has consumed them
+        finally Seq(bcHs, bcDoc, bcPos, bcSeen).foreach(_.destroy())
       }
       KgramStreamCore.commitFresh(state, sum, seen, batchId, spark)
       KgramStreamCore.advanceHwm(outPath, sum.range)
@@ -622,4 +675,41 @@ object StreamCharSpanDedup {
       "doc_id long, n_chars long, n_removed long, clean_text string") {
       (b, id) => applyBatch(state, b, "doc_id", "text", k, outPath, id); ()
     }
+}
+
+/** Streaming CHAR-granular benchmark DECONTAMINATION —
+  * [[graft.ops.Dedup.charContamination]] as an ingestion admission gate:
+  * the benchmark's distinct char k-grams are frozen into ONE sorted
+  * broadcast at drain start ([[graft.ops.Dedup.charBenchGrams]] — the
+  * s27 frozen-index discipline, bounded by name), and every trigger runs
+  * the same map-only binary-search probe the batch operator runs. The
+  * verdict depends only on the STATIC benchmark set — no cross-batch
+  * state, no ascending-arrival contract, no hwm — so any arrival order
+  * equals the batch operator exactly and the oracle is d31's SQL
+  * verbatim. Per-trigger cost: one kernel pass over the trigger, zero
+  * shuffles, zero state reads. */
+object StreamCharDecontamination {
+
+  /** Process one micro-batch: append (doc_id, n_windows, n_hits,
+    * contaminated) rows to `outPath`. */
+  def applyBatch(benchGrams: org.apache.spark.broadcast.Broadcast[Array[Long]],
+                 batch: DataFrame, idCol: String, textCol: String, k: Int,
+                 outPath: String): Unit =
+    graft.ops.Dedup.charContaminationPrepared(batch, benchGrams, idCol, textCol, k)
+      .write.mode("append").parquet(outPath)
+
+  /** Convenience drain: freeze the benchmark side once, gate the whole
+    * document log through [[applyBatch]], return the accumulated
+    * verdicts. The broadcast lives for the drain and is destroyed when
+    * the stream completes. */
+  def drain(spark: SparkSession, benchmark: DataFrame, inPath: String,
+            outPath: String, ckptPath: String, k: Int = 25,
+            maxBenchGrams: Int = graft.ops.Dedup.DefaultMaxBenchGrams): DataFrame = {
+    val bg = graft.ops.Dedup.charBenchGrams(benchmark, "text", k, maxBenchGrams)
+    try KgramStreamCore.drain(spark, inPath, outPath, ckptPath,
+      "doc_id long, n_windows long, n_hits long, contaminated boolean") {
+      (b, _) => applyBatch(bg, b, "doc_id", "text", k, outPath)
+    }
+    finally bg.destroy()
+  }
 }

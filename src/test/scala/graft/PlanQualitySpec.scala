@@ -964,4 +964,28 @@ class PlanQualitySpec extends SparkSpec {
         s"filtered endpoint aggregate must also ride the window's partitioning:\n${outer.take(1200)}")
     } finally { wf.unpersist(blocking = false); () }
   }
+
+  test("span dedup join-back: probe side filtered to multi-occurrence grams; duplicate-class side broadcasts at fixture scale") {
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    for ((out, tag) <- Seq(
+        graft.ops.Dedup.dedupCharSpans(d, "doc_id", "text", k = 25) -> "char",
+        graft.ops.Dedup.dedupSpans(d, "doc_id", "text", k = 8) -> "token")) {
+      // only grams with >= 2 occurrences can cut — the winners aggregate
+      // must carry that filter so the join-back side is duplicate-class
+      // sized, not distinct-gram sized
+      val plan = out.queryExecution.optimizedPlan
+      val countFilters = plan.collect {
+        case f: Filter if f.condition.toString.contains("n_occ") => f }
+      assert(countFilters.nonEmpty,
+        s"$tag: winners side must filter n_occ >= 2:\n${plan.toString.take(1200)}")
+      // and at fixture scale AQE turns the shrunken side into a broadcast:
+      // the positional occ frame is never shuffled a second time
+      out.collect()
+      val exec = out.queryExecution.executedPlan.toString
+      assert(exec.contains("BroadcastHashJoin"), s"$tag:\n${exec.take(1200)}")
+      assert(!exec.contains("SortMergeJoin"), s"$tag:\n${exec.take(1200)}")
+    }
+  }
 }

@@ -1086,4 +1086,121 @@ class DedupSpec extends SparkSpec {
     assert(got("srcA") == ((3L, 2L, 1L, 1L, 333333L)), got.toString)
     assert(got("srcB") == ((2L, 2L, 0L, 1L, 0L)), got.toString)
   }
+
+  test("char-granular operators index by CODE POINTS: non-BMP text aligns kernel, accounting, and rebuild") {
+    import spark.implicits._
+    // 𝕏 (U+1D54F) and 😀 (U+1F600) are surrogate PAIRS in UTF-16: under
+    // code-unit indexing every position after one is off by one vs Spark
+    // length()/DuckDB substr, and a cut can split the pair into lone
+    // surrogates. Doc 1 owns the run; doc 2 restates it after a non-BMP
+    // prefix, so the cut lands at positions BEYOND the surrogate pair.
+    val run = "abc𝕏def😀ghi" // 11 code points, 13 UTF-16 units
+    val docs = Seq(
+      (1L, run + " tail"),
+      (2L, "😀x " + run + " y")).toDF("doc_id", "text")
+    val out = Dedup.dedupCharSpans(docs, "doc_id", "text", k = 11)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((16L, 0L, run + " tail")), out(1L).toString)
+    // doc 2 normalized = "😀x abc𝕏def😀ghi y" (16 code points); the
+    // duplicate windows sit at code-point starts 4 ("abc𝕏def😀ghi" =
+    // doc 1's window 1) AND 5 ("bc𝕏def😀ghi " = doc 1's window 2),
+    // covering cp 4..15 → survivors "😀x " and "y" fuse; n_chars /
+    // n_removed count code points, never UTF-16 units
+    assert(out(2L) == ((16L, 12L, "😀x y")), out(2L).toString)
+    // no lone surrogates anywhere in the rebuild
+    out.values.foreach { case (_, _, s) =>
+      s.toCharArray.zipWithIndex.foreach { case (c, i) =>
+        if (Character.isHighSurrogate(c))
+          assert(i + 1 < s.length && Character.isLowSurrogate(s.charAt(i + 1)),
+            s"lone high surrogate in '$s'")
+        if (Character.isLowSurrogate(c))
+          assert(i > 0 && Character.isHighSurrogate(s.charAt(i - 1)),
+            s"lone low surrogate in '$s'")
+      }
+    }
+    // n_chars agrees with Spark's own code-point length()
+    val sparkLen = docs.select(col("doc_id"),
+      length(concat_ws(" ", split(trim(col("text")), "\\s+"))).cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, (n, _, _)) => assert(n == sparkLen(id), s"doc $id") }
+    // both kernels share the code-point frame
+    val a = TextHash.charKgramHashes60("x😀y z", 3)
+    val b = TextHash.charKgramHashesRolling("x😀y z", 3)
+    assert(a.length == 3 && b.length == 3,
+      s"5 code points → 3 windows, got md5=${a.length} rolling=${b.length}")
+  }
+
+  test("charContamination == naive substring reference; sub-document fragments flag their source docs") {
+    import spark.implicits._
+    val k = 6
+    val rnd = new scala.util.Random(41)
+    val alpha = "abcdef"
+    val corpus = (1L to 50L).map { i =>
+      val sb = new StringBuilder
+      (0 until 30 + rnd.nextInt(60)).foreach { _ =>
+        if (rnd.nextInt(7) == 0) sb.append(' ')
+        else sb.append(alpha(rnd.nextInt(alpha.length)))
+      }
+      i -> sb.toString
+    }
+    def norm(s: String) = s.trim.split("\\s+").mkString(" ") match {
+      case "" => ""; case t => t
+    }
+    // benchmark = a mid-document fragment of every 7th doc (the d31 shape)
+    val benchTexts = corpus.collect { case (id, t) if id % 7 == 0 =>
+      t.substring(math.min(5, t.length), math.min(35, t.length))
+    }
+    val benchGrams = benchTexts.map(norm).flatMap { t =>
+      if (t.length < k) Seq.empty else (0 to t.length - k).map(i => t.substring(i, i + k))
+    }.toSet
+    val expected = corpus.map { case (id, t0) =>
+      val t = norm(t0)
+      val wins = math.max(0, t.length - k + 1)
+      val hits = (0 until wins).count(i => benchGrams(t.substring(i, i + k)))
+      id -> ((wins.toLong, hits.toLong, hits > 0))
+    }.toMap
+    val bench = benchTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("bid", "text")
+    val got = Dedup.charContamination(
+      corpus.toDF("doc_id", "text"), bench, "doc_id", "text", k = k)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == expected,
+      s"mismatches: ${got.keySet.filter(i => got(i) != expected(i)).toSeq.sorted
+        .map(i => s"$i: got ${got(i)} want ${expected(i)}").mkString("; ")}")
+    // the fixture must discriminate: some contaminated, some clean
+    assert(expected.values.exists(_._3) && expected.values.exists(!_._3),
+      "fixture must contain both contaminated and clean docs")
+  }
+
+  test("charBenchGrams fails BY NAME when the benchmark side exceeds the gram bound") {
+    import spark.implicits._
+    val bench = Seq((1L, "abcdefghijklmnop")).toDF("bid", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.charBenchGrams(bench, "text", k = 3, maxGrams = 5)
+    }
+    assert(e.getMessage.contains("charBenchGrams"), e.getMessage)
+    // at/under the bound: builds fine (14 distinct 3-grams of 16 chars)
+    val bc = Dedup.charBenchGrams(bench, "text", k = 3, maxGrams = 14)
+    assert(bc.value.length == 14)
+    bc.destroy()
+  }
+
+  test("dedupCharSpans rolling ≡ md5 at fixture scale (sf0.01 successor-concat corpus)") {
+    // the petabyte-path kernel exercised at the driver-gate's own data
+    // scale, not just on random micro-corpora: full-frame equality of
+    // the d30 query shape under both kernels
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val succ = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("next_text"))
+    val synth = d.join(succ, Seq("doc_id"))
+      .select(col("doc_id"), concat_ws(" ", col("text"), col("next_text")).as("text"))
+    val md5 = Dedup.dedupCharSpans(synth, "doc_id", "text", k = 25, rollingHash = false)
+    val roll = Dedup.dedupCharSpans(synth, "doc_id", "text", k = 25, rollingHash = true)
+    assert(md5.except(roll).isEmpty && roll.except(md5).isEmpty,
+      "rolling and md5 kernels must produce identical frames at fixture scale")
+    assert(md5.filter(col("n_removed") > 0).count() > 0,
+      "the fixture corpus must actually exercise the cut")
+  }
 }

@@ -202,4 +202,55 @@ class StreamNoveltySpec extends SparkSpec {
       assert(got == expected, s"chunking $tag: $got vs $expected")
     }
   }
+
+  test("trigger summary fails BY NAME over maxSummaryGrams; exactly at the bound passes") {
+    import spark.implicits._
+    // "aa bb cc dd" at k=2 → 3 distinct token 2-grams
+    val df = Seq(1L -> "aa bb cc dd").toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      KgramStreamCore.summarize(df, "doc_id", "text", k = 2, buckets = 8,
+        maxSummaryGrams = 2)
+    }
+    // the executor-side trip surfaces wrapped in a SparkException — the
+    // named knob must be visible somewhere in the cause chain
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else t.toString +: chain(t.getCause)
+    assert(chain(e).exists(_.contains("maxSummaryGrams")), chain(e).mkString(" | "))
+    val ok = KgramStreamCore.summarize(df, "doc_id", "text", k = 2, buckets = 8,
+      maxSummaryGrams = 3)
+    assert(ok.hs.length == 3)
+  }
+
+  test("StreamCharDecontamination over ANY chunking == batch charContamination (frozen benchmark, no state)") {
+    import spark.implicits._
+    val k = 5
+    val corpus = Seq(
+      1L -> "abcdefghij tail",
+      2L -> "unrelated body",
+      3L -> "xx abcdefghij yy", // shares the 10-char run → contaminated
+      4L -> "wholly fresh ending",
+      5L -> "shrt")
+    val df = corpus.toDF("doc_id", "text")
+    val bench = Seq(0L -> "abcdefghij").toDF("bid", "text")
+    val expected = Dedup.charContamination(df, bench, "doc_id", "text", k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(expected.exists(_._4) && expected.exists(!_._4),
+      s"fixture must discriminate: $expected")
+    // order-independence: a REVERSED chunking must equal the batch op too
+    for ((order, tag) <- Seq(Seq(Seq(1L, 2L, 3L), Seq(4L, 5L)) -> "fwd",
+                             Seq(Seq(5L, 4L), Seq(3L, 2L, 1L)) -> "rev")) {
+      val work = Files.createTempDirectory(s"graft_scdec_$tag").toString
+      val bg = Dedup.charBenchGrams(bench, "text", k)
+      order.foreach { ids =>
+        StreamCharDecontamination.applyBatch(bg,
+          df.filter(col("doc_id").isin(ids: _*)), "doc_id", "text", k, s"$work/out")
+      }
+      bg.destroy()
+      val got = spark.read
+        .schema("doc_id long, n_windows long, n_hits long, contaminated boolean")
+        .parquet(s"$work/out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+      assert(got == expected, s"chunking $tag: $got vs $expected")
+    }
+  }
 }
