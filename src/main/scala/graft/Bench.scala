@@ -74,7 +74,34 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val sentinelEvery = 10 // one control per ~10 timed queries
+    // IO SENTINEL: the CPU control above is blind to DISK-side co-tenancy
+    // — the r20 flat-CPU capture carried 2-4x transients confined to the
+    // checkpoint/state-store-heavy streaming drains (WAL fsyncs on the
+    // shared /tmp device) while every CPU sample sat at baseline. This
+    // control writes-and-reads a small parquet round-trip on the same
+    // tmpdir the drains checkpoint to, so device-side contention flags
+    // the capture the way core-stealing already does.
+    val ioDir = java.nio.file.Files.createTempDirectory("graft_bench_iosent").toString
+    var ioSentinelFailureLogged = false
+    def ioSentinelOnce(): Double = {
+      val t0 = System.nanoTime()
+      try {
+        val p = s"$ioDir/probe"
+        spark.range(0L, 200000L, 1L, 4)
+          .selectExpr("id", "cast(id % 97 as string) as s")
+          .write.mode("overwrite").parquet(p)
+        spark.read.parquet(p).write.format("noop").mode("overwrite").save()
+      } catch {
+        case scala.util.control.NonFatal(t) =>
+          if (!ioSentinelFailureLogged) {
+            ioSentinelFailureLogged = true
+            System.err.println(s"[bench] IO sentinel failed (ambient_io will read unknown): $t")
+          }
+          return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sentinelEvery = 10 // one control pair per ~10 timed queries
 
     // Stateful streaming drains carry ~1-2s of state-store open/commit +
     // JIT machinery noise per run; these ALWAYS report the median of 3.
@@ -112,12 +139,21 @@ object Bench {
       val bs = (1 to 5).map(_ => sentinelOnce()).filter(_ > 0).sorted
       if (bs.isEmpty) -1.0 else bs(bs.length / 2)
     }
+    val ioSentinelBaseline = {
+      ioSentinelOnce()
+      val bs = (1 to 5).map(_ => ioSentinelOnce()).filter(_ > 0).sorted
+      if (bs.isEmpty) -1.0 else bs(bs.length / 2)
+    }
     val sentinelSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val ioSentinelSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = names.zipWithIndex.map { case (name, qi) =>
-      if (qi > 0 && qi % sentinelEvery == 0) sentinelSamples += sentinelOnce()
+      if (qi > 0 && qi % sentinelEvery == 0) {
+        sentinelSamples += sentinelOnce()
+        ioSentinelSamples += ioSentinelOnce()
+      }
       val first = timed(name)
       val runs =
         if (first._2.isDefined) Seq(first)
@@ -150,6 +186,17 @@ object Bench {
       else if (sentMaxRatio > 2.0) "elevated" else "flat"
     val sentJson = s"""{"baseline":${r3(sentinelBaseline)},"every":$sentinelEvery,""" +
       s""""max_ratio":$sentMaxRatio,"samples":[${sentinelSamples.map(r3).mkString(",")}]}"""
+    val ioSentMaxRatio =
+      if (ioSentinelSamples.forall(_ <= 0) || ioSentinelBaseline <= 0) -1.0
+      else r3(ioSentinelSamples.filter(_ > 0).max / ioSentinelBaseline)
+    // the IO round-trip has intrinsically wider spread than the pure-CPU
+    // control (filesystem cache state, commit-protocol fsyncs), so its
+    // flag threshold sits at 3x, not 2x
+    val ambientIo =
+      if (ioSentMaxRatio < 0) "unknown"
+      else if (ioSentMaxRatio > 3.0) "elevated" else "flat"
+    val ioSentJson = s"""{"baseline":${r3(ioSentinelBaseline)},"every":$sentinelEvery,""" +
+      s""""max_ratio":$ioSentMaxRatio,"samples":[${ioSentinelSamples.map(r3).mkString(",")}]}"""
 
     // AUTO-ADJUDICATION: an elevated capture re-runs, in the same JVM
     // after the main pass, every query whose value exceeds 1.5x its most
@@ -196,7 +243,7 @@ object Bench {
       }.getOrElse(Map.empty)
     }
     val adjudicated: Seq[(String, Double)] =
-      if (ambient != "elevated") Seq.empty
+      if (ambient != "elevated" && ambientIo != "elevated") Seq.empty
       else {
         val prev = prevQueryTimes()
         val suspects = results
@@ -217,7 +264,7 @@ object Bench {
       .mkString("{", ",", "}")
 
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","ambient":"$ambient","sentinel":$sentJson,"adjudicated":$adjJson,"adjudication_sentinel_ratio":$adjSentinel,"queries":$qs,"errors":$es,"spread":$sp,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","ambient":"$ambient","sentinel":$sentJson,"ambient_io":"$ambientIo","sentinel_io":$ioSentJson,"adjudicated":$adjJson,"adjudication_sentinel_ratio":$adjSentinel,"queries":$qs,"errors":$es,"spread":$sp,"sf":"$sfDir"}"""
     // Persist the full per-query artifact on disk (it survives any stdout
     // capture limits) and print it for human logs.
     try java.nio.file.Files.writeString(java.nio.file.Path.of(outPath), line + "\n")
@@ -234,6 +281,6 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","ambient":"$ambient","sentinel_max_ratio":$sentMaxRatio,"n_queries":${results.size},"n_errors":${errors.size},"n_adjudicated":${adjudicated.size},"slowest":$slowest,"queries_file":"$outPath","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","ambient":"$ambient","sentinel_max_ratio":$sentMaxRatio,"ambient_io":"$ambientIo","io_sentinel_max_ratio":$ioSentMaxRatio,"n_queries":${results.size},"n_errors":${errors.size},"n_adjudicated":${adjudicated.size},"slowest":$slowest,"queries_file":"$outPath","sf":"$sfDir"}""")
   }
 }

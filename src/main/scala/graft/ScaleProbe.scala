@@ -163,7 +163,45 @@ object ScaleProbe {
           s""","sf01_per_trigger_s":${r2(t1 / MatchedTriggers)}""" +
           s""","sf1_per_trigger_s":${r2(t10 / MatchedTriggers)}""")
     }
-    val rows = (probes :+ "s01_stream_state_matched").flatMap { name =>
+
+    /** d30 at ~10% duplication — the REALISTIC second point for the
+      * duplicate-volume-proportional join-back claim (the standard d30
+      * probe's successor-concat fixture makes ~10/11 of windows
+      * duplicates, so it measures the worst case only). Every token is
+      * salted with its doc_id so windows are unique across docs AND
+      * across the sf1 copy shift; every 10th doc then appends its
+      * successor's salted text, injecting one genuinely duplicated run
+      * per 10 docs (~9% of windows). The salted corpus is materialized
+      * UNTIMED; only the dedup is measured. */
+    def onceD30LowDup(dir: String, tag: String): (Double, Long) = {
+      val work = graft.queries.ExtendedQueries.scratchDir(s"graft_probe_d30ld_$tag")
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val salted = d.select(col("doc_id"),
+        array_join(transform(split(col("text"), "\\s+"),
+          t => concat(t, lit("x"), col("doc_id"))), " ").as("text"))
+      val succ = salted.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("next_text"))
+      salted.join(succ, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0 && col("next_text").isNotNull,
+            concat_ws(" ", col("text"), col("next_text")))
+            .otherwise(col("text")).as("text"))
+        .write.mode("overwrite").parquet(s"$work/corpus")
+      measure {
+        graft.ops.Dedup.dedupCharSpans(
+          spark.read.parquet(s"$work/corpus"), "doc_id", "text", k = 25)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    probeCached("d30_char_span_dedup_lowdup") {
+      onceD30LowDup(sf01, "w") // warmup
+      val (t1, s1) = onceD30LowDup(sf01, "a")
+      val (t10, s10) = onceD30LowDup(sf1, "b")
+      report("d30_char_span_dedup_lowdup", t1, t10, s1, s10)
+    }
+    val rows = (probes :+ "s01_stream_state_matched" :+ "d30_char_span_dedup_lowdup")
+      .flatMap { name =>
       val f = sideDir.resolve(s"$name.json")
       if (java.nio.file.Files.exists(f))
         Some(java.nio.file.Files.readString(f)) else None

@@ -1348,9 +1348,16 @@ object Dedup {
     // occurrence IS its winner, so it can never produce a cut — on a
     // mostly-novel corpus (the 100 TB case) this shrinks the join-back
     // side from one row per DISTINCT gram to one per DUPLICATE-CLASS
-    // gram, letting AQE broadcast it and spare the positional occ side
-    // its second corpus-sized shuffle entirely (join-back bytes become
-    // duplicate-volume-proportional, not corpus-proportional)
+    // gram. What that buys, measured at 10x scale on a ~10%-duplication
+    // corpus (the realistic case): the join's sorted/merged winners side
+    // and the per-row match work shrink ~1/duplication (A/B vs the
+    // unfiltered plan: 20.6 s -> 15.5 s at sf1), and when the duplicate
+    // class fits the broadcast threshold the planner takes a static
+    // broadcast join and occ's second shuffle disappears entirely. The
+    // occ agg shuffle itself (~24 B/char positional grams) is the
+    // irreducible Lee et al. cost; the streaming form (StreamCharSpanDedup)
+    // stays the declared 100 TB path because it amortizes that volume
+    // per trigger against bucket-pruned state
     val winners = occ.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("w"),
         count(lit(1)).as("n_occ"))
@@ -1476,9 +1483,10 @@ object Dedup {
       .select(col("doc_id"), (col("i0") + 1).cast("long").as("pos"), col("h"))
     // keep only multi-occurrence grams on the join-back side (count
     // carried in the same aggregate — zero extra shuffle): unique grams
-    // cannot cut, so the probe side shrinks to duplicate-class grams and
-    // AQE can broadcast it on mostly-novel corpora, sparing occ its
-    // second corpus-sized shuffle (same shape as dedupCharSpans)
+    // cannot cut, so the join's winners side shrinks to duplicate-class
+    // grams — broadcast-joinable on mostly-novel corpora, and
+    // ~1/duplication less sort/merge work when it is not (same shape as
+    // dedupCharSpans — see the comment there for the measured rationale)
     val winners = occ.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("w"),
         count(lit(1)).as("n_occ"))

@@ -1022,8 +1022,12 @@ object PipelineQueries {
     // the same map-only probe — no cross-batch state, so ANY arrival
     // order equals the batch operator and the oracle is d31's verbatim
     "s40_stream_char_decontamination" -> ((s, dir) => {
-      val work = graft.queries.ExtendedQueries.scratchDir("graft_s40")
-      val in = graft.queries.ExtendedQueries.onceLog("s40", dir) { path =>
+      val work = graft.queries.ExtendedQueries.scratchDir("graft_s40c")
+      // key "s40c": the pre-existing s40_stream_repetition_gate already
+      // holds onceLog key "s40" for its pages corpus — the cache is
+      // keyed per (key, sfDir), so a shared key would hand one of the
+      // two drains the other's log depending on run order
+      val in = graft.queries.ExtendedQueries.onceLog("s40c", dir) { path =>
         val d = docs(s, dir).select(col("doc_id"), col("text"))
         val b = d.agg(min(col("doc_id")), max(col("doc_id"))).first()
         val (lo, hi) = (b.getLong(0), b.getLong(1))
