@@ -1468,6 +1468,144 @@ object Dedup {
       .toDF("doc_id", "n_windows", "n_hits", "contaminated")
   }
 
+  /** Sorted CSR map from a benchmark side's char k-gram hash to the
+    * benchmark doc ids containing it — [[charBenchGrams]] with the
+    * PROVENANCE kept, so a probe can answer not just "is this window a
+    * benchmark substring" but "of WHICH benchmark items". `keys` is the
+    * sorted distinct gram array (binary-searchable, same probe cost as
+    * the plain set), `offs(i)..offs(i+1)` slices `ids` to the bench
+    * docs carrying `keys(i)`. Built once on the driver, broadcast as
+    * three primitive arrays — ~28 B per distinct (gram, bench doc)
+    * pair, bounded by name the same way the plain set is. */
+  final case class CharBenchGramIndex(keys: Array[Long], offs: Array[Int],
+                                      ids: Array[Long]) extends Serializable
+
+  /** Collect and broadcast a benchmark side's distinct
+    * (char k-gram hash, bench doc id) pairs as a [[CharBenchGramIndex]]
+    * — the provenance-keeping sibling of [[charBenchGrams]]. ACTION at
+    * call time; bounded by name via `maxPairs` (pairs, not grams: a
+    * gram shared by m benchmark items costs m slots). */
+  def charBenchGramIndex(benchmark: DataFrame, benchIdCol: String,
+                         textCol: String, k: Int,
+                         maxPairs: Int = DefaultMaxBenchGrams)
+      : org.apache.spark.broadcast.Broadcast[CharBenchGramIndex] = {
+    require(k >= 2, s"k must be at least 2, got $k")
+    requireIntegralId(benchmark, benchIdCol, "charBenchGramIndex")
+    val spark = benchmark.sparkSession
+    import spark.implicits._
+    val pairs = collectBounded(
+      benchmark
+        .select(explode(graft.expr.hfunctions.char_kgram_hashes60(col(textCol), k)).as("h"),
+          col(benchIdCol).cast("long").as("bid"))
+        .distinct().as[(Long, Long)],
+      maxPairs, "charBenchGramIndex benchmark (gram, id) pair set")
+    java.util.Arrays.sort(pairs, Ordering[(Long, Long)])
+    var distinct = 0
+    var i = 0
+    while (i < pairs.length) {
+      if (i == 0 || pairs(i)._1 != pairs(i - 1)._1) distinct += 1
+      i += 1
+    }
+    val keys = new Array[Long](distinct)
+    val offs = new Array[Int](distinct + 1)
+    val ids = new Array[Long](pairs.length)
+    var ki = -1
+    i = 0
+    while (i < pairs.length) {
+      if (i == 0 || pairs(i)._1 != pairs(i - 1)._1) {
+        ki += 1; keys(ki) = pairs(i)._1; offs(ki) = i
+      }
+      ids(i) = pairs(i)._2
+      i += 1
+    }
+    offs(distinct) = pairs.length
+    spark.sparkContext.broadcast(CharBenchGramIndex(keys, offs, ids))
+  }
+
+  /** Per-(corpus doc, benchmark item) char-overlap pairs — the joint
+    * detail [[charContaminationCensus]] aggregates: one row per corpus
+    * doc × benchmark item sharing at least one k-char run, with
+    * `shared_windows` = how many of the corpus doc's windows hash into
+    * that item's gram set (repeated positions each count — the same
+    * per-window frame as [[charContamination]]'s n_hits). Map-only over
+    * the corpus against the broadcast [[CharBenchGramIndex]]; output is
+    * CONTAMINATION-sized (clean docs emit nothing), so everything
+    * downstream of the 100 TB scan is leak-volume work. */
+  def charContaminationPairs(corpus: DataFrame,
+                             index: org.apache.spark.broadcast.Broadcast[CharBenchGramIndex],
+                             idCol: String, textCol: String,
+                             k: Int = 25): DataFrame = {
+    require(k >= 2, s"k must be at least 2, got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    kernelParallel(corpus.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val idx = index.value
+        it.flatMap { case (docId, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val hs = graft.expr.TextHash.charKgramHashes60(text, k)
+            val acc = new scala.collection.mutable.LongMap[Long]()
+            var i = 0
+            while (i < hs.length) {
+              val p = java.util.Arrays.binarySearch(idx.keys, hs(i))
+              if (p >= 0) {
+                var j = idx.offs(p)
+                val e = idx.offs(p + 1)
+                while (j < e) {
+                  acc.update(idx.ids(j), acc.getOrElse(idx.ids(j), 0L) + 1L)
+                  j += 1
+                }
+              }
+              i += 1
+            }
+            acc.toArray.iterator.map { case (b, c) => (docId, b, c) }
+          }
+        }
+      }
+      .toDF("doc_id", "bench_id", "shared_windows")
+  }
+
+  /** Per-BENCHMARK-ITEM contamination census — the inverse report of
+    * [[charContamination]], and the artifact an eval owner actually
+    * acts on: d31 tells the TRAINING side which docs to drop; this
+    * tells the EVAL side which benchmark items are compromised and how
+    * badly, so leaked items can be retired or reweighted (the GPT-3
+    * report's per-benchmark "dirty" accounting, at Lee et al.'s char
+    * granularity). Output one row per benchmark item, zeros included:
+    * (bench_id, n_contaminated_docs = corpus docs sharing ≥1 k-char
+    * run, shared_windows = their total overlapping windows,
+    * max_shared_windows = the single worst doc's count — distinguishes
+    * "one verbatim mirror" from "thousands of docs each quoting one
+    * line"). The fragment's own source doc counts like any other
+    * corpus doc (it IS contamination if it remains in training data).
+    *
+    * Scale shape: the benchmark side freezes into one sorted CSR
+    * broadcast ([[charBenchGramIndex]], bounded BY NAME); the corpus
+    * pays ONE map-only pass ([[charContaminationPairs]]) emitting
+    * leak-sized pairs; the census aggregate and the zero-fill join
+    * against the benchmark ids are both benchmark-sized. Zero corpus
+    * shuffles — same 100 TB contract as d31. */
+  def charContaminationCensus(corpus: DataFrame, benchmark: DataFrame,
+                              idCol: String, benchIdCol: String,
+                              textCol: String, k: Int = 25,
+                              maxPairs: Int = DefaultMaxBenchGrams): DataFrame = {
+    requireIntegralId(corpus, idCol, "charContaminationCensus")
+    val idx = charBenchGramIndex(benchmark, benchIdCol, textCol, k, maxPairs)
+    val pairs = charContaminationPairs(corpus, idx, idCol, textCol, k)
+    val census = pairs.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_contaminated_docs"),
+        sum(col("shared_windows")).as("shared_windows"),
+        max(col("shared_windows")).as("max_shared_windows"))
+    benchmark.select(col(benchIdCol).cast("long").as("bench_id")).distinct()
+      .join(census, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_contaminated_docs"), lit(0L)).as("n_contaminated_docs"),
+        coalesce(col("shared_windows"), lit(0L)).as("shared_windows"),
+        coalesce(col("max_shared_windows"), lit(0L)).as("max_shared_windows"))
+  }
+
   /** Per-doc 1-based start positions of every k-token window that is a
     * NON-first global occurrence of its k-gram — [[dedupSpans]]' cut
     * set, shared with [[duplicateRuns]]. One groupBy(h) min-struct

@@ -135,6 +135,37 @@ object PipelineQueries {
        |ORDER BY nt.doc_id""".stripMargin
   }
 
+  /** d32: the per-benchmark-item census — the same literal-substring
+    * frame as [[d31OracleSql]] but with the fragment's source doc_id
+    * kept as the bench item id and the aggregation INVERTED onto it;
+    * the `pairs` CTE (doc × item × shared-window count) is the
+    * independent restatement of Spark's CSR-probe LongMap. */
+  private val d32OracleSql = {
+    val k = 25
+    s"""WITH nt AS (SELECT doc_id,
+       |         array_to_string(regexp_split_to_array(trim(text), '\\s+'), ' ') AS t
+       |       FROM documents),
+       |nb AS (SELECT doc_id AS bench_id,
+       |         array_to_string(regexp_split_to_array(trim(substr(text, 40, 120)), '\\s+'), ' ') AS t
+       |       FROM documents WHERE doc_id % 37 = 0),
+       |bg AS (SELECT DISTINCT bench_id,
+       |         unnest(list_transform(generate_series(1, length(t) - ${k - 1}),
+       |           i -> substr(t, i, $k))) AS g
+       |       FROM nb WHERE length(t) >= $k),
+       |cg AS (SELECT doc_id, unnest(list_transform(generate_series(1, length(t) - ${k - 1}),
+       |         i -> substr(t, i, $k))) AS g
+       |       FROM nt WHERE length(t) >= $k),
+       |pairs AS (SELECT cg.doc_id, bg.bench_id, count(*) AS shared_windows
+       |          FROM cg JOIN bg USING (g) GROUP BY 1, 2)
+       |SELECT nb.bench_id,
+       |  CAST(count(p.doc_id) AS BIGINT) AS n_contaminated_docs,
+       |  CAST(coalesce(sum(p.shared_windows), 0) AS BIGINT) AS shared_windows,
+       |  CAST(coalesce(max(p.shared_windows), 0) AS BIGINT) AS max_shared_windows
+       |FROM nb LEFT JOIN pairs p ON p.bench_id = nb.bench_id
+       |GROUP BY nb.bench_id
+       |ORDER BY nb.bench_id""".stripMargin
+  }
+
   /** Shared by t15 (batch NB quality classifier) and s14 (its streaming
     * admission-gate twin over a frozen model): both replay the full
     * train+score — seed labeling, Laplace-smoothed per-token class
@@ -1045,6 +1076,21 @@ object PipelineQueries {
       graft.streaming.StreamCharDecontamination
         .drain(s, bench, in, s"$work/out", s"$work/ckpt", k = 25)
         .orderBy(col("doc_id"))
+    }),
+
+    // d31's INVERSE report — the eval owner's census: per benchmark
+    // item, how many corpus docs share a 25-char run with it, their
+    // total overlapping windows, and the single worst doc's count
+    // (one verbatim mirror vs thousands quoting a line). Fragments of
+    // every 37th doc keep their source doc_id as the bench item id;
+    // items whose fragment leaks nowhere report zeros
+    "d32_contamination_census" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val bench = d.filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id").as("bench_id"),
+          substring(col("text"), 40, 120).as("text"))
+      Dedup.charContaminationCensus(d, bench, "doc_id", "bench_id", "text", k = 25)
+        .orderBy(col("bench_id"))
     }),
 
     // k-gram novelty scoring on the successor-concat corpus: every doc's
@@ -3413,6 +3459,10 @@ object PipelineQueries {
     // frozen-benchmark streaming twin — order-independent, so the batch
     // SQL is the oracle verbatim
     "s40_stream_char_decontamination" -> d31OracleSql,
+
+    // per-benchmark-item census: the d31 frame aggregated onto the
+    // bench item id, zeros kept for unleaked items
+    "d32_contamination_census" -> d32OracleSql,
 
     // the incremental char-granular stream cut must equal d30's batch
     // cover mask exactly (ascending arrival)

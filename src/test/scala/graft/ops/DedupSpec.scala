@@ -1174,6 +1174,65 @@ class DedupSpec extends SparkSpec {
       "fixture must contain both contaminated and clean docs")
   }
 
+  test("charContaminationCensus == naive per-item reference; unleaked items report zeros") {
+    import spark.implicits._
+    val k = 6
+    val rnd = new scala.util.Random(43)
+    val alpha = "abcdef"
+    val corpus = (1L to 60L).map { i =>
+      val sb = new StringBuilder
+      (0 until 30 + rnd.nextInt(60)).foreach { _ =>
+        if (rnd.nextInt(7) == 0) sb.append(' ')
+        else sb.append(alpha(rnd.nextInt(alpha.length)))
+      }
+      i -> sb.toString
+    }
+    def norm(s: String) = s.trim.split("\\s+").mkString(" ") match {
+      case "" => ""; case t => t
+    }
+    // benchmark = mid-document fragments keeping their source doc id,
+    // plus one item made of a glyph the corpus alphabet cannot contain
+    // — it must still appear in the census, with zeros
+    val benchItems = corpus.collect { case (id, t) if id % 7 == 0 =>
+      id -> t.substring(math.min(5, t.length), math.min(35, t.length))
+    } :+ (999L -> "zzzzzz zzzzzz")
+    val benchGramsById = benchItems.map { case (bid, t0) =>
+      val t = norm(t0)
+      bid -> (if (t.length < k) Set.empty[String]
+              else (0 to t.length - k).map(i => t.substring(i, i + k)).toSet)
+    }.toMap
+    // naive reference: per (doc, item) count of the doc's windows whose
+    // literal k-substring is in the item's gram set, then the census
+    val pairs = for {
+      (id, t0) <- corpus
+      t = norm(t0)
+      (bid, gs) <- benchGramsById
+      c = (0 until math.max(0, t.length - k + 1))
+            .count(i => gs(t.substring(i, i + k)))
+      if c > 0
+    } yield (bid, id, c.toLong)
+    val expected = benchItems.map(_._1).distinct.sorted.map { bid =>
+      val mine = pairs.filter(_._1 == bid).map(_._3)
+      bid -> ((mine.size.toLong,
+        mine.sum, if (mine.isEmpty) 0L else mine.max))
+    }.toMap
+    val got = Dedup.charContaminationCensus(
+      corpus.toDF("doc_id", "text"), benchItems.toDF("bench_id", "text"),
+      "doc_id", "bench_id", "text", k = k)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected,
+      s"mismatches: ${got.keySet.filter(i => got(i) != expected(i)).toSeq.sorted
+        .map(i => s"$i: got ${got(i)} want ${expected(i)}").mkString("; ")}")
+    // the fixture must discriminate: a leaked item, a zero item, and a
+    // source doc that flags on its own fragment
+    assert(expected(999L) == ((0L, 0L, 0L)), "sentinel item must be unleaked")
+    assert(expected.exists { case (bid, (n, _, _)) => bid != 999L && n > 0 },
+      "fixture must contain a leaked item")
+    val sourcePairs = pairs.filter { case (bid, id, _) => bid == id }
+    assert(sourcePairs.nonEmpty, "a fragment's source doc must count as contamination")
+  }
+
   test("charBenchGrams fails BY NAME when the benchmark side exceeds the gram bound") {
     import spark.implicits._
     val bench = Seq((1L, "abcdefghijklmnop")).toDF("bid", "text")
