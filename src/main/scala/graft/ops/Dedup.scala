@@ -1593,7 +1593,17 @@ object Dedup {
                               maxPairs: Int = DefaultMaxBenchGrams): DataFrame = {
     requireIntegralId(corpus, idCol, "charContaminationCensus")
     val idx = charBenchGramIndex(benchmark, benchIdCol, textCol, k, maxPairs)
-    val pairs = charContaminationPairs(corpus, idx, idCol, textCol, k)
+    charCensusOf(charContaminationPairs(corpus, idx, idCol, textCol, k),
+      benchmark, benchIdCol)
+  }
+
+  /** The census aggregate over [[charContaminationPairs]] rows plus the
+    * zero-fill join against the benchmark ids — shared by the batch
+    * census and the streaming drain's view over its accumulated pair
+    * log. Both inputs are benchmark/leak-sized; the corpus never
+    * appears here. */
+  def charCensusOf(pairs: DataFrame, benchmark: DataFrame,
+                   benchIdCol: String): DataFrame = {
     val census = pairs.groupBy(col("bench_id"))
       .agg(count(lit(1)).as("n_contaminated_docs"),
         sum(col("shared_windows")).as("shared_windows"),

@@ -1078,6 +1078,35 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // d32's streaming admission-time twin: the CSR gram→item broadcast
+    // freezes at drain start, every trigger appends its leak-sized
+    // (doc, item, count) pairs, and the census is a benchmark-sized
+    // view over the accumulated pair log — order-independent (per-doc
+    // facts against a static reference), so d32's SQL is the oracle
+    // verbatim
+    "s41_stream_contamination_census" -> ((s, dir) => {
+      val work = graft.queries.ExtendedQueries.scratchDir("graft_s41")
+      val in = graft.queries.ExtendedQueries.onceLog("s41", dir) { path =>
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        val b = d.agg(min(col("doc_id")), max(col("doc_id"))).first()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val c1 = lo + (hi - lo) / 3
+        val c2 = lo + 2 * (hi - lo) / 3
+        Seq(col("doc_id") <= c1,
+            col("doc_id") > c1 && col("doc_id") <= c2,
+            col("doc_id") > c2).foreach { p =>
+          d.filter(p).coalesce(1).write.mode("append").parquet(path)
+          Thread.sleep(20) // distinct mtimes → deterministic oldest-first arrival
+        }
+      }
+      val bench = docs(s, dir).filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id").as("bench_id"),
+          substring(col("text"), 40, 120).as("text"))
+      graft.streaming.StreamContaminationCensus
+        .drain(s, bench, in, s"$work/out", s"$work/ckpt", k = 25)
+        .orderBy(col("bench_id"))
+    }),
+
     // d31's INVERSE report — the eval owner's census: per benchmark
     // item, how many corpus docs share a 25-char run with it, their
     // total overlapping windows, and the single worst doc's count
@@ -3463,6 +3492,9 @@ object PipelineQueries {
     // per-benchmark-item census: the d31 frame aggregated onto the
     // bench item id, zeros kept for unleaked items
     "d32_contamination_census" -> d32OracleSql,
+    // frozen-index streaming twin — per-doc facts, order-independent,
+    // so the batch census SQL is the oracle verbatim
+    "s41_stream_contamination_census" -> d32OracleSql,
 
     // the incremental char-granular stream cut must equal d30's batch
     // cover mask exactly (ascending arrival)

@@ -713,3 +713,47 @@ object StreamCharDecontamination {
     finally bg.destroy()
   }
 }
+
+/** Streaming admission-time twin of the per-benchmark-item
+  * contamination census ([[graft.ops.Dedup.charContaminationCensus]]):
+  * the benchmark side freezes into the provenance-keeping CSR broadcast
+  * ([[graft.ops.Dedup.charBenchGramIndex]], bounded by name) at drain
+  * start; every trigger runs the same map-only probe and APPENDS its
+  * leak-sized (doc, item, shared_windows) pairs — the pair log IS the
+  * incremental state, and the census the eval owner reads is a
+  * benchmark-sized view over it. Pairs are per-doc facts against a
+  * static reference set (no cross-batch state), so ANY arrival order
+  * equals the batch census and d32's SQL is the oracle verbatim. The
+  * view re-aggregates per (item, doc) with max() before the census, so
+  * an at-least-once replay of a trigger (identical rows appended twice)
+  * cannot double-count a doc. */
+object StreamContaminationCensus {
+
+  /** Process one micro-batch: append this trigger's contamination pairs
+    * to `outPath`. Leak-sized — clean docs emit nothing. */
+  def applyBatch(index: org.apache.spark.broadcast.Broadcast[graft.ops.Dedup.CharBenchGramIndex],
+                 batch: DataFrame, idCol: String, textCol: String, k: Int,
+                 outPath: String): Unit =
+    graft.ops.Dedup.charContaminationPairs(batch, index, idCol, textCol, k)
+      .write.mode("append").parquet(outPath)
+
+  /** Convenience drain: freeze the benchmark index once, run the whole
+    * document log through [[applyBatch]], return the census view over
+    * the accumulated pair log. The broadcast is destroyed when the
+    * stream completes. */
+  def drain(spark: SparkSession, benchmark: DataFrame, inPath: String,
+            outPath: String, ckptPath: String, k: Int = 25,
+            maxPairs: Int = graft.ops.Dedup.DefaultMaxBenchGrams): DataFrame = {
+    val idx = graft.ops.Dedup.charBenchGramIndex(benchmark, "bench_id", "text", k, maxPairs)
+    val pairs =
+      try KgramStreamCore.drain(spark, inPath, outPath, ckptPath,
+        "doc_id long, bench_id long, shared_windows long") {
+        (b, _) => applyBatch(idx, b, "doc_id", "text", k, outPath)
+      }
+      finally idx.destroy()
+    graft.ops.Dedup.charCensusOf(
+      pairs.groupBy(col("bench_id"), col("doc_id"))
+        .agg(max(col("shared_windows")).as("shared_windows")),
+      benchmark, "bench_id")
+  }
+}

@@ -253,4 +253,47 @@ class StreamNoveltySpec extends SparkSpec {
       assert(got == expected, s"chunking $tag: $got vs $expected")
     }
   }
+
+  test("StreamContaminationCensus over ANY chunking == batch census; a replayed trigger cannot double-count") {
+    import spark.implicits._
+    val k = 5
+    val corpus = Seq(
+      1L -> "abcdefghij tail",
+      2L -> "unrelated body",
+      3L -> "xx abcdefghij yy", // shares the run with item 10 → counted
+      4L -> "wholly fresh ending",
+      5L -> "qrstuvwxyz core")   // shares the run with item 20
+    val df = corpus.toDF("doc_id", "text")
+    val bench = Seq(10L -> "abcdefghij", 20L -> "qrstuvwxyz", 30L -> "!!!!!!!!!!")
+      .toDF("bench_id", "text")
+    val expected = Dedup.charContaminationCensus(df, bench, "doc_id", "bench_id", "text", k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // fixture discriminates: leaked items and an unleakable zero item
+    assert(expected.exists(_._2 > 0) && expected.exists(t => t._1 == 30L && t._2 == 0L),
+      s"fixture must discriminate: $expected")
+    def censusOf(work: String): Set[(Long, Long, Long, Long)] = {
+      val pairs = spark.read
+        .schema("doc_id long, bench_id long, shared_windows long")
+        .parquet(s"$work/out")
+        .groupBy(col("bench_id"), col("doc_id"))
+        .agg(max(col("shared_windows")).as("shared_windows"))
+      Dedup.charCensusOf(pairs, bench, "bench_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    }
+    for ((order, tag) <- Seq(Seq(Seq(1L, 2L, 3L), Seq(4L, 5L)) -> "fwd",
+                             Seq(Seq(5L, 4L), Seq(3L, 2L, 1L)) -> "rev")) {
+      val work = Files.createTempDirectory(s"graft_scensus_$tag").toString
+      val idx = Dedup.charBenchGramIndex(bench, "bench_id", "text", k)
+      order.foreach { ids =>
+        StreamContaminationCensus.applyBatch(idx,
+          df.filter(col("doc_id").isin(ids: _*)), "doc_id", "text", k, s"$work/out")
+      }
+      // at-least-once: replay the LAST trigger verbatim — the (item,
+      // doc) re-aggregation must swallow the duplicate pair rows
+      StreamContaminationCensus.applyBatch(idx,
+        df.filter(col("doc_id").isin(order.last: _*)), "doc_id", "text", k, s"$work/out")
+      idx.destroy()
+      assert(censusOf(work) == expected, s"chunking $tag with replayed last trigger")
+    }
+  }
 }
