@@ -1597,6 +1597,66 @@ object Dedup {
       benchmark, benchIdCol)
   }
 
+  /** SURGICAL char-granular decontamination — [[decontaminateSpans]]'
+    * keep-the-document philosophy at [[charContamination]]'s
+    * granularity: instead of DROPPING a training doc that shares one
+    * k-char run with a benchmark item (d31 — which forfeits the 99 % of
+    * a long doc a single quoted test item poisons), cut ONLY the
+    * k-char windows whose gram appears in the benchmark set and rebuild
+    * the text, cuts fusing survivors exactly like the ExactSubstr dedup
+    * rebuild. Output is [[dedupCharSpans]]' shape — (doc_id, n_chars,
+    * n_removed, clean_text), positions and accounting in CODE POINTS of
+    * the ws-normalized text.
+    *
+    * Scale shape: STRICTLY CHEAPER than d30's self-dedup — there is no
+    * winners aggregate and no join-back at all, because the cut
+    * condition is membership in a STATIC benchmark-sized set, not a
+    * corpus-global keep-first. The benchmark freezes into one sorted
+    * broadcast ([[charBenchGrams]], bounded BY NAME) and the corpus
+    * pays ONE map-only pass doing hash + binary-search + in-kernel
+    * rebuild. Zero shuffles at any corpus size. */
+  def charDecontaminateSpans(corpus: DataFrame, benchmark: DataFrame,
+                             idCol: String, textCol: String, k: Int = 25,
+                             maxGrams: Int = DefaultMaxBenchGrams): DataFrame = {
+    requireIntegralId(corpus, idCol, "charDecontaminateSpans")
+    val bg = charBenchGrams(benchmark, textCol, k, maxGrams)
+    charDecontaminateSpansPrepared(corpus, bg, idCol, textCol, k)
+  }
+
+  /** [[charDecontaminateSpans]] against an already-broadcast benchmark
+    * gram set — the per-trigger entry point for the streaming twin. */
+  def charDecontaminateSpansPrepared(corpus: DataFrame,
+                                     benchGrams: org.apache.spark.broadcast.Broadcast[Array[Long]],
+                                     idCol: String, textCol: String,
+                                     k: Int = 25): DataFrame = {
+    require(k >= 2, s"k must be at least 2, got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    kernelParallel(corpus.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val grams = benchGrams.value
+        it.map { case (docId, text) =>
+          if (text == null) (docId, 0L, 0L, "")
+          else {
+            val hs = graft.expr.TextHash.charKgramHashes60(text, k)
+            val starts = scala.collection.mutable.ArrayBuilder.make[Long]
+            var i = 0
+            while (i < hs.length) {
+              if (java.util.Arrays.binarySearch(grams, hs(i)) >= 0)
+                starts += (i + 1).toLong
+              i += 1
+            }
+            val nChars = graft.expr.TextHash.normalizedCodePointCount(text)
+            val clean = graft.expr.TextHash.removeCharSpans(text, starts.result(), k)
+            (docId, nChars,
+              nChars - clean.codePointCount(0, clean.length), clean)
+          }
+        }
+      }
+      .toDF("doc_id", "n_chars", "n_removed", "clean_text")
+  }
+
   /** The census aggregate over [[charContaminationPairs]] rows plus the
     * zero-fill join against the benchmark ids — shared by the batch
     * census and the streaming drain's view over its accumulated pair

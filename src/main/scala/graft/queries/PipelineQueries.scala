@@ -166,6 +166,44 @@ object PipelineQueries {
        |ORDER BY nb.bench_id""".stripMargin
   }
 
+  /** d33: surgical char-granular decontamination — d30's cover-mask
+    * rebuild CTEs with the cut set swapped from "non-first global
+    * occurrence" to "window's literal substring appears in the
+    * benchmark gram set" (the d31 frame). Shared verbatim by the
+    * streaming twin s42 (static benchmark set → order-independent). */
+  private val d33OracleSql = {
+    val k = 25
+    s"""WITH nt AS (SELECT doc_id,
+       |         array_to_string(regexp_split_to_array(trim(text), '\\s+'), ' ') AS t
+       |       FROM documents),
+       |nb AS (SELECT array_to_string(regexp_split_to_array(trim(substr(text, 40, 120)), '\\s+'), ' ') AS t
+       |       FROM documents WHERE doc_id % 37 = 0),
+       |bg AS (SELECT DISTINCT unnest(list_transform(generate_series(1, length(t) - ${k - 1}),
+       |         i -> substr(t, i, $k))) AS g
+       |       FROM nb WHERE length(t) >= $k),
+       |cgs AS (SELECT doc_id, unnest(list_transform(generate_series(1, length(t) - ${k - 1}),
+       |          i -> {'pos': i, 'g': substr(t, i, $k)})) AS u
+       |        FROM nt WHERE length(t) >= $k),
+       |cut AS (SELECT c.doc_id, c.u.pos AS pos FROM cgs c JOIN bg ON bg.g = c.u.g),
+       |chs AS (SELECT doc_id, unnest(list_transform(generate_series(1, length(t)),
+       |          i -> {'j': i, 'c': substr(t, i, 1)})) AS u FROM nt),
+       |ch AS (SELECT doc_id, u.j AS j, u.c AS c FROM chs),
+       |rem AS (SELECT DISTINCT c.doc_id, c.j FROM ch c JOIN cut d
+       |        ON d.doc_id = c.doc_id AND c.j >= d.pos AND c.j <= d.pos + ${k - 1}),
+       |agg AS (
+       |  SELECT c.doc_id,
+       |    count(r.j) AS n_removed,
+       |    coalesce(string_agg(c.c, '' ORDER BY c.j) FILTER (WHERE r.j IS NULL), '')
+       |      AS clean_text
+       |  FROM ch c LEFT JOIN rem r ON r.doc_id = c.doc_id AND r.j = c.j
+       |  GROUP BY c.doc_id)
+       |SELECT nt.doc_id, CAST(length(nt.t) AS BIGINT) AS n_chars,
+       |  CAST(coalesce(agg.n_removed, 0) AS BIGINT) AS n_removed,
+       |  coalesce(agg.clean_text, '') AS clean_text
+       |FROM nt LEFT JOIN agg ON agg.doc_id = nt.doc_id
+       |ORDER BY nt.doc_id""".stripMargin
+  }
+
   /** Shared by t15 (batch NB quality classifier) and s14 (its streaming
     * admission-gate twin over a frozen model): both replay the full
     * train+score — seed labeling, Laplace-smoothed per-token class
@@ -1074,6 +1112,44 @@ object PipelineQueries {
       val bench = docs(s, dir).filter(col("doc_id") % 37 === 0)
         .select(substring(col("text"), 40, 120).as("text"))
       graft.streaming.StreamCharDecontamination
+        .drain(s, bench, in, s"$work/out", s"$work/ckpt", k = 25)
+        .orderBy(col("doc_id"))
+    }),
+
+    // SURGICAL char-granular decontamination: cut ONLY the 25-char
+    // windows shared with the benchmark and rebuild the doc — keeps
+    // the 99% of a long doc that d31's drop verdict would forfeit;
+    // p19's philosophy at the granularity token probes can't see.
+    // Strictly cheaper than d30: membership in a static broadcast set,
+    // no winners aggregate, no join-back — one map-only pass
+    "d33_char_decontaminate_spans" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val bench = d.filter(col("doc_id") % 37 === 0)
+        .select(substring(col("text"), 40, 120).as("text"))
+      Dedup.charDecontaminateSpans(d, bench, "doc_id", "text", k = 25)
+        .orderBy(col("doc_id"))
+    }),
+
+    // d33's streaming twin: static benchmark set → any arrival order
+    // equals the batch cut, oracle verbatim
+    "s42_stream_char_span_decontamination" -> ((s, dir) => {
+      val work = graft.queries.ExtendedQueries.scratchDir("graft_s42")
+      val in = graft.queries.ExtendedQueries.onceLog("s42", dir) { path =>
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        val b = d.agg(min(col("doc_id")), max(col("doc_id"))).first()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val c1 = lo + (hi - lo) / 3
+        val c2 = lo + 2 * (hi - lo) / 3
+        Seq(col("doc_id") <= c1,
+            col("doc_id") > c1 && col("doc_id") <= c2,
+            col("doc_id") > c2).foreach { p =>
+          d.filter(p).coalesce(1).write.mode("append").parquet(path)
+          Thread.sleep(20) // distinct mtimes → deterministic oldest-first arrival
+        }
+      }
+      val bench = docs(s, dir).filter(col("doc_id") % 37 === 0)
+        .select(substring(col("text"), 40, 120).as("text"))
+      graft.streaming.StreamCharSpanDecontamination
         .drain(s, bench, in, s"$work/out", s"$work/ckpt", k = 25)
         .orderBy(col("doc_id"))
     }),
@@ -3495,6 +3571,12 @@ object PipelineQueries {
     // frozen-index streaming twin — per-doc facts, order-independent,
     // so the batch census SQL is the oracle verbatim
     "s41_stream_contamination_census" -> d32OracleSql,
+
+    // surgical char-granular decontamination: d30's cover-mask rebuild
+    // with the cut set = benchmark-shared windows
+    "d33_char_decontaminate_spans" -> d33OracleSql,
+    // static-set streaming twin, order-independent, oracle verbatim
+    "s42_stream_char_span_decontamination" -> d33OracleSql,
 
     // the incremental char-granular stream cut must equal d30's batch
     // cover mask exactly (ascending arrival)

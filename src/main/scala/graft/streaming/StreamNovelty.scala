@@ -757,3 +757,37 @@ object StreamContaminationCensus {
       benchmark, "bench_id")
   }
 }
+
+/** Streaming twin of SURGICAL char-granular decontamination
+  * ([[graft.ops.Dedup.charDecontaminateSpans]]): the benchmark gram set
+  * freezes into one sorted broadcast at drain start and every trigger
+  * runs the same map-only cut-and-rebuild kernel. The cut condition is
+  * membership in the STATIC benchmark set — no cross-batch state, no
+  * arrival-order contract — so any chunking equals the batch operator
+  * exactly and d33's SQL is the oracle verbatim. Per-trigger cost: one
+  * kernel pass, zero shuffles, zero state reads. */
+object StreamCharSpanDecontamination {
+
+  /** Process one micro-batch: append (doc_id, n_chars, n_removed,
+    * clean_text) rows to `outPath`. */
+  def applyBatch(benchGrams: org.apache.spark.broadcast.Broadcast[Array[Long]],
+                 batch: DataFrame, idCol: String, textCol: String, k: Int,
+                 outPath: String): Unit =
+    graft.ops.Dedup.charDecontaminateSpansPrepared(batch, benchGrams, idCol, textCol, k)
+      .write.mode("append").parquet(outPath)
+
+  /** Convenience drain: freeze the benchmark side once, rebuild the
+    * whole document log through [[applyBatch]], return the accumulated
+    * cleaned docs. The broadcast is destroyed when the stream
+    * completes. */
+  def drain(spark: SparkSession, benchmark: DataFrame, inPath: String,
+            outPath: String, ckptPath: String, k: Int = 25,
+            maxBenchGrams: Int = graft.ops.Dedup.DefaultMaxBenchGrams): DataFrame = {
+    val bg = graft.ops.Dedup.charBenchGrams(benchmark, "text", k, maxBenchGrams)
+    try KgramStreamCore.drain(spark, inPath, outPath, ckptPath,
+      "doc_id long, n_chars long, n_removed long, clean_text string") {
+      (b, _) => applyBatch(bg, b, "doc_id", "text", k, outPath)
+    }
+    finally bg.destroy()
+  }
+}

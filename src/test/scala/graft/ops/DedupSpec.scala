@@ -1233,6 +1233,57 @@ class DedupSpec extends SparkSpec {
     assert(sourcePairs.nonEmpty, "a fragment's source doc must count as contamination")
   }
 
+  test("charDecontaminateSpans == naive cover-mask reference; clean docs pass through untouched") {
+    import spark.implicits._
+    val k = 6
+    val rnd = new scala.util.Random(47)
+    val alpha = "abcdef"
+    val corpus = (1L to 50L).map { i =>
+      val sb = new StringBuilder
+      (0 until 30 + rnd.nextInt(60)).foreach { _ =>
+        if (rnd.nextInt(7) == 0) sb.append(' ')
+        else sb.append(alpha(rnd.nextInt(alpha.length)))
+      }
+      i -> sb.toString
+    }
+    def norm(s: String) = s.trim.split("\\s+").mkString(" ") match {
+      case "" => ""; case t => t
+    }
+    val benchTexts = corpus.collect { case (id, t) if id % 7 == 0 =>
+      t.substring(math.min(5, t.length), math.min(35, t.length))
+    }
+    val benchGrams = benchTexts.map(norm).flatMap { t =>
+      if (t.length < k) Seq.empty else (0 to t.length - k).map(i => t.substring(i, i + k))
+    }.toSet
+    // naive reference: cover mask over benchmark-shared windows, rebuild
+    val expected = corpus.map { case (id, t0) =>
+      val t = norm(t0)
+      val covered = new Array[Boolean](t.length)
+      (0 until math.max(0, t.length - k + 1)).foreach { i =>
+        if (benchGrams(t.substring(i, i + k)))
+          (i until math.min(t.length, i + k)).foreach(covered(_) = true)
+      }
+      val clean = t.zipWithIndex.collect { case (c, i) if !covered(i) => c }.mkString
+      id -> ((t.length.toLong, covered.count(identity).toLong, clean))
+    }.toMap
+    val bench = benchTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("bid", "text")
+    val got = Dedup.charDecontaminateSpans(
+      corpus.toDF("doc_id", "text"), bench, "doc_id", "text", k = k)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == expected,
+      s"mismatches: ${got.keySet.filter(i => got(i) != expected(i)).toSeq.sorted
+        .map(i => s"$i: got ${got(i)} want ${expected(i)}").mkString("; ")}")
+    // fixture discriminates: some docs cut, some untouched — and the
+    // untouched ones keep their normalized text verbatim
+    assert(expected.values.exists(_._2 > 0) && expected.values.exists(_._2 == 0),
+      "fixture must contain both cut and clean docs")
+    expected.collect { case (id, (n, 0L, clean)) =>
+      assert(clean.length.toLong == n, s"clean doc $id must pass through whole")
+    }
+  }
+
   test("charBenchGrams fails BY NAME when the benchmark side exceeds the gram bound") {
     import spark.implicits._
     val bench = Seq((1L, "abcdefghijklmnop")).toDF("bid", "text")

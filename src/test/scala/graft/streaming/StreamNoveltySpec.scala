@@ -254,6 +254,38 @@ class StreamNoveltySpec extends SparkSpec {
     }
   }
 
+  test("StreamCharSpanDecontamination over ANY chunking == batch surgical cut (static set, no state)") {
+    import spark.implicits._
+    val k = 5
+    val corpus = Seq(
+      1L -> "abcdefghij tail",     // head is cut, " tail" survives
+      2L -> "unrelated body",
+      3L -> "xx abcdefghij yy",    // mid-doc cut fuses "xx " + " yy"
+      4L -> "wholly fresh ending",
+      5L -> "shrt")
+    val df = corpus.toDF("doc_id", "text")
+    val bench = Seq(0L -> "abcdefghij").toDF("bid", "text")
+    val expected = Dedup.charDecontaminateSpans(df, bench, "doc_id", "text", k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(expected.exists(_._3 > 0) && expected.exists(_._3 == 0),
+      s"fixture must discriminate: $expected")
+    for ((order, tag) <- Seq(Seq(Seq(1L, 2L, 3L), Seq(4L, 5L)) -> "fwd",
+                             Seq(Seq(5L, 4L), Seq(3L, 2L, 1L)) -> "rev")) {
+      val work = Files.createTempDirectory(s"graft_scspan_$tag").toString
+      val bg = Dedup.charBenchGrams(bench, "text", k)
+      order.foreach { ids =>
+        StreamCharSpanDecontamination.applyBatch(bg,
+          df.filter(col("doc_id").isin(ids: _*)), "doc_id", "text", k, s"$work/out")
+      }
+      bg.destroy()
+      val got = spark.read
+        .schema("doc_id long, n_chars long, n_removed long, clean_text string")
+        .parquet(s"$work/out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      assert(got == expected, s"chunking $tag: $got vs $expected")
+    }
+  }
+
   test("StreamContaminationCensus over ANY chunking == batch census; a replayed trigger cannot double-count") {
     import spark.implicits._
     val k = 5
