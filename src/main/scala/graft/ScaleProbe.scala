@@ -48,7 +48,13 @@ object ScaleProbe {
     // r19: the char-granular ExactSubstr pair — ~6× the gram volume of
     // the token form on the same corpus, so its scale shape must be
     // shown, not asserted
-    "d30_char_span_dedup", "s39_stream_char_span_dedup")
+    "d30_char_span_dedup", "s39_stream_char_span_dedup",
+    // r20: the surgical char-granular decontamination cut — claimed
+    // map-only/zero-shuffle (static broadcast set, no winners agg, no
+    // join-back); the probe row is the receipt (s42, its streaming
+    // twin, is strictly lighter per trigger than the s39 drain already
+    // probed: same kernel, no state store)
+    "d33_char_decontaminate_spans")
 
   /** Triggers pinned at BOTH scales for the matched s01 probe: the log is
     * repartitioned to exactly this many files and drained one per
