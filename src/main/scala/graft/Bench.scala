@@ -13,6 +13,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      // AQE coalesces post-shuffle partitions down to minPartitionSize
+      // (default 1m) — at bench scale a 4-5 MB exchange collapses to 4
+      // tasks even when the stage ABOVE it explodes 4.7 MB -> 81 MB of
+      // pair rows (d12's candidate generate ran on 4 of 32 cores). The
+      // lower floor restores reduce-side parallelism for small-input/
+      // big-output stages; at cluster scale partitions sit far above
+      // either floor, so this is a local-window knob, not a prod tune
+      // (env-overridable for A/B).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED_PARTITION", "128k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

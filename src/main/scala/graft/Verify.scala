@@ -17,6 +17,10 @@ object Verify {
       // Fixtures.normalizeEventTs instead (this flag ignores MICROS)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      // see Bench: reduce-side parallelism floor for small-input/
+      // big-output stages at fixture scale; no-op at cluster scale
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED_PARTITION", "128k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -35,7 +35,10 @@ object CorpusStats {
     * tokens have no bigrams and drop out at the scan. */
   private[ops] def docBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = split(trim(col(textCol)), "\\s+")
-    docs.filter(length(trim(col(textCol))) > 0)
+    // kernelParallel: the tokenize+explode+partial-agg stage is the LM
+    // family's CPU wall and a small input arrives as 1-2 splits (the
+    // Dedup.shingleHashSets rationale; zero shuffle at scale)
+    Dedup.kernelParallel(docs.filter(length(trim(col(textCol))) > 0))
       .select(col(idCol).as("doc_id"), toks.as("_tk"))
       .filter(size(col("_tk")) >= 2)
       .select(col("doc_id"),
@@ -75,15 +78,22 @@ object CorpusStats {
     * per-doc, not tokens. */
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val db = docBigrams(docs, idCol, textCol)
+    // Marginalize the VOCABULARY table, not the doc-bigram stream: c_ug
+    // summed from c_bg is the same long (both marginalize the same
+    // occurrence stream), but the input is distinct-bigram-sized instead
+    // of doc×bigram-sized — and the model (c_bg, c_ug per bigram) joins
+    // to the probe stream ONCE instead of once per marginal. At 100 TB
+    // the probe stream is the corpus; each avoided join over it is a
+    // full-stream shuffle saved when the vocabulary outgrows broadcast.
     val bgc = db.groupBy("w1", "w2").agg(sum("m").as("c_bg"))
-    val ugc = db.groupBy("w1").agg(sum("m").as("c_ug"))
+    val ugc = bgc.groupBy("w1").agg(sum("c_bg").as("c_ug"))
     val qLogP = round(log(col("c_bg").cast("double") / col("c_ug")) * 1e6)
       .cast("long")
-    db.join(bgc, Seq("w1", "w2"))
-      .join(ugc, Seq("w1"))
+    val model = bgc.join(ugc, Seq("w1")).select(col("w1"), col("w2"), qLogP.as("lp"))
+    db.join(model, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(sum("m").as("n_bigrams"),
-        (sum(col("m") * qLogP).cast("double") / (sum("m") * lit(1e6)))
+        (sum(col("m") * col("lp")).cast("double") / (sum("m") * lit(1e6)))
           .as("avg_logp"))
   }
 
@@ -91,7 +101,8 @@ object CorpusStats {
     * analog of [[docBigrams]]; ≥3-token documents only. */
   private[ops] def docTrigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = split(trim(col(textCol)), "\\s+")
-    docs.filter(length(trim(col(textCol))) > 0)
+    // kernelParallel: same rationale as docBigrams
+    Dedup.kernelParallel(docs.filter(length(trim(col(textCol))) > 0))
       .select(col(idCol).as("doc_id"), toks.as("_tk"))
       .filter(size(col("_tk")) >= 3)
       .select(col("doc_id"),
@@ -126,25 +137,37 @@ object CorpusStats {
     * tokens. Output: (doc_id, n_trigrams, avg_logp). */
   def trigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val dt = docTrigrams(docs, idCol, textCol)
+    // Every backoff count marginalizes the SAME trigram-occurrence
+    // stream, so each is equally a sum over the distinct-trigram count
+    // table: derive tgp/bgc/bgp/ugc/tot from tgc (vocabulary-sized
+    // inputs — long sums are order-free exact, values identical), stitch
+    // the per-trigram log-prob into ONE model table with vocab×vocab
+    // joins, and probe the doc-trigram stream ONCE. The previous shape
+    // re-aggregated the full doc×trigram stream per marginal (the static
+    // plan re-executed the scan+explode 6×) and chained five probe joins
+    // over the corpus-sized stream — five full-stream shuffles at the
+    // scale where the vocabulary no longer broadcasts.
     val tgc = dt.groupBy("w1", "w2", "w3").agg(sum("m").as("c_tg"))
-    val tgp = dt.groupBy("w1", "w2").agg(sum("m").as("c_tgp"))
-    val bgc = dt.groupBy("w2", "w3").agg(sum("m").as("c_bg"))
-    val bgp = dt.groupBy("w2").agg(sum("m").as("c_bgp"))
-    val ugc = dt.groupBy("w3").agg(sum("m").as("c_ug"))
-    val tot = dt.agg(sum("m").as("c_all"))
+    val tgp = tgc.groupBy("w1", "w2").agg(sum("c_tg").as("c_tgp"))
+    val bgc = tgc.groupBy("w2", "w3").agg(sum("c_tg").as("c_bg"))
+    val bgp = bgc.groupBy("w2").agg(sum("c_bg").as("c_bgp"))
+    val ugc = tgc.groupBy("w3").agg(sum("c_tg").as("c_ug"))
+    val tot = tgc.agg(sum("c_tg").as("c_all"))
     val p = lit(0.6) * (col("c_tg").cast("double") / col("c_tgp")) +
       lit(0.3) * (col("c_bg").cast("double") / col("c_bgp")) +
       lit(0.1) * (col("c_ug").cast("double") / col("c_all"))
     val qLogP = round(log(p) * 1e6).cast("long")
-    dt.join(tgc, Seq("w1", "w2", "w3"))
+    val model = tgc
       .join(tgp, Seq("w1", "w2"))
       .join(bgc, Seq("w2", "w3"))
       .join(bgp, Seq("w2"))
       .join(ugc, Seq("w3"))
       .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("w3"), qLogP.as("lp"))
+    dt.join(model, Seq("w1", "w2", "w3"))
       .groupBy("doc_id")
       .agg(sum("m").as("n_trigrams"),
-        (sum(col("m") * qLogP).cast("double") / (sum("m") * lit(1e6)))
+        (sum(col("m") * col("lp")).cast("double") / (sum("m") * lit(1e6)))
           .as("avg_logp"))
   }
 

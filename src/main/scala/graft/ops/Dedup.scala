@@ -43,8 +43,39 @@ object Dedup {
     * shuffle) at scale, a tiny-input shuffle exactly when the kernel
     * would otherwise run single-threaded. */
   private[graft] def kernelParallel(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+    val sess = df.sparkSession
+    val p = sess.sparkContext.defaultParallelism
+    // Decide STATICALLY — `df.rdd.getNumPartitions` under AQE calls
+    // getFinalPhysicalPlan(), which EXECUTES every upstream exchange just
+    // to count partitions (measured: join-derived inputs ran their whole
+    // upstream twice — d16/t13 1.6-1.7× walls). Three static cases:
+    //  - plan already shuffles → reduce width = spark.sql.shuffle
+    //    .partitions, nothing to widen;
+    //  - narrow pipeline over file scans (incl. broadcast joins: stream-
+    //    side width = scan splits) → estimate splits from leaf bytes /
+    //    maxPartitionBytes; repartition only when under the session
+    //    parallelism — a no-op at 100 TB by construction;
+    //  - no shuffle and no file scan (local/test fixtures) → tiny by
+    //    construction and AQE never wraps an exchange-free plan, so the
+    //    legacy rdd-partition count is safe and preserves test plans.
+    val plan = df.queryExecution.sparkPlan
+    val hasShuffle = plan.collectFirst {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.isDefined
+    if (hasShuffle) df
+    else {
+      val scans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      if (scans.nonEmpty) {
+        val maxSplit = math.max(1L,
+          sess.sessionState.conf.filesMaxPartitionBytes)
+        val splits = scans.map(s =>
+          math.max(1L, s.relation.location.sizeInBytes / maxSplit)).sum
+        if (splits >= p) df else df.repartition(p)
+      } else if (df.rdd.getNumPartitions >= p) df
+      else df.repartition(p)
+    }
   }
 
   /** The admission-index paths key on a bigint doc id; a silent
@@ -93,7 +124,13 @@ object Dedup {
     * optimizer evaluates at the scan. */
   def shingleHashSets(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3): DataFrame =
-    docs.filter(size(split(trim(col(textCol)), "\\s+")) >= n)
+    // kernelParallel: the md5-per-shingle pass is the family's CPU wall,
+    // and a fixture/increment-sized input arrives as 1-2 parquet splits —
+    // the whole hash pass then runs on 1-2 cores while the session has 32
+    // (measured: d12's scan stage 4.5 s of task time on 2 tasks). The
+    // valve is a no-op (zero shuffle) whenever the input already has
+    // ≥ defaultParallelism splits — the 100 TB case by construction.
+    kernelParallel(docs.filter(size(split(trim(col(textCol)), "\\s+")) >= n))
       .select(col(idCol).as("doc_id"),
         graft.expr.hfunctions.shingle_hashes60(col(textCol), n).as("hs"))
 
@@ -250,6 +287,11 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "inter", "uni", "jaccard")
+      // exchange-isolate the pair aggregate from a downstream global sort
+      // (see containmentPairs): the survivors are a tiny fraction of the
+      // candidate pairs, so this shuffle is near-free and the sort's
+      // sampling pass re-reads it instead of re-running the aggregate
+      .repartition(col("a_id"), col("b_id"))
   }
 
   /** MinHash signature from a shingle-hash array column: element i is
@@ -327,6 +369,9 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "inter", "uni", "jaccard")
+      // exchange-isolate the verify join from a downstream global sort
+      // (see containmentPairs): survivors ≪ candidates, near-free shuffle
+      .repartition(col("a_id"), col("b_id"))
   }
 
   /** Edit-distance VERIFIED near-dup pairs: MinHash-LSH band collisions
@@ -391,6 +436,10 @@ object Dedup {
       .toDF("a_id", "b_id", "dist", "max_len", "edit_sim")
       .filter(col("dist") >= 0 && // bounded DP reports -1 beyond maxDist
         (col("max_len") === 0 || col("edit_sim") >= editSim))
+      // exchange-isolate the per-pair Levenshtein DP from a downstream
+      // global sort (see containmentPairs): without this the sort's
+      // sampling pass re-runs the DP over every candidate pair
+      .repartition(col("a_id"), col("b_id"))
   }
 
   /** Band keys of one minhash signature as an ARRAY column: band index +
@@ -455,6 +504,10 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_id"), col("b.bench_id").as("bench_id"),
         col("inter"), col("uni"), col("jaccard"))
+      // exchange-isolate the broadcast probe from a downstream global
+      // sort (see containmentPairs): the probe is a full corpus pass and
+      // its contaminated survivors are benchmark-leak-sized
+      .repartition(col("doc_id"), col("bench_id"))
   }
 
   /** EDIT-verified benchmark decontamination — [[fuzzyContamination]]'s
@@ -903,6 +956,16 @@ object Dedup {
       .withColumn("containment", col("inter").cast("double") / col("n_a"))
       .filter(col("containment") >= threshold)
       .select("a_id", "b_id", "inter", "n_a", "containment")
+      // Exchange-isolate the pair aggregate from the caller's final
+      // ORDER BY: a global sort's RangePartitioner samples its child by
+      // EXECUTING it, then executes it again for the shuffle write — so
+      // everything above the last exchange runs twice. The pair
+      // aggregate is the operator's dominant stage (measured at sf0.1:
+      // two full executions, 35 s + 23 s of task time on 81 MB of pair
+      // rows); this shuffle carries only the thresholded survivors
+      // (orders of magnitude fewer rows), so the sampling pass re-reads
+      // a tiny exchange instead of re-aggregating every candidate pair.
+      .repartition(col("a_id"), col("b_id"))
   }
 
   /** Benchmark decontamination: count, per corpus document, the distinct
@@ -1015,7 +1078,8 @@ object Dedup {
                          idCol: String, textCol: String,
                          k: Int = 8): DataFrame = {
     require(k >= 2, s"k must be at least 2, got $k")
-    val occ = corpus.select(col(idCol).as("doc_id"),
+    // kernelParallel: md5-per-position map wall (see duplicateWindowStarts)
+    val occ = kernelParallel(corpus).select(col(idCol).as("doc_id"),
         posexplode(graft.expr.hfunctions.kgram_hashes60(col(textCol), k))
           .as(Seq("i0", "h")))
       .select(col("doc_id"), (col("i0") + 1).cast("long").as("pos"), col("h"))
@@ -1340,7 +1404,10 @@ object Dedup {
     val hashes =
       if (rollingHash) graft.expr.hfunctions.char_kgram_hashes_rolling(col(textCol), k)
       else graft.expr.hfunctions.char_kgram_hashes60(col(textCol), k)
-    val occ = docs.select(col(idCol).as("doc_id"),
+    // kernelParallel: one md5 per CHAR position — the steepest map-side
+    // CPU wall in the family; spread a 1-2-split input across the
+    // session's cores (zero shuffle at scale)
+    val occ = kernelParallel(docs).select(col(idCol).as("doc_id"),
         posexplode(hashes).as(Seq("i0", "h")))
       .select(col("doc_id"), (col("i0") + 1).cast("long").as("pos"), col("h"))
     // carry the occurrence count in the SAME aggregate (zero extra
@@ -1685,7 +1752,11 @@ object Dedup {
   private def duplicateWindowStarts(docs: DataFrame, idCol: String,
                                     textCol: String, k: Int): DataFrame = {
     require(k >= 2, s"k must be at least 2, got $k")
-    val occ = docs.select(col(idCol).as("doc_id"),
+    // kernelParallel: the positional-hash explode is the map-side CPU
+    // wall (one md5 per token position) — spread a 1-2-split input
+    // across the session's cores; zero shuffle at scale (Dedup
+    // shingleHashSets rationale)
+    val occ = kernelParallel(docs).select(col(idCol).as("doc_id"),
         posexplode(graft.expr.hfunctions.kgram_hashes60(col(textCol), k))
           .as(Seq("i0", "h")))
       .select(col("doc_id"), (col("i0") + 1).cast("long").as("pos"), col("h"))
@@ -1746,7 +1817,8 @@ object Dedup {
   def noveltyScores(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 8): DataFrame = {
     require(k >= 2, s"k must be at least 2, got $k")
-    val occ = docs.select(col(idCol).as("doc_id"),
+    // kernelParallel: md5-per-position map wall (see duplicateWindowStarts)
+    val occ = kernelParallel(docs).select(col(idCol).as("doc_id"),
         posexplode(graft.expr.hfunctions.kgram_hashes60(col(textCol), k))
           .as(Seq("i0", "h")))
       .select(col("doc_id"), (col("i0") + 1).cast("long").as("pos"), col("h"))
@@ -2169,5 +2241,8 @@ object Dedup {
       .withColumn("hamming", expr("bit_count(a_sh ^ b_sh)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
+      // exchange-isolate the band self-join from a downstream global sort
+      // (see containmentPairs): survivors ≪ candidates, near-free shuffle
+      .repartition(col("a_id"), col("b_id"))
   }
 }

@@ -1397,6 +1397,11 @@ object Similarity {
       .withColumn("sim", cosineq(col("a_q"), col("b_q"), col("a_nq"), col("b_nq")))
       .filter(col("sim") >= threshold)
       .select("a_id", "b_id", "sim")
+      // exchange-isolate the O(n²) scoring pass from a downstream global
+      // sort: a sort's RangePartitioner executes its child twice (sample
+      // + write), and here the child is the full cross join — the
+      // survivors this shuffle carries are a tiny fraction of n²
+      .repartition(col("a_id"), col("b_id"))
   }
 
   /** Integer hyperplane coefficients for plane `p` over dims 0..dim-1,
@@ -1556,6 +1561,9 @@ object Similarity {
       .withColumn("sim", cosineq(col("a_q"), col("b_q"), col("a_nq"), col("b_nq")))
       .filter(col("sim") >= threshold)
       .select("a_id", "b_id", "sim")
+      // exchange-isolate the verify join from a downstream global sort
+      // (see cosineNearDupPairsExact): survivors ≪ candidates
+      .repartition(col("a_id"), col("b_id"))
   }
 
   /** Recall@k of an approximate retriever against the exact ranking —
