@@ -42,6 +42,29 @@ object Dedup {
     * partitions than the session's parallelism — a no-op (and zero
     * shuffle) at scale, a tiny-input shuffle exactly when the kernel
     * would otherwise run single-threaded. */
+  /** Widen `df` to `p` partitions with a DETERMINISTIC hash-keyed
+    * repartition (guide §2.5: `pmod(xxhash64(...), 100·p)` — 100× more
+    * distinct key values than partitions spreads evenly). Round-robin
+    * `repartition(p)` is NOT used deliberately, for two measured reasons:
+    *  - AQE stage reuse never fires on round-robin exchanges (ReuseProbe:
+    *    an identical repartition(n) feeder consumed twice materializes
+    *    twice, 6 jobs; the same feeder hash-keyed materializes once,
+    *    5 jobs + ReusedQueryStage) — and the span-dedup family consumes
+    *    its widened feeder twice (winners aggregate + join-back probe);
+    *  - round-robin pays a per-row local sort of ALL columns below the
+    *    exchange (sortBeforeRepartition) to be retry-deterministic; a
+    *    content hash is retry-deterministic for free.
+    * Map-typed columns can't hash (Spark forbids it); rows hash over the
+    * hashable columns only, falling back to round-robin in the (absent
+    * in this codebase) all-map case. */
+  private def widen(df: DataFrame, p: Int): DataFrame = {
+    val hashable = df.schema.fields.filterNot(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+    if (hashable.isEmpty) df.repartition(p)
+    else df.repartition(p, pmod(
+      xxhash64(hashable.map(f => col(f.name)): _*), lit(100L * p)))
+  }
+
   private[graft] def kernelParallel(df: DataFrame): DataFrame = {
     val sess = df.sparkSession
     val p = sess.sparkContext.defaultParallelism
@@ -72,9 +95,9 @@ object Dedup {
           sess.sessionState.conf.filesMaxPartitionBytes)
         val splits = scans.map(s =>
           math.max(1L, s.relation.location.sizeInBytes / maxSplit)).sum
-        if (splits >= p) df else df.repartition(p)
+        if (splits >= p) df else widen(df, p)
       } else if (df.rdd.getNumPartitions >= p) df
-      else df.repartition(p)
+      else widen(df, p)
     }
   }
 
@@ -1406,8 +1429,13 @@ object Dedup {
       else graft.expr.hfunctions.char_kgram_hashes60(col(textCol), k)
     // kernelParallel: one md5 per CHAR position — the steepest map-side
     // CPU wall in the family; spread a 1-2-split input across the
-    // session's cores (zero shuffle at scale)
-    val occ = kernelParallel(docs).select(col(idCol).as("doc_id"),
+    // session's cores (zero shuffle at scale). The explicit isNotNull
+    // mirrors the constraint the optimizer infers on the join-back
+    // branch alone — without it the two widen-exchange copies don't
+    // canonicalize equal and AQE never reuses the feeder (see
+    // duplicateWindowStarts).
+    val occ = kernelParallel(docs.filter(col(idCol).isNotNull))
+      .select(col(idCol).as("doc_id"),
         posexplode(hashes).as(Seq("i0", "h")))
       .select(col("doc_id"), (col("i0") + 1).cast("long").as("pos"), col("h"))
     // carry the occurrence count in the SAME aggregate (zero extra
@@ -1755,8 +1783,17 @@ object Dedup {
     // kernelParallel: the positional-hash explode is the map-side CPU
     // wall (one md5 per token position) — spread a 1-2-split input
     // across the session's cores; zero shuffle at scale (Dedup
-    // shingleHashSets rationale)
-    val occ = kernelParallel(docs).select(col(idCol).as("doc_id"),
+    // shingleHashSets rationale).
+    // The EXPLICIT isNotNull matters for plan identity, not semantics:
+    // the join-back's null-intolerant (doc_id, pos) filter makes the
+    // optimizer INFER isnotnull(doc_id) and push it below the probe
+    // branch's copy of the widen exchange only — the two copies stop
+    // canonicalizing equal and AQE stage reuse never fires (the feeder
+    // materialized twice). Filtering before the fork puts the same
+    // predicate below BOTH copies; a null-id doc never matched the
+    // join-back anyway.
+    val occ = kernelParallel(docs.filter(col(idCol).isNotNull))
+      .select(col(idCol).as("doc_id"),
         posexplode(graft.expr.hfunctions.kgram_hashes60(col(textCol), k))
           .as(Seq("i0", "h")))
       .select(col("doc_id"), (col("i0") + 1).cast("long").as("pos"), col("h"))

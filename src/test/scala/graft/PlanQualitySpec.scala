@@ -265,6 +265,25 @@ class PlanQualitySpec extends SparkSpec {
       "the compiled char kernels must be in the plan, not an interpreted HOF chain")
   }
 
+  test("span-dedup widen feeder: the two exchange copies canonicalize equal (AQE stage-reuse precondition)") {
+    // the occ feeder (scan → isnotnull → widen exchange) is consumed by
+    // BOTH the winners aggregate and the join-back probe; AQE only
+    // materializes it once if the two copies canonicalize equal. Two
+    // things broke this historically: round-robin repartition (its
+    // exchanges never canonicalize equal — ReuseProbe) and the
+    // optimizer's inferred isnotnull(doc_id) pushing below only the
+    // probe-side copy (fixed by filtering explicitly before the fork).
+    for (name <- Seq("d15_span_dedup", "d30_char_span_dedup")) {
+      val widens = q(name).queryExecution.sparkPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("pmod(xxhash64") => e
+      }
+      assert(widens.size == 2, s"$name: expected the widen feeder twice, got ${widens.size}")
+      assert(widens.map(_.canonicalized).distinct.size == 1,
+        s"$name: widen copies must canonicalize equal or the feeder materializes twice")
+    }
+  }
+
   test("d16 duplicate runs: d15's plan + a compiled merge kernel — no window, no extra join") {
     val root = q("d16_duplicate_runs").queryExecution.optimizedPlan
     val windows = root.collect {
@@ -307,10 +326,15 @@ class PlanQualitySpec extends SparkSpec {
       "the benchmark collapses to a 1-row broadcast the corpus cross-probes")
     assert(!physical.contains("SortMergeJoin"), physical.take(800))
     assert(!physical.contains("CartesianProduct"), physical.take(800))
-    // the only exchanges: the tiny bench-side aggregation and the final
-    // sort — the corpus path itself is scan → probe → verify, map-only
-    val exchanges = "Exchange (hash|range|single)partitioning".r
-      .findAllIn(physical).size
+    // the only DATA-DEPENDENT exchanges: the tiny bench-side aggregation
+    // and the final sort — the corpus path itself is scan → probe →
+    // verify, map-only. The kernelParallel width valve (spelled
+    // hashpartitioning(pmod(xxhash64(...))) since it went hash-keyed for
+    // AQE stage reuse) is content-blind widening, not a shuffle of keyed
+    // data, and is excluded from the count.
+    val exchanges = physical.linesIterator
+      .filterNot(_.contains("pmod(xxhash64("))
+      .count("Exchange (hash|range|single)partitioning".r.findFirstIn(_).isDefined)
     assert(exchanges <= 2, s"corpus path must not shuffle:\n${physical.take(1200)}")
   }
 
@@ -588,12 +612,14 @@ class PlanQualitySpec extends SparkSpec {
       "the gram-index kernel replaces every join:\n" + physical.take(800))
     assert(!physical.contains("Generate"),
       "no gram explode may survive:\n" + physical.take(800))
-    // allowed exchanges: the kernelParallel round-robin valve (a no-op at
+    // allowed exchanges: the kernelParallel width valve (a no-op at
     // scale — only fires when the fixture scan has fewer splits than
-    // cores) and the final ORDER BY's range partitioning; a HASH
+    // cores; hash-keyed on pmod(xxhash64(row)) so AQE can reuse it) and
+    // the final ORDER BY's range partitioning; any OTHER hash
     // partitioning would mean a join/aggregate crept back in
-    assert(!physical.contains("hashpartitioning"),
-      "no hash exchange — candidacy must stay inside the kernel:\n" + physical.take(800))
+    assert(physical.linesIterator.filterNot(_.contains("pmod(xxhash64("))
+        .forall(!_.contains("hashpartitioning")),
+      "no keyed hash exchange — candidacy must stay inside the kernel:\n" + physical.take(800))
   }
 
   test("m12 clip match: clip prints broadcast; the track corpus never sort-merge joins") {
