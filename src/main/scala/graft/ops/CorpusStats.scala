@@ -46,6 +46,16 @@ object CorpusStats {
           i => struct(element_at(col("_tk"), i).as("w1"),
             element_at(col("_tk"), i + 1).as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      // explicit no-op null guard (split() tokens are never null) so every
+      // consumer branch carries the isnotnull constraints the optimizer
+      // would otherwise INFER from its own join keys and push down
+      // asymmetrically — canonical-distinct copies of this subtree each
+      // rematerialize the exchange (the t21 profile showed the
+      // tokenize+explode+agg stage executing once PER marginal); with the
+      // constraint pre-seeded, all copies canonicalize equal and AQE
+      // materializes the gram aggregate once (the kernelParallel
+      // hash-key/reuse discipline)
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
   }
 
@@ -112,6 +122,9 @@ object CorpusStats {
             element_at(col("_tk"), i + 2).as("w3")))).as("tg"))
       .select(col("doc_id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
         col("tg.w3").as("w3"))
+      // no-op null guard for canonical equality across consumer branches —
+      // see docBigrams; t21's five marginals each fork this subtree
+      .filter(col("w1").isNotNull && col("w2").isNotNull && col("w3").isNotNull)
       .groupBy("doc_id", "w1", "w2", "w3").agg(count(lit(1)).as("m"))
   }
 
@@ -565,7 +578,14 @@ object CorpusStats {
     val M = 1L << 20
     val u = (Dedup.hash60(concat(lit(seed + "|"), col(idCol).cast("string")))
       .mod(M).cast("double") + 0.5) / M
-    val keyed = scored
+    // `keyed` forks into the top-k aggregate AND the join-back probe; the
+    // inner join infers isnotnull(id) on the probe copy only, pushing it
+    // below every exchange of the scoring chain and making the two copies
+    // canonical-distinct — the whole corpus-sized dsirTf stage then
+    // materializes twice. Seeding the constraint before the fork keeps the
+    // deep exchanges canonical-equal so AQE reuses them (the docBigrams /
+    // span-dedup discipline); a null id could never survive the join anyway
+    val keyed = scored.filter(col(idCol).isNotNull)
       .withColumn("gumbel_q", round(-log(-log(u)) * 1e6).cast("long"))
       .withColumn("key_q", col(weightCol) + col("gumbel_q"))
     val top = keyed.groupBy()

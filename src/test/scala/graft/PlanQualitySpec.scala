@@ -284,6 +284,40 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("LM gram feeders: every copy of a shared gram aggregate canonicalizes equal") {
+    // t21's five marginals + probe each fork the docTrigrams subtree (t10,
+    // p39 the same shape; p26's dsirTf forks into top-k vs join-back):
+    // the consumer joins infer isnotnull on their own keys and push them
+    // below only their own copy, so without the explicit pre-fork null
+    // guards the copies are canonical-distinct and the
+    // tokenize+explode+aggregate stage rematerializes once PER consumer
+    // (the t21 profile showed it 6x before the guard). The divergence is
+    // logical (inference + pushdown), so the pin checks the optimized
+    // LOGICAL plan: every replica of the gram aggregate must canonicalize
+    // equal — the precondition for AQE runtime stage reuse.
+    val feeders = Seq(
+      "t10_lm_score" -> Set("doc_id", "w1", "w2"),
+      "t21_trigram_lm" -> Set("doc_id", "w1", "w2", "w3"),
+      "p39_excess_loss_weights" -> Set("doc_id", "w1", "w2"), // source rename is a Project above
+      "p26_dsir_select" -> Set("doc_id", "b"))
+    for ((name, keys) <- feeders) {
+      val aggs = q(name).queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+            if a.groupingExpressions.size == keys.size &&
+               a.groupingExpressions.forall {
+                 case att: org.apache.spark.sql.catalyst.expressions.Attribute =>
+                   keys.contains(att.name)
+                 case _ => false
+               } => a
+      }
+      assert(aggs.size >= 2,
+        s"$name: expected the shared ${keys.mkString(",")} gram aggregate in ≥2 consumer branches, got ${aggs.size}")
+      assert(aggs.map(_.canonicalized).distinct.size == 1,
+        s"$name: ${aggs.size} copies of the ${keys.mkString(",")} gram aggregate must " +
+          "canonicalize equal or each consumer rematerializes the feeder")
+    }
+  }
+
   test("d16 duplicate runs: d15's plan + a compiled merge kernel — no window, no extra join") {
     val root = q("d16_duplicate_runs").queryExecution.optimizedPlan
     val windows = root.collect {
