@@ -1430,34 +1430,39 @@ object Dedup {
     // kernelParallel: one md5 per CHAR position — the steepest map-side
     // CPU wall in the family; spread a 1-2-split input across the
     // session's cores (zero shuffle at scale). The explicit isNotNull
-    // mirrors the constraint the optimizer infers on the join-back
-    // branch alone — without it the two widen-exchange copies don't
-    // canonicalize equal and AQE never reuses the feeder (see
-    // duplicateWindowStarts).
+    // keeps the filter below the exchange (a null-id doc never matched
+    // the join-back anyway). The single .repartition(h) is the
+    // one-exchange self-join shape — see duplicateWindowStarts: the
+    // positional kernel runs once (was once per branch), the winners
+    // aggregate and the join-back probe read the SAME h-keyed exchange
+    // (AQE ReusedQueryStage), and no driver-built broadcast relation
+    // remains (the profile showed a consistent ~1.5 s driver gap
+    // building it at sf0.1).
     val occ = kernelParallel(docs.filter(col(idCol).isNotNull))
       .select(col(idCol).as("doc_id"),
         posexplode(hashes).as(Seq("i0", "h")))
       .select(col("doc_id"), (col("i0") + 1).cast("long").as("pos"), col("h"))
+      .repartition(col("h"))
     // carry the occurrence count in the SAME aggregate (zero extra
     // shuffle) and keep only multi-occurrence grams: a unique gram's sole
     // occurrence IS its winner, so it can never produce a cut — on a
     // mostly-novel corpus (the 100 TB case) this shrinks the join-back
     // side from one row per DISTINCT gram to one per DUPLICATE-CLASS
-    // gram. What that buys, measured at 10x scale on a ~10%-duplication
-    // corpus (the realistic case): the join's sorted/merged winners side
-    // and the per-row match work shrink ~1/duplication (A/B vs the
-    // unfiltered plan: 20.6 s -> 15.5 s at sf1), and when the duplicate
-    // class fits the broadcast threshold the planner takes a static
-    // broadcast join and occ's second shuffle disappears entirely. The
-    // occ agg shuffle itself (~24 B/char positional grams) is the
-    // irreducible Lee et al. cost; the streaming form (StreamCharSpanDedup)
-    // stays the declared 100 TB path because it amortizes that volume
-    // per trigger against bucket-pruned state
+    // gram (measured at 10x scale on a ~10%-duplication corpus: A/B vs
+    // the unfiltered plan 20.6 s -> 15.5 s at sf1). The occ exchange
+    // (~24 B/char positional grams) is the irreducible Lee et al. cost
+    // and the ONLY corpus-sized shuffle in the operator; the streaming
+    // form (StreamCharSpanDedup) stays the declared 100 TB path because
+    // it amortizes that volume per trigger against bucket-pruned state.
+    // SHUFFLE_HASH: the post-filter winners side is small per partition
+    // and hash-uniform (keys ARE hashes — no skew by construction), so
+    // the in-stage hash build beats both a sort of the probe stream
+    // (SMJ) and a driver-built broadcast.
     val winners = occ.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("w"),
         count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2).select(col("h"), col("w"))
-    val dupStarts = occ.join(winners, Seq("h"))
+    val dupStarts = occ.join(winners.hint("SHUFFLE_HASH"), Seq("h"))
       .filter(!(col("doc_id") === col("w.doc_id") && col("pos") === col("w.pos")))
       .groupBy(col("doc_id"))
       .agg(collect_list(col("pos")).as("starts"))
@@ -1773,41 +1778,51 @@ object Dedup {
 
   /** Per-doc 1-based start positions of every k-token window that is a
     * NON-first global occurrence of its k-gram — [[dedupSpans]]' cut
-    * set, shared with [[duplicateRuns]]. One groupBy(h) min-struct
-    * aggregate (map-side partials collapse boilerplate k-grams before
-    * the shuffle), join back on h, regroup per doc. Output:
-    * (doc_id, starts: array<bigint>). */
+    * set, shared with [[duplicateRuns]]. ONE h-keyed exchange of the
+    * positional gram stream serves both the winners aggregate and the
+    * join-back probe (guide §2.4 "two operations keyed the same way
+    * share one exchange"); the join is a same-stage shuffled-hash
+    * self-join. Output: (doc_id, starts: array<bigint>). */
   private def duplicateWindowStarts(docs: DataFrame, idCol: String,
                                     textCol: String, k: Int): DataFrame = {
     require(k >= 2, s"k must be at least 2, got $k")
     // kernelParallel: the positional-hash explode is the map-side CPU
     // wall (one md5 per token position) — spread a 1-2-split input
     // across the session's cores; zero shuffle at scale (Dedup
-    // shingleHashSets rationale).
-    // The EXPLICIT isNotNull matters for plan identity, not semantics:
-    // the join-back's null-intolerant (doc_id, pos) filter makes the
-    // optimizer INFER isnotnull(doc_id) and push it below the probe
-    // branch's copy of the widen exchange only — the two copies stop
-    // canonicalizing equal and AQE stage reuse never fires (the feeder
-    // materialized twice). Filtering before the fork puts the same
-    // predicate below BOTH copies; a null-id doc never matched the
-    // join-back anyway.
+    // shingleHashSets rationale). The explicit isNotNull keeps the
+    // filter below the exchange (a null-id doc never matched the
+    // join-back anyway).
+    //
+    // The single .repartition(h) replaces the previous two-branch shape
+    // (winners partial-agg shuffle + a separate full-volume probe
+    // shuffle that AQE materialized even when it then broadcast the
+    // winners). Both consumers need h-clustering, the probe side must
+    // ship EVERY position regardless, and hashpartitioning(h) satisfies
+    // the aggregate's and the join's distribution — so one exchange,
+    // written once and read twice (AQE ReusedQueryStage; the exchange
+    // is h-keyed, hence deterministic under retry), carries the whole
+    // operator: the positional kernel runs ONCE (was twice — once per
+    // branch), the winners-side map sort of the full gram stream is
+    // gone, and no driver-built broadcast relation remains (d30's
+    // profile showed a consistent ~1.5 s driver gap building it).
     val occ = kernelParallel(docs.filter(col(idCol).isNotNull))
       .select(col(idCol).as("doc_id"),
         posexplode(graft.expr.hfunctions.kgram_hashes60(col(textCol), k))
           .as(Seq("i0", "h")))
       .select(col("doc_id"), (col("i0") + 1).cast("long").as("pos"), col("h"))
+      .repartition(col("h"))
     // keep only multi-occurrence grams on the join-back side (count
     // carried in the same aggregate — zero extra shuffle): unique grams
-    // cannot cut, so the join's winners side shrinks to duplicate-class
-    // grams — broadcast-joinable on mostly-novel corpora, and
-    // ~1/duplication less sort/merge work when it is not (same shape as
-    // dedupCharSpans — see the comment there for the measured rationale)
+    // cannot cut. Post-filter the per-partition winners side is small
+    // (duplicate-class grams only) and hash-uniform by construction
+    // (keys ARE hashes), so the SHUFFLE_HASH hint builds the in-stage
+    // hash table from it without sorting the probe stream — and without
+    // the 8 GB broadcast cap a static broadcast would reimpose at scale.
     val winners = occ.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("w"),
         count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2).select(col("h"), col("w"))
-    occ.join(winners, Seq("h"))
+    occ.join(winners.hint("SHUFFLE_HASH"), Seq("h"))
       .filter(!(col("doc_id") === col("w.doc_id") && col("pos") === col("w.pos")))
       .groupBy(col("doc_id"))
       .agg(collect_list(col("pos")).as("starts"))

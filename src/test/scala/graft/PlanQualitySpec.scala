@@ -265,56 +265,88 @@ class PlanQualitySpec extends SparkSpec {
       "the compiled char kernels must be in the plan, not an interpreted HOF chain")
   }
 
-  test("span-dedup widen feeder: the two exchange copies canonicalize equal (AQE stage-reuse precondition)") {
-    // the occ feeder (scan → isnotnull → widen exchange) is consumed by
-    // BOTH the winners aggregate and the join-back probe; AQE only
-    // materializes it once if the two copies canonicalize equal. Two
-    // things broke this historically: round-robin repartition (its
-    // exchanges never canonicalize equal — ReuseProbe) and the
-    // optimizer's inferred isnotnull(doc_id) pushing below only the
-    // probe-side copy (fixed by filtering explicitly before the fork).
+  test("span-dedup occ exchange: the two h-keyed copies canonicalize equal (AQE stage-reuse precondition)") {
+    // the positional occ stream (scan → isnotnull → widen → kernel →
+    // posexplode → repartition(h)) is consumed by BOTH the winners
+    // aggregate and the join-back probe; the pre-AQE plan inlines the
+    // fork twice, and AQE materializes the h-keyed exchange ONCE only if
+    // the two copies canonicalize equal — that single exchange carries
+    // the whole feeder, positional kernel included. Two things broke the
+    // equality historically: round-robin widening (its exchanges never
+    // canonicalize equal — ReuseProbe) and the optimizer's inferred
+    // isnotnull(doc_id) pushing below only the probe-side copy (fixed by
+    // filtering explicitly before the fork).
     for (name <- Seq("d15_span_dedup", "d30_char_span_dedup")) {
-      val widens = q(name).queryExecution.sparkPlan.collect {
+      val hexch = q(name).queryExecution.sparkPlan.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-            if e.outputPartitioning.toString.contains("pmod(xxhash64") => e
+            if (e.outputPartitioning match {
+              case hp: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+                hp.expressions match {
+                  case Seq(att: org.apache.spark.sql.catalyst.expressions.Attribute) =>
+                    att.name == "h"
+                  case _ => false
+                }
+              case _ => false
+            }) => e
       }
-      assert(widens.size == 2, s"$name: expected the widen feeder twice, got ${widens.size}")
-      assert(widens.map(_.canonicalized).distinct.size == 1,
-        s"$name: widen copies must canonicalize equal or the feeder materializes twice")
+      assert(hexch.size == 2,
+        s"$name: expected the h-keyed occ exchange twice (pre-AQE fork), got ${hexch.size}")
+      assert(hexch.map(_.canonicalized).distinct.size == 1,
+        s"$name: h-exchange copies must canonicalize equal or the feeder (kernel included) materializes twice")
     }
   }
 
-  test("LM gram feeders: every copy of a shared gram aggregate canonicalizes equal") {
+  test("LM gram feeders: the shared gram-aggregate EXCHANGE copies canonicalize equal") {
     // t21's five marginals + probe each fork the docTrigrams subtree (t10,
     // p39 the same shape; p26's dsirTf forks into top-k vs join-back):
     // the consumer joins infer isnotnull on their own keys and push them
     // below only their own copy, so without the explicit pre-fork null
     // guards the copies are canonical-distinct and the
     // tokenize+explode+aggregate stage rematerializes once PER consumer
-    // (the t21 profile showed it 6x before the guard). The divergence is
-    // logical (inference + pushdown), so the pin checks the optimized
-    // LOGICAL plan: every replica of the gram aggregate must canonicalize
-    // equal — the precondition for AQE runtime stage reuse.
+    // (the t21 profile showed it 6x before the guard). The precondition
+    // AQE runtime stage reuse actually needs is PHYSICAL: every copy of
+    // the gram-keyed shuffle exchange (partial agg below, keyed on the
+    // grouping columns) must canonicalize equal. The final aggregates
+    // ABOVE the exchange are allowed to differ — column pruning legally
+    // drops doc_id from a marginal branch's output list while the probe
+    // branch keeps it, which is why this pin groups exchanges, not
+    // logical Aggregates.
+    // expectedGroups: p26's dsirTf runs over THREE genuinely different
+    // inputs (full corpus, in-domain subset, held-out subset) — three
+    // canonical groups is correct there; the others share one feeder.
     val feeders = Seq(
-      "t10_lm_score" -> Set("doc_id", "w1", "w2"),
-      "t21_trigram_lm" -> Set("doc_id", "w1", "w2", "w3"),
-      "p39_excess_loss_weights" -> Set("doc_id", "w1", "w2"), // source rename is a Project above
-      "p26_dsir_select" -> Set("doc_id", "b"))
-    for ((name, keys) <- feeders) {
-      val aggs = q(name).queryExecution.optimizedPlan.collect {
-        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
-            if a.groupingExpressions.size == keys.size &&
-               a.groupingExpressions.forall {
-                 case att: org.apache.spark.sql.catalyst.expressions.Attribute =>
-                   keys.contains(att.name)
-                 case _ => false
-               } => a
-      }
-      assert(aggs.size >= 2,
-        s"$name: expected the shared ${keys.mkString(",")} gram aggregate in ≥2 consumer branches, got ${aggs.size}")
-      assert(aggs.map(_.canonicalized).distinct.size == 1,
-        s"$name: ${aggs.size} copies of the ${keys.mkString(",")} gram aggregate must " +
-          "canonicalize equal or each consumer rematerializes the feeder")
+      ("t10_lm_score", Set("doc_id", "w1", "w2"), 1),
+      ("t21_trigram_lm", Set("doc_id", "w1", "w2", "w3"), 1),
+      ("p39_excess_loss_weights", Set("doc_id", "w1", "w2"), 1), // source rename is a Project above
+      ("p26_dsir_select", Set("doc_id", "b"), 3))
+    for ((name, keys, expectedGroups) <- feeders) {
+      // sparkPlan predates EnsureRequirements — the aggregate's
+      // ENSURE_REQUIREMENTS exchange only exists after preparation, so
+      // apply the rule (deterministic, no execution) before collecting
+      val prepared = org.apache.spark.sql.execution.exchange
+        .EnsureRequirements().apply(q(name).queryExecution.sparkPlan)
+      val exchanges = prepared.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.outputPartitioning match {
+            case hp: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+                if hp.expressions.size == keys.size &&
+                   hp.expressions.forall {
+                     case att: org.apache.spark.sql.catalyst.expressions.Attribute =>
+                       keys.contains(att.name)
+                     case _ => false
+                   } => Some(e)
+            case _ => None
+          }
+      }.flatten
+      assert(exchanges.size >= 2 * expectedGroups,
+        s"$name: expected each of $expectedGroups ${keys.mkString(",")}-keyed gram feeders in ≥2 consumer branches, got ${exchanges.size} exchanges")
+      val groups = exchanges.groupBy(_.canonicalized).values.toSeq
+      assert(groups.size == expectedGroups,
+        s"$name: expected $expectedGroups canonical feeder group(s) among ${exchanges.size} " +
+          s"${keys.mkString(",")}-keyed exchanges, got ${groups.size} — an extra group means " +
+          "a consumer branch rematerializes its feeder (asymmetric pushdown)")
+      assert(groups.forall(_.size >= 2),
+        s"$name: every feeder group must be shared by ≥2 consumers, got sizes ${groups.map(_.size).sorted.mkString(",")}")
     }
   }
 
@@ -1025,7 +1057,7 @@ class PlanQualitySpec extends SparkSpec {
     } finally { wf.unpersist(blocking = false); () }
   }
 
-  test("span dedup join-back: probe side filtered to multi-occurrence grams; duplicate-class side broadcasts at fixture scale") {
+  test("span dedup join-back: winners filtered to multi-occurrence grams; same-stage shuffled-hash self-join, no probe sort") {
     import org.apache.spark.sql.catalyst.plans.logical.Filter
     val d = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text"))
@@ -1040,11 +1072,14 @@ class PlanQualitySpec extends SparkSpec {
         case f: Filter if f.condition.toString.contains("n_occ") => f }
       assert(countFilters.nonEmpty,
         s"$tag: winners side must filter n_occ >= 2:\n${plan.toString.take(1200)}")
-      // and at fixture scale AQE turns the shrunken side into a broadcast:
-      // the positional occ frame is never shuffled a second time
+      // and the join-back is a same-stage shuffled-hash self-join over
+      // the ONE h-keyed occ exchange (winners side is duplicate-class
+      // sized and hash-uniform — keys ARE hashes): no sort of the probe
+      // stream, no driver-built broadcast relation of the winners, and
+      // no second shuffle of the positional occ frame
       out.collect()
       val exec = out.queryExecution.executedPlan.toString
-      assert(exec.contains("BroadcastHashJoin"), s"$tag:\n${exec.take(1200)}")
+      assert(exec.contains("ShuffledHashJoin"), s"$tag:\n${exec.take(1200)}")
       assert(!exec.contains("SortMergeJoin"), s"$tag:\n${exec.take(1200)}")
     }
   }
