@@ -103,6 +103,40 @@ object TextHash {
     out
   }
 
+  /** POSITIONAL token n-grams as structs of their tokens — the compiled
+    * replacement for the interpreted `transform(sequence(1, size-n+1),
+    * i -> struct(element_at(tk, i), ...))` HOF chain in the LM/census
+    * gram builders (~20µs/element interpreted — see the object
+    * docstring). Tokenization is [[tokens]] (≡ `split(trim(text),
+    * "\s+")`); texts with fewer than n tokens — including the
+    * single-empty-token artifact of splitting empty/whitespace-only
+    * text — yield an EMPTY array, so callers need no size() guard
+    * (unlike `sequence(1, 0)`, which runs DESCENDING, not empty).
+    * Token UTF8Strings are built once and shared across the up-to-n
+    * gram structs that reference them. */
+  def tokenNgrams(text: UTF8String, n: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = tokens(text.toString)
+    if (toks.length < n || (toks.length == 1 && toks(0).isEmpty))
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val us = new Array[UTF8String](toks.length)
+    var t = 0
+    while (t < toks.length) { us(t) = UTF8String.fromString(toks(t)); t += 1 }
+    val m = toks.length - n + 1
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val fields = new Array[Any](n)
+      var j = 0
+      while (j < n) { fields(j) = us(i + j); j += 1 }
+      out(i) =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fields)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** POSITIONAL 60-bit k-gram hashes (non-distinct, window order):
     * element i is [[hash60]] of tokens i..i+n-1 joined by single spaces —
     * the positional twin of [[shingleHashes60]], for span-level

@@ -667,6 +667,31 @@ case class WinnowHashes(child: Expression, k: Int, w: Int) extends UnaryExpressi
   override def prettyName: String = "winnow_hashes"
 }
 
+/** Positional token n-grams of a text column as (w1..wn: string)
+  * structs — [[TextHash.tokenNgrams]] as one compiled pass, replacing
+  * the interpreted `transform(sequence(1, size-n+1), i ->
+  * struct(element_at(_tk, i), ...))` HOF chain in the LM/census gram
+  * builders. Tokenization ≡ `split(trim(text), "\s+")`; fewer than n
+  * tokens (including empty/whitespace-only text) yields an empty
+  * array, so `explode` downstream drops the document without a
+  * `size()` guard. */
+case class TokenNgrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType((1 to n).map(i => StructField(s"w$i", StringType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.tokenNgrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.TextHash.tokenNgrams($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenNgrams =
+    copy(child = newChild)
+  override def prettyName: String = "token_ngrams"
+}
+
 /** Positional (non-distinct) 60-bit k-gram hashes of a text column —
   * [[TextHash.kgramHashes60]] as one compiled pass. Element i hashes
   * tokens i..i+n-1; `posexplode` downstream recovers (position, hash)
@@ -886,6 +911,10 @@ object hfunctions {
   /** positional 60-bit k-gram hashes of a text column (compiled pass) */
   def kgram_hashes60(text: Column, n: Int): Column =
     expr2col(KgramHashes60(col2expr(text), n))
+
+  /** positional token n-grams as (w1..wn) structs (compiled pass) */
+  def token_ngrams(text: Column, n: Int): Column =
+    expr2col(TokenNgrams(col2expr(text), n))
 
   /** Positional char k-gram hashes over whitespace-normalized text. */
   def char_kgram_hashes60(text: Column, k: Int): Column =

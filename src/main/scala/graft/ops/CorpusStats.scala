@@ -34,17 +34,15 @@ object CorpusStats {
     * occurrence, and it collapses map-side. Documents with fewer than two
     * tokens have no bigrams and drop out at the scan. */
   private[ops] def docBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = split(trim(col(textCol)), "\\s+")
     // kernelParallel: the tokenize+explode+partial-agg stage is the LM
     // family's CPU wall and a small input arrives as 1-2 splits (the
-    // Dedup.shingleHashSets rationale; zero shuffle at scale)
+    // Dedup.shingleHashSets rationale; zero shuffle at scale). The
+    // compiled token_ngrams kernel replaces the interpreted
+    // transform(sequence(...)) HOF chain — <2-token texts yield an
+    // empty array, so no size() guard is needed
     Dedup.kernelParallel(docs.filter(length(trim(col(textCol))) > 0))
-      .select(col(idCol).as("doc_id"), toks.as("_tk"))
-      .filter(size(col("_tk")) >= 2)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("_tk")) - 1),
-          i => struct(element_at(col("_tk"), i).as("w1"),
-            element_at(col("_tk"), i + 1).as("w2")))).as("bg"))
+      .select(col(idCol).as("doc_id"),
+        explode(graft.expr.hfunctions.token_ngrams(col(textCol), 2)).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       // explicit no-op null guard (split() tokens are never null) so every
       // consumer branch carries the isnotnull constraints the optimizer
@@ -110,16 +108,10 @@ object CorpusStats {
   /** Per-document trigram counts (doc_id, w1, w2, w3, m) — the trigram
     * analog of [[docBigrams]]; ≥3-token documents only. */
   private[ops] def docTrigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = split(trim(col(textCol)), "\\s+")
-    // kernelParallel: same rationale as docBigrams
+    // kernelParallel + compiled token_ngrams: same rationale as docBigrams
     Dedup.kernelParallel(docs.filter(length(trim(col(textCol))) > 0))
-      .select(col(idCol).as("doc_id"), toks.as("_tk"))
-      .filter(size(col("_tk")) >= 3)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("_tk")) - 2),
-          i => struct(element_at(col("_tk"), i).as("w1"),
-            element_at(col("_tk"), i + 1).as("w2"),
-            element_at(col("_tk"), i + 2).as("w3")))).as("tg"))
+      .select(col(idCol).as("doc_id"),
+        explode(graft.expr.hfunctions.token_ngrams(col(textCol), 3)).as("tg"))
       .select(col("doc_id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
         col("tg.w3").as("w3"))
       // no-op null guard for canonical equality across consumer branches —
@@ -488,13 +480,15 @@ object CorpusStats {
   private def dsirTf(docs: DataFrame, idCol: String, textCol: String,
                      buckets: Int): DataFrame = {
     val base = docs.filter(length(trim(col(textCol))) > 0)
-      .select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("_tk"))
-    val uni = base.select(col("doc_id"), explode(col("_tk")).as("f"))
-    val bi = base.filter(size(col("_tk")) >= 2)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("_tk")) - 1),
-        i => concat(element_at(col("_tk"), i), lit(" "),
-          element_at(col("_tk"), i + 1)))).as("f"))
+      .select(col(idCol).as("doc_id"), col(textCol).as("_tx"))
+    val uni = base.select(col("doc_id"),
+      explode(split(trim(col("_tx")), "\\s+")).as("f"))
+    // compiled token_ngrams kernel (empty below 2 tokens — no size()
+    // guard); the feature string is the same space-joined bigram
+    val bi = base.select(col("doc_id"),
+        explode(graft.expr.hfunctions.token_ngrams(col("_tx"), 2)).as("g"))
+      .select(col("doc_id"),
+        concat(col("g.w1"), lit(" "), col("g.w2")).as("f"))
     uni.unionByName(bi)
       .select(col("doc_id"), (Dedup.hash60(col("f")) % buckets).as("b"))
       .groupBy("doc_id", "b").agg(count(lit(1)).as("m"))
@@ -780,18 +774,16 @@ object CorpusStats {
     * (term, pr_q), rank grid 1e-12. */
   def textRankTerms(docs: DataFrame, idCol: String, textCol: String,
                     minCount: Long = 3L, k: Int = 20): DataFrame = {
-    val tok = docs.filter(length(trim(col(textCol))) > 0)
-      .select(TextAnalysis.tokens(col(textCol)).as("tk"))
-    val words = tok.select(explode(col("tk")).as("w"))
+    val base = docs.filter(length(trim(col(textCol))) > 0)
+    val words = base.select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
     val kept = words.groupBy(col("w")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount).select(col("w"))
-    // size ≥ 2 guard: Spark's sequence(1, 0) runs DESCENDING, not empty
-    val pairs = tok.filter(size(col("tk")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(tk) - 1), " +
-          "i -> struct(element_at(tk, i) AS a, element_at(tk, i + 1) AS b))"))
-        .as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+    // adjacent-token pairs are token 2-grams: the compiled token_ngrams
+    // kernel (empty below 2 tokens — no size guard, no interpreted
+    // transform/sequence HOF chain)
+    val pairs = base
+      .select(explode(graft.expr.hfunctions.token_ngrams(col(textCol), 2)).as("p"))
+      .select(col("p.w1").as("a"), col("p.w2").as("b"))
       .filter(col("a") =!= col("b"))
       .join(kept.select(col("w").as("a")), Seq("a"), "left_semi")
       .join(kept.select(col("w").as("b")), Seq("b"), "left_semi")

@@ -1865,7 +1865,13 @@ object Dedup {
     * Cheaper than [[dedupSpans]]: per-doc novel counts come straight
     * off the winner aggregate (winners carry their (doc, pos)), so the
     * plan is the one groupBy(h) min-struct aggregate plus two uniform
-    * doc_id aggregations — NO join back on h at all. */
+    * doc_id aggregations — NO join back on h at all. The gram stream
+    * has exactly ONE consumer: per-doc window totals are tokenization
+    * arithmetic (windows = max(tokens - k + 1, 0); TextHash.tokens ≡
+    * split(trim(text), "\s+") by construction), so they come off a
+    * plain column pass over docs instead of a second kernel+posexplode
+    * pass over the positional stream (the old fork ran the
+    * md5-per-position kernel once per consumer). */
   def noveltyScores(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 8): DataFrame = {
     require(k >= 2, s"k must be at least 2, got $k")
@@ -1878,7 +1884,16 @@ object Dedup {
       .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
       .groupBy(col("w.doc_id").as("doc_id"))
       .agg(count(lit(1)).as("n_novel"))
-    occ.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+    // the kernel's window count, replayed without the kernel: empty or
+    // whitespace-only text has 0 tokens (split would report 1), short
+    // docs clamp to 0 windows and are dropped exactly like their empty
+    // gram arrays; duplicate ids sum, matching the per-id position count
+    val nTok = when(length(trim(col(textCol))) === 0, lit(0))
+      .otherwise(size(split(trim(col(textCol)), "\\s+")))
+    docs.select(col(idCol).as("doc_id"),
+        greatest(nTok - lit(k - 1), lit(0)).cast("long").as("wc"))
+      .filter(col("wc") > 0)
+      .groupBy(col("doc_id")).agg(sum(col("wc")).as("n_windows"))
       .join(novel, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_windows"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"))

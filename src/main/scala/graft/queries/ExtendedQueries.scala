@@ -2108,17 +2108,20 @@ object ExtendedQueries {
     // is a min-aggregate per gram; every frame after the (gram, decile)
     // census is gram- or decile-bounded
     "t36_novelty_curve" -> ((s, dir) => {
+      // the >=3-token filter stays (it defines which docs enter the
+      // decile bounds); gram generation moves to the compiled
+      // token_ngrams kernel + codegen'd concat_ws
       val d = t(s, dir, "documents")
         .filter(length(trim(col("text"))) > 0)
-        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("_tk"))
-        .filter(size(col("_tk")) >= 3)
+        .filter(size(split(trim(col("text")), "\\s+")) >= 3)
+        .select(col("doc_id"), col("text"))
       val bounds = d.agg(min(col("doc_id")).as("lo"),
         (max(col("doc_id")) - min(col("doc_id")) + 1).as("span"))
       val grams = d.crossJoin(broadcast(bounds))
         .select(expr("least(9L, ((doc_id - lo) * 10L) div span)").as("dec"),
-          explode(transform(sequence(lit(1), size(col("_tk")) - 2),
-            i => concat_ws(" ", element_at(col("_tk"), i),
-              element_at(col("_tk"), i + 1), element_at(col("_tk"), i + 2)))).as("tg"))
+          explode(graft.expr.hfunctions.token_ngrams(col("text"), 3)).as("g"))
+        .select(col("dec"),
+          concat_ws(" ", col("g.w1"), col("g.w2"), col("g.w3")).as("tg"))
         .distinct()
       val firstSeen = grams.groupBy(col("tg")).agg(min(col("dec")).as("first_dec"))
       val perDec = grams.groupBy(col("dec")).agg(count(lit(1)).as("n_grams"))
@@ -2139,15 +2142,15 @@ object ExtendedQueries {
     // the per-(doc, trigram) aggregate so probe traffic is distinct-
     // trigrams-per-doc, never tokens
     "t35_boilerplate_density" -> ((s, dir) => {
-      val toks = split(trim(col("text")), "\\s+")
+      // compiled token_ngrams kernel (empty below 3 tokens — no size
+      // guard needed); the join to the gram string happens post-explode
+      // in codegen'd concat_ws
       val dt = t(s, dir, "documents")
         .filter(length(trim(col("text"))) > 0)
-        .select(col("doc_id"), toks.as("_tk"))
-        .filter(size(col("_tk")) >= 3)
         .select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(col("_tk")) - 2),
-            i => concat_ws(" ", element_at(col("_tk"), i),
-              element_at(col("_tk"), i + 1), element_at(col("_tk"), i + 2)))).as("tg"))
+          explode(graft.expr.hfunctions.token_ngrams(col("text"), 3)).as("g"))
+        .select(col("doc_id"),
+          concat_ws(" ", col("g.w1"), col("g.w2"), col("g.w3")).as("tg"))
         .groupBy(col("doc_id"), col("tg")).agg(count(lit(1)).as("m"))
       val df = dt.groupBy(col("tg")).agg(count(lit(1)).as("df"))
       dt.join(df, Seq("tg"))

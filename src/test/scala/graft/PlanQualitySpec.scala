@@ -350,6 +350,22 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("t13 novelty: the positional kernel runs ONCE — window totals are tokenization arithmetic") {
+    // noveltyScores' second consumer (per-doc n_windows) is
+    // max(tokens-k+1, 0) — pure arithmetic over a plain column pass —
+    // so only the winner aggregate may carry the md5-per-position
+    // kernel; a second kgram_hashes60 instance means the fork crept
+    // back and the kernel pays twice
+    val kernels = q("t13_novelty").queryExecution.optimizedPlan.collect {
+      case p if p.expressions.exists(_.exists {
+        case _: graft.expr.KgramHashes60 => true
+        case _ => false
+      }) => p
+    }
+    assert(kernels.size == 1,
+      s"t13_novelty: expected exactly one plan node carrying kgram_hashes60, got ${kernels.size}")
+  }
+
   test("d16 duplicate runs: d15's plan + a compiled merge kernel — no window, no extra join") {
     val root = q("d16_duplicate_runs").queryExecution.optimizedPlan
     val windows = root.collect {
